@@ -1,0 +1,480 @@
+package graft.storage
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table options mirroring the reference's FDW options
+  * (`/root/reference/cstore_fdw.h:26-46`, validator
+  * `cstore_fdw.c:1273-1340`).
+  *
+  * - `compression`: `none | snappy | zstd | gzip` (reference: `none | pglz`,
+  *   `cstore_fdw.h:43-46`; parquet codecs are the Spark-native superset —
+  *   BASELINE.md row 3 shows zstd beating pglz).
+  * - `stripeRowCount`: rows per stripe → parquet row-group row limit
+  *   (default 150,000, bounds 1,000–10,000,000 — `cstore_fdw.h:34,38-39`).
+  * - `blockRowCount`: rows per block → parquet page row limit (default
+  *   10,000, bounds 1,000–100,000 — `cstore_fdw.h:35,40-41`).
+  */
+final case class GraftTableOptions(
+    compression: String = "zstd",
+    stripeRowCount: Long = 150000L,
+    blockRowCount: Long = 10000L) {
+
+  def validate(): Unit = {
+    require(GraftTableOptions.codecs.contains(compression),
+      s"invalid compression '$compression' (one of ${GraftTableOptions.codecs.mkString(", ")})")
+    // Bounds from cstore_fdw.h:38-41.
+    require(stripeRowCount >= 1000L && stripeRowCount <= 10000000L,
+      s"stripe_row_count $stripeRowCount out of range [1000, 10000000]")
+    require(blockRowCount >= 1000L && blockRowCount <= 100000L,
+      s"block_row_count $blockRowCount out of range [1000, 100000]")
+    require(blockRowCount <= stripeRowCount,
+      s"block_row_count $blockRowCount exceeds stripe_row_count $stripeRowCount")
+  }
+}
+
+object GraftTableOptions {
+  val codecs = Set("none", "uncompressed", "snappy", "zstd", "gzip", "lz4")
+}
+
+/** A columnar analytics table: append-only parquet data + a small JSON
+  * metadata file, replacing the reference's data file + `.footer` pair
+  * (`cstore_fdw.h:55`, `README.md:127-133`).
+  *
+  * Semantics reproduced from the reference:
+  * - append-only loads; no UPDATE/DELETE (`README.md:157-158`)
+  * - atomic visibility via metadata write-to-temp + rename
+  *   (`cstore_writer.c:344-357`) — readers list only files recorded in the
+  *   committed metadata, so a crashed writer leaves no torn reads
+  * - empty tables are queryable right after create
+  *   (`cstore_fdw.c:218-271`, `input/create.source:47-49`)
+  * - exact row count from footers without touching data
+  *   (`cstore_reader.c:401-434`)
+  * - `ALTER TABLE ADD COLUMN [DEFAULT const]` / `DROP COLUMN` without
+  *   rewriting old stripes: reader synthesizes default/NULL
+  *   (`cstore_reader.c:1224-1292`)
+  * - `ALTER COLUMN TYPE` only for implicitly coercible types
+  *   (`cstore_fdw.c:717-769`)
+  *
+  * At cluster scale the data dir is any Hadoop-FS URI; each append writes
+  * new files (one per shuffle partition), so writers never rewrite history
+  * and readers scale by file-level parallelism.
+  */
+final class GraftTable private (
+    val spark: SparkSession,
+    val location: String,
+    private var meta: GraftTable.Meta) {
+
+  import GraftTable._
+
+  def schema: StructType = meta.currentSchema
+  def options: GraftTableOptions = meta.options
+
+  // ---- read path -----------------------------------------------------
+
+  /** DataFrame over the table, with schema-evolution projection: files
+    * written before an ADD COLUMN lack the column; we read with the merged
+    * schema (missing → null) then coalesce in the recorded constant
+    * default, mirroring the reader-side default synthesis of
+    * `cstore_reader.c:1257-1292`. */
+  def read(): DataFrame = {
+    val files = dataFiles()
+    if (files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        meta.currentSchema)
+    } else {
+      val base = spark.read.schema(meta.currentSchema).parquet(files: _*)
+      val withDefaults = meta.defaults.foldLeft(base) { case (df, (colName, default)) =>
+        if (default == null) df
+        else df.withColumn(colName,
+          coalesce(col(colName), lit(default).cast(meta.currentSchema(colName).dataType)))
+      }
+      withDefaults.select(meta.currentSchema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+  }
+
+  /** Exact row count from parquet footers only — no data pages touched
+    * (`cstore_reader.c:401-434` CStoreTableRowCount). Spark's parquet
+    * scan of count() already reads only footers; this is the direct
+    * metadata variant for catalog use. */
+  def rowCountFromMetadata(): Long = meta.rowCount
+
+  /** On-disk bytes of committed data + metadata, the
+    * `cstore_table_size(regclass)` UDF (`cstore_fdw.c:1183-1229`). */
+  def tableSize(): Long = {
+    val dataBytes = dataFiles().map(f => Files.size(Paths.get(stripUri(f)))).sum
+    val metaBytes = Files.size(metaPath(location))
+    dataBytes + metaBytes
+  }
+
+  // ---- write path ----------------------------------------------------
+
+  /** Batch append (reference write path `cstore_writer.c:210-370`):
+    * buffered columnar write with per-block stats + compression — all
+    * native to the parquet writer; stripe/block sizing maps to row-group/
+    * page row limits. Returns rows written (COPY returns a row count,
+    * `cstore_fdw.c:313-327`). */
+  def append(df: DataFrame): Long = synchronized {
+    val aligned = alignToSchema(df)
+    val batchDir = s"$location/data/batch-${meta.nextBatchId}"
+    aligned.write
+      .option("compression", codecName(meta.options.compression))
+      .option("parquet.block.size", (meta.options.stripeRowCount * 64).toString)
+      .option("parquet.page.row.count.limit", meta.options.blockRowCount.toString)
+      .mode(SaveMode.Overwrite)
+      .parquet(batchDir)
+    val written = spark.read.parquet(batchDir)
+    val n = written.count()
+    val newFiles = listParquetFiles(batchDir)
+    meta = meta.copy(
+      files = meta.files ++ newFiles.map(f => relativize(f)),
+      rowCount = meta.rowCount + n,
+      nextBatchId = meta.nextBatchId + 1)
+    commitMeta()
+    n
+  }
+
+  /** COPY FROM csv (`cstore_fdw.c:539-642`): bulk CSV load, optional
+    * column list (`input/load.source:26-40` — missing columns become
+    * NULL/default). Returns row count. */
+  def copyFromCsv(path: String, header: Boolean = false,
+      columns: Seq[String] = Seq.empty): Long = {
+    val cols = if (columns.isEmpty) meta.currentSchema.fieldNames.toSeq else columns
+    val readSchema = StructType(cols.map(c => meta.currentSchema(c)))
+    val df = spark.read
+      .option("header", header.toString)
+      .option("nullValue", "")
+      .schema(readSchema)
+      .csv(path)
+    append(df)
+  }
+
+  /** COPY TO (`cstore_fdw.c:651-707`) — export the full table as CSV. */
+  def copyToCsv(path: String, header: Boolean = true): Unit =
+    read().write.option("header", header.toString).mode(SaveMode.Overwrite).csv(path)
+
+  /** TRUNCATE (`cstore_fdw.c:841-892`): drop all data files, keep the
+    * table definition, re-init empty. */
+  def truncate(): Unit = synchronized {
+    meta = meta.copy(files = Vector.empty, rowCount = 0L)
+    commitMeta()
+    deleteRecursively(Paths.get(stripUri(s"$location/data")))
+  }
+
+  // ---- schema evolution (ALTER TABLE, cstore_fdw.c:717-769) ----------
+
+  /** ADD COLUMN [DEFAULT constant]. Old files are not rewritten; the
+    * default is recorded and synthesized at read (`cstore_reader.c:
+    * 1224-1292`). Non-constant defaults are rejected, matching
+    * `cstore_reader.c:1283-1289`. */
+  def addColumn(name: String, dataType: DataType, default: Any = null): Unit = synchronized {
+    require(!meta.currentSchema.fieldNames.contains(name), s"column $name already exists")
+    default match {
+      case null | _: java.lang.Number | _: String | _: java.lang.Boolean => ()
+      case other => throw new IllegalArgumentException(
+        s"only constant defaults are supported, got ${other.getClass.getName}")
+    }
+    meta = meta.copy(
+      currentSchema = StructType(meta.currentSchema.fields :+
+        StructField(name, dataType, nullable = true)),
+      defaults = if (default == null) meta.defaults else meta.defaults + (name -> default))
+    commitMeta()
+  }
+
+  /** DROP COLUMN — logical drop; data remains but is never read
+    * (`cstore_fdw.c:1907-1910` attisdropped skip). */
+  def dropColumn(name: String): Unit = synchronized {
+    require(meta.currentSchema.fieldNames.contains(name), s"no such column $name")
+    meta = meta.copy(
+      currentSchema = StructType(meta.currentSchema.fields.filterNot(_.name == name)),
+      defaults = meta.defaults - name)
+    commitMeta()
+  }
+
+  /** ALTER COLUMN TYPE with the reference's implicit-coercibility rule
+    * (`cstore_fdw.c:717-769`; `sql/alter.sql:75-83`: int→float OK,
+    * float→int rejected, text↔varchar OK). */
+  def alterColumnType(name: String, to: DataType): Unit = synchronized {
+    val from = meta.currentSchema(name).dataType
+    require(implicitlyCoercible(from, to),
+      s"cannot change column $name from $from to $to: not implicitly coercible")
+    meta = meta.copy(currentSchema = StructType(meta.currentSchema.fields.map { f =>
+      if (f.name == name) f.copy(dataType = to) else f
+    }))
+    commitMeta()
+  }
+
+  // ---- internals -----------------------------------------------------
+
+  private def alignToSchema(df: DataFrame): DataFrame = {
+    val target = meta.currentSchema
+    val present = df.columns.toSet
+    val cols = target.fields.map { f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(meta.defaults.getOrElse(f.name, null)).cast(f.dataType).as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  private def dataFiles(): Seq[String] = meta.files.map(f => s"$location/$f")
+
+  private def commitMeta(): Unit = writeMetaAtomic(location, meta)
+}
+
+object GraftTable {
+
+  /** Persistent table metadata — the analog of the reference's `.footer`
+    * + postscript (`cstore.proto:32-51`). JSON, committed via temp+rename. */
+  final case class Meta(
+      currentSchema: StructType,
+      options: GraftTableOptions,
+      files: Vector[String],
+      rowCount: Long,
+      defaults: Map[String, Any],
+      nextBatchId: Long)
+
+  private val MagicKey = "graft_magic"
+  private val Magic = "graft_cstore_v1" // role of `citus_cstore` magic, cstore_fdw.h:50
+
+  /** CREATE TABLE: validates options, writes initial metadata so the empty
+    * table is immediately queryable (`cstore_fdw.c:928-948`). */
+  def create(spark: SparkSession, location: String, schema: StructType,
+      options: GraftTableOptions = GraftTableOptions()): GraftTable = {
+    options.validate()
+    require(!Files.exists(metaPath(location)), s"table already exists at $location")
+    Files.createDirectories(Paths.get(stripUri(location)))
+    val meta = Meta(schema, options, Vector.empty, 0L, Map.empty, 0L)
+    writeMetaAtomic(location, meta)
+    new GraftTable(spark, location, meta)
+  }
+
+  /** Open an existing table. */
+  def open(spark: SparkSession, location: String): GraftTable =
+    new GraftTable(spark, location, readMeta(location))
+
+  def exists(location: String): Boolean = Files.exists(metaPath(location))
+
+  /** DROP TABLE: remove data + metadata files (`cstore_fdw.c:776-925`). */
+  def drop(location: String): Unit =
+    deleteRecursively(Paths.get(stripUri(location)))
+
+  /** Implicit-coercibility matrix (reference behavior via PG cast rules,
+    * exercised by `sql/alter.sql:75-83`). Widening numeric casts and
+    * string-kind renames are OK; narrowing is rejected. */
+  def implicitlyCoercible(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (ByteType, ShortType | IntegerType | LongType | FloatType | DoubleType) => true
+    case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
+    case (IntegerType, LongType | FloatType | DoubleType) => true
+    case (LongType, FloatType | DoubleType) => true
+    case (FloatType, DoubleType) => true
+    case (_: DecimalType, DoubleType) => true
+    case (IntegerType | LongType, _: DecimalType) => true
+    case (StringType, _: StringType) => true
+    case (DateType, TimestampType) => true
+    case _ => false
+  }
+
+  private[storage] def codecName(c: String): String =
+    if (c == "none") "uncompressed" else c
+
+  private[storage] def stripUri(p: String): String =
+    if (p.startsWith("file:")) p.stripPrefix("file:") else p
+
+  private def metaPath(location: String): Path =
+    Paths.get(stripUri(location), "_graft_meta.json")
+
+  private def relativize(absolute: String): String = {
+    val loc = stripUri(absolute)
+    val idx = loc.indexOf("/data/batch-")
+    loc.substring(idx + 1)
+  }
+
+  private def listParquetFiles(dir: String): Seq[String] =
+    Files.list(Paths.get(stripUri(dir))).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+  }
+
+  // -- JSON (de)serialization of Meta, no external deps ----------------
+
+  private def writeMetaAtomic(location: String, meta: Meta): Unit = {
+    val path = metaPath(location)
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.write(tmp, renderMeta(meta).getBytes(StandardCharsets.UTF_8))
+    // Atomic commit point — the reference's footer rename, cstore_writer.c:350-357.
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def renderMeta(m: Meta): String = {
+    def js(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def jv(v: Any): String = v match {
+      case null => "null"
+      case b: Boolean => b.toString
+      case n: java.lang.Number => n.toString
+      case s: String => js(s)
+      case other => js(other.toString)
+    }
+    val defaults = m.defaults.map { case (k, v) =>
+      val tag = v match {
+        case _: java.lang.Long | _: java.lang.Integer => "long"
+        case _: java.lang.Double | _: java.lang.Float => "double"
+        case _: java.lang.Boolean => "boolean"
+        case _ => "string"
+      }
+      s"${js(k)}: {${js("t")}: ${js(tag)}, ${js("v")}: ${jv(v)}}"
+    }.mkString("{", ",", "}")
+    s"""{
+       |  ${js(MagicKey)}: ${js(Magic)},
+       |  "schema": ${js(m.currentSchema.json)},
+       |  "compression": ${js(m.options.compression)},
+       |  "stripe_row_count": ${m.options.stripeRowCount},
+       |  "block_row_count": ${m.options.blockRowCount},
+       |  "row_count": ${m.rowCount},
+       |  "next_batch_id": ${m.nextBatchId},
+       |  "defaults": $defaults,
+       |  "files": ${m.files.map(js).mkString("[", ",", "]")}
+       |}""".stripMargin
+  }
+
+  private def readMeta(location: String): Meta = {
+    val path = metaPath(location)
+    require(Files.exists(path), s"no graft table at $location")
+    val txt = new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
+    val m = parseJsonObject(txt)
+    require(m.get(MagicKey).contains(Magic), s"bad magic in $path")
+    val schema = DataType.fromJson(m("schema").asInstanceOf[String]).asInstanceOf[StructType]
+    val defaults = m.getOrElse("defaults", Map.empty[String, Any])
+      .asInstanceOf[Map[String, Any]].map { case (k, tv) =>
+        val obj = tv.asInstanceOf[Map[String, Any]]
+        val v = (obj("t"), obj("v")) match {
+          case ("long", n: java.lang.Number) => n.longValue(): java.lang.Long
+          case ("double", n: java.lang.Number) => n.doubleValue(): java.lang.Double
+          case ("boolean", b: java.lang.Boolean) => b
+          case (_, s) => s
+        }
+        k -> (v: Any)
+      }
+    Meta(
+      currentSchema = schema,
+      options = GraftTableOptions(
+        compression = m("compression").asInstanceOf[String],
+        stripeRowCount = m("stripe_row_count").asInstanceOf[Number].longValue(),
+        blockRowCount = m("block_row_count").asInstanceOf[Number].longValue()),
+      files = m("files").asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toVector,
+      rowCount = m("row_count").asInstanceOf[Number].longValue(),
+      defaults = defaults,
+      nextBatchId = m("next_batch_id").asInstanceOf[Number].longValue())
+  }
+
+  /** Minimal recursive-descent JSON parser (objects/arrays/strings/numbers/
+    * bool/null) — keeps the metadata layer dependency-free. */
+  private[storage] def parseJsonObject(s: String): Map[String, Any] = {
+    val p = new JsonParser(s)
+    val v = p.parseValue()
+    p.skipWs()
+    require(p.eof, s"trailing content in JSON at ${p.pos}")
+    v.asInstanceOf[Map[String, Any]]
+  }
+
+  private final class JsonParser(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def skipWs(): Unit = while (!eof && s.charAt(pos).isWhitespace) pos += 1
+    private def expect(c: Char): Unit = {
+      skipWs()
+      require(!eof && s.charAt(pos) == c, s"expected '$c' at $pos")
+      pos += 1
+    }
+    def parseValue(): Any = {
+      skipWs()
+      s.charAt(pos) match {
+        case '{' => parseObject()
+        case '[' => parseArray()
+        case '"' => parseString()
+        case 't' => pos += 4; true
+        case 'f' => pos += 5; false
+        case 'n' => pos += 4; null
+        case _ => parseNumber()
+      }
+    }
+    private def parseObject(): Map[String, Any] = {
+      expect('{'); skipWs()
+      val b = Map.newBuilder[String, Any]
+      if (s.charAt(pos) == '}') { pos += 1; return b.result() }
+      var done = false
+      while (!done) {
+        skipWs()
+        val k = parseString()
+        expect(':')
+        b += (k -> parseValue())
+        skipWs()
+        if (s.charAt(pos) == ',') pos += 1 else { expect('}'); done = true }
+      }
+      b.result()
+    }
+    private def parseArray(): List[Any] = {
+      expect('['); skipWs()
+      val b = List.newBuilder[Any]
+      if (s.charAt(pos) == ']') { pos += 1; return b.result() }
+      var done = false
+      while (!done) {
+        b += parseValue()
+        skipWs()
+        if (s.charAt(pos) == ',') pos += 1 else { expect(']'); done = true }
+      }
+      b.result()
+    }
+    private def parseString(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (s.charAt(pos) != '"') {
+        val c = s.charAt(pos)
+        if (c == '\\') {
+          pos += 1
+          s.charAt(pos) match {
+            case '"' => sb += '"'
+            case '\\' => sb += '\\'
+            case '/' => sb += '/'
+            case 'n' => sb += '\n'
+            case 't' => sb += '\t'
+            case 'r' => sb += '\r'
+            case 'b' => sb += '\b'
+            case 'f' => sb += '\f'
+            case 'u' =>
+              sb += Integer.parseInt(s.substring(pos + 1, pos + 5), 16).toChar
+              pos += 4
+          }
+        } else sb += c
+        pos += 1
+      }
+      pos += 1
+      sb.toString
+    }
+    private def parseNumber(): Any = {
+      val start = pos
+      while (!eof && "+-0123456789.eE".indexOf(s.charAt(pos)) >= 0) pos += 1
+      val tok = s.substring(start, pos)
+      if (tok.exists(c => c == '.' || c == 'e' || c == 'E')) tok.toDouble
+      else tok.toLong
+    }
+  }
+}

@@ -1,0 +1,189 @@
+package graft.storage
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Transliterates the reference pg_regress suites (create/load/query/alter/
+  * truncate/drop — the sql and input dirs of `/root/reference/`) onto the
+  * GraftTable layer. */
+class GraftTableSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("handle", IntegerType),
+    StructField("name", StringType),
+    StructField("rating", IntegerType)))
+
+  test("create: empty table is queryable, count 0 (input/create.source:47-49)") {
+    val loc = tmpDir("graft-create")
+    val t = GraftTable.create(spark, s"$loc/tbl", schema)
+    assert(t.read().count() === 0)
+    assert(t.rowCountFromMetadata() === 0)
+    GraftTable.drop(s"$loc/tbl")
+  }
+
+  test("create: option validation (input/create.source:12-32)") {
+    val loc = tmpDir("graft-opts")
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, s"$loc/bad1", schema,
+        GraftTableOptions(compression = "invalid_compression_type"))
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, s"$loc/bad2", schema,
+        GraftTableOptions(stripeRowCount = 999))
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, s"$loc/bad3", schema,
+        GraftTableOptions(blockRowCount = 100001))
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, s"$loc/bad4", schema,
+        GraftTableOptions(stripeRowCount = 2000, blockRowCount = 4000))
+    }
+  }
+
+  test("load + append twice doubles counts (input/block_filtering.source:54-58)") {
+    import spark.implicits._
+    val loc = tmpDir("graft-append")
+    val t = GraftTable.create(spark, s"$loc/tbl", schema)
+    val df = Seq((1, "a", 10), (2, "b", 20), (3, "c", 30))
+      .toDF("handle", "name", "rating")
+    assert(t.append(df) === 3)
+    assert(t.read().count() === 3)
+    assert(t.append(df) === 3)
+    assert(t.read().count() === 6)
+    assert(t.rowCountFromMetadata() === 6)
+    // re-open sees committed state (atomic metadata rename)
+    val t2 = GraftTable.open(spark, s"$loc/tbl")
+    assert(t2.read().count() === 6)
+    GraftTable.drop(s"$loc/tbl")
+  }
+
+  test("COPY FROM csv with and without column list (input/load.source:26-40)") {
+    val loc = tmpDir("graft-copy")
+    val csv = s"$loc/in.csv"
+    Files.write(Paths.get(csv), "1,first,5\n2,second,7\n".getBytes)
+    val t = GraftTable.create(spark, s"$loc/tbl", schema)
+    assert(t.copyFromCsv(csv) === 2)
+    assert(t.read().orderBy("handle").collect().map(_.getString(1)).toSeq
+      === Seq("first", "second"))
+    // column-list COPY: missing column -> null
+    val csv2 = s"$loc/in2.csv"
+    Files.write(Paths.get(csv2), "3,9\n".getBytes)
+    assert(t.copyFromCsv(csv2, columns = Seq("handle", "rating")) === 1)
+    val row3 = t.read().filter(col("handle") === 3).collect().head
+    assert(row3.isNullAt(1) && row3.getInt(2) === 9)
+    GraftTable.drop(s"$loc/tbl")
+  }
+
+  test("COPY TO round-trips (cstore_fdw.c:651-707)") {
+    import spark.implicits._
+    val loc = tmpDir("graft-copyto")
+    val t = GraftTable.create(spark, s"$loc/tbl", schema)
+    t.append(Seq((1, "x", 2)).toDF("handle", "name", "rating"))
+    t.copyToCsv(s"$loc/out")
+    val back = spark.read.option("header", "true").schema(schema).csv(s"$loc/out")
+    assert(back.collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+      === Seq((1, "x", 2)))
+    GraftTable.drop(s"$loc/tbl")
+  }
+
+  test("truncate keeps definition, drops data (sql/truncate.sql)") {
+    import spark.implicits._
+    val loc = tmpDir("graft-trunc")
+    val t = GraftTable.create(spark, s"$loc/tbl", schema)
+    t.append(Seq((1, "x", 2)).toDF("handle", "name", "rating"))
+    assert(t.read().count() === 1)
+    t.truncate()
+    assert(t.read().count() === 0)
+    assert(t.rowCountFromMetadata() === 0)
+    // still writable after truncate
+    t.append(Seq((9, "y", 1)).toDF("handle", "name", "rating"))
+    assert(t.read().count() === 1)
+    GraftTable.drop(s"$loc/tbl")
+  }
+
+  test("drop removes all files (sql/drop.sql)") {
+    import spark.implicits._
+    val loc = tmpDir("graft-drop")
+    val t = GraftTable.create(spark, s"$loc/tbl", schema)
+    t.append(Seq((1, "x", 2)).toDF("handle", "name", "rating"))
+    assert(GraftTable.exists(s"$loc/tbl"))
+    GraftTable.drop(s"$loc/tbl")
+    assert(!GraftTable.exists(s"$loc/tbl"))
+    assert(!Files.exists(Paths.get(s"$loc/tbl")))
+  }
+
+  test("table size reflects on-disk bytes (cstore_fdw.c:1183-1229)") {
+    import spark.implicits._
+    val loc = tmpDir("graft-size")
+    val t = GraftTable.create(spark, s"$loc/tbl", schema)
+    val empty = t.tableSize()
+    assert(empty > 0) // metadata only
+    t.append((1 to 1000).map(i => (i, s"name_$i", i % 7)).toDF("handle", "name", "rating"))
+    assert(t.tableSize() > empty)
+    GraftTable.drop(s"$loc/tbl")
+  }
+
+  test("ADD COLUMN with constant default over old stripes (sql/alter.sql:14-48)") {
+    import spark.implicits._
+    val loc = tmpDir("graft-alter")
+    val t = GraftTable.create(spark, s"$loc/tbl", schema)
+    t.append(Seq((1, "old", 5)).toDF("handle", "name", "rating"))
+    t.addColumn("score", DoubleType, default = 3.5)
+    // old file lacks the column -> default synthesized at read
+    val oldRow = t.read().filter(col("handle") === 1).collect().head
+    assert(oldRow.getDouble(3) === 3.5)
+    // new appends carry the column physically
+    t.append(Seq((2, "new", 6, 9.0)).toDF("handle", "name", "rating", "score"))
+    val rows = t.read().orderBy("handle").collect()
+    assert(rows.map(_.getDouble(3)).toSeq === Seq(3.5, 9.0))
+    // plain ADD COLUMN (no default) -> nulls
+    t.addColumn("note", StringType)
+    assert(t.read().filter(col("note").isNull).count() === 2)
+    GraftTable.drop(s"$loc/tbl")
+  }
+
+  test("DROP COLUMN hides data (cstore_fdw.c:1907-1910)") {
+    import spark.implicits._
+    val loc = tmpDir("graft-dropcol")
+    val t = GraftTable.create(spark, s"$loc/tbl", schema)
+    t.append(Seq((1, "x", 2)).toDF("handle", "name", "rating"))
+    t.dropColumn("name")
+    assert(t.read().columns.toSeq === Seq("handle", "rating"))
+    assert(t.read().collect().head.getInt(1) === 2)
+    GraftTable.drop(s"$loc/tbl")
+  }
+
+  test("ALTER COLUMN TYPE coercibility (sql/alter.sql:75-83)") {
+    import spark.implicits._
+    val loc = tmpDir("graft-coerce")
+    val t = GraftTable.create(spark, s"$loc/tbl", schema)
+    t.append(Seq((1, "x", 2)).toDF("handle", "name", "rating"))
+    t.alterColumnType("rating", DoubleType) // int -> float OK
+    assert(t.read().schema("rating").dataType === DoubleType)
+    assert(t.read().collect().head.getDouble(2) === 2.0)
+    intercept[IllegalArgumentException] {
+      t.alterColumnType("handle", StringType) // not implicitly coercible
+    }
+    intercept[IllegalArgumentException] {
+      t.alterColumnType("rating", IntegerType) // float -> int rejected
+    }
+    GraftTable.drop(s"$loc/tbl")
+  }
+
+  test("compression options produce readable tables with different codecs") {
+    import spark.implicits._
+    for (codec <- Seq("none", "snappy", "zstd", "gzip")) {
+      val loc = tmpDir(s"graft-codec-$codec")
+      val t = GraftTable.create(spark, s"$loc/tbl", schema,
+        GraftTableOptions(compression = codec))
+      t.append((1 to 500).map(i => (i, "v" * 50, i)).toDF("handle", "name", "rating"))
+      assert(t.read().count() === 500)
+      GraftTable.drop(s"$loc/tbl")
+    }
+  }
+}
