@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.operators.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 import graft.queries.CoreQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -13,12 +14,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CoreQueries.q11MultiJoin(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data pipeline operators (dedup, similarity, text analysis,
+    * multimodal, events). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all
+    CoreQueries.all ++ Dedup.queries ++ Similarity.queries ++
+      TextAnalysis.queries ++ Multimodal.queries ++ Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles
+    CoreQueries.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      TextAnalysis.oracles ++ Multimodal.oracles ++ Events.oracles
 }

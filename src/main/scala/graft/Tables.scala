@@ -19,8 +19,22 @@ object Tables {
   val extra: Seq[String] = Seq("events", "documents", "embeddings")
   val all: Seq[String] = tpch ++ extra
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") loadEvents(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which the
+    * Spark 4 vectorized reader rejects outright. Read nanos as long
+    * (legacy conf) and convert to a microsecond timestamp — the data has
+    * no sub-microsecond components, so this is lossless. */
+  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    import org.apache.spark.sql.functions._
+    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
 
   /** Register every table as a temp view (idempotent). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

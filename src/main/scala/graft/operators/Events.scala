@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Batch analytics over the `events` stream table — the batch twins of
+  * the Structured Streaming jobs in [[graft.streaming]]: tumbling-window
+  * aggregation and gap-based sessionization. Double sums are integer-
+  * quantized (x10000) so results are exact under any aggregation order. */
+object Events {
+
+  private val SessionGapSec = 1800L
+
+  /** e1: tumbling 1-hour window per event_type. The window start is
+    * emitted as epoch seconds (bigint) — engine-neutral. */
+  def e1TumblingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 10000).cast("long")).as("vsum_x10000"))
+      .select(col("w.start").cast("long").as("hour_epoch"),
+        col("event_type"), col("cnt"), col("vsum_x10000"))
+      .orderBy("hour_epoch", "event_type")
+
+  /** e2: sessionization — a new session starts after a >30 min gap; one
+    * shuffle on user_id, per-user state is a single lag. */
+  def e2Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > SessionGapSec, 1L)
+          .otherwise(0L))
+    ev.groupBy("user_id")
+      .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_tumbling_window" -> e1TumblingWindow _,
+    "e2_sessionize" -> e2Sessionize _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e1_tumbling_window" ->
+      ("SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) hour_epoch, event_type, " +
+        "count(*) cnt, sum(CAST(round(value*10000) AS BIGINT)) vsum_x10000 " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "e2_sessionize" ->
+      (s"""WITH ev AS (SELECT user_id, ts, event_id,
+         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_ts
+         |FROM events),
+         |f AS (SELECT user_id,
+         |  CASE WHEN prev_ts IS NULL
+         |         OR epoch(ts) - epoch(prev_ts) > $SessionGapSec
+         |       THEN 1 ELSE 0 END ns
+         |FROM ev)
+         |SELECT user_id, CAST(sum(ns) AS BIGINT) n_sessions,
+         |  count(*) n_events
+         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin),
+  )
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, processed in batched per-partition passes.
+  *
+  * The Spark-side plumbing is real — binary payload column, metadata
+  * struct, typed Dataset, `mapPartitions` with explicit batching (the
+  * shape a vectorized decode would use) — but the decode itself is a
+  * clearly-marked deterministic STUB: this container has no image/audio
+  * codec libraries, so "decode" computes arithmetic features of the
+  * payload bytes (which is what makes a DuckDB oracle possible). Swap
+  * [[fakeDecode]] for a real codec call in production. */
+object Multimodal {
+
+  /** Batch size for the per-partition decode loop — the unit a real
+    * vectorized decoder (or GPU transfer) would process at once. */
+  private val DecodeBatch = 64
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], width: Long, height: Long)
+  final case class Feature(doc_id: Long, width: Long, height: Long,
+      n_bytes: Long, checksum_x100: Long)
+
+  /** STUB decode: a real implementation would parse the codec header and
+    * decode pixels/samples. Here: byte-level arithmetic features —
+    * deterministic, schema-correct, oracle-checkable. */
+  private def fakeDecode(r: MediaRow): Feature = {
+    val head = r.payload.take(32)
+    val sum = head.foldLeft(0L)((acc, b) => acc + (b & 0xff))
+    Feature(r.doc_id, r.width, r.height, r.payload.length.toLong, sum * 100 / 32)
+  }
+
+  /** m1: build a media table (payload bytes derived from text — stand-in
+    * for real image bytes) and run the batched decode/feature pass. */
+  def m1DecodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.load(s, dir, "documents").select(
+      col("doc_id").cast("long").as("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (col("n_chars") % 64 + 16).cast("long").as("width"),
+      (col("doc_id") % 32 + 16).cast("long").as("height"))
+      .as[MediaRow]
+    media.mapPartitions { it =>
+      // Batched decode loop: a real decoder amortizes codec/GPU setup per
+      // batch; the iterator shape (grouped → flatMap) is the real plumbing.
+      it.grouped(DecodeBatch).flatMap { batch => batch.map(fakeDecode) }
+    }.toDF().orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_media_decode" -> m1DecodeFeatures _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Payload is ASCII text, so byte arithmetic == character arithmetic.
+    "m1_media_decode" ->
+      ("""WITH f AS (SELECT doc_id, n_chars % 64 + 16 width, doc_id % 32 + 16 height,
+         |  length(text) n_bytes,
+         |  list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |    list_transform(range(1, least(33, length(text)+1)),
+         |      i -> ascii(substr(text, i, 1))::BIGINT)),
+         |    (a, b) -> a + b) bytesum
+         |FROM documents)
+         |SELECT doc_id, width, height, n_bytes, bytesum * 100 // 32 checksum_x100
+         |FROM f ORDER BY doc_id""".stripMargin),
+  )
+}

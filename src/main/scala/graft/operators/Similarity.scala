@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column).
+  *
+  *  - s1: brute-force cosine top-k — the exact baseline. The query set is
+  *    broadcast; the corpus side streams, so the cost is one scan of the
+  *    corpus per batch of queries regardless of corpus size.
+  *  - s2: IVF-style ANN — coarse quantizer from per-label centroids;
+  *    queries probe only their nearest centroid's partition. This is the
+  *    100 TB path: candidate scan shrinks by the partition fan-out, and
+  *    the centroid table is broadcast (tiny).
+  *
+  * All float math is widened to double before any arithmetic, and every
+  * reduction is a sequential left fold, so the DuckDB oracles reproduce
+  * results bit-for-bit. Centroids are built from integer-quantized sums
+  * (x1e6) to stay exact under any aggregation order.
+  */
+object Similarity {
+
+  /** (vec_id, label, v: array<double>, nrm) with L2 norm precomputed. */
+  def normalized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
+        lit(0.0), (acc, x) => acc + x)))
+
+  /** Cosine similarity from precomputed norms — sequential-fold dot. */
+  def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
+    aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) / (na * nb)
+
+  private val NumQueries = 5
+  private val TopK = 10
+  private val IvfTopK = 5
+  private val Quant = 1000000L
+
+  /** s1: brute-force cosine top-k for the query set (vec_id < 5). */
+  def s1AnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = normalized(Tables.load(s, dir, "embeddings"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Per-label centroid direction vectors from integer-quantized
+    * elementwise sums (scaling does not change cosine, so sums — exact
+    * under any aggregation order — replace means). */
+  private def centroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(round(col("x").cast("double") * Quant).cast("long")).as("sq"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sq")))),
+        p => p.getField("sq").cast("double")).as("cv"))
+      .withColumn("cnrm", sqrt(aggregate(transform(col("cv"), x => x * x),
+        lit(0.0), (acc, x) => acc + x)))
+
+  /** s2: IVF ANN — assign each query to its nearest centroid, then search
+    * only that partition. */
+  def s2AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val e = normalized(emb)
+    val cent = centroids(emb)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wAssign = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("label"))
+    val assigned = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("qv"), col("qn"), col("label"),
+        cosine(col("qv"), col("cv"), col("qn"), col("cnrm")).as("ccos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("q_id"), col("qv"), col("qn"), col("label"))
+    val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(assigned),
+      e("label") === assigned("label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), e("label"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= IvfTopK)
+      .select(col("q_id"), col("label"), col("vec_id"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_ann_brute" -> s1AnnBrute _,
+    "s2_ann_ivf" -> s2AnnIvf _,
+  )
+
+  import OracleSql._
+
+  val oracles: Map[String, String] = Map(
+    "s1_ann_brute" ->
+      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, ${normSql("v")} nrm FROM e),
+         |scored AS (
+         |  SELECT q.vec_id q_id, c.vec_id,
+         |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) cos
+         |  FROM n q JOIN n c ON c.vec_id != q.vec_id
+         |  WHERE q.vec_id < $NumQueries),
+         |ranked AS (SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rank
+         |  FROM scored)
+         |SELECT q_id, vec_id, round(cos, 4) cos, rank FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin),
+    "s2_ann_ivf" ->
+      (s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, label, v, ${normSql("v")} nrm FROM e),
+         |cent AS (
+         |  SELECT label, list(CAST(sq AS DOUBLE) ORDER BY i) cv FROM (
+         |    SELECT label, i, sum(CAST(round(embedding[i]::DOUBLE * $Quant) AS BIGINT)) sq
+         |    FROM embeddings CROSS JOIN range(1, 65) r(i)
+         |    GROUP BY label, i) GROUP BY label),
+         |cn AS (SELECT label, cv, ${normSql("cv")} cnrm FROM cent),
+         |assigned AS (
+         |  SELECT q_id, label FROM (
+         |    SELECT q.vec_id q_id, cn.label,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dotSql("q.v", "cn.cv")} / (q.nrm * cn.cnrm) DESC,
+         |                 cn.label) arn
+         |    FROM n q CROSS JOIN cn WHERE q.vec_id < $NumQueries)
+         |  WHERE arn = 1),
+         |scored AS (
+         |  SELECT a.q_id, c.label, c.vec_id,
+         |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) cos
+         |  FROM assigned a
+         |  JOIN n q ON q.vec_id = a.q_id
+         |  JOIN n c ON c.label = a.label AND c.vec_id != a.q_id),
+         |ranked AS (SELECT q_id, label, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rank
+         |  FROM scored)
+         |SELECT q_id, label, vec_id, round(cos, 4) cos, rank FROM ranked
+         |WHERE rank <= $IvfTopK ORDER BY q_id, rank""".stripMargin),
+  )
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for training-data pipelines, over `documents`:
+  * token counting (whitespace + BPE-ish regex), quality scoring,
+  * language-ID (stopword-profile heuristic), and document fingerprinting
+  * (rolling hash). Pure `functions._` compositions — codegen'd, no UDFs —
+  * with exact-arithmetic DuckDB oracles. */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** BPE-ish token pattern: letter runs, digit runs, single punct. ASCII
+    * classes only so Java regex (Spark) and RE2 (DuckDB) agree. */
+  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to")
+
+  private def isStop(t: Column): Column =
+    Stopwords.map(w => t === w).reduce(_ || _)
+
+  /** t1: token counts — whitespace tokens and BPE-ish regex tokens. */
+  def t1TokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws"),
+      regexp_count(col("text"), lit(BpePattern)).cast("long").as("n_bpe"))
+      .orderBy("doc_id")
+
+  /** t2: quality score — length score damped by stopword ratio. */
+  def t2Quality(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val stopCnt = size(filter(toks, t => isStop(t))).cast("long")
+    val stopRatio = stopCnt.cast("double") / nTok.cast("double")
+    val lenScore = least(lit(1.0), nTok.cast("double") / 100.0)
+    docs(s, dir).select(
+      col("doc_id"),
+      nTok.as("n_tok"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(lenScore * (lit(1.0) - stopRatio), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** t3: language ID by stopword-profile counts, deterministic tie-break
+    * en > de > fr > es > und. */
+  def t3LangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    def hits(words: Seq[String]): Column =
+      size(filter(toks, t => words.map(w => t === w).reduce(_ || _))).cast("long")
+    val en = hits(Seq("the", "a", "of"))
+    val de = hits(Seq("der", "die", "und"))
+    val fr = hits(Seq("le", "la", "et"))
+    val es = hits(Seq("el", "los", "y"))
+    val pred = when(en > 0 && en >= de && en >= fr && en >= es, "en")
+      .when(de > 0 && de >= fr && de >= es, "de")
+      .when(fr > 0 && fr >= es, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+    docs(s, dir).select(pred.as("lang_pred"))
+      .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
+      .orderBy("lang_pred")
+  }
+
+  /** t4: document fingerprint — P57 rolling hash of the raw text. */
+  def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), polyHash(col("text"), P57).as("fp"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_token_count" -> t1TokenCount _,
+    "t2_quality" -> t2Quality _,
+    "t3_lang_id" -> t3LangId _,
+    "t4_fingerprint" -> t4Fingerprint _,
+  )
+
+  import OracleSql._
+
+  private def hitsSql(words: Seq[String]): String =
+    s"len(list_filter(toks, t -> ${words.map(w => s"t = '$w'").mkString(" OR ")}))"
+
+  val oracles: Map[String, String] = Map(
+    "t1_token_count" ->
+      (s"SELECT doc_id, len(string_split(text, ' ')) AS n_ws, " +
+        s"CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe " +
+        "FROM documents ORDER BY doc_id"),
+    "t2_quality" ->
+      (s"""WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+         |q AS (SELECT doc_id, len(toks) n_tok,
+         |        CAST(${hitsSql(Stopwords)} AS DOUBLE) / CAST(len(toks) AS DOUBLE) sr,
+         |        least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) ls
+         |      FROM t)
+         |SELECT doc_id, n_tok, round(sr, 4) stop_ratio,
+         |  round(ls * (1.0 - sr), 4) quality
+         |FROM q ORDER BY doc_id""".stripMargin),
+    "t3_lang_id" ->
+      (s"""WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+         |sc AS (SELECT doc_id,
+         |         ${hitsSql(Seq("the", "a", "of"))} en,
+         |         ${hitsSql(Seq("der", "die", "und"))} de,
+         |         ${hitsSql(Seq("le", "la", "et"))} fr,
+         |         ${hitsSql(Seq("el", "los", "y"))} es
+         |       FROM t),
+         |p AS (SELECT CASE
+         |        WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+         |        WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+         |        WHEN fr > 0 AND fr >= es THEN 'fr'
+         |        WHEN es > 0 THEN 'es'
+         |        ELSE 'und' END lang_pred
+         |      FROM sc)
+         |SELECT lang_pred, count(*) cnt FROM p GROUP BY lang_pred
+         |ORDER BY lang_pred""".stripMargin),
+    "t4_fingerprint" ->
+      s"SELECT doc_id, ${polyHashSql("text", P57)} AS fp FROM documents ORDER BY doc_id",
+  )
+}
