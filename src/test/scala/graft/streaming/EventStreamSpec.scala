@@ -1,0 +1,53 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.storage.{GraftTable, GraftTableOptions}
+
+/** Streaming ingest + windowed agg end-to-end: feed the real events table
+  * through a file-source stream in two chunks, land it in a GraftTable,
+  * and check the streaming windowed counts equal the batch operator's. */
+class EventStreamSpec extends SparkSpec {
+
+  test("streaming ingest into GraftTable matches batch row count") {
+    val events = Tables.load(spark, sf("sf0.001"), "events")
+    val total = events.count()
+    val src = tmpDir("stream-src")
+    // two "arriving" files
+    events.filter(col("event_id") % 2 === 0).write.parquet(s"$src/f0")
+    events.filter(col("event_id") % 2 === 1).write.parquet(s"$src/f1")
+    // flatten: file source watches a directory of parquet files
+    val flat = tmpDir("stream-flat")
+    Seq("f0", "f1").foreach { d =>
+      Files.list(Paths.get(src, d)).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          Files.copy(p, Paths.get(flat, s"$d-${p.getFileName}"))
+      }
+    }
+    val loc = tmpDir("stream-table") + "/events"
+    val table = GraftTable.create(spark, loc, EventStream.eventSchema,
+      GraftTableOptions())
+    val q = EventStream.ingest(spark, flat, table, tmpDir("stream-ckpt"))
+    q.awaitTermination(120000)
+    assert(table.read().count() === total)
+    assert(table.rowCountFromMetadata() === total)
+    GraftTable.drop(loc)
+  }
+
+  test("streaming windowed counts equal the batch operator") {
+    val events = Tables.load(spark, sf("sf0.001"), "events")
+    val flat = tmpDir("stream-agg-src")
+    events.write.mode("overwrite").parquet(flat)
+    val q = EventStream.aggregateToMemory(spark, flat, "win_counts",
+      tmpDir("stream-agg-ckpt"))
+    q.awaitTermination(120000)
+    val streamed = spark.table("win_counts")
+      .orderBy("hour_epoch", "event_type").collect()
+    val batch = graft.operators.Events.e1TumblingWindow(spark, sf("sf0.001"))
+      .collect()
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+}
