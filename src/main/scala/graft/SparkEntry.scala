@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, ExtendedQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -18,12 +18,12 @@ object SparkEntry {
     * training-data pipeline operators (dedup, similarity, text analysis,
     * multimodal, events). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all ++ Dedup.queries ++ Similarity.queries ++
+    CoreQueries.all ++ ExtendedQueries.all ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+    CoreQueries.oracles ++ ExtendedQueries.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ Events.oracles
 }

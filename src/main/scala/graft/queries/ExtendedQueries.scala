@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Extended host-executor surface (SURVEY.md §2.2 closing paragraph):
+  * outer/semi/anti joins beyond Q15, grouping sets/cube, window frames,
+  * EXCEPT, string/date/math/array/JSON scalar functions, conditionals.
+  * All delegated surface in the reference (host executor's job,
+  * `/root/reference/cstore_fdw.c:1743-1750`) — Spark built-ins here, each
+  * with a DuckDB oracle. Double-typed running sums are integer-quantized
+  * (x100) so results are exact under any execution order. */
+object ExtendedQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** q21: left outer join — customers with no orders per market segment. */
+  def q21LeftJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .filter(col("o_orderkey").isNull)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment")
+
+  /** q22: full outer join of nation keys present in customers/suppliers. */
+  def q22FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+    val su = t(s, dir, "supplier").select(col("s_nationkey").as("nk2")).distinct()
+    c.join(su, col("nk") === col("nk2"), "full_outer")
+      .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+        col("nk").isNotNull.as("has_cust"), col("nk2").isNotNull.as("has_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** q23: CUBE over returnflag × linestatus. */
+  def q23Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+
+  /** q24: EXCEPT — customers that never ordered. */
+  def q24Except(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey"))
+      .except(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+      .limit(20)
+
+  /** q25: window frame — running order-value sum per customer (quantized). */
+  def q25WindowFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("run_x100",
+        sum(round(col("o_totalprice") * 100).cast("long")).over(w))
+      .filter(col("o_custkey") <= 20)
+      .select("o_custkey", "o_orderkey", "run_x100")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q26: string functions — upper/substr/replace/lpad/concat/trim. */
+  def q26StringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        substring(col("p_name"), 1, 4).as("pre"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        lpad(col("p_brand"), 10, "#").as("pad"),
+        concat_ws("|", col("p_type"), trim(col("p_brand"))).as("cat"),
+        length(col("p_name")).cast("long").as("len"))
+      .orderBy("p_partkey")
+      .limit(100)
+
+  /** q27: date functions — year/month/trunc-to-month bucket counts. */
+  def q27DateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        date_trunc("month", col("o_orderdate")).cast("long").as("month_epoch"))
+      .groupBy("y", "m", "month_epoch")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("y", "m")
+
+  /** q28: math functions — abs/ceil/floor/sqrt (IEEE-exact set only). */
+  def q28MathFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        abs(col("l_discount") - 0.05).as("ad"),
+        ceil(col("l_extendedprice")).cast("long").as("cp"),
+        floor(col("l_extendedprice")).cast("long").as("fp"),
+        round(sqrt(col("l_quantity")), 6).as("sq"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .limit(200)
+
+  /** q29: JSON extraction from the events props column. */
+  def q29Json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("k")
+
+  /** q30: array functions — sort/join/contains over document tokens. */
+  def q30ArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_join(array_sort(slice(split(col("text"), " "), 1, 3)), "-").as("first3"),
+        array_contains(split(col("text"), " "), "spark").as("has_spark"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"))
+      .orderBy("doc_id")
+      .limit(200)
+
+  /** q31: conditionals — coalesce/nullif/greatest/least. */
+  def q31Conditionals(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag"),
+        greatest(col("l_tax"), col("l_discount")).as("g"),
+        least(col("l_tax"), col("l_discount")).as("l"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .limit(200)
+
+  /** q32: TPC-H Q1 pricing summary (quantized sums — exact). */
+  def q32TpchQ1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_x100"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_x100"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_left_join" -> q21LeftJoin _,
+    "q22_full_outer" -> q22FullOuter _,
+    "q23_cube" -> q23Cube _,
+    "q24_except" -> q24Except _,
+    "q25_window_frame" -> q25WindowFrame _,
+    "q26_string_funcs" -> q26StringFuncs _,
+    "q27_date_funcs" -> q27DateFuncs _,
+    "q28_math_funcs" -> q28MathFuncs _,
+    "q29_json" -> q29Json _,
+    "q30_array_funcs" -> q30ArrayFuncs _,
+    "q31_conditionals" -> q31Conditionals _,
+    "q32_tpch_q1" -> q32TpchQ1 _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q21_left_join" ->
+      ("SELECT c_mktsegment, count(*) AS cnt FROM customer c " +
+        "LEFT JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "WHERE o.o_orderkey IS NULL GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "q22_full_outer" ->
+      ("SELECT coalesce(nk, nk2) AS nationkey, nk IS NOT NULL AS has_cust, " +
+        "nk2 IS NOT NULL AS has_supp FROM " +
+        "(SELECT DISTINCT c_nationkey nk FROM customer) c FULL OUTER JOIN " +
+        "(SELECT DISTINCT s_nationkey nk2 FROM supplier) s ON nk = nk2 " +
+        "ORDER BY nationkey"),
+    "q23_cube" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem " +
+        "GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST"),
+    "q24_except" ->
+      ("SELECT c_custkey FROM (" +
+        "SELECT c_custkey FROM customer EXCEPT " +
+        "SELECT o_custkey AS c_custkey FROM orders) t " +
+        "ORDER BY c_custkey LIMIT 20"),
+    "q25_window_frame" ->
+      ("SELECT o_custkey, o_orderkey, sum(CAST(round(o_totalprice*100) AS BIGINT)) " +
+        "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_x100 " +
+        "FROM orders QUALIFY o_custkey <= 20 ORDER BY o_custkey, o_orderkey"),
+    "q26_string_funcs" ->
+      ("SELECT p_partkey, upper(p_name) AS up, substr(p_name, 1, 4) AS pre, " +
+        "replace(p_name, ' ', '_') AS snake, lpad(p_brand, 10, '#') AS pad, " +
+        "concat_ws('|', p_type, trim(p_brand)) AS cat, " +
+        "length(p_name) AS len FROM part ORDER BY p_partkey LIMIT 100"),
+    "q27_date_funcs" ->
+      ("SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m, " +
+        "CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_epoch, " +
+        "count(*) AS cnt FROM orders GROUP BY 1, 2, 3 ORDER BY y, m"),
+    "q28_math_funcs" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, abs(l_discount - 0.05) AS ad, " +
+        "CAST(ceil(l_extendedprice) AS BIGINT) AS cp, " +
+        "CAST(floor(l_extendedprice) AS BIGINT) AS fp, " +
+        "round(sqrt(l_quantity), 6) AS sq FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 200"),
+    "q29_json" ->
+      ("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
+        "count(*) AS cnt FROM events GROUP BY k ORDER BY k"),
+    "q30_array_funcs" ->
+      ("SELECT doc_id, " +
+        "array_to_string(list_sort(string_split(text, ' ')[1:3]), '-') AS first3, " +
+        "list_contains(string_split(text, ' '), 'spark') AS has_spark, " +
+        "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq " +
+        "FROM documents ORDER BY doc_id LIMIT 200"),
+    "q31_conditionals" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+        "coalesce(nullif(l_returnflag, 'N'), 'none') AS flag, " +
+        "greatest(l_tax, l_discount) AS g, least(l_tax, l_discount) AS l " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 200"),
+    "q32_tpch_q1" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_x100, " +
+        "sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_x100, " +
+        "count(*) AS count_order FROM lineitem " +
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+  )
+}
