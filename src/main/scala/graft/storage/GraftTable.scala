@@ -210,6 +210,66 @@ final class GraftTable private (
     commitMeta()
   }
 
+  // ---- ANALYZE / statistics (cstore_fdw.c:2061-2260, N14-N15) --------
+
+  /** ANALYZE: one distributed scan computing per-column min/max/ndv/null
+    * counts (the planner-feeding role of the reference's reservoir-sample
+    * ANALYZE; Spark's aggregation replaces sampling since it is already
+    * distributed). Columns without an ordering (arrays/structs/binary)
+    * get null min/max — the reference's comparator-less escape hatch
+    * (`cstore_writer.c:151-167`). Stats are committed to a sibling file
+    * (role of pg_stats) via the same atomic-rename protocol. */
+  def analyze(): GraftTable.TableStats = synchronized {
+    val df = read()
+    val fields = meta.currentSchema.fields
+    def orderable(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: StructType | _: MapType | BinaryType => false
+      case _ => true
+    }
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      val mins =
+        if (orderable(f.dataType))
+          Seq(min(c).cast("string").as(s"min_${f.name}"),
+            max(c).cast("string").as(s"max_${f.name}"))
+        else
+          Seq(lit(null).cast("string").as(s"min_${f.name}"),
+            lit(null).cast("string").as(s"max_${f.name}"))
+      mins ++ Seq(
+        approx_count_distinct(c).as(s"ndv_${f.name}"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"nulls_${f.name}"))
+    }
+    val stats = if (meta.rowCount == 0) {
+      GraftTable.TableStats(0L, tableSize(), fields.map(f =>
+        f.name -> GraftTable.ColumnStats(null, null, 0L, 0L)).toMap)
+    } else {
+      val r = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect().head
+      GraftTable.TableStats(meta.rowCount, tableSize(), fields.map { f =>
+        f.name -> GraftTable.ColumnStats(
+          r.getAs[String](s"min_${f.name}"),
+          r.getAs[String](s"max_${f.name}"),
+          r.getAs[Long](s"ndv_${f.name}"),
+          r.getAs[Long](s"nulls_${f.name}"))
+      }.toMap)
+    }
+    GraftTable.writeStatsAtomic(location, stats)
+    stats
+  }
+
+  /** Last committed ANALYZE result, if any. */
+  def stats(): Option[GraftTable.TableStats] = GraftTable.readStats(location)
+
+  /** Planner-facing row estimate: exact metadata count (the reference's
+    * un-ANALYZEd path is already exact — `cstore_fdw.c:1783-1807`). */
+  def estimatedRowCount: Long = meta.rowCount
+
+  /** EXPLAIN surface (CStoreExplainForeignScan, `cstore_fdw.c:1944-1965`):
+    * location + on-disk size + file/row counts. */
+  def explainInfo: String =
+    s"GraftTable location=$location files=${meta.files.size} " +
+      s"rows=${meta.rowCount} sizeBytes=${tableSize()} " +
+      s"compression=${meta.options.compression}"
+
   // ---- internals -----------------------------------------------------
 
   private def alignToSchema(df: DataFrame): DataFrame = {
@@ -241,6 +301,51 @@ object GraftTable {
 
   private val MagicKey = "graft_magic"
   private val Magic = "graft_cstore_v1" // role of `citus_cstore` magic, cstore_fdw.h:50
+
+  /** Per-column ANALYZE output (min/max as strings, approx ndv, nulls). */
+  final case class ColumnStats(min: String, max: String, ndv: Long, nullCount: Long)
+  final case class TableStats(rowCount: Long, sizeBytes: Long,
+      columns: Map[String, ColumnStats])
+
+  private def statsPath(location: String): Path =
+    Paths.get(stripUri(location), "_graft_stats.json")
+
+  private[storage] def writeStatsAtomic(location: String, st: TableStats): Unit = {
+    def js(s: String) = if (s == null) "null" else {
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    }
+    val cols = st.columns.map { case (k, c) =>
+      s"${js(k)}: {\"min\": ${js(c.min)}, \"max\": ${js(c.max)}, " +
+        s"\"ndv\": ${c.ndv}, \"nulls\": ${c.nullCount}}"
+    }.mkString("{", ",", "}")
+    val txt = s"""{"row_count": ${st.rowCount}, "size_bytes": ${st.sizeBytes}, "columns": $cols}"""
+    val path = statsPath(location)
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.write(tmp, txt.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[storage] def readStats(location: String): Option[TableStats] = {
+    val path = statsPath(location)
+    if (!Files.exists(path)) return None
+    val m = parseJsonObject(new String(Files.readAllBytes(path), StandardCharsets.UTF_8))
+    val cols = m("columns").asInstanceOf[Map[String, Any]].map { case (k, v) =>
+      val o = v.asInstanceOf[Map[String, Any]]
+      k -> ColumnStats(
+        o("min").asInstanceOf[String], o("max").asInstanceOf[String],
+        o("ndv").asInstanceOf[Number].longValue(),
+        o("nulls").asInstanceOf[Number].longValue())
+    }
+    Some(TableStats(m("row_count").asInstanceOf[Number].longValue(),
+      m("size_bytes").asInstanceOf[Number].longValue(), cols))
+  }
 
   /** CREATE TABLE: validates options, writes initial metadata so the empty
     * table is immediately queryable (`cstore_fdw.c:928-948`). */

@@ -48,6 +48,17 @@ object GraftTableDemo {
     val wins = t.read().select("handle", "wins").orderBy("handle").collect()
     println(s"[demo] after ADD COLUMN DEFAULT 0: ${wins.mkString(", ")}")
 
+    val st = t.analyze()
+    println(s"[demo] ANALYZE: rows=${st.rowCount} rating min/max=" +
+      s"${st.columns("rating").min}/${st.columns("rating").max}")
+    println(s"[demo] EXPLAIN: ${t.explainInfo}")
+
+    import graft.types.PgTypes
+    println(s"[demo] pg types: char3=${PgTypes.charN("XA", 3)}| " +
+      s"money=${PgTypes.formatMoney(PgTypes.parseMoney("$1,234.50"))} " +
+      s"arr=${PgTypes.parseArray("{a,NULL,\"x,y\"}")} " +
+      s"range=${PgTypes.parseRange("[1,10)")}")
+
     t.truncate()
     println(s"[demo] after TRUNCATE count = ${t.read().count()}")
     GraftTable.drop(loc)

@@ -186,4 +186,24 @@ class GraftTableSpec extends SparkSpec {
       GraftTable.drop(s"$loc/tbl")
     }
   }
+  test("ANALYZE computes column stats; empty table analyzable (sql/analyze.sql)") {
+    import spark.implicits._
+    val loc = tmpDir("graft-analyze")
+    val t = GraftTable.create(spark, s"$loc/tbl", schema)
+    val empty = t.analyze()
+    assert(empty.rowCount === 0)
+    t.append((1 to 100).map(i => (i, s"n$i", if (i % 10 == 0) 0 else i))
+      .toDF("handle", "name", "rating"))
+    val st = t.analyze()
+    assert(st.rowCount === 100)
+    assert(st.columns("handle").min === "1" && st.columns("handle").max === "100")
+    assert(st.columns("handle").nullCount === 0)
+    assert(st.columns("handle").ndv >= 95L) // approx
+    // stats survive re-open (committed to sibling file atomically)
+    val t2 = GraftTable.open(spark, s"$loc/tbl")
+    assert(t2.stats().get.rowCount === 100)
+    assert(t2.estimatedRowCount === 100)
+    assert(t2.explainInfo.contains("rows=100"))
+    GraftTable.drop(s"$loc/tbl")
+  }
 }
