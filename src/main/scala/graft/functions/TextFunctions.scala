@@ -51,12 +51,18 @@ object TextFunctions {
 
   /** Distinct n-token shingles joined by a space; empty array when the
     * document has fewer than n tokens. */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(shinglesAll(text, n))
+
+  /** All n-token shingles (with duplicates). Callers that explode should
+    * prefer this + a distributed distinct over per-row array_distinct —
+    * array_distinct is O(k²) string compares per document, which dominates
+    * shingle pipelines on long documents. */
+  def shinglesAll(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)
     val count = size(toks) - (n - 1)
     when(count >= 1,
-      array_distinct(transform(sequence(lit(1), count),
-        i => array_join(slice(toks, i, lit(n)), " "))))
+      transform(sequence(lit(1), count), i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
   }
 }

@@ -33,9 +33,12 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** Shingle stream: one row per distinct 3-shingle per doc. */
+  /** Shingle stream: one row per distinct 3-shingle per doc. Distinctness
+    * via distributed aggregation (not per-row array_distinct, which is
+    * O(k²) per document and dominated the shingle pipelines). */
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    docs(s, dir).select(col("doc_id"), explode(shinglesAll(col("text"))).as("s"))
+      .distinct()
 
   // -- d1: exact dedup via hash-groupBy --------------------------------
 
