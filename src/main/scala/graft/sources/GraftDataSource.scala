@@ -1,0 +1,123 @@
+package graft.sources
+
+import java.util.{Map => JMap, Set => JSet}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.graft.ParquetDelegate
+import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.storage.{GraftTable, GraftTableOptions}
+
+/** DataSource V2 connector exposing GraftTable through Spark SQL — the
+  * reference's end-user contract ("create foreign table, COPY, run SQL",
+  * reference README.md:74) as native Spark surface:
+  *
+  * {{{
+  *   CREATE TABLE t (a INT, b STRING) USING graft OPTIONS (path '/data/t')
+  *   INSERT INTO t SELECT ...        -- append through the atomic protocol
+  *   SELECT ... FROM t               -- full parquet pushdown stack
+  *   INSERT OVERWRITE t ...          -- truncate + append
+  *   spark.read.format("graft").load(path)
+  *   df.write.format("graft").mode("append").save(path)
+  * }}}
+  *
+  * Reads delegate to Spark's ParquetTable over the committed file list
+  * (column pruning + filter pushdown + row-group skipping intact — the
+  * reference's N1-N3 scan stack). Writes go through [[GraftTable.append]]
+  * so every insert commits via the atomic metadata rename and respects
+  * table options (compression, stripe/block sizing).
+  *
+  * Table options map 1:1 to the reference FDW options
+  * (`/root/reference/cstore_fdw.c:1273-1340`): `compression`,
+  * `stripe_row_count`, `block_row_count`.
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def path(options: JMap[String, String]): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft source requires a 'path' option")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val loc = path(options)
+    require(GraftTable.exists(loc),
+      s"no graft table at $loc (provide a schema to create one)")
+    GraftTable.open(SparkSession.active, loc).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val loc = path(properties)
+    if (!GraftTable.exists(loc)) {
+      // CREATE TABLE ... USING graft / first write: init the table with
+      // the declared schema + validated reference options (N18, N22).
+      val opts = GraftTableOptions(
+        compression = Option(properties.get("compression")).getOrElse("zstd"),
+        stripeRowCount =
+          Option(properties.get("stripe_row_count")).map(_.toLong).getOrElse(150000L),
+        blockRowCount =
+          Option(properties.get("block_row_count")).map(_.toLong).getOrElse(10000L))
+      GraftTable.create(SparkSession.active, loc, schema, opts)
+    }
+    new GraftSparkTable(loc)
+  }
+}
+
+/** DSv2 Table over one graft table location. */
+class GraftSparkTable(location: String) extends Table
+    with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+  private def graft: GraftTable = GraftTable.open(spark, location)
+
+  override def name(): String = s"graft.`$location`"
+
+  override def schema(): StructType = graft.schema
+
+  // BATCH_WRITE must be declared alongside V1_BATCH_WRITE:
+  // DataFrameWriter.save gates the v2 path on BATCH_WRITE specifically,
+  // while the planner still routes the actual write through the V1Write
+  // (AppendDataExecV1) because build() returns one.
+  override def capabilities(): JSet[TableCapability] = Set(
+    TableCapability.BATCH_READ,
+    TableCapability.BATCH_WRITE,
+    TableCapability.V1_BATCH_WRITE,
+    TableCapability.TRUNCATE,
+    TableCapability.OVERWRITE_BY_FILTER).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val t = graft
+    ParquetDelegate.scanBuilder(name(), t.committedFiles, t.schema, options)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val t = graft
+              if (doTruncate || overwrite) t.truncate()
+              t.append(data)
+            }
+          }
+      }
+    }
+}

@@ -284,6 +284,9 @@ final class GraftTable private (
 
   private def dataFiles(): Seq[String] = meta.files.map(f => s"$location/$f")
 
+  /** Absolute paths of the committed data files (for the DSv2 scan). */
+  def committedFiles: Seq[String] = dataFiles()
+
   private def commitMeta(): Unit = writeMetaAtomic(location, meta)
 }
 

@@ -63,6 +63,18 @@ object GraftTableDemo {
     println(s"[demo] after TRUNCATE count = ${t.read().count()}")
     GraftTable.drop(loc)
     println(s"[demo] dropped, exists = ${GraftTable.exists(loc)}")
+
+    // SQL surface via the DSv2 connector — the reference's end-user flow.
+    val sqlLoc = loc + "-sql"
+    spark.sql(s"CREATE TABLE demo_sql (a INT, b STRING) USING graft " +
+      s"OPTIONS (path '$sqlLoc', compression 'zstd')")
+    spark.sql("INSERT INTO demo_sql VALUES (1, 'one'), (2, 'two')")
+    spark.sql("INSERT INTO demo_sql SELECT a + 10, b FROM demo_sql")
+    val cnt = spark.sql("SELECT count(*) FROM demo_sql WHERE a > 2")
+      .collect().head.getLong(0)
+    println(s"[demo] DSv2 SQL: rows a>2 = $cnt (expect 2)")
+    spark.sql("DROP TABLE demo_sql")
+    GraftTable.drop(sqlLoc)
     spark.stop()
   }
 }
