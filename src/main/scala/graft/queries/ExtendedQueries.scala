@@ -138,7 +138,41 @@ object ExtendedQueries {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** q33: string aggregation (reference `sql/insert.sql:31-33` uses
+    * string_agg) — order-pinned via sorted collect. */
+  def q33StringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .groupBy("n_regionkey")
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("names"))
+      .orderBy("n_regionkey")
+
+  /** q34: md5-compare equi-join (reference `sql/insert.sql:51-53` joins
+    * via md5(text)). */
+  def q34Md5Join(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      md5(col("text").cast("binary")).as("h"))
+    d.as("a").join(d.as("b"),
+      col("a.h") === col("b.h") && col("a.doc_id") <= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("matches"))
+      .orderBy("doc_id")
+      .limit(100)
+  }
+
+  /** q35: generated-series source (reference `sql/insert.sql:29`
+    * generate_series) — sequence + explode. */
+  def q35GenerateSeries(s: SparkSession, dir: String): DataFrame =
+    s.range(1)
+      .select(explode(sequence(lit(1), lit(100))).as("i"))
+      .select(col("i").cast("long").as("i"), (col("i") % 7).cast("long").as("m"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("cnt"), sum("i").as("sm"))
+      .orderBy("m")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_string_agg" -> q33StringAgg _,
+    "q34_md5_join" -> q34Md5Join _,
+    "q35_generate_series" -> q35GenerateSeries _,
     "q21_left_join" -> q21LeftJoin _,
     "q22_full_outer" -> q22FullOuter _,
     "q23_cube" -> q23Cube _,
@@ -154,6 +188,19 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q33_string_agg" ->
+      ("SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names " +
+        "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"),
+    "q34_md5_join" ->
+      ("SELECT a.doc_id, count(*) AS matches FROM " +
+        "(SELECT doc_id, md5(text) h FROM documents) a JOIN " +
+        "(SELECT doc_id, md5(text) h FROM documents) b " +
+        "ON a.h = b.h AND a.doc_id <= b.doc_id " +
+        "GROUP BY a.doc_id ORDER BY a.doc_id LIMIT 100"),
+    "q35_generate_series" ->
+      ("SELECT CAST(i % 7 AS BIGINT) AS m, count(*) AS cnt, " +
+        "CAST(sum(i) AS BIGINT) AS sm FROM generate_series(1, 100) t(i) " +
+        "GROUP BY m ORDER BY m"),
     "q21_left_join" ->
       ("SELECT c_mktsegment, count(*) AS cnt FROM customer c " +
         "LEFT JOIN orders o ON c.c_custkey = o.o_custkey " +
