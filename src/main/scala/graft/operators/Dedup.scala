@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.PolyHash.polyHashFast
+import graft.functions.Shingles.shinglesFast
 import graft.functions.TextFunctions._
 
 /** Deduplication operators for large-scale training-data pipelines, over
@@ -37,7 +38,7 @@ object Dedup {
     * via distributed aggregation (not per-row array_distinct, which is
     * O(k²) per document and dominated the shingle pipelines). */
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), explode(shinglesAll(col("text"))).as("s"))
+    docs(s, dir).select(col("doc_id"), explode(shinglesFast(col("text"))).as("s"))
       .distinct()
 
   // -- d1: exact dedup via hash-groupBy --------------------------------
@@ -57,9 +58,20 @@ object Dedup {
   def d2NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleRows(s, dir)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Pairs are generated inside each shingle's posting list (sorted doc
+    // ids, i<j), replacing the shingle self-join: one groupBy(s) shuffle
+    // instead of two join-side exchanges, same f²/2 pair fan-out per
+    // shingle. At 100 TB a frequency cap on posting lists (drop
+    // stop-shingles) bounds the fan-out; not applied here to keep the
+    // exact-Jaccard semantics the oracle checks.
+    val pairs = sh.groupBy("s")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+    val common = pairs
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     val jac = common
       .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))

@@ -51,8 +51,35 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  final case class Frame(doc_id: Long, frame_no: Long, frame_sum: Long)
+
+  /** m2: frame sampling — treat the payload as a "video" of 16-byte
+    * frames and sample every 4th one, emitting per-frame features. The
+    * explode shape (one row per sampled frame) is the real plumbing a
+    * frame-level pipeline needs; frame decode itself is the same
+    * deterministic STUB arithmetic as m1. */
+  def m2FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.load(s, dir, "documents").select(
+      col("doc_id").cast("long").as("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    media.flatMap { case (id, payload) =>
+      val nFrames = payload.length / FrameBytes
+      // STUB: a real implementation would seek + decode keyframes.
+      (0 until nFrames by FrameStride).iterator.map { f =>
+        val frame = payload.slice(f * FrameBytes, (f + 1) * FrameBytes)
+        Frame(id, f.toLong, frame.foldLeft(0L)((acc, b) => acc + (b & 0xff)))
+      }
+    }.toDF().orderBy("doc_id", "frame_no")
+  }
+
+  private val FrameBytes = 16
+  private val FrameStride = 4
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_decode" -> m1DecodeFeatures _,
+    "m2_frame_sample" -> m2FrameSample _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -67,5 +94,17 @@ object Multimodal {
          |FROM documents)
          |SELECT doc_id, width, height, n_bytes, bytesum * 100 // 32 checksum_x100
          |FROM f ORDER BY doc_id""".stripMargin),
+    "m2_frame_sample" ->
+      ("""WITH f AS (
+         |  SELECT doc_id, CAST(fr AS BIGINT) frame_no,
+         |    list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |      list_transform(range(fr*16 + 1, fr*16 + 17),
+         |        i -> ascii(substr(text, i, 1))::BIGINT)),
+         |      (a, b) -> a + b) frame_sum
+         |  FROM documents
+         |  CROSS JOIN range(0, 256) r(fr)
+         |  WHERE fr < length(text) // 16 AND fr % 4 = 0)
+         |SELECT doc_id, frame_no, frame_sum FROM f
+         |ORDER BY doc_id, frame_no""".stripMargin),
   )
 }
