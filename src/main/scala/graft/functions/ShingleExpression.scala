@@ -18,8 +18,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * shingle-pipeline operator. Eval-based (CodegenFallback): per-row cost
   * is a few µs, and the surrounding explode/aggregate pipeline stays
   * whole-stage. */
-case class Shingles(child: Expression, n: Int) extends UnaryExpression
-    with CodegenFallback {
+case class Shingles(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -27,7 +27,8 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression
     val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
     val count = toks.length - (n - 1)
     if (count < 1) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](count)
+    val out = new java.util.ArrayList[Any](count)
+    val seen = if (distinct) new java.util.HashSet[String](count * 2) else null
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < count) {
@@ -38,10 +39,12 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression
         sb.append(toks(i + j))
         j += 1
       }
-      out(i) = UTF8String.fromString(sb.toString)
+      val s = sb.toString
+      // first-occurrence order, matching array_distinct over all shingles
+      if (!distinct || seen.add(s)) out.add(UTF8String.fromString(s))
       i += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(out.toArray)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Shingles =
@@ -49,7 +52,12 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression
 }
 
 object Shingles {
-  /** Column-API entry point — drop-in for TextFunctions.shinglesAll. */
+  /** All n-token shingles — drop-in for TextFunctions.shinglesAll. */
   def shinglesFast(c: Column, n: Int = 3): Column =
-    Bridge.column(Shingles(Bridge.expression(c), n))
+    Bridge.column(Shingles(Bridge.expression(c), n, distinct = false))
+
+  /** Distinct shingles in first-occurrence order (O(k) HashSet, not the
+    * O(k²) array_distinct) — drop-in for TextFunctions.shingles. */
+  def shinglesDistinctFast(c: Column, n: Int = 3): Column =
+    Bridge.column(Shingles(Bridge.expression(c), n, distinct = true))
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.PolyHash.polyHashFast
-import graft.functions.Shingles.shinglesFast
+import graft.functions.Shingles.shinglesDistinctFast
 import graft.functions.TextFunctions._
 
 /** Deduplication operators for large-scale training-data pipelines, over
@@ -34,12 +34,12 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** Shingle stream: one row per distinct 3-shingle per doc. Distinctness
-    * via distributed aggregation (not per-row array_distinct, which is
-    * O(k²) per document and dominated the shingle pipelines). */
+  /** Shingle stream: one row per distinct 3-shingle per doc. The native
+    * expression dedups per document in O(k) (HashSet), so no distinct
+    * shuffle is needed. */
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), explode(shinglesFast(col("text"))).as("s"))
-      .distinct()
+    docs(s, dir)
+      .select(col("doc_id"), explode(shinglesDistinctFast(col("text"))).as("s"))
 
   // -- d1: exact dedup via hash-groupBy --------------------------------
 
@@ -57,7 +57,9 @@ object Dedup {
 
   def d2NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleRows(s, dir)
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // per-doc shingle-set size computed row-locally - no shuffle
+    val cnt = docs(s, dir).select(col("doc_id"),
+      size(shinglesDistinctFast(col("text"))).cast("long").as("n"))
     // Pairs are generated inside each shingle's posting list (sorted doc
     // ids, i<j), replacing the shingle self-join: one groupBy(s) shuffle
     // instead of two join-side exchanges, same f²/2 pair fan-out per

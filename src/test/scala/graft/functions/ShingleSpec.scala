@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.functions._
 
 import graft.{SparkSpec, Tables}
-import graft.functions.Shingles.shinglesFast
+import graft.functions.Shingles.{shinglesDistinctFast, shinglesFast}
 import graft.functions.TextFunctions._
 
 /** The native Shingles expression must agree exactly with the HOF
@@ -16,6 +16,16 @@ class ShingleSpec extends SparkSpec {
     val diff = docs.select(
       shinglesFast(col("text")).as("fast"),
       shinglesAll(col("text")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("shinglesDistinctFast == array_distinct(shinglesAll) on the corpus") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val diff = docs.select(
+      shinglesDistinctFast(col("text")).as("fast"),
+      shingles(col("text")).as("slow"))
       .filter(col("fast") =!= col("slow"))
       .count()
     assert(diff === 0)
