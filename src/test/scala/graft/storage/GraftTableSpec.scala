@@ -206,4 +206,18 @@ class GraftTableSpec extends SparkSpec {
     assert(t2.explainInfo.contains("rows=100"))
     GraftTable.drop(s"$loc/tbl")
   }
+  test("append atomicity: pre-append reader keeps its snapshot (cstore_writer.c:344-357)") {
+    import spark.implicits._
+    val loc = tmpDir("graft-vis")
+    val t = GraftTable.create(spark, s"$loc/tbl", schema)
+    t.append(Seq((1, "a", 1)).toDF("handle", "name", "rating"))
+    // reader handle bound to the first committed metadata
+    val reader = GraftTable.open(spark, s"$loc/tbl")
+    val before = reader.read() // plan pinned to the old file list
+    t.append(Seq((2, "b", 2)).toDF("handle", "name", "rating"))
+    assert(before.count() === 1) // old snapshot: no torn read
+    assert(reader.rowCountFromMetadata() === 1)
+    assert(GraftTable.open(spark, s"$loc/tbl").read().count() === 2)
+    GraftTable.drop(s"$loc/tbl")
+  }
 }
