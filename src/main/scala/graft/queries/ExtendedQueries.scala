@@ -169,10 +169,30 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("cnt"), sum("i").as("sm"))
       .orderBy("m")
 
+  /** q36: exact interpolated percentiles (linear interpolation in both
+    * engines — identical double arithmetic). */
+  def q36Percentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+      .orderBy("o_orderstatus")
+
+  /** q37: approximate distinct (HLL sketch). Sketches differ across
+    * engines, so there is deliberately no oracle (driver records a
+    * rows-only check); the spec asserts the estimate's error bound. */
+  def q37ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_string_agg" -> q33StringAgg _,
     "q34_md5_join" -> q34Md5Join _,
     "q35_generate_series" -> q35GenerateSeries _,
+    "q36_percentile" -> q36Percentile _,
+    "q37_approx_distinct" -> q37ApproxDistinct _,
     "q21_left_join" -> q21LeftJoin _,
     "q22_full_outer" -> q22FullOuter _,
     "q23_cube" -> q23Cube _,
@@ -201,6 +221,11 @@ object ExtendedQueries {
       ("SELECT CAST(i % 7 AS BIGINT) AS m, count(*) AS cnt, " +
         "CAST(sum(i) AS BIGINT) AS sm FROM generate_series(1, 100) t(i) " +
         "GROUP BY m ORDER BY m"),
+    "q36_percentile" ->
+      ("SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, " +
+        "round(quantile_cont(o_totalprice, 0.9), 4) AS p90 " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // q37_approx_distinct: intentionally no oracle (engine-specific HLL)
     "q21_left_join" ->
       ("SELECT c_mktsegment, count(*) AS cnt FROM customer c " +
         "LEFT JOIN orders o ON c.c_custkey = o.o_custkey " +

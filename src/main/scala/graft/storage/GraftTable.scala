@@ -24,7 +24,8 @@ import org.apache.spark.sql.types._
 final case class GraftTableOptions(
     compression: String = "zstd",
     stripeRowCount: Long = 150000L,
-    blockRowCount: Long = 10000L) {
+    blockRowCount: Long = 10000L,
+    sortBy: Seq[String] = Seq.empty) {
 
   def validate(): Unit = {
     require(GraftTableOptions.codecs.contains(compression),
@@ -121,7 +122,15 @@ final class GraftTable private (
     * page row limits. Returns rows written (COPY returns a row count,
     * `cstore_fdw.c:313-327`). */
   def append(df: DataFrame): Long = synchronized {
-    val aligned = alignToSchema(df)
+    // sort_by option: cluster rows within each written file so the
+    // per-page/row-group min-max ranges are narrow - the reference's
+    // "skip indexes are most effective on sorted load order" guidance
+    // (reference README.md:282-294, BASELINE.md row 5) as a table
+    // property instead of a caller obligation.
+    val clustered =
+      if (meta.options.sortBy.isEmpty) df
+      else df.sortWithinPartitions(meta.options.sortBy.map(col): _*)
+    val aligned = alignToSchema(clustered)
     val batchDir = s"$location/data/batch-${meta.nextBatchId}"
     aligned.write
       .option("compression", codecName(meta.options.compression))
@@ -456,6 +465,7 @@ object GraftTable {
        |  "compression": ${js(m.options.compression)},
        |  "stripe_row_count": ${m.options.stripeRowCount},
        |  "block_row_count": ${m.options.blockRowCount},
+       |  "sort_by": ${m.options.sortBy.map(js).mkString("[", ",", "]")},
        |  "row_count": ${m.rowCount},
        |  "next_batch_id": ${m.nextBatchId},
        |  "defaults": $defaults,
@@ -486,7 +496,9 @@ object GraftTable {
       options = GraftTableOptions(
         compression = m("compression").asInstanceOf[String],
         stripeRowCount = m("stripe_row_count").asInstanceOf[Number].longValue(),
-        blockRowCount = m("block_row_count").asInstanceOf[Number].longValue()),
+        blockRowCount = m("block_row_count").asInstanceOf[Number].longValue(),
+        sortBy = m.getOrElse("sort_by", List.empty[Any])
+          .asInstanceOf[List[Any]].map(_.asInstanceOf[String])),
       files = m("files").asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toVector,
       rowCount = m("row_count").asInstanceOf[Number].longValue(),
       defaults = defaults,

@@ -220,4 +220,27 @@ class GraftTableSpec extends SparkSpec {
     assert(GraftTable.open(spark, s"$loc/tbl").read().count() === 2)
     GraftTable.drop(s"$loc/tbl")
   }
+  test("sort_by clustering narrows scan output under a range predicate (README.md:282-294)") {
+    import spark.implicits._
+    val base = (1 to 50000).map(i => (i, s"n$i", i % 97))
+    val shuffled = scala.util.Random.shuffle(base)
+    def scannedRows(sortBy: Seq[String]): Long = {
+      val loc = tmpDir(s"graft-sort-${sortBy.mkString}") + "/tbl"
+      val t = GraftTable.create(spark, loc, schema,
+        GraftTableOptions(sortBy = sortBy, blockRowCount = 1000, stripeRowCount = 2000))
+      t.append(shuffled.toDF("handle", "name", "rating").repartition(4))
+      val df = t.read().filter(col("handle").between(1000, 2000))
+      assert(df.collect().length === 1001)
+      val n = df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+      GraftTable.drop(loc)
+      n
+    }
+    val unsorted = scannedRows(Seq.empty)
+    val sorted = scannedRows(Seq("handle"))
+    // clustered load -> narrow min/max ranges -> most pages skipped
+    assert(sorted < unsorted,
+      s"sorted load scanned $sorted rows vs unsorted $unsorted")
+    assert(sorted < 25000, s"sorted load should skip most rows, scanned $sorted")
+  }
 }
