@@ -19,10 +19,17 @@ object Tables {
   val extra: Seq[String] = Seq("events", "documents", "embeddings")
   val all: Seq[String] = tpch ++ extra
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") loadEvents(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
-  }
+  // DataFrame plans are immutable; cache per (session, dir, table) so
+  // repeated loads skip file listing + schema inference (~50-100ms each
+  // — material when a bench run touches 50+ queries).
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, sfDir, name), { _ =>
+      if (name == "events") loadEvents(spark, sfDir)
+      else spark.read.parquet(s"$sfDir/$name.parquet")
+    })
 
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which the
     * Spark 4 vectorized reader rejects outright. Read nanos as long
