@@ -56,31 +56,33 @@ object Dedup {
   // -- d2: exact n-gram Jaccard near-dup -------------------------------
 
   def d2NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(s, dir)
-    // per-doc shingle-set size computed row-locally - no shuffle
-    val cnt = docs(s, dir).select(col("doc_id"),
-      size(shinglesDistinctFast(col("text"))).cast("long").as("n"))
-    // Pairs are generated inside each shingle's posting list (sorted doc
-    // ids, i<j), replacing the shingle self-join: one groupBy(s) shuffle
-    // instead of two join-side exchanges, same f²/2 pair fan-out per
-    // shingle. At 100 TB a frequency cap on posting lists (drop
-    // stop-shingles) bounds the fan-out; not applied here to keep the
-    // exact-Jaccard semantics the oracle checks.
+    // Each shingle row carries its doc's set size (computed row-locally),
+    // so the Jaccard denominator travels with the posting list and no
+    // per-doc count join is needed: the whole operator is two keyed
+    // shuffles — groupBy(shingle) then groupBy(pair).
+    // Pairs are generated inside each shingle's posting list (sorted by
+    // doc id, i<j), replacing a shingle self-join. At 100 TB a frequency
+    // cap on posting lists (drop stop-shingles) bounds the f²/2 fan-out;
+    // not applied here to keep the exact-Jaccard semantics the oracle
+    // checks.
+    val sh = docs(s, dir)
+      .select(col("doc_id"), shinglesDistinctFast(col("text")).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
+        explode(col("shs")).as("s"))
     val pairs = sh.groupBy("s")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(explode(flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + 2, size(col("ds"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
-    val common = pairs
+          y => struct(x.getField("doc_id").as("a"), x.getField("n").as("na"),
+            y.getField("doc_id").as("b"), y.getField("n").as("nb")))))).as("p"))
+    val jac = pairs
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    val jac = common
-      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .agg(count(lit(1)).as("common"), first(col("p.na")).as("na"),
+        first(col("p.nb")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("common").cast("double") /
-          (col("ca.n") + col("cb.n") - col("common")).cast("double")).as("jac"))
+          (col("na") + col("nb") - col("common")).cast("double")).as("jac"))
     jac.filter(col("jac") >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
       .orderBy("doc_a", "doc_b")
