@@ -94,14 +94,85 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // -- s3: sign-random-projection LSH buckets ---------------------------
+
+  private val LshBits = 6
+  private val LshModulus = 2000L
+
+  /** Deterministic pseudo-random hyperplane value: plane j, dim i →
+    * ((a_j·i + b_j) mod 2000)/1000 − 1 ∈ [−1, 1). Exact rational
+    * arithmetic, reproducible in SQL. */
+  private def planeVal(j: Int, i: Column): Column =
+    (pmod(lit(1103515245L * (j + 7)) * i + lit(12345L * (j + 1)), lit(LshModulus))
+      .cast("double") / 1000.0) - 1.0
+
+  /** LSH bucket id: bit j = sign of the dot product with hyperplane j. */
+  private def lshBucket(v: Column): Column =
+    (0 until LshBits).map { j =>
+      val dot = aggregate(
+        zip_with(v, transform(sequence(lit(1), size(v)), i => planeVal(j, i)),
+          (x, p) => x * p),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** s3: LSH-bucketed ANN — queries probe only their own sign-projection
+    * bucket (2^6 buckets), then rank candidates by exact cosine. The
+    * bucket join is an equality join on the bucket id: at scale the
+    * corpus is hash-partitioned by bucket and a query touches one
+    * partition (multi-probe = more buckets, same shape). */
+  def s3AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = normalized(Tables.load(s, dir, "embeddings"))
+      .withColumn("bucket", lshBucket(col("v")))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), e("bucket") === q("bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= IvfTopK)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> s1AnnBrute _,
     "s2_ann_ivf" -> s2AnnIvf _,
+    "s3_ann_lsh" -> s3AnnLsh _,
   )
 
   import OracleSql._
 
+  /** SQL twin of [[planeVal]]+dot: fold v[i]·plane_j[i] from 0.0. */
+  private def planeDotSql(j: Int, v: String): String =
+    s"""list_reduce(list_concat([0.0],
+       |  list_transform(range(1, len($v)+1),
+       |    i -> $v[i] * (((${1103515245L * (j + 7)}*i + ${12345L * (j + 1)}) % $LshModulus)
+       |                  / 1000.0 - 1.0))),
+       |  (a, b) -> a + b)""".stripMargin
+
+  private def bucketSql(v: String): String =
+    (0 until LshBits).map { j =>
+      s"(CASE WHEN ${planeDotSql(j, v)} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "s3_ann_lsh" ->
+      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, ${normSql("v")} nrm, ${bucketSql("v")} bucket FROM e),
+         |scored AS (
+         |  SELECT q.vec_id q_id, c.vec_id,
+         |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) cos
+         |  FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+         |  WHERE q.vec_id < $NumQueries),
+         |ranked AS (SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rank
+         |  FROM scored)
+         |SELECT q_id, vec_id, round(cos, 4) cos, rank FROM ranked
+         |WHERE rank <= $IvfTopK ORDER BY q_id, rank""".stripMargin),
     "s1_ann_brute" ->
       (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
          |           FROM embeddings),
