@@ -45,6 +45,27 @@ object EventStream {
       .select(col("w.start").cast("long").as("hour_epoch"),
         col("event_type"), col("cnt"), col("vsum_x10000"))
 
+  /** Streaming exact dedup — the streaming twin of the batch d1
+    * operator: watermarked dropDuplicates on the event key. State holds
+    * one entry per key inside the watermark horizon; late duplicates
+    * beyond it age out — the standard unbounded-stream dedup contract. */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+
+  /** Streaming ingest with exact dedup into a GraftTable. */
+  def dedupedIngest(spark: SparkSession, srcDir: String, table: GraftTable,
+      checkpointDir: String): StreamingQuery =
+    dedup(readEvents(spark, srcDir)).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        table.append(batch); ()
+      }
+      .start()
+
   /** Streaming ingest into a GraftTable: one atomic table append per
     * micro-batch. Returns the started query; callers own its lifecycle. */
   def ingest(spark: SparkSession, srcDir: String, table: GraftTable,

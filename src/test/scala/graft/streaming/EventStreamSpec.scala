@@ -50,4 +50,20 @@ class EventStreamSpec extends SparkSpec {
       .collect()
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
+  test("streaming dedup drops duplicate event_ids across files") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.load(spark, sf("sf0.001"), "events").limit(500)
+    val src = tmpDir("dedup-src")
+    // the same 500 events written twice = every id duplicated
+    events.write.parquet(s"$src/f0")
+    events.write.mode("append").parquet(s"$src/f0") // same dir, new files
+    val loc = tmpDir("dedup-table") + "/events"
+    val table = GraftTable.create(spark, loc, EventStream.eventSchema,
+      GraftTableOptions())
+    val q = EventStream.dedupedIngest(spark, s"$src/f0", table, tmpDir("dedup-ckpt"))
+    q.awaitTermination(120000)
+    assert(table.read().count() === 500)
+    assert(table.read().select("event_id").distinct().count() === 500)
+    GraftTable.drop(loc)
+  }
 }
