@@ -77,9 +77,37 @@ object Multimodal {
   private val FrameBytes = 16
   private val FrameStride = 4
 
+  final case class Thumb(doc_id: Long, thumb_w: Long, thumb_h: Long, thumb_sum: Long)
+
+  /** m3: resize — stride-sample the payload down to a fixed 8x8
+    * "thumbnail" (the nearest-neighbor downsample shape). STUB: a real
+    * resize would interpolate decoded pixels; here the sampled bytes are
+    * summed so the oracle can replicate the arithmetic. */
+  def m3Resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.load(s, dir, "documents").select(
+      col("doc_id").cast("long").as("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    media.map { case (id, payload) =>
+      val n = ThumbSide * ThumbSide
+      val stride = math.max(1, payload.length / n)
+      var sum = 0L
+      var k = 0
+      while (k < n && k * stride < payload.length) {
+        sum += payload(k * stride) & 0xff
+        k += 1
+      }
+      Thumb(id, ThumbSide.toLong, ThumbSide.toLong, sum)
+    }.toDF().orderBy("doc_id")
+  }
+
+  private val ThumbSide = 8
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_decode" -> m1DecodeFeatures _,
     "m2_frame_sample" -> m2FrameSample _,
+    "m3_resize" -> m3Resize _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -106,5 +134,17 @@ object Multimodal {
          |  WHERE fr < length(text) // 16 AND fr % 4 = 0)
          |SELECT doc_id, frame_no, frame_sum FROM f
          |ORDER BY doc_id, frame_no""".stripMargin),
+    "m3_resize" ->
+      ("""WITH t AS (SELECT doc_id, text,
+         |    greatest(1, length(text) // 64) stride FROM documents)
+         |SELECT doc_id,
+         |  CAST(8 AS BIGINT) thumb_w, CAST(8 AS BIGINT) thumb_h,
+         |  list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |    list_transform(range(0, 64),
+         |      k -> CASE WHEN k * stride < length(text)
+         |           THEN ascii(substr(text, k*stride + 1, 1))::BIGINT
+         |           ELSE 0 END)),
+         |    (a, b) -> a + b) thumb_sum
+         |FROM t ORDER BY doc_id""".stripMargin),
   )
 }
