@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.MinhashSigAgg.minhashSig
 import graft.functions.PolyHash.polyHashFast
 import graft.functions.Shingles.shinglesDistinctFast
 import graft.functions.TextFunctions._
@@ -90,15 +91,16 @@ object Dedup {
 
   // -- d3: minhash + LSH banding ---------------------------------------
 
-  /** Minhash signature per doc: sig[j] = min over shingles of
-    * (a_j * h(shingle) + b_j) mod P31. One shuffle (groupBy doc_id) with
-    * 32 partial-min aggregates — no per-permutation explode. */
+  /** Minhash signature per doc via the custom [[MinhashSigAgg]]
+    * TypedImperativeAggregate: one shuffle (groupBy doc_id) with a
+    * single 32-slot buffer instead of 32 separate min aggregates —
+    * identical results to the per-permutation formulation the oracle
+    * defines. */
   private def signatures(s: SparkSession, dir: String): DataFrame =
     shingleRows(s, dir)
       .select(col("doc_id"), polyHashFast(col("s"), P31).as("h"))
       .groupBy("doc_id")
-      .agg(array((0 until MinhashK).map(j =>
-        min((lit(permA(j)) * col("h") + lit(permB(j))) % P31)): _*).as("sig"))
+      .agg(minhashSig(col("h")).as("sig"))
 
   def d3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sig = signatures(s, dir)
