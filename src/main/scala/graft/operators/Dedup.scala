@@ -35,6 +35,11 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Posting-list frequency cap for the capped d2 variant (d2b). On this
+    * corpus the hottest shingle sits far below the cap, so d2b ≡ d2; on a
+    * real web corpus it bounds a stop-shingle's pair fan-out to f²/2 ≤ 2048. */
+  val D2MaxShingleFreq = 64L
+
   /** Shingle stream: one row per distinct 3-shingle per doc. The native
     * expression dedups per document in O(k) (HashSet), so no distinct
     * shuffle is needed. */
@@ -56,38 +61,71 @@ object Dedup {
 
   // -- d2: exact n-gram Jaccard near-dup -------------------------------
 
-  def d2NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // Each shingle row carries its doc's set size (computed row-locally),
-    // so the Jaccard denominator travels with the posting list and no
-    // per-doc count join is needed: the whole operator is two keyed
-    // shuffles — groupBy(shingle) then groupBy(pair).
-    // Pairs are generated inside each shingle's posting list (sorted by
-    // doc id, i<j), replacing a shingle self-join. At 100 TB a frequency
-    // cap on posting lists (drop stop-shingles) bounds the f²/2 fan-out;
-    // not applied here to keep the exact-Jaccard semantics the oracle
-    // checks.
+  /** Jaccard ≥ 0.8 candidate pairs from the shingle inverted index.
+    *
+    * Each shingle row carries its doc's set size (computed row-locally),
+    * so the Jaccard denominator travels with the posting list and no
+    * per-doc count join is needed: the whole operator is two keyed
+    * shuffles — groupBy(shingle) then groupBy(pair). Pairs are generated
+    * inside each shingle's posting list (sorted by doc id, i<j),
+    * replacing a shingle self-join.
+    *
+    * `maxShingleFreq` bounds the f²/2 fan-out of a hot posting list at
+    * scale: shingles appearing in more than that many docs are dropped
+    * before pair generation (the denominators stay the full set sizes,
+    * so the capped Jaccard is a lower bound of the exact one). `None`
+    * keeps the exact semantics the d2 oracle checks.
+    */
+  def ngramJaccardPairs(s: SparkSession, dir: String,
+      maxShingleFreq: Option[Long] = None): DataFrame = {
     val sh = docs(s, dir)
       .select(col("doc_id"), shinglesDistinctFast(col("text")).as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
         explode(col("shs")).as("s"))
-    val pairs = sh.groupBy("s")
+    val posting = sh.groupBy("s")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
       .filter(size(col("ds")) > 1)
+    val capped = maxShingleFreq.fold(posting)(f => posting.filter(size(col("ds")) <= f))
+    val pairs = capped
       .select(explode(flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + 2, size(col("ds"))),
           y => struct(x.getField("doc_id").as("a"), x.getField("n").as("na"),
             y.getField("doc_id").as("b"), y.getField("n").as("nb")))))).as("p"))
-    val jac = pairs
+    pairs
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("common"), first(col("p.na")).as("na"),
         first(col("p.nb")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("common").cast("double") /
           (col("na") + col("nb") - col("common")).cast("double")).as("jac"))
-    jac.filter(col("jac") >= 0.8)
+      .filter(col("jac") >= 0.8)
+  }
+
+  // d2's filtered pairs are also the dedup stage of p1; cache the
+  // materialized pairs per (session, dir) so a run that executes both
+  // pays the two dedup shuffles once. Pairs at threshold 0.8 are a tiny
+  // fraction of the corpus, so MEMORY_AND_DISK is safe at scale.
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def ngramPairsCached(s: SparkSession, dir: String): DataFrame =
+    pairsCache.computeIfAbsent((s, dir), { _ =>
+      ngramJaccardPairs(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  def d2NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramPairsCached(s, dir)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
       .orderBy("doc_a", "doc_b")
-  }
+
+  /** d2b: the capped variant of d2 — identical output on this corpus
+    * as long as no near-dup pair depends on a shingle hotter than the
+    * cap; the oracle applies the same frequency filter. */
+  def d2NgramJaccardCapped(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(s, dir, maxShingleFreq = Some(D2MaxShingleFreq))
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+      .orderBy("doc_a", "doc_b")
 
   // -- d3: minhash + LSH banding ---------------------------------------
 
@@ -107,19 +145,20 @@ object Dedup {
     val bands = sig.select(col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
       .withColumn("bk", slice(col("sig"), col("band") * MinhashRows + 1, lit(MinhashRows)))
-    val cand = bands.as("a")
+    // The signature-similarity estimate is computed inside the band join's
+    // projection, so the dedup distinct exchanges only (doc_a, doc_b, est)
+    // — not the two 32-slot signatures (est is bit-identical across a
+    // pair's duplicate band hits, so distinct-after ≡ distinct-before).
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
-    cand
-      .select(col("doc_a"), col("doc_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+        (aggregate(zip_with(col("a.sig"), col("b.sig"),
           (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v)
           / lit(MinhashK.toDouble)).as("est"))
       .filter(col("est") >= 0.5)
+      .distinct()
       .select(col("doc_a"), col("doc_b"), round(col("est"), 4).as("est_jac"))
       .orderBy("doc_a", "doc_b")
   }
@@ -147,50 +186,75 @@ object Dedup {
       explode(sequence(lit(0), lit(SimhashChunks - 1))).as("c"))
       .withColumn("ck", expr(s"shiftrightunsigned(sim, c * $SimhashChunkBits)")
         .bitwiseAND(lit((1L << SimhashChunkBits) - 1)))
+    // Hamming distance is computed in the join projection and filtered
+    // before the dedup distinct, so the exchange carries (doc_a, doc_b,
+    // hamming) for surviving pairs only — not the raw simhashes.
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.c") === col("b.c") && col("a.ck") === col("b.ck") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
-      .distinct()
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int").as("hamming"))
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("int").as("hamming"))
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
   // -- d5: embedding cosine near-dup -----------------------------------
 
-  /** All-pairs exact cosine via a broadcast block: one side of the pair
-    * space is broadcast (ids + vectors + norms, ~0.5KB/vector) and each
-    * partition of the other side runs a tight dot-product loop against it.
-    * At 100 TB the broadcast side becomes a sequence of tiles (outer loop
-    * over blocks), keeping the exact O(n²) semantics with linear-per-tile
-    * memory; the oracle (and the semantics) are unchanged from the naive
-    * pair join — the loop accumulates in the same left-fold order. */
-  def d5EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+  /** Rows per broadcast tile of the d5 block-nested-loop. Bounds driver
+    * and executor memory to one tile of (id, 64-double vector, norm) —
+    * ~0.5 KB/row, so the default tile is ~2 MB regardless of corpus size. */
+  val D5TileRows = 4096L
+
+  /** All-pairs exact cosine as a tiled block-nested-loop: the corpus is
+    * cut into ⌈n/tileRows⌉ tiles by `vec_id % tiles`; each iteration
+    * broadcasts ONE tile (ids + vectors + norms) and streams the whole
+    * corpus against it with a tight dot-product loop, writing that tile's
+    * surviving pairs to a spill directory before the broadcast is
+    * destroyed. Every unordered pair (i < j) lands in exactly one tile —
+    * the tile owning j — so the union over tiles is the exact O(n²)
+    * semantics with per-tile-bounded memory: no driver collect of the
+    * corpus, no whole-table broadcast. The dot product accumulates in the
+    * same left-fold order as the oracle's list_reduce, so results are
+    * bit-identical to the naive pair join. */
+  def d5EmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    d5EmbedNearDupTiled(s, dir, D5TileRows)
+
+  def d5EmbedNearDupTiled(s: SparkSession, dir: String, tileRows: Long): DataFrame = {
     import s.implicits._
     val e = Similarity.normalized(Tables.load(s, dir, "embeddings"))
       .select(col("vec_id"), col("v"), col("nrm"))
       .as[(Long, Array[Double], Double)]
-    val block = e.collect().sortBy(_._1) // one tile at test scale
-    val bc = s.sparkContext.broadcast(block)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = 0.4
-    e.mapPartitions { it =>
-      val all = bc.value
-      it.flatMap { case (id, v, n) =>
-        all.iterator.filter(_._1 > id).flatMap { case (jd, w, m) =>
-          var acc = 0.0
-          var k = 0
-          while (k < v.length) { acc += v(k) * w(k); k += 1 }
-          val cos = acc / (n * m)
-          if (cos >= thr) Iterator.single((id, jd, cos)) else Iterator.empty
-        }
+    val out = java.nio.file.Files.createTempDirectory("graft-d5-tiles").toString
+    try {
+      val n = e.count()
+      val tiles = math.max(1L, (n + tileRows - 1) / tileRows)
+      (0L until tiles).foreach { t =>
+        val block = e.filter(r => java.lang.Math.floorMod(r._1, tiles) == t)
+          .collect().sortBy(_._1)
+        val bc = s.sparkContext.broadcast(block)
+        e.mapPartitions { it =>
+          val tile = bc.value
+          it.flatMap { case (id, v, nm) =>
+            tile.iterator.filter(_._1 > id).flatMap { case (jd, w, m) =>
+              var acc = 0.0
+              var k = 0
+              while (k < v.length) { acc += v(k) * w(k); k += 1 }
+              val cos = acc / (nm * m)
+              if (cos >= thr) Iterator.single((id, jd, cos)) else Iterator.empty
+            }
+          }
+        }.toDF("vec_a", "vec_b", "cos_raw")
+          .write.mode("overwrite").parquet(s"$out/t$t")
+        bc.destroy()
       }
-    }.toDF("vec_a", "vec_b", "cos_raw")
-      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos"))
-      .orderBy("vec_a", "vec_b")
+      s.read.parquet(s"$out/t*")
+        .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    } finally e.unpersist()
   }
 
   // -- wiring ----------------------------------------------------------
@@ -198,6 +262,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_ngram_jaccard" -> d2NgramJaccard _,
+    "d2b_ngram_capped" -> d2NgramJaccardCapped _,
     "d3_minhash_lsh" -> d3MinhashLsh _,
     "d4_simhash" -> d4Simhash _,
     "d5_embed_neardup" -> d5EmbedNearDup _,
@@ -214,6 +279,20 @@ object Dedup {
          |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
          |cm AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
          |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(common AS DOUBLE)/CAST(ca.n+cb.n-common AS DOUBLE), 4) jac
+         |FROM cm JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE CAST(common AS DOUBLE)/CAST(ca.n+cb.n-common AS DOUBLE) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin),
+    "d2b_ngram_capped" ->
+      (s"""WITH $shingleCte,
+         |freq AS (SELECT s, count(*) f FROM sh GROUP BY s),
+         |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s)
+         |        WHERE f <= $D2MaxShingleFreq),
+         |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+         |cm AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+         |       FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
          |       GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
          |  round(CAST(common AS DOUBLE)/CAST(ca.n+cb.n-common AS DOUBLE), 4) jac

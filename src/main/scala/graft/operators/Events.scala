@@ -48,7 +48,7 @@ object Events {
   val oracles: Map[String, String] = Map(
     "e1_tumbling_window" ->
       ("SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) hour_epoch, event_type, " +
-        "count(*) cnt, sum(CAST(round(value*10000) AS BIGINT)) vsum_x10000 " +
+        "count(*) cnt, CAST(sum(CAST(round(value*10000) AS BIGINT)) AS BIGINT) vsum_x10000 " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "e2_sessionize" ->
       (s"""WITH ev AS (SELECT user_id, ts, event_id,

@@ -21,7 +21,9 @@ object Pipeline {
 
   def p1CleanCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    val victims = Dedup.d2NgramJaccard(s, dir)
+    // Shares d2's materialized pair cache: a run that executes both d2
+    // and p1 computes the two dedup shuffles once, not twice.
+    val victims = Dedup.ngramPairsCached(s, dir)
       .select(col("doc_b").as("doc_id")).distinct()
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")

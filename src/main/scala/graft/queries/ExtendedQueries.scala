@@ -246,9 +246,9 @@ object ExtendedQueries {
         "SELECT o_custkey AS c_custkey FROM orders) t " +
         "ORDER BY c_custkey LIMIT 20"),
     "q25_window_frame" ->
-      ("SELECT o_custkey, o_orderkey, sum(CAST(round(o_totalprice*100) AS BIGINT)) " +
+      ("SELECT o_custkey, o_orderkey, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) " +
         "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_x100 " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_x100 " +
         "FROM orders QUALIFY o_custkey <= 20 ORDER BY o_custkey, o_orderkey"),
     "q26_string_funcs" ->
       ("SELECT p_partkey, upper(p_name) AS up, substr(p_name, 1, 4) AS pre, " +
@@ -281,8 +281,8 @@ object ExtendedQueries {
         "FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 200"),
     "q32_tpch_q1" ->
       ("SELECT l_returnflag, l_linestatus, " +
-        "sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_x100, " +
-        "sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_x100, " +
+        "CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_x100, " +
+        "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_x100, " +
         "count(*) AS count_order FROM lineitem " +
         "WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),

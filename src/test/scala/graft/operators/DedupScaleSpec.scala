@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** Scale-hygiene proofs for the dedup operators:
+  *  - d5's tiled block-nested-loop partitions the pair space exactly:
+  *    many small broadcast tiles produce the identical result set as a
+  *    single tile covering the whole corpus.
+  *  - d2's posting-list frequency cap drops hot-shingle fan-out without
+  *    touching pairs whose overlap lives in cold shingles.
+  */
+class DedupScaleSpec extends SparkSpec {
+
+  test("d5 tiled (many tiles) == d5 single tile, bit-identical") {
+    val dir = sf("sf0.001")
+    val multi = Dedup.d5EmbedNearDupTiled(spark, dir, tileRows = 64).collect()
+    val single = Dedup.d5EmbedNearDupTiled(spark, dir, tileRows = Long.MaxValue).collect()
+    assert(multi.length == single.length)
+    assert(multi.sameElements(single))
+    assert(multi.nonEmpty) // the corpus has planted near-dups; empty would vacuously pass
+  }
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val dir = tmpDir("graft-capspec")
+    import spark.implicits._
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d2 frequency cap: cold-shingle near-dups survive, hot fan-out is dropped") {
+    // Docs 1/2: identical text, all shingles cold (freq 2) -> jac 1.0.
+    // Docs 100..299: every one contains the hot phrase "the quick brown fox"
+    // (so its shingles have freq 200, far over any reasonable cap) plus a
+    // unique tail, so no pair among them reaches 0.8.
+    val nearDup = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(1L -> nearDup, 2L -> nearDup) ++
+      (100L until 300L).map(i => i -> s"the quick brown fox u$i v$i w$i x$i y$i z$i")
+    val dir = writeDocs(corpus)
+
+    val uncapped = Dedup.ngramJaccardPairs(spark, dir).collect()
+    val capped = Dedup.ngramJaccardPairs(spark, dir, Some(Dedup.D2MaxShingleFreq)).collect()
+    assert(uncapped.toSet == capped.toSet)
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+
+    // cap = 1 prunes every posting list (freq >= 2 wherever a pair exists),
+    // proving the cap actually gates pair generation.
+    assert(Dedup.ngramJaccardPairs(spark, dir, Some(1L)).collect().isEmpty)
+  }
+
+  test("d2b oracle-equivalence precondition: corpus max shingle freq below cap") {
+    // d2b's oracle assumes d2b == d2 on the test corpus; this pins the
+    // precondition so a regenerated corpus that violates it fails loudly
+    // here instead of as a silent driver hash mismatch.
+    import org.apache.spark.sql.functions._
+    import graft.functions.Shingles.shinglesDistinctFast
+    val maxFreq = graft.Tables.load(spark, sf("sf0.01"), "documents")
+      .select(col("doc_id"), explode(shinglesDistinctFast(col("text"))).as("s"))
+      .groupBy("s").count().agg(max("count")).head().getLong(0)
+    assert(maxFreq <= Dedup.D2MaxShingleFreq)
+  }
+}
