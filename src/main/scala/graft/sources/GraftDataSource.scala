@@ -85,7 +85,11 @@ class GraftSparkTable(location: String) extends Table
 
   override def name(): String = s"graft.`$location`"
 
-  override def schema(): StructType = graft.schema
+  // The EXISTS_DEFAULT metadata must live on the TABLE schema: the scan's
+  // required schema is rebuilt from the relation's output attributes, so
+  // metadata attached only to the scan-time schema would be dropped
+  // before it reaches the parquet reader.
+  override def schema(): StructType = graft.readSchema()
 
   // BATCH_WRITE must be declared alongside V1_BATCH_WRITE:
   // DataFrameWriter.save gates the v2 path on BATCH_WRITE specifically,
@@ -100,7 +104,10 @@ class GraftSparkTable(location: String) extends Table
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val t = graft
-    ParquetDelegate.scanBuilder(name(), t.committedFiles, t.schema, options)
+    // readSchema() carries the EXISTS_DEFAULT metadata, so the DSv2 scan
+    // synthesizes ADD COLUMN defaults for pre-ALTER files identically to
+    // GraftTable.read() — the two paths can never disagree.
+    ParquetDelegate.scanBuilder(name(), t.committedFiles, t.readSchema(), options)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -76,29 +76,39 @@ final class GraftTable private (
 
   def schema: StructType = meta.currentSchema
   def options: GraftTableOptions = meta.options
+  def defaults: Map[String, Any] = meta.defaults
 
   // ---- read path -----------------------------------------------------
 
-  /** DataFrame over the table, with schema-evolution projection: files
-    * written before an ADD COLUMN lack the column; we read with the merged
-    * schema (missing → null) then coalesce in the recorded constant
-    * default, mirroring the reader-side default synthesis of
-    * `cstore_reader.c:1257-1292`. */
+  /** DataFrame over the table, with schema-evolution projection.
+    *
+    * ADD COLUMN defaults are synthesized exactly like the reference's
+    * reader (`cstore_reader.c:1224-1292`): only stripes that PREDATE the
+    * ALTER — i.e. files physically lacking the column — get the default;
+    * rows appended afterwards keep their stored values, including
+    * explicit NULLs. The mechanism is Spark's existence-default schema
+    * metadata (`EXISTS_DEFAULT`), which the parquet reader consults only
+    * when a requested column is absent from a file's footer, so the
+    * pre/post-ALTER distinction is the physical presence of the column —
+    * no per-row expression and no watermark bookkeeping needed. The same
+    * enriched schema feeds the DSv2 scan, keeping both read paths
+    * identical. */
   def read(): DataFrame = {
     val files = dataFiles()
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         meta.currentSchema)
     } else {
-      val base = spark.read.schema(meta.currentSchema).parquet(files: _*)
-      val withDefaults = meta.defaults.foldLeft(base) { case (df, (colName, default)) =>
-        if (default == null) df
-        else df.withColumn(colName,
-          coalesce(col(colName), lit(default).cast(meta.currentSchema(colName).dataType)))
-      }
-      withDefaults.select(meta.currentSchema.fieldNames.map(col).toIndexedSeq: _*)
+      spark.read.schema(readSchema()).parquet(files: _*)
+        .select(meta.currentSchema.fields.map(f =>
+          col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
     }
   }
+
+  /** Current schema with existence-default metadata attached — the schema
+    * both read paths (Scala API and DSv2 scan) must use. */
+  def readSchema(): StructType =
+    GraftTable.withExistenceDefaults(meta.currentSchema, meta.defaults)
 
   /** Exact row count from parquet footers only — no data pages touched
     * (`cstore_reader.c:401-434` CStoreTableRowCount). Spark's parquet
@@ -120,8 +130,18 @@ final class GraftTable private (
     * buffered columnar write with per-block stats + compression — all
     * native to the parquet writer; stripe/block sizing maps to row-group/
     * page row limits. Returns rows written (COPY returns a row count,
-    * `cstore_fdw.c:313-327`). */
-  def append(df: DataFrame): Long = synchronized {
+    * `cstore_fdw.c:313-327`).
+    *
+    * Writers are serialized by a per-table lock — a JVM monitor plus an
+    * OS file lock on the table directory — the reference's table-level
+    * writer lock (`cstore_fdw.c:560-564`). Metadata is re-read under the
+    * lock, and batch directories carry a random suffix, so concurrent
+    * appends from separate GraftTable instances (e.g. two DSv2 INSERTs,
+    * or two driver processes) never clobber each other's files or drop
+    * each other's committed file lists. The row count comes from the
+    * parquet footers just written — no second scan of the data. */
+  def append(df: DataFrame): Long = withTableLock {
+    refreshMeta()
     // sort_by option: cluster rows within each written file so the
     // per-page/row-group min-max ranges are narrow - the reference's
     // "skip indexes are most effective on sorted load order" guidance
@@ -131,16 +151,16 @@ final class GraftTable private (
       if (meta.options.sortBy.isEmpty) df
       else df.sortWithinPartitions(meta.options.sortBy.map(col): _*)
     val aligned = alignToSchema(clustered)
-    val batchDir = s"$location/data/batch-${meta.nextBatchId}"
+    val batchDir = s"$location/data/batch-${meta.nextBatchId}-" +
+      java.util.UUID.randomUUID().toString.take(8)
     aligned.write
       .option("compression", codecName(meta.options.compression))
       .option("parquet.block.size", (meta.options.stripeRowCount * 64).toString)
       .option("parquet.page.row.count.limit", meta.options.blockRowCount.toString)
       .mode(SaveMode.Overwrite)
       .parquet(batchDir)
-    val written = spark.read.parquet(batchDir)
-    val n = written.count()
     val newFiles = listParquetFiles(batchDir)
+    val n = newFiles.map(footerRowCount).sum
     meta = meta.copy(
       files = meta.files ++ newFiles.map(f => relativize(f)),
       rowCount = meta.rowCount + n,
@@ -148,6 +168,19 @@ final class GraftTable private (
     commitMeta()
     n
   }
+
+  /** Exact row count of a just-written file from its parquet footer —
+    * the reference reads its own footer after load (`cstore_writer.c:
+    * 344-357`); a full re-scan would double load I/O. */
+  private def footerRowCount(file: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  private def withTableLock[T](f: => T): T = GraftTable.withWriterLock(location)(f)
+  private def refreshMeta(): Unit = meta = GraftTable.readMeta(location)
 
   /** COPY FROM csv (`cstore_fdw.c:539-642`): bulk CSV load, optional
     * column list (`input/load.source:26-40` — missing columns become
@@ -170,7 +203,8 @@ final class GraftTable private (
 
   /** TRUNCATE (`cstore_fdw.c:841-892`): drop all data files, keep the
     * table definition, re-init empty. */
-  def truncate(): Unit = synchronized {
+  def truncate(): Unit = withTableLock {
+    refreshMeta()
     meta = meta.copy(files = Vector.empty, rowCount = 0L)
     commitMeta()
     deleteRecursively(Paths.get(stripUri(s"$location/data")))
@@ -182,7 +216,8 @@ final class GraftTable private (
     * default is recorded and synthesized at read (`cstore_reader.c:
     * 1224-1292`). Non-constant defaults are rejected, matching
     * `cstore_reader.c:1283-1289`. */
-  def addColumn(name: String, dataType: DataType, default: Any = null): Unit = synchronized {
+  def addColumn(name: String, dataType: DataType, default: Any = null): Unit = withTableLock {
+    refreshMeta()
     require(!meta.currentSchema.fieldNames.contains(name), s"column $name already exists")
     default match {
       case null | _: java.lang.Number | _: String | _: java.lang.Boolean => ()
@@ -198,7 +233,8 @@ final class GraftTable private (
 
   /** DROP COLUMN — logical drop; data remains but is never read
     * (`cstore_fdw.c:1907-1910` attisdropped skip). */
-  def dropColumn(name: String): Unit = synchronized {
+  def dropColumn(name: String): Unit = withTableLock {
+    refreshMeta()
     require(meta.currentSchema.fieldNames.contains(name), s"no such column $name")
     meta = meta.copy(
       currentSchema = StructType(meta.currentSchema.fields.filterNot(_.name == name)),
@@ -209,7 +245,8 @@ final class GraftTable private (
   /** ALTER COLUMN TYPE with the reference's implicit-coercibility rule
     * (`cstore_fdw.c:717-769`; `sql/alter.sql:75-83`: int→float OK,
     * float→int rejected, text↔varchar OK). */
-  def alterColumnType(name: String, to: DataType): Unit = synchronized {
+  def alterColumnType(name: String, to: DataType): Unit = withTableLock {
+    refreshMeta()
     val from = meta.currentSchema(name).dataType
     require(implicitlyCoercible(from, to),
       s"cannot change column $name from $from to $to: not implicitly coercible")
@@ -229,6 +266,7 @@ final class GraftTable private (
     * (`cstore_writer.c:151-167`). Stats are committed to a sibling file
     * (role of pg_stats) via the same atomic-rename protocol. */
   def analyze(): GraftTable.TableStats = synchronized {
+    refreshMeta()
     val df = read()
     val fields = meta.currentSchema.fields
     def orderable(dt: DataType): Boolean = dt match {
@@ -313,6 +351,61 @@ object GraftTable {
 
   private val MagicKey = "graft_magic"
   private val Magic = "graft_cstore_v1" // role of `citus_cstore` magic, cstore_fdw.h:50
+
+  // ---- writer serialization (cstore_fdw.c:560-564) -------------------
+
+  // Two layers: a JVM monitor per table path (java.nio FileLocks are held
+  // per-JVM, so a second lock attempt from another thread would throw
+  // OverlappingFileLockException instead of blocking), then an OS file
+  // lock for writers in other processes.
+  private val jvmLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[storage] def withWriterLock[T](location: String)(f: => T): T = {
+    val key = Paths.get(stripUri(location)).toAbsolutePath.normalize.toString
+    val monitor = jvmLocks.computeIfAbsent(key, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(key, "_graft_write.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try f finally lock.release()
+      } finally ch.close()
+    }
+  }
+
+  // ---- existence-default synthesis (cstore_reader.c:1224-1292) -------
+
+  /** Render an ADD COLUMN constant default as a SQL literal for the
+    * schema metadata the parquet reader consults. */
+  private[graft] def sqlLiteral(v: Any): String = v match {
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case other => String.valueOf(other)
+  }
+
+  /** Attach `EXISTS_DEFAULT` metadata for each recorded ADD COLUMN
+    * default. The parquet reader fills a column from this literal only
+    * when the file's footer lacks the column — i.e. exactly for stripes
+    * written before the ALTER — which is the reference's default
+    * synthesis rule. Explicit NULLs stored after the ALTER are read back
+    * as NULL because the column is physically present in those files. */
+  private[graft] def withExistenceDefaults(
+      schema: StructType, defaults: Map[String, Any]): StructType = {
+    val live = defaults.filter { case (k, v) => v != null && schema.fieldNames.contains(k) }
+    if (live.isEmpty) schema
+    else StructType(schema.fields.map { f =>
+      live.get(f.name) match {
+        case Some(v) =>
+          val litStr = sqlLiteral(v)
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putString("EXISTS_DEFAULT", litStr)
+            .putString("CURRENT_DEFAULT", litStr)
+            .build())
+        case None => f
+      }
+    })
+  }
 
   /** Per-column ANALYZE output (min/max as strings, approx ndv, nulls). */
   final case class ColumnStats(min: String, max: String, ndv: Long, nullCount: Long)
@@ -473,7 +566,7 @@ object GraftTable {
        |}""".stripMargin
   }
 
-  private def readMeta(location: String): Meta = {
+  private[storage] def readMeta(location: String): Meta = {
     val path = metaPath(location)
     require(Files.exists(path), s"no graft table at $location")
     val txt = new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
