@@ -46,13 +46,17 @@ object EventStream {
         col("event_type"), col("cnt"), col("vsum_x10000"))
 
   /** Streaming exact dedup — the streaming twin of the batch d1
-    * operator: watermarked dropDuplicates on the event key. State holds
-    * one entry per key inside the watermark horizon; late duplicates
-    * beyond it age out — the standard unbounded-stream dedup contract. */
+    * operator. `dropDuplicatesWithinWatermark` keys state on event_id
+    * and EVICTS an entry once the watermark passes its event time plus
+    * the delay — bounded state on an unbounded stream. (Plain
+    * `dropDuplicates("event_id")` never evicts: the dedup key lacks the
+    * event-time column, so the watermark can't age anything out and
+    * state grows without bound — executor OOM on exactly the workload
+    * this operator exists for.) */
   def dedup(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Streaming ingest with exact dedup into a GraftTable. */
   def dedupedIngest(spark: SparkSession, srcDir: String, table: GraftTable,

@@ -25,6 +25,46 @@ object SessionStream {
   final case class SessionOut(user_id: Long, session_start: Long,
       session_end: Long, n_events: Long)
 
+  /** Per-key state transition — public so it can be unit-tested against
+    * `TestGroupState` (the crash case below is hard to provoke through a
+    * real stream, since the late-row filter usually shields it). */
+  def updateSession(userId: Long, rows: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[SessionOut] =
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator.single(SessionOut(userId, s.start, s.lastTs, s.nEvents))
+    } else {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val closed = Seq.newBuilder[SessionOut]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastTs <= GapMs =>
+            cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1))
+          case Some(s) =>
+            closed += SessionOut(userId, s.start, s.lastTs, s.nEvents)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // An event that reaches the function with lastTs + GapMs at or
+        // below the current watermark (late row admitted by a config
+        // change, or a bursty batch that jumps the watermark past the
+        // gap) would make setTimeoutTimestamp throw an
+        // IllegalArgumentException and kill the query. Clamp to just
+        // above the watermark: the session then times out at the
+        // earliest legal instant — same emission, no crash.
+        val floor = state.getCurrentWatermarkMs() + 1
+        state.setTimeoutTimestamp(math.max(s.lastTs + GapMs, floor))
+      }
+      closed.result().iterator
+    }
+
   /** Emit a closed session whenever a user's gap exceeds [[GapMs]] (or
     * the state times out past the watermark). */
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
@@ -33,35 +73,7 @@ object SessionStream {
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionOut(userId, s.start, s.lastTs, s.nEvents))
-          } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            val closed = Seq.newBuilder[SessionOut]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.lastTs <= GapMs =>
-                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1))
-                case Some(s) =>
-                  closed += SessionOut(userId, s.start, s.lastTs, s.nEvents)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.lastTs + GapMs)
-            }
-            closed.result().iterator
-          }
-      }
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateSession)
   }
 
   /** File-source pipeline to an in-memory sink for tests/dashboards. */

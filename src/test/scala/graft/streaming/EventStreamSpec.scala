@@ -66,4 +66,49 @@ class EventStreamSpec extends SparkSpec {
     assert(table.read().select("event_id").distinct().count() === 500)
     GraftTable.drop(loc)
   }
+
+  test("dedup state is EVICTED past the watermark — bounded state on an unbounded stream") {
+    import spark.implicits._
+    def ev(id: Long, tsMs: Long) =
+      (id, new java.sql.Timestamp(tsMs), 1L, "click", 1.0, "{}")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val hour = 3600 * 1000L
+    val src = tmpDir("evict-src")
+    val ckpt = tmpDir("evict-ckpt")
+    val loc = tmpDir("evict-table") + "/events"
+    val table = GraftTable.create(spark, loc, EventStream.eventSchema,
+      GraftTableOptions())
+    def run(): Unit = {
+      val q = EventStream.dedupedIngest(spark, src, table, ckpt)
+      q.awaitTermination(120000); ()
+    }
+    def write(name: String, rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit = {
+      // stage then copy the bare part-file in: the file source wants a flat
+      // directory of parquet files, not nested write dirs
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$src-stage/$name")
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$src-stage/$name"))
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach(p => java.nio.file.Files.copy(p,
+          java.nio.file.Paths.get(src, s"$name.parquet")))
+    }
+
+    // batch 1: event 1 plus an in-horizon duplicate — duplicate dropped
+    write("b1", Seq(ev(1L, t0), ev(1L, t0 + 60000), ev(2L, t0)))
+    run()
+    assert(table.read().filter(col("event_id") === 1).count() === 1)
+    // batch 2: advance the watermark 10h past event 1 → its state ages out
+    write("b2", Seq(ev(3L, t0 + 10 * hour)))
+    run()
+    // batch 3: event_id 1 re-arrives beyond the dedup horizon. With state
+    // properly evicted it is EMITTED again (the documented
+    // within-watermark dedup contract); the round-2 bug (dropDuplicates
+    // keyed without the event-time column) would both leak state forever
+    // and wrongly drop this row.
+    write("b3", Seq(ev(1L, t0 + 10 * hour + 60000)))
+    run()
+    assert(table.read().filter(col("event_id") === 1).count() === 2,
+      "state must be evicted past the watermark; re-arrival re-emits")
+    GraftTable.drop(loc)
+  }
 }

@@ -51,4 +51,36 @@ class SessionStreamSpec extends SparkSpec {
     assert(streamed.subsetOf(allSet),
       s"spurious sessions: ${(streamed -- allSet).take(3)}")
   }
+
+  test("timeout is clamped above the watermark — a sub-watermark session cannot crash the query") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val wm = 100 * 3600 * 1000L
+    // an event whose session would time out BELOW the watermark (late row
+    // admitted to the function, or a bursty batch that jumped the
+    // watermark past the gap)
+    val lateTs = wm - 2 * SessionStream.GapMs
+    val state = TestGroupState.create[SessionStream.SessionState](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 1L, eventTimeWatermarkMs = Optional.of(wm),
+      hasTimedOut = false)
+    // un-clamped setTimeoutTimestamp(lateTs + GapMs) throws
+    // IllegalArgumentException here and would kill the streaming query
+    val out = SessionStream.updateSession(99L,
+      Iterator(SessionStream.Event(1L, new java.sql.Timestamp(lateTs), 99L, "click", 1.0)),
+      state)
+    assert(out.isEmpty, "no session closes on first event")
+    assert(state.exists, "session state must be recorded")
+    assert(state.getTimeoutTimestampMs.get() === wm + 1,
+      "timeout clamps to the earliest legal instant above the watermark")
+    // and a normal on-time event still uses its natural gap timeout
+    val state2 = TestGroupState.create[SessionStream.SessionState](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 1L, eventTimeWatermarkMs = Optional.of(wm),
+      hasTimedOut = false)
+    SessionStream.updateSession(7L,
+      Iterator(SessionStream.Event(2L, new java.sql.Timestamp(wm + 3600 * 1000L), 7L, "click", 1.0)),
+      state2)
+    assert(state2.getTimeoutTimestampMs.get() === wm + 3600 * 1000L + SessionStream.GapMs)
+  }
 }
