@@ -76,9 +76,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
-/** DSv2 Table over one graft table location. */
+/** DSv2 Table over one graft table location. `TruncatableTable` lets SQL
+  * `TRUNCATE TABLE` route through the graft metadata protocol
+  * (`cstore_fdw.c:841-892`). */
 class GraftSparkTable(location: String) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  override def truncateTable(): Boolean = { graft.truncate(); true }
 
   private def spark: SparkSession = SparkSession.active
   private def graft: GraftTable = GraftTable.open(spark, location)
@@ -106,8 +111,12 @@ class GraftSparkTable(location: String) extends Table
     val t = graft
     // readSchema() carries the EXISTS_DEFAULT metadata, so the DSv2 scan
     // synthesizes ADD COLUMN defaults for pre-ALTER files identically to
-    // GraftTable.read() — the two paths can never disagree.
-    ParquetDelegate.scanBuilder(name(), t.committedFiles, t.readSchema(), options)
+    // GraftTable.read() — the two paths can never disagree. The exact
+    // committed row count flows to Catalyst via SupportsReportStatistics
+    // (the reference's always-exact planner estimate,
+    // cstore_fdw.c:1783-1807), so a small graft table broadcasts.
+    ParquetDelegate.scanBuilder(name(), t.committedFiles, t.readSchema(), options,
+      exactRowCount = Some(t.rowCountFromMetadata()))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

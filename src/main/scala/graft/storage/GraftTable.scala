@@ -494,7 +494,7 @@ object GraftTable {
   private[storage] def codecName(c: String): String =
     if (c == "none") "uncompressed" else c
 
-  private[storage] def stripUri(p: String): String =
+  private[graft] def stripUri(p: String): String =
     if (p.startsWith("file:")) p.stripPrefix("file:") else p
 
   private def metaPath(location: String): Path =

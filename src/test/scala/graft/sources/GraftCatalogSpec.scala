@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+
+import graft.SparkSpec
+import graft.storage.GraftTable
+
+/** SQL lifecycle parity through the DSv2 TableCatalog — the reference's
+  * utility-command interception (`cstore_fdw.c:334-412`): DROP TABLE GCs
+  * the files (sql/drop.sql:30-32), TRUNCATE works from SQL
+  * (sql/truncate.sql:60-97), ALTER routes through the coercibility rules
+  * (sql/alter.sql:75-83) — plus exact-row-count statistics reaching
+  * Catalyst (the reference ANALYZE's planner role, cstore_fdw.c:1628-1720). */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val warehouse: String = tmpDir("graft-warehouse")
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.catalog.gcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", warehouse)
+  }
+
+  test("DROP TABLE removes data + metadata files (sql/drop.sql:30-32)") {
+    spark.sql(s"CREATE TABLE gcat.db1.contestants (a INT, b STRING) USING graft")
+    spark.sql("INSERT INTO gcat.db1.contestants VALUES (1, 'x'), (2, 'y')")
+    val dir = Paths.get(warehouse, "db1", "contestants")
+    assert(Files.exists(dir), "table directory exists after create+insert")
+    assert(spark.table("gcat.db1.contestants").count() === 2)
+    spark.sql("DROP TABLE gcat.db1.contestants")
+    assert(!Files.exists(dir), "SQL DROP TABLE must garbage-collect the files")
+    intercept[Exception](spark.table("gcat.db1.contestants").count())
+  }
+
+  test("TRUNCATE TABLE from SQL keeps definition, drops data (sql/truncate.sql:60-97)") {
+    spark.sql(s"CREATE TABLE gcat.db1.trunc_t (a INT) USING graft")
+    spark.sql("INSERT INTO gcat.db1.trunc_t VALUES (1), (2), (3)")
+    assert(spark.table("gcat.db1.trunc_t").count() === 3)
+    spark.sql("TRUNCATE TABLE gcat.db1.trunc_t")
+    assert(spark.table("gcat.db1.trunc_t").count() === 0)
+    // still writable after SQL truncate
+    spark.sql("INSERT INTO gcat.db1.trunc_t VALUES (9)")
+    assert(spark.table("gcat.db1.trunc_t").collect().map(_.getInt(0)).toSeq === Seq(9))
+    spark.sql("DROP TABLE gcat.db1.trunc_t")
+  }
+
+  test("ALTER TABLE lifecycle from SQL: ADD DEFAULT, explicit NULL, type coercibility") {
+    spark.sql(s"CREATE TABLE gcat.db1.alt (id INT, name STRING) USING graft")
+    spark.sql("INSERT INTO gcat.db1.alt VALUES (1, 'pre')")
+    // ADD COLUMN ... DEFAULT applies only to pre-ALTER rows
+    spark.sql("ALTER TABLE gcat.db1.alt ADD COLUMN score INT DEFAULT 42")
+    spark.sql("INSERT INTO gcat.db1.alt VALUES (2, 'post', NULL), (3, 'post', 7)")
+    val byId = spark.table("gcat.db1.alt").collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(2)) null else r.getInt(2))).toMap
+    assert(byId(1) === 42 && byId(2) === null && byId(3) === 7)
+    // widening type change OK; narrowing rejected (sql/alter.sql:75-83)
+    spark.sql("ALTER TABLE gcat.db1.alt ALTER COLUMN id TYPE BIGINT")
+    assert(spark.table("gcat.db1.alt").schema("id").dataType.typeName === "long")
+    // narrowing: Spark's own analyzer rejects it before the catalog —
+    // same reference outcome (sql/alter.sql:80 float->int fails)
+    intercept[Exception](
+      spark.sql("ALTER TABLE gcat.db1.alt ALTER COLUMN score TYPE SMALLINT"))
+    // int->string: Spark's upcast rule would allow it, but the reference's
+    // implicit-coercibility matrix does not (sql/alter.sql:75-83) — this
+    // exercises the catalog-level check
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE gcat.db1.alt ALTER COLUMN score TYPE STRING"))
+    assert(e.getMessage.contains("coercible"), e.getMessage)
+    // DROP COLUMN hides data
+    spark.sql("ALTER TABLE gcat.db1.alt DROP COLUMN name")
+    assert(spark.table("gcat.db1.alt").columns.toSeq === Seq("id", "score"))
+    spark.sql("DROP TABLE gcat.db1.alt")
+  }
+
+  test("RENAME + SHOW TABLES through the catalog") {
+    spark.sql(s"CREATE TABLE gcat.db2.a (x INT) USING graft")
+    spark.sql("INSERT INTO gcat.db2.a VALUES (5)")
+    // RENAME TO takes a catalog-relative multi-part name
+    spark.sql("ALTER TABLE gcat.db2.a RENAME TO db2.b")
+    assert(spark.table("gcat.db2.b").collect().head.getInt(0) === 5)
+    val shown = spark.sql("SHOW TABLES IN gcat.db2").collect().map(_.getString(1)).toSet
+    assert(shown === Set("b"))
+    spark.sql("DROP TABLE gcat.db2.b")
+  }
+
+  test("exact row count reaches Catalyst; small graft table broadcasts (cstore_fdw.c:1628-1720)") {
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE gcat.db1.dim (k INT, v STRING) USING graft")
+    spark.sql("INSERT INTO gcat.db1.dim SELECT id, concat('v', id) FROM range(100)")
+    // numRows must be the exact committed count, not a file-size guess
+    val scan = spark.table("gcat.db1.dim")
+    val stats = scan.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.stats
+    }
+    assert(stats.nonEmpty, "expected a DSv2 scan relation")
+    assert(stats.head.rowCount.map(_.toLong) === Some(100L),
+      s"exact metadata row count should reach Catalyst, got ${stats.head}")
+    // and the join planner uses it: dim is tiny -> broadcast side
+    val joined = spark.range(100000).toDF("k2")
+      .join(spark.table("gcat.db1.dim"), $"k2" === $"k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    spark.sql("DROP TABLE gcat.db1.dim")
+  }
+}
