@@ -101,18 +101,47 @@ object Dedup {
       .filter(col("jac") >= 0.8)
   }
 
-  // d2's filtered pairs are also the dedup stage of p1; cache the
-  // materialized pairs per (session, dir) so a run that executes both
-  // pays the two dedup shuffles once. Pairs at threshold 0.8 are a tiny
-  // fraction of the corpus, so MEMORY_AND_DISK is safe at scale.
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** Fingerprint of a table file under `dir`: size + mtime of every data
+    * file. A rewritten corpus (the writeDocs overwrite pattern in tests,
+    * or any append) changes the fingerprint, so caches keyed on it can
+    * never serve stale results. */
+  private def fingerprint(dir: String, table: String): String = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir, s"$table.parquet")
+    if (!java.nio.file.Files.exists(p)) "absent"
+    else java.nio.file.Files.walk(p).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(f => s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
+      .toSeq.sorted.mkString("|").hashCode.toHexString
+  }
 
-  def ngramPairsCached(s: SparkSession, dir: String): DataFrame =
-    pairsCache.computeIfAbsent((s, dir), { _ =>
-      ngramJaccardPairs(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+  // d2's filtered pairs are also the dedup stage of p1; cache the
+  // materialized pairs so a run that executes both pays the two dedup
+  // shuffles once. Keyed on (session, dir, corpus fingerprint) so a
+  // regenerated corpus invalidates the entry, and LRU-bounded with
+  // unpersist on eviction so entries can't pin cached blocks for the
+  // JVM lifetime. Pairs at threshold 0.8 are a tiny fraction of the
+  // corpus, so MEMORY_AND_DISK is safe at scale.
+  private val PairsCacheMax = 8
+  private val pairsCache =
+    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean =
+        if (size > PairsCacheMax) { e.getValue.unpersist(); true } else false
+    }
+
+  def ngramPairsCached(s: SparkSession, dir: String): DataFrame = {
+    val key = (s, dir, fingerprint(dir, "documents"))
+    pairsCache.synchronized {
+      Option(pairsCache.get(key)).getOrElse {
+        val df = ngramJaccardPairs(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairsCache.put(key, df)
+        df
+      }
+    }
+  }
 
   def d2NgramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramPairsCached(s, dir)
@@ -207,33 +236,80 @@ object Dedup {
     * ~0.5 KB/row, so the default tile is ~2 MB regardless of corpus size. */
   val D5TileRows = 4096L
 
-  /** All-pairs exact cosine as a tiled block-nested-loop: the corpus is
-    * cut into ⌈n/tileRows⌉ tiles by `vec_id % tiles`; each iteration
-    * broadcasts ONE tile (ids + vectors + norms) and streams the whole
-    * corpus against it with a tight dot-product loop, writing that tile's
-    * surviving pairs to a spill directory before the broadcast is
-    * destroyed. Every unordered pair (i < j) lands in exactly one tile —
-    * the tile owning j — so the union over tiles is the exact O(n²)
-    * semantics with per-tile-bounded memory: no driver collect of the
-    * corpus, no whole-table broadcast. The dot product accumulates in the
-    * same left-fold order as the oracle's list_reduce, so results are
-    * bit-identical to the naive pair join. */
+  /** Scratch root for operator spill files. At cluster scale this MUST
+    * point at storage reachable by every executor (set
+    * `spark.graft.scratchDir` to a shared-filesystem URI); the local-tmp
+    * default is correct only for local mode. The whole root is deleted
+    * on JVM exit. */
+  private[operators] def scratchRoot(s: SparkSession): String =
+    s.conf.getOption("spark.graft.scratchDir").getOrElse {
+      scratchCleanup // materialize the shutdown hook for the default root
+      defaultScratch
+    }
+
+  private lazy val defaultScratch: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-scratch-${ProcessHandle.current().pid()}"
+
+  private lazy val scratchCleanup: Unit = {
+    val root = java.nio.file.Paths.get(defaultScratch)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(root)) {
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p =>
+            try java.nio.file.Files.delete(p) catch { case _: Exception => () })
+      }
+    }))
+  }
+
+  /** CONTRACT: unlike every other entry, constructing this plan runs the
+    * tile loop eagerly (⌈n/tileRows⌉ Spark jobs + spill writes) — the
+    * result is memoized per (session, dir, tileRows, corpus fingerprint),
+    * so repeated construction replays nothing. */
   def d5EmbedNearDup(s: SparkSession, dir: String): DataFrame =
     d5EmbedNearDupTiled(s, dir, D5TileRows)
 
-  def d5EmbedNearDupTiled(s: SparkSession, dir: String, tileRows: Long): DataFrame = {
+  private val d5Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long, String), DataFrame]()
+
+  /** All-pairs exact cosine as a tiled block-nested-loop: the corpus is
+    * cut into ⌈n/tileRows⌉ tiles by a mixed hash of vec_id (uniform even
+    * for sparse or strided id spaces, unlike raw id-modulo); each
+    * iteration broadcasts ONE tile (ids + vectors + norms) and streams
+    * the whole corpus against it with a tight dot-product loop, writing
+    * that tile's surviving pairs under [[scratchRoot]] before the
+    * broadcast is destroyed. Every unordered pair (i < j) lands in
+    * exactly one tile — the tile owning j — so the union over tiles is
+    * the exact O(n²) semantics with per-tile-bounded memory: no driver
+    * collect of the corpus, no whole-table broadcast. The dot product
+    * accumulates in the same left-fold order as the oracle's
+    * list_reduce, so results are bit-identical to the naive pair join.
+    *
+    * This stays quadratic in compute — it is the exact, oracle-matching
+    * operator. The 100 TB path is [[d6EmbedNearDupAnn]]: LSH candidate
+    * generation + the same exact re-check. */
+  def d5EmbedNearDupTiled(s: SparkSession, dir: String, tileRows: Long): DataFrame =
+    d5Cache.computeIfAbsent((s, dir, tileRows, fingerprint(dir, "embeddings")), { _ =>
+      d5RunTiles(s, dir, tileRows)
+    })
+
+  private def d5RunTiles(s: SparkSession, dir: String, tileRows: Long): DataFrame = {
     import s.implicits._
+    require(tileRows > 0, s"tileRows must be positive, got $tileRows")
     val e = Similarity.normalized(Tables.load(s, dir, "embeddings"))
       .select(col("vec_id"), col("v"), col("nrm"))
       .as[(Long, Array[Double], Double)]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr = 0.4
-    val out = java.nio.file.Files.createTempDirectory("graft-d5-tiles").toString
+    val out = s"${scratchRoot(s)}/d5-${java.util.UUID.randomUUID().toString.take(8)}"
     try {
       val n = e.count()
-      val tiles = math.max(1L, (n + tileRows - 1) / tileRows)
+      // overflow-safe ceil-div (n + tileRows - 1 wraps for huge tileRows)
+      val tiles = math.max(1L, n / tileRows + (if (n % tileRows == 0) 0L else 1L))
       (0L until tiles).foreach { t =>
-        val block = e.filter(r => java.lang.Math.floorMod(r._1, tiles) == t)
+        val block = e
+          .filter(r => java.lang.Math.floorMod(
+            scala.util.hashing.byteswap64(r._1), tiles) == t)
           .collect().sortBy(_._1)
         val bc = s.sparkContext.broadcast(block)
         e.mapPartitions { it =>
@@ -257,6 +333,52 @@ object Dedup {
     } finally e.unpersist()
   }
 
+  // -- d6: ANN-prefiltered near-dup (the 100 TB path) -------------------
+
+  /** Band layout for the d6 candidate generator: 8 bands × 6 sign bits
+    * (48 deterministic hyperplanes). A pair is a candidate iff it shares
+    * at least one band key; candidates are re-checked with EXACT cosine,
+    * so precision is 1 and only recall depends on the banding. Collision
+    * probability per plane is 1 − θ/π, so recall rises steeply with the
+    * similarity threshold: ≥0.9-cosine pairs (the realistic near-dup
+    * regime) are caught with p ≈ 1−(1−0.86⁶)^8 ≈ 0.99, while this
+    * corpus's deliberately weak 0.4 threshold sits near the random noise
+    * floor and lands around 0.5 — the recall/cost dial documented in the
+    * recall spec. */
+  val D6Bands = 8
+  val D6Bits = 6
+
+  /** The scale path for embedding near-dup: one shuffle on (band, key)
+    * replaces d5's ⌈n/tileRows⌉ serial full-corpus scans. Work scales
+    * with corpus size × bucket occupancy instead of n², every join is a
+    * keyed equality join, and the exact-cosine re-check makes every
+    * emitted pair a true near-dup (a subset of d5's output by
+    * construction — same fold order, same threshold, same rounding). */
+  def d6EmbedNearDupAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.normalized(Tables.load(s, dir, "embeddings"))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val banded = e.select(col("vec_id"), col("v"), col("nrm"),
+      explode(sequence(lit(0), lit(D6Bands - 1))).as("band"))
+      .withColumn("bk",
+        (0 until D6Bands).foldLeft(lit(0L)) { (acc, b) =>
+          when(col("band") === b, Similarity.signKey(col("v"), b * D6Bits, D6Bits))
+            .otherwise(acc)
+        })
+    // cosine computed inside the join projection; the dedup distinct
+    // exchanges only (vec_a, vec_b, cos) — the d3/d4 exchange-slimming
+    // pattern — and cos is bit-identical across duplicate band hits.
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Similarity.cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos_raw"))
+      .filter(col("cos_raw") >= 0.4)
+      .distinct()
+      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   // -- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -266,6 +388,7 @@ object Dedup {
     "d3_minhash_lsh" -> d3MinhashLsh _,
     "d4_simhash" -> d4Simhash _,
     "d5_embed_neardup" -> d5EmbedNearDup _,
+    "d6_embed_neardup_ann" -> d6EmbedNearDupAnn _,
   )
 
   import OracleSql._
@@ -345,5 +468,24 @@ object Dedup {
          |    ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) cos
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin),
+    "d6_embed_neardup_ann" -> {
+      // same banding arithmetic as the Spark side: band b key = sign bits
+      // of planes [b*D6Bits, (b+1)*D6Bits)
+      val bandKeys = (0 until D6Bands).map(b =>
+        s"WHEN band = $b THEN ${Similarity.signKeySql("v", b * D6Bits, D6Bits)}")
+        .mkString("CASE ", " ", " END")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, ${normSql("v")} nrm FROM e),
+         |banded AS (SELECT vec_id, v, nrm, band, $bandKeys bk
+         |           FROM n CROSS JOIN range(0, $D6Bands) r(band))
+         |SELECT vec_a, vec_b, round(cos, 4) cos FROM (
+         |  SELECT DISTINCT a.vec_id vec_a, b.vec_id vec_b,
+         |    ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) cos
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4)
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
   )
 }

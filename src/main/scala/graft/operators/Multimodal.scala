@@ -122,16 +122,21 @@ object Multimodal {
          |FROM documents)
          |SELECT doc_id, width, height, n_bytes, bytesum * 100 // 32 checksum_x100
          |FROM f ORDER BY doc_id""".stripMargin),
+    // the frame index comes from a correlated scalar range() over each
+    // document's own length (the table-function form can't be lateral in
+    // DuckDB 1.0) — no fixed frame cap to silently diverge on long payloads
     "m2_frame_sample" ->
-      ("""WITH f AS (
+      ("""WITH fr AS (
+         |  SELECT doc_id, text, unnest(range(0, length(text) // 16)) fr
+         |  FROM documents),
+         |f AS (
          |  SELECT doc_id, CAST(fr AS BIGINT) frame_no,
          |    list_reduce(list_concat([CAST(0 AS BIGINT)],
          |      list_transform(range(fr*16 + 1, fr*16 + 17),
          |        i -> ascii(substr(text, i, 1))::BIGINT)),
          |      (a, b) -> a + b) frame_sum
-         |  FROM documents
-         |  CROSS JOIN range(0, 256) r(fr)
-         |  WHERE fr < length(text) // 16 AND fr % 4 = 0)
+         |  FROM fr
+         |  WHERE fr % 4 = 0)
          |SELECT doc_id, frame_no, frame_sum FROM f
          |ORDER BY doc_id, frame_no""".stripMargin),
     "m3_resize" ->

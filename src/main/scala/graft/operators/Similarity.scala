@@ -102,19 +102,24 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane value: plane j, dim i →
     * ((a_j·i + b_j) mod 2000)/1000 − 1 ∈ [−1, 1). Exact rational
     * arithmetic, reproducible in SQL. */
-  private def planeVal(j: Int, i: Column): Column =
+  private[operators] def planeVal(j: Int, i: Column): Column =
     (pmod(lit(1103515245L * (j + 7)) * i + lit(12345L * (j + 1)), lit(LshModulus))
       .cast("double") / 1000.0) - 1.0
 
-  /** LSH bucket id: bit j = sign of the dot product with hyperplane j. */
-  private def lshBucket(v: Column): Column =
-    (0 until LshBits).map { j =>
+  /** Sign-projection key over planes [first, first+bits): bit b = sign of
+    * the dot product with hyperplane (first + b). [[lshBucket]] is the
+    * (first = 0) case; [[Dedup.d6EmbedNearDupAnn]] uses one key per band. */
+  private[operators] def signKey(v: Column, first: Int, bits: Int): Column =
+    (0 until bits).map { b =>
       val dot = aggregate(
-        zip_with(v, transform(sequence(lit(1), size(v)), i => planeVal(j, i)),
+        zip_with(v, transform(sequence(lit(1), size(v)), i => planeVal(first + b, i)),
           (x, p) => x * p),
         lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+      when(dot > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** LSH bucket id: bit j = sign of the dot product with hyperplane j. */
+  private def lshBucket(v: Column): Column = signKey(v, 0, LshBits)
 
   /** s3: LSH-bucketed ANN — queries probe only their own sign-projection
     * bucket (2^6 buckets), then rank candidates by exact cosine. The
@@ -124,11 +129,14 @@ object Similarity {
   def s3AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = normalized(Tables.load(s, dir, "embeddings"))
       .withColumn("bucket", lshBucket(col("v")))
+    // rename the query side's bucket: the two sides derive from the same
+    // plan, and an e("bucket") === q("bucket") condition leans on
+    // dataset-id disambiguation (Spark warns "trivially true predicate")
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket"))
+        col("nrm").as("qn"), col("bucket").as("q_bucket"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    e.join(broadcast(q), e("bucket") === q("bucket") && col("vec_id") =!= col("q_id"))
+    e.join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -146,17 +154,20 @@ object Similarity {
   import OracleSql._
 
   /** SQL twin of [[planeVal]]+dot: fold v[i]·plane_j[i] from 0.0. */
-  private def planeDotSql(j: Int, v: String): String =
+  private[operators] def planeDotSql(j: Int, v: String): String =
     s"""list_reduce(list_concat([0.0],
        |  list_transform(range(1, len($v)+1),
        |    i -> $v[i] * (((${1103515245L * (j + 7)}*i + ${12345L * (j + 1)}) % $LshModulus)
        |                  / 1000.0 - 1.0))),
        |  (a, b) -> a + b)""".stripMargin
 
-  private def bucketSql(v: String): String =
-    (0 until LshBits).map { j =>
-      s"(CASE WHEN ${planeDotSql(j, v)} > 0 THEN ${1L << j} ELSE 0 END)"
+  /** SQL twin of [[signKey]]. */
+  private[operators] def signKeySql(v: String, first: Int, bits: Int): String =
+    (0 until bits).map { b =>
+      s"(CASE WHEN ${planeDotSql(first + b, v)} > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
+
+  private def bucketSql(v: String): String = signKeySql(v, 0, LshBits)
 
   val oracles: Map[String, String] = Map(
     "s3_ann_lsh" ->

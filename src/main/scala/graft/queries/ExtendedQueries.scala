@@ -187,12 +187,24 @@ object ExtendedQueries {
       .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         approx_count_distinct(col("l_partkey")).as("approx_parts"))
 
+  /** q38: whole-row serialization — `to_json` of the ENTIRE row via
+    * `struct("*")`, the reference's `select to_json(v) from collation_block_filtering v`
+    * pattern (`sql/query.sql:23`, `cstore_fdw.c:1921-1929`: a whole-row
+    * reference forces the scan to emit every column). Restricted to an
+    * int+string table because both engines print those JSON-identically;
+    * doubles/timestamps have engine-specific text forms. */
+  def q38RowJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .select(col("n_nationkey"), to_json(struct(col("*"))).as("row_json"))
+      .orderBy("n_nationkey")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_string_agg" -> q33StringAgg _,
     "q34_md5_join" -> q34Md5Join _,
     "q35_generate_series" -> q35GenerateSeries _,
     "q36_percentile" -> q36Percentile _,
     "q37_approx_distinct" -> q37ApproxDistinct _,
+    "q38_row_json" -> q38RowJson _,
     "q21_left_join" -> q21LeftJoin _,
     "q22_full_outer" -> q22FullOuter _,
     "q23_cube" -> q23Cube _,
@@ -226,6 +238,10 @@ object ExtendedQueries {
         "round(quantile_cont(o_totalprice, 0.9), 4) AS p90 " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     // q37_approx_distinct: intentionally no oracle (engine-specific HLL)
+    "q38_row_json" ->
+      ("SELECT n_nationkey, to_json(struct_pack(n_nationkey := n_nationkey, " +
+        "n_name := n_name, n_regionkey := n_regionkey)) AS row_json " +
+        "FROM nation ORDER BY n_nationkey"),
     "q21_left_join" ->
       ("SELECT c_mktsegment, count(*) AS cnt FROM customer c " +
         "LEFT JOIN orders o ON c.c_custkey = o.o_custkey " +

@@ -184,14 +184,22 @@ final class GraftTable private (
 
   /** COPY FROM csv (`cstore_fdw.c:539-642`): bulk CSV load, optional
     * column list (`input/load.source:26-40` — missing columns become
-    * NULL/default). Returns row count. */
+    * NULL/default). Returns row count.
+    *
+    * Error semantics follow the reference's COPY (`input/load.source`
+    * error cases): a missing file fails immediately, and under the
+    * default FAILFAST mode a malformed row aborts the whole load with
+    * the table unchanged — COPY is all-or-nothing, the metadata commit
+    * only happens after every row parsed. `mode = "PERMISSIVE"` opts
+    * into Spark's salvage behavior (bad fields become NULL). */
   def copyFromCsv(path: String, header: Boolean = false,
-      columns: Seq[String] = Seq.empty): Long = {
+      columns: Seq[String] = Seq.empty, mode: String = "FAILFAST"): Long = {
     val cols = if (columns.isEmpty) meta.currentSchema.fieldNames.toSeq else columns
     val readSchema = StructType(cols.map(c => meta.currentSchema(c)))
     val df = spark.read
       .option("header", header.toString)
       .option("nullValue", "")
+      .option("mode", mode)
       .schema(readSchema)
       .csv(path)
     append(df)

@@ -36,4 +36,31 @@ class CollationSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(sorted === Seq("A", "B", "Z", "Å"))
   }
+
+  test("zone-map pruning is disabled under a non-binary collation (cstore_reader.c:763-769)") {
+    // The reference skips min/max block filtering when the predicate's
+    // collation is not the stored binary order — pruning with binary
+    // min/max under Danish rules would WRONGLY drop blocks. Divergent
+    // data: Danish treats "AA" as Å (sorts after Z), binary sorts it
+    // first. With binary-sorted, small-block storage, every block's
+    // binary max ("Bxxx") < "Z", so a (wrong) binary prune of
+    // `s > 'Z' COLLATE da` would return 0 rows instead of the 1000 AA*.
+    import spark.implicits._
+    import graft.storage.{GraftTable, GraftTableOptions}
+    val loc = tmpDir("collation-zm") + "/tbl"
+    val t = GraftTable.create(spark, loc,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType))),
+      GraftTableOptions(sortBy = Seq("s"), blockRowCount = 1000, stripeRowCount = 2000))
+    val rows = (0 until 1000).map(i => f"AA$i%04d") ++ (0 until 1000).map(i => f"B$i%04d")
+    t.append(rows.toDF("s").repartition(1))
+    val q = t.read().filter(expr("collate(s, 'da') > collate('Z', 'da')"))
+    assert(q.count() === 1000, "Danish 'AA' sorts after 'Z'; binary pruning would drop it")
+    // and the collated predicate must not reach the parquet scan as a
+    // binary-ordered pushed filter
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedFilters: [IsNotNull(s), GreaterThan(s,"), plan)
+    GraftTable.drop(loc)
+  }
 }

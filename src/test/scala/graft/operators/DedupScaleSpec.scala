@@ -22,6 +22,31 @@ class DedupScaleSpec extends SparkSpec {
     assert(multi.nonEmpty) // the corpus has planted near-dups; empty would vacuously pass
   }
 
+  test("d5 is memoized: re-construction replays no tile jobs") {
+    val dir = sf("sf0.001")
+    val a = Dedup.d5EmbedNearDupTiled(spark, dir, tileRows = 64)
+    val b = Dedup.d5EmbedNearDupTiled(spark, dir, tileRows = 64)
+    assert(a eq b, "same (session, dir, tileRows, fingerprint) must return the cached plan")
+  }
+
+  test("d6 ANN prefilter: precision 1 vs exact d5; recall on the planted corpus") {
+    val dir = sf("sf0.001")
+    val exact = Dedup.d5EmbedNearDupTiled(spark, dir, tileRows = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ann = Dedup.d6EmbedNearDupAnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    // exact-cosine re-check with identical fold order + rounding ⇒ every
+    // ANN pair is a true pair with the identical score
+    assert(ann.subsetOf(exact), s"ANN must be a subset: ${(ann -- exact).take(3)}")
+    // this corpus's 0.4 threshold sits near the random-noise floor — the
+    // hardest regime for sign-LSH (measured ≈ 0.47 here, ≈ 0.54 at
+    // sf0.01; ≥ 0.99 analytically for the realistic ≥ 0.9-cosine
+    // near-dup regime). Pin a floor so banding regressions fail loudly.
+    val recall = ann.size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall collapsed below the measured floor")
+  }
+
   private def writeDocs(rows: Seq[(Long, String)]): String = {
     val dir = tmpDir("graft-capspec")
     import spark.implicits._

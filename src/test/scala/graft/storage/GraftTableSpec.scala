@@ -79,6 +79,30 @@ class GraftTableSpec extends SparkSpec {
     GraftTable.drop(s"$loc/tbl")
   }
 
+  test("COPY FROM error paths: missing file fails; malformed row aborts atomically (input/load.source)") {
+    import spark.implicits._
+    val loc = tmpDir("graft-copyerr")
+    val t = GraftTable.create(spark, s"$loc/tbl", schema)
+    t.append(Seq((1, "keep", 1)).toDF("handle", "name", "rating"))
+    // missing file: immediate error (load.source: COPY from nonexistent path)
+    intercept[Exception](t.copyFromCsv(s"$loc/does_not_exist.csv"))
+    // malformed row (text in an int column): FAILFAST default aborts the
+    // WHOLE load and the table is unchanged — COPY is all-or-nothing,
+    // matching the reference's transactional COPY error case
+    val bad = s"$loc/bad.csv"
+    Files.write(Paths.get(bad), "2,ok,7\n3,broken,not_an_int\n".getBytes)
+    intercept[Exception](t.copyFromCsv(bad))
+    assert(t.read().count() === 1, "failed COPY must not commit any rows")
+    assert(t.rowCountFromMetadata() === 1)
+    // PERMISSIVE opt-in: bad fields salvaged as NULL, load commits
+    assert(t.copyFromCsv(bad, mode = "PERMISSIVE") === 2)
+    val r3 = t.read().filter(col("handle") === 3).collect().head
+    assert(r3.isNullAt(2), "permissive mode nulls the malformed field")
+    // table still fully usable after the failed + permissive loads
+    assert(t.read().count() === 3)
+    GraftTable.drop(s"$loc/tbl")
+  }
+
   test("COPY TO round-trips (cstore_fdw.c:651-707)") {
     import spark.implicits._
     val loc = tmpDir("graft-copyto")

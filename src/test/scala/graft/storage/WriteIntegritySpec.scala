@@ -100,6 +100,31 @@ class WriteIntegritySpec extends SparkSpec {
     GraftTable.drop(loc)
   }
 
+  test("post-ALTER whole-row: column order, count(*), to_json(struct(*)) (sql/alter.sql:57)") {
+    import org.apache.spark.sql.functions.{struct, to_json}
+    import spark.implicits._
+    val loc = tmpDir("whole-row") + "/tbl"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(Seq((1, "pre")).toDF("id", "name"))
+    t.addColumn("score", IntegerType, default = 5)
+    t.append(Seq((2, "post", 9)).toDF("id", "name", "score"))
+    // reference sql/alter.sql:57: after ADD COLUMN the whole-row shape has
+    // the new column LAST, and count(t.*) sees every row
+    assert(t.read().columns.toSeq === Seq("id", "name", "score"))
+    assert(t.read().select(struct(col("*"))).count() === 2)
+    // whole-row serialization includes the synthesized default for
+    // pre-ALTER rows (cstore_fdw.c:1921-1929 whole-row reference)
+    val js = t.read().orderBy("id")
+      .select(to_json(struct(col("*"))).as("j")).collect().map(_.getString(0))
+    assert(js(0) === """{"id":1,"name":"pre","score":5}""")
+    assert(js(1) === """{"id":2,"name":"post","score":9}""")
+    // DROP COLUMN: whole-row shape shrinks identically in both paths
+    t.dropColumn("name")
+    assert(t.read().columns.toSeq === Seq("id", "score"))
+    assert(spark.read.format("graft").load(loc).columns.toSeq === Seq("id", "score"))
+    GraftTable.drop(loc)
+  }
+
   test("append runs exactly one job — no re-scan of the written batch") {
     import spark.implicits._
     val loc = tmpDir("append-jobs") + "/tbl"
