@@ -327,7 +327,10 @@ object Dedup {
           .write.mode("overwrite").parquet(s"$out/t$t")
         bc.destroy()
       }
-      s.read.parquet(s"$out/t*")
+      // concrete tile paths, not a glob: globs make FileStreamSink probe
+      // for a streaming-metadata dir and log a spurious warning stack
+      val tileDirs = (0L until tiles).map(t => s"$out/t$t")
+      s.read.parquet(tileDirs: _*)
         .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos"))
         .orderBy("vec_a", "vec_b")
     } finally e.unpersist()
