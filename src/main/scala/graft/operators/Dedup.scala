@@ -78,13 +78,7 @@ object Dedup {
     */
   def ngramJaccardPairs(s: SparkSession, dir: String,
       maxShingleFreq: Option[Long] = None): DataFrame = {
-    val sh = docs(s, dir)
-      .select(col("doc_id"), shinglesDistinctFast(col("text")).as("shs"))
-      .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
-        explode(col("shs")).as("s"))
-    val posting = sh.groupBy("s")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
-      .filter(size(col("ds")) > 1)
+    val posting = postingLists(s, dir)
     val capped = maxShingleFreq.fold(posting)(f => posting.filter(size(col("ds")) <= f))
     val pairs = capped
       .select(explode(flatten(transform(col("ds"), (x, i) =>
@@ -116,32 +110,55 @@ object Dedup {
       .toSeq.sorted.mkString("|").hashCode.toHexString
   }
 
-  // d2's filtered pairs are also the dedup stage of p1; cache the
-  // materialized pairs so a run that executes both pays the two dedup
-  // shuffles once. Keyed on (session, dir, corpus fingerprint) so a
-  // regenerated corpus invalidates the entry, and LRU-bounded with
-  // unpersist on eviction so entries can't pin cached blocks for the
-  // JVM lifetime. Pairs at threshold 0.8 are a tiny fraction of the
-  // corpus, so MEMORY_AND_DISK is safe at scale.
-  private val PairsCacheMax = 8
-  private val pairsCache =
-    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean =
-        if (size > PairsCacheMax) { e.getValue.unpersist(); true } else false
-    }
-
-  def ngramPairsCached(s: SparkSession, dir: String): DataFrame = {
-    val key = (s, dir, fingerprint(dir, "documents"))
-    pairsCache.synchronized {
-      Option(pairsCache.get(key)).getOrElse {
-        val df = ngramJaccardPairs(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        pairsCache.put(key, df)
-        df
+  /** LRU cache of persisted DataFrames keyed on (session, dir, corpus
+    * fingerprint): a regenerated corpus invalidates the entry, and
+    * eviction unpersists so entries can't pin cached blocks for the JVM
+    * lifetime. */
+  private final class PersistedLru(max: Int) {
+    private val m =
+      new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean =
+          if (size > max) { e.getValue.unpersist(); true } else false
+      }
+    def getOrElseUpdate(s: SparkSession, dir: String, table: String)
+        (build: => DataFrame): DataFrame = {
+      val key = (s, dir, fingerprint(dir, table))
+      m.synchronized {
+        Option(m.get(key)).getOrElse {
+          val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // materialize INSIDE the lock: concurrent queries sharing the
+          // stage (d2 ∥ d2b ∥ p1 in the bench) would otherwise race the
+          // lazy cache and each recompute every partition
+          df.count()
+          m.put(key, df)
+          df
+        }
       }
     }
   }
+
+  // d2's filtered pairs are also the dedup stage of p1; cache the
+  // materialized pairs so a run that executes both pays the two dedup
+  // shuffles once. (Sharing the heavier POSTING-LIST stage between d2
+  // and d2b was measured a wash at sf0.1: materializing the
+  // collect_list arrays costs what the second computation saves.) Pairs
+  // at threshold 0.8 are a tiny fraction of the corpus, so
+  // MEMORY_AND_DISK is safe at scale.
+  private val pairsCache = new PersistedLru(8)
+
+  private def postingLists(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("doc_id"), shinglesDistinctFast(col("text")).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
+        explode(col("shs")).as("s"))
+    sh.groupBy("s")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+  }
+
+  def ngramPairsCached(s: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate(s, dir, "documents")(ngramJaccardPairs(s, dir))
 
   def d2NgramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramPairsCached(s, dir)

@@ -23,16 +23,21 @@ import graft.Tables
   */
 object Similarity {
 
-  /** (vec_id, label, v: array<double>, nrm) with L2 norm precomputed. */
+  /** (vec_id, label, v: array<double>, nrm) with L2 norm precomputed.
+    * The norm is sqrt(v·v) via the codegen dot — the same left fold as
+    * sqrt(aggregate(transform(v, x²), 0.0, +)). */
   def normalized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
-        lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrm", sqrt(graft.functions.DotProduct.dotFast(col("v"), col("v"))))
 
-  /** Cosine similarity from precomputed norms — sequential-fold dot. */
+  /** Cosine similarity from precomputed norms — sequential-fold dot via
+    * the codegen [[graft.functions.DotProduct]] expression (bit-identical
+    * to the aggregate(zip_with(...)) fold it replaces, but a generated
+    * loop: this runs once per candidate pair, the hot path of every
+    * similarity join). */
   def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
-    aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) / (na * nb)
+    graft.functions.DotProduct.dotFast(va, vb) / (na * nb)
 
   private val NumQueries = 5
   private val TopK = 10
@@ -108,8 +113,17 @@ object Similarity {
 
   /** Sign-projection key over planes [first, first+bits): bit b = sign of
     * the dot product with hyperplane (first + b). [[lshBucket]] is the
-    * (first = 0) case; [[Dedup.d6EmbedNearDupAnn]] uses one key per band. */
+    * (first = 0) case; [[Dedup.d6EmbedNearDupAnn]] uses one key per band.
+    * Backed by the codegen [[graft.functions.SignKey]] expression — the
+    * HOF formulation's per-plane tree made janino compilation the
+    * dominant cost of every banded query. */
   private[operators] def signKey(v: Column, first: Int, bits: Int): Column =
+    graft.functions.SignKey.signKeyFast(v, first, bits)
+
+  /** The HOF formulation the codegen expression replaced — kept as the
+    * executable specification ([[graft.functions.SignKeySpec]] proves
+    * bit-identity on the corpus). */
+  private[graft] def signKeyHof(v: Column, first: Int, bits: Int): Column =
     (0 until bits).map { b =>
       val dot = aggregate(
         zip_with(v, transform(sequence(lit(1), size(v)), i => planeVal(first + b, i)),
