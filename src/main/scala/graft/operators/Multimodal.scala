@@ -104,10 +104,80 @@ object Multimodal {
 
   private val ThumbSide = 8
 
+  final case class Decoded(doc_id: Long, width: Long, height: Long, px_sum: Long)
+
+  /** m4: REAL image decode — no stub. Each document renders to a
+    * deterministic grayscale image (pixel k = byte k mod len of the
+    * text), is encoded through the JDK's actual PNG codec
+    * (`javax.imageio`), and the decode stage reads the PNG back and
+    * extracts pixel features. PNG grayscale is lossless, so the decoded
+    * pixels equal the source bytes and a DuckDB oracle can verify the
+    * whole encode→decode→feature pipeline exactly. This is the
+    * [[m1DecodeFeatures]] plumbing with the stub replaced by a real
+    * codec; m1–m3 remain for the pure-arithmetic contract.
+    *
+    * Batch shape matches a production decoder: one codec context per
+    * batch of [[DecodeBatch]] images inside `mapPartitions` — the same
+    * iterator shape a GPU/turbojpeg decode would use. */
+  def m4PngDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // decode stage: real PNG parse + pixel feature extraction, batched
+    pngEncoded(s, dir).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(DecodeBatch).flatMap(_.map { case (id, png) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val raster = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            sum += raster.getSample(x, y, 0)
+            x += 1
+          }
+          y += 1
+        }
+        Decoded(id, img.getWidth.toLong, img.getHeight.toLong, sum)
+      })
+    }.toDF().orderBy("doc_id")
+  }
+
+  /** Encode stage of [[m4PngDecode]]: text bytes → real PNG payloads. */
+  private[operators] def pngEncoded(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(
+      col("doc_id").cast("long").as("doc_id"),
+      col("text"),
+      (col("n_chars") % 64 + 16).cast("int").as("w"),
+      (col("doc_id") % 32 + 16).cast("int").as("h"))
+      .as[(Long, String, Int, Int)]
+      .mapPartitions { it =>
+        // ImageIO's default stream cache spills through a TEMP FILE per
+        // image — memory-cached streams are ~10× faster and identical
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, text, w, h) =>
+          val bytes = text.getBytes("UTF-8")
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var k = 0
+          while (k < w * h) {
+            raster.setSample(k % w, k / w, 0, bytes(k % bytes.length) & 0xff)
+            k += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          (id, out.toByteArray)
+        }
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_decode" -> m1DecodeFeatures _,
     "m2_frame_sample" -> m2FrameSample _,
     "m3_resize" -> m3Resize _,
+    "m4_png_decode" -> m4PngDecode _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -139,6 +209,18 @@ object Multimodal {
          |  WHERE fr % 4 = 0)
          |SELECT doc_id, frame_no, frame_sum FROM f
          |ORDER BY doc_id, frame_no""".stripMargin),
+    // m4: the image is pixel k = text byte (k mod len); PNG is lossless,
+    // so the decoded pixel sum equals this direct arithmetic — verifying
+    // the real encode→decode round-trip
+    "m4_png_decode" ->
+      ("""WITH f AS (SELECT doc_id, n_chars % 64 + 16 w, doc_id % 32 + 16 h,
+         |                  text, length(text) len FROM documents)
+         |SELECT doc_id, CAST(w AS BIGINT) width, CAST(h AS BIGINT) height,
+         |  list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |    list_transform(range(0, w*h),
+         |      k -> ascii(substr(text, CAST(k % len AS INT)+1, 1))::BIGINT)),
+         |    (a, b) -> a + b) px_sum
+         |FROM f ORDER BY doc_id""".stripMargin),
     "m3_resize" ->
       ("""WITH t AS (SELECT doc_id, text,
          |    greatest(1, length(text) // 64) stride FROM documents)
