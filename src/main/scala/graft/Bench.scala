@@ -21,9 +21,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm-up: exercise codegen, parquet reader, shuffle, joins once.
+    // Warm-up: exercise codegen, parquet reader, shuffle, joins once —
+    // including the pipeline tables (documents/embeddings/events), whose
+    // first touch (footer reads, nanos-ts conversion) otherwise lands
+    // inside a timed query.
     try {
-      Tables.tpch.foreach(t => Tables.load(spark, sfDir, t).count())
+      Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
       queries.CoreQueries.q11MultiJoin(spark, sfDir).count()
     } catch { case _: Throwable => () }
 

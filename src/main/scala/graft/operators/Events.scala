@@ -40,9 +40,20 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** e3: exact distinct users per event_type via [[Salting]] — the hot
+    * low-cardinality groupBy (a handful of event types over the whole
+    * stream) whose distinct state would otherwise pile one reducer high.
+    * The salt is the hash of user_id, so per-bucket distinct counts are
+    * disjoint and exact; the oracle is DuckDB's plain count(DISTINCT). */
+  def e3DistinctUsers(s: SparkSession, dir: String): DataFrame =
+    Salting.saltedDistinctCount(Tables.load(s, dir, "events"),
+      Seq("event_type"), "user_id", resultName = "n_users", buckets = 16)
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_tumbling_window" -> e1TumblingWindow _,
     "e2_sessionize" -> e2Sessionize _,
+    "e3_distinct_users" -> e3DistinctUsers _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -62,5 +73,8 @@ object Events {
          |SELECT user_id, CAST(sum(ns) AS BIGINT) n_sessions,
          |  count(*) n_events
          |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin),
+    "e3_distinct_users" ->
+      ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) n_users, " +
+        "count(*) cnt FROM events GROUP BY event_type ORDER BY event_type"),
   )
 }

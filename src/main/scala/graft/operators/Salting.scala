@@ -37,6 +37,25 @@ object Salting {
       .agg(finalAggs.head, finalAggs.tail.toSeq: _*)
   }
 
+  /** Exact `count(DISTINCT distinctCol)` per group, salt-partitioned:
+    * each distinct value lands in exactly one salt bucket (salt = hash
+    * of the VALUE, not the row), so per-bucket distinct counts are
+    * disjoint and the merge is a plain sum. This is the aggregation
+    * shape partial aggregation cannot fix — a hot group's entire
+    * distinct state otherwise lands on one reducer — and it is exact,
+    * unlike approx_count_distinct. Used by
+    * [[Events.e3DistinctUsers]] (oracle-checked against DuckDB's
+    * count(DISTINCT)). */
+  def saltedDistinctCount(df: DataFrame, groupCols: Seq[String],
+      distinctCol: String, resultName: String, buckets: Int): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(xxhash64(col(distinctCol)), lit(buckets)))
+    val partial = salted
+      .groupBy((groupCols :+ "__salt").map(col): _*)
+      .agg(count_distinct(col(distinctCol)).as("__pd"), count(lit(1)).as("__pc"))
+    partial.groupBy(groupCols.map(col): _*)
+      .agg(sum("__pd").as(resultName), sum("__pc").as("cnt"))
+  }
+
   /** Salted inner equi-join: `probe` (large, skewed) joins `build`
     * (small enough to replicate `buckets` times). */
   def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,

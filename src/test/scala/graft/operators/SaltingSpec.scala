@@ -28,6 +28,20 @@ class SaltingSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("saltedDistinctCount == plain count(DISTINCT) under a hot group key") {
+    import spark.implicits._
+    // one hot group ("hot": 5000 rows, 500 distinct users), many cold ones
+    val rows = (0 until 5000).map(i => ("hot", (i % 500).toLong)) ++
+      (0 until 200).map(i => (s"cold$i", (i % 7).toLong))
+    val df = rows.toDF("k", "u")
+    val plain = df.groupBy("k")
+      .agg(count_distinct(col("u")).as("n"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Salting.saltedDistinctCount(df, Seq("k"), "u", "n", buckets = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted === plain)
+  }
+
   test("saltedJoin == plain join on a skewed probe side") {
     import spark.implicits._
     val dim = (0 until 100).map(i => (s"k$i", s"name$i")).toDF("dk", "dname")
