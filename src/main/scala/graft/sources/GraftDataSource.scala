@@ -114,9 +114,12 @@ class GraftSparkTable(location: String) extends Table
     // GraftTable.read() — the two paths can never disagree. The exact
     // committed row count flows to Catalyst via SupportsReportStatistics
     // (the reference's always-exact planner estimate,
-    // cstore_fdw.c:1783-1807), so a small graft table broadcasts.
+    // cstore_fdw.c:1783-1807), so a small graft table broadcasts; pushed
+    // filters prune whole files through the metadata zone maps before
+    // the scan is planned (cstore_reader.c:744-806 at file grain).
     ParquetDelegate.scanBuilder(name(), t.committedFiles, t.readSchema(), options,
-      exactRowCount = Some(t.rowCountFromMetadata()))
+      exactRowCount = Some(t.rowCountFromMetadata()),
+      filePruner = Some(t.prunedFiles))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -160,23 +160,73 @@ final class GraftTable private (
       .mode(SaveMode.Overwrite)
       .parquet(batchDir)
     val newFiles = listParquetFiles(batchDir)
-    val n = newFiles.map(footerRowCount).sum
+    val infos = newFiles.map(f => relativize(f) -> footerInfo(f))
+    val n = infos.map(_._2._1).sum
     meta = meta.copy(
-      files = meta.files ++ newFiles.map(f => relativize(f)),
+      files = meta.files ++ infos.map(_._1),
       rowCount = meta.rowCount + n,
-      nextBatchId = meta.nextBatchId + 1)
+      nextBatchId = meta.nextBatchId + 1,
+      fileStats = meta.fileStats ++ infos.collect {
+        case (rel, (_, st)) if st.nonEmpty => rel -> st
+      })
     commitMeta()
     n
   }
 
-  /** Exact row count of a just-written file from its parquet footer —
-    * the reference reads its own footer after load (`cstore_writer.c:
-    * 344-357`); a full re-scan would double load I/O. */
-  private def footerRowCount(file: String): Long = {
+  /** Row count + per-column zone map of a just-written file, from its
+    * parquet footer only — the reference reads its own footer after load
+    * (`cstore_writer.c:344-357`); a full re-scan would double load I/O.
+    * Min/max/null stats are merged across the file's row groups and
+    * become the table's file-level skip list. */
+  private def footerInfo(file: String): (Long, Map[String, GraftTable.ColFileStats]) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file), spark.sessionState.newHadoopConf())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
+    try {
+      val rows = r.getRecordCount
+      val byCol = scala.collection.mutable.Map[String, GraftTable.ColFileStats]()
+      val eligible = meta.currentSchema.fields
+        .filter(f => GraftTable.zoneMapEligible(f.dataType)).map(_.name).toSet
+      r.getFooter.getBlocks.forEach { block =>
+        block.getColumns.forEach { cc =>
+          val name = cc.getPath.toDotString
+          val st = cc.getStatistics
+          if (eligible.contains(name) && st != null && !st.isEmpty && st.hasNonNullValue) {
+            val mn = GraftTable.statToString(st.genericGetMin)
+            val mx = GraftTable.statToString(st.genericGetMax)
+            val nulls = if (st.isNumNullsSet) st.getNumNulls else -1L
+            val merged = byCol.get(name) match {
+              case None => GraftTable.ColFileStats(mn, mx, nulls, rows)
+              case Some(prev) =>
+                val dt = meta.currentSchema(name).dataType
+                GraftTable.ColFileStats(
+                  if (GraftTable.compareStat(dt, mn, prev.min).exists(_ < 0)) mn else prev.min,
+                  if (GraftTable.compareStat(dt, mx, prev.max).exists(_ > 0)) mx else prev.max,
+                  if (nulls < 0 || prev.nulls < 0) -1L else prev.nulls + nulls,
+                  rows)
+            }
+            byCol.put(name, merged)
+          }
+        }
+      }
+      (rows, byCol.toMap)
+    } finally r.close()
+  }
+
+  /** The committed files that could still contain rows matching every
+    * filter — the file-level analog of the reference's
+    * `SelectedBlockMask` (`cstore_reader.c:744-806`): a file is dropped
+    * only when its zone map REFUTES a pushed filter. Files without
+    * recorded stats (pre-feature appends, unsupported types) are always
+    * kept. */
+  def prunedFiles(filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
+    if (filters.isEmpty) return dataFiles()
+    meta.files.filterNot { rel =>
+      meta.fileStats.get(rel) match {
+        case Some(st) => filters.exists(f => GraftTable.refutes(meta.currentSchema, st, f))
+        case None => false
+      }
+    }.map(f => s"$location/$f")
   }
 
   private def withTableLock[T](f: => T): T = GraftTable.withWriterLock(location)(f)
@@ -213,7 +263,7 @@ final class GraftTable private (
     * table definition, re-init empty. */
   def truncate(): Unit = withTableLock {
     refreshMeta()
-    meta = meta.copy(files = Vector.empty, rowCount = 0L)
+    meta = meta.copy(files = Vector.empty, rowCount = 0L, fileStats = Map.empty)
     commitMeta()
     deleteRecursively(Paths.get(stripUri(s"$location/data")))
   }
@@ -246,7 +296,10 @@ final class GraftTable private (
     require(meta.currentSchema.fieldNames.contains(name), s"no such column $name")
     meta = meta.copy(
       currentSchema = StructType(meta.currentSchema.fields.filterNot(_.name == name)),
-      defaults = meta.defaults - name)
+      defaults = meta.defaults - name,
+      // drop the column's zone maps too: a later ADD COLUMN reusing the
+      // name must not inherit stats from the dropped column's data
+      fileStats = meta.fileStats.map { case (f, cols) => f -> (cols - name) })
     commitMeta()
   }
 
@@ -347,6 +400,13 @@ final class GraftTable private (
 
 object GraftTable {
 
+  /** Per-file per-column zone map: min/max (rendered as strings, parsed
+    * by column type at prune time), null count, and row count — the
+    * reference's stripe skip list (`cstore.proto:43-50`) lifted to FILE
+    * granularity, where the driver can refute a file before scheduling
+    * any task for it. */
+  final case class ColFileStats(min: String, max: String, nulls: Long, rows: Long)
+
   /** Persistent table metadata — the analog of the reference's `.footer`
     * + postscript (`cstore.proto:32-51`). JSON, committed via temp+rename. */
   final case class Meta(
@@ -355,7 +415,8 @@ object GraftTable {
       files: Vector[String],
       rowCount: Long,
       defaults: Map[String, Any],
-      nextBatchId: Long)
+      nextBatchId: Long,
+      fileStats: Map[String, Map[String, ColFileStats]] = Map.empty)
 
   private val MagicKey = "graft_magic"
   private val Magic = "graft_cstore_v1" // role of `citus_cstore` magic, cstore_fdw.h:50
@@ -413,6 +474,83 @@ object GraftTable {
         case None => f
       }
     })
+  }
+
+  // ---- file-level zone maps (cstore_reader.c:744-806 at file grain) --
+
+  /** Types with parquet stats whose ordering we can reproduce exactly.
+    * Timestamps (logical-type/int96 subtleties) and decimals are
+    * conservatively excluded — their files are simply never pruned. */
+  private[storage] def zoneMapEligible(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         BooleanType | DateType => true
+    case _: StringType => true
+    case _ => false
+  }
+
+  private[storage] def statToString(v: Any): String = v match {
+    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+    case other => String.valueOf(other)
+  }
+
+  /** Typed comparison of two stat strings under the column's type.
+    * None = not comparable (never refute). String comparison uses binary
+    * order and only for pure-ASCII values, where UTF-16 `compareTo`
+    * agrees with parquet's unsigned-byte order — the same discipline
+    * that keeps collated predicates unpruned (`cstore_reader.c:763-769`). */
+  private[storage] def compareStat(dt: DataType, a: String, b: String): Option[Int] =
+    try dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType =>
+        Some(java.lang.Long.compare(a.toLong, b.toLong))
+      case FloatType | DoubleType =>
+        Some(java.lang.Double.compare(a.toDouble, b.toDouble))
+      case BooleanType => Some(java.lang.Boolean.compare(a.toBoolean, b.toBoolean))
+      case _: StringType if a.forall(_ < 128) && b.forall(_ < 128) =>
+        Some(Integer.signum(a.compareTo(b)))
+      case _ => None
+    } catch { case _: NumberFormatException => None }
+
+  /** Render a pushed-filter comparison value into the same domain as the
+    * stored stat strings (dates → epoch days, numerics → decimal text). */
+  private def filterValueString(dt: DataType, v: Any): Option[String] = (dt, v) match {
+    case (_, null) => None
+    case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay.toString)
+    case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay.toString)
+    case (DateType, _) => None
+    case (_, other) => Some(other.toString)
+  }
+
+  /** True when the file's zone map PROVES no row can satisfy `f` — the
+    * reference's `predicate_refuted_by` role. Conservative: anything not
+    * understood keeps the file. */
+  private[storage] def refutes(schema: StructType,
+      stats: Map[String, ColFileStats], f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def cs(c: String): Option[(DataType, ColFileStats)] =
+      if (schema.fieldNames.contains(c)) stats.get(c).map(s => (schema(c).dataType, s))
+      else None
+    def cmpMin(c: String, v: Any): Option[Int] = cs(c).flatMap { case (dt, s) =>
+      filterValueString(dt, v).flatMap(fv => compareStat(dt, s.min, fv))
+    }
+    def cmpMax(c: String, v: Any): Option[Int] = cs(c).flatMap { case (dt, s) =>
+      filterValueString(dt, v).flatMap(fv => compareStat(dt, s.max, fv))
+    }
+    f match {
+      case And(l, r) => refutes(schema, stats, l) || refutes(schema, stats, r)
+      case Or(l, r) => refutes(schema, stats, l) && refutes(schema, stats, r)
+      case EqualTo(c, v) =>
+        cmpMax(c, v).exists(_ < 0) || cmpMin(c, v).exists(_ > 0)
+      case GreaterThan(c, v) => cmpMax(c, v).exists(_ <= 0)
+      case GreaterThanOrEqual(c, v) => cmpMax(c, v).exists(_ < 0)
+      case LessThan(c, v) => cmpMin(c, v).exists(_ >= 0)
+      case LessThanOrEqual(c, v) => cmpMin(c, v).exists(_ > 0)
+      case In(c, vs) =>
+        vs != null && vs.nonEmpty && vs.forall(v =>
+          cmpMax(c, v).exists(_ < 0) || cmpMin(c, v).exists(_ > 0))
+      case IsNull(c) => cs(c).exists { case (_, s) => s.nulls == 0L }
+      case IsNotNull(c) => cs(c).exists { case (_, s) => s.nulls >= 0L && s.nulls == s.rows }
+      case _ => false
+    }
   }
 
   /** Per-column ANALYZE output (min/max as strings, approx ndv, nulls). */
@@ -560,6 +698,12 @@ object GraftTable {
       }
       s"${js(k)}: {${js("t")}: ${js(tag)}, ${js("v")}: ${jv(v)}}"
     }.mkString("{", ",", "}")
+    val fileStats = m.fileStats.map { case (f, cols) =>
+      s"${js(f)}: " + cols.map { case (c, cs) =>
+        s"${js(c)}: {\"mn\": ${js(cs.min)}, \"mx\": ${js(cs.max)}, " +
+          s"\"nu\": ${cs.nulls}, \"rw\": ${cs.rows}}"
+      }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     s"""{
        |  ${js(MagicKey)}: ${js(Magic)},
        |  "schema": ${js(m.currentSchema.json)},
@@ -570,6 +714,7 @@ object GraftTable {
        |  "row_count": ${m.rowCount},
        |  "next_batch_id": ${m.nextBatchId},
        |  "defaults": $defaults,
+       |  "file_stats": $fileStats,
        |  "files": ${m.files.map(js).mkString("[", ",", "]")}
        |}""".stripMargin
   }
@@ -592,6 +737,16 @@ object GraftTable {
         }
         k -> (v: Any)
       }
+    val fileStats = m.getOrElse("file_stats", Map.empty[String, Any])
+      .asInstanceOf[Map[String, Any]].map { case (f, cols) =>
+        f -> cols.asInstanceOf[Map[String, Any]].map { case (c, v) =>
+          val o = v.asInstanceOf[Map[String, Any]]
+          c -> ColFileStats(
+            o("mn").asInstanceOf[String], o("mx").asInstanceOf[String],
+            o("nu").asInstanceOf[Number].longValue(),
+            o("rw").asInstanceOf[Number].longValue())
+        }
+      }
     Meta(
       currentSchema = schema,
       options = GraftTableOptions(
@@ -603,7 +758,8 @@ object GraftTable {
       files = m("files").asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toVector,
       rowCount = m("row_count").asInstanceOf[Number].longValue(),
       defaults = defaults,
-      nextBatchId = m("next_batch_id").asInstanceOf[Number].longValue())
+      nextBatchId = m("next_batch_id").asInstanceOf[Number].longValue(),
+      fileStats = fileStats)
   }
 
   /** Minimal recursive-descent JSON parser (objects/arrays/strings/numbers/

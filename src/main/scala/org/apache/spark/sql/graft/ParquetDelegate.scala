@@ -7,6 +7,7 @@ import org.apache.spark.sql.connector.read.{ScanBuilder, Statistics}
 import org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder, ParquetTable}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -17,41 +18,68 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * of reimplementing a PartitionReader. Lives in the sql subpackage
   * because the file-source v2 internals are `private[sql]`.
   *
-  * When the caller knows the table's exact committed row count (graft
-  * metadata maintains one — the reference's always-exact planner estimate,
-  * `cstore_fdw.c:1783-1807`), the built scan reports it to Catalyst
-  * through `SupportsReportStatistics`, replacing the file-size guess.
-  * That is the reference ANALYZE's entire purpose — feeding the planner
-  * (`cstore_fdw.c:1628-1720`) — and is what lets a small graft table's
-  * join side flip to broadcast.
+  * Two graft-metadata hooks ride on top of the delegate:
+  *
+  *  - exact committed row count → Catalyst via `SupportsReportStatistics`
+  *    (the reference's always-exact planner estimate,
+  *    `cstore_fdw.c:1783-1807`), so a small graft table broadcasts;
+  *  - FILE-level zone-map pruning: once filters are pushed, the graft
+  *    table's per-file min/max skip list drops refuted files BEFORE the
+  *    scan is planned (`cstore_reader.c:744-806` at file grain) — at
+  *    cluster scale this prunes tasks, not just row groups.
   */
 object ParquetDelegate {
 
   def scanBuilder(name: String, files: Seq[String], schema: StructType,
-      options: CaseInsensitiveStringMap, exactRowCount: Option[Long] = None): ScanBuilder = {
+      options: CaseInsensitiveStringMap,
+      exactRowCount: Option[Long] = None,
+      filePruner: Option[Seq[Filter] => Seq[String]] = None): ScanBuilder = {
     val spark = SparkSession.active
     val table = ParquetTable(name, spark, options, files, Some(schema),
       classOf[ParquetFileFormat])
-    exactRowCount match {
-      case Some(n) =>
-        new StatsScanBuilder(spark, table.fileIndex, schema, schema, options, n)
-      case None => table.newScanBuilder(options)
+    (exactRowCount, filePruner) match {
+      case (None, None) => table.newScanBuilder(options)
+      case _ =>
+        new GraftScanBuilder(name, spark, table.fileIndex, schema, options,
+          files, exactRowCount, filePruner)
     }
   }
 
-  /** ParquetScanBuilder whose built scan carries the exact row count. */
-  private final class StatsScanBuilder(
+  /** ParquetScanBuilder that (a) prunes the file list through the graft
+    * zone maps once filters are pushed, and (b) reports the exact row
+    * count on the built scan for unfiltered reads. */
+  private final class GraftScanBuilder(
+      name: String,
       spark: SparkSession,
       fileIndex: PartitioningAwareFileIndex,
       schema: StructType,
-      dataSchema: StructType,
       options: CaseInsensitiveStringMap,
-      exactRows: Long)
-      extends ParquetScanBuilder(spark, fileIndex, schema, dataSchema, options) {
+      allFiles: Seq[String],
+      exactRows: Option[Long],
+      filePruner: Option[Seq[Filter] => Seq[String]])
+      extends ParquetScanBuilder(spark, fileIndex, schema, schema, options) {
 
     override def build(): ParquetScan = {
-      val base = super.build()
-      new StatsParquetScan(base, exactRows)
+      val prunedBase = filePruner match {
+        case Some(pruner) if pushedDataFilters.nonEmpty =>
+          val kept = pruner(pushedDataFilters.toSeq)
+          if (kept.size < allFiles.size) {
+            // rebuild the delegate over the surviving files, replaying
+            // the pushdown state through the public builder API
+            val prunedTable = ParquetTable(name, spark, options, kept,
+              Some(schema), classOf[ParquetFileFormat])
+            val inner = new ParquetScanBuilder(
+              spark, prunedTable.fileIndex, schema, schema, options)
+            inner.pushFilters(this.dataFilters ++ this.partitionFilters)
+            inner.pruneColumns(this.requiredSchema)
+            inner.build()
+          } else super.build()
+        case _ => super.build()
+      }
+      exactRows match {
+        case Some(n) => new StatsParquetScan(prunedBase, n)
+        case None => prunedBase
+      }
     }
   }
 
