@@ -118,7 +118,11 @@ object CoreQueries {
       .join(l, col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"))
+      // revenue summed in exact integer cents: a raw double sum diverges
+      // from the oracle in the ~10th significant digit at sf0.1 (addend
+      // order), and round(...,2) exposes it
+      .agg(round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")) / 100.0, 2).as("rev"))
       .orderBy(col("rev").desc, col("n_name"))
   }
 
@@ -254,7 +258,8 @@ object CoreQueries {
         "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
         "GROUP BY c.c_custkey ORDER BY n_orders DESC, c.c_custkey LIMIT 20"),
     "q11_multi_join" ->
-      ("SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)),2) AS rev " +
+      ("SELECT n.n_name, round(CAST(sum(CAST(round(l.l_extendedprice * " +
+        "(1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS rev " +
         "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
         "JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
         "JOIN nation n ON c.c_nationkey = n.n_nationkey " +

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Plan-shape regression guard over the ENTIRE query surface: no query
+  * may plan a CartesianProduct, and BroadcastNestedLoopJoin is allowed
+  * only where it is the intended shape (s1/s2 broadcast a ≤5-row query
+  * set against the corpus with a non-equi condition). A future edit that
+  * silently degrades a join into an all-pairs scan fails here, not at
+  * 100 TB. */
+class PlanGuardSpec extends SparkSpec {
+
+  // s1/s2: tiny broadcast query-set joined on =!= / crossJoin — intended.
+  private val bnljAllowed = Set("s1_ann_brute", "s2_ann_ivf")
+  // d5 runs its tile loop eagerly at plan-construction; exclude it here
+  // (its scale story is the tile partition-equivalence spec + d6).
+  private val skipped = Set("d5_embed_neardup")
+
+  test("no CartesianProduct anywhere; BNLJ only where intended") {
+    val dir = sf("sf0.001")
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!skipped.contains(name)) {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct"))
+          offenders += s"$name: CartesianProduct"
+        if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed.contains(name))
+          offenders += s"$name: BroadcastNestedLoopJoin"
+      }
+    }
+    assert(offenders.isEmpty, s"plan regressions: ${offenders.mkString("; ")}")
+  }
+
+  test("d6 candidate join is a keyed equality join, never all-pairs") {
+    val plan = Dedup.d6EmbedNearDupAnn(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+  }
+}
