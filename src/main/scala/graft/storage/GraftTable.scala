@@ -290,7 +290,14 @@ final class GraftTable private (
   }
 
   /** DROP COLUMN — logical drop; data remains but is never read
-    * (`cstore_fdw.c:1907-1910` attisdropped skip). */
+    * (`cstore_fdw.c:1907-1910` attisdropped skip).
+    *
+    * Known divergence, outside the reference's tested surface
+    * (`sql/alter.sql` never re-adds a dropped name): ADD COLUMN with a
+    * previously-dropped name resurfaces the old files' stored values,
+    * because the column is physically present there; PostgreSQL's
+    * attisdropped tombstone would keep them hidden forever. Avoid
+    * recycling dropped column names. */
   def dropColumn(name: String): Unit = withTableLock {
     refreshMeta()
     require(meta.currentSchema.fieldNames.contains(name), s"no such column $name")
