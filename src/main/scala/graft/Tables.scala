@@ -34,12 +34,18 @@ object Tables {
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which the
     * Spark 4 vectorized reader rejects outright. Read nanos as long
     * (legacy conf) and convert to a microsecond timestamp — the data has
-    * no sub-microsecond components, so this is lossless. */
+    * no sub-microsecond components, so this is lossless.
+    *
+    * The division must be INTEGRAL (`DIV`): `col / 1000L` is double
+    * division, and epoch nanos (~1.7e18) exceed double's 53-bit
+    * mantissa, silently shifting timestamps by ±1 µs. Coarse windowed
+    * queries absorb that; exact per-event arithmetic (e4's attribution
+    * gap) does not. */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 

@@ -50,10 +50,33 @@ object Events {
       Seq("event_type"), "user_id", resultName = "n_users", buckets = 16)
       .orderBy("event_type")
 
+  /** e4: AS-OF join (event attribution) — each purchase joined to the
+    * user's most recent click at-or-before it in (ts, event_id) order.
+    * Spark has no native ASOF JOIN; the naive formulation is a range
+    * self-join (quadratic in a user's history). This is the single-pass
+    * shape instead: one shuffle on user_id, a running last-click carried
+    * by a rows-window — O(history) per user, total order makes it
+    * deterministic, and purchases with no prior click keep NULLs. */
+  def e4AsofAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isClick = col("event_type") === "click"
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("click_id", last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_us",
+        last(when(isClick, unix_micros(col("ts"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("click_id"),
+        (unix_micros(col("ts")) - col("click_us")).as("gap_us"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_tumbling_window" -> e1TumblingWindow _,
     "e2_sessionize" -> e2Sessionize _,
     "e3_distinct_users" -> e3DistinctUsers _,
+    "e4_asof_attribution" -> e4AsofAttribution _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -76,5 +99,17 @@ object Events {
     "e3_distinct_users" ->
       ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) n_users, " +
         "count(*) cnt FROM events GROUP BY event_type ORDER BY event_type"),
+    "e4_asof_attribution" ->
+      ("""WITH w AS (
+         |  SELECT user_id, event_id, event_type, ts,
+         |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) click_id,
+         |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) click_us
+         |  FROM events)
+         |SELECT user_id, event_id, click_id, epoch_us(ts) - click_us AS gap_us
+         |FROM w WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin),
   )
 }
