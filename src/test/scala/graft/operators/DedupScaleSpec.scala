@@ -42,9 +42,11 @@ class DedupScaleSpec extends SparkSpec {
     // this corpus's 0.4 threshold sits near the random-noise floor — the
     // hardest regime for sign-LSH (measured ≈ 0.47 here, ≈ 0.54 at
     // sf0.01; ≥ 0.99 analytically for the realistic ≥ 0.9-cosine
-    // near-dup regime). Pin a floor so banding regressions fail loudly.
+    // near-dup regime). The floor is set ~3σ under the measurement (66
+    // pairs ⇒ σ ≈ 0.06 across corpus reseeds) so it fails on a genuine
+    // banding regression (recall ≈ 0), not on a regenerated corpus.
     val recall = ann.size.toDouble / exact.size
-    assert(recall >= 0.4, s"recall $recall collapsed below the measured floor")
+    assert(recall >= 0.3, s"recall $recall collapsed below the regression floor")
   }
 
   private def writeDocs(rows: Seq[(Long, String)]): String = {
