@@ -177,7 +177,16 @@ final class GraftTable private (
     * parquet footer only — the reference reads its own footer after load
     * (`cstore_writer.c:344-357`); a full re-scan would double load I/O.
     * Min/max/null stats are merged across the file's row groups and
-    * become the table's file-level skip list. */
+    * become the table's file-level skip list.
+    *
+    * A column's entry is recorded only when EVERY row group contributed
+    * usable stats. Parquet omits or empties chunk stats in real layouts —
+    * an all-null chunk has `hasNonNullValue == false`, and parquet-mr
+    * drops binary min/max wider than 4KB — and a `sort_by` load clusters
+    * nulls into a leading all-null row group, so merging just the blocks
+    * that do have stats would record `nulls = 0` (or too-tight min/max)
+    * for a file that still holds nulls / out-of-range values, and
+    * `refutes()` would silently prune matching rows. */
   private def footerInfo(file: String): (Long, Map[String, GraftTable.ColFileStats]) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file), spark.sessionState.newHadoopConf())
@@ -185,31 +194,56 @@ final class GraftTable private (
     try {
       val rows = r.getRecordCount
       val byCol = scala.collection.mutable.Map[String, GraftTable.ColFileStats]()
+      val unusable = scala.collection.mutable.Set[String]()
       val eligible = meta.currentSchema.fields
         .filter(f => GraftTable.zoneMapEligible(f.dataType)).map(_.name).toSet
       r.getFooter.getBlocks.forEach { block =>
         block.getColumns.forEach { cc =>
           val name = cc.getPath.toDotString
           val st = cc.getStatistics
-          if (eligible.contains(name) && st != null && !st.isEmpty && st.hasNonNullValue) {
-            val mn = GraftTable.statToString(st.genericGetMin)
-            val mx = GraftTable.statToString(st.genericGetMax)
-            val nulls = if (st.isNumNullsSet) st.getNumNulls else -1L
-            val merged = byCol.get(name) match {
-              case None => GraftTable.ColFileStats(mn, mx, nulls, rows)
-              case Some(prev) =>
-                val dt = meta.currentSchema(name).dataType
-                GraftTable.ColFileStats(
-                  if (GraftTable.compareStat(dt, mn, prev.min).exists(_ < 0)) mn else prev.min,
-                  if (GraftTable.compareStat(dt, mx, prev.max).exists(_ > 0)) mx else prev.max,
-                  if (nulls < 0 || prev.nulls < 0) -1L else prev.nulls + nulls,
-                  rows)
+          if (eligible.contains(name)) {
+            val usable = st != null && !st.isEmpty && st.hasNonNullValue
+            if (!usable) {
+              // A chunk whose whole value domain is null IS fully
+              // described when its null count is trustworthy: min/max
+              // don't exist, but no non-null value can hide in it.
+              val allNull = st != null && !st.isEmpty && st.isNumNullsSet &&
+                st.getNumNulls == block.getRowCount && !st.hasNonNullValue
+              if (allNull) {
+                val merged = byCol.get(name) match {
+                  case None => GraftTable.ColFileStats(null, null, st.getNumNulls, rows)
+                  case Some(prev) => prev.copy(
+                    nulls = if (prev.nulls < 0) -1L else prev.nulls + st.getNumNulls,
+                    rows = rows)
+                }
+                byCol.put(name, merged)
+              } else unusable += name
+            } else {
+              val mn = GraftTable.statToString(st.genericGetMin)
+              val mx = GraftTable.statToString(st.genericGetMax)
+              val nulls = if (st.isNumNullsSet) st.getNumNulls else -1L
+              val merged = byCol.get(name) match {
+                case None => GraftTable.ColFileStats(mn, mx, nulls, rows)
+                case Some(prev) =>
+                  val dt = meta.currentSchema(name).dataType
+                  val pMin =
+                    if (prev.min == null) mn
+                    else if (GraftTable.compareStat(dt, mn, prev.min).exists(_ < 0)) mn
+                    else prev.min
+                  val pMax =
+                    if (prev.max == null) mx
+                    else if (GraftTable.compareStat(dt, mx, prev.max).exists(_ > 0)) mx
+                    else prev.max
+                  GraftTable.ColFileStats(pMin, pMax,
+                    if (nulls < 0 || prev.nulls < 0) -1L else prev.nulls + nulls,
+                    rows)
+              }
+              byCol.put(name, merged)
             }
-            byCol.put(name, merged)
           }
         }
       }
-      (rows, byCol.toMap)
+      (rows, (byCol -- unusable).toMap)
     } finally r.close()
   }
 
@@ -506,7 +540,8 @@ object GraftTable {
     * agrees with parquet's unsigned-byte order — the same discipline
     * that keeps collated predicates unpruned (`cstore_reader.c:763-769`). */
   private[storage] def compareStat(dt: DataType, a: String, b: String): Option[Int] =
-    try dt match {
+    if (a == null || b == null) None
+    else try dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType =>
         Some(java.lang.Long.compare(a.toLong, b.toLong))
       case FloatType | DoubleType =>
@@ -542,18 +577,24 @@ object GraftTable {
     def cmpMax(c: String, v: Any): Option[Int] = cs(c).flatMap { case (dt, s) =>
       filterValueString(dt, v).flatMap(fv => compareStat(dt, s.max, fv))
     }
+    // A file whose recorded stats show the column is null in every row
+    // can satisfy no comparison predicate at all (SQL comparisons with
+    // NULL are never true) — the all-null-stripe refutation the
+    // reference gets from its own `hasNonNullValue` flag.
+    def allNull(c: String): Boolean =
+      cs(c).exists { case (_, s) => s.rows > 0L && s.nulls == s.rows }
     f match {
       case And(l, r) => refutes(schema, stats, l) || refutes(schema, stats, r)
       case Or(l, r) => refutes(schema, stats, l) && refutes(schema, stats, r)
       case EqualTo(c, v) =>
-        cmpMax(c, v).exists(_ < 0) || cmpMin(c, v).exists(_ > 0)
-      case GreaterThan(c, v) => cmpMax(c, v).exists(_ <= 0)
-      case GreaterThanOrEqual(c, v) => cmpMax(c, v).exists(_ < 0)
-      case LessThan(c, v) => cmpMin(c, v).exists(_ >= 0)
-      case LessThanOrEqual(c, v) => cmpMin(c, v).exists(_ > 0)
+        allNull(c) || cmpMax(c, v).exists(_ < 0) || cmpMin(c, v).exists(_ > 0)
+      case GreaterThan(c, v) => allNull(c) || cmpMax(c, v).exists(_ <= 0)
+      case GreaterThanOrEqual(c, v) => allNull(c) || cmpMax(c, v).exists(_ < 0)
+      case LessThan(c, v) => allNull(c) || cmpMin(c, v).exists(_ >= 0)
+      case LessThanOrEqual(c, v) => allNull(c) || cmpMin(c, v).exists(_ > 0)
       case In(c, vs) =>
-        vs != null && vs.nonEmpty && vs.forall(v =>
-          cmpMax(c, v).exists(_ < 0) || cmpMin(c, v).exists(_ > 0))
+        allNull(c) || (vs != null && vs.nonEmpty && vs.forall(v =>
+          cmpMax(c, v).exists(_ < 0) || cmpMin(c, v).exists(_ > 0)))
       case IsNull(c) => cs(c).exists { case (_, s) => s.nulls == 0L }
       case IsNotNull(c) => cs(c).exists { case (_, s) => s.nulls >= 0L && s.nulls == s.rows }
       case _ => false
@@ -705,9 +746,11 @@ object GraftTable {
       }
       s"${js(k)}: {${js("t")}: ${js(tag)}, ${js("v")}: ${jv(v)}}"
     }.mkString("{", ",", "}")
+    // min/max are null for an all-null column (null count still prunes)
+    def jsn(s: String) = if (s == null) "null" else js(s)
     val fileStats = m.fileStats.map { case (f, cols) =>
       s"${js(f)}: " + cols.map { case (c, cs) =>
-        s"${js(c)}: {\"mn\": ${js(cs.min)}, \"mx\": ${js(cs.max)}, " +
+        s"${js(c)}: {\"mn\": ${jsn(cs.min)}, \"mx\": ${jsn(cs.max)}, " +
           s"\"nu\": ${cs.nulls}, \"rw\": ${cs.rows}}"
       }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")

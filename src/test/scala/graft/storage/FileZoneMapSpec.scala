@@ -70,6 +70,74 @@ class FileZoneMapSpec extends SparkSpec {
     GraftTable.drop(t.location)
   }
 
+  test("all-null leading row groups do not poison the file zone map") {
+    import spark.implicits._
+    val loc = tmpDir("zm-allnull") + "/tbl"
+    val t = GraftTable.create(spark, loc,
+      StructType(Seq(StructField("id", IntegerType),
+        StructField("v", LongType, nullable = true))),
+      // sort_by(v) clusters the nulls first; stripeRowCount=1000 gives a
+      // 64KB row-group target so this file holds many row groups, the
+      // leading ones all-null in v — the exact layout where merging only
+      // stat-bearing blocks would record nulls=0 for the whole file.
+      GraftTableOptions(stripeRowCount = 1000L, blockRowCount = 1000L, sortBy = Seq("v")))
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 200000).map { i =>
+      (rng.nextInt(), if (i % 2 == 0) None else Some(1000L + rng.nextInt(1000000)))
+    }
+    t.append(rows.toDF("id", "v").coalesce(1))
+    // precondition: the layout really has >1 row group and an all-null one
+    val file = t.committedFiles.head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), spark.sessionState.newHadoopConf()))
+    val blocks = try reader.getFooter.getBlocks.size finally reader.close()
+    assert(blocks > 1, s"expected a multi-row-group file, got $blocks")
+    // IS NULL must keep the file: it holds 100k nulls
+    assert(t.prunedFiles(Seq(IsNull("v"))).size === 1)
+    val df = spark.read.format("graft").load(loc)
+    assert(df.filter(col("v").isNull).count() === 100000L)
+    // and the valued blocks' min/max still prune genuinely refuted ranges
+    assert(t.prunedFiles(Seq(LessThan("v", 0L))).isEmpty)
+    assert(t.prunedFiles(Seq(GreaterThanOrEqual("v", 1000L))).size === 1)
+    GraftTable.drop(loc)
+  }
+
+  test("a column with omitted chunk stats is dropped from the zone map, never pruned") {
+    import spark.implicits._
+    val loc = tmpDir("zm-nostats") + "/tbl"
+    val t = GraftTable.create(spark, loc,
+      StructType(Seq(StructField("id", IntegerType), StructField("s", StringType))))
+    // parquet-mr omits chunk min/max when min+max exceed 4KB: 5KB values
+    // leave the column stat-less while ints keep theirs
+    val big = "x" * 5000
+    t.append((0 until 50).map(i => (i, big + i)).toDF("id", "s").coalesce(1))
+    assert(t.prunedFiles(Seq(EqualTo("s", "zzz"))).size === 1,
+      "stat-less column must never refute")
+    assert(t.prunedFiles(Seq(EqualTo("id", 9999))).isEmpty,
+      "other columns keep their stats")
+    GraftTable.drop(loc)
+  }
+
+  test("a fully-null column refutes comparisons but not IS NULL") {
+    import spark.implicits._
+    val loc = tmpDir("zm-fullnull") + "/tbl"
+    val t = GraftTable.create(spark, loc,
+      StructType(Seq(StructField("id", IntegerType),
+        StructField("v", LongType, nullable = true))))
+    t.append((0 until 100).map(i => (i, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "v").coalesce(1))
+    // no comparison can be true against an all-null column
+    assert(t.prunedFiles(Seq(EqualTo("v", 1L))).isEmpty)
+    assert(t.prunedFiles(Seq(GreaterThan("v", 0L))).isEmpty)
+    // but the nulls themselves are there
+    assert(t.prunedFiles(Seq(IsNull("v"))).size === 1)
+    assert(t.prunedFiles(Seq(IsNotNull("v"))).isEmpty)
+    val df = spark.read.format("graft").load(loc)
+    assert(df.filter(col("v").isNull).count() === 100L)
+    GraftTable.drop(loc)
+  }
+
   test("zone maps survive metadata re-open and clear on truncate") {
     val t = mkTable("zm-reopen")
     val reopened = GraftTable.open(spark, t.location)
