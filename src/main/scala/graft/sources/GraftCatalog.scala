@@ -1,9 +1,10 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths}
 import java.util.{Map => JMap, Set => JSet}
 
 import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
@@ -31,6 +32,8 @@ import graft.storage.{GraftTable, GraftTableOptions}
   *   ALTER TABLE graft.db.t ALTER COLUMN a TYPE BIGINT  -- coercibility-checked
   * }}}
   *
+  * The warehouse is any Hadoop-FS URI (`file:`, `hdfs:`, `s3a:`, …);
+  * all directory operations go through the resolved `FileSystem`.
   * Tables live at `<warehouse>/<namespace...>/<table>`; a namespace is a
   * directory. Everything routes through [[GraftTable]], so SQL and Scala
   * API lifecycles are the same code path — files can no longer leak from
@@ -40,15 +43,23 @@ import graft.storage.{GraftTable, GraftTableOptions}
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catName: String = _
-  private var warehouse: Path = _
+  private var warehouse: String = _
+  private var fs: FileSystem = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
     val w = options.get("warehouse")
     require(w != null && w.nonEmpty,
       s"catalog '$name' requires option 'spark.sql.catalog.$name.warehouse'")
-    warehouse = Paths.get(GraftTable.stripUri(w)).toAbsolutePath.normalize
-    Files.createDirectories(warehouse)
+    // Absolutize scheme-less paths so every table dir key is canonical;
+    // URI locations (hdfs://, s3a://, ...) pass through untouched.
+    warehouse =
+      if (new HPath(w).toUri.getScheme == null)
+        java.nio.file.Paths.get(w).toAbsolutePath.normalize.toString
+      else w.stripSuffix("/")
+    val (f, root) = GraftTable.fsAndPath(warehouse)
+    fs = f
+    fs.mkdirs(root)
     ()
   }
 
@@ -59,19 +70,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     Set(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE).asJava
 
   private def tableDir(ident: Identifier): String =
-    (ident.namespace() :+ ident.name()).foldLeft(warehouse)(_.resolve(_)).toString
+    (ident.namespace() :+ ident.name()).mkString(s"$warehouse/", "/", "")
 
-  private def nsDir(namespace: Array[String]): Path =
-    namespace.foldLeft(warehouse)(_.resolve(_))
+  private def nsDir(namespace: Array[String]): HPath =
+    new HPath(namespace.mkString(s"$warehouse/", "/", "").stripSuffix("/"))
+
+  private def isDir(p: HPath): Boolean =
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
 
   // ---- tables --------------------------------------------------------
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val d = nsDir(namespace)
-    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
-    Files.list(d).iterator().asScala
-      .filter(p => GraftTable.exists(p.toString))
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
+    if (!isDir(d)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(d).toSeq
+      .filter(st => GraftTable.exists(st.getPath.toString))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
       .toArray
   }
 
@@ -96,19 +110,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       stripeRowCount = prop("stripe_row_count").map(_.toLong).getOrElse(150000L),
       blockRowCount = prop("block_row_count").map(_.toLong).getOrElse(10000L),
       sortBy = prop("sort_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty))
-    Files.createDirectories(nsDir(ident.namespace()))
+    fs.mkdirs(nsDir(ident.namespace()))
     GraftTable.create(SparkSession.active, tableDir(ident), schema, opts)
     new GraftSparkTable(tableDir(ident))
   }
 
   /** ALTER routed through [[GraftTable]]'s coercibility + constant-default
     * validation — the reference's `CStoreProcessUtility` checks
-    * (`cstore_fdw.c:717-769`). */
+    * (`cstore_fdw.c:717-769`). A multi-change ALTER is all-or-nothing:
+    * every change is validated and applied to an in-memory copy of the
+    * metadata first, and a single commit publishes them, so a failing
+    * later change can't leave earlier ones durably applied behind a
+    * statement Spark reports as failed. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val d = tableDir(ident)
     if (!GraftTable.exists(d)) throw new NoSuchTableException(ident)
     val t = GraftTable.open(SparkSession.active, d)
-    changes.foreach {
+    t.alterAll(changes.map {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           s"nested column ${add.fieldNames().mkString(".")} not supported")
@@ -116,18 +134,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           case u: UTF8String => u.toString
           case other => other
         }).orNull
-        t.addColumn(add.fieldNames()(0), add.dataType(), default)
+        GraftTable.AddCol(add.fieldNames()(0), add.dataType(), default)
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1,
           s"nested column ${del.fieldNames().mkString(".")} not supported")
-        t.dropColumn(del.fieldNames()(0))
+        GraftTable.DropCol(del.fieldNames()(0))
       case upd: TableChange.UpdateColumnType =>
         require(upd.fieldNames().length == 1,
           s"nested column ${upd.fieldNames().mkString(".")} not supported")
-        t.alterColumnType(upd.fieldNames()(0), upd.newDataType())
+        GraftTable.AlterColType(upd.fieldNames()(0), upd.newDataType())
       case other =>
         throw new UnsupportedOperationException(s"ALTER change $other is not supported")
-    }
+    })
     loadTable(ident)
   }
 
@@ -142,37 +160,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
-    Files.createDirectories(nsDir(newIdent.namespace()))
-    Files.move(Paths.get(tableDir(oldIdent)), Paths.get(tableDir(newIdent)))
+    fs.mkdirs(nsDir(newIdent.namespace()))
+    require(fs.rename(new HPath(tableDir(oldIdent)), new HPath(tableDir(newIdent))),
+      s"rename ${oldIdent} -> ${newIdent} failed")
     ()
   }
 
   // ---- namespaces (directories under the warehouse) ------------------
 
   override def listNamespaces(): Array[Array[String]] =
-    Files.list(warehouse).iterator().asScala
-      .filter(p => Files.isDirectory(p) && !GraftTable.exists(p.toString))
-      .map(p => Array(p.getFileName.toString))
+    fs.listStatus(new HPath(warehouse)).toSeq
+      .filter(st => st.isDirectory && !GraftTable.exists(st.getPath.toString))
+      .map(st => Array(st.getPath.getName))
       .toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) return listNamespaces()
     val d = nsDir(namespace)
-    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
-    Files.list(d).iterator().asScala
-      .filter(p => Files.isDirectory(p) && !GraftTable.exists(p.toString))
-      .map(p => namespace :+ p.getFileName.toString)
+    if (!isDir(d)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(d).toSeq
+      .filter(st => st.isDirectory && !GraftTable.exists(st.getPath.toString))
+      .map(st => namespace :+ st.getPath.getName)
       .toArray
   }
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
-    if (!Files.isDirectory(nsDir(namespace))) throw new NoSuchNamespaceException(namespace)
+    if (!isDir(nsDir(namespace))) throw new NoSuchNamespaceException(namespace)
     Map.empty[String, String].asJava
   }
 
   override def createNamespace(namespace: Array[String],
       metadata: JMap[String, String]): Unit = {
-    Files.createDirectories(nsDir(namespace))
+    fs.mkdirs(nsDir(namespace))
     ()
   }
 
@@ -182,10 +201,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val d = nsDir(namespace)
-    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
-    if (!cascade && Files.list(d).iterator().hasNext)
+    if (!isDir(d)) throw new NoSuchNamespaceException(namespace)
+    if (!cascade && fs.listStatus(d).nonEmpty)
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
-    GraftTable.drop(d.toString)
+    fs.delete(d, true)
     true
   }
 }

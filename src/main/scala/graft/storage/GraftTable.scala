@@ -1,9 +1,12 @@
 package graft.storage
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.Paths
 
 import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -63,9 +66,17 @@ object GraftTableOptions {
   * - `ALTER COLUMN TYPE` only for implicitly coercible types
   *   (`cstore_fdw.c:717-769`)
   *
-  * At cluster scale the data dir is any Hadoop-FS URI; each append writes
-  * new files (one per shuffle partition), so writers never rewrite history
-  * and readers scale by file-level parallelism.
+  * The data dir is any Hadoop-FS URI (`file:`, `hdfs:`, `s3a:`, …):
+  * every metadata, listing, size, and delete operation goes through the
+  * `FileSystem` resolved from the location, and each append writes new
+  * files (one per shuffle partition), so writers never rewrite history
+  * and readers scale by file-level parallelism. Cross-process writer
+  * exclusion uses an OS file lock for `file:` tables; on filesystems
+  * without POSIX locks (object stores) concurrent writers from
+  * *different* processes must be serialized externally — the same
+  * single-writer caveat the reference documents (`TODO.md:25-28`) —
+  * while writers within one JVM are always serialized by the per-table
+  * monitor.
   */
 final class GraftTable private (
     val spark: SparkSession,
@@ -119,8 +130,9 @@ final class GraftTable private (
   /** On-disk bytes of committed data + metadata, the
     * `cstore_table_size(regclass)` UDF (`cstore_fdw.c:1183-1229`). */
   def tableSize(): Long = {
-    val dataBytes = dataFiles().map(f => Files.size(Paths.get(stripUri(f)))).sum
-    val metaBytes = Files.size(metaPath(location))
+    val (fs, _) = fsAndPath(location)
+    val dataBytes = dataFiles().map(f => fs.getFileStatus(new HPath(f)).getLen).sum
+    val metaBytes = fs.getFileStatus(metaPath(location)).getLen
     dataBytes + metaBytes
   }
 
@@ -160,7 +172,7 @@ final class GraftTable private (
       .mode(SaveMode.Overwrite)
       .parquet(batchDir)
     val newFiles = listParquetFiles(batchDir)
-    val infos = newFiles.map(f => relativize(f) -> footerInfo(f))
+    val infos = newFiles.map(f => relativize(f, location) -> footerInfo(f))
     val n = infos.map(_._2._1).sum
     meta = meta.copy(
       files = meta.files ++ infos.map(_._1),
@@ -299,7 +311,9 @@ final class GraftTable private (
     refreshMeta()
     meta = meta.copy(files = Vector.empty, rowCount = 0L, fileStats = Map.empty)
     commitMeta()
-    deleteRecursively(Paths.get(stripUri(s"$location/data")))
+    val (fs, _) = fsAndPath(location)
+    fs.delete(new HPath(s"$location/data"), true)
+    ()
   }
 
   // ---- schema evolution (ALTER TABLE, cstore_fdw.c:717-769) ----------
@@ -308,20 +322,8 @@ final class GraftTable private (
     * default is recorded and synthesized at read (`cstore_reader.c:
     * 1224-1292`). Non-constant defaults are rejected, matching
     * `cstore_reader.c:1283-1289`. */
-  def addColumn(name: String, dataType: DataType, default: Any = null): Unit = withTableLock {
-    refreshMeta()
-    require(!meta.currentSchema.fieldNames.contains(name), s"column $name already exists")
-    default match {
-      case null | _: java.lang.Number | _: String | _: java.lang.Boolean => ()
-      case other => throw new IllegalArgumentException(
-        s"only constant defaults are supported, got ${other.getClass.getName}")
-    }
-    meta = meta.copy(
-      currentSchema = StructType(meta.currentSchema.fields :+
-        StructField(name, dataType, nullable = true)),
-      defaults = if (default == null) meta.defaults else meta.defaults + (name -> default))
-    commitMeta()
-  }
+  def addColumn(name: String, dataType: DataType, default: Any = null): Unit =
+    alterAll(Seq(GraftTable.AddCol(name, dataType, default)))
 
   /** DROP COLUMN — logical drop; data remains but is never read
     * (`cstore_fdw.c:1907-1910` attisdropped skip).
@@ -332,29 +334,25 @@ final class GraftTable private (
     * because the column is physically present there; PostgreSQL's
     * attisdropped tombstone would keep them hidden forever. Avoid
     * recycling dropped column names. */
-  def dropColumn(name: String): Unit = withTableLock {
-    refreshMeta()
-    require(meta.currentSchema.fieldNames.contains(name), s"no such column $name")
-    meta = meta.copy(
-      currentSchema = StructType(meta.currentSchema.fields.filterNot(_.name == name)),
-      defaults = meta.defaults - name,
-      // drop the column's zone maps too: a later ADD COLUMN reusing the
-      // name must not inherit stats from the dropped column's data
-      fileStats = meta.fileStats.map { case (f, cols) => f -> (cols - name) })
-    commitMeta()
-  }
+  def dropColumn(name: String): Unit =
+    alterAll(Seq(GraftTable.DropCol(name)))
 
   /** ALTER COLUMN TYPE with the reference's implicit-coercibility rule
     * (`cstore_fdw.c:717-769`; `sql/alter.sql:75-83`: int→float OK,
     * float→int rejected, text↔varchar OK). */
-  def alterColumnType(name: String, to: DataType): Unit = withTableLock {
+  def alterColumnType(name: String, to: DataType): Unit =
+    alterAll(Seq(GraftTable.AlterColType(name, to)))
+
+  /** Apply a sequence of schema changes as ONE transaction: every change
+    * validates and applies against an in-memory metadata copy, and a
+    * single commit publishes them all — a failing later change leaves
+    * nothing durably applied (the reference gets this for free from
+    * PostgreSQL's transactional DDL; per-change commits would leave a
+    * half-altered table behind a failed multi-change ALTER). */
+  def alterAll(changes: Seq[GraftTable.SchemaChange]): Unit = withTableLock {
     refreshMeta()
-    val from = meta.currentSchema(name).dataType
-    require(implicitlyCoercible(from, to),
-      s"cannot change column $name from $from to $to: not implicitly coercible")
-    meta = meta.copy(currentSchema = StructType(meta.currentSchema.fields.map { f =>
-      if (f.name == name) f.copy(dataType = to) else f
-    }))
+    val next = changes.foldLeft(meta)(GraftTable.applyChange)
+    meta = next
     commitMeta()
   }
 
@@ -462,26 +460,126 @@ object GraftTable {
   private val MagicKey = "graft_magic"
   private val Magic = "graft_cstore_v1" // role of `citus_cstore` magic, cstore_fdw.h:50
 
+  // ---- schema changes (applied transactionally by alterAll) ----------
+
+  sealed trait SchemaChange
+  final case class AddCol(name: String, dataType: DataType, default: Any = null)
+      extends SchemaChange
+  final case class DropCol(name: String) extends SchemaChange
+  final case class AlterColType(name: String, to: DataType) extends SchemaChange
+
+  /** Validate + apply one schema change to an in-memory Meta. Pure: a
+    * throw leaves no trace, which is what makes [[GraftTable.alterAll]]
+    * all-or-nothing. */
+  private def applyChange(m: Meta, c: SchemaChange): Meta = c match {
+    case AddCol(name, dataType, default) =>
+      require(!m.currentSchema.fieldNames.contains(name), s"column $name already exists")
+      default match {
+        case null | _: java.lang.Number | _: String | _: java.lang.Boolean => ()
+        case other => throw new IllegalArgumentException(
+          s"only constant defaults are supported, got ${other.getClass.getName}")
+      }
+      m.copy(
+        currentSchema = StructType(m.currentSchema.fields :+
+          StructField(name, dataType, nullable = true)),
+        defaults = if (default == null) m.defaults else m.defaults + (name -> default))
+    case DropCol(name) =>
+      require(m.currentSchema.fieldNames.contains(name), s"no such column $name")
+      m.copy(
+        currentSchema = StructType(m.currentSchema.fields.filterNot(_.name == name)),
+        defaults = m.defaults - name,
+        // drop the column's zone maps too: a later ADD COLUMN reusing the
+        // name must not inherit stats from the dropped column's data
+        fileStats = m.fileStats.map { case (f, cols) => f -> (cols - name) })
+    case AlterColType(name, to) =>
+      require(m.currentSchema.fieldNames.contains(name), s"no such column $name")
+      val from = m.currentSchema(name).dataType
+      require(implicitlyCoercible(from, to),
+        s"cannot change column $name from $from to $to: not implicitly coercible")
+      m.copy(currentSchema = StructType(m.currentSchema.fields.map { f =>
+        if (f.name == name) f.copy(dataType = to) else f
+      }))
+  }
+
+  // ---- filesystem resolution -----------------------------------------
+
+  /** Hadoop configuration for metadata I/O: the active session's (so
+    * `fs.*` runtime settings apply), else a bare default. */
+  private[graft] def hadoopConf(): Configuration =
+    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** Resolve a location string (URI or bare path) to its FileSystem.
+    * Local paths unwrap `LocalFileSystem` to the raw (non-checksummed)
+    * filesystem so metadata files don't grow `.crc` siblings and renames
+    * are plain POSIX renames. */
+  private[graft] def fsAndPath(location: String): (FileSystem, HPath) = {
+    val hp = new HPath(location)
+    val fs = hp.getFileSystem(hadoopConf()) match {
+      case local: org.apache.hadoop.fs.LocalFileSystem => local.getRaw
+      case other => other
+    }
+    (fs, hp)
+  }
+
+  /** Rename `src` over `dst`. POSIX filesystems replace atomically; on
+    * filesystems whose rename refuses an existing destination (HDFS) the
+    * destination is deleted first — a window in which a concurrent
+    * reader retries. Writers themselves are serialized by the table
+    * lock, so two commits never race here. */
+  private def renameReplacing(fs: FileSystem, src: HPath, dst: HPath): Unit = {
+    if (!fs.rename(src, dst)) {
+      fs.delete(dst, false)
+      require(fs.rename(src, dst), s"rename $src -> $dst failed")
+    }
+  }
+
+  private def writeFileAtomic(location: String, path: HPath, content: String): Unit = {
+    val (fs, _) = fsAndPath(location)
+    val tmp = new HPath(path.getParent, path.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    renameReplacing(fs, tmp, path)
+  }
+
+  private def readFileFully(fs: FileSystem, path: HPath): String = {
+    val len = fs.getFileStatus(path).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(path)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, StandardCharsets.UTF_8)
+  }
+
   // ---- writer serialization (cstore_fdw.c:560-564) -------------------
 
-  // Two layers: a JVM monitor per table path (java.nio FileLocks are held
+  // Two layers: a JVM monitor per table URI (java.nio FileLocks are held
   // per-JVM, so a second lock attempt from another thread would throw
-  // OverlappingFileLockException instead of blocking), then an OS file
-  // lock for writers in other processes.
+  // OverlappingFileLockException instead of blocking), then — for local
+  // tables — an OS file lock for writers in other processes. Non-POSIX
+  // filesystems (object stores, HDFS) have no lock primitive; there the
+  // monitor serializes writers within this JVM and cross-process
+  // single-writer discipline is the caller's (documented, matching the
+  // reference's own caveat, `TODO.md:25-28`).
   private val jvmLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private[storage] def withWriterLock[T](location: String)(f: => T): T = {
-    val key = Paths.get(stripUri(location)).toAbsolutePath.normalize.toString
+    val uri = new HPath(location).toUri
+    val local = uri.getScheme == null || uri.getScheme == "file"
+    val key =
+      if (local) "file:" + Paths.get(uri.getPath).toAbsolutePath.normalize.toString
+      else uri.toString.stripSuffix("/")
     val monitor = jvmLocks.computeIfAbsent(key, _ => new Object)
     monitor.synchronized {
-      val ch = java.nio.channels.FileChannel.open(
-        Paths.get(key, "_graft_write.lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock()
-        try f finally lock.release()
-      } finally ch.close()
+      if (local) {
+        val ch = java.nio.channels.FileChannel.open(
+          Paths.get(uri.getPath).resolve("_graft_write.lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock()
+          try f finally lock.release()
+        } finally ch.close()
+      } else f
     }
   }
 
@@ -606,8 +704,8 @@ object GraftTable {
   final case class TableStats(rowCount: Long, sizeBytes: Long,
       columns: Map[String, ColumnStats])
 
-  private def statsPath(location: String): Path =
-    Paths.get(stripUri(location), "_graft_stats.json")
+  private def statsPath(location: String): HPath =
+    new HPath(location, "_graft_stats.json")
 
   private[storage] def writeStatsAtomic(location: String, st: TableStats): Unit = {
     def js(s: String) = if (s == null) "null" else {
@@ -624,17 +722,14 @@ object GraftTable {
         s"\"ndv\": ${c.ndv}, \"nulls\": ${c.nullCount}}"
     }.mkString("{", ",", "}")
     val txt = s"""{"row_count": ${st.rowCount}, "size_bytes": ${st.sizeBytes}, "columns": $cols}"""
-    val path = statsPath(location)
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-    Files.write(tmp, txt.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    writeFileAtomic(location, statsPath(location), txt)
   }
 
   private[storage] def readStats(location: String): Option[TableStats] = {
+    val (fs, _) = fsAndPath(location)
     val path = statsPath(location)
-    if (!Files.exists(path)) return None
-    val m = parseJsonObject(new String(Files.readAllBytes(path), StandardCharsets.UTF_8))
+    if (!fs.exists(path)) return None
+    val m = parseJsonObject(readFileFully(fs, path))
     val cols = m("columns").asInstanceOf[Map[String, Any]].map { case (k, v) =>
       val o = v.asInstanceOf[Map[String, Any]]
       k -> ColumnStats(
@@ -651,8 +746,9 @@ object GraftTable {
   def create(spark: SparkSession, location: String, schema: StructType,
       options: GraftTableOptions = GraftTableOptions()): GraftTable = {
     options.validate()
-    require(!Files.exists(metaPath(location)), s"table already exists at $location")
-    Files.createDirectories(Paths.get(stripUri(location)))
+    val (fs, dir) = fsAndPath(location)
+    require(!fs.exists(metaPath(location)), s"table already exists at $location")
+    fs.mkdirs(dir)
     val meta = Meta(schema, options, Vector.empty, 0L, Map.empty, 0L)
     writeMetaAtomic(location, meta)
     new GraftTable(spark, location, meta)
@@ -662,11 +758,17 @@ object GraftTable {
   def open(spark: SparkSession, location: String): GraftTable =
     new GraftTable(spark, location, readMeta(location))
 
-  def exists(location: String): Boolean = Files.exists(metaPath(location))
+  def exists(location: String): Boolean = {
+    val (fs, _) = fsAndPath(location)
+    fs.exists(metaPath(location))
+  }
 
   /** DROP TABLE: remove data + metadata files (`cstore_fdw.c:776-925`). */
-  def drop(location: String): Unit =
-    deleteRecursively(Paths.get(stripUri(location)))
+  def drop(location: String): Unit = {
+    val (fs, dir) = fsAndPath(location)
+    fs.delete(dir, true)
+    ()
+  }
 
   /** Implicit-coercibility matrix (reference behavior via PG cast rules,
     * exercised by `sql/alter.sql:75-83`). Widening numeric casts and
@@ -688,39 +790,33 @@ object GraftTable {
   private[storage] def codecName(c: String): String =
     if (c == "none") "uncompressed" else c
 
-  private[graft] def stripUri(p: String): String =
-    if (p.startsWith("file:")) p.stripPrefix("file:") else p
+  private def metaPath(location: String): HPath =
+    new HPath(location, "_graft_meta.json")
 
-  private def metaPath(location: String): Path =
-    Paths.get(stripUri(location), "_graft_meta.json")
-
-  private def relativize(absolute: String): String = {
-    val loc = stripUri(absolute)
-    val idx = loc.indexOf("/data/batch-")
-    loc.substring(idx + 1)
+  /** Path of a data file relative to the table location, scheme-blind:
+    * both sides are reduced to their URI paths, so a qualified listing
+    * (`file:/wh/t/data/...`) relativizes against a bare location
+    * (`/wh/t`) and vice versa. */
+  private def relativize(absolute: String, location: String): String = {
+    val filePath = new HPath(absolute).toUri.getPath
+    val locPath = new HPath(location).toUri.getPath.stripSuffix("/")
+    require(filePath.startsWith(locPath + "/"),
+      s"data file $absolute is not under table location $location")
+    filePath.substring(locPath.length + 1)
   }
 
-  private def listParquetFiles(dir: String): Seq[String] =
-    Files.list(Paths.get(stripUri(dir))).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    }
+  private def listParquetFiles(dir: String): Seq[String] = {
+    val (fs, p) = fsAndPath(dir)
+    fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted
   }
 
   // -- JSON (de)serialization of Meta, no external deps ----------------
 
-  private def writeMetaAtomic(location: String, meta: Meta): Unit = {
-    val path = metaPath(location)
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-    Files.write(tmp, renderMeta(meta).getBytes(StandardCharsets.UTF_8))
+  private def writeMetaAtomic(location: String, meta: Meta): Unit =
     // Atomic commit point — the reference's footer rename, cstore_writer.c:350-357.
-    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+    writeFileAtomic(location, metaPath(location), renderMeta(meta))
 
   private def renderMeta(m: Meta): String = {
     def js(s: String) = "\"" + s.flatMap {
@@ -770,10 +866,10 @@ object GraftTable {
   }
 
   private[storage] def readMeta(location: String): Meta = {
+    val (fs, _) = fsAndPath(location)
     val path = metaPath(location)
-    require(Files.exists(path), s"no graft table at $location")
-    val txt = new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
-    val m = parseJsonObject(txt)
+    require(fs.exists(path), s"no graft table at $location")
+    val m = parseJsonObject(readFileFully(fs, path))
     require(m.get(MagicKey).contains(Magic), s"bad magic in $path")
     val schema = DataType.fromJson(m("schema").asInstanceOf[String]).asInstanceOf[StructType]
     val defaults = m.getOrElse("defaults", Map.empty[String, Any])
