@@ -165,12 +165,24 @@ final class GraftTable private (
     val aligned = alignToSchema(clustered)
     val batchDir = s"$location/data/batch-${meta.nextBatchId}-" +
       java.util.UUID.randomUUID().toString.take(8)
-    aligned.write
-      .option("compression", codecName(meta.options.compression))
-      .option("parquet.block.size", (meta.options.stripeRowCount * 64).toString)
-      .option("parquet.page.row.count.limit", meta.options.blockRowCount.toString)
-      .mode(SaveMode.Overwrite)
-      .parquet(batchDir)
+    // Timestamps are written as INT64 TIMESTAMP_MICROS, not Spark's
+    // default INT96: INT96 footer stats don't order like instants, so
+    // they can never feed the zone maps (the reference skips on
+    // timestamps too, `cstore_writer.c:845-849`). prepareWrite reads
+    // the session conf, so scope the override to this (lock-serialized)
+    // write; MICROS is what INT96 deprecation migrates to anyway.
+    val hasTs = meta.currentSchema.fields.exists(_.dataType == TimestampType)
+    val otsKey = "spark.sql.parquet.outputTimestampType"
+    val prevOts = if (hasTs) Some(spark.conf.get(otsKey)) else None
+    if (hasTs) spark.conf.set(otsKey, "TIMESTAMP_MICROS")
+    try {
+      aligned.write
+        .option("compression", codecName(meta.options.compression))
+        .option("parquet.block.size", (meta.options.stripeRowCount * 64).toString)
+        .option("parquet.page.row.count.limit", meta.options.blockRowCount.toString)
+        .mode(SaveMode.Overwrite)
+        .parquet(batchDir)
+    } finally prevOts.foreach(spark.conf.set(otsKey, _))
     val newFiles = listParquetFiles(batchDir)
     val infos = newFiles.map(f => relativize(f, location) -> footerInfo(f))
     val n = infos.map(_._2._1).sum
@@ -214,7 +226,16 @@ final class GraftTable private (
           val name = cc.getPath.toDotString
           val st = cc.getStatistics
           if (eligible.contains(name)) {
-            val usable = st != null && !st.isEmpty && st.hasNonNullValue
+            val dt = meta.currentSchema(name).dataType
+            // INT96 timestamps carry stats, but their byte order does not
+            // order like instants — only INT64 parquet timestamps prune.
+            val primOk = dt match {
+              case TimestampType | TimestampNTZType =>
+                cc.getPrimitiveType.getPrimitiveTypeName ==
+                  org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+              case _ => true
+            }
+            val usable = primOk && st != null && !st.isEmpty && st.hasNonNullValue
             if (!usable) {
               // A chunk whose whole value domain is null IS fully
               // described when its null count is trustworthy: min/max
@@ -231,13 +252,12 @@ final class GraftTable private (
                 byCol.put(name, merged)
               } else unusable += name
             } else {
-              val mn = GraftTable.statToString(st.genericGetMin)
-              val mx = GraftTable.statToString(st.genericGetMax)
+              val mn = GraftTable.statToString(dt, st.genericGetMin)
+              val mx = GraftTable.statToString(dt, st.genericGetMax)
               val nulls = if (st.isNumNullsSet) st.getNumNulls else -1L
               val merged = byCol.get(name) match {
                 case None => GraftTable.ColFileStats(mn, mx, nulls, rows)
                 case Some(prev) =>
-                  val dt = meta.currentSchema(name).dataType
                   val pMin =
                     if (prev.min == null) mn
                     else if (GraftTable.compareStat(dt, mn, prev.min).exists(_ < 0)) mn
@@ -618,18 +638,26 @@ object GraftTable {
   // ---- file-level zone maps (cstore_reader.c:744-806 at file grain) --
 
   /** Types with parquet stats whose ordering we can reproduce exactly.
-    * Timestamps (logical-type/int96 subtleties) and decimals are
-    * conservatively excluded — their files are simply never pruned. */
+    * Timestamps prune in the micros-since-epoch domain (INT64 parquet
+    * timestamps only — INT96 stats don't order like instants and are
+    * rejected in `footerInfo`; the append path writes TIMESTAMP_MICROS
+    * so graft files always qualify). Decimals prune in the
+    * unscaled-integer domain (the column's scale is fixed). The
+    * reference skips blocks for every btree-comparable type including
+    * these (`cstore_writer.c:845-849`). */
   private[storage] def zoneMapEligible(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
-         BooleanType | DateType => true
-    case _: StringType => true
+         BooleanType | DateType | TimestampType | TimestampNTZType => true
+    case _: StringType | _: DecimalType => true
     case _ => false
   }
 
-  private[storage] def statToString(v: Any): String = v match {
-    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
-    case other => String.valueOf(other)
+  private[storage] def statToString(dt: DataType, v: Any): String = (dt, v) match {
+    // FLBA/binary-backed decimal: big-endian two's-complement unscaled
+    case (_: DecimalType, b: org.apache.parquet.io.api.Binary) =>
+      new java.math.BigInteger(b.getBytes).toString
+    case (_, b: org.apache.parquet.io.api.Binary) => b.toStringUsingUTF8
+    case _ => String.valueOf(v)
   }
 
   /** Typed comparison of two stat strings under the column's type.
@@ -640,23 +668,46 @@ object GraftTable {
   private[storage] def compareStat(dt: DataType, a: String, b: String): Option[Int] =
     if (a == null || b == null) None
     else try dt match {
-      case ByteType | ShortType | IntegerType | LongType | DateType =>
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType =>
         Some(java.lang.Long.compare(a.toLong, b.toLong))
       case FloatType | DoubleType =>
         Some(java.lang.Double.compare(a.toDouble, b.toDouble))
       case BooleanType => Some(java.lang.Boolean.compare(a.toBoolean, b.toBoolean))
+      case _: DecimalType => Some(BigInt(a).compare(BigInt(b)))
       case _: StringType if a.forall(_ < 128) && b.forall(_ < 128) =>
         Some(Integer.signum(a.compareTo(b)))
       case _ => None
     } catch { case _: NumberFormatException => None }
 
   /** Render a pushed-filter comparison value into the same domain as the
-    * stored stat strings (dates → epoch days, numerics → decimal text). */
+    * stored stat strings (dates → epoch days, timestamps → micros since
+    * epoch, decimals → unscaled integer at the column's scale, numerics
+    * → decimal text). */
   private def filterValueString(dt: DataType, v: Any): Option[String] = (dt, v) match {
     case (_, null) => None
     case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay.toString)
     case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay.toString)
     case (DateType, _) => None
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t).toString)
+    case (TimestampType, i: java.time.Instant) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i).toString)
+    case (TimestampNTZType, l: java.time.LocalDateTime) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(l).toString)
+    case (TimestampType | TimestampNTZType, _) => None
+    case (d: DecimalType, bd: java.math.BigDecimal) =>
+      // a value not representable at the column scale can't equal any
+      // stored value; staying conservative (no refute) keeps this simple
+      try Some(bd.setScale(d.scale).unscaledValue.toString)
+      catch { case _: ArithmeticException => None }
+    case (d: DecimalType, bd: BigDecimal) =>
+      try Some(bd.underlying.setScale(d.scale).unscaledValue.toString)
+      catch { case _: ArithmeticException => None }
+    case (d: DecimalType, dec: Decimal) =>
+      try Some(dec.toJavaBigDecimal.setScale(d.scale).unscaledValue.toString)
+      catch { case _: ArithmeticException => None }
+    case (_: DecimalType, _) => None
     case (_, other) => Some(other.toString)
   }
 

@@ -59,10 +59,22 @@ object ParquetDelegate {
       filePruner: Option[Seq[Filter] => Seq[String]])
       extends ParquetScanBuilder(spark, fileIndex, schema, schema, options) {
 
+    // Every translated data filter, not just the ones parquet agrees to
+    // push: parquet rejects e.g. timestamp filters whenever the session's
+    // outputTimestampType is INT96, but the graft file-level pruner is
+    // conservative (unknown shapes never refute) and its stat domains are
+    // type-checked, so it can consume them all.
+    private var translatedDataFilters: Array[Filter] = Array.empty
+
+    override def pushDataFilters(dataFilters: Array[Filter]): Array[Filter] = {
+      translatedDataFilters = dataFilters
+      super.pushDataFilters(dataFilters)
+    }
+
     override def build(): ParquetScan = {
       val prunedBase = filePruner match {
-        case Some(pruner) if pushedDataFilters.nonEmpty =>
-          val kept = pruner(pushedDataFilters.toSeq)
+        case Some(pruner) if translatedDataFilters.nonEmpty =>
+          val kept = pruner(translatedDataFilters.toSeq)
           if (kept.size < allFiles.size) {
             // rebuild the delegate over the surviving files, replaying
             // the pushdown state through the public builder API

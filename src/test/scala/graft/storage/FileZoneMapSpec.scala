@@ -70,6 +70,52 @@ class FileZoneMapSpec extends SparkSpec {
     GraftTable.drop(t.location)
   }
 
+  test("timestamp and decimal columns file-prune (the q07/e1 date-range shape)") {
+    import spark.implicits._
+    val loc = tmpDir("zm-tsdec") + "/tbl"
+    val t = GraftTable.create(spark, loc,
+      StructType(Seq(
+        StructField("id", IntegerType),
+        StructField("ts", TimestampType),
+        StructField("amt", DecimalType(12, 2)),
+        StructField("big", DecimalType(38, 18)))))
+    // three appends: January, February, March 2024 — disjoint ts + amt ranges
+    for (m <- Seq(1, 2, 3)) {
+      t.append((0 until 50).map { i =>
+        (m * 100 + i,
+          java.sql.Timestamp.valueOf(f"2024-$m%02d-10 08:00:${i % 60}%02d"),
+          new java.math.BigDecimal(s"${m * 1000 + i}.25"),
+          new java.math.BigDecimal(s"$m.000000000000000001"))
+      }.toDF("id", "ts", "amt", "big").coalesce(1))
+    }
+    // timestamp range refutes non-overlapping files
+    val feb = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val mar = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    assert(t.prunedFiles(Seq(And(GreaterThanOrEqual("ts", feb),
+      LessThan("ts", mar)))).size === 1)
+    assert(t.prunedFiles(Seq(LessThan("ts",
+      java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))).isEmpty)
+    // decimal equality + range in the unscaled domain (int-backed and FLBA)
+    assert(t.prunedFiles(Seq(EqualTo("amt", new java.math.BigDecimal("2010.25")))).size === 1)
+    assert(t.prunedFiles(Seq(GreaterThan("amt", new java.math.BigDecimal("9999.99")))).isEmpty)
+    assert(t.prunedFiles(Seq(EqualTo("big", new java.math.BigDecimal("2.000000000000000001")))).size === 1)
+    // DSv2: a pushed timestamp-range predicate shrinks the planned scan
+    val df = spark.read.format("graft").load(loc)
+    def partitionsFor(filtered: org.apache.spark.sql.DataFrame): Int =
+      filtered.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.getOrElse(fail("no BatchScanExec in plan"))
+    val all = partitionsFor(df.filter(col("id") >= 0))
+    val febOnly = partitionsFor(df.filter(col("ts") >= lit(feb) && col("ts") < lit(mar)))
+    assert(febOnly < all, s"ts zone maps should shrink the planned scan ($febOnly vs $all)")
+    assert(df.filter(col("ts") >= lit(feb) && col("ts") < lit(mar)).count() === 50L)
+    // values read back exactly (micros writer path changes nothing)
+    assert(df.filter(col("id") === 110).select("ts").head().getTimestamp(0) ===
+      java.sql.Timestamp.valueOf("2024-01-10 08:00:10"))
+    GraftTable.drop(loc)
+  }
+
   test("all-null leading row groups do not poison the file zone map") {
     import spark.implicits._
     val loc = tmpDir("zm-allnull") + "/tbl"
