@@ -18,6 +18,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(Tables.sessionConfs)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -47,17 +48,28 @@ object Bench {
     val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       scala.concurrent.Future {
         val q0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - q0) / 1e9
+        // A crashed query must not masquerade as a fast one: record its
+        // status alongside the elapsed time, and fail the whole run.
+        val status =
+          try { fn(spark, sfDir).count(); "ok" }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            "err"
+          }
+        (name, (System.nanoTime() - q0) / 1e9, status)
       }
     }
     val results = futures.map(f =>
       scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
     val total = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val st = results.map { case (k, _, s) => s"\"" + k + "\":\"" + s + "\"" }
+      .mkString("{", ",", "}")
+    val failed = results.count(_._3 != "ok")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$st,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }

@@ -11,7 +11,7 @@ object Prof {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions","32")
       .config("spark.sql.adaptive.enabled","true")
-      .config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.ui.enabled","false").config(Tables.sessionConfs).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     val docs = Tables.load(spark, dir, "documents")

@@ -31,10 +31,21 @@ object Tables {
       else spark.read.parquet(s"$sfDir/$name.parquet")
     })
 
+  /** Session settings every graft entry point needs at BUILD time —
+    * library code must not flip session-wide semantics mid-query:
+    * `nanosAsLong` lets the vectorized reader accept the events table's
+    * TIMESTAMP(NANOS), `outputTimestampType=TIMESTAMP_MICROS` makes
+    * parquet accept timestamp filter pushdown and matches the graft
+    * table writer. */
+  val sessionConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
+
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which the
     * Spark 4 vectorized reader rejects outright. Read nanos as long
-    * (legacy conf) and convert to a microsecond timestamp — the data has
-    * no sub-microsecond components, so this is lossless.
+    * (legacy conf, required at session build — see [[sessionConfs]]) and
+    * convert to a microsecond timestamp — the data has no
+    * sub-microsecond components, so this is lossless.
     *
     * The division must be INTEGRAL (`DIV`): `col / 1000L` is double
     * division, and epoch nanos (~1.7e18) exceed double's 53-bit
@@ -42,7 +53,10 @@ object Tables {
     * queries absorb that; exact per-event arithmetic (e4's attribution
     * gap) does not. */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet stores TIMESTAMP(NANOS): set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true when building the session " +
+        "(Tables.sessionConfs) — a library must not mutate session semantics mid-query")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     import org.apache.spark.sql.functions._
     raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

@@ -14,7 +14,7 @@ object ProfD2 {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions","32")
       .config("spark.sql.adaptive.enabled","true")
-      .config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.ui.enabled","false").config(graft.Tables.sessionConfs).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     val docs = graft.Tables.load(spark, dir, "documents")

@@ -22,6 +22,7 @@ object SparkSpec {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(Tables.sessionConfs)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
