@@ -83,6 +83,10 @@ class GraftSparkTable(location: String) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
+  /** Table location for commands resolved outside the scan path (e.g.
+    * the ANALYZE TABLE routing in [[GraftExtensions]]). */
+  def tableLocation: String = location
+
   override def truncateTable(): Boolean = { graft.truncate(); true }
 
   private def spark: SparkSession = SparkSession.active
@@ -117,9 +121,14 @@ class GraftSparkTable(location: String) extends Table
     // cstore_fdw.c:1783-1807), so a small graft table broadcasts; pushed
     // filters prune whole files through the metadata zone maps before
     // the scan is planned (cstore_reader.c:744-806 at file grain).
+    // ANALYZE column stats (when present) feed filtered-scan estimates,
+    // so selective predicates shrink the planner's view of this side —
+    // the reference ANALYZE's selectivity role (cstore_fdw.c:1628-1638).
     ParquetDelegate.scanBuilder(name(), t.committedFiles, t.readSchema(), options,
       exactRowCount = Some(t.rowCountFromMetadata()),
-      filePruner = Some(t.prunedFiles))
+      filePruner = Some(t.prunedFiles),
+      tableStats = t.stats(),
+      explainMeta = t.explainMeta)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

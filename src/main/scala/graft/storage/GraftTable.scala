@@ -385,8 +385,21 @@ final class GraftTable private (
     * get null min/max — the reference's comparator-less escape hatch
     * (`cstore_writer.c:151-167`). Stats are committed to a sibling file
     * (role of pg_stats) via the same atomic-rename protocol. */
-  def analyze(): GraftTable.TableStats = synchronized {
+  def analyze(): GraftTable.TableStats = analyze(noScan = false)
+
+  /** `noScan = true` (SQL `ANALYZE TABLE ... NOSCAN`) refreshes the
+    * metadata-derived row count and size without the distributed column
+    * scan, preserving previously collected column stats. */
+  def analyze(noScan: Boolean): GraftTable.TableStats = synchronized {
     refreshMeta()
+    if (noScan) {
+      val prevCols = GraftTable.readStats(location).map(_.columns).getOrElse(
+        meta.currentSchema.fields.map(f =>
+          f.name -> GraftTable.ColumnStats(null, null, 0L, 0L)).toMap)
+      val st = GraftTable.TableStats(meta.rowCount, tableSize(), prevCols)
+      GraftTable.writeStatsAtomic(location, st)
+      return st
+    }
     val df = read()
     val fields = meta.currentSchema.fields
     def orderable(dt: DataType): Boolean = dt match {
@@ -436,6 +449,17 @@ final class GraftTable private (
     s"GraftTable location=$location files=${meta.files.size} " +
       s"rows=${meta.rowCount} sizeBytes=${tableSize()} " +
       s"compression=${meta.options.compression}"
+
+  /** The same EXPLAIN surface as typed entries, merged into the DSv2
+    * scan's metadata so `EXPLAIN` on a graft table prints them — the
+    * reference prints file + size under EXPLAIN
+    * (`cstore_fdw.c:1944-1965`). */
+  def explainMeta: Map[String, String] = Map(
+    "GraftLocation" -> location,
+    "GraftFiles" -> meta.files.size.toString,
+    "GraftRows" -> meta.rowCount.toString,
+    "GraftSizeBytes" -> tableSize().toString,
+    "GraftCompression" -> meta.options.compression)
 
   // ---- internals -----------------------------------------------------
 

@@ -1,0 +1,120 @@
+package graft.storage
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Filtered-scan row estimation from ANALYZE output — the role the
+  * reference's ANALYZE plays for PostgreSQL's planner, whose
+  * `clauselist_selectivity` consumes the collected stats to cost a scan
+  * (`cstore_fdw.c:1628-1638`, stats collected at `cstore_fdw.c:2061-2082`).
+  *
+  * The estimator mirrors the classic System-R / PostgreSQL rules over the
+  * graft `_graft_stats.json` (min/max/ndv/null counts, min/max stored as
+  * strings in Spark `cast(string)` form):
+  *
+  *  - equality: `(1 - nullFrac) / ndv`
+  *  - IN list:  `(1 - nullFrac) * |list| / ndv` (capped at 1)
+  *  - range:    linear interpolation inside [min, max], for every type
+  *              with a numeric image (numerics, dates, timestamps,
+  *              decimals); unparsable domains fall back to 1/3 — the
+  *              `DEFAULT_INEQ_SEL` convention
+  *  - IS NULL / IS NOT NULL: the measured null fraction
+  *  - AND = product, OR = inclusion-exclusion, NOT = complement
+  *  - anything else: 1.0 (never under-estimates what it can't see)
+  */
+object Selectivity {
+
+  private val DefaultIneq = 1.0 / 3.0
+  private val DefaultEq = 0.005
+
+  /** Estimated fraction of rows satisfying `f`, in [0, 1]. */
+  def estimate(f: Filter, stats: GraftTable.TableStats, schema: StructType): Double = {
+    val n = math.max(1L, stats.rowCount).toDouble
+
+    def col(c: String): Option[(DataType, GraftTable.ColumnStats)] =
+      if (schema.fieldNames.contains(c)) stats.columns.get(c).map((schema(c).dataType, _))
+      else None
+
+    def nullFrac(c: String): Option[Double] =
+      col(c).map { case (_, s) => math.min(1.0, s.nullCount.toDouble / n) }
+
+    def notNull(c: String): Double = 1.0 - nullFrac(c).getOrElse(0.0)
+
+    def eqSel(c: String): Double = col(c) match {
+      case Some((_, s)) if s.ndv > 0 => notNull(c) / s.ndv.toDouble
+      case _ => DefaultEq
+    }
+
+    // Numeric image of a stored stat string / a pushed filter value, so
+    // ranges interpolate uniformly (Date → epoch day, Timestamp → epoch
+    // millis, Decimal/numerics → double).
+    def statNum(dt: DataType, s: String): Option[Double] =
+      if (s == null) None
+      else try dt match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+             _: DecimalType => Some(s.toDouble)
+        case DateType => Some(java.time.LocalDate.parse(s).toEpochDay.toDouble)
+        case TimestampType | TimestampNTZType =>
+          Some(java.sql.Timestamp.valueOf(s).getTime.toDouble)
+        case _ => None
+      } catch { case _: RuntimeException => None }
+
+    def valNum(v: Any): Option[Double] = v match {
+      case null => None
+      case x: java.lang.Number => Some(x.doubleValue())
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toDouble)
+      case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
+      case t: java.sql.Timestamp => Some(t.getTime.toDouble)
+      case i: java.time.Instant => Some(i.toEpochMilli.toDouble)
+      case d: BigDecimal => Some(d.toDouble)
+      case _ => None
+    }
+
+    // Fraction of the [min, max] domain at or below `v`.
+    def rangeFrac(c: String, v: Any): Option[Double] = col(c).flatMap { case (dt, s) =>
+      for {
+        mn <- statNum(dt, s.min)
+        mx <- statNum(dt, s.max)
+        x <- valNum(v)
+      } yield
+        if (mx <= mn) (if (x >= mx) 1.0 else 0.0)
+        else math.max(0.0, math.min(1.0, (x - mn) / (mx - mn)))
+    }
+
+    def clamp(d: Double): Double = math.max(0.0, math.min(1.0, d))
+
+    f match {
+      case And(l, r) => clamp(estimate(l, stats, schema) * estimate(r, stats, schema))
+      case Or(l, r) =>
+        val a = estimate(l, stats, schema); val b = estimate(r, stats, schema)
+        clamp(a + b - a * b)
+      case Not(c) => clamp(1.0 - estimate(c, stats, schema))
+      case EqualTo(c, _) => clamp(eqSel(c))
+      case EqualNullSafe(c, v) => if (v == null) nullFrac(c).getOrElse(DefaultEq) else clamp(eqSel(c))
+      case In(c, vs) if vs != null =>
+        clamp(col(c) match {
+          case Some((_, s)) if s.ndv > 0 =>
+            notNull(c) * math.min(1.0, vs.length.toDouble / s.ndv.toDouble)
+          case _ => math.min(1.0, vs.length * DefaultEq)
+        })
+      case GreaterThan(c, v) =>
+        clamp(notNull(c) * rangeFrac(c, v).map(1.0 - _).getOrElse(DefaultIneq))
+      case GreaterThanOrEqual(c, v) =>
+        clamp(notNull(c) * rangeFrac(c, v).map(1.0 - _).getOrElse(DefaultIneq))
+      case LessThan(c, v) =>
+        clamp(notNull(c) * rangeFrac(c, v).getOrElse(DefaultIneq))
+      case LessThanOrEqual(c, v) =>
+        clamp(notNull(c) * rangeFrac(c, v).getOrElse(DefaultIneq))
+      case IsNull(c) => nullFrac(c).getOrElse(DefaultEq)
+      case IsNotNull(c) => notNull(c)
+      case _ => 1.0
+    }
+  }
+
+  /** Estimated surviving rows for a conjunction of pushed filters. */
+  def estimateRows(filters: Seq[Filter], stats: GraftTable.TableStats,
+      schema: StructType): Long = {
+    val sel = filters.foldLeft(1.0)((acc, f) => acc * estimate(f, stats, schema))
+    math.max(1L, math.ceil(stats.rowCount * sel).toLong)
+  }
+}

@@ -11,6 +11,8 @@ import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
+import graft.storage.{GraftTable, Selectivity}
+
 /** Scan delegation for the graft DSv2 connector: build Spark's own
   * ParquetTable over the graft table's committed file list, so the graft
   * source inherits the full vectorized read stack — column pruning,
@@ -18,36 +20,44 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * of reimplementing a PartitionReader. Lives in the sql subpackage
   * because the file-source v2 internals are `private[sql]`.
   *
-  * Two graft-metadata hooks ride on top of the delegate:
+  * Graft-metadata hooks riding on top of the delegate:
   *
   *  - exact committed row count → Catalyst via `SupportsReportStatistics`
   *    (the reference's always-exact planner estimate,
   *    `cstore_fdw.c:1783-1807`), so a small graft table broadcasts;
+  *  - ANALYZE column stats → filtered-scan row estimates (the
+  *    selectivity role of the reference's ANALYZE,
+  *    `cstore_fdw.c:1628-1638`), so a selectively-filtered big table
+  *    can also broadcast;
   *  - FILE-level zone-map pruning: once filters are pushed, the graft
   *    table's per-file min/max skip list drops refuted files BEFORE the
   *    scan is planned (`cstore_reader.c:744-806` at file grain) — at
-  *    cluster scale this prunes tasks, not just row groups.
+  *    cluster scale this prunes tasks, not just row groups;
+  *  - EXPLAIN metadata (location/files/rows/size/compression), the
+  *    reference's `CStoreExplainForeignScan` (`cstore_fdw.c:1944-1965`).
   */
 object ParquetDelegate {
 
   def scanBuilder(name: String, files: Seq[String], schema: StructType,
       options: CaseInsensitiveStringMap,
       exactRowCount: Option[Long] = None,
-      filePruner: Option[Seq[Filter] => Seq[String]] = None): ScanBuilder = {
+      filePruner: Option[Seq[Filter] => Seq[String]] = None,
+      tableStats: Option[GraftTable.TableStats] = None,
+      explainMeta: Map[String, String] = Map.empty): ScanBuilder = {
     val spark = SparkSession.active
     val table = ParquetTable(name, spark, options, files, Some(schema),
       classOf[ParquetFileFormat])
-    (exactRowCount, filePruner) match {
-      case (None, None) => table.newScanBuilder(options)
+    (exactRowCount, filePruner, tableStats) match {
+      case (None, None, None) if explainMeta.isEmpty => table.newScanBuilder(options)
       case _ =>
         new GraftScanBuilder(name, spark, table.fileIndex, schema, options,
-          files, exactRowCount, filePruner)
+          files, exactRowCount, filePruner, tableStats, explainMeta)
     }
   }
 
   /** ParquetScanBuilder that (a) prunes the file list through the graft
-    * zone maps once filters are pushed, and (b) reports the exact row
-    * count on the built scan for unfiltered reads. */
+    * zone maps once filters are pushed, and (b) attaches graft statistics
+    * + EXPLAIN metadata to the built scan. */
   private final class GraftScanBuilder(
       name: String,
       spark: SparkSession,
@@ -56,7 +66,9 @@ object ParquetDelegate {
       options: CaseInsensitiveStringMap,
       allFiles: Seq[String],
       exactRows: Option[Long],
-      filePruner: Option[Seq[Filter] => Seq[String]])
+      filePruner: Option[Seq[Filter] => Seq[String]],
+      tableStats: Option[GraftTable.TableStats],
+      explainMeta: Map[String, String])
       extends ParquetScanBuilder(spark, fileIndex, schema, schema, options) {
 
     // Every translated data filter, not just the ones parquet agrees to
@@ -88,35 +100,58 @@ object ParquetDelegate {
           } else super.build()
         case _ => super.build()
       }
-      exactRows match {
-        case Some(n) => new StatsParquetScan(prunedBase, n)
-        case None => prunedBase
-      }
+      new StatsParquetScan(prunedBase, exactRows, tableStats,
+        schema, translatedDataFilters.toSeq, explainMeta)
     }
   }
 
-  /** A ParquetScan reporting the table's exact committed row count (plus
-    * a schema-derived in-memory size) instead of the on-disk-bytes guess
-    * — but only for a bare scan: once filters or aggregates were pushed,
-    * the delegate's own estimate is the honest one. */
-  private final class StatsParquetScan(base: ParquetScan, exactRows: Long)
+  /** A ParquetScan reporting graft-derived statistics to Catalyst:
+    *
+    *  - bare scan: the table's exact committed row count (plus a
+    *    schema-derived in-memory size) instead of the on-disk-bytes
+    *    guess;
+    *  - filtered scan with ANALYZE stats on file: selectivity-estimated
+    *    rows (`Selectivity`), so a `join (filter dim)` can broadcast the
+    *    filtered side — the reference ANALYZE's whole purpose
+    *    (`cstore_fdw.c:2061-2082` feeding `cstore_fdw.c:1628-1638`);
+    *  - anything else: the delegate's own estimate.
+    */
+  private final class StatsParquetScan(
+      base: ParquetScan,
+      exactRows: Option[Long],
+      tableStats: Option[GraftTable.TableStats],
+      tableSchema: StructType,
+      translatedFilters: Seq[Filter],
+      explainMeta: Map[String, String])
       extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
         base.dataSchema, base.readDataSchema, base.readPartitionSchema,
         base.pushedFilters, base.options, base.pushedAggregate,
         base.partitionFilters, base.dataFilters) {
 
-    override def estimateStatistics(): Statistics =
-      if (pushedFilters.nonEmpty || partitionFilters.nonEmpty ||
-          dataFilters.nonEmpty || pushedAggregate.nonEmpty) {
-        super.estimateStatistics()
-      } else {
-        // EstimationUtils-style size: per-row object overhead + field widths
-        val rowWidth = 8L + readDataSchema.defaultSize
-        new Statistics {
-          override def sizeInBytes(): OptionalLong =
-            OptionalLong.of(math.max(1L, exactRows * rowWidth))
-          override def numRows(): OptionalLong = OptionalLong.of(exactRows)
-        }
+    private def filtered = translatedFilters.nonEmpty || pushedFilters.nonEmpty ||
+      partitionFilters.nonEmpty || dataFilters.nonEmpty
+
+    private def rowStats(rows: Long): Statistics = {
+      // EstimationUtils-style size: per-row object overhead + field widths
+      val rowWidth = 8L + readDataSchema.defaultSize
+      new Statistics {
+        override def sizeInBytes(): OptionalLong =
+          OptionalLong.of(math.max(1L, rows * rowWidth))
+        override def numRows(): OptionalLong = OptionalLong.of(rows)
       }
+    }
+
+    override def estimateStatistics(): Statistics =
+      if (!filtered && pushedAggregate.isEmpty) {
+        exactRows.map(rowStats).getOrElse(super.estimateStatistics())
+      } else if (pushedAggregate.isEmpty && tableStats.isDefined &&
+          translatedFilters.nonEmpty) {
+        rowStats(Selectivity.estimateRows(translatedFilters, tableStats.get, tableSchema))
+      } else {
+        super.estimateStatistics()
+      }
+
+    override def getMetaData(): Map[String, String] =
+      super.getMetaData() ++ explainMeta
   }
 }

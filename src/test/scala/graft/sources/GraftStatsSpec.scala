@@ -1,0 +1,141 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.storage.{GraftTable, Selectivity}
+
+/** ANALYZE's planner role (`cstore_fdw.c:2061-2082` feeding the
+  * selectivity estimate at `cstore_fdw.c:1628-1638`): collected column
+  * stats must change what Catalyst believes about a FILTERED graft scan
+  * — before ANALYZE the estimate is a byte-size guess; after, an
+  * equality predicate on a high-ndv column shrinks the estimate enough
+  * to flip a join to broadcast. */
+class GraftStatsSpec extends SparkSpec {
+
+  private def mkTable(loc: String, rows: Int): GraftTable = {
+    import spark.implicits._
+    val t = GraftTable.create(spark, loc, StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("grp", IntegerType),
+      StructField("pad", StringType))))
+    t.append((0 until rows).map(i => (i, i % 50, "x" * 200)).toDF("k", "grp", "pad"))
+    t
+  }
+
+  test("selectivity estimator follows the System-R rules") {
+    val stats = GraftTable.TableStats(10000L, 1L << 20, Map(
+      "k" -> GraftTable.ColumnStats("0", "9999", 10000L, 0L),
+      "grp" -> GraftTable.ColumnStats("0", "49", 50L, 0L),
+      "n" -> GraftTable.ColumnStats("0", "100", 100L, 2500L),
+      "d" -> GraftTable.ColumnStats("2024-01-01", "2024-12-31", 366L, 0L)))
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("grp", IntegerType),
+      StructField("n", IntegerType), StructField("d", DateType)))
+    def rows(f: Filter): Long = Selectivity.estimateRows(Seq(f), stats, schema)
+    assert(rows(EqualTo("k", 5)) === 1L)              // 1/ndv
+    assert(rows(EqualTo("grp", 3)) === 200L)          // 10000/50
+    assert(rows(In("grp", Array(1, 2, 3, 4))) === 800L)
+    assert(rows(IsNull("n")) === 2500L)
+    assert(rows(IsNotNull("n")) === 7500L)
+    // range interpolation: k < 1000 is ~10% of [0, 9999]
+    val r = rows(LessThan("k", 1000))
+    assert(r > 900L && r < 1100L, s"range estimate $r")
+    // date ranges interpolate in the epoch-day domain
+    val dr = rows(GreaterThanOrEqual("d", java.sql.Date.valueOf("2024-10-01")))
+    assert(dr > 1800L && dr < 3200L, s"date range estimate $dr")
+    // conjunction multiplies; unknown columns never shrink the estimate
+    assert(rows(And(EqualTo("grp", 3), LessThan("k", 1000))) < 50L)
+    assert(rows(EqualTo("nosuch", 1)) === 50L) // default eq 0.005
+  }
+
+  test("ANALYZE changes the filtered-scan estimate and flips a join to broadcast") {
+    val loc = tmpDir("gstats") + "/fact"
+    mkTable(loc, 20000)
+    def filteredStats(): (Option[BigInt], BigInt) = {
+      val df = spark.read.format("graft").load(loc).filter(col("grp") === 3)
+      val s = df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.stats
+      }.head
+      (s.rowCount, s.sizeInBytes)
+    }
+    val (preRows, preSize) = filteredStats()
+    GraftTable.open(spark, loc).analyze()
+    val (postRows, postSize) = filteredStats()
+    // post-ANALYZE: ~20000/50 = 400 rows; pre-ANALYZE: a byte-size guess
+    assert(postRows.exists(r => r >= 400 && r < 800), s"post-ANALYZE rows $postRows")
+    assert(postSize < preSize,
+      s"ANALYZE should shrink the filtered estimate ($preSize -> $postSize)")
+
+    // the planner acts on it: threshold sits between the two estimates
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (postSize * 2).toString)
+    try {
+      import spark.implicits._
+      val big = spark.range(200000).toDF("k2")
+      val joined = big.join(
+        spark.read.format("graft").load(loc).filter(col("grp") === 3), $"k2" === $"k")
+      val plan = joined.queryExecution.sparkPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"filtered graft side should broadcast post-ANALYZE:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    GraftTable.drop(loc)
+  }
+
+  test("SQL ANALYZE TABLE routes through GraftTable.analyze") {
+    // extensions bind at session construction: build a sibling session on
+    // the same SparkContext with the graft extensions installed
+    // (spark.sql.extensions is a static conf, so for an already-running
+    // context the programmatic withExtensions form is the way in)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    try {
+      val wh = tmpDir("gstats-wh")
+      s2.conf.set("spark.sql.catalog.gan", classOf[GraftCatalog].getName)
+      s2.conf.set("spark.sql.catalog.gan.warehouse", wh)
+      s2.sql("CREATE NAMESPACE gan.db")
+      s2.sql("CREATE TABLE gan.db.t (a INT, b STRING) USING graft")
+      s2.sql("INSERT INTO gan.db.t SELECT id, concat('v', id) FROM range(1000)")
+      assert(GraftTable.open(s2, s"$wh/db/t").stats().isEmpty)
+      s2.sql("ANALYZE TABLE gan.db.t COMPUTE STATISTICS")
+      val st = GraftTable.open(s2, s"$wh/db/t").stats()
+      assert(st.exists(_.rowCount == 1000L), s"stats after SQL ANALYZE: $st")
+      assert(st.get.columns("a").ndv > 900L)
+      // NOSCAN refreshes counts without dropping column stats
+      s2.sql("INSERT INTO gan.db.t SELECT id, 'z' FROM range(10)")
+      s2.sql("ANALYZE TABLE gan.db.t COMPUTE STATISTICS NOSCAN")
+      val st2 = GraftTable.open(s2, s"$wh/db/t").stats()
+      assert(st2.exists(_.rowCount == 1010L))
+      assert(st2.get.columns("a").ndv > 900L, "NOSCAN must keep column stats")
+      s2.sql("DROP TABLE gan.db.t")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
+  test("EXPLAIN on a graft scan prints the table's storage metadata") {
+    import spark.implicits._
+    val loc = tmpDir("gexplain") + "/tbl"
+    val t = GraftTable.create(spark, loc, StructType(Seq(
+      StructField("a", IntegerType))), graft.storage.GraftTableOptions(compression = "snappy"))
+    t.append(Seq(1, 2, 3).toDF("a"))
+    val explain = spark.read.format("graft").load(loc)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExtendedMode)
+    for (key <- Seq("GraftLocation", "GraftFiles", "GraftRows", "GraftSizeBytes",
+        "GraftCompression")) {
+      assert(explain.contains(key), s"EXPLAIN missing $key:\n$explain")
+    }
+    assert(explain.contains("snappy"))
+    GraftTable.drop(loc)
+  }
+}
