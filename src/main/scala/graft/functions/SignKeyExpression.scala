@@ -28,6 +28,15 @@ case class SignKey(child: Expression, first: Int, bits: Int) extends UnaryExpres
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    // A null element nulls every plane's dot in the HOF formulation
+    // (zip_with → null slot → null fold), so `dot > 0` is false for all
+    // bits: the key is 0. Mirror that exactly — reading getDouble on a
+    // null slot would return unspecified bits instead.
+    var z = 0
+    while (z < n) {
+      if (v.isNullAt(z)) return 0L
+      z += 1
+    }
     var key = 0L
     var b = 0
     while (b < bits) {
@@ -59,6 +68,11 @@ case class SignKey(child: Expression, first: Int, bits: Int) extends UnaryExpres
       s"""
          |int $n = $v.numElements();
          |long $key = 0L;
+         |boolean ${key}_hasNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($v.isNullAt($i)) { ${key}_hasNull = true; break; }
+         |}
+         |if (!${key}_hasNull)
          |for (int $b = 0; $b < $bits; $b++) {
          |  int $j = $first + $b;
          |  long $a1 = 1103515245L * ($j + 7);

@@ -355,18 +355,41 @@ object Dedup {
 
   // -- d6: ANN-prefiltered near-dup (the 100 TB path) -------------------
 
-  /** Band layout for the d6 candidate generator: 8 bands × 6 sign bits
-    * (48 deterministic hyperplanes). A pair is a candidate iff it shares
-    * at least one band key; candidates are re-checked with EXACT cosine,
-    * so precision is 1 and only recall depends on the banding. Collision
-    * probability per plane is 1 − θ/π, so recall rises steeply with the
-    * similarity threshold: ≥0.9-cosine pairs (the realistic near-dup
-    * regime) are caught with p ≈ 1−(1−0.86⁶)^8 ≈ 0.99, while this
-    * corpus's deliberately weak 0.4 threshold sits near the random noise
-    * floor and lands around 0.5 — the recall/cost dial documented in the
-    * recall spec. */
-  val D6Bands = 8
-  val D6Bits = 6
+  /** Derive a sign-LSH band layout from the similarity threshold and a
+    * target recall, via the S-curve `recall = 1 − (1 − p^bits)^bands`
+    * with per-plane collision probability `p = 1 − arccos(threshold)/π`.
+    * Candidates are re-checked with EXACT cosine so precision is always
+    * 1; the layout only budgets recall against candidate-generation
+    * cost. Selection rule: the largest `bits` (fewest noise collisions —
+    * noise pairs scale with `bands · 2^−bits`) whose required band count
+    * still fits the plane budget; `bits = 1` is always feasible since
+    * p ≥ 1/2. A fixed 8×6 layout tuned for the ≥0.9-cosine regime
+    * silently dropped half the pairs of a 0.4-threshold corpus — the
+    * layout must follow the requested threshold. */
+  def d6BandLayout(threshold: Double, targetRecall: Double,
+      maxPlanes: Int = D6MaxPlanes): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold $threshold out of (0, 1)")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall $targetRecall out of (0, 1)")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    (16 to 1 by -1).iterator.flatMap { bits =>
+      val pBand = math.pow(p, bits)
+      val bands = math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt
+      if (bands >= 1 && bands * bits <= maxPlanes) Some((bands, bits)) else None
+    }.next()
+  }
+
+  /** Plane budget for d6 banding: bounds both the explode fan-out
+    * (`bands` copies of each row through the shuffle) and codegen size. */
+  val D6MaxPlanes = 96
+
+  /** d6's wired threshold (matching d5's exact twin) and recall target;
+    * the layout is derived, not hand-picked. */
+  val D6Threshold = 0.4
+  val D6TargetRecall = 0.95
+  private lazy val d6Layout = d6BandLayout(D6Threshold, D6TargetRecall)
+  lazy val D6Bands: Int = d6Layout._1
+  lazy val D6Bits: Int = d6Layout._2
 
   /** The scale path for embedding near-dup: one shuffle on (band, key)
     * replaces d5's ⌈n/tileRows⌉ serial full-corpus scans. Work scales
@@ -374,14 +397,23 @@ object Dedup {
     * keyed equality join, and the exact-cosine re-check makes every
     * emitted pair a true near-dup (a subset of d5's output by
     * construction — same fold order, same threshold, same rounding). */
-  def d6EmbedNearDupAnn(s: SparkSession, dir: String): DataFrame = {
+  def d6EmbedNearDupAnn(s: SparkSession, dir: String): DataFrame =
+    d6EmbedNearDupAnn(s, dir, D6Threshold, D6TargetRecall)
+
+  /** Threshold-parameterized form: the band layout is derived from
+    * (threshold, targetRecall), so a caller deduping a ≥0.9-cosine
+    * corpus gets a cheap 72-plane layout with analytical recall ≥ 0.95
+    * instead of a fixed layout tuned for a different regime. */
+  def d6EmbedNearDupAnn(s: SparkSession, dir: String, threshold: Double,
+      targetRecall: Double): DataFrame = {
+    val (bands, bits) = d6BandLayout(threshold, targetRecall)
     val e = Similarity.normalized(Tables.load(s, dir, "embeddings"))
       .select(col("vec_id"), col("v"), col("nrm"))
     val banded = e.select(col("vec_id"), col("v"), col("nrm"),
-      explode(sequence(lit(0), lit(D6Bands - 1))).as("band"))
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bk",
-        (0 until D6Bands).foldLeft(lit(0L)) { (acc, b) =>
-          when(col("band") === b, Similarity.signKey(col("v"), b * D6Bits, D6Bits))
+        (0 until bands).foldLeft(lit(0L)) { (acc, b) =>
+          when(col("band") === b, Similarity.signKey(col("v"), b * bits, bits))
             .otherwise(acc)
         })
     // cosine computed inside the join projection; the dedup distinct
@@ -393,7 +425,7 @@ object Dedup {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         Similarity.cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos_raw"))
-      .filter(col("cos_raw") >= 0.4)
+      .filter(col("cos_raw") >= threshold)
       .distinct()
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos"))
       .orderBy("vec_a", "vec_b")

@@ -29,7 +29,26 @@ class DedupScaleSpec extends SparkSpec {
     assert(a eq b, "same (session, dir, tileRows, fingerprint) must return the cached plan")
   }
 
-  test("d6 ANN prefilter: precision 1 vs exact d5; recall on the planted corpus") {
+  test("d6 band layout derives from (threshold, target recall)") {
+    // low threshold near the noise floor: cheap few-bit bands, many of them
+    val (b04, r04) = Dedup.d6BandLayout(0.4, 0.95)
+    assert(b04 * r04 <= Dedup.D6MaxPlanes)
+    // the S-curve promise holds analytically for the derived layout
+    def recallOf(thr: Double, bands: Int, bits: Int): Double = {
+      val p = 1.0 - math.acos(thr) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, bits), bands)
+    }
+    assert(recallOf(0.4, b04, r04) >= 0.95)
+    // high threshold: more bits per band (fewer noise candidates)
+    val (b09, r09) = Dedup.d6BandLayout(0.9, 0.95)
+    assert(recallOf(0.9, b09, r09) >= 0.95)
+    assert(r09 > r04, "a high-threshold corpus should get longer band keys")
+    assert(b09 * r09 <= Dedup.D6MaxPlanes)
+    intercept[IllegalArgumentException] { Dedup.d6BandLayout(0.0, 0.95) }
+    intercept[IllegalArgumentException] { Dedup.d6BandLayout(0.5, 1.0) }
+  }
+
+  test("d6 ANN prefilter: precision 1 vs exact d5; derived-layout recall at 0.4") {
     val dir = sf("sf0.001")
     val exact = Dedup.d5EmbedNearDupTiled(spark, dir, tileRows = 64).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -39,14 +58,53 @@ class DedupScaleSpec extends SparkSpec {
     // exact-cosine re-check with identical fold order + rounding ⇒ every
     // ANN pair is a true pair with the identical score
     assert(ann.subsetOf(exact), s"ANN must be a subset: ${(ann -- exact).take(3)}")
-    // this corpus's 0.4 threshold sits near the random-noise floor — the
-    // hardest regime for sign-LSH (measured ≈ 0.47 here, ≈ 0.54 at
-    // sf0.01; ≥ 0.99 analytically for the realistic ≥ 0.9-cosine
-    // near-dup regime). The floor is set ~3σ under the measurement (66
-    // pairs ⇒ σ ≈ 0.06 across corpus reseeds) so it fails on a genuine
-    // banding regression (recall ≈ 0), not on a regenerated corpus.
+    // the derived layout budgets ≥0.95 expected recall AT the 0.4
+    // threshold. Pairs sitting exactly at the boundary realize slightly
+    // less; the floor is ~3σ under the analytical promise for the ~66
+    // planted pairs (σ ≈ 0.03 across corpus reseeds).
     val recall = ann.size.toDouble / exact.size
-    assert(recall >= 0.3, s"recall $recall collapsed below the regression floor")
+    assert(recall >= 0.8, s"recall $recall below the derived-layout floor")
+  }
+
+  test("d6 at a ≥0.9-threshold planted corpus: recall ≥ 0.95 vs exact") {
+    // plant near-dup pairs at cos ≈ 0.93..0.97 among random noise: the
+    // realistic near-dup regime the derived high-threshold layout serves
+    val rng = new scala.util.Random(42)
+    val dim = 64
+    def gauss(): Array[Double] = Array.fill(dim)(rng.nextGaussian())
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val base = (0 until 150).map(i => i.toLong -> normalize(gauss()))
+    // for 40 of them, plant a partner at an exact planned angle
+    val planted = (0 until 40).map { i =>
+      val (id, u) = base(i)
+      val target = 0.93 + 0.001 * i
+      val g = normalize(gauss())
+      val dotGU = g.zip(u).map { case (a, b) => a * b }.sum
+      val perp = normalize(g.zip(u).map { case (a, b) => a - dotGU * b })
+      val v = u.zip(perp).map { case (a, b) =>
+        a * target + b * math.sqrt(1 - target * target) }
+      (1000L + id) -> v
+    }
+    val dir = tmpDir("d6-planted")
+    import spark.implicits._
+    (base ++ planted)
+      .map { case (id, v) => (id, v.map(_.toFloat), 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val exact09 = Dedup.d5EmbedNearDupTiled(spark, dir, tileRows = 64).collect()
+      .filter(_.getDouble(2) >= 0.9)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact09.size >= 40, s"expected the planted pairs, got ${exact09.size}")
+    val ann = Dedup.d6EmbedNearDupAnn(spark, dir, threshold = 0.9, targetRecall = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.subsetOf(
+      Dedup.d5EmbedNearDupTiled(spark, dir, tileRows = 64).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet))
+    val recall = ann.count(exact09.contains).toDouble / exact09.size
+    assert(recall >= 0.95, s"high-threshold recall $recall below target")
   }
 
   private def writeDocs(rows: Seq[(Long, String)]): String = {
