@@ -286,8 +286,15 @@ object Dedup {
   def d5EmbedNearDup(s: SparkSession, dir: String): DataFrame =
     d5EmbedNearDupTiled(s, dir, D5TileRows)
 
+  /** Memoized d5 runs, one live entry per (session, dir, tileRows): the
+    * value carries the corpus fingerprint it was computed for plus its
+    * scratch directory. A regenerated corpus REPLACES the entry and the
+    * stale scratch parquet is deleted — an unbounded fingerprint-keyed
+    * map would retain every generation's DataFrame and spill files for
+    * the JVM lifetime. */
+  private final case class D5Entry(fingerprint: String, df: DataFrame, scratch: String)
   private val d5Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), D5Entry]()
 
   /** All-pairs exact cosine as a tiled block-nested-loop: the corpus is
     * cut into ⌈n/tileRows⌉ tiles by a mixed hash of vec_id (uniform even
@@ -305,12 +312,25 @@ object Dedup {
     * This stays quadratic in compute — it is the exact, oracle-matching
     * operator. The 100 TB path is [[d6EmbedNearDupAnn]]: LSH candidate
     * generation + the same exact re-check. */
-  def d5EmbedNearDupTiled(s: SparkSession, dir: String, tileRows: Long): DataFrame =
-    d5Cache.computeIfAbsent((s, dir, tileRows, fingerprint(dir, "embeddings")), { _ =>
-      d5RunTiles(s, dir, tileRows)
-    })
+  def d5EmbedNearDupTiled(s: SparkSession, dir: String, tileRows: Long): DataFrame = {
+    val fp = fingerprint(dir, "embeddings")
+    d5Cache.compute((s, dir, tileRows), (_, cur) => {
+      if (cur != null && cur.fingerprint == fp) cur
+      else {
+        if (cur != null) { // stale corpus: reclaim its spill files
+          try {
+            val (fs, p) = graft.storage.GraftTable.fsAndPath(cur.scratch)
+            fs.delete(p, true)
+          } catch { case _: Exception => () }
+        }
+        val (df, out) = d5RunTiles(s, dir, tileRows)
+        D5Entry(fp, df, out)
+      }
+    }).df
+  }
 
-  private def d5RunTiles(s: SparkSession, dir: String, tileRows: Long): DataFrame = {
+  private def d5RunTiles(s: SparkSession, dir: String,
+      tileRows: Long): (DataFrame, String) = {
     import s.implicits._
     require(tileRows > 0, s"tileRows must be positive, got $tileRows")
     val e = Similarity.normalized(Tables.load(s, dir, "embeddings"))
@@ -347,9 +367,10 @@ object Dedup {
       // concrete tile paths, not a glob: globs make FileStreamSink probe
       // for a streaming-metadata dir and log a spurious warning stack
       val tileDirs = (0L until tiles).map(t => s"$out/t$t")
-      s.read.parquet(tileDirs: _*)
+      val df = s.read.parquet(tileDirs: _*)
         .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos"))
         .orderBy("vec_a", "vec_b")
+      (df, out)
     } finally e.unpersist()
   }
 

@@ -142,7 +142,15 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
-  /** Encode stage of [[m4PngDecode]]: text bytes → real PNG payloads. */
+  /** Encode stage of [[m4PngDecode]]: text → real PNG payloads.
+    *
+    * Pixel k is CHARACTER k mod len, truncated to the 8-bit grayscale
+    * plane (`codepoint & 0xff`) — the same domain as the oracle's
+    * `ascii(substr(text, k%len+1, 1))` for every codepoint ≤ 255, which
+    * this corpus satisfies (byte-domain `getBytes` would diverge from
+    * the oracle's character positions on any multi-byte codepoint). An
+    * empty document renders as a single zero pixel source instead of
+    * dividing by zero. */
   private[operators] def pngEncoded(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import s.implicits._
@@ -157,13 +165,15 @@ object Multimodal {
         // image — memory-cached streams are ~10× faster and identical
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, text, w, h) =>
-          val bytes = text.getBytes("UTF-8")
+          val codes =
+            if (text.isEmpty) Array(0)
+            else Array.tabulate(text.length)(i => text.charAt(i) & 0xff)
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
           val raster = img.getRaster
           var k = 0
           while (k < w * h) {
-            raster.setSample(k % w, k / w, 0, bytes(k % bytes.length) & 0xff)
+            raster.setSample(k % w, k / w, 0, codes(k % codes.length))
             k += 1
           }
           val out = new java.io.ByteArrayOutputStream()

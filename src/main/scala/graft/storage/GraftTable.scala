@@ -321,6 +321,50 @@ final class GraftTable private (
     append(df)
   }
 
+  /** COPY FROM STDIN analog (`cstore_fdw.c:539-642`: the reference's
+    * COPY accepts file, PROGRAM, and STDIN sources): load CSV lines from
+    * any iterator — a stream, a socket, a generator. Identical
+    * FAILFAST/PERMISSIVE and column-list semantics to the file form,
+    * and the same all-or-nothing commit. Like the reference's STDIN
+    * path, the stream feeds through one process (the driver); bulk
+    * loads at scale should land files and use the path form. */
+  def copyFromCsv(lines: Iterator[String], header: Boolean,
+      columns: Seq[String], mode: String): Long = {
+    val cols = if (columns.isEmpty) meta.currentSchema.fieldNames.toSeq else columns
+    val readSchema = StructType(cols.map(c => meta.currentSchema(c)))
+    import spark.implicits._
+    val ds = spark.createDataset(lines.toSeq)
+    val df = spark.read
+      .option("header", header.toString)
+      .option("nullValue", "")
+      .option("mode", mode)
+      .schema(readSchema)
+      .csv(ds)
+    append(df)
+  }
+
+  /** COPY FROM a `Reader` (STDIN analog). */
+  def copyFromCsv(reader: java.io.Reader, header: Boolean,
+      columns: Seq[String], mode: String): Long = {
+    val buffered = new java.io.BufferedReader(reader)
+    val lines = Iterator.continually(buffered.readLine()).takeWhile(_ != null)
+    copyFromCsv(lines, header, columns, mode)
+  }
+
+  /** COPY FROM PROGRAM (`cstore_fdw.c:539-642`): run a command, load its
+    * stdout as CSV. A non-zero exit aborts the load with the table
+    * unchanged — the reference's PROGRAM error semantics. */
+  def copyFromProgram(command: Seq[String], header: Boolean = false,
+      columns: Seq[String] = Seq.empty, mode: String = "FAILFAST"): Long = {
+    val pb = new ProcessBuilder(command: _*)
+    pb.redirectErrorStream(false)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+    val exit = proc.waitFor()
+    require(exit == 0, s"COPY FROM PROGRAM '${command.mkString(" ")}' exited with $exit")
+    copyFromCsv(out.linesIterator, header, columns, mode)
+  }
+
   /** COPY TO (`cstore_fdw.c:651-707`) — export the full table as CSV. */
   def copyToCsv(path: String, header: Boolean = true): Unit =
     read().write.option("header", header.toString).mode(SaveMode.Overwrite).csv(path)

@@ -30,9 +30,30 @@ class MultimodalSpec extends SparkSpec {
     docs.take(20).foreach { case (id, text, nChars) =>
       val w = nChars % 64 + 16
       val h = id % 32 + 16
-      val bytes = text.getBytes("UTF-8")
-      val expected = (0L until w * h).map(k => (bytes((k % bytes.length).toInt) & 0xff).toLong).sum
+      // character domain (& 0xff), matching the oracle's ascii(substr(...))
+      val expected = (0L until w * h)
+        .map(k => (text.charAt((k % text.length).toInt) & 0xff).toLong).sum
       assert(out(id) === ((w, h, expected)), s"doc $id decode mismatch")
     }
+  }
+
+  test("m4 encode guards empty documents and uses the character domain") {
+    import spark.implicits._
+    val dir = tmpDir("m4-edge")
+    Seq(
+      (1L, "", 0L),                    // empty: must not divide by zero
+      (2L, "café", 4L),           // é = codepoint 233, one CHAR (two UTF-8 bytes)
+      (3L, "plain ascii", 11L))
+      .toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.m4PngDecode(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) === 0L, "empty document renders as zero pixels")
+    // é contributes 233 per occurrence — the character/codepoint domain,
+    // not the 2-byte UTF-8 encoding (which would shift every later pixel)
+    val w2 = 4 % 64 + 16; val h2 = 2 % 32 + 16
+    val codes = "café".map(_ & 0xff)
+    val expected2 = (0 until w2 * h2).map(k => codes(k % 4).toLong).sum
+    assert(out(2L) === expected2)
   }
 }

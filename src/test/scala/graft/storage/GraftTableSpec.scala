@@ -103,6 +103,36 @@ class GraftTableSpec extends SparkSpec {
     GraftTable.drop(s"$loc/tbl")
   }
 
+  test("COPY FROM stream/program sources share file-COPY semantics (cstore_fdw.c:539-642)") {
+    import spark.implicits._
+    val loc = tmpDir("graft-copystream")
+    val t = GraftTable.create(spark, s"$loc/tbl", schema)
+    // iterator source
+    assert(t.copyFromCsv(Iterator("1,first,5", "2,second,7"),
+      header = false, columns = Seq.empty, mode = "FAILFAST") === 2)
+    assert(t.read().count() === 2)
+    // Reader source with a column list: missing column -> null
+    assert(t.copyFromCsv(new java.io.StringReader("3,9\n"),
+      header = false, columns = Seq("handle", "rating"), mode = "FAILFAST") === 1)
+    val row3 = t.read().filter(col("handle") === 3).collect().head
+    assert(row3.isNullAt(1) && row3.getInt(2) === 9)
+    // malformed row under FAILFAST aborts atomically, exactly like the file form
+    intercept[Exception](t.copyFromCsv(Iterator("4,ok,7", "5,broken,not_an_int"),
+      header = false, columns = Seq.empty, mode = "FAILFAST"))
+    assert(t.rowCountFromMetadata() === 3, "failed stream COPY must not commit")
+    // PERMISSIVE salvages
+    assert(t.copyFromCsv(Iterator("5,bad,not_an_int"),
+      header = false, columns = Seq.empty, mode = "PERMISSIVE") === 1)
+    assert(t.read().filter(col("handle") === 5).collect().head.isNullAt(2))
+    // PROGRAM source: stdout becomes the CSV; non-zero exit aborts
+    assert(t.copyFromProgram(Seq("sh", "-c", "printf '6,prog,1\\n7,prog2,2\\n'")) === 2)
+    assert(t.read().count() === 6)
+    intercept[IllegalArgumentException](
+      t.copyFromProgram(Seq("sh", "-c", "printf '8,x,1\\n'; exit 3")))
+    assert(t.rowCountFromMetadata() === 6, "failing program must not commit rows")
+    GraftTable.drop(s"$loc/tbl")
+  }
+
   test("COPY TO round-trips (cstore_fdw.c:651-707)") {
     import spark.implicits._
     val loc = tmpDir("graft-copyto")
