@@ -452,6 +452,59 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  // -- d7: near-dup clusters (connected components) ---------------------
+
+  /** Group near-dup pairs into CLUSTERS and elect a canonical survivor —
+    * the step a real dedup pipeline runs after pair generation, since
+    * near-duplication is transitive in practice (A≈B, B≈C ⇒ keep one of
+    * {A,B,C}, not two). Connected components by iterative min-label
+    * propagation over the d2 pair graph: each round, every doc adopts
+    * the smallest label among itself and its neighbors; at fixpoint the
+    * label is the component minimum, which doubles as the cluster id and
+    * the kept representative (`keep = 1`).
+    *
+    * Scale: each round is one keyed join + one groupBy on the PAIR set
+    * (tiny next to the corpus — near-dup pairs, not documents), and
+    * rounds are bounded by the cluster diameter, which for near-dup
+    * clusters is small. For adversarially long chains the
+    * large-star/small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce") converges in O(log²) rounds with the
+    * same per-round shape. Convergence is tested by the monotone label
+    * sum — no plan-diffing join.
+    *
+    * CONTRACT: like d5, constructing this plan runs the propagation
+    * loop eagerly (a handful of small jobs). */
+  def d7DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramPairsCached(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("v")).distinct()
+        .withColumn("l", col("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var sum = labels.agg(org.apache.spark.sql.functions.sum("l")).head().getLong(0)
+      var converged = false
+      while (!converged) {
+        val prop = edges.join(labels, col("dst") === col("v"))
+          .groupBy(col("src")).agg(min("l").as("nl"))
+        val next = labels.join(prop, col("v") === col("src"), "left")
+          .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nextSum = next.agg(org.apache.spark.sql.functions.sum("l")).head().getLong(0)
+        labels.unpersist()
+        labels = next
+        converged = nextSum == sum // min-propagation strictly shrinks until fixpoint
+        sum = nextSum
+      }
+      labels
+        .select(col("v").as("doc_id"), col("l").as("cluster_id"),
+          (col("v") === col("l")).cast("int").as("keep"))
+        .orderBy("doc_id")
+    } finally edges.unpersist()
+  }
+
   // -- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -462,6 +515,7 @@ object Dedup {
     "d4_simhash" -> d4Simhash _,
     "d5_embed_neardup" -> d5EmbedNearDup _,
     "d6_embed_neardup_ann" -> d6EmbedNearDupAnn _,
+    "d7_dedup_clusters" -> d7DedupClusters _,
   )
 
   import OracleSql._
@@ -560,5 +614,27 @@ object Dedup {
          |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4)
          |ORDER BY vec_a, vec_b""".stripMargin
     },
+    // connected components as a recursive transitive closure: the
+    // component id is the minimum doc reachable from v — exactly what
+    // min-label propagation converges to on the Spark side
+    "d7_dedup_clusters" ->
+      (s"""WITH RECURSIVE $shingleCte,
+         |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+         |cm AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+         |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |pr AS (SELECT doc_a, doc_b
+         |       FROM cm JOIN cnt ca ON doc_a = ca.doc_id
+         |                JOIN cnt cb ON doc_b = cb.doc_id
+         |       WHERE CAST(common AS DOUBLE)/CAST(ca.n+cb.n-common AS DOUBLE) >= 0.8),
+         |edges AS (SELECT doc_a a, doc_b b FROM pr
+         |          UNION ALL SELECT doc_b, doc_a FROM pr),
+         |reach(v, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v)
+         |SELECT v doc_id, min(r) cluster_id,
+         |  CASE WHEN v = min(r) THEN 1 ELSE 0 END keep
+         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin),
   )
 }

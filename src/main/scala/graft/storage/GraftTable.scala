@@ -152,8 +152,29 @@ final class GraftTable private (
     * or two driver processes) never clobber each other's files or drop
     * each other's committed file lists. The row count comes from the
     * parquet footers just written — no second scan of the data. */
-  def append(df: DataFrame): Long = withTableLock {
+  def append(df: DataFrame): Long = appendInternal(df, None)
+
+  /** Streaming append with exactly-once semantics: `(queryId, batchId)`
+    * identifies the micro-batch, and a batch at or below the table's
+    * committed watermark for that query is a checkpoint REPLAY — it
+    * returns 0 without writing. The watermark rides in the same metadata
+    * commit as the file list, so "rows visible" and "batch recorded" are
+    * one atomic rename and a crash between them is impossible — the
+    * transactional half of Structured Streaming's exactly-once contract
+    * (the source side is the checkpoint). */
+  def appendStream(df: DataFrame, queryId: String, batchId: Long): Long =
+    appendInternal(df, Some((queryId, batchId)))
+
+  private def appendInternal(df: DataFrame,
+      txn: Option[(String, Long)]): Long = withTableLock {
     refreshMeta()
+    val replayed = txn.exists { case (qid, bid) =>
+      meta.streamTxn.get(qid).exists(_ >= bid)
+    }
+    if (replayed) 0L else appendLocked(df, txn)
+  }
+
+  private def appendLocked(df: DataFrame, txn: Option[(String, Long)]): Long = {
     // sort_by option: cluster rows within each written file so the
     // per-page/row-group min-max ranges are narrow - the reference's
     // "skip indexes are most effective on sorted load order" guidance
@@ -192,6 +213,9 @@ final class GraftTable private (
       nextBatchId = meta.nextBatchId + 1,
       fileStats = meta.fileStats ++ infos.collect {
         case (rel, (_, st)) if st.nonEmpty => rel -> st
+      },
+      streamTxn = txn.fold(meta.streamTxn) { case (qid, bid) =>
+        meta.streamTxn + (qid -> bid)
       })
     commitMeta()
     n
@@ -543,7 +567,11 @@ object GraftTable {
       rowCount: Long,
       defaults: Map[String, Any],
       nextBatchId: Long,
-      fileStats: Map[String, Map[String, ColFileStats]] = Map.empty)
+      fileStats: Map[String, Map[String, ColFileStats]] = Map.empty,
+      // highest committed streaming batch per query id — the write-side
+      // half of Structured Streaming's exactly-once contract (the
+      // checkpoint replays a batch after a crash; this dedupes it)
+      streamTxn: Map[String, Long] = Map.empty)
 
   private val MagicKey = "graft_magic"
   private val Magic = "graft_cstore_v1" // role of `citus_cstore` magic, cstore_fdw.h:50
@@ -969,6 +997,8 @@ object GraftTable {
           s"\"nu\": ${cs.nulls}, \"rw\": ${cs.rows}}"
       }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
+    val streamTxn = m.streamTxn.map { case (q, b) => s"${js(q)}: $b" }
+      .mkString("{", ",", "}")
     s"""{
        |  ${js(MagicKey)}: ${js(Magic)},
        |  "schema": ${js(m.currentSchema.json)},
@@ -980,6 +1010,7 @@ object GraftTable {
        |  "next_batch_id": ${m.nextBatchId},
        |  "defaults": $defaults,
        |  "file_stats": $fileStats,
+       |  "stream_txn": $streamTxn,
        |  "files": ${m.files.map(js).mkString("[", ",", "]")}
        |}""".stripMargin
   }
@@ -1024,7 +1055,10 @@ object GraftTable {
       rowCount = m("row_count").asInstanceOf[Number].longValue(),
       defaults = defaults,
       nextBatchId = m("next_batch_id").asInstanceOf[Number].longValue(),
-      fileStats = fileStats)
+      fileStats = fileStats,
+      streamTxn = m.getOrElse("stream_txn", Map.empty[String, Any])
+        .asInstanceOf[Map[String, Any]]
+        .map { case (q, b) => q -> b.asInstanceOf[Number].longValue() })
   }
 
   /** Minimal recursive-descent JSON parser (objects/arrays/strings/numbers/

@@ -58,30 +58,21 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Streaming ingest with exact dedup into a GraftTable. */
+  /** Streaming ingest with exact dedup into a GraftTable, exactly-once
+    * via [[GraftStreamIngest]]'s txn watermark. */
   def dedupedIngest(spark: SparkSession, srcDir: String, table: GraftTable,
       checkpointDir: String): StreamingQuery =
-    dedup(readEvents(spark, srcDir)).writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        table.append(batch); ()
-      }
-      .start()
+    GraftStreamIngest.start(dedup(readEvents(spark, srcDir)), table,
+      checkpointDir, Trigger.AvailableNow())
 
   /** Streaming ingest into a GraftTable: one atomic table append per
-    * micro-batch. Returns the started query; callers own its lifecycle. */
+    * micro-batch, replay-deduped by the metadata txn watermark
+    * (exactly-once — see [[GraftStreamIngest]]). Returns the started
+    * query; callers own its lifecycle. */
   def ingest(spark: SparkSession, srcDir: String, table: GraftTable,
       checkpointDir: String): StreamingQuery =
-    readEvents(spark, srcDir).writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        table.append(batch); ()
-      }
-      .start()
+    GraftStreamIngest.start(readEvents(spark, srcDir), table,
+      checkpointDir, Trigger.AvailableNow())
 
   /** Windowed aggregate stream to an in-memory sink (tests/dashboards). */
   def aggregateToMemory(spark: SparkSession, srcDir: String, queryName: String,

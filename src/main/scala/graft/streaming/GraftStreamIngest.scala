@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.storage.GraftTable
+
+/** Structured Streaming ingest into a graft table with exactly-once
+  * semantics — the continuous-load path the reference cannot express
+  * (its COPY is batch-only; `TODO.md` lists streaming ingest as open).
+  *
+  * Shape: `foreachBatch` → [[GraftTable.appendStream]]. The checkpoint
+  * gives replayed micro-batches the same `batchId`, and the table
+  * metadata records the highest committed batch per ingest pipeline in
+  * the SAME atomic commit as the file list, so a batch is either fully
+  * visible and recorded, or neither — a crash between "rows written"
+  * and "batch marked" cannot double-ingest (`cstore_writer.c:344-357`'s
+  * atomic footer rename, extended with the txn watermark).
+  *
+  * The dedup key is the CHECKPOINT PATH: it is what survives restarts
+  * and identifies "the same logical ingest" (a fresh checkpoint restarts
+  * batch numbering, and correctly reads as a new pipeline).
+  *
+  * {{{
+  *   val q = GraftStreamIngest.start(events, "/wh/events_graft", "/chk/ev")
+  * }}}
+  */
+object GraftStreamIngest {
+
+  /** Stable txn id for a pipeline: its checkpoint location. */
+  private[streaming] def txnId(checkpoint: String): String =
+    s"stream:${checkpoint.stripSuffix("/")}"
+
+  /** Attach the exactly-once graft sink to a streaming DataFrame. The
+    * caller's table handle is the sink, so its metadata view advances
+    * with the ingested batches (appends refresh it under the writer
+    * lock). */
+  def writer(df: DataFrame, table: GraftTable,
+      checkpoint: String): DataStreamWriter[Row] = {
+    val id = txnId(checkpoint)
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.appendStream(batch, id, batchId)
+        ()
+      }
+  }
+
+  /** Start ingesting `df` into the graft table at `location`. */
+  def start(df: DataFrame, location: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    start(df, GraftTable.open(df.sparkSession, location), checkpoint, trigger)
+
+  /** Start ingesting `df` into `table`. */
+  def start(df: DataFrame, table: GraftTable, checkpoint: String,
+      trigger: Trigger): StreamingQuery =
+    writer(df, table, checkpoint).trigger(trigger).start()
+}

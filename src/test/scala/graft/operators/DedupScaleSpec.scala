@@ -115,6 +115,26 @@ class DedupScaleSpec extends SparkSpec {
     dir
   }
 
+  test("d7 clusters transitive near-dup chains under one representative") {
+    val w = (1 to 40).map(i => s"w$i")
+    // chain: t1≈t2 (last word differs, jac .854) and t2≈t3 (first word
+    // differs, .854) but t1 vs t3 is .727 < .8 — only transitivity can
+    // put all three in one cluster
+    val t1 = w.mkString(" ")
+    val t2 = (w.dropRight(1) :+ "zzz").mkString(" ")
+    val t3 = ("aaa" +: w.drop(1).dropRight(1) :+ "zzz").mkString(" ")
+    val dup = "quick brown foxes jump over lazy dogs tonight"
+    val corpus = Seq(10L -> t1, 11L -> t2, 12L -> t3,
+      20L -> dup, 21L -> dup,
+      30L -> "completely unrelated content with no shared shingles at all")
+    val dir = writeDocs(corpus)
+    val out = Dedup.d7DedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq === Seq(
+      (10L, 10L, 1), (11L, 10L, 0), (12L, 10L, 0), // chain collapsed transitively
+      (20L, 20L, 1), (21L, 20L, 0)))               // isolated pair; 30 has no pairs
+  }
+
   test("d2 frequency cap: cold-shingle near-dups survive, hot fan-out is dropped") {
     // Docs 1/2: identical text, all shingles cold (freq 2) -> jac 1.0.
     // Docs 100..299: every one contains the hot phrase "the quick brown fox"
