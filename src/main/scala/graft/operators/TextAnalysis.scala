@@ -74,11 +74,27 @@ object TextAnalysis {
     docs(s, dir).select(col("doc_id"), polyHashFast(col("text"), P57).as("fp"))
       .orderBy("doc_id")
 
+  /** t5: text normalization — the canonicalization pass that runs before
+    * EXACT dedup so cosmetic variants (case, runs of whitespace, leading/
+    * trailing space) hash identically: trim → collapse whitespace →
+    * lowercase, with the normalized md5 as the dedup key. Pure codegen
+    * `functions._` (regexp_replace/lower/md5); ASCII classes only so the
+    * Java and RE2 regex engines agree. */
+  def t5Normalize(s: SparkSession, dir: String): DataFrame = {
+    val norm = lower(regexp_replace(trim(col("text")), "[ \\t\\r\\n]+", " "))
+    docs(s, dir).select(
+      col("doc_id"),
+      length(norm).cast("long").as("norm_len"),
+      md5(norm.cast("binary")).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count" -> t1TokenCount _,
     "t2_quality" -> t2Quality _,
     "t3_lang_id" -> t3LangId _,
     "t4_fingerprint" -> t4Fingerprint _,
+    "t5_normalize" -> t5Normalize _,
   )
 
   import OracleSql._
@@ -119,5 +135,11 @@ object TextAnalysis {
          |ORDER BY lang_pred""".stripMargin),
     "t4_fingerprint" ->
       s"SELECT doc_id, ${polyHashSql("text", P57)} AS fp FROM documents ORDER BY doc_id",
+    "t5_normalize" ->
+      ("""WITH n AS (SELECT doc_id,
+         |  lower(regexp_replace(trim(text), '[ \t\r\n]+', ' ', 'g')) norm
+         |FROM documents)
+         |SELECT doc_id, CAST(length(norm) AS BIGINT) norm_len, md5(norm) norm_md5
+         |FROM n ORDER BY doc_id""".stripMargin),
   )
 }

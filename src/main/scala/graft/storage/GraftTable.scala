@@ -393,6 +393,61 @@ final class GraftTable private (
   def copyToCsv(path: String, header: Boolean = true): Unit =
     read().write.option("header", header.toString).mode(SaveMode.Overwrite).csv(path)
 
+  /** Compact the table's data files: rewrite all committed rows as one
+    * fresh batch of stripe-sized files and atomically swap the file
+    * list. Streaming ingest (micro-batch appends) accumulates small
+    * files whose per-file scheduling/footer overhead eventually
+    * dominates a 1000-executor scan — the small-files problem the
+    * append-only reference leaves open (`TODO.md`'s vacuum item).
+    *
+    * Readers are never torn: the new files are fully written before the
+    * metadata rename, and a pre-compaction reader keeps its snapshot
+    * (old files are deleted only after the commit; a crash between
+    * write and commit leaves an orphaned batch dir that `truncate`/
+    * `drop` remove, never wrong results). Zone maps, row count, and
+    * stream-txn watermarks carry through — the zone maps recomputed
+    * from the new footers. Returns the number of data files after
+    * compaction. */
+  def compact(): Int = withTableLock {
+    refreshMeta()
+    if (meta.files.size <= 1) meta.files.size
+    else {
+      val old = meta.files
+      // one output file per stripeRowCount rows — the merge IS the point
+      val target = math.max(1L,
+        (meta.rowCount + meta.options.stripeRowCount - 1) / meta.options.stripeRowCount)
+      val snapshot = read().repartition(target.toInt)
+      val batchDir = s"$location/data/batch-${meta.nextBatchId}-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val clustered =
+        if (meta.options.sortBy.isEmpty) snapshot
+        else snapshot.sortWithinPartitions(meta.options.sortBy.map(col): _*)
+      clustered.write
+        .option("compression", codecName(meta.options.compression))
+        .option("parquet.block.size", (meta.options.stripeRowCount * 64).toString)
+        .option("parquet.page.row.count.limit", meta.options.blockRowCount.toString)
+        .mode(SaveMode.Overwrite)
+        .parquet(batchDir)
+      val newFiles = listParquetFiles(batchDir)
+      val infos = newFiles.map(f => relativize(f, location) -> footerInfo(f))
+      val n = infos.map(_._2._1).sum
+      require(n == meta.rowCount,
+        s"compaction row count mismatch: rewrote $n of ${meta.rowCount} rows")
+      meta = meta.copy(
+        files = infos.map(_._1).toVector,
+        nextBatchId = meta.nextBatchId + 1,
+        fileStats = infos.collect {
+          case (rel, (_, st)) if st.nonEmpty => rel -> st
+        }.toMap)
+      commitMeta()
+      // visibility already switched; reclaim the replaced batch dirs
+      val (fs, _) = GraftTable.fsAndPath(location)
+      old.map(f => new HPath(s"$location/$f").getParent).distinct
+        .foreach(dir => fs.delete(dir, true))
+      meta.files.size
+    }
+  }
+
   /** TRUNCATE (`cstore_fdw.c:841-892`): drop all data files, keep the
     * table definition, re-init empty. */
   def truncate(): Unit = withTableLock {
@@ -840,6 +895,20 @@ object GraftTable {
       case In(c, vs) =>
         allNull(c) || (vs != null && vs.nonEmpty && vs.forall(v =>
           cmpMax(c, v).exists(_ < 0) || cmpMin(c, v).exists(_ > 0)))
+      // Prefix refutation under the same ASCII-binary discipline as the
+      // comparisons: values with prefix p live in [p, nextPrefix(p)), so
+      // the file is refuted when max < p or min >= nextPrefix(p).
+      case StringStartsWith(c, p) if p != null && p.nonEmpty =>
+        allNull(c) || cs(c).exists { case (dt, s) =>
+          dt.isInstanceOf[StringType] && {
+            val below = compareStat(dt, s.max, p).exists(_ < 0)
+            val above = p.last < 127 && {
+              val next = p.init + (p.last + 1).toChar
+              compareStat(dt, s.min, next).exists(_ >= 0)
+            }
+            below || above
+          }
+        }
       case IsNull(c) => cs(c).exists { case (_, s) => s.nulls == 0L }
       case IsNotNull(c) => cs(c).exists { case (_, s) => s.nulls >= 0L && s.nulls == s.rows }
       case _ => false

@@ -34,6 +34,20 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception](spark.table("gcat.db1.contestants").count())
   }
 
+  test("CREATE TABLE AS SELECT materializes through the graft write path") {
+    spark.sql("CREATE TABLE gcat.db1.ctas_src (a INT, b STRING) USING graft")
+    spark.sql("INSERT INTO gcat.db1.ctas_src SELECT id, concat('v', id) FROM range(50)")
+    spark.sql("CREATE TABLE gcat.db1.ctas_out USING graft AS " +
+      "SELECT a, b FROM gcat.db1.ctas_src WHERE a < 10")
+    assert(spark.table("gcat.db1.ctas_out").count() === 10)
+    // the CTAS result is a full graft table: metadata, exact counts, DROP GC
+    val t = GraftTable.open(spark, s"$warehouse/db1/ctas_out")
+    assert(t.rowCountFromMetadata() === 10L)
+    spark.sql("DROP TABLE gcat.db1.ctas_out")
+    spark.sql("DROP TABLE gcat.db1.ctas_src")
+    assert(!Files.exists(Paths.get(warehouse, "db1", "ctas_out")))
+  }
+
   test("TRUNCATE TABLE from SQL keeps definition, drops data (sql/truncate.sql:60-97)") {
     spark.sql(s"CREATE TABLE gcat.db1.trunc_t (a INT) USING graft")
     spark.sql("INSERT INTO gcat.db1.trunc_t VALUES (1), (2), (3)")

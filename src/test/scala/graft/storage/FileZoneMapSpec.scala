@@ -50,6 +50,15 @@ class FileZoneMapSpec extends SparkSpec {
     // no nulls anywhere: IS NULL is refutable, IS NOT NULL is not
     assert(t.prunedFiles(Seq(IsNull("id"))).isEmpty)
     assert(t.prunedFiles(Seq(IsNotNull("id"))).size === 3)
+    // prefix refutation: names are n0..n99 / n1000..n1099 / n2000..n2099.
+    // 'n20%' can hit files 1 (its "n20") and 3 (n20xx) but never file 2,
+    // whose whole range sorts below the prefix; 'z%' hits nothing
+    assert(t.prunedFiles(Seq(StringStartsWith("name", "n20"))).size === 2)
+    // file 1's range [n0, n99] lexicographically straddles "n2000" even
+    // though no value there has the prefix — kept, conservatively
+    assert(t.prunedFiles(Seq(StringStartsWith("name", "n2000"))).size === 2)
+    assert(t.prunedFiles(Seq(StringStartsWith("name", "z"))).isEmpty)
+    assert(t.prunedFiles(Seq(StringStartsWith("name", "n"))).size === 3)
     GraftTable.drop(t.location)
   }
 

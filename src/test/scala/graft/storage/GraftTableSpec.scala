@@ -145,6 +145,38 @@ class GraftTableSpec extends SparkSpec {
     GraftTable.drop(s"$loc/tbl")
   }
 
+  test("compact merges small files, preserves rows/zone-maps/stream watermarks") {
+    import spark.implicits._
+    val loc = tmpDir("graft-compact")
+    val t = GraftTable.create(spark, s"$loc/tbl",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+    // five micro-appends (the streaming-ingest shape) = five files
+    for (base <- 0 until 5)
+      t.appendStream((base * 10 until base * 10 + 10).map(i => (i, s"v$i"))
+        .toDF("id", "v").coalesce(1), "qz", base.toLong)
+    assert(t.committedFiles.size === 5)
+    val before = t.read().orderBy("id").collect().map(_.toSeq).toSeq
+
+    assert(t.compact() === 1)
+    assert(t.committedFiles.size === 1)
+    assert(t.rowCountFromMetadata() === 50L)
+    assert(t.read().orderBy("id").collect().map(_.toSeq).toSeq === before)
+    // zone maps recomputed from the compacted footers still refute
+    assert(t.prunedFiles(Seq(org.apache.spark.sql.sources.EqualTo("id", 999))).isEmpty)
+    // stream watermark survives: a replay of batch 4 is still a no-op
+    assert(t.appendStream(Seq((99, "dup")).toDF("id", "v"), "qz", 4L) === 0L)
+    assert(t.rowCountFromMetadata() === 50L)
+    // old batch dirs are gone
+    val dataDirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$loc/tbl/data")).iterator()
+    var dirs = 0
+    while (dataDirs.hasNext) { dataDirs.next(); dirs += 1 }
+    assert(dirs === 1, "compaction must reclaim replaced batch dirs")
+    GraftTable.drop(s"$loc/tbl")
+  }
+
   test("truncate keeps definition, drops data (sql/truncate.sql)") {
     import spark.implicits._
     val loc = tmpDir("graft-trunc")
