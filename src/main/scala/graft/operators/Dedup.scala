@@ -481,8 +481,12 @@ object Dedup {
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = edges.select(col("src").as("v")).distinct()
-        .withColumn("l", col("v"))
+      // round 0 fused into init: every vertex starts at min(self, its
+      // neighborhood) — pure pair clusters are already converged here,
+      // so the loop only runs for genuine chains
+      var labels = edges.groupBy("src")
+        .agg(least(col("src"), min(col("dst"))).as("l"))
+        .select(col("src").as("v"), col("l"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var sum = labels.agg(org.apache.spark.sql.functions.sum("l")).head().getLong(0)
       var converged = false
