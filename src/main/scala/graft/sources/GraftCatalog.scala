@@ -40,7 +40,8 @@ import graft.storage.{GraftTable, GraftTableOptions}
   * a SQL `DROP TABLE` the way they did when the source was a bare
   * `TableProvider`.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -165,6 +166,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"rename ${oldIdent} -> ${newIdent} failed")
     ()
   }
+
+  // ---- maintenance procedures (CALL graft.system.<proc>('db.t')) -----
+
+  /** `CALL <catalog>.system.{compact|vacuum|analyze|table_size}('ns.t')`
+    * — the reference's utility-UDF surface plus the VACUUM its TODO
+    * leaves open, on Spark 4's DSv2 procedure SPI. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident,
+      tableName => s"$warehouse/${tableName.replace('.', '/')}")
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
 
   // ---- namespaces (directories under the warehouse) ------------------
 

@@ -1,0 +1,73 @@
+package graft.sources
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.storage.GraftTable
+
+/** Maintenance procedures for the graft catalog, exposed through Spark
+  * 4's DSv2 `CALL` statement — the role of the reference's utility UDFs
+  * (`cstore_table_size`, `cstore_clean_table_resources`,
+  * `cstore_fdw--1.7.sql:17-37`) plus the VACUUM its TODO leaves open:
+  *
+  * {{{
+  *   CALL graft.system.compact('db.t')   -- merge small files
+  *   CALL graft.system.vacuum('db.t')    -- reclaim orphaned batch dirs
+  *   CALL graft.system.analyze('db.t')   -- collect planner stats
+  *   CALL graft.system.table_size('db.t')
+  * }}}
+  *
+  * Each returns a one-row result describing what it did. */
+private[sources] object GraftProcedures {
+
+  val Names: Seq[String] = Seq("compact", "vacuum", "analyze", "table_size")
+
+  def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
+    require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
+      s"no such procedure namespace ${ident.namespace().mkString(".")}")
+    val procName = ident.name()
+    require(Names.contains(procName), s"no such procedure $procName")
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft $procName maintenance procedure"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = s"graft $procName maintenance procedure"
+        override def parameters(): Array[ProcedureParameter] =
+          Array(ProcedureParameter.in("table", StringType).build())
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): JIterator[Scan] = {
+          val tableName = input.getUTF8String(0).toString
+          val dir = tableDir(tableName)
+          require(GraftTable.exists(dir), s"no graft table $tableName")
+          val t = GraftTable.open(SparkSession.active, dir)
+          val (metric, value) = procName match {
+            case "compact" => ("files_after_compaction", t.compact().toLong)
+            case "vacuum" => ("orphan_dirs_reclaimed", t.vacuum().toLong)
+            case "analyze" => ("rows_analyzed", t.analyze().rowCount)
+            case "table_size" => ("size_bytes", t.tableSize())
+          }
+          val schema = StructType(Seq(
+            StructField("table", StringType, nullable = false),
+            StructField("metric", StringType, nullable = false),
+            StructField("value", LongType, nullable = false)))
+          val row: InternalRow = new GenericInternalRow(Array[Any](
+            UTF8String.fromString(tableName), UTF8String.fromString(metric), value))
+          val scan: Scan = new LocalScan {
+            override def readSchema(): StructType = schema
+            override def rows(): Array[InternalRow] = Array(row)
+          }
+          java.util.Collections.singletonList(scan).iterator()
+        }
+      }
+    }
+  }
+}

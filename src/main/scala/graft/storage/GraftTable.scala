@@ -448,6 +448,28 @@ final class GraftTable private (
     }
   }
 
+  /** Reclaim orphaned batch directories: data subdirectories holding no
+    * committed file — the residue of a writer that crashed between its
+    * parquet write and the metadata commit (whose rows were never
+    * visible). Runs under the writer lock, so it can never race a live
+    * local append; on lock-less filesystems run it only while no writer
+    * is active (the same single-writer caveat as appends). The
+    * reference lists VACUUM as open work (`TODO.md`). Returns the
+    * number of directories reclaimed. */
+  def vacuum(): Int = withTableLock {
+    refreshMeta()
+    val (fs, _) = GraftTable.fsAndPath(location)
+    val dataDir = new HPath(s"$location/data")
+    if (!fs.exists(dataDir)) 0
+    else {
+      val live = meta.files.map(f => new HPath(s"$location/$f").getParent.getName).toSet
+      val orphans = fs.listStatus(dataDir).toSeq
+        .filter(st => st.isDirectory && !live.contains(st.getPath.getName))
+      orphans.foreach(st => fs.delete(st.getPath, true))
+      orphans.size
+    }
+  }
+
   /** TRUNCATE (`cstore_fdw.c:841-892`): drop all data files, keep the
     * table definition, re-init empty. */
   def truncate(): Unit = withTableLock {

@@ -48,6 +48,37 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(warehouse, "db1", "ctas_out")))
   }
 
+  test("CALL procedures: compact, vacuum, analyze, table_size") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE gcat.db1.proc_t (a INT, b STRING) USING graft")
+    for (i <- 0 until 3)
+      spark.sql(s"INSERT INTO gcat.db1.proc_t VALUES ($i, 'v$i')")
+    val tdir = s"$warehouse/db1/proc_t"
+    assert(GraftTable.open(spark, tdir).committedFiles.size > 1)
+    // plant an orphan batch dir (a crashed writer's residue)
+    val orphan = Paths.get(tdir, "data", "batch-99-deadbeef")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-stray.parquet"), Array[Byte](1, 2, 3))
+
+    val vac = spark.sql("CALL gcat.system.vacuum('db1.proc_t')").collect()
+    assert(vac.map(r => (r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("orphan_dirs_reclaimed", 1L)))
+    assert(!Files.exists(orphan))
+
+    val comp = spark.sql("CALL gcat.system.compact('db1.proc_t')").collect()
+    assert(comp.head.getLong(2) === 1L)
+    assert(GraftTable.open(spark, tdir).committedFiles.size === 1)
+    assert(spark.table("gcat.db1.proc_t").count() === 3)
+
+    val an = spark.sql("CALL gcat.system.analyze('db1.proc_t')").collect()
+    assert(an.head.getLong(2) === 3L)
+    assert(GraftTable.open(spark, tdir).stats().exists(_.rowCount == 3L))
+
+    val sz = spark.sql("CALL gcat.system.table_size('db1.proc_t')").collect()
+    assert(sz.head.getLong(2) > 0L)
+    spark.sql("DROP TABLE gcat.db1.proc_t")
+  }
+
   test("TRUNCATE TABLE from SQL keeps definition, drops data (sql/truncate.sql:60-97)") {
     spark.sql(s"CREATE TABLE gcat.db1.trunc_t (a INT) USING graft")
     spark.sql("INSERT INTO gcat.db1.trunc_t VALUES (1), (2), (3)")
