@@ -473,8 +473,30 @@ object Dedup {
     * sum — no plan-diffing join.
     *
     * CONTRACT: like d5, constructing this plan runs the propagation
-    * loop eagerly (a handful of small jobs). */
+    * loop eagerly (a handful of small jobs); the result is memoized per
+    * (session, dir, corpus fingerprint), and replacing a stale entry
+    * releases its cached labels. */
   def d7DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val fp = fingerprint(dir, "documents")
+    d7Cache.compute((s, dir), (_, cur) => {
+      if (cur != null && cur.fingerprint == fp) cur
+      else {
+        if (cur != null) cur.labels.foreach(_.unpersist())
+        d7Run(s, dir, fp)
+      }
+    }).df
+  }
+
+  private final case class D7Entry(fingerprint: String, df: DataFrame,
+      labels: Option[DataFrame])
+  private val d7Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), D7Entry]()
+
+  private def d7Run(s: SparkSession, dir: String, fp: String): D7Entry = {
+    val resultSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("keep", org.apache.spark.sql.types.IntegerType)))
     val pairs = ngramPairsCached(s, dir).select(col("doc_a"), col("doc_b"))
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -488,7 +510,15 @@ object Dedup {
         .agg(least(col("src"), min(col("dst"))).as("l"))
         .select(col("src").as("v"), col("l"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var sum = labels.agg(org.apache.spark.sql.functions.sum("l")).head().getLong(0)
+      val first = labels.agg(org.apache.spark.sql.functions.sum("l")).head()
+      if (first.isNullAt(0)) {
+        // no near-dup pairs at all: every document is its own cluster —
+        // the oracle's recursive closure is empty too
+        labels.unpersist()
+        return D7Entry(fp, s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], resultSchema), None)
+      }
+      var sum = first.getLong(0)
       var converged = false
       while (!converged) {
         val prop = edges.join(labels, col("dst") === col("v"))
@@ -502,10 +532,13 @@ object Dedup {
         converged = nextSum == sum // min-propagation strictly shrinks until fixpoint
         sum = nextSum
       }
-      labels
+      val df = labels
         .select(col("v").as("doc_id"), col("l").as("cluster_id"),
           (col("v") === col("l")).cast("int").as("keep"))
         .orderBy("doc_id")
+      // the final labels stay persisted under the returned plan; the
+      // memo entry owns them so replacement can unpersist
+      D7Entry(fp, df, Some(labels))
     } finally edges.unpersist()
   }
 

@@ -128,7 +128,7 @@ class GraftSparkTable(location: String) extends Table
       exactRowCount = Some(t.rowCountFromMetadata()),
       filePruner = Some(t.prunedFiles),
       tableStats = t.stats(),
-      explainMeta = t.explainMeta)
+      explainMeta = () => t.explainMeta)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

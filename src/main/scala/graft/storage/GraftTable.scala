@@ -165,6 +165,16 @@ final class GraftTable private (
   def appendStream(df: DataFrame, queryId: String, batchId: Long): Long =
     appendInternal(df, Some((queryId, batchId)))
 
+  /** Forget a streaming pipeline's committed-batch watermark. Needed
+    * when a checkpoint directory is WIPED and its path reused: batch
+    * numbering restarts at 0, which the stale watermark would otherwise
+    * classify as replays and silently skip. */
+  def resetStreamTxn(queryId: String): Unit = withTableLock {
+    refreshMeta()
+    meta = meta.copy(streamTxn = meta.streamTxn - queryId)
+    commitMeta()
+  }
+
   private def appendInternal(df: DataFrame,
       txn: Option[(String, Long)]): Long = withTableLock {
     refreshMeta()
@@ -174,7 +184,17 @@ final class GraftTable private (
     if (replayed) 0L else appendLocked(df, txn)
   }
 
-  private def appendLocked(df: DataFrame, txn: Option[(String, Long)]): Long = {
+  /** Write one batch dir with the table's sizing/codec options, sort_by
+    * clustering, and the TIMESTAMP_MICROS override. Returns the new dir.
+    *
+    * Timestamps are written as INT64 TIMESTAMP_MICROS, not Spark's
+    * default INT96: INT96 footer stats don't order like instants, so
+    * they can never feed the zone maps (the reference skips on
+    * timestamps too, `cstore_writer.c:845-849`). prepareWrite reads
+    * the session conf, so the override is scoped to this
+    * (lock-serialized) write; MICROS is what INT96 deprecation
+    * migrates to anyway. */
+  private def writeBatchDir(df: DataFrame): String = {
     // sort_by option: cluster rows within each written file so the
     // per-page/row-group min-max ranges are narrow - the reference's
     // "skip indexes are most effective on sorted load order" guidance
@@ -183,27 +203,25 @@ final class GraftTable private (
     val clustered =
       if (meta.options.sortBy.isEmpty) df
       else df.sortWithinPartitions(meta.options.sortBy.map(col): _*)
-    val aligned = alignToSchema(clustered)
     val batchDir = s"$location/data/batch-${meta.nextBatchId}-" +
       java.util.UUID.randomUUID().toString.take(8)
-    // Timestamps are written as INT64 TIMESTAMP_MICROS, not Spark's
-    // default INT96: INT96 footer stats don't order like instants, so
-    // they can never feed the zone maps (the reference skips on
-    // timestamps too, `cstore_writer.c:845-849`). prepareWrite reads
-    // the session conf, so scope the override to this (lock-serialized)
-    // write; MICROS is what INT96 deprecation migrates to anyway.
     val hasTs = meta.currentSchema.fields.exists(_.dataType == TimestampType)
     val otsKey = "spark.sql.parquet.outputTimestampType"
     val prevOts = if (hasTs) Some(spark.conf.get(otsKey)) else None
     if (hasTs) spark.conf.set(otsKey, "TIMESTAMP_MICROS")
     try {
-      aligned.write
+      clustered.write
         .option("compression", codecName(meta.options.compression))
         .option("parquet.block.size", (meta.options.stripeRowCount * 64).toString)
         .option("parquet.page.row.count.limit", meta.options.blockRowCount.toString)
         .mode(SaveMode.Overwrite)
         .parquet(batchDir)
     } finally prevOts.foreach(spark.conf.set(otsKey, _))
+    batchDir
+  }
+
+  private def appendLocked(df: DataFrame, txn: Option[(String, Long)]): Long = {
+    val batchDir = writeBatchDir(alignToSchema(df))
     val newFiles = listParquetFiles(batchDir)
     val infos = newFiles.map(f => relativize(f, location) -> footerInfo(f))
     val n = infos.map(_._2._1).sum
@@ -381,7 +399,11 @@ final class GraftTable private (
   def copyFromProgram(command: Seq[String], header: Boolean = false,
       columns: Seq[String] = Seq.empty, mode: String = "FAILFAST"): Long = {
     val pb = new ProcessBuilder(command: _*)
-    pb.redirectErrorStream(false)
+    // stderr flows to the driver's own stderr (the reference surfaces it
+    // in the server log). Leaving it piped but undrained would deadlock
+    // once a chatty program fills the ~64KB pipe buffer while we block
+    // reading stdout to EOF.
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
     val exit = proc.waitFor()
@@ -401,33 +423,24 @@ final class GraftTable private (
     * append-only reference leaves open (`TODO.md`'s vacuum item).
     *
     * Readers are never torn: the new files are fully written before the
-    * metadata rename, and a pre-compaction reader keeps its snapshot
-    * (old files are deleted only after the commit; a crash between
-    * write and commit leaves an orphaned batch dir that `truncate`/
-    * `drop` remove, never wrong results). Zone maps, row count, and
-    * stream-txn watermarks carry through — the zone maps recomputed
+    * metadata rename, and a pre-compaction reader keeps its snapshot —
+    * the REPLACED batch dirs are deliberately left on disk, because a
+    * scan planned over the old file list may still be executing; a
+    * later [[vacuum]] (run when no long scans are live) reclaims them,
+    * the same two-phase discipline object-store table formats use. A
+    * crash between write and commit leaves an orphaned batch dir that
+    * `vacuum` also removes — never wrong results. Zone maps, row count,
+    * and stream-txn watermarks carry through, the zone maps recomputed
     * from the new footers. Returns the number of data files after
     * compaction. */
   def compact(): Int = withTableLock {
     refreshMeta()
     if (meta.files.size <= 1) meta.files.size
     else {
-      val old = meta.files
       // one output file per stripeRowCount rows — the merge IS the point
       val target = math.max(1L,
         (meta.rowCount + meta.options.stripeRowCount - 1) / meta.options.stripeRowCount)
-      val snapshot = read().repartition(target.toInt)
-      val batchDir = s"$location/data/batch-${meta.nextBatchId}-" +
-        java.util.UUID.randomUUID().toString.take(8)
-      val clustered =
-        if (meta.options.sortBy.isEmpty) snapshot
-        else snapshot.sortWithinPartitions(meta.options.sortBy.map(col): _*)
-      clustered.write
-        .option("compression", codecName(meta.options.compression))
-        .option("parquet.block.size", (meta.options.stripeRowCount * 64).toString)
-        .option("parquet.page.row.count.limit", meta.options.blockRowCount.toString)
-        .mode(SaveMode.Overwrite)
-        .parquet(batchDir)
+      val batchDir = writeBatchDir(read().repartition(target.toInt))
       val newFiles = listParquetFiles(batchDir)
       val infos = newFiles.map(f => relativize(f, location) -> footerInfo(f))
       val n = infos.map(_._2._1).sum
@@ -440,10 +453,6 @@ final class GraftTable private (
           case (rel, (_, st)) if st.nonEmpty => rel -> st
         }.toMap)
       commitMeta()
-      // visibility already switched; reclaim the replaced batch dirs
-      val (fs, _) = GraftTable.fsAndPath(location)
-      old.map(f => new HPath(s"$location/$f").getParent).distinct
-        .foreach(dir => fs.delete(dir, true))
       meta.files.size
     }
   }
@@ -598,7 +607,10 @@ final class GraftTable private (
   /** The same EXPLAIN surface as typed entries, merged into the DSv2
     * scan's metadata so `EXPLAIN` on a graft table prints them — the
     * reference prints file + size under EXPLAIN
-    * (`cstore_fdw.c:1944-1965`). */
+    * (`cstore_fdw.c:1944-1965`). `tableSize()` stats every data file,
+    * so callers on the planning path must invoke this only when the
+    * EXPLAIN text is actually rendered (the scan defers it to
+    * `getMetaData()`), never eagerly per query. */
   def explainMeta: Map[String, String] = Map(
     "GraftLocation" -> location,
     "GraftFiles" -> meta.files.size.toString,
@@ -717,8 +729,8 @@ object GraftTable {
 
   /** Rename `src` over `dst`. POSIX filesystems replace atomically; on
     * filesystems whose rename refuses an existing destination (HDFS) the
-    * destination is deleted first — a window in which a concurrent
-    * reader retries. Writers themselves are serialized by the table
+    * destination is deleted first — a window `readMeta`'s missing-file
+    * retry absorbs. Writers themselves are serialized by the table
     * lock, so two commits never race here. */
   private def renameReplacing(fs: FileSystem, src: HPath, dst: HPath): Unit = {
     if (!fs.rename(src, dst)) {
@@ -1109,7 +1121,13 @@ object GraftTable {
   private[storage] def readMeta(location: String): Meta = {
     val (fs, _) = fsAndPath(location)
     val path = metaPath(location)
-    require(fs.exists(path), s"no graft table at $location")
+    // One short retry: on filesystems without atomic rename-replace a
+    // commit passes through a delete→rename window; a reader landing
+    // inside it must not conclude the table is gone.
+    if (!fs.exists(path)) {
+      Thread.sleep(100)
+      require(fs.exists(path), s"no graft table at $location")
+    }
     val m = parseJsonObject(readFileFully(fs, path))
     require(m.get(MagicKey).contains(Magic), s"bad magic in $path")
     val schema = DataType.fromJson(m("schema").asInstanceOf[String]).asInstanceOf[StructType]

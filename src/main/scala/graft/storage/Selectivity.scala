@@ -55,7 +55,13 @@ object Selectivity {
              _: DecimalType => Some(s.toDouble)
         case DateType => Some(java.time.LocalDate.parse(s).toEpochDay.toDouble)
         case TimestampType | TimestampNTZType =>
-          Some(java.sql.Timestamp.valueOf(s).getTime.toDouble)
+          // ANALYZE renders the bound in the SESSION timezone — parse it
+          // back in the same zone, not the JVM default, or every bound
+          // shifts by the tz offset against the absolute filter value
+          val zone = java.time.ZoneId.of(
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+          val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          Some(ldt.atZone(zone).toInstant.toEpochMilli.toDouble)
         case _ => None
       } catch { case _: RuntimeException => None }
 

@@ -19,8 +19,12 @@ import graft.storage.GraftTable
   * atomic footer rename, extended with the txn watermark).
   *
   * The dedup key is the CHECKPOINT PATH: it is what survives restarts
-  * and identifies "the same logical ingest" (a fresh checkpoint restarts
-  * batch numbering, and correctly reads as a new pipeline).
+  * and identifies "the same logical ingest". A checkpoint at a NEW path
+  * correctly reads as a new pipeline. CAUTION: wiping a checkpoint
+  * directory and reusing its path restarts batch numbering at 0 under
+  * the SAME key, so the table's old watermark would classify the fresh
+  * batches as replays — call `GraftTable.resetStreamTxn(txnId(chk))`
+  * (or pick a new path) when discarding a checkpoint.
   *
   * {{{
   *   val q = GraftStreamIngest.start(events, "/wh/events_graft", "/chk/ev")
@@ -29,7 +33,7 @@ import graft.storage.GraftTable
 object GraftStreamIngest {
 
   /** Stable txn id for a pipeline: its checkpoint location. */
-  private[streaming] def txnId(checkpoint: String): String =
+  def txnId(checkpoint: String): String =
     s"stream:${checkpoint.stripSuffix("/")}"
 
   /** Attach the exactly-once graft sink to a streaming DataFrame. The

@@ -43,12 +43,12 @@ object ParquetDelegate {
       exactRowCount: Option[Long] = None,
       filePruner: Option[Seq[Filter] => Seq[String]] = None,
       tableStats: Option[GraftTable.TableStats] = None,
-      explainMeta: Map[String, String] = Map.empty): ScanBuilder = {
+      explainMeta: () => Map[String, String] = () => Map.empty): ScanBuilder = {
     val spark = SparkSession.active
     val table = ParquetTable(name, spark, options, files, Some(schema),
       classOf[ParquetFileFormat])
     (exactRowCount, filePruner, tableStats) match {
-      case (None, None, None) if explainMeta.isEmpty => table.newScanBuilder(options)
+      case (None, None, None) => table.newScanBuilder(options)
       case _ =>
         new GraftScanBuilder(name, spark, table.fileIndex, schema, options,
           files, exactRowCount, filePruner, tableStats, explainMeta)
@@ -68,7 +68,7 @@ object ParquetDelegate {
       exactRows: Option[Long],
       filePruner: Option[Seq[Filter] => Seq[String]],
       tableStats: Option[GraftTable.TableStats],
-      explainMeta: Map[String, String])
+      explainMeta: () => Map[String, String])
       extends ParquetScanBuilder(spark, fileIndex, schema, schema, options) {
 
     // Every translated data filter, not just the ones parquet agrees to
@@ -122,7 +122,7 @@ object ParquetDelegate {
       tableStats: Option[GraftTable.TableStats],
       tableSchema: StructType,
       translatedFilters: Seq[Filter],
-      explainMeta: Map[String, String])
+      explainMeta: () => Map[String, String])
       extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
         base.dataSchema, base.readDataSchema, base.readPartitionSchema,
         base.pushedFilters, base.options, base.pushedAggregate,
@@ -151,7 +151,12 @@ object ParquetDelegate {
         super.estimateStatistics()
       }
 
+    // Deferred: explainMeta stats every data file for GraftSizeBytes,
+    // which belongs in EXPLAIN rendering, not on the per-query planning
+    // path (estimateStatistics/build never touch it).
+    private lazy val graftMeta = explainMeta()
+
     override def getMetaData(): Map[String, String] =
-      super.getMetaData() ++ explainMeta
+      super.getMetaData() ++ graftMeta
   }
 }

@@ -135,6 +135,16 @@ class DedupScaleSpec extends SparkSpec {
       (20L, 20L, 1), (21L, 20L, 0)))               // isolated pair; 30 has no pairs
   }
 
+  test("d7 on a corpus without near-dups returns an empty cluster set") {
+    val dir = writeDocs(Seq(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "one two three four five six seven",
+      3L -> "entirely different words in this document"))
+    val out = Dedup.d7DedupClusters(spark, dir)
+    assert(out.collect().isEmpty)
+    assert(out.schema.fieldNames.toSeq === Seq("doc_id", "cluster_id", "keep"))
+  }
+
   test("d2 frequency cap: cold-shingle near-dups survive, hot fan-out is dropped") {
     // Docs 1/2: identical text, all shingles cold (freq 2) -> jac 1.0.
     // Docs 100..299: every one contains the hot phrase "the quick brown fox"

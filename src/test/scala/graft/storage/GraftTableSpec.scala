@@ -168,12 +168,19 @@ class GraftTableSpec extends SparkSpec {
     // stream watermark survives: a replay of batch 4 is still a no-op
     assert(t.appendStream(Seq((99, "dup")).toDF("id", "v"), "qz", 4L) === 0L)
     assert(t.rowCountFromMetadata() === 50L)
-    // old batch dirs are gone
-    val dataDirs = java.nio.file.Files.list(
-      java.nio.file.Paths.get(s"$loc/tbl/data")).iterator()
-    var dirs = 0
-    while (dataDirs.hasNext) { dataDirs.next(); dirs += 1 }
-    assert(dirs === 1, "compaction must reclaim replaced batch dirs")
+    // replaced batch dirs stay on disk (in-flight readers may still
+    // scan them) until an explicit vacuum reclaims them
+    def dataDirCount(): Int = {
+      val it = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$loc/tbl/data")).iterator()
+      var dirs = 0
+      while (it.hasNext) { it.next(); dirs += 1 }
+      dirs
+    }
+    assert(dataDirCount() === 6, "compaction must leave replaced dirs for vacuum")
+    assert(t.vacuum() === 5)
+    assert(dataDirCount() === 1)
+    assert(t.read().orderBy("id").collect().map(_.toSeq).toSeq === before)
     GraftTable.drop(s"$loc/tbl")
   }
 

@@ -32,6 +32,11 @@ class GraftStreamIngestSpec extends SparkSpec {
     val reopened = GraftTable.open(spark, loc)
     assert(reopened.appendStream(Seq((9L, "x")).toDF("id", "v"), "q1", 1L) === 0L)
     assert(reopened.read().count() === 3L)
+    // the wiped-checkpoint escape hatch: resetting the txn re-admits
+    // batch ids from 0
+    reopened.resetStreamTxn("q1")
+    assert(reopened.appendStream(Seq((4L, "d")).toDF("id", "v"), "q1", 0L) === 1L)
+    assert(reopened.read().count() === 4L)
     GraftTable.drop(loc)
   }
 
