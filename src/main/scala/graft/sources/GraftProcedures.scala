@@ -46,6 +46,15 @@ private[sources] object GraftProcedures {
         override def isDeterministic: Boolean = false
         override def call(input: InternalRow): JIterator[Scan] = {
           val tableName = input.getUTF8String(0).toString
+          // The name is spliced into a filesystem path under the
+          // warehouse; a separator or dot-dot segment would let
+          // CALL ...('../other/t') compact/vacuum (i.e. rewrite or
+          // delete files of) a table OUTSIDE this catalog.
+          val parts = tableName.split('.')
+          require(parts.nonEmpty && parts.forall(p =>
+            p.nonEmpty && !p.contains('/') && !p.contains('\\')),
+            s"invalid table name '$tableName': expected dot-separated " +
+              "identifiers without path separators")
           val dir = tableDir(tableName)
           require(GraftTable.exists(dir), s"no graft table $tableName")
           val t = GraftTable.open(SparkSession.active, dir)

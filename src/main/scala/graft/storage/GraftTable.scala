@@ -191,9 +191,15 @@ final class GraftTable private (
     * default INT96: INT96 footer stats don't order like instants, so
     * they can never feed the zone maps (the reference skips on
     * timestamps too, `cstore_writer.c:845-849`). prepareWrite reads
-    * the session conf, so the override is scoped to this
-    * (lock-serialized) write; MICROS is what INT96 deprecation
-    * migrates to anyway. */
+    * the session conf, so the flip is visible session-wide for the
+    * duration of the write; the table lock only serializes writers of
+    * ONE table, so the flip+write+restore is additionally serialized
+    * on a process-global lock — otherwise a concurrent graft write to
+    * another table could observe the restore mid-job and emit INT96
+    * (losing its zone maps). A concurrent NON-graft parquet write on
+    * the same session may still observe MICROS instead of INT96; that
+    * direction is benign (MICROS is the post-INT96-deprecation
+    * default and reads back identically). */
   private def writeBatchDir(df: DataFrame): String = {
     // sort_by option: cluster rows within each written file so the
     // per-page/row-group min-max ranges are narrow - the reference's
@@ -207,16 +213,18 @@ final class GraftTable private (
       java.util.UUID.randomUUID().toString.take(8)
     val hasTs = meta.currentSchema.fields.exists(_.dataType == TimestampType)
     val otsKey = "spark.sql.parquet.outputTimestampType"
-    val prevOts = if (hasTs) Some(spark.conf.get(otsKey)) else None
-    if (hasTs) spark.conf.set(otsKey, "TIMESTAMP_MICROS")
-    try {
+    def run(): Unit =
       clustered.write
         .option("compression", codecName(meta.options.compression))
         .option("parquet.block.size", (meta.options.stripeRowCount * 64).toString)
         .option("parquet.page.row.count.limit", meta.options.blockRowCount.toString)
         .mode(SaveMode.Overwrite)
         .parquet(batchDir)
-    } finally prevOts.foreach(spark.conf.set(otsKey, _))
+    if (hasTs) GraftTable.writeConfLock.synchronized {
+      val prevOts = spark.conf.get(otsKey)
+      spark.conf.set(otsKey, "TIMESTAMP_MICROS")
+      try run() finally spark.conf.set(otsKey, prevOts)
+    } else run()
     batchDir
   }
 
@@ -543,13 +551,17 @@ final class GraftTable private (
 
   /** `noScan = true` (SQL `ANALYZE TABLE ... NOSCAN`) refreshes the
     * metadata-derived row count and size without the distributed column
-    * scan, preserving previously collected column stats. */
+    * scan, preserving previously collected column stats. On a
+    * never-analyzed table it records NO column stats — synthesizing
+    * `nulls = 0` here would present an unmeasured guess as a measured
+    * fact, and selectivity would estimate `IS NULL` on a mostly-null
+    * column at ~0 rows (a broadcast-flip hazard); absent columns fall
+    * back to default selectivities instead. */
   def analyze(noScan: Boolean): GraftTable.TableStats = synchronized {
     refreshMeta()
     if (noScan) {
-      val prevCols = GraftTable.readStats(location).map(_.columns).getOrElse(
-        meta.currentSchema.fields.map(f =>
-          f.name -> GraftTable.ColumnStats(null, null, 0L, 0L)).toMap)
+      val prevCols = GraftTable.readStats(location).map(_.columns)
+        .getOrElse(Map.empty[String, GraftTable.ColumnStats])
       val st = GraftTable.TableStats(meta.rowCount, tableSize(), prevCols)
       GraftTable.writeStatsAtomic(location, st)
       return st
@@ -747,12 +759,19 @@ object GraftTable {
     renameReplacing(fs, tmp, path)
   }
 
+  /** Read a small metadata file to EOF. Deliberately does NOT pre-stat
+    * the length and read exactly that many bytes: a commit (rename over
+    * the path) landing between stat and open would yield a truncated or
+    * over-read buffer instead of a clean failure the caller can retry. */
   private def readFileFully(fs: FileSystem, path: HPath): String = {
-    val len = fs.getFileStatus(path).getLen.toInt
-    val buf = new Array[Byte](len)
     val in = fs.open(path)
-    try in.readFully(0, buf) finally in.close()
-    new String(buf, StandardCharsets.UTF_8)
+    try {
+      val out = new java.io.ByteArrayOutputStream(8192)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
   }
 
   // ---- writer serialization (cstore_fdw.c:560-564) -------------------
@@ -766,6 +785,11 @@ object GraftTable {
   // single-writer discipline is the caller's (documented, matching the
   // reference's own caveat, `TODO.md:25-28`).
   private val jvmLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Serializes the session-wide `outputTimestampType` flip across ALL
+    * graft writers in this JVM (the per-table lock can't — see
+    * `writeBatchDir`). */
+  private[storage] val writeConfLock = new Object
 
   private[storage] def withWriterLock[T](location: String)(f: => T): T = {
     val uri = new HPath(location).toUri
@@ -996,17 +1020,30 @@ object GraftTable {
   def create(spark: SparkSession, location: String, schema: StructType,
       options: GraftTableOptions = GraftTableOptions()): GraftTable = {
     options.validate()
-    val (fs, dir) = fsAndPath(location)
-    require(!fs.exists(metaPath(location)), s"table already exists at $location")
+    val loc = qualified(location)
+    val (fs, dir) = fsAndPath(loc)
+    require(!fs.exists(metaPath(loc)), s"table already exists at $loc")
     fs.mkdirs(dir)
     val meta = Meta(schema, options, Vector.empty, 0L, Map.empty, 0L)
-    writeMetaAtomic(location, meta)
-    new GraftTable(spark, location, meta)
+    writeMetaAtomic(loc, meta)
+    new GraftTable(spark, loc, meta)
   }
 
   /** Open an existing table. */
-  def open(spark: SparkSession, location: String): GraftTable =
-    new GraftTable(spark, location, readMeta(location))
+  def open(spark: SparkSession, location: String): GraftTable = {
+    val loc = qualified(location)
+    new GraftTable(spark, loc, readMeta(loc))
+  }
+
+  /** Fully-qualified form of a location (scheme + absolute path). A table
+    * handle always carries the qualified form: `listStatus` returns
+    * fully-qualified file paths, so `relativize` against a RELATIVE
+    * location (resolved against the filesystem's working directory)
+    * would otherwise reject every listed file. */
+  private def qualified(location: String): String = {
+    val (fs, p) = fsAndPath(location)
+    fs.makeQualified(p).toString
+  }
 
   def exists(location: String): Boolean = {
     val (fs, _) = fsAndPath(location)
@@ -1121,14 +1158,33 @@ object GraftTable {
   private[storage] def readMeta(location: String): Meta = {
     val (fs, _) = fsAndPath(location)
     val path = metaPath(location)
-    // One short retry: on filesystems without atomic rename-replace a
-    // commit passes through a delete→rename window; a reader landing
-    // inside it must not conclude the table is gone.
-    if (!fs.exists(path)) {
-      Thread.sleep(100)
-      require(fs.exists(path), s"no graft table at $location")
+    // On filesystems without atomic rename-replace a commit passes
+    // through a delete→rename window; a reader landing inside it sees
+    // a missing file, a zero-length file, or a torn read. The WHOLE
+    // read-and-parse retries — not just an existence probe — so a
+    // commit landing between any two steps still converges; only after
+    // the retries are exhausted is the table declared absent/corrupt.
+    var m: Map[String, Any] = null
+    var attempt = 0
+    while (m == null) {
+      try {
+        m = parseJsonObject(readFileFully(fs, path))
+      } catch {
+        case e: Exception =>
+          // Fast path for a genuine no-such-table probe: the commit
+          // window removes only the meta FILE; if the table directory
+          // itself is absent there is nothing to wait for.
+          val definitelyAbsent = e.isInstanceOf[java.io.FileNotFoundException] &&
+            !fs.exists(path.getParent)
+          attempt += 1
+          if (definitelyAbsent || attempt >= 3) e match {
+            case _: java.io.FileNotFoundException =>
+              throw new IllegalArgumentException(s"no graft table at $location")
+            case other => throw other
+          }
+          Thread.sleep(50L * attempt)
+      }
     }
-    val m = parseJsonObject(readFileFully(fs, path))
     require(m.get(MagicKey).contains(Magic), s"bad magic in $path")
     val schema = DataType.fromJson(m("schema").asInstanceOf[String]).asInstanceOf[StructType]
     val defaults = m.getOrElse("defaults", Map.empty[String, Any])

@@ -76,6 +76,18 @@ class GraftCatalogSpec extends SparkSpec {
 
     val sz = spark.sql("CALL gcat.system.table_size('db1.proc_t')").collect()
     assert(sz.head.getLong(2) > 0L)
+
+    // the table argument is spliced into a warehouse path: a traversal
+    // segment must be rejected, not resolved outside the warehouse
+    val outside = tmpDir("proc-escape") + "/victim"
+    GraftTable.create(spark, outside, spark.table("gcat.db1.proc_t").schema)
+    val rel = Paths.get(warehouse).relativize(
+      Paths.get(new org.apache.hadoop.fs.Path(outside).toUri.getPath)).toString
+    assert(rel.startsWith(".."), s"escape path sanity: $rel")
+    val ex = intercept[Exception](
+      spark.sql(s"CALL gcat.system.table_size('$rel')").collect())
+    assert(ex.getMessage.contains("invalid table name"), ex.getMessage)
+    assert(GraftTable.exists(outside), "victim table untouched")
     spark.sql("DROP TABLE gcat.db1.proc_t")
   }
 

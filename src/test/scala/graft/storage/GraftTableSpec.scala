@@ -299,6 +299,35 @@ class GraftTableSpec extends SparkSpec {
     assert(t2.explainInfo.contains("rows=100"))
     GraftTable.drop(s"$loc/tbl")
   }
+
+  test("ANALYZE NOSCAN on a never-analyzed table records no column stats") {
+    import spark.implicits._
+    val loc = tmpDir("graft-noscan")
+    val t = GraftTable.create(spark, s"$loc/tbl", schema)
+    // name is entirely NULL: a fabricated nullCount=0 here would make
+    // IS NULL selectivity estimate ~0 rows on a 100%-null column
+    t.append((1 to 50).map(i => (i, null: String, i)).toDF("handle", "name", "rating"))
+    val st = t.analyze(noScan = true)
+    assert(st.rowCount === 50)
+    assert(st.columns.isEmpty,
+      "NOSCAN without prior stats must not fabricate measured-looking column stats")
+    // a later full ANALYZE still measures normally
+    assert(t.analyze().columns("name").nullCount === 50L)
+    GraftTable.drop(s"$loc/tbl")
+  }
+
+  test("relative table location: full lifecycle (location qualified at open/create)") {
+    import spark.implicits._
+    val rel = s"target/rel-tbl-${java.util.UUID.randomUUID().toString.take(8)}"
+    val t = GraftTable.create(spark, rel, schema)
+    assert(t.location.startsWith("file:/"), s"location qualified: ${t.location}")
+    t.append(Seq((1, "a", 10), (2, "b", 20)).toDF("handle", "name", "rating"))
+    assert(GraftTable.open(spark, rel).read().count() === 2)
+    assert(GraftTable.open(spark, rel).tableSize() > 0L)
+    GraftTable.drop(rel)
+    assert(!GraftTable.exists(rel))
+  }
+
   test("append atomicity: pre-append reader keeps its snapshot (cstore_writer.c:344-357)") {
     import spark.implicits._
     val loc = tmpDir("graft-vis")

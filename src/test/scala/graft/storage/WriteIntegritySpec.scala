@@ -96,7 +96,10 @@ class WriteIntegritySpec extends SparkSpec {
     // every committed file exists on disk and is listed exactly once
     val files = t.committedFiles
     assert(files.distinct.size === files.size)
-    files.foreach(f => assert(Files.exists(Paths.get(f)), s"missing committed file $f"))
+    files.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f).toUri.getPath
+      assert(Files.exists(Paths.get(p)), s"missing committed file $f")
+    }
     GraftTable.drop(loc)
   }
 
