@@ -89,12 +89,73 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Fixed query-term set for t6 (present in the synthetic corpus
+    * vocabulary at every SF). */
+  private val Bm25Terms = Seq("table", "hash", "scan", "merge")
+
+  /** t6: BM25-style relevance score of every document against a fixed
+    * term set — the retrieval-based quality/topic filter of a curation
+    * pipeline (keep docs relevant to a seed query). Exact-parity
+    * variant: the classic `ln((N-df+0.5)/(df+0.5))` idf is used WITHOUT
+    * the log (`ln` is not bit-reproducible across engines; the ratio is
+    * — all other arithmetic is IEEE +,-,*,/ in a fixed tree shape), and
+    * each per-term score is quantized to integer micros before the
+    * cross-term sum so addition order can't matter.
+    *
+    * 100 TB design: corpus stats (N, avgdl, per-term df) reduce to ONE
+    * row — a full map-side-combined aggregation — broadcast back to the
+    * scoring pass; scoring itself is per-row codegen arithmetic with no
+    * shuffle. */
+  def t6Bm25(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = docs(s, dir).select(
+      col("doc_id"), toks.as("toks"), size(toks).cast("long").as("dl"))
+    val dfAggs = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      sum(when(array_contains(col("toks"), term), 1L).otherwise(0L)).as(s"df_$i")
+    }
+    val stats = base.agg(count(lit(1)).as("nd"),
+      (sum(col("dl")).as("sumdl") +: dfAggs): _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val avgdl = col("sumdl").cast("double") / col("nd").cast("double")
+    val termScores = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      val tf = size(filter(col("toks"), t => t === term)).cast("double")
+      val dfd = col(s"df_$i").cast("double")
+      val idf = (col("nd").cast("double") - dfd + lit(0.5)) / (dfd + lit(0.5))
+      val tfp = (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+      round((idf * tfp) * lit(1000000.0)).cast("long")
+    }
+    scored.select(col("doc_id"),
+      termScores.reduce(_ + _).as("score_micro"))
+      .orderBy(desc("score_micro"), col("doc_id"))
+  }
+
+  /** t7: corpus-wide top-20 bigrams — the n-gram frequency profile used
+    * for contamination checks and boilerplate detection. Explode →
+    * partial-aggregated count → TakeOrdered top-k: one shuffle on the
+    * bigram key, map-side combine absorbs the heavy hitters, and the
+    * final top-k never materializes a global sort. */
+  def t7NgramTopk(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    docs(s, dir).select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("bigram"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count" -> t1TokenCount _,
     "t2_quality" -> t2Quality _,
     "t3_lang_id" -> t3LangId _,
     "t4_fingerprint" -> t4Fingerprint _,
     "t5_normalize" -> t5Normalize _,
+    "t6_bm25" -> t6Bm25 _,
+    "t7_ngram_topk" -> t7NgramTopk _,
   )
 
   import OracleSql._
@@ -141,5 +202,38 @@ object TextAnalysis {
          |FROM documents)
          |SELECT doc_id, CAST(length(norm) AS BIGINT) norm_len, md5(norm) norm_md5
          |FROM n ORDER BY doc_id""".stripMargin),
+    "t6_bm25" -> t6OracleSql,
+    "t7_ngram_topk" ->
+      ("""WITH t AS (SELECT string_split(text, ' ') toks FROM documents),
+         |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |        i -> toks[i] || ' ' || toks[i+1])) bigram FROM t)
+         |SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram
+         |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin),
   )
+
+  /** DuckDB twin of t6: same expression tree shape per term (IEEE ops
+    * are deterministic given identical shape), per-term micros
+    * quantization before the cross-term sum. Generated from the same
+    * `Bm25Terms` list as the Spark side. */
+  private def t6OracleSql: String = {
+    val dfCols = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"CAST(sum(CASE WHEN list_contains(toks, '$term') THEN 1 ELSE 0 END) AS BIGINT) df_$i"
+    }.mkString(",\n  ")
+    val termScores = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      val tf = s"CAST(len(list_filter(toks, x -> x = '$term')) AS DOUBLE)"
+      s"""CAST(round(((CAST(nd AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5)
+         |  / (CAST(df_$i AS DOUBLE) + 0.5))
+         |  * (($tf * 2.2)
+         |     / ($tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+         |        / (CAST(sumdl AS DOUBLE) / CAST(nd AS DOUBLE))))))
+         |  * 1000000.0) AS BIGINT)""".stripMargin
+    }.mkString("(", "\n + ", ")")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+       |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) dl FROM t),
+       |st AS (SELECT CAST(count(*) AS BIGINT) nd, CAST(sum(dl) AS BIGINT) sumdl,
+       |  $dfCols
+       |  FROM d)
+       |SELECT doc_id, $termScores AS score_micro
+       |FROM d, st ORDER BY score_micro DESC, doc_id""".stripMargin
+  }
 }

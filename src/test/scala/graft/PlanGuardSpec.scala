@@ -11,7 +11,9 @@ import graft.operators.Dedup
 class PlanGuardSpec extends SparkSpec {
 
   // s1/s2: tiny broadcast query-set joined on =!= / crossJoin — intended.
-  private val bnljAllowed = Set("s1_ann_brute", "s2_ann_ivf")
+  // t6: ONE-row corpus-stats aggregate broadcast-crossed onto the
+  // scoring pass — the standard broadcast-scalar pattern.
+  private val bnljAllowed = Set("s1_ann_brute", "s2_ann_ivf", "t6_bm25")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")
