@@ -110,7 +110,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       compression = prop("compression").getOrElse("zstd"),
       stripeRowCount = prop("stripe_row_count").map(_.toLong).getOrElse(150000L),
       blockRowCount = prop("block_row_count").map(_.toLong).getOrElse(10000L),
-      sortBy = prop("sort_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty))
+      sortBy = prop("sort_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty),
+      zorderBy = prop("zorder_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty),
+      bloomFilterColumns = prop("bloom_filter_columns")
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty))
     fs.mkdirs(nsDir(ident.namespace()))
     GraftTable.create(SparkSession.active, tableDir(ident), schema, opts)
     new GraftSparkTable(tableDir(ident))

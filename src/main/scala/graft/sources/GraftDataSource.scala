@@ -64,12 +64,17 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     if (!GraftTable.exists(loc)) {
       // CREATE TABLE ... USING graft / first write: init the table with
       // the declared schema + validated reference options (N18, N22).
+      def cols(key: String): Seq[String] = Option(properties.get(key))
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
       val opts = GraftTableOptions(
         compression = Option(properties.get("compression")).getOrElse("zstd"),
         stripeRowCount =
           Option(properties.get("stripe_row_count")).map(_.toLong).getOrElse(150000L),
         blockRowCount =
-          Option(properties.get("block_row_count")).map(_.toLong).getOrElse(10000L))
+          Option(properties.get("block_row_count")).map(_.toLong).getOrElse(10000L),
+        sortBy = cols("sort_by"),
+        zorderBy = cols("zorder_by"),
+        bloomFilterColumns = cols("bloom_filter_columns"))
       GraftTable.create(SparkSession.active, loc, schema, opts)
     }
     new GraftSparkTable(loc)

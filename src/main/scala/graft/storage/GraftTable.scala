@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -23,12 +23,23 @@ import org.apache.spark.sql.types._
   *   (default 150,000, bounds 1,000–10,000,000 — `cstore_fdw.h:34,38-39`).
   * - `blockRowCount`: rows per block → parquet page row limit (default
   *   10,000, bounds 1,000–100,000 — `cstore_fdw.h:35,40-41`).
+  * - `sortBy`: cluster each written file on these columns (single-key
+  *   skip-index locality — reference `README.md:282-294`).
+  * - `zorderBy`: cluster each batch on the interleaved-bit Z-value of
+  *   these columns instead, so the file-level zone maps stay tight on
+  *   EVERY listed column, not just a prefix — multi-dimensional file
+  *   pruning the reference's single-sort load order can't give.
+  * - `bloomFilterColumns`: write parquet bloom filters for these
+  *   columns — row-group-level point-lookup skipping on high-cardinality
+  *   columns whose min/max ranges are too wide for zone maps.
   */
 final case class GraftTableOptions(
     compression: String = "zstd",
     stripeRowCount: Long = 150000L,
     blockRowCount: Long = 10000L,
-    sortBy: Seq[String] = Seq.empty) {
+    sortBy: Seq[String] = Seq.empty,
+    zorderBy: Seq[String] = Seq.empty,
+    bloomFilterColumns: Seq[String] = Seq.empty) {
 
   def validate(): Unit = {
     require(GraftTableOptions.codecs.contains(compression),
@@ -40,6 +51,10 @@ final case class GraftTableOptions(
       s"block_row_count $blockRowCount out of range [1000, 100000]")
     require(blockRowCount <= stripeRowCount,
       s"block_row_count $blockRowCount exceeds stripe_row_count $stripeRowCount")
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "sort_by and zorder_by are mutually exclusive clustering policies")
+    require(zorderBy.isEmpty || zorderBy.size >= 2,
+      "zorder_by needs at least two columns (use sort_by for one)")
   }
 }
 
@@ -205,27 +220,81 @@ final class GraftTable private (
     // per-page/row-group min-max ranges are narrow - the reference's
     // "skip indexes are most effective on sorted load order" guidance
     // (reference README.md:282-294, BASELINE.md row 5) as a table
-    // property instead of a caller obligation.
+    // property instead of a caller obligation. zorder_by instead
+    // range-partitions the batch on an interleaved-bit Z-value so the
+    // zone maps stay tight on every listed column.
     val clustered =
-      if (meta.options.sortBy.isEmpty) df
+      if (meta.options.zorderBy.nonEmpty) zorderCluster(df)
+      else if (meta.options.sortBy.isEmpty) df
       else df.sortWithinPartitions(meta.options.sortBy.map(col): _*)
     val batchDir = s"$location/data/batch-${meta.nextBatchId}-" +
       java.util.UUID.randomUUID().toString.take(8)
     val hasTs = meta.currentSchema.fields.exists(_.dataType == TimestampType)
     val otsKey = "spark.sql.parquet.outputTimestampType"
-    def run(): Unit =
-      clustered.write
+    def run(): Unit = {
+      val w = clustered.write
         .option("compression", codecName(meta.options.compression))
         .option("parquet.block.size", (meta.options.stripeRowCount * 64).toString)
         .option("parquet.page.row.count.limit", meta.options.blockRowCount.toString)
-        .mode(SaveMode.Overwrite)
-        .parquet(batchDir)
+      // parquet-mr's per-column bloom-filter switch; readers (Spark's
+      // included) consult the filter during row-group elimination, so a
+      // point lookup on a high-cardinality column skips row groups whose
+      // min/max range is too wide for the zone maps to refute.
+      val wb = meta.options.bloomFilterColumns.foldLeft(w)((acc, c) =>
+        acc.option(s"parquet.bloom.filter.enabled#$c", "true"))
+      wb.mode(SaveMode.Overwrite).parquet(batchDir)
+    }
     if (hasTs) GraftTable.writeConfLock.synchronized {
       val prevOts = spark.conf.get(otsKey)
       spark.conf.set(otsKey, "TIMESTAMP_MICROS")
       try run() finally spark.conf.set(otsKey, prevOts)
     } else run()
     batchDir
+  }
+
+  /** Cluster a batch on the Morton (Z-order) curve of the `zorderBy`
+    * columns: each column is bucketed into 2^6 rank buckets by its batch
+    * quantiles, bucket bits are interleaved into one Z-value, and the
+    * batch is range-partitioned + sorted on it. Each output file then
+    * covers a contiguous Z-range — a small hyper-rectangle union — so
+    * its min/max zone maps are tight on EVERY Z column and a predicate
+    * on any of them file-prunes (single-column sort only serves its
+    * prefix). Costs one extra quantile pass over the batch at load time
+    * — the skip-index-build tradeoff the reference accepts at load too
+    * (`cstore_writer.c:845-849`).
+    *
+    * The quantile pass re-executes the caller's plan once; callers
+    * appending an expensive transformation should persist it first
+    * (same eager-input contract as d5's documentation). */
+  private def zorderCluster(df: DataFrame): DataFrame = {
+    val zcols = meta.options.zorderBy
+    val bits = 6
+    val buckets = 1 << bits
+    // monotone numeric view of each column (quantiles + bucketing must
+    // use the same mapping)
+    def asNum(c: String): Column = meta.currentSchema(c).dataType match {
+      case DateType => col(c).cast("int").cast("double")
+      case _ => col(c).cast("double")
+    }
+    val proj = df.select(zcols.map(c => asNum(c).as(c)): _*)
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val cuts = proj.stat.approxQuantile(zcols.toArray, probes, 0.01)
+    val bucketCols = zcols.zip(cuts).map { case (c, bs) =>
+      val distinctCuts = bs.distinct.sorted
+      if (distinctCuts.isEmpty) lit(0)
+      else distinctCuts.map(b => when(asNum(c) >= b, 1).otherwise(0)).reduce(_ + _)
+    }
+    val n = bucketCols.size
+    val z = (for {
+      j <- 0 until bits
+      (b, i) <- bucketCols.zipWithIndex
+    } yield shiftleft(shiftright(b, j).bitwiseAND(lit(1)), j * n + (n - 1 - i)))
+      .reduce(_ + _)
+    val parts = math.max(1, df.rdd.getNumPartitions)
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(parts, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
   }
 
   private def appendLocked(df: DataFrame, txn: Option[(String, Long)]): Long = {
@@ -1020,6 +1089,17 @@ object GraftTable {
   def create(spark: SparkSession, location: String, schema: StructType,
       options: GraftTableOptions = GraftTableOptions()): GraftTable = {
     options.validate()
+    // schema-dependent option checks (the FDW validator has the schema
+    // in hand too, cstore_fdw.c:1273-1340)
+    (options.zorderBy ++ options.bloomFilterColumns).foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"option references column '$c' which is not in the table schema")
+    }
+    options.zorderBy.foreach { c =>
+      val dt = schema(c).dataType
+      require(dt.isInstanceOf[NumericType] || dt == DateType || dt == TimestampType,
+        s"zorder_by column '$c' must be numeric, date, or timestamp (got $dt)")
+    }
     val loc = qualified(location)
     val (fs, dir) = fsAndPath(loc)
     require(!fs.exists(metaPath(loc)), s"table already exists at $loc")
@@ -1146,6 +1226,8 @@ object GraftTable {
        |  "stripe_row_count": ${m.options.stripeRowCount},
        |  "block_row_count": ${m.options.blockRowCount},
        |  "sort_by": ${m.options.sortBy.map(js).mkString("[", ",", "]")},
+       |  "zorder_by": ${m.options.zorderBy.map(js).mkString("[", ",", "]")},
+       |  "bloom_filter": ${m.options.bloomFilterColumns.map(js).mkString("[", ",", "]")},
        |  "row_count": ${m.rowCount},
        |  "next_batch_id": ${m.nextBatchId},
        |  "defaults": $defaults,
@@ -1215,6 +1297,10 @@ object GraftTable {
         stripeRowCount = m("stripe_row_count").asInstanceOf[Number].longValue(),
         blockRowCount = m("block_row_count").asInstanceOf[Number].longValue(),
         sortBy = m.getOrElse("sort_by", List.empty[Any])
+          .asInstanceOf[List[Any]].map(_.asInstanceOf[String]),
+        zorderBy = m.getOrElse("zorder_by", List.empty[Any])
+          .asInstanceOf[List[Any]].map(_.asInstanceOf[String]),
+        bloomFilterColumns = m.getOrElse("bloom_filter", List.empty[Any])
           .asInstanceOf[List[Any]].map(_.asInstanceOf[String])),
       files = m("files").asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toVector,
       rowCount = m("row_count").asInstanceOf[Number].longValue(),
