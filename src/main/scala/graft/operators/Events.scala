@@ -72,11 +72,37 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  /** e5: strictly-ordered conversion funnel view → click → purchase:
+    * users counted at each stage only if the stage event happens AFTER
+    * their earliest completion of the previous stage. Three aggregations
+    * and two joins, all keyed on user_id — one partitioning reused
+    * end-to-end (no re-key), with each stage's survivor set shrinking
+    * monotonically. Timestamps compare in exact integer micros. */
+  def e5Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tsu").as("t_view"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, "user_id").filter(col("tsu") > col("t_view"))
+      .groupBy("user_id").agg(min("tsu").as("t_click"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id").filter(col("tsu") > col("t_click"))
+      .groupBy("user_id").agg(min("tsu").as("t_purchase"))
+    val stage = (df: DataFrame, name: String) =>
+      df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"), col("users"))
+    stage(views, "1_view")
+      .unionAll(stage(clicks, "2_click"))
+      .unionAll(stage(purchases, "3_purchase"))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_tumbling_window" -> e1TumblingWindow _,
     "e2_sessionize" -> e2Sessionize _,
     "e3_distinct_users" -> e3DistinctUsers _,
     "e4_asof_attribution" -> e4AsofAttribution _,
+    "e5_funnel" -> e5Funnel _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -111,5 +137,20 @@ object Events {
          |  FROM events)
          |SELECT user_id, event_id, click_id, epoch_us(ts) - click_us AS gap_us
          |FROM w WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin),
+    "e5_funnel" ->
+      ("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) tsu FROM events),
+         |v AS (SELECT user_id, min(tsu) t_view FROM e
+         |      WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(tsu) t_click FROM e
+         |      JOIN v ON e.user_id = v.user_id
+         |      WHERE event_type = 'click' AND tsu > t_view GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(tsu) t_purchase FROM e
+         |      JOIN c ON e.user_id = c.user_id
+         |      WHERE event_type = 'purchase' AND tsu > t_click GROUP BY e.user_id)
+         |SELECT * FROM (
+         |  SELECT '1_view' AS stage, count(*) AS users FROM v
+         |  UNION ALL SELECT '2_click', count(*) FROM c
+         |  UNION ALL SELECT '3_purchase', count(*) FROM p
+         |) ORDER BY stage""".stripMargin),
   )
 }

@@ -59,8 +59,32 @@ object Sampling {
       .orderBy("lang", "rk")
   }
 
+  /** c2: decontamination — flag training docs that overlap a held-out
+    * evaluation set (here: the docs with doc_id < `evalDocs`) in at
+    * least `minShared` distinct 3-token shingles. The pipeline step
+    * that keeps benchmark answers out of the training corpus.
+    *
+    * 100 TB design: the eval set is tiny by construction (benchmarks
+    * are thousands of docs, the corpus is billions), so its distinct
+    * shingle set is BROADCAST and the training side never shuffles on
+    * the shingle — just one groupBy on doc_id for the overlap count. */
+  def c2Decontaminate(s: SparkSession, dir: String,
+      evalDocs: Int = 5, minShared: Int = 3): DataFrame = {
+    import graft.functions.Shingles.shinglesDistinctFast
+    val sh = docs(s, dir).select(
+      col("doc_id"), explode(shinglesDistinctFast(col("text"))).as("sng"))
+    val evalSh = sh.filter(col("doc_id") < evalDocs).select("sng").distinct()
+    sh.filter(col("doc_id") >= evalDocs)
+      .join(broadcast(evalSh), "sng")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"), col("n_shared"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_stratified_sample" -> ((s, dir) => c1StratifiedSample(s, dir)),
+    "c2_decontaminate" -> ((s, dir) => c2Decontaminate(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -72,5 +96,13 @@ object Sampling {
         |      FROM k)
         |SELECT lang, doc_id, rn AS rk FROM r WHERE rn <= 20
         |ORDER BY lang, rk""".stripMargin,
+    "c2_decontaminate" ->
+      (s"""WITH ${OracleSql.shingleCte},
+         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+         |m AS (SELECT sh.doc_id, count(*) n_shared FROM sh
+         |      JOIN ev ON sh.s = ev.s
+         |      WHERE sh.doc_id >= 5 GROUP BY sh.doc_id)
+         |SELECT doc_id, n_shared FROM m WHERE n_shared >= 3
+         |ORDER BY doc_id""".stripMargin),
   )
 }

@@ -148,6 +148,28 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** t8: repetition detection — the fraction of repeated bigrams per
+    * document (in basis points, exact integer arithmetic), the standard
+    * degenerate-text filter (boilerplate, stuck generation loops).
+    * Pure per-row array expressions: no shuffle at all. */
+  def t8Repetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    docs(s, dir).select(
+      col("doc_id"),
+      size(bigrams).cast("long").as("n_bg"),
+      size(array_distinct(bigrams)).cast("long").as("n_uniq"))
+      .withColumn("rep_bp",
+        when(col("n_bg") === 0, 0L).otherwise(
+          round((lit(1.0) - col("n_uniq").cast("double") / col("n_bg").cast("double"))
+            * lit(10000.0)).cast("long")))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count" -> t1TokenCount _,
     "t2_quality" -> t2Quality _,
@@ -156,6 +178,7 @@ object TextAnalysis {
     "t5_normalize" -> t5Normalize _,
     "t6_bm25" -> t6Bm25 _,
     "t7_ngram_topk" -> t7NgramTopk _,
+    "t8_repetition" -> t8Repetition _,
   )
 
   import OracleSql._
@@ -203,6 +226,17 @@ object TextAnalysis {
          |SELECT doc_id, CAST(length(norm) AS BIGINT) norm_len, md5(norm) norm_md5
          |FROM n ORDER BY doc_id""".stripMargin),
     "t6_bm25" -> t6OracleSql,
+    "t8_repetition" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+         |b AS (SELECT doc_id, list_transform(range(1, len(toks)),
+         |        i -> toks[i] || ' ' || toks[i+1]) bg FROM t),
+         |c AS (SELECT doc_id, CAST(len(bg) AS BIGINT) n_bg,
+         |        CAST(len(list_distinct(bg)) AS BIGINT) n_uniq FROM b)
+         |SELECT doc_id, n_bg, n_uniq,
+         |  CASE WHEN n_bg = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(round((1.0 - CAST(n_uniq AS DOUBLE) / CAST(n_bg AS DOUBLE))
+         |                       * 10000.0) AS BIGINT) END rep_bp
+         |FROM c ORDER BY doc_id""".stripMargin),
     "t7_ngram_topk" ->
       ("""WITH t AS (SELECT string_split(text, ' ') toks FROM documents),
          |b AS (SELECT unnest(list_transform(range(1, len(toks)),
