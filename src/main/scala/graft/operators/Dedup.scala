@@ -542,6 +542,48 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** d8: exact duplicated-substring detection — for every document, how
+    * much of its text is verbatim-duplicated elsewhere in the corpus:
+    * the count (and ratio) of its 8-token windows that also appear in at
+    * least one OTHER document. This is the cluster-shaped equivalent of
+    * suffix-array exact-substring dedup (the suffix array itself is a
+    * sequential construction and doesn't distribute); sliding fixed-width
+    * windows keyed by content is the standard Spark formulation.
+    *
+    * 100 TB design: two aggregations and one join, all keyed on the
+    * window — pairs of documents are never materialized, so cost is
+    * linear in total window count (≈ token count). "Shared by ≥2 docs"
+    * is computed as min(doc_id) < max(doc_id) per window — no
+    * count_distinct state. Window STRINGS are the shuffle key here so
+    * the DuckDB oracle is bit-exact; at petabyte scale you would key on
+    * xxhash64(window) to slim the exchange (collision odds ~n²/2⁶⁴) at
+    * the cost of hash-exactness. */
+  def d8WindowDedup(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val toks = split(col("text"), " ")
+    // sequence(0, n-k) counts DOWN when n < k — guard short docs to an
+    // empty window list (explode then drops them, like the oracle's
+    // empty range())
+    val wins = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val w = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(wins).as("win"))
+    val shared = w.groupBy("win")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .filter(col("lo") < col("hi"))
+      .select("win")
+    val tot = w.groupBy("doc_id").agg(count(lit(1)).as("n_win"))
+    val dup = w.join(shared, "win")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    tot.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_win"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double")
+          / col("n_win").cast("double"), 4).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   // -- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -553,6 +595,7 @@ object Dedup {
     "d5_embed_neardup" -> d5EmbedNearDup _,
     "d6_embed_neardup_ann" -> d6EmbedNearDupAnn _,
     "d7_dedup_clusters" -> d7DedupClusters _,
+    "d8_window_dedup" -> ((s: SparkSession, dir: String) => d8WindowDedup(s, dir)),
   )
 
   import OracleSql._
@@ -673,5 +716,19 @@ object Dedup {
          |SELECT v doc_id, min(r) cluster_id,
          |  CASE WHEN v = min(r) THEN 1 ELSE 0 END keep
          |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin),
+    "d8_window_dedup" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+         |w AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-6),
+         |        i -> array_to_string(toks[i:i+7], ' '))) win FROM t),
+         |sh AS (SELECT win FROM w GROUP BY win
+         |       HAVING min(doc_id) < max(doc_id)),
+         |tot AS (SELECT doc_id, count(*) n_win FROM w GROUP BY doc_id),
+         |dup AS (SELECT w.doc_id, count(*) n_dup FROM w
+         |        JOIN sh ON w.win = sh.win GROUP BY w.doc_id)
+         |SELECT tot.doc_id, n_win, coalesce(n_dup, 0) n_dup,
+         |  round(CAST(coalesce(n_dup, 0) AS DOUBLE)
+         |    / CAST(n_win AS DOUBLE), 4) dup_ratio
+         |FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id
+         |ORDER BY 1""".stripMargin),
   )
 }

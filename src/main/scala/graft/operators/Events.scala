@@ -97,12 +97,40 @@ object Events {
       .orderBy("stage")
   }
 
+  /** e6: weekly cohort retention — users grouped by their first-active
+    * week (unix-epoch-aligned, week = floor(micros / 1 week)), then for
+    * every (cohort, week-offset) cell the count of distinct users active
+    * that week. The classic growth-analytics matrix.
+    *
+    * 100 TB design: the cohort aggregation and the activity join are
+    * both keyed on user_id, so the join reuses the groupBy's hash
+    * partitioning (no re-shuffle of the big side). The final cell count
+    * is a LOW-cardinality groupBy (weeks × offsets) holding per-cell
+    * distinct-user state — the exact shape that piles one reducer high —
+    * so it goes through [[Salting.saltedDistinctCount]] like e3: the
+    * salt is the hash of user_id, per-bucket distincts are disjoint, and
+    * the merged counts are exact. */
+  def e6Retention(s: SparkSession, dir: String): DataFrame = {
+    // `div` = integer division on longs (Column./ would be double
+    // division); ts >= epoch so it floors
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+    val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val cells = ev.join(cohort, "user_id")
+      .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"),
+        col("user_id"))
+    Salting.saltedDistinctCount(cells, Seq("cohort_wk", "wk_offset"),
+      "user_id", resultName = "n_users", buckets = 16)
+      .orderBy("cohort_wk", "wk_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_tumbling_window" -> e1TumblingWindow _,
     "e2_sessionize" -> e2Sessionize _,
     "e3_distinct_users" -> e3DistinctUsers _,
     "e4_asof_attribution" -> e4AsofAttribution _,
     "e5_funnel" -> e5Funnel _,
+    "e6_retention" -> e6Retention _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -152,5 +180,13 @@ object Events {
          |  UNION ALL SELECT '2_click', count(*) FROM c
          |  UNION ALL SELECT '3_purchase', count(*) FROM p
          |) ORDER BY stage""".stripMargin),
+    "e6_retention" ->
+      ("""WITH w AS (SELECT user_id,
+         |       CAST(floor(epoch(ts)/604800) AS BIGINT) wk FROM events),
+         |c AS (SELECT user_id, min(wk) cohort_wk FROM w GROUP BY user_id)
+         |SELECT cohort_wk, wk - cohort_wk AS wk_offset,
+         |  CAST(count(DISTINCT w.user_id) AS BIGINT) n_users, count(*) cnt
+         |FROM w JOIN c ON w.user_id = c.user_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
   )
 }

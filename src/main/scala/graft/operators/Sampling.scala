@@ -82,9 +82,34 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** c3: temperature-reweighted source mix (α = 0.5) — the step that
+    * decides how much of each source goes into the training mix: raw
+    * per-source counts are flattened by n^α so overrepresented sources
+    * are downweighted (α→0 uniform, α→1 natural), then scaled back to
+    * the corpus size as per-source target counts.
+    *
+    * Determinism across engines: sqrt over an integer count is a single
+    * correctly-rounded IEEE op (identical in Spark and DuckDB), and the
+    * weight DENOMINATOR is summed as integer micro-units — floating
+    * doubles summed in shuffle order would differ in the last ulp
+    * between engines and aggregation orders. One tiny aggregation over
+    * sources; the only corpus-wide pass is the count. */
+  def c3SourceMix(s: SparkSession, dir: String): DataFrame = {
+    val n = docs(s, dir).groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("wq", floor(sqrt(col("n").cast("double")) * 1e6).cast("long"))
+    val tot = n.agg(sum("n").as("total"), sum("wq").as("wsum"))
+    n.crossJoin(broadcast(tot))
+      .select(col("source"), col("n"),
+        round(col("wq").cast("double") / col("wsum").cast("double"), 6).as("weight"),
+        floor(col("wq").cast("double") / col("wsum").cast("double")
+          * col("total").cast("double")).cast("long").as("target_n"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_stratified_sample" -> ((s, dir) => c1StratifiedSample(s, dir)),
     "c2_decontaminate" -> ((s, dir) => c2Decontaminate(s, dir)),
+    "c3_source_mix" -> ((s, dir) => c3SourceMix(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -104,5 +129,16 @@ object Sampling {
          |      WHERE sh.doc_id >= 5 GROUP BY sh.doc_id)
          |SELECT doc_id, n_shared FROM m WHERE n_shared >= 3
          |ORDER BY doc_id""".stripMargin),
+    "c3_source_mix" ->
+      """WITH n AS (SELECT source, count(*) n FROM documents GROUP BY source),
+        |q AS (SELECT source, n,
+        |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) wq FROM n),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) total,
+        |        CAST(sum(wq) AS BIGINT) wsum FROM q)
+        |SELECT source, n,
+        |  round(CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE), 6) weight,
+        |  CAST(floor(CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE)
+        |    * CAST(total AS DOUBLE)) AS BIGINT) target_n
+        |FROM q, t ORDER BY source""".stripMargin,
   )
 }

@@ -170,6 +170,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t9: lexical-diversity stats — per document: token count, type
+    * (distinct-token) count, type-token ratio, hapax count (tokens
+    * occurring exactly once) and hapax ratio. TTR and hapax ratio are
+    * the standard cheap signals for template/boilerplate text (low
+    * diversity) vs natural prose.
+    *
+    * 100 TB design: per-token counts via explode + groupBy(doc_id, tok),
+    * then a groupBy(doc_id) rollup — the second shuffle key is a prefix
+    * of the first, and both are partial-aggregated map-side. No per-doc
+    * O(n²) array scans (a transform×filter formulation would be
+    * quadratic in document length — fine at 60 tokens, wrong at 60k). */
+  def t9LexicalStats(s: SparkSession, dir: String): DataFrame = {
+    val perTok = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+    perTok.groupBy("doc_id")
+      .agg(sum("n").as("n_tok"), count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tok"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tok").cast("double"), 4).as("ttr"),
+        col("n_hapax"),
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"), 4)
+          .as("hapax_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count" -> t1TokenCount _,
     "t2_quality" -> t2Quality _,
@@ -179,6 +205,7 @@ object TextAnalysis {
     "t6_bm25" -> t6Bm25 _,
     "t7_ngram_topk" -> t7NgramTopk _,
     "t8_repetition" -> t8Repetition _,
+    "t9_lexical_stats" -> t9LexicalStats _,
   )
 
   import OracleSql._
@@ -243,6 +270,19 @@ object TextAnalysis {
          |        i -> toks[i] || ' ' || toks[i+1])) bigram FROM t)
          |SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram
          |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin),
+    "t9_lexical_stats" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+         |e AS (SELECT doc_id, unnest(toks) tok FROM t),
+         |c AS (SELECT doc_id, tok, count(*) n FROM e GROUP BY doc_id, tok),
+         |a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) n_tok,
+         |        count(*) n_types,
+         |        CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) n_hapax
+         |      FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_tok, n_types,
+         |  round(CAST(n_types AS DOUBLE) / CAST(n_tok AS DOUBLE), 4) ttr,
+         |  n_hapax,
+         |  round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 4) hapax_ratio
+         |FROM a ORDER BY doc_id""".stripMargin),
   )
 
   /** DuckDB twin of t6: same expression tree shape per term (IEEE ops

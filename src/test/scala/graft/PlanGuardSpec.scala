@@ -13,7 +13,8 @@ class PlanGuardSpec extends SparkSpec {
   // s1/s2: tiny broadcast query-set joined on =!= / crossJoin — intended.
   // t6: ONE-row corpus-stats aggregate broadcast-crossed onto the
   // scoring pass — the standard broadcast-scalar pattern.
-  private val bnljAllowed = Set("s1_ann_brute", "s2_ann_ivf", "t6_bm25")
+  // c3: ONE-row totals aggregate broadcast-crossed onto 20 source rows.
+  private val bnljAllowed = Set("s1_ann_brute", "s2_ann_ivf", "t6_bm25", "c3_source_mix")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Invariant + planted-corpus specs for the round-5 pipeline operators:
+  * d8 window dedup, t9 lexical stats, e6 cohort retention, c3 source
+  * mix. (Hash-exactness vs DuckDB is the driver's gate; these prove the
+  * operator semantics independently of the oracle formulation.) */
+class PipelineOpsSpec extends SparkSpec {
+
+  private val dir = sf("sf0.01")
+
+  test("d8: planted verbatim 8-token window is found; short docs drop out") {
+    import spark.implicits._
+    val planted = Seq(
+      // docs 1 and 2 share one 8-token run ("w1 .. w8"), surrounded by
+      // distinct text; doc 3 is unrelated; doc 4 is too short to have
+      // any 8-token window
+      (1L, "a b c w1 w2 w3 w4 w5 w6 w7 w8 x y z"),
+      (2L, "p q w1 w2 w3 w4 w5 w6 w7 w8 r s"),
+      (3L, "completely different tokens here that never repeat anywhere else ok"),
+      (4L, "too short doc"),
+    ).toDF("doc_id", "text")
+    val tmp = tmpDir("d8-planted")
+    planted.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.d8WindowDedup(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1: 14 tokens => 7 windows; the shared run contributes windows
+    // at offsets where all 8 tokens fall inside "w1..w8" => exactly 1
+    // shared window per doc (the run itself)
+    assert(out(1L) === ((7L, 1L)), "doc 1 window/dup counts")
+    assert(out(2L) === ((5L, 1L)), "doc 2 window/dup counts")
+    assert(out(3L)._2 === 0L, "doc 3 has no duplicated window")
+    assert(!out.contains(4L), "doc 4 (< 8 tokens) has no windows")
+  }
+
+  test("d8: agrees with an independent count-distinct formulation") {
+    val got = Dedup.d8WindowDedup(spark, dir)
+    val toks = split(col("text"), " ")
+    val wins = when(size(toks) >= 8,
+      transform(sequence(lit(0), size(toks) - 8),
+        i => concat_ws(" ", slice(toks, i + 1, lit(8)))))
+      .otherwise(array().cast("array<string>"))
+    val w = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(wins).as("win"))
+    val shared = w.groupBy("win").agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("win")
+    val expect = w.groupBy("doc_id").agg(count(lit(1)).as("n_win"))
+      .join(w.join(shared, "win").groupBy("doc_id").agg(count(lit(1)).as("n_dup")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_win"), coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+    val gotSlim = got.select("doc_id", "n_win", "n_dup")
+    assert(gotSlim.exceptAll(expect).isEmpty && expect.exceptAll(gotSlim).isEmpty,
+      "min<max shared-window formulation must equal count_distinct>=2")
+  }
+
+  test("t9: per-doc invariants and a hand-checked doc") {
+    val out = TextAnalysis.t9LexicalStats(spark, dir)
+    assert(out.filter(col("n_hapax") > col("n_types") ||
+      col("n_types") > col("n_tok") ||
+      col("ttr") <= 0 || col("ttr") > 1 ||
+      col("hapax_ratio") < 0 || col("hapax_ratio") > 1).isEmpty,
+      "hapax <= types <= tokens; ratios in range")
+    // independent per-doc computation for one document
+    val doc = Tables.load(spark, dir, "documents").filter(col("doc_id") === 0)
+      .select(split(col("text"), " ").as("toks"))
+      .select(size(col("toks")).cast("long").as("n_tok"),
+        size(array_distinct(col("toks"))).cast("long").as("n_types"),
+        size(filter(col("toks"),
+          t => size(filter(col("toks"), x => x === t)) === 1)).cast("long").as("n_hapax"))
+      .head()
+    val got = out.filter(col("doc_id") === 0).head()
+    assert(got.getLong(1) === doc.getLong(0), "n_tok")
+    assert(got.getLong(2) === doc.getLong(1), "n_types")
+    assert(got.getLong(4) === doc.getLong(2), "n_hapax")
+  }
+
+  test("e6: offset-0 diagonal covers every user; cells never exceed cohort size") {
+    val out = Events.e6Retention(spark, dir)
+    val nUsers = Tables.load(spark, dir, "events")
+      .select(count_distinct(col("user_id"))).head().getLong(0)
+    val diag = out.filter(col("wk_offset") === 0)
+      .agg(sum("n_users")).head().getLong(0)
+    assert(diag === nUsers, "every user appears in their cohort's offset-0 cell")
+    val over = out.as("a").join(
+      out.filter(col("wk_offset") === 0).select(col("cohort_wk"),
+        col("n_users").as("cohort_size")), "cohort_wk")
+      .filter(col("n_users") > col("cohort_size"))
+    assert(over.isEmpty, "retained users cannot exceed the cohort size")
+  }
+
+  test("e6: salted distinct equals the naive count_distinct formulation") {
+    val got = Events.e6Retention(spark, dir).select("cohort_wk", "wk_offset", "n_users")
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+    val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val expect = ev.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+
+  test("c3: targets preserve corpus size up to flooring; weights sum to ~1") {
+    val out = Sampling.c3SourceMix(spark, dir).collect()
+    val total = Tables.load(spark, dir, "documents").count()
+    val sumN = out.map(_.getLong(1)).sum
+    assert(sumN === total, "per-source counts partition the corpus")
+    val wsum = out.map(_.getDouble(2)).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to ~1, got $wsum")
+    val sumTargets = out.map(_.getLong(3)).sum
+    assert(sumTargets <= total && sumTargets > total - out.length,
+      "floored targets lose < 1 doc per source")
+    // flattening: a source with more docs never gets a LOWER weight,
+    // and the weight ratio is damped vs the count ratio
+    val byN = out.sortBy(_.getLong(1))
+    byN.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(2) <= b.getDouble(2) + 1e-12, "monotone weights")
+      case _ =>
+    }
+  }
+}
