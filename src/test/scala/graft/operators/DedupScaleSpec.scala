@@ -135,6 +135,15 @@ class DedupScaleSpec extends SparkSpec {
       (20L, 20L, 1), (21L, 20L, 0)))               // isolated pair; 30 has no pairs
   }
 
+  test("d7: driver union-find equals the distributed propagation loop") {
+    val dir = sf("sf0.01")
+    val pairs = Dedup.d2NgramJaccard(spark, dir).select("doc_a", "doc_b")
+    val uf = Dedup.d7UnionFind(spark, pairs)
+    val prop = Dedup.d7Propagate(spark, pairs, "spec").df
+    assert(uf.exceptAll(prop).isEmpty && prop.exceptAll(uf).isEmpty,
+      "both component paths must produce the identical min-label clustering")
+  }
+
   test("d7 on a corpus without near-dups returns an empty cluster set") {
     val dir = writeDocs(Seq(
       1L -> "alpha beta gamma delta epsilon zeta",
