@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 70+ concurrent Catalyst queries generate hundreds of janino classes;
+  // the default JIT compiler-thread count lets the compile queue back up
+  // (C1/C2 threads measured burning 100+ CPU-seconds in futex contention
+  // while query code ran interpreted — 3-7x suite-wall outliers). More
+  // compiler threads drain the queue and stabilized 6/6 bench runs.
+  "-XX:CICompilerCount=12",
 ) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

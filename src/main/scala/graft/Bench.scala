@@ -44,8 +44,23 @@ object Bench {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // Longest-processing-time-first submission: the handful of
+    // multi-second queries start immediately and the cheap tail fills
+    // the scheduling gaps — classic LPT makespan bound. Alphabetical
+    // submission put all the heavy dedup queries in the same first wave
+    // and left the makespan hostage to their mutual contention.
+    val heavyFirst = Seq(
+      "d2_ngram_jaccard", "d2b_ngram_capped", "d6_embed_neardup_ann",
+      "d7_dedup_clusters", "d5_embed_neardup", "d4_simhash",
+      "d3_minhash_lsh", "s2_ann_ivf", "s4_kmeans", "m4_png_decode",
+      "c2_decontaminate", "e5_funnel", "p1_clean_corpus", "d8_window_dedup",
+      "s1_ann_brute", "s3_ann_lsh", "t3_lang_id", "c1_stratified_sample",
+    ).zipWithIndex.toMap
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+      (heavyFirst.getOrElse(name, Int.MaxValue), name)
+    }
     val t0 = System.nanoTime()
-    val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val futures = ordered.map { case (name, fn) =>
       scala.concurrent.Future {
         // FAIR mode is fair ACROSS pools; within a pool it is FIFO. One
         // pool per query (thread-local property) — otherwise every job

@@ -159,10 +159,77 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // -- s4: distributed k-means (unrolled Lloyd iterations) --------------
+
+  private val KmeansK = 8
+
+  /** Squared L2 distance via the codegen dot product:
+    * (v·v − 2·v·c) + c·c with the norms precomputed per side — the pair
+    * loop is one generated dot per (vector, centroid) instead of an
+    * interpreted zip_with fold. Association is explicit so the DuckDB
+    * twin reproduces every intermediate double. */
+  private def l2sq(v: Column, vv: Column, cv: Column, cc: Column): Column =
+    (vv - lit(2.0) * graft.functions.DotProduct.dotFast(v, cv)) + cc
+
+  /** Nearest-centroid assignment: broadcast the k-row centroid table,
+    * argmin by (distance, cid) via one row_number window keyed on
+    * vec_id. Ties break to the smaller cid — deterministic. */
+  private def assign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("d"), col("cid"))
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("vv"), col("cid"),
+        l2sq(col("v"), col("vv"), col("cv"), col("cc")).as("d"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("vv"), col("cid"), col("d"))
+  }
+
+  /** s4: k-means clustering of the embedding corpus — k = 8, two Lloyd
+    * iterations UNROLLED into one declarative plan (no driver loop, no
+    * mid-plan collect): init centroids are the k lowest vec_ids (a
+    * TakeOrdered of k rows), each assignment broadcasts the k×dim
+    * centroid table against a single corpus scan, and the centroid
+    * update is posexplode + two groupBys whose output is k×dim rows.
+    * Every pass is linear in the corpus; a convergence-driven variant
+    * would iterate the same two stages under a driver loop (the MLlib
+    * shape) — fixed unrolling keeps the whole thing one Catalyst plan
+    * and makes the DuckDB oracle an exact twin.
+    *
+    * Engine-exact determinism: float→double widening is exact; distances
+    * are sequential left folds; centroid components are means of
+    * integer-quantized (×1e6) values, so the sums are exact under ANY
+    * aggregation order and the final double division is one correctly-
+    * rounded op on identical operands in both engines. */
+  def s4Kmeans(s: SparkSession, dir: String): DataFrame = {
+    val dot = graft.functions.DotProduct.dotFast _
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("vv", dot(col("v"), col("v")))
+    val c1 = e.orderBy("vec_id").limit(KmeansK)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1).cast("int").as("cid"),
+        col("v").as("cv"), col("vv").as("cc"))
+    val a1 = assign(e, c1)
+    val c2 = a1
+      .select(col("cid"),
+        posexplode(transform(col("v"), x => round(x * Quant).cast("long")))
+          .as(Seq("pos", "qx")))
+      .groupBy("cid", "pos").agg(sum("qx").as("sq"), count(lit(1)).as("n"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sq"), col("n")))),
+        p => p.getField("sq").cast("double")
+          / (p.getField("n").cast("double") * Quant.toDouble)).as("cv"))
+      .withColumn("cc", dot(col("cv"), col("cv")))
+    assign(e, c2)
+      .select(col("vec_id"), col("cid").cast("long").as("cluster_id"),
+        round(col("d"), 4).as("d2"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> s1AnnBrute _,
     "s2_ann_ivf" -> s2AnnIvf _,
     "s3_ann_lsh" -> s3AnnLsh _,
+    "s4_kmeans" -> s4Kmeans _,
   )
 
   import OracleSql._
@@ -183,7 +250,41 @@ object Similarity {
 
   private def bucketSql(v: String): String = signKeySql(v, 0, LshBits)
 
+  /** SQL twin of [[l2sq]]: left-fold squared L2 distance. */
+  private def l2Sql(a: String, b: String): String =
+    s"""list_reduce(list_concat([0.0],
+       |  list_transform(range(1, len($a)+1),
+       |    i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+       |  (x, y) -> x + y)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "s4_kmeans" ->
+      (s"""WITH e AS (SELECT vec_id, v, ${dotSql("v", "v")} vv FROM (
+         |       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+         |       FROM embeddings)),
+         |c1 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) cid,
+         |         v cv, vv cc
+         |       FROM (SELECT vec_id, v, vv FROM e ORDER BY vec_id LIMIT $KmeansK)),
+         |a1 AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, c1.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY (e.vv - 2.0 * ${dotSql("e.v", "c1.cv")}) + c1.cc, c1.cid) rn
+         |  FROM e CROSS JOIN c1) WHERE rn = 1),
+         |c2 AS (SELECT cid, cv, ${dotSql("cv", "cv")} cc FROM (
+         |       SELECT cid,
+         |         list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * $Quant.0) ORDER BY i) cv
+         |       FROM (SELECT cid, i,
+         |               sum(CAST(round(v[i] * $Quant) AS BIGINT)) sq, count(*) n
+         |             FROM a1 CROSS JOIN range(1, 65) r(i)
+         |             GROUP BY cid, i) GROUP BY cid)),
+         |fin AS (SELECT vec_id, cid, d FROM (
+         |  SELECT e.vec_id, c2.cid,
+         |    (e.vv - 2.0 * ${dotSql("e.v", "c2.cv")}) + c2.cc d,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY (e.vv - 2.0 * ${dotSql("e.v", "c2.cv")}) + c2.cc, c2.cid) rn
+         |  FROM e CROSS JOIN c2) WHERE rn = 1)
+         |SELECT vec_id, CAST(cid AS BIGINT) cluster_id, round(d, 4) d2
+         |FROM fin ORDER BY vec_id""".stripMargin),
     "s3_ann_lsh" ->
       (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
          |           FROM embeddings),

@@ -102,6 +102,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
   }
 
+  test("s4: recovers planted well-separated clusters; assigns every vector") {
+    import spark.implicits._
+    // 8 tight groups in 64-dim space; vec_id i belongs to group i % 8 so
+    // the first-k init picks one seed per group
+    val rows = (0 until 80).map { i =>
+      val g = i % 8
+      val v = Array.tabulate(64)(d =>
+        (if (d == g * 8) 10.0f else 0.0f) + 0.01f * ((i * 7 + d) % 5))
+      (i.toLong, v)
+    }
+    val tmp = tmpDir("s4-planted")
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val out = Similarity.s4Kmeans(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 80, "every vector is assigned")
+    (0 until 80).foreach { i =>
+      assert(out(i.toLong) === out((i % 8).toLong),
+        s"vec $i must land in its group's cluster")
+    }
+    assert(out.values.toSet.size === 8, "8 distinct clusters survive")
+  }
+
+  test("s4: corpus invariants — full coverage, k clusters max, d2 >= 0") {
+    val out = Similarity.s4Kmeans(spark, dir)
+    val n = Tables.load(spark, dir, "embeddings").count()
+    assert(out.count() === n)
+    // (v·v − 2v·c) + c·c can cancel to a tiny negative for a point
+    // sitting on its centroid — allow that epsilon, nothing more
+    assert(out.filter(col("cluster_id") < 0 || col("cluster_id") > 7 ||
+      col("d2") < -1e-6).isEmpty)
+  }
+
   test("c3: targets preserve corpus size up to flooring; weights sum to ~1") {
     val out = Sampling.c3SourceMix(spark, dir).collect()
     val total = Tables.load(spark, dir, "documents").count()
