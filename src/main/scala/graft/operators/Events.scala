@@ -111,10 +111,14 @@ object Events {
     * salt is the hash of user_id, per-bucket distincts are disjoint, and
     * the merged counts are exact. */
   def e6Retention(s: SparkSession, dir: String): DataFrame = {
-    // `div` = integer division on longs (Column./ would be double
-    // division); ts >= epoch so it floors
+    // floor division, NOT `div`: `div` truncates toward zero, so a
+    // pre-1970 timestamp would land in week 0 instead of week -1 and
+    // diverge from the oracle's floor(). Double division is exact
+    // enough here: |micros| < 2^53 and an integer-valued quotient is
+    // itself representable, so floor() cannot misround.
     val ev = Tables.load(s, dir, "events")
-      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(604800000000.0)).cast("long").as("wk"))
     val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
     val cells = ev.join(cohort, "user_id")
       .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"),

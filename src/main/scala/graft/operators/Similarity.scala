@@ -172,17 +172,22 @@ object Similarity {
     (vv - lit(2.0) * graft.functions.DotProduct.dotFast(v, cv)) + cc
 
   /** Nearest-centroid assignment: broadcast the k-row centroid table,
-    * argmin by (distance, cid) via one row_number window keyed on
-    * vec_id. Ties break to the smaller cid — deterministic. */
-  private def assign(e: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("d"), col("cid"))
+    * argmin by (distance, cid) as min over a struct ordered by
+    * (d, cid) — cid is unique per vector so the trailing v/vv fields
+    * only ride along. A groupBy PARTIAL-aggregates map-side: the
+    * broadcast cross join emits each vector's k candidates inside one
+    * partition, so only n pre-combined rows reach the exchange (a
+    * row_number window here would shuffle all n×k rows). Ties break to
+    * the smaller cid — deterministic, same argmin as the oracle's
+    * row_number. */
+  private def assign(e: DataFrame, cent: DataFrame): DataFrame =
     e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("vv"), col("cid"),
-        l2sq(col("v"), col("vv"), col("cv"), col("cc")).as("d"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("vv"), col("cid"), col("d"))
-  }
+      .select(col("vec_id"),
+        struct(l2sq(col("v"), col("vv"), col("cv"), col("cc")).as("d"),
+          col("cid"), col("v"), col("vv")).as("cand"))
+      .groupBy("vec_id").agg(min("cand").as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.vv").as("vv"),
+        col("m.cid").as("cid"), col("m.d").as("d"))
 
   /** s4: k-means clustering of the embedding corpus — k = 8, two Lloyd
     * iterations UNROLLED into one declarative plan (no driver loop, no

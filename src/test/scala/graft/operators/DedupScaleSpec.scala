@@ -139,9 +139,11 @@ class DedupScaleSpec extends SparkSpec {
     val dir = sf("sf0.01")
     val pairs = Dedup.d2NgramJaccard(spark, dir).select("doc_a", "doc_b")
     val uf = Dedup.d7UnionFind(spark, pairs)
-    val prop = Dedup.d7Propagate(spark, pairs, "spec").df
-    assert(uf.exceptAll(prop).isEmpty && prop.exceptAll(uf).isEmpty,
-      "both component paths must produce the identical min-label clustering")
+    val entry = Dedup.d7Propagate(spark, pairs, "spec")
+    try {
+      assert(uf.exceptAll(entry.df).isEmpty && entry.df.exceptAll(uf).isEmpty,
+        "both component paths must produce the identical min-label clustering")
+    } finally entry.labels.foreach(_.unpersist()) // spec owns this entry's cache
   }
 
   test("d7 on a corpus without near-dups returns an empty cluster set") {

@@ -94,7 +94,8 @@ class PipelineOpsSpec extends SparkSpec {
   test("e6: salted distinct equals the naive count_distinct formulation") {
     val got = Events.e6Retention(spark, dir).select("cohort_wk", "wk_offset", "n_users")
     val ev = Tables.load(spark, dir, "events")
-      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(604800000000.0)).cast("long").as("wk"))
     val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
     val expect = ev.join(cohort, "user_id")
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
