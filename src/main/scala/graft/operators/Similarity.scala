@@ -230,11 +230,90 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // -- s5: product-quantization ANN -------------------------------------
+
+  private val PqM = 8 // subspaces
+  private val PqSub = 8 // dims per subspace (PqM * PqSub = 64)
+  private val PqK = 16 // codes per subspace
+  private val PqTopK = 10
+
+  /** s5: product-quantization ANN — the memory story for 100 TB ANN: the
+    * index is 8 ONE-BYTE codes per vector (one per 8-dim subspace, 16
+    * centroids each) instead of 256 bytes of floats; query scoring is
+    * asymmetric-distance (ADC): per query, a 8×16 lookup table of exact
+    * query-subvector→centroid distances, summed along each candidate's
+    * code word. One codebook-training pass (init = first-k seed, one
+    * quantized-mean update — the per-subspace analog of [[s4Kmeans]]),
+    * one encode pass, and the scoring join is codes ⋈ BROADCAST(640-row
+    * ADC table) with a map-side-combined sum.
+    *
+    * Determinism: subspace distances ride the same quantized-mean
+    * centroid arithmetic as s4; the per-pair ADC sum is over
+    * FLOOR-MICRO-QUANTIZED partial distances (bigint), so the 8-way sum
+    * is exact under any aggregation order — a raw double sum would be
+    * shuffle-order-dependent. */
+  def s5PqAnn(s: SparkSession, dir: String): DataFrame = {
+    val dot = graft.functions.DotProduct.dotFast _
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    def subspaces(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("v"))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), col("m") * PqSub + 1, lit(PqSub)).as("vm"))
+    val ev = subspaces(e).withColumn("vvm", dot(col("vm"), col("vm")))
+    // codebook init: subvectors of the PqK lowest vec_ids, cid by rank
+    val c0 = subspaces(e.orderBy("vec_id").limit(PqK))
+      .withColumn("cid",
+        (row_number().over(Window.partitionBy("m").orderBy("vec_id")) - 1).cast("int"))
+      .withColumn("cc", dot(col("vm"), col("vm")))
+      .select(col("m"), col("cid"), col("vm").as("cv"), col("cc"))
+    def pqDist: Column =
+      (col("vvm") - lit(2.0) * dot(col("vm"), col("cv"))) + col("cc")
+    // per-(vector, subspace) argmin — min over struct(d, cid), partial-
+    // aggregated map-side exactly like s4's assign
+    def nearest(cents: DataFrame, keep: Column*): DataFrame =
+      ev.join(broadcast(cents), "m")
+        .select(col("vec_id") +: col("m") +:
+          struct((pqDist.as("d") +: col("cid") +: keep).toIndexedSeq: _*).as("cand") +: Nil: _*)
+        .groupBy("vec_id", "m").agg(min("cand").as("mn"))
+    val a1 = nearest(c0, col("vm"))
+      .select(col("vec_id"), col("m"), col("mn.cid").as("cid"), col("mn.vm").as("vm"))
+    // one quantized-mean codebook update (exact under any agg order)
+    val cb = a1
+      .select(col("m"), col("cid"),
+        posexplode(transform(col("vm"), x => round(x * Quant).cast("long")))
+          .as(Seq("pos", "qx")))
+      .groupBy("m", "cid", "pos").agg(sum("qx").as("sq"), count(lit(1)).as("n"))
+      .groupBy("m", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sq"), col("n")))),
+        p => p.getField("sq").cast("double")
+          / (p.getField("n").cast("double") * Quant.toDouble)).as("cv"))
+      .withColumn("cc", dot(col("cv"), col("cv")))
+    val codes = nearest(cb)
+      .select(col("vec_id"), col("m"), col("mn.cid").as("code"))
+    // ADC lookup table: exact query-subvector -> centroid partial
+    // distances, floor-quantized to integer micro-units
+    val qtab = ev.filter(col("vec_id") < NumQueries)
+      .join(broadcast(cb), "m")
+      .select(col("vec_id").as("q_id"), col("m").as("qm"), col("cid").as("qcid"),
+        floor(pqDist * 1e6).cast("long").as("pdq"))
+    val w = Window.partitionBy("q_id").orderBy(col("pqd"), col("vec_id"))
+    codes.join(broadcast(qtab),
+      col("m") === col("qm") && col("code") === col("qcid") &&
+        col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(sum("pdq").as("pqd"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= PqTopK)
+      .select(col("q_id"), col("vec_id"), col("pqd"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_brute" -> s1AnnBrute _,
     "s2_ann_ivf" -> s2AnnIvf _,
     "s3_ann_lsh" -> s3AnnLsh _,
     "s4_kmeans" -> s4Kmeans _,
+    "s5_pq_ann" -> s5PqAnn _,
   )
 
   import OracleSql._
@@ -263,6 +342,49 @@ object Similarity {
        |  (x, y) -> x + y)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s5_pq_ann" ->
+      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+         |           FROM embeddings),
+         |ev AS (SELECT vec_id, m, vm, ${dotSql("vm", "vm")} vvm FROM (
+         |       SELECT vec_id, m, v[m*$PqSub+1 : m*$PqSub+$PqSub] vm
+         |       FROM e CROSS JOIN range(0, $PqM) r(m))),
+         |c0 AS (SELECT m,
+         |         CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS INT) cid,
+         |         vm cv, ${dotSql("vm", "vm")} cc FROM (
+         |       SELECT vec_id, m, v[m*$PqSub+1 : m*$PqSub+$PqSub] vm
+         |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $PqK)
+         |       CROSS JOIN range(0, $PqM) r(m))),
+         |a1 AS (SELECT vec_id, m, cid, vm FROM (
+         |  SELECT ev.vec_id, ev.m, c0.cid, ev.vm,
+         |    row_number() OVER (PARTITION BY ev.vec_id, ev.m
+         |      ORDER BY (ev.vvm - 2.0 * ${dotSql("ev.vm", "c0.cv")}) + c0.cc,
+         |               c0.cid) rn
+         |  FROM ev JOIN c0 ON ev.m = c0.m) WHERE rn = 1),
+         |cb AS (SELECT m, cid, cv, ${dotSql("cv", "cv")} cc FROM (
+         |       SELECT m, cid,
+         |         list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * $Quant.0) ORDER BY i) cv
+         |       FROM (SELECT m, cid, i,
+         |               sum(CAST(round(vm[i] * $Quant) AS BIGINT)) sq, count(*) n
+         |             FROM a1 CROSS JOIN range(1, ${PqSub + 1}) ri(i)
+         |             GROUP BY m, cid, i) GROUP BY m, cid)),
+         |codes AS (SELECT vec_id, m, cid code FROM (
+         |  SELECT ev.vec_id, ev.m, cb.cid,
+         |    row_number() OVER (PARTITION BY ev.vec_id, ev.m
+         |      ORDER BY (ev.vvm - 2.0 * ${dotSql("ev.vm", "cb.cv")}) + cb.cc,
+         |               cb.cid) rn
+         |  FROM ev JOIN cb ON ev.m = cb.m) WHERE rn = 1),
+         |qtab AS (SELECT ev.vec_id q_id, ev.m, cb.cid,
+         |    CAST(floor(((ev.vvm - 2.0 * ${dotSql("ev.vm", "cb.cv")}) + cb.cc)
+         |      * 1000000.0) AS BIGINT) pdq
+         |  FROM ev JOIN cb ON ev.m = cb.m WHERE ev.vec_id < $NumQueries),
+         |sc AS (SELECT q.q_id, c.vec_id, CAST(sum(q.pdq) AS BIGINT) pqd
+         |  FROM codes c JOIN qtab q ON c.m = q.m AND c.code = q.cid
+         |  WHERE c.vec_id != q.q_id GROUP BY q.q_id, c.vec_id),
+         |rk AS (SELECT q_id, vec_id, pqd,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY pqd, vec_id) rank
+         |  FROM sc)
+         |SELECT q_id, vec_id, pqd, rank FROM rk
+         |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin),
     "s4_kmeans" ->
       (s"""WITH e AS (SELECT vec_id, v, ${dotSql("v", "v")} vv FROM (
          |       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v

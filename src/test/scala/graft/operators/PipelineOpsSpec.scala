@@ -103,19 +103,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
   }
 
-  test("s4: recovers planted well-separated clusters; assigns every vector") {
+  /** 8 tight groups in 64-dim space; vec_id i belongs to group i % 8 so
+    * the first-k init picks one seed per group. */
+  private def plantedClusters(): String = {
     import spark.implicits._
-    // 8 tight groups in 64-dim space; vec_id i belongs to group i % 8 so
-    // the first-k init picks one seed per group
     val rows = (0 until 80).map { i =>
       val g = i % 8
       val v = Array.tabulate(64)(d =>
         (if (d == g * 8) 10.0f else 0.0f) + 0.01f * ((i * 7 + d) % 5))
       (i.toLong, v)
     }
-    val tmp = tmpDir("s4-planted")
+    val tmp = tmpDir("planted-clusters")
     rows.toDF("vec_id", "embedding").write.mode("overwrite")
       .parquet(s"$tmp/embeddings.parquet")
+    tmp
+  }
+
+  test("s4: recovers planted well-separated clusters; assigns every vector") {
+    val tmp = plantedClusters()
     val out = Similarity.s4Kmeans(spark, tmp).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.size === 80, "every vector is assigned")
@@ -124,6 +129,31 @@ class PipelineOpsSpec extends SparkSpec {
         s"vec $i must land in its group's cluster")
     }
     assert(out.values.toSet.size === 8, "8 distinct clusters survive")
+  }
+
+  test("s5: ADC retrieves every same-cluster member on the planted corpus") {
+    val tmp = plantedClusters()
+    val out = Similarity.s5PqAnn(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0L until 5L).foreach { q =>
+      val coMembers = (0 until 80).map(_.toLong)
+        .filter(i => i != q && i % 8 == q % 8).toSet // 9 per group
+      assert(coMembers.subsetOf(out(q)),
+        s"query $q top-10 must contain all 9 same-cluster vectors; " +
+          s"missing ${coMembers -- out(q)}")
+    }
+  }
+
+  test("s5: shape invariants — 10 ranked rows per query, no self-match") {
+    val out = Similarity.s5PqAnn(spark, dir)
+    assert(out.count() === 50)
+    assert(out.filter(col("q_id") === col("vec_id")).isEmpty)
+    val ranks = out.groupBy("q_id").agg(
+      count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn")).collect()
+    ranks.foreach { r =>
+      assert(r.getLong(1) === 10 && r.getLong(2) === 10L && r.getLong(3) === 1L)
+    }
   }
 
   test("s4: corpus invariants — full coverage, k clusters max, d2 >= 0") {
