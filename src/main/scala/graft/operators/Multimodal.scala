@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -183,11 +183,39 @@ object Multimodal {
       }
   }
 
+  /** m5: typed metadata extraction from an opaque binary column with
+    * PURE CATALYST byte ops — no UDF, no decoder: the PNG signature and
+    * IHDR fields (width, height, bit depth, color type) are parsed from
+    * the real codec output of [[pngEncoded]] via substring/hex/conv,
+    * all codegen'd builtins. This is the schema-on-read shape for media
+    * lakes at scale: a metadata scan touches the first ~26 bytes of
+    * each blob and never runs image code; the oracle checks the parsed
+    * fields against the known source geometry, proving the real encoder
+    * wrote what the pipeline believes it wrote.
+    *
+    * PNG layout (public spec): 8-byte signature 89504E470D0A1A0A, then
+    * the IHDR chunk — 4-byte length, "IHDR", 4-byte big-endian width,
+    * 4-byte height, 1-byte bit depth, 1-byte color type. */
+  def m5PngMeta(s: SparkSession, dir: String): DataFrame = {
+    val png = pngEncoded(s, dir).toDF("doc_id", "png")
+    def beUint(off: Int, len: Int): Column =
+      conv(hex(substring(col("png"), off, len)), 16, 10).cast("long")
+    png.select(col("doc_id"),
+      (hex(substring(col("png"), 1, 8)) === "89504E470D0A1A0A")
+        .cast("long").as("sig_ok"),
+      beUint(17, 4).as("width"),
+      beUint(21, 4).as("height"),
+      beUint(25, 1).as("bit_depth"),
+      beUint(26, 1).as("color_type"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_decode" -> m1DecodeFeatures _,
     "m2_frame_sample" -> m2FrameSample _,
     "m3_resize" -> m3Resize _,
     "m4_png_decode" -> m4PngDecode _,
+    "m5_png_meta" -> m5PngMeta _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -231,6 +259,15 @@ object Multimodal {
          |      k -> ascii(substr(text, CAST(k % len AS INT)+1, 1))::BIGINT)),
          |    (a, b) -> a + b) px_sum
          |FROM f ORDER BY doc_id""".stripMargin),
+    // m5: the parsed-from-bytes IHDR fields must equal the source
+    // geometry the encoder was GIVEN (and grayscale-8 settings) — the
+    // oracle is the spec the real codec must have honored
+    "m5_png_meta" ->
+      ("""SELECT doc_id, CAST(1 AS BIGINT) sig_ok,
+         |  CAST(n_chars % 64 + 16 AS BIGINT) width,
+         |  CAST(doc_id % 32 + 16 AS BIGINT) height,
+         |  CAST(8 AS BIGINT) bit_depth, CAST(0 AS BIGINT) color_type
+         |FROM documents ORDER BY doc_id""".stripMargin),
     "m3_resize" ->
       ("""WITH t AS (SELECT doc_id, text,
          |    greatest(1, length(text) // 64) stride FROM documents)

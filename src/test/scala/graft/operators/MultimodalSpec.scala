@@ -56,4 +56,19 @@ class MultimodalSpec extends SparkSpec {
     val expected2 = (0 until w2 * h2).map(k => codes(k % 4).toLong).sum
     assert(out(2L) === expected2)
   }
+
+  test("m5 header-parsed geometry equals m4 codec-decoded geometry") {
+    val dir = sf("sf0.001")
+    val meta = Multimodal.m5PngMeta(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val decoded = Multimodal.m4PngDecode(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(meta.keySet === decoded.keySet)
+    meta.foreach { case (id, (sigOk, w, h, depth, color)) =>
+      assert(sigOk === 1L, s"doc $id: PNG signature")
+      assert((w, h) === decoded(id), s"doc $id: header vs decoded geometry")
+      assert(depth === 8L && color === 0L, s"doc $id: grayscale-8 settings")
+    }
+  }
 }
