@@ -81,10 +81,7 @@ object Dedup {
     val posting = postingLists(s, dir)
     val capped = maxShingleFreq.fold(posting)(f => posting.filter(size(col("ds")) <= f))
     val pairs = capped
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + 2, size(col("ds"))),
-          y => struct(x.getField("doc_id").as("a"), x.getField("n").as("na"),
-            y.getField("doc_id").as("b"), y.getField("n").as("nb")))))).as("p"))
+      .select(explode(graft.functions.PostingPairs.pairsFast(col("ds"))).as("p"))
     pairs
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("common"), first(col("p.na")).as("na"),
@@ -147,7 +144,7 @@ object Dedup {
   // MEMORY_AND_DISK is safe at scale.
   private val pairsCache = new PersistedLru(8)
 
-  private def postingLists(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def postingLists(s: SparkSession, dir: String): DataFrame = {
     val sh = docs(s, dir)
       .select(col("doc_id"), shinglesDistinctFast(col("text")).as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
