@@ -128,6 +128,39 @@ object Events {
       .orderBy("cohort_wk", "wk_offset")
   }
 
+  /** e7: 3σ outlier detection per event_type — the data-quality gate
+    * that flags anomalous metric values before they poison a training
+    * mix. Two corpus passes: one aggregation for per-type moments, then
+    * a scan filtered against the BROADCAST (handful-of-types) stats.
+    *
+    * Exactness: mean and variance come from integer-quantized (×1e4)
+    * first/second moments summed as DECIMAL(38,0) — exact under any
+    * aggregation order AND overflow-safe where a long q² sum would wrap
+    * at ~10¹⁹ (the 100 TB case); the integer→double conversions and the
+    * variance expression tree are replicated operation-for-operation in
+    * the oracle, so both engines compare the identical doubles. */
+  def e7Outliers(s: SparkSession, dir: String): DataFrame = {
+    val qL = round(col("value") * 10000).cast("long")
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"),
+        qL.cast("decimal(38,0)").as("qd"),
+        (qL * qL).cast("decimal(38,0)").as("q2"))
+    val stats = ev.groupBy("event_type")
+      .agg(sum("qd").as("s1"), sum("q2").as("s2"), count(lit(1)).as("n"))
+    val nd = col("n").cast("double")
+    val mean = col("s1").cast("double") / (nd * 10000.0)
+    val ex2 = col("s2").cast("double") / (nd * 100000000.0)
+    val sd = sqrt(greatest(ex2 - mean * mean, lit(0.0)))
+    val typed = stats.select(col("event_type").as("st_type"),
+      mean.as("mean"), sd.as("sd"))
+    ev.join(broadcast(typed), col("event_type") === col("st_type"))
+      .filter(abs(col("value") - col("mean")) > lit(3.0) * col("sd"))
+      .select(col("event_type"), col("event_id"),
+        round(col("value"), 4).as("value"),
+        round((col("value") - col("mean")) / col("sd"), 4).as("z"))
+      .orderBy("event_type", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_tumbling_window" -> e1TumblingWindow _,
     "e2_sessionize" -> e2Sessionize _,
@@ -135,6 +168,7 @@ object Events {
     "e4_asof_attribution" -> e4AsofAttribution _,
     "e5_funnel" -> e5Funnel _,
     "e6_retention" -> e6Retention _,
+    "e7_outliers" -> e7Outliers _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -192,5 +226,25 @@ object Events {
          |  CAST(count(DISTINCT w.user_id) AS BIGINT) n_users, count(*) cnt
          |FROM w JOIN c ON w.user_id = c.user_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "e7_outliers" ->
+      ("""WITH q AS (SELECT event_type, event_id, value,
+         |    CAST(round(value * 10000) AS BIGINT) qv FROM events),
+         |st AS (SELECT event_type,
+         |    CAST(sum(qv) AS DECIMAL(38,0)) s1,
+         |    CAST(sum(qv * qv) AS DECIMAL(38,0)) s2, count(*) n
+         |  FROM q GROUP BY event_type),
+         |m AS (SELECT event_type,
+         |    CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0) mean,
+         |    sqrt(greatest(
+         |      CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 100000000.0)
+         |        - (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0))
+         |          * (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)),
+         |      0.0)) sd
+         |  FROM st)
+         |SELECT q.event_type, event_id, round(value, 4) AS "value",
+         |  round((value - mean) / sd, 4) z
+         |FROM q JOIN m ON q.event_type = m.event_type
+         |WHERE abs(value - mean) > 3.0 * sd
+         |ORDER BY q.event_type, event_id""".stripMargin),
   )
 }

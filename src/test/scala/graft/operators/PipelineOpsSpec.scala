@@ -166,6 +166,24 @@ class PipelineOpsSpec extends SparkSpec {
       col("d2") < -1e-6).isEmpty)
   }
 
+  test("e7: flagged outliers agree with builtin population moments") {
+    val out = Events.e7Outliers(spark, dir)
+    assert(out.filter(abs(col("z")) <= 3).isEmpty, "every flagged |z| > 3")
+    // independent check via Spark's own avg/var_pop (different
+    // arithmetic): sets may only disagree within float noise of the 3σ
+    // boundary, and none exists on this corpus
+    val ev = Tables.load(spark, dir, "events")
+    val stats = ev.groupBy("event_type")
+      .agg(avg("value").as("m"), stddev_pop("value").as("s"))
+    val expect = ev.join(stats, "event_type")
+      .filter(abs(col("value") - col("m")) > lit(3.0) * col("s") * (1 + 1e-9))
+      .select("event_id")
+    val flagged = out.select("event_id")
+    val sym = flagged.exceptAll(expect).count() + expect.exceptAll(flagged).count()
+    assert(sym === 0, s"flagged set differs from builtin-moment 3σ by $sym rows")
+    assert(out.count() < ev.count() / 20, "outliers are a small tail")
+  }
+
   test("c3: targets preserve corpus size up to flooring; weights sum to ~1") {
     val out = Sampling.c3SourceMix(spark, dir).collect()
     val total = Tables.load(spark, dir, "documents").count()
