@@ -243,6 +243,34 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // -- d9: edit-distance re-score of banded candidates ------------------
+
+  /** d9: fuzzy dedup by EDIT DISTANCE — exact Levenshtein is O(len²)
+    * per pair and unthinkable all-pairs, so it runs only on the
+    * simhash-banded candidates (hamming ≤ 3 ⇒ near-identical shingle
+    * profiles), the standard two-stage shape: cheap sketch recall, then
+    * the expensive exact measure on survivors. Texts are fetched by two
+    * doc_id equi-joins (AQE broadcasts the candidate side when small);
+    * the emitted pair set is candidates with edit ratio
+    * lev / max(len) ≤ `maxRatio`. Both engines ship the same unit-cost
+    * levenshtein, so the oracle is integer-exact. */
+  def d9EditDistance(s: SparkSession, dir: String, maxRatio: Double = 0.2): DataFrame = {
+    val pairs = d4Simhash(s, dir).select("doc_a", "doc_b")
+    val d = docs(s, dir).select(col("doc_id"), col("text"),
+      length(col("text")).cast("long").as("len"))
+    val withA = d.join(pairs, col("doc_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("text").as("text_a"),
+        col("len").as("len_a"))
+    val ratio = col("lev").cast("double") / col("mx").cast("double")
+    d.join(withA, col("doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text")).cast("long").as("lev"),
+        greatest(col("len_a"), col("len")).as("mx"))
+      .filter(ratio <= maxRatio)
+      .select(col("doc_a"), col("doc_b"), col("lev"), round(ratio, 4).as("ratio"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // -- d5: embedding cosine near-dup -----------------------------------
 
   /** Rows per broadcast tile of the d5 block-nested-loop. Bounds driver
@@ -686,6 +714,7 @@ object Dedup {
     "d6_embed_neardup_ann" -> d6EmbedNearDupAnn _,
     "d7_dedup_clusters" -> d7DedupClusters _,
     "d8_window_dedup" -> ((s: SparkSession, dir: String) => d8WindowDedup(s, dir)),
+    "d9_edit_distance" -> ((s: SparkSession, dir: String) => d9EditDistance(s, dir)),
   )
 
   import OracleSql._
@@ -820,5 +849,28 @@ object Dedup {
          |    / CAST(n_win AS DOUBLE), 4) dup_ratio
          |FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id
          |ORDER BY 1""".stripMargin),
+    // d9: same simhash construction as the d4 oracle (brute-force
+    // candidate generation), then integer-exact levenshtein re-score
+    "d9_edit_distance" ->
+      (s"""WITH $shingleCte,
+         |hs AS (SELECT doc_id, ${polyHashSql("s", P57)} h FROM sh),
+         |bits AS (SELECT doc_id, b, sum(((h >> b) & 1)*2 - 1) v
+         |         FROM hs CROSS JOIN range(0, $SimhashBits) r(b) GROUP BY doc_id, b),
+         |sim AS (SELECT doc_id,
+         |          sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) sim
+         |        FROM bits GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id doc_a, b.doc_id doc_b
+         |       FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.sim, b.sim)) <= 3),
+         |d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) len
+         |      FROM documents)
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) lev,
+         |  round(CAST(levenshtein(da.text, db.text) AS DOUBLE)
+         |    / CAST(greatest(da.len, db.len) AS DOUBLE), 4) ratio
+         |FROM pr JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
+         |WHERE CAST(levenshtein(da.text, db.text) AS DOUBLE)
+         |  / CAST(greatest(da.len, db.len) AS DOUBLE) <= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin),
   )
 }

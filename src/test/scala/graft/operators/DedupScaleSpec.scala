@@ -146,6 +146,27 @@ class DedupScaleSpec extends SparkSpec {
     } finally entry.labels.foreach(_.unpersist()) // spec owns this entry's cache
   }
 
+  test("d9: exact dup scores lev=0; pairs are a re-scored subset of d4") {
+    val w = (1 to 40).map(i => s"w$i")
+    val dir = writeDocs(Seq(
+      1L -> w.mkString(" "),
+      2L -> w.mkString(" "),                              // exact dup: lev 0
+      3L -> (w.dropRight(1) :+ "zzzzzz").mkString(" "),   // near dup: small lev
+      4L -> "entirely different content that shares nothing at all here"))
+    val out = Dedup.d9EditDistance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) === ((0L, 0.0)),
+      "exact duplicate pair must score lev=0, ratio=0")
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "the unrelated document pairs with nothing")
+    val d4pairs = Dedup.d4Simhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.keySet.subsetOf(d4pairs), "d9 re-scores d4's candidates only")
+    out.foreach { case (_, (lev, ratio)) =>
+      assert(ratio <= 0.2 && lev >= 0, "emitted pairs satisfy the ratio bound")
+    }
+  }
+
   test("d7 on a corpus without near-dups returns an empty cluster set") {
     val dir = writeDocs(Seq(
       1L -> "alpha beta gamma delta epsilon zeta",
