@@ -139,27 +139,33 @@ object Events {
     * at ~10¹⁹ (the 100 TB case); the integer→double conversions and the
     * variance expression tree are replicated operation-for-operation in
     * the oracle, so both engines compare the identical doubles. */
-  def e7Outliers(s: SparkSession, dir: String): DataFrame = {
+  /** Per-type (st_type, mean, sd) moments for e7 — also the "trained
+    * model" the streaming scorer
+    * ([[graft.streaming.EventStream.scoreOutliers]]) enriches against. */
+  def e7TypeStats(s: SparkSession, dir: String): DataFrame = {
     val qL = round(col("value") * 10000).cast("long")
-    val ev = Tables.load(s, dir, "events")
-      .select(col("event_type"), col("event_id"), col("value"),
+    val stats = Tables.load(s, dir, "events")
+      .select(col("event_type"),
         qL.cast("decimal(38,0)").as("qd"),
         (qL * qL).cast("decimal(38,0)").as("q2"))
-    val stats = ev.groupBy("event_type")
+      .groupBy("event_type")
       .agg(sum("qd").as("s1"), sum("q2").as("s2"), count(lit(1)).as("n"))
     val nd = col("n").cast("double")
     val mean = col("s1").cast("double") / (nd * 10000.0)
     val ex2 = col("s2").cast("double") / (nd * 100000000.0)
     val sd = sqrt(greatest(ex2 - mean * mean, lit(0.0)))
-    val typed = stats.select(col("event_type").as("st_type"),
-      mean.as("mean"), sd.as("sd"))
-    ev.join(broadcast(typed), col("event_type") === col("st_type"))
+    stats.select(col("event_type").as("st_type"), mean.as("mean"), sd.as("sd"))
+  }
+
+  def e7Outliers(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+      .join(broadcast(e7TypeStats(s, dir)), col("event_type") === col("st_type"))
       .filter(abs(col("value") - col("mean")) > lit(3.0) * col("sd"))
       .select(col("event_type"), col("event_id"),
         round(col("value"), 4).as("value"),
         round((col("value") - col("mean")) / col("sd"), 4).as("z"))
       .orderBy("event_type", "event_id")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_tumbling_window" -> e1TumblingWindow _,

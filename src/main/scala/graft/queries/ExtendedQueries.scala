@@ -198,7 +198,23 @@ object ExtendedQueries {
       .select(col("n_nationkey"), to_json(struct(col("*"))).as("row_json"))
       .orderBy("n_nationkey")
 
+  /** q39: correlated aggregate subquery — customers above their own
+    * nation's average balance, counted per nation. Spark decorrelates
+    * this into a join against the per-nation aggregate; cents-integer
+    * comparison keeps the predicate engine-exact. */
+  def q39Correlated(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_nationkey"), round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+    val avgBal = cust.groupBy("c_nationkey")
+      .agg((sum("bal_c").cast("double") / count(lit(1)).cast("double")).as("avg_c"))
+    cust.join(avgBal, "c_nationkey")
+      .filter(col("bal_c").cast("double") > col("avg_c"))
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_above"))
+      .orderBy("c_nationkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_correlated" -> q39Correlated _,
     "q33_string_agg" -> q33StringAgg _,
     "q34_md5_join" -> q34Md5Join _,
     "q35_generate_series" -> q35GenerateSeries _,
@@ -220,6 +236,18 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // written as the correlated form — DuckDB decorrelates it the same
+    // way Spark's optimizer does the join formulation
+    "q39_correlated" ->
+      ("""WITH c AS (SELECT c_nationkey,
+         |    CAST(round(c_acctbal * 100) AS BIGINT) bal_c FROM customer),
+         |a AS (SELECT c_nationkey,
+         |    CAST(sum(bal_c) AS DOUBLE) / CAST(count(*) AS DOUBLE) avg_c
+         |  FROM c GROUP BY c_nationkey)
+         |SELECT c.c_nationkey, count(*) n_above
+         |FROM c JOIN a ON c.c_nationkey = a.c_nationkey
+         |WHERE CAST(bal_c AS DOUBLE) > avg_c
+         |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin),
     "q33_string_agg" ->
       ("SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names " +
         "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"),

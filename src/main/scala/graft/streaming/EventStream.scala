@@ -84,4 +84,29 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .format("memory")
       .start()
+
+  /** Streaming 3σ outlier scoring — the streaming twin of the batch
+    * [[graft.operators.Events.e7Outliers]]: a STREAM-STATIC enrichment
+    * join against batch-trained per-type moments
+    * ([[graft.operators.Events.e7TypeStats]]), the canonical
+    * train-batch/score-stream shape. The static side is a
+    * handful-of-types broadcast, so scoring is stateless per event —
+    * no watermark, no state store, arbitrary stream length. */
+  def scoreOutliers(events: DataFrame, typeStats: DataFrame): DataFrame =
+    events.join(broadcast(typeStats), col("event_type") === col("st_type"))
+      .filter(abs(col("value") - col("mean")) > lit(3.0) * col("sd"))
+      .select(col("event_type"), col("event_id"),
+        round(col("value"), 4).as("value"),
+        round((col("value") - col("mean")) / col("sd"), 4).as("z"))
+
+  /** Outlier-scored stream to an in-memory sink (tests/dashboards). */
+  def outliersToMemory(spark: SparkSession, srcDir: String, typeStats: DataFrame,
+      queryName: String, checkpointDir: String): StreamingQuery =
+    scoreOutliers(readEvents(spark, srcDir), typeStats).writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .start()
 }

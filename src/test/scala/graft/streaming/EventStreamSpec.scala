@@ -50,6 +50,21 @@ class EventStreamSpec extends SparkSpec {
       .collect()
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
+  test("streaming outlier scoring equals the batch e7 operator") {
+    val dir = sf("sf0.001")
+    val flat = tmpDir("outlier-src")
+    Tables.load(spark, dir, "events").write.mode("overwrite").parquet(flat)
+    val q = EventStream.outliersToMemory(spark, flat,
+      graft.operators.Events.e7TypeStats(spark, dir),
+      "stream_outliers", tmpDir("outlier-ckpt"))
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_outliers")
+      .orderBy("event_type", "event_id").collect()
+    val batch = graft.operators.Events.e7Outliers(spark, dir).collect()
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    assert(batch.nonEmpty, "the corpus has outliers to score")
+  }
+
   test("streaming dedup drops duplicate event_ids across files") {
     import org.apache.spark.sql.functions._
     val events = Tables.load(spark, sf("sf0.001"), "events").limit(500)
