@@ -51,10 +51,11 @@ object Bench {
     // and left the makespan hostage to their mutual contention.
     val heavyFirst = Seq(
       "d2_ngram_jaccard", "d2b_ngram_capped", "d6_embed_neardup_ann",
-      "d7_dedup_clusters", "d5_embed_neardup", "d4_simhash",
-      "d3_minhash_lsh", "s2_ann_ivf", "s4_kmeans", "m4_png_decode",
-      "c2_decontaminate", "e5_funnel", "p1_clean_corpus", "d8_window_dedup",
-      "s1_ann_brute", "s3_ann_lsh", "t3_lang_id", "c1_stratified_sample",
+      "d9_edit_distance", "d7_dedup_clusters", "d5_embed_neardup",
+      "d4_simhash", "d3_minhash_lsh", "s5_pq_ann", "s2_ann_ivf",
+      "s4_kmeans", "m4_png_decode", "c2_decontaminate", "e5_funnel",
+      "p1_clean_corpus", "d8_window_dedup", "s1_ann_brute", "s3_ann_lsh",
+      "t3_lang_id", "c1_stratified_sample",
     ).zipWithIndex.toMap
     val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
       (heavyFirst.getOrElse(name, Int.MaxValue), name)
