@@ -243,6 +243,36 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // -- d10: asymmetric containment (excerpt detection) ------------------
+
+  /** d10: shingle CONTAINMENT — |A∩B| / |A|, the asymmetric cousin of
+    * Jaccard: a short document quoted inside a long one scores near 1
+    * here but far below any Jaccard threshold (the union is dominated
+    * by the long side), so symmetric near-dup passes miss exactly the
+    * excerpt/quotation duplication this catches. Same inverted-index
+    * join shape as d2 (pairs only from shared shingles, never O(n²)),
+    * with BOTH directions emitted from one pair scan: containment of a
+    * in b and b in a share the common-count, so each unordered pair is
+    * counted once and split into the two ordered rows at the end. */
+  def d10Containment(s: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame = {
+    val posting = postingLists(s, dir)
+    val pairs = posting
+      .select(explode(graft.functions.PostingPairs.pairsFast(col("ds"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("common"), first(col("p.na")).as("na"),
+        first(col("p.nb")).as("nb"))
+    val aInB = pairs.select(col("doc_a").as("doc_small"), col("doc_b").as("doc_big"),
+      (col("common").cast("double") / col("na").cast("double")).as("containment"))
+    val bInA = pairs.select(col("doc_b").as("doc_small"), col("doc_a").as("doc_big"),
+      (col("common").cast("double") / col("nb").cast("double")).as("containment"))
+    aInB.unionAll(bInA)
+      .filter(col("containment") >= threshold)
+      .select(col("doc_small"), col("doc_big"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy("doc_small", "doc_big")
+  }
+
   // -- d9: edit-distance re-score of banded candidates ------------------
 
   /** d9: fuzzy dedup by EDIT DISTANCE — exact Levenshtein is O(len²)
@@ -715,6 +745,7 @@ object Dedup {
     "d7_dedup_clusters" -> d7DedupClusters _,
     "d8_window_dedup" -> ((s: SparkSession, dir: String) => d8WindowDedup(s, dir)),
     "d9_edit_distance" -> ((s: SparkSession, dir: String) => d9EditDistance(s, dir)),
+    "d10_containment" -> ((s: SparkSession, dir: String) => d10Containment(s, dir)),
   )
 
   import OracleSql._
@@ -849,6 +880,22 @@ object Dedup {
          |    / CAST(n_win AS DOUBLE), 4) dup_ratio
          |FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id
          |ORDER BY 1""".stripMargin),
+    "d10_containment" ->
+      (s"""WITH $shingleCte,
+         |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+         |cm AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+         |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b, common, ca.n na, cb.n nb
+         |      FROM cm JOIN cnt ca ON doc_a = ca.doc_id
+         |               JOIN cnt cb ON doc_b = cb.doc_id),
+         |bi AS (
+         |  SELECT doc_a doc_small, doc_b doc_big,
+         |    CAST(common AS DOUBLE) / CAST(na AS DOUBLE) c FROM j
+         |  UNION ALL
+         |  SELECT doc_b, doc_a, CAST(common AS DOUBLE) / CAST(nb AS DOUBLE) FROM j)
+         |SELECT doc_small, doc_big, round(c, 4) containment
+         |FROM bi WHERE c >= 0.9 ORDER BY doc_small, doc_big""".stripMargin),
     // d9: same simhash construction as the d4 oracle (brute-force
     // candidate generation), then integer-exact levenshtein re-score
     "d9_edit_distance" ->

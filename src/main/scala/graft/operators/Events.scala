@@ -175,7 +175,28 @@ object Events {
     "e5_funnel" -> e5Funnel _,
     "e6_retention" -> e6Retention _,
     "e7_outliers" -> e7Outliers _,
+    "e8_transitions" -> e8Transitions _,
   )
+
+  /** e8: per-user event-transition matrix (first-order Markov counts) —
+    * how often event type X is followed by Y within a user's (ts,
+    * event_id)-ordered stream, with the transition probability in exact
+    * basis points. One shuffle on user_id for the lag window, then a
+    * tiny (#types²) aggregation; the bp division is integer-exact. */
+  def e8Transitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val w = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+    val counts = w.groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("prev_type").agg(sum("cnt").as("tot"))
+    counts.join(totals, "prev_type")
+      .select(col("prev_type"), col("event_type"), col("cnt"),
+        expr("cnt * 10000 div tot").as("p_bp")) // integer bp (Column./ is double)
+      .orderBy("prev_type", "event_type")
+  }
 
   val oracles: Map[String, String] = Map(
     "e1_tumbling_window" ->
@@ -252,5 +273,17 @@ object Events {
          |FROM q JOIN m ON q.event_type = m.event_type
          |WHERE abs(value - mean) > 3.0 * sd
          |ORDER BY q.event_type, event_id""".stripMargin),
+    "e8_transitions" ->
+      ("""WITH w AS (SELECT event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) prev_type
+         |  FROM events),
+         |c AS (SELECT prev_type, event_type, count(*) cnt FROM w
+         |      WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type),
+         |t AS (SELECT prev_type, CAST(sum(cnt) AS BIGINT) tot
+         |      FROM c GROUP BY prev_type)
+         |SELECT c.prev_type, event_type, cnt, cnt * 10000 // tot AS p_bp
+         |FROM c JOIN t ON c.prev_type = t.prev_type
+         |ORDER BY c.prev_type, event_type""".stripMargin),
   )
 }

@@ -167,6 +167,24 @@ class DedupScaleSpec extends SparkSpec {
     }
   }
 
+  test("d10: finds an excerpt Jaccard misses; symmetric dup scores both ways") {
+    val quote = (1 to 20).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 60).map(i => s"f$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      1L -> quote,                      // the short original
+      2L -> s"$filler $quote",          // quotes doc 1 verbatim inside
+      3L -> "unrelated words that never overlap with anything else at all"))
+    val d10 = Dedup.d10Containment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every shingle of doc 1 appears in doc 2 => containment 1.0
+    assert(d10.get((1L, 2L)).contains(1.0), s"excerpt not found: $d10")
+    assert(!d10.contains((2L, 1L)), "the long doc is NOT contained in the short one")
+    // Jaccard misses it: union is dominated by the long side
+    val d2 = Dedup.d2NgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!d2.contains((1L, 2L)), "symmetric Jaccard at 0.8 misses the excerpt")
+  }
+
   test("d7 on a corpus without near-dups returns an empty cluster set") {
     val dir = writeDocs(Seq(
       1L -> "alpha beta gamma delta epsilon zeta",

@@ -184,6 +184,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.count() < ev.count() / 20, "outliers are a small tail")
   }
 
+  test("e8: transition counts partition the lagged stream; bp sums ~10000") {
+    val out = Events.e8Transitions(spark, dir).collect()
+    val ev = Tables.load(spark, dir, "events")
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(out.map(_.getLong(2)).sum === expected,
+      "one transition per event except each user's first")
+    out.groupBy(_.getString(0)).foreach { case (prev, rows) =>
+      val bp = rows.map(_.getLong(3)).sum
+      assert(bp <= 10000 && bp > 10000 - rows.length,
+        s"$prev: floored bp shares must sum to within #types of 10000")
+    }
+  }
+
   test("c3: targets preserve corpus size up to flooring; weights sum to ~1") {
     val out = Sampling.c3SourceMix(spark, dir).collect()
     val total = Tables.load(spark, dir, "documents").count()
