@@ -106,10 +106,37 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** c4: per-source curation-funnel report — the accounting view every
+    * corpus pipeline publishes: how many documents each source
+    * contributes raw, and how many survive exact dedup (md5-group
+    * winner), the quality gate (t2's score, full precision), and the
+    * language gate (t3's prediction) — each stage nested in the
+    * previous. ONE window shuffle (the md5 dedup rank) and one tiny
+    * per-source conditional aggregation; the stage predicates are
+    * map-side column expressions reused verbatim from t2/t3, so the
+    * funnel is consistent with the standalone operators by
+    * construction. */
+  def c4CurationFunnel(s: SparkSession, dir: String,
+      qualityMin: Double = 0.35): DataFrame = {
+    val ranked = docs(s, dir).select(col("source"), col("doc_id"), col("text"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")))
+    val kept = col("rn") === 1
+    val q = TextAnalysis.qualityRaw(col("text")) >= qualityMin
+    val en = TextAnalysis.langPred(col("text")) === "en"
+    ranked.groupBy("source").agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(kept, 1L).otherwise(0L)).as("n_dedup"),
+      sum(when(kept && q, 1L).otherwise(0L)).as("n_quality"),
+      sum(when(kept && q && en, 1L).otherwise(0L)).as("n_lang"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_stratified_sample" -> ((s, dir) => c1StratifiedSample(s, dir)),
     "c2_decontaminate" -> ((s, dir) => c2Decontaminate(s, dir)),
     "c3_source_mix" -> ((s, dir) => c3SourceMix(s, dir)),
+    "c4_curation_funnel" -> ((s, dir) => c4CurationFunnel(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -140,5 +167,28 @@ object Sampling {
         |  CAST(floor(CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE)
         |    * CAST(total AS DOUBLE)) AS BIGINT) target_n
         |FROM q, t ORDER BY source""".stripMargin,
+    "c4_curation_funnel" -> {
+      import TextAnalysis.{hitsSql, Stopwords}
+      s"""WITH t AS (SELECT source, doc_id, text, string_split(text, ' ') toks,
+         |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+         |    FROM documents),
+         |q AS (SELECT source, rn,
+         |    least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+         |      * (1.0 - CAST(${hitsSql(Stopwords)} AS DOUBLE)
+         |               / CAST(len(toks) AS DOUBLE)) qual,
+         |    ${hitsSql(Seq("the", "a", "of"))} en,
+         |    ${hitsSql(Seq("der", "die", "und"))} de,
+         |    ${hitsSql(Seq("le", "la", "et"))} fr,
+         |    ${hitsSql(Seq("el", "los", "y"))} es
+         |  FROM t)
+         |SELECT source, count(*) n_raw,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) n_dedup,
+         |  CAST(sum(CASE WHEN rn = 1 AND qual >= 0.35
+         |      THEN 1 ELSE 0 END) AS BIGINT) n_quality,
+         |  CAST(sum(CASE WHEN rn = 1 AND qual >= 0.35 AND en > 0
+         |      AND en >= de AND en >= fr AND en >= es
+         |      THEN 1 ELSE 0 END) AS BIGINT) n_lang
+         |FROM q GROUP BY source ORDER BY source""".stripMargin
+    },
   )
 }

@@ -21,7 +21,7 @@ object TextAnalysis {
     * classes only so Java regex (Spark) and RE2 (DuckDB) agree. */
   private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
-  private val Stopwords = Seq("the", "a", "of", "and", "to")
+  private[operators] val Stopwords = Seq("the", "a", "of", "and", "to")
 
   private def isStop(t: Column): Column =
     Stopwords.map(w => t === w).reduce(_ || _)
@@ -34,40 +34,54 @@ object TextAnalysis {
       regexp_count(col("text"), lit(BpePattern)).cast("long").as("n_bpe"))
       .orderBy("doc_id")
 
-  /** t2: quality score — length score damped by stopword ratio. */
-  def t2Quality(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
+  /** Full-precision quality score of a text column — t2's arithmetic
+    * before rounding; also the c4 curation-funnel predicate. */
+  private[operators] def qualityRaw(text: Column): Column = {
+    val toks = tokens(text)
     val nTok = size(toks).cast("long")
-    val stopCnt = size(filter(toks, t => isStop(t))).cast("long")
-    val stopRatio = stopCnt.cast("double") / nTok.cast("double")
-    val lenScore = least(lit(1.0), nTok.cast("double") / 100.0)
-    docs(s, dir).select(
-      col("doc_id"),
-      nTok.as("n_tok"),
-      round(stopRatio, 4).as("stop_ratio"),
-      round(lenScore * (lit(1.0) - stopRatio), 4).as("quality"))
-      .orderBy("doc_id")
+    val stopRatio =
+      size(filter(toks, t => isStop(t))).cast("long").cast("double") /
+        nTok.cast("double")
+    least(lit(1.0), nTok.cast("double") / 100.0) * (lit(1.0) - stopRatio)
   }
 
-  /** t3: language ID by stopword-profile counts, deterministic tie-break
-    * en > de > fr > es > und. */
-  def t3LangId(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
+  /** Predicted language of a text column (t3's stopword-profile rule,
+    * deterministic tie-break en > de > fr > es > und); also the c4
+    * curation-funnel predicate. */
+  private[operators] def langPred(text: Column): Column = {
+    val toks = tokens(text)
     def hits(words: Seq[String]): Column =
       size(filter(toks, t => words.map(w => t === w).reduce(_ || _))).cast("long")
     val en = hits(Seq("the", "a", "of"))
     val de = hits(Seq("der", "die", "und"))
     val fr = hits(Seq("le", "la", "et"))
     val es = hits(Seq("el", "los", "y"))
-    val pred = when(en > 0 && en >= de && en >= fr && en >= es, "en")
+    when(en > 0 && en >= de && en >= fr && en >= es, "en")
       .when(de > 0 && de >= fr && de >= es, "de")
       .when(fr > 0 && fr >= es, "fr")
       .when(es > 0, "es")
       .otherwise("und")
-    docs(s, dir).select(pred.as("lang_pred"))
+  }
+
+  /** t2: quality score — length score damped by stopword ratio. */
+  def t2Quality(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val stopCnt = size(filter(toks, t => isStop(t))).cast("long")
+    val stopRatio = stopCnt.cast("double") / nTok.cast("double")
+    docs(s, dir).select(
+      col("doc_id"),
+      nTok.as("n_tok"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(qualityRaw(col("text")), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** t3: language ID by stopword-profile counts. */
+  def t3LangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(langPred(col("text")).as("lang_pred"))
       .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
       .orderBy("lang_pred")
-  }
 
   /** t4: document fingerprint — P57 rolling hash of the raw text. */
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
@@ -210,7 +224,7 @@ object TextAnalysis {
 
   import OracleSql._
 
-  private def hitsSql(words: Seq[String]): String =
+  private[operators] def hitsSql(words: Seq[String]): String =
     s"len(list_filter(toks, t -> ${words.map(w => s"t = '$w'").mkString(" OR ")}))"
 
   val oracles: Map[String, String] = Map(

@@ -197,6 +197,19 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("c4: funnel is monotone per source and consistent with d1") {
+    val out = Sampling.c4CurationFunnel(spark, dir).collect()
+    out.foreach { r =>
+      val (raw, dd, q, l) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(raw >= dd && dd >= q && q >= l,
+        s"${r.getString(0)}: stages must shrink monotonically")
+    }
+    assert(out.map(_.getLong(1)).sum ===
+      Tables.load(spark, dir, "documents").count(), "raw covers the corpus")
+    assert(out.map(_.getLong(2)).sum === Dedup.d1ExactDedup(spark, dir).count(),
+      "dedup stage total equals d1's surviving-representative count")
+  }
+
   test("c3: targets preserve corpus size up to flooring; weights sum to ~1") {
     val out = Sampling.c3SourceMix(spark, dir).collect()
     val total = Tables.load(spark, dir, "documents").count()
