@@ -50,7 +50,8 @@ object Bench {
     // submission put all the heavy dedup queries in the same first wave
     // and left the makespan hostage to their mutual contention.
     val heavyFirst = Seq(
-      "d2_ngram_jaccard", "d2b_ngram_capped", "d6_embed_neardup_ann",
+      "d2_ngram_jaccard", "d10_containment", "d2b_ngram_capped",
+      "d6_embed_neardup_ann",
       "d9_edit_distance", "d7_dedup_clusters", "d5_embed_neardup",
       "d4_simhash", "d3_minhash_lsh", "s5_pq_ann", "s2_ann_ivf",
       "s4_kmeans", "m4_png_decode", "c2_decontaminate", "e5_funnel",

@@ -76,21 +76,27 @@ object Dedup {
     * so the capped Jaccard is a lower bound of the exact one). `None`
     * keeps the exact semantics the d2 oracle checks.
     */
-  def ngramJaccardPairs(s: SparkSession, dir: String,
-      maxShingleFreq: Option[Long] = None): DataFrame = {
+  /** Candidate-pair common-shingle counts from the inverted index:
+    * (doc_a < doc_b, common, na, nb) — the shared first stage of every
+    * set-overlap score (d2's Jaccard, d10's containment). */
+  private def pairCounts(s: SparkSession, dir: String,
+      maxShingleFreq: Option[Long]): DataFrame = {
     val posting = postingLists(s, dir)
     val capped = maxShingleFreq.fold(posting)(f => posting.filter(size(col("ds")) <= f))
-    val pairs = capped
+    capped
       .select(explode(graft.functions.PostingPairs.pairsFast(col("ds"))).as("p"))
-    pairs
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("common"), first(col("p.na")).as("na"),
         first(col("p.nb")).as("nb"))
+  }
+
+  def ngramJaccardPairs(s: SparkSession, dir: String,
+      maxShingleFreq: Option[Long] = None): DataFrame =
+    pairCounts(s, dir, maxShingleFreq)
       .select(col("doc_a"), col("doc_b"),
         (col("common").cast("double") /
           (col("na") + col("nb") - col("common")).cast("double")).as("jac"))
       .filter(col("jac") >= 0.8)
-  }
 
   /** Fingerprint of a table file under `dir`: size + mtime of every data
     * file. A rewritten corpus (the writeDocs overwrite pattern in tests,
@@ -253,15 +259,12 @@ object Dedup {
     * join shape as d2 (pairs only from shared shingles, never O(n²)),
     * with BOTH directions emitted from one pair scan: containment of a
     * in b and b in a share the common-count, so each unordered pair is
-    * counted once and split into the two ordered rows at the end. */
-  def d10Containment(s: SparkSession, dir: String,
-      threshold: Double = 0.9): DataFrame = {
-    val posting = postingLists(s, dir)
-    val pairs = posting
-      .select(explode(graft.functions.PostingPairs.pairsFast(col("ds"))).as("p"))
-      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .agg(count(lit(1)).as("common"), first(col("p.na")).as("na"),
-        first(col("p.nb")).as("nb"))
+    * counted once and split into the two ordered rows at the end.
+    * `maxShingleFreq` bounds hot-shingle fan-out exactly as in d2 (None
+    * keeps the oracle-exact semantics). */
+  def d10Containment(s: SparkSession, dir: String, threshold: Double = 0.9,
+      maxShingleFreq: Option[Long] = None): DataFrame = {
+    val pairs = pairCounts(s, dir, maxShingleFreq)
     val aInB = pairs.select(col("doc_a").as("doc_small"), col("doc_b").as("doc_big"),
       (col("common").cast("double") / col("na").cast("double")).as("containment"))
     val bInA = pairs.select(col("doc_b").as("doc_small"), col("doc_a").as("doc_big"),

@@ -128,26 +128,17 @@ object Events {
       .orderBy("cohort_wk", "wk_offset")
   }
 
-  /** e7: 3σ outlier detection per event_type — the data-quality gate
-    * that flags anomalous metric values before they poison a training
-    * mix. Two corpus passes: one aggregation for per-type moments, then
-    * a scan filtered against the BROADCAST (handful-of-types) stats.
-    *
-    * Exactness: mean and variance come from integer-quantized (×1e4)
-    * first/second moments summed as DECIMAL(38,0) — exact under any
-    * aggregation order AND overflow-safe where a long q² sum would wrap
-    * at ~10¹⁹ (the 100 TB case); the integer→double conversions and the
-    * variance expression tree are replicated operation-for-operation in
-    * the oracle, so both engines compare the identical doubles. */
   /** Per-type (st_type, mean, sd) moments for e7 — also the "trained
     * model" the streaming scorer
-    * ([[graft.streaming.EventStream.scoreOutliers]]) enriches against. */
+    * ([[graft.streaming.EventStream.scoreOutliers]]) enriches against.
+    * Mean and variance come from integer-quantized (×1e4) first/second
+    * moments: the square is taken AFTER widening to DECIMAL(38,0) (a
+    * long q² wraps at |value| ≈ 3×10⁵) and summed as DECIMAL(38,0) —
+    * exact under any aggregation order, overflow-safe to ~10³⁸. */
   def e7TypeStats(s: SparkSession, dir: String): DataFrame = {
-    val qL = round(col("value") * 10000).cast("long")
+    val qd = round(col("value") * 10000).cast("long").cast("decimal(38,0)")
     val stats = Tables.load(s, dir, "events")
-      .select(col("event_type"),
-        qL.cast("decimal(38,0)").as("qd"),
-        (qL * qL).cast("decimal(38,0)").as("q2"))
+      .select(col("event_type"), qd.as("qd"), (qd * qd).as("q2"))
       .groupBy("event_type")
       .agg(sum("qd").as("s1"), sum("q2").as("s2"), count(lit(1)).as("n"))
     val nd = col("n").cast("double")
@@ -157,14 +148,31 @@ object Events {
     stats.select(col("event_type").as("st_type"), mean.as("mean"), sd.as("sd"))
   }
 
-  def e7Outliers(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "events")
-      .select(col("event_type"), col("event_id"), col("value"))
-      .join(broadcast(e7TypeStats(s, dir)), col("event_type") === col("st_type"))
-      .filter(abs(col("value") - col("mean")) > lit(3.0) * col("sd"))
+  /** Score rows against trained per-type moments — the single
+    * implementation behind batch e7 AND the streaming scorer (a drift
+    * between the two would silently de-synchronize them). `sd > 0`
+    * guards constant-valued types: with sd = 0, any quantization gap
+    * between the stored mean and the raw value would flag the ENTIRE
+    * type with z = ±∞ — a constant type has no outliers by definition. */
+  private[graft] def scoreAgainstStats(events: DataFrame,
+      typeStats: DataFrame): DataFrame =
+    events.join(broadcast(typeStats), col("event_type") === col("st_type"))
+      .filter(col("sd") > 0 && abs(col("value") - col("mean")) > lit(3.0) * col("sd"))
       .select(col("event_type"), col("event_id"),
         round(col("value"), 4).as("value"),
         round((col("value") - col("mean")) / col("sd"), 4).as("z"))
+
+  /** e7: 3σ outlier detection per event_type — the data-quality gate
+    * that flags anomalous metric values before they poison a training
+    * mix. Two corpus passes: one aggregation for per-type moments
+    * ([[e7TypeStats]]), then a scan filtered against the BROADCAST
+    * (handful-of-types) stats. The integer→double conversions and the
+    * variance expression tree are replicated operation-for-operation in
+    * the oracle, so both engines compare the identical doubles. */
+  def e7Outliers(s: SparkSession, dir: String): DataFrame =
+    scoreAgainstStats(
+      Tables.load(s, dir, "events").select(col("event_type"), col("event_id"), col("value")),
+      e7TypeStats(s, dir))
       .orderBy("event_type", "event_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -258,7 +266,7 @@ object Events {
          |    CAST(round(value * 10000) AS BIGINT) qv FROM events),
          |st AS (SELECT event_type,
          |    CAST(sum(qv) AS DECIMAL(38,0)) s1,
-         |    CAST(sum(qv * qv) AS DECIMAL(38,0)) s2, count(*) n
+         |    sum(CAST(qv AS HUGEINT) * qv) s2, count(*) n
          |  FROM q GROUP BY event_type),
          |m AS (SELECT event_type,
          |    CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0) mean,
@@ -271,7 +279,7 @@ object Events {
          |SELECT q.event_type, event_id, round(value, 4) AS "value",
          |  round((value - mean) / sd, 4) z
          |FROM q JOIN m ON q.event_type = m.event_type
-         |WHERE abs(value - mean) > 3.0 * sd
+         |WHERE sd > 0 AND abs(value - mean) > 3.0 * sd
          |ORDER BY q.event_type, event_id""".stripMargin),
     "e8_transitions" ->
       ("""WITH w AS (SELECT event_type,

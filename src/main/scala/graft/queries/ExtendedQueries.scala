@@ -236,18 +236,18 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    // written as the correlated form — DuckDB decorrelates it the same
-    // way Spark's optimizer does the join formulation
+    // the GENUINELY correlated form: DuckDB decorrelates the scalar
+    // subquery into the same per-nation-aggregate join shape the Spark
+    // side declares directly, so a hash-match covers both formulations
     "q39_correlated" ->
       ("""WITH c AS (SELECT c_nationkey,
-         |    CAST(round(c_acctbal * 100) AS BIGINT) bal_c FROM customer),
-         |a AS (SELECT c_nationkey,
-         |    CAST(sum(bal_c) AS DOUBLE) / CAST(count(*) AS DOUBLE) avg_c
-         |  FROM c GROUP BY c_nationkey)
-         |SELECT c.c_nationkey, count(*) n_above
-         |FROM c JOIN a ON c.c_nationkey = a.c_nationkey
-         |WHERE CAST(bal_c AS DOUBLE) > avg_c
-         |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin),
+         |    CAST(round(c_acctbal * 100) AS BIGINT) bal_c FROM customer)
+         |SELECT c1.c_nationkey, count(*) n_above
+         |FROM c c1
+         |WHERE CAST(c1.bal_c AS DOUBLE) >
+         |  (SELECT CAST(sum(c2.bal_c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |   FROM c c2 WHERE c2.c_nationkey = c1.c_nationkey)
+         |GROUP BY c1.c_nationkey ORDER BY c1.c_nationkey""".stripMargin),
     "q33_string_agg" ->
       ("SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names " +
         "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"),

@@ -93,11 +93,7 @@ object EventStream {
     * handful-of-types broadcast, so scoring is stateless per event —
     * no watermark, no state store, arbitrary stream length. */
   def scoreOutliers(events: DataFrame, typeStats: DataFrame): DataFrame =
-    events.join(broadcast(typeStats), col("event_type") === col("st_type"))
-      .filter(abs(col("value") - col("mean")) > lit(3.0) * col("sd"))
-      .select(col("event_type"), col("event_id"),
-        round(col("value"), 4).as("value"),
-        round((col("value") - col("mean")) / col("sd"), 4).as("z"))
+    graft.operators.Events.scoreAgainstStats(events, typeStats)
 
   /** Outlier-scored stream to an in-memory sink (tests/dashboards). */
   def outliersToMemory(spark: SparkSession, srcDir: String, typeStats: DataFrame,
