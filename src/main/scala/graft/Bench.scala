@@ -86,12 +86,19 @@ object Bench {
       scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
     val total = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // The driver records only the LAST 2000 chars of output, so a long
+    // line is truncated from the front. Keep the headline readable under
+    // truncation: 3-decimal times, per-query entries sorted cheapest-first
+    // (the expensive ones — the interesting ones — survive at the end),
+    // failures in an errors-only map, and the suite wall repeated as the
+    // final key of the line.
+    val qs = results.sortBy(_._2)
+      .map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val st = results.map { case (k, _, s) => s"\"" + k + "\":\"" + s + "\"" }
-      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, s) if s != "ok" =>
+      "\"" + k + "\":\"" + s + "\"" }.mkString("{", ",", "}")
     val failed = results.count(_._3 != "ok")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$st,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"sf":"$sfDir","suite_sec":$total}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

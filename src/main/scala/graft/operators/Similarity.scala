@@ -205,7 +205,15 @@ object Similarity {
     * integer-quantized (×1e6) values, so the sums are exact under ANY
     * aggregation order and the final double division is one correctly-
     * rounded op on identical operands in both engines. */
-  def s4Kmeans(s: SparkSession, dir: String): DataFrame = {
+  def s4Kmeans(s: SparkSession, dir: String): DataFrame =
+    kmeansAssigned(s, dir)
+      .select(col("vec_id"), col("cid").cast("long").as("cluster_id"),
+        round(col("d"), 4).as("d2"))
+      .orderBy("vec_id")
+
+  /** The k-means assignment underlying s4 (and d11's semantic dedup):
+    * (vec_id, v, vv, cid, d) after the two unrolled Lloyd iterations. */
+  private[operators] def kmeansAssigned(s: SparkSession, dir: String): DataFrame = {
     val dot = graft.functions.DotProduct.dotFast _
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -225,9 +233,6 @@ object Similarity {
           / (p.getField("n").cast("double") * Quant.toDouble)).as("cv"))
       .withColumn("cc", dot(col("cv"), col("cv")))
     assign(e, c2)
-      .select(col("vec_id"), col("cid").cast("long").as("cluster_id"),
-        round(col("d"), 4).as("d2"))
-      .orderBy("vec_id")
   }
 
   // -- s5: product-quantization ANN -------------------------------------
@@ -334,6 +339,35 @@ object Similarity {
 
   private def bucketSql(v: String): String = signKeySql(v, 0, LshBits)
 
+  /** SQL twin of [[kmeansAssigned]]: CTE chain ending in
+    * `fin(vec_id, cid, d)` — the two unrolled Lloyd iterations. Shared
+    * by the s4 oracle and d11's semantic-dedup oracle. */
+  private[operators] def kmeansCtes: String =
+    s"""e AS (SELECT vec_id, v, ${dotSql("v", "v")} vv FROM (
+       |       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+       |       FROM embeddings)),
+       |c1 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) cid,
+       |         v cv, vv cc
+       |       FROM (SELECT vec_id, v, vv FROM e ORDER BY vec_id LIMIT $KmeansK)),
+       |a1 AS (SELECT vec_id, v, cid FROM (
+       |  SELECT e.vec_id, e.v, c1.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY (e.vv - 2.0 * ${dotSql("e.v", "c1.cv")}) + c1.cc, c1.cid) rn
+       |  FROM e CROSS JOIN c1) WHERE rn = 1),
+       |c2 AS (SELECT cid, cv, ${dotSql("cv", "cv")} cc FROM (
+       |       SELECT cid,
+       |         list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * $Quant.0) ORDER BY i) cv
+       |       FROM (SELECT cid, i,
+       |               sum(CAST(round(v[i] * $Quant) AS BIGINT)) sq, count(*) n
+       |             FROM a1 CROSS JOIN range(1, 65) r(i)
+       |             GROUP BY cid, i) GROUP BY cid)),
+       |fin AS (SELECT vec_id, cid, d FROM (
+       |  SELECT e.vec_id, c2.cid,
+       |    (e.vv - 2.0 * ${dotSql("e.v", "c2.cv")}) + c2.cc d,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY (e.vv - 2.0 * ${dotSql("e.v", "c2.cv")}) + c2.cc, c2.cid) rn
+       |  FROM e CROSS JOIN c2) WHERE rn = 1)""".stripMargin
+
   /** SQL twin of [[l2sq]]: left-fold squared L2 distance. */
   private def l2Sql(a: String, b: String): String =
     s"""list_reduce(list_concat([0.0],
@@ -386,30 +420,7 @@ object Similarity {
          |SELECT q_id, vec_id, pqd, rank FROM rk
          |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin),
     "s4_kmeans" ->
-      (s"""WITH e AS (SELECT vec_id, v, ${dotSql("v", "v")} vv FROM (
-         |       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
-         |       FROM embeddings)),
-         |c1 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) cid,
-         |         v cv, vv cc
-         |       FROM (SELECT vec_id, v, vv FROM e ORDER BY vec_id LIMIT $KmeansK)),
-         |a1 AS (SELECT vec_id, v, cid FROM (
-         |  SELECT e.vec_id, e.v, c1.cid,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY (e.vv - 2.0 * ${dotSql("e.v", "c1.cv")}) + c1.cc, c1.cid) rn
-         |  FROM e CROSS JOIN c1) WHERE rn = 1),
-         |c2 AS (SELECT cid, cv, ${dotSql("cv", "cv")} cc FROM (
-         |       SELECT cid,
-         |         list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * $Quant.0) ORDER BY i) cv
-         |       FROM (SELECT cid, i,
-         |               sum(CAST(round(v[i] * $Quant) AS BIGINT)) sq, count(*) n
-         |             FROM a1 CROSS JOIN range(1, 65) r(i)
-         |             GROUP BY cid, i) GROUP BY cid)),
-         |fin AS (SELECT vec_id, cid, d FROM (
-         |  SELECT e.vec_id, c2.cid,
-         |    (e.vv - 2.0 * ${dotSql("e.v", "c2.cv")}) + c2.cc d,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY (e.vv - 2.0 * ${dotSql("e.v", "c2.cv")}) + c2.cc, c2.cid) rn
-         |  FROM e CROSS JOIN c2) WHERE rn = 1)
+      (s"""WITH $kmeansCtes
          |SELECT vec_id, CAST(cid AS BIGINT) cluster_id, round(d, 4) d2
          |FROM fin ORDER BY vec_id""".stripMargin),
     "s3_ann_lsh" ->
