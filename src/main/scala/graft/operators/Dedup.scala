@@ -79,7 +79,7 @@ object Dedup {
   /** Candidate-pair common-shingle counts from the inverted index:
     * (doc_a < doc_b, common, na, nb) — the shared first stage of every
     * set-overlap score (d2's Jaccard, d10's containment). */
-  private def pairCounts(s: SparkSession, dir: String,
+  private def pairCountsRaw(s: SparkSession, dir: String,
       maxShingleFreq: Option[Long]): DataFrame = {
     val posting = postingLists(s, dir)
     val capped = maxShingleFreq.fold(posting)(f => posting.filter(size(col("ds")) <= f))
@@ -89,6 +89,22 @@ object Dedup {
       .agg(count(lit(1)).as("common"), first(col("p.na")).as("na"),
         first(col("p.nb")).as("nb"))
   }
+
+  /** The UNCAPPED pair-count table is the shared first stage of d2
+    * (Jaccard), d10 (containment), and — through d2's thresholded pairs —
+    * d7/p1; cache it per corpus fingerprint so one session computes the
+    * two heavy keyed shuffles once. Unlike the thresholded caches this
+    * set is every pair sharing ≥1 shingle — on a web-scale corpus that
+    * is large, which is exactly why it persists MEMORY_AND_DISK (spill,
+    * not OOM) and is the same intermediate every consumer would
+    * materialize per-query anyway. */
+  private val pairCountsCache = new PersistedLru(4)
+
+  private def pairCounts(s: SparkSession, dir: String,
+      maxShingleFreq: Option[Long]): DataFrame =
+    if (maxShingleFreq.isDefined) pairCountsRaw(s, dir, maxShingleFreq)
+    else pairCountsCache.getOrElseUpdate(s, dir, "documents")(
+      pairCountsRaw(s, dir, None))
 
   def ngramJaccardPairs(s: SparkSession, dir: String,
       maxShingleFreq: Option[Long] = None): DataFrame =
@@ -214,40 +230,47 @@ object Dedup {
 
   // -- d4: simhash with chunk banding ----------------------------------
 
-  /** 48-bit simhash per doc from P57 shingle hashes: bit b is set when
-    * sum over shingles of (2*bit_b(h) - 1) is positive. */
-  private def simhashes(s: SparkSession, dir: String): DataFrame = {
-    val hs = shingleRows(s, dir).select(col("doc_id"), polyHashFast(col("s"), P57).as("h"))
-    val bitSums = hs.groupBy("doc_id").agg(
-      sum(shiftright(col("h"), 0).bitwiseAND(lit(1L)) * 2 - 1).as("b0"),
-      (1 until SimhashBits).map(b =>
-        sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b")): _*)
-    bitSums.select(col("doc_id"),
-      (0 until SimhashBits).map(b =>
-        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("sim"))
-  }
+  /** 48-bit simhash per doc: bit b is set when the sum over distinct
+    * shingles of (2*bit_b(polyhash(s, P57)) - 1) is positive. Computed
+    * row-locally by the one-pass [[graft.functions.SimhashText]]
+    * expression — the earlier explode + 48-sum groupBy shuffled every
+    * shingle row for what is a per-document computation (and was the
+    * dominant cost of d4 AND d9). */
+  private def simhashes(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      graft.functions.SimhashText.simhashFast(col("text"), 3, P57, SimhashBits).as("sim"))
 
-  def d4Simhash(s: SparkSession, dir: String): DataFrame = {
-    val sim = simhashes(s, dir)
-    // Any pair with hamming ≤ 3 shares at least one of the 4 12-bit
-    // chunks (pigeonhole), so the chunk-equality join is complete.
-    val chunks = sim.select(col("doc_id"), col("sim"),
-      explode(sequence(lit(0), lit(SimhashChunks - 1))).as("c"))
-      .withColumn("ck", expr(s"shiftrightunsigned(sim, c * $SimhashChunkBits)")
-        .bitwiseAND(lit((1L << SimhashChunkBits) - 1)))
-    // Hamming distance is computed in the join projection and filtered
-    // before the dedup distinct, so the exchange carries (doc_a, doc_b,
-    // hamming) for surviving pairs only — not the raw simhashes.
-    chunks.as("a")
-      .join(chunks.as("b"),
-        col("a.c") === col("b.c") && col("a.ck") === col("b.ck") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("int").as("hamming"))
-      .filter(col("hamming") <= 3)
-      .distinct()
-      .orderBy("doc_a", "doc_b")
-  }
+  /** Banded hamming ≤ 3 candidate pairs — the shared sketch stage of d4
+    * (which emits it directly) and d9 (which re-scores it by edit
+    * distance). Cached per corpus fingerprint so one bench/pipeline run
+    * computes it once; the surviving pair set is tiny (near-dup rate),
+    * so MEMORY_AND_DISK persistence is safe at any scale. */
+  private val simhashPairsCache = new PersistedLru(8)
+
+  private def simhashPairsCached(s: SparkSession, dir: String): DataFrame =
+    simhashPairsCache.getOrElseUpdate(s, dir, "documents") {
+      val sim = simhashes(s, dir)
+      // Any pair with hamming ≤ 3 shares at least one of the 4 12-bit
+      // chunks (pigeonhole), so the chunk-equality join is complete.
+      val chunks = sim.select(col("doc_id"), col("sim"),
+        explode(sequence(lit(0), lit(SimhashChunks - 1))).as("c"))
+        .withColumn("ck", expr(s"shiftrightunsigned(sim, c * $SimhashChunkBits)")
+          .bitwiseAND(lit((1L << SimhashChunkBits) - 1)))
+      // Hamming distance is computed in the join projection and filtered
+      // before the dedup distinct, so the exchange carries (doc_a, doc_b,
+      // hamming) for surviving pairs only — not the raw simhashes.
+      chunks.as("a")
+        .join(chunks.as("b"),
+          col("a.c") === col("b.c") && col("a.ck") === col("b.ck") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("int").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
+    }
+
+  def d4Simhash(s: SparkSession, dir: String): DataFrame =
+    simhashPairsCached(s, dir).orderBy("doc_a", "doc_b")
 
   // -- d10: asymmetric containment (excerpt detection) ------------------
 
@@ -288,7 +311,7 @@ object Dedup {
     * lev / max(len) ≤ `maxRatio`. Both engines ship the same unit-cost
     * levenshtein, so the oracle is integer-exact. */
   def d9EditDistance(s: SparkSession, dir: String, maxRatio: Double = 0.2): DataFrame = {
-    val pairs = d4Simhash(s, dir).select("doc_a", "doc_b")
+    val pairs = simhashPairsCached(s, dir).select("doc_a", "doc_b")
     val d = docs(s, dir).select(col("doc_id"), col("text"),
       length(col("text")).cast("long").as("len"))
     val withA = d.join(pairs, col("doc_id") === col("doc_a"))

@@ -146,6 +146,38 @@ class DedupScaleSpec extends SparkSpec {
     } finally entry.labels.foreach(_.unpersist()) // spec owns this entry's cache
   }
 
+  test("simhash expression == explode + 48-sum aggregate formulation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PolyHash.polyHashFast
+    import graft.functions.TextFunctions
+    import graft.functions.Shingles.shinglesDistinctFast
+    import graft.functions.SimhashText.simhashFast
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.load(spark, dir, "documents")
+    // the pre-round-5 aggregate formulation, verbatim — the oracle's
+    // definition — against which the one-pass expression must be exact
+    val hs = docs
+      .select(col("doc_id"), explode(shinglesDistinctFast(col("text"))).as("s"))
+      .select(col("doc_id"), polyHashFast(col("s"), TextFunctions.P57).as("h"))
+    val bitSums = hs.groupBy("doc_id").agg(
+      sum(shiftright(col("h"), 0).bitwiseAND(lit(1L)) * 2 - 1).as("b0"),
+      (1 until TextFunctions.SimhashBits).map(b =>
+        sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b")): _*)
+    val agg = bitSums.select(col("doc_id"),
+      (0 until TextFunctions.SimhashBits).map(b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = docs
+      .select(col("doc_id"), simhashFast(col("text"), 3, TextFunctions.P57, TextFunctions.SimhashBits).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast.nonEmpty && fast == agg)
+    // a doc shorter than one shingle gets the all-votes-negative signature
+    import spark.implicits._
+    val tiny = Seq((1L, "a b")).toDF("doc_id", "text")
+      .select(simhashFast(col("text"), 3, TextFunctions.P57, TextFunctions.SimhashBits)).head().getLong(0)
+    assert(tiny == 0L)
+  }
+
   test("d9: exact dup scores lev=0; pairs are a re-scored subset of d4") {
     val w = (1 to 40).map(i => s"w$i")
     val dir = writeDocs(Seq(
