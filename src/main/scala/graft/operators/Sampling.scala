@@ -132,11 +132,83 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Context-window length (tokens) for c5/c6 sequence packing and the
+    * shard count both packers key their parallelism on. Shards must be
+    * deterministic and engine-reproducible, so they come from
+    * `doc_id % PackShards` — in production the shard would be the
+    * corpus partition (thousands of them); the packing inside a shard is
+    * sequential BY DEFINITION (each bin/offset depends on every earlier
+    * document), so shards are exactly the unit of parallelism. */
+  val PackCtx = 2048L
+  val PackShards = 8L
+
+  /** c5: concat-and-chunk sequence packing — the pretraining layout
+    * step: documents of a shard are concatenated in doc_id order and the
+    * stream is cut every [[PackCtx]] tokens; each doc reports the chunk
+    * range [chunk_first, chunk_last] it lands in. Unlike bin packing
+    * (c6) documents straddle chunk boundaries, which is what
+    * concat-then-chunk training pipelines actually do.
+    *
+    * 100 TB design: one window per shard — a prefix sum, not a
+    * recurrence — so the whole operator is a single shuffle on the shard
+    * key; chunk ids derive from the running offset with pure integer
+    * arithmetic (engine-exact). */
+  def c5PackChunks(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"),
+      pmod(col("doc_id"), lit(PackShards)).as("shard"),
+      size(split(col("text"), " ", -1)).cast("long").as("tok"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("off", coalesce(sum("tok").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("tok"),
+        floor(col("off") / PackCtx).cast("long").as("chunk_first"),
+        floor((col("off") + col("tok") - 1) / PackCtx).cast("long").as("chunk_last"))
+      .orderBy("doc_id")
+  }
+
+  /** c6: next-fit BIN packing — the no-splitting variant of c5 for
+    * SFT/eval batching, where an example must not straddle sequences: a
+    * shard's documents are taken in doc_id order, a document that no
+    * longer fits the open bin closes it and opens the next (an oversized
+    * document occupies a bin alone). The running `(bin, fill)` state is
+    * a true sequential recurrence — not window-expressible — so the
+    * shard is packed by a per-partition imperative pass: repartition on
+    * the shard key, sort each partition by (shard, doc_id), and fold
+    * the iterator, resetting state at shard changes. This is the
+    * mapPartitions escape hatch the brief reserves for genuine
+    * per-partition sequential logic; everything around it stays
+    * declarative. The oracle replays the same recurrence as a recursive
+    * CTE. */
+  def c6PackBins(s: SparkSession, dir: String, capacity: Long = PackCtx): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir).select(col("doc_id"),
+      pmod(col("doc_id"), lit(PackShards)).as("shard"),
+      size(split(col("text"), " ", -1)).cast("long").as("tok"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+    toks.mapPartitions { rows =>
+      var shard = -1L
+      var bin = 0L
+      var fill = 0L
+      rows.map { r =>
+        val (d, sh, t) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        if (sh != shard) { shard = sh; bin = 0L; fill = t }
+        else if (fill + t > capacity) { bin += 1; fill = t }
+        else fill += t
+        (d, sh, t, bin)
+      }
+    }.toDF("doc_id", "shard", "tok", "bin")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_stratified_sample" -> ((s, dir) => c1StratifiedSample(s, dir)),
     "c2_decontaminate" -> ((s, dir) => c2Decontaminate(s, dir)),
     "c3_source_mix" -> ((s, dir) => c3SourceMix(s, dir)),
     "c4_curation_funnel" -> ((s, dir) => c4CurationFunnel(s, dir)),
+    "c5_pack_chunks" -> ((s, dir) => c5PackChunks(s, dir)),
+    "c6_pack_bins" -> ((s, dir) => c6PackBins(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -167,6 +239,36 @@ object Sampling {
         |  CAST(floor(CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE)
         |    * CAST(total AS DOUBLE)) AS BIGINT) target_n
         |FROM q, t ORDER BY source""".stripMargin,
+    "c5_pack_chunks" ->
+      (s"""WITH t AS (SELECT doc_id, doc_id % $PackShards shard,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) tok
+         |      FROM documents),
+         |o AS (SELECT doc_id, shard, tok,
+         |        coalesce(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |          0) offs
+         |      FROM t)
+         |SELECT doc_id, shard, tok,
+         |  CAST(floor(offs / $PackCtx) AS BIGINT) chunk_first,
+         |  CAST(floor((offs + tok - 1) / $PackCtx) AS BIGINT) chunk_last
+         |FROM o ORDER BY doc_id""".stripMargin),
+    "c6_pack_bins" ->
+      (s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, doc_id % $PackShards shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) tok,
+         |    row_number() OVER (PARTITION BY doc_id % $PackShards
+         |      ORDER BY doc_id) rn
+         |  FROM documents),
+         |pack(shard, rn, doc_id, tok, bin, fill) AS (
+         |  SELECT shard, rn, doc_id, tok, CAST(0 AS BIGINT), tok
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.shard, t.rn, t.doc_id, t.tok,
+         |    CASE WHEN p.fill + t.tok > $PackCtx THEN p.bin + 1 ELSE p.bin END,
+         |    CASE WHEN p.fill + t.tok > $PackCtx THEN t.tok
+         |         ELSE p.fill + t.tok END
+         |  FROM t JOIN pack p ON t.shard = p.shard AND t.rn = p.rn + 1)
+         |SELECT doc_id, shard, tok, bin FROM pack ORDER BY doc_id""".stripMargin),
     "c4_curation_funnel" -> {
       import TextAnalysis.{hitsSql, Stopwords}
       s"""WITH t AS (SELECT source, doc_id, text, string_split(text, ' ') toks,

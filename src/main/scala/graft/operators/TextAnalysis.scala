@@ -210,7 +210,44 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII patterns for t10 — ASCII-only classes and explicit quantifiers
+    * so Java's regex engine (Spark) and RE2 (DuckDB) agree on every
+    * match. Ordering matters: emails are redacted before IPs/phones so a
+    * digit-heavy local part can't be partially re-matched. */
+  private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[operators] val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** t10: PII scrubbing — redact emails, IPv4 addresses, and US-style
+    * phone numbers, reporting per-doc hit counts and the md5 of the
+    * scrubbed text. The synthetic corpus contains no PII, which would
+    * make the operator vacuous — so the query plants a deterministic
+    * contact line per document (same expression in both engines) and
+    * then proves the scrubber removes exactly what was planted plus
+    * anything already present. Pure codegen (`regexp_count`/
+    * `regexp_replace`), no UDFs; scale cost is one map-side pass. */
+  def t10PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or call "),
+      lit("555-"), lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+      lit("-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".1"))
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(planted, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    docs(s, dir).select(
+      col("doc_id"),
+      regexp_count(planted, lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(planted, lit(Ipv4Re)).cast("long").as("n_ip"),
+      regexp_count(planted, lit(PhoneRe)).cast("long").as("n_phone"),
+      md5(scrubbed.cast("binary")).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_pii_scrub" -> t10PiiScrub _,
     "t1_token_count" -> t1TokenCount _,
     "t2_quality" -> t2Quality _,
     "t3_lang_id" -> t3LangId _,
@@ -228,6 +265,23 @@ object TextAnalysis {
     s"len(list_filter(toks, t -> ${words.map(w => s"t = '$w'").mkString(" OR ")}))"
 
   val oracles: Map[String, String] = Map(
+    "t10_pii_scrub" ->
+      (s"""WITH p AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com or call 555-'
+         |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' pt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pt, '$EmailRe')) AS BIGINT) n_email,
+         |  CAST(len(regexp_extract_all(pt, '$Ipv4Re')) AS BIGINT) n_ip,
+         |  CAST(len(regexp_extract_all(pt, '$PhoneRe')) AS BIGINT) n_phone,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(pt,
+         |    '$EmailRe', '<EMAIL>', 'g'),
+         |    '$Ipv4Re', '<IP>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g')) scrub_md5
+         |FROM p ORDER BY doc_id""".stripMargin),
     "t1_token_count" ->
       (s"SELECT doc_id, len(string_split(text, ' ')) AS n_ws, " +
         s"CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe " +

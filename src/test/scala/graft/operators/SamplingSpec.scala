@@ -30,6 +30,72 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("c6 next-fit packing: bins reset at capacity; oversized doc packs alone") {
+    // planted shard (single shard: ids ≡ 0 mod 8): sizes 1000, 900
+    // (closes bin 0 at 1900), 200 → overflow → bin 1; 5000 oversized →
+    // bin 2 alone; 8 → bin 3 (5000 left no room)
+    val dir2 = tmpDir("c6-spec")
+    import spark.implicits._
+    Seq(
+      (0L, (1 to 1000).map(_ => "w").mkString(" ")),
+      (8L, (1 to 900).map(_ => "w").mkString(" ")),
+      (16L, (1 to 200).map(_ => "w").mkString(" ")),
+      (24L, (1 to 5000).map(_ => "w").mkString(" ")),
+      (32L, (1 to 8).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val out = Sampling.c6PackBins(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out === Map(0L -> 0L, 8L -> 0L, 16L -> 1L, 24L -> 2L, 32L -> 3L))
+  }
+
+  test("c5 chunking: offsets contiguous per shard; ranges sane") {
+    val out = Sampling.c5PackChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, tok, cf, cl) =>
+      assert(tok >= 1 && cf <= cl, "chunk range must be non-empty and ordered")
+    }
+    // within a shard, the running chunk index never goes backwards and
+    // the concatenated stream's final chunk equals ceil(sum tok / ctx) - 1
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, _, aLast), (_, _, _, bFirst, _)) =>
+          // the next doc starts in the previous doc's last chunk or the
+          // one right after it (exactly when the boundary was crossed)
+          assert(bFirst == aLast || bFirst == aLast + 1)
+        case _ => ()
+      }
+      val total = sorted.map(_._3).sum
+      val lastChunk = sorted.last._5
+      assert(lastChunk === (total - 1) / Sampling.PackCtx)
+    }
+  }
+
+  test("t10: planted and crafted PII is redacted with exact counts") {
+    import spark.implicits._
+    val dir3 = tmpDir("t10-spec")
+    Seq((7L, "reach me at a.b-c_d@sub.example.org or 192.168.0.1 tel 555-123-4567 end"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir3/documents.parquet")
+    val r = TextAnalysis.t10PiiScrub(spark, dir3).collect().head
+    // 1 crafted + 1 planted of each kind
+    assert(r.getLong(1) === 2L && r.getLong(2) === 2L && r.getLong(3) === 2L)
+    // and the scrubbed text of the crafted string contains no raw PII
+    val scrub = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+      "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>")
+    val s2 = Seq("x a.b-c_d@sub.example.org y 192.168.0.1 z 555-123-4567")
+      .toDF("text").select(scrub).head().getString(0)
+    assert(s2 === "x <EMAIL> y <IP> z <PHONE>")
+  }
+
   test("quota: min(perStratum, stratum size) per stratum; deterministic") {
     val quota = 30
     val out = Sampling.c1StratifiedSample(spark, dir, perStratum = quota)
