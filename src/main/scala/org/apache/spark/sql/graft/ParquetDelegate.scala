@@ -101,7 +101,7 @@ object ParquetDelegate {
         case _ => super.build()
       }
       new StatsParquetScan(prunedBase, exactRows, tableStats,
-        schema, translatedDataFilters.toSeq, explainMeta)
+        schema, translatedDataFilters.toSeq, explainMeta, filePruner)
     }
   }
 
@@ -122,11 +122,75 @@ object ParquetDelegate {
       tableStats: Option[GraftTable.TableStats],
       tableSchema: StructType,
       translatedFilters: Seq[Filter],
-      explainMeta: () => Map[String, String])
+      explainMeta: () => Map[String, String],
+      filePruner: Option[Seq[Filter] => Seq[String]])
       extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
         base.dataSchema, base.readDataSchema, base.readPartitionSchema,
         base.pushedFilters, base.options, base.pushedAggregate,
-        base.partitionFilters, base.dataFilters) {
+        base.partitionFilters, base.dataFilters)
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+    // -- runtime (join-driven) file pruning ---------------------------
+    //
+    // Spark's runtime filtering hands the scan the build side's join-key
+    // values (an IN predicate) after the broadcast materializes; the
+    // graft file-level zone maps then drop every file whose [min, max]
+    // domain refutes the whole value set — BEFORE tasks are scheduled.
+    // This is dynamic partition pruning for a table with no partition
+    // columns: at cluster scale a dim-filtered fact join reads only the
+    // files that can contain surviving keys. The pruner is conservative
+    // (files without stats, or predicates it can't type-check, are
+    // kept), so a translation gap degrades to a full scan, never to a
+    // wrong result.
+
+    /** Every column this scan still READS (Spark resolves these against
+      * the scan's post-pruning output, so declaring a pruned-away column
+      * is an analysis error). The zone-map pruner keeps files for any
+      * column it has no stats for, so over-declaring within the read
+      * schema is safe. */
+    override def filterAttributes():
+        Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      if (filePruner.isEmpty) Array.empty
+      else readDataSchema.fields.map(f =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+    @volatile private var runtimeKept: Option[Set[String]] = None
+
+    override def filter(
+        predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+        : Unit = {
+      val v1 = org.apache.spark.sql.internal.connector.PredicateUtils.toV1(predicates)
+      filePruner match {
+        case Some(pruner) if v1.nonEmpty =>
+          runtimeKept = Some(pruner(v1.toSeq)
+            .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet)
+        case _ => ()
+      }
+    }
+
+    override def planInputPartitions()
+        : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+      val all = super.planInputPartitions()
+      runtimeKept match {
+        case Some(kept) =>
+          val pruned = all.flatMap {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              val files = fp.files.filter(f =>
+                kept.contains(f.filePath.toPath.toUri.getPath))
+              if (files.isEmpty) None
+              else Some(org.apache.spark.sql.execution.datasources
+                .FilePartition(fp.index, files))
+            case other => Some(other)
+          }
+          // re-number so partition ids stay dense
+          pruned.zipWithIndex.map {
+            case (fp: org.apache.spark.sql.execution.datasources.FilePartition, i) =>
+              org.apache.spark.sql.execution.datasources.FilePartition(i, fp.files)
+            case (other, _) => other
+          }
+        case None => all
+      }
+    }
 
     private def filtered = translatedFilters.nonEmpty || pushedFilters.nonEmpty ||
       partitionFilters.nonEmpty || dataFilters.nonEmpty
