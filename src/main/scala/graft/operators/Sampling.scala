@@ -202,7 +202,24 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** c7: deterministic train/val/test split — every curation pipeline's
+    * final step. The assignment must be a pure function of the document
+    * KEY (stable under corpus growth, reshuffles, and re-runs — a doc
+    * never migrates between splits when new data arrives), so the bucket
+    * is a rolling hash of the doc_id string modulo 100: < 80 train,
+    * < 90 val, else test. Map-side only — no shuffle at any scale. */
+  def c7Split(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PolyHash.polyHashFast
+    import graft.functions.TextFunctions.P31
+    val bucket = pmod(polyHashFast(col("doc_id").cast("string"), P31), lit(100L))
+    docs(s, dir).select(
+      col("doc_id"), bucket.as("bucket"),
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c7_split" -> ((s, dir) => c7Split(s, dir)),
     "c1_stratified_sample" -> ((s, dir) => c1StratifiedSample(s, dir)),
     "c2_decontaminate" -> ((s, dir) => c2Decontaminate(s, dir)),
     "c3_source_mix" -> ((s, dir) => c3SourceMix(s, dir)),
@@ -212,6 +229,15 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "c7_split" -> {
+      val b = OracleSql.polyHashSql("CAST(doc_id AS VARCHAR)",
+        graft.functions.TextFunctions.P31)
+      s"""WITH t AS (SELECT doc_id, ($b) % 100 bucket FROM documents)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END split
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
     "c1_stratified_sample" ->
       """WITH k AS (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) sk
         |           FROM documents),

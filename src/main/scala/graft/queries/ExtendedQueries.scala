@@ -213,7 +213,28 @@ object ExtendedQueries {
       .orderBy("c_nationkey")
   }
 
+  /** q40: LATERAL join — per-nation top-2 customers by balance, the
+    * top-k-per-group shape written as a correlated lateral subquery
+    * (Spark plans the correlated LIMIT as a ranked window under the
+    * hood; the SQL surface is what the reference's host executor offers
+    * for iterate-per-row queries). Views are registered idempotently
+    * with query-scoped names so concurrent bench queries can't collide. */
+  def q40Lateral(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("q40_nation")
+    t(s, dir, "customer").createOrReplaceTempView("q40_customer")
+    s.sql(
+      """SELECT n.n_nationkey, t.c_custkey, t.bal
+        |FROM q40_nation n,
+        |LATERAL (
+        |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) bal
+        |  FROM q40_customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY bal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_nationkey, t.bal DESC, t.c_custkey""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_lateral" -> q40Lateral _,
     "q39_correlated" -> q39Correlated _,
     "q33_string_agg" -> q33StringAgg _,
     "q34_md5_join" -> q34Md5Join _,
@@ -239,6 +260,15 @@ object ExtendedQueries {
     // the GENUINELY correlated form: DuckDB decorrelates the scalar
     // subquery into the same per-nation-aggregate join shape the Spark
     // side declares directly, so a hash-match covers both formulations
+    "q40_lateral" ->
+      ("""SELECT n.n_nationkey, t.c_custkey, t.bal
+         |FROM nation n,
+         |LATERAL (
+         |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) bal
+         |  FROM customer c
+         |  WHERE c.c_nationkey = n.n_nationkey
+         |  ORDER BY bal DESC, c_custkey LIMIT 2) t
+         |ORDER BY n.n_nationkey, t.bal DESC, t.c_custkey""".stripMargin),
     "q39_correlated" ->
       ("""WITH c AS (SELECT c_nationkey,
          |    CAST(round(c_acctbal * 100) AS BIGINT) bal_c FROM customer)

@@ -105,4 +105,48 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .format("memory")
       .start()
+
+  /** STREAM-STREAM attribution join — every (purchase, click) pair of
+    * the same user with the click inside the hour before the purchase.
+    * The streaming cousin of the batch AS-OF join (e4): e4 keeps only
+    * the LATEST prior click (one window pass over history); a live
+    * pipeline can't wait for history to close, so the streaming shape is
+    * the watermarked interval join — Spark buffers each side's state
+    * only within the join's time bound plus the watermark delay, then
+    * provably discards it (state cleanup is exactly why both sides must
+    * carry a watermark AND the condition must bound event-time distance;
+    * an unbounded-time join would accumulate state forever).
+    *
+    * At scale: state per key is O(events within the 1-hour bound), the
+    * join shuffles both sides on user_id once, and output is append-mode
+    * (inner join emits as soon as both sides arrive). */
+  def attributionJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"),
+        col("purchase_ts").cast("long").as("purchase_epoch"),
+        col("click_ts").cast("long").as("click_epoch"))
+  }
+
+  /** Attribution-joined stream to an in-memory sink (tests/dashboards). */
+  def attributionToMemory(spark: SparkSession, srcDir: String,
+      queryName: String, checkpointDir: String): StreamingQuery =
+    attributionJoin(readEvents(spark, srcDir)).writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .start()
 }

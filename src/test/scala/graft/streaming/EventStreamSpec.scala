@@ -65,6 +65,37 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty, "the corpus has outliers to score")
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val dir = sf("sf0.001")
+    val flat = tmpDir("attr-src")
+    Tables.load(spark, dir, "events").write.mode("overwrite").parquet(flat)
+    val q = EventStream.attributionToMemory(spark, flat, "stream_attr",
+      tmpDir("attr-ckpt"))
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_attr")
+      .orderBy("purchase_id", "click_id").collect()
+    // the same interval join, batch: every same-user click within the
+    // hour before each purchase
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"),
+        col("purchase_ts").cast("long").as("purchase_epoch"),
+        col("click_ts").cast("long").as("click_epoch"))
+      .orderBy("purchase_id", "click_id").collect()
+    assert(batch.nonEmpty, "the corpus has attributable purchases")
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("streaming dedup drops duplicate event_ids across files") {
     import org.apache.spark.sql.functions._
     val events = Tables.load(spark, sf("sf0.001"), "events").limit(500)
