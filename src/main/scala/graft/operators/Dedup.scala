@@ -533,6 +533,37 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  // -- d11: semantic dedup via k-means blocking -------------------------
+
+  /** d11: SEMANTIC dedup — near-dup pairs found by clustering-as-
+    * blocking: the corpus is k-means-partitioned (s4's exact assignment)
+    * and the cosine check runs only WITHIN each cluster. The third
+    * point on the recall/cost curve alongside d5 (exact, all pairs) and
+    * d6 (sign-LSH bands): k-means blocking does n²/k work per cluster
+    * with recall bounded by cluster purity — near-dups land in the same
+    * cluster unless they straddle a Voronoi boundary — while precision
+    * stays 1 (every emitted pair carries its exact cosine, identical
+    * fold and rounding to d5, so d11 ⊆ d5 by construction).
+    *
+    * 100 TB design: one broadcast-assignment pass (s4), then a keyed
+    * equality join on cluster id — the blocking pattern every
+    * entity-resolution pipeline uses when LSH bands are too fine. */
+  def d11SemanticDedup(s: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val n = Similarity.kmeansAssigned(s, dir)
+      .select(col("vec_id"), col("cid"), col("v"), sqrt(col("vv")).as("nrm"))
+    n.as("a")
+      .join(n.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.cid").cast("long").as("cluster_id"),
+        Similarity.cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("c"))
+      .filter(col("c") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cluster_id"),
+        round(col("c"), 4).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   // -- d7: near-dup clusters (connected components) ---------------------
 
   /** Group near-dup pairs into CLUSTERS and elect a canonical survivor —
@@ -772,6 +803,7 @@ object Dedup {
     "d8_window_dedup" -> ((s: SparkSession, dir: String) => d8WindowDedup(s, dir)),
     "d9_edit_distance" -> ((s: SparkSession, dir: String) => d9EditDistance(s, dir)),
     "d10_containment" -> ((s: SparkSession, dir: String) => d10Containment(s, dir)),
+    "d11_semantic_dedup" -> ((s: SparkSession, dir: String) => d11SemanticDedup(s, dir)),
   )
 
   import OracleSql._
@@ -922,6 +954,19 @@ object Dedup {
          |  SELECT doc_b, doc_a, CAST(common AS DOUBLE) / CAST(nb AS DOUBLE) FROM j)
          |SELECT doc_small, doc_big, round(c, 4) containment
          |FROM bi WHERE c >= 0.9 ORDER BY doc_small, doc_big""".stripMargin),
+    // d11: the s4 k-means CTE chain gives the exact assignment; pairs
+    // join within a cluster and re-check exact cosine (same folds and
+    // rounding as the d5 oracle)
+    "d11_semantic_dedup" ->
+      (s"""WITH ${Similarity.kmeansCtes},
+         |nn AS (SELECT f.vec_id, f.cid, e.v, sqrt(e.vv) nrm
+         |       FROM fin f JOIN e ON f.vec_id = e.vec_id)
+         |SELECT vec_a, vec_b, cluster_id, round(c, 4) cos FROM (
+         |  SELECT a.vec_id vec_a, b.vec_id vec_b,
+         |    CAST(a.cid AS BIGINT) cluster_id,
+         |    ${OracleSql.dotSql("a.v", "b.v")} / (a.nrm * b.nrm) c
+         |  FROM nn a JOIN nn b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |WHERE c >= 0.4 ORDER BY vec_a, vec_b""".stripMargin),
     // d9: same simhash construction as the d4 oracle (brute-force
     // candidate generation), then integer-exact levenshtein re-score
     "d9_edit_distance" ->

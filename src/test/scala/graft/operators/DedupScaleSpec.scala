@@ -146,6 +146,19 @@ class DedupScaleSpec extends SparkSpec {
     } finally entry.labels.foreach(_.unpersist()) // spec owns this entry's cache
   }
 
+  test("d11 (k-means blocking) is a subset of exact d5 with identical scores") {
+    val dir = sf("sf0.001")
+    val exact = Dedup.d5EmbedNearDupTiled(spark, dir, tileRows = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val d11 = Dedup.d11SemanticDedup(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    assert(d11.nonEmpty, "blocking should still find same-cluster near-dups")
+    d11.foreach { case (pair, cos) =>
+      assert(exact.get(pair).contains(cos),
+        s"$pair must appear in exact d5 with the identical rounded cosine")
+    }
+  }
+
   test("simhash expression == explode + 48-sum aggregate formulation") {
     import org.apache.spark.sql.functions._
     import graft.functions.PolyHash.polyHashFast
