@@ -210,7 +210,81 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  final case class WavFeat(doc_id: Long, n_samples: Long, sample_rate: Long,
+    rms_micro: Long, zero_crossings: Long)
+
+  /** m6: the AUDIO analog of m4 — a real WAV/RIFF container round-trip.
+    * Encode: per doc, `400 + doc_id % 200` deterministic 16-bit PCM
+    * samples (`s_i = (doc_id·31 + i·7) mod 65536 − 32768`) wrapped in a
+    * canonical 44-byte RIFF/fmt/data header (any audio tool can read the
+    * payloads). Decode: parse the container back — magic checks, fmt
+    * fields, little-endian samples — and extract the features a corpus
+    * pipeline filters on: duration, sample rate, RMS loudness,
+    * zero-crossing rate. PCM is lossless, so the oracle recomputes the
+    * features straight from the synthesis formula: a hash-match proves
+    * the byte-level encode→parse round-trip, exactly m4's proof shape.
+    * RMS determinism: the sample-square sum is exact in BIGINT, and
+    * /n → sqrt → ×1e6 → floor are single correctly-rounded IEEE ops on
+    * identical operands in both engines. */
+  /** Encode stage of [[m6WavDecode]]: doc_id → real RIFF/WAV payload. */
+  private[operators] def wavEncoded(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (400 + id % 200).toInt
+          val rate = 8000
+          val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1) // PCM, mono
+            .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+            .put("data".getBytes("US-ASCII")).putInt(n * 2)
+          var i = 0
+          while (i < n) {
+            bb.putShort((((id * 31 + i * 7) % 65536) - 32768).toShort)
+            i += 1
+          }
+          (id, bb.array())
+        }
+      }
+  }
+
+  def m6WavDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    wavEncoded(s, dir).map { case (id, bytes) =>
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+      require(tag(0) == "RIFF" && tag(8) == "WAVE" && tag(12) == "fmt " &&
+        tag(36) == "data", s"not a canonical WAV container for doc $id")
+      require(bb.getShort(20) == 1 && bb.getShort(34) == 16,
+        s"expected 16-bit PCM for doc $id")
+      val rate = bb.getInt(24).toLong
+      val n = bb.getInt(40) / 2
+      var sumSq = 0L
+      var zc = 0L
+      var prevNeg = false
+      var i = 0
+      while (i < n) {
+        val v = bb.getShort(44 + i * 2).toLong
+        sumSq += v * v
+        val neg = v < 0
+        if (i > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        i += 1
+      }
+      val rms = math.sqrt(sumSq.toDouble / n)
+      WavFeat(id, n.toLong, rate, math.floor(rms * 1e6).toLong, zc)
+    }.toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_wav_decode" -> m6WavDecode _,
     "m1_media_decode" -> m1DecodeFeatures _,
     "m2_frame_sample" -> m2FrameSample _,
     "m3_resize" -> m3Resize _,
@@ -219,6 +293,26 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // m6: PCM is lossless — recompute the features directly from the
+    // sample-synthesis formula; a hash-match proves the WAV container
+    // encode→parse round-trip byte-exactly
+    "m6_wav_decode" ->
+      ("""WITH d AS (SELECT doc_id, 400 + doc_id % 200 n FROM documents),
+         |s AS (SELECT doc_id, n, unnest(range(0, n)) i FROM d),
+         |v AS (SELECT doc_id, n, i,
+         |        ((doc_id * 31 + i * 7) % 65536) - 32768 v FROM s),
+         |w AS (SELECT doc_id, n, i, v,
+         |        lag(v) OVER (PARTITION BY doc_id ORDER BY i) pv FROM v),
+         |agg AS (SELECT doc_id, CAST(max(n) AS BIGINT) n_samples,
+         |          CAST(sum(v * v) AS BIGINT) ss,
+         |          CAST(sum(CASE WHEN pv IS NOT NULL
+         |              AND ((v < 0) != (pv < 0)) THEN 1 ELSE 0 END) AS BIGINT) zc
+         |        FROM w GROUP BY doc_id)
+         |SELECT doc_id, n_samples, CAST(8000 AS BIGINT) sample_rate,
+         |  CAST(floor(sqrt(CAST(ss AS DOUBLE) / CAST(n_samples AS DOUBLE))
+         |    * 1000000.0) AS BIGINT) rms_micro,
+         |  zc zero_crossings
+         |FROM agg ORDER BY doc_id""".stripMargin),
     // Payload is ASCII text, so byte arithmetic == character arithmetic.
     "m1_media_decode" ->
       ("""WITH f AS (SELECT doc_id, n_chars % 64 + 16 width, doc_id % 32 + 16 height,

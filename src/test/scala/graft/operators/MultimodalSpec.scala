@@ -57,6 +57,25 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) === expected2)
   }
 
+  test("m6 payloads are real WAVs: the JDK's own AudioSystem decodes them") {
+    val enc = Multimodal.wavEncoded(spark, sf("sf0.001")).take(5)
+    assert(enc.nonEmpty)
+    enc.foreach { case (id, bytes) =>
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      assert(fmt.getSampleRate === 8000f && fmt.getChannels === 1 &&
+        fmt.getSampleSizeInBits === 16)
+      assert(in.getFrameLength === 400 + id % 200)
+      // first sample, little-endian, matches the synthesis formula
+      val frame = new Array[Byte](2)
+      in.read(frame)
+      val s0 = ((frame(1) << 8) | (frame(0) & 0xff)).toShort
+      assert(s0 === (((id * 31) % 65536) - 32768).toShort)
+      in.close()
+    }
+  }
+
   test("m5 header-parsed geometry equals m4 codec-decoded geometry") {
     val dir = sf("sf0.001")
     val meta = Multimodal.m5PngMeta(spark, dir).collect()
