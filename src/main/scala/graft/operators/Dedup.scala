@@ -118,7 +118,7 @@ object Dedup {
     * file. A rewritten corpus (the writeDocs overwrite pattern in tests,
     * or any append) changes the fingerprint, so caches keyed on it can
     * never serve stale results. */
-  private def fingerprint(dir: String, table: String): String = {
+  private[operators] def fingerprint(dir: String, table: String): String = {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(dir, s"$table.parquet")
     if (!java.nio.file.Files.exists(p)) "absent"
@@ -133,7 +133,7 @@ object Dedup {
     * fingerprint): a regenerated corpus invalidates the entry, and
     * eviction unpersists so entries can't pin cached blocks for the JVM
     * lifetime. */
-  private final class PersistedLru(max: Int) {
+  private[operators] final class PersistedLru(max: Int) {
     private val m =
       new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](16, 0.75f, true) {
         override def removeEldestEntry(

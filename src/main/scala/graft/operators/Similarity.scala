@@ -212,8 +212,16 @@ object Similarity {
       .orderBy("vec_id")
 
   /** The k-means assignment underlying s4 (and d11's semantic dedup):
-    * (vec_id, v, vv, cid, d) after the two unrolled Lloyd iterations. */
-  private[operators] def kmeansAssigned(s: SparkSession, dir: String): DataFrame = {
+    * (vec_id, v, vv, cid, d) after the two unrolled Lloyd iterations.
+    * Cached per corpus fingerprint — s4 and d11 in one session train
+    * once; n rows of (id, 64-dim vector, cid, d) persist
+    * MEMORY_AND_DISK. */
+  private val kmeansCache = new Dedup.PersistedLru(4)
+
+  private[operators] def kmeansAssigned(s: SparkSession, dir: String): DataFrame =
+    kmeansCache.getOrElseUpdate(s, dir, "embeddings")(kmeansAssignedRaw(s, dir))
+
+  private def kmeansAssignedRaw(s: SparkSession, dir: String): DataFrame = {
     val dot = graft.functions.DotProduct.dotFast _
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
