@@ -56,7 +56,7 @@ object Bench {
       "d7_dedup_clusters", "d6_embed_neardup_ann", "s5_pq_ann",
       "d2b_ngram_capped", "d4_simhash", "d5_embed_neardup",
       "d3_minhash_lsh", "s2_ann_ivf", "s4_kmeans", "m4_png_decode",
-      "c2_decontaminate", "e5_funnel", "e8_transitions",
+      "c2_decontaminate", "t11_bpe_tokens", "e5_funnel", "e8_transitions",
       "d8_window_dedup", "p1_clean_corpus", "d10_containment",
       "d2_ngram_jaccard", "d9_edit_distance", "s1_ann_brute",
       "s3_ann_lsh", "t3_lang_id", "c1_stratified_sample",

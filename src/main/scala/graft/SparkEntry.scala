@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Events, Multimodal, Pipeline, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Events, Multimodal, Pipeline, Sampling, Similarity, TextAnalysis}
 import graft.queries.{CoreQueries, ExtendedQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -20,12 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ ExtendedQueries.all ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ Events.queries ++ Pipeline.queries ++
-      Sampling.queries
+      Sampling.queries ++ Bpe.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ExtendedQueries.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ Events.oracles ++ Pipeline.oracles ++
-      Sampling.oracles
+      Sampling.oracles ++ Bpe.oracles
 }
