@@ -23,12 +23,15 @@ import graft.storage.GraftTable
   *   CALL graft.system.vacuum('db.t')    -- reclaim orphaned batch dirs
   *   CALL graft.system.analyze('db.t')   -- collect planner stats
   *   CALL graft.system.table_size('db.t')
+  *   CALL graft.system.history('db.t')          -- snapshot versions
+  *   CALL graft.system.expire_history('db.t', 3) -- keep newest 3
   * }}}
   *
   * Each returns a one-row result describing what it did. */
 private[sources] object GraftProcedures {
 
-  val Names: Seq[String] = Seq("compact", "vacuum", "analyze", "table_size")
+  val Names: Seq[String] =
+    Seq("compact", "vacuum", "analyze", "table_size", "history", "expire_history")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -42,7 +45,10 @@ private[sources] object GraftProcedures {
         override def name(): String = procName
         override def description(): String = s"graft $procName maintenance procedure"
         override def parameters(): Array[ProcedureParameter] =
-          Array(ProcedureParameter.in("table", StringType).build())
+          if (procName == "expire_history")
+            Array(ProcedureParameter.in("table", StringType).build(),
+              ProcedureParameter.in("keep_last", IntegerType).build())
+          else Array(ProcedureParameter.in("table", StringType).build())
         override def isDeterministic: Boolean = false
         override def call(input: InternalRow): JIterator[Scan] = {
           val tableName = input.getUTF8String(0).toString
@@ -58,21 +64,38 @@ private[sources] object GraftProcedures {
           val dir = tableDir(tableName)
           require(GraftTable.exists(dir), s"no graft table $tableName")
           val t = GraftTable.open(SparkSession.active, dir)
-          val (metric, value) = procName match {
-            case "compact" => ("files_after_compaction", t.compact().toLong)
-            case "vacuum" => ("orphan_dirs_reclaimed", t.vacuum().toLong)
-            case "analyze" => ("rows_analyzed", t.analyze().rowCount)
-            case "table_size" => ("size_bytes", t.tableSize())
-          }
-          val schema = StructType(Seq(
-            StructField("table", StringType, nullable = false),
-            StructField("metric", StringType, nullable = false),
-            StructField("value", LongType, nullable = false)))
-          val row: InternalRow = new GenericInternalRow(Array[Any](
-            UTF8String.fromString(tableName), UTF8String.fromString(metric), value))
-          val scan: Scan = new LocalScan {
-            override def readSchema(): StructType = schema
-            override def rows(): Array[InternalRow] = Array(row)
+          val scan: Scan = if (procName == "history") {
+            // multi-row result: one row per retained snapshot
+            val schema = StructType(Seq(
+              StructField("version", LongType, nullable = false),
+              StructField("row_count", LongType, nullable = false),
+              StructField("file_count", LongType, nullable = false)))
+            val histRows = t.history().map { case (v, rc, fc) =>
+              new GenericInternalRow(Array[Any](v, rc, fc.toLong)): InternalRow
+            }.toArray
+            new LocalScan {
+              override def readSchema(): StructType = schema
+              override def rows(): Array[InternalRow] = histRows
+            }
+          } else {
+            val (metric, value) = procName match {
+              case "compact" => ("files_after_compaction", t.compact().toLong)
+              case "vacuum" => ("orphan_dirs_reclaimed", t.vacuum().toLong)
+              case "analyze" => ("rows_analyzed", t.analyze().rowCount)
+              case "table_size" => ("size_bytes", t.tableSize())
+              case "expire_history" =>
+                ("snapshots_expired", t.expireHistory(input.getInt(1)).toLong)
+            }
+            val schema = StructType(Seq(
+              StructField("table", StringType, nullable = false),
+              StructField("metric", StringType, nullable = false),
+              StructField("value", LongType, nullable = false)))
+            val row: InternalRow = new GenericInternalRow(Array[Any](
+              UTF8String.fromString(tableName), UTF8String.fromString(metric), value))
+            new LocalScan {
+              override def readSchema(): StructType = schema
+              override def rows(): Array[InternalRow] = Array(row)
+            }
           }
           java.util.Collections.singletonList(scan).iterator()
         }

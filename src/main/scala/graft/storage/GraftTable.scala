@@ -136,6 +136,60 @@ final class GraftTable private (
   def readSchema(): StructType =
     GraftTable.withExistenceDefaults(meta.currentSchema, meta.defaults)
 
+  // ---- snapshot reads (time travel) ----------------------------------
+  //
+  // Every metadata commit archives its state under _graft_history, so
+  // any retained version is a consistent snapshot: its file list and
+  // schema as of that commit. Data files are immutable once committed
+  // (appends add batch dirs; compact writes NEW files and only vacuum
+  // reclaims), so a snapshot stays readable until expireHistory +
+  // vacuum reclaim it — the Delta/Iceberg retention model, absent in
+  // the reference (whose footer rename keeps exactly one version).
+
+  /** Current commit version. */
+  def version: Long = meta.version
+
+  /** Archived (version, rowCount, fileCount) triples, ascending. */
+  def history(): Seq[(Long, Long, Int)] =
+    GraftTable.historyVersions(location).map { v =>
+      val m = GraftTable.readHistoryMeta(location, v)
+      (v, m.rowCount, m.files.size)
+    }
+
+  /** Read the table AS OF `version` — schema and files of that commit. */
+  def readVersion(version: Long): DataFrame = {
+    val m = GraftTable.readHistoryMeta(location, version)
+    val files = m.files.map(f => s"$location/$f")
+    val (fs, _) = GraftTable.fsAndPath(location)
+    files.find(f => !fs.exists(new HPath(f))).foreach { gone =>
+      throw new IllegalStateException(
+        s"snapshot v$version references $gone, reclaimed by vacuum/truncate — " +
+          "expired snapshots cannot be read")
+    }
+    if (files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        m.currentSchema)
+    } else {
+      spark.read.schema(GraftTable.withExistenceDefaults(m.currentSchema, m.defaults))
+        .parquet(files: _*)
+        .select(m.currentSchema.fields.map(f =>
+          col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
+    }
+  }
+
+  /** Drop archived snapshots, keeping the newest `keepLast` (the current
+    * version always survives). Returns the number expired. After
+    * expiry, [[vacuum]] may reclaim data files only they referenced. */
+  def expireHistory(keepLast: Int): Int = withTableLock {
+    refreshMeta()
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val versions = GraftTable.historyVersions(location)
+    val expire = versions.dropRight(keepLast).filter(_ != meta.version)
+    val (fs, _) = GraftTable.fsAndPath(location)
+    expire.foreach(v => fs.delete(GraftTable.historyPath(location, v), false))
+    expire.size
+  }
+
   /** Exact row count from parquet footers only — no data pages touched
     * (`cstore_reader.c:401-434` CStoreTableRowCount). Spark's parquet
     * scan of count() already reads only footers; this is the direct
@@ -548,7 +602,13 @@ final class GraftTable private (
     val dataDir = new HPath(s"$location/data")
     if (!fs.exists(dataDir)) 0
     else {
-      val live = meta.files.map(f => new HPath(s"$location/$f").getParent.getName).toSet
+      // live = referenced by the current version OR any retained
+      // snapshot — reclaiming a snapshot's files requires expireHistory
+      // first (the Delta/Iceberg retention contract)
+      val snapshotFiles = GraftTable.historyVersions(location)
+        .flatMap(v => GraftTable.readHistoryMeta(location, v).files)
+      val live = (meta.files ++ snapshotFiles)
+        .map(f => new HPath(s"$location/$f").getParent.getName).toSet
       val orphans = fs.listStatus(dataDir).toSeq
         .filter(st => st.isDirectory && !live.contains(st.getPath.getName))
       orphans.foreach(st => fs.delete(st.getPath, true))
@@ -564,6 +624,10 @@ final class GraftTable private (
     commitMeta()
     val (fs, _) = fsAndPath(location)
     fs.delete(new HPath(s"$location/data"), true)
+    // TRUNCATE physically deletes data (reference semantics) — every
+    // earlier snapshot now dangles, so expire all but the empty current
+    val stale = GraftTable.historyVersions(location).filter(_ != meta.version)
+    stale.foreach(v => fs.delete(GraftTable.historyPath(location, v), false))
     ()
   }
 
@@ -716,7 +780,11 @@ final class GraftTable private (
   /** Absolute paths of the committed data files (for the DSv2 scan). */
   def committedFiles: Seq[String] = dataFiles()
 
-  private def commitMeta(): Unit = writeMetaAtomic(location, meta)
+  private def commitMeta(): Unit = {
+    meta = meta.copy(version = meta.version + 1)
+    GraftTable.writeHistorySnapshot(location, meta)
+    writeMetaAtomic(location, meta)
+  }
 }
 
 object GraftTable {
@@ -741,7 +809,10 @@ object GraftTable {
       // highest committed streaming batch per query id — the write-side
       // half of Structured Streaming's exactly-once contract (the
       // checkpoint replays a batch after a crash; this dedupes it)
-      streamTxn: Map[String, Long] = Map.empty)
+      streamTxn: Map[String, Long] = Map.empty,
+      // monotone commit version; every committed state is archived under
+      // _graft_history/v<version>.json for snapshot (time-travel) reads
+      version: Long = 0L)
 
   private val MagicKey = "graft_magic"
   private val Magic = "graft_cstore_v1" // role of `citus_cstore` magic, cstore_fdw.h:50
@@ -1105,6 +1176,7 @@ object GraftTable {
     require(!fs.exists(metaPath(loc)), s"table already exists at $loc")
     fs.mkdirs(dir)
     val meta = Meta(schema, options, Vector.empty, 0L, Map.empty, 0L)
+    writeHistorySnapshot(loc, meta)
     writeMetaAtomic(loc, meta)
     new GraftTable(spark, loc, meta)
   }
@@ -1159,6 +1231,41 @@ object GraftTable {
 
   private def metaPath(location: String): HPath =
     new HPath(location, "_graft_meta.json")
+
+  private def historyDir(location: String): HPath =
+    new HPath(location, "_graft_history")
+
+  private[storage] def historyPath(location: String, version: Long): HPath =
+    new HPath(historyDir(location), f"v$version%020d.json")
+
+  /** Archive a committed metadata state for snapshot reads. */
+  private[storage] def writeHistorySnapshot(location: String, meta: Meta): Unit = {
+    val (fs, _) = fsAndPath(location)
+    fs.mkdirs(historyDir(location))
+    writeFileAtomic(location, historyPath(location, meta.version), renderMeta(meta))
+  }
+
+  /** Versions with an archived snapshot, ascending. */
+  private[storage] def historyVersions(location: String): Seq[Long] = {
+    val (fs, _) = fsAndPath(location)
+    val dir = historyDir(location)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .sorted
+  }
+
+  private[storage] def readHistoryMeta(location: String, version: Long): Meta = {
+    val (fs, _) = fsAndPath(location)
+    val path = historyPath(location, version)
+    if (!fs.exists(path))
+      throw new IllegalArgumentException(
+        s"no snapshot v$version at $location (expired or never committed)")
+    val m = parseJsonObject(readFileFully(fs, path))
+    require(m.get(MagicKey).contains(Magic), s"bad magic in $path")
+    readMetaFromFields(m)
+  }
 
   /** Path of a data file relative to the table location, scheme-blind:
     * both sides are reduced to their URI paths, so a qualified listing
@@ -1229,6 +1336,7 @@ object GraftTable {
        |  "zorder_by": ${m.options.zorderBy.map(js).mkString("[", ",", "]")},
        |  "bloom_filter": ${m.options.bloomFilterColumns.map(js).mkString("[", ",", "]")},
        |  "row_count": ${m.rowCount},
+       |  "version": ${m.version},
        |  "next_batch_id": ${m.nextBatchId},
        |  "defaults": $defaults,
        |  "file_stats": $fileStats,
@@ -1268,6 +1376,12 @@ object GraftTable {
       }
     }
     require(m.get(MagicKey).contains(Magic), s"bad magic in $path")
+    readMetaFromFields(m)
+  }
+
+  /** Build a Meta from a parsed metadata JSON object (shared by the
+    * current-pointer and history-snapshot readers). */
+  private def readMetaFromFields(m: Map[String, Any]): Meta = {
     val schema = DataType.fromJson(m("schema").asInstanceOf[String]).asInstanceOf[StructType]
     val defaults = m.getOrElse("defaults", Map.empty[String, Any])
       .asInstanceOf[Map[String, Any]].map { case (k, tv) =>
@@ -1306,6 +1420,8 @@ object GraftTable {
       rowCount = m("row_count").asInstanceOf[Number].longValue(),
       defaults = defaults,
       nextBatchId = m("next_batch_id").asInstanceOf[Number].longValue(),
+      version = m.getOrElse("version", java.lang.Long.valueOf(0L))
+        .asInstanceOf[Number].longValue(),
       fileStats = fileStats,
       streamTxn = m.getOrElse("stream_txn", Map.empty[String, Any])
         .asInstanceOf[Map[String, Any]]

@@ -77,6 +77,16 @@ class GraftCatalogSpec extends SparkSpec {
     val sz = spark.sql("CALL gcat.system.table_size('db1.proc_t')").collect()
     assert(sz.head.getLong(2) > 0L)
 
+    // snapshot history through SQL: 3 inserts + compact = versions 0..4,
+    // expire to the newest then history shows exactly one row
+    val hist = spark.sql("CALL gcat.system.history('db1.proc_t')").collect()
+    assert(hist.length === 5 && hist.map(_.getLong(0)).toSeq === (0L to 4L))
+    assert(hist.last.getLong(1) === 3L, "newest snapshot has the 3 rows")
+    val exp = spark.sql("CALL gcat.system.expire_history('db1.proc_t', 1)").collect()
+    assert(exp.map(r => (r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("snapshots_expired", 4L)))
+    assert(spark.sql("CALL gcat.system.history('db1.proc_t')").count() === 1L)
+
     // the table argument is spliced into a warehouse path: a traversal
     // segment must be rejected, not resolved outside the warehouse
     val outside = tmpDir("proc-escape") + "/victim"

@@ -178,6 +178,10 @@ class GraftTableSpec extends SparkSpec {
       dirs
     }
     assert(dataDirCount() === 6, "compaction must leave replaced dirs for vacuum")
+    // retained snapshots pin the replaced dirs (time travel); only after
+    // history expiry does vacuum reclaim them
+    assert(t.vacuum() === 0)
+    assert(t.expireHistory(keepLast = 1) > 0)
     assert(t.vacuum() === 5)
     assert(dataDirCount() === 1)
     assert(t.read().orderBy("id").collect().map(_.toSeq).toSeq === before)

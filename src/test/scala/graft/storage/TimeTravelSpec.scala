@@ -1,0 +1,82 @@
+package graft.storage
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Snapshot (time-travel) reads: every metadata commit archives its
+  * state, data files are immutable once committed, so any retained
+  * version reads back exactly as it was — across appends, schema
+  * evolution, and compaction — until expireHistory + vacuum reclaim it.
+  * Beyond the reference (one footer version); the retention contract is
+  * the Delta/Iceberg one. */
+class TimeTravelSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType), StructField("v", StringType)))
+
+  private def mk(prefix: String): GraftTable = {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir(prefix) + "/t", schema)
+    for (base <- Seq(0, 100, 200))
+      t.append((base until base + 10).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    t
+  }
+
+  test("each append is a readable snapshot; history lists them") {
+    val t = mk("tt-basic")
+    assert(t.version === 3L) // create=0, three appends
+    assert(t.history().map(x => (x._1, x._2)) ===
+      Seq((0L, 0L), (1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(t.readVersion(0).count() === 0L)
+    assert(t.readVersion(1).count() === 10L)
+    assert(t.readVersion(2).count() === 20L)
+    assert(t.readVersion(3).count() === 30L)
+    // v2's CONTENT is the first two appends exactly
+    assert(t.readVersion(2).agg(max("id")).head().getInt(0) === 109)
+    // current read == newest snapshot
+    assert(t.read().exceptAll(t.readVersion(3)).isEmpty)
+    intercept[IllegalArgumentException] { t.readVersion(99) }
+    GraftTable.drop(t.location)
+  }
+
+  test("snapshots survive schema evolution and compaction") {
+    val t = mk("tt-evolve")
+    t.addColumn("flag", IntegerType, default = 7)
+    val vAfterAlter = t.version
+    t.compact()
+    // the pre-ALTER snapshot still has the OLD schema
+    assert(t.readVersion(3).schema.fieldNames.toSeq === Seq("id", "v"))
+    // the post-ALTER snapshot synthesizes the default, like current
+    assert(t.readVersion(vAfterAlter).select("flag").distinct().head().getInt(0) === 7)
+    // pre-compaction snapshots read the ORIGINAL files (compact only
+    // adds new ones; vacuum is what reclaims)
+    assert(t.readVersion(3).count() === 30L)
+    assert(t.read().count() === 30L)
+    GraftTable.drop(t.location)
+  }
+
+  test("vacuum keeps snapshot files until expireHistory; then reclaims") {
+    val t = mk("tt-retain")
+    t.compact() // current no longer references the three append dirs
+    assert(t.vacuum() === 0, "snapshots still reference the old batch dirs")
+    assert(t.readVersion(2).count() === 20L)
+    val expired = t.expireHistory(keepLast = 1)
+    assert(expired > 0)
+    assert(t.vacuum() > 0, "expired snapshot files become reclaimable")
+    // the expired snapshot is gone; the retained one still reads
+    intercept[IllegalArgumentException] { t.readVersion(2) }
+    assert(t.read().count() === 30L)
+    GraftTable.drop(t.location)
+  }
+
+  test("truncate expires dangling snapshots") {
+    val t = mk("tt-trunc")
+    t.truncate()
+    assert(t.read().count() === 0L)
+    assert(t.history().map(_._1) === Seq(t.version))
+    intercept[IllegalArgumentException] { t.readVersion(1) }
+    GraftTable.drop(t.location)
+  }
+}
