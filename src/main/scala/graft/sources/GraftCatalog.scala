@@ -99,6 +99,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftSparkTable(d)
   }
 
+  /** SQL `VERSION AS OF <v>` — read-only snapshot relation. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val d = tableDir(ident)
+    if (!GraftTable.exists(d)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft snapshot versions are integers, got '$version'")
+    }
+    new GraftSnapshotTable(d, v)
+  }
+
+  /** SQL `TIMESTAMP AS OF <ts>` — Spark hands micros since epoch; the
+    * newest snapshot committed at or before it serves the read. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val d = tableDir(ident)
+    if (!GraftTable.exists(d)) throw new NoSuchTableException(ident)
+    val v = GraftTable.versionAsOfTimestamp(d, timestampMicros / 1000L)
+    new GraftSnapshotTable(d, v)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     require(partitions.isEmpty, "graft tables do not support partition transforms")

@@ -154,3 +154,32 @@ class GraftSparkTable(location: String) extends Table
       }
     }
 }
+
+/** Read-only DSv2 table over one archived snapshot — the relation behind
+  * SQL `VERSION AS OF` / `TIMESTAMP AS OF` on a graft catalog table. The
+  * scan gets the snapshot's own schema, file list, exact row count, and
+  * zone-map pruner (snapshot metadata carries its file stats, so a
+  * time-travel query still file-prunes). No write capabilities: the past
+  * is immutable. */
+class GraftSnapshotTable(location: String, version: Long) extends Table
+    with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+  private def snap: GraftTable = GraftTable.openVersion(spark, location, version)
+
+  override def name(): String = s"graft.`$location` VERSION AS OF $version"
+
+  override def schema(): StructType = snap.readSchema()
+
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val t = snap
+    ParquetDelegate.scanBuilder(name(), t.committedFiles, t.readSchema(), options,
+      exactRowCount = Some(t.rowCountFromMetadata()),
+      filePruner = Some(t.prunedFiles),
+      tableStats = None,
+      explainMeta = () => t.explainMeta)
+  }
+}

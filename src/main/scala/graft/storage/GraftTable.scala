@@ -1187,6 +1187,28 @@ object GraftTable {
     new GraftTable(spark, loc, readMeta(loc))
   }
 
+  /** Open a table AS OF an archived snapshot version: reads see that
+    * commit's schema and files. Write methods on the handle refresh to
+    * the CURRENT metadata before acting (they never commit from the
+    * snapshot), so the handle is effectively read-only into the past. */
+  def openVersion(spark: SparkSession, location: String, version: Long): GraftTable = {
+    val loc = qualified(location)
+    new GraftTable(spark, loc, readHistoryMeta(loc, version))
+  }
+
+  /** Newest snapshot committed at or before `timestampMillis` (by the
+    * archive file's modification time) — the TIMESTAMP AS OF lookup. */
+  def versionAsOfTimestamp(location: String, timestampMillis: Long): Long = {
+    val loc = qualified(location)
+    val (fs, _) = fsAndPath(loc)
+    val at = historyVersions(loc).filter { v =>
+      fs.getFileStatus(historyPath(loc, v)).getModificationTime <= timestampMillis
+    }
+    require(at.nonEmpty,
+      s"no snapshot of $location existed at or before $timestampMillis")
+    at.max
+  }
+
   /** Fully-qualified form of a location (scheme + absolute path). A table
     * handle always carries the qualified form: `listStatus` returns
     * fully-qualified file paths, so `relativize` against a RELATIVE

@@ -71,6 +71,35 @@ class TimeTravelSpec extends SparkSpec {
     GraftTable.drop(t.location)
   }
 
+  test("SQL VERSION AS OF / TIMESTAMP AS OF through the catalog") {
+    val wh = tmpDir("tt-sql-wh")
+    spark.conf.set("spark.sql.catalog.ttcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ttcat.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE ttcat.db.t (id INT, v STRING) USING graft")
+      for (i <- 1 to 3)
+        spark.sql(s"INSERT INTO ttcat.db.t VALUES ($i, 'v$i')")
+      assert(spark.sql("SELECT * FROM ttcat.db.t VERSION AS OF 1").count() === 1L)
+      assert(spark.sql("SELECT * FROM ttcat.db.t VERSION AS OF 2").count() === 2L)
+      assert(spark.table("ttcat.db.t").count() === 3L)
+      // the snapshot's content is exactly the prefix of inserts
+      assert(spark.sql("SELECT max(id) FROM ttcat.db.t VERSION AS OF 2")
+        .head().getInt(0) === 2)
+      // TIMESTAMP AS OF now = the newest snapshot
+      assert(spark.sql(
+        "SELECT count(*) FROM ttcat.db.t TIMESTAMP AS OF current_timestamp()")
+        .head().getLong(0) === 3L)
+      // a snapshot table rejects writes
+      val ex = intercept[Exception](
+        spark.sql("INSERT INTO ttcat.db.t VERSION AS OF 1 VALUES (9, 'x')"))
+      assert(ex.getMessage != null)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ttcat.db.t")
+      spark.conf.unset("spark.sql.catalog.ttcat")
+      spark.conf.unset("spark.sql.catalog.ttcat.warehouse")
+    }
+  }
+
   test("truncate expires dangling snapshots") {
     val t = mk("tt-trunc")
     t.truncate()
