@@ -111,6 +111,7 @@ class GraftSparkTable(location: String) extends Table
   // (AppendDataExecV1) because build() returns one.
   override def capabilities(): JSet[TableCapability] = Set(
     TableCapability.BATCH_READ,
+    TableCapability.MICRO_BATCH_READ,
     TableCapability.BATCH_WRITE,
     TableCapability.V1_BATCH_WRITE,
     TableCapability.TRUNCATE,
@@ -133,7 +134,8 @@ class GraftSparkTable(location: String) extends Table
       exactRowCount = Some(t.rowCountFromMetadata()),
       filePruner = Some(t.prunedFiles),
       tableStats = t.stats(),
-      explainMeta = () => t.explainMeta)
+      explainMeta = () => t.explainMeta,
+      streamLocation = Some(location))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

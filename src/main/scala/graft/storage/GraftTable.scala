@@ -1278,7 +1278,7 @@ object GraftTable {
       .sorted
   }
 
-  private[storage] def readHistoryMeta(location: String, version: Long): Meta = {
+  def readHistoryMeta(location: String, version: Long): Meta = {
     val (fs, _) = fsAndPath(location)
     val path = historyPath(location, version)
     if (!fs.exists(path))

@@ -43,15 +43,17 @@ object ParquetDelegate {
       exactRowCount: Option[Long] = None,
       filePruner: Option[Seq[Filter] => Seq[String]] = None,
       tableStats: Option[GraftTable.TableStats] = None,
-      explainMeta: () => Map[String, String] = () => Map.empty): ScanBuilder = {
+      explainMeta: () => Map[String, String] = () => Map.empty,
+      streamLocation: Option[String] = None): ScanBuilder = {
     val spark = SparkSession.active
     val table = ParquetTable(name, spark, options, files, Some(schema),
       classOf[ParquetFileFormat])
-    (exactRowCount, filePruner, tableStats) match {
-      case (None, None, None) => table.newScanBuilder(options)
+    (exactRowCount, filePruner, tableStats, streamLocation) match {
+      case (None, None, None, None) => table.newScanBuilder(options)
       case _ =>
         new GraftScanBuilder(name, spark, table.fileIndex, schema, options,
-          files, exactRowCount, filePruner, tableStats, explainMeta)
+          files, exactRowCount, filePruner, tableStats, explainMeta,
+          streamLocation)
     }
   }
 
@@ -68,7 +70,8 @@ object ParquetDelegate {
       exactRows: Option[Long],
       filePruner: Option[Seq[Filter] => Seq[String]],
       tableStats: Option[GraftTable.TableStats],
-      explainMeta: () => Map[String, String])
+      explainMeta: () => Map[String, String],
+      streamLocation: Option[String])
       extends ParquetScanBuilder(spark, fileIndex, schema, schema, options) {
 
     // Every translated data filter, not just the ones parquet agrees to
@@ -101,7 +104,8 @@ object ParquetDelegate {
         case _ => super.build()
       }
       new StatsParquetScan(prunedBase, exactRows, tableStats,
-        schema, translatedDataFilters.toSeq, explainMeta, filePruner)
+        schema, translatedDataFilters.toSeq, explainMeta, filePruner,
+        streamLocation)
     }
   }
 
@@ -123,7 +127,8 @@ object ParquetDelegate {
       tableSchema: StructType,
       translatedFilters: Seq[Filter],
       explainMeta: () => Map[String, String],
-      filePruner: Option[Seq[Filter] => Seq[String]])
+      filePruner: Option[Seq[Filter] => Seq[String]],
+      streamLocation: Option[String] = None)
       extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
         base.dataSchema, base.readDataSchema, base.readPartitionSchema,
         base.pushedFilters, base.options, base.pushedAggregate,
@@ -222,5 +227,97 @@ object ParquetDelegate {
 
     override def getMetaData(): Map[String, String] =
       super.getMetaData() ++ graftMeta
+
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      streamLocation match {
+        case Some(loc) =>
+          new GraftMicroBatchStream(loc, readDataSchema, options)
+        case None => super.toMicroBatchStream(checkpointLocation)
+      }
+  }
+
+  /** Streaming SOURCE over a graft table — micro-batches keyed by the
+    * table's snapshot versions (the payoff of the metadata history):
+    * offset = commit version, and the batch for (a, b] is the files each
+    * intermediate commit ADDED, taken only from commits that grew the
+    * row count. That rule gives append-log semantics under the full
+    * maintenance surface: compaction rewrites rows into new files at the
+    * same row count (skipped — no re-delivery), ALTER adds no files,
+    * TRUNCATE removes files (nothing to emit), and appends/ingest emit
+    * exactly their new files. Offsets ride the checkpoint, so restart
+    * resumes from the committed version — exactly-once into an
+    * idempotent sink, the read-side twin of [[graft.streaming.GraftStreamIngest]].
+    *
+    * Retention contract: the snapshots between the stream's committed
+    * offset and the head must be retained (expireHistory keeps >= the
+    * stream's lag); an expired snapshot fails the stream with a clear
+    * error instead of silently skipping data. */
+  private final class GraftMicroBatchStream(
+      location: String,
+      readSchema: StructType,
+      options: CaseInsensitiveStringMap)
+      extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+    import org.apache.spark.sql.connector.read.streaming.Offset
+
+    private def spark = SparkSession.active
+
+    private case class GraftOffset(v: Long) extends Offset {
+      override def json: String = s"""{"version":$v}"""
+    }
+
+    override def initialOffset(): Offset = GraftOffset(0L)
+
+    override def latestOffset(): Offset =
+      GraftOffset(GraftTable.open(spark, location).version)
+
+    override def deserializeOffset(json: String): Offset = {
+      val m = "\\d+".r.findFirstIn(json)
+      GraftOffset(m.getOrElse(
+        throw new IllegalArgumentException(s"bad graft offset: $json")).toLong)
+    }
+
+    override def commit(end: Offset): Unit = ()
+    override def stop(): Unit = ()
+
+    private def metaAt(v: Long): GraftTable.Meta =
+      GraftTable.readHistoryMeta(location, v)
+
+    /** Files added by row-growing commits in (start, end]. */
+    private def addedFiles(start: Long, end: Long): Seq[String] = {
+      var prev = if (start <= 0) None else Some(metaAt(start))
+      val out = Seq.newBuilder[String]
+      for (v <- (start + 1) to end) {
+        val cur = metaAt(v)
+        val prevRows = prev.map(_.rowCount).getOrElse(0L)
+        val prevFiles = prev.map(_.files.toSet).getOrElse(Set.empty[String])
+        if (cur.rowCount > prevRows)
+          out ++= cur.files.filterNot(prevFiles).map(f => s"$location/$f")
+        prev = Some(cur)
+      }
+      out.result()
+    }
+
+    private def scanOver(files: Seq[String]): ParquetScan = {
+      val t = ParquetTable(s"graft-stream.`$location`", spark, options, files,
+        Some(readSchema), classOf[ParquetFileFormat])
+      new ParquetScanBuilder(spark, t.fileIndex, readSchema, readSchema, options)
+        .build()
+    }
+
+    override def planInputPartitions(start: Offset, end: Offset)
+        : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+      val delta = addedFiles(
+        start.asInstanceOf[GraftOffset].v, end.asInstanceOf[GraftOffset].v)
+      if (delta.isEmpty) Array.empty
+      else scanOver(delta).toBatch.planInputPartitions()
+    }
+
+    override def createReaderFactory()
+        : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+      // the factory depends on schema/options/conf, not on a file list;
+      // it reads whatever FilePartitions planInputPartitions produced
+      scanOver(Seq.empty).toBatch.createReaderFactory()
   }
 }

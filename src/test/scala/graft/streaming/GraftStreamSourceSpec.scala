@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.storage.GraftTable
+
+/** Graft table as a STREAMING SOURCE: micro-batches keyed by snapshot
+  * versions. Appends stream exactly their new rows; compaction rewrites
+  * are never re-delivered (row count unchanged ⇒ skipped); restart from
+  * the checkpoint resumes at the committed version with no duplicates. */
+class GraftStreamSourceSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType), StructField("v", StringType)))
+
+  test("version-offset micro-batches: appends stream, compaction does not") {
+    import spark.implicits._
+    val loc = tmpDir("gss") + "/t"
+    val ckpt = tmpDir("gss-ckpt")
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+
+    val q = spark.readStream.format("graft").load(loc)
+      .writeStream.format("memory").queryName("gss_sink")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gss_sink").count() === 2L)
+
+      // a second append streams exactly its rows
+      t.append(Seq((3, "c")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(spark.table("gss_sink").orderBy("id").select("id")
+        .collect().map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+
+      // compaction rewrites all rows into new files at the same row
+      // count — the stream must NOT re-deliver them
+      assert(t.compact() >= 1)
+      q.processAllAvailable()
+      assert(spark.table("gss_sink").count() === 3L,
+        "compaction must not re-deliver rows")
+
+      // and appends after compaction still stream
+      t.append(Seq((4, "d")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(spark.table("gss_sink").count() === 4L)
+    } finally q.stop()
+    GraftTable.drop(loc)
+  }
+
+  test("streaming source composes with the streaming ingest (table-to-table relay)") {
+    import spark.implicits._
+    val src = tmpDir("gss-relay") + "/src"
+    val dst = tmpDir("gss-relay") + "/dst"
+    val ckpt = tmpDir("gss-relay-ckpt")
+    val s = GraftTable.create(spark, src, schema)
+    val d = GraftTable.create(spark, dst, schema)
+    s.append(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val q = GraftStreamIngest.start(
+      spark.readStream.format("graft").load(src), d, ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      q.processAllAvailable()
+      assert(d.read().count() === 2L)
+      s.append(Seq((3, "c")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(d.read().orderBy("id").collect().map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    } finally q.stop()
+
+    // restart from the checkpoint: the committed offset resumes the
+    // stream — no duplicates, only post-stop appends are delivered
+    s.append(Seq((4, "d")).toDF("id", "v"))
+    val q2 = GraftStreamIngest.start(
+      spark.readStream.format("graft").load(src), d, ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      q2.processAllAvailable()
+      assert(d.read().orderBy("id").collect().map(_.getInt(0)).toSeq ===
+        Seq(1, 2, 3, 4), "restart must deliver exactly the new append")
+    } finally q2.stop()
+    GraftTable.drop(src); GraftTable.drop(dst)
+  }
+}
