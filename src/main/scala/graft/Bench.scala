@@ -36,11 +36,11 @@ object Bench {
     // small queries from starving behind big ones). `value` is the
     // wall-clock to complete the whole suite; per-query numbers are
     // each query's own elapsed time under that concurrency.
-    // 8 concurrent queries measured fastest for the 58-query suite at
-    // sf0.1/local[32]: individual queries rarely saturate 32 cores, and
-    // deeper overlap fills the scheduling gaps (4 → 13.1s, 6 → 11.0s,
-    // 8 → 10.5s suite wall).
-    val concurrency = sys.env.getOrElse("SPARK_GRAFT_CONCURRENCY", "8").toInt
+    // Deeper overlap fills scheduling gaps (4 → 13.1s, 6 → 11.0s,
+    // 8 → 10.5s on the 58-query suite); at 92 queries a 10-deep pool
+    // measured fastest and, more importantly, cut the occasional
+    // head-of-line outlier runs (17s at 8-deep vs ~9-11s at 10-deep).
+    val concurrency = sys.env.getOrElse("SPARK_GRAFT_CONCURRENCY", "10").toInt
     val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
