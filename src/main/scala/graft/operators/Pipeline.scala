@@ -50,8 +50,57 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** p2: end-to-end TRAINING-PREP pipeline — the full curation chain a
+    * pretraining job runs, composed from the standalone operators as ONE
+    * declarative plan:
+    *
+    *   1. exact dedup: md5 winners (d1's rule — smallest doc_id per hash)
+    *   2. quality gate: t2's score ≥ 0.35
+    *   3. PII scrub: t10's redaction over the real text (counts kept)
+    *   4. sequence packing: c5's per-shard concat-and-chunk offsets over
+    *      the SURVIVOR stream (token counts from the scrubbed text)
+    *   5. split assignment: c7's stable hash bucket
+    *
+    * One window shuffle (dedup rank) + one per shard (pack offsets);
+    * everything else is map-side. The oracle replays all five stages. */
+  def p2TrainingPrep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.PolyHash.polyHashFast
+    val docs = Tables.load(s, dir, "documents")
+    val ranked = docs.withColumn("rn", row_number().over(
+      Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")))
+    val kept = ranked
+      .filter(col("rn") === 1 && TextAnalysis.qualityRaw(col("text")) >= 0.35)
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), TextAnalysis.EmailRe, "<EMAIL>"),
+        TextAnalysis.Ipv4Re, "<IP>"),
+      TextAnalysis.PhoneRe, "<PHONE>")
+    val nPii = (regexp_count(col("text"), lit(TextAnalysis.EmailRe)) +
+      regexp_count(col("text"), lit(TextAnalysis.Ipv4Re)) +
+      regexp_count(col("text"), lit(TextAnalysis.PhoneRe))).cast("long")
+    val staged = kept.select(col("doc_id"),
+      pmod(col("doc_id"), lit(Sampling.PackShards)).as("shard"),
+      size(split(scrubbed, " ", -1)).cast("long").as("tok"),
+      nPii.as("n_pii"),
+      pmod(polyHashFast(col("doc_id").cast("string"), P31), lit(100L)).as("bucket"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    staged
+      .withColumn("offs", coalesce(sum("tok").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("tok"),
+        floor(col("offs") / Sampling.PackCtx).cast("long").as("chunk_first"),
+        floor((col("offs") + col("tok") - 1) / Sampling.PackCtx).cast("long")
+          .as("chunk_last"),
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"),
+        col("n_pii"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_clean_corpus" -> p1CleanCorpus _,
+    "p2_training_prep" -> p2TrainingPrep _,
   )
 
   import OracleSql._
@@ -60,6 +109,38 @@ object Pipeline {
     s"len(list_filter(toks, t -> ${words.map(w => s"t = '$w'").mkString(" OR ")}))"
 
   val oracles: Map[String, String] = Map(
+    "p2_training_prep" -> {
+      import TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
+      val scrub = s"regexp_replace(regexp_replace(regexp_replace(text, " +
+        s"'$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'), " +
+        s"'$PhoneRe', '<PHONE>', 'g')"
+      s"""WITH r AS (SELECT doc_id, text,
+         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+         |  FROM documents),
+         |k AS (SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, string_split(text, ' ') toks FROM r WHERE rn = 1)
+         |  WHERE least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+         |      * (1.0 - CAST(${hitsSql(Seq("the", "a", "of", "and", "to"))} AS DOUBLE)
+         |          / CAST(len(toks) AS DOUBLE)) >= 0.35),
+         |st AS (SELECT doc_id, doc_id % ${Sampling.PackShards} shard,
+         |    CAST(len(string_split($scrub, ' ')) AS BIGINT) tok,
+         |    CAST(len(regexp_extract_all(text, '$EmailRe'))
+         |      + len(regexp_extract_all(text, '$Ipv4Re'))
+         |      + len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) n_pii,
+         |    (${OracleSql.polyHashSql("CAST(doc_id AS VARCHAR)", P31)}) % 100 bucket
+         |  FROM k),
+         |o AS (SELECT doc_id, shard, tok, n_pii, bucket,
+         |    coalesce(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) offs
+         |  FROM st)
+         |SELECT doc_id, shard, tok,
+         |  CAST(floor(offs / ${Sampling.PackCtx}) AS BIGINT) chunk_first,
+         |  CAST(floor((offs + tok - 1) / ${Sampling.PackCtx}) AS BIGINT) chunk_last,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END split,
+         |  n_pii
+         |FROM o ORDER BY doc_id""".stripMargin
+    },
     "p1_clean_corpus" ->
       (s"""WITH $shingleCte,
          |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
