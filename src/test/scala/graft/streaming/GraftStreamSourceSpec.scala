@@ -50,6 +50,21 @@ class GraftStreamSourceSpec extends SparkSpec {
     GraftTable.drop(loc)
   }
 
+  test("Trigger.AvailableNow drains the source and stops") {
+    import spark.implicits._
+    val loc = tmpDir("gss-an") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    val q = spark.readStream.format("graft").load(loc)
+      .writeStream.format("memory").queryName("gss_an")
+      .option("checkpointLocation", tmpDir("gss-an-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query must terminate")
+    assert(spark.table("gss_an").count() === 3L)
+    GraftTable.drop(loc)
+  }
+
   test("streaming source composes with the streaming ingest (table-to-table relay)") {
     import spark.implicits._
     val src = tmpDir("gss-relay") + "/src"
