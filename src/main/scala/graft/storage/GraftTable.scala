@@ -149,15 +149,24 @@ final class GraftTable private (
   /** Current commit version. */
   def version: Long = meta.version
 
-  /** Archived (version, rowCount, fileCount) triples, ascending. */
-  def history(): Seq[(Long, Long, Int)] =
-    GraftTable.historyVersions(location).map { v =>
+  /** Archived (version, rowCount, fileCount) triples, ascending. A
+    * snapshot NEWER than the current pointer is a crashed commit's
+    * orphan (history is written before the pointer rename) — it was
+    * never committed, so it is not listed and cannot be read. */
+  def history(): Seq[(Long, Long, Int)] = {
+    refreshMeta()
+    GraftTable.historyVersions(location).filter(_ <= meta.version).map { v =>
       val m = GraftTable.readHistoryMeta(location, v)
       (v, m.rowCount, m.files.size)
     }
+  }
 
   /** Read the table AS OF `version` — schema and files of that commit. */
   def readVersion(version: Long): DataFrame = {
+    refreshMeta()
+    require(version <= meta.version,
+      s"version $version was never committed (current is ${meta.version}; " +
+        "a newer archive file is a crashed commit's orphan)")
     val m = GraftTable.readHistoryMeta(location, version)
     val files = m.files.map(f => s"$location/$f")
     val (fs, _) = GraftTable.fsAndPath(location)
@@ -1201,8 +1210,10 @@ object GraftTable {
   def versionAsOfTimestamp(location: String, timestampMillis: Long): Long = {
     val loc = qualified(location)
     val (fs, _) = fsAndPath(loc)
+    val committed = readMeta(loc).version
     val at = historyVersions(loc).filter { v =>
-      fs.getFileStatus(historyPath(loc, v)).getModificationTime <= timestampMillis
+      v <= committed &&
+        fs.getFileStatus(historyPath(loc, v)).getModificationTime <= timestampMillis
     }
     require(at.nonEmpty,
       s"no snapshot of $location existed at or before $timestampMillis")

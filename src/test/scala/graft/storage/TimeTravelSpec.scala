@@ -100,6 +100,22 @@ class TimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("a crashed commit's orphan snapshot is invisible until committed") {
+    val t = mk("tt-orphan")
+    // simulate the crash window: snapshot v(n+1) written, pointer not —
+    // exactly what commitMeta's history-first ordering can leave behind
+    val orphanV = t.version + 1
+    val orphanMeta = GraftTable.readHistoryMeta(t.location, t.version)
+      .copy(version = orphanV, rowCount = 999L)
+    GraftTable.writeHistorySnapshot(t.location, orphanMeta)
+    assert(t.history().map(_._1).max === t.version,
+      "uncommitted snapshot must not be listed")
+    intercept[IllegalArgumentException] { t.readVersion(orphanV) }
+    assert(GraftTable.versionAsOfTimestamp(t.location,
+      System.currentTimeMillis() + 60000) === t.version)
+    GraftTable.drop(t.location)
+  }
+
   test("truncate expires dangling snapshots") {
     val t = mk("tt-trunc")
     t.truncate()
