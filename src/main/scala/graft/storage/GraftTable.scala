@@ -1279,7 +1279,7 @@ object GraftTable {
   }
 
   /** Versions with an archived snapshot, ascending. */
-  private[storage] def historyVersions(location: String): Seq[Long] = {
+  def historyVersions(location: String): Seq[Long] = {
     val (fs, _) = fsAndPath(location)
     val dir = historyDir(location)
     if (!fs.exists(dir)) Seq.empty

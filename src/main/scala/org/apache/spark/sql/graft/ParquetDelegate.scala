@@ -284,11 +284,27 @@ object ParquetDelegate {
     private def metaAt(v: Long): GraftTable.Meta =
       GraftTable.readHistoryMeta(location, v)
 
-    /** Files added by row-growing commits in (start, end]. */
+    /** Files added by row-growing commits in (start, end]. A fresh
+      * stream (start = 0) on a table whose early snapshots were expired
+      * takes the OLDEST RETAINED snapshot as its initial batch (the
+      * Delta-style initial load — expiry only ever removes a prefix of
+      * versions, so retained history is a suffix), then walks forward.
+      * A NON-zero start whose snapshot is expired fails instead: the
+      * commits the stream still owes are unrecoverable. */
     private def addedFiles(start: Long, end: Long): Seq[String] = {
-      var prev = if (start <= 0) None else Some(metaAt(start))
       val out = Seq.newBuilder[String]
-      for (v <- (start + 1) to end) {
+      var walkFrom = start
+      var prev: Option[GraftTable.Meta] = None
+      if (start <= 0) {
+        val retained = GraftTable.historyVersions(location).filter(_ <= end)
+        if (retained.isEmpty) return Seq.empty
+        val first = retained.head
+        val base = metaAt(first)
+        out ++= base.files.map(f => s"$location/$f")
+        walkFrom = first
+        prev = Some(base)
+      } else prev = Some(metaAt(start))
+      for (v <- (walkFrom + 1) to end) {
         val cur = metaAt(v)
         val prevRows = prev.map(_.rowCount).getOrElse(0L)
         val prevFiles = prev.map(_.files.toSet).getOrElse(Set.empty[String])

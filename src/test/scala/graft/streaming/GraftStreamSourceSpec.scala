@@ -50,6 +50,26 @@ class GraftStreamSourceSpec extends SparkSpec {
     GraftTable.drop(loc)
   }
 
+  test("fresh stream on a history-expired table: oldest retained snapshot is the initial load") {
+    import spark.implicits._
+    val loc = tmpDir("gss-exp") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    assert(t.expireHistory(keepLast = 2) > 0) // v0..v1 gone; v2, v3 retained
+    val q = spark.readStream.format("graft").load(loc)
+      .writeStream.format("memory").queryName("gss_exp")
+      .option("checkpointLocation", tmpDir("gss-exp-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    // initial batch = all of v2's files, then v3's delta — the full table
+    assert(spark.table("gss_exp").orderBy("id").select("id")
+      .collect().map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    GraftTable.drop(loc)
+  }
+
   test("Trigger.AvailableNow drains the source and stops") {
     import spark.implicits._
     val loc = tmpDir("gss-an") + "/t"
