@@ -28,9 +28,16 @@ case class SimhashText(child: Expression, n: Int, prime: Long, bits: Int)
 
   override def dataType: DataType = LongType
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
     val count = toks.length - (n - 1)
+    // a document with no shingles has NO signature: the aggregate
+    // formulation (and the oracle) never emit a row for it, so banding
+    // it at an all-zero signature would pair every short doc with every
+    // other — NULL keeps it out of the join exactly like the original
+    if (count < 1) return null
     val votes = new Array[Int](bits)
     if (count >= 1) {
       val seen = new java.util.HashSet[String](count * 2)
@@ -77,7 +84,8 @@ case class SimhashText(child: Expression, n: Int, prime: Long, bits: Int)
 }
 
 object SimhashText {
-  /** Column-API entry point: 48-bit simhash of `c`'s distinct 3-shingles. */
+  /** Column-API entry point: 48-bit simhash of `c`'s distinct 3-shingles;
+    * NULL when the text has no shingles (fewer than n tokens). */
   def simhashFast(c: Column, n: Int, prime: Long, bits: Int): Column =
     Bridge.column(SimhashText(Bridge.expression(c), n, prime, bits))
 }

@@ -78,8 +78,10 @@ object Bpe {
       : (Seq[(String, String)], Map[String, Int]) = {
     import s.implicits._
     val wt = wordTable(s, dir)
-    if (wt.count() <= DriverMaxVocab)
-      trainSequential(wt.collect().toSeq, numMerges)
+    // one corpus scan in the common path: collect up to gate+1 rows —
+    // if the limit was not hit, that IS the whole vocabulary
+    val head = wt.limit((DriverMaxVocab + 1).toInt).collect()
+    if (head.length <= DriverMaxVocab) trainSequential(head.toSeq, numMerges)
     else trainDistributed(s, wt, numMerges)
   }
 
@@ -104,6 +106,11 @@ object Bpe {
       }
       if (counts.isEmpty || counts.values.max < 2) done = true
       else {
+        // tie-break must match the distributed path's orderBy on string
+        // columns, which is UTF8String BINARY order (unsigned UTF-8
+        // bytes) — Scala's String.compareTo is UTF-16 order and差
+        // disagrees above the BMP
+        implicit val utf8Order: Ordering[String] = utf8ByteOrder
         val ((a, b), _) = counts.toSeq
           .sortBy { case ((a, b), c) => (-c, a, b) }.head
         merges += ((a, b))
@@ -112,6 +119,19 @@ object Bpe {
       round += 1
     }
     (merges.result(), words.map { case (w, (_, syms)) => w -> syms.length }.toMap)
+  }
+
+  /** Unsigned lexicographic order over UTF-8 bytes — identical to
+    * Spark's UTF8String.compareTo, so both trainer paths break argmax
+    * ties the same way for any input. */
+  private[operators] val utf8ByteOrder: Ordering[String] = (x: String, y: String) => {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    var r = 0
+    while (r == 0 && i < n) { r = (a(i) & 0xff) - (b(i) & 0xff); i += 1 }
+    if (r != 0) r else a.length - b.length
   }
 
   /** Distributed trainer — the beyond-driver-gate path. */
@@ -161,11 +181,11 @@ object Bpe {
   /** Memoized trainer state per corpus fingerprint (the merge table is
     * corpus-level, like the dedup pair caches). */
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), (Seq[(String, String)], Map[String, Int])]()
+    (SparkSession, String, String, Int), (Seq[(String, String)], Map[String, Int])]()
 
   private[operators] def trained(s: SparkSession, dir: String,
       numMerges: Int = 24): (Seq[(String, String)], Map[String, Int]) =
-    cache.computeIfAbsent((s, dir, Dedup.fingerprint(dir, "documents")),
+    cache.computeIfAbsent((s, dir, Dedup.fingerprint(dir, "documents"), numMerges),
       _ => train(s, dir, numMerges))
 
   /** t11: per-document token counts under the LEARNED BPE vocabulary —

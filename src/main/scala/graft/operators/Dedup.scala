@@ -239,6 +239,7 @@ object Dedup {
   private def simhashes(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       graft.functions.SimhashText.simhashFast(col("text"), 3, P57, SimhashBits).as("sim"))
+      .filter(col("sim").isNotNull) // shingle-less docs have no signature
 
   /** Banded hamming ≤ 3 candidate pairs — the shared sketch stage of d4
     * (which emits it directly) and d9 (which re-scores it by edit

@@ -71,14 +71,8 @@ object Pipeline {
       Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")))
     val kept = ranked
       .filter(col("rn") === 1 && TextAnalysis.qualityRaw(col("text")) >= 0.35)
-    val scrubbed = regexp_replace(
-      regexp_replace(
-        regexp_replace(col("text"), TextAnalysis.EmailRe, "<EMAIL>"),
-        TextAnalysis.Ipv4Re, "<IP>"),
-      TextAnalysis.PhoneRe, "<PHONE>")
-    val nPii = (regexp_count(col("text"), lit(TextAnalysis.EmailRe)) +
-      regexp_count(col("text"), lit(TextAnalysis.Ipv4Re)) +
-      regexp_count(col("text"), lit(TextAnalysis.PhoneRe))).cast("long")
+    val scrubbed = TextAnalysis.scrubExpr(col("text"))
+    val nPii = TextAnalysis.piiCountExpr(col("text"))
     val staged = kept.select(col("doc_id"),
       pmod(col("doc_id"), lit(Sampling.PackShards)).as("shard"),
       size(split(scrubbed, " ", -1)).cast("long").as("tok"),
@@ -89,11 +83,9 @@ object Pipeline {
     staged
       .withColumn("offs", coalesce(sum("tok").over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("tok"),
-        floor(col("offs") / Sampling.PackCtx).cast("long").as("chunk_first"),
-        floor((col("offs") + col("tok") - 1) / Sampling.PackCtx).cast("long")
-          .as("chunk_last"),
-        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
-          .otherwise("test").as("split"),
+        Sampling.chunkFirst(col("offs")).as("chunk_first"),
+        Sampling.chunkLast(col("offs"), col("tok")).as("chunk_last"),
+        Sampling.splitExpr(col("bucket")).as("split"),
         col("n_pii"))
       .orderBy("doc_id")
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -142,6 +142,18 @@ object Sampling {
   val PackCtx = 2048L
   val PackShards = 8L
 
+  /** Chunk-range columns from a running token offset — the single
+    * definition c5 and p2 share. */
+  private[operators] def chunkFirst(offs: Column): Column =
+    floor(offs / PackCtx).cast("long")
+  private[operators] def chunkLast(offs: Column, tok: Column): Column =
+    floor((offs + tok - 1) / PackCtx).cast("long")
+
+  /** Stable split assignment from a hash bucket in [0, 100) — the
+    * single definition c7 and p2 share. */
+  private[operators] def splitExpr(bucket: Column): Column =
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
   /** c5: concat-and-chunk sequence packing — the pretraining layout
     * step: documents of a shard are concatenated in doc_id order and the
     * stream is cut every [[PackCtx]] tokens; each doc reports the chunk
@@ -162,8 +174,8 @@ object Sampling {
     toks
       .withColumn("off", coalesce(sum("tok").over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("tok"),
-        floor(col("off") / PackCtx).cast("long").as("chunk_first"),
-        floor((col("off") + col("tok") - 1) / PackCtx).cast("long").as("chunk_last"))
+        chunkFirst(col("off")).as("chunk_first"),
+        chunkLast(col("off"), col("tok")).as("chunk_last"))
       .orderBy("doc_id")
   }
 
@@ -214,7 +226,7 @@ object Sampling {
     val bucket = pmod(polyHashFast(col("doc_id").cast("string"), P31), lit(100L))
     docs(s, dir).select(
       col("doc_id"), bucket.as("bucket"),
-      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      splitExpr(bucket).as("split"))
       .orderBy("doc_id")
   }
 

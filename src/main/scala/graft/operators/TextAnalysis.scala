@@ -226,23 +226,33 @@ object TextAnalysis {
     * then proves the scrubber removes exactly what was planted plus
     * anything already present. Pure codegen (`regexp_count`/
     * `regexp_replace`), no UDFs; scale cost is one map-side pass. */
+  /** The PII redaction transform (emails, then IPs, then phones) — the
+    * single definition t10 and p2 share. */
+  private[operators] def scrubExpr(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Total PII hits in `text` (pre-redaction), shared by t10 and p2. */
+  private[operators] def piiCountExpr(text: Column): Column =
+    (regexp_count(text, lit(EmailRe)) +
+      regexp_count(text, lit(Ipv4Re)) +
+      regexp_count(text, lit(PhoneRe))).cast("long")
+
   def t10PiiScrub(s: SparkSession, dir: String): DataFrame = {
     val planted = concat(col("text"),
       lit(" contact user"), col("doc_id"), lit("@example.com or call "),
       lit("555-"), lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
       lit("-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
       lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".1"))
-    val scrubbed = regexp_replace(
-      regexp_replace(
-        regexp_replace(planted, EmailRe, "<EMAIL>"),
-        Ipv4Re, "<IP>"),
-      PhoneRe, "<PHONE>")
     docs(s, dir).select(
       col("doc_id"),
       regexp_count(planted, lit(EmailRe)).cast("long").as("n_email"),
       regexp_count(planted, lit(Ipv4Re)).cast("long").as("n_ip"),
       regexp_count(planted, lit(PhoneRe)).cast("long").as("n_phone"),
-      md5(scrubbed.cast("binary")).as("scrub_md5"))
+      md5(scrubExpr(planted).cast("binary")).as("scrub_md5"))
       .orderBy("doc_id")
   }
 

@@ -167,7 +167,9 @@ class GraftSnapshotTable(location: String, version: Long) extends Table
     with SupportsRead {
 
   private def spark: SparkSession = SparkSession.active
-  private def snap: GraftTable = GraftTable.openVersion(spark, location, version)
+  // a snapshot is immutable: open (and validate against the committed
+  // pointer) once, not on every schema()/newScanBuilder() call
+  private lazy val snap: GraftTable = GraftTable.openVersion(spark, location, version)
 
   override def name(): String = s"graft.`$location` VERSION AS OF $version"
 

@@ -192,8 +192,12 @@ final class GraftTable private (
   def expireHistory(keepLast: Int): Int = withTableLock {
     refreshMeta()
     require(keepLast >= 1, "keepLast must be >= 1")
-    val versions = GraftTable.historyVersions(location)
-    val expire = versions.dropRight(keepLast).filter(_ != meta.version)
+    val (committed, orphans) =
+      GraftTable.historyVersions(location).partition(_ <= meta.version)
+    // under the table lock no commit is in flight: any snapshot newer
+    // than the pointer is a crashed commit's residue — drop it so it
+    // neither counts toward keepLast nor pins its batch dir forever
+    val expire = committed.dropRight(keepLast).filter(_ != meta.version) ++ orphans
     val (fs, _) = GraftTable.fsAndPath(location)
     expire.foreach(v => fs.delete(GraftTable.historyPath(location, v), false))
     expire.size
@@ -615,6 +619,7 @@ final class GraftTable private (
       // snapshot — reclaiming a snapshot's files requires expireHistory
       // first (the Delta/Iceberg retention contract)
       val snapshotFiles = GraftTable.historyVersions(location)
+        .filter(_ <= meta.version) // an orphan must not pin its batch dir
         .flatMap(v => GraftTable.readHistoryMeta(location, v).files)
       val live = (meta.files ++ snapshotFiles)
         .map(f => new HPath(s"$location/$f").getParent.getName).toSet
@@ -633,10 +638,12 @@ final class GraftTable private (
     commitMeta()
     val (fs, _) = fsAndPath(location)
     fs.delete(new HPath(s"$location/data"), true)
-    // TRUNCATE physically deletes data (reference semantics) — every
-    // earlier snapshot now dangles, so expire all but the empty current
-    val stale = GraftTable.historyVersions(location).filter(_ != meta.version)
-    stale.foreach(v => fs.delete(GraftTable.historyPath(location, v), false))
+    // TRUNCATE physically deletes data (reference semantics). Earlier
+    // snapshots stay ARCHIVED — still listed in history() as lineage and
+    // still diffable (a stream at a pre-truncate offset sees the
+    // truncate commit drop to zero files and resumes with post-truncate
+    // appends) — but reading one fails at the file-existence check with
+    // the reclaimed-by-truncate error. expireHistory cleans them up.
     ()
   }
 
@@ -1202,6 +1209,10 @@ object GraftTable {
     * snapshot), so the handle is effectively read-only into the past. */
   def openVersion(spark: SparkSession, location: String, version: Long): GraftTable = {
     val loc = qualified(location)
+    val committed = readMeta(loc).version
+    require(version <= committed,
+      s"version $version was never committed (current is $committed; " +
+        "a newer archive file is a crashed commit's orphan)")
     new GraftTable(spark, loc, readHistoryMeta(loc, version))
   }
 

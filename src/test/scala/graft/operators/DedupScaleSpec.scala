@@ -184,11 +184,21 @@ class DedupScaleSpec extends SparkSpec {
       .select(col("doc_id"), simhashFast(col("text"), 3, TextFunctions.P57, TextFunctions.SimhashBits).as("sim"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fast.nonEmpty && fast == agg)
-    // a doc shorter than one shingle gets the all-votes-negative signature
+    // a doc shorter than one shingle has NO signature (the aggregate
+    // formulation never emits a row for it) — and two such docs must
+    // NOT pair up as hamming-0 "near-dups" in d4
     import spark.implicits._
     val tiny = Seq((1L, "a b")).toDF("doc_id", "text")
-      .select(simhashFast(col("text"), 3, TextFunctions.P57, TextFunctions.SimhashBits)).head().getLong(0)
-    assert(tiny == 0L)
+      .select(simhashFast(col("text"), 3, TextFunctions.P57, TextFunctions.SimhashBits)).head()
+    assert(tiny.isNullAt(0))
+    val dirShort = writeDocs(Seq(
+      1L -> "a b", 2L -> "c d", // shingle-less: must not pair
+      10L -> (1 to 40).map(_ => "w").mkString(" "),
+      11L -> (1 to 40).map(_ => "w").mkString(" ")))
+    val pairs = Dedup.d4Simhash(spark, dirShort).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((10L, 11L)),
+      "only the real near-dups pair; shingle-less docs never band")
   }
 
   test("d9: exact dup scores lev=0; pairs are a re-scored subset of d4") {

@@ -116,12 +116,42 @@ class TimeTravelSpec extends SparkSpec {
     GraftTable.drop(t.location)
   }
 
-  test("truncate expires dangling snapshots") {
+  test("truncate: pre-truncate snapshots stay listed (lineage) but are unreadable") {
     val t = mk("tt-trunc")
     t.truncate()
     assert(t.read().count() === 0L)
+    // the archive survives as lineage — a stream at a pre-truncate
+    // offset diffs through the truncate commit (files drop to zero)
+    assert(t.history().map(_._1) === (0L to t.version))
+    // but the DATA is physically gone: reading a pre-truncate snapshot
+    // fails at the file-existence check with the reclaimed error
+    val ex = intercept[IllegalStateException] { t.readVersion(1).count() }
+    assert(ex.getMessage.contains("reclaimed"))
+    // expireHistory cleans the dangling archives
+    assert(t.expireHistory(keepLast = 1) === t.version.toInt)
     assert(t.history().map(_._1) === Seq(t.version))
-    intercept[IllegalArgumentException] { t.readVersion(1) }
+    GraftTable.drop(t.location)
+  }
+
+  test("streaming source survives truncate: nothing re-delivered, appends resume") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val t = mk("tt-trunc-stream")
+    val ckpt = tmpDir("tt-trunc-ckpt")
+    val q = spark.readStream.format("graft").load(t.location)
+      .writeStream.format("memory").queryName("tt_trunc_sink")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tt_trunc_sink").count() === 30L)
+      t.truncate()
+      q.processAllAvailable() // truncate commit: zero files added
+      assert(spark.table("tt_trunc_sink").count() === 30L)
+      t.append(Seq((900, "z")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(spark.table("tt_trunc_sink").count() === 31L,
+        "post-truncate appends must stream")
+    } finally q.stop()
     GraftTable.drop(t.location)
   }
 }
