@@ -32,7 +32,9 @@ class BpeSpec extends SparkSpec {
       }
       if (counts.isEmpty || counts.values.max < 2) done = true
       else {
-        // argmax with (count desc, a asc, b asc) — the trainer's order
+        // argmax with (count desc, a asc, b asc) under the DOCUMENTED
+        // unsigned-UTF-8-byte order (what Spark's string sort uses)
+        implicit val o: Ordering[String] = Bpe.utf8ByteOrder
         val ((a, b), _) = counts.toSeq
           .sortBy { case ((a, b), c) => (-c, a, b) }.head
         merges += ((a, b))
