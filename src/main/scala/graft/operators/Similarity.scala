@@ -321,7 +321,26 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** s6: RANGE search — every vector within a cosine radius of each
+    * query (the other fundamental ANN query shape besides top-k: radius
+    * queries back near-dup audits and diversity filters). Broadcast the
+    * tiny query set against one corpus scan; no window, no shuffle
+    * beyond the final order. */
+  def s6RangeSearch(s: SparkSession, dir: String,
+      minCos: Double = 0.3): DataFrame = {
+    val e = normalized(Tables.load(s, dir, "embeddings"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("c"))
+      .filter(col("c") >= minCos)
+      .select(col("q_id"), col("vec_id"), round(col("c"), 4).as("cos"))
+      .orderBy("q_id", "vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s6_range_search" -> ((s: SparkSession, dir: String) => s6RangeSearch(s, dir)),
     "s1_ann_brute" -> s1AnnBrute _,
     "s2_ann_ivf" -> s2AnnIvf _,
     "s3_ann_lsh" -> s3AnnLsh _,
@@ -384,6 +403,15 @@ object Similarity {
        |  (x, y) -> x + y)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s6_range_search" ->
+      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, ${normSql("v")} nrm FROM e),
+         |q AS (SELECT vec_id q_id, v qv, nrm qn FROM n WHERE vec_id < $NumQueries)
+         |SELECT q_id, vec_id, round(c, 4) cos FROM (
+         |  SELECT q.q_id, n.vec_id, ${dotSql("q.qv", "n.v")} / (q.qn * n.nrm) c
+         |  FROM n CROSS JOIN q WHERE n.vec_id != q.q_id)
+         |WHERE c >= 0.3 ORDER BY q_id, vec_id""".stripMargin),
     "s5_pq_ann" ->
       (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
          |           FROM embeddings),

@@ -256,7 +256,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t12: readability scoring — the Flesch reading-ease shape with a
+    * vowel-group syllable heuristic, a standard cheap quality filter
+    * (too-hard and degenerate text both land far from prose range).
+    * Sentences fall back to 1 when the text has no terminators (this
+    * corpus). Three `regexp_count`s and fixed-order IEEE arithmetic —
+    * one map-side pass, engine-exact, quantized to integer centi-points
+    * before the final ORDER BY. */
+  def t12Readability(s: SparkSession, dir: String): DataFrame = {
+    val words = size(split(col("text"), " ", -1)).cast("double")
+    val syll = greatest(regexp_count(lower(col("text")), lit("[aeiouy]+"))
+      .cast("double"), lit(1.0))
+    val sent = greatest(regexp_count(col("text"), lit("[.!?]"))
+      .cast("double"), lit(1.0))
+    val flesch = lit(206.835) - lit(1.015) * (words / sent) -
+      lit(84.6) * (syll / words)
+    docs(s, dir).select(
+      col("doc_id"),
+      words.cast("long").as("n_words"),
+      syll.cast("long").as("n_syll"),
+      sent.cast("long").as("n_sent"),
+      round(flesch * 100).cast("long").as("flesch_x100"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_readability" -> t12Readability _,
     "t10_pii_scrub" -> t10PiiScrub _,
     "t1_token_count" -> t1TokenCount _,
     "t2_quality" -> t2Quality _,
@@ -275,6 +300,19 @@ object TextAnalysis {
     s"len(list_filter(toks, t -> ${words.map(w => s"t = '$w'").mkString(" OR ")}))"
 
   val oracles: Map[String, String] = Map(
+    "t12_readability" ->
+      ("""WITH f AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) w,
+         |    greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         |      AS DOUBLE), 1.0) y,
+         |    greatest(CAST(len(regexp_extract_all(text, '[.!?]'))
+         |      AS DOUBLE), 1.0) sn
+         |  FROM documents)
+         |SELECT doc_id, CAST(w AS BIGINT) n_words, CAST(y AS BIGINT) n_syll,
+         |  CAST(sn AS BIGINT) n_sent,
+         |  CAST(round((206.835 - 1.015 * (w / sn) - 84.6 * (y / w)) * 100)
+         |    AS BIGINT) flesch_x100
+         |FROM f ORDER BY doc_id""".stripMargin),
     "t10_pii_scrub" ->
       (s"""WITH p AS (SELECT doc_id,
          |    text || ' contact user' || CAST(doc_id AS VARCHAR)

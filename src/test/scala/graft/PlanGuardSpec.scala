@@ -17,8 +17,8 @@ class PlanGuardSpec extends SparkSpec {
   // s4: k-row centroid tables broadcast-crossed onto the corpus scan.
   // d11 rides s4's broadcast-centroid assignment, same intended shape.
   private val bnljAllowed =
-    Set("s1_ann_brute", "s2_ann_ivf", "t6_bm25", "c3_source_mix", "s4_kmeans",
-      "d11_semantic_dedup")
+    Set("s1_ann_brute", "s2_ann_ivf", "s6_range_search", "t6_bm25",
+      "c3_source_mix", "s4_kmeans", "d11_semantic_dedup")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")
