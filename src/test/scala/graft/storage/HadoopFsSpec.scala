@@ -80,6 +80,24 @@ class HadoopFsSpec extends SparkSpec {
       "drop must delete the backing directory")
   }
 
+  test("time travel over a mock: scheme URI (snapshots, retention, vacuum)") {
+    import spark.implicits._
+    val loc = "mock:" + tmpDir("graft-hfs-tt") + "/tbl"
+    val t = GraftTable.create(spark, loc, schema)
+    for (base <- Seq(0, 1000))
+      t.append((base until base + 50).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1))
+    assert(t.version === 2L)
+    assert(t.readVersion(1).count() === 50L)
+    assert(t.history().map(_._2) === Seq(0L, 50L, 100L))
+    // compact + retention contract through the mock scheme
+    t.compact()
+    assert(t.vacuum() === 0, "snapshots pin the replaced dirs")
+    assert(t.expireHistory(keepLast = 1) > 0)
+    assert(t.vacuum() > 0)
+    assert(t.read().count() === 100L)
+    GraftTable.drop(loc)
+  }
+
   test("SQL catalog lifecycle over a mock: scheme warehouse") {
     val wh = "mock:" + tmpDir("graft-hfs-wh")
     spark.conf.set("spark.sql.catalog.mfs", classOf[graft.sources.GraftCatalog].getName)
