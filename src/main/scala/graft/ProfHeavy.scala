@@ -14,10 +14,11 @@ object ProfHeavy {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     Tables.all.foreach(t => Tables.load(spark, dir, t).count())
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("d2_ngram_jaccard", "d2b_ngram_capped", "d7_dedup_clusters",
-        "d8_window_dedup", "d5_embed_neardup", "d6_embed_neardup_ann",
-        "d4_simhash", "d3_minhash_lsh", "p1_clean_corpus", "e6_retention",
-        "t9_lexical_stats", "c3_source_mix", "m4_png_decode", "t3_lang_id")
+      else Seq("d7_dedup_clusters", "d6_embed_neardup_ann", "s5_pq_ann",
+        "d2b_ngram_capped", "d4_simhash", "d5_embed_neardup",
+        "d3_minhash_lsh", "d9_edit_distance", "d10_containment",
+        "d11_semantic_dedup", "t11_bpe_tokens", "p2_training_prep",
+        "m4_png_decode", "m6_wav_decode", "s4_kmeans", "p1_clean_corpus")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(n)(spark, dir).count()

@@ -53,6 +53,36 @@ class PushdownSpec extends SparkSpec {
     assert(t.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
 
+  test("MIN/MAX/COUNT push down to parquet footers on a graft scan") {
+    import spark.implicits._
+    import graft.storage.GraftTable
+    import org.apache.spark.sql.types._
+    val loc = tmpDir("aggpush") + "/t"
+    val t = GraftTable.create(spark, loc, StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("v", StringType))))
+    t.append((1 to 5000).map(i => (i, s"v$i")).toDF("id", "v"))
+    val key = "spark.sql.parquet.aggregatePushdown"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val df = spark.read.format("graft").load(loc)
+        .agg(min("id").as("mn"), max("id").as("mx"), count(lit(1)).as("c"))
+      assert(df.head() === org.apache.spark.sql.Row(1, 5000, 5000L))
+      // the delegate inherits parquet aggregate pushdown: the answer
+      // comes from footer statistics, not a data scan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [MIN(id), MAX(id), COUNT(*)]"),
+        s"expected footer-served aggregates:\n${plan.take(1500)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      GraftTable.drop(loc)
+    }
+  }
+
   test("metadata-only count: q01 reads no data columns") {
     val df = CoreQueries.q01Count(spark, sf("sf0.001"))
     val plan = df.queryExecution.executedPlan.toString
