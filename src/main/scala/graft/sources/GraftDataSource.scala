@@ -168,8 +168,15 @@ class GraftSnapshotTable(location: String, version: Long) extends Table
 
   private def spark: SparkSession = SparkSession.active
   // a snapshot is immutable: open (and validate against the committed
-  // pointer) once, not on every schema()/newScanBuilder() call
-  private lazy val snap: GraftTable = GraftTable.openVersion(spark, location, version)
+  // pointer + file existence) once, not per schema()/newScanBuilder()
+  // call — a TIMESTAMP AS OF resolving to a truncated-away snapshot
+  // fails here with the clear reclaimed-data error, not a parquet
+  // FileNotFound mid-scan
+  private lazy val snap: GraftTable = {
+    val t = GraftTable.openVersion(spark, location, version)
+    t.requireSnapshotReadable(version, GraftTable.readHistoryMeta(location, version))
+    t
+  }
 
   override def name(): String = s"graft.`$location` VERSION AS OF $version"
 

@@ -168,13 +168,8 @@ final class GraftTable private (
       s"version $version was never committed (current is ${meta.version}; " +
         "a newer archive file is a crashed commit's orphan)")
     val m = GraftTable.readHistoryMeta(location, version)
+    requireSnapshotReadable(version, m)
     val files = m.files.map(f => s"$location/$f")
-    val (fs, _) = GraftTable.fsAndPath(location)
-    files.find(f => !fs.exists(new HPath(f))).foreach { gone =>
-      throw new IllegalStateException(
-        s"snapshot v$version references $gone, reclaimed by vacuum/truncate — " +
-          "expired snapshots cannot be read")
-    }
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         m.currentSchema)
@@ -184,6 +179,21 @@ final class GraftTable private (
         .select(m.currentSchema.fields.map(f =>
           col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
     }
+  }
+
+  /** Every data file a snapshot references must still exist — reading
+    * a snapshot whose files were reclaimed (vacuum after expiry, or
+    * truncate) fails with this clear error, on the Scala and the SQL
+    * (catalog/DSv2) paths alike. */
+  private[graft] def requireSnapshotReadable(version: Long,
+      m: GraftTable.Meta): Unit = {
+    val (fs, _) = GraftTable.fsAndPath(location)
+    m.files.map(f => s"$location/$f")
+      .find(f => !fs.exists(new HPath(f))).foreach { gone =>
+        throw new IllegalStateException(
+          s"snapshot v$version references $gone, reclaimed by vacuum/truncate — " +
+            "expired snapshots cannot be read")
+      }
   }
 
   /** Drop archived snapshots, keeping the newest `keepLast` (the current

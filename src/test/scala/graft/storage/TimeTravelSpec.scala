@@ -93,6 +93,14 @@ class TimeTravelSpec extends SparkSpec {
       val ex = intercept[Exception](
         spark.sql("INSERT INTO ttcat.db.t VERSION AS OF 1 VALUES (9, 'x')"))
       assert(ex.getMessage != null)
+      // SQL read of a reclaimed snapshot fails with the clear error,
+      // not a parquet FileNotFound mid-scan
+      val t = GraftTable.open(spark,
+        spark.conf.get("spark.sql.catalog.ttcat.warehouse") + "/db/t")
+      t.truncate()
+      val ex2 = intercept[Exception](
+        spark.sql("SELECT * FROM ttcat.db.t VERSION AS OF 2").collect())
+      assert(ex2.getMessage.contains("reclaimed"), ex2.getMessage)
     } finally {
       spark.sql("DROP TABLE IF EXISTS ttcat.db.t")
       spark.conf.unset("spark.sql.catalog.ttcat")
