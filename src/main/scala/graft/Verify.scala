@@ -20,7 +20,7 @@ object Verify {
     // Queries are independent; run a few concurrently (same pattern as
     // Bench) so the correctness dump isn't serialized on small jobs.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      sys.env.getOrElse("SPARK_GRAFT_CONCURRENCY", "8").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_CONCURRENCY", "10").toInt)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
