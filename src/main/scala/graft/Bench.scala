@@ -58,7 +58,7 @@ object Bench {
       "d3_minhash_lsh", "s2_ann_ivf", "s4_kmeans", "m4_png_decode",
       "c2_decontaminate", "t11_bpe_tokens", "e5_funnel", "e8_transitions",
       "d8_window_dedup", "p1_clean_corpus", "d10_containment",
-      "d2_ngram_jaccard", "d9_edit_distance", "s1_ann_brute",
+      "d2_ngram_jaccard", "d9_edit_distance", "s1_ann_brute", "s6_range_search",
       "s3_ann_lsh", "t3_lang_id", "c1_stratified_sample",
     ).zipWithIndex.toMap
     val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>

@@ -135,7 +135,8 @@ class GraftSparkTable(location: String) extends Table
       filePruner = Some(t.prunedFiles),
       tableStats = t.stats(),
       explainMeta = () => t.explainMeta,
-      streamLocation = Some(location))
+      streamLocation = Some(location),
+      hasSynthesizedColumns = t.hasSynthesizedColumns)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -167,16 +168,12 @@ class GraftSnapshotTable(location: String, version: Long) extends Table
     with SupportsRead {
 
   private def spark: SparkSession = SparkSession.active
-  // a snapshot is immutable: open (and validate against the committed
-  // pointer + file existence) once, not per schema()/newScanBuilder()
-  // call — a TIMESTAMP AS OF resolving to a truncated-away snapshot
-  // fails here with the clear reclaimed-data error, not a parquet
-  // FileNotFound mid-scan
-  private lazy val snap: GraftTable = {
-    val t = GraftTable.openVersion(spark, location, version)
-    t.requireSnapshotReadable(version, GraftTable.readHistoryMeta(location, version))
-    t
-  }
+  // a snapshot is immutable: open once, not per schema()/newScanBuilder()
+  // call — openVersion validates the committed pointer AND file
+  // existence, so a TIMESTAMP AS OF resolving to a truncated-away
+  // snapshot fails here with the clear reclaimed-data error, not a
+  // parquet FileNotFound mid-scan
+  private lazy val snap: GraftTable = GraftTable.openVersion(spark, location, version)
 
   override def name(): String = s"graft.`$location` VERSION AS OF $version"
 

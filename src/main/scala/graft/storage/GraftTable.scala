@@ -104,6 +104,11 @@ final class GraftTable private (
   def options: GraftTableOptions = meta.options
   def defaults: Map[String, Any] = meta.defaults
 
+  /** True when any column may be SYNTHESIZED at read time for files
+    * that physically lack it (post-ALTER defaults) — footer-statistic
+    * shortcuts (aggregate pushdown) are unsound then. */
+  def hasSynthesizedColumns: Boolean = meta.defaults.nonEmpty
+
   // ---- read path -----------------------------------------------------
 
   /** DataFrame over the table, with schema-evolution projection.
@@ -1223,7 +1228,11 @@ object GraftTable {
     require(version <= committed,
       s"version $version was never committed (current is $committed; " +
         "a newer archive file is a crashed commit's orphan)")
-    new GraftTable(spark, loc, readHistoryMeta(loc, version))
+    val t = new GraftTable(spark, loc, readHistoryMeta(loc, version))
+    // validate READABILITY here, with the meta just read — the one
+    // shared chokepoint for the Scala and catalog/DSv2 snapshot paths
+    t.requireSnapshotReadable(version, t.meta)
+    t
   }
 
   /** Newest snapshot committed at or before `timestampMillis` (by the

@@ -44,16 +44,18 @@ object ParquetDelegate {
       filePruner: Option[Seq[Filter] => Seq[String]] = None,
       tableStats: Option[GraftTable.TableStats] = None,
       explainMeta: () => Map[String, String] = () => Map.empty,
-      streamLocation: Option[String] = None): ScanBuilder = {
+      streamLocation: Option[String] = None,
+      hasSynthesizedColumns: Boolean = false): ScanBuilder = {
     val spark = SparkSession.active
     val table = ParquetTable(name, spark, options, files, Some(schema),
       classOf[ParquetFileFormat])
     (exactRowCount, filePruner, tableStats, streamLocation) match {
-      case (None, None, None, None) => table.newScanBuilder(options)
+      case (None, None, None, None) if !hasSynthesizedColumns =>
+        table.newScanBuilder(options)
       case _ =>
         new GraftScanBuilder(name, spark, table.fileIndex, schema, options,
           files, exactRowCount, filePruner, tableStats, explainMeta,
-          streamLocation)
+          streamLocation, hasSynthesizedColumns)
     }
   }
 
@@ -71,8 +73,21 @@ object ParquetDelegate {
       filePruner: Option[Seq[Filter] => Seq[String]],
       tableStats: Option[GraftTable.TableStats],
       explainMeta: () => Map[String, String],
-      streamLocation: Option[String])
+      streamLocation: Option[String],
+      hasSynthesizedColumns: Boolean = false)
       extends ParquetScanBuilder(spark, fileIndex, schema, schema, options) {
+
+    /** Parquet footer aggregates (MIN/MAX/COUNT answered from file
+      * statistics) are only sound when every file physically contains
+      * every schema column. A table with ADD COLUMN ... DEFAULT history
+      * synthesizes the default for pre-ALTER files at READ time —
+      * footers know nothing about it — so aggregate pushdown is refused
+      * wholesale there; the scan falls back to the normal read path,
+      * which synthesizes correctly. */
+    override def pushAggregation(
+        aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+        : Boolean =
+      if (hasSynthesizedColumns) false else super.pushAggregation(aggregation)
 
     // Every translated data filter, not just the ones parquet agrees to
     // push: parquet rejects e.g. timestamp filters whenever the session's

@@ -74,6 +74,18 @@ class PushdownSpec extends SparkSpec {
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("PushedAggregation: [MIN(id), MAX(id), COUNT(*)]"),
         s"expected footer-served aggregates:\n${plan.take(1500)}")
+      // schema evolution makes footer aggregates UNSOUND: pre-ALTER
+      // files lack the new column, whose default is synthesized at read
+      // time — pushdown must be refused and the answer must include the
+      // synthesized values
+      t.addColumn("flag", IntegerType, default = 7)
+      val df2 = spark.read.format("graft").load(loc)
+        .agg(min("flag").as("mn"), count(lit(1)).as("c"))
+      assert(df2.head() === org.apache.spark.sql.Row(7, 5000L),
+        "the synthesized default must reach the aggregate")
+      val plan2 = df2.queryExecution.executedPlan.toString
+      assert(!plan2.contains("PushedAggregation: [MIN(flag)"),
+        s"footer aggregates must be refused under synthesized columns:\n${plan2.take(1200)}")
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
