@@ -272,9 +272,10 @@ object ParquetDelegate {
       location: String,
       readSchema: StructType,
       options: CaseInsensitiveStringMap)
-      extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+      extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+      with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
-    import org.apache.spark.sql.connector.read.streaming.Offset
+    import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
     private def spark = SparkSession.active
 
@@ -282,10 +283,25 @@ object ParquetDelegate {
       override def json: String = s"""{"version":$v}"""
     }
 
+    /** Per-trigger throttle: at most this many commit VERSIONS advance
+      * per micro-batch (`maxVersionsPerTrigger` read option) — the
+      * admission-control lever for replaying a long backlog in bounded
+      * batches instead of one giant initial load. */
+    private val maxVersionsPerTrigger: Option[Long] =
+      Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+
     override def initialOffset(): Offset = GraftOffset(0L)
 
     override def latestOffset(): Offset =
       GraftOffset(GraftTable.open(spark, location).version)
+
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val head = GraftTable.open(spark, location).version
+      val s0 = start.asInstanceOf[GraftOffset].v
+      GraftOffset(maxVersionsPerTrigger.fold(head)(m => math.min(head, s0 + m)))
+    }
+
+    override def reportLatestOffset(): Offset = latestOffset()
 
     override def deserializeOffset(json: String): Offset = {
       val m = "\\d+".r.findFirstIn(json)

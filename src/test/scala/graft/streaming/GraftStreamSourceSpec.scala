@@ -50,6 +50,28 @@ class GraftStreamSourceSpec extends SparkSpec {
     GraftTable.drop(loc)
   }
 
+  test("maxVersionsPerTrigger throttles a backlog into bounded micro-batches") {
+    import spark.implicits._
+    val loc = tmpDir("gss-throttle") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    for (i <- 1 to 4) t.append(Seq((i, s"v$i")).toDF("id", "v"))
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1")
+      .load(loc)
+      .writeStream.format("memory").queryName("gss_throttle")
+      .option("checkpointLocation", tmpDir("gss-throttle-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gss_throttle").count() === 4L)
+      // the 4-append backlog drained one commit per micro-batch: at
+      // least 4 batches ran (vs 1 giant batch unthrottled)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+    GraftTable.drop(loc)
+  }
+
   test("fresh stream on a history-expired table: oldest retained snapshot is the initial load") {
     import spark.implicits._
     val loc = tmpDir("gss-exp") + "/t"
