@@ -25,13 +25,15 @@ import graft.storage.GraftTable
   *   CALL graft.system.table_size('db.t')
   *   CALL graft.system.history('db.t')          -- snapshot versions
   *   CALL graft.system.expire_history('db.t', 3) -- keep newest 3
+  *   CALL graft.system.diff('db.t', 1, 4)         -- snapshot delta
   * }}}
   *
   * Each returns a one-row result describing what it did. */
 private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
-    Seq("compact", "vacuum", "analyze", "table_size", "history", "expire_history")
+    Seq("compact", "vacuum", "analyze", "table_size", "history",
+      "expire_history", "diff")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -48,6 +50,10 @@ private[sources] object GraftProcedures {
           if (procName == "expire_history")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("keep_last", IntegerType).build())
+          else if (procName == "diff")
+            Array(ProcedureParameter.in("table", StringType).build(),
+              ProcedureParameter.in("from_version", IntegerType).build(),
+              ProcedureParameter.in("to_version", IntegerType).build())
           else Array(ProcedureParameter.in("table", StringType).build())
         override def isDeterministic: Boolean = false
         override def call(input: InternalRow): JIterator[Scan] = {
@@ -64,7 +70,34 @@ private[sources] object GraftProcedures {
           val dir = tableDir(tableName)
           require(GraftTable.exists(dir), s"no graft table $tableName")
           val t = GraftTable.open(SparkSession.active, dir)
-          val scan: Scan = if (procName == "history") {
+          val scan: Scan = if (procName == "diff") {
+            // metadata-only snapshot diff: what a commit range changed —
+            // the audit view the snapshot archive makes one read away
+            val (va, vb) = (input.getInt(1).toLong, input.getInt(2).toLong)
+            val ma = GraftTable.readHistoryMeta(dir, va)
+            val mb = GraftTable.readHistoryMeta(dir, vb)
+            val added = mb.files.toSet -- ma.files.toSet
+            val removed = ma.files.toSet -- mb.files.toSet
+            val schema = StructType(Seq(
+              StructField("metric", StringType, nullable = false),
+              StructField("value", LongType, nullable = false)))
+            // NOT named `rows`: inside the anonymous LocalScan a bare
+            // `rows` resolves to the METHOD, and scalac compiles the
+            // self-call into an infinite loop (hit twice now)
+            val diffRows: Array[InternalRow] = Array(
+              ("rows_delta", mb.rowCount - ma.rowCount),
+              ("files_added", added.size.toLong),
+              ("files_removed", removed.size.toLong),
+              ("schema_changed",
+                if (ma.currentSchema == mb.currentSchema) 0L else 1L))
+              .map { case (m, v) =>
+                new GenericInternalRow(Array[Any](UTF8String.fromString(m), v))
+              }
+            new LocalScan {
+              override def readSchema(): StructType = schema
+              override def rows(): Array[InternalRow] = diffRows
+            }
+          } else if (procName == "history") {
             // multi-row result: one row per retained snapshot
             val schema = StructType(Seq(
               StructField("version", LongType, nullable = false),

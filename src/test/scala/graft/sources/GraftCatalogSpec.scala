@@ -82,6 +82,13 @@ class GraftCatalogSpec extends SparkSpec {
     val hist = spark.sql("CALL gcat.system.history('db1.proc_t')").collect()
     assert(hist.length === 5 && hist.map(_.getLong(0)).toSeq === (0L to 4L))
     assert(hist.last.getLong(1) === 3L, "newest snapshot has the 3 rows")
+    // metadata-only snapshot diff across the 3 inserts + compact
+    val diff = spark.sql("CALL gcat.system.diff('db1.proc_t', 1, 4)").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(diff("rows_delta") === 2L) // v1 had 1 row, v4 (compacted) has 3
+    assert(diff("files_added") >= 1L && diff("files_removed") >= 1L)
+    assert(diff("schema_changed") === 0L)
+
     val exp = spark.sql("CALL gcat.system.expire_history('db1.proc_t', 1)").collect()
     assert(exp.map(r => (r.getString(1), r.getLong(2))).toSeq ===
       Seq(("snapshots_expired", 4L)))
