@@ -108,7 +108,7 @@ object Bpe {
       else {
         // tie-break must match the distributed path's orderBy on string
         // columns, which is UTF8String BINARY order (unsigned UTF-8
-        // bytes) — Scala's String.compareTo is UTF-16 order and差
+        // bytes) — Scala's String.compareTo is UTF-16 order and
         // disagrees above the BMP
         implicit val utf8Order: Ordering[String] = utf8ByteOrder
         val ((a, b), _) = counts.toSeq

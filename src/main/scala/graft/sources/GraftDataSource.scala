@@ -184,10 +184,15 @@ class GraftSnapshotTable(location: String, version: Long) extends Table
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val t = snap
+    // A snapshot taken after ADD COLUMN ... DEFAULT synthesizes the new
+    // column for its pre-ALTER files at read time, so footer aggregates
+    // are just as unsound here as on the live table — refuse pushdown on
+    // the time-travel path too.
     ParquetDelegate.scanBuilder(name(), t.committedFiles, t.readSchema(), options,
       exactRowCount = Some(t.rowCountFromMetadata()),
       filePruner = Some(t.prunedFiles),
       tableStats = None,
-      explainMeta = () => t.explainMeta)
+      explainMeta = () => t.explainMeta,
+      hasSynthesizedColumns = t.hasSynthesizedColumns)
   }
 }

@@ -273,7 +273,8 @@ object ParquetDelegate {
       readSchema: StructType,
       options: CaseInsensitiveStringMap)
       extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-      with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+      with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+      with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
     import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
@@ -292,13 +293,39 @@ object ParquetDelegate {
 
     override def initialOffset(): Offset = GraftOffset(0L)
 
+    /** Trigger.AvailableNow target, captured at query start. Without
+      * SupportsTriggerAvailableNow, Spark falls back to a SINGLE batch
+      * (SPARK-45178) — which under maxVersionsPerTrigger would stop at
+      * the first throttled offset and silently drop the rest of the
+      * backlog. Freezing the head version here lets the multi-batch
+      * executor drain everything present at start in bounded batches,
+      * then stop. */
+    @volatile private var availableNowCap: Option[Long] = None
+
+    override def prepareForTriggerAvailableNow(): Unit =
+      availableNowCap = Some(GraftTable.open(spark, location).version)
+
     override def latestOffset(): Offset =
       GraftOffset(GraftTable.open(spark, location).version)
 
     override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-      val head = GraftTable.open(spark, location).version
+      val liveHead = GraftTable.open(spark, location).version
+      val head = availableNowCap.fold(liveHead)(math.min(liveHead, _))
       val s0 = start.asInstanceOf[GraftOffset].v
-      GraftOffset(maxVersionsPerTrigger.fold(head)(m => math.min(head, s0 + m)))
+      // A fresh stream (start = 0) on a table whose early snapshots were
+      // expired must not land its first throttled offset inside the
+      // expired prefix: addedFiles would emit nothing, the checkpoint
+      // would commit an unservable version, and the next batch's
+      // metaAt(start) would fail. Advance from just before the oldest
+      // retained version so the first batch is always the Delta-style
+      // initial load, however small the throttle.
+      val from =
+        if (s0 > 0) s0
+        else {
+          val retained = GraftTable.historyVersions(location)
+          if (retained.nonEmpty) math.max(s0, retained.head - 1) else s0
+        }
+      GraftOffset(maxVersionsPerTrigger.fold(head)(m => math.min(head, from + m)))
     }
 
     override def reportLatestOffset(): Offset = latestOffset()

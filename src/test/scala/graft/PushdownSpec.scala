@@ -95,6 +95,43 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("footer aggregates are refused on a VERSION AS OF snapshot with synthesized columns") {
+    import spark.implicits._
+    import graft.storage.GraftTable
+    import org.apache.spark.sql.types._
+    val wh = tmpDir("aggsnap-wh")
+    spark.conf.set("spark.sql.catalog.aggsnap", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.aggsnap.warehouse", wh)
+    val key = "spark.sql.parquet.aggregatePushdown"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      spark.sql("CREATE TABLE aggsnap.db.t (id INT, v STRING) USING graft")
+      spark.sql("INSERT INTO aggsnap.db.t VALUES (1, 'a'), (2, 'b')")
+      val t = GraftTable.open(spark, s"$wh/db/t")
+      // ADD COLUMN ... DEFAULT: pre-ALTER files lack `flag`; its value is
+      // synthesized at read time, so footer MIN/MAX over a snapshot taken
+      // after the ALTER is just as unsound as on the live table
+      t.addColumn("flag", IntegerType, default = 7)
+      val head = GraftTable.open(spark, s"$wh/db/t").version
+      val df = spark.sql(
+        s"SELECT min(flag) AS mn, count(1) AS c FROM aggsnap.db.t VERSION AS OF $head")
+      assert(df.head() === org.apache.spark.sql.Row(7, 2L),
+        "the synthesized default must reach the time-travel aggregate")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("PushedAggregation: [MIN(flag)"),
+        s"footer aggregates must be refused on a synthesized-column snapshot:\n${plan.take(1200)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      spark.sql("DROP TABLE IF EXISTS aggsnap.db.t")
+      spark.conf.unset("spark.sql.catalog.aggsnap")
+      spark.conf.unset("spark.sql.catalog.aggsnap.warehouse")
+    }
+  }
+
   test("metadata-only count: q01 reads no data columns") {
     val df = CoreQueries.q01Count(spark, sf("sf0.001"))
     val plan = df.queryExecution.executedPlan.toString

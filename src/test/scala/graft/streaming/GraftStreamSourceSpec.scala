@@ -92,6 +92,31 @@ class GraftStreamSourceSpec extends SparkSpec {
     GraftTable.drop(loc)
   }
 
+  test("fresh throttled stream on a history-expired table jumps past the expired prefix") {
+    import spark.implicits._
+    val loc = tmpDir("gss-exp-thr") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    for (i <- 1 to 4) t.append(Seq((i, s"v$i")).toDF("id", "v"))
+    assert(t.expireHistory(keepLast = 2) > 0) // only v3, v4 retained
+    // With maxVersionsPerTrigger=1, the naive first end would be version
+    // 1 — inside the expired prefix — so the first batch would be empty,
+    // the checkpoint would commit an unservable offset, and the next
+    // batch would fail with 'no snapshot'. The source must instead jump
+    // the fresh stream to the oldest retained version.
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1")
+      .load(loc)
+      .writeStream.format("memory").queryName("gss_exp_thr")
+      .option("checkpointLocation", tmpDir("gss-exp-thr-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), q.exception.map(_.toString).getOrElse(""))
+    assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+    assert(spark.table("gss_exp_thr").orderBy("id").select("id")
+      .collect().map(_.getInt(0)).toSeq === Seq(1, 2, 3, 4))
+    GraftTable.drop(loc)
+  }
+
   test("Trigger.AvailableNow drains the source and stops") {
     import spark.implicits._
     val loc = tmpDir("gss-an") + "/t"
