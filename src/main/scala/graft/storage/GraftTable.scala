@@ -268,8 +268,7 @@ final class GraftTable private (
     * classify as replays and silently skip. */
   def resetStreamTxn(queryId: String): Unit = withTableLock {
     refreshMeta()
-    meta = meta.copy(streamTxn = meta.streamTxn - queryId)
-    commitMeta()
+    commitMutation(base => base.copy(streamTxn = base.streamTxn - queryId))
   }
 
   private def appendInternal(df: DataFrame,
@@ -380,21 +379,33 @@ final class GraftTable private (
   }
 
   private def appendLocked(df: DataFrame, txn: Option[(String, Long)]): Long = {
+    val schemaAtWrite = meta.currentSchema
     val batchDir = writeBatchDir(alignToSchema(df))
     val newFiles = listParquetFiles(batchDir)
     val infos = newFiles.map(f => relativize(f, location) -> footerInfo(f))
     val n = infos.map(_._2._1).sum
-    meta = meta.copy(
-      files = meta.files ++ infos.map(_._1),
-      rowCount = meta.rowCount + n,
-      nextBatchId = meta.nextBatchId + 1,
-      fileStats = meta.fileStats ++ infos.collect {
-        case (rel, (_, st)) if st.nonEmpty => rel -> st
-      },
-      streamTxn = txn.fold(meta.streamTxn) { case (qid, bid) =>
-        meta.streamTxn + (qid -> bid)
-      })
-    commitMeta()
+    commitMutation { base =>
+      // the batch was written against schemaAtWrite; if a concurrent
+      // writer ALTERed between our write and our claim, committing the
+      // old-shape files could corrupt reads (e.g. a type change) — fail
+      // clearly; the orphan batch dir is vacuum's to reclaim
+      require(base.currentSchema == schemaAtWrite,
+        s"concurrent schema change during append to $location — retry the append")
+      txn.foreach { case (qid, bid) =>
+        require(!base.streamTxn.get(qid).exists(_ >= bid),
+          s"stream batch $bid for query $qid was committed concurrently")
+      }
+      base.copy(
+        files = base.files ++ infos.map(_._1),
+        rowCount = base.rowCount + n,
+        nextBatchId = base.nextBatchId + 1,
+        fileStats = base.fileStats ++ infos.collect {
+          case (rel, (_, st)) if st.nonEmpty => rel -> st
+        },
+        streamTxn = txn.fold(base.streamTxn) { case (qid, bid) =>
+          base.streamTxn + (qid -> bid)
+        })
+    }
     n
   }
 
@@ -603,15 +614,29 @@ final class GraftTable private (
       val newFiles = listParquetFiles(batchDir)
       val infos = newFiles.map(f => relativize(f, location) -> footerInfo(f))
       val n = infos.map(_._2._1).sum
-      require(n == meta.rowCount,
-        s"compaction row count mismatch: rewrote $n of ${meta.rowCount} rows")
-      meta = meta.copy(
-        files = infos.map(_._1).toVector,
-        nextBatchId = meta.nextBatchId + 1,
-        fileStats = infos.collect {
-          case (rel, (_, st)) if st.nonEmpty => rel -> st
-        }.toMap)
-      commitMeta()
+      val before = meta
+      require(n == before.rowCount,
+        s"compaction row count mismatch: rewrote $n of ${before.rowCount} rows")
+      commitMutation { base =>
+        // the rewrite covers exactly `before`'s files; a rebase may only
+        // CARRY FORWARD files appended since (their rows are not in the
+        // rewrite). Anything else — a concurrent truncate, compaction,
+        // or ALTER — invalidates the rewrite: abort, leaving the new
+        // batch dir as a vacuum orphan.
+        require(base.currentSchema == before.currentSchema,
+          s"concurrent schema change during compaction of $location")
+        require(before.files.forall(base.files.contains),
+          s"concurrent truncate/compaction of $location — aborting this compaction")
+        val beforeSet = before.files.toSet
+        val kept = base.files.filterNot(beforeSet)
+        val keptSet = kept.toSet
+        base.copy(
+          files = infos.map(_._1).toVector ++ kept,
+          nextBatchId = base.nextBatchId + 1,
+          fileStats = infos.collect {
+            case (rel, (_, st)) if st.nonEmpty => rel -> st
+          }.toMap ++ base.fileStats.filter { case (f, _) => keptSet(f) })
+      }
       meta.files.size
     }
   }
@@ -649,17 +674,30 @@ final class GraftTable private (
     * table definition, re-init empty. */
   def truncate(): Unit = withTableLock {
     refreshMeta()
-    meta = meta.copy(files = Vector.empty, rowCount = 0L, fileStats = Map.empty)
-    commitMeta()
+    commitMutation(base =>
+      base.copy(files = Vector.empty, rowCount = 0L, fileStats = Map.empty))
+    // TRUNCATE physically deletes data (reference semantics) — but only
+    // the batch dirs some snapshot UP TO the truncate commit references.
+    // A concurrent appender's not-yet-committed batch dir is referenced
+    // by nothing yet, so it survives and that append's CAS-rebased
+    // commit (onto the empty post-truncate state) stays intact; deleting
+    // the whole data dir here would corrupt it. Earlier snapshots stay
+    // ARCHIVED — still listed in history() as lineage and still diffable
+    // (a stream at a pre-truncate offset sees the truncate commit drop
+    // to zero files and resumes with post-truncate appends) — but
+    // reading one fails at the file-existence check with the
+    // reclaimed-by-truncate error. expireHistory cleans them up.
     val (fs, _) = fsAndPath(location)
-    fs.delete(new HPath(s"$location/data"), true)
-    // TRUNCATE physically deletes data (reference semantics). Earlier
-    // snapshots stay ARCHIVED — still listed in history() as lineage and
-    // still diffable (a stream at a pre-truncate offset sees the
-    // truncate commit drop to zero files and resumes with post-truncate
-    // appends) — but reading one fails at the file-existence check with
-    // the reclaimed-by-truncate error. expireHistory cleans them up.
-    ()
+    val truncateVersion = meta.version
+    GraftTable.historyVersions(location)
+      .filter(_ < truncateVersion)
+      .flatMap { v =>
+        try GraftTable.readHistoryMeta(location, v).files
+        catch { case _: Exception => Seq.empty } // partial claim: no files
+      }
+      .map(f => new HPath(s"$location/$f").getParent)
+      .distinct
+      .foreach(dir => fs.delete(dir, true))
   }
 
   // ---- schema evolution (ALTER TABLE, cstore_fdw.c:717-769) ----------
@@ -697,9 +735,11 @@ final class GraftTable private (
     * half-altered table behind a failed multi-change ALTER). */
   def alterAll(changes: Seq[GraftTable.SchemaChange]): Unit = withTableLock {
     refreshMeta()
-    val next = changes.foldLeft(meta)(GraftTable.applyChange)
-    meta = next
-    commitMeta()
+    // validate eagerly (a bad change must throw before any commit), then
+    // commit via CAS — the rebase re-applies the changes to whatever
+    // state a concurrent writer committed meanwhile
+    changes.foldLeft(meta)(GraftTable.applyChange)
+    commitMutation(base => changes.foldLeft(base)(GraftTable.applyChange))
   }
 
   // ---- ANALYZE / statistics (cstore_fdw.c:2061-2260, N14-N15) --------
@@ -811,10 +851,51 @@ final class GraftTable private (
   /** Absolute paths of the committed data files (for the DSv2 scan). */
   def committedFiles: Seq[String] = dataFiles()
 
-  private def commitMeta(): Unit = {
-    meta = meta.copy(version = meta.version + 1)
-    GraftTable.writeHistorySnapshot(location, meta)
-    writeMetaAtomic(location, meta)
+  /** Publish a metadata mutation via compare-and-swap on the version
+    * log — the object-store-safe commit protocol.
+    *
+    * The COMMIT POINT is the exclusive create of the history snapshot
+    * `_graft_history/v(N+1).json`: per the Hadoop `FileSystem` contract,
+    * `create(path, overwrite = false)` fails when the path exists, so of
+    * two writers racing the same next version exactly one wins. The
+    * loser re-reads the freshest committed state and REBASES — `mutate`
+    * is a function of the base metadata, not an absolute new state, so
+    * two concurrent appends compose instead of the later one silently
+    * dropping the earlier one's file list (the lost update the
+    * reference's table lock prevents, `cstore_fdw.c:560-564`, and that
+    * plain rename-replace cannot prevent on a lock-less filesystem).
+    *
+    * The `_graft_meta.json` pointer is demoted to a read CACHE: it is
+    * written after the claim, best-effort, and [[GraftTable.readMeta]]
+    * walks the version log forward past it — so a lagging or regressed
+    * pointer (two pointer renames landing out of order) costs a probe,
+    * never a lost commit.
+    *
+    * On `file:` the OS writer lock already serializes writers, so the
+    * claim never collides; on lock-less filesystems (object stores,
+    * HDFS) the CAS is the serialization. `mutate` may throw to abort
+    * (nothing is committed); it runs against a fresh base on every
+    * attempt, so it must validate its own preconditions (e.g. schema
+    * unchanged) against the base it is given. */
+  private def commitMutation(mutate: GraftTable.Meta => GraftTable.Meta): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      if (attempts > 0) {
+        refreshMeta()
+        Thread.sleep(math.min(25L * attempts, 250L))
+      }
+      val next = mutate(meta).copy(version = meta.version + 1)
+      if (GraftTable.tryClaimVersion(location, next)) {
+        GraftTable.writeMetaAtomic(location, next)
+        meta = next
+        done = true
+      } else {
+        attempts += 1
+        require(attempts < 50,
+          s"gave up committing to $location after $attempts version-claim collisions")
+      }
+    }
   }
 }
 
@@ -950,12 +1031,21 @@ object GraftTable {
   // Two layers: a JVM monitor per table URI (java.nio FileLocks are held
   // per-JVM, so a second lock attempt from another thread would throw
   // OverlappingFileLockException instead of blocking), then — for local
-  // tables — an OS file lock for writers in other processes. Non-POSIX
-  // filesystems (object stores, HDFS) have no lock primitive; there the
-  // monitor serializes writers within this JVM and cross-process
-  // single-writer discipline is the caller's (documented, matching the
-  // reference's own caveat, `TODO.md:25-28`).
+  // tables — an OS file lock for writers in other processes. On
+  // filesystems with no lock primitive (object stores, HDFS) the locks
+  // are only a CONTENTION optimization: correctness of concurrent
+  // commits comes from the CAS version-claim in [[commitMutation]], so
+  // unlike the reference (single-writer caveat, `TODO.md:25-28`) two
+  // unserialized writers never lose a commit.
   private val jvmLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Test seam: treat the current thread as a SEPARATE PROCESS — skip
+    * the JVM monitor and OS lock so a spec can drive two writers into
+    * the CAS commit protocol's collision path inside one JVM (the
+    * object-store two-writer scenario, otherwise unreachable in-process
+    * because the monitor serializes first). */
+  private[storage] val simulateSeparateProcess: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
 
   /** Serializes the session-wide `outputTimestampType` flip across ALL
     * graft writers in this JVM (the per-table lock can't — see
@@ -963,6 +1053,7 @@ object GraftTable {
   private[storage] val writeConfLock = new Object
 
   private[storage] def withWriterLock[T](location: String)(f: => T): T = {
+    if (simulateSeparateProcess.get()) return f
     val uri = new HPath(location).toUri
     val local = uri.getScheme == null || uri.getScheme == "file"
     val key =
@@ -1207,7 +1298,9 @@ object GraftTable {
     require(!fs.exists(metaPath(loc)), s"table already exists at $loc")
     fs.mkdirs(dir)
     val meta = Meta(schema, options, Vector.empty, 0L, Map.empty, 0L)
-    writeHistorySnapshot(loc, meta)
+    // v0 goes through the same exclusive claim as every commit, so two
+    // concurrent CREATEs on a lock-less filesystem cannot both succeed
+    require(tryClaimVersion(loc, meta), s"table already exists at $loc")
     writeMetaAtomic(loc, meta)
     new GraftTable(spark, loc, meta)
   }
@@ -1301,12 +1394,58 @@ object GraftTable {
   private[storage] def historyPath(location: String, version: Long): HPath =
     new HPath(historyDir(location), f"v$version%020d.json")
 
-  /** Archive a committed metadata state for snapshot reads. */
-  private[storage] def writeHistorySnapshot(location: String, meta: Meta): Unit = {
+  /** Atomically claim `meta.version` in the version log — the commit
+    * point. Exclusive create (`overwrite = false`) is the one Hadoop
+    * `FileSystem` primitive whose contract guarantees exactly one of
+    * two racing writers succeeds, on filesystems with no lock or
+    * rename-no-replace primitive at all. Returns false when the version
+    * is already claimed (a concurrent writer won the race); the caller
+    * re-reads and rebases.
+    *
+    * A claim whose content never finished (writer crashed between
+    * create and close) would wedge the version forever, so a collision
+    * against an UNPARSEABLE claim older than the janitor grace
+    * (`spark.graft.commit.claimGraceMs`, default 10 min — far beyond
+    * any metadata write) is reclaimed: the partial file is removed and
+    * the claim retried once. A parseable claim is never touched — it is
+    * a real commit. */
+  private[storage] def tryClaimVersion(location: String, meta: Meta): Boolean = {
     val (fs, _) = fsAndPath(location)
     fs.mkdirs(historyDir(location))
-    writeFileAtomic(location, historyPath(location, meta.version), renderMeta(meta))
+    val path = historyPath(location, meta.version)
+    def attempt(): Boolean =
+      try {
+        val out = fs.create(path, false)
+        try out.write(renderMeta(meta).getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case e: java.io.IOException
+            if e.getMessage != null &&
+              e.getMessage.toLowerCase.contains("already exists") => false
+      }
+    attempt() || (isStaleBrokenClaim(fs, path) && {
+      fs.delete(path, false)
+      attempt()
+    })
   }
+
+  /** True iff `path` is an abandoned partial claim: unparseable AND not
+    * recently modified (a live writer is still between create and
+    * close only for milliseconds). */
+  private def isStaleBrokenClaim(fs: FileSystem, path: HPath): Boolean =
+    try {
+      val grace = SparkSession.getActiveSession
+        .flatMap(s => s.conf.getOption("spark.graft.commit.claimGraceMs"))
+        .map(_.toLong).getOrElse(600000L)
+      val st = fs.getFileStatus(path)
+      (System.currentTimeMillis() - st.getModificationTime > grace) && {
+        try { parseJsonObject(readFileFully(fs, path)); false }
+        catch { case _: Exception => true }
+      }
+    } catch { case _: Exception => false }
 
   /** Versions with an archived snapshot, ascending. */
   def historyVersions(location: String): Seq[Long] = {
@@ -1439,7 +1578,35 @@ object GraftTable {
       }
     }
     require(m.get(MagicKey).contains(Magic), s"bad magic in $path")
-    readMetaFromFields(m)
+    walkToHead(location, readMetaFromFields(m))
+  }
+
+  /** Advance a pointer-cached state to the committed HEAD of the
+    * version log. The pointer file lags the log whenever a writer
+    * crashed between claim and pointer write, or two pointer renames
+    * landed out of order — both benign under the CAS protocol, because
+    * the log is the truth. Each step fully parses the next snapshot: an
+    * unparseable file is an in-flight (or crashed) claim, i.e. NOT yet
+    * committed, and the walk stops below it. In the steady state this
+    * costs one negative existence probe. */
+  private def walkToHead(location: String, from: Meta): Meta = {
+    val (fs, _) = fsAndPath(location)
+    var cur = from
+    var advancing = true
+    while (advancing) {
+      val hp = historyPath(location, cur.version + 1)
+      advancing =
+        try {
+          if (!fs.exists(hp)) false
+          else {
+            val m = parseJsonObject(readFileFully(fs, hp))
+            require(m.get(MagicKey).contains(Magic), s"bad magic in $hp")
+            cur = readMetaFromFields(m)
+            true
+          }
+        } catch { case _: Exception => false }
+    }
+    cur
   }
 
   /** Build a Meta from a parsed metadata JSON object (shared by the

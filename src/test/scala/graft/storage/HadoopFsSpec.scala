@@ -118,6 +118,81 @@ class HadoopFsSpec extends SparkSpec {
     }
   }
 
+  test("CAS commit: concurrent unserialized writers on a lock-less scheme never lose an append") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    import spark.implicits._
+    val loc = "mock:" + tmpDir("graft-cas") + "/tbl"
+    GraftTable.create(spark, loc, schema)
+    val writers = 6
+    val rowsEach = 50
+    val pool = Executors.newFixedThreadPool(writers)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (0 until writers).map { w =>
+        Future {
+          // each writer poses as a separate PROCESS: no JVM monitor, no
+          // OS lock (mock: has none anyway) — commit safety must come
+          // entirely from the exclusive version claim + rebase
+          GraftTable.simulateSeparateProcess.set(true)
+          try {
+            val t = GraftTable.open(spark, loc)
+            t.append((0 until rowsEach).map(i => (w * rowsEach + i, s"w$w"))
+              .toDF("id", "name").coalesce(1))
+          } finally GraftTable.simulateSeparateProcess.set(false)
+        }
+      }
+      Await.result(Future.sequence(futures), 180.seconds)
+    } finally pool.shutdown()
+    val t = GraftTable.open(spark, loc)
+    // no lost update: every append's files and rows are in the final state
+    assert(t.version === writers.toLong, "every append claimed its own version")
+    assert(t.rowCountFromMetadata() === writers.toLong * rowsEach)
+    assert(t.read().count() === writers.toLong * rowsEach)
+    assert(t.read().select("id").distinct().count() === writers.toLong * rowsEach)
+    val files = t.committedFiles
+    assert(files.distinct.size === files.size)
+    // the version log is contiguous and row counts strictly grow — each
+    // rebase composed with (not clobbered) its predecessor
+    val history = t.history()
+    assert(history.map(_._1) === (0L to writers.toLong))
+    assert(history.map(_._2) === (0 to writers).map(_.toLong * rowsEach))
+    GraftTable.drop(loc)
+  }
+
+  test("a lagging meta pointer is healed by the version-log walk") {
+    import spark.implicits._
+    val loc = "mock:" + tmpDir("graft-lag") + "/tbl"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(Seq((1, "a")).toDF("id", "name"))
+    t.append(Seq((2, "b")).toDF("id", "name"))
+    val (fs, _) = GraftTable.fsAndPath(loc)
+    // regress the pointer cache to v1 — what an out-of-order pointer
+    // rename (or a crash between claim and pointer write) leaves behind
+    val v1 = GraftTable.historyPath(loc, 1L)
+    val stale = {
+      val in = fs.open(v1)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](8192)
+        var n = in.read(b)
+        while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+        buf.toByteArray
+      } finally in.close()
+    }
+    val out = fs.create(new org.apache.hadoop.fs.Path(loc, "_graft_meta.json"), true)
+    try out.write(stale) finally out.close()
+    // the log, not the pointer, is the truth: readers walk to the head
+    val reopened = GraftTable.open(spark, loc)
+    assert(reopened.version === 2L, "reader must walk past the lagging pointer")
+    assert(reopened.read().count() === 2L)
+    // and the next commit re-advances the pointer cache
+    reopened.append(Seq((3, "c")).toDF("id", "name"))
+    assert(GraftTable.open(spark, loc).version === 3L)
+    GraftTable.drop(loc)
+  }
+
   test("multi-change ALTER is all-or-nothing") {
     import spark.implicits._
     val loc = tmpDir("graft-alter-tx") + "/tbl"

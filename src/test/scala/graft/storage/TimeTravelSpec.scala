@@ -108,19 +108,36 @@ class TimeTravelSpec extends SparkSpec {
     }
   }
 
-  test("a crashed commit's orphan snapshot is invisible until committed") {
+  test("a crashed commit's partial claim is invisible, and a stale one is reclaimed") {
+    import org.apache.spark.sql.functions.lit
     val t = mk("tt-orphan")
-    // simulate the crash window: snapshot v(n+1) written, pointer not —
-    // exactly what commitMeta's history-first ordering can leave behind
-    val orphanV = t.version + 1
-    val orphanMeta = GraftTable.readHistoryMeta(t.location, t.version)
-      .copy(version = orphanV, rowCount = 999L)
-    GraftTable.writeHistorySnapshot(t.location, orphanMeta)
-    assert(t.history().map(_._1).max === t.version,
-      "uncommitted snapshot must not be listed")
-    intercept[IllegalArgumentException] { t.readVersion(orphanV) }
+    // simulate the crash window of the CAS protocol: version claimed
+    // (file created) but content never finished — an unparseable
+    // partial file at v(n+1)
+    val headV = t.version
+    val orphanV = headV + 1
+    val (fs, _) = GraftTable.fsAndPath(t.location)
+    val partial = GraftTable.historyPath(t.location, orphanV)
+    val out = fs.create(partial, false)
+    try out.write("""{"graft_magic": "graft_cst""".getBytes("UTF-8"))
+    finally out.close()
+    // not committed: invisible to history, unreadable, not a timestamp target
+    assert(t.history().map(_._1).max === headV,
+      "a partial claim must not be listed as committed")
+    intercept[Exception] { t.readVersion(orphanV) }
     assert(GraftTable.versionAsOfTimestamp(t.location,
-      System.currentTimeMillis() + 60000) === t.version)
+      System.currentTimeMillis() + 60000) === headV)
+    // a FRESH partial claim is never reclaimed (it may be a live commit
+    // mid-write — the janitor only touches STALE unparseable files);
+    // once stale, it is a crashed writer's residue: the janitor
+    // reclaims it and the commit proceeds
+    fs.setTimes(partial, System.currentTimeMillis() - 3600 * 1000L, -1)
+    spark.conf.set("spark.graft.commit.claimGraceMs", "60000")
+    try {
+      t.append(t.read().limit(1).withColumn("id", lit(777)))
+      assert(t.version === orphanV, "the reclaimed version is used by the next commit")
+      assert(t.read().filter("id = 777").count() === 1L)
+    } finally spark.conf.unset("spark.graft.commit.claimGraceMs")
     GraftTable.drop(t.location)
   }
 
