@@ -119,14 +119,28 @@ object Dedup {
     * or any append) changes the fingerprint, so caches keyed on it can
     * never serve stale results. */
   private[operators] def fingerprint(dir: String, table: String): String = {
-    import scala.jdk.CollectionConverters._
-    val p = java.nio.file.Paths.get(dir, s"$table.parquet")
-    if (!java.nio.file.Files.exists(p)) "absent"
-    else java.nio.file.Files.walk(p).iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .map(f => s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
-        s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
-      .toSeq.sorted.mkString("|").hashCode.toHexString
+    // resolved through the Hadoop FileSystem, not java.nio: an
+    // hdfs://-hosted or s3a://-hosted corpus must fingerprint its real
+    // files, or a regenerated remote corpus would silently serve every
+    // fingerprint-keyed cache (d2/d4/d5/d7) stale results
+    val (fs, _) = graft.storage.GraftTable.fsAndPath(dir)
+    val p = new org.apache.hadoop.fs.Path(dir, s"$table.parquet")
+    if (!fs.exists(p)) "absent"
+    else {
+      // listStatus recursion, not listFiles: LocatedFileStatus eagerly
+      // loads permissions through java.io.File, which rejects
+      // non-`file:` URIs on local-backed test schemes
+      def walk(d: org.apache.hadoop.fs.Path): Seq[String] =
+        fs.listStatus(d).toSeq.flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else Seq(s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        }
+      val st = fs.getFileStatus(p)
+      val files =
+        if (st.isDirectory) walk(p)
+        else Seq(s"${p.getName}:${st.getLen}:${st.getModificationTime}")
+      files.sorted.mkString("|").hashCode.toHexString
+    }
   }
 
   /** LRU cache of persisted DataFrames keyed on (session, dir, corpus

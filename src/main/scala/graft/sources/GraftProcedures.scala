@@ -22,6 +22,7 @@ import graft.storage.GraftTable
   *   CALL graft.system.compact('db.t')   -- merge small files
   *   CALL graft.system.vacuum('db.t')    -- reclaim orphaned batch dirs
   *   CALL graft.system.analyze('db.t')   -- collect planner stats
+  *   CALL graft.system.analyze_sample('db.t', 0.1) -- sampled stats
   *   CALL graft.system.table_size('db.t')
   *   CALL graft.system.history('db.t')          -- snapshot versions
   *   CALL graft.system.expire_history('db.t', 3) -- keep newest 3
@@ -32,8 +33,8 @@ import graft.storage.GraftTable
 private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
-    Seq("compact", "vacuum", "analyze", "table_size", "history",
-      "expire_history", "diff")
+    Seq("compact", "vacuum", "analyze", "analyze_sample", "table_size",
+      "history", "expire_history", "diff")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -54,6 +55,9 @@ private[sources] object GraftProcedures {
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("from_version", IntegerType).build(),
               ProcedureParameter.in("to_version", IntegerType).build())
+          else if (procName == "analyze_sample")
+            Array(ProcedureParameter.in("table", StringType).build(),
+              ProcedureParameter.in("fraction", DoubleType).build())
           else Array(ProcedureParameter.in("table", StringType).build())
         override def isDeterministic: Boolean = false
         override def call(input: InternalRow): JIterator[Scan] = {
@@ -115,6 +119,10 @@ private[sources] object GraftProcedures {
               case "compact" => ("files_after_compaction", t.compact().toLong)
               case "vacuum" => ("orphan_dirs_reclaimed", t.vacuum().toLong)
               case "analyze" => ("rows_analyzed", t.analyze().rowCount)
+              case "analyze_sample" =>
+                // the reference's ANALYZE design point: stats from a
+                // sample, row count exact (cstore_fdw.c:2098-2260)
+                ("rows_analyzed", t.analyze(input.getDouble(1)).rowCount)
               case "table_size" => ("size_bytes", t.tableSize())
               case "expire_history" =>
                 ("snapshots_expired", t.expireHistory(input.getInt(1)).toLong)

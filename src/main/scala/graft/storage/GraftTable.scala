@@ -772,23 +772,7 @@ final class GraftTable private (
     }
     val df = read()
     val fields = meta.currentSchema.fields
-    def orderable(dt: DataType): Boolean = dt match {
-      case _: ArrayType | _: StructType | _: MapType | BinaryType => false
-      case _ => true
-    }
-    val aggs = fields.flatMap { f =>
-      val c = col(f.name)
-      val mins =
-        if (orderable(f.dataType))
-          Seq(min(c).cast("string").as(s"min_${f.name}"),
-            max(c).cast("string").as(s"max_${f.name}"))
-        else
-          Seq(lit(null).cast("string").as(s"min_${f.name}"),
-            lit(null).cast("string").as(s"max_${f.name}"))
-      mins ++ Seq(
-        approx_count_distinct(c).as(s"ndv_${f.name}"),
-        sum(when(c.isNull, 1L).otherwise(0L)).as(s"nulls_${f.name}"))
-    }
+    val aggs = columnAggs(fields)
     val stats = if (meta.rowCount == 0) {
       GraftTable.TableStats(0L, tableSize(), fields.map(f =>
         f.name -> GraftTable.ColumnStats(null, null, 0L, 0L)).toMap)
@@ -802,6 +786,102 @@ final class GraftTable private (
           r.getAs[Long](s"nulls_${f.name}"))
       }.toMap)
     }
+    GraftTable.writeStatsAtomic(location, stats)
+    stats
+  }
+
+  /** One min/max/ndv/nulls aggregate column set per field. Columns
+    * without an ordering (arrays/structs/binary) get null min/max — the
+    * reference's comparator-less escape hatch
+    * (`cstore_writer.c:151-167`). */
+  private def columnAggs(fields: Array[StructField]): Array[Column] = {
+    def orderable(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: StructType | _: MapType | BinaryType => false
+      case _ => true
+    }
+    fields.flatMap { f =>
+      val c = col(f.name)
+      val mins =
+        if (orderable(f.dataType))
+          Seq(min(c).cast("string").as(s"min_${f.name}"),
+            max(c).cast("string").as(s"max_${f.name}"))
+        else
+          Seq(lit(null).cast("string").as(s"min_${f.name}"),
+            lit(null).cast("string").as(s"max_${f.name}"))
+      mins ++ Seq(
+        approx_count_distinct(c).as(s"ndv_${f.name}"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"nulls_${f.name}"))
+    }
+  }
+
+  /** Sampled ANALYZE — the reference's actual design point: its ANALYZE
+    * reservoir-samples rows off the scan (`cstore_fdw.c:2098-2260`,
+    * Vitter's algorithm) instead of reading the whole table. At 100 TB
+    * a full-corpus ANALYZE is a complete table read; this variant scans
+    * a deterministic subset of FILES (whole tasks saved, the columnar
+    * analog of the reference's block-grain sampling) and thins rows
+    * within them to the requested overall fraction.
+    *
+    * What stays exact and what is estimated:
+    *  - row count: EXACT from metadata, never sampled (as the reference:
+    *    its sampler returns totalrows from the footer, not the sample);
+    *  - null counts: sample null fraction scaled to the table;
+    *  - NDV: two-regime estimator — a sample that still looks
+    *    all-distinct (≥ 90% of its non-null rows) extrapolates linearly
+    *    (the column scales with the table: ids, keys); one that
+    *    saturated is reported as observed (low-cardinality domains are
+    *    fully seen by any reasonable sample);
+    *  - min/max: the sample's — may narrow the true range, same as any
+    *    row-sampled ANALYZE (acceptable for selectivity estimation; the
+    *    zone maps, which must be SOUND, come from footers at write time
+    *    and are not touched by ANALYZE).
+    *
+    * The file subset is chosen by a stable hash of the file name, so
+    * repeated sampled ANALYZEs of an unchanged table read the same
+    * files and produce comparable stats. */
+  def analyze(sampleFraction: Double): GraftTable.TableStats = synchronized {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    refreshMeta()
+    if (sampleFraction == 1.0 || meta.rowCount == 0L || meta.files.isEmpty)
+      return analyze(noScan = false)
+    val fields = meta.currentSchema.fields
+    val nPick = math.max(1, math.ceil(meta.files.size * sampleFraction).toInt)
+    val picked = meta.files
+      .sortBy(f => scala.util.hashing.MurmurHash3.stringHash(f)).take(nPick)
+    def rowsOf(f: String): Long = meta.fileStats.get(f)
+      .flatMap(_.values.headOption).map(_.rows)
+      .getOrElse(meta.rowCount / meta.files.size)
+    val pickedRows = math.max(1L, picked.map(rowsOf).sum)
+    // thin rows inside the picked files so the overall sampled fraction
+    // matches the request even when file sizes are skewed
+    val thin = math.min(1.0,
+      sampleFraction * meta.rowCount.toDouble / pickedRows.toDouble)
+    val base = spark.read.schema(readSchema())
+      .parquet(picked.map(f => s"$location/$f"): _*)
+      .select(fields.map(f => col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
+    val df =
+      if (thin < 1.0) base.sample(withReplacement = false, thin, seed = 42L)
+      else base
+    val aggs = columnAggs(fields) :+ count(lit(1)).as("__ns")
+    val r = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect().head
+    val ns = r.getAs[Long]("__ns")
+    if (ns == 0L) return analyze(noScan = false) // degenerate sample
+    val scale = meta.rowCount.toDouble / ns
+    val stats = GraftTable.TableStats(meta.rowCount, tableSize(), fields.map { f =>
+      val nullsS = r.getAs[Long](s"nulls_${f.name}")
+      val ndvS = r.getAs[Long](s"ndv_${f.name}")
+      val nonNullS = ns - nullsS
+      val ndv =
+        if (nonNullS > 0 && ndvS >= 0.9 * nonNullS)
+          math.min(meta.rowCount, math.round(ndvS * scale))
+        else ndvS
+      f.name -> GraftTable.ColumnStats(
+        r.getAs[String](s"min_${f.name}"),
+        r.getAs[String](s"max_${f.name}"),
+        ndv,
+        math.min(meta.rowCount, math.round(nullsS * scale)))
+    }.toMap)
     GraftTable.writeStatsAtomic(location, stats)
     stats
   }

@@ -270,6 +270,31 @@ class DedupScaleSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(spark, dir, Some(1L)).collect().isEmpty)
   }
 
+  test("fingerprint resolves through the Hadoop FS: a rewritten remote corpus misses the cache") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mock.impl", classOf[graft.storage.MockFs].getName)
+    val dir = "mock:" + tmpDir("graft-remote-fp")
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    write(Seq(1L -> dup, 2L -> dup, 3L -> "unrelated words entirely different"))
+    // the old java.nio walk returned "absent" for any non-local URI, so
+    // every generation of a remote corpus shared one cache key
+    val fp1 = Dedup.fingerprint(dir, "documents")
+    assert(fp1 !== "absent", "remote corpus must fingerprint its real files")
+    assert(Dedup.ngramJaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    // regenerate the corpus in place: new fingerprint, fresh results —
+    // not the previous generation's cached pairs
+    write(Seq(1L -> dup, 2L -> "now unique too", 4L -> dup, 5L -> dup))
+    assert(Dedup.fingerprint(dir, "documents") !== fp1)
+    assert(Dedup.ngramJaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 4L), (1L, 5L), (4L, 5L)))
+    assert(Dedup.fingerprint(dir, "nonexistent") === "absent")
+  }
+
   test("d2b oracle-equivalence precondition: corpus max shingle freq below cap") {
     // d2b's oracle assumes d2b == d2 on the test corpus; this pins the
     // precondition so a regenerated corpus that violates it fails loudly

@@ -86,6 +86,79 @@ class GraftStatsSpec extends SparkSpec {
     GraftTable.drop(loc)
   }
 
+  test("sampled ANALYZE: stats within tolerance of the full scan, broadcast flip intact") {
+    val loc = tmpDir("gstats-sample") + "/fact"
+    import spark.implicits._
+    val t = GraftTable.create(spark, loc, StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("grp", IntegerType),
+      StructField("n", IntegerType),
+      StructField("pad", StringType))))
+    // several files so file-grain sampling has something to choose from;
+    // n is null on ~25% of rows to exercise null-count scaling
+    for (b <- 0 until 8) {
+      t.append((0 until 2500).map { i =>
+        val id = b * 2500 + i
+        (id, id % 50, if (id % 4 == 0) null.asInstanceOf[Integer]
+          else Integer.valueOf(id % 100), "x" * 100)
+      }.toDF("k", "grp", "n", "pad"))
+    }
+    val full = t.analyze()
+    val sampled = t.analyze(sampleFraction = 0.25)
+    // the row count is EXACT (from metadata), never sampled
+    assert(sampled.rowCount === 20000L)
+    // scaled null count within 20% of truth (5000)
+    val nNulls = sampled.columns("n").nullCount
+    assert(nNulls > 4000L && nNulls < 6000L, s"scaled null count $nNulls")
+    // low-cardinality domains are fully seen by the sample (saturation
+    // regime of the NDV estimator)
+    assert(sampled.columns("grp").ndv === full.columns("grp").ndv)
+    // high-cardinality columns extrapolate linearly: k is all-distinct
+    val kNdv = sampled.columns("k").ndv
+    assert(kNdv > 15000L && kNdv <= 20000L, s"extrapolated ndv $kNdv")
+    // and the planner still flips the filtered join to broadcast off
+    // SAMPLED stats — the reference ANALYZE's whole purpose
+    def filteredSize(): BigInt = {
+      val df = spark.read.format("graft").load(loc).filter(col("grp") === 3)
+      df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.stats.sizeInBytes
+      }.head
+    }
+    val postSize = filteredSize()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (postSize * 2).toString)
+    try {
+      val big = spark.range(200000).toDF("k2")
+      val joined = big.join(
+        spark.read.format("graft").load(loc).filter(col("grp") === 3), $"k2" === $"k")
+      assert(joined.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        "filtered graft side should broadcast off sampled stats")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    intercept[IllegalArgumentException] { t.analyze(sampleFraction = 0.0) }
+    intercept[IllegalArgumentException] { t.analyze(sampleFraction = 1.5) }
+    GraftTable.drop(loc)
+  }
+
+  test("CALL graft.system.analyze_sample collects sampled stats") {
+    val wh = tmpDir("gstats-proc-wh")
+    spark.conf.set("spark.sql.catalog.gsp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsp.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE gsp.db")
+      spark.sql("CREATE TABLE gsp.db.t (a INT, b STRING) USING graft")
+      spark.sql("INSERT INTO gsp.db.t SELECT id, concat('v', id) FROM range(1000)")
+      val out = spark.sql("CALL gsp.system.analyze_sample('db.t', 0.5)").collect()
+      assert(out.head.getLong(2) === 1000L, "rows_analyzed is the exact count")
+      val st = GraftTable.open(spark, s"$wh/db/t").stats()
+      assert(st.exists(_.rowCount == 1000L))
+      assert(st.get.columns("a").ndv > 0L)
+      spark.sql("DROP TABLE gsp.db.t")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gsp")
+      spark.conf.unset("spark.sql.catalog.gsp.warehouse")
+    }
+  }
+
   test("SQL ANALYZE TABLE routes through GraftTable.analyze") {
     // extensions bind at session construction: build a sibling session on
     // the same SparkContext with the graft extensions installed
