@@ -89,6 +89,25 @@ object Bench {
       scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
     val total = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
+
+    // Solo profile: the top-10 heaviest queries re-run SEQUENTIALLY.
+    // Under concurrency, per-query walls are queue-contention accounting
+    // (a query's number moves when the suite grows, not when the query
+    // regresses), so round-over-round comparisons need an uncontended
+    // number. Runs warm (operator caches built by the suite persist), so
+    // this measures each operator's steady-state plan, which is exactly
+    // the comparable quantity.
+    val byName = SparkEntry.queries
+    val soloNames = results.filter(_._3 == "ok").sortBy(-_._2).take(10).map(_._1)
+    val solo = soloNames.map { name =>
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      val q0 = System.nanoTime()
+      try byName(name)(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] solo $name FAILED: ${e.getMessage}")
+      }
+      name -> (System.nanoTime() - q0) / 1e9
+    }
     // The driver records only the LAST 2000 chars of output, so a long
     // line is truncated from the front. Keep the headline readable under
     // truncation: 3-decimal times, per-query entries sorted cheapest-first
@@ -101,7 +120,10 @@ object Bench {
     val errs = results.collect { case (k, _, s) if s != "ok" =>
       "\"" + k + "\":\"" + s + "\"" }.mkString("{", ",", "}")
     val failed = results.count(_._3 != "ok")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"sf":"$sfDir","suite_sec":$total}""")
+    val soloJson = solo.sortBy(_._2)
+      .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"sf":"$sfDir","solo":$soloJson,"suite_sec":$total}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

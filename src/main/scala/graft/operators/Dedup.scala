@@ -624,7 +624,7 @@ object Dedup {
   }
 
   private[operators] final case class D7Entry(fingerprint: String, df: DataFrame,
-      labels: Option[DataFrame])
+      labels: Option[DataFrame], rounds: Int = 0)
   private val d7Cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), D7Entry]()
 
@@ -743,17 +743,38 @@ object Dedup {
       }
       var sum = first.getLong(0)
       var converged = false
+      var rounds = 0
       while (!converged) {
         val prop = edges.join(labels, col("dst") === col("v"))
           .groupBy(col("src")).agg(min("l").as("nl"))
-        val next = labels.join(prop, col("v") === col("src"), "left")
+        val viaNbrs = labels.join(prop, col("v") === col("src"), "left")
           .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Pointer-doubling shortcut (the log-rounds half of
+        // large-star/small-star, Kiveris et al., "Connected Components
+        // in MapReduce and Beyond"): each vertex also jumps to its
+        // LABEL'S label, so the distance a min travels doubles per
+        // round instead of advancing one hop. Neighbor propagation
+        // alone needs O(diameter) rounds — an adversarial 1000-chain is
+        // 1000 join rounds; with the shortcut it converges in
+        // O(log diameter). The fixpoint is unchanged: labels only
+        // decrease, and a labeling stable under neighbor propagation is
+        // already the per-component minimum, so both loops (and the
+        // driver union-find) agree — DedupScaleSpec proves it.
+        val lab2 = viaNbrs.select(col("v").as("v2"), col("l").as("l2"))
+        // localCheckpoint, not persist: the self-join references viaNbrs
+        // twice, so an un-truncated logical plan DOUBLES per round —
+        // exponential plan trees OOM the driver long before the data
+        // does. Checkpointing severs the lineage each round (same
+        // plan-accretion fix as the BPE trainer).
+        val next = viaNbrs.join(lab2, viaNbrs("l") === lab2("v2"), "left")
+          .select(viaNbrs("v"), least(viaNbrs("l"), coalesce(col("l2"), viaNbrs("l"))).as("l"))
+          .localCheckpoint()
         val nextSum = next.agg(org.apache.spark.sql.functions.sum("l")).head().getLong(0)
         labels.unpersist()
         labels = next
         converged = nextSum == sum // min-propagation strictly shrinks until fixpoint
         sum = nextSum
+        rounds += 1
       }
       val df = labels
         .select(col("v").as("doc_id"), col("l").as("cluster_id"),
@@ -761,7 +782,7 @@ object Dedup {
         .orderBy("doc_id")
       // the final labels stay persisted under the returned plan; the
       // memo entry owns them so replacement can unpersist
-      D7Entry(fp, df, Some(labels))
+      D7Entry(fp, df, Some(labels), rounds)
     } finally edges.unpersist()
   }
 

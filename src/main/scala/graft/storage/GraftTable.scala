@@ -581,9 +581,50 @@ final class GraftTable private (
     copyFromCsv(out.linesIterator, header, columns, mode)
   }
 
-  /** COPY TO (`cstore_fdw.c:651-707`) — export the full table as CSV. */
+  /** COPY TO (`cstore_fdw.c:651-707`) — export the full table as CSV.
+    * The path target is the DISTRIBUTED export (one file per partition,
+    * written by executors); the Writer/PROGRAM targets below match the
+    * reference's other COPY sinks. */
   def copyToCsv(path: String, header: Boolean = true): Unit =
     read().write.option("header", header.toString).mode(SaveMode.Overwrite).csv(path)
+
+  /** COPY TO a stream sink: rows flow through `writer` as CSV lines,
+    * one partition of rows on the driver at a time (toLocalIterator) —
+    * a single Writer is inherently one consumer, the same
+    * driver-sequential shape as the reference's COPY TO STDOUT. Rows
+    * are formatted by Spark's own CSV writer (`to_csv`), so quoting and
+    * null handling match the path-target export. Returns rows written
+    * (COPY's row-count return, `cstore_fdw.c:313-327`). */
+  def copyToCsv(writer: java.io.Writer, header: Boolean): Long = {
+    val df = read()
+    val bw = new java.io.BufferedWriter(writer)
+    if (header) { bw.write(df.columns.mkString(",")); bw.write("\n") }
+    var n = 0L
+    val it = df
+      .select(to_csv(struct(df.columns.map(col).toIndexedSeq: _*)).as("line"))
+      .toLocalIterator()
+    while (it.hasNext) { bw.write(it.next().getString(0)); bw.write("\n"); n += 1 }
+    bw.flush()
+    n
+  }
+
+  /** COPY TO PROGRAM (`cstore_fdw.c:651-707`): run a command, stream
+    * the table into its stdin as CSV. A non-zero exit fails the COPY
+    * (the reference's PROGRAM error semantics). */
+  def copyToProgram(command: Seq[String], header: Boolean = true): Long = {
+    val pb = new ProcessBuilder(command: _*)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val w = new java.io.OutputStreamWriter(proc.getOutputStream, StandardCharsets.UTF_8)
+    val n =
+      try copyToCsv(w, header)
+      finally w.close() // EOF lets the program terminate
+    val exit = proc.waitFor()
+    require(exit == 0,
+      s"COPY TO PROGRAM '${command.mkString(" ")}' exited with $exit")
+    n
+  }
 
   /** Compact the table's data files: rewrite all committed rows as one
     * fresh batch of stripe-sized files and atomically swap the file
@@ -967,7 +1008,12 @@ final class GraftTable private (
       }
       val next = mutate(meta).copy(version = meta.version + 1)
       if (GraftTable.tryClaimVersion(location, next)) {
-        GraftTable.writeMetaAtomic(location, next)
+        // the claim IS the commit; the pointer is a best-effort read
+        // cache — two unserialized writers may race its rename, and a
+        // loss here must not fail a commit that is already durable in
+        // the log (readers walk past a stale pointer)
+        try GraftTable.writeMetaAtomic(location, next)
+        catch { case _: Exception => () }
         meta = next
         done = true
       } else {
@@ -1085,10 +1131,16 @@ object GraftTable {
 
   private def writeFileAtomic(location: String, path: HPath, content: String): Unit = {
     val (fs, _) = fsAndPath(location)
-    val tmp = new HPath(path.getParent, path.getName + ".tmp")
+    // writer-unique temp name: with CAS-committed writers the pointer
+    // cache is written UNSERIALIZED, and two writers sharing one .tmp
+    // path race each other's rename (one renames the tmp away while the
+    // other is mid-write)
+    val tmp = new HPath(path.getParent,
+      path.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    renameReplacing(fs, tmp, path)
+    try renameReplacing(fs, tmp, path)
+    catch { case e: Exception => fs.delete(tmp, false); throw e }
   }
 
   /** Read a small metadata file to EOF. Deliberately does NOT pre-stat

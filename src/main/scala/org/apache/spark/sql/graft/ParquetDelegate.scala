@@ -380,12 +380,42 @@ object ParquetDelegate {
         .build()
     }
 
+    /** Schema-evolution contract for a RUNNING stream: the schema is
+      * captured at stream start, and every micro-batch is served in
+      * exactly that shape. A mid-stream ADD COLUMN is invisible (the
+      * batch scan projects only the start columns out of wider files)
+      * — consistent, never wrong. A mid-stream DROP or type change of
+      * a column the stream reads cannot be served consistently: the
+      * new files lack (or re-type) it, so the batch FAILS with a clear
+      * restart instruction instead of emitting nulls or miscast values
+      * for rows that never contained them. */
+    private def requireCompatible(atVersion: Long): Unit = {
+      val cur = metaAt(atVersion).currentSchema
+      readSchema.fields.foreach { f =>
+        cur.fields.find(_.name == f.name) match {
+          case None => throw new IllegalStateException(
+            s"graft stream over $location reads column ${f.name}, dropped by a " +
+              s"mid-stream ALTER (as of v$atVersion) — restart the stream to " +
+              "adopt the new schema")
+          case Some(c) if c.dataType != f.dataType => throw new IllegalStateException(
+            s"graft stream over $location reads column ${f.name} as " +
+              s"${f.dataType.simpleString}, changed to ${c.dataType.simpleString} by a " +
+              s"mid-stream ALTER (as of v$atVersion) — restart the stream to " +
+              "adopt the new schema")
+          case _ => ()
+        }
+      }
+    }
+
     override def planInputPartitions(start: Offset, end: Offset)
         : Array[org.apache.spark.sql.connector.read.InputPartition] = {
-      val delta = addedFiles(
-        start.asInstanceOf[GraftOffset].v, end.asInstanceOf[GraftOffset].v)
+      val endV = end.asInstanceOf[GraftOffset].v
+      val delta = addedFiles(start.asInstanceOf[GraftOffset].v, endV)
       if (delta.isEmpty) Array.empty
-      else scanOver(delta).toBatch.planInputPartitions()
+      else {
+        requireCompatible(endV)
+        scanOver(delta).toBatch.planInputPartitions()
+      }
     }
 
     override def createReaderFactory()

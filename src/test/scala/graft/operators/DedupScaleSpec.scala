@@ -270,6 +270,23 @@ class DedupScaleSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(spark, dir, Some(1L)).collect().isEmpty)
   }
 
+  test("d7 propagation: adversarial 1000-chain converges in O(log) rounds, not O(n)") {
+    import spark.implicits._
+    // a single path 0-1-2-...-999: the worst diameter per edge count —
+    // plain neighbor propagation needs ~1000 join rounds; the
+    // pointer-doubling shortcut must collapse that to ~log2(1000)
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val entry = Dedup.d7Propagate(spark, chain, "spec-chain")
+    try {
+      assert(entry.rounds <= 20,
+        s"1000-chain took ${entry.rounds} propagation rounds — shortcut not engaging")
+      val rows = entry.df.collect()
+      assert(rows.length === 1000)
+      assert(rows.forall(_.getLong(1) === 0L), "one component labeled by its min")
+      assert(rows.count(_.getInt(2) === 1) === 1)
+    } finally entry.labels.foreach(_.unpersist())
+  }
+
   test("fingerprint resolves through the Hadoop FS: a rewritten remote corpus misses the cache") {
     import spark.implicits._
     spark.sparkContext.hadoopConfiguration

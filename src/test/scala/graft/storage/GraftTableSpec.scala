@@ -145,6 +145,34 @@ class GraftTableSpec extends SparkSpec {
     GraftTable.drop(s"$loc/tbl")
   }
 
+  test("COPY TO stream and PROGRAM sinks round-trip with row-count returns") {
+    import spark.implicits._
+    val loc = tmpDir("graft-copyto-sink")
+    val t = GraftTable.create(spark, s"$loc/tbl", schema)
+    t.append(Seq((1, "it's \"quoted\"", 2), (2, null.asInstanceOf[String], 5))
+      .toDF("handle", "name", "rating"))
+    // stream sink: rows as CSV through a Writer, row count returned
+    val sw = new java.io.StringWriter()
+    assert(t.copyToCsv(sw, header = true) === 2L)
+    val tmp = java.nio.file.Files.createTempFile("copyto", ".csv")
+    java.nio.file.Files.writeString(tmp, sw.toString)
+    val back = spark.read.option("header", "true").schema(schema).csv(tmp.toString)
+    assert(back.orderBy("handle").collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+      === Seq((1, "it's \"quoted\"", 2), (2, null, 5)),
+      "quoting and nulls must survive the stream round-trip")
+    // PROGRAM sink: the table streams into the command's stdin; its
+    // output file round-trips; a failing program fails the COPY
+    val progOut = tmpDir("graft-copyto-prog") + "/out.csv"
+    assert(t.copyToProgram(Seq("sh", "-c", s"cat > $progOut")) === 2L)
+    val viaProg = spark.read.option("header", "true").schema(schema).csv(progOut)
+    assert(viaProg.count() === 2L)
+    intercept[IllegalArgumentException](
+      t.copyToProgram(Seq("sh", "-c", "cat > /dev/null; exit 3")))
+    java.nio.file.Files.delete(tmp)
+    GraftTable.drop(s"$loc/tbl")
+  }
+
   test("compact merges small files, preserves rows/zone-maps/stream watermarks") {
     import spark.implicits._
     val loc = tmpDir("graft-compact")

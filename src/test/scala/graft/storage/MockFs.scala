@@ -21,19 +21,30 @@ import org.apache.hadoop.util.Progressable
 class MockFs extends RawLocalFileSystem {
   override def getUri: URI = URI.create("mock:///")
 
+  // CREATE_NEW = O_EXCL: throws java.nio.file.FileAlreadyExistsException
+  // atomically when the path exists
+  private def createExclusive(f: Path, bufferSize: Int): FSDataOutputStream = {
+    val p = Paths.get(f.toUri.getPath)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    val out = Files.newOutputStream(p,
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    new FSDataOutputStream(new BufferedOutputStream(out, bufferSize), null)
+  }
+
+  // Both create variants: FileSystem.create(path, overwrite) routes
+  // through RawLocalFileSystem's 6-arg override (not the 7-arg
+  // permission one), so intercept both or the atomic claim is bypassed.
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
       bufferSize: Int, replication: Short, blockSize: Long,
       progress: Progressable): FSDataOutputStream =
-    if (overwrite) {
-      super.create(f, permission, overwrite, bufferSize, replication,
-        blockSize, progress)
-    } else {
-      val p = Paths.get(f.toUri.getPath)
-      if (p.getParent != null) Files.createDirectories(p.getParent)
-      // CREATE_NEW = O_EXCL: throws java.nio.file.FileAlreadyExistsException
-      // atomically when the path exists
-      val out = Files.newOutputStream(p,
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-      new FSDataOutputStream(new BufferedOutputStream(out, bufferSize), null)
-    }
+    if (overwrite) super.create(f, permission, overwrite, bufferSize,
+      replication, blockSize, progress)
+    else createExclusive(f, bufferSize)
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream =
+    if (overwrite) super.create(f, overwrite, bufferSize, replication,
+      blockSize, progress)
+    else createExclusive(f, bufferSize)
 }

@@ -132,6 +132,56 @@ class GraftStreamSourceSpec extends SparkSpec {
     GraftTable.drop(loc)
   }
 
+  test("mid-stream ADD COLUMN: batches keep the stream's start schema, consistently") {
+    import spark.implicits._
+    val loc = tmpDir("gss-evolve") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    val q = spark.readStream.format("graft").load(loc)
+      .writeStream.format("memory").queryName("gss_evolve")
+      .option("checkpointLocation", tmpDir("gss-evolve-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      // widen the table mid-stream, then append rows carrying the new column
+      t.addColumn("flag", IntegerType, default = 7)
+      GraftTable.open(spark, loc)
+        .append(Seq((2, "b", 9)).toDF("id", "v", "flag"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+      // post-ALTER rows are served in the START schema: present, with
+      // exactly the start columns — never a torn or widened batch
+      val sink = spark.table("gss_evolve")
+      assert(sink.columns.toSeq === Seq("id", "v"))
+      assert(sink.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+        .toSeq === Seq((1, "a"), (2, "b")))
+    } finally q.stop()
+    GraftTable.drop(loc)
+  }
+
+  test("mid-stream type change of a read column fails the batch with a clear error") {
+    import spark.implicits._
+    val loc = tmpDir("gss-retype") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    val q = spark.readStream.format("graft").load(loc)
+      .writeStream.format("memory").queryName("gss_retype")
+      .option("checkpointLocation", tmpDir("gss-retype-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      // a widening ALTER re-types a column the stream reads: new files
+      // carry LONG where the stream expects INT — unservable in the
+      // start schema, so the stream must fail clearly, not miscast
+      t.alterColumnType("id", LongType)
+      GraftTable.open(spark, loc)
+        .append(Seq((2L, "b")).toDF("id", "v"))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      val msg = Option(ex.getMessage).getOrElse("") +
+        q.exception.map(_.toString).getOrElse("")
+      assert(msg.contains("restart the stream"), s"unexpected failure: $msg")
+    } finally q.stop()
+    GraftTable.drop(loc)
+  }
+
   test("streaming source composes with the streaming ingest (table-to-table relay)") {
     import spark.implicits._
     val src = tmpDir("gss-relay") + "/src"
