@@ -280,7 +280,57 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t13: bigram-LM perplexity scoring — the CCNet/Gopher-style
+    * perplexity quality filter: train an add-0.5-smoothed bigram
+    * language model ON the corpus, then score every document by its
+    * average per-bigram negative log-likelihood. High scores =
+    * improbable text (noise, shuffled boilerplate) — the standard
+    * filter signal for pretraining corpora.
+    *
+    * Engine-exactness discipline: the ONLY libm call is one ln() per
+    * DISTINCT bigram type, quantized to integer micro-nats immediately
+    * (the e7/t6 quantize-before-aggregate pattern); per-document
+    * aggregation then sums INTEGERS, which is order-free, so Spark and
+    * DuckDB agree bit-for-bit.
+    *
+    * 100 TB shape: count tables are two hash aggregations keyed on the
+    * bigram/prefix (map-side combine absorbs hot bigrams); scoring is
+    * an equality join of the exploded corpus against the per-TYPE cost
+    * table — never a per-instance float pipeline — and the vocabulary
+    * scalar broadcasts. P(w2|w1) = (C(w1 w2)+0.5) / (C(w1·)+0.5·V),
+    * C(w1·) counting first-position instances so each row of the model
+    * is a proper conditional distribution. */
+  def t13Perplexity(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val base = docs(s, dir)
+    val bg = base.select(col("doc_id"), explode(bigrams).as("bg"))
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val voc = base.select(explode(toks).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val cost = c2
+      .join(c1, substring_index(col("bg"), " ", 1) === col("w1"))
+      .crossJoin(broadcast(voc))
+      .select(col("bg"),
+        round(-log((col("c12") + lit(0.5)) / (col("c1") + lit(0.5) * col("v")))
+          * lit(1000000.0)).cast("long").as("cost"))
+    bg.join(cost, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("cost").as("nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("nll").cast("double") / col("n_bigrams").cast("double"))
+          .cast("long").as("avg_nll_micro"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_perplexity" -> t13Perplexity _,
     "t12_readability" -> t12Readability _,
     "t10_pii_scrub" -> t10PiiScrub _,
     "t1_token_count" -> t1TokenCount _,
@@ -300,6 +350,22 @@ object TextAnalysis {
     s"len(list_filter(toks, t -> ${words.map(w => s"t = '$w'").mkString(" OR ")}))"
 
   val oracles: Map[String, String] = Map(
+    "t13_perplexity" ->
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+         |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |        i -> toks[i] || ' ' || toks[i+1])) bg FROM t),
+         |c2 AS (SELECT bg, count(*) c12 FROM b GROUP BY bg),
+         |c1 AS (SELECT string_split(bg, ' ')[1] w1, count(*) c1 FROM b GROUP BY 1),
+         |voc AS (SELECT count(DISTINCT tok) v
+         |        FROM (SELECT unnest(toks) tok FROM t)),
+         |bgc AS (SELECT bg,
+         |    CAST(round(-ln((c12 + 0.5) / (c1 + 0.5 * v)) * 1000000.0) AS BIGINT) nllc
+         |  FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1 CROSS JOIN voc)
+         |SELECT b.doc_id, CAST(count(*) AS BIGINT) n_bigrams,
+         |  CAST(round(CAST(sum(nllc) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+         |    avg_nll_micro
+         |FROM b JOIN bgc USING (bg)
+         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin),
     "t12_readability" ->
       ("""WITH f AS (SELECT doc_id,
          |    CAST(len(string_split(text, ' ')) AS DOUBLE) w,

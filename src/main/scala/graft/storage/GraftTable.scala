@@ -207,13 +207,19 @@ final class GraftTable private (
   def expireHistory(keepLast: Int): Int = withTableLock {
     refreshMeta()
     require(keepLast >= 1, "keepLast must be >= 1")
-    val (committed, orphans) =
+    val (committed, newer) =
       GraftTable.historyVersions(location).partition(_ <= meta.version)
-    // under the table lock no commit is in flight: any snapshot newer
-    // than the pointer is a crashed commit's residue — drop it so it
-    // neither counts toward keepLast nor pins its batch dir forever
-    val expire = committed.dropRight(keepLast).filter(_ != meta.version) ++ orphans
     val (fs, _) = GraftTable.fsAndPath(location)
+    // A snapshot newer than the refreshed head is NOT automatically
+    // residue under the CAS protocol: a parseable one is a commit that
+    // landed after our refresh (possible on lock-less filesystems where
+    // the table lock doesn't reach other processes) and must be left
+    // alone; only an UNPARSEABLE-and-stale file is a crashed writer's
+    // partial claim — drop it so it neither counts toward keepLast nor
+    // pins its batch dir forever.
+    val orphans = newer.filter(v =>
+      GraftTable.isStaleBrokenClaim(fs, GraftTable.historyPath(location, v)))
+    val expire = committed.dropRight(keepLast).filter(_ != meta.version) ++ orphans
     expire.foreach(v => fs.delete(GraftTable.historyPath(location, v), false))
     expire.size
   }
@@ -1003,8 +1009,8 @@ final class GraftTable private (
     var done = false
     while (!done) {
       if (attempts > 0) {
-        refreshMeta()
         Thread.sleep(math.min(25L * attempts, 250L))
+        refreshMeta() // rebase on the state as of AFTER the backoff
       }
       val next = mutate(meta).copy(version = meta.version + 1)
       if (GraftTable.tryClaimVersion(location, next)) {

@@ -16,9 +16,12 @@ class PlanGuardSpec extends SparkSpec {
   // c3: ONE-row totals aggregate broadcast-crossed onto 20 source rows.
   // s4: k-row centroid tables broadcast-crossed onto the corpus scan.
   // d11 rides s4's broadcast-centroid assignment, same intended shape.
+  // t13: ONE-row vocabulary-size aggregate broadcast-crossed onto the
+  // per-bigram cost table (t6's broadcast-scalar pattern); the instance
+  // scoring join itself is a keyed equality join on the bigram.
   private val bnljAllowed =
     Set("s1_ann_brute", "s2_ann_ivf", "s6_range_search", "t6_bm25",
-      "c3_source_mix", "s4_kmeans", "d11_semantic_dedup")
+      "c3_source_mix", "s4_kmeans", "d11_semantic_dedup", "t13_perplexity")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")
