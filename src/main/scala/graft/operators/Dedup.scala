@@ -526,24 +526,35 @@ object Dedup {
     val (bands, bits) = d6BandLayout(threshold, targetRecall)
     val e = Similarity.normalized(Tables.load(s, dir, "embeddings"))
       .select(col("vec_id"), col("v"), col("nrm"))
-    val banded = e.select(col("vec_id"), col("v"), col("nrm"),
-      explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("bk",
-        (0 until bands).foldLeft(lit(0L)) { (acc, b) =>
-          when(col("band") === b, Similarity.signKey(col("v"), b * bits, bits))
-            .otherwise(acc)
-        })
-    // cosine computed inside the join projection; the dedup distinct
-    // exchanges only (vec_a, vec_b, cos) — the d3/d4 exchange-slimming
-    // pattern — and cos is bit-identical across duplicate band hits.
-    banded.as("a")
+    // SLIM candidate generation: the banded self-join exchanges only
+    // (vec_id, band, bk) — 24 bytes/row — never the 64-double vectors.
+    // The earlier shape shipped both sides' full vectors through the
+    // band exchange (bands× data blowup on each side: ~2 × bands × n
+    // vector copies); at 100 TB the band exchange IS the operator's
+    // cost, so it must carry keys, not payloads. All band keys are
+    // computed in ONE pass per vector (array + posexplode), not a
+    // per-band CaseWhen chain whose plan grows with the layout.
+    val keys = array((0 until bands).map(b =>
+      Similarity.signKey(col("v"), b * bits, bits)): _*)
+    val banded = e.select(col("vec_id"),
+      posexplode(keys).as(Seq("band", "bk")))
+    // duplicate band hits collapse BEFORE any cosine is computed or any
+    // vector moves: distinct on the bare id pair
+    val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        Similarity.cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos_raw"))
-      .filter(col("cos_raw") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
+    // exact re-check: surviving pairs (far fewer than band hits) pull
+    // their vectors back through two equality joins on vec_id — the
+    // full vectors are exchanged once per side, not once per band
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        Similarity.cosine(col("va"), col("vb"), col("na"), col("nb")).as("cos_raw"))
+      .filter(col("cos_raw") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos"))
       .orderBy("vec_a", "vec_b")
   }
