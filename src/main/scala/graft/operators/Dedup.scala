@@ -836,6 +836,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d12: INCREMENTAL near-dup detection — dedupe an incoming batch
+    * against the indexed corpus WITHOUT generating corpus×corpus pairs:
+    * the production shape of dedup at 100 TB, where a daily increment
+    * joins the historical shingle index and d2's quadratic-in-corpus
+    * pair stage never runs. The batch here is the deterministic slice
+    * `doc_id % 10 = 7` (~10% of the corpus) standing in for "today's
+    * crawl"; everything else is the index.
+    *
+    * Shape: one equality join on the shingle (index-side postings ⋈
+    * batch-side postings — at scale the batch's shingle set is small
+    * enough to broadcast or bloom-prune the index scan with), then one
+    * groupBy(pair); Jaccard ≥ 0.8 over the same distinct 3-shingle
+    * sets as d2. Output: for each new doc, every indexed near-dup. */
+  def d12IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("doc_id"), shinglesDistinctFast(col("text")).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
+        explode(col("shs")).as("s"))
+    val isNew = col("doc_id") % 10 === 7
+    val idx = sh.filter(!isNew)
+      .select(col("s"), col("doc_id").as("doc_a"), col("n").as("na"))
+    val batch = sh.filter(isNew)
+      .select(col("s"), col("doc_id").as("doc_b"), col("n").as("nb"))
+    idx.join(batch, "s")
+      .groupBy("doc_b", "doc_a")
+      .agg(count(lit(1)).as("common"), first("na").as("na"), first("nb").as("nb"))
+      .select(col("doc_b"), col("doc_a"),
+        (col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double")).as("jr"))
+      .filter(col("jr") >= 0.8)
+      .select(col("doc_b"), col("doc_a"), round(col("jr"), 4).as("jac"))
+      .orderBy("doc_b", "doc_a")
+  }
+
   // -- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -851,11 +885,24 @@ object Dedup {
     "d9_edit_distance" -> ((s: SparkSession, dir: String) => d9EditDistance(s, dir)),
     "d10_containment" -> ((s: SparkSession, dir: String) => d10Containment(s, dir)),
     "d11_semantic_dedup" -> ((s: SparkSession, dir: String) => d11SemanticDedup(s, dir)),
+    "d12_incremental_dedup" -> d12IncrementalDedup _,
   )
 
   import OracleSql._
 
   val oracles: Map[String, String] = Map(
+    "d12_incremental_dedup" ->
+      (s"""WITH $shingleCte,
+         |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+         |idx AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 != 7),
+         |nw AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 7),
+         |cm AS (SELECT nw.doc_id doc_b, idx.doc_id doc_a, count(*) common
+         |       FROM idx JOIN nw ON idx.s = nw.s GROUP BY 1, 2)
+         |SELECT doc_b, doc_a,
+         |  round(CAST(common AS DOUBLE)/CAST(ca.n+cb.n-common AS DOUBLE), 4) jac
+         |FROM cm JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE CAST(common AS DOUBLE)/CAST(ca.n+cb.n-common AS DOUBLE) >= 0.8
+         |ORDER BY doc_b, doc_a""".stripMargin),
     "d1_exact_dedup" ->
       ("SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents " +
         "GROUP BY md5(text) ORDER BY doc_id"),
