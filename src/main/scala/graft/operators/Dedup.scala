@@ -850,15 +850,24 @@ object Dedup {
     * groupBy(pair); Jaccard ≥ 0.8 over the same distinct 3-shingle
     * sets as d2. Output: for each new doc, every indexed near-dup. */
   def d12IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val sh = docs(s, dir)
-      .select(col("doc_id"), shinglesDistinctFast(col("text")).as("shs"))
-      .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
-        explode(col("shs")).as("s"))
+    val all = docs(s, dir)
     val isNew = col("doc_id") % 10 === 7
-    val idx = sh.filter(!isNew)
-      .select(col("s"), col("doc_id").as("doc_a"), col("n").as("na"))
-    val batch = sh.filter(isNew)
-      .select(col("s"), col("doc_id").as("doc_b"), col("n").as("nb"))
+    nearDupAgainstIndex(all.filter(isNew), all.filter(!isNew))
+      .orderBy("doc_b", "doc_a")
+  }
+
+  /** The two-sided scorer behind d12 (and its streaming twin,
+    * [[graft.streaming.DedupStream]]): every `batchDocs` document
+    * scored against every `indexDocs` near-duplicate, batch×index pairs
+    * only. Unordered — callers choose their sort (batch d12 orders;
+    * the stream appends). */
+  def nearDupAgainstIndex(batchDocs: DataFrame, indexDocs: DataFrame): DataFrame = {
+    def shingleSide(df: DataFrame, idCol: String, nCol: String): DataFrame = df
+      .select(col("doc_id"), shinglesDistinctFast(col("text")).as("shs"))
+      .select(col("doc_id").as(idCol), size(col("shs")).cast("long").as(nCol),
+        explode(col("shs")).as("s"))
+    val idx = shingleSide(indexDocs, "doc_a", "na")
+    val batch = shingleSide(batchDocs, "doc_b", "nb")
     idx.join(batch, "s")
       .groupBy("doc_b", "doc_a")
       .agg(count(lit(1)).as("common"), first("na").as("na"), first("nb").as("nb"))
@@ -867,7 +876,6 @@ object Dedup {
           (col("na") + col("nb") - col("common")).cast("double")).as("jr"))
       .filter(col("jr") >= 0.8)
       .select(col("doc_b"), col("doc_a"), round(col("jr"), 4).as("jac"))
-      .orderBy("doc_b", "doc_a")
   }
 
   // -- wiring ----------------------------------------------------------
