@@ -218,6 +218,12 @@ object Similarity {
     * MEMORY_AND_DISK. */
   private val kmeansCache = new Dedup.PersistedLru(4)
 
+  /** s5's trained PQ codebook (PqM × PqK tiny rows), cached per corpus
+    * fingerprint: the training tree is referenced by both the encoding
+    * pass and the ADC table, and re-runs per reference without
+    * materialization. */
+  private val pqCodebookCache = new Dedup.PersistedLru(2)
+
   private[operators] def kmeansAssigned(s: SparkSession, dir: String): DataFrame =
     kmeansCache.getOrElseUpdate(s, dir, "embeddings")(kmeansAssignedRaw(s, dir))
 
@@ -302,12 +308,19 @@ object Similarity {
         p => p.getField("sq").cast("double")
           / (p.getField("n").cast("double") * Quant.toDouble)).as("cv"))
       .withColumn("cc", dot(col("cv"), col("cv")))
-    val codes = nearest(cb)
+    // The trained codebook is referenced twice below (encoding + ADC
+    // table) and its lineage is the whole training tree (init assign +
+    // quantized update) — without materialization the training runs
+    // per-reference. It is tiny (PqM × PqK rows of PqSub doubles), so
+    // memoize it per corpus fingerprint: repeated s5 calls retrain
+    // nothing, and in production the codebook is a one-time artifact.
+    val cbM = pqCodebookCache.getOrElseUpdate(s, dir, "embeddings")(cb)
+    val codes = nearest(cbM)
       .select(col("vec_id"), col("m"), col("mn.cid").as("code"))
     // ADC lookup table: exact query-subvector -> centroid partial
     // distances, floor-quantized to integer micro-units
     val qtab = ev.filter(col("vec_id") < NumQueries)
-      .join(broadcast(cb), "m")
+      .join(broadcast(cbM), "m")
       .select(col("vec_id").as("q_id"), col("m").as("qm"), col("cid").as("qcid"),
         floor(pqDist * 1e6).cast("long").as("pdq"))
     val w = Window.partitionBy("q_id").orderBy(col("pqd"), col("vec_id"))
