@@ -878,9 +878,89 @@ object Dedup {
       .select(col("doc_b"), col("doc_a"), round(col("jr"), 4).as("jac"))
   }
 
+  /** d13 parameters: document-frequency band (terms in ≥2 docs can pair;
+    * terms in > DfCap docs are dropped — near-zero IDF AND the hot-key
+    * scale hazard, like d2b's shingle cap) and the cosine threshold. */
+  private[operators] val TfidfDfCap = 64
+  private[operators] val TfidfTau = 0.5
+
+  /** d13: TF-IDF-weighted trigram cosine near-dup — the IDF-weighted
+    * complement of d2's unweighted Jaccard: sharing RARE trigrams counts
+    * far more than sharing boilerplate, the standard weighting when
+    * near-dup candidates should rank by distinctive content.
+    *
+    * Arithmetic is integer-exact until the final division (the t13/e7
+    * discipline): one ln() per term TYPE quantized to integer micro-units
+    * (order-free), weights w = tf·idfq as longs, and both the norms and
+    * the pair dot products summed as DECIMAL(38,0) (a long would wrap at
+    * w² × hundreds of terms for large corpora) — so Spark and the DuckDB
+    * oracle sum identical integers in any order and the one double
+    * division at the end is bit-reproducible.
+    *
+    * 100 TB shape: candidate pairs come from a term-keyed posting-list
+    * equality join restricted to the df band — never doc×doc. The df cap
+    * bounds any term's pair fan-out at DfCap², and idf-weighting makes
+    * the cap semantically free (capped terms carry ~zero weight). */
+  /** d13's weighted postings (doc_id, term, w), cached per corpus
+    * fingerprint: the subtree feeds the norms and BOTH sides of the pair
+    * self-join, so without materialization the tokenize+groupBy stage
+    * runs three times per call. Banded postings are a corpus-linear,
+    * df-capped set — MEMORY_AND_DISK-safe at scale. */
+  private val tfidfPostingsCache = new PersistedLru(2)
+
+  private def tfidfPostings(s: SparkSession, dir: String): DataFrame =
+    tfidfPostingsCache.getOrElseUpdate(s, dir, "documents") {
+      val base = docs(s, dir)
+      // all trigrams (multiset — tf needs counts), via the native
+      // shingle expression, not the interpreted zip_with/slice HOF chain
+      val tf = base.select(col("doc_id"),
+          explode(graft.functions.Shingles.shinglesFast(col("text"), 3)).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val nDocs = base.select(count(lit(1)).as("nd"))
+      val dfBand = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= TfidfDfCap)
+        .crossJoin(broadcast(nDocs))
+        .select(col("term"),
+          round(log(col("nd").cast("double") / col("df").cast("double"))
+            * lit(1000000.0)).cast("long").as("idfq"))
+      tf.join(dfBand, "term")
+        .select(col("doc_id"), col("term"), (col("tf") * col("idfq")).as("w"))
+    }
+
+  def d13TfidfCosine(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = tfidfPostings(s, dir)
+    val nrm = w.groupBy("doc_id")
+      .agg(sum(col("w").cast(dec) * col("w")).as("n2"))
+    // Pair dot products via d2's inverted-index expansion, not a posting
+    // self-join: group the (doc, w) postings per term (sorted ⇒ a < b)
+    // and emit each list's pairs with PostingPairs — whose payload slot
+    // carries the WEIGHT here — then sum the products per pair. One
+    // groupBy replaces the sort-merge self-join; the df cap bounds every
+    // list at TfidfDfCap entries.
+    val posting = w.groupBy("term")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("w")))).as("ds"))
+    val dot = posting
+      .select(explode(graft.functions.PostingPairs.pairsFast(col("ds"))).as("p"))
+      .select(col("p.a").as("da"), col("p.b").as("db"),
+        (col("p.na").cast(dec) * col("p.nb")).as("prod"))
+      .groupBy("da", "db")
+      .agg(sum(col("prod")).as("dp"))
+    dot
+      .join(nrm.select(col("doc_id").as("da"), col("n2").as("na2")), "da")
+      .join(nrm.select(col("doc_id").as("db"), col("n2").as("nb2")), "db")
+      .select(col("da"), col("db"),
+        (col("dp").cast("double") /
+          sqrt(col("na2").cast("double") * col("nb2").cast("double"))).as("c"))
+      .filter(col("c") >= TfidfTau)
+      .select(col("da"), col("db"), round(col("c"), 4).as("cos"))
+      .orderBy("da", "db")
+  }
+
   // -- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_tfidf_cosine" -> d13TfidfCosine _,
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_ngram_jaccard" -> d2NgramJaccard _,
     "d2b_ngram_capped" -> d2NgramJaccardCapped _,
@@ -899,6 +979,29 @@ object Dedup {
   import OracleSql._
 
   val oracles: Map[String, String] = Map(
+    "d13_tfidf_cosine" ->
+      (s"""WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+         |tg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-1),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS term
+         |       FROM t),
+         |tf AS (SELECT doc_id, term, count(*) tf FROM tg GROUP BY 1, 2),
+         |nd AS (SELECT count(*) nd FROM documents),
+         |kept AS (SELECT term, CAST(round(ln(CAST(nd.nd AS DOUBLE)
+         |           / CAST(df AS DOUBLE)) * 1000000) AS BIGINT) idfq
+         |         FROM (SELECT term, count(*) df FROM tf GROUP BY 1), nd
+         |         WHERE df >= 2 AND df <= $TfidfDfCap),
+         |w AS (SELECT tf.doc_id, tf.term, tf.tf * k.idfq AS w
+         |      FROM tf JOIN kept k USING (term)),
+         |nrm AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) n2 FROM w GROUP BY 1),
+         |dt AS (SELECT a.doc_id da, b.doc_id db, sum(CAST(a.w AS HUGEINT) * b.w) dp
+         |       FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |cs AS (SELECT da, db, CAST(dp AS DOUBLE)
+         |         / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) c
+         |       FROM dt JOIN nrm na ON da = na.doc_id
+         |                JOIN nrm nb ON db = nb.doc_id)
+         |SELECT da, db, round(c, 4) cos FROM cs WHERE c >= $TfidfTau
+         |ORDER BY da, db""".stripMargin),
     "d12_incremental_dedup" ->
       (s"""WITH $shingleCte,
          |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),

@@ -230,7 +230,33 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** c8: leakage-safe split — c7's deterministic assignment keyed on the
+    * document's NEAR-DUP CLUSTER representative instead of the document
+    * itself, so near-duplicates never straddle train/val/test (the
+    * dedup-aware variant of c7; a near-dup of a training doc landing in
+    * val is contamination that survives naive splitting). Docs in no
+    * cluster are their own singleton representative, so c8 ≡ c7 for
+    * clean documents. Reuses d7's cached connected components; the
+    * cluster join is a doc_id equality join (clusters are NOT assumed
+    * broadcastable — at 100 TB the dup set can be a large corpus
+    * fraction), and the assignment stays a pure function of the
+    * representative key: stable under corpus growth and re-runs. */
+  def c8ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PolyHash.polyHashFast
+    import graft.functions.TextFunctions.P31
+    val clusters = Dedup.d7DedupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val rep = coalesce(col("cluster_id"), col("doc_id"))
+    val bucket = pmod(polyHashFast(col("rep").cast("string"), P31), lit(100L))
+    docs(s, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), rep.as("rep"))
+      .select(col("doc_id"), col("rep"), splitExpr(bucket).as("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c8_cluster_split" -> c8ClusterSplit _,
     "c7_split" -> ((s, dir) => c7Split(s, dir)),
     "c1_stratified_sample" -> ((s, dir) => c1StratifiedSample(s, dir)),
     "c2_decontaminate" -> ((s, dir) => c2Decontaminate(s, dir)),
@@ -241,6 +267,33 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "c8_cluster_split" -> {
+      val b = OracleSql.polyHashSql("CAST(rep AS VARCHAR)",
+        graft.functions.TextFunctions.P31)
+      s"""WITH RECURSIVE ${OracleSql.shingleCte},
+         |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+         |cm AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+         |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |pr AS (SELECT doc_a, doc_b
+         |       FROM cm JOIN cnt ca ON doc_a = ca.doc_id
+         |                JOIN cnt cb ON doc_b = cb.doc_id
+         |       WHERE CAST(common AS DOUBLE)/CAST(ca.n+cb.n-common AS DOUBLE) >= 0.8),
+         |edges AS (SELECT doc_a a, doc_b b FROM pr
+         |          UNION ALL SELECT doc_b, doc_a FROM pr),
+         |reach(v, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v),
+         |cl AS (SELECT v doc_id, min(r) cluster_id FROM reach GROUP BY v),
+         |t AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) rep
+         |      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+         |u AS (SELECT doc_id, rep, ($b) % 100 bucket FROM t)
+         |SELECT doc_id, rep,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END split
+         |FROM u ORDER BY doc_id""".stripMargin
+    },
     "c7_split" -> {
       val b = OracleSql.polyHashSql("CAST(doc_id AS VARCHAR)",
         graft.functions.TextFunctions.P31)

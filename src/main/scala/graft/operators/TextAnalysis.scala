@@ -329,7 +329,44 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Heavy-hitter threshold denominator: report tokens with frequency
+    * strictly above n/HhK of the n total tokens. */
+  private[operators] val HhK = 200
+
+  /** t14: exact corpus heavy hitters via a two-pass Misra–Gries sketch.
+    *
+    * Pass 1 aggregates the token stream with [[graft.functions.MisraGriesAgg]]
+    * — a bounded (≤ HhK-1 entry) mergeable summary whose survivors are a
+    * guaranteed superset of every token with frequency > n/HhK, so the
+    * map-side partial aggregation ships O(HhK) entries per partition no
+    * matter how large the vocabulary is. Pass 2 re-counts ONLY the
+    * candidates (broadcast join filters the stream before the groupBy
+    * shuffle) and keeps those above the exact threshold — the output is
+    * exact, the sketch only bounded the shuffle. At 100 TB this is the
+    * difference between shuffling the whole vocabulary and shuffling
+    * O(k × partitions) summary entries plus the final candidate counts.
+    *
+    * (The reference has no sketch aggregates; this extends its ANALYZE-
+    * style statistics surface, cf. `cstore_fdw.c:2098-2260`.) */
+  def t14HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MisraGriesAgg.misraGries
+    val toks = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val summary = toks.agg(
+      misraGries(col("tok"), HhK).as("cand"),
+      count(lit(1)).as("n"))
+    val cand = summary.select(explode(col("cand")).as("tok"), col("n"))
+    toks.join(broadcast(cand), "tok")
+      .groupBy(col("tok"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(HhK.toLong) > col("n"))
+      .select(col("tok"), col("cnt"))
+      .orderBy(desc("cnt"), col("tok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_heavy_hitters" -> t14HeavyHitters _,
     "t13_perplexity" -> t13Perplexity _,
     "t12_readability" -> t12Readability _,
     "t10_pii_scrub" -> t10PiiScrub _,
@@ -350,6 +387,13 @@ object TextAnalysis {
     s"len(list_filter(toks, t -> ${words.map(w => s"t = '$w'").mkString(" OR ")}))"
 
   val oracles: Map[String, String] = Map(
+    "t14_heavy_hitters" ->
+      (s"""WITH f AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |g AS (SELECT tok FROM f WHERE tok <> ''),
+         |n AS (SELECT count(*) AS n FROM g)
+         |SELECT tok, count(*) AS cnt FROM g, n GROUP BY tok, n.n
+         |HAVING count(*) * $HhK > n.n
+         |ORDER BY cnt DESC, tok""".stripMargin),
     "t13_perplexity" ->
       ("""WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
          |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),

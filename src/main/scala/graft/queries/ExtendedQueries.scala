@@ -44,6 +44,18 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
 
+  /** q41: explicit GROUPING SETS — an asymmetric set list
+    * ((returnflag, linestatus), (linestatus)) that neither ROLLUP (q18)
+    * nor CUBE (q23) can express; the host executor's `Expand`-based
+    * grouping-set machinery, one scan for both groupings. */
+  def q41GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").cast("long").as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+
   /** q24: EXCEPT — customers that never ordered. */
   def q24Except(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").select(col("c_custkey"))
@@ -235,6 +247,7 @@ object ExtendedQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_lateral" -> q40Lateral _,
+    "q41_grouping_sets" -> q41GroupingSets _,
     "q39_correlated" -> q39Correlated _,
     "q33_string_agg" -> q33StringAgg _,
     "q34_md5_join" -> q34Md5Join _,
@@ -260,6 +273,12 @@ object ExtendedQueries {
     // the GENUINELY correlated form: DuckDB decorrelates the scalar
     // subquery into the same per-nation-aggregate join shape the Spark
     // side declares directly, so a hash-match covers both formulations
+    "q41_grouping_sets" ->
+      ("""SELECT l_returnflag, l_linestatus, count(*) cnt,
+         |  CAST(sum(l_quantity) AS BIGINT) qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
+         |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin),
     "q40_lateral" ->
       ("""SELECT n.n_nationkey, t.c_custkey, t.bal
          |FROM nation n,

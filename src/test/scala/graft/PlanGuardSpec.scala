@@ -19,9 +19,13 @@ class PlanGuardSpec extends SparkSpec {
   // t13: ONE-row vocabulary-size aggregate broadcast-crossed onto the
   // per-bigram cost table (t6's broadcast-scalar pattern); the instance
   // scoring join itself is a keyed equality join on the bigram.
+  // d13: ONE-row corpus-size aggregate broadcast-crossed onto the
+  // df-band term table (same broadcast-scalar pattern); candidate pairs
+  // come from the posting-list expansion, no join at all.
   private val bnljAllowed =
     Set("s1_ann_brute", "s2_ann_ivf", "s6_range_search", "t6_bm25",
-      "c3_source_mix", "s4_kmeans", "d11_semantic_dedup", "t13_perplexity")
+      "c3_source_mix", "s4_kmeans", "d11_semantic_dedup", "t13_perplexity",
+      "d13_tfidf_cosine")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")
