@@ -53,8 +53,8 @@ object Bench {
     // caches that d2/d10/p1 then reuse; d4 likewise builds the simhash
     // pair cache d9 rides on.
     val heavyFirst = Seq(
-      "d7_dedup_clusters", "d6_embed_neardup_ann", "s5_pq_ann",
-      "d2b_ngram_capped", "d4_simhash", "d5_embed_neardup",
+      "d7_dedup_clusters", "d13_tfidf_cosine", "d6_embed_neardup_ann", "s5_pq_ann",
+      "c8_cluster_split", "d2b_ngram_capped", "d4_simhash", "d5_embed_neardup",
       "d3_minhash_lsh", "s2_ann_ivf", "s4_kmeans", "m4_png_decode",
       "c2_decontaminate", "t11_bpe_tokens", "e5_funnel", "e8_transitions",
       "d8_window_dedup", "p1_clean_corpus", "d10_containment",
