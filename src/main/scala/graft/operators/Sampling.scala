@@ -82,6 +82,49 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** c9: Bloom-prefiltered decontamination — c2's exact semantics with
+    * the scale path for LARGE eval sets. c2 broadcasts the raw distinct
+    * eval-shingle set; at a realistic held-out suite (10⁸–10⁹ shingles ×
+    * tens of bytes) that broadcast is multiple GB per executor. Here the
+    * eval set is folded into a Bloom sketch (Spark's own
+    * BloomFilterAggregate over xxhash64, ~1.2 bytes/element at 1% fpp —
+    * the same machinery Catalyst injects for runtime bloom joins), the
+    * corpus stream is pre-filtered MAP-SIDE by BloomFilterMightContain
+    * (codegen'd, no shuffle, no-false-negative guarantee), and only the
+    * sketch's survivors reach the exact confirm join that kills the
+    * false positives. Output ≡ c2 exactly — the sketch bounds memory,
+    * never changes the answer — which is why c9 shares c2's oracle. */
+  def c9BloomDecontaminate(s: SparkSession, dir: String,
+      evalDocs: Int = 5, minShared: Int = 3): DataFrame = {
+    import graft.functions.Shingles.shinglesDistinctFast
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val sh = docs(s, dir).select(
+      col("doc_id"), explode(shinglesDistinctFast(col("text"))).as("sng"))
+    val evalSh = sh.filter(col("doc_id") < evalDocs).select("sng").distinct()
+    // One-row sketch aggregate collected to the driver: KB–MB by
+    // construction (that is the point of the sketch), re-shipped inside
+    // the task binary as a foldable literal — the same transport the
+    // optimizer's injected runtime bloom filters use.
+    val bloomBytes = evalSh
+      .select(Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("sng"))), 1L << 20)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Literal.create(bloomBytes, BinaryType),
+      Bridge.expression(xxhash64(col("sng")))))
+    sh.filter(col("doc_id") >= evalDocs)
+      .filter(mightContain)
+      .join(broadcast(evalSh), "sng")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"), col("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** c3: temperature-reweighted source mix (α = 0.5) — the step that
     * decides how much of each source goes into the training mix: raw
     * per-source counts are flattened by n^α so overrepresented sources
@@ -260,6 +303,7 @@ object Sampling {
     "c7_split" -> ((s, dir) => c7Split(s, dir)),
     "c1_stratified_sample" -> ((s, dir) => c1StratifiedSample(s, dir)),
     "c2_decontaminate" -> ((s, dir) => c2Decontaminate(s, dir)),
+    "c9_bloom_decontaminate" -> ((s, dir) => c9BloomDecontaminate(s, dir)),
     "c3_source_mix" -> ((s, dir) => c3SourceMix(s, dir)),
     "c4_curation_funnel" -> ((s, dir) => c4CurationFunnel(s, dir)),
     "c5_pack_chunks" -> ((s, dir) => c5PackChunks(s, dir)),
@@ -312,6 +356,16 @@ object Sampling {
         |SELECT lang, doc_id, rn AS rk FROM r WHERE rn <= 20
         |ORDER BY lang, rk""".stripMargin,
     "c2_decontaminate" ->
+      (s"""WITH ${OracleSql.shingleCte},
+         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+         |m AS (SELECT sh.doc_id, count(*) n_shared FROM sh
+         |      JOIN ev ON sh.s = ev.s
+         |      WHERE sh.doc_id >= 5 GROUP BY sh.doc_id)
+         |SELECT doc_id, n_shared FROM m WHERE n_shared >= 3
+         |ORDER BY doc_id""".stripMargin),
+    // c9 is c2 with a Bloom pre-filter that cannot change the result
+    // (no false negatives; positives exact-confirmed) — same oracle.
+    "c9_bloom_decontaminate" ->
       (s"""WITH ${OracleSql.shingleCte},
          |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
          |m AS (SELECT sh.doc_id, count(*) n_shared FROM sh

@@ -825,33 +825,37 @@ final class GraftTable private (
         f.name -> GraftTable.ColumnStats(null, null, 0L, 0L)).toMap)
     } else {
       val r = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect().head
+      val mcvs = mcvCounts(df, fields, mcvCandidates(r, fields),
+        scale = 1.0, rowCap = meta.rowCount)
       GraftTable.TableStats(meta.rowCount, tableSize(), fields.map { f =>
         f.name -> GraftTable.ColumnStats(
           r.getAs[String](s"min_${f.name}"),
           r.getAs[String](s"max_${f.name}"),
           r.getAs[Long](s"ndv_${f.name}"),
-          r.getAs[Long](s"nulls_${f.name}"))
+          r.getAs[Long](s"nulls_${f.name}"),
+          mcvs.getOrElse(f.name, Nil))
       }.toMap)
     }
     GraftTable.writeStatsAtomic(location, stats)
     stats
   }
 
-  /** One min/max/ndv/nulls aggregate column set per field. Columns
-    * without an ordering (arrays/structs/binary) get null min/max — the
-    * reference's comparator-less escape hatch
-    * (`cstore_writer.c:151-167`). */
+  /** One min/max/ndv/nulls aggregate column set per field, plus a
+    * Misra–Gries most-common-value CANDIDATE summary per orderable
+    * column (bounded ≤ McvMgK-1 entries — O(k) shuffled per partition
+    * whatever the column's cardinality; candidates are exact-counted by
+    * [[mcvCounts]] in one further pass). Columns without an ordering
+    * (arrays/structs/binary) get null min/max — the reference's
+    * comparator-less escape hatch (`cstore_writer.c:151-167`). */
   private def columnAggs(fields: Array[StructField]): Array[Column] = {
-    def orderable(dt: DataType): Boolean = dt match {
-      case _: ArrayType | _: StructType | _: MapType | BinaryType => false
-      case _ => true
-    }
+    import graft.functions.MisraGriesAgg.misraGries
     fields.flatMap { f =>
       val c = col(f.name)
       val mins =
-        if (orderable(f.dataType))
+        if (GraftTable.statOrderable(f.dataType))
           Seq(min(c).cast("string").as(s"min_${f.name}"),
-            max(c).cast("string").as(s"max_${f.name}"))
+            max(c).cast("string").as(s"max_${f.name}"),
+            misraGries(c.cast("string"), GraftTable.McvMgK).as(s"mcvc_${f.name}"))
         else
           Seq(lit(null).cast("string").as(s"min_${f.name}"),
             lit(null).cast("string").as(s"max_${f.name}"))
@@ -860,6 +864,41 @@ final class GraftTable private (
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"nulls_${f.name}"))
     }
   }
+
+  /** MCV pass 2: exact occurrence counts of every pass-1 candidate — all
+    * columns in ONE aggregate scan (a counter per candidate, map-side
+    * combined, nothing shuffled but the counters). `scale` extrapolates
+    * sampled counts to the table (1.0 when the scan was full). Keeps the
+    * top-McvK per column by count. */
+  private def mcvCounts(df: DataFrame, fields: Array[StructField],
+      cands: Map[String, Seq[String]], scale: Double,
+      rowCap: Long): Map[String, Seq[(String, Long)]] = {
+    val aggs = fields.flatMap { f =>
+      cands.getOrElse(f.name, Nil).zipWithIndex.map { case (v, i) =>
+        sum(when(col(f.name).cast("string") === lit(v), 1L).otherwise(0L))
+          .as(s"__mcv_${f.name}_$i")
+      }
+    }
+    if (aggs.isEmpty) return Map.empty
+    val r = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect().head
+    fields.map { f =>
+      val top = cands.getOrElse(f.name, Nil).zipWithIndex
+        .map { case (v, i) => v -> r.getAs[Long](s"__mcv_${f.name}_$i") }
+        .filter(_._2 > 0L)
+        .map { case (v, c) => v -> math.min(rowCap, math.round(c * scale)) }
+        .filter(_._2 > 0L)
+        .sortBy { case (v, c) => (-c, v) }
+        .take(GraftTable.McvK)
+      f.name -> top.toSeq
+    }.toMap
+  }
+
+  /** Pass-1 MCV candidates per orderable column, off the stats row. */
+  private def mcvCandidates(r: org.apache.spark.sql.Row,
+      fields: Array[StructField]): Map[String, Seq[String]] =
+    fields.filter(f => GraftTable.statOrderable(f.dataType)).map { f =>
+      f.name -> r.getSeq[String](r.fieldIndex(s"mcvc_${f.name}"))
+    }.toMap
 
   /** Sampled ANALYZE — the reference's actual design point: its ANALYZE
     * reservoir-samples rows off the scan (`cstore_fdw.c:2098-2260`,
@@ -915,6 +954,10 @@ final class GraftTable private (
     val ns = r.getAs[Long]("__ns")
     if (ns == 0L) return analyze(noScan = false) // degenerate sample
     val scale = meta.rowCount.toDouble / ns
+    // MCV counts from the same sample, extrapolated by the row scale —
+    // the PG convention (sampled MCV frequencies are estimates)
+    val mcvs = mcvCounts(df, fields, mcvCandidates(r, fields),
+      scale = scale, rowCap = meta.rowCount)
     val stats = GraftTable.TableStats(meta.rowCount, tableSize(), fields.map { f =>
       val nullsS = r.getAs[Long](s"nulls_${f.name}")
       val ndvS = r.getAs[Long](s"ndv_${f.name}")
@@ -927,7 +970,8 @@ final class GraftTable private (
         r.getAs[String](s"min_${f.name}"),
         r.getAs[String](s"max_${f.name}"),
         ndv,
-        math.min(meta.rowCount, math.round(nullsS * scale)))
+        math.min(meta.rowCount, math.round(nullsS * scale)),
+        mcvs.getOrElse(f.name, Nil))
     }.toMap)
     GraftTable.writeStatsAtomic(location, stats)
     stats
@@ -1374,7 +1418,27 @@ object GraftTable {
   }
 
   /** Per-column ANALYZE output (min/max as strings, approx ndv, nulls). */
-  final case class ColumnStats(min: String, max: String, ndv: Long, nullCount: Long)
+  /** Stored most-common values per column (PG default_statistics_target
+    * keeps 100; 10 covers eq-selectivity's needs at a tenth the stats
+    * file) and the Misra–Gries sketch width that guarantees pass-1
+    * candidates cover everything above n/McvMgK of the column. */
+  private[storage] val McvK = 10
+  private[storage] val McvMgK = 50
+
+  /** Types with a usable ordering for min/max stats (and a sane
+    * `cast(string)` image for MCVs). */
+  private[storage] def statOrderable(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: StructType | _: MapType | BinaryType => false
+    case _ => true
+  }
+
+  /** `mcvs`: most-common values (value in `cast(string)` form → exact
+    * occurrence count), the PostgreSQL-ANALYZE stat the reference's
+    * delegated ANALYZE produces (`cstore_fdw.c:2061-2082` hands sampled
+    * rows to the host's std_typanalyze, whose MCV list drives eq-clause
+    * selectivity). Empty on stats written before MCV collection. */
+  final case class ColumnStats(min: String, max: String, ndv: Long, nullCount: Long,
+      mcvs: Seq[(String, Long)] = Nil)
   final case class TableStats(rowCount: Long, sizeBytes: Long,
       columns: Map[String, ColumnStats])
 
@@ -1392,8 +1456,11 @@ object GraftTable {
       } + "\""
     }
     val cols = st.columns.map { case (k, c) =>
+      val mcv = if (c.mcvs.isEmpty) ""
+        else c.mcvs.map { case (v, n) => s"[${js(v)}, $n]" }
+          .mkString(", \"mcvs\": [", ",", "]")
       s"${js(k)}: {\"min\": ${js(c.min)}, \"max\": ${js(c.max)}, " +
-        s"\"ndv\": ${c.ndv}, \"nulls\": ${c.nullCount}}"
+        s"\"ndv\": ${c.ndv}, \"nulls\": ${c.nullCount}$mcv}"
     }.mkString("{", ",", "}")
     val txt = s"""{"row_count": ${st.rowCount}, "size_bytes": ${st.sizeBytes}, "columns": $cols}"""
     writeFileAtomic(location, statsPath(location), txt)
@@ -1406,10 +1473,15 @@ object GraftTable {
     val m = parseJsonObject(readFileFully(fs, path))
     val cols = m("columns").asInstanceOf[Map[String, Any]].map { case (k, v) =>
       val o = v.asInstanceOf[Map[String, Any]]
+      val mcvs = o.get("mcvs").map(_.asInstanceOf[List[Any]].map { e =>
+        val pair = e.asInstanceOf[List[Any]]
+        pair.head.asInstanceOf[String] -> pair(1).asInstanceOf[Number].longValue()
+      }).getOrElse(Nil)
       k -> ColumnStats(
         o("min").asInstanceOf[String], o("max").asInstanceOf[String],
         o("ndv").asInstanceOf[Number].longValue(),
-        o("nulls").asInstanceOf[Number].longValue())
+        o("nulls").asInstanceOf[Number].longValue(),
+        mcvs)
     }
     Some(TableStats(m("row_count").asInstanceOf[Number].longValue(),
       m("size_bytes").asInstanceOf[Number].longValue(), cols))

@@ -12,8 +12,11 @@ import org.apache.spark.sql.types._
   * graft `_graft_stats.json` (min/max/ndv/null counts, min/max stored as
   * strings in Spark `cast(string)` form):
   *
-  *  - equality: `(1 - nullFrac) / ndv`
-  *  - IN list:  `(1 - nullFrac) * |list| / ndv` (capped at 1)
+  *  - equality: a value in the MCV list → its measured frequency; any
+  *              other value → the non-MCV mass over the non-MCV ndv
+  *              (PostgreSQL's eqsel over STATISTIC_KIND_MCV; without
+  *              MCVs this degrades to the uniform `(1 - nullFrac) / ndv`)
+  *  - IN list:  sum of the per-value equality estimates (capped at 1)
   *  - range:    linear interpolation inside [min, max], for every type
   *              with a numeric image (numerics, dates, timestamps,
   *              decimals); unparsable domains fall back to 1/3 — the
@@ -40,8 +43,32 @@ object Selectivity {
 
     def notNull(c: String): Double = 1.0 - nullFrac(c).getOrElse(0.0)
 
-    def eqSel(c: String): Double = col(c) match {
-      case Some((_, s)) if s.ndv > 0 => notNull(c) / s.ndv.toDouble
+    // Filter value rendered the way ANALYZE stores MCV keys (Spark
+    // cast(string)): plain toString for numerics/strings/booleans,
+    // ISO date for date values. A miss (e.g. decimal trailing-zero
+    // mismatch) just falls through to the residual estimate.
+    def mcvKey(v: Any): String = v match {
+      case null => null
+      case d: java.sql.Date => d.toLocalDate.toString
+      case d: java.time.LocalDate => d.toString
+      case other => other.toString
+    }
+
+    /** Equality selectivity, PG-style: a value found in the MCV list
+      * gets its MEASURED frequency; anything else gets the non-MCV mass
+      * spread over the non-MCV distinct values — so a filter on a hot
+      * key estimates large (broadcast refused) and one on a rare key
+      * estimates small, from the same stats. */
+    def eqSel(c: String, v: Any): Double = col(c) match {
+      case Some((_, s)) if s.ndv > 0 =>
+        val key = mcvKey(v)
+        s.mcvs.find(_._1 == key) match {
+          case Some((_, cnt)) => math.min(1.0, cnt.toDouble / n)
+          case None =>
+            val mcvFrac = math.min(notNull(c), s.mcvs.map(_._2).sum / n)
+            val restNdv = math.max(1.0, (s.ndv - s.mcvs.size).toDouble)
+            math.max(0.0, notNull(c) - mcvFrac) / restNdv
+        }
       case _ => DefaultEq
     }
 
@@ -95,14 +122,11 @@ object Selectivity {
         val a = estimate(l, stats, schema); val b = estimate(r, stats, schema)
         clamp(a + b - a * b)
       case Not(c) => clamp(1.0 - estimate(c, stats, schema))
-      case EqualTo(c, _) => clamp(eqSel(c))
-      case EqualNullSafe(c, v) => if (v == null) nullFrac(c).getOrElse(DefaultEq) else clamp(eqSel(c))
+      case EqualTo(c, v) => clamp(eqSel(c, v))
+      case EqualNullSafe(c, v) => if (v == null) nullFrac(c).getOrElse(DefaultEq) else clamp(eqSel(c, v))
       case In(c, vs) if vs != null =>
-        clamp(col(c) match {
-          case Some((_, s)) if s.ndv > 0 =>
-            notNull(c) * math.min(1.0, vs.length.toDouble / s.ndv.toDouble)
-          case _ => math.min(1.0, vs.length * DefaultEq)
-        })
+        // disjoint values: per-value MCV-aware eq estimates sum
+        clamp(vs.map(v => eqSel(c, v)).sum)
       case GreaterThan(c, v) =>
         clamp(notNull(c) * rangeFrac(c, v).map(1.0 - _).getOrElse(DefaultIneq))
       case GreaterThanOrEqual(c, v) =>

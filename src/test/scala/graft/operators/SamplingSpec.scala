@@ -96,6 +96,17 @@ class SamplingSpec extends SparkSpec {
     assert(s2 === "x <EMAIL> y <IP> z <PHONE>")
   }
 
+  test("c9 bloom decontamination ≡ c2 exact, and the sketch prefilter is in the plan") {
+    val c2 = Sampling.c2Decontaminate(spark, dir)
+    val c9 = Sampling.c9BloomDecontaminate(spark, dir)
+    assert(c9.exceptAll(c2).isEmpty && c2.exceptAll(c9).isEmpty,
+      "bloom-prefiltered result diverged from the exact join")
+    // the mechanism is engaged: the corpus-side scan is filtered through
+    // BloomFilterMightContain before the confirm join
+    val plan = c9.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(1500))
+  }
+
   test("quota: min(perStratum, stratum size) per stratum; deterministic") {
     val quota = 30
     val out = Sampling.c1StratifiedSample(spark, dir, perStratum = quota)

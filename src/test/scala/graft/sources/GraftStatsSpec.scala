@@ -86,6 +86,40 @@ class GraftStatsSpec extends SparkSpec {
     GraftTable.drop(loc)
   }
 
+  test("ANALYZE collects exact MCVs and equality selectivity becomes skew-aware") {
+    val loc = tmpDir("gstats-mcv") + "/t"
+    import spark.implicits._
+    val t = GraftTable.create(spark, loc, StructType(Seq(
+      StructField("k", IntegerType), StructField("cat", StringType))))
+    // planted skew: 60% 'hot', 20% 'warm', the rest spread over ~500
+    // cold values — the shape where uniform 1/ndv estimation is off by
+    // orders of magnitude in both directions
+    t.append((0 until 10000).map { i =>
+      val cat =
+        if (i % 10 < 6) "hot" else if (i % 10 < 8) "warm" else s"cold_${i % 500}"
+      (i, cat)
+    }.toDF("k", "cat"))
+    val st = t.analyze()
+    val mcv = st.columns("cat").mcvs
+    assert(mcv.size <= 10, s"MCV list bounded: $mcv")
+    assert(mcv.toMap.get("hot") === Some(6000L), s"exact hot count: $mcv")
+    assert(mcv.toMap.get("warm") === Some(2000L), s"exact warm count: $mcv")
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("cat", StringType)))
+    val hotRows = Selectivity.estimateRows(Seq(EqualTo("cat", "hot")), st, schema)
+    val coldRows = Selectivity.estimateRows(Seq(EqualTo("cat", "cold_7")), st, schema)
+    assert(hotRows === 6000L, s"MCV hit uses the measured frequency: $hotRows")
+    assert(coldRows < 100L, s"non-MCV value gets the residual mass: $coldRows")
+    // IN mixes measured and residual estimates per value
+    val inRows = Selectivity.estimateRows(
+      Seq(In("cat", Array("hot", "cold_7"))), st, schema)
+    assert(inRows >= 6000L && inRows < 6100L, s"IN estimate $inRows")
+    // MCVs survive the stats-file round trip
+    val reread = GraftTable.open(spark, loc).stats().get
+    assert(reread.columns("cat").mcvs.toMap.get("hot") === Some(6000L))
+    GraftTable.drop(loc)
+  }
+
   test("sampled ANALYZE: stats within tolerance of the full scan, broadcast flip intact") {
     val loc = tmpDir("gstats-sample") + "/fact"
     import spark.implicits._
