@@ -827,13 +827,15 @@ final class GraftTable private (
       val r = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect().head
       val mcvs = mcvCounts(df, fields, mcvCandidates(r, fields),
         scale = 1.0, rowCap = meta.rowCount)
+      val hists = histBounds(r, fields)
       GraftTable.TableStats(meta.rowCount, tableSize(), fields.map { f =>
         f.name -> GraftTable.ColumnStats(
           r.getAs[String](s"min_${f.name}"),
           r.getAs[String](s"max_${f.name}"),
           r.getAs[Long](s"ndv_${f.name}"),
           r.getAs[Long](s"nulls_${f.name}"),
-          mcvs.getOrElse(f.name, Nil))
+          mcvs.getOrElse(f.name, Nil),
+          hists.getOrElse(f.name, Nil))
       }.toMap)
     }
     GraftTable.writeStatsAtomic(location, stats)
@@ -859,7 +861,18 @@ final class GraftTable private (
         else
           Seq(lit(null).cast("string").as(s"min_${f.name}"),
             lit(null).cast("string").as(s"max_${f.name}"))
-      mins ++ Seq(
+      // equi-depth histogram bounds for numeric columns: approximate
+      // percentile cut points in the double domain (PG's
+      // STATISTIC_KIND_HISTOGRAM; the sketch is mergeable, so this too
+      // ships O(sketch) per partition, never the column)
+      val hists =
+        if (GraftTable.histNumeric(f.dataType))
+          Seq(percentile_approx(c.cast("double"),
+            lit((0 to GraftTable.HistBuckets)
+              .map(_.toDouble / GraftTable.HistBuckets).toArray),
+            lit(10000)).as(s"hist_${f.name}"))
+        else Nil
+      mins ++ hists ++ Seq(
         approx_count_distinct(c).as(s"ndv_${f.name}"),
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"nulls_${f.name}"))
     }
@@ -898,6 +911,16 @@ final class GraftTable private (
       fields: Array[StructField]): Map[String, Seq[String]] =
     fields.filter(f => GraftTable.statOrderable(f.dataType)).map { f =>
       f.name -> r.getSeq[String](r.fieldIndex(s"mcvc_${f.name}"))
+    }.toMap
+
+  /** Pass-1 histogram bounds per numeric column, off the stats row
+    * (null when the column had no non-null values). */
+  private def histBounds(r: org.apache.spark.sql.Row,
+      fields: Array[StructField]): Map[String, Seq[String]] =
+    fields.filter(f => GraftTable.histNumeric(f.dataType)).flatMap { f =>
+      val i = r.fieldIndex(s"hist_${f.name}")
+      if (r.isNullAt(i)) None
+      else Some(f.name -> r.getSeq[Double](i).map(_.toString))
     }.toMap
 
   /** Sampled ANALYZE — the reference's actual design point: its ANALYZE
@@ -958,6 +981,9 @@ final class GraftTable private (
     // the PG convention (sampled MCV frequencies are estimates)
     val mcvs = mcvCounts(df, fields, mcvCandidates(r, fields),
       scale = scale, rowCap = meta.rowCount)
+    // histogram bounds are quantiles — fractions of the distribution —
+    // so the sample's bounds stand in unscaled (the PG convention)
+    val hists = histBounds(r, fields)
     val stats = GraftTable.TableStats(meta.rowCount, tableSize(), fields.map { f =>
       val nullsS = r.getAs[Long](s"nulls_${f.name}")
       val ndvS = r.getAs[Long](s"ndv_${f.name}")
@@ -971,7 +997,8 @@ final class GraftTable private (
         r.getAs[String](s"max_${f.name}"),
         ndv,
         math.min(meta.rowCount, math.round(nullsS * scale)),
-        mcvs.getOrElse(f.name, Nil))
+        mcvs.getOrElse(f.name, Nil),
+        hists.getOrElse(f.name, Nil))
     }.toMap)
     GraftTable.writeStatsAtomic(location, stats)
     stats
@@ -1422,8 +1449,8 @@ object GraftTable {
     * keeps 100; 10 covers eq-selectivity's needs at a tenth the stats
     * file) and the Misra–Gries sketch width that guarantees pass-1
     * candidates cover everything above n/McvMgK of the column. */
-  private[storage] val McvK = 10
-  private[storage] val McvMgK = 50
+  private[graft] val McvK = 10
+  private[graft] val McvMgK = 50
 
   /** Types with a usable ordering for min/max stats (and a sane
     * `cast(string)` image for MCVs). */
@@ -1436,9 +1463,26 @@ object GraftTable {
     * occurrence count), the PostgreSQL-ANALYZE stat the reference's
     * delegated ANALYZE produces (`cstore_fdw.c:2061-2082` hands sampled
     * rows to the host's std_typanalyze, whose MCV list drives eq-clause
-    * selectivity). Empty on stats written before MCV collection. */
+    * selectivity). Empty on stats written before MCV collection.
+    *
+    * `hist`: equi-depth histogram bounds for NUMERIC columns (PG's
+    * STATISTIC_KIND_HISTOGRAM) — HistBuckets+1 approximate percentile
+    * cut points rendered as double strings, driving piecewise range
+    * selectivity where min/max linear interpolation misreads skewed
+    * domains. Empty for non-numeric columns and pre-histogram stats. */
   final case class ColumnStats(min: String, max: String, ndv: Long, nullCount: Long,
-      mcvs: Seq[(String, Long)] = Nil)
+      mcvs: Seq[(String, Long)] = Nil, hist: Seq[String] = Nil)
+
+  /** Equi-depth histogram resolution (PG default_statistics_target uses
+    * 100 buckets; 16 bounds the stats file while still resolving 6%
+    * selectivity steps). */
+  private[graft] val HistBuckets = 16
+
+  private[storage] def histNumeric(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         _: DecimalType => true
+    case _ => false
+  }
   final case class TableStats(rowCount: Long, sizeBytes: Long,
       columns: Map[String, ColumnStats])
 
@@ -1459,8 +1503,10 @@ object GraftTable {
       val mcv = if (c.mcvs.isEmpty) ""
         else c.mcvs.map { case (v, n) => s"[${js(v)}, $n]" }
           .mkString(", \"mcvs\": [", ",", "]")
+      val hist = if (c.hist.isEmpty) ""
+        else c.hist.map(js).mkString(", \"hist\": [", ",", "]")
       s"${js(k)}: {\"min\": ${js(c.min)}, \"max\": ${js(c.max)}, " +
-        s"\"ndv\": ${c.ndv}, \"nulls\": ${c.nullCount}$mcv}"
+        s"\"ndv\": ${c.ndv}, \"nulls\": ${c.nullCount}$mcv$hist}"
     }.mkString("{", ",", "}")
     val txt = s"""{"row_count": ${st.rowCount}, "size_bytes": ${st.sizeBytes}, "columns": $cols}"""
     writeFileAtomic(location, statsPath(location), txt)
@@ -1477,11 +1523,13 @@ object GraftTable {
         val pair = e.asInstanceOf[List[Any]]
         pair.head.asInstanceOf[String] -> pair(1).asInstanceOf[Number].longValue()
       }).getOrElse(Nil)
+      val hist = o.get("hist")
+        .map(_.asInstanceOf[List[Any]].map(_.asInstanceOf[String])).getOrElse(Nil)
       k -> ColumnStats(
         o("min").asInstanceOf[String], o("max").asInstanceOf[String],
         o("ndv").asInstanceOf[Number].longValue(),
         o("nulls").asInstanceOf[Number].longValue(),
-        mcvs)
+        mcvs, hist)
     }
     Some(TableStats(m("row_count").asInstanceOf[Number].longValue(),
       m("size_bytes").asInstanceOf[Number].longValue(), cols))

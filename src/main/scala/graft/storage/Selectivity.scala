@@ -17,10 +17,14 @@ import org.apache.spark.sql.types._
   *              (PostgreSQL's eqsel over STATISTIC_KIND_MCV; without
   *              MCVs this degrades to the uniform `(1 - nullFrac) / ndv`)
   *  - IN list:  sum of the per-value equality estimates (capped at 1)
-  *  - range:    linear interpolation inside [min, max], for every type
-  *              with a numeric image (numerics, dates, timestamps,
-  *              decimals); unparsable domains fall back to 1/3 — the
-  *              `DEFAULT_INEQ_SEL` convention
+  *  - range:    piecewise over the ANALYZE equi-depth histogram bounds
+  *              when collected (PG's ineq_histogram_selectivity — right
+  *              on skewed domains where uniform interpolation is off by
+  *              the skew factor); else linear interpolation inside
+  *              [min, max], for every type with a numeric image
+  *              (numerics, dates, timestamps, decimals); unparsable
+  *              domains fall back to 1/3 — the `DEFAULT_INEQ_SEL`
+  *              convention
   *  - IS NULL / IS NOT NULL: the measured null fraction
   *  - AND = product, OR = inclusion-exclusion, NOT = complement
   *  - anything else: 1.0 (never under-estimates what it can't see)
@@ -103,15 +107,35 @@ object Selectivity {
       case _ => None
     }
 
-    // Fraction of the [min, max] domain at or below `v`.
+    // Fraction of rows at or below `x` per the equi-depth histogram
+    // bounds (PG's ineq_histogram_selectivity): each bucket holds 1/B of
+    // the rows; position inside the containing bucket interpolates.
+    // Repeated bounds (a heavy value spanning buckets) collapse to full
+    // buckets below x via lastIndexWhere.
+    def histFrac(s: GraftTable.ColumnStats, x: Double): Option[Double] = {
+      val bs = s.hist.flatMap(b => b.toDoubleOption)
+      if (bs.length < 2 || bs.last <= bs.head) None
+      else if (x <= bs.head) Some(0.0)
+      else if (x >= bs.last) Some(1.0)
+      else {
+        val i = bs.lastIndexWhere(_ <= x)
+        val lo = bs(i); val hi = bs(i + 1)
+        val within = if (hi > lo) (x - lo) / (hi - lo) else 0.0
+        Some((i + within) / (bs.length - 1))
+      }
+    }
+
+    // Fraction of the domain at or below `v`: histogram-piecewise when
+    // ANALYZE collected bounds, else linear inside [min, max].
     def rangeFrac(c: String, v: Any): Option[Double] = col(c).flatMap { case (dt, s) =>
-      for {
-        mn <- statNum(dt, s.min)
-        mx <- statNum(dt, s.max)
-        x <- valNum(v)
-      } yield
-        if (mx <= mn) (if (x >= mx) 1.0 else 0.0)
-        else math.max(0.0, math.min(1.0, (x - mn) / (mx - mn)))
+      valNum(v).flatMap { x =>
+        histFrac(s, x).orElse(for {
+          mn <- statNum(dt, s.min)
+          mx <- statNum(dt, s.max)
+        } yield
+          if (mx <= mn) (if (x >= mx) 1.0 else 0.0)
+          else math.max(0.0, math.min(1.0, (x - mn) / (mx - mn))))
+      }
     }
 
     def clamp(d: Double): Double = math.max(0.0, math.min(1.0, d))

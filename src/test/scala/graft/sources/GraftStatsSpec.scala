@@ -120,6 +120,31 @@ class GraftStatsSpec extends SparkSpec {
     GraftTable.drop(loc)
   }
 
+  test("ANALYZE histogram bounds make range selectivity skew-aware") {
+    val loc = tmpDir("gstats-hist") + "/t"
+    import spark.implicits._
+    val t = GraftTable.create(spark, loc, StructType(Seq(
+      StructField("v", LongType))))
+    // quadratic skew: v = i² over i ∈ [0, 10000) — half the rows sit
+    // below 1/4 of the [min, max] domain, where uniform interpolation
+    // under-counts a low-range filter by 2×
+    t.append((0L until 10000L).map(i => Tuple1(i * i)).toDF("v"))
+    val st = t.analyze()
+    val hist = st.columns("v").hist
+    assert(hist.size === GraftTable.HistBuckets + 1, s"bounds: $hist")
+    val schema = StructType(Seq(StructField("v", LongType)))
+    // true count below 25M (= 5000²): 5000 rows; uniform interpolation
+    // off min/max would say 25M/1e8 * 10000 = 2500
+    val est = Selectivity.estimateRows(
+      Seq(LessThan("v", java.lang.Long.valueOf(25000000L))), st, schema)
+    assert(est > 4400L && est < 5600L,
+      s"histogram range estimate should be ~5000, got $est")
+    // bounds survive the stats-file round trip
+    val reread = GraftTable.open(spark, loc).stats().get
+    assert(reread.columns("v").hist === hist)
+    GraftTable.drop(loc)
+  }
+
   test("sampled ANALYZE: stats within tolerance of the full scan, broadcast flip intact") {
     val loc = tmpDir("gstats-sample") + "/fact"
     import spark.implicits._
