@@ -99,14 +99,19 @@ object Bench {
     // the comparable quantity.
     val byName = SparkEntry.queries
     val soloNames = results.filter(_._3 == "ok").sortBy(-_._2).take(10).map(_._1)
-    val solo = soloNames.map { name =>
+    val solo = soloNames.flatMap { name =>
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
       val q0 = System.nanoTime()
-      try byName(name)(spark, sfDir).count()
-      catch { case e: Throwable =>
+      // a failed solo run is OMITTED: its time-to-crash would otherwise
+      // publish as a (typically flattering) steady-state wall and poison
+      // the round-over-round comparison this profile exists for
+      try {
+        byName(name)(spark, sfDir).count()
+        Some(name -> (System.nanoTime() - q0) / 1e9)
+      } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] solo $name FAILED: ${e.getMessage}")
+        None
       }
-      name -> (System.nanoTime() - q0) / 1e9
     }
     // The driver records only the LAST 2000 chars of output, so a long
     // line is truncated from the front. Keep the headline readable under

@@ -787,13 +787,27 @@ object Dedup {
         sum = nextSum
         rounds += 1
       }
-      val df = labels
+      // The loop's intermediate localCheckpoints are transient, but the
+      // FINAL labels outlive this call inside the d7 cache — and a
+      // localCheckpoint is non-recomputable: unpersisting it on cache
+      // replacement (or losing an executor) would BREAK every plan
+      // previously returned ("checkpoint block not found") instead of
+      // recomputing. Materialize the converged labels to scratch
+      // parquet and serve the file-backed scan: lineage is durable
+      // (recompute = re-read), so replacement-time unpersist of cached
+      // blocks is safe again.
+      val scratch = s"${scratchRoot(s)}/d7-labels-$fp"
+      labels.write.mode("overwrite").parquet(scratch)
+      labels.unpersist()
+      val stable = s.read.parquet(scratch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df = stable
         .select(col("v").as("doc_id"), col("l").as("cluster_id"),
           (col("v") === col("l")).cast("int").as("keep"))
         .orderBy("doc_id")
-      // the final labels stay persisted under the returned plan; the
-      // memo entry owns them so replacement can unpersist
-      D7Entry(fp, df, Some(labels), rounds)
+      // the memo entry owns the persisted handle so replacement can
+      // unpersist the block cache (the parquet stays until scratch GC)
+      D7Entry(fp, df, Some(stable), rounds)
     } finally edges.unpersist()
   }
 

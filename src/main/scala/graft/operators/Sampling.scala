@@ -116,9 +116,14 @@ object Sampling {
     val mightContain = Bridge.column(BloomFilterMightContain(
       Literal.create(bloomBytes, BinaryType),
       Bridge.expression(xxhash64(col("sng")))))
+    // confirm join deliberately NOT broadcast: at the motivating scale
+    // the raw eval-shingle set is exactly what must not ship to every
+    // executor — the sketch already thinned the probe side to the rare
+    // survivors, so a shuffled equality join (or AQE's choice) is the
+    // honest shape
     sh.filter(col("doc_id") >= evalDocs)
       .filter(mightContain)
-      .join(broadcast(evalSh), "sng")
+      .join(evalSh, "sng")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select(col("doc_id"), col("n_shared"))

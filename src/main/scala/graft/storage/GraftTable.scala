@@ -217,11 +217,18 @@ final class GraftTable private (
     // alone; only an UNPARSEABLE-and-stale file is a crashed writer's
     // partial claim — drop it so it neither counts toward keepLast nor
     // pins its batch dir forever.
-    val orphans = newer.filter(v =>
-      GraftTable.isStaleBrokenClaim(fs, GraftTable.historyPath(location, v)))
-    val expire = committed.dropRight(keepLast).filter(_ != meta.version) ++ orphans
+    // orphan claims go through the LEASED reclaim (re-check inside the
+    // lease), never a bare check→delete: between our staleness check
+    // and the delete another writer may have reclaimed the version and
+    // committed a real snapshot there — deleting it would lose that
+    // commit and leave a hole that pins lagging readers forever
+    val reclaimed = newer.count { v =>
+      val p = GraftTable.historyPath(location, v)
+      GraftTable.isStaleBrokenClaim(fs, p) && GraftTable.reclaimStaleClaim(fs, p)
+    }
+    val expire = committed.dropRight(keepLast).filter(_ != meta.version)
     expire.foreach(v => fs.delete(GraftTable.historyPath(location, v), false))
-    expire.size
+    expire.size + reclaimed
   }
 
   /** Exact row count from parquet footers only — no data pages touched
@@ -390,7 +397,7 @@ final class GraftTable private (
     val newFiles = listParquetFiles(batchDir)
     val infos = newFiles.map(f => relativize(f, location) -> footerInfo(f))
     val n = infos.map(_._2._1).sum
-    commitMutation { base =>
+    val committed = commitMutation { base =>
       // the batch was written against schemaAtWrite; if a concurrent
       // writer ALTERed between our write and our claim, committing the
       // old-shape files could corrupt reads (e.g. a type change) — fail
@@ -398,8 +405,13 @@ final class GraftTable private (
       require(base.currentSchema == schemaAtWrite,
         s"concurrent schema change during append to $location — retry the append")
       txn.foreach { case (qid, bid) =>
-        require(!base.streamTxn.get(qid).exists(_ >= bid),
-          s"stream batch $bid for query $qid was committed concurrently")
+        // a replay detected only at REBASE time (a zombie driver's twin
+        // committed the batch after our front-door check) is the same
+        // no-op the front door returns — failing the live query here
+        // would break appendStream's idempotence contract
+        if (base.streamTxn.get(qid).exists(_ >= bid))
+          throw new GraftTable.CommitSuperseded(
+            s"stream batch $bid for query $qid was committed concurrently")
       }
       base.copy(
         files = base.files ++ infos.map(_._1),
@@ -411,6 +423,13 @@ final class GraftTable private (
         streamTxn = txn.fold(base.streamTxn) { case (qid, bid) =>
           base.streamTxn + (qid -> bid)
         })
+    }
+    if (!committed) {
+      // the batch dir was never referenced by any commit; reclaim it
+      // now rather than leaving it to vacuum
+      try { val (fs, _) = GraftTable.fsAndPath(location)
+        fs.delete(new HPath(batchDir), true) } catch { case _: Exception => () }
+      return 0L
     }
     n
   }
@@ -604,7 +623,13 @@ final class GraftTable private (
   def copyToCsv(writer: java.io.Writer, header: Boolean): Long = {
     val df = read()
     val bw = new java.io.BufferedWriter(writer)
-    if (header) { bw.write(df.columns.mkString(",")); bw.write("\n") }
+    // header fields need CSV quoting too (a column named `a,b` is legal
+    // via backticks; the path-target export's CSV writer escapes it)
+    def q(name: String): String =
+      if (name.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + name.replace("\"", "\"\"") + "\""
+      else name
+    if (header) { bw.write(df.columns.map(q).mkString(",")); bw.write("\n") }
     var n = 0L
     val it = df
       .select(to_csv(struct(df.columns.map(col).toIndexedSeq: _*)).as("line"))
@@ -1075,7 +1100,11 @@ final class GraftTable private (
     * (nothing is committed); it runs against a fresh base on every
     * attempt, so it must validate its own preconditions (e.g. schema
     * unchanged) against the base it is given. */
-  private def commitMutation(mutate: GraftTable.Meta => GraftTable.Meta): Unit = {
+  /** Returns true when the mutation committed; false when `mutate`
+    * signalled [[GraftTable.CommitSuperseded]] against the rebased state
+    * (the intended effect is already durable — e.g. a streaming batch a
+    * twin writer committed first), in which case nothing is written. */
+  private def commitMutation(mutate: GraftTable.Meta => GraftTable.Meta): Boolean = {
     var attempts = 0
     var done = false
     while (!done) {
@@ -1083,7 +1112,9 @@ final class GraftTable private (
         Thread.sleep(math.min(25L * attempts, 250L))
         refreshMeta() // rebase on the state as of AFTER the backoff
       }
-      val next = mutate(meta).copy(version = meta.version + 1)
+      val next =
+        try mutate(meta).copy(version = meta.version + 1)
+        catch { case _: GraftTable.CommitSuperseded => return false }
       if (GraftTable.tryClaimVersion(location, next)) {
         // the claim IS the commit; the pointer is a best-effort read
         // cache — two unserialized writers may race its rename, and a
@@ -1099,10 +1130,17 @@ final class GraftTable private (
           s"gave up committing to $location after $attempts version-claim collisions")
       }
     }
+    true
   }
 }
 
 object GraftTable {
+
+  /** Thrown by a commit mutation to signal that the rebased state shows
+    * the intended effect already durably committed by another writer —
+    * commitMutation aborts cleanly (returns false) instead of failing. */
+  private[storage] final class CommitSuperseded(msg: String)
+    extends RuntimeException(msg)
 
   /** Per-file per-column zone map: min/max (rendered as strings, parsed
     * by column type at prune time), null count, and row count — the
@@ -1684,26 +1722,60 @@ object GraftTable {
             if e.getMessage != null &&
               e.getMessage.toLowerCase.contains("already exists") => false
       }
-    attempt() || (isStaleBrokenClaim(fs, path) && {
-      fs.delete(path, false)
-      attempt()
-    })
+    attempt() || (isStaleBrokenClaim(fs, path) && reclaimStaleClaim(fs, path) &&
+      attempt())
   }
+
+  private def claimGraceMs: Long = SparkSession.getActiveSession
+    .flatMap(s => s.conf.getOption("spark.graft.commit.claimGraceMs"))
+    .map(_.toLong).getOrElse(600000L)
 
   /** True iff `path` is an abandoned partial claim: unparseable AND not
     * recently modified (a live writer is still between create and
     * close only for milliseconds). */
   private def isStaleBrokenClaim(fs: FileSystem, path: HPath): Boolean =
     try {
-      val grace = SparkSession.getActiveSession
-        .flatMap(s => s.conf.getOption("spark.graft.commit.claimGraceMs"))
-        .map(_.toLong).getOrElse(600000L)
       val st = fs.getFileStatus(path)
-      (System.currentTimeMillis() - st.getModificationTime > grace) && {
+      (System.currentTimeMillis() - st.getModificationTime > claimGraceMs) && {
         try { parseJsonObject(readFileFully(fs, path)); false }
         catch { case _: Exception => true }
       }
     } catch { case _: Exception => false }
+
+  /** Delete an abandoned partial claim under a LEASE, so reclamation
+    * cannot destroy a commit. A bare check→delete is a TOCTOU hole: two
+    * janitors can both judge the claim stale, the first reclaims the
+    * path and commits a REAL snapshot there, and the second's delete
+    * then destroys that commit — precisely the lost update the CAS
+    * protocol exists to prevent. Exclusive create of `<path>.reclaim`
+    * admits exactly one janitor into the critical section, and the
+    * staleness RE-CHECK inside the lease observes any snapshot
+    * committed meanwhile and leaves it alone. A janitor that crashed
+    * holding the lease is unblocked after the claim grace (its lease
+    * file is then itself a stale artifact); the residual window — a
+    * janitor frozen LONGER than the grace between its re-check and
+    * delete — is the standard lease caveat, minutes wide by
+    * configuration rather than a scheduler tick.
+    *
+    * Returns true iff this caller deleted the stale claim (the path is
+    * then free for an exclusive-create retry). */
+  private[storage] def reclaimStaleClaim(fs: FileSystem, path: HPath): Boolean = {
+    val lease = new HPath(path.getParent, path.getName + ".reclaim")
+    // a dead janitor's lease unblocks after the same grace
+    try {
+      val st = fs.getFileStatus(lease)
+      if (System.currentTimeMillis() - st.getModificationTime > claimGraceMs)
+        fs.delete(lease, false)
+    } catch { case _: Exception => () }
+    val acquired =
+      try { fs.create(lease, false).close(); true }
+      catch { case _: Exception => false }
+    acquired && (try {
+      isStaleBrokenClaim(fs, path) && fs.delete(path, false)
+    } finally {
+      try fs.delete(lease, false) catch { case _: Exception => () }
+    })
+  }
 
   /** Versions with an archived snapshot, ascending. */
   def historyVersions(location: String): Seq[Long] = {

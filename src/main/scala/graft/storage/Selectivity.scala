@@ -48,30 +48,40 @@ object Selectivity {
     def notNull(c: String): Double = 1.0 - nullFrac(c).getOrElse(0.0)
 
     // Filter value rendered the way ANALYZE stores MCV keys (Spark
-    // cast(string)): plain toString for numerics/strings/booleans,
-    // ISO date for date values. A miss (e.g. decimal trailing-zero
-    // mismatch) just falls through to the residual estimate.
-    def mcvKey(v: Any): String = v match {
-      case null => null
-      case d: java.sql.Date => d.toLocalDate.toString
-      case d: java.time.LocalDate => d.toString
-      case other => other.toString
+    // cast(string)) — ONLY for types whose rendering provably matches:
+    // strings, integral types, booleans, dates. Timestamps (toString
+    // appends '.0' / 'T..Z' variants), floats and decimals (trailing
+    // zeros) render ambiguously; for those the MCV path must not run at
+    // all — a spurious miss would hand a HOT value the near-zero
+    // residual estimate, inverting the broadcast decision MCVs exist to
+    // fix. None ⇒ uniform 1/ndv, the pre-MCV behavior.
+    def mcvKey(v: Any): Option[String] = v match {
+      case null => None
+      case s: String => Some(s)
+      case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+           _: java.lang.Long | _: java.lang.Boolean => Some(v.toString)
+      case d: java.sql.Date => Some(d.toLocalDate.toString)
+      case d: java.time.LocalDate => Some(d.toString)
+      case _ => None
     }
 
     /** Equality selectivity, PG-style: a value found in the MCV list
-      * gets its MEASURED frequency; anything else gets the non-MCV mass
-      * spread over the non-MCV distinct values — so a filter on a hot
-      * key estimates large (broadcast refused) and one on a rare key
-      * estimates small, from the same stats. */
+      * gets its MEASURED frequency; a reliable-rendered miss gets the
+      * non-MCV mass spread over the non-MCV distinct values — so a
+      * filter on a hot key estimates large (broadcast refused) and one
+      * on a rare key estimates small, from the same stats. */
     def eqSel(c: String, v: Any): Double = col(c) match {
       case Some((_, s)) if s.ndv > 0 =>
-        val key = mcvKey(v)
-        s.mcvs.find(_._1 == key) match {
-          case Some((_, cnt)) => math.min(1.0, cnt.toDouble / n)
-          case None =>
-            val mcvFrac = math.min(notNull(c), s.mcvs.map(_._2).sum / n)
-            val restNdv = math.max(1.0, (s.ndv - s.mcvs.size).toDouble)
-            math.max(0.0, notNull(c) - mcvFrac) / restNdv
+        mcvKey(v) match {
+          case Some(key) if s.mcvs.nonEmpty =>
+            s.mcvs.find(_._1 == key) match {
+              case Some((_, cnt)) => math.min(1.0, cnt.toDouble / n)
+              case None =>
+                val mcvFrac = math.min(notNull(c), s.mcvs.map(_._2).sum / n)
+                val restNdv = math.max(1.0, (s.ndv - s.mcvs.size).toDouble)
+                math.max(0.0, notNull(c) - mcvFrac) / restNdv
+            }
+          case _ => notNull(c) / s.ndv.toDouble
         }
       case _ => DefaultEq
     }

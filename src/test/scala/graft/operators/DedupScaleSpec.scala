@@ -287,6 +287,20 @@ class DedupScaleSpec extends SparkSpec {
     } finally entry.labels.foreach(_.unpersist())
   }
 
+  test("d7 propagate plans survive cache-replacement unpersist (labels file-backed, not checkpoint-bound)") {
+    import spark.implicits._
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val entry = Dedup.d7Propagate(spark, chain, "spec-replace")
+    val before = entry.df.collect().map(_.toSeq).toSeq
+    // what d7Cache does when a regenerated corpus replaces the entry —
+    // with checkpoint-backed labels this destroyed the only copy and
+    // every previously returned plan failed with 'checkpoint block not
+    // found'; file-backed labels must recompute instead
+    entry.labels.foreach(_.unpersist(true))
+    val after = entry.df.collect().map(_.toSeq).toSeq
+    assert(after === before, "plan must recompute after replacement unpersist")
+  }
+
   test("fingerprint resolves through the Hadoop FS: a rewritten remote corpus misses the cache") {
     import spark.implicits._
     spark.sparkContext.hadoopConfiguration

@@ -117,6 +117,18 @@ class GraftStatsSpec extends SparkSpec {
     // MCVs survive the stats-file round trip
     val reread = GraftTable.open(spark, loc).stats().get
     assert(reread.columns("cat").mcvs.toMap.get("hot") === Some(6000L))
+    // ambiguously-rendered value types (timestamps: toString appends
+    // '.0'; floats/decimals: trailing zeros) must NOT take the MCV path:
+    // a spurious miss would hand a hot value the near-zero residual —
+    // they get the uniform 1/ndv estimate instead
+    val tsStats = GraftTable.TableStats(10000L, 1L << 20, Map(
+      "ts" -> GraftTable.ColumnStats("2024-01-01 00:00:00", "2024-01-10 00:00:00",
+        10L, 0L, mcvs = Seq("2024-01-01 00:00:00" -> 9000L))))
+    val tsSchema = StructType(Seq(StructField("ts", TimestampType)))
+    val tsEst = Selectivity.estimateRows(
+      Seq(EqualTo("ts", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
+      tsStats, tsSchema)
+    assert(tsEst === 1000L, s"timestamp eq must fall back to 1/ndv, got $tsEst")
     GraftTable.drop(loc)
   }
 

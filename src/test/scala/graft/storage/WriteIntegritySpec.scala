@@ -128,6 +128,71 @@ class WriteIntegritySpec extends SparkSpec {
     GraftTable.drop(loc)
   }
 
+  test("leased reclaim: stale claims reclaim once, committed snapshots are untouchable") {
+    import spark.implicits._
+    val loc = tmpDir("reclaim") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(Seq((1, "a")).toDF("id", "name")) // v1 commit
+    val (fs, _) = GraftTable.fsAndPath(t.location)
+    val old = System.currentTimeMillis() - 3600L * 1000
+    def mkStale(v: Long): org.apache.hadoop.fs.Path = {
+      val p = GraftTable.historyPath(t.location, v)
+      val out = fs.create(p, false)
+      out.write("{\"broken".getBytes("UTF-8")); out.close()
+      fs.setTimes(p, old, -1)
+      p
+    }
+    // a PARSEABLE snapshot — even an ancient one — is a commit: the
+    // leased re-check must refuse to delete it (this is the TOCTOU the
+    // lease closes: a sibling janitor reclaiming the path and committing
+    // there between our staleness check and our delete)
+    val v1 = GraftTable.historyPath(t.location, 1)
+    fs.setTimes(v1, old, -1)
+    assert(!GraftTable.reclaimStaleClaim(fs, v1), "must not reclaim a commit")
+    assert(fs.exists(v1), "committed snapshot must survive")
+    // a stale broken claim reclaims exactly once, and the lease file is
+    // released afterwards
+    val v2 = mkStale(2)
+    assert(GraftTable.reclaimStaleClaim(fs, v2))
+    assert(!fs.exists(v2), "stale claim deleted")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(v2.getParent, v2.getName + ".reclaim")),
+      "lease released")
+    // a FRESH lease held by another janitor blocks reclamation entirely
+    val v3 = mkStale(3)
+    val lease3 = new org.apache.hadoop.fs.Path(v3.getParent, v3.getName + ".reclaim")
+    fs.create(lease3, false).close()
+    assert(!GraftTable.reclaimStaleClaim(fs, v3), "held lease must block")
+    assert(fs.exists(v3), "claim untouched while the lease is held")
+    fs.delete(lease3, false); fs.delete(v3, false)
+    GraftTable.drop(loc)
+  }
+
+  test("concurrent same-batch streaming appends: one commit, replays are clean no-ops") {
+    import spark.implicits._
+    val loc = tmpDir("stream-race") + "/t"
+    GraftTable.create(spark, loc, schema)
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "name")
+    // 8 writers race the SAME (queryId, batchId) through separate
+    // handles; whichever interleaving occurs — front-door skip or
+    // rebase-time CommitSuperseded — exactly one batch may land and no
+    // writer may throw (the zombie-driver replay contract)
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val gate = new java.util.concurrent.CyclicBarrier(8)
+    val rows = Await.result(Future.sequence((1 to 8).map { _ =>
+      Future {
+        val h = GraftTable.open(spark, loc)
+        gate.await()
+        h.appendStream(df, "qz", 7L)
+      }
+    }), 120.seconds)
+    pool.shutdown()
+    assert(rows.count(_ == 2L) === 1, s"exactly one writer commits: $rows")
+    assert(rows.count(_ == 0L) === 7, s"replays return 0: $rows")
+    assert(GraftTable.open(spark, loc).read().count() === 2L)
+    GraftTable.drop(loc)
+  }
+
   test("append runs exactly one job — no re-scan of the written batch") {
     import spark.implicits._
     val loc = tmpDir("append-jobs") + "/tbl"
