@@ -226,7 +226,19 @@ final class GraftTable private (
       val p = GraftTable.historyPath(location, v)
       GraftTable.isStaleBrokenClaim(fs, p) && GraftTable.reclaimStaleClaim(fs, p)
     }
-    val expire = committed.dropRight(keepLast).filter(_ != meta.version)
+    // The pointer file is a best-effort read CACHE and may lag the log
+    // (pointer writes are swallowed on failure in commitMutation).
+    // Expiring a version above a lagging pointer punches a hole
+    // walkToHead cannot cross: readers silently regress to the stale
+    // pointer state, and a commit rebased on that state re-claims an
+    // expired version number, forking the log. So: refresh the pointer
+    // to head FIRST (a failure aborts expiry — nothing deleted yet),
+    // then never expire at or above the version the pointer file
+    // actually records.
+    GraftTable.writeMetaAtomic(location, meta)
+    val pointerV = GraftTable.pointerVersion(location).getOrElse(meta.version)
+    val expire = committed.dropRight(keepLast)
+      .filter(v => v != meta.version && v < pointerV)
     expire.foreach(v => fs.delete(GraftTable.historyPath(location, v), false))
     expire.size + reclaimed
   }
@@ -648,12 +660,27 @@ final class GraftTable private (
     pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()
     val w = new java.io.OutputStreamWriter(proc.getOutputStream, StandardCharsets.UTF_8)
-    val n =
-      try copyToCsv(w, header)
-      finally w.close() // EOF lets the program terminate
+    // A program that stops reading stdin before EOF (head, or an early
+    // failure) breaks the pipe and the write raises IOException — but
+    // that is not the diagnostic: the program's EXIT STATUS is. Always
+    // waitFor() and report a nonzero exit as the failure; a program
+    // that exits 0 having consumed only a prefix (the `head` shape) is
+    // a success, returning the rows actually delivered.
+    var n = 0L
+    val pipeError =
+      try { n = copyToCsv(w, header); None }
+      catch { case e: java.io.IOException => Some(e) }
+      finally {
+        try w.close() // EOF lets the program terminate
+        catch { case _: java.io.IOException => () }
+      }
     val exit = proc.waitFor()
-    require(exit == 0,
-      s"COPY TO PROGRAM '${command.mkString(" ")}' exited with $exit")
+    if (exit != 0) {
+      val err = new IllegalArgumentException(
+        s"COPY TO PROGRAM '${command.mkString(" ")}' exited with $exit")
+      pipeError.foreach(err.addSuppressed)
+      throw err
+    }
     n
   }
 
@@ -735,8 +762,26 @@ final class GraftTable private (
         .flatMap(v => GraftTable.readHistoryMeta(location, v).files)
       val live = (meta.files ++ snapshotFiles)
         .map(f => new HPath(s"$location/$f").getParent.getName).toSet
+      // In-flight protection: the commit contract allows cross-process
+      // writers on lock-less filesystems, and an appender's batch dir is
+      // referenced by NOTHING for the whole duration of its parquet
+      // write (files land first, the CAS claim second). Deleting such a
+      // dir would let the append commit metadata pointing at reclaimed
+      // files, poisoning every subsequent read. A candidate is only an
+      // orphan once its newest mtime (the dir or any file inside) is
+      // older than the commit claim grace — the same retention idea as
+      // Delta/Iceberg orphan-file cleanup; truncate() spares these dirs
+      // for the same reason.
+      val now = System.currentTimeMillis()
       val orphans = fs.listStatus(dataDir).toSeq
         .filter(st => st.isDirectory && !live.contains(st.getPath.getName))
+        .filter { st =>
+          val newest =
+            try (st.getModificationTime +:
+              fs.listStatus(st.getPath).toSeq.map(_.getModificationTime)).max
+            catch { case _: Exception => now } // listing raced — treat as young
+          now - newest > GraftTable.claimGraceMs
+        }
       orphans.foreach(st => fs.delete(st.getPath, true))
       orphans.size
     }
@@ -1707,6 +1752,7 @@ object GraftTable {
     * a real commit. */
   private[storage] def tryClaimVersion(location: String, meta: Meta): Boolean = {
     val (fs, _) = fsAndPath(location)
+    requireAtomicCreate(fs.getUri.getScheme)
     fs.mkdirs(historyDir(location))
     val path = historyPath(location, meta.version)
     def attempt(): Boolean =
@@ -1722,8 +1768,59 @@ object GraftTable {
             if e.getMessage != null &&
               e.getMessage.toLowerCase.contains("already exists") => false
       }
-    attempt() || (isStaleBrokenClaim(fs, path) && reclaimStaleClaim(fs, path) &&
-      attempt())
+    val won = attempt() ||
+      (isStaleBrokenClaim(fs, path) && reclaimStaleClaim(fs, path) && attempt())
+    // Fork guard: an exclusive create succeeding does NOT prove this is
+    // head+1 — expireHistory may have deleted this version number while
+    // a writer held a stale in-memory base, and committing into the hole
+    // would fork the log below the pointer (which expireHistory refreshes
+    // to head before expiring anything), silently dropping every later
+    // commit. The pointer can lag the log but never lead it, so a pointer
+    // AT OR ABOVE the claimed version is proof of a fork: release the
+    // claim and make the caller rebase.
+    won && (pointerVersion(location).forall(_ < meta.version) || {
+      try fs.delete(path, false) catch { case _: Exception => () }
+      false
+    })
+  }
+
+  /** The version recorded in the pointer FILE itself — a raw read with
+    * no log walk. None when the pointer is unreadable (mid-rename on a
+    * non-atomic-replace filesystem, or absent). */
+  private[storage] def pointerVersion(location: String): Option[Long] =
+    try {
+      val (fs, _) = fsAndPath(location)
+      parseJsonObject(readFileFully(fs, metaPath(location)))
+        .get("version").collect { case n: java.lang.Number => n.longValue() }
+    } catch { case _: Exception => None }
+
+  /** Schemes whose stock Hadoop connector implements
+    * `create(overwrite = false)` as exists-check-then-PUT — NOT atomic,
+    * so two racing writers can both "win" the same version: exactly the
+    * lost update the CAS protocol exists to prevent. The commit path
+    * fails fast on these unless the user attests atomicity via
+    * `spark.graft.commit.assumeAtomicCreate=true` (legitimate when the
+    * store honors conditional writes — e.g. S3 If-None-Match via
+    * `fs.s3a.create.conditional.enabled` on Hadoop >= 3.4.1 — or the
+    * bucket is fronted by a consistent metadata layer). HDFS, local,
+    * ABFS and GCS exclusive-create are atomic and pass unconditionally;
+    * the alternative for an unlisted-but-suspect store is a pluggable
+    * commit primitive, which this single-primitive protocol trades away
+    * for simplicity (Delta's LogStore makes the same split). */
+  private[storage] val NonAtomicCreateSchemes = Set("s3", "s3a", "s3n", "oss", "cos", "swift")
+
+  private[storage] def requireAtomicCreate(scheme: String): Unit = {
+    val attested = SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.commit.assumeAtomicCreate"))
+      .exists(_.toBoolean)
+    if (scheme != null && NonAtomicCreateSchemes(scheme.toLowerCase) && !attested)
+      throw new UnsupportedOperationException(
+        s"graft commits require atomic exclusive-create, and the '$scheme' " +
+          "connector's create(overwrite=false) is exists-check-then-PUT (not " +
+          "atomic) by default - concurrent writers could both claim the same " +
+          "version and lose a commit. Enable a conditional-write mode on the " +
+          "store (e.g. fs.s3a.create.conditional.enabled with Hadoop >= 3.4.1) " +
+          "and attest it with spark.graft.commit.assumeAtomicCreate=true")
   }
 
   private def claimGraceMs: Long = SparkSession.getActiveSession

@@ -159,8 +159,11 @@ object Selectivity {
       case EqualTo(c, v) => clamp(eqSel(c, v))
       case EqualNullSafe(c, v) => if (v == null) nullFrac(c).getOrElse(DefaultEq) else clamp(eqSel(c, v))
       case In(c, vs) if vs != null =>
-        // disjoint values: per-value MCV-aware eq estimates sum
-        clamp(vs.map(v => eqSel(c, v)).sum)
+        // disjoint values: per-value MCV-aware eq estimates sum — over
+        // the DISTINCT values only (SQL IN is a set membership test;
+        // duplicate literals must not double-count, and MCV frequencies
+        // make the overestimate large for a repeated hot key)
+        clamp(vs.distinct.map(v => eqSel(c, v)).sum)
       case GreaterThan(c, v) =>
         clamp(notNull(c) * rangeFrac(c, v).map(1.0 - _).getOrElse(DefaultIneq))
       case GreaterThanOrEqual(c, v) =>

@@ -60,9 +60,18 @@ class GraftCatalogSpec extends SparkSpec {
     Files.createDirectories(orphan)
     Files.write(orphan.resolve("part-stray.parquet"), Array[Byte](1, 2, 3))
 
-    val vac = spark.sql("CALL gcat.system.vacuum('db1.proc_t')").collect()
-    assert(vac.map(r => (r.getString(1), r.getLong(2))).toSeq ===
-      Seq(("orphan_dirs_reclaimed", 1L)))
+    // a YOUNG unreferenced dir is indistinguishable from a concurrent
+    // writer's in-flight append (files land before the CAS claim), so
+    // vacuum must spare it until the commit claim grace elapses
+    val vac0 = spark.sql("CALL gcat.system.vacuum('db1.proc_t')").collect()
+    assert(vac0.map(r => (r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("orphan_dirs_reclaimed", 0L)))
+    assert(Files.exists(orphan), "young orphan is in-flight-protected")
+    withConf("spark.graft.commit.claimGraceMs", "-1") {
+      val vac = spark.sql("CALL gcat.system.vacuum('db1.proc_t')").collect()
+      assert(vac.map(r => (r.getString(1), r.getLong(2))).toSeq ===
+        Seq(("orphan_dirs_reclaimed", 1L)))
+    }
     assert(!Files.exists(orphan))
 
     val comp = spark.sql("CALL gcat.system.compact('db1.proc_t')").collect()

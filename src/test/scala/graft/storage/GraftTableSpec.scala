@@ -169,6 +169,20 @@ class GraftTableSpec extends SparkSpec {
     assert(viaProg.count() === 2L)
     intercept[IllegalArgumentException](
       t.copyToProgram(Seq("sh", "-c", "cat > /dev/null; exit 3")))
+    // a program that stops reading early but exits 0 (the `head` shape)
+    // is a SUCCESS — the broken pipe must not surface as an opaque IO
+    // error; a program that dies early must report its EXIT STATUS.
+    // The table must overflow the OS pipe buffer for the pipe to
+    // actually break mid-write.
+    val big = GraftTable.create(spark, s"$loc/big", schema)
+    big.append((0 until 5000).map(i => (i, "x" * 40, i % 5))
+      .toDF("handle", "name", "rating"))
+    big.copyToProgram(Seq("sh", "-c", "head -n 1 > /dev/null"))
+    val died = intercept[IllegalArgumentException](
+      big.copyToProgram(Seq("sh", "-c", "exit 7")))
+    assert(died.getMessage.contains("exited with 7"),
+      "early death must report the exit status, not a broken pipe")
+    GraftTable.drop(s"$loc/big")
     java.nio.file.Files.delete(tmp)
     GraftTable.drop(s"$loc/tbl")
   }
@@ -210,7 +224,12 @@ class GraftTableSpec extends SparkSpec {
     // history expiry does vacuum reclaim them
     assert(t.vacuum() === 0)
     assert(t.expireHistory(keepLast = 1) > 0)
-    assert(t.vacuum() === 5)
+    // the replaced dirs are young (written seconds ago): the in-flight
+    // grace spares them until the commit claim grace elapses
+    assert(t.vacuum() === 0, "young unreferenced dirs are in-flight-protected")
+    withConf("spark.graft.commit.claimGraceMs", "-1") {
+      assert(t.vacuum() === 5)
+    }
     assert(dataDirCount() === 1)
     assert(t.read().orderBy("id").collect().map(_.toSeq).toSeq === before)
     GraftTable.drop(s"$loc/tbl")

@@ -93,9 +93,29 @@ class HadoopFsSpec extends SparkSpec {
     t.compact()
     assert(t.vacuum() === 0, "snapshots pin the replaced dirs")
     assert(t.expireHistory(keepLast = 1) > 0)
-    assert(t.vacuum() > 0)
+    withConf("spark.graft.commit.claimGraceMs", "-1") {
+      assert(t.vacuum() > 0)
+    }
     assert(t.read().count() === 100L)
     GraftTable.drop(loc)
+  }
+
+  test("commit refuses known non-atomic exclusive-create schemes unless attested") {
+    // the CAS protocol's one primitive is create(overwrite=false); on
+    // stock S3A that is exists-check-then-PUT, not atomic — fail fast
+    GraftTable.requireAtomicCreate("file")
+    GraftTable.requireAtomicCreate("hdfs")
+    GraftTable.requireAtomicCreate("abfs")
+    GraftTable.requireAtomicCreate("mock")
+    GraftTable.requireAtomicCreate(null)
+    val e = intercept[UnsupportedOperationException] {
+      GraftTable.requireAtomicCreate("s3a")
+    }
+    assert(e.getMessage.contains("assumeAtomicCreate"))
+    // attestation path: user enabled a conditional-write mode on the store
+    withConf("spark.graft.commit.assumeAtomicCreate", "true") {
+      GraftTable.requireAtomicCreate("s3a")
+    }
   }
 
   test("SQL catalog lifecycle over a mock: scheme warehouse") {

@@ -64,11 +64,52 @@ class TimeTravelSpec extends SparkSpec {
     assert(t.readVersion(2).count() === 20L)
     val expired = t.expireHistory(keepLast = 1)
     assert(expired > 0)
-    assert(t.vacuum() > 0, "expired snapshot files become reclaimable")
+    withConf("spark.graft.commit.claimGraceMs", "-1") {
+      assert(t.vacuum() > 0, "expired snapshot files become reclaimable")
+    }
     // the expired snapshot is gone; the retained one still reads
     intercept[IllegalArgumentException] { t.readVersion(2) }
     assert(t.read().count() === 30L)
     GraftTable.drop(t.location)
+  }
+
+  test("expireHistory refreshes a lagging pointer — no hole strands readers") {
+    val t = mk("tt-lagptr") // v0..v3
+    val loc = t.location
+    // Simulate a LAGGING pointer (pointer writes are best-effort and
+    // swallowed on failure): put the v1 snapshot's content back into
+    // the pointer file. Without the pointer refresh inside
+    // expireHistory, expiry would delete v1/v2 and a fresh reader
+    // would walk v1 -> (v2 missing) and silently regress to v1.
+    val dir = new org.apache.hadoop.fs.Path(loc).toUri.getPath
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "_graft_history", f"v${1L}%020d.json"),
+      java.nio.file.Paths.get(dir, "_graft_meta.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(t.expireHistory(keepLast = 1) > 0)
+    val fresh = GraftTable.open(spark, loc)
+    assert(fresh.version === 3L, "reader must see the head, not the stale pointer")
+    assert(fresh.read().count() === 30L)
+    GraftTable.drop(loc)
+  }
+
+  test("a stale writer cannot re-claim an expired version (log fork guard)") {
+    import spark.implicits._
+    val loc = tmpDir("tt-fork") + "/t"
+    val t0 = GraftTable.create(spark, loc, schema)
+    t0.append(Seq((1, "a")).toDF("id", "v")) // v1
+    val stale = GraftTable.open(spark, loc) // separate instance, holds v1
+    for (i <- 2 to 4) t0.append(Seq((i, s"b$i")).toDF("id", "v")) // v2..v4
+    assert(t0.expireHistory(keepLast = 1) > 0) // v1..v3 gone, pointer at v4
+    // the stale writer's first claim targets v2 — an EXPIRED number.
+    // Exclusive create would succeed into the hole; the fork guard must
+    // release it and rebase onto the real head instead of forking the
+    // log below the pointer (which would drop v3/v4's rows).
+    stale.append(Seq((99, "z")).toDF("id", "v"))
+    val fresh = GraftTable.open(spark, loc)
+    assert(fresh.version === 5L)
+    assert(fresh.read().count() === 5L, "no committed row may be lost")
+    GraftTable.drop(loc)
   }
 
   test("SQL VERSION AS OF / TIMESTAMP AS OF through the catalog") {
