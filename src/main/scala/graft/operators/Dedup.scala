@@ -863,25 +863,103 @@ object Dedup {
     * enough to broadcast or bloom-prune the index scan with), then one
     * groupBy(pair); Jaccard ≥ 0.8 over the same distinct 3-shingle
     * sets as d2. Output: for each new doc, every indexed near-dup. */
+  /** d12's build-once artifacts, fingerprint-keyed: the INDEX postings
+    * (the dominant cost at 100 TB — re-shingling the historical corpus
+    * per call is exactly what incremental dedup exists to avoid) and the
+    * batch postings (small, but they feed both the Bloom sketch action
+    * and the join — one materialization, not two scans). */
+  private val indexPostingsCache = new PersistedLru(2)
+  private val batchPostingsCache = new PersistedLru(2)
+
   def d12IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val all = docs(s, dir)
     val isNew = col("doc_id") % 10 === 7
-    nearDupAgainstIndex(all.filter(isNew), all.filter(!isNew))
-      .orderBy("doc_b", "doc_a")
+    val ix = new PostingsIndex(indexPostingsCache.getOrElseUpdate(s, dir, "documents")(
+      shinglePostings(all.filter(!isNew), "doc_a", "na")))
+    val bpos = batchPostingsCache.getOrElseUpdate(s, dir, "documents")(
+      shinglePostings(all.filter(isNew), "doc_b", "nb"))
+    ix.score(bpos).orderBy("doc_b", "doc_a")
+  }
+
+  /** One side's shingle postings: a row per (doc, distinct 3-shingle),
+    * carrying the doc's set size so the Jaccard denominator travels with
+    * the posting and no per-doc count join is needed. */
+  private[graft] def shinglePostings(df: DataFrame, idCol: String,
+      nCol: String): DataFrame = df
+    .select(col("doc_id"), shinglesDistinctFast(col("text")).as("shs"))
+    .select(col("doc_id").as(idCol), size(col("shs")).cast("long").as(nCol),
+      explode(col("shs")).as("s"))
+
+  /** A build-once shingle-postings index over a static corpus — the
+    * reusable artifact of incremental dedup at 100 TB. Build it ONCE
+    * (the postings are persisted and materialized), then score any
+    * number of incoming batches against it: each score is one Bloom
+    * sketch of the batch's shingles (the small side by contract), a
+    * map-side `might_contain` pre-filter of the index postings (codegen,
+    * no false negatives — the prune can only drop rows the equality
+    * join would drop anyway), and an exact equality join over the
+    * survivors. The index corpus is never re-shingled per batch.
+    * [[release]] when done — the postings otherwise pin cached blocks. */
+  final class PostingsIndex private[operators] (val postings: DataFrame) {
+
+    /** Exact batch-vs-index near-dup scores (doc_b, doc_a, jac ≥ 0.8)
+      * from prepared batch postings. */
+    private[graft] def score(batchPostings: DataFrame): DataFrame = {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graft.Bridge
+      import org.apache.spark.sql.types.BinaryType
+      // One-row sketch of the batch's shingle set, shipped back as a
+      // foldable literal — c9's decontamination transport. The sketch
+      // action is a driver round-trip per batch, KB–MB by construction.
+      val bloomBytes = batchPostings
+        .select(Bridge.column(new BloomFilterAggregate(
+          Bridge.expression(xxhash64(col("s"))), 1L << 20)
+          .toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      // empty batch ⇒ no sketch; the join below is empty regardless
+      val pruned =
+        if (bloomBytes == null) postings
+        else postings.filter(Bridge.column(BloomFilterMightContain(
+          Literal.create(bloomBytes, BinaryType),
+          Bridge.expression(xxhash64(col("s"))))))
+      scorePostings(pruned, batchPostings)
+    }
+
+    /** Unpersist the index postings. */
+    def release(): Unit = { postings.unpersist(); () }
+  }
+
+  object PostingsIndex {
+    /** Build and materialize the postings index for `indexDocs`
+      * (`doc_id`/`text`). One shingle+explode pass over the corpus,
+      * persisted MEMORY_AND_DISK (spill, not OOM, at scale). */
+    def build(indexDocs: DataFrame): PostingsIndex = {
+      val p = shinglePostings(indexDocs, "doc_a", "na")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      new PostingsIndex(p)
+    }
   }
 
   /** The two-sided scorer behind d12 (and its streaming twin,
     * [[graft.streaming.DedupStream]]): every `batchDocs` document
     * scored against every `indexDocs` near-duplicate, batch×index pairs
     * only. Unordered — callers choose their sort (batch d12 orders;
-    * the stream appends). */
-  def nearDupAgainstIndex(batchDocs: DataFrame, indexDocs: DataFrame): DataFrame = {
-    def shingleSide(df: DataFrame, idCol: String, nCol: String): DataFrame = df
-      .select(col("doc_id"), shinglesDistinctFast(col("text")).as("shs"))
-      .select(col("doc_id").as(idCol), size(col("shs")).cast("long").as(nCol),
-        explode(col("shs")).as("s"))
-    val idx = shingleSide(indexDocs, "doc_a", "na")
-    val batch = shingleSide(batchDocs, "doc_b", "nb")
+    * the stream appends). This overload shingles BOTH sides inline —
+    * the one-shot shape; repeated callers build a [[PostingsIndex]]
+    * once instead. */
+  def nearDupAgainstIndex(batchDocs: DataFrame, indexDocs: DataFrame): DataFrame =
+    scorePostings(shinglePostings(indexDocs, "doc_a", "na"),
+      shinglePostings(batchDocs, "doc_b", "nb"))
+
+  /** Batch-vs-index scoring against a prebuilt (Bloom-pruned) index. */
+  def nearDupAgainstIndex(batchDocs: DataFrame, index: PostingsIndex): DataFrame =
+    index.score(shinglePostings(batchDocs, "doc_b", "nb"))
+
+  /** Jaccard ≥ 0.8 over joined postings: one equality join on the
+    * shingle, one groupBy(pair) — never doc×doc. */
+  private def scorePostings(idx: DataFrame, batch: DataFrame): DataFrame =
     idx.join(batch, "s")
       .groupBy("doc_b", "doc_a")
       .agg(count(lit(1)).as("common"), first("na").as("na"), first("nb").as("nb"))
@@ -890,7 +968,6 @@ object Dedup {
           (col("na") + col("nb") - col("common")).cast("double")).as("jr"))
       .filter(col("jr") >= 0.8)
       .select(col("doc_b"), col("doc_a"), round(col("jr"), 4).as("jac"))
-  }
 
   /** d13 parameters: document-frequency band (terms in ≥2 docs can pair;
     * terms in > DfCap docs are dropped — near-zero IDF AND the hot-key

@@ -22,10 +22,12 @@ import graft.storage.GraftTable
   * with the same batchId and the table's txn watermark dedupes it (the
   * [[GraftStreamIngest]] contract).
   *
-  * At 100 TB the index side is the big one: the shingle join inside
-  * each batch is an equality join the planner can bloom-prune or
-  * broadcast from the (small) batch side, and the index postings are a
-  * one-time computation a caller can persist and reuse across batches.
+  * At 100 TB the index side is the big one, so it is built ONCE:
+  * `start` materializes a [[Dedup.PostingsIndex]] (one shingle pass
+  * over the index corpus, persisted) before the stream begins, and
+  * every micro-batch Bloom-prunes the cached postings from its own
+  * (small) shingle set and joins only the survivors — the index corpus
+  * is never re-shingled per batch.
   *
   * {{{
   *   val q = DedupStream.start(
@@ -38,17 +40,47 @@ object DedupStream {
 
   /** Start scoring `incoming` (a streaming documents DataFrame with
     * `doc_id`/`text`) against `indexDocs`; matches append to `dest`
-    * exactly-once under the checkpoint's txn id. */
+    * exactly-once under the checkpoint's txn id. Builds the postings
+    * index once, synchronously, before the stream starts; the index is
+    * released when the stream terminates. */
   def start(incoming: DataFrame, indexDocs: DataFrame, dest: GraftTable,
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val index = Dedup.PostingsIndex.build(indexDocs)
+    val q = start(incoming, index, dest, checkpoint, trigger)
+    // release the index's cached blocks when the stream ends (the
+    // stream owns an index it built; a caller-provided one is theirs)
+    q.sparkSession.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == q.id) {
+            index.release()
+            q.sparkSession.streams.removeListener(this)
+          }
+      })
+    q
+  }
+
+  /** Same, against a caller-prebuilt (shared, reusable) index. */
+  def start(incoming: DataFrame, index: Dedup.PostingsIndex, dest: GraftTable,
+      checkpoint: String, trigger: Trigger): StreamingQuery = {
     val id = GraftStreamIngest.txnId(checkpoint)
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dest.appendStream(
-          Dedup.nearDupAgainstIndex(batch, indexDocs), id, batchId)
+        // the batch postings feed the Bloom sketch action AND the join:
+        // persist across the two, release once the write lands —
+        // foreachBatch provides the completion point a lazy result lacks
+        val bpos = Dedup.shinglePostings(batch, "doc_b", "nb")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try dest.appendStream(index.score(bpos), id, batchId)
+        finally bpos.unpersist()
         ()
       }
       .trigger(trigger)

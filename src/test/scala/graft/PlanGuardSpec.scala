@@ -45,6 +45,18 @@ class PlanGuardSpec extends SparkSpec {
     assert(offenders.isEmpty, s"plan regressions: ${offenders.mkString("; ")}")
   }
 
+  test("d12 Bloom-prunes the index postings below the shingle join") {
+    val plan = Dedup.d12IncrementalDedup(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    // the batch's shingle sketch must pre-filter the index side map-side
+    // BEFORE the equality join — the promise that makes the index scan
+    // affordable when the batch is a sliver of the corpus
+    assert(plan.contains("might_contain"),
+      s"expected a might_contain pre-filter in d12's plan:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+  }
+
   test("d6 candidate join is a keyed equality join, never all-pairs") {
     val plan = Dedup.d6EmbedNearDupAnn(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString

@@ -41,12 +41,23 @@ class DedupStreamSpec extends SparkSpec {
     src.append(h1.map(r => (r.getLong(0), r.getString(1))).toSeq.toDF("doc_id", "text"))
     src.append(h2.map(r => (r.getLong(0), r.getString(1))).toSeq.toDF("doc_id", "text"))
 
+    // count executions of the index subtree: every task over the index
+    // corpus bumps the accumulator, so a second shingling of the index
+    // (the per-batch-recompute bug) shows up as growth after the build
+    val scans = spark.sparkContext.longAccumulator("index-scans")
+    val indexCounted = index.as[(Long, String)]
+      .mapPartitions { it => scans.add(1); it }.toDF("doc_id", "text")
+
     val q = DedupStream.start(
       spark.readStream.format("graft")
         .option("maxVersionsPerTrigger", "1").load(srcLoc),
-      indexDocs = index, dest = dst, checkpoint = tmpDir("dds-ckpt"))
+      indexDocs = indexCounted, dest = dst, checkpoint = tmpDir("dds-ckpt"))
+    val afterBuild = scans.value
+    assert(afterBuild > 0, "start() must materialize the index before the stream")
     assert(q.awaitTermination(180000), "AvailableNow stream must drain")
     assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+    assert(scans.value === afterBuild,
+      "the index subtree must execute exactly once across all micro-batches")
 
     val got = dst.read().collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
