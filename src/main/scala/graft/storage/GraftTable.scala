@@ -897,7 +897,8 @@ final class GraftTable private (
       val r = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect().head
       val mcvs = mcvCounts(df, fields, mcvCandidates(r, fields),
         scale = 1.0, rowCap = meta.rowCount)
-      val hists = histBounds(r, fields)
+      val hists = histBounds(r, fields) ++
+        stringHistBounds(df, fields, meta.rowCount)
       GraftTable.TableStats(meta.rowCount, tableSize(), fields.map { f =>
         f.name -> GraftTable.ColumnStats(
           r.getAs[String](s"min_${f.name}"),
@@ -931,28 +932,39 @@ final class GraftTable private (
         else
           Seq(lit(null).cast("string").as(s"min_${f.name}"),
             lit(null).cast("string").as(s"max_${f.name}"))
-      // equi-depth histogram bounds for numeric columns: approximate
-      // percentile cut points in the double domain (PG's
-      // STATISTIC_KIND_HISTOGRAM; the sketch is mergeable, so this too
-      // ships O(sketch) per partition, never the column)
-      val hists =
-        if (GraftTable.histNumeric(f.dataType))
-          Seq(percentile_approx(c.cast("double"),
-            lit((0 to GraftTable.HistBuckets)
-              .map(_.toDouble / GraftTable.HistBuckets).toArray),
-            lit(10000)).as(s"hist_${f.name}"))
-        else Nil
+      // equi-depth histogram bounds for every column with a NUMERIC
+      // IMAGE — numerics in the double domain, dates as epoch days,
+      // timestamps as epoch millis, matching the domains Selectivity
+      // renders probe values into (PG's STATISTIC_KIND_HISTOGRAM covers
+      // every orderable type via std_typanalyze; the sketch is
+      // mergeable, so this ships O(sketch) per partition, never the
+      // column). Strings have no percentile image — they get bounds
+      // from the sampled pass in [[stringHistBounds]].
+      val hists = GraftTable.histImage(f.dataType, c).map { img =>
+        percentile_approx(img,
+          lit((0 to GraftTable.HistBuckets)
+            .map(_.toDouble / GraftTable.HistBuckets).toArray),
+          lit(10000)).as(s"hist_${f.name}")
+      }.toSeq
       mins ++ hists ++ Seq(
         approx_count_distinct(c).as(s"ndv_${f.name}"),
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"nulls_${f.name}"))
     }
   }
 
-  /** MCV pass 2: exact occurrence counts of every pass-1 candidate — all
-    * columns in ONE aggregate scan (a counter per candidate, map-side
-    * combined, nothing shuffled but the counters). `scale` extrapolates
-    * sampled counts to the table (1.0 when the scan was full). Keeps the
-    * top-McvK per column by count. */
+  /** MCV pass 2: exact occurrence counts of every pass-1 candidate (a
+    * counter per candidate, map-side combined, nothing shuffled but the
+    * counters). `scale` extrapolates sampled counts to the table (1.0
+    * when the scan was full). Keeps the top-McvK per column by count.
+    *
+    * The counters are CHUNKED into aggregate jobs of at most
+    * [[GraftTable.McvAggChunk]] columns each: with up to McvMgK-1
+    * candidates per field, a genuinely wide schema would otherwise put
+    * thousands of `sum(when(...))` expressions into one codegen'd
+    * aggregate — past Janino's 64KB method limit the whole stage falls
+    * back to interpreted execution, the worst place for the hottest
+    * expression in ANALYZE. Each chunk is one scan; narrow tables (the
+    * common case) still run exactly one job. */
   private def mcvCounts(df: DataFrame, fields: Array[StructField],
       cands: Map[String, Seq[String]], scale: Double,
       rowCap: Long): Map[String, Seq[(String, Long)]] = {
@@ -963,10 +975,14 @@ final class GraftTable private (
       }
     }
     if (aggs.isEmpty) return Map.empty
-    val r = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect().head
+    val counts: Map[String, Long] = aggs.grouped(GraftTable.McvAggChunk)
+      .flatMap { chunk =>
+        val r = df.agg(chunk.head, chunk.tail.toIndexedSeq: _*).collect().head
+        r.schema.fieldNames.map(n => n -> r.getAs[Long](n))
+      }.toMap
     fields.map { f =>
       val top = cands.getOrElse(f.name, Nil).zipWithIndex
-        .map { case (v, i) => v -> r.getAs[Long](s"__mcv_${f.name}_$i") }
+        .map { case (v, i) => v -> counts(s"__mcv_${f.name}_$i") }
         .filter(_._2 > 0L)
         .map { case (v, c) => v -> math.min(rowCap, math.round(c * scale)) }
         .filter(_._2 > 0L)
@@ -983,15 +999,41 @@ final class GraftTable private (
       f.name -> r.getSeq[String](r.fieldIndex(s"mcvc_${f.name}"))
     }.toMap
 
-  /** Pass-1 histogram bounds per numeric column, off the stats row
-    * (null when the column had no non-null values). */
+  /** Pass-1 histogram bounds per numeric-imaged column, off the stats
+    * row (null when the column had no non-null values). */
   private def histBounds(r: org.apache.spark.sql.Row,
       fields: Array[StructField]): Map[String, Seq[String]] =
-    fields.filter(f => GraftTable.histNumeric(f.dataType)).flatMap { f =>
+    fields.filter(f => GraftTable.histable(f.dataType)).flatMap { f =>
       val i = r.fieldIndex(s"hist_${f.name}")
       if (r.isNullAt(i)) None
       else Some(f.name -> r.getSeq[Double](i).map(_.toString))
     }.toMap
+
+  /** Equi-depth histogram bounds for STRING columns. Strings have no
+    * percentile_approx image, so the bounds come from a bounded row
+    * sample sorted on the driver — the reference's own ANALYZE design
+    * (it reservoir-samples rows and hands them to PG's std_typanalyze,
+    * which histograms every orderable type, `cstore_fdw.c:2061-2082`).
+    * One extra job covers ALL string columns at once; driver memory is
+    * O(HistSampleRows × string columns) by construction, whatever the
+    * table size. Deterministic seed: repeated ANALYZEs of an unchanged
+    * table produce the same bounds. */
+  private def stringHistBounds(df: DataFrame, fields: Array[StructField],
+      totalRows: Long): Map[String, Seq[String]] = {
+    val strCols = fields.filter(_.dataType == StringType).map(_.name)
+    if (strCols.isEmpty || totalRows <= 0L) return Map.empty
+    val frac = math.min(1.0, GraftTable.HistSampleRows.toDouble / totalRows)
+    val rows =
+      (if (frac < 1.0) df.sample(withReplacement = false, frac, seed = 7L) else df)
+        .select(strCols.map(col).toIndexedSeq: _*).collect()
+    strCols.zipWithIndex.flatMap { case (name, i) =>
+      val vs = rows.iterator.map(_.getString(i)).filter(_ != null).toArray.sorted
+      if (vs.length < 2) None
+      else Some(name -> (0 to GraftTable.HistBuckets)
+        .map(k => vs(((vs.length - 1).toLong * k / GraftTable.HistBuckets).toInt))
+        .toSeq)
+    }.toMap
+  }
 
   /** Sampled ANALYZE — the reference's actual design point: its ANALYZE
     * reservoir-samples rows off the scan (`cstore_fdw.c:2098-2260`,
@@ -1052,8 +1094,9 @@ final class GraftTable private (
     val mcvs = mcvCounts(df, fields, mcvCandidates(r, fields),
       scale = scale, rowCap = meta.rowCount)
     // histogram bounds are quantiles — fractions of the distribution —
-    // so the sample's bounds stand in unscaled (the PG convention)
-    val hists = histBounds(r, fields)
+    // so the sample's bounds stand in unscaled (the PG convention);
+    // string bounds draw from the same sample (capped relative to it)
+    val hists = histBounds(r, fields) ++ stringHistBounds(df, fields, ns)
     val stats = GraftTable.TableStats(meta.rowCount, tableSize(), fields.map { f =>
       val nullsS = r.getAs[Long](s"nulls_${f.name}")
       val ndvS = r.getAs[Long](s"ndv_${f.name}")
@@ -1535,6 +1578,11 @@ object GraftTable {
   private[graft] val McvK = 10
   private[graft] val McvMgK = 50
 
+  /** Max `sum(when(...))` counter expressions per MCV pass-2 aggregate
+    * job — bounds generated-code size on wide schemas (Janino's 64KB
+    * method ceiling) at the cost of one extra scan per 64 counters. */
+  private[graft] val McvAggChunk = 64
+
   /** Types with a usable ordering for min/max stats (and a sane
     * `cast(string)` image for MCVs). */
   private[storage] def statOrderable(dt: DataType): Boolean = dt match {
@@ -1548,11 +1596,14 @@ object GraftTable {
     * rows to the host's std_typanalyze, whose MCV list drives eq-clause
     * selectivity). Empty on stats written before MCV collection.
     *
-    * `hist`: equi-depth histogram bounds for NUMERIC columns (PG's
-    * STATISTIC_KIND_HISTOGRAM) — HistBuckets+1 approximate percentile
-    * cut points rendered as double strings, driving piecewise range
-    * selectivity where min/max linear interpolation misreads skewed
-    * domains. Empty for non-numeric columns and pre-histogram stats. */
+    * `hist`: equi-depth histogram bounds (PG's STATISTIC_KIND_HISTOGRAM,
+    * which std_typanalyze collects for EVERY orderable type) —
+    * HistBuckets+1 cut points driving piecewise range selectivity where
+    * min/max linear interpolation misreads skewed domains. Numerics
+    * store double strings; dates epoch-day and timestamps epoch-milli
+    * doubles (the domains Selectivity probes in); strings store raw
+    * sampled quantile values. Empty for unhistogrammable columns and
+    * pre-histogram stats. */
   final case class ColumnStats(min: String, max: String, ndv: Long, nullCount: Long,
       mcvs: Seq[(String, Long)] = Nil, hist: Seq[String] = Nil)
 
@@ -1566,6 +1617,26 @@ object GraftTable {
          _: DecimalType => true
     case _ => false
   }
+
+  /** Types whose histogram is collected through a numeric image. */
+  private[storage] def histable(dt: DataType): Boolean =
+    histNumeric(dt) || dt == DateType || dt == TimestampType
+
+  /** The percentile_approx input for a histable column. The image
+    * domains MATCH what Selectivity renders probe values into (dates →
+    * epoch days, timestamps → epoch millis), so the stored bounds and a
+    * pushed filter value land on the same axis. */
+  private[storage] def histImage(dt: DataType, c: Column): Option[Column] = dt match {
+    case _ if histNumeric(dt) => Some(c.cast("double"))
+    case DateType => Some(unix_date(c).cast("double"))
+    case TimestampType => Some(unix_millis(c).cast("double"))
+    case _ => None
+  }
+
+  /** Driver-side sample cap for string histogram bounds (PG's ANALYZE
+    * sample is 300 × statistics_target = 30k rows; 10k resolves 16
+    * buckets with ample slack). */
+  private[graft] val HistSampleRows = 10000
   final case class TableStats(rowCount: Long, sizeBytes: Long,
       columns: Map[String, ColumnStats])
 

@@ -135,16 +135,66 @@ object Selectivity {
       }
     }
 
+    // PG's convert_string_to_scalar: a string's first bytes as a double
+    // in [0, 1), so string ranges interpolate in a proxy domain. Bounds
+    // and probe strip their COMMON PREFIX first — it carries no ordering
+    // information and would crush the resolution (every 'cold_…' value
+    // would collapse onto one proxy point).
+    def strScalar(str: String): Double = {
+      val b = str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var x = 0.0; var sc = 1.0 / 256.0; var i = 0
+      while (i < b.length && i < 8) { x += (b(i) & 0xff) * sc; sc /= 256.0; i += 1 }
+      x
+    }
+    def lcp(a: String, b: String): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+      i
+    }
+    // Position of `v` inside the string bracket [lo, hi], by byte proxy.
+    def strWithin(lo: String, hi: String, v: String): Double =
+      if (v <= lo) 0.0
+      else if (v >= hi) 1.0
+      else {
+        val p = lcp(lo, hi)
+        val l = strScalar(lo.substring(math.min(p, lo.length)))
+        val h = strScalar(hi.substring(math.min(p, hi.length)))
+        val x = strScalar(v.substring(math.min(p, v.length)))
+        if (h <= l) 0.5 else math.max(0.0, math.min(1.0, (x - l) / (h - l)))
+      }
+    // String range fraction: rank within the ANALYZE equi-depth bounds
+    // (each bucket holds 1/B of the rows; the containing bucket
+    // interpolates by proxy), else proxy interpolation across [min, max].
+    def strFrac(s: GraftTable.ColumnStats, v: String): Option[Double] = {
+      val bs = s.hist
+      if (bs.length >= 2) {
+        if (v <= bs.head) Some(0.0)
+        else if (v >= bs.last) Some(1.0)
+        else {
+          val i = bs.lastIndexWhere(_ <= v)
+          Some((i + strWithin(bs(i), bs(i + 1), v)) / (bs.length - 1))
+        }
+      } else if (s.min != null && s.max != null) Some(strWithin(s.min, s.max, v))
+      else None
+    }
+
     // Fraction of the domain at or below `v`: histogram-piecewise when
-    // ANALYZE collected bounds, else linear inside [min, max].
+    // ANALYZE collected bounds, else linear inside [min, max]. Strings
+    // dispatch to the rank-based path — their bounds are raw values,
+    // not numeric images.
     def rangeFrac(c: String, v: Any): Option[Double] = col(c).flatMap { case (dt, s) =>
-      valNum(v).flatMap { x =>
-        histFrac(s, x).orElse(for {
-          mn <- statNum(dt, s.min)
-          mx <- statNum(dt, s.max)
-        } yield
-          if (mx <= mn) (if (x >= mx) 1.0 else 0.0)
-          else math.max(0.0, math.min(1.0, (x - mn) / (mx - mn))))
+      (dt, v) match {
+        case (StringType, str: String) => strFrac(s, str)
+        case _ =>
+          valNum(v).flatMap { x =>
+            histFrac(s, x).orElse(for {
+              mn <- statNum(dt, s.min)
+              mx <- statNum(dt, s.max)
+            } yield
+              if (mx <= mn) (if (x >= mx) 1.0 else 0.0)
+              else math.max(0.0, math.min(1.0, (x - mn) / (mx - mn))))
+          }
       }
     }
 

@@ -157,6 +157,126 @@ class GraftStatsSpec extends SparkSpec {
     GraftTable.drop(loc)
   }
 
+  test("DATE histogram bounds flip a skewed date-range join to broadcast (q07's shape)") {
+    val loc = tmpDir("gstats-dhist") + "/t"
+    import spark.implicits._
+    val t = GraftTable.create(spark, loc, StructType(Seq(
+      StructField("d", DateType), StructField("pad", StringType))))
+    val base = java.time.LocalDate.parse("2024-01-01")
+    // planted skew, q07's date-window shape: 95% of rows in the first
+    // ten days of the year, 5% in November/December. Uniform min/max
+    // interpolation of `d >= 2024-11-01` says ~15% of the year's span;
+    // the truth is 5%.
+    t.append((0 until 20000).map { i =>
+      val d =
+        if (i % 100 < 95) base.plusDays(i % 10)
+        else base.plusDays(305 + (i % 55))
+      (java.sql.Date.valueOf(d), "x" * 200)
+    }.toDF("d", "pad"))
+    val st = t.analyze()
+    assert(st.columns("d").hist.size === GraftTable.HistBuckets + 1,
+      s"date bounds: ${st.columns("d").hist}")
+    val schema = StructType(Seq(
+      StructField("d", DateType), StructField("pad", StringType)))
+    val probe = java.sql.Date.valueOf("2024-11-01")
+    val withHist = Selectivity.estimateRows(
+      Seq(GreaterThanOrEqual("d", probe)), st, schema)
+    // same stats with the histogram stripped = the old uniform path
+    val stripped = st.copy(columns = st.columns.map { case (k, cs) =>
+      k -> cs.copy(hist = Nil) })
+    val uniform = Selectivity.estimateRows(
+      Seq(GreaterThanOrEqual("d", probe)), stripped, schema)
+    // truth is 1000. The histogram resolves the probe into the last
+    // bucket (6.25% of rows); within-bucket linear interpolation can
+    // under-read a tail concentrated at the bucket's far end — the same
+    // known property as PG's ineq_histogram_selectivity — but it must
+    // land well BELOW the uniform over-count and closer to the truth.
+    assert(withHist < 1600L, s"histogram date estimate too high: $withHist")
+    assert(uniform > 2400L, s"uniform interpolation must over-count, got $uniform")
+    assert(math.abs(withHist - 1000L) < math.abs(uniform - 1000L),
+      s"histogram ($withHist) must beat uniform ($uniform) against truth 1000")
+
+    // the planner acts on it: pick a broadcast threshold BETWEEN the
+    // two estimates' sizes — only the histogram-informed estimate fits
+    def scanStats(): (Option[BigInt], BigInt) = {
+      val df = spark.read.format("graft").load(loc).filter(col("d") >= lit(probe))
+      val s = df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.stats
+      }.head
+      (s.rowCount, s.sizeInBytes)
+    }
+    val (postRows, postSize) = scanStats()
+    assert(postRows.exists(r => r < 1600), s"plan rows $postRows")
+    val perRow = postSize.toDouble / postRows.get.toDouble
+    val threshold = (postSize * 2).toString
+    assert(uniform * perRow > postSize.toDouble * 2,
+      "the uniform estimate must sit ABOVE the chosen threshold for the flip to be real")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    try {
+      val big = spark.range(200000).toDF("k2")
+        .withColumn("d2", date_add(lit(probe), (col("k2") % 55).cast("int")))
+      val joined = big.join(
+        spark.read.format("graft").load(loc).filter(col("d") >= lit(probe)),
+        col("d2") === col("d"))
+      val plan = joined.queryExecution.sparkPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"date-filtered graft side should broadcast with histogram stats:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    GraftTable.drop(loc)
+  }
+
+  test("STRING histogram bounds make string-range selectivity skew-aware") {
+    val loc = tmpDir("gstats-shist") + "/t"
+    import spark.implicits._
+    val t = GraftTable.create(spark, loc, StructType(Seq(
+      StructField("s", StringType))))
+    // 90% of values start with 'a', 10% with 'z' — byte-proxy min/max
+    // interpolation puts `s > 'm'` at ~half the domain; the truth is 10%
+    t.append((0 until 20000).map { i =>
+      if (i % 10 < 9) f"aaa_$i%06d" else f"zz_$i%06d"
+    }.toDF("s"))
+    val st = t.analyze()
+    val hist = st.columns("s").hist
+    assert(hist.size === GraftTable.HistBuckets + 1, s"string bounds: $hist")
+    val schema = StructType(Seq(StructField("s", StringType)))
+    val withHist = Selectivity.estimateRows(Seq(GreaterThan("s", "m")), st, schema)
+    assert(withHist > 1200L && withHist < 2800L,
+      s"string histogram estimate should be ~2000, got $withHist")
+    // without bounds, the proxy interpolation across [min, max] misreads
+    val stripped = st.copy(columns = st.columns.map { case (k, cs) =>
+      k -> cs.copy(hist = Nil) })
+    val uniform = Selectivity.estimateRows(Seq(GreaterThan("s", "m")), stripped, schema)
+    assert(uniform > 6000L, s"proxy min/max interpolation over-counts, got $uniform")
+    // bounds survive the stats-file round trip
+    val reread = GraftTable.open(spark, loc).stats().get
+    assert(reread.columns("s").hist === hist)
+    GraftTable.drop(loc)
+  }
+
+  test("wide-schema ANALYZE: MCV counting chunks into bounded aggregate jobs") {
+    val loc = tmpDir("gstats-wide") + "/t"
+    val nCols = 100
+    // 100 columns × 5 candidate values each = 500 exact-count
+    // expressions — far past one codegen'd aggregate's comfort; the
+    // chunked pass-2 must still produce exact MCVs for every column
+    val schema = StructType((0 until nCols).map(j =>
+      StructField(s"c$j", IntegerType)))
+    val t = GraftTable.create(spark, loc, schema)
+    val rows = (0 until 200).map { i =>
+      org.apache.spark.sql.Row.fromSeq((0 until nCols).map(j => (i + j) % 5))
+    }
+    t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema))
+    val st = t.analyze()
+    (0 until nCols by 17).foreach { j =>
+      val mcv = st.columns(s"c$j").mcvs.toMap
+      assert(mcv.size === 5, s"c$j MCVs: $mcv")
+      assert(mcv.values.forall(_ === 40L), s"c$j exact counts: $mcv")
+    }
+    GraftTable.drop(loc)
+  }
+
   test("sampled ANALYZE: stats within tolerance of the full scan, broadcast flip intact") {
     val loc = tmpDir("gstats-sample") + "/fact"
     import spark.implicits._
