@@ -94,8 +94,17 @@ object Sampling {
     * sketch's survivors reach the exact confirm join that kills the
     * false positives. Output ≡ c2 exactly — the sketch bounds memory,
     * never changes the answer — which is why c9 shares c2's oracle. */
+  /** c9's eval-shingle subtree feeds TWO consumers — the sketch action
+    * and the exact confirm join — so it is materialized once per corpus
+    * fingerprint (the d2 pairCounts discipline); without it the eval
+    * side is scanned and distinct-shuffled twice per query. Keyed on the
+    * documents fingerprint; only the default eval split caches (a
+    * non-default `evalDocs` would alias the key). */
+  private val evalShingleCache = new Dedup.PersistedLru(2)
+  private val DefaultEvalDocs = 5
+
   def c9BloomDecontaminate(s: SparkSession, dir: String,
-      evalDocs: Int = 5, minShared: Int = 3): DataFrame = {
+      evalDocs: Int = DefaultEvalDocs, minShared: Int = 3): DataFrame = {
     import graft.functions.Shingles.shinglesDistinctFast
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -103,7 +112,11 @@ object Sampling {
     import org.apache.spark.sql.types.BinaryType
     val sh = docs(s, dir).select(
       col("doc_id"), explode(shinglesDistinctFast(col("text"))).as("sng"))
-    val evalSh = sh.filter(col("doc_id") < evalDocs).select("sng").distinct()
+    def evalShRaw = sh.filter(col("doc_id") < evalDocs).select("sng").distinct()
+    val evalSh =
+      if (evalDocs == DefaultEvalDocs)
+        evalShingleCache.getOrElseUpdate(s, dir, "documents")(evalShRaw)
+      else evalShRaw
     // One-row sketch aggregate collected to the driver: KB–MB by
     // construction (that is the point of the sketch), re-shipped inside
     // the task binary as a foldable literal — the same transport the

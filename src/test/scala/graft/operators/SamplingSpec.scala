@@ -105,6 +105,11 @@ class SamplingSpec extends SparkSpec {
     // BloomFilterMightContain before the confirm join
     val plan = c9.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), plan.take(1500))
+    // the eval-shingle subtree is materialized ONCE: the sketch action
+    // populated the cache, so the confirm join's eval side must read the
+    // in-memory relation, not re-scan + re-shuffle the documents table
+    assert(plan.contains("InMemoryTableScan"),
+      s"confirm join must reuse the cached eval shingles:\n${plan.take(1500)}")
   }
 
   test("quota: min(perStratum, stratum size) per stratum; deterministic") {
