@@ -558,12 +558,14 @@ final class GraftTable private (
     * only happens after every row parsed. `mode = "PERMISSIVE"` opts
     * into Spark's salvage behavior (bad fields become NULL). */
   def copyFromCsv(path: String, header: Boolean = false,
-      columns: Seq[String] = Seq.empty, mode: String = "FAILFAST"): Long = {
+      columns: Seq[String] = Seq.empty, mode: String = "FAILFAST",
+      format: GraftTable.CopyFormat = GraftTable.CopyFormat()): Long = {
+    format.validate()
     val cols = if (columns.isEmpty) meta.currentSchema.fieldNames.toSeq else columns
     val readSchema = StructType(cols.map(c => meta.currentSchema(c)))
     val df = spark.read
       .option("header", header.toString)
-      .option("nullValue", "")
+      .options(format.csvOptions)
       .option("mode", mode)
       .schema(readSchema)
       .csv(path)
@@ -578,14 +580,20 @@ final class GraftTable private (
     * path, the stream feeds through one process (the driver); bulk
     * loads at scale should land files and use the path form. */
   def copyFromCsv(lines: Iterator[String], header: Boolean,
-      columns: Seq[String], mode: String): Long = {
+      columns: Seq[String], mode: String): Long =
+    copyFromCsv(lines, header, columns, mode, GraftTable.CopyFormat())
+
+  def copyFromCsv(lines: Iterator[String], header: Boolean,
+      columns: Seq[String], mode: String,
+      format: GraftTable.CopyFormat): Long = {
+    format.validate()
     val cols = if (columns.isEmpty) meta.currentSchema.fieldNames.toSeq else columns
     val readSchema = StructType(cols.map(c => meta.currentSchema(c)))
     import spark.implicits._
     val ds = spark.createDataset(lines.toSeq)
     val df = spark.read
       .option("header", header.toString)
-      .option("nullValue", "")
+      .options(format.csvOptions)
       .option("mode", mode)
       .schema(readSchema)
       .csv(ds)
@@ -594,17 +602,23 @@ final class GraftTable private (
 
   /** COPY FROM a `Reader` (STDIN analog). */
   def copyFromCsv(reader: java.io.Reader, header: Boolean,
-      columns: Seq[String], mode: String): Long = {
+      columns: Seq[String], mode: String): Long =
+    copyFromCsv(reader, header, columns, mode, GraftTable.CopyFormat())
+
+  def copyFromCsv(reader: java.io.Reader, header: Boolean,
+      columns: Seq[String], mode: String,
+      format: GraftTable.CopyFormat): Long = {
     val buffered = new java.io.BufferedReader(reader)
     val lines = Iterator.continually(buffered.readLine()).takeWhile(_ != null)
-    copyFromCsv(lines, header, columns, mode)
+    copyFromCsv(lines, header, columns, mode, format)
   }
 
   /** COPY FROM PROGRAM (`cstore_fdw.c:539-642`): run a command, load its
     * stdout as CSV. A non-zero exit aborts the load with the table
     * unchanged — the reference's PROGRAM error semantics. */
   def copyFromProgram(command: Seq[String], header: Boolean = false,
-      columns: Seq[String] = Seq.empty, mode: String = "FAILFAST"): Long = {
+      columns: Seq[String] = Seq.empty, mode: String = "FAILFAST",
+      format: GraftTable.CopyFormat = GraftTable.CopyFormat()): Long = {
     val pb = new ProcessBuilder(command: _*)
     // stderr flows to the driver's own stderr (the reference surfaces it
     // in the server log). Leaving it piped but undrained would deadlock
@@ -615,15 +629,19 @@ final class GraftTable private (
     val out = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
     val exit = proc.waitFor()
     require(exit == 0, s"COPY FROM PROGRAM '${command.mkString(" ")}' exited with $exit")
-    copyFromCsv(out.linesIterator, header, columns, mode)
+    copyFromCsv(out.linesIterator, header, columns, mode, format)
   }
 
   /** COPY TO (`cstore_fdw.c:651-707`) — export the full table as CSV.
     * The path target is the DISTRIBUTED export (one file per partition,
     * written by executors); the Writer/PROGRAM targets below match the
     * reference's other COPY sinks. */
-  def copyToCsv(path: String, header: Boolean = true): Unit =
-    read().write.option("header", header.toString).mode(SaveMode.Overwrite).csv(path)
+  def copyToCsv(path: String, header: Boolean = true,
+      format: GraftTable.CopyFormat = GraftTable.CopyFormat()): Unit = {
+    format.validate()
+    read().write.option("header", header.toString)
+      .options(format.csvOptions).mode(SaveMode.Overwrite).csv(path)
+  }
 
   /** COPY TO a stream sink: rows flow through `writer` as CSV lines,
     * one partition of rows on the driver at a time (toLocalIterator) —
@@ -632,19 +650,27 @@ final class GraftTable private (
     * are formatted by Spark's own CSV writer (`to_csv`), so quoting and
     * null handling match the path-target export. Returns rows written
     * (COPY's row-count return, `cstore_fdw.c:313-327`). */
-  def copyToCsv(writer: java.io.Writer, header: Boolean): Long = {
+  def copyToCsv(writer: java.io.Writer, header: Boolean): Long =
+    copyToCsv(writer, header, GraftTable.CopyFormat())
+
+  def copyToCsv(writer: java.io.Writer, header: Boolean,
+      format: GraftTable.CopyFormat): Long = {
+    format.validate()
     val df = read()
     val bw = new java.io.BufferedWriter(writer)
     // header fields need CSV quoting too (a column named `a,b` is legal
     // via backticks; the path-target export's CSV writer escapes it)
+    val d = format.delimiter.charAt(0); val qc = format.quote.charAt(0)
     def q(name: String): String =
-      if (name.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
-        "\"" + name.replace("\"", "\"\"") + "\""
+      if (name.exists(c => c == d || c == qc || c == '\n' || c == '\r'))
+        s"$qc${name.replace(qc.toString, format.escape + format.quote)}$qc"
       else name
-    if (header) { bw.write(df.columns.map(q).mkString(",")); bw.write("\n") }
+    if (header) { bw.write(df.columns.map(q).mkString(format.delimiter)); bw.write("\n") }
     var n = 0L
+    val opts = new java.util.HashMap[String, String]()
+    format.csvOptions.foreach { case (k, v) => opts.put(k, v) }
     val it = df
-      .select(to_csv(struct(df.columns.map(col).toIndexedSeq: _*)).as("line"))
+      .select(to_csv(struct(df.columns.map(col).toIndexedSeq: _*), opts).as("line"))
       .toLocalIterator()
     while (it.hasNext) { bw.write(it.next().getString(0)); bw.write("\n"); n += 1 }
     bw.flush()
@@ -654,7 +680,8 @@ final class GraftTable private (
   /** COPY TO PROGRAM (`cstore_fdw.c:651-707`): run a command, stream
     * the table into its stdin as CSV. A non-zero exit fails the COPY
     * (the reference's PROGRAM error semantics). */
-  def copyToProgram(command: Seq[String], header: Boolean = true): Long = {
+  def copyToProgram(command: Seq[String], header: Boolean = true,
+      format: GraftTable.CopyFormat = GraftTable.CopyFormat()): Long = {
     val pb = new ProcessBuilder(command: _*)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
@@ -668,7 +695,7 @@ final class GraftTable private (
     // a success, returning the rows actually delivered.
     var n = 0L
     val pipeError =
-      try { n = copyToCsv(w, header); None }
+      try { n = copyToCsv(w, header, format); None }
       catch { case e: java.io.IOException => Some(e) }
       finally {
         try w.close() // EOF lets the program terminate
@@ -1223,6 +1250,26 @@ final class GraftTable private (
 }
 
 object GraftTable {
+
+  /** COPY text-format options — the reference's COPY inherits
+    * PostgreSQL's full option surface (DELIMITER/QUOTE/NULL/ESCAPE,
+    * `cstore_fdw.c:586-634` via BeginCopyFrom); these map 1:1 onto
+    * Spark's CSV reader/writer options so the path, stream, and PROGRAM
+    * forms of COPY FROM/TO all honor them identically. Defaults are the
+    * previous hard-coded behavior (comma, double quote, empty-string
+    * NULL, backslash escape). */
+  final case class CopyFormat(delimiter: String = ",", quote: String = "\"",
+      nullValue: String = "", escape: String = "\\") {
+    def validate(): Unit = {
+      require(delimiter.length == 1, s"COPY DELIMITER must be one character, got '$delimiter'")
+      require(quote.length == 1, s"COPY QUOTE must be one character, got '$quote'")
+      require(escape.length == 1, s"COPY ESCAPE must be one character, got '$escape'")
+      require(delimiter != quote, "COPY DELIMITER and QUOTE must differ")
+    }
+    private[storage] def csvOptions: Map[String, String] = Map(
+      "sep" -> delimiter, "quote" -> quote,
+      "nullValue" -> nullValue, "escape" -> escape)
+  }
 
   /** Thrown by a commit mutation to signal that the rebased state shows
     * the intended effect already durably committed by another writer —

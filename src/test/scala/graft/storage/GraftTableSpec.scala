@@ -187,6 +187,43 @@ class GraftTableSpec extends SparkSpec {
     GraftTable.drop(s"$loc/tbl")
   }
 
+  test("COPY format options: TSV + custom NULL round-trip (DELIMITER/QUOTE/NULL)") {
+    import spark.implicits._
+    val loc = tmpDir("graft-copyfmt")
+    val fmt = GraftTable.CopyFormat(delimiter = "\t", nullValue = "\\N")
+    val t = GraftTable.create(spark, s"$loc/src", schema)
+    // values exercise the format: an embedded comma (NOT the delimiter
+    // now), an embedded tab (IS the delimiter — must quote), and a null
+    // that must render as \N and parse back to null, not ""
+    t.append(Seq((1, "a,b", 2), (2, "has\ttab", 5),
+      (3, null.asInstanceOf[String], 7)).toDF("handle", "name", "rating"))
+    val sw = new java.io.StringWriter()
+    assert(t.copyToCsv(sw, header = true, fmt) === 3L, "COPY TO returns row count")
+    val text = sw.toString
+    assert(text.linesIterator.next() === "handle\tname\trating", "TSV header")
+    assert(text.contains("\\N"), s"custom NULL token must appear:\n$text")
+    val back = GraftTable.create(spark, s"$loc/dst", schema)
+    val n = back.copyFromCsv(new java.io.StringReader(text),
+      header = true, Seq.empty, "FAILFAST", fmt)
+    assert(n === 3L, "COPY FROM returns row count")
+    assert(back.read().orderBy("handle").collect().map(_.toSeq).toSeq ===
+      Seq(Seq(1, "a,b", 2), Seq(2, "has\ttab", 5), Seq(3, null, 7)),
+      "tabs, commas, and NULLs must survive the TSV round-trip")
+    // the path-target export honors the same options
+    val outDir = tmpDir("graft-copyfmt-out") + "/tsv"
+    t.copyToCsv(outDir, header = true, fmt)
+    val viaPath = spark.read.option("header", "true").option("sep", "\t")
+      .option("nullValue", "\\N").schema(schema).csv(outDir)
+    assert(viaPath.count() === 3L)
+    assert(viaPath.filter(col("name").isNull).count() === 1L)
+    // option validation: multi-char delimiter and quote==delimiter fail
+    intercept[IllegalArgumentException](
+      GraftTable.CopyFormat(delimiter = ",,").validate())
+    intercept[IllegalArgumentException](
+      GraftTable.CopyFormat(delimiter = "\"").validate())
+    GraftTable.drop(s"$loc/src"); GraftTable.drop(s"$loc/dst")
+  }
+
   test("compact merges small files, preserves rows/zone-maps/stream watermarks") {
     import spark.implicits._
     val loc = tmpDir("graft-compact")
