@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: synthesize a FACTOR×-scaled copy of a testdata directory
+  * for scale-behavior runs (ProfHeavy at ~sf1 from sf0.1), preserving
+  * per-replica workload density instead of planting artificial
+  * cross-replica duplicates:
+  *
+  *  - documents: doc_ids offset per replica; every TOKEN of a replica's
+  *    text is prefixed with the replica tag, so shingle/term sets are
+  *    DISJOINT across replicas — near-dup pair counts scale linearly
+  *    with rows (10× data ⇒ ~10× pairs), the way fresh corpus data
+  *    behaves, instead of every original pair exploding ×factor².
+  *  - embeddings: vec_ids offset; each replica applies its own SIGNED
+  *    PERMUTATION (a dimension rotation + deterministic ±1 flips) — an
+  *    orthogonal transform, so WITHIN-replica cosines (and thus
+  *    d5/d6/d11/s4 structure) are preserved exactly while cross-replica
+  *    cosines scramble toward zero. Sign flips alone are not enough:
+  *    for spiky vectors the aligned-dimension products leave a fat
+  *    cosine tail that crosses d6's 0.4 threshold; the rotation
+  *    misaligns the peaks first.
+  *  - all other tables are copied as-is (the heavy dedup/ANN profile
+  *    does not read them; they only need to exist for table preload).
+  *
+  * Usage: runMain graft.MakeScale <baseDir> <outDir> <factor>
+  */
+object MakeScale {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: MakeScale <baseDir> <outDir> <factor>")
+    val Array(base, out, fs) = args
+    val factor = fs.toInt
+    require(factor >= 1)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config(Tables.sessionConfs).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val IdStride = 100000000L
+
+    def replicas(build: Int => DataFrame): DataFrame =
+      (0 until factor).map(build).reduce(_ unionAll _)
+
+    val docs = Tables.load(spark, base, "documents")
+    replicas { r =>
+      val text =
+        if (r == 0) col("text")
+        else regexp_replace(col("text"), "\\w+", s"x$r$$0")
+      docs.select(
+        (col("doc_id") + lit(r * IdStride)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"), col("n_chars"))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = Tables.load(spark, base, "embeddings")
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    replicas { r =>
+      val vec =
+        if (r == 0) col("embedding")
+        else {
+          val rotated = transform(col("embedding"), (_, j) =>
+            element_at(col("embedding"),
+              (pmod(j + lit(7 * r), lit(dims)) + 1).cast("int")))
+          transform(rotated, (x, j) =>
+            when(pmod(xxhash64(concat_ws("_", lit(r), j)), lit(2)) === 0, x)
+              .otherwise(-x))
+        }
+      emb.select(
+        (col("vec_id") + lit(r * IdStride)).as("vec_id"),
+        vec.cast("array<float>").as("embedding"), col("label"))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    (Tables.all.toSet -- Set("documents", "embeddings")).foreach { t =>
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    println(s"[makescale] wrote $out at ${factor}x of $base")
+    spark.stop()
+  }
+}
