@@ -83,16 +83,39 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 
 /** DSv2 Table over one graft table location. `TruncatableTable` lets SQL
   * `TRUNCATE TABLE` route through the graft metadata protocol
-  * (`cstore_fdw.c:841-892`). */
+  * (`cstore_fdw.c:841-892`); `SupportsDelete` routes SQL `DELETE FROM …
+  * WHERE …` into the copy-on-write row-level delete (zone-map-pruned
+  * file rewrite, [[GraftTable.delete]]). */
 class GraftSparkTable(location: String) extends Table
     with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   /** Table location for commands resolved outside the scan path (e.g.
     * the ANALYZE TABLE routing in [[GraftExtensions]]). */
   def tableLocation: String = location
 
   override def truncateTable(): Boolean = { graft.truncate(); true }
+
+  // DELETE is accepted only when every predicate translates EXACTLY —
+  // Spark's DeleteFromTable contract: a partial translation must refuse
+  // (canDeleteWhere=false) rather than delete the wrong rows.
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall { f =>
+      try { GraftTable.filterToColumn(f); true }
+      catch { case _: UnsupportedOperationException => false }
+    }
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    // SQL `DELETE FROM t` (no WHERE) arrives as an empty/AlwaysTrue
+    // array; route it through the metadata-only truncate instead of a
+    // full rewrite to nothing
+    if (filters.isEmpty ||
+        filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      graft.truncate()
+    else graft.delete(filters.toIndexedSeq)
+    ()
+  }
 
   private def spark: SparkSession = SparkSession.active
   private def graft: GraftTable = GraftTable.open(spark, location)

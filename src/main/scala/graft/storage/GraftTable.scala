@@ -10,6 +10,7 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 
 /** Table options mirroring the reference's FDW options
@@ -766,6 +767,126 @@ final class GraftTable private (
       meta.files.size
     }
   }
+
+  // ---- row-level DELETE / UPDATE (copy-on-write) ---------------------
+  //
+  // The reference is append-only and lists UPDATE/DELETE as open work
+  // (`TODO.md:25-28`); over immutable columnar files the shape a
+  // row-level mutation must take is copy-on-write at FILE granularity,
+  // the Delta/Iceberg COW discipline: files whose zone maps REFUTE the
+  // predicate are untouched — a metadata-only no-op however large the
+  // table, which at 100 TB is the path a clustered predicate
+  // (sort_by/zorder_by on the filter column) takes — and only candidate
+  // files are read and rewritten, in one distributed job, with one CAS
+  // commit swapping the file list. Replaced files stay on disk for
+  // retained snapshots (time travel reads the pre-mutation state;
+  // expireHistory + vacuum reclaim them), and a concurrent append
+  // rebases cleanly because the commit carries forward files it did not
+  // rewrite.
+
+  /** Files the zone maps cannot refute for `filters` — the only files a
+    * row-level mutation must read and rewrite. */
+  private def mutationCandidates(filters: Seq[Filter]): Vector[String] =
+    meta.files.filterNot { rel =>
+      meta.fileStats.get(rel).exists(st =>
+        filters.exists(f => GraftTable.refutes(meta.currentSchema, st, f)))
+    }
+
+  /** Read a subset of committed files with the same default-synthesis
+    * semantics as [[read]]. */
+  private def readFilesDf(rels: Seq[String]): DataFrame =
+    spark.read.schema(readSchema()).parquet(rels.map(f => s"$location/$f"): _*)
+      .select(meta.currentSchema.fields.map(f =>
+        col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
+
+  /** Commit a copy-on-write rewrite: `replaced` files leave the list,
+    * the batch dir's non-empty outputs join it, row count moves by
+    * `rowDelta`. Aborts (leaving the batch dir as a vacuum orphan) on a
+    * concurrent schema change or a concurrent rewrite of the same
+    * files; plain concurrent appends rebase and are carried forward. */
+  private def commitRewrite(replaced: Seq[String], batchDir: String,
+      schemaAtWrite: StructType, rowDelta: Long, what: String): Unit = {
+    val newFiles = listParquetFiles(batchDir)
+    val infos = newFiles.map(f => relativize(f, location) -> footerInfo(f))
+      .filter(_._2._1 > 0L) // an all-deleted rewrite leaves no file behind
+    val candSet = replaced.toSet
+    commitMutation { base =>
+      require(base.currentSchema == schemaAtWrite,
+        s"concurrent schema change during $what of $location — retry")
+      require(replaced.forall(base.files.contains),
+        s"concurrent compaction/truncate during $what of $location — retry")
+      base.copy(
+        files = base.files.filterNot(candSet) ++ infos.map(_._1),
+        rowCount = base.rowCount + rowDelta,
+        nextBatchId = base.nextBatchId + 1,
+        fileStats = base.fileStats.view.filterKeys(!candSet(_)).toMap ++
+          infos.collect { case (rel, (_, st)) if st.nonEmpty => rel -> st })
+    }
+    ()
+  }
+
+  /** DELETE rows matching the conjunction of `filters`. SQL semantics:
+    * a row is deleted only when the predicate is TRUE (NULL keeps the
+    * row). Returns rows deleted. For the full-table form use
+    * [[truncate]], which is a metadata-only operation. */
+  def delete(filters: Seq[Filter]): Long = withTableLock {
+    refreshMeta()
+    require(filters.nonEmpty,
+      "DELETE with no predicate — use truncate() for the full-table form")
+    val cond = filters.map(GraftTable.filterToColumn).reduce(_ && _)
+    val cands = mutationCandidates(filters)
+    if (cands.isEmpty) return 0L
+    val schemaAtWrite = meta.currentSchema
+    val src = readFilesDf(cands)
+    val candRows = src.count() // footer-only: no filter below the count
+    val keptDf = src.filter(!coalesce(cond, lit(false)))
+    val batchDir = writeBatchDir(keptDf)
+    val kept = listParquetFiles(batchDir).map(f => footerInfo(f)._1).sum
+    val deleted = candRows - kept
+    if (deleted == 0L) {
+      // nothing matched: keep the original files instead of churning
+      // them (the rewrite is byte-identical content in new files)
+      val (fs, _) = GraftTable.fsAndPath(location)
+      try fs.delete(new HPath(batchDir), true) catch { case _: Exception => () }
+      return 0L
+    }
+    commitRewrite(cands, batchDir, schemaAtWrite, -deleted, "DELETE")
+    deleted
+  }
+
+  /** UPDATE … SET: `assignments` applied to rows matching the
+    * conjunction of `filters` (all rows when empty — though zone maps
+    * then prune nothing). Assignment expressions may reference the
+    * row's own columns (`SET a = a + 1`). Returns rows updated. */
+  def update(assignments: Map[String, Column], filters: Seq[Filter]): Long =
+    withTableLock {
+      refreshMeta()
+      require(assignments.nonEmpty, "UPDATE requires at least one assignment")
+      assignments.keys.foreach(c =>
+        require(meta.currentSchema.fieldNames.contains(c),
+          s"UPDATE references unknown column '$c'"))
+      val cond =
+        if (filters.isEmpty) lit(true)
+        else filters.map(GraftTable.filterToColumn).reduce(_ && _)
+      val matched = coalesce(cond, lit(false))
+      val cands = mutationCandidates(filters)
+      if (cands.isEmpty) return 0L
+      val schemaAtWrite = meta.currentSchema
+      val src = readFilesDf(cands)
+      val updated = src.filter(matched).count()
+      if (updated == 0L) return 0L
+      val rewritten = src.select(schemaAtWrite.fields.map { f =>
+        assignments.get(f.name) match {
+          case Some(v) =>
+            when(matched, v.cast(f.dataType)).otherwise(col(f.name))
+              .as(f.name, f.metadata)
+          case None => col(f.name).as(f.name, f.metadata)
+        }
+      }.toIndexedSeq: _*)
+      val batchDir = writeBatchDir(rewritten)
+      commitRewrite(cands, batchDir, schemaAtWrite, 0L, "UPDATE")
+      updated
+    }
 
   /** Reclaim orphaned batch directories: data subdirectories holding no
     * committed file — the residue of a writer that crashed between its
@@ -1562,6 +1683,35 @@ object GraftTable {
       catch { case _: ArithmeticException => None }
     case (_: DecimalType, _) => None
     case (_, other) => Some(other.toString)
+  }
+
+  /** The Spark Column equivalent of a V1 source filter — applies a
+    * DELETE/UPDATE predicate to candidate rows EXACTLY. The supported
+    * shapes mirror what the scan path pushes down; an unsupported
+    * filter throws rather than silently mutating the wrong rows. */
+  private[graft] def filterToColumn(f: Filter): Column = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(c, v) => col(c) === lit(v)
+      case EqualNullSafe(c, v) => col(c) <=> lit(v)
+      case GreaterThan(c, v) => col(c) > lit(v)
+      case GreaterThanOrEqual(c, v) => col(c) >= lit(v)
+      case LessThan(c, v) => col(c) < lit(v)
+      case LessThanOrEqual(c, v) => col(c) <= lit(v)
+      case In(c, vs) => col(c).isin(vs.toIndexedSeq: _*)
+      case IsNull(c) => col(c).isNull
+      case IsNotNull(c) => col(c).isNotNull
+      case And(l, r) => filterToColumn(l) && filterToColumn(r)
+      case Or(l, r) => filterToColumn(l) || filterToColumn(r)
+      case Not(inner) => !filterToColumn(inner)
+      case StringStartsWith(c, p) => col(c).startsWith(p)
+      case StringEndsWith(c, p) => col(c).endsWith(p)
+      case StringContains(c, p) => col(c).contains(p)
+      case AlwaysTrue() => lit(true)
+      case AlwaysFalse() => lit(false)
+      case other => throw new UnsupportedOperationException(
+        s"DELETE/UPDATE predicate not supported exactly: $other")
+    }
   }
 
   /** True when the file's zone map PROVES no row can satisfy `f` — the
