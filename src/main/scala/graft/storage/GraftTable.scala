@@ -888,6 +888,89 @@ final class GraftTable private (
       updated
     }
 
+  /** MERGE INTO (upsert) — each source row UPDATES every target row
+    * sharing its key (all columns take the source row's values) or
+    * INSERTS when no target row matches: the daily-increment / CDC
+    * shape. Source keys must be unique (the SQL MERGE cardinality
+    * rule — a target row with two source matches is ambiguous and
+    * throws); source rows with a NULL key never match (SQL equality)
+    * and insert. Returns (rowsUpdated, rowsInserted).
+    *
+    * Scale shape: candidate files are zone-map-pruned against the
+    * source's per-key [min, max], so an increment whose keys fall in
+    * recent ranges touches only recent files when the table is
+    * clustered on the key (`sort_by`/`zorder_by`) — everything else is
+    * carried forward untouched. The rewrite is one distributed left
+    * join of the candidate rows against the source; unmatched source
+    * rows land in the same batch, and one CAS commit publishes the
+    * whole mutation atomically. */
+  def merge(source: DataFrame, keyCols: Seq[String]): (Long, Long) = withTableLock {
+    refreshMeta()
+    require(keyCols.nonEmpty, "MERGE requires at least one key column")
+    keyCols.foreach(c => require(meta.currentSchema.fieldNames.contains(c),
+      s"MERGE key '$c' is not a table column"))
+    val schemaAtWrite = meta.currentSchema
+    // the source feeds the cardinality check, the key-range prune, the
+    // rewrite join, the anti-join, and both counts — one materialization
+    val s0 = alignToSchema(source)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dup = s0.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"MERGE source has duplicate keys (first: ${dup.headOption.orNull}) — " +
+          "each target row may match at most one source row")
+      // prune: a file can hold a match only if every key column's zone
+      // map intersects the source's key range (null-key rows are pure
+      // inserts and do not widen the range)
+      val keyed = s0.na.drop(keyCols)
+      val rngRow = keyed.agg(
+        keyCols.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"))).head,
+        keyCols.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"))).tail: _*)
+        .collect().head
+      val haveKeys = keyCols.exists(k => rngRow.getAs[Any](s"__mn_$k") != null)
+      val pruneFilters: Seq[Filter] =
+        if (!haveKeys) Seq.empty
+        else keyCols.flatMap { k =>
+          Option(rngRow.getAs[Any](s"__mn_$k")).map(v =>
+            org.apache.spark.sql.sources.GreaterThanOrEqual(k, v)).toSeq ++
+          Option(rngRow.getAs[Any](s"__mx_$k")).map(v =>
+            org.apache.spark.sql.sources.LessThanOrEqual(k, v)).toSeq
+        }
+      val cands = if (haveKeys) mutationCandidates(pruneFilters) else Vector.empty[String]
+      if (cands.isEmpty) {
+        // nothing can match: the whole source is an insert
+        val inserted = appendLocked(s0, None)
+        (0L, inserted)
+      } else {
+        val t = readFilesDf(cands)
+        val candRows = t.count()
+        val marker = "__graft_matched"
+        val sA = s0.withColumn(marker, lit(true)).alias("s")
+        val tA = t.alias("t")
+        // === (not <=>): NULL keys never match, per SQL MERGE
+        val on = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+        val rewritten = tA.join(sA, on, "left").select(
+          schemaAtWrite.fields.map { f =>
+            when(coalesce(col(s"s.$marker"), lit(false)), col(s"s.${f.name}"))
+              .otherwise(col(s"t.${f.name}")).as(f.name, f.metadata)
+          }.toIndexedSeq: _*)
+        val inserts = s0.join(t.select(keyCols.map(col): _*), keyCols, "left_anti")
+        val updated = t.join(s0.select(keyCols.map(col): _*), keyCols, "left_semi").count()
+        val inserted = inserts.count()
+        if (updated == 0L && inserted == 0L) (0L, 0L)
+        else {
+          val batchDir = writeBatchDir(rewritten.unionByName(inserts))
+          val n = listParquetFiles(batchDir).map(f => footerInfo(f)._1).sum
+          require(n == candRows + inserted,
+            s"MERGE row conservation failure: wrote $n, expected ${candRows + inserted}")
+          commitRewrite(cands, batchDir, schemaAtWrite, inserted, "MERGE")
+          (updated, inserted)
+        }
+      }
+    } finally { s0.unpersist(); () }
+  }
+
   /** Reclaim orphaned batch directories: data subdirectories holding no
     * committed file — the residue of a writer that crashed between its
     * parquet write and the metadata commit (whose rows were never

@@ -111,6 +111,61 @@ class RowMutationSpec extends SparkSpec {
     GraftTable.drop(t.location)
   }
 
+  test("merge: upsert updates matches, inserts the rest, prunes by key range") {
+    import spark.implicits._
+    val t = mk("rmut-merge") // ids 0-49, 100-149, 200-249 in three files
+    val filesBefore = t.committedFiles.toSet
+    // source keys 110, 120 (updates, middle file only) + 500 (insert)
+    val src = Seq((110, "upd", -1), (120, "upd", -2), (500, "new", -3))
+      .toDF("id", "grp", "v")
+    val (updated, inserted) = t.merge(src, Seq("id"))
+    assert((updated, inserted) === (2L, 1L))
+    assert(t.rowCountFromMetadata() === 151L)
+    // key range [110, 500] misses file 1 (0-49) entirely; file 1 must
+    // survive untouched. (File 3's 200-249 intersects the range, so it
+    // legitimately rewrites.)
+    assert(filesBefore.count(t.committedFiles.toSet.contains) >= 1,
+      "key-range-refuted files must carry forward")
+    val got = t.read().filter(col("id").isin(110, 120, 500))
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    assert(got.toSeq === Seq((110, "upd", -1), (120, "upd", -2), (500, "new", -3)))
+    assert(t.read().filter(col("id") === 115).head().getString(1) !== "upd",
+      "non-matched target rows unchanged")
+    GraftTable.drop(t.location)
+  }
+
+  test("merge: duplicate source keys throw; NULL source keys insert") {
+    import spark.implicits._
+    val t = mk("rmut-merge-edge")
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((1, "a", 1), (1, "b", 2)).toDF("id", "grp", "v"), Seq("id"))
+    }
+    // a NULL key never matches — it inserts (SQL equality semantics)
+    val (u, i) = t.merge(
+      Seq((null.asInstanceOf[Integer], "nullkey", 0))
+        .toDF("id", "grp", "v"), Seq("id"))
+    assert((u, i) === (0L, 1L))
+    assert(t.read().filter(col("id").isNull).count() === 1L)
+    // target rows with duplicate keys BOTH update (cardinality preserved)
+    val t2 = GraftTable.create(spark, tmpDir("rmut-merge-dup") + "/t", schema)
+    t2.append(Seq((7, "x", 1), (7, "y", 2), (8, "z", 3)).toDF("id", "grp", "v"))
+    val (u2, i2) = t2.merge(Seq((7, "upd", 0)).toDF("id", "grp", "v"), Seq("id"))
+    assert((u2, i2) === (2L, 0L))
+    assert(t2.read().count() === 3L, "MERGE update preserves target cardinality")
+    assert(t2.read().filter(col("id") === 7).collect()
+      .forall(r => r.getString(1) == "upd"))
+    GraftTable.drop(t.location); GraftTable.drop(t2.location)
+  }
+
+  test("merge into an empty table is a pure insert") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("rmut-merge-empty") + "/t", schema)
+    val (u, i) = t.merge(Seq((1, "a", 10), (2, "b", 20)).toDF("id", "grp", "v"), Seq("id"))
+    assert((u, i) === (0L, 2L))
+    assert(t.read().count() === 2L)
+    GraftTable.drop(t.location)
+  }
+
   test("SQL DELETE FROM routes through the copy-on-write delete") {
     val wh = tmpDir("rmut-sql-wh")
     spark.conf.set("spark.sql.catalog.rmcat", classOf[graft.sources.GraftCatalog].getName)
