@@ -958,13 +958,43 @@ final class GraftTable private (
         val inserts = s0.join(t.select(keyCols.map(col): _*), keyCols, "left_anti")
         val updated = t.join(s0.select(keyCols.map(col): _*), keyCols, "left_semi").count()
         val inserted = inserts.count()
-        if (updated == 0L && inserted == 0L) (0L, 0L)
-        else {
-          val batchDir = writeBatchDir(rewritten.unionByName(inserts))
-          val n = listParquetFiles(batchDir).map(f => footerInfo(f)._1).sum
+        if (updated == 0L) {
+          // no source row matched: the whole source is a plain append
+          // (no candidate file needs rewriting)
+          (0L, if (inserted > 0L) appendLocked(s0, None) else 0L)
+        } else {
+          // The rewrite and the inserts go to SEPARATE batch dirs under
+          // ONE commit, because the streaming source must see only the
+          // insert files: the rewrite files carry rows every stream
+          // already delivered, and re-emitting them would duplicate the
+          // feed. The commit records the insert files as its
+          // stream-visible emission (Meta.emitFiles).
+          def dirInfos(dir: String): Seq[(String, (Long, Map[String, GraftTable.ColFileStats]))] =
+            listParquetFiles(dir).map(f => relativize(f, location) -> footerInfo(f))
+              .filter(_._2._1 > 0L)
+          val rewriteInfos = dirInfos(writeBatchDir(rewritten))
+          val insertInfos =
+            if (inserted > 0L) dirInfos(writeBatchDir(inserts)) else Seq.empty
+          val n = (rewriteInfos ++ insertInfos).map(_._2._1).sum
           require(n == candRows + inserted,
             s"MERGE row conservation failure: wrote $n, expected ${candRows + inserted}")
-          commitRewrite(cands, batchDir, schemaAtWrite, inserted, "MERGE")
+          val candSet = cands.toSet
+          commitMutation { base =>
+            require(base.currentSchema == schemaAtWrite,
+              s"concurrent schema change during MERGE of $location — retry")
+            require(cands.forall(base.files.contains),
+              s"concurrent compaction/truncate during MERGE of $location — retry")
+            base.copy(
+              files = base.files.filterNot(candSet) ++
+                rewriteInfos.map(_._1) ++ insertInfos.map(_._1),
+              rowCount = base.rowCount + inserted,
+              nextBatchId = base.nextBatchId + 2,
+              fileStats = base.fileStats.view.filterKeys(!candSet(_)).toMap ++
+                (rewriteInfos ++ insertInfos).collect {
+                  case (rel, (_, st)) if st.nonEmpty => rel -> st
+                },
+              emitFiles = insertInfos.map(_._1).toVector)
+          }
           (updated, inserted)
         }
       }
@@ -1432,7 +1462,10 @@ final class GraftTable private (
         refreshMeta() // rebase on the state as of AFTER the backoff
       }
       val next =
-        try mutate(meta).copy(version = meta.version + 1)
+        // emitFiles describes ONE commit's emission — clear the
+        // inherited value before the mutation (which may set its own)
+        try mutate(meta.copy(emitFiles = Vector.empty))
+          .copy(version = meta.version + 1)
         catch { case _: GraftTable.CommitSuperseded => return false }
       if (GraftTable.tryClaimVersion(location, next)) {
         // the claim IS the commit; the pointer is a best-effort read
@@ -1504,7 +1537,14 @@ object GraftTable {
       streamTxn: Map[String, Long] = Map.empty,
       // monotone commit version; every committed state is archived under
       // _graft_history/v<version>.json for snapshot (time-travel) reads
-      version: Long = 0L)
+      version: Long = 0L,
+      // THIS commit's stream-visible files: set only by commits whose
+      // added files are NOT all new rows (MERGE: the rewrite files carry
+      // rows the stream already delivered; only the insert files emit).
+      // Empty = the default added-files-of-row-growing-commit rule.
+      // Cleared automatically on every commit (commitMutation) so it
+      // can never leak from one commit to the next.
+      emitFiles: Vector[String] = Vector.empty)
 
   private val MagicKey = "graft_magic"
   private val Magic = "graft_cstore_v1" // role of `citus_cstore` magic, cstore_fdw.h:50
@@ -2321,6 +2361,7 @@ object GraftTable {
        |  "defaults": $defaults,
        |  "file_stats": $fileStats,
        |  "stream_txn": $streamTxn,
+       |  "emit_files": ${m.emitFiles.map(js).mkString("[", ",", "]")},
        |  "files": ${m.files.map(js).mkString("[", ",", "]")}
        |}""".stripMargin
   }
@@ -2433,7 +2474,9 @@ object GraftTable {
       fileStats = fileStats,
       streamTxn = m.getOrElse("stream_txn", Map.empty[String, Any])
         .asInstanceOf[Map[String, Any]]
-        .map { case (q, b) => q -> b.asInstanceOf[Number].longValue() })
+        .map { case (q, b) => q -> b.asInstanceOf[Number].longValue() },
+      emitFiles = m.getOrElse("emit_files", List.empty[Any])
+        .asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toVector)
   }
 
   /** Minimal recursive-descent JSON parser (objects/arrays/strings/numbers/

@@ -366,8 +366,17 @@ object ParquetDelegate {
         val cur = metaAt(v)
         val prevRows = prev.map(_.rowCount).getOrElse(0L)
         val prevFiles = prev.map(_.files.toSet).getOrElse(Set.empty[String])
-        if (cur.rowCount > prevRows)
-          out ++= cur.files.filterNot(prevFiles).map(f => s"$location/$f")
+        if (cur.rowCount > prevRows) {
+          val added = cur.files.filterNot(prevFiles)
+          // a commit may declare its stream-visible subset (MERGE: the
+          // copy-on-write rewrite files carry rows every stream already
+          // delivered; only the insert files are new rows) — honor it,
+          // else the added files of a row-growing commit are all new
+          val emit =
+            if (cur.emitFiles.nonEmpty) added.filter(cur.emitFiles.toSet)
+            else added
+          out ++= emit.map(f => s"$location/$f")
+        }
         prev = Some(cur)
       }
       out.result()

@@ -50,6 +50,48 @@ class GraftStreamSourceSpec extends SparkSpec {
     GraftTable.drop(loc)
   }
 
+  test("row-level mutations: MERGE streams only its inserts; DELETE/UPDATE stream nothing") {
+    import spark.implicits._
+    val loc = tmpDir("gss-mut") + "/t"
+    val ckpt = tmpDir("gss-mut-ckpt")
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+
+    val q = spark.readStream.format("graft").load(loc)
+      .writeStream.format("memory").queryName("gss_mut_sink")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gss_mut_sink").count() === 3L)
+
+      // MERGE rewrites the candidate files (carried + updated rows) AND
+      // appends one insert — the stream must deliver ONLY the insert,
+      // never the rewritten carries (they were already delivered)
+      val (u, i) = t.merge(Seq((2, "b2"), (9, "new")).toDF("id", "v"), Seq("id"))
+      assert((u, i) === (1L, 1L))
+      q.processAllAvailable()
+      val afterMerge = spark.table("gss_mut_sink").select("id")
+        .collect().map(_.getInt(0)).sorted.toSeq
+      assert(afterMerge === Seq(1, 2, 3, 9),
+        s"MERGE must stream only its inserted rows, got $afterMerge")
+
+      // UPDATE (no row growth) and DELETE (shrink) stream nothing
+      assert(t.update(Map("v" -> lit("upd")),
+        Seq(org.apache.spark.sql.sources.EqualTo("id", Integer.valueOf(1)))) === 1L)
+      assert(t.delete(
+        Seq(org.apache.spark.sql.sources.EqualTo("id", Integer.valueOf(3)))) === 1L)
+      q.processAllAvailable()
+      assert(spark.table("gss_mut_sink").count() === 4L,
+        "UPDATE/DELETE commits must not re-deliver rows")
+
+      // appends after the mutations still stream exactly their rows
+      t.append(Seq((10, "j")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(spark.table("gss_mut_sink").count() === 5L)
+    } finally q.stop()
+    GraftTable.drop(loc)
+  }
+
   test("maxVersionsPerTrigger throttles a backlog into bounded micro-batches") {
     import spark.implicits._
     val loc = tmpDir("gss-throttle") + "/t"
