@@ -33,6 +33,58 @@ object MutationQueries {
     t
   }
 
+  // one scratch warehouse for the SQL-DML entries (n4-n6); tables get
+  // unique names per invocation, so the concurrent pools never collide
+  private lazy val sqlWarehouse: String =
+    Files.createTempDirectory("graft_sqlmut").toString
+
+  private def sqlScratch(s: SparkSession, dir: String): String = {
+    synchronized {
+      s.conf.set("spark.sql.catalog.gq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq.warehouse", sqlWarehouse)
+    }
+    val tbl = "t_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.sql(s"CREATE TABLE gq.db.$tbl USING graft AS " +
+      s"SELECT * FROM parquet.`$dir/customer.parquet`")
+    tbl
+  }
+
+  /** n4: SQL DELETE through Spark's group-based ReplaceData rewrite —
+    * `upper(...)` does not translate to a source filter, so the
+    * metadata-delete shortcut refuses it and the COW scan/write path
+    * (`SupportsRowLevelOperations`) must produce the state. */
+  def n4SqlDelete(s: SparkSession, dir: String): DataFrame = {
+    val tbl = sqlScratch(s, dir)
+    s.sql(s"DELETE FROM gq.db.$tbl WHERE upper(c_mktsegment) = 'BUILDING'")
+    s.table(s"gq.db.$tbl").orderBy("c_custkey")
+  }
+
+  /** n5: SQL UPDATE (always the ReplaceData path). */
+  def n5SqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val tbl = sqlScratch(s, dir)
+    s.sql(s"UPDATE gq.db.$tbl SET c_acctbal = c_acctbal + 1000 WHERE c_acctbal < 0")
+    s.table(s"gq.db.$tbl").orderBy("c_custkey")
+  }
+
+  /** n6: SQL MERGE INTO with matched-update + not-matched-insert —
+    * the same increment as n3, driven through MergeRows/ReplaceData. */
+  def n6SqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val tbl = sqlScratch(s, dir)
+    val src = "v_" + tbl
+    s.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") % 5 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(5000.0))
+      .unionByName(s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_custkey") % 7 === 3)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000L)))
+      .createOrReplaceTempView(src)
+    s.sql(s"""
+      MERGE INTO gq.db.$tbl t USING $src s ON t.c_custkey = s.c_custkey
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    s.table(s"gq.db.$tbl").orderBy("c_custkey")
+  }
+
   /** n1: DELETE WHERE c_mktsegment = 'BUILDING' — rows in non-matching
     * files are carried untouched (zone-map candidate pruning), matching
     * rows are dropped via the copy-on-write rewrite. */
@@ -68,7 +120,10 @@ object MutationQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n1_delete" -> n1Delete _,
     "n2_update" -> n2Update _,
-    "n3_merge" -> n3Merge _)
+    "n3_merge" -> n3Merge _,
+    "n4_sql_delete" -> n4SqlDelete _,
+    "n5_sql_update" -> n5SqlUpdate _,
+    "n6_sql_merge" -> n6SqlMerge _)
 
   val oracles: Map[String, String] = Map(
     // delete keeps NULL-predicate rows (kept = NOT coalesce(cond,false)),
@@ -84,6 +139,28 @@ object MutationQueries {
         |  c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "n3_merge" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 5000, c_mktsegment
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 = 3
+        |) ORDER BY c_custkey""".stripMargin,
+    // SQL DELETE keeps rows where NOT(cond <=> true): NULL-cond rows stay
+    "n4_sql_delete" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE upper(c_mktsegment) IS DISTINCT FROM 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+    "n5_sql_update" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_acctbal < 0 THEN c_acctbal + 1000 ELSE c_acctbal END
+        |    AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "n6_sql_merge" ->
       """SELECT * FROM (
         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |  FROM customer WHERE c_custkey % 5 <> 0

@@ -83,13 +83,23 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 
 /** DSv2 Table over one graft table location. `TruncatableTable` lets SQL
   * `TRUNCATE TABLE` route through the graft metadata protocol
-  * (`cstore_fdw.c:841-892`); `SupportsDelete` routes SQL `DELETE FROM …
-  * WHERE …` into the copy-on-write row-level delete (zone-map-pruned
-  * file rewrite, [[GraftTable.delete]]). */
+  * (`cstore_fdw.c:841-892`); `SupportsDelete` routes fully-translatable
+  * SQL `DELETE FROM … WHERE …` into the copy-on-write row-level delete
+  * (zone-map-pruned file rewrite, [[GraftTable.delete]]);
+  * `SupportsRowLevelOperations` carries everything the metadata path
+  * refuses — non-translatable DELETE predicates, SQL `UPDATE`, and SQL
+  * `MERGE INTO` — through Spark's group-based ReplaceData rewrite over
+  * the graft COW scan/write ([[org.apache.spark.sql.graft.GraftRowLevel]]). */
 class GraftSparkTable(location: String) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.TruncatableTable
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new org.apache.spark.sql.graft.GraftRowLevel.Operation(location, info.command)
 
   /** Table location for commands resolved outside the scan path (e.g.
     * the ANALYZE TABLE routing in [[GraftExtensions]]). */

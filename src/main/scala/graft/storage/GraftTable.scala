@@ -103,6 +103,10 @@ final class GraftTable private (
 
   def schema: StructType = meta.currentSchema
   def options: GraftTableOptions = meta.options
+
+  /** Parquet codec name for this table's `compression` option — for
+    * writers outside the storage package (the SQL row-level write). */
+  def parquetCodec: String = GraftTable.codecName(meta.options.compression)
   def defaults: Map[String, Any] = meta.defaults
 
   /** True when any column may be SYNTHESIZED at read time for files
@@ -1001,6 +1005,50 @@ final class GraftTable private (
     } finally { s0.unpersist(); () }
   }
 
+  /** Commit point for a SQL row-level operation executed through
+    * Spark's group-based ReplaceData machinery (DELETE / UPDATE / MERGE
+    * INTO on a graft table via `SupportsRowLevelOperations`): atomically
+    * swap the files the copy-on-write scan read (`scanned`, absolute
+    * paths as planned — the "groups" of the operation) for the files the
+    * distributed write staged under `stagingDir`. The row-count delta is
+    * recomputed from parquet footers on both sides, so DELETE shrinks,
+    * UPDATE holds, and MERGE grows the committed count without trusting
+    * the caller. A MERGE that both rewrites and inserts marks the commit
+    * as a change commit (carried and new rows share files — a streaming
+    * source cannot serve it exactly-once; see `Meta.changeCommit`). */
+  def replaceFilesCommit(scanned: Seq[String], stagingDir: String,
+      schemaAtWrite: StructType, what: String): Unit = withTableLock {
+    refreshMeta()
+    val replaced = scanned.map(relativize(_, location)).distinct
+    val infos = listParquetFiles(stagingDir)
+      .map(f => relativize(f, location) -> footerInfo(f))
+      .filter(_._2._1 > 0L) // a fully-deleted group leaves no file behind
+    if (replaced.isEmpty && infos.isEmpty) {
+      // the operation touched no group and wrote no rows — leave no trace
+      val (fs, _) = GraftTable.fsAndPath(location)
+      try fs.delete(new HPath(stagingDir), true) catch { case _: Exception => () }
+      return
+    }
+    val newRows = infos.map(_._2._1).sum
+    val replacedRows = replaced.map(r => footerInfo(s"$location/$r")._1).sum
+    val delta = newRows - replacedRows
+    val candSet = replaced.toSet
+    commitMutation { base =>
+      require(base.currentSchema == schemaAtWrite,
+        s"concurrent schema change during $what of $location — retry")
+      require(replaced.forall(base.files.contains),
+        s"concurrent compaction/truncate during $what of $location — retry")
+      base.copy(
+        files = base.files.filterNot(candSet) ++ infos.map(_._1),
+        rowCount = base.rowCount + delta,
+        nextBatchId = base.nextBatchId + 1,
+        fileStats = base.fileStats.view.filterKeys(!candSet(_)).toMap ++
+          infos.collect { case (rel, (_, st)) if st.nonEmpty => rel -> st },
+        changeCommit = delta > 0 && replaced.nonEmpty)
+    }
+    ()
+  }
+
   /** Reclaim orphaned batch directories: data subdirectories holding no
     * committed file — the residue of a writer that crashed between its
     * parquet write and the metadata commit (whose rows were never
@@ -1462,9 +1510,9 @@ final class GraftTable private (
         refreshMeta() // rebase on the state as of AFTER the backoff
       }
       val next =
-        // emitFiles describes ONE commit's emission — clear the
-        // inherited value before the mutation (which may set its own)
-        try mutate(meta.copy(emitFiles = Vector.empty))
+        // emitFiles/changeCommit describe ONE commit's emission — clear
+        // the inherited values before the mutation (which may set its own)
+        try mutate(meta.copy(emitFiles = Vector.empty, changeCommit = false))
           .copy(version = meta.version + 1)
         catch { case _: GraftTable.CommitSuperseded => return false }
       if (GraftTable.tryClaimVersion(location, next)) {
@@ -1544,7 +1592,15 @@ object GraftTable {
       // Empty = the default added-files-of-row-growing-commit rule.
       // Cleared automatically on every commit (commitMutation) so it
       // can never leak from one commit to the next.
-      emitFiles: Vector[String] = Vector.empty)
+      emitFiles: Vector[String] = Vector.empty,
+      // TRUE only on a commit that both rewrites existing rows and adds
+      // new ones into the SAME files (SQL MERGE via ReplaceData, where
+      // carried, updated, and inserted rows are indistinguishable at the
+      // file level). A streaming source cannot serve such a commit
+      // exactly-once — it fails (or skips, under skipChangeCommits),
+      // mirroring Delta's change-commit contract. Cleared automatically
+      // on every commit, like emitFiles.
+      changeCommit: Boolean = false)
 
   private val MagicKey = "graft_magic"
   private val Magic = "graft_cstore_v1" // role of `citus_cstore` magic, cstore_fdw.h:50
@@ -2362,6 +2418,7 @@ object GraftTable {
        |  "file_stats": $fileStats,
        |  "stream_txn": $streamTxn,
        |  "emit_files": ${m.emitFiles.map(js).mkString("[", ",", "]")},
+       |  "change_commit": ${m.changeCommit},
        |  "files": ${m.files.map(js).mkString("[", ",", "]")}
        |}""".stripMargin
   }
@@ -2476,7 +2533,9 @@ object GraftTable {
         .asInstanceOf[Map[String, Any]]
         .map { case (q, b) => q -> b.asInstanceOf[Number].longValue() },
       emitFiles = m.getOrElse("emit_files", List.empty[Any])
-        .asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toVector)
+        .asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toVector,
+      changeCommit = m.getOrElse("change_commit", java.lang.Boolean.FALSE)
+        .asInstanceOf[Boolean])
   }
 
   /** Minimal recursive-descent JSON parser (objects/arrays/strings/numbers/

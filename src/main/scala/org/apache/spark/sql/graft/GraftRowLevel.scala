@@ -1,0 +1,338 @@
+package org.apache.spark.sql.graft
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.classic.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, ScanBuilder, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.execution.datasources.{FilePartition, OutputWriterFactory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder, ParquetTable}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.storage.GraftTable
+
+/** SQL row-level DML on graft tables — `DELETE FROM` (arbitrary
+  * predicates), `UPDATE`, and `MERGE INTO` — through Spark's group-based
+  * copy-on-write machinery (`SupportsRowLevelOperations` → analyzer
+  * rewrite → `ReplaceData`), the same integration shape Iceberg uses.
+  * The reference lists row-level mutation as open work (`TODO.md:25-28`);
+  * here it composes from Spark's own rewrite rules plus two graft pieces:
+  *
+  *  - a COW SCAN over the committed file list whose "groups" are files.
+  *    Spark pushes the command's condition into this scan as a GROUP
+  *    filter (`GroupBasedRowLevelOperationScanPlanning`): a pushed
+  *    predicate may only decide which FILES to rewrite, never drop
+  *    individual rows — a file pruned here keeps its committed bytes and
+  *    is not replaced, so pruning is sound exactly because the zone-map
+  *    refutation proves no row in it can match. For predicates the zone
+  *    maps can't refute statically, Spark's runtime group filtering
+  *    (`RowLevelOperationRuntimeGroupFiltering`) feeds the scan an
+  *    IN-subquery of matching-row key values at execution time through
+  *    `SupportsRuntimeV2Filtering` — dynamic file pruning driven by the
+  *    DML condition itself. The scan records the exact final file set it
+  *    planned; those are the groups the commit replaces.
+  *
+  *  - a distributed parquet WRITE of the replacement rows (carried +
+  *    mutated + merge-inserted) staged beside the committed batches and
+  *    published by ONE CAS commit (`GraftTable.replaceFilesCommit`) that
+  *    swaps the scanned files for the staged files. Each task writes
+  *    through Spark's own `ParquetFileFormat#prepareWrite` factory, so
+  *    file layout (codec, stripe/page sizing, bloom filters, timestamp
+  *    encoding) matches the driver-side batch writer byte-for-byte.
+  *
+  * Concurrency: the commit rebases like every graft mutation — it
+  * requires the scanned files to still be committed (a concurrent
+  * compaction/truncate aborts the DML with a retryable error) and the
+  * schema to be unchanged. Lost updates are impossible: the CAS version
+  * claim serializes the swap.
+  */
+object GraftRowLevel {
+
+  /** COW scan builder: pushed data filters are consumed ONLY as file
+    * (group) filters through the zone maps; they are never forwarded to
+    * the parquet reader, because a row-group skipped by the condition
+    * would silently drop CARRIED rows from the rewrite. */
+  def cowScanBuilder(name: String, files: Seq[String], schema: StructType,
+      options: CaseInsensitiveStringMap,
+      filePruner: Seq[Filter] => Seq[String],
+      runtimeFilterCols: Seq[String],
+      onPlanned: Seq[String] => Unit): ScanBuilder = {
+    val spark = SparkSession.active
+    val table = ParquetTable(name, spark, options, files, Some(schema),
+      classOf[ParquetFileFormat])
+    new CowScanBuilder(spark, table, schema, options, files, filePruner,
+      runtimeFilterCols, onPlanned)
+  }
+
+  private final class CowScanBuilder(
+      spark: SparkSession,
+      table: ParquetTable,
+      schema: StructType,
+      options: CaseInsensitiveStringMap,
+      allFiles: Seq[String],
+      filePruner: Seq[Filter] => Seq[String],
+      runtimeFilterCols: Seq[String],
+      onPlanned: Seq[String] => Unit)
+      extends ParquetScanBuilder(spark, table.fileIndex, schema, schema, options) {
+
+    private var groupFilters: Array[Filter] = Array.empty
+
+    // group-filter contract: keep every filter OUT of the parquet scan
+    // (return all as residual, push none to super) and use them only to
+    // prune whole files below
+    override def pushDataFilters(dataFilters: Array[Filter]): Array[Filter] = {
+      groupFilters = dataFilters
+      Array.empty // parquet-pushed: none
+    }
+
+    // a COW scan reads whole rows of whole groups; never aggregates
+    override def pushAggregation(
+        aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+        : Boolean = false
+
+    override def build(): ParquetScan = {
+      val kept =
+        if (groupFilters.nonEmpty) filePruner(groupFilters.toIndexedSeq)
+        else allFiles
+      val base =
+        if (kept.size < allFiles.size) {
+          val prunedTable = ParquetTable(table.name, spark, options, kept,
+            Some(schema), classOf[ParquetFileFormat])
+          new ParquetScanBuilder(spark, prunedTable.fileIndex, schema, schema,
+            options).build()
+        } else super.build()
+      new CowParquetScan(base, filePruner, runtimeFilterCols, onPlanned)
+    }
+  }
+
+  /** The COW scan: runtime group filtering via the zone maps (same
+    * machinery as the delegate's runtime file pruning), plus the planned
+    * file-set capture the commit needs. Replaced groups must equal the
+    * files the executed query actually read — the capture happens in
+    * `planInputPartitions`, after any runtime filter has been applied,
+    * so the write's commit swaps exactly the scanned set. */
+  private final class CowParquetScan(
+      base: ParquetScan,
+      filePruner: Seq[Filter] => Seq[String],
+      runtimeFilterCols: Seq[String],
+      onPlanned: Seq[String] => Unit)
+      extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
+        base.dataSchema, base.readDataSchema, base.readPartitionSchema,
+        base.pushedFilters, base.options, base.pushedAggregate,
+        base.partitionFilters, base.dataFilters)
+      with SupportsRuntimeV2Filtering {
+
+    /** Spark's runtime group filtering builds ONE IN-subquery over ALL
+      * declared attributes; a multi-column (struct) IN does not
+      * translate back to a V1 filter the zone maps can consume. So
+      * declare the table's CLUSTERED column when there is one — that is
+      * where the zone maps are tight, and a single-column IN translates
+      * — and fall back to every read column otherwise (conservative: an
+      * untranslatable runtime filter prunes nothing, never wrongly). */
+    override def filterAttributes():
+        Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+      val cols =
+        if (runtimeFilterCols.nonEmpty) runtimeFilterCols
+        else readDataSchema.fields.map(_.name).toSeq
+      cols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+    }
+
+    @volatile private var runtimeKept: Option[Set[String]] = None
+
+    override def filter(
+        predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+        : Unit = {
+      val v1 = org.apache.spark.sql.internal.connector.PredicateUtils.toV1(predicates)
+      if (v1.nonEmpty)
+        runtimeKept = Some(filePruner(v1.toIndexedSeq)
+          .map(p => new Path(p).toUri.getPath).toSet)
+    }
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      val all = super.planInputPartitions()
+      val pruned = runtimeKept match {
+        case Some(kept) =>
+          all.flatMap {
+            case fp: FilePartition =>
+              val fs = fp.files.filter(f => kept.contains(f.filePath.toPath.toUri.getPath))
+              if (fs.isEmpty) None else Some(FilePartition(fp.index, fs))
+            case other => Some(other)
+          }.zipWithIndex.map {
+            case (fp: FilePartition, i) => FilePartition(i, fp.files)
+            case (other, _) => other
+          }
+        case None => all
+      }
+      onPlanned(pruned.toSeq.flatMap {
+        case fp: FilePartition => fp.files.map(_.filePath.toString)
+        case _ => Seq.empty
+      }.distinct)
+      pruned
+    }
+  }
+
+  // ---- the replacement write -----------------------------------------
+
+  private final case class CowFile(path: String) extends WriterCommitMessage
+
+  /** One staged replacement file per non-empty task, written through
+    * Spark's parquet `OutputWriterFactory` so layout matches the batch
+    * writer. Empty tasks stage nothing (a fully-deleted table leaves no
+    * files). */
+  private final class CowWriterFactory(
+      factory: OutputWriterFactory,
+      conf: SerializableConfiguration,
+      schema: StructType,
+      querySchema: StructType,
+      stagingDir: String) extends DataWriterFactory {
+
+    override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+      new DataWriter[InternalRow] {
+        private val file =
+          f"$stagingDir/part-$partitionId%05d-${UUID.randomUUID().toString.take(8)}.parquet"
+        private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
+
+        // Incoming rows are the ReplaceData query output: Spark's
+        // internal operation column PREPENDED (`addOperationColumn`
+        // in the rewrite rules uses `+:`) to the table's data columns in
+        // table order. (The projection down to data columns is only
+        // applied on the metadata-attribute write path, which graft does
+        // not use.) Project the row's SUFFIX down to the table schema so
+        // the internal column never leaks into the written files.
+        private var proj: org.apache.spark.sql.catalyst.expressions.UnsafeProjection = _
+
+        override def write(record: InternalRow): Unit = {
+          if (writer == null) {
+            require(record.numFields >= schema.length,
+              s"COW write row has ${record.numFields} fields, table needs ${schema.length}")
+            val offset = record.numFields - schema.length
+            proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+              .create(schema.fields.zipWithIndex.map { case (f, i) =>
+                org.apache.spark.sql.catalyst.expressions.BoundReference(
+                  offset + i, f.dataType, true)
+              }.toIndexedSeq)
+            val ctx = new TaskAttemptContextImpl(conf.value,
+              new TaskAttemptID(new TaskID(new JobID("graft-cow", 0),
+                TaskType.MAP, partitionId), (taskId % Int.MaxValue).toInt))
+            writer = factory.newInstance(file, schema, ctx)
+          }
+          writer.write(proj(record))
+        }
+
+        override def commit(): WriterCommitMessage = {
+          if (writer == null) CowFile(null)
+          else { writer.close(); writer = null; CowFile(file) }
+        }
+
+        override def abort(): Unit = {
+          if (writer != null) { try writer.close() catch { case _: Exception => () } }
+          val p = new Path(file)
+          try { val fs = p.getFileSystem(conf.value); fs.delete(p, false); () }
+          catch { case _: Exception => () }
+        }
+
+        override def close(): Unit = ()
+      }
+  }
+
+  /** The Write half of the operation: stages replacement parquet under
+    * `location/data/batch-cow-*` (a live-looking batch dir, so vacuum's
+    * in-flight grace protects it) and commits by swapping the scan's
+    * planned files for the staged files in one CAS metadata commit. */
+  /** `writeSchema` is the TABLE schema, not `LogicalWriteInfo.schema()`:
+    * the ReplaceData query's output carries Spark's internal operation
+    * column, and `ReplaceDataExec` hands the writer rows already
+    * PROJECTED down to the table's data columns (ProjectingInternalRow)
+    * — a writer configured with the wider query schema would read past
+    * the projected row's end. */
+  private final class CowWrite(
+      location: String,
+      writeSchema: StructType,
+      querySchema: StructType,
+      schemaAtWrite: StructType,
+      what: String,
+      scanned: () => Seq[String]) extends Write with BatchWrite {
+
+    private val stagingDir =
+      s"$location/data/batch-cow-${UUID.randomUUID().toString.take(8)}"
+
+    override def description: String = s"graft COW $what"
+    override def toBatch: BatchWrite = this
+
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+      val spark = SparkSession.active
+      val t = GraftTable.open(spark, location)
+      val job = Job.getInstance(spark.sessionState.newHadoopConf())
+      val factory = new ParquetFileFormat().prepareWrite(spark, job,
+        Map("compression" -> t.parquetCodec), writeSchema)
+      val conf = job.getConfiguration
+      conf.setLong("parquet.block.size", t.options.stripeRowCount * 64)
+      conf.set("parquet.page.row.count.limit", t.options.blockRowCount.toString)
+      t.options.bloomFilterColumns.foreach(c =>
+        conf.set(s"parquet.bloom.filter.enabled#$c", "true"))
+      // the driver-side batch writer pins micros for reference parity;
+      // the rewrite must not silently re-encode
+      if (writeSchema.fields.exists(_.dataType == TimestampType))
+        conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      val p = new Path(stagingDir)
+      p.getFileSystem(conf).mkdirs(p)
+      new CowWriterFactory(factory, new SerializableConfiguration(conf),
+        writeSchema, querySchema, stagingDir)
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val spark = SparkSession.active
+      GraftTable.open(spark, location)
+        .replaceFilesCommit(scanned(), stagingDir, schemaAtWrite, what)
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val p = new Path(stagingDir)
+      try { p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+        .delete(p, true); () }
+      catch { case _: Exception => () }
+    }
+  }
+
+  /** One SQL row-level operation instance: Spark calls `newScanBuilder`
+    * (optimization time) then `newWriteBuilder`; the instance carries the
+    * scan's planned file set across to the write's commit. */
+  final class Operation(location: String, cmd: Command) extends RowLevelOperation {
+
+    @volatile private var planned: Seq[String] = Seq.empty
+    @volatile private var schemaAtRead: StructType = _
+
+    override def command: Command = cmd
+    override def description: String = s"graft COW $cmd on $location"
+
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+      val spark = SparkSession.active
+      val t = GraftTable.open(spark, location)
+      schemaAtRead = t.readSchema()
+      val clustered = (t.options.sortBy ++ t.options.zorderBy).take(1)
+      cowScanBuilder(s"graft-cow.`$location`", t.committedFiles, schemaAtRead,
+        options, t.prunedFiles, clustered, fs => planned = fs)
+    }
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder {
+        override def build(): Write = {
+          val schemaGuard =
+            if (schemaAtRead != null) schemaAtRead
+            else GraftTable.open(SparkSession.active, location).readSchema()
+          new CowWrite(location, schemaGuard, info.schema(), schemaGuard,
+            cmd.toString, () => planned)
+        }
+      }
+  }
+}

@@ -291,6 +291,13 @@ object ParquetDelegate {
     private val maxVersionsPerTrigger: Option[Long] =
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
 
+    /** A change commit (SQL MERGE via ReplaceData) mixes carried and new
+      * rows in the same files — no subset of its files is an
+      * exactly-once delivery. Default: fail with guidance (Delta's
+      * contract); with `skipChangeCommits=true`, skip it. */
+    private val skipChangeCommits: Boolean =
+      Option(options.get("skipChangeCommits")).exists(_.toBoolean)
+
     override def initialOffset(): Offset = GraftOffset(0L)
 
     /** Trigger.AvailableNow target, captured at query start. Without
@@ -367,15 +374,27 @@ object ParquetDelegate {
         val prevRows = prev.map(_.rowCount).getOrElse(0L)
         val prevFiles = prev.map(_.files.toSet).getOrElse(Set.empty[String])
         if (cur.rowCount > prevRows) {
-          val added = cur.files.filterNot(prevFiles)
-          // a commit may declare its stream-visible subset (MERGE: the
-          // copy-on-write rewrite files carry rows every stream already
-          // delivered; only the insert files are new rows) — honor it,
-          // else the added files of a row-growing commit are all new
-          val emit =
-            if (cur.emitFiles.nonEmpty) added.filter(cur.emitFiles.toSet)
-            else added
-          out ++= emit.map(f => s"$location/$f")
+          if (cur.changeCommit) {
+            // carried + new rows share files: emitting duplicates, and
+            // filtering is impossible at file granularity
+            if (!skipChangeCommits) throw new IllegalStateException(
+              s"graft stream over $location hit a change commit (v$v: a SQL " +
+                "MERGE rewrote existing rows and added new ones in the same " +
+                "files) — exactly-once delivery is impossible for it. Set " +
+                "skipChangeCommits=true to skip such commits, or apply " +
+                "upserts through the Scala merge API, whose commits keep " +
+                "insert files separate and stream-visible")
+          } else {
+            val added = cur.files.filterNot(prevFiles)
+            // a commit may declare its stream-visible subset (MERGE: the
+            // copy-on-write rewrite files carry rows every stream already
+            // delivered; only the insert files are new rows) — honor it,
+            // else the added files of a row-growing commit are all new
+            val emit =
+              if (cur.emitFiles.nonEmpty) added.filter(cur.emitFiles.toSet)
+              else added
+            out ++= emit.map(f => s"$location/$f")
+          }
         }
         prev = Some(cur)
       }

@@ -1,0 +1,170 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.storage.GraftTable
+
+/** SQL row-level DML through Spark's group-based ReplaceData machinery
+  * (`SupportsRowLevelOperations`): `DELETE FROM` with predicates the
+  * metadata path refuses, `UPDATE`, and `MERGE INTO` — the reference's
+  * open row-level-mutation TODO (`TODO.md:25-28`) delivered as SQL on
+  * the graft copy-on-write scan/write. Also proves the group contract:
+  * files whose zone maps refute the DML condition are never rewritten. */
+class SqlDmlSpec extends SparkSpec {
+
+  private lazy val warehouse: String = tmpDir("graft-dml-warehouse")
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.catalog.gdml", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdml.warehouse", warehouse)
+  }
+
+  private def loc(t: String): String = s"$warehouse/db/$t"
+
+  test("SQL DELETE with a non-translatable predicate rewrites through ReplaceData") {
+    spark.sql("CREATE TABLE gdml.db.del_expr (a INT, b STRING) USING graft")
+    spark.sql("INSERT INTO gdml.db.del_expr SELECT id, concat('v', id) FROM range(100)")
+    // a % 2 = 0 does not translate to a source Filter, so canDeleteWhere
+    // refuses it — before SupportsRowLevelOperations this statement FAILED
+    spark.sql("DELETE FROM gdml.db.del_expr WHERE a % 2 = 0")
+    val left = spark.table("gdml.db.del_expr")
+    assert(left.count() === 50)
+    assert(left.selectExpr("min(a % 2)").head.getInt(0) === 1)
+    // the commit went through the metadata protocol: exact count updated
+    assert(GraftTable.open(spark, loc("del_expr")).rowCountFromMetadata() === 50L)
+    spark.sql("DROP TABLE gdml.db.del_expr")
+  }
+
+  test("SQL UPDATE rewrites matching groups, assignments read own columns") {
+    spark.sql("CREATE TABLE gdml.db.upd (a INT, b STRING, c DOUBLE) USING graft")
+    spark.sql("INSERT INTO gdml.db.upd SELECT id, concat('v', id), CAST(id AS DOUBLE) FROM range(60)")
+    spark.sql("UPDATE gdml.db.upd SET c = c + 100.0, b = concat(b, '!') WHERE a % 3 = 0")
+    val t = spark.table("gdml.db.upd")
+    assert(t.count() === 60)
+    assert(t.filter("a % 3 = 0 AND (c < 100 OR NOT endswith(b, '!'))").count() === 0)
+    assert(t.filter("a % 3 != 0 AND (c >= 100 OR endswith(b, '!'))").count() === 0)
+    assert(GraftTable.open(spark, loc("upd")).rowCountFromMetadata() === 60L)
+    spark.sql("DROP TABLE gdml.db.upd")
+  }
+
+  test("SQL MERGE INTO: matched update, matched delete, not-matched insert") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE gdml.db.mrg (k INT, v STRING) USING graft")
+    spark.sql("INSERT INTO gdml.db.mrg SELECT id, concat('old', id) FROM range(10)")
+    Seq((2, "upd2"), (4, "del"), (20, "new20"), (21, "new21"))
+      .toDF("k", "v").createOrReplaceTempView("mrg_src")
+    spark.sql("""
+      MERGE INTO gdml.db.mrg t USING mrg_src s ON t.k = s.k
+      WHEN MATCHED AND s.v = 'del' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val rows = spark.table("gdml.db.mrg").as[(Int, String)].collect().toMap
+    assert(rows.size === 11) // 10 - 1 deleted + 2 inserted
+    assert(!rows.contains(4), "matched-delete must remove k=4")
+    assert(rows(2) === "upd2")
+    assert(rows(20) === "new20" && rows(21) === "new21")
+    assert(rows(7) === "old7", "untouched rows carried")
+    val g = GraftTable.open(spark, loc("mrg"))
+    assert(g.rowCountFromMetadata() === 11L)
+    spark.sql("DROP TABLE gdml.db.mrg")
+  }
+
+  test("group contract: files refuted by the condition are not rewritten") {
+    spark.sql("CREATE TABLE gdml.db.grp (a INT, b STRING) USING graft " +
+      "OPTIONS (sort_by 'a')")
+    // three appends = three committed files with disjoint zone maps on a
+    for (r <- Seq((0, 100), (100, 200), (200, 300)))
+      spark.sql(s"INSERT INTO gdml.db.grp SELECT id, concat('v', id) " +
+        s"FROM range(${r._1}, ${r._2})")
+    val before = GraftTable.open(spark, loc("grp")).committedFiles.toSet
+    assert(before.size >= 3)
+    // translatable predicate — but routed through ReplaceData it must
+    // still rewrite ONLY the file whose zone map intersects [0, 50).
+    // (The metadata-delete shortcut may claim it instead; either path
+    // must leave the other files' identity untouched.)
+    spark.sql("DELETE FROM gdml.db.grp WHERE a < 50")
+    val g = GraftTable.open(spark, loc("grp"))
+    assert(g.rowCountFromMetadata() === 250L)
+    val after = g.committedFiles.toSet
+    val carried = before.intersect(after)
+    assert(carried.size >= 2,
+      s"zone-map-refuted groups must keep their committed files; " +
+        s"before=${before.size} after=${after.size} carried=${carried.size}")
+    spark.sql("DROP TABLE gdml.db.grp")
+  }
+
+  test("runtime group filtering prunes by clustered key on a non-translatable condition") {
+    spark.sql("CREATE TABLE gdml.db.rtg (a INT, b STRING) USING graft " +
+      "OPTIONS (sort_by 'a')")
+    for (r <- Seq((0, 100), (100, 200), (200, 300)))
+      spark.sql(s"INSERT INTO gdml.db.rtg SELECT id, concat('v', id) " +
+        s"FROM range(${r._1}, ${r._2})")
+    val before = GraftTable.open(spark, loc("rtg")).committedFiles.toSet
+    // pmod is not a source Filter -> no static prune; the runtime
+    // IN-subquery on the clustered column a (values 0..49 after the AND)
+    // must confine the rewrite to the first file
+    spark.sql("DELETE FROM gdml.db.rtg WHERE pmod(a, 100) = a AND a < 50")
+    val g = GraftTable.open(spark, loc("rtg"))
+    assert(g.rowCountFromMetadata() === 250L)
+    val carried = before.intersect(g.committedFiles.toSet)
+    assert(carried.size >= 2,
+      s"runtime group filter should spare refuted files; carried=${carried.size}")
+    spark.sql("DROP TABLE gdml.db.rtg")
+  }
+
+  test("whole-table UPDATE (no WHERE) rewrites everything, count preserved") {
+    spark.sql("CREATE TABLE gdml.db.updall (a INT, b STRING) USING graft")
+    spark.sql("INSERT INTO gdml.db.updall SELECT id, 'x' FROM range(30)")
+    spark.sql("UPDATE gdml.db.updall SET b = 'y'")
+    val t = spark.table("gdml.db.updall")
+    assert(t.count() === 30 && t.filter("b != 'y'").count() === 0)
+    assert(GraftTable.open(spark, loc("updall")).rowCountFromMetadata() === 30L)
+    spark.sql("DROP TABLE gdml.db.updall")
+  }
+
+  test("a stream fails on a SQL MERGE change commit unless skipChangeCommits") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE gdml.db.chg (k INT, v STRING) USING graft")
+    spark.sql("INSERT INTO gdml.db.chg SELECT id, concat('o', id) FROM range(5)")
+    val tableLoc = loc("chg")
+
+    // SQL MERGE with update + insert => change commit (mixed files)
+    Seq((1, "u1"), (50, "n50")).toDF("k", "v").createOrReplaceTempView("chg_src")
+    spark.sql("""
+      MERGE INTO gdml.db.chg t USING chg_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    assert(GraftTable.open(spark, tableLoc).rowCountFromMetadata() === 6L)
+
+    // default: the stream must FAIL with the change-commit guidance
+    val ckptFail = tmpDir("chg-ckpt-fail")
+    val qf = spark.readStream.format("graft").load(tableLoc)
+      .writeStream.format("memory").queryName("chg_sink_fail")
+      .option("checkpointLocation", ckptFail).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qf.processAllAvailable()
+    }
+    assert(err.getMessage.contains("change commit") ||
+      Option(err.getCause).exists(_.getMessage.contains("change commit")))
+    qf.stop()
+
+    // with skipChangeCommits: initial snapshot (which already contains
+    // the merge result) delivers; the change commit version is skipped
+    val ckptSkip = tmpDir("chg-ckpt-skip")
+    val qs = spark.readStream.format("graft")
+      .option("skipChangeCommits", "true").load(tableLoc)
+      .writeStream.format("memory").queryName("chg_sink_skip")
+      .option("checkpointLocation", ckptSkip).start()
+    try {
+      qs.processAllAvailable()
+      // initial load is the oldest retained snapshot (pre-merge, 5 rows);
+      // the change commit after it is skipped
+      assert(spark.table("chg_sink_skip").count() === 5L)
+      // later appends still flow
+      spark.sql("INSERT INTO gdml.db.chg VALUES (99, 'n99')")
+      qs.processAllAvailable()
+      assert(spark.table("chg_sink_skip").count() === 6L)
+    } finally qs.stop()
+    spark.sql("DROP TABLE gdml.db.chg")
+  }
+}
