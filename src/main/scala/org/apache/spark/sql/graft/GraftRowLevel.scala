@@ -260,8 +260,23 @@ object GraftRowLevel {
       writeSchema: StructType,
       querySchema: StructType,
       schemaAtWrite: StructType,
+      sortBy: Seq[String],
       what: String,
-      scanned: () => Seq[String]) extends Write with BatchWrite {
+      scanned: () => Seq[String]) extends Write with BatchWrite
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+    // a sort_by table's rewrite re-clusters within each written file, so
+    // the zone maps stay as tight after SQL DML as after a batch append
+    // (writeBatchDir's sortWithinPartitions, as a declared write order)
+    override def requiredDistribution():
+        org.apache.spark.sql.connector.distributions.Distribution =
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+
+    override def requiredOrdering():
+        Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      sortBy.map(c => org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
 
     private val stagingDir =
       s"$location/data/batch-cow-${UUID.randomUUID().toString.take(8)}"
@@ -327,11 +342,13 @@ object GraftRowLevel {
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder {
         override def build(): Write = {
+          val spark = SparkSession.active
           val schemaGuard =
             if (schemaAtRead != null) schemaAtRead
-            else GraftTable.open(SparkSession.active, location).readSchema()
+            else GraftTable.open(spark, location).readSchema()
+          val sortBy = GraftTable.open(spark, location).options.sortBy
           new CowWrite(location, schemaGuard, info.schema(), schemaGuard,
-            cmd.toString, () => planned)
+            sortBy, cmd.toString, () => planned)
         }
       }
   }

@@ -112,6 +112,26 @@ class SqlDmlSpec extends SparkSpec {
     spark.sql("DROP TABLE gdml.db.rtg")
   }
 
+  test("sort_by clustering survives the SQL DML rewrite (declared write order)") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE gdml.db.srt (a INT, b STRING) USING graft " +
+      "OPTIONS (sort_by 'a')")
+    // shuffled insert: without the declared write order the rewrite
+    // would freeze this arbitrary order into the replacement file
+    spark.sql("INSERT INTO gdml.db.srt SELECT CAST(pmod(id * 37, 200) AS INT), " +
+      "concat('v', id) FROM range(200)")
+    val before = GraftTable.open(spark, loc("srt")).committedFiles.toSet
+    spark.sql("DELETE FROM gdml.db.srt WHERE a % 2 = 0") // non-translatable -> COW
+    val g = GraftTable.open(spark, loc("srt"))
+    val rewritten = g.committedFiles.filterNot(before)
+    assert(rewritten.nonEmpty)
+    rewritten.foreach { f =>
+      val as = spark.read.parquet(f).select("a").as[Int].collect().toSeq
+      assert(as === as.sorted, s"rewritten file $f must stay clustered on a")
+    }
+    spark.sql("DROP TABLE gdml.db.srt")
+  }
+
   test("whole-table UPDATE (no WHERE) rewrites everything, count preserved") {
     spark.sql("CREATE TABLE gdml.db.updall (a INT, b STRING) USING graft")
     spark.sql("INSERT INTO gdml.db.updall SELECT id, 'x' FROM range(30)")
