@@ -908,8 +908,25 @@ final class GraftTable private (
     * join of the candidate rows against the source; unmatched source
     * rows land in the same batch, and one CAS commit publishes the
     * whole mutation atomically. */
-  def merge(source: DataFrame, keyCols: Seq[String]): (Long, Long) = withTableLock {
+  def merge(source: DataFrame, keyCols: Seq[String]): (Long, Long) =
+    mergeInternal(source, keyCols, None)
+
+  /** Exactly-once streaming upsert: [[merge]] with the same per-pipeline
+    * batch watermark as [[appendStream]], recorded in the SAME atomic
+    * commit as the merge itself — a checkpoint-replayed micro-batch is a
+    * no-op, a crash between "files written" and "batch marked" cannot
+    * double-apply. The CDC-into-table companion of the append ingest. */
+  def mergeStream(source: DataFrame, keyCols: Seq[String],
+      queryId: String, batchId: Long): (Long, Long) =
+    mergeInternal(source, keyCols, Some((queryId, batchId)))
+
+  private def mergeInternal(source: DataFrame, keyCols: Seq[String],
+      txn: Option[(String, Long)]): (Long, Long) = withTableLock {
     refreshMeta()
+    val replayed = txn.exists { case (qid, bid) =>
+      meta.streamTxn.get(qid).exists(_ >= bid)
+    }
+    if (replayed) return (0L, 0L)
     require(keyCols.nonEmpty, "MERGE requires at least one key column")
     keyCols.foreach(c => require(meta.currentSchema.fieldNames.contains(c),
       s"MERGE key '$c' is not a table column"))
@@ -944,7 +961,7 @@ final class GraftTable private (
       val cands = if (haveKeys) mutationCandidates(pruneFilters) else Vector.empty[String]
       if (cands.isEmpty) {
         // nothing can match: the whole source is an insert
-        val inserted = appendLocked(s0, None)
+        val inserted = appendLocked(s0, txn)
         (0L, inserted)
       } else {
         val t = readFilesDf(cands)
@@ -965,7 +982,7 @@ final class GraftTable private (
         if (updated == 0L) {
           // no source row matched: the whole source is a plain append
           // (no candidate file needs rewriting)
-          (0L, if (inserted > 0L) appendLocked(s0, None) else 0L)
+          (0L, if (inserted > 0L) appendLocked(s0, txn) else 0L)
         } else {
           // The rewrite and the inserts go to SEPARATE batch dirs under
           // ONE commit, because the streaming source must see only the
@@ -976,18 +993,26 @@ final class GraftTable private (
           def dirInfos(dir: String): Seq[(String, (Long, Map[String, GraftTable.ColFileStats]))] =
             listParquetFiles(dir).map(f => relativize(f, location) -> footerInfo(f))
               .filter(_._2._1 > 0L)
-          val rewriteInfos = dirInfos(writeBatchDir(rewritten))
-          val insertInfos =
-            if (inserted > 0L) dirInfos(writeBatchDir(inserts)) else Seq.empty
+          val rewriteDir = writeBatchDir(rewritten)
+          val rewriteInfos = dirInfos(rewriteDir)
+          val insertDir = if (inserted > 0L) Some(writeBatchDir(inserts)) else None
+          val insertInfos = insertDir.map(dirInfos).getOrElse(Seq.empty)
           val n = (rewriteInfos ++ insertInfos).map(_._2._1).sum
           require(n == candRows + inserted,
             s"MERGE row conservation failure: wrote $n, expected ${candRows + inserted}")
           val candSet = cands.toSet
-          commitMutation { base =>
+          val committed = commitMutation { base =>
             require(base.currentSchema == schemaAtWrite,
               s"concurrent schema change during MERGE of $location — retry")
             require(cands.forall(base.files.contains),
               s"concurrent compaction/truncate during MERGE of $location — retry")
+            txn.foreach { case (qid, bid) =>
+              // zombie-driver replay detected at rebase time: same no-op
+              // contract as appendLocked
+              if (base.streamTxn.get(qid).exists(_ >= bid))
+                throw new GraftTable.CommitSuperseded(
+                  s"stream batch $bid for query $qid was committed concurrently")
+            }
             base.copy(
               files = base.files.filterNot(candSet) ++
                 rewriteInfos.map(_._1) ++ insertInfos.map(_._1),
@@ -997,9 +1022,20 @@ final class GraftTable private (
                 (rewriteInfos ++ insertInfos).collect {
                   case (rel, (_, st)) if st.nonEmpty => rel -> st
                 },
-              emitFiles = insertInfos.map(_._1).toVector)
+              emitFiles = insertInfos.map(_._1).toVector,
+              streamTxn = txn.fold(base.streamTxn) { case (qid, bid) =>
+                base.streamTxn + (qid -> bid)
+              })
           }
-          (updated, inserted)
+          if (!committed) {
+            // a zombie twin committed this batch first: the staged dirs
+            // were never referenced — reclaim them now, report the no-op
+            try { val (fs, _) = GraftTable.fsAndPath(location)
+              (Seq(rewriteDir) ++ insertDir)
+                .foreach(d => fs.delete(new HPath(d), true))
+            } catch { case _: Exception => () }
+            (0L, 0L)
+          } else (updated, inserted)
         }
       }
     } finally { s0.unpersist(); () }
