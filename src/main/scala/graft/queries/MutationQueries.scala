@@ -117,13 +117,32 @@ object MutationQueries {
     t.read().orderBy("c_custkey")
   }
 
+  /** n7: change data feed of the n3 merge — the commit's exact row
+    * changes (pre-image deletes, post-image + new-key inserts) computed
+    * from only the files the commit swapped; carried rows of the
+    * copy-on-write rewrite must cancel out of the feed. */
+  def n7Changes(s: SparkSession, dir: String): DataFrame = {
+    val t = scratch(s, dir)
+    val v1 = t.version
+    val base = s.read.parquet(s"$dir/customer.parquet")
+    val updates = base.filter(col("c_custkey") % 5 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(5000.0))
+    val inserts = base.filter(col("c_custkey") % 7 === 3)
+      .withColumn("c_custkey", col("c_custkey") + lit(1000000L))
+    t.merge(updates.unionByName(inserts), Seq("c_custkey"))
+    t.changes(v1, t.version)
+      .select(col("c_custkey"), col("c_acctbal"), col("_change_type"))
+      .orderBy(col("c_custkey"), col("_change_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n1_delete" -> n1Delete _,
     "n2_update" -> n2Update _,
     "n3_merge" -> n3Merge _,
     "n4_sql_delete" -> n4SqlDelete _,
     "n5_sql_update" -> n5SqlUpdate _,
-    "n6_sql_merge" -> n6SqlMerge _)
+    "n6_sql_merge" -> n6SqlMerge _,
+    "n7_changes" -> n7Changes _)
 
   val oracles: Map[String, String] = Map(
     // delete keeps NULL-predicate rows (kept = NOT coalesce(cond,false)),
@@ -170,5 +189,16 @@ object MutationQueries {
         |  UNION ALL
         |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
         |  FROM customer WHERE c_custkey % 7 = 3
-        |) ORDER BY c_custkey""".stripMargin)
+        |) ORDER BY c_custkey""".stripMargin,
+    "n7_changes" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_acctbal, 'delete' AS _change_type
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal + 5000, 'insert'
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_acctbal, 'insert'
+        |  FROM customer WHERE c_custkey % 7 = 3
+        |) ORDER BY c_custkey, _change_type""".stripMargin)
 }

@@ -1041,6 +1041,104 @@ final class GraftTable private (
     } finally { s0.unpersist(); () }
   }
 
+  /** Change data feed, computed on read from the commit history — every
+    * row-level change in `(fromVersion, toVersion]` as a DataFrame of
+    * the table's columns plus `_change_type` ('insert' | 'delete'; an
+    * update appears as its pre-image delete + post-image insert, the
+    * CDF-without-change-files model) and `_commit_version`.
+    *
+    * Per commit, the diff reads ONLY the files that commit swapped
+    * (removed ∪ added) — never the whole table — and reduces them with
+    * a null-safe multiplicity diff (per-row counts full-outer-joined,
+    * so duplicate rows and NULL keys diff correctly; carried rows of a
+    * copy-on-write rewrite cancel exactly). Append commits short-cut to
+    * their added files with no shuffle at all. At 100 TB the feed cost
+    * is proportional to the data each commit touched, which is the
+    * lower bound for a feed computed without persisted change files.
+    * A compaction commit diffs to empty at the cost of scanning the
+    * compacted bytes — streams should prefer the graft SOURCE, which
+    * skips same-rowcount commits by metadata alone.
+    *
+    * Bounds: every version in `[fromVersion, toVersion]` must be
+    * retained (expireHistory limits the feed's reach) with its data
+    * files intact (a truncate reclaims pre-truncate files, so a feed
+    * across one fails with the reclaimed error); the schema must be
+    * stable across the range — split the range at an ALTER. */
+  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+    refreshMeta()
+    require(fromVersion >= 0 && fromVersion <= toVersion,
+      s"bad change range [$fromVersion, $toVersion]")
+    require(toVersion <= meta.version,
+      s"version $toVersion was never committed (current is ${meta.version})")
+    val metas = (fromVersion to toVersion).map { v =>
+      try GraftTable.readHistoryMeta(location, v)
+      catch { case e: Exception => throw new IllegalStateException(
+        s"changes($fromVersion, $toVersion) on $location needs snapshot v$v, " +
+          "which is expired or unreadable — retained history bounds the feed", e) }
+    }
+    val s0 = metas.head.currentSchema
+    metas.zipWithIndex.foreach { case (m, i) =>
+      require(m.currentSchema == s0,
+        s"schema changed at v${fromVersion + i} inside the change range — " +
+          "split the range at the ALTER") }
+    val changeType = "_change_type"
+    val commitVersion = "_commit_version"
+    val names = s0.fieldNames.toSeq
+
+    def readRels(m: GraftTable.Meta, rels: Seq[String]): DataFrame = {
+      val missing = rels.filterNot { r =>
+        val (fs, _) = GraftTable.fsAndPath(location)
+        fs.exists(new HPath(s"$location/$r"))
+      }
+      require(missing.isEmpty,
+        s"change-feed data reclaimed (truncate/vacuum): ${missing.take(3).mkString(", ")}")
+      spark.read.schema(GraftTable.withExistenceDefaults(s0, m.defaults))
+        .parquet(rels.map(f => s"$location/$f"): _*)
+        .select(s0.fields.map(f => col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
+    }
+
+    // null-safe multiplicity diff: |delta| copies of each changed row
+    def countDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+      val o = oldDf.groupBy(names.map(col): _*).agg(count(lit(1)).as("__n_old"))
+      val n = newDf.groupBy(names.map(col): _*).agg(count(lit(1)).as("__n_new"))
+      val cond = names.map(c => o(c) <=> n(c)).reduce(_ && _)
+      o.join(n, cond, "full_outer")
+        .select(names.map(c => coalesce(o(c), n(c)).as(c)) :+
+          (coalesce(n("__n_new"), lit(0L)) - coalesce(o("__n_old"), lit(0L)))
+            .as("__delta"): _*)
+        .filter(col("__delta") =!= 0L)
+        .withColumn(changeType,
+          when(col("__delta") > 0, "insert").otherwise("delete"))
+        .withColumn("__rep",
+          explode(array_repeat(lit(1), abs(col("__delta")).cast("int"))))
+        .drop("__delta", "__rep")
+    }
+
+    val perCommit = metas.sliding(2).toSeq.zipWithIndex.flatMap {
+      case (Seq(p, c), i) =>
+        val v = fromVersion + i + 1
+        val pset = p.files.toSet
+        val cset = c.files.toSet
+        val removed = p.files.filterNot(cset)
+        val added = c.files.filterNot(pset)
+        if (removed.isEmpty && added.isEmpty) None
+        else if (removed.isEmpty)
+          // pure append: added rows are inserts, no shuffle
+          Some(readRels(c, added).withColumn(changeType, lit("insert"))
+            .withColumn(commitVersion, lit(v)))
+        else Some(countDiff(readRels(p, removed), readRels(c, added))
+          .withColumn(commitVersion, lit(v)))
+      case _ => None
+    }
+    perCommit.reduceOption(_ unionByName _).getOrElse {
+      val outSchema = s0
+        .add(changeType, org.apache.spark.sql.types.StringType, nullable = false)
+        .add(commitVersion, org.apache.spark.sql.types.LongType, nullable = false)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    }
+  }
+
   /** Commit point for a SQL row-level operation executed through
     * Spark's group-based ReplaceData machinery (DELETE / UPDATE / MERGE
     * INTO on a graft table via `SupportsRowLevelOperations`): atomically
