@@ -152,10 +152,19 @@ object GraftRowLevel {
     override def filter(
         predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
         : Unit = {
-      val v1 = org.apache.spark.sql.internal.connector.PredicateUtils.toV1(predicates)
-      if (v1.nonEmpty)
-        runtimeKept = Some(filePruner(v1.toIndexedSeq)
-          .map(p => new Path(p).toUri.getPath).toSet)
+      // IN with no values (the matching-rows subquery found nothing —
+      // e.g. a pure-insert MERGE) refutes EVERY file: no group holds a
+      // matching row, so nothing must be rewritten. It has no V1
+      // translation, so it must be short-circuited before toV1 silently
+      // drops it and degrades the no-op into a full-table rewrite.
+      if (predicates.exists(p => p.name == "IN" && p.children().length == 1))
+        runtimeKept = Some(Set.empty)
+      else {
+        val v1 = org.apache.spark.sql.internal.connector.PredicateUtils.toV1(predicates)
+        if (v1.nonEmpty)
+          runtimeKept = Some(filePruner(v1.toIndexedSeq)
+            .map(p => new Path(p).toUri.getPath).toSet)
+      }
     }
 
     override def planInputPartitions(): Array[InputPartition] = {

@@ -179,6 +179,15 @@ object ParquetDelegate {
     override def filter(
         predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
         : Unit = {
+      // IN with no values = the build side delivered zero keys: every
+      // file is refuted (it has no V1 translation, so it must be
+      // short-circuited before toV1 silently drops it and the scan
+      // reads the whole table to join against nothing)
+      if (filePruner.isDefined &&
+          predicates.exists(p => p.name == "IN" && p.children().length == 1)) {
+        runtimeKept = Some(Set.empty)
+        return
+      }
       val v1 = org.apache.spark.sql.internal.connector.PredicateUtils.toV1(predicates)
       filePruner match {
         case Some(pruner) if v1.nonEmpty =>

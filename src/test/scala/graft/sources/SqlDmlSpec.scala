@@ -132,6 +132,30 @@ class SqlDmlSpec extends SparkSpec {
     spark.sql("DROP TABLE gdml.db.srt")
   }
 
+  test("pure-insert MERGE (no key overlap) does not rewrite existing groups") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE gdml.db.pim (k INT, v STRING) USING graft " +
+      "OPTIONS (sort_by 'k')")
+    for (r <- Seq((0, 100), (100, 200)))
+      spark.sql(s"INSERT INTO gdml.db.pim SELECT id, concat('v', id) " +
+        s"FROM range(${r._1}, ${r._2})")
+    val before = GraftTable.open(spark, loc("pim")).committedFiles.toSet
+    Seq((500, "n500"), (501, "n501")).toDF("k", "v")
+      .createOrReplaceTempView("pim_src")
+    spark.sql("""
+      MERGE INTO gdml.db.pim t USING pim_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val g = GraftTable.open(spark, loc("pim"))
+    assert(g.rowCountFromMetadata() === 202L)
+    assert(spark.table("gdml.db.pim").filter("k >= 500").count() === 2)
+    val carried = before.intersect(g.committedFiles.toSet)
+    assert(carried === before,
+      s"a no-match MERGE must not rewrite any existing group; " +
+        s"carried ${carried.size} of ${before.size}")
+    spark.sql("DROP TABLE gdml.db.pim")
+  }
+
   test("whole-table UPDATE (no WHERE) rewrites everything, count preserved") {
     spark.sql("CREATE TABLE gdml.db.updall (a INT, b STRING) USING graft")
     spark.sql("INSERT INTO gdml.db.updall SELECT id, 'x' FROM range(30)")
