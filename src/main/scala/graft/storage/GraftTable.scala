@@ -1085,11 +1085,9 @@ final class GraftTable private (
     val commitVersion = "_commit_version"
     val names = s0.fieldNames.toSeq
 
+    val (changesFs, _) = GraftTable.fsAndPath(location)
     def readRels(m: GraftTable.Meta, rels: Seq[String]): DataFrame = {
-      val missing = rels.filterNot { r =>
-        val (fs, _) = GraftTable.fsAndPath(location)
-        fs.exists(new HPath(s"$location/$r"))
-      }
+      val missing = rels.filterNot(r => changesFs.exists(new HPath(s"$location/$r")))
       require(missing.isEmpty,
         s"change-feed data reclaimed (truncate/vacuum): ${missing.take(3).mkString(", ")}")
       spark.read.schema(GraftTable.withExistenceDefaults(s0, m.defaults))
@@ -1178,7 +1176,14 @@ final class GraftTable private (
         nextBatchId = base.nextBatchId + 1,
         fileStats = base.fileStats.view.filterKeys(!candSet(_)).toMap ++
           infos.collect { case (rel, (_, st)) if st.nonEmpty => rel -> st },
-        changeCommit = delta > 0 && replaced.nonEmpty)
+        // EVERY SQL MERGE that rewrote groups is a change commit: its
+        // staged files mix carried rows with any inserted ones, and the
+        // row-count delta cannot reveal whether inserts exist (a
+        // delete-heavy merge with inserts still shrinks the count) —
+        // so the flag must not be gated on delta. DELETE/UPDATE never
+        // add rows; their commits stay stream-invisible by the
+        // row-growth rule alone.
+        changeCommit = what == "MERGE" && replaced.nonEmpty && infos.nonEmpty)
     }
     ()
   }
@@ -1727,13 +1732,14 @@ object GraftTable {
       // Cleared automatically on every commit (commitMutation) so it
       // can never leak from one commit to the next.
       emitFiles: Vector[String] = Vector.empty,
-      // TRUE only on a commit that both rewrites existing rows and adds
-      // new ones into the SAME files (SQL MERGE via ReplaceData, where
-      // carried, updated, and inserted rows are indistinguishable at the
-      // file level). A streaming source cannot serve such a commit
-      // exactly-once — it fails (or skips, under skipChangeCommits),
-      // mirroring Delta's change-commit contract. Cleared automatically
-      // on every commit, like emitFiles.
+      // TRUE on every SQL MERGE commit that rewrote groups (ReplaceData
+      // path): its files mix carried rows with any inserted ones, and
+      // file-level metadata cannot reveal which — not even whether
+      // inserts exist, since a delete-heavy merge with inserts still
+      // shrinks the row count. A streaming source cannot serve such a
+      // commit exactly-once — it fails (or skips, under
+      // skipChangeCommits), mirroring Delta's change-commit contract.
+      // Cleared automatically on every commit, like emitFiles.
       changeCommit: Boolean = false)
 
   private val MagicKey = "graft_magic"

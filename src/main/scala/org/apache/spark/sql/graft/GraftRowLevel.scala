@@ -202,7 +202,6 @@ object GraftRowLevel {
       factory: OutputWriterFactory,
       conf: SerializableConfiguration,
       schema: StructType,
-      querySchema: StructType,
       stagingDir: String) extends DataWriterFactory {
 
     override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -263,27 +262,33 @@ object GraftRowLevel {
     * column, and `ReplaceDataExec` hands the writer rows already
     * PROJECTED down to the table's data columns (ProjectingInternalRow)
     * — a writer configured with the wider query schema would read past
-    * the projected row's end. */
+    * the projected row's end. `table` is the driver-side handle opened
+    * once at build() time; the write never serializes it. */
   private final class CowWrite(
       location: String,
+      table: GraftTable,
       writeSchema: StructType,
-      querySchema: StructType,
       schemaAtWrite: StructType,
-      sortBy: Seq[String],
       what: String,
       scanned: () => Seq[String]) extends Write with BatchWrite
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
-    // a sort_by table's rewrite re-clusters within each written file, so
+    // A sort_by table's rewrite re-clusters within each written file, so
     // the zone maps stay as tight after SQL DML as after a batch append
-    // (writeBatchDir's sortWithinPartitions, as a declared write order)
+    // (writeBatchDir's sortWithinPartitions, as a declared write order).
+    // zorder_by approximates with a lexicographic sort on the z-columns
+    // (a connector SortOrder cannot express the Morton interleave):
+    // first-column maps stay tight, the rest widen until the next
+    // compact(), which re-clusters on the true curve.
+    private val orderCols = table.options.sortBy ++ table.options.zorderBy
+
     override def requiredDistribution():
         org.apache.spark.sql.connector.distributions.Distribution =
       org.apache.spark.sql.connector.distributions.Distributions.unspecified()
 
     override def requiredOrdering():
         Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-      sortBy.map(c => org.apache.spark.sql.connector.expressions.Expressions.sort(
+      orderCols.map(c => org.apache.spark.sql.connector.expressions.Expressions.sort(
         org.apache.spark.sql.connector.expressions.Expressions.column(c),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
 
@@ -295,14 +300,13 @@ object GraftRowLevel {
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
       val spark = SparkSession.active
-      val t = GraftTable.open(spark, location)
       val job = Job.getInstance(spark.sessionState.newHadoopConf())
       val factory = new ParquetFileFormat().prepareWrite(spark, job,
-        Map("compression" -> t.parquetCodec), writeSchema)
+        Map("compression" -> table.parquetCodec), writeSchema)
       val conf = job.getConfiguration
-      conf.setLong("parquet.block.size", t.options.stripeRowCount * 64)
-      conf.set("parquet.page.row.count.limit", t.options.blockRowCount.toString)
-      t.options.bloomFilterColumns.foreach(c =>
+      conf.setLong("parquet.block.size", table.options.stripeRowCount * 64)
+      conf.set("parquet.page.row.count.limit", table.options.blockRowCount.toString)
+      table.options.bloomFilterColumns.foreach(c =>
         conf.set(s"parquet.bloom.filter.enabled#$c", "true"))
       // the driver-side batch writer pins micros for reference parity;
       // the rewrite must not silently re-encode
@@ -311,11 +315,26 @@ object GraftRowLevel {
       val p = new Path(stagingDir)
       p.getFileSystem(conf).mkdirs(p)
       new CowWriterFactory(factory, new SerializableConfiguration(conf),
-        writeSchema, querySchema, stagingDir)
+        writeSchema, stagingDir)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val spark = SparkSession.active
+      // The commit messages are the authoritative output: a crashed task
+      // attempt may have fully written its file before abort() could
+      // reclaim it, and the relaunched attempt writes a second copy
+      // under a different name. Reconcile the staging dir against the
+      // committed message set BEFORE the metadata commit, or the orphan
+      // would be committed alongside the retry's file (duplicate rows).
+      val committed = messages.collect {
+        case CowFile(p) if p != null => new Path(p).toUri.getPath
+      }.toSet
+      val p = new Path(stagingDir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+        if (st.isFile && !committed.contains(st.getPath.toUri.getPath))
+          fs.delete(st.getPath, false)
+      }
       GraftTable.open(spark, location)
         .replaceFilesCommit(scanned(), stagingDir, schemaAtWrite, what)
     }
@@ -335,6 +354,10 @@ object GraftRowLevel {
 
     @volatile private var planned: Seq[String] = Seq.empty
     @volatile private var schemaAtRead: StructType = _
+    // the PERSISTED schema as of scan time — the commit's concurrency
+    // guard (readSchema carries existence-default field metadata the
+    // stored schema never has, so it must not be the comparand)
+    @volatile private var rawSchemaAtRead: StructType = _
 
     override def command: Command = cmd
     override def description: String = s"graft COW $cmd on $location"
@@ -343,6 +366,7 @@ object GraftRowLevel {
       val spark = SparkSession.active
       val t = GraftTable.open(spark, location)
       schemaAtRead = t.readSchema()
+      rawSchemaAtRead = t.schema
       val clustered = (t.options.sortBy ++ t.options.zorderBy).take(1)
       cowScanBuilder(s"graft-cow.`$location`", t.committedFiles, schemaAtRead,
         options, t.prunedFiles, clustered, fs => planned = fs)
@@ -351,13 +375,15 @@ object GraftRowLevel {
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder {
         override def build(): Write = {
-          val spark = SparkSession.active
-          val schemaGuard =
-            if (schemaAtRead != null) schemaAtRead
-            else GraftTable.open(spark, location).readSchema()
-          val sortBy = GraftTable.open(spark, location).options.sortBy
-          new CowWrite(location, schemaGuard, info.schema(), schemaGuard,
-            sortBy, cmd.toString, () => planned)
+          val t = GraftTable.open(SparkSession.active, location)
+          // the writer materializes synthesized defaults (readSchema
+          // drives the scan), while the concurrency guard compares the
+          // PERSISTED schema as of scan time — it never carries the
+          // existence-default field metadata
+          new CowWrite(location, t,
+            if (schemaAtRead != null) schemaAtRead else t.readSchema(),
+            if (rawSchemaAtRead != null) rawSchemaAtRead else t.schema,
+            cmd.toString, () => planned)
         }
       }
   }

@@ -382,28 +382,29 @@ object ParquetDelegate {
         val cur = metaAt(v)
         val prevRows = prev.map(_.rowCount).getOrElse(0L)
         val prevFiles = prev.map(_.files.toSet).getOrElse(Set.empty[String])
-        if (cur.rowCount > prevRows) {
-          if (cur.changeCommit) {
-            // carried + new rows share files: emitting duplicates, and
-            // filtering is impossible at file granularity
-            if (!skipChangeCommits) throw new IllegalStateException(
-              s"graft stream over $location hit a change commit (v$v: a SQL " +
-                "MERGE rewrote existing rows and added new ones in the same " +
-                "files) — exactly-once delivery is impossible for it. Set " +
-                "skipChangeCommits=true to skip such commits, or apply " +
-                "upserts through the Scala merge API, whose commits keep " +
-                "insert files separate and stream-visible")
-          } else {
-            val added = cur.files.filterNot(prevFiles)
-            // a commit may declare its stream-visible subset (MERGE: the
-            // copy-on-write rewrite files carry rows every stream already
-            // delivered; only the insert files are new rows) — honor it,
-            // else the added files of a row-growing commit are all new
-            val emit =
-              if (cur.emitFiles.nonEmpty) added.filter(cur.emitFiles.toSet)
-              else added
-            out ++= emit.map(f => s"$location/$f")
-          }
+        // A change commit (SQL MERGE rewrite) may hide inserted rows in
+        // rewritten files WHATEVER the row-count direction — a
+        // delete-heavy merge with inserts shrinks the count — so this
+        // check must come before (not inside) the row-growth gate, or
+        // those inserts would be silently skipped instead of failing.
+        if (cur.changeCommit) {
+          if (!skipChangeCommits) throw new IllegalStateException(
+            s"graft stream over $location hit a change commit (v$v: a SQL " +
+              "MERGE rewrote existing rows, possibly adding new ones in the " +
+              "same files) — exactly-once delivery is impossible for it. Set " +
+              "skipChangeCommits=true to skip such commits, or apply " +
+              "upserts through the Scala merge API, whose commits keep " +
+              "insert files separate and stream-visible")
+        } else if (cur.rowCount > prevRows) {
+          val added = cur.files.filterNot(prevFiles)
+          // a commit may declare its stream-visible subset (MERGE: the
+          // copy-on-write rewrite files carry rows every stream already
+          // delivered; only the insert files are new rows) — honor it,
+          // else the added files of a row-growing commit are all new
+          val emit =
+            if (cur.emitFiles.nonEmpty) added.filter(cur.emitFiles.toSet)
+            else added
+          out ++= emit.map(f => s"$location/$f")
         }
         prev = Some(cur)
       }

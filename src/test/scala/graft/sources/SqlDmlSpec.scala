@@ -166,6 +166,98 @@ class SqlDmlSpec extends SparkSpec {
     spark.sql("DROP TABLE gdml.db.updall")
   }
 
+  test("SQL DML works after ADD COLUMN DEFAULT (defaults materialize in the rewrite)") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE gdml.db.altdml (a INT, b STRING) USING graft")
+    spark.sql("INSERT INTO gdml.db.altdml SELECT id, concat('v', id) FROM range(10)")
+    GraftTable.open(spark, loc("altdml"))
+      .addColumn("w", org.apache.spark.sql.types.IntegerType, 7)
+    // the guard must compare persisted schemas, not the metadata-tagged
+    // read schema — this UPDATE used to abort as a phantom concurrent
+    // schema change on any table with ALTER-added defaults
+    spark.sql("UPDATE gdml.db.altdml SET b = 'upd' WHERE a % 2 = 0")
+    val rows = spark.table("gdml.db.altdml").as[(Int, String, Int)].collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_._3 === 7), "synthesized default must survive the rewrite")
+    assert(rows.filter(_._1 % 2 == 0).forall(_._2 == "upd"))
+    spark.sql("DROP TABLE gdml.db.altdml")
+  }
+
+  test("a delete-heavy MERGE (shrinking rowcount) still fails a stream as a change commit") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE gdml.db.delhvy (k INT, v STRING) USING graft")
+    spark.sql("INSERT INTO gdml.db.delhvy SELECT id, concat('o', id) FROM range(5)")
+    val tableLoc = loc("delhvy")
+    val ckpt = tmpDir("delhvy-ckpt")
+    val q = spark.readStream.format("graft").load(tableLoc)
+      .writeStream.format("memory").queryName("delhvy_sink")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // 3 matched deletes + 1 insert: rowCount SHRINKS, but the insert
+      // hides in a rewrite file — skipping by row-growth alone would
+      // silently lose it; the stream must fail with guidance instead
+      Seq((1, "del"), (2, "del"), (3, "del"), (50, "new"))
+        .toDF("k", "v").createOrReplaceTempView("delhvy_src")
+      spark.sql("""
+        MERGE INTO gdml.db.delhvy t USING delhvy_src s ON t.k = s.k
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+      assert(GraftTable.open(spark, tableLoc).rowCountFromMetadata() === 3L)
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(err.getMessage.contains("change commit") ||
+        Option(err.getCause).exists(_.getMessage.contains("change commit")))
+    } finally q.stop()
+    spark.sql("DROP TABLE gdml.db.delhvy")
+  }
+
+  test("replaceFilesCommit rebases over a concurrent append; refuses after compaction/ALTER") {
+    import spark.implicits._
+    val loc = tmpDir("dml-races") + "/t"
+    val t = GraftTable.create(spark, loc,
+      spark.range(0).selectExpr("CAST(id AS INT) a", "'x' b").schema)
+    t.append(Seq((1, "a"), (2, "b")).toDF("a", "b"))
+    val scanned = t.committedFiles
+    val schemaAtScan = t.readSchema()
+
+    // stage a replacement (the COW write's output shape: one dir of parquet)
+    def stage(rows: Seq[(Int, String)]): String = {
+      val dir = s"$loc/data/batch-cow-race${rows.hashCode.abs}"
+      rows.toDF("a", "b").coalesce(1).write.parquet(dir)
+      dir
+    }
+
+    // concurrent APPEND between scan and commit: the commit must rebase
+    // and keep the appended file
+    t.append(Seq((9, "z")).toDF("a", "b"))
+    t.replaceFilesCommit(scanned, stage(Seq((1, "A"))), schemaAtScan, "TEST")
+    val after = GraftTable.open(spark, loc)
+    assert(after.read().as[(Int, String)].collect().toSet === Set((1, "A"), (9, "z")),
+      "replacement applied, concurrent append preserved")
+    assert(after.rowCountFromMetadata() === 2L)
+
+    // concurrent COMPACTION between scan and commit: the scanned files
+    // are gone from the committed list — the commit must refuse
+    val scanned2 = after.committedFiles
+    val schema2 = after.readSchema()
+    after.compact()
+    val staged2 = stage(Seq((1, "AA")))
+    val e = intercept[IllegalArgumentException](
+      after.replaceFilesCommit(scanned2, staged2, schema2, "TEST"))
+    assert(e.getMessage.contains("concurrent compaction"))
+
+    // concurrent ALTER between scan and commit: refuse on schema drift
+    val scanned3 = after.committedFiles
+    val schema3 = after.readSchema()
+    after.addColumn("c", org.apache.spark.sql.types.IntegerType, 0)
+    val e2 = intercept[IllegalArgumentException](
+      after.replaceFilesCommit(scanned3, stage(Seq((5, "e"))), schema3, "TEST"))
+    assert(e2.getMessage.contains("concurrent schema change"))
+    GraftTable.drop(loc)
+  }
+
   test("a stream fails on a SQL MERGE change commit unless skipChangeCommits") {
     import spark.implicits._
     spark.sql("CREATE TABLE gdml.db.chg (k INT, v STRING) USING graft")
