@@ -52,6 +52,12 @@ object Bench {
     // d7 leads: it materializes the shared pair-count + thresholded-pair
     // caches that d2/d10/p1 then reuse; d4 likewise builds the simhash
     // pair cache d9 rides on.
+    // The scratch-table mutation queries (n1-n7) stay OUT of this list
+    // deliberately: they are chains of many small driver-coordinated
+    // jobs (table build, COW rewrite, footer commits), and launching
+    // them inside the heavy first wave queues those small jobs behind
+    // the fat shuffles — measured +1.5s suite wall vs leaving them in
+    // the alphabetical tail, where they fill scheduling gaps.
     val heavyFirst = Seq(
       "d7_dedup_clusters", "d13_tfidf_cosine", "d6_embed_neardup_ann", "s5_pq_ann",
       "c8_cluster_split", "d2b_ngram_capped", "d4_simhash", "d5_embed_neardup",
