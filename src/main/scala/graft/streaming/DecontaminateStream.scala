@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.storage.GraftTable
+
+/** Streaming decontamination — c9's Bloom-prefiltered eval-overlap
+  * check run continuously over incoming documents: every micro-batch is
+  * scored against a STATIC held-out eval set, and each contaminated
+  * document's (doc_id, n_shared) report lands in a graft table with
+  * exactly-once semantics. The production shape for a training-data
+  * intake pipeline: the eval suite is fixed, the corpus arrives forever.
+  *
+  * Stream-static discipline (the [[DedupStream]] argument): a
+  * document's contamination depends only on ITS OWN shingles and the
+  * static eval set, so per-batch scoring is exact with zero streaming
+  * state. The eval side is built ONCE at `start` — the distinct
+  * eval-shingle set is persisted and its Bloom sketch (Spark's own
+  * `BloomFilterAggregate`, no-false-negative) is collected to the
+  * driver — and every micro-batch pre-filters MAP-SIDE through the
+  * sketch literal before the exact confirm join kills false positives.
+  * Per batch the eval set costs nothing to re-derive; the sketch rides
+  * in the task binary exactly like Catalyst's injected runtime bloom
+  * filters. Output ≡ the batch operator (c9 ≡ c2) on every prefix.
+  */
+object DecontaminateStream {
+
+  /** The once-built eval side: persisted distinct shingles (the exact
+    * confirm side) + the collected Bloom sketch (the map-side
+    * pre-filter). KB–MB by construction; release() drops the cache. */
+  final class EvalIndex private[streaming] (
+      private[streaming] val evalSh: DataFrame,
+      private[streaming] val bloomBytes: Array[Byte]) {
+    def release(): Unit = { evalSh.unpersist(); () }
+  }
+
+  /** One pass over the eval documents (`text` column): distinct
+    * shingles persisted, sketch collected. */
+  def buildIndex(evalDocs: DataFrame): EvalIndex = {
+    import graft.functions.Shingles.shinglesDistinctFast
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    val evalSh = evalDocs
+      .select(explode(shinglesDistinctFast(col("text"))).as("sng")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloomBytes = evalSh
+      .select(Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("sng"))), 1L << 20)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    new EvalIndex(evalSh, bloomBytes)
+  }
+
+  /** Score one (micro-)batch of documents (`doc_id`, `text`) against
+    * the index: c9's exact plan shape — map-side might_contain, then
+    * the exact confirm join on the persisted eval shingles. */
+  def score(index: EvalIndex, batch: DataFrame, minShared: Int): DataFrame = {
+    import graft.functions.Shingles.shinglesDistinctFast
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val sh = batch.select(
+      col("doc_id"), explode(shinglesDistinctFast(col("text"))).as("sng"))
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Literal.create(index.bloomBytes, BinaryType),
+      Bridge.expression(xxhash64(col("sng")))))
+    sh.filter(mightContain)
+      .join(index.evalSh, "sng")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Start scoring `incoming` (streaming `doc_id`/`text`) against
+    * `evalDocs`; contamination reports append to `dest` exactly-once
+    * under the checkpoint's txn id. Builds the eval index once,
+    * synchronously, before the stream starts, and releases it when the
+    * stream terminates. */
+  def start(incoming: DataFrame, evalDocs: DataFrame, dest: GraftTable,
+      checkpoint: String, minShared: Int = 3,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val index = buildIndex(evalDocs)
+    val q = start(incoming, index, dest, checkpoint, minShared, trigger)
+    q.sparkSession.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == q.id) {
+            index.release()
+            q.sparkSession.streams.removeListener(this)
+          }
+      })
+    q
+  }
+
+  /** Same, against a caller-prebuilt (shared, reusable) index. */
+  def start(incoming: DataFrame, index: EvalIndex, dest: GraftTable,
+      checkpoint: String, minShared: Int, trigger: Trigger): StreamingQuery = {
+    val id = GraftStreamIngest.txnId(checkpoint)
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dest.appendStream(score(index, batch, minShared), id, batchId)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.operators.Sampling
+import graft.storage.GraftTable
+
+/** Streaming decontamination must equal the batch operator (c9 ≡ c2) on
+  * the same corpus, across throttled micro-batches, exactly-once, with
+  * the eval side built exactly once. */
+class DecontaminateStreamSpec extends SparkSpec {
+
+  test("stream ≡ batch across micro-batches; eval subtree builds once; exactly-once") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val evalDocs = 5
+
+    // the batch oracle twin: c9 on the same corpus and split
+    val expected = Sampling.c9BloomDecontaminate(spark, dir, evalDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val srcLoc = tmpDir("decon-src") + "/t"
+    val dstLoc = tmpDir("decon-dst") + "/t"
+    val src = GraftTable.create(spark, srcLoc, StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType))))
+    val dst = GraftTable.create(spark, dstLoc, StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_shared", LongType))))
+
+    // two appends = two source versions; throttled to one per trigger
+    val incoming = docs.filter(s"doc_id >= $evalDocs")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val (h1, h2) = incoming.splitAt(incoming.length / 2)
+    src.append(h1.toSeq.toDF("doc_id", "text"))
+    src.append(h2.toSeq.toDF("doc_id", "text"))
+
+    // the eval subtree must execute only during buildIndex, never again
+    val scans = spark.sparkContext.longAccumulator("eval-scans")
+    val evalCounted = docs.filter(s"doc_id < $evalDocs")
+      .select("doc_id", "text").as[(Long, String)]
+      .mapPartitions { it => scans.add(1); it }.toDF("doc_id", "text")
+
+    val q = DecontaminateStream.start(
+      spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(srcLoc),
+      evalDocs = evalCounted, dest = dst, checkpoint = tmpDir("decon-ckpt"))
+    val afterBuild = scans.value
+    assert(afterBuild > 0, "start() must materialize the eval index first")
+    assert(q.awaitTermination(180000), "AvailableNow stream must drain")
+    assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+    assert(scans.value === afterBuild,
+      "the eval subtree must execute exactly once across all micro-batches")
+
+    val got = dst.read().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected,
+      s"stream/batch divergence: missing=${(expected -- got).take(3)} " +
+        s"extra=${(got -- expected).take(3)}")
+    assert(dst.read().count() === expected.size.toLong, "exactly-once")
+    GraftTable.drop(srcLoc); GraftTable.drop(dstLoc)
+  }
+}
