@@ -210,6 +210,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Function-word list for t15's model score — high-frequency corpus
+    * tokens standing in for the stopword feature a trained filter uses. */
+  private val QualityStopToks = Seq("table", "row", "value", "scan", "key")
+  private def qualityStopSql: String =
+    QualityStopToks.map(t => s"'$t'").mkString(", ")
+
+  /** t15: model-based quality scoring — a linear (logistic-regression
+    * style) classifier over cheap lexical features, the "trained quality
+    * filter" stage of a data pipeline (t9's heuristic stats are the
+    * features; here fixed broadcast weights fold them into one score).
+    * ONE map-side pass, no shuffle at all: every feature (token count,
+    * type-token ratio, function-word ratio, mean token length) comes
+    * from per-row array expressions, so at 100 TB this is a pure scan —
+    * strictly cheaper than t9's per-token groupBy. The score is
+    * quantized to integer micros inside a FIXED expression-tree shape
+    * (t6's discipline) so Spark and DuckDB agree bit-for-bit. */
+  def t15QualityLogit(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val ntok = size(toks).cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / ntok
+    val stopR = size(filter(toks, x => x.isin(QualityStopToks: _*)))
+      .cast("double") / ntok
+    val avgLen = (length(col("text")).cast("double") - (ntok - lit(1.0))) / ntok
+    val logit = lit(-1.0) + lit(2.0) * ttr + lit(0.5) * stopR -
+      lit(0.01) * avgLen + lit(0.002) * ntok
+    val micro = round(logit * lit(1000000.0)).cast("long")
+    docs(s, dir).select(
+      col("doc_id"), size(toks).cast("long").as("n_tok"),
+      micro.as("quality_micro"), (micro > 0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** PII patterns for t10 — ASCII-only classes and explicit quantifiers
     * so Java's regex engine (Spark) and RE2 (DuckDB) agree on every
     * match. Ordering matters: emails are redacted before IPs/phones so a
@@ -379,6 +411,7 @@ object TextAnalysis {
     "t7_ngram_topk" -> t7NgramTopk _,
     "t8_repetition" -> t8Repetition _,
     "t9_lexical_stats" -> t9LexicalStats _,
+    "t15_quality_logit" -> t15QualityLogit _,
   )
 
   import OracleSql._
@@ -509,6 +542,25 @@ object TextAnalysis {
          |  n_hapax,
          |  round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 4) hapax_ratio
          |FROM a ORDER BY doc_id""".stripMargin),
+    // identical expression-tree shape and association order as the Spark
+    // side; score quantized to micros BEFORE the compare (t6 discipline)
+    "t15_quality_logit" ->
+      (s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents),
+         |f AS (SELECT doc_id,
+         |        CAST(len(toks) AS DOUBLE) ntok,
+         |        CAST(len(list_distinct(toks)) AS DOUBLE) nty,
+         |        CAST(len(list_filter(toks, x -> x IN
+         |          ($qualityStopSql))) AS DOUBLE) nstop,
+         |        CAST(length(text) AS DOUBLE) lc
+         |      FROM t)
+         |SELECT doc_id, CAST(ntok AS BIGINT) n_tok,
+         |  CAST(round((-1.0 + 2.0 * (nty / ntok) + 0.5 * (nstop / ntok)
+         |    - 0.01 * ((lc - (ntok - 1.0)) / ntok) + 0.002 * ntok)
+         |    * 1000000.0) AS BIGINT) quality_micro,
+         |  CAST(round((-1.0 + 2.0 * (nty / ntok) + 0.5 * (nstop / ntok)
+         |    - 0.01 * ((lc - (ntok - 1.0)) / ntok) + 0.002 * ntok)
+         |    * 1000000.0) AS BIGINT) > 0 keep
+         |FROM f ORDER BY doc_id""".stripMargin),
   )
 
   /** DuckDB twin of t6: same expression tree shape per term (IEEE ops
