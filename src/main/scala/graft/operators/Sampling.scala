@@ -103,13 +103,47 @@ object Sampling {
   private val evalShingleCache = new Dedup.PersistedLru(2)
   private val DefaultEvalDocs = 5
 
+  /** One-row sketch aggregate over a distinct-shingle DF, collected to
+    * the driver: KB–MB by construction (that is the point of the
+    * sketch), re-shipped inside the task binary as a foldable literal —
+    * the same transport the optimizer's injected runtime bloom filters
+    * use. Shared by c9 and its streaming twin, so the sketch parameters
+    * can never diverge between them. */
+  private[graft] def evalBloomSketch(evalSh: DataFrame): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    evalSh
+      .select(Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("sng"))), 1L << 20)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** c9's probe pipeline over a `(doc_id, sng)` shingle DF: map-side
+    * codegen'd might_contain pre-filter through the sketch literal, then
+    * the exact confirm join that kills false positives. The confirm join
+    * is deliberately NOT broadcast: at the motivating scale the raw
+    * eval-shingle set is exactly what must not ship to every executor —
+    * the sketch already thinned the probe side to the rare survivors, so
+    * a shuffled equality join (or AQE's choice) is the honest shape.
+    * Output ≡ the exact overlap count (no-false-negative sketch). */
+  private[graft] def bloomProbe(sh: DataFrame, evalSh: DataFrame,
+      bloomBytes: Array[Byte], minShared: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Literal.create(bloomBytes, BinaryType),
+      Bridge.expression(xxhash64(col("sng")))))
+    sh.filter(mightContain)
+      .join(evalSh, "sng")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def c9BloomDecontaminate(s: SparkSession, dir: String,
       evalDocs: Int = DefaultEvalDocs, minShared: Int = 3): DataFrame = {
     import graft.functions.Shingles.shinglesDistinctFast
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graft.Bridge
-    import org.apache.spark.sql.types.BinaryType
     val sh = docs(s, dir).select(
       col("doc_id"), explode(shinglesDistinctFast(col("text"))).as("sng"))
     def evalShRaw = sh.filter(col("doc_id") < evalDocs).select("sng").distinct()
@@ -117,28 +151,8 @@ object Sampling {
       if (evalDocs == DefaultEvalDocs)
         evalShingleCache.getOrElseUpdate(s, dir, "documents")(evalShRaw)
       else evalShRaw
-    // One-row sketch aggregate collected to the driver: KB–MB by
-    // construction (that is the point of the sketch), re-shipped inside
-    // the task binary as a foldable literal — the same transport the
-    // optimizer's injected runtime bloom filters use.
-    val bloomBytes = evalSh
-      .select(Bridge.column(new BloomFilterAggregate(
-        Bridge.expression(xxhash64(col("sng"))), 1L << 20)
-        .toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    val mightContain = Bridge.column(BloomFilterMightContain(
-      Literal.create(bloomBytes, BinaryType),
-      Bridge.expression(xxhash64(col("sng")))))
-    // confirm join deliberately NOT broadcast: at the motivating scale
-    // the raw eval-shingle set is exactly what must not ship to every
-    // executor — the sketch already thinned the probe side to the rare
-    // survivors, so a shuffled equality join (or AQE's choice) is the
-    // honest shape
-    sh.filter(col("doc_id") >= evalDocs)
-      .filter(mightContain)
-      .join(evalSh, "sng")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+    bloomProbe(sh.filter(col("doc_id") >= evalDocs), evalSh,
+      evalBloomSketch(evalSh), minShared)
       .select(col("doc_id"), col("n_shared"))
       .orderBy("doc_id")
   }

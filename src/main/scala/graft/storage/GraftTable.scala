@@ -1149,10 +1149,16 @@ final class GraftTable private (
     * as a change commit (carried and new rows share files — a streaming
     * source cannot serve it exactly-once; see `Meta.changeCommit`). */
   def replaceFilesCommit(scanned: Seq[String], stagingDir: String,
-      schemaAtWrite: StructType, what: String): Unit = withTableLock {
+      schemaAtWrite: StructType, what: String,
+      stagedFiles: Option[Seq[String]] = None): Unit = withTableLock {
     refreshMeta()
     val replaced = scanned.map(relativize(_, location)).distinct
-    val infos = listParquetFiles(stagingDir)
+    // When the caller knows the authoritative output set (the writer
+    // commit messages), commit EXACTLY it — a zombie task attempt can
+    // drop a fully-written orphan into the staging dir at any moment,
+    // so a directory listing here would race it. The listing fallback
+    // exists for single-writer callers (tests) only.
+    val infos = stagedFiles.getOrElse(listParquetFiles(stagingDir))
       .map(f => relativize(f, location) -> footerInfo(f))
       .filter(_._2._1 > 0L) // a fully-deleted group leaves no file behind
     if (replaced.isEmpty && infos.isEmpty) {

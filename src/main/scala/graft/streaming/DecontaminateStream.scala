@@ -37,39 +37,24 @@ object DecontaminateStream {
   }
 
   /** One pass over the eval documents (`text` column): distinct
-    * shingles persisted, sketch collected. */
+    * shingles persisted, sketch collected — both through c9's own
+    * helpers, so stream and batch cannot drift apart. */
   def buildIndex(evalDocs: DataFrame): EvalIndex = {
     import graft.functions.Shingles.shinglesDistinctFast
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graft.Bridge
     val evalSh = evalDocs
       .select(explode(shinglesDistinctFast(col("text"))).as("sng")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bloomBytes = evalSh
-      .select(Bridge.column(new BloomFilterAggregate(
-        Bridge.expression(xxhash64(col("sng"))), 1L << 20)
-        .toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    new EvalIndex(evalSh, bloomBytes)
+    new EvalIndex(evalSh, graft.operators.Sampling.evalBloomSketch(evalSh))
   }
 
   /** Score one (micro-)batch of documents (`doc_id`, `text`) against
-    * the index: c9's exact plan shape — map-side might_contain, then
-    * the exact confirm join on the persisted eval shingles. */
+    * the index: c9's exact probe (map-side might_contain, then the
+    * exact confirm join on the persisted eval shingles). */
   def score(index: EvalIndex, batch: DataFrame, minShared: Int): DataFrame = {
     import graft.functions.Shingles.shinglesDistinctFast
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graft.Bridge
-    import org.apache.spark.sql.types.BinaryType
     val sh = batch.select(
       col("doc_id"), explode(shinglesDistinctFast(col("text"))).as("sng"))
-    val mightContain = Bridge.column(BloomFilterMightContain(
-      Literal.create(index.bloomBytes, BinaryType),
-      Bridge.expression(xxhash64(col("sng")))))
-    sh.filter(mightContain)
-      .join(index.evalSh, "sng")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+    graft.operators.Sampling.bloomProbe(sh, index.evalSh, index.bloomBytes, minShared)
   }
 
   /** Start scoring `incoming` (streaming `doc_id`/`text`) against
@@ -82,19 +67,25 @@ object DecontaminateStream {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val index = buildIndex(evalDocs)
     val q = start(incoming, index, dest, checkpoint, minShared, trigger)
-    q.sparkSession.streams.addListener(
-      new org.apache.spark.sql.streaming.StreamingQueryListener {
-        override def onQueryStarted(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-        override def onQueryProgress(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
-        override def onQueryTerminated(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-          if (e.id == q.id) {
-            index.release()
-            q.sparkSession.streams.removeListener(this)
-          }
-      })
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          index.release()
+          q.sparkSession.streams.removeListener(this)
+        }
+    }
+    q.sparkSession.streams.addListener(listener)
+    // a fast AvailableNow query can terminate BEFORE the listener lands
+    // — its event is already gone, so reap here (release is idempotent)
+    if (!q.isActive) {
+      index.release()
+      q.sparkSession.streams.removeListener(listener)
+    }
     q
   }
 

@@ -50,19 +50,25 @@ object DedupStream {
     val q = start(incoming, index, dest, checkpoint, trigger)
     // release the index's cached blocks when the stream ends (the
     // stream owns an index it built; a caller-provided one is theirs)
-    q.sparkSession.streams.addListener(
-      new org.apache.spark.sql.streaming.StreamingQueryListener {
-        override def onQueryStarted(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-        override def onQueryProgress(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
-        override def onQueryTerminated(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-          if (e.id == q.id) {
-            index.release()
-            q.sparkSession.streams.removeListener(this)
-          }
-      })
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          index.release()
+          q.sparkSession.streams.removeListener(this)
+        }
+    }
+    q.sparkSession.streams.addListener(listener)
+    // a fast AvailableNow query can terminate BEFORE the listener lands
+    // — its event is already gone, so reap here (release is idempotent)
+    if (!q.isActive) {
+      index.release()
+      q.sparkSession.streams.removeListener(listener)
+    }
     q
   }
 

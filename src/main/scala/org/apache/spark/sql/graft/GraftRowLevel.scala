@@ -322,21 +322,23 @@ object GraftRowLevel {
       val spark = SparkSession.active
       // The commit messages are the authoritative output: a crashed task
       // attempt may have fully written its file before abort() could
-      // reclaim it, and the relaunched attempt writes a second copy
-      // under a different name. Reconcile the staging dir against the
-      // committed message set BEFORE the metadata commit, or the orphan
-      // would be committed alongside the retry's file (duplicate rows).
-      val committed = messages.collect {
-        case CowFile(p) if p != null => new Path(p).toUri.getPath
-      }.toSet
+      // reclaim it — or write it AFTER any cleanup pass here — and the
+      // relaunched attempt commits its own copy. So the metadata commit
+      // takes exactly the message set (never a directory listing), and
+      // orphans are merely best-effort deleted; whatever survives is an
+      // unreferenced file for vacuum's grace-aged reclaim.
+      val committed = messages.collect { case CowFile(p) if p != null => p }
+      val committedSet = committed.map(new Path(_).toUri.getPath).toSet
       val p = new Path(stagingDir)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p)) fs.listStatus(p).foreach { st =>
-        if (st.isFile && !committed.contains(st.getPath.toUri.getPath))
-          fs.delete(st.getPath, false)
-      }
-      GraftTable.open(spark, location)
-        .replaceFilesCommit(scanned(), stagingDir, schemaAtWrite, what)
+      try {
+        if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+          if (st.isFile && !committedSet.contains(st.getPath.toUri.getPath))
+            fs.delete(st.getPath, false)
+        }
+      } catch { case _: Exception => () }
+      table.replaceFilesCommit(scanned(), stagingDir, schemaAtWrite, what,
+        stagedFiles = Some(committed.toIndexedSeq))
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = {

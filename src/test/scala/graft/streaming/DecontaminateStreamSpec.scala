@@ -45,12 +45,14 @@ class DecontaminateStreamSpec extends SparkSpec {
       spark.readStream.format("graft")
         .option("maxVersionsPerTrigger", "1").load(srcLoc),
       evalDocs = evalCounted, dest = dst, checkpoint = tmpDir("decon-ckpt"))
-    val afterBuild = scans.value
-    assert(afterBuild > 0, "start() must materialize the eval index first")
-    assert(q.awaitTermination(180000), "AvailableNow stream must drain")
-    assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
-    assert(scans.value === afterBuild,
-      "the eval subtree must execute exactly once across all micro-batches")
+    try {
+      val afterBuild = scans.value
+      assert(afterBuild > 0, "start() must materialize the eval index first")
+      assert(q.awaitTermination(180000), "AvailableNow stream must drain")
+      assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+      assert(scans.value === afterBuild,
+        "the eval subtree must execute exactly once across all micro-batches")
+    } finally if (q.isActive) q.stop()
 
     val got = dst.read().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === expected,
