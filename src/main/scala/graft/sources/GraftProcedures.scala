@@ -33,8 +33,8 @@ import graft.storage.GraftTable
 private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
-    Seq("compact", "vacuum", "analyze", "analyze_sample", "table_size",
-      "history", "expire_history", "diff")
+    Seq("compact", "compact_small", "vacuum", "analyze", "analyze_sample",
+      "table_size", "history", "expire_history", "diff")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -117,6 +117,7 @@ private[sources] object GraftProcedures {
           } else {
             val (metric, value) = procName match {
               case "compact" => ("files_after_compaction", t.compact().toLong)
+              case "compact_small" => ("small_files_merged", t.compactSmall().toLong)
               case "vacuum" => ("orphan_dirs_reclaimed", t.vacuum().toLong)
               case "analyze" => ("rows_analyzed", t.analyze().rowCount)
               case "analyze_sample" =>

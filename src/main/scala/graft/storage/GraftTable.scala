@@ -734,6 +734,38 @@ final class GraftTable private (
     * and stream-txn watermarks carry through, the zone maps recomputed
     * from the new footers. Returns the number of data files after
     * compaction. */
+  /** Incremental compaction — the 100 TB maintenance shape. A full
+    * [[compact]] rewrites the whole table, which is not viable on a
+    * large one; the steady-state problem is the SMALL-FILE TAIL
+    * (streaming micro-batch ingest, small appends, copy-on-write
+    * remainders), so this coalesces only files under `smallBytes` into
+    * ~`targetBytes` outputs and leaves every healthy file untouched —
+    * cost proportional to the tail, not the table. Row count is
+    * unchanged, so a streaming source sees nothing (same rule that
+    * makes full compaction stream-invisible); zone maps recompute from
+    * the new footers; concurrent appends rebase and carry forward.
+    * Returns the number of small files merged (0 = nothing to do). */
+  def compactSmall(smallBytes: Long = 32L << 20,
+      targetBytes: Long = 128L << 20): Int = withTableLock {
+    refreshMeta()
+    val (fs, _) = GraftTable.fsAndPath(location)
+    val sized = meta.files.map(r =>
+      r -> fs.getFileStatus(new HPath(s"$location/$r")).getLen)
+    val small = sized.filter(_._2 < smallBytes)
+    if (small.size <= 1) return 0 // one small file merges with nothing
+    val smallRels = small.map(_._1)
+    val schemaAtWrite = meta.currentSchema
+    val expectRows = smallRels.map(r => footerInfo(s"$location/$r")._1).sum
+    val nOut = math.max(1L,
+      (small.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
+    val batchDir = writeBatchDir(readFilesDf(smallRels).repartition(nOut))
+    val got = listParquetFiles(batchDir).map(f => footerInfo(f)._1).sum
+    require(got == expectRows,
+      s"small-file compaction row mismatch: rewrote $got of $expectRows rows")
+    commitRewrite(smallRels, batchDir, schemaAtWrite, 0L, "COMPACT_SMALL")
+    small.size
+  }
+
   def compact(): Int = withTableLock {
     refreshMeta()
     if (meta.files.size <= 1) meta.files.size

@@ -224,6 +224,39 @@ class GraftTableSpec extends SparkSpec {
     GraftTable.drop(s"$loc/src"); GraftTable.drop(s"$loc/dst")
   }
 
+  test("compactSmall coalesces only the small-file tail, healthy files untouched") {
+    import spark.implicits._
+    val loc = tmpDir("graft-compact-small")
+    val t = GraftTable.create(spark, s"$loc/tbl",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+    // one healthy file (10k rows) + four micro-appends (the ingest tail)
+    t.append((0 until 10000).map(i => (i, s"value-$i")).toDF("id", "v").coalesce(1))
+    for (base <- 0 until 4)
+      t.append(Seq((20000 + base, s"s$base")).toDF("id", "v").coalesce(1))
+    assert(t.committedFiles.size === 5)
+    val (fs, _) = {
+      val p = new org.apache.hadoop.fs.Path(s"$loc/tbl")
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    val bigFile = t.committedFiles.maxBy(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
+    val bigLen = fs.getFileStatus(new org.apache.hadoop.fs.Path(bigFile)).getLen
+    val before = t.read().orderBy("id").collect().map(_.toSeq).toSeq
+
+    // threshold strictly between the tail and the healthy file
+    assert(t.compactSmall(smallBytes = bigLen) === 4)
+    assert(t.committedFiles.size === 2, "4 small files -> 1; healthy file kept")
+    assert(t.committedFiles.contains(bigFile),
+      "the healthy file must keep its identity (no rewrite)")
+    assert(t.rowCountFromMetadata() === 10004L)
+    assert(t.read().orderBy("id").collect().map(_.toSeq).toSeq === before)
+    // idempotent: the merged tail is no longer small relative to itself
+    assert(t.compactSmall(smallBytes = 1L) === 0)
+    GraftTable.drop(s"$loc/tbl")
+  }
+
   test("compact merges small files, preserves rows/zone-maps/stream watermarks") {
     import spark.implicits._
     val loc = tmpDir("graft-compact")
