@@ -74,6 +74,13 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(!Files.exists(orphan))
 
+    // incremental form first: the 3 one-row inserts ARE the small tail
+    val cs = spark.sql("CALL gcat.system.compact_small('db1.proc_t')").collect()
+    assert(cs.map(r => (r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("small_files_merged", 3L)))
+    assert(GraftTable.open(spark, tdir).committedFiles.size === 1)
+    assert(spark.table("gcat.db1.proc_t").count() === 3)
+
     val comp = spark.sql("CALL gcat.system.compact('db1.proc_t')").collect()
     assert(comp.head.getLong(2) === 1L)
     assert(GraftTable.open(spark, tdir).committedFiles.size === 1)
