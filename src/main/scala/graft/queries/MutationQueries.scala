@@ -38,11 +38,13 @@ object MutationQueries {
   private lazy val sqlWarehouse: String =
     Files.createTempDirectory("graft_sqlmut").toString
 
+  private def ensureSqlCatalog(s: SparkSession): Unit = synchronized {
+    s.conf.set("spark.sql.catalog.gq", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gq.warehouse", sqlWarehouse)
+  }
+
   private def sqlScratch(s: SparkSession, dir: String): String = {
-    synchronized {
-      s.conf.set("spark.sql.catalog.gq", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.gq.warehouse", sqlWarehouse)
-    }
+    ensureSqlCatalog(s)
     val tbl = "t_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     s.sql(s"CREATE TABLE gq.db.$tbl USING graft AS " +
       s"SELECT * FROM parquet.`$dir/customer.parquet`")
@@ -135,7 +137,37 @@ object MutationQueries {
       .orderBy(col("c_custkey"), col("_change_type"))
   }
 
+  /** n8: storage-partitioned join — customer and a per-customer order
+    * aggregate land in two graft tables co-bucketed on the customer key;
+    * the join between them plans WITHOUT a shuffle on either side
+    * (`KeyGroupedPartitioning` + the catalog bucket function — verified
+    * structurally in StoragePartitionedJoinSpec; here the driver
+    * hash-checks that the shuffle-free plan computes exactly the join
+    * DuckDB computes declaratively). */
+  def n8SpjJoin(s: SparkSession, dir: String): DataFrame = {
+    ensureSqlCatalog(s)
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val cust = "c_" + id
+    val ords = "o_" + id
+    s.sql(s"CREATE TABLE gq.db.$cust (c_custkey BIGINT, c_name STRING, " +
+      "c_nationkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING) USING graft " +
+      "CLUSTERED BY (c_custkey) INTO 8 BUCKETS")
+    s.sql(s"CREATE TABLE gq.db.$ords (o_custkey BIGINT, n_orders BIGINT, " +
+      "total_price DOUBLE) USING graft CLUSTERED BY (o_custkey) INTO 8 BUCKETS")
+    s.read.parquet(s"$dir/customer.parquet").writeTo(s"gq.db.$cust").append()
+    s.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total_price"))
+      .writeTo(s"gq.db.$ords").append()
+    s.table(s"gq.db.$cust").join(s.table(s"gq.db.$ords"),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("n_orders"),
+        col("total_price"))
+      .orderBy("c_custkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n8_spj_join" -> n8SpjJoin _,
     "n1_delete" -> n1Delete _,
     "n2_update" -> n2Update _,
     "n3_merge" -> n3Merge _,
@@ -145,6 +177,14 @@ object MutationQueries {
     "n7_changes" -> n7Changes _)
 
   val oracles: Map[String, String] = Map(
+    "n8_spj_join" ->
+      """SELECT c.c_custkey, c.c_mktsegment, o.n_orders, o.total_price
+        |FROM customer c
+        |JOIN (SELECT o_custkey, count(*) AS n_orders,
+        |             sum(o_totalprice) AS total_price
+        |      FROM orders GROUP BY o_custkey) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
     // delete keeps NULL-predicate rows (kept = NOT coalesce(cond,false)),
     // i.e. IS DISTINCT FROM semantics
     "n1_delete" ->

@@ -41,7 +41,8 @@ import graft.storage.{GraftTable, GraftTableOptions}
   * `TableProvider`.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -122,7 +123,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty, "graft tables do not support partition transforms")
+    // the one partition transform graft supports is hash bucketing —
+    // `CLUSTERED BY (k) INTO n BUCKETS` arrives here as a bucket
+    // transform; identity/other transforms are refused
+    val bucketTransform = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "bucket" =>
+        val cols = t.references().toSeq.map(_.fieldNames().mkString("."))
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue()
+        }
+        require(cols.size == 1 && n.isDefined,
+          "graft bucketing takes exactly one column and a bucket count")
+        Some((cols.head, n.get))
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support only bucket partition transforms, got ${other.mkString(", ")}")
+    }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     def prop(key: String): Option[String] =
       Option(properties.get(TableCatalog.OPTION_PREFIX + key))
@@ -134,7 +152,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       sortBy = prop("sort_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty),
       zorderBy = prop("zorder_by").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty),
       bloomFilterColumns = prop("bloom_filter_columns")
-        .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty))
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty),
+      bucketBy = bucketTransform.map(_._1)
+        .orElse(prop("bucket_by").map(_.trim)).toSeq,
+      bucketCount = bucketTransform.map(_._2)
+        .orElse(prop("bucket_count").map(_.toInt)).getOrElse(0))
     fs.mkdirs(nsDir(ident.namespace()))
     GraftTable.create(SparkSession.active, tableDir(ident), schema, opts)
     new GraftSparkTable(tableDir(ident))
@@ -203,6 +225,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
+
+  // ---- functions -----------------------------------------------------
+
+  /** The catalog's one function: `bucket(n, key)`, the write-path route of
+    * bucketed tables. Catalyst loads it to resolve a bucketed scan's
+    * reported `KeyGroupedPartitioning` — the storage-partitioned-join
+    * handshake ([[graft.functions.GraftBucketFunction]]). */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket" &&
+        (ident.namespace().isEmpty || ident.namespace().sameElements(Array("system"))))
+      graft.functions.GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array("system"), "bucket"))
+
+  override def functionExists(ident: Identifier): Boolean =
+    try { loadFunction(ident); true }
+    catch { case _: org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException => false }
 
   // ---- namespaces (directories under the warehouse) ------------------
 

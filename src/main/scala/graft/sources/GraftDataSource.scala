@@ -74,7 +74,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
           Option(properties.get("block_row_count")).map(_.toLong).getOrElse(10000L),
         sortBy = cols("sort_by"),
         zorderBy = cols("zorder_by"),
-        bloomFilterColumns = cols("bloom_filter_columns"))
+        bloomFilterColumns = cols("bloom_filter_columns"),
+        bucketBy = cols("bucket_by"),
+        bucketCount = Option(properties.get("bucket_count")).map(_.toInt).getOrElse(0))
       GraftTable.create(SparkSession.active, loc, schema, opts)
     }
     new GraftSparkTable(loc)
@@ -132,6 +134,17 @@ class GraftSparkTable(location: String) extends Table
 
   override def name(): String = s"graft.`$location`"
 
+  /** A bucket_by table declares its layout as a bucket transform —
+    * Catalyst resolves it (via the catalog's `bucket` function) into the
+    * TransformExpression that storage-partitioned-join compatibility is
+    * proven on. */
+  override def partitioning(): Array[Transform] = {
+    val o = graft.options
+    o.bucketBy.headOption.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(o.bucketCount, c)
+        : Transform).toArray
+  }
+
   // The EXISTS_DEFAULT metadata must live on the TABLE schema: the scan's
   // required schema is rebuilt from the relation's output attributes, so
   // metadata attached only to the scan-time schema would be dropped
@@ -169,7 +182,8 @@ class GraftSparkTable(location: String) extends Table
       tableStats = t.stats(),
       explainMeta = () => t.explainMeta,
       streamLocation = Some(location),
-      hasSynthesizedColumns = t.hasSynthesizedColumns)
+      hasSynthesizedColumns = t.hasSynthesizedColumns,
+      bucketSpec = t.options.bucketBy.headOption.map(c => (c, t.options.bucketCount)))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

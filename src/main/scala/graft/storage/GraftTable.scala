@@ -33,6 +33,16 @@ import org.apache.spark.sql.types._
   * - `bloomFilterColumns`: write parquet bloom filters for these
   *   columns — row-group-level point-lookup skipping on high-cardinality
   *   columns whose min/max ranges are too wide for zone maps.
+  * - `bucketBy`/`bucketCount`: hash-bucket every written file on one
+  *   column — each data file holds rows of exactly one bucket
+  *   (`bucket = floorMod(key, n)` for integral keys, `floorMod(crc32(utf8),
+  *   n)` for strings; null keys land in bucket 0). Two graft tables
+  *   bucketed the same way join WITHOUT a shuffle: the scan reports
+  *   `KeyGroupedPartitioning` and Spark plans a storage-partitioned join
+  *   (enable `spark.sql.sources.v2.bucketing.enabled`) — at 100 TB the
+  *   fact-fact join stops being an exchange of the whole table. Every
+  *   rewrite path (append, compaction, COW DML) routes rows by the same
+  *   value-deterministic function, so the invariant survives maintenance.
   */
 final case class GraftTableOptions(
     compression: String = "zstd",
@@ -40,7 +50,9 @@ final case class GraftTableOptions(
     blockRowCount: Long = 10000L,
     sortBy: Seq[String] = Seq.empty,
     zorderBy: Seq[String] = Seq.empty,
-    bloomFilterColumns: Seq[String] = Seq.empty) {
+    bloomFilterColumns: Seq[String] = Seq.empty,
+    bucketBy: Seq[String] = Seq.empty,
+    bucketCount: Int = 0) {
 
   def validate(): Unit = {
     require(GraftTableOptions.codecs.contains(compression),
@@ -56,6 +68,14 @@ final case class GraftTableOptions(
       "sort_by and zorder_by are mutually exclusive clustering policies")
     require(zorderBy.isEmpty || zorderBy.size >= 2,
       "zorder_by needs at least two columns (use sort_by for one)")
+    require(bucketBy.size <= 1,
+      "bucket_by takes exactly one column")
+    require(bucketBy.isEmpty == (bucketCount == 0),
+      "bucket_by and bucket_count must be set together")
+    require(bucketCount == 0 || (bucketCount >= 2 && bucketCount <= 65536),
+      s"bucket_count $bucketCount out of range [2, 65536]")
+    require(bucketBy.isEmpty || zorderBy.isEmpty,
+      "bucket_by and zorder_by are mutually exclusive (sort_by composes: rows sort within each bucket)")
   }
 }
 
@@ -334,8 +354,22 @@ final class GraftTable private (
     // property instead of a caller obligation. zorder_by instead
     // range-partitions the batch on an interleaved-bit Z-value so the
     // zone maps stay tight on every listed column.
+    // bucket_by routes every row to its hash bucket and writes via
+    // partitionBy, so each FILE holds exactly one bucket (the dir name
+    // carries the id). The route key is a pure function of the column
+    // VALUE, so compaction and COW rewrites through this writer re-bucket
+    // correctly for free. sort_by composes: rows sort within each bucket.
     val clustered =
-      if (meta.options.zorderBy.nonEmpty) zorderCluster(df)
+      if (meta.options.bucketBy.nonEmpty) {
+        val bc = meta.options.bucketBy.head
+        val b = GraftTable.bucketIdColumn(
+          meta.currentSchema(bc).dataType, col(bc), meta.options.bucketCount)
+        df.withColumn(GraftTable.BucketCol, b)
+          .repartition(meta.options.bucketCount, col(GraftTable.BucketCol))
+          .sortWithinPartitions(
+            (GraftTable.BucketCol +: meta.options.sortBy).map(col): _*)
+      }
+      else if (meta.options.zorderBy.nonEmpty) zorderCluster(df)
       else if (meta.options.sortBy.isEmpty) df
       else df.sortWithinPartitions(meta.options.sortBy.map(col): _*)
     val batchDir = s"$location/data/batch-${meta.nextBatchId}-" +
@@ -353,7 +387,10 @@ final class GraftTable private (
       // min/max range is too wide for the zone maps to refute.
       val wb = meta.options.bloomFilterColumns.foldLeft(w)((acc, c) =>
         acc.option(s"parquet.bloom.filter.enabled#$c", "true"))
-      wb.mode(SaveMode.Overwrite).parquet(batchDir)
+      val wp =
+        if (meta.options.bucketBy.nonEmpty) wb.partitionBy(GraftTable.BucketCol)
+        else wb
+      wp.mode(SaveMode.Overwrite).parquet(batchDir)
     }
     if (hasTs) GraftTable.writeConfLock.synchronized {
       val prevOts = spark.conf.get(otsKey)
@@ -542,12 +579,46 @@ final class GraftTable private (
   def prunedFiles(filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
     if (filters.isEmpty) return dataFiles()
     meta.files.filterNot { rel =>
-      meta.fileStats.get(rel) match {
+      bucketRefutes(rel, filters) ||
+      (meta.fileStats.get(rel) match {
         case Some(st) => filters.exists(f => GraftTable.refutes(meta.currentSchema, st, f))
         case None => false
-      }
+      })
     }.map(f => s"$location/$f")
   }
+
+  /** Bucket pruning: on a bucket_by table the zone maps are USELESS for
+    * the bucket column itself (bucket k%n makes every file span ~the full
+    * key range), but an equality/IN predicate prunes by the route
+    * function directly — `k = v` can only live in bucket(v)'s files, so a
+    * point lookup reads 1/n of the table however the values interleave.
+    * Conservative: any shape but Equal/In on the bucket column, a null
+    * probe, or a value of unexpected runtime type keeps the file. */
+  private def bucketRefutes(rel: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean =
+    meta.options.bucketBy.headOption.exists { bc =>
+      GraftTable.fileBucket(rel).exists { fileB =>
+        val n = meta.options.bucketCount
+        def bucketOf(v: Any): Option[Int] = v match {
+          case null => None
+          case b: Byte => Some(GraftTable.bucketOfLong(b.toLong, n))
+          case s: Short => Some(GraftTable.bucketOfLong(s.toLong, n))
+          case i: Int => Some(GraftTable.bucketOfLong(i.toLong, n))
+          case l: Long => Some(GraftTable.bucketOfLong(l, n))
+          case s: String => Some(GraftTable.bucketOfUtf8(
+            s.getBytes(java.nio.charset.StandardCharsets.UTF_8), n))
+          case _ => None
+        }
+        filters.exists {
+          case org.apache.spark.sql.sources.EqualTo(c, v) if c == bc =>
+            bucketOf(v).exists(_ != fileB)
+          case org.apache.spark.sql.sources.In(c, vs) if c == bc && vs.nonEmpty =>
+            val bs = vs.toSeq.map(bucketOf)
+            bs.forall(_.isDefined) && !bs.flatten.contains(fileB)
+          case _ => false
+        }
+      }
+    }
 
   private def withTableLock[T](f: => T): T = GraftTable.withWriterLock(location)(f)
   private def refreshMeta(): Unit = meta = GraftTable.readMeta(location)
@@ -1966,6 +2037,48 @@ object GraftTable {
     })
   }
 
+  // ---- hash bucketing (storage-partitioned joins) --------------------
+
+  /** Synthetic routing column for bucketed writes; becomes the
+    * `__graft_bucket=<id>/` dir each file lands in. Never part of the
+    * table schema (partitionBy drops it from file contents). */
+  val BucketCol = "__graft_bucket"
+
+  private val BucketDirRe = (BucketCol + "=(\\d+)").r
+
+  /** Bucket id a committed file holds, parsed from its path; None for a
+    * file written before bucketing (never the case on a bucket_by table —
+    * the option is create-time-only and every writer routes). */
+  def fileBucket(path: String): Option[Int] =
+    BucketDirRe.findFirstMatchIn(path).map(_.group(1).toInt)
+
+  /** The bucket route as a Spark column — MUST agree with [[bucketOfLong]]
+    * / [[bucketOfUtf8]] (the Java twins the SQL `bucket` function and the
+    * COW writer evaluate), or storage-partitioned joins would co-locate
+    * rows the write path scattered. Integral keys: floorMod of the value
+    * itself; strings: floorMod of crc32 over UTF-8 bytes. Null keys route
+    * to bucket 0 (null join keys never match, so their placement only
+    * needs to be deterministic). */
+  def bucketIdColumn(dt: DataType, key: Column, n: Int): Column = {
+    val raw = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        pmod(key.cast(LongType), lit(n.toLong))
+      case StringType => pmod(crc32(key.cast(BinaryType)), lit(n.toLong))
+      case other =>
+        throw new IllegalArgumentException(s"bucket_by does not support $other")
+    }
+    coalesce(raw, lit(0L)).cast(IntegerType)
+  }
+
+  def bucketOfLong(v: Long, n: Int): Int =
+    java.lang.Math.floorMod(v, n.toLong).toInt
+
+  def bucketOfUtf8(utf8: Array[Byte], n: Int): Int = {
+    val crc = new java.util.zip.CRC32
+    crc.update(utf8)
+    java.lang.Math.floorMod(crc.getValue, n.toLong).toInt
+  }
+
   // ---- file-level zone maps (cstore_reader.c:744-806 at file grain) --
 
   /** Types with parquet stats whose ordering we can reproduce exactly.
@@ -2259,6 +2372,14 @@ object GraftTable {
       require(dt.isInstanceOf[NumericType] || dt == DateType || dt == TimestampType,
         s"zorder_by column '$c' must be numeric, date, or timestamp (got $dt)")
     }
+    options.bucketBy.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"option references column '$c' which is not in the table schema")
+      val dt = schema(c).dataType
+      require(Set[DataType](ByteType, ShortType, IntegerType, LongType,
+          StringType).contains(dt),
+        s"bucket_by column '$c' must be integral or string (got $dt)")
+    }
     val loc = qualified(location)
     val (fs, dir) = fsAndPath(loc)
     require(!fs.exists(metaPath(loc)), s"table already exists at $loc")
@@ -2534,10 +2655,16 @@ object GraftTable {
   }
 
   private def listParquetFiles(dir: String): Seq[String] = {
+    // recursive (a bucketed batch nests its files one level down in
+    // `__graft_bucket=<id>/` dirs) via plain listStatus — the listFiles
+    // shortcut builds LocatedFileStatus, which RawLocalFileSystem
+    // subclasses (MockFs) can't serve for non-`file:` URIs
     val (fs, p) = fsAndPath(dir)
-    fs.listStatus(p).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString).sorted
+    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[String] =
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+      else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath.toString)
+      else Seq.empty
+    fs.listStatus(p).toSeq.flatMap(walk).sorted
   }
 
   // -- JSON (de)serialization of Meta, no external deps ----------------
@@ -2589,6 +2716,8 @@ object GraftTable {
        |  "sort_by": ${m.options.sortBy.map(js).mkString("[", ",", "]")},
        |  "zorder_by": ${m.options.zorderBy.map(js).mkString("[", ",", "]")},
        |  "bloom_filter": ${m.options.bloomFilterColumns.map(js).mkString("[", ",", "]")},
+       |  "bucket_by": ${m.options.bucketBy.map(js).mkString("[", ",", "]")},
+       |  "bucket_count": ${m.options.bucketCount},
        |  "row_count": ${m.rowCount},
        |  "version": ${m.version},
        |  "next_batch_id": ${m.nextBatchId},
@@ -2699,7 +2828,11 @@ object GraftTable {
         zorderBy = m.getOrElse("zorder_by", List.empty[Any])
           .asInstanceOf[List[Any]].map(_.asInstanceOf[String]),
         bloomFilterColumns = m.getOrElse("bloom_filter", List.empty[Any])
-          .asInstanceOf[List[Any]].map(_.asInstanceOf[String])),
+          .asInstanceOf[List[Any]].map(_.asInstanceOf[String]),
+        bucketBy = m.getOrElse("bucket_by", List.empty[Any])
+          .asInstanceOf[List[Any]].map(_.asInstanceOf[String]),
+        bucketCount = m.getOrElse("bucket_count", java.lang.Long.valueOf(0L))
+          .asInstanceOf[Number].intValue()),
       files = m("files").asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toVector,
       rowCount = m("row_count").asInstanceOf[Number].longValue(),
       defaults = defaults,

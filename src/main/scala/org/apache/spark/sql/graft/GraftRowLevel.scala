@@ -192,23 +192,30 @@ object GraftRowLevel {
 
   // ---- the replacement write -----------------------------------------
 
-  private final case class CowFile(path: String) extends WriterCommitMessage
+  private final case class CowFiles(paths: Seq[String]) extends WriterCommitMessage
 
-  /** One staged replacement file per non-empty task, written through
-    * Spark's parquet `OutputWriterFactory` so layout matches the batch
-    * writer. Empty tasks stage nothing (a fully-deleted table leaves no
-    * files). */
+  /** One staged replacement file per non-empty task — or, on a bucket_by
+    * table, one per (task, bucket): the writer routes each row by the
+    * same value-deterministic bucket function as the batch writer and
+    * stages it under `__graft_bucket=<id>/`, so SQL DML preserves the
+    * bucket-purity invariant storage-partitioned joins rely on. Written
+    * through Spark's parquet `OutputWriterFactory` so layout matches the
+    * batch writer. Empty tasks stage nothing (a fully-deleted table
+    * leaves no files). */
   private final class CowWriterFactory(
       factory: OutputWriterFactory,
       conf: SerializableConfiguration,
       schema: StructType,
-      stagingDir: String) extends DataWriterFactory {
+      stagingDir: String,
+      // (index of the bucket column in `schema`, its type, bucket count)
+      bucketRoute: Option[(Int, org.apache.spark.sql.types.DataType, Int)])
+      extends DataWriterFactory {
 
     override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
       new DataWriter[InternalRow] {
-        private val file =
-          f"$stagingDir/part-$partitionId%05d-${UUID.randomUUID().toString.take(8)}.parquet"
-        private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
+        private val writers = scala.collection.mutable.LinkedHashMap
+          .empty[Int, (String, org.apache.spark.sql.execution.datasources.OutputWriter)]
+        private val suffix = UUID.randomUUID().toString.take(8)
 
         // Incoming rows are the ReplaceData query output: Spark's
         // internal operation column PREPENDED (`addOperationColumn`
@@ -219,8 +226,39 @@ object GraftRowLevel {
         // the internal column never leaks into the written files.
         private var proj: org.apache.spark.sql.catalyst.expressions.UnsafeProjection = _
 
+        private def bucketOf(row: InternalRow): Int = bucketRoute match {
+          case None => -1
+          case Some((i, dt, n)) =>
+            if (row.isNullAt(i)) 0
+            else dt match {
+              case org.apache.spark.sql.types.StringType =>
+                GraftTable.bucketOfUtf8(row.getUTF8String(i).getBytes, n)
+              case org.apache.spark.sql.types.ByteType =>
+                GraftTable.bucketOfLong(row.getByte(i).toLong, n)
+              case org.apache.spark.sql.types.ShortType =>
+                GraftTable.bucketOfLong(row.getShort(i).toLong, n)
+              case org.apache.spark.sql.types.IntegerType =>
+                GraftTable.bucketOfLong(row.getInt(i).toLong, n)
+              case _ => GraftTable.bucketOfLong(row.getLong(i), n)
+            }
+        }
+
+        private def writerFor(bucket: Int)
+            : org.apache.spark.sql.execution.datasources.OutputWriter =
+          writers.getOrElseUpdate(bucket, {
+            val dir =
+              if (bucket < 0) stagingDir
+              else s"$stagingDir/${GraftTable.BucketCol}=$bucket"
+            val file = f"$dir/part-$partitionId%05d-$suffix.parquet"
+            val ctx = new TaskAttemptContextImpl(conf.value,
+              new TaskAttemptID(new TaskID(new JobID("graft-cow", 0),
+                TaskType.MAP, partitionId),
+                ((taskId * 31 + bucket) % Int.MaxValue).toInt))
+            (file, factory.newInstance(file, schema, ctx))
+          })._2
+
         override def write(record: InternalRow): Unit = {
-          if (writer == null) {
+          if (proj == null) {
             require(record.numFields >= schema.length,
               s"COW write row has ${record.numFields} fields, table needs ${schema.length}")
             val offset = record.numFields - schema.length
@@ -229,24 +267,25 @@ object GraftRowLevel {
                 org.apache.spark.sql.catalyst.expressions.BoundReference(
                   offset + i, f.dataType, true)
               }.toIndexedSeq)
-            val ctx = new TaskAttemptContextImpl(conf.value,
-              new TaskAttemptID(new TaskID(new JobID("graft-cow", 0),
-                TaskType.MAP, partitionId), (taskId % Int.MaxValue).toInt))
-            writer = factory.newInstance(file, schema, ctx)
           }
-          writer.write(proj(record))
+          val row = proj(record)
+          writerFor(bucketOf(row)).write(row)
         }
 
         override def commit(): WriterCommitMessage = {
-          if (writer == null) CowFile(null)
-          else { writer.close(); writer = null; CowFile(file) }
+          val staged = writers.values.map { case (file, w) => w.close(); file }.toSeq
+          writers.clear()
+          CowFiles(staged)
         }
 
         override def abort(): Unit = {
-          if (writer != null) { try writer.close() catch { case _: Exception => () } }
-          val p = new Path(file)
-          try { val fs = p.getFileSystem(conf.value); fs.delete(p, false); () }
-          catch { case _: Exception => () }
+          writers.values.foreach { case (file, w) =>
+            try w.close() catch { case _: Exception => () }
+            val p = new Path(file)
+            try { val fs = p.getFileSystem(conf.value); fs.delete(p, false); () }
+            catch { case _: Exception => () }
+          }
+          writers.clear()
         }
 
         override def close(): Unit = ()
@@ -282,9 +321,21 @@ object GraftRowLevel {
     // compact(), which re-clusters on the true curve.
     private val orderCols = table.options.sortBy ++ table.options.zorderBy
 
+    // A bucket_by table's rewrite clusters the incoming rows BY BUCKET
+    // before writing: without it every task would hold rows of most
+    // buckets and the per-(task, bucket) writer split would stage
+    // tasks × buckets files. Clustered-by-transform resolves through the
+    // catalog's bucket function, so the exchange routes by exactly the
+    // file-placement function.
     override def requiredDistribution():
         org.apache.spark.sql.connector.distributions.Distribution =
-      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      table.options.bucketBy.headOption match {
+        case Some(c) => org.apache.spark.sql.connector.distributions.Distributions
+          .clustered(Array(org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(table.options.bucketCount, c)))
+        case None =>
+          org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      }
 
     override def requiredOrdering():
         Array[org.apache.spark.sql.connector.expressions.SortOrder] =
@@ -314,8 +365,11 @@ object GraftRowLevel {
         conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       val p = new Path(stagingDir)
       p.getFileSystem(conf).mkdirs(p)
+      val route = table.options.bucketBy.headOption.map { c =>
+        (writeSchema.fieldIndex(c), writeSchema(c).dataType, table.options.bucketCount)
+      }
       new CowWriterFactory(factory, new SerializableConfiguration(conf),
-        writeSchema, stagingDir)
+        writeSchema, stagingDir, route)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -327,14 +381,18 @@ object GraftRowLevel {
       // takes exactly the message set (never a directory listing), and
       // orphans are merely best-effort deleted; whatever survives is an
       // unreferenced file for vacuum's grace-aged reclaim.
-      val committed = messages.collect { case CowFile(p) if p != null => p }
+      val committed = messages.flatMap { case CowFiles(ps) => ps }
       val committedSet = committed.map(new Path(_).toUri.getPath).toSet
       val p = new Path(stagingDir)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       try {
-        if (fs.exists(p)) fs.listStatus(p).foreach { st =>
-          if (st.isFile && !committedSet.contains(st.getPath.toUri.getPath))
-            fs.delete(st.getPath, false)
+        if (fs.exists(p)) {
+          val it = fs.listFiles(p, true)
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile && !committedSet.contains(st.getPath.toUri.getPath))
+              fs.delete(st.getPath, false)
+          }
         }
       } catch { case _: Exception => () }
       table.replaceFilesCommit(scanned(), stagingDir, schemaAtWrite, what,

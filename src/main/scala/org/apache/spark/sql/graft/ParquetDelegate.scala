@@ -45,17 +45,18 @@ object ParquetDelegate {
       tableStats: Option[GraftTable.TableStats] = None,
       explainMeta: () => Map[String, String] = () => Map.empty,
       streamLocation: Option[String] = None,
-      hasSynthesizedColumns: Boolean = false): ScanBuilder = {
+      hasSynthesizedColumns: Boolean = false,
+      bucketSpec: Option[(String, Int)] = None): ScanBuilder = {
     val spark = SparkSession.active
     val table = ParquetTable(name, spark, options, files, Some(schema),
       classOf[ParquetFileFormat])
     (exactRowCount, filePruner, tableStats, streamLocation) match {
-      case (None, None, None, None) if !hasSynthesizedColumns =>
+      case (None, None, None, None) if !hasSynthesizedColumns && bucketSpec.isEmpty =>
         table.newScanBuilder(options)
       case _ =>
         new GraftScanBuilder(name, spark, table.fileIndex, schema, options,
           files, exactRowCount, filePruner, tableStats, explainMeta,
-          streamLocation, hasSynthesizedColumns)
+          streamLocation, hasSynthesizedColumns, bucketSpec)
     }
   }
 
@@ -74,7 +75,8 @@ object ParquetDelegate {
       tableStats: Option[GraftTable.TableStats],
       explainMeta: () => Map[String, String],
       streamLocation: Option[String],
-      hasSynthesizedColumns: Boolean = false)
+      hasSynthesizedColumns: Boolean = false,
+      bucketSpec: Option[(String, Int)] = None)
       extends ParquetScanBuilder(spark, fileIndex, schema, schema, options) {
 
     /** Parquet footer aggregates (MIN/MAX/COUNT answered from file
@@ -120,7 +122,7 @@ object ParquetDelegate {
       }
       new StatsParquetScan(prunedBase, exactRows, tableStats,
         schema, translatedDataFilters.toSeq, explainMeta, filePruner,
-        streamLocation)
+        streamLocation, bucketSpec)
     }
   }
 
@@ -143,12 +145,62 @@ object ParquetDelegate {
       translatedFilters: Seq[Filter],
       explainMeta: () => Map[String, String],
       filePruner: Option[Seq[Filter] => Seq[String]],
-      streamLocation: Option[String] = None)
+      streamLocation: Option[String] = None,
+      bucketSpec: Option[(String, Int)] = None)
       extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
         base.dataSchema, base.readDataSchema, base.readPartitionSchema,
         base.pushedFilters, base.options, base.pushedAggregate,
         base.partitionFilters, base.dataFilters)
-      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+      with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+    // -- storage-partitioned joins over bucketed tables ---------------
+    //
+    // A bucket_by table's files each hold exactly one hash bucket of the
+    // bucket column (GraftTable.writeBatchDir routing). Grouping the scan
+    // into one InputPartition per bucket — each carrying its bucket id as
+    // a partition key — and reporting KeyGroupedPartitioning(bucket(n, c))
+    // lets Spark join two co-bucketed graft tables with NO exchange on
+    // either side (storage-partitioned join, the same contract Iceberg
+    // implements): at 100 TB the fact-fact join's shuffle simply
+    // disappears. Gated on spark.sql.sources.v2.bucketing.enabled, the
+    // same switch Spark gates SPJ planning on — when off, the scan
+    // splits by size exactly as before (bucket grouping caps scan
+    // parallelism at the bucket count, a cost only worth paying when the
+    // planner can use the keys).
+
+    /** One group per bucket PRESENT after static zone-map pruning, sorted
+      * by bucket id; None = not bucketed / SPJ disabled / a file without
+      * a bucket tag showed up (refuse rather than misreport). */
+    private lazy val bucketGroups: Option[Seq[(Int, Seq[org.apache.spark.sql.execution.datasources.PartitionedFile])]] =
+      bucketSpec.flatMap { case (_, _) =>
+        if (!sparkSession.sessionState.conf
+            .getConf(org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_ENABLED)) None
+        else {
+          val files = super.planInputPartitions().flatMap {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp.files
+            case _ => Array.empty[org.apache.spark.sql.execution.datasources.PartitionedFile]
+          }
+          val tagged = files.map(f =>
+            GraftTable.fileBucket(f.filePath.toString) -> f)
+          if (tagged.exists(_._1.isEmpty)) None
+          else Some(tagged.groupBy(_._1.get).toSeq
+            .map { case (b, fs) => b -> fs.map(_._2).toSeq }
+            .sortBy(_._1))
+        }
+      }
+
+    override def outputPartitioning()
+        : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+      bucketGroups match {
+        case Some(groups) =>
+          val (c, n) = bucketSpec.get
+          new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)),
+            groups.length)
+        case None =>
+          new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+      }
 
     // -- runtime (join-driven) file pruning ---------------------------
     //
@@ -198,28 +250,44 @@ object ParquetDelegate {
     }
 
     override def planInputPartitions()
-        : Array[org.apache.spark.sql.connector.read.InputPartition] = {
-      val all = super.planInputPartitions()
-      runtimeKept match {
-        case Some(kept) =>
-          val pruned = all.flatMap {
-            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-              val files = fp.files.filter(f =>
-                kept.contains(f.filePath.toPath.toUri.getPath))
-              if (files.isEmpty) None
-              else Some(org.apache.spark.sql.execution.datasources
-                .FilePartition(fp.index, files))
-            case other => Some(other)
+        : Array[org.apache.spark.sql.connector.read.InputPartition] =
+      bucketGroups match {
+        case Some(groups) =>
+          // one partition per bucket, keyed for SPJ. Under runtime
+          // filtering, files drop but EMPTY GROUPS STAY: the planner
+          // pinned this scan's partition-value set at plan time, and
+          // BatchScanExec verifies runtime filtering preserved it.
+          groups.zipWithIndex.map { case ((b, files), i) =>
+            val kept = runtimeKept match {
+              case Some(k) => files.filter(f =>
+                k.contains(f.filePath.toPath.toUri.getPath))
+              case None => files
+            }
+            new GraftBucketFilePartition(i, kept.toArray, b)
+              : org.apache.spark.sql.connector.read.InputPartition
+          }.toArray
+        case None =>
+          val all = super.planInputPartitions()
+          runtimeKept match {
+            case Some(kept) =>
+              val pruned = all.flatMap {
+                case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                  val files = fp.files.filter(f =>
+                    kept.contains(f.filePath.toPath.toUri.getPath))
+                  if (files.isEmpty) None
+                  else Some(org.apache.spark.sql.execution.datasources
+                    .FilePartition(fp.index, files))
+                case other => Some(other)
+              }
+              // re-number so partition ids stay dense
+              pruned.zipWithIndex.map {
+                case (fp: org.apache.spark.sql.execution.datasources.FilePartition, i) =>
+                  org.apache.spark.sql.execution.datasources.FilePartition(i, fp.files)
+                case (other, _) => other
+              }
+            case None => all
           }
-          // re-number so partition ids stay dense
-          pruned.zipWithIndex.map {
-            case (fp: org.apache.spark.sql.execution.datasources.FilePartition, i) =>
-              org.apache.spark.sql.execution.datasources.FilePartition(i, fp.files)
-            case (other, _) => other
-          }
-        case None => all
       }
-    }
 
     private def filtered = translatedFilters.nonEmpty || pushedFilters.nonEmpty ||
       partitionFilters.nonEmpty || dataFilters.nonEmpty
@@ -259,6 +327,19 @@ object ParquetDelegate {
           new GraftMicroBatchStream(loc, readDataSchema, options)
         case None => super.toMicroBatchStream(checkpointLocation)
       }
+  }
+
+  /** A FilePartition that knows which hash bucket its files hold —
+    * `HasPartitionKey` is what BatchScanExec groups on when planning a
+    * storage-partitioned join. */
+  private final class GraftBucketFilePartition(
+      idx: Int,
+      parts: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+      bucket: Int)
+      extends org.apache.spark.sql.execution.datasources.FilePartition(idx, parts)
+      with org.apache.spark.sql.connector.read.HasPartitionKey {
+    private val key = org.apache.spark.sql.catalyst.InternalRow(bucket)
+    override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
   }
 
   /** Streaming SOURCE over a graft table — micro-batches keyed by the
