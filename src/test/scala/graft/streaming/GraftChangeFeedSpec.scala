@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.storage.GraftTable
+
+/** Streaming change data feed (`format("graft-cdf")`): the continuous
+  * twin of the batch `changes()` CDF. Must deliver EVERY commit's exact
+  * row diff — appends as inserts, COW DML (incl. SQL MERGE change
+  * commits, which the append-only file stream cannot serve) as
+  * delete(old)+insert(new) — exactly once across micro-batches and
+  * across a restart from checkpoint. */
+class GraftChangeFeedSpec extends SparkSpec {
+
+  private def schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  /** Drain the feed with Trigger.AvailableNow into a buffer (foreachBatch
+    * — the memory sink can't recover from a checkpoint, which the restart
+    * case needs). Returns (k, v, _change_type, _commit_version) rows. */
+  private def drain(loc: String, ckpt: String,
+      startingVersion: Option[Long] = Some(0L),
+      throttle: Option[Long] = None): Seq[(Long, String, String, Long)] = {
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Long)]()
+    var r = spark.readStream.format("graft-cdf").option("path", loc)
+    startingVersion.foreach(v => r = r.option("startingVersion", v.toString))
+    throttle.foreach(m => r = r.option("maxVersionsPerTrigger", m.toString))
+    val q = r.load().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("k", "v", "_change_type", "_commit_version").collect().foreach(row =>
+          rows.add((row.getLong(0), row.getString(1), row.getString(2), row.getLong(3))))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow CDF stream must drain")
+    assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+    import scala.jdk.CollectionConverters._
+    rows.asScala.toSeq
+  }
+
+  test("appends, update and delete stream as their exact row diff") {
+    import spark.implicits._
+    val loc = tmpDir("cdf") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))            // v1
+    t.append(Seq((3L, "c")).toDF("k", "v"))                       // v2
+    t.update(Map("v" -> lit("B2")),
+      Seq(org.apache.spark.sql.sources.EqualTo("k", 2L)))         // v3
+    t.delete(Seq(org.apache.spark.sql.sources.EqualTo("k", 1L)))  // v4
+
+    val got = drain(loc, tmpDir("cdf-ck"), throttle = Some(1L)).toSet
+    val expect = Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (3L, "c", "insert", 2L),
+      (2L, "b", "delete", 3L), (2L, "B2", "insert", 3L),
+      (1L, "a", "delete", 4L))
+    assert(got === expect)
+  }
+
+  test("a SQL MERGE change commit streams as its diff (the file stream can't)") {
+    import spark.implicits._
+    val wh = tmpDir("cdfwh")
+    spark.conf.set("spark.sql.catalog.cdfc", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cdfc.warehouse", wh)
+    spark.sql("CREATE TABLE cdfc.db.m (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO cdfc.db.m VALUES (1, 'a'), (2, 'b')")
+    Seq((2L, "B"), (9L, "new")).toDF("k", "v").createOrReplaceTempView("cdf_src")
+    spark.sql(
+      """MERGE INTO cdfc.db.m t USING cdf_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+
+    val got = drain(s"$wh/db/m", tmpDir("cdfm-ck"))
+      .map { case (k, v, ct, _) => (k, v, ct) }.toSet
+    assert(got === Set(
+      (1L, "a", "insert"), (2L, "b", "insert"), // the INSERT commit
+      (2L, "b", "delete"), (2L, "B", "insert"), (9L, "new", "insert"))) // MERGE diff
+  }
+
+  test("restart from checkpoint resumes exactly once; default start is head") {
+    import spark.implicits._
+    val loc = tmpDir("cdfr") + "/t"
+    val ckpt = tmpDir("cdfr-ck")
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(Seq((1L, "a")).toDF("k", "v"))                       // v1
+    assert(drain(loc, ckpt).size === 1)
+
+    // new commits, then resume from the SAME checkpoint: only the delta
+    t.append(Seq((2L, "b"), (3L, "c")).toDF("k", "v"))            // v2
+    t.delete(Seq(org.apache.spark.sql.sources.EqualTo("k", 1L)))  // v3
+    val round2 = drain(loc, ckpt).toSet
+    assert(round2 === Set(
+      (2L, "b", "insert", 2L), (3L, "c", "insert", 2L),
+      (1L, "a", "delete", 3L)),
+      "a resumed stream owes exactly the commits after its checkpoint")
+
+    // a FRESH stream with no startingVersion starts at head: no history replay
+    assert(drain(loc, tmpDir("cdfr-ck2"), startingVersion = None).isEmpty,
+      "default start is the head version — changes before stream start are not owed")
+  }
+}
