@@ -330,7 +330,46 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** c10: deterministic shard shuffle — the reproducible global shuffle
+    * a training run needs before writing shards: every document gets a
+    * (shard, pos) so that reading shards round-robin replays one fixed
+    * hash-random permutation of the corpus, identical on every re-run
+    * (seed-keyed md5 of the doc key; no `rand()`, which varies per run
+    * and per task retry).
+    *
+    * 100 TB design: a naive `row_number() OVER (PARTITION BY shard)`
+    * funnels the whole corpus through `shards` tasks. Instead the hash
+    * is split twice — shard, then a SALT digit — and the within-shard
+    * order is declared as (salt, h, doc_id): positions are computed by
+    * ranking within (shard, salt) [shards × salts parallel tasks, each
+    * ~1/(shards·salts) of the data] and adding the preceding salts'
+    * row counts (a tiny per-group aggregate broadcast back). Same
+    * permutation as the single-window form — the oracle states exactly
+    * that formulation — but the wide shuffle is (shards × salts)-way. */
+  def c10ShardShuffle(s: SparkSession, dir: String,
+      shards: Int = 8, salts: Int = 16, seed: String = "42"): DataFrame = {
+    val h = md5(concat_ws("-", lit(seed), col("doc_id").cast("string")))
+    val keyed = docs(s, dir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", conv(substring(col("h"), 1, 8), 16, 10)
+        .cast("long") % shards)
+      .withColumn("salt", conv(substring(col("h"), 9, 4), 16, 10)
+        .cast("long") % salts)
+    val ranked = keyed.withColumn("r", row_number().over(
+      Window.partitionBy("shard", "salt").orderBy("h", "doc_id")).cast("long"))
+    // preceding-salt offsets: shards × salts rows, broadcast back
+    val offsets = keyed.groupBy("shard", "salt").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum("n").over(
+        Window.partitionBy("shard").orderBy("salt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "salt", "off")
+    ranked.join(broadcast(offsets), Seq("shard", "salt"))
+      .select(col("shard"), (col("off") + col("r")).as("pos"), col("doc_id"))
+      .orderBy("shard", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c10_shard_shuffle" -> ((s, dir) => c10ShardShuffle(s, dir)),
     "c8_cluster_split" -> c8ClusterSplit _,
     "c7_split" -> ((s, dir) => c7Split(s, dir)),
     "c1_stratified_sample" -> ((s, dir) => c1StratifiedSample(s, dir)),
@@ -343,6 +382,18 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    // the single-window formulation the salted two-phase plan must equal
+    "c10_shard_shuffle" ->
+      ("""SELECT shard, row_number() OVER (
+         |    PARTITION BY shard ORDER BY salt, h, doc_id) AS pos, doc_id
+         |FROM (
+         |  SELECT doc_id, h,
+         |    CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 8 AS shard,
+         |    CAST(('0x' || substr(h, 9, 4)) AS BIGINT) % 16 AS salt
+         |  FROM (SELECT doc_id,
+         |          md5('42-' || CAST(doc_id AS VARCHAR)) AS h
+         |        FROM documents))
+         |ORDER BY shard, pos""".stripMargin),
     "c8_cluster_split" -> {
       val b = OracleSql.polyHashSql("CAST(rep AS VARCHAR)",
         graft.functions.TextFunctions.P31)

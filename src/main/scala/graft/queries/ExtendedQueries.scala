@@ -245,7 +245,20 @@ object ExtendedQueries {
         |ORDER BY n.n_nationkey, t.bal DESC, t.c_custkey""".stripMargin)
   }
 
+  /** q42: PIVOT — quantity totals per linestatus pivoted by return flag.
+    * The pivot value list is declared (A/N/R), so the plan is ONE scan +
+    * one aggregation with conditional sums — no per-value scan fan-out,
+    * the shape that survives 100 TB (an undeclared value list would need
+    * a distinct-values pre-pass). */
+  def q42Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity")).cast("long"))
+      .orderBy("l_linestatus")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_pivot" -> q42Pivot _,
     "q40_lateral" -> q40Lateral _,
     "q41_grouping_sets" -> q41GroupingSets _,
     "q39_correlated" -> q39Correlated _,
@@ -270,6 +283,14 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // PIVOT == conditional aggregation; spelled as such for the oracle
+    // (DuckDB's own PIVOT syntax reorders output columns differently)
+    "q42_pivot" ->
+      ("""SELECT l_linestatus,
+         |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS BIGINT) AS A,
+         |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS BIGINT) AS N,
+         |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS BIGINT) AS R
+         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
     // the GENUINELY correlated form: DuckDB decorrelates the scalar
     // subquery into the same per-nation-aggregate join shape the Spark
     // side declares directly, so a hash-match covers both formulations

@@ -99,6 +99,21 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("groupBy on the bucket column aggregates with zero exchanges") {
+    // KeyGroupedPartitioning satisfies the aggregate's ClusteredDistribution
+    // too: at 100 TB a per-key rollup of a bucketed fact table is a pure
+    // map-side pass — partial and final HashAggregate fuse in one stage
+    // directly over the scan, no shuffle at all
+    import spark.implicits._
+    withSpj {
+      val agg = spark.table("spj.db.fact").groupBy($"k")
+        .agg(count(lit(1)).as("n"), max($"v").as("mv"))
+      assert(shuffles(agg) === 0, "bucket-column aggregation must not exchange")
+      val got = agg.as[(Long, Long, String)].collect()
+      assert(got.length === 10000 && got.forall(_._2 == 1L))
+    }
+  }
+
   test("every committed file is bucket-pure (the write-path invariant)") {
     val bad = bucketViolations(s"$warehouse/db/fact", 8,
       v => GraftTable.bucketOfLong(v.asInstanceOf[Long], 8))
