@@ -183,7 +183,8 @@ class GraftSparkTable(location: String) extends Table
       explainMeta = () => t.explainMeta,
       streamLocation = Some(location),
       hasSynthesizedColumns = t.hasSynthesizedColumns,
-      bucketSpec = t.options.bucketBy.headOption.map(c => (c, t.options.bucketCount)))
+      bucketSpec = t.options.bucketBy.headOption.map(c => (c, t.options.bucketCount)),
+      fileRanges = if (t.options.bucketBy.nonEmpty) t.sortFileRanges else None)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -1719,6 +1719,31 @@ final class GraftTable private (
   /** Absolute paths of the committed data files (for the DSv2 scan). */
   def committedFiles: Seq[String] = dataFiles()
 
+  /** Per-file range manifest of the LEADING `sort_by` column, for the
+    * scan's ordering claim (`SupportsReportOrdering`): on a
+    * `bucket_by` + `sort_by` table whose bucket groups are range-disjoint
+    * on this column (one file per bucket after compaction, or
+    * non-overlapping appends), the storage-partitioned merge join needs
+    * NO SortExec on either side — the scan's zone maps PROVE the order
+    * instead of the executor re-establishing it, which at 100 TB is the
+    * difference between a pure streaming merge and sorting both fact
+    * tables. Files missing stats are absent from the map (the scan
+    * refuses the claim for any group touching one). */
+  def sortFileRanges: Option[GraftTable.SortedFileRanges] =
+    meta.options.sortBy.headOption.flatMap { c =>
+      meta.currentSchema.fields.find(_.name == c).flatMap { f =>
+        if (!GraftTable.zoneMapEligible(f.dataType)) None
+        else Some(GraftTable.SortedFileRanges(
+          c,
+          (a, b) => GraftTable.compareStat(f.dataType, a, b),
+          meta.files.flatMap { rel =>
+            meta.fileStats.get(rel).flatMap(_.get(c)).map(st =>
+              new HPath(s"$location/$rel").toUri.getPath ->
+                ((st.min, st.max, st.nulls)))
+          }.toMap))
+      }
+    }
+
   /** Publish a metadata mutation via compare-and-swap on the version
     * log — the object-store-safe commit protocol.
     *
@@ -1816,6 +1841,14 @@ object GraftTable {
     * granularity, where the driver can refute a file before scheduling
     * any task for it. */
   final case class ColFileStats(min: String, max: String, nulls: Long, rows: Long)
+
+  /** Scan-side ordering manifest: the leading sort column, a typed
+    * comparator over its rendered stat strings (None = incomparable,
+    * never claim), and per-file (min, max, nulls) keyed by URI path. */
+  final case class SortedFileRanges(
+      col: String,
+      cmp: (String, String) => Option[Int],
+      stats: Map[String, (String, String, Long)])
 
   /** Persistent table metadata — the analog of the reference's `.footer`
     * + postscript (`cstore.proto:32-51`). JSON, committed via temp+rename. */

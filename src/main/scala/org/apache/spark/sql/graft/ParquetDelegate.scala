@@ -46,7 +46,8 @@ object ParquetDelegate {
       explainMeta: () => Map[String, String] = () => Map.empty,
       streamLocation: Option[String] = None,
       hasSynthesizedColumns: Boolean = false,
-      bucketSpec: Option[(String, Int)] = None): ScanBuilder = {
+      bucketSpec: Option[(String, Int)] = None,
+      fileRanges: Option[GraftTable.SortedFileRanges] = None): ScanBuilder = {
     val spark = SparkSession.active
     val table = ParquetTable(name, spark, options, files, Some(schema),
       classOf[ParquetFileFormat])
@@ -56,7 +57,7 @@ object ParquetDelegate {
       case _ =>
         new GraftScanBuilder(name, spark, table.fileIndex, schema, options,
           files, exactRowCount, filePruner, tableStats, explainMeta,
-          streamLocation, hasSynthesizedColumns, bucketSpec)
+          streamLocation, hasSynthesizedColumns, bucketSpec, fileRanges)
     }
   }
 
@@ -76,7 +77,8 @@ object ParquetDelegate {
       explainMeta: () => Map[String, String],
       streamLocation: Option[String],
       hasSynthesizedColumns: Boolean = false,
-      bucketSpec: Option[(String, Int)] = None)
+      bucketSpec: Option[(String, Int)] = None,
+      fileRanges: Option[GraftTable.SortedFileRanges] = None)
       extends ParquetScanBuilder(spark, fileIndex, schema, schema, options) {
 
     /** Parquet footer aggregates (MIN/MAX/COUNT answered from file
@@ -122,7 +124,7 @@ object ParquetDelegate {
       }
       new StatsParquetScan(prunedBase, exactRows, tableStats,
         schema, translatedDataFilters.toSeq, explainMeta, filePruner,
-        streamLocation, bucketSpec)
+        streamLocation, bucketSpec, fileRanges)
     }
   }
 
@@ -146,13 +148,15 @@ object ParquetDelegate {
       explainMeta: () => Map[String, String],
       filePruner: Option[Seq[Filter] => Seq[String]],
       streamLocation: Option[String] = None,
-      bucketSpec: Option[(String, Int)] = None)
+      bucketSpec: Option[(String, Int)] = None,
+      fileRanges: Option[GraftTable.SortedFileRanges] = None)
       extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
         base.dataSchema, base.readDataSchema, base.readPartitionSchema,
         base.pushedFilters, base.options, base.pushedAggregate,
         base.partitionFilters, base.dataFilters)
       with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-      with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+      with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+      with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
     // -- storage-partitioned joins over bucketed tables ---------------
     //
@@ -188,6 +192,73 @@ object ParquetDelegate {
             .map { case (b, fs) => b -> fs.map(_._2).toSeq }
             .sortBy(_._1))
         }
+      }
+
+    // -- scan-reported sort order (bucket_by + sort_by) ---------------
+    //
+    // When every bucket group's files are PROVABLY range-disjoint on the
+    // leading sort_by column (zone maps: one file per bucket after
+    // compaction, or naturally non-overlapping appends), the group's
+    // files concatenated in min-order ARE sorted — so the scan reports
+    // that order and the storage-partitioned merge join runs with no
+    // SortExec on either side. Claim rules, per group: every physical
+    // file has recorded stats; a multi-file group additionally needs
+    // zero nulls in the column (each file sorts its nulls FIRST, so a
+    // later file's nulls would break the claimed NULLS FIRST order) and
+    // pairwise min-comparable, max<=next-min ranges. A single-file group
+    // is sorted by construction (sort_by clusters within the file;
+    // splits of one file read back in offset order).
+
+    /** The bucket groups with each group's files re-ordered into proven
+      * sort order; None = at least one group can't prove it (claim
+      * nothing — a wrong ordering claim silently corrupts merge joins). */
+    private lazy val orderedBucketGroups
+        : Option[Seq[(Int, Seq[org.apache.spark.sql.execution.datasources.PartitionedFile])]] =
+      (bucketGroups, fileRanges) match {
+        case (Some(groups), Some(fr))
+            if readDataSchema.fieldNames.contains(fr.col) =>
+          def orderGroup(
+              files: Seq[org.apache.spark.sql.execution.datasources.PartitionedFile])
+              : Option[Seq[org.apache.spark.sql.execution.datasources.PartitionedFile]] = {
+            val byPhys = files.groupBy(_.filePath.toPath.toUri.getPath)
+            if (byPhys.size <= 1) return Some(files.sortBy(_.start))
+            val statsOpt = byPhys.keys.toSeq.sorted
+              .map(p => fr.stats.get(p).map(p -> _))
+            if (statsOpt.exists(_.isEmpty)) return None
+            val stats = statsOpt.flatten
+            if (stats.exists { case (_, (mn, mx, nulls)) =>
+              mn == null || mx == null || nulls != 0L }) return None
+            // total order by min (ties by path); any incomparable pair
+            // refuses the claim
+            var comparable = true
+            val sorted = stats.sortWith { case ((pa, (mna, _, _)), (pb, (mnb, _, _))) =>
+              fr.cmp(mna, mnb) match {
+                case Some(c) if c != 0 => c < 0
+                case Some(_) => pa < pb
+                case None => comparable = false; pa < pb
+              }
+            }
+            val disjoint = comparable && sorted.iterator.sliding(2).forall {
+              case Seq((_, (_, mxa, _)), (_, (mnb, _, _))) =>
+                fr.cmp(mxa, mnb).exists(_ <= 0)
+              case _ => true
+            }
+            if (!disjoint) None
+            else Some(sorted.flatMap { case (p, _) => byPhys(p).sortBy(_.start) })
+          }
+          val ordered = groups.map { case (b, fs) => orderGroup(fs).map(b -> _) }
+          if (ordered.exists(_.isEmpty)) None else Some(ordered.flatten)
+        case _ => None
+      }
+
+    override def outputOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      orderedBucketGroups match {
+        case Some(_) => Array(
+          org.apache.spark.sql.connector.expressions.Expressions.sort(
+            org.apache.spark.sql.connector.expressions.Expressions.column(fileRanges.get.col),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        case None => Array.empty
       }
 
     override def outputPartitioning()
@@ -257,7 +328,9 @@ object ParquetDelegate {
           // filtering, files drop but EMPTY GROUPS STAY: the planner
           // pinned this scan's partition-value set at plan time, and
           // BatchScanExec verifies runtime filtering preserved it.
-          groups.zipWithIndex.map { case ((b, files), i) =>
+          // When the ordering claim holds, each group's files are in
+          // proven sort order (filtering a sorted list keeps it sorted).
+          orderedBucketGroups.getOrElse(groups).zipWithIndex.map { case ((b, files), i) =>
             val kept = runtimeKept match {
               case Some(k) => files.filter(f =>
                 k.contains(f.filePath.toPath.toUri.getPath))

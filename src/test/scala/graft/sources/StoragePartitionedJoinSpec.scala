@@ -99,6 +99,67 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  /** Count SortExec nodes (AQE-aware, like [[shuffles]]). */
+  private def sorts(df: org.apache.spark.sql.DataFrame): Int = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case s: org.apache.spark.sql.execution.SortExec => 1 + s.children.map(walk).sum
+      case other => other.children.map(walk).sum
+    }
+    df.collect()
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("bucket_by + sort_by: merge join with zero sorts AND zero shuffles") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE spj.db.oa (k BIGINT, v DOUBLE) USING graft " +
+      "CLUSTERED BY (k) INTO 4 BUCKETS OPTIONS (sort_by 'k')")
+    spark.sql("CREATE TABLE spj.db.ob (k BIGINT, w DOUBLE) USING graft " +
+      "CLUSTERED BY (k) INTO 4 BUCKETS OPTIONS (sort_by 'k')")
+    spark.range(0, 20000).select($"id".as("k"), ($"id" * 0.5).as("v"))
+      .writeTo("spj.db.oa").append()
+    spark.range(0, 20000).filter($"id" % 2 === 0)
+      .select($"id".as("k"), ($"id" * 2.0).as("w")).writeTo("spj.db.ob").append()
+
+    // the scan's rows must ACTUALLY arrive sorted per partition — a wrong
+    // ordering claim would silently corrupt the merge join
+    val perPartitionSorted = spark.table("spj.db.oa").select("k")
+      .rdd.mapPartitions { it =>
+        val ks = it.map(_.getLong(0)).toSeq
+        Iterator.single(ks == ks.sorted)
+      }.collect()
+    assert(perPartitionSorted.forall(identity), "claimed order must be real")
+
+    withSpj {
+      val j = spark.sql("SELECT a.k, a.v, b.w FROM spj.db.oa a JOIN spj.db.ob b ON a.k = b.k")
+      assert(shuffles(j) === 0 && sorts(j) === 0,
+        "zone-map-proven order: merge join needs neither exchange nor sort")
+      val got = j.as[(Long, Double, Double)].collect().toSet
+      val expect = (0L until 20000L by 2).map(k => (k, k * 0.5, k * 2.0)).toSet
+      assert(got === expect)
+    }
+
+    // a RANGE-DISJOINT second append keeps the claim (files concatenate
+    // in min-order); an OVERLAPPING third append drops it — that side
+    // re-sorts, the clean side still doesn't
+    spark.range(20000, 21000).select($"id".as("k"), ($"id" * 0.5).as("v"))
+      .writeTo("spj.db.oa").append()
+    withSpj {
+      val j = spark.sql("SELECT a.k, b.w FROM spj.db.oa a JOIN spj.db.ob b ON a.k = b.k")
+      assert(sorts(j) === 0, "disjoint appends preserve the per-bucket order proof")
+    }
+    spark.range(500, 600).select($"id".as("k"), ($"id" * 0.5).as("v"))
+      .writeTo("spj.db.oa").append()
+    withSpj {
+      val j = spark.sql("SELECT a.k, b.w FROM spj.db.oa a JOIN spj.db.ob b ON a.k = b.k")
+      assert(shuffles(j) === 0, "overlap affects ordering, not co-partitioning")
+      assert(sorts(j) === 1, "only the overlapping side re-sorts")
+      assert(j.count() === 10050, "10000 even keys + 50 even keys of the dup range")
+    }
+  }
+
   test("groupBy on the bucket column aggregates with zero exchanges") {
     // KeyGroupedPartitioning satisfies the aggregate's ClusteredDistribution
     // too: at 100 TB a per-key rollup of a bucketed fact table is a pure
