@@ -35,8 +35,8 @@ object GraftBucketFunction extends UnboundFunction {
       s"bucket takes (numBuckets, key), got ${inputType.simpleString}")
     val keyType = inputType.fields(1).dataType
     keyType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        new IntegralBucket(keyType)
+      case ByteType | ShortType | IntegerType | LongType | DateType =>
+        new IntegralBucket(keyType) // a date is its int32 days-since-epoch
       case StringType => new StringBucket
       case other => throw new UnsupportedOperationException(
         s"graft bucket does not support key type ${other.simpleString}")
@@ -60,7 +60,7 @@ object GraftBucketFunction extends UnboundFunction {
         val v = keyType match {
           case ByteType => input.getByte(1).toLong
           case ShortType => input.getShort(1).toLong
-          case IntegerType => input.getInt(1).toLong
+          case IntegerType | DateType => input.getInt(1).toLong
           case _ => input.getLong(1)
         }
         GraftTable.bucketOfLong(v, n)

@@ -607,6 +607,9 @@ final class GraftTable private (
           case l: Long => Some(GraftTable.bucketOfLong(l, n))
           case s: String => Some(GraftTable.bucketOfUtf8(
             s.getBytes(java.nio.charset.StandardCharsets.UTF_8), n))
+          case d: java.sql.Date => Some(GraftTable.bucketOfLong(
+            org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong, n))
+          case d: java.time.LocalDate => Some(GraftTable.bucketOfLong(d.toEpochDay, n))
           case _ => None
         }
         filters.exists {
@@ -2096,6 +2099,8 @@ object GraftTable {
     val raw = dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         pmod(key.cast(LongType), lit(n.toLong))
+      case DateType => // days-since-epoch domain (a date IS its int32 days)
+        pmod(unix_date(key).cast(LongType), lit(n.toLong))
       case StringType => pmod(crc32(key.cast(BinaryType)), lit(n.toLong))
       case other =>
         throw new IllegalArgumentException(s"bucket_by does not support $other")
@@ -2410,8 +2415,8 @@ object GraftTable {
         s"option references column '$c' which is not in the table schema")
       val dt = schema(c).dataType
       require(Set[DataType](ByteType, ShortType, IntegerType, LongType,
-          StringType).contains(dt),
-        s"bucket_by column '$c' must be integral or string (got $dt)")
+          StringType, DateType).contains(dt),
+        s"bucket_by column '$c' must be integral, string, or date (got $dt)")
     }
     val loc = qualified(location)
     val (fs, dir) = fsAndPath(loc)

@@ -237,7 +237,8 @@ object GraftRowLevel {
                 GraftTable.bucketOfLong(row.getByte(i).toLong, n)
               case org.apache.spark.sql.types.ShortType =>
                 GraftTable.bucketOfLong(row.getShort(i).toLong, n)
-              case org.apache.spark.sql.types.IntegerType =>
+              case org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.DateType => // date = int32 days
                 GraftTable.bucketOfLong(row.getInt(i).toLong, n)
               case _ => GraftTable.bucketOfLong(row.getLong(i), n)
             }

@@ -211,6 +211,44 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("date-key bucketing: days-since-epoch route, SPJ holds, pruning works") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE spj.db.da (d DATE, v INT) USING graft " +
+      "CLUSTERED BY (d) INTO 4 BUCKETS")
+    spark.sql("CREATE TABLE spj.db.db2 (d DATE, w INT) USING graft " +
+      "CLUSTERED BY (d) INTO 4 BUCKETS")
+    val days = (0 until 200).map(i => java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    days.map(d => (java.sql.Date.valueOf(d), d.getDayOfYear)).toDF("d", "v")
+      .writeTo("spj.db.da").append()
+    days.filter(_.getDayOfMonth <= 10)
+      .map(d => (java.sql.Date.valueOf(d), d.getMonthValue)).toDF("d", "w")
+      .writeTo("spj.db.db2").append()
+
+    val bad = bucketViolations(s"$warehouse/db/da", 4, {
+      case null => 0
+      case d: java.sql.Date => GraftTable.bucketOfLong(d.toLocalDate.toEpochDay, 4)
+      case d: java.time.LocalDate => GraftTable.bucketOfLong(d.toEpochDay, 4)
+    })
+    assert(bad.isEmpty, bad.take(5).mkString("; "))
+
+    withSpj {
+      val j = spark.sql(
+        "SELECT a.d, a.v, b.w FROM spj.db.da a JOIN spj.db.db2 b ON a.d = b.d")
+      assert(shuffles(j) === 0, "co-bucketed date join must not exchange")
+      assert(j.count() === days.count(_.getDayOfMonth <= 10))
+    }
+
+    // point-lookup pruning by the route function on the date column
+    val t = GraftTable.open(spark, s"$warehouse/db/da")
+    val probe = java.sql.Date.valueOf("2024-02-15")
+    val kept = t.prunedFiles(Seq(org.apache.spark.sql.sources.EqualTo("d", probe)))
+    assert(kept.nonEmpty && kept.forall(f => GraftTable.fileBucket(f).contains(
+      GraftTable.bucketOfLong(probe.toLocalDate.toEpochDay, 4))))
+    val got = spark.sql("SELECT v FROM spj.db.da WHERE d = DATE'2024-02-15'")
+      .as[Int].collect()
+    assert(got.toSeq === Seq(46))
+  }
+
   test("compaction preserves bucket purity and the shuffle-free join") {
     import spark.implicits._
     // many small appends -> compact -> files re-routed by the same function
