@@ -166,7 +166,35 @@ object MutationQueries {
       .orderBy("c_custkey")
   }
 
+  /** n9: incrementally-maintained rollup — a scratch graft table takes
+    * an append, a self-referencing UPDATE, and a DELETE; the change data
+    * feed then folds those commits into a per-segment (sum, cnt) rollup
+    * ([[graft.streaming.GraftAggMaintain]]). The driver hash-checks the
+    * MAINTAINED table against DuckDB recomputing the same final state
+    * declaratively — closing the loop batch CDF (n7) opens: the
+    * incremental fold is bit-equal to the recompute (balances are
+    * integer-in-double cents, so sums are exact under any fold order). */
+  def n9AggMaintain(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_n9").toString
+    val src = s"$root/src"
+    val base = s.read.parquet(s"$dir/customer.parquet").select(
+      col("c_custkey"), col("c_mktsegment"),
+      round(col("c_acctbal") * 100).cast("double").as("bal_c"))
+    val t = GraftTable.create(s, src, base.schema)
+    t.append(base)                                                   // v1
+    t.update(Map("bal_c" -> (col("bal_c") + lit(100000.0))),
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("c_custkey", 1000L))) // v2
+    t.delete(Seq(LessThan("c_custkey", 100L)))                       // v3
+    val q = graft.streaming.GraftAggMaintain.start(
+      s, src, s"$root/tgt", Seq("c_mktsegment"), "bal_c", s"$root/ck")
+    require(q.awaitTermination(180000), "n9 maintenance drain timed out")
+    graft.streaming.GraftAggMaintain.read(s, s"$root/tgt")
+      .select(col("c_mktsegment"), col("sum").cast("long").as("bal_sum"), col("cnt"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n9_agg_maintain" -> n9AggMaintain _,
     "n8_spj_join" -> n8SpjJoin _,
     "n1_delete" -> n1Delete _,
     "n2_update" -> n2Update _,
@@ -177,6 +205,21 @@ object MutationQueries {
     "n7_changes" -> n7Changes _)
 
   val oracles: Map[String, String] = Map(
+    "n9_agg_maintain" ->
+      """WITH src AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(round(c_acctbal * 100) AS DOUBLE) AS bal_c
+        |  FROM customer),
+        |after_update AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CASE WHEN c_custkey >= 1000 THEN bal_c + 100000
+        |              ELSE bal_c END AS bal_c
+        |  FROM src),
+        |after_delete AS (
+        |  SELECT * FROM after_update WHERE c_custkey >= 100)
+        |SELECT c_mktsegment, CAST(sum(bal_c) AS BIGINT) AS bal_sum,
+        |       count(*) AS cnt
+        |FROM after_delete GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "n8_spj_join" ->
       """SELECT c.c_custkey, c.c_mktsegment, o.n_orders, o.total_price
         |FROM customer c
