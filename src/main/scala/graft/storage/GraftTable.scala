@@ -1915,9 +1915,20 @@ object GraftTable {
         defaults = if (default == null) m.defaults else m.defaults + (name -> default))
     case DropCol(name) =>
       require(m.currentSchema.fieldNames.contains(name), s"no such column $name")
+      // the bucket column is STRUCTURAL: every committed file's placement
+      // encodes its hash — dropping it would strand the layout (and the
+      // SPJ contract) with no route to rebuild it short of a full rewrite
+      require(!m.options.bucketBy.contains(name),
+        s"cannot drop bucket column '$name' of a bucketed table")
+      // sort/zorder/bloom clustering, by contrast, only shapes FUTURE
+      // writes: dropping the column honestly drops the property
       m.copy(
         currentSchema = StructType(m.currentSchema.fields.filterNot(_.name == name)),
         defaults = m.defaults - name,
+        options = m.options.copy(
+          sortBy = m.options.sortBy.filterNot(_ == name),
+          zorderBy = m.options.zorderBy.filterNot(_ == name),
+          bloomFilterColumns = m.options.bloomFilterColumns.filterNot(_ == name)),
         // drop the column's zone maps too: a later ADD COLUMN reusing the
         // name must not inherit stats from the dropped column's data
         fileStats = m.fileStats.map { case (f, cols) => f -> (cols - name) })
@@ -1926,6 +1937,18 @@ object GraftTable {
       val from = m.currentSchema(name).dataType
       require(implicitlyCoercible(from, to),
         s"cannot change column $name from $from to $to: not implicitly coercible")
+      if (m.options.bucketBy.contains(name)) {
+        // the route must keep mapping every existing value to the bucket
+        // its files already sit in: integral WIDENING preserves floorMod
+        // (same value, wider carrier); anything else (e.g. long→double,
+        // a legal coercion otherwise) diverges route from placement and
+        // silently breaks co-partitioned reads
+        val widen = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        require(from == to ||
+          (widen.indexOf(from) >= 0 && widen.indexOf(to) > widen.indexOf(from)),
+          s"cannot change bucket column '$name' from $from to $to: the hash " +
+            "route would diverge from existing file placement")
+      }
       m.copy(currentSchema = StructType(m.currentSchema.fields.map { f =>
         if (f.name == name) f.copy(dataType = to) else f
       }))

@@ -338,6 +338,41 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     assert(got.toSeq === Seq("v5000"))
   }
 
+  test("ALTER protects the bucket route; clustering columns drop gracefully") {
+    import spark.implicits._
+    val loc = tmpDir("alterbucket") + "/t"
+    val t = GraftTable.create(spark, loc,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType))),
+      graft.storage.GraftTableOptions(bucketBy = Seq("k"), bucketCount = 4,
+        sortBy = Seq("s")))
+    t.append(Seq((1, 10L, 1.0), (2, 20L, 2.0)).toDF("k", "s", "v"))
+
+    // structural: the bucket column can neither drop nor leave the
+    // integral-widening lane (long→double is coercible but re-routes)
+    intercept[IllegalArgumentException] { t.dropColumn("k") }
+    intercept[IllegalArgumentException] {
+      t.alterColumnType("k", org.apache.spark.sql.types.DoubleType)
+    }
+    // integral widening preserves floorMod: allowed, and new writes
+    // still route to the same buckets as the old files
+    t.alterColumnType("k", org.apache.spark.sql.types.LongType)
+    t.append(Seq((5L, 50L, 5.0)).toDF("k", "s", "v"))
+    // old files read back int32, post-widen files int64 — same route
+    val bad = bucketViolations(loc, 4,
+      v => GraftTable.bucketOfLong(v.asInstanceOf[Number].longValue(), 4))
+    assert(bad.isEmpty, bad.take(5).mkString("; "))
+
+    // sort_by only shapes future writes: dropping its column drops the
+    // property instead of stranding the writer
+    t.dropColumn("s")
+    assert(GraftTable.open(spark, loc).options.sortBy.isEmpty)
+    t.append(Seq((6L, 6.0)).toDF("k", "v"))
+    assert(GraftTable.open(spark, loc).read().count() === 4)
+  }
+
   test("create-time validation rejects bad bucket specs") {
     intercept[IllegalArgumentException] {
       GraftTable.create(spark, tmpDir("badbucket") + "/t",
