@@ -24,12 +24,20 @@ object Bench {
 
     // Warm-up: exercise codegen, parquet reader, shuffle, joins once —
     // including the pipeline tables (documents/embeddings/events), whose
-    // first touch (footer reads, nanos-ts conversion) otherwise lands
-    // inside a timed query.
-    try {
-      Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
-      queries.CoreQueries.q11MultiJoin(spark, sfDir).count()
-    } catch { case _: Throwable => () }
+    // first touch (footer reads, ts normalization) otherwise lands inside
+    // a timed query. Fault-isolated PER TABLE: one poisoned table must
+    // not abort the rest of the warm-up and cold-start the whole suite
+    // (round 7: the events loader failing here cost every timed query its
+    // amortized codegen/footer work). Failures are surfaced in the output
+    // JSON (`warmup_errors`), not swallowed.
+    val warmupErrors = scala.collection.mutable.ListBuffer[String]()
+    def warm(name: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $name FAILED: ${e.getMessage}")
+        warmupErrors += name
+      }
+    Tables.all.foreach(t => warm(t)(Tables.load(spark, sfDir, t).count()))
+    warm("q11_multi_join")(queries.CoreQueries.q11MultiJoin(spark, sfDir).count())
 
     // Most queries cannot saturate all cores alone, so run a few
     // concurrently (Spark's scheduler is thread-safe; FAIR pools keep
@@ -134,7 +142,8 @@ object Bench {
     val soloJson = solo.sortBy(_._2)
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"sf":"$sfDir","solo":$soloJson,"suite_sec":$total}""")
+    val warmupJson = warmupErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"warmup_errors":$warmupJson,"sf":"$sfDir","solo":$soloJson,"suite_sec":$total}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -33,33 +33,47 @@ object Tables {
 
   /** Session settings every graft entry point needs at BUILD time —
     * library code must not flip session-wide semantics mid-query:
-    * `nanosAsLong` lets the vectorized reader accept the events table's
-    * TIMESTAMP(NANOS), `outputTimestampType=TIMESTAMP_MICROS` makes
-    * parquet accept timestamp filter pushdown and matches the graft
-    * table writer. */
+    * `nanosAsLong` lets the vectorized reader accept an events table
+    * encoded as TIMESTAMP(NANOS) (one of the encodings [[loadEvents]]
+    * handles), `outputTimestampType=TIMESTAMP_MICROS` makes parquet
+    * accept timestamp filter pushdown and matches the graft table
+    * writer. */
   val sessionConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which the
-    * Spark 4 vectorized reader rejects outright. Read nanos as long
-    * (legacy conf, required at session build — see [[sessionConfs]]) and
-    * convert to a microsecond timestamp — the data has no
-    * sub-microsecond components, so this is lossless.
+  /** The events table's `ts` physical encoding is the data generator's
+    * choice, not ours, and it has changed across regenerations — the
+    * reference's reader likewise serves whatever the catalog declares
+    * (`cstore_reader.c:1133-1165` is type-agnostic per column). Branch on
+    * the READ schema and normalize every encoding to a microsecond
+    * `TimestampType`:
     *
-    * The division must be INTEGRAL (`DIV`): `col / 1000L` is double
-    * division, and epoch nanos (~1.7e18) exceed double's 53-bit
-    * mantissa, silently shifting timestamps by ±1 µs. Coarse windowed
-    * queries absorb that; exact per-event arithmetic (e4's attribution
-    * gap) does not. */
+    *  - `LongType`: parquet TIMESTAMP(NANOS) read under the legacy
+    *    `nanosAsLong` conf (see [[sessionConfs]]; without it the
+    *    vectorized reader rejects the file outright). The division must
+    *    be INTEGRAL (`DIV`): `col / 1000L` is double division, and epoch
+    *    nanos (~1.7e18) exceed double's 53-bit mantissa, silently
+    *    shifting timestamps by ±1 µs. Coarse windowed queries absorb
+    *    that; exact per-event arithmetic (e4's attribution gap) does not.
+    *  - `TIMESTAMP_NTZ`: parquet timestamp[us] with isAdjustedToUTC=false
+    *    (the current generator output). The naive values mean UTC
+    *    instants; graft entry points pin the session timezone to UTC, so
+    *    the cast to TimestampType is value-preserving.
+    *  - `TimestampType`: already the target type. */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet stores TIMESTAMP(NANOS): set " +
-        "spark.sql.legacy.parquet.nanosAsLong=true when building the session " +
-        "(Tables.sessionConfs) — a library must not mutate session semantics mid-query")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    import org.apache.spark.sql.types._
+    val tsMicros = raw.schema("ts").dataType match {
+      case LongType          => timestamp_micros(expr("ts DIV 1000"))
+      case TimestampNTZType  => col("ts").cast(TimestampType)
+      case TimestampType     => col("ts")
+      case other => throw new IllegalStateException(
+        s"events.parquet: unsupported physical type for ts: $other " +
+          "(expected TIMESTAMP(NANOS)-as-long, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
+    raw.withColumn("ts", tsMicros)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 

@@ -23,6 +23,7 @@ object Verify {
       sys.env.getOrElse("SPARK_GRAFT_CONCURRENCY", "10").toInt)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
         // one FAIR pool per query — see Bench for why
@@ -31,6 +32,19 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          errors.put(name, String.valueOf(e.getMessage))
+          // A registered query that errors must still land in the
+          // correctness artifact AS A FAILURE — omitting its key made
+          // round 7's 9 broken queries read as a near-100% pass to any
+          // consumer that didn't diff the key set. Write a sentinel
+          // result (single `err` column) so the driver's oracle compare
+          // records a schema/hash mismatch for it instead of dropping it.
+          try {
+            val s = spark
+            import s.implicits._
+            Seq(String.valueOf(e.getMessage)).toDF("err")
+              .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          } catch { case _: Throwable => () }
         }
       }
     }
@@ -52,6 +66,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Sidecar for humans/tooling: which registered queries errored (the
+    // sentinel parquets above make them count as failures either way).
+    val errJson = {
+      import scala.jdk.CollectionConverters._
+      errors.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    }
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }
