@@ -587,6 +587,58 @@ final class GraftTable private (
     }.map(f => s"$location/$f")
   }
 
+  /** Best single column to DECLARE for runtime group filtering when the
+    * table carries no clustering option. Spark's row-level runtime
+    * filtering builds ONE IN-subquery over ALL declared attributes; a
+    * multi-column (struct) IN has no V1 translation, so declaring every
+    * column guarantees zero pruning. A single column always translates —
+    * rank the columns by how well their per-file zone-map intervals
+    * actually separate files: score = mean over files of (file interval
+    * width / global width) ≈ the fraction of files a uniformly random
+    * point value keeps. A monotonic insert key (an id assigned in append
+    * order) scores ~1/nFiles; a shuffled or low-cardinality column
+    * scores ~1. Footer-stat arithmetic only — no data is read. The
+    * reference's analog decision is which stripe min/max to trust for
+    * block skipping (`cstore_reader.c:744-806`).
+    *
+    * A single-file table still gets a column (every candidate ties at
+    * score 1; schema order wins): pruning is moot there, but a declared
+    * translatable column keeps the empty-IN short-circuit — a
+    * pure-insert MERGE refutes the file instead of rewriting it — and
+    * avoids planning a struct-IN filter that can never apply. */
+  def bestRuntimeFilterColumn(): Option[String] = {
+    val files = meta.files
+    def num(dt: DataType, s: String): Option[Double] =
+      if (s == null) None
+      else try dt match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+             TimestampType | TimestampNTZType => Some(s.toLong.toDouble)
+        case FloatType | DoubleType =>
+          val d = s.toDouble
+          if (d.isNaN || d.isInfinite) None else Some(d)
+        case _: DecimalType => Some(BigInt(s).toDouble)
+        case _ => None
+      } catch { case _: NumberFormatException => None }
+    val scored = meta.currentSchema.fields.toSeq.flatMap { f =>
+      val ranges = files.flatMap { rel =>
+        meta.fileStats.get(rel).flatMap(_.get(f.name)).flatMap { st =>
+          for { mn <- num(f.dataType, st.min); mx <- num(f.dataType, st.max) }
+            yield (mn, mx)
+        }
+      }
+      // every file must carry a usable interval — a stats-less file is
+      // always kept, which would flatter the column's score
+      if (ranges.size != files.size) None
+      else {
+        val width = ranges.map(_._2).max - ranges.map(_._1).min
+        if (!(width > 0) || width.isInfinite) None
+        else Some(f.name -> ranges.map(r => (r._2 - r._1) / width).sum / ranges.size)
+      }
+    }
+    // stable sort: schema order breaks ties
+    scored.sortBy(_._2).headOption.map(_._1)
+  }
+
   /** Bucket pruning: on a bucket_by table the zone maps are USELESS for
     * the bucket column itself (bucket k%n makes every file span ~the full
     * key range), but an equality/IN predicate prunes by the route

@@ -134,10 +134,10 @@ object GraftRowLevel {
 
     /** Spark's runtime group filtering builds ONE IN-subquery over ALL
       * declared attributes; a multi-column (struct) IN does not
-      * translate back to a V1 filter the zone maps can consume. So
-      * declare the table's CLUSTERED column when there is one — that is
-      * where the zone maps are tight, and a single-column IN translates
-      * — and fall back to every read column otherwise (conservative: an
+      * translate back to a V1 filter the zone maps can consume. The
+      * table side picks ONE column (clustered > bucket > stats-ranked —
+      * see `newScanBuilder`); the all-read-columns fallback remains only
+      * for tables where no column has usable stats (conservative: an
       * untranslatable runtime filter prunes nothing, never wrongly). */
     override def filterAttributes():
         Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
@@ -428,9 +428,19 @@ object GraftRowLevel {
       val t = GraftTable.open(spark, location)
       schemaAtRead = t.readSchema()
       rawSchemaAtRead = t.schema
-      val clustered = (t.options.sortBy ++ t.options.zorderBy).take(1)
+      // runtime-filter column, in pruning-power order: the clustered
+      // column (tight zone maps) > the bucket column (the route function
+      // prunes point lookups to 1/n files) > the stats-ranked best
+      // separator (bestRuntimeFilterColumn). Declaring ALL columns is
+      // the one losing move: Spark then builds a struct-IN no V1 filter
+      // can express, and the scan prunes nothing.
+      val rfCols =
+        (t.options.sortBy ++ t.options.zorderBy ++ t.options.bucketBy).take(1) match {
+          case Seq() => t.bestRuntimeFilterColumn().toSeq
+          case declared => declared
+        }
       cowScanBuilder(s"graft-cow.`$location`", t.committedFiles, schemaAtRead,
-        options, t.prunedFiles, clustered, fs => planned = fs)
+        options, t.prunedFiles, rfCols, fs => planned = fs)
     }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

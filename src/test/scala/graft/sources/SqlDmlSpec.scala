@@ -112,6 +112,31 @@ class SqlDmlSpec extends SparkSpec {
     spark.sql("DROP TABLE gdml.db.rtg")
   }
 
+  test("runtime group filtering prunes on an UNCLUSTERED table via the stats-ranked column") {
+    spark.sql("CREATE TABLE gdml.db.rtu (a INT, v DOUBLE, b STRING) USING graft")
+    // three appends with naturally disjoint a-ranges (a monotonic insert
+    // key) but fully overlapping v-ranges — the zone-map separation
+    // ranking must pick a, and declaring it (instead of all columns,
+    // which Spark turns into an untranslatable struct-IN) lets the
+    // runtime IN-subquery confine the rewrite to the first file
+    for (r <- Seq((0, 100), (100, 200), (200, 300)))
+      spark.sql(s"INSERT INTO gdml.db.rtu SELECT id, rand(42), concat('v', id) " +
+        s"FROM range(${r._1}, ${r._2})")
+    val g0 = GraftTable.open(spark, loc("rtu"))
+    assert(g0.bestRuntimeFilterColumn() === Some("a"),
+      "the monotonic insert key must outrank the overlapping double column")
+    val before = g0.committedFiles.toSet
+    assert(before.size >= 3)
+    spark.sql("DELETE FROM gdml.db.rtu WHERE pmod(a, 100) = a AND a < 50")
+    val g = GraftTable.open(spark, loc("rtu"))
+    assert(g.rowCountFromMetadata() === 250L)
+    val carried = before.intersect(g.committedFiles.toSet)
+    assert(carried.size >= 2,
+      s"stats-ranked runtime filter column should spare refuted files; " +
+        s"carried=${carried.size}")
+    spark.sql("DROP TABLE gdml.db.rtu")
+  }
+
   test("sort_by clustering survives the SQL DML rewrite (declared write order)") {
     import spark.implicits._
     spark.sql("CREATE TABLE gdml.db.srt (a INT, b STRING) USING graft " +
