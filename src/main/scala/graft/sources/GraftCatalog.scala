@@ -190,6 +190,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(upd.fieldNames().length == 1,
           s"nested column ${upd.fieldNames().mkString(".")} not supported")
         GraftTable.AlterColType(upd.fieldNames()(0), upd.newDataType())
+      // SET TBLPROPERTIES → the reference's ALTER … OPTIONS (SET …)
+      // validator (`cstore_fdw.c:1273-1340`); GraftTable restricts the
+      // settable keys to the write-shaping trio and rejects the rest
+      case set: TableChange.SetProperty =>
+        GraftTable.SetOption(set.property(), set.value())
+      case rm: TableChange.RemoveProperty =>
+        GraftTable.UnsetOption(rm.property())
       case other =>
         throw new UnsupportedOperationException(s"ALTER change $other is not supported")
     })

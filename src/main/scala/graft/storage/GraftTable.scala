@@ -1456,6 +1456,14 @@ final class GraftTable private (
   def alterColumnType(name: String, to: DataType): Unit =
     alterAll(Seq(GraftTable.AlterColType(name, to)))
 
+  /** ALTER … SET write-shaping options (compression / stripe_row_count /
+    * block_row_count) on an existing table — the reference's `ALTER
+    * FOREIGN TABLE … OPTIONS (SET …)` (`cstore_fdw.c:1273-1340`). New
+    * appends and rewrites honor the new options; committed files are
+    * untouched and keep the codec/layout they were written with. */
+  def setOptions(opts: Map[String, String]): Unit =
+    alterAll(opts.toSeq.map { case (k, v) => GraftTable.SetOption(k, v) })
+
   /** Apply a sequence of schema changes as ONE transaction: every change
     * validates and applies against an in-memory metadata copy, and a
     * single commit publishes them all — a failing later change leaves
@@ -1466,9 +1474,16 @@ final class GraftTable private (
     refreshMeta()
     // validate eagerly (a bad change must throw before any commit), then
     // commit via CAS — the rebase re-applies the changes to whatever
-    // state a concurrent writer committed meanwhile
-    changes.foldLeft(meta)(GraftTable.applyChange)
-    commitMutation(base => changes.foldLeft(base)(GraftTable.applyChange))
+    // state a concurrent writer committed meanwhile. Option-value
+    // constraints check the FOLDED state (see applyChange's SetOption
+    // note), in both the eager pass and the rebase.
+    def applied(base: GraftTable.Meta): GraftTable.Meta = {
+      val folded = changes.foldLeft(base)(GraftTable.applyChange)
+      folded.options.validate()
+      folded
+    }
+    applied(meta)
+    commitMutation(applied)
   }
 
   // ---- ANALYZE / statistics (cstore_fdw.c:2061-2260, N14-N15) --------
@@ -1949,6 +1964,39 @@ object GraftTable {
       extends SchemaChange
   final case class DropCol(name: String) extends SchemaChange
   final case class AlterColType(name: String, to: DataType) extends SchemaChange
+  /** ALTER … SET an option on an existing table (the reference's `ALTER
+    * FOREIGN TABLE … OPTIONS (SET …)` validator path,
+    * `cstore_fdw.c:1273-1340`). Only the write-shaping options are
+    * settable — compression, stripe_row_count, block_row_count — and
+    * they apply to FUTURE appends/rewrites; committed files keep the
+    * codec and layout they were written with (exactly the reference's
+    * semantics: the option lives in the catalog, each stripe records
+    * what it actually used). Clustering and bucketing options are
+    * REJECTED: bucket placement is structural per file, and the scan
+    * reports sort order proven from the recorded clustering — an ALTER
+    * could fabricate an order claim over files written unsorted. */
+  final case class SetOption(key: String, value: String) extends SchemaChange
+  /** ALTER … unset an option: reverts to the CREATE-time default. */
+  final case class UnsetOption(key: String) extends SchemaChange
+
+  private val settableOptions = Seq("compression", "stripe_row_count", "block_row_count")
+
+  private def withOption(opts: GraftTableOptions, key: String,
+      value: GraftTableOptions => GraftTableOptions): GraftTableOptions = key match {
+    case "compression" | "stripe_row_count" | "block_row_count" => value(opts)
+    case "sort_by" | "zorder_by" | "bloom_filter_columns" | "bucket_by" | "bucket_count" =>
+      throw new IllegalArgumentException(
+        s"option '$key' cannot be changed by ALTER: clustering and bucketing " +
+          "shape committed file layout and the scan's proven-order claims")
+    case other => throw new IllegalArgumentException(
+      s"unknown option '$other' (settable: ${settableOptions.mkString(", ")})")
+  }
+
+  private def optionLong(key: String, value: String): Long =
+    try value.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"option '$key' expects an integer, got '$value'")
+    }
 
   /** Validate + apply one schema change to an in-memory Meta. Pure: a
     * throw leaves no trace, which is what makes [[GraftTable.alterAll]]
@@ -2003,6 +2051,27 @@ object GraftTable {
       }
       m.copy(currentSchema = StructType(m.currentSchema.fields.map { f =>
         if (f.name == name) f.copy(dataType = to) else f
+      }))
+    // option changes validate structurally here (known key, parseable
+    // value); the VALUE constraints (codec set, ranges, block ≤ stripe)
+    // are checked once on the folded result in [[GraftTable.alterAll]] —
+    // per-change validation would make one ALTER setting both
+    // stripe_row_count and block_row_count pass or fail on Map iteration
+    // order, since the intermediate state mixes old and new values
+    case SetOption(key, value) =>
+      m.copy(options = withOption(m.options, key, o => key match {
+        case "compression" => o.copy(compression = value)
+        case "stripe_row_count" => o.copy(stripeRowCount = optionLong(key, value))
+        case "block_row_count" => o.copy(blockRowCount = optionLong(key, value))
+        case _ => o
+      }))
+    case UnsetOption(key) =>
+      val d = GraftTableOptions()
+      m.copy(options = withOption(m.options, key, o => key match {
+        case "compression" => o.copy(compression = d.compression)
+        case "stripe_row_count" => o.copy(stripeRowCount = d.stripeRowCount)
+        case "block_row_count" => o.copy(blockRowCount = d.blockRowCount)
+        case _ => o
       }))
   }
 

@@ -400,6 +400,62 @@ class GraftTableSpec extends SparkSpec {
       GraftTable.drop(s"$loc/tbl")
     }
   }
+  test("ALTER SET options: new appends honor them, committed files keep their codec") {
+    import spark.implicits._
+    val loc = tmpDir("graft-setopts")
+    val t = GraftTable.create(spark, s"$loc/tbl", schema) // default zstd
+    t.append((1 to 100).map(i => (i, s"n$i", i)).toDF("handle", "name", "rating"))
+    val before = t.committedFiles
+    assert(before.nonEmpty && before.forall(_.contains(".zstd.")))
+    // stripe + block together in ONE statement, with an intermediate
+    // state (new stripe 5000 < old block 10000) that only validates as a
+    // whole — iteration-order-sensitive per-change validation would flake
+    t.setOptions(Map("compression" -> "snappy",
+      "stripe_row_count" -> "5000", "block_row_count" -> "5000"))
+    t.append((101 to 200).map(i => (i, s"n$i", i)).toDF("handle", "name", "rating"))
+    val after = GraftTable.open(spark, s"$loc/tbl")
+    val fresh = after.committedFiles.filterNot(before.toSet)
+    assert(fresh.nonEmpty && fresh.forall(_.contains(".snappy.")),
+      s"appends after ALTER must use the new codec: $fresh")
+    assert(before.forall(after.committedFiles.toSet),
+      "ALTER SET options must not touch committed files")
+    assert(after.read().count() === 200, "mixed-codec table must read whole")
+    assert(after.options.stripeRowCount === 5000L)
+    // structural, unknown, and out-of-range keys are rejected (and the
+    // multi-change transaction leaves nothing applied)
+    intercept[IllegalArgumentException](after.setOptions(Map("bucket_by" -> "handle")))
+    intercept[IllegalArgumentException](after.setOptions(Map("sort_by" -> "handle")))
+    intercept[IllegalArgumentException](after.setOptions(Map("no_such_option" -> "1")))
+    intercept[IllegalArgumentException](after.setOptions(Map("stripe_row_count" -> "10")))
+    intercept[IllegalArgumentException](
+      after.setOptions(Map("compression" -> "gzip", "block_row_count" -> "oops")))
+    val unchanged = GraftTable.open(spark, s"$loc/tbl").options
+    assert(unchanged.compression === "snappy" && unchanged.stripeRowCount === 5000L)
+    GraftTable.drop(s"$loc/tbl")
+  }
+
+  test("SQL ALTER TABLE SET/UNSET TBLPROPERTIES routes to the option validator") {
+    spark.conf.set("spark.sql.catalog.gopt", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gopt.warehouse", tmpDir("graft-setopts-wh"))
+    spark.sql("CREATE TABLE gopt.db.t (a INT, b STRING) USING graft")
+    spark.sql("INSERT INTO gopt.db.t SELECT id, concat('v', id) FROM range(50)")
+    spark.sql("ALTER TABLE gopt.db.t SET TBLPROPERTIES ('compression' = 'gzip')")
+    spark.sql("INSERT INTO gopt.db.t SELECT id, concat('w', id) FROM range(50, 100)")
+    val wh = spark.conf.get("spark.sql.catalog.gopt.warehouse")
+    val t = GraftTable.open(spark, s"$wh/db/t")
+    assert(t.options.compression === "gzip")
+    assert(t.committedFiles.exists(_.contains(".gz.")),
+      s"post-ALTER append must be gzip: ${t.committedFiles}")
+    assert(spark.table("gopt.db.t").count() === 100)
+    // UNSET reverts to the CREATE-time default codec
+    spark.sql("ALTER TABLE gopt.db.t UNSET TBLPROPERTIES ('compression')")
+    assert(GraftTable.open(spark, s"$wh/db/t").options.compression === "zstd")
+    // the validator still guards the SQL route
+    intercept[Exception](
+      spark.sql("ALTER TABLE gopt.db.t SET TBLPROPERTIES ('bucket_by' = 'a')"))
+    spark.sql("DROP TABLE gopt.db.t")
+  }
+
   test("ANALYZE computes column stats; empty table analyzable (sql/analyze.sql)") {
     import spark.implicits._
     val loc = tmpDir("graft-analyze")
