@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Bpe, Dedup, Events, Multimodal, Pipeline, Sampling, Similarity, TextAnalysis}
-import graft.queries.{CoreQueries, ExtendedQueries, MutationQueries}
+import graft.queries.{CoreQueries, ExtendedQueries, MutationQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -18,14 +18,14 @@ object SparkEntry {
     * training-data pipeline operators (dedup, similarity, text analysis,
     * multimodal, events). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all ++ ExtendedQueries.all ++ MutationQueries.all ++ Dedup.queries ++ Similarity.queries ++
+    CoreQueries.all ++ ExtendedQueries.all ++ MutationQueries.all ++ StreamQueries.all ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ Events.queries ++ Pipeline.queries ++
       Sampling.queries ++ Bpe.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ ExtendedQueries.oracles ++ MutationQueries.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+    CoreQueries.oracles ++ ExtendedQueries.oracles ++ MutationQueries.oracles ++ StreamQueries.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ Events.oracles ++ Pipeline.oracles ++
       Sampling.oracles ++ Bpe.oracles
 }

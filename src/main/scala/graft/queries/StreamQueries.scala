@@ -1,0 +1,96 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.streaming.FunnelStream
+
+/** Driver-oracle-checked STREAMING entries — the streaming surface was
+  * spec-bound only (Event/Session/Funnel/DedupStream specs) until n9
+  * proved the pattern: drain a real stream end-to-end inside the entry,
+  * then hand the driver the drained result to hash against DuckDB
+  * recomputing the same answer declaratively over the raw parquet. Here
+  * the funnel and retention state machines ([[FunnelStream]]) earn the
+  * same check: a single-batch AvailableNow drain processes rows in
+  * event-time order, which makes the monotone streaming state compute
+  * exactly the batch answer (see FunnelStream's semantics note), so the
+  * batch oracles apply verbatim.
+  */
+object StreamQueries {
+
+  // The stream source is the events table normalized through
+  // Tables.load (the file-stream source needs a fixed schema; the raw
+  // parquet's ts encoding is the generator's choice) — written ONCE per
+  // (session, input dir) and shared by both entries.
+  private val srcCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def streamSrc(s: SparkSession, dir: String): String =
+    srcCache.computeIfAbsent((s, dir), { _ =>
+      val out = Files.createTempDirectory("graft_stream_src").toString
+      Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  private def uniq(prefix: String): String =
+    prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+
+  /** e9: the funnel state machine over a drained stream; rollup matches
+    * batch e5's output shape, so e5's oracle applies verbatim. */
+  def e9StreamFunnel(s: SparkSession, dir: String): DataFrame = {
+    val sink = uniq("e9_funnel")
+    val q = FunnelStream.runFunnel(s, streamSrc(s, dir), sink,
+      Files.createTempDirectory("graft_e9_ckpt").toString)
+    require(q.awaitTermination(180000), "e9 stream drain timed out")
+    FunnelStream.funnelCounts(s.table(sink))
+  }
+
+  /** e10: the retention cell emitter over a drained stream; each (user,
+    * cell) emits at most once, so the rollup's plain count equals the
+    * batch distinct-user count. */
+  def e10StreamRetention(s: SparkSession, dir: String): DataFrame = {
+    val sink = uniq("e10_retention")
+    val q = FunnelStream.runRetention(s, streamSrc(s, dir), sink,
+      Files.createTempDirectory("graft_e10_ckpt").toString)
+    require(q.awaitTermination(180000), "e10 stream drain timed out")
+    FunnelStream.retentionCounts(s.table(sink))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e9_stream_funnel" -> e9StreamFunnel _,
+    "e10_stream_retention" -> e10StreamRetention _)
+
+  val oracles: Map[String, String] = Map(
+    // identical to e5's oracle: the drained stream must reproduce the
+    // batch funnel exactly
+    "e9_stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) tsu FROM events),
+        |v AS (SELECT user_id, min(tsu) t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(tsu) t_click FROM e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE event_type = 'click' AND tsu > t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(tsu) t_purchase FROM e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE event_type = 'purchase' AND tsu > t_click GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT '1_view' AS stage, count(*) AS users FROM v
+        |  UNION ALL SELECT '2_click', count(*) FROM c
+        |  UNION ALL SELECT '3_purchase', count(*) FROM p
+        |) ORDER BY stage""".stripMargin,
+    // e6's oracle minus the per-cell event count: the stream emits one
+    // row per (user, cell) first activity, so only the distinct-user
+    // measure is recoverable from the emission log
+    "e10_stream_retention" ->
+      """WITH w AS (SELECT user_id,
+        |       CAST(floor(epoch(ts)/604800) AS BIGINT) wk FROM events),
+        |c AS (SELECT user_id, min(wk) cohort_wk FROM w GROUP BY user_id)
+        |SELECT cohort_wk, wk - cohort_wk AS wk_offset,
+        |  CAST(count(DISTINCT w.user_id) AS BIGINT) n_users
+        |FROM w JOIN c ON w.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
