@@ -27,6 +27,9 @@ import graft.storage.GraftTable
   *   CALL graft.system.history('db.t')          -- snapshot versions
   *   CALL graft.system.expire_history('db.t', 3) -- keep newest 3
   *   CALL graft.system.diff('db.t', 1, 4)         -- snapshot delta
+  *   CALL graft.system.clone('db.t', 'db.t2')     -- deep clone (branching)
+  *   CALL graft.system.recluster('db.t', 'k', '') -- rewrite clustered on k
+  *   CALL graft.system.recluster('db.t', '', 'x,y') -- rewrite Z-ordered
   * }}}
   *
   * Each returns a one-row result describing what it did. */
@@ -34,7 +37,7 @@ private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("compact", "compact_small", "vacuum", "analyze", "analyze_sample",
-      "table_size", "history", "expire_history", "diff")
+      "table_size", "history", "expire_history", "diff", "clone", "recluster")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -58,19 +61,32 @@ private[sources] object GraftProcedures {
           else if (procName == "analyze_sample")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("fraction", DoubleType).build())
+          else if (procName == "clone")
+            Array(ProcedureParameter.in("table", StringType).build(),
+              ProcedureParameter.in("target", StringType).build())
+          else if (procName == "recluster")
+            // comma-separated column lists; '' = none — e.g.
+            // CALL g.system.recluster('db.t', 'k', '') sort-clusters on k,
+            // CALL g.system.recluster('db.t', '', 'x,y') Z-orders on (x,y)
+            Array(ProcedureParameter.in("table", StringType).build(),
+              ProcedureParameter.in("sort_by", StringType).build(),
+              ProcedureParameter.in("zorder_by", StringType).build())
           else Array(ProcedureParameter.in("table", StringType).build())
         override def isDeterministic: Boolean = false
         override def call(input: InternalRow): JIterator[Scan] = {
-          val tableName = input.getUTF8String(0).toString
-          // The name is spliced into a filesystem path under the
-          // warehouse; a separator or dot-dot segment would let
-          // CALL ...('../other/t') compact/vacuum (i.e. rewrite or
-          // delete files of) a table OUTSIDE this catalog.
-          val parts = tableName.split('.')
-          require(parts.nonEmpty && parts.forall(p =>
-            p.nonEmpty && !p.contains('/') && !p.contains('\\')),
-            s"invalid table name '$tableName': expected dot-separated " +
-              "identifiers without path separators")
+          // Every table-name argument is spliced into a filesystem path
+          // under the warehouse; a separator or dot-dot segment would let
+          // CALL ...('../other/t') compact/vacuum/clone-over (i.e.
+          // rewrite or delete files of) a table OUTSIDE this catalog.
+          def checkName(tableName: String): String = {
+            val parts = tableName.split('.')
+            require(parts.nonEmpty && parts.forall(p =>
+              p.nonEmpty && !p.contains('/') && !p.contains('\\')),
+              s"invalid table name '$tableName': expected dot-separated " +
+                "identifiers without path separators")
+            tableName
+          }
+          val tableName = checkName(input.getUTF8String(0).toString)
           val dir = tableDir(tableName)
           require(GraftTable.exists(dir), s"no graft table $tableName")
           val t = GraftTable.open(SparkSession.active, dir)
@@ -127,6 +143,18 @@ private[sources] object GraftProcedures {
               case "table_size" => ("size_bytes", t.tableSize())
               case "expire_history" =>
                 ("snapshots_expired", t.expireHistory(input.getInt(1)).toLong)
+              case "clone" =>
+                val target = checkName(input.getUTF8String(1).toString)
+                ("rows_cloned",
+                  t.cloneTo(tableDir(target)).rowCountFromMetadata())
+              case "recluster" =>
+                def cols(i: Int): Seq[String] = {
+                  val s = input.getUTF8String(i).toString.trim
+                  if (s.isEmpty) Seq.empty
+                  else s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+                }
+                ("files_after_recluster",
+                  t.recluster(cols(1), cols(2)).toLong)
             }
             val schema = StructType(Seq(
               StructField("table", StringType, nullable = false),

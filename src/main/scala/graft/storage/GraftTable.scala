@@ -930,6 +930,125 @@ final class GraftTable private (
     }
   }
 
+  /** Deep CLONE: an independent table at `dest` with this table's
+    * current schema, options, data, zone maps, and planner stats —
+    * experiment branching for training corpora (try an aggressive dedup
+    * or requality pass on the clone, keep serving the original). Data
+    * files are copied DISTRIBUTED (one task per file batch, any
+    * Hadoop-FS source/dest pair); relative file paths are preserved, so
+    * bucket routing and proven-order claims carry over unchanged. The
+    * clone starts its own commit history at v1 and carries no streaming
+    * txn watermarks (a relay into the clone is a new pipeline, not a
+    * replay). The snapshot is the committed state as of the call: a
+    * concurrent writer's commit lands in the source only — but run
+    * `expireHistory`+`vacuum` on the SOURCE during a clone and the
+    * grace window is the only thing standing between the copy task and
+    * a deleted file, the same caveat as any snapshot reader. */
+  def cloneTo(dest: String): GraftTable = {
+    refreshMeta()
+    val src = meta
+    val srcLoc = location
+    val t = GraftTable.create(spark, dest, src.currentSchema, src.options)
+    val destLoc = t.location
+    if (src.files.nonEmpty) {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        GraftTable.hadoopConf())
+      val slices = math.min(src.files.size, 64)
+      spark.sparkContext.parallelize(src.files, slices).foreach { rel =>
+        val from = new HPath(s"$srcLoc/$rel")
+        val to = new HPath(s"$destLoc/$rel")
+        val ffs = from.getFileSystem(conf.value)
+        val tfs = to.getFileSystem(conf.value)
+        org.apache.hadoop.fs.FileUtil.copy(ffs, from, tfs, to, false, true, conf.value)
+        ()
+      }
+    }
+    t.commitMutation(base => base.copy(
+      files = src.files,
+      rowCount = src.rowCount,
+      defaults = src.defaults,
+      nextBatchId = src.nextBatchId,
+      fileStats = src.fileStats))
+    // ANALYZE stats sidecar travels too: the clone plans like the source
+    GraftTable.readStats(srcLoc).foreach(GraftTable.writeStatsAtomic(destLoc, _))
+    GraftTable.open(spark, destLoc)
+  }
+
+  /** OPTIMIZE-style RECLUSTER: rewrite the whole table under a NEW
+    * clustering declaration — `sort_by` and/or `zorder_by` — committing
+    * the rewritten files and the updated options in ONE CAS commit.
+    * This is the legitimate route to changing clustering: ALTER rejects
+    * it because committed files written under the old order would
+    * falsify the scan's proven-order claims, and a full rewrite is
+    * exactly what makes the new claim true. Rows range-partition on the
+    * new keys (Z-value for zorder), so output files are range-disjoint
+    * and zone maps prune tightly from the first post-recluster query.
+    * On a bucketed table the bucket layout is preserved (the writer
+    * re-routes every row; sort_by sorts within each bucket; zorder_by
+    * is refused, as at CREATE). Concurrent appends rebase and are
+    * carried forward un-reclustered — the scan's order proof is per
+    * file-range, so a carried overlap withdraws the claim, never lies.
+    * Returns the number of files after the rewrite. */
+  def recluster(sortBy: Seq[String] = Seq.empty,
+      zorderBy: Seq[String] = Seq.empty): Int = withTableLock {
+    refreshMeta()
+    val newOpts = meta.options.copy(sortBy = sortBy, zorderBy = zorderBy)
+    newOpts.validate()
+    (sortBy ++ zorderBy).foreach { c =>
+      require(meta.currentSchema.fieldNames.contains(c),
+        s"recluster references column '$c' which is not in the table schema")
+    }
+    zorderBy.foreach { c =>
+      val dt = meta.currentSchema(c).dataType
+      require(dt.isInstanceOf[NumericType] || dt == DateType || dt == TimestampType,
+        s"zorder_by column '$c' must be numeric, date, or timestamp (got $dt)")
+    }
+    val before = meta
+    if (before.files.isEmpty) {
+      commitMutation(base => base.copy(options =
+        base.options.copy(sortBy = sortBy, zorderBy = zorderBy)))
+      0
+    } else {
+      // the batch writer reads clustering from `meta.options` — point it
+      // at the new declaration for the rewrite; restored on abort
+      meta = before.copy(options = newOpts)
+      try {
+        val target = math.max(1L, (before.rowCount + newOpts.stripeRowCount - 1)
+          / newOpts.stripeRowCount).toInt
+        // range-partition on the new keys so FILES are range-disjoint
+        // (append's sortWithinPartitions alone only sorts within
+        // whatever partitioning the input arrived with); bucketed and
+        // zorder layouts partition inside the writer itself
+        val input =
+          if (newOpts.bucketBy.nonEmpty || zorderBy.nonEmpty) read()
+          else read().repartitionByRange(target, sortBy.map(col): _*)
+        val batchDir = writeBatchDir(input)
+        val newFiles = listParquetFiles(batchDir)
+        val infos = newFiles.map(f => relativize(f, location) -> footerInfo(f))
+        val n = infos.map(_._2._1).sum
+        require(n == before.rowCount,
+          s"recluster row count mismatch: rewrote $n of ${before.rowCount} rows")
+        commitMutation { base =>
+          require(base.currentSchema == before.currentSchema,
+            s"concurrent schema change during recluster of $location")
+          require(before.files.forall(base.files.contains),
+            s"concurrent compaction/truncate during recluster of $location")
+          val beforeSet = before.files.toSet
+          val kept = base.files.filterNot(beforeSet)
+          val keptSet = kept.toSet
+          base.copy(
+            files = infos.map(_._1).toVector ++ kept,
+            options = base.options.copy(sortBy = sortBy, zorderBy = zorderBy),
+            nextBatchId = base.nextBatchId + 1,
+            fileStats = infos.collect {
+              case (rel, (_, st)) if st.nonEmpty => rel -> st
+            }.toMap ++ base.fileStats.filter { case (f, _) => keptSet(f) })
+        }
+        meta.files.size
+      } catch { case e: Throwable => meta = before; throw e }
+    }
+  }
+
   // ---- row-level DELETE / UPDATE (copy-on-write) ---------------------
   //
   // The reference is append-only and lists UPDATE/DELETE as open work
