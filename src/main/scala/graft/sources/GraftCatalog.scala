@@ -173,6 +173,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val d = tableDir(ident)
     if (!GraftTable.exists(d)) throw new NoSuchTableException(ident)
     val t = GraftTable.open(SparkSession.active, d)
+    // RENAME COLUMN is not a metadata-only change on a by-name format —
+    // it rewrites the table (see GraftTable.renameColumn) — so it cannot
+    // ride the alterAll transaction. Spark sends it as a single-change
+    // ALTER; refuse a mix rather than half-apply one.
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    if (renames.nonEmpty) {
+      require(renames.size == changes.size,
+        "RENAME COLUMN rewrites the table and cannot combine with other ALTER changes")
+      renames.foreach { r =>
+        require(r.fieldNames().length == 1,
+          s"nested column ${r.fieldNames().mkString(".")} not supported")
+        t.renameColumn(r.fieldNames()(0), r.newName())
+      }
+      return loadTable(ident)
+    }
     t.alterAll(changes.map {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,

@@ -1028,6 +1028,10 @@ final class GraftTable private (
         val n = infos.map(_._2._1).sum
         require(n == before.rowCount,
           s"recluster row count mismatch: rewrote $n of ${before.rowCount} rows")
+        // the commit's first-attempt base is the IN-MEMORY meta — restore
+        // the pre-recluster state so the rebase guard runs against the
+        // on-disk state, not our own staged option change
+        meta = before
         commitMutation { base =>
           require(base.currentSchema == before.currentSchema,
             s"concurrent schema change during recluster of $location")
@@ -1047,6 +1051,90 @@ final class GraftTable private (
         meta.files.size
       } catch { case e: Throwable => meta = before; throw e }
     }
+  }
+
+  /** RENAME COLUMN. The reference gets rename for free: PostgreSQL
+    * renames the catalog attribute and cstore reads stripes by attribute
+    * NUMBER, so old data needs no touch. Parquet binds by NAME —
+    * committed files carry the old name, and serving them under the new
+    * one would need a per-file name mapping in every read path,
+    * including DSv2 scans that cannot express a projection alias. So
+    * rename is a REWRITE: read under the old name, write under the new,
+    * swap files + schema (+ renamed clustering/bucket/bloom option
+    * references — values are unchanged, so bucket routes and sort order
+    * carry over) in ONE CAS commit. Honest cost model: O(table), like
+    * [[recluster]]; the metadata-only rename is cstore's positional
+    * luxury, not parquet's. Any ALTER-added synthesized default is
+    * materialized by the rewrite, so the renamed column reads
+    * identically from every file. Concurrent commits abort the rename
+    * (a carried file would still hold the OLD name). */
+  def renameColumn(from: String, to: String): Unit = withTableLock {
+    refreshMeta()
+    require(meta.currentSchema.fieldNames.contains(from), s"no such column $from")
+    require(!meta.currentSchema.fieldNames.contains(to),
+      s"column $to already exists")
+    require(to.nonEmpty, "new column name must be non-empty")
+    val before = meta
+    def ren(s: Seq[String]): Seq[String] = s.map(c => if (c == from) to else c)
+    val newSchema = StructType(before.currentSchema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val newOpts = before.options.copy(
+      sortBy = ren(before.options.sortBy),
+      zorderBy = ren(before.options.zorderBy),
+      bloomFilterColumns = ren(before.options.bloomFilterColumns),
+      bucketBy = ren(before.options.bucketBy))
+    val newDefaults = before.defaults.get(from) match {
+      case Some(v) => before.defaults - from + (to -> v)
+      case None => before.defaults
+    }
+    if (before.files.isEmpty) {
+      commitMutation(base => base.copy(
+        currentSchema = newSchema, options = newOpts, defaults = newDefaults))
+      return
+    }
+    val renamed = read().withColumnRenamed(from, to)
+    // the batch writer reads schema/options from `meta` — point it at
+    // the post-rename declaration for the rewrite; restored on abort
+    meta = before.copy(currentSchema = newSchema, options = newOpts,
+      defaults = newDefaults)
+    try {
+      val target = math.max(1L, (before.rowCount + newOpts.stripeRowCount - 1)
+        / newOpts.stripeRowCount).toInt
+      // preserve range-disjoint clustering where it exists (same
+      // partitioning discipline as recluster); bucketed and zorder
+      // layouts partition inside the writer
+      val input =
+        if (newOpts.bucketBy.nonEmpty || newOpts.zorderBy.nonEmpty) renamed
+        else if (newOpts.sortBy.nonEmpty)
+          renamed.repartitionByRange(target, newOpts.sortBy.map(col): _*)
+        else renamed.repartition(target)
+      val batchDir = writeBatchDir(input)
+      val infos = listParquetFiles(batchDir)
+        .map(f => relativize(f, location) -> footerInfo(f))
+      val n = infos.map(_._2._1).sum
+      require(n == before.rowCount,
+        s"rename rewrite row count mismatch: rewrote $n of ${before.rowCount} rows")
+      // the commit's first-attempt base is the IN-MEMORY meta — restore
+      // the pre-rename state so the concurrency guard compares against
+      // what is actually on disk, not our own staged mutation
+      meta = before
+      commitMutation { base =>
+        require(base.currentSchema == before.currentSchema &&
+          base.files == before.files,
+          s"concurrent commit during RENAME COLUMN of $location — retry " +
+            "(a carried file would still hold the old column name)")
+        base.copy(
+          currentSchema = newSchema,
+          options = newOpts,
+          defaults = newDefaults,
+          files = infos.map(_._1).toVector,
+          nextBatchId = base.nextBatchId + 1,
+          fileStats = infos.collect {
+            case (rel, (_, st)) if st.nonEmpty => rel -> st
+          }.toMap)
+      }
+      ()
+    } catch { case e: Throwable => meta = before; throw e }
   }
 
   // ---- row-level DELETE / UPDATE (copy-on-write) ---------------------
