@@ -225,7 +225,28 @@ object MutationQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** n10: merge-on-read DELETE — the sparse-delete path. The predicate
+    * hits a key range scattered across every file (the template's append
+    * is not key-clustered), so each file loses a small fraction of its
+    * rows: no data file is rewritten, the delete lands as per-file
+    * deletion-vector sidecars, and the read-back serves rows net of
+    * them. The driver hash-checks that the vectored read equals the
+    * DuckDB-computed final state; the no-file-rewritten invariant is
+    * asserted here (it is the point of the path) and structurally in
+    * DeletionVectorSpec. */
+  def n10MorDelete(s: SparkSession, dir: String): DataFrame = {
+    val t = scratch(s, dir)
+    val filesBefore = t.committedFiles.toSet
+    t.deleteMor(Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("c_custkey", 100L),
+      org.apache.spark.sql.sources.LessThanOrEqual("c_custkey", 300L)))
+    require(t.committedFiles.toSet == filesBefore,
+      "n10: a sparse merge-on-read delete must not rewrite any data file")
+    t.read().orderBy("c_custkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n10_mor_delete" -> n10MorDelete _,
     "n9_agg_maintain" -> n9AggMaintain _,
     "n8_spj_join" -> n8SpjJoin _,
     "n1_delete" -> n1Delete _,
@@ -237,6 +258,10 @@ object MutationQueries {
     "n7_changes" -> n7Changes _)
 
   val oracles: Map[String, String] = Map(
+    "n10_mor_delete" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey NOT BETWEEN 100 AND 300
+        |ORDER BY c_custkey""".stripMargin,
     "n9_agg_maintain" ->
       """WITH src AS (
         |  SELECT c_custkey, c_mktsegment,

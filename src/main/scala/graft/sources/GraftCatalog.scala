@@ -156,7 +156,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       bucketBy = bucketTransform.map(_._1)
         .orElse(prop("bucket_by").map(_.trim)).toSeq,
       bucketCount = bucketTransform.map(_._2)
-        .orElse(prop("bucket_count").map(_.toInt)).getOrElse(0))
+        .orElse(prop("bucket_count").map(_.toInt)).getOrElse(0),
+      deleteMode = prop("delete_mode").getOrElse("copy-on-write"))
     fs.mkdirs(nsDir(ident.namespace()))
     GraftTable.create(SparkSession.active, tableDir(ident), schema, opts)
     new GraftSparkTable(tableDir(ident))

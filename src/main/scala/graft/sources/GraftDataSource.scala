@@ -76,7 +76,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
         zorderBy = cols("zorder_by"),
         bloomFilterColumns = cols("bloom_filter_columns"),
         bucketBy = cols("bucket_by"),
-        bucketCount = Option(properties.get("bucket_count")).map(_.toInt).getOrElse(0))
+        bucketCount = Option(properties.get("bucket_count")).map(_.toInt).getOrElse(0),
+        deleteMode = Option(properties.get("delete_mode")).getOrElse("copy-on-write"))
       GraftTable.create(SparkSession.active, loc, schema, opts)
     }
     new GraftSparkTable(loc)
@@ -122,10 +123,16 @@ class GraftSparkTable(location: String) extends Table
     // SQL `DELETE FROM t` (no WHERE) arrives as an empty/AlwaysTrue
     // array; route it through the metadata-only truncate instead of a
     // full rewrite to nothing
+    val t = graft
     if (filters.isEmpty ||
         filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
-      graft.truncate()
-    else graft.delete(filters.toIndexedSeq)
+      t.truncate()
+    else if (t.options.deleteMode == "merge-on-read")
+      // delete_mode option: record deleted positions in per-file
+      // deletion vectors instead of rewriting the touched files — the
+      // sparse-delete path (see GraftTable.deleteMor)
+      t.deleteMor(filters.toIndexedSeq)
+    else t.delete(filters.toIndexedSeq)
     ()
   }
 
@@ -184,7 +191,8 @@ class GraftSparkTable(location: String) extends Table
       streamLocation = Some(location),
       hasSynthesizedColumns = t.hasSynthesizedColumns,
       bucketSpec = t.options.bucketBy.headOption.map(c => (c, t.options.bucketCount)),
-      fileRanges = if (t.options.bucketBy.nonEmpty) t.sortFileRanges else None)
+      fileRanges = if (t.options.bucketBy.nonEmpty) t.sortFileRanges else None,
+      dvs = t.dvAbsByPath)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -241,6 +249,7 @@ class GraftSnapshotTable(location: String, version: Long) extends Table
       filePruner = Some(t.prunedFiles),
       tableStats = None,
       explainMeta = () => t.explainMeta,
-      hasSynthesizedColumns = t.hasSynthesizedColumns)
+      hasSynthesizedColumns = t.hasSynthesizedColumns,
+      dvs = t.dvAbsByPath)
   }
 }

@@ -37,7 +37,8 @@ private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("compact", "compact_small", "vacuum", "analyze", "analyze_sample",
-      "table_size", "history", "expire_history", "diff", "clone", "recluster")
+      "table_size", "history", "expire_history", "diff", "clone", "recluster",
+      "verify", "verify_deep")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -116,6 +117,27 @@ private[sources] object GraftProcedures {
             new LocalScan {
               override def readSchema(): StructType = schema
               override def rows(): Array[InternalRow] = diffRows
+            }
+          } else if (procName == "verify" || procName == "verify_deep") {
+            // integrity audit (the reference's open checksums item,
+            // TODO.md:9): summary rows + one row per issue found
+            val issues = t.verify(deep = procName == "verify_deep")
+            val schema = StructType(Seq(
+              StructField("metric", StringType, nullable = false),
+              StructField("value", StringType, nullable = false)))
+            val verifyRows: Array[InternalRow] =
+              (Seq(
+                ("files_checked", t.committedFiles.size.toString),
+                ("deletion_vectors_checked", t.dvEntries.size.toString),
+                ("issues_found", issues.size.toString)) ++
+                issues.map(i => ("issue", i)))
+              .map { case (m, v) =>
+                new GenericInternalRow(Array[Any](
+                  UTF8String.fromString(m), UTF8String.fromString(v))): InternalRow
+              }.toArray
+            new LocalScan {
+              override def readSchema(): StructType = schema
+              override def rows(): Array[InternalRow] = verifyRows
             }
           } else if (procName == "history") {
             // multi-row result: one row per retained snapshot

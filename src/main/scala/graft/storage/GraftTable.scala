@@ -52,9 +52,17 @@ final case class GraftTableOptions(
     zorderBy: Seq[String] = Seq.empty,
     bloomFilterColumns: Seq[String] = Seq.empty,
     bucketBy: Seq[String] = Seq.empty,
-    bucketCount: Int = 0) {
+    bucketCount: Int = 0,
+    // DELETE strategy: "copy-on-write" rewrites every touched file (read
+    // cost zero afterwards); "merge-on-read" records deleted positions in
+    // per-file deletion-vector sidecars (delete cost ∝ rows deleted — the
+    // sparse-delete path at 100 TB), with reads filtering dead positions
+    // until a rewrite materializes them. Settable via ALTER.
+    deleteMode: String = "copy-on-write") {
 
   def validate(): Unit = {
+    require(deleteMode == "copy-on-write" || deleteMode == "merge-on-read",
+      s"invalid delete_mode '$deleteMode' (copy-on-write | merge-on-read)")
     require(GraftTableOptions.codecs.contains(compression),
       s"invalid compression '$compression' (one of ${GraftTableOptions.codecs.mkString(", ")})")
     // Bounds from cstore_fdw.h:38-41.
@@ -155,11 +163,20 @@ final class GraftTable private (
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         meta.currentSchema)
     } else {
-      spark.read.schema(readSchema()).parquet(files: _*)
+      applyDvs(spark.read.schema(readSchema()).parquet(files: _*), meta.dvs)
         .select(meta.currentSchema.fields.map(f =>
           col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
     }
   }
+
+  /** Filter merge-on-read deleted positions out of a raw parquet read.
+    * Must run BEFORE any projection — the `_metadata` struct the filter
+    * reads resolves only on the source relation. A no-op (returns `df`
+    * unchanged, no filter in the plan) when no read file carries a
+    * vector. */
+  private def applyDvs(df: DataFrame, dvs: Map[String, GraftTable.DvEntry]): DataFrame =
+    DeletionVectors.applyDvs(df, GraftTable.dvAbsByPath(location, dvs),
+      new org.apache.spark.util.SerializableConfiguration(GraftTable.hadoopConf()))
 
   /** Current schema with existence-default metadata attached — the schema
     * both read paths (Scala API and DSv2 scan) must use. */
@@ -204,8 +221,10 @@ final class GraftTable private (
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         m.currentSchema)
     } else {
-      spark.read.schema(GraftTable.withExistenceDefaults(m.currentSchema, m.defaults))
-        .parquet(files: _*)
+      applyDvs(
+        spark.read.schema(GraftTable.withExistenceDefaults(m.currentSchema, m.defaults))
+          .parquet(files: _*),
+        m.dvs)
         .select(m.currentSchema.fields.map(f =>
           col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
     }
@@ -218,7 +237,7 @@ final class GraftTable private (
   private[graft] def requireSnapshotReadable(version: Long,
       m: GraftTable.Meta): Unit = {
     val (fs, _) = GraftTable.fsAndPath(location)
-    m.files.map(f => s"$location/$f")
+    (m.files ++ m.dvs.values.map(_.path)).map(f => s"$location/$f")
       .find(f => !fs.exists(new HPath(f))).foreach { gone =>
         throw new IllegalStateException(
           s"snapshot v$version references $gone, reclaimed by vacuum/truncate — " +
@@ -278,7 +297,8 @@ final class GraftTable private (
     * `cstore_table_size(regclass)` UDF (`cstore_fdw.c:1183-1229`). */
   def tableSize(): Long = {
     val (fs, _) = fsAndPath(location)
-    val dataBytes = dataFiles().map(f => fs.getFileStatus(new HPath(f)).getLen).sum
+    val dataBytes = (dataFiles() ++ meta.dvs.values.map(e => s"$location/${e.path}"))
+      .map(f => fs.getFileStatus(new HPath(f)).getLen).sum
     val metaBytes = fs.getFileStatus(metaPath(location)).getLen
     dataBytes + metaBytes
   }
@@ -881,7 +901,10 @@ final class GraftTable private (
     if (small.size <= 1) return 0 // one small file merges with nothing
     val smallRels = small.map(_._1)
     val schemaAtWrite = meta.currentSchema
-    val expectRows = smallRels.map(r => footerInfo(s"$location/$r")._1).sum
+    // expected output = LIVE rows: footer rows net of deletion vectors
+    // (the rewrite materializes any vector a small file carries)
+    val expectRows = smallRels.map(r => footerInfo(s"$location/$r")._1 -
+      meta.dvs.get(r).map(_.card).getOrElse(0L)).sum
     val nOut = math.max(1L,
       (small.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
     val batchDir = writeBatchDir(readFilesDf(smallRels).repartition(nOut))
@@ -916,6 +939,8 @@ final class GraftTable private (
           s"concurrent schema change during compaction of $location")
         require(before.files.forall(base.files.contains),
           s"concurrent truncate/compaction of $location — aborting this compaction")
+        require(before.files.forall(r => base.dvs.get(r) == before.dvs.get(r)),
+          s"concurrent merge-on-read delete during compaction of $location — retry")
         val beforeSet = before.files.toSet
         val kept = base.files.filterNot(beforeSet)
         val keptSet = kept.toSet
@@ -924,7 +949,8 @@ final class GraftTable private (
           nextBatchId = base.nextBatchId + 1,
           fileStats = infos.collect {
             case (rel, (_, st)) if st.nonEmpty => rel -> st
-          }.toMap ++ base.fileStats.filter { case (f, _) => keptSet(f) })
+          }.toMap ++ base.fileStats.filter { case (f, _) => keptSet(f) },
+          dvs = base.dvs.view.filterKeys(keptSet).toMap)
       }
       meta.files.size
     }
@@ -953,8 +979,9 @@ final class GraftTable private (
     if (src.files.nonEmpty) {
       val conf = new org.apache.spark.util.SerializableConfiguration(
         GraftTable.hadoopConf())
-      val slices = math.min(src.files.size, 64)
-      spark.sparkContext.parallelize(src.files, slices).foreach { rel =>
+      val toCopy = src.files ++ src.dvs.values.map(_.path)
+      val slices = math.min(toCopy.size, 64)
+      spark.sparkContext.parallelize(toCopy, slices).foreach { rel =>
         val from = new HPath(s"$srcLoc/$rel")
         val to = new HPath(s"$destLoc/$rel")
         val ffs = from.getFileSystem(conf.value)
@@ -968,7 +995,8 @@ final class GraftTable private (
       rowCount = src.rowCount,
       defaults = src.defaults,
       nextBatchId = src.nextBatchId,
-      fileStats = src.fileStats))
+      fileStats = src.fileStats,
+      dvs = src.dvs))
     // ANALYZE stats sidecar travels too: the clone plans like the source
     GraftTable.readStats(srcLoc).foreach(GraftTable.writeStatsAtomic(destLoc, _))
     GraftTable.open(spark, destLoc)
@@ -1037,6 +1065,8 @@ final class GraftTable private (
             s"concurrent schema change during recluster of $location")
           require(before.files.forall(base.files.contains),
             s"concurrent compaction/truncate during recluster of $location")
+          require(before.files.forall(r => base.dvs.get(r) == before.dvs.get(r)),
+            s"concurrent merge-on-read delete during recluster of $location — retry")
           val beforeSet = before.files.toSet
           val kept = base.files.filterNot(beforeSet)
           val keptSet = kept.toSet
@@ -1046,7 +1076,8 @@ final class GraftTable private (
             nextBatchId = base.nextBatchId + 1,
             fileStats = infos.collect {
               case (rel, (_, st)) if st.nonEmpty => rel -> st
-            }.toMap ++ base.fileStats.filter { case (f, _) => keptSet(f) })
+            }.toMap ++ base.fileStats.filter { case (f, _) => keptSet(f) },
+            dvs = base.dvs.view.filterKeys(keptSet).toMap)
         }
         meta.files.size
       } catch { case e: Throwable => meta = before; throw e }
@@ -1120,7 +1151,7 @@ final class GraftTable private (
       meta = before
       commitMutation { base =>
         require(base.currentSchema == before.currentSchema &&
-          base.files == before.files,
+          base.files == before.files && base.dvs == before.dvs,
           s"concurrent commit during RENAME COLUMN of $location — retry " +
             "(a carried file would still hold the old column name)")
         base.copy(
@@ -1131,7 +1162,9 @@ final class GraftTable private (
           nextBatchId = base.nextBatchId + 1,
           fileStats = infos.collect {
             case (rel, (_, st)) if st.nonEmpty => rel -> st
-          }.toMap)
+          }.toMap,
+          // the rewrite materialized every vector
+          dvs = Map.empty)
       }
       ()
     } catch { case e: Throwable => meta = before; throw e }
@@ -1163,10 +1196,14 @@ final class GraftTable private (
 
   /** Read a subset of committed files with the same default-synthesis
     * semantics as [[read]]. */
-  private def readFilesDf(rels: Seq[String]): DataFrame =
-    spark.read.schema(readSchema()).parquet(rels.map(f => s"$location/$f"): _*)
+  private def readFilesDf(rels: Seq[String]): DataFrame = {
+    val relSet = rels.toSet
+    applyDvs(
+      spark.read.schema(readSchema()).parquet(rels.map(f => s"$location/$f"): _*),
+      meta.dvs.view.filterKeys(relSet).toMap)
       .select(meta.currentSchema.fields.map(f =>
         col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
+  }
 
   /** Commit a copy-on-write rewrite: `replaced` files leave the list,
     * the batch dir's non-empty outputs join it, row count moves by
@@ -1179,17 +1216,25 @@ final class GraftTable private (
     val infos = newFiles.map(f => relativize(f, location) -> footerInfo(f))
       .filter(_._2._1 > 0L) // an all-deleted rewrite leaves no file behind
     val candSet = replaced.toSet
+    // the rewrite read the replaced files under THESE deletion vectors;
+    // a concurrent MOR delete on any of them would make the staged files
+    // resurrect its dead rows — abort instead (retryable)
+    val dvsAtScan = meta.dvs
     commitMutation { base =>
       require(base.currentSchema == schemaAtWrite,
         s"concurrent schema change during $what of $location — retry")
       require(replaced.forall(base.files.contains),
         s"concurrent compaction/truncate during $what of $location — retry")
+      require(replaced.forall(r => base.dvs.get(r) == dvsAtScan.get(r)),
+        s"concurrent merge-on-read delete during $what of $location — retry")
       base.copy(
         files = base.files.filterNot(candSet) ++ infos.map(_._1),
         rowCount = base.rowCount + rowDelta,
         nextBatchId = base.nextBatchId + 1,
         fileStats = base.fileStats.view.filterKeys(!candSet(_)).toMap ++
-          infos.collect { case (rel, (_, st)) if st.nonEmpty => rel -> st })
+          infos.collect { case (rel, (_, st)) if st.nonEmpty => rel -> st },
+        // a replaced file's vector is materialized by the rewrite
+        dvs = base.dvs.view.filterKeys(!candSet(_)).toMap)
     }
     ()
   }
@@ -1222,6 +1267,139 @@ final class GraftTable private (
     commitRewrite(cands, batchDir, schemaAtWrite, -deleted, "DELETE")
     deleted
   }
+
+  /** Merge-on-read DELETE: record matching rows' positions in per-file
+    * deletion-vector sidecars instead of rewriting the files — see
+    * [[DeletionVectors]]. Candidate files still zone-map-prune exactly
+    * like the COW path (a refuted file is untouched either way); within
+    * the candidates the cost model inverts: a SPARSE delete (the
+    * compliance-erasure shape — few rows scattered over many large
+    * files) writes kilobyte sidecars and leaves every data byte in
+    * place, where COW would rewrite all of them.
+    *
+    * Files the delete hits DENSELY (matched fraction of live rows >
+    * `maxDeleteRatio`, or every live row) are rewritten copy-on-write in
+    * the same commit instead — a mostly-dead file makes every later read
+    * pay a position filter for rows that should just be gone, and a
+    * fully-deleted file should leave the list entirely. Both halves
+    * publish in ONE CAS commit: sidecars for the sparse files, swapped
+    * files for the dense ones, rowCount down by the total.
+    *
+    * Reads stay exact: every path (Scala, DSv2/SQL, snapshots, CDF, COW
+    * rewrites) filters recorded positions; a later compact/recluster/
+    * UPDATE materializes the vectors and drops them. Returns rows
+    * deleted. */
+  def deleteMor(filters: Seq[Filter], maxDeleteRatio: Double = 0.5): Long =
+    withTableLock {
+      refreshMeta()
+      require(filters.nonEmpty,
+        "DELETE with no predicate — use truncate() for the full-table form")
+      val cond = filters.map(GraftTable.filterToColumn).reduce(_ && _)
+      val cands = mutationCandidates(filters)
+      if (cands.isEmpty) return 0L
+      val schemaAtWrite = meta.currentSchema
+      val dvsAtScan = meta.dvs
+      val candSet = cands.toSet
+      val candDvs = dvsAtScan.view.filterKeys(candSet).toMap
+      // matched (file, position) pairs over candidate files, existing
+      // vectors applied first (an already-dead row must not re-delete)
+      val raw = spark.read.schema(readSchema())
+        .parquet(cands.map(f => s"$location/$f"): _*)
+      val matched = applyDvs(raw, candDvs)
+        .filter(coalesce(cond, lit(false)))
+        .select(col("_metadata.file_path").as("__fp"),
+          col("_metadata.row_index").as("__ri"))
+      val counts = matched.groupBy("__fp").count().collect()
+        .map(r => GraftTable.relativize(
+          DeletionVectors.normalize(r.getString(0)), location) -> r.getLong(1))
+        .toMap
+      val totalDeleted = counts.values.sum
+      if (totalDeleted == 0L) return 0L
+      // live rows per candidate file = footer rows − existing vector
+      def liveRows(rel: String): Long =
+        meta.fileStats.get(rel).flatMap(_.values.headOption).map(_.rows)
+          .getOrElse(footerInfo(s"$location/$rel")._1) -
+          dvsAtScan.get(rel).map(_.card).getOrElse(0L)
+      val (dense, sparse) = counts.partition { case (rel, n) =>
+        val live = liveRows(rel)
+        n >= live || n.toDouble / live.toDouble > maxDeleteRatio
+      }
+      // -- sparse half: write one sidecar per file, from the executors --
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        GraftTable.hadoopConf())
+      val dvBatchRel = s"data/batch-dv-${java.util.UUID.randomUUID().toString.take(8)}"
+      val dvBatchAbs = s"$location/$dvBatchRel"
+      val loc = location
+      val sparseUris = sparse.keys.map(r =>
+        DeletionVectors.normalize(s"$loc/$r")).toSet
+      val oldDvByRel = candDvs.map { case (rel, e) => rel -> s"$loc/${e.path}" }
+      val sparseEntries: Array[(String, GraftTable.DvEntry)] =
+        if (sparse.isEmpty) Array.empty
+        else {
+          val (fs0, _) = GraftTable.fsAndPath(location)
+          fs0.mkdirs(new HPath(dvBatchAbs))
+          matched.groupBy("__fp")
+            .agg(sort_array(collect_list(col("__ri"))).as("__pos"))
+            .repartition(math.min(sparse.size, 64))
+            .mapPartitions { rows =>
+              rows.flatMap { r =>
+                val uriPath = DeletionVectors.normalize(r.getString(0))
+                if (!sparseUris.contains(uriPath)) Iterator.empty
+                else {
+                  val rel = GraftTable.relativize(uriPath, loc)
+                  val fresh = r.getSeq[Long](1).toArray
+                  val all = oldDvByRel.get(rel) match {
+                    case Some(old) => DeletionVectors.merge(
+                      DeletionVectors.Cache.get(old, conf.value), fresh)
+                    case None => fresh
+                  }
+                  val name = s"$dvBatchRel/" +
+                    s"${java.util.UUID.randomUUID().toString.take(16)}.dv"
+                  DeletionVectors.write(
+                    new HPath(s"$loc/$name").getFileSystem(conf.value),
+                    s"$loc/$name", all)
+                  Iterator.single((rel, name, all.length.toLong))
+                }
+              }
+            }(org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.STRING,
+              org.apache.spark.sql.Encoders.STRING,
+              org.apache.spark.sql.Encoders.scalaLong))
+            .collect()
+            .map { case (rel, dvRel, card) =>
+              rel -> GraftTable.DvEntry(dvRel, card) }
+        }
+      require(sparseEntries.length == sparse.size,
+        s"merge-on-read DELETE wrote ${sparseEntries.length} sidecars for " +
+          s"${sparse.size} sparse files")
+      // -- dense half: classic copy-on-write rewrite, same commit --------
+      val denseRels = dense.keys.toVector
+      val denseInfos: Seq[(String, (Long, Map[String, GraftTable.ColFileStats]))] =
+        if (denseRels.isEmpty) Seq.empty
+        else {
+          val keptDf = readFilesDf(denseRels).filter(!coalesce(cond, lit(false)))
+          val batchDir = writeBatchDir(keptDf)
+          listParquetFiles(batchDir).map(f => relativize(f, location) -> footerInfo(f))
+            .filter(_._2._1 > 0L)
+        }
+      val denseSet = denseRels.toSet
+      commitMutation { base =>
+        require(base.currentSchema == schemaAtWrite,
+          s"concurrent schema change during MOR DELETE of $location — retry")
+        require(cands.forall(base.files.contains),
+          s"concurrent compaction/truncate during MOR DELETE of $location — retry")
+        require(cands.forall(r => base.dvs.get(r) == dvsAtScan.get(r)),
+          s"concurrent merge-on-read delete on $location — retry")
+        base.copy(
+          files = base.files.filterNot(denseSet) ++ denseInfos.map(_._1),
+          rowCount = base.rowCount - totalDeleted,
+          nextBatchId = base.nextBatchId + (if (denseRels.isEmpty) 0 else 1),
+          fileStats = base.fileStats.view.filterKeys(!denseSet(_)).toMap ++
+            denseInfos.collect { case (rel, (_, st)) if st.nonEmpty => rel -> st },
+          dvs = base.dvs.view.filterKeys(!denseSet(_)).toMap ++ sparseEntries)
+      }
+      totalDeleted
+    }
 
   /** UPDATE … SET: `assignments` applied to rows matching the
     * conjunction of `filters` (all rows when empty — though zone maps
@@ -1366,11 +1544,14 @@ final class GraftTable private (
           require(n == candRows + inserted,
             s"MERGE row conservation failure: wrote $n, expected ${candRows + inserted}")
           val candSet = cands.toSet
+          val dvsAtScan = meta.dvs
           val committed = commitMutation { base =>
             require(base.currentSchema == schemaAtWrite,
               s"concurrent schema change during MERGE of $location — retry")
             require(cands.forall(base.files.contains),
               s"concurrent compaction/truncate during MERGE of $location — retry")
+            require(cands.forall(r => base.dvs.get(r) == dvsAtScan.get(r)),
+              s"concurrent merge-on-read delete during MERGE of $location — retry")
             txn.foreach { case (qid, bid) =>
               // zombie-driver replay detected at rebase time: same no-op
               // contract as appendLocked
@@ -1387,6 +1568,7 @@ final class GraftTable private (
                 (rewriteInfos ++ insertInfos).collect {
                   case (rel, (_, st)) if st.nonEmpty => rel -> st
                 },
+              dvs = base.dvs.view.filterKeys(!candSet(_)).toMap,
               emitFiles = insertInfos.map(_._1).toVector,
               streamTxn = txn.fold(base.streamTxn) { case (qid, bid) =>
                 base.streamTxn + (qid -> bid)
@@ -1452,11 +1634,16 @@ final class GraftTable private (
 
     val (changesFs, _) = GraftTable.fsAndPath(location)
     def readRels(m: GraftTable.Meta, rels: Seq[String]): DataFrame = {
-      val missing = rels.filterNot(r => changesFs.exists(new HPath(s"$location/$r")))
+      val relSet = rels.toSet
+      val dvRels = m.dvs.view.filterKeys(relSet).toMap
+      val missing = (rels ++ dvRels.values.map(_.path))
+        .filterNot(r => changesFs.exists(new HPath(s"$location/$r")))
       require(missing.isEmpty,
         s"change-feed data reclaimed (truncate/vacuum): ${missing.take(3).mkString(", ")}")
-      spark.read.schema(GraftTable.withExistenceDefaults(s0, m.defaults))
-        .parquet(rels.map(f => s"$location/$f"): _*)
+      applyDvs(
+        spark.read.schema(GraftTable.withExistenceDefaults(s0, m.defaults))
+          .parquet(rels.map(f => s"$location/$f"): _*),
+        dvRels)
         .select(s0.fields.map(f => col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
     }
 
@@ -1482,8 +1669,16 @@ final class GraftTable private (
         val v = fromVersion + i + 1
         val pset = p.files.toSet
         val cset = c.files.toSet
-        val removed = p.files.filterNot(cset)
-        val added = c.files.filterNot(pset)
+        // a merge-on-read delete changes a file's EFFECTIVE content
+        // without touching the file list: any carried file whose
+        // deletion-vector entry moved diffs like a swapped file (readRels
+        // applies each side's own vectors, so the dead rows surface as
+        // deletes and the carried rows cancel — cost ∝ the vectored
+        // files, the same bound as a COW swap)
+        val dvChanged = p.files.filter(cset)
+          .filter(f => p.dvs.get(f) != c.dvs.get(f))
+        val removed = p.files.filterNot(cset) ++ dvChanged
+        val added = c.files.filterNot(pset) ++ dvChanged
         if (removed.isEmpty && added.isEmpty) None
         else if (removed.isEmpty)
           // pure append: added rows are inserts, no shuffle
@@ -1515,8 +1710,14 @@ final class GraftTable private (
     * source cannot serve it exactly-once; see `Meta.changeCommit`). */
   def replaceFilesCommit(scanned: Seq[String], stagingDir: String,
       schemaAtWrite: StructType, what: String,
-      stagedFiles: Option[Seq[String]] = None): Unit = withTableLock {
+      stagedFiles: Option[Seq[String]] = None,
+      dvsAtScan: Option[Map[String, GraftTable.DvEntry]] = None): Unit = withTableLock {
     refreshMeta()
+    // the COW scan read the groups under these deletion vectors (the
+    // operation's scan time for the SQL path; the refreshed state for
+    // single-writer callers) — a concurrent MOR delete invalidates the
+    // staged rewrite, which would resurrect its dead rows
+    val dvsAt = dvsAtScan.getOrElse(meta.dvs)
     val replaced = scanned.map(relativize(_, location)).distinct
     // When the caller knows the authoritative output set (the writer
     // commit messages), commit EXACTLY it — a zombie task attempt can
@@ -1533,7 +1734,11 @@ final class GraftTable private (
       return
     }
     val newRows = infos.map(_._2._1).sum
-    val replacedRows = replaced.map(r => footerInfo(s"$location/$r")._1).sum
+    // replaced LIVE rows: footer rows net of each group's deletion
+    // vector (the COW scan filtered those positions, so the staged
+    // output never contained them)
+    val replacedRows = replaced.map(r => footerInfo(s"$location/$r")._1 -
+      dvsAt.get(r).map(_.card).getOrElse(0L)).sum
     val delta = newRows - replacedRows
     val candSet = replaced.toSet
     commitMutation { base =>
@@ -1541,12 +1746,15 @@ final class GraftTable private (
         s"concurrent schema change during $what of $location — retry")
       require(replaced.forall(base.files.contains),
         s"concurrent compaction/truncate during $what of $location — retry")
+      require(replaced.forall(r => base.dvs.get(r) == dvsAt.get(r)),
+        s"concurrent merge-on-read delete during $what of $location — retry")
       base.copy(
         files = base.files.filterNot(candSet) ++ infos.map(_._1),
         rowCount = base.rowCount + delta,
         nextBatchId = base.nextBatchId + 1,
         fileStats = base.fileStats.view.filterKeys(!candSet(_)).toMap ++
           infos.collect { case (rel, (_, st)) if st.nonEmpty => rel -> st },
+        dvs = base.dvs.view.filterKeys(!candSet(_)).toMap,
         // EVERY SQL MERGE that rewrote groups is a change commit: its
         // staged files mix carried rows with any inserted ones, and the
         // row-count delta cannot reveal whether inserts exist (a
@@ -1578,8 +1786,11 @@ final class GraftTable private (
       // first (the Delta/Iceberg retention contract)
       val snapshotFiles = GraftTable.historyVersions(location)
         .filter(_ <= meta.version) // an orphan must not pin its batch dir
-        .flatMap(v => GraftTable.readHistoryMeta(location, v).files)
-      val live = (meta.files ++ snapshotFiles)
+        .flatMap { v =>
+          val m = GraftTable.readHistoryMeta(location, v)
+          m.files ++ m.dvs.values.map(_.path)
+        }
+      val live = (meta.files ++ meta.dvs.values.map(_.path) ++ snapshotFiles)
         .map(f => new HPath(s"$location/$f").getParent.getName).toSet
       // In-flight protection: the commit contract allows cross-process
       // writers on lock-less filesystems, and an appender's batch dir is
@@ -1606,12 +1817,114 @@ final class GraftTable private (
     }
   }
 
+  /** Integrity verification — the reference's open checksums item
+    * (`TODO.md:9` "Add checksums to the format"), realized over the
+    * redundancy the storage already carries instead of a new checksum
+    * stream: every committed file's parquet footer is re-read and
+    * audited against the table metadata (existence, parsability, row
+    * count vs the recorded zone-map rows), footer row sums must conserve
+    * the committed row count net of deletion vectors, and every
+    * deletion-vector sidecar must parse, match its recorded cardinality,
+    * and stay within its file's row domain. `deep = true` additionally
+    * DECODES every page of every column (one distributed scan hashing
+    * all columns): parquet page decompression + decoding surfaces
+    * bit-rot that footer checks cannot, the role a content checksum
+    * would play, at the cost of reading the table once.
+    *
+    * Distributed: the footer audit is one task per file batch, so at
+    * 100 TB verification cost is footer-read I/O (deep: one full scan),
+    * never a driver loop over file bytes. Returns human-readable issue
+    * strings; empty = healthy. */
+  def verify(deep: Boolean = false): Seq[String] = {
+    refreshMeta()
+    val m = meta
+    val loc = location
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      GraftTable.hadoopConf())
+    val issues = scala.collection.mutable.Buffer[String]()
+    // 1. per-file footer audit, distributed
+    val fileAudit: Array[(String, Long, Seq[String])] =
+      if (m.files.isEmpty) Array.empty
+      else spark.sparkContext
+        .parallelize(m.files, math.min(m.files.size, 64))
+        .map { rel =>
+          val abs = s"$loc/$rel"
+          val out = Seq.newBuilder[String]
+          var rows = -1L
+          try {
+            val p = new HPath(abs)
+            val fs = p.getFileSystem(conf.value)
+            if (!fs.exists(p)) out += s"$rel: missing data file"
+            else {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(p, conf.value)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try rows = r.getRecordCount finally r.close()
+            }
+          } catch { case e: Exception =>
+            out += s"$rel: unreadable parquet footer (${e.getMessage})"
+          }
+          (rel, rows, out.result())
+        }.collect()
+    val footerRows = fileAudit.map(a => a._1 -> a._2).toMap
+    fileAudit.foreach { case (rel, rows, iss) =>
+      issues ++= iss
+      m.fileStats.get(rel).flatMap(_.values.headOption).map(_.rows).foreach { rec =>
+        if (rows >= 0 && rows != rec)
+          issues += s"$rel: footer holds $rows rows, metadata recorded $rec"
+      }
+    }
+    // 2. row-count conservation: Σ footer rows − Σ dead positions
+    if (fileAudit.forall(_._2 >= 0)) {
+      val live = fileAudit.map(_._2).sum - m.dvs.values.map(_.card).sum
+      if (live != m.rowCount)
+        issues += s"table: files hold $live live rows, committed count is ${m.rowCount}"
+    }
+    // 3. deletion-vector sidecar audit (sidecars are small; driver-side)
+    val (vfs, _) = GraftTable.fsAndPath(location)
+    m.dvs.foreach { case (rel, e) =>
+      try {
+        val pos = DeletionVectors.read(vfs, s"$loc/${e.path}")
+        if (pos.length.toLong != e.card)
+          issues += s"${e.path}: vector holds ${pos.length} positions, recorded ${e.card}"
+        if (!m.files.contains(rel))
+          issues += s"${e.path}: vector references uncommitted file $rel"
+        footerRows.get(rel).filter(_ >= 0).foreach { rows =>
+          if (pos.nonEmpty && pos.last >= rows)
+            issues += s"${e.path}: position ${pos.last} beyond $rel's $rows rows"
+        }
+      } catch { case ex: Exception =>
+        issues += s"${e.path}: unreadable deletion vector (${ex.getMessage})"
+      }
+    }
+    // 4. deep page decode: hash every column of every row (forces full
+    // decompression + decoding; codec frame checksums and parquet
+    // decoding catch what footers cannot)
+    if (deep && issues.isEmpty && m.files.nonEmpty) {
+      try {
+        val cols = m.currentSchema.fieldNames.map(col).toIndexedSeq
+        // bit_xor, not sum: the fold must not itself overflow under ANSI
+        val r = read()
+          .select(xxhash64(cols: _*).as("__rh"))
+          .agg(count(lit(1)).as("__n"), expr("bit_xor(__rh)").as("__h"))
+          .collect().head
+        if (r.getAs[Long]("__n") != m.rowCount)
+          issues += s"table: deep scan decoded ${r.getAs[Long]("__n")} rows, " +
+            s"committed count is ${m.rowCount}"
+      } catch { case e: Exception =>
+        issues += s"table: deep decode failed (${e.getMessage})"
+      }
+    }
+    issues.toSeq
+  }
+
   /** TRUNCATE (`cstore_fdw.c:841-892`): drop all data files, keep the
     * table definition, re-init empty. */
   def truncate(): Unit = withTableLock {
     refreshMeta()
     commitMutation(base =>
-      base.copy(files = Vector.empty, rowCount = 0L, fileStats = Map.empty))
+      base.copy(files = Vector.empty, rowCount = 0L, fileStats = Map.empty,
+        dvs = Map.empty))
     // TRUNCATE physically deletes data (reference semantics) — but only
     // the batch dirs some snapshot UP TO the truncate commit references.
     // A concurrent appender's not-yet-committed batch dir is referenced
@@ -1628,8 +1941,10 @@ final class GraftTable private (
     GraftTable.historyVersions(location)
       .filter(_ < truncateVersion)
       .flatMap { v =>
-        try GraftTable.readHistoryMeta(location, v).files
-        catch { case _: Exception => Seq.empty } // partial claim: no files
+        try {
+          val m = GraftTable.readHistoryMeta(location, v)
+          m.files ++ m.dvs.values.map(_.path)
+        } catch { case _: Exception => Seq.empty } // partial claim: no files
       }
       .map(f => new HPath(s"$location/$f").getParent)
       .distinct
@@ -1912,8 +2227,9 @@ final class GraftTable private (
     // matches the request even when file sizes are skewed
     val thin = math.min(1.0,
       sampleFraction * meta.rowCount.toDouble / pickedRows.toDouble)
-    val base = spark.read.schema(readSchema())
-      .parquet(picked.map(f => s"$location/$f"): _*)
+    val base = applyDvs(
+      spark.read.schema(readSchema()).parquet(picked.map(f => s"$location/$f"): _*),
+      meta.dvs.view.filterKeys(picked.toSet).toMap)
       .select(fields.map(f => col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
     val df =
       if (thin < 1.0) base.sample(withReplacement = false, thin, seed = 42L)
@@ -1977,7 +2293,8 @@ final class GraftTable private (
     "GraftFiles" -> meta.files.size.toString,
     "GraftRows" -> meta.rowCount.toString,
     "GraftSizeBytes" -> tableSize().toString,
-    "GraftCompression" -> meta.options.compression)
+    "GraftCompression" -> meta.options.compression,
+    "GraftDeletionVectors" -> meta.dvs.size.toString)
 
   // ---- internals -----------------------------------------------------
 
@@ -1995,6 +2312,16 @@ final class GraftTable private (
 
   /** Absolute paths of the committed data files (for the DSv2 scan). */
   def committedFiles: Seq[String] = dataFiles()
+
+  /** Deletion-vector map for the scan delegates: normalized data-file
+    * URI path → sidecar absolute path. Empty when the table carries no
+    * vectors (every read path then plans exactly as before). */
+  def dvAbsByPath: Map[String, String] =
+    GraftTable.dvAbsByPath(location, meta.dvs)
+
+  /** Deletion-vector entries keyed by data-file rel path (for commit
+    * guards on the SQL COW path). */
+  def dvEntries: Map[String, GraftTable.DvEntry] = meta.dvs
 
   /** Per-file range manifest of the LEADING `sort_by` column, for the
     * scan's ordering claim (`SupportsReportOrdering`): on a
@@ -2159,7 +2486,17 @@ object GraftTable {
       // commit exactly-once — it fails (or skips, under
       // skipChangeCommits), mirroring Delta's change-commit contract.
       // Cleared automatically on every commit, like emitFiles.
-      changeCommit: Boolean = false)
+      changeCommit: Boolean = false,
+      // Deletion vectors: data-file rel path → its sidecar (rel path +
+      // deleted-position count). A file absent here has no dead rows.
+      // Every rewrite that replaces a file drops its entry (the rewrite
+      // materializes the vector); rowCount is always NET of these.
+      dvs: Map[String, DvEntry] = Map.empty)
+
+  /** One file's deletion-vector reference: sidecar rel path + how many
+    * positions it holds (so effective per-file row counts never need a
+    * sidecar read on the driver). */
+  final case class DvEntry(path: String, card: Long)
 
   private val MagicKey = "graft_magic"
   private val Magic = "graft_cstore_v1" // role of `citus_cstore` magic, cstore_fdw.h:50
@@ -2186,11 +2523,13 @@ object GraftTable {
   /** ALTER … unset an option: reverts to the CREATE-time default. */
   final case class UnsetOption(key: String) extends SchemaChange
 
-  private val settableOptions = Seq("compression", "stripe_row_count", "block_row_count")
+  private val settableOptions =
+    Seq("compression", "stripe_row_count", "block_row_count", "delete_mode")
 
   private def withOption(opts: GraftTableOptions, key: String,
       value: GraftTableOptions => GraftTableOptions): GraftTableOptions = key match {
-    case "compression" | "stripe_row_count" | "block_row_count" => value(opts)
+    case "compression" | "stripe_row_count" | "block_row_count" |
+         "delete_mode" => value(opts)
     case "sort_by" | "zorder_by" | "bloom_filter_columns" | "bucket_by" | "bucket_count" =>
       throw new IllegalArgumentException(
         s"option '$key' cannot be changed by ALTER: clustering and bucketing " +
@@ -2270,6 +2609,7 @@ object GraftTable {
         case "compression" => o.copy(compression = value)
         case "stripe_row_count" => o.copy(stripeRowCount = optionLong(key, value))
         case "block_row_count" => o.copy(blockRowCount = optionLong(key, value))
+        case "delete_mode" => o.copy(deleteMode = value)
         case _ => o
       }))
     case UnsetOption(key) =>
@@ -2278,6 +2618,7 @@ object GraftTable {
         case "compression" => o.copy(compression = d.compression)
         case "stripe_row_count" => o.copy(stripeRowCount = d.stripeRowCount)
         case "block_row_count" => o.copy(blockRowCount = d.blockRowCount)
+        case "delete_mode" => o.copy(deleteMode = d.deleteMode)
         case _ => o
       }))
   }
@@ -3031,6 +3372,13 @@ object GraftTable {
     readMetaFromFields(m)
   }
 
+  /** Deletion-vector map for scan delegates: normalized data-file URI
+    * path → sidecar ABSOLUTE path. */
+  private[storage] def dvAbsByPath(location: String,
+      dvs: Map[String, DvEntry]): Map[String, String] =
+    dvs.map { case (rel, e) =>
+      DeletionVectors.normalize(s"$location/$rel") -> s"$location/${e.path}" }
+
   /** Path of a data file relative to the table location, scheme-blind:
     * both sides are reduced to their URI paths, so a qualified listing
     * (`file:/wh/t/data/...`) relativizes against a bare location
@@ -3096,6 +3444,9 @@ object GraftTable {
     }.mkString("{", ",", "}")
     val streamTxn = m.streamTxn.map { case (q, b) => s"${js(q)}: $b" }
       .mkString("{", ",", "}")
+    val dvs = m.dvs.map { case (f, e) =>
+      s"${js(f)}: {\"p\": ${js(e.path)}, \"n\": ${e.card}}"
+    }.mkString("{", ",", "}")
     s"""{
        |  ${js(MagicKey)}: ${js(Magic)},
        |  "schema": ${js(m.currentSchema.json)},
@@ -3107,6 +3458,8 @@ object GraftTable {
        |  "bloom_filter": ${m.options.bloomFilterColumns.map(js).mkString("[", ",", "]")},
        |  "bucket_by": ${m.options.bucketBy.map(js).mkString("[", ",", "]")},
        |  "bucket_count": ${m.options.bucketCount},
+       |  "delete_mode": ${js(m.options.deleteMode)},
+       |  "dvs": $dvs,
        |  "row_count": ${m.rowCount},
        |  "version": ${m.version},
        |  "next_batch_id": ${m.nextBatchId},
@@ -3221,7 +3574,9 @@ object GraftTable {
         bucketBy = m.getOrElse("bucket_by", List.empty[Any])
           .asInstanceOf[List[Any]].map(_.asInstanceOf[String]),
         bucketCount = m.getOrElse("bucket_count", java.lang.Long.valueOf(0L))
-          .asInstanceOf[Number].intValue()),
+          .asInstanceOf[Number].intValue(),
+        deleteMode = m.getOrElse("delete_mode", "copy-on-write")
+          .asInstanceOf[String]),
       files = m("files").asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toVector,
       rowCount = m("row_count").asInstanceOf[Number].longValue(),
       defaults = defaults,
@@ -3235,7 +3590,13 @@ object GraftTable {
       emitFiles = m.getOrElse("emit_files", List.empty[Any])
         .asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toVector,
       changeCommit = m.getOrElse("change_commit", java.lang.Boolean.FALSE)
-        .asInstanceOf[Boolean])
+        .asInstanceOf[Boolean],
+      dvs = m.getOrElse("dvs", Map.empty[String, Any])
+        .asInstanceOf[Map[String, Any]].map { case (f, v) =>
+          val o = v.asInstanceOf[Map[String, Any]]
+          f -> DvEntry(o("p").asInstanceOf[String],
+            o("n").asInstanceOf[Number].longValue())
+        })
   }
 
   /** Minimal recursive-descent JSON parser (objects/arrays/strings/numbers/

@@ -66,12 +66,13 @@ object GraftRowLevel {
       options: CaseInsensitiveStringMap,
       filePruner: Seq[Filter] => Seq[String],
       runtimeFilterCols: Seq[String],
-      onPlanned: Seq[String] => Unit): ScanBuilder = {
+      onPlanned: Seq[String] => Unit,
+      dvByPath: Map[String, String] = Map.empty): ScanBuilder = {
     val spark = SparkSession.active
     val table = ParquetTable(name, spark, options, files, Some(schema),
       classOf[ParquetFileFormat])
     new CowScanBuilder(spark, table, schema, options, files, filePruner,
-      runtimeFilterCols, onPlanned)
+      runtimeFilterCols, onPlanned, dvByPath)
   }
 
   private final class CowScanBuilder(
@@ -82,7 +83,8 @@ object GraftRowLevel {
       allFiles: Seq[String],
       filePruner: Seq[Filter] => Seq[String],
       runtimeFilterCols: Seq[String],
-      onPlanned: Seq[String] => Unit)
+      onPlanned: Seq[String] => Unit,
+      dvByPath: Map[String, String])
       extends ParquetScanBuilder(spark, table.fileIndex, schema, schema, options) {
 
     private var groupFilters: Array[Filter] = Array.empty
@@ -111,7 +113,7 @@ object GraftRowLevel {
           new ParquetScanBuilder(spark, prunedTable.fileIndex, schema, schema,
             options).build()
         } else super.build()
-      new CowParquetScan(base, filePruner, runtimeFilterCols, onPlanned)
+      new CowParquetScan(base, filePruner, runtimeFilterCols, onPlanned, dvByPath)
     }
   }
 
@@ -125,12 +127,33 @@ object GraftRowLevel {
       base: ParquetScan,
       filePruner: Seq[Filter] => Seq[String],
       runtimeFilterCols: Seq[String],
-      onPlanned: Seq[String] => Unit)
+      onPlanned: Seq[String] => Unit,
+      dvByPath: Map[String, String])
       extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
-        base.dataSchema, base.readDataSchema, base.readPartitionSchema,
+        base.dataSchema,
+        // a group carrying a deletion vector must be read NET of it —
+        // carrying its dead rows into the rewrite would resurrect them;
+        // same row-index + wrapped-factory mechanism as the delegate scan
+        if (dvByPath.isEmpty) base.readDataSchema
+        else DvScan.withRowIndex(base.readDataSchema),
+        base.readPartitionSchema,
         base.pushedFilters, base.options, base.pushedAggregate,
         base.partitionFilters, base.dataFilters)
       with SupportsRuntimeV2Filtering {
+
+    override def readSchema(): StructType =
+      if (dvByPath.isEmpty) super.readSchema()
+      else StructType(DvScan.strip(readDataSchema).fields ++
+        readPartitionSchema.fields)
+
+    override def createReaderFactory()
+        : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+      val inner = super.createReaderFactory()
+      if (dvByPath.isEmpty) inner
+      else new DvScan.DvReaderFactory(inner, dvByPath,
+        new SerializableConfiguration(hadoopConf),
+        DvScan.strip(readDataSchema).fields.map(_.dataType))
+    }
 
     /** Spark's runtime group filtering builds ONE IN-subquery over ALL
       * declared attributes; a multi-column (struct) IN does not
@@ -143,7 +166,7 @@ object GraftRowLevel {
         Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
       val cols =
         if (runtimeFilterCols.nonEmpty) runtimeFilterCols
-        else readDataSchema.fields.map(_.name).toSeq
+        else DvScan.strip(readDataSchema).fields.map(_.name).toSeq
       cols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
     }
 
@@ -310,7 +333,8 @@ object GraftRowLevel {
       writeSchema: StructType,
       schemaAtWrite: StructType,
       what: String,
-      scanned: () => Seq[String]) extends Write with BatchWrite
+      scanned: () => Seq[String],
+      dvsAtScan: () => Map[String, GraftTable.DvEntry]) extends Write with BatchWrite
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
     // A sort_by table's rewrite re-clusters within each written file, so
@@ -397,7 +421,8 @@ object GraftRowLevel {
         }
       } catch { case _: Exception => () }
       table.replaceFilesCommit(scanned(), stagingDir, schemaAtWrite, what,
-        stagedFiles = Some(committed.toIndexedSeq))
+        stagedFiles = Some(committed.toIndexedSeq),
+        dvsAtScan = Some(dvsAtScan()))
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -414,6 +439,10 @@ object GraftRowLevel {
   final class Operation(location: String, cmd: Command) extends RowLevelOperation {
 
     @volatile private var planned: Seq[String] = Seq.empty
+    // deletion vectors as of scan time: the scan reads groups net of
+    // these, and the commit guards that no concurrent MOR delete moved
+    // them (the staged rewrite would resurrect its dead rows)
+    @volatile private var dvsAtRead: Map[String, GraftTable.DvEntry] = Map.empty
     @volatile private var schemaAtRead: StructType = _
     // the PERSISTED schema as of scan time — the commit's concurrency
     // guard (readSchema carries existence-default field metadata the
@@ -439,8 +468,10 @@ object GraftRowLevel {
           case Seq() => t.bestRuntimeFilterColumn().toSeq
           case declared => declared
         }
+      dvsAtRead = t.dvEntries
       cowScanBuilder(s"graft-cow.`$location`", t.committedFiles, schemaAtRead,
-        options, t.prunedFiles, rfCols, fs => planned = fs)
+        options, t.prunedFiles, rfCols, fs => planned = fs,
+        dvByPath = t.dvAbsByPath)
     }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -454,7 +485,7 @@ object GraftRowLevel {
           new CowWrite(location, t,
             if (schemaAtRead != null) schemaAtRead else t.readSchema(),
             if (rawSchemaAtRead != null) rawSchemaAtRead else t.schema,
-            cmd.toString, () => planned)
+            cmd.toString, () => planned, () => dvsAtRead)
         }
       }
   }

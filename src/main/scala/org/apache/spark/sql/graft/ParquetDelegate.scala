@@ -47,17 +47,19 @@ object ParquetDelegate {
       streamLocation: Option[String] = None,
       hasSynthesizedColumns: Boolean = false,
       bucketSpec: Option[(String, Int)] = None,
-      fileRanges: Option[GraftTable.SortedFileRanges] = None): ScanBuilder = {
+      fileRanges: Option[GraftTable.SortedFileRanges] = None,
+      dvs: Map[String, String] = Map.empty): ScanBuilder = {
     val spark = SparkSession.active
     val table = ParquetTable(name, spark, options, files, Some(schema),
       classOf[ParquetFileFormat])
     (exactRowCount, filePruner, tableStats, streamLocation) match {
-      case (None, None, None, None) if !hasSynthesizedColumns && bucketSpec.isEmpty =>
+      case (None, None, None, None)
+          if !hasSynthesizedColumns && bucketSpec.isEmpty && dvs.isEmpty =>
         table.newScanBuilder(options)
       case _ =>
         new GraftScanBuilder(name, spark, table.fileIndex, schema, options,
           files, exactRowCount, filePruner, tableStats, explainMeta,
-          streamLocation, hasSynthesizedColumns, bucketSpec, fileRanges)
+          streamLocation, hasSynthesizedColumns, bucketSpec, fileRanges, dvs)
     }
   }
 
@@ -78,20 +80,24 @@ object ParquetDelegate {
       streamLocation: Option[String],
       hasSynthesizedColumns: Boolean = false,
       bucketSpec: Option[(String, Int)] = None,
-      fileRanges: Option[GraftTable.SortedFileRanges] = None)
+      fileRanges: Option[GraftTable.SortedFileRanges] = None,
+      dvs: Map[String, String] = Map.empty)
       extends ParquetScanBuilder(spark, fileIndex, schema, schema, options) {
 
     /** Parquet footer aggregates (MIN/MAX/COUNT answered from file
       * statistics) are only sound when every file physically contains
-      * every schema column. A table with ADD COLUMN ... DEFAULT history
-      * synthesizes the default for pre-ALTER files at READ time —
-      * footers know nothing about it — so aggregate pushdown is refused
-      * wholesale there; the scan falls back to the normal read path,
-      * which synthesizes correctly. */
+      * every schema column AND every physical row is live. A table with
+      * ADD COLUMN ... DEFAULT history synthesizes the default for
+      * pre-ALTER files at READ time — footers know nothing about it —
+      * and a table carrying deletion vectors has footer counts/extremes
+      * that still include dead rows; both refuse pushdown wholesale, and
+      * the scan falls back to the normal read path, which synthesizes
+      * and filters correctly. */
     override def pushAggregation(
         aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
         : Boolean =
-      if (hasSynthesizedColumns) false else super.pushAggregation(aggregation)
+      if (hasSynthesizedColumns || dvs.nonEmpty) false
+      else super.pushAggregation(aggregation)
 
     // Every translated data filter, not just the ones parquet agrees to
     // push: parquet rejects e.g. timestamp filters whenever the session's
@@ -124,7 +130,7 @@ object ParquetDelegate {
       }
       new StatsParquetScan(prunedBase, exactRows, tableStats,
         schema, translatedDataFilters.toSeq, explainMeta, filePruner,
-        streamLocation, bucketSpec, fileRanges)
+        streamLocation, bucketSpec, fileRanges, dvs)
     }
   }
 
@@ -149,14 +155,36 @@ object ParquetDelegate {
       filePruner: Option[Seq[Filter] => Seq[String]],
       streamLocation: Option[String] = None,
       bucketSpec: Option[(String, Int)] = None,
-      fileRanges: Option[GraftTable.SortedFileRanges] = None)
+      fileRanges: Option[GraftTable.SortedFileRanges] = None,
+      dvByPath: Map[String, String] = Map.empty)
       extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
-        base.dataSchema, base.readDataSchema, base.readPartitionSchema,
+        base.dataSchema,
+        // deletion vectors: the parquet readers additionally produce each
+        // row's file position (Spark's row-index temporary column); the
+        // wrapped factory filters dead positions and projects it away,
+        // and readSchema() below hides it from the plan
+        if (dvByPath.isEmpty) base.readDataSchema
+        else DvScan.withRowIndex(base.readDataSchema),
+        base.readPartitionSchema,
         base.pushedFilters, base.options, base.pushedAggregate,
         base.partitionFilters, base.dataFilters)
       with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
       with org.apache.spark.sql.connector.read.SupportsReportPartitioning
       with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+
+    override def readSchema(): StructType =
+      if (dvByPath.isEmpty) super.readSchema()
+      else StructType(DvScan.strip(readDataSchema).fields ++
+        readPartitionSchema.fields)
+
+    override def createReaderFactory()
+        : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+      val inner = super.createReaderFactory()
+      if (dvByPath.isEmpty) inner
+      else new DvScan.DvReaderFactory(inner, dvByPath,
+        new org.apache.spark.util.SerializableConfiguration(hadoopConf),
+        DvScan.strip(readDataSchema).fields.map(_.dataType))
+    }
 
     // -- storage-partitioned joins over bucketed tables ---------------
     //
@@ -294,7 +322,7 @@ object ParquetDelegate {
     override def filterAttributes():
         Array[org.apache.spark.sql.connector.expressions.NamedReference] =
       if (filePruner.isEmpty) Array.empty
-      else readDataSchema.fields.map(f =>
+      else DvScan.strip(readDataSchema).fields.map(f =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
     @volatile private var runtimeKept: Option[Set[String]] = None
@@ -397,7 +425,10 @@ object ParquetDelegate {
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
       streamLocation match {
         case Some(loc) =>
-          new GraftMicroBatchStream(loc, readDataSchema, options)
+          // the stream delivers each append's ORIGINAL rows (DV commits
+          // are skipped by the row-growth rule), so the row-index
+          // column the DV batch scan reads has no business here
+          new GraftMicroBatchStream(loc, DvScan.strip(readDataSchema), options)
         case None => super.toMicroBatchStream(checkpointLocation)
       }
   }
