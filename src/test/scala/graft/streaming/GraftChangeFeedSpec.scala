@@ -82,6 +82,24 @@ class GraftChangeFeedSpec extends SparkSpec {
       (2L, "b", "delete"), (2L, "B", "insert"), (9L, "new", "insert"))) // MERGE diff
   }
 
+  test("a merge-on-read delete commit streams its dead rows as deletes") {
+    import spark.implicits._
+    val loc = tmpDir("cdf-dv") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append((1L to 20L).map(k => (k, s"v$k")).toDF("k", "v"))     // v1
+    // v2 swaps NO file — the diff must come from the vector alone
+    val filesBefore = t.committedFiles.toSet
+    t.deleteMor(Seq(org.apache.spark.sql.sources.In("k", Array(3L, 7L, 11L))))
+    assert(t.committedFiles.toSet === filesBefore)
+
+    val got = drain(loc, tmpDir("cdf-dv-ck"), throttle = Some(1L))
+    val v2 = got.filter(_._4 == 2L).toSet
+    assert(v2 === Set(
+      (3L, "v3", "delete", 2L), (7L, "v7", "delete", 2L), (11L, "v11", "delete", 2L)),
+      "a DV-only commit owes exactly its dead rows, nothing carried")
+    assert(got.count(_._4 == 1L) === 20)
+  }
+
   test("restart from checkpoint resumes exactly once; default start is head") {
     import spark.implicits._
     val loc = tmpDir("cdfr") + "/t"
