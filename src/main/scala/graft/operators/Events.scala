@@ -177,6 +177,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_tumbling_window" -> e1TumblingWindow _,
+    "e11_trending" -> e11Trending _,
     "e2_sessionize" -> e2Sessionize _,
     "e3_distinct_users" -> e3DistinctUsers _,
     "e4_asof_attribution" -> e4AsofAttribution _,
@@ -206,7 +207,46 @@ object Events {
       .orderBy("prev_type", "event_type")
   }
 
+  /** e11: trending event types — per 6-hour window, each type's count
+    * vs its previous-window count as integer basis points (the "what is
+    * spiking" dashboard primitive). One windowed groupBy (map-side
+    * partial combine → tiny (window, type) grid), then a lag over that
+    * GRID, whose cardinality is windows × types — thousands of rows at
+    * any corpus scale, so the second window costs nothing; no per-event
+    * window functions anywhere. */
+  def e11Trending(s: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.load(s, dir, "events")
+      .groupBy(expr("unix_timestamp(ts) div 21600").as("win6h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy("event_type").orderBy("win6h")
+    grid
+      .withColumn("prev_win", lag("win6h", 1).over(byType))
+      .withColumn("prev_cnt", lag("cnt", 1).over(byType))
+      // trend only vs the ADJACENT previous window: a gap (type absent
+      // for a window) breaks the streak rather than comparing across it
+      .filter(col("prev_win") === col("win6h") - 1)
+      // trunc-toward-zero on BOTH engines: Spark `div` truncates but
+      // DuckDB `//` floors, which differs on negative (falling) trends —
+      // so both sides compute trunc() of the same IEEE double quotient
+      .select(col("win6h"), col("event_type"), col("cnt"), col("prev_cnt"),
+        expr("cast((cnt - prev_cnt) * 10000 / prev_cnt as bigint)").as("trend_bp"))
+      .orderBy("win6h", "event_type")
+  }
+
   val oracles: Map[String, String] = Map(
+    "e11_trending" ->
+      """WITH grid AS (
+        |  SELECT CAST(epoch(ts) AS BIGINT) // 21600 win6h, event_type,
+        |         count(*) cnt
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT win6h, event_type, cnt,
+        |        lag(win6h) OVER (PARTITION BY event_type ORDER BY win6h) prev_win,
+        |        lag(cnt) OVER (PARTITION BY event_type ORDER BY win6h) prev_cnt
+        |      FROM grid)
+        |SELECT win6h, event_type, cnt, prev_cnt,
+        |       CAST(trunc(((cnt - prev_cnt) * 10000.0) / prev_cnt) AS BIGINT) trend_bp
+        |FROM l WHERE prev_win = win6h - 1
+        |ORDER BY win6h, event_type""".stripMargin,
     "e1_tumbling_window" ->
       ("SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) hour_epoch, event_type, " +
         "count(*) cnt, CAST(sum(CAST(round(value*10000) AS BIGINT)) AS BIGINT) vsum_x10000 " +

@@ -368,7 +368,93 @@ object Sampling {
       .orderBy("shard", "pos")
   }
 
+  /** c11: token-budget source mixing — the curation step after c3
+    * decides the WEIGHTS: spend a global token budget across sources in
+    * temperature-flattened proportion (√tokens, the n^0.5 upsampling of
+    * low-resource sources), admitting each source's documents in
+    * deterministic md5 order until its budget is spent. The admission
+    * rule is a cumulative prefix — doc d is in iff its running token
+    * total within the source stays ≤ the source budget — which naively
+    * is one `sum() OVER (PARTITION BY source ORDER BY hash)` window,
+    * i.e. ONE task per source for the whole corpus at 100 TB.
+    *
+    * Scale shape (same discipline as c10's shard shuffle): bucket each
+    * source's docs by the leading hex nibble of the admission hash (a
+    * RANGE prefix of the order, 16 buckets), compute per-bucket token
+    * sums, prefix-sum those per source (16 rows per source —
+    * broadcast), and each doc's exact global cumulative is its bucket
+    * offset + its within-(source, bucket) running sum. Identical to the
+    * single window (the oracle), 16-way parallel per source (deepen the
+    * prefix for more). Tokens are estimated as n_chars/4+1 —
+    * integer-exact on both engines, no tokenizer to disagree over. */
+  def c11TokenBudgetMix(s: SparkSession, dir: String,
+      budgetShare: Double = 0.3): DataFrame = {
+    val toks = docs(s, dir).select(
+      col("source"), col("doc_id"),
+      (floor(col("n_chars") / 4) + 1).cast("long").as("tok"),
+      md5(col("doc_id").cast("string").cast("binary")).as("sk"))
+      // the bucket must be a RANGE prefix of the admission order (the
+      // leading hex nibble — monotone in sk), NOT a modulo: cumulative
+      // sums only decompose into bucket-offset + within-bucket run when
+      // concatenating buckets in bucket order reproduces the sk order
+      .withColumn("salt",
+        conv(substring(col("sk"), 1, 1), 16, 10).cast("int"))
+    // source budgets: integer-exact √-flattened share of the global
+    // budget (c3's weight discipline, applied to tokens)
+    val per = toks.groupBy("source").agg(sum("tok").as("src_tok"))
+      .withColumn("wq", floor(sqrt(col("src_tok").cast("double")) * 1e6).cast("long"))
+    val tot = per.agg(sum("src_tok").as("all_tok"), sum("wq").as("wsum"))
+    val budgets = per.crossJoin(broadcast(tot)).select(
+      col("source"),
+      floor(col("all_tok").cast("double") * budgetShare
+        * col("wq").cast("double") / col("wsum").cast("double"))
+        .cast("long").as("budget"))
+    // exact per-doc cumulative without a per-source single task:
+    // bucket offsets (salts rows per source) + within-bucket running sum
+    val offsets = toks.groupBy("source", "salt").agg(sum("tok").as("n"))
+      .withColumn("off", coalesce(sum("n").over(
+        Window.partitionBy("source").orderBy("salt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "salt", "off")
+    toks
+      .withColumn("run", sum("tok").over(
+        Window.partitionBy("source", "salt").orderBy(col("sk"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(offsets), Seq("source", "salt"))
+      .withColumn("cum", col("off") + col("run"))
+      .join(broadcast(budgets), Seq("source"))
+      .filter(col("cum") <= col("budget"))
+      .select(col("source"), col("doc_id"), col("tok"), col("cum"))
+      .orderBy("source", "cum")
+  }
+
+  /** c12: importance sampling by deterministic hash acceptance — the
+    * CCNet-style quality-proportional downsample: each document is
+    * accepted with probability p(quality), but the coin flip is a
+    * cryptographic hash of the doc key, so the sample is reproducible,
+    * executor-count-independent, and needs NO state: one map-side
+    * filter, zero shuffles, the embarrassing-parallel path at any
+    * scale. p is a length-based quality proxy in integer micro-units
+    * (longer docs up to 2000 chars are proportionally likelier to
+    * survive; floor 5%), and the acceptance draw is the first 48 bits
+    * of md5(doc_id) reduced mod 1e6 — both integer-exact on both
+    * engines. */
+  def c12ImportanceSample(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(
+      col("doc_id"), col("source"), col("n_chars"),
+      least(lit(1000000L), greatest(lit(50000L), col("n_chars") * 500L))
+        .as("p_micro"),
+      (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 12),
+        16, 10).cast("long") % 1000000L).as("draw"))
+    d.filter(col("draw") < col("p_micro"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("p_micro"), col("draw"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c11_token_budget_mix" -> ((s, dir) => c11TokenBudgetMix(s, dir)),
+    "c12_importance_sample" -> ((s, dir) => c12ImportanceSample(s, dir)),
     "c10_shard_shuffle" -> ((s, dir) => c10ShardShuffle(s, dir)),
     "c8_cluster_split" -> c8ClusterSplit _,
     "c7_split" -> ((s, dir) => c7Split(s, dir)),
@@ -382,6 +468,39 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    // the single-window cumulative-prefix formulation the salted
+    // two-phase plan must equal exactly
+    "c11_token_budget_mix" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, CAST(floor(n_chars / 4.0) AS BIGINT) + 1 tok,
+        |         md5(CAST(doc_id AS VARCHAR)) sk
+        |  FROM documents),
+        |per AS (SELECT source, sum(tok) src_tok FROM t GROUP BY source),
+        |w AS (SELECT source, src_tok,
+        |        CAST(floor(sqrt(CAST(src_tok AS DOUBLE)) * 1e6) AS BIGINT) wq
+        |      FROM per),
+        |tot AS (SELECT sum(src_tok) all_tok, sum(wq) wsum FROM w),
+        |b AS (SELECT source,
+        |        CAST(floor(CAST(all_tok AS DOUBLE) * 0.3
+        |             * CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE)) AS BIGINT) budget
+        |      FROM w CROSS JOIN tot),
+        |c AS (SELECT source, doc_id, tok,
+        |        CAST(sum(tok) OVER (PARTITION BY source ORDER BY sk, doc_id
+        |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+        |      FROM t)
+        |SELECT c.source, c.doc_id, c.tok, c.cum
+        |FROM c JOIN b ON c.source = b.source
+        |WHERE c.cum <= b.budget
+        |ORDER BY c.source, c.cum""".stripMargin,
+    "c12_importance_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    least(1000000, greatest(50000, n_chars * 500)) p_micro,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+        |      % 1000000 draw
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, p_micro, draw
+        |FROM d WHERE draw < p_micro ORDER BY doc_id""".stripMargin,
     // the single-window formulation the salted two-phase plan must equal
     "c10_shard_shuffle" ->
       ("""SELECT shard, row_number() OVER (
