@@ -245,8 +245,23 @@ object MutationQueries {
     t.read().orderBy("c_custkey")
   }
 
+  /** n11: merge-on-read UPDATE — old versions die into deletion-vector
+    * sidecars, new versions append as a small fresh batch, no candidate
+    * file rewritten (asserted). The vectored read plus the appended
+    * versions must hash-equal DuckDB's declarative CASE update. */
+  def n11MorUpdate(s: SparkSession, dir: String): DataFrame = {
+    val t = scratch(s, dir)
+    val before = t.committedFiles.toSet
+    t.updateMor(Map("c_acctbal" -> (col("c_acctbal") + lit(1000.0))),
+      Seq(LessThan("c_acctbal", 0.0)))
+    require(before.subsetOf(t.committedFiles.toSet),
+      "n11: a merge-on-read update must not rewrite any data file")
+    t.read().orderBy("c_custkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n10_mor_delete" -> n10MorDelete _,
+    "n11_mor_update" -> n11MorUpdate _,
     "n9_agg_maintain" -> n9AggMaintain _,
     "n8_spj_join" -> n8SpjJoin _,
     "n1_delete" -> n1Delete _,
@@ -262,6 +277,12 @@ object MutationQueries {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey NOT BETWEEN 100 AND 300
         |ORDER BY c_custkey""".stripMargin,
+    "n11_mor_update" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_acctbal < 0 THEN c_acctbal + 1000 ELSE c_acctbal END
+        |    AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "n9_agg_maintain" ->
       """WITH src AS (
         |  SELECT c_custkey, c_mktsegment,

@@ -1325,50 +1325,7 @@ final class GraftTable private (
         n >= live || n.toDouble / live.toDouble > maxDeleteRatio
       }
       // -- sparse half: write one sidecar per file, from the executors --
-      val conf = new org.apache.spark.util.SerializableConfiguration(
-        GraftTable.hadoopConf())
-      val dvBatchRel = s"data/batch-dv-${java.util.UUID.randomUUID().toString.take(8)}"
-      val dvBatchAbs = s"$location/$dvBatchRel"
-      val loc = location
-      val sparseUris = sparse.keys.map(r =>
-        DeletionVectors.normalize(s"$loc/$r")).toSet
-      val oldDvByRel = candDvs.map { case (rel, e) => rel -> s"$loc/${e.path}" }
-      val sparseEntries: Array[(String, GraftTable.DvEntry)] =
-        if (sparse.isEmpty) Array.empty
-        else {
-          val (fs0, _) = GraftTable.fsAndPath(location)
-          fs0.mkdirs(new HPath(dvBatchAbs))
-          matched.groupBy("__fp")
-            .agg(sort_array(collect_list(col("__ri"))).as("__pos"))
-            .repartition(math.min(sparse.size, 64))
-            .mapPartitions { rows =>
-              rows.flatMap { r =>
-                val uriPath = DeletionVectors.normalize(r.getString(0))
-                if (!sparseUris.contains(uriPath)) Iterator.empty
-                else {
-                  val rel = GraftTable.relativize(uriPath, loc)
-                  val fresh = r.getSeq[Long](1).toArray
-                  val all = oldDvByRel.get(rel) match {
-                    case Some(old) => DeletionVectors.merge(
-                      DeletionVectors.Cache.get(old, conf.value), fresh)
-                    case None => fresh
-                  }
-                  val name = s"$dvBatchRel/" +
-                    s"${java.util.UUID.randomUUID().toString.take(16)}.dv"
-                  DeletionVectors.write(
-                    new HPath(s"$loc/$name").getFileSystem(conf.value),
-                    s"$loc/$name", all)
-                  Iterator.single((rel, name, all.length.toLong))
-                }
-              }
-            }(org.apache.spark.sql.Encoders.tuple(
-              org.apache.spark.sql.Encoders.STRING,
-              org.apache.spark.sql.Encoders.STRING,
-              org.apache.spark.sql.Encoders.scalaLong))
-            .collect()
-            .map { case (rel, dvRel, card) =>
-              rel -> GraftTable.DvEntry(dvRel, card) }
-        }
+      val sparseEntries = writeDvSidecars(matched, sparse.keySet, dvsAtScan)
       require(sparseEntries.length == sparse.size,
         s"merge-on-read DELETE wrote ${sparseEntries.length} sidecars for " +
           s"${sparse.size} sparse files")
@@ -1399,6 +1356,141 @@ final class GraftTable private (
           dvs = base.dvs.view.filterKeys(!denseSet(_)).toMap ++ sparseEntries)
       }
       totalDeleted
+    }
+
+  /** Write one deletion-vector sidecar per file of `targetRels`, from
+    * the executors, merging each file's existing vector. `matched` is a
+    * `(__fp, __ri)` DataFrame of NEWLY dead positions (existing vectors
+    * already applied upstream, so fresh and old positions are disjoint).
+    * Returns (data-file rel → new DvEntry). */
+  private def writeDvSidecars(matched: DataFrame, targetRels: Set[String],
+      dvsAtScan: Map[String, GraftTable.DvEntry])
+      : Array[(String, GraftTable.DvEntry)] =
+    if (targetRels.isEmpty) Array.empty
+    else {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        GraftTable.hadoopConf())
+      val dvBatchRel = s"data/batch-dv-${java.util.UUID.randomUUID().toString.take(8)}"
+      val loc = location
+      val targetUris = targetRels.map(r => DeletionVectors.normalize(s"$loc/$r"))
+      val oldDvByRel = dvsAtScan.view.filterKeys(targetRels).toMap
+        .map { case (rel, e) => rel -> s"$loc/${e.path}" }
+      val (fs0, _) = GraftTable.fsAndPath(location)
+      fs0.mkdirs(new HPath(s"$location/$dvBatchRel"))
+      matched.groupBy("__fp")
+        .agg(sort_array(collect_list(col("__ri"))).as("__pos"))
+        .repartition(math.min(targetRels.size, 64))
+        .mapPartitions { rows =>
+          rows.flatMap { r =>
+            val uriPath = DeletionVectors.normalize(r.getString(0))
+            if (!targetUris.contains(uriPath)) Iterator.empty
+            else {
+              val rel = GraftTable.relativize(uriPath, loc)
+              val fresh = r.getSeq[Long](1).toArray
+              val all = oldDvByRel.get(rel) match {
+                case Some(old) => DeletionVectors.merge(
+                  DeletionVectors.Cache.get(old, conf.value), fresh)
+                case None => fresh
+              }
+              val name = s"$dvBatchRel/" +
+                s"${java.util.UUID.randomUUID().toString.take(16)}.dv"
+              DeletionVectors.write(
+                new HPath(s"$loc/$name").getFileSystem(conf.value),
+                s"$loc/$name", all)
+              Iterator.single((rel, name, all.length.toLong))
+            }
+          }
+        }(org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong))
+        .collect()
+        .map { case (rel, dvRel, card) =>
+          rel -> GraftTable.DvEntry(dvRel, card) }
+    }
+
+  /** Merge-on-read UPDATE: matching rows' OLD versions die into
+    * deletion-vector sidecars and their NEW versions land as a fresh
+    * appended batch — no candidate file is rewritten, so a sparse
+    * update of a huge table costs ∝ rows updated (sidecars + one small
+    * batch of updated rows) where the COW [[update]] rewrites every
+    * candidate file. The two halves publish in ONE CAS commit; row
+    * count is unchanged; the CDF reads the commit as delete(old) +
+    * insert(new) — exactly an update's diff.
+    *
+    * Tradeoffs, stated plainly: updated rows leave their file's
+    * clustering (zone maps on the new batch are whatever the updated
+    * rows span; a bucketed table still routes the new batch by bucket),
+    * and a file most of whose rows are updated keeps paying the
+    * position-filter read tax until a rewrite (compact / COW UPDATE /
+    * recluster) materializes it — dense updates should prefer
+    * [[update]]. The append-only streaming source does not see the
+    * commit (row count unchanged — same contract as COW UPDATE);
+    * the `graft-cdf` stream serves it exactly. Returns rows updated. */
+  def updateMor(assignments: Map[String, Column], filters: Seq[Filter]): Long =
+    withTableLock {
+      refreshMeta()
+      require(assignments.nonEmpty, "UPDATE requires at least one assignment")
+      assignments.keys.foreach(c =>
+        require(meta.currentSchema.fieldNames.contains(c),
+          s"UPDATE references unknown column '$c'"))
+      val cond =
+        if (filters.isEmpty) lit(true)
+        else filters.map(GraftTable.filterToColumn).reduce(_ && _)
+      val matchedCond = coalesce(cond, lit(false))
+      val cands = mutationCandidates(filters)
+      if (cands.isEmpty) return 0L
+      val schemaAtWrite = meta.currentSchema
+      val dvsAtScan = meta.dvs
+      val candSet = cands.toSet
+      val candDvs = dvsAtScan.view.filterKeys(candSet).toMap
+      val raw = spark.read.schema(readSchema())
+        .parquet(cands.map(f => s"$location/$f"): _*)
+      val live = applyDvs(raw, candDvs)
+      val matchedRows = live.filter(matchedCond)
+      // new versions: assignments applied over the matched rows only
+      val rewritten = matchedRows.select(schemaAtWrite.fields.map { f =>
+        assignments.get(f.name) match {
+          case Some(v) => v.cast(f.dataType).as(f.name, f.metadata)
+          case None => col(f.name).as(f.name, f.metadata)
+        }
+      }.toIndexedSeq: _*)
+      val batchDir = writeBatchDir(rewritten)
+      val newInfos = listParquetFiles(batchDir)
+        .map(f => relativize(f, location) -> footerInfo(f))
+        .filter(_._2._1 > 0L)
+      val updated = newInfos.map(_._2._1).sum
+      if (updated == 0L) {
+        val (fs, _) = GraftTable.fsAndPath(location)
+        try fs.delete(new HPath(batchDir), true) catch { case _: Exception => () }
+        return 0L
+      }
+      // old versions die into sidecars (any candidate file may hold them)
+      val matched = matchedRows
+        .select(col("_metadata.file_path").as("__fp"),
+          col("_metadata.row_index").as("__ri"))
+      val hitRels = matched.groupBy("__fp").count().collect()
+        .map(r => GraftTable.relativize(
+          DeletionVectors.normalize(r.getString(0)), location)).toSet
+      val entries = writeDvSidecars(matched, hitRels, dvsAtScan)
+      require(entries.length == hitRels.size,
+        s"merge-on-read UPDATE wrote ${entries.length} sidecars for " +
+          s"${hitRels.size} files")
+      commitMutation { base =>
+        require(base.currentSchema == schemaAtWrite,
+          s"concurrent schema change during MOR UPDATE of $location — retry")
+        require(cands.forall(base.files.contains),
+          s"concurrent compaction/truncate during MOR UPDATE of $location — retry")
+        require(cands.forall(r => base.dvs.get(r) == dvsAtScan.get(r)),
+          s"concurrent merge-on-read mutation on $location — retry")
+        base.copy(
+          files = base.files ++ newInfos.map(_._1),
+          nextBatchId = base.nextBatchId + 1,
+          fileStats = base.fileStats ++
+            newInfos.collect { case (rel, (_, st)) if st.nonEmpty => rel -> st },
+          dvs = base.dvs ++ entries)
+      }
+      updated
     }
 
   /** UPDATE … SET: `assignments` applied to rows matching the

@@ -275,6 +275,46 @@ class DeletionVectorSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS dv_stream_q")
   }
 
+  test("merge-on-read UPDATE: sidecars + appended new versions, no file rewritten") {
+    val t = mk("dv-upd")
+    val filesBefore = t.committedFiles.toSet
+    val v0 = t.version
+    val updated = t.updateMor(Map("v" -> lit(-5)),
+      Seq(In("id", Array(100, 110, 205))))
+    assert(updated === 3L)
+    assert(filesBefore.subsetOf(t.committedFiles.toSet),
+      "MOR UPDATE must not rewrite or drop any existing file")
+    assert(t.committedFiles.size > filesBefore.size, "new versions append")
+    assert(t.dvEntries.size === 2, "old versions die into their files' sidecars")
+    assert(t.rowCountFromMetadata() === 150L)
+    assert(t.read().count() === 150L)
+    assert(t.read().filter(col("v") === -5).count() === 3L)
+    assert(t.read().filter(col("id") === 110).select("v").head.getInt(0) === -5)
+    // the CDF reads the commit as exactly delete(old) + insert(new)
+    val diff = t.changes(v0, t.version).collect()
+    assert(diff.count(_.getAs[String]("_change_type") == "delete") === 3)
+    assert(diff.count(_.getAs[String]("_change_type") == "insert") === 3)
+    assert(diff.filter(_.getAs[String]("_change_type") == "insert")
+      .forall(_.getAs[Int]("v") == -5))
+    // time travel pre-update; compaction materializes everything
+    assert(t.readVersion(v0).filter(col("id") === 110).select("v")
+      .head.getInt(0) === 1100)
+    t.compact()
+    assert(t.dvEntries.isEmpty)
+    assert(t.read().count() === 150L)
+    assert(t.read().filter(col("v") === -5).count() === 3L)
+  }
+
+  test("merge-on-read UPDATE then MOR DELETE compose on the same files") {
+    val t = mk("dv-updel")
+    assert(t.updateMor(Map("grp" -> lit("hot")), Seq(In("id", Array(100, 102)))) === 2L)
+    assert(t.deleteMor(Seq(EqualTo("grp", "hot"))) === 2L)
+    assert(t.read().count() === 148L)
+    assert(t.read().filter(col("grp") === "hot").count() === 0L)
+    assert(t.read().filter(col("id").isin(100, 102)).count() === 0L)
+    assert(t.rowCountFromMetadata() === 148L)
+  }
+
   test("SQL UPDATE/MERGE through ReplaceData reads groups net of vectors") {
     val wh = tmpDir("dv-wh2")
     spark.conf.set("spark.sql.catalog.dvd", "graft.sources.GraftCatalog")
