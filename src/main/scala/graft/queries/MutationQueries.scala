@@ -259,9 +259,55 @@ object MutationQueries {
     t.read().orderBy("c_custkey")
   }
 
+  /** Scratch SQL table flipped to merge-on-read DML. */
+  private def sqlMorScratch(s: SparkSession, dir: String): String = {
+    val tbl = sqlScratch(s, dir)
+    s.sql(s"ALTER TABLE gq.db.$tbl SET TBLPROPERTIES ('delete_mode' = 'merge-on-read')")
+    tbl
+  }
+
+  /** n12: SQL UPDATE through the DELTA row-level path (merge-on-read
+    * table): old versions become position deletes, new versions append —
+    * no file rewritten (asserted); result hash-checked. */
+  def n12SqlMorUpdate(s: SparkSession, dir: String): DataFrame = {
+    val tbl = sqlMorScratch(s, dir)
+    val before = GraftTable.open(s, s"$sqlWarehouse/db/$tbl").committedFiles.toSet
+    s.sql(s"UPDATE gq.db.$tbl SET c_acctbal = c_acctbal + 1000 WHERE c_acctbal < 0")
+    require(before.subsetOf(
+      GraftTable.open(s, s"$sqlWarehouse/db/$tbl").committedFiles.toSet),
+      "n12: delta UPDATE must not rewrite any data file")
+    s.table(s"gq.db.$tbl").orderBy("c_custkey")
+  }
+
+  /** n13: SQL MERGE through the DELTA path — same increment as n6, but
+    * matched rows land as position deletes + re-appended versions and
+    * only the genuinely-new keys append as inserts. */
+  def n13SqlMorMerge(s: SparkSession, dir: String): DataFrame = {
+    val tbl = sqlMorScratch(s, dir)
+    val src = "vm_" + tbl
+    s.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") % 5 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(5000.0))
+      .unionByName(s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_custkey") % 7 === 3)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000L)))
+      .createOrReplaceTempView(src)
+    val before = GraftTable.open(s, s"$sqlWarehouse/db/$tbl").committedFiles.toSet
+    s.sql(s"""
+      MERGE INTO gq.db.$tbl t USING $src s ON t.c_custkey = s.c_custkey
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    require(before.subsetOf(
+      GraftTable.open(s, s"$sqlWarehouse/db/$tbl").committedFiles.toSet),
+      "n13: delta MERGE must not rewrite any data file")
+    s.table(s"gq.db.$tbl").orderBy("c_custkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n10_mor_delete" -> n10MorDelete _,
     "n11_mor_update" -> n11MorUpdate _,
+    "n12_sql_mor_update" -> n12SqlMorUpdate _,
+    "n13_sql_mor_merge" -> n13SqlMorMerge _,
     "n9_agg_maintain" -> n9AggMaintain _,
     "n8_spj_join" -> n8SpjJoin _,
     "n1_delete" -> n1Delete _,
@@ -283,6 +329,23 @@ object MutationQueries {
         |    AS c_acctbal,
         |  c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "n12_sql_mor_update" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_acctbal < 0 THEN c_acctbal + 1000 ELSE c_acctbal END
+        |    AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "n13_sql_mor_merge" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 5000, c_mktsegment
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 = 3
+        |) ORDER BY c_custkey""".stripMargin,
     "n9_agg_maintain" ->
       """WITH src AS (
         |  SELECT c_custkey, c_mktsegment,

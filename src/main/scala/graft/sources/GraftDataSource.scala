@@ -97,12 +97,45 @@ class GraftSparkTable(location: String) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.TruncatableTable
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
+  /** Row-lineage metadata columns — each row's physical address
+    * (`_graft_file`, `_graft_pos`), served by the scan's wrapped reader
+    * factory off the parquet row index. They are the rowId the
+    * delta-based (merge-on-read) SQL DML path keys its position deletes
+    * on, and a user-visible audit column (`SELECT _graft_file, _graft_pos
+    * FROM t`). */
+  override def metadataColumns():
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = Array(
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = org.apache.spark.sql.graft.DvScan.FileCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file holding this row"
+    },
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = org.apache.spark.sql.graft.DvScan.PosCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "row position within its data file"
+    })
+
+  /** Row-level SQL DML strategy follows `delete_mode`: merge-on-read
+    * tables take the DELTA path (position deletes + appended new rows —
+    * writes ∝ rows changed), copy-on-write tables the group-based
+    * ReplaceData rewrite (writes ∝ files touched, reads stay
+    * filter-free afterwards). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new org.apache.spark.sql.graft.GraftRowLevel.Operation(location, info.command)
+    () =>
+      if (graft.options.deleteMode == "merge-on-read")
+        new org.apache.spark.sql.graft.GraftDeltaRowLevel.DeltaOperation(
+          location, info.command)
+      else new org.apache.spark.sql.graft.GraftRowLevel.Operation(location, info.command)
 
   /** Table location for commands resolved outside the scan path (e.g.
     * the ANALYZE TABLE routing in [[GraftExtensions]]). */

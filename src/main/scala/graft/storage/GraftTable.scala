@@ -1859,6 +1859,56 @@ final class GraftTable private (
     ()
   }
 
+  /** Commit point for a DELTA-based SQL row-level operation
+    * ([[org.apache.spark.sql.graft.GraftDeltaRowLevel]], taken when
+    * `delete_mode = merge-on-read`): publish merged deletion-vector
+    * sidecars for the files rows were deleted from, the staged
+    * insert/reinsert parquet, and the row-count delta in ONE CAS commit.
+    * `newDvs` are (data rel path, sidecar rel path, FULL cardinality —
+    * existing vector already unioned in). Stream visibility: genuine
+    * insert files emit; reinserted rows (an UPDATE's new versions) are
+    * re-statements of delivered rows and stay invisible; a commit whose
+    * inserts exist but whose row count does not grow (delete-heavy
+    * MERGE) is a change commit — the append-only source fails it with
+    * guidance rather than hiding the inserts. */
+  def applyDeltaCommit(schemaAtWrite: StructType, what: String,
+      dvsAtScan: Map[String, GraftTable.DvEntry],
+      newDvs: Seq[(String, String, Long)],
+      insertFiles: Seq[String], reinsertFiles: Seq[String],
+      deletedRows: Long): Unit = withTableLock {
+    refreshMeta()
+    def infos(files: Seq[String]) = files
+      .map(f => relativize(f, location) -> footerInfo(f))
+      .filter(_._2._1 > 0L)
+    val insertInfos = infos(insertFiles)
+    val reinsertInfos = infos(reinsertFiles)
+    if (newDvs.isEmpty && insertInfos.isEmpty && reinsertInfos.isEmpty) return
+    val insertRows = insertInfos.map(_._2._1).sum
+    val rowDelta = insertRows + reinsertInfos.map(_._2._1).sum - deletedRows
+    val touched = newDvs.map(_._1)
+    commitMutation { base =>
+      require(base.currentSchema == schemaAtWrite,
+        s"concurrent schema change during $what of $location — retry")
+      require(touched.forall(base.files.contains),
+        s"concurrent compaction/truncate during $what of $location — retry")
+      require(touched.forall(r => base.dvs.get(r) == dvsAtScan.get(r)),
+        s"concurrent merge-on-read mutation during $what of $location — retry")
+      base.copy(
+        files = base.files ++ insertInfos.map(_._1) ++ reinsertInfos.map(_._1),
+        rowCount = base.rowCount + rowDelta,
+        nextBatchId = base.nextBatchId + 1,
+        fileStats = base.fileStats ++
+          (insertInfos ++ reinsertInfos).collect {
+            case (rel, (_, st)) if st.nonEmpty => rel -> st
+          },
+        dvs = base.dvs ++ newDvs.map { case (rel, p, c) =>
+          rel -> GraftTable.DvEntry(p, c) },
+        emitFiles = insertInfos.map(_._1).toVector,
+        changeCommit = insertInfos.nonEmpty && rowDelta <= 0L)
+    }
+    ()
+  }
+
   /** Reclaim orphaned batch directories: data subdirectories holding no
     * committed file — the residue of a writer that crashed between its
     * parquet write and the metadata commit (whose rows were never
@@ -3463,6 +3513,12 @@ object GraftTable {
     require(m.get(MagicKey).contains(Magic), s"bad magic in $path")
     readMetaFromFields(m)
   }
+
+  /** [[relativize]] for callers outside the storage package (the
+    * sql-side delta write): path of a data file relative to the table
+    * location, scheme-blind. */
+  def relPath(absolute: String, location: String): String =
+    relativize(absolute, location)
 
   /** Deletion-vector map for scan delegates: normalized data-file URI
     * path → sidecar ABSOLUTE path. */

@@ -1,17 +1,19 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
 import graft.storage.DeletionVectors
 
-/** Deletion-vector support for the DSv2 scans (the delegate's
-  * StatsParquetScan and the row-level CowParquetScan).
+/** Deletion-vector + row-lineage support for the DSv2 scans (the
+  * delegate's StatsParquetScan and the row-level CowParquetScan).
   *
   * Mechanism: the scan's parquet read schema gets Spark's row-index
   * TEMPORARY column appended (`ParquetFileFormat.
@@ -19,21 +21,31 @@ import graft.storage.DeletionVectors
   * `_metadata.row_index` rides on), so every reader emits each row's
   * file-global position, correct under splits, row-group skipping, and
   * predicate pushdown. The wrapped reader factory then reads each
-  * partition file-by-file, drops rows whose position is recorded in
-  * that file's vector, and projects the temporary column away; the
-  * scan's DECLARED `readSchema()` never contains it, so the plan above
-  * is unchanged.
+  * partition file-by-file and can
   *
-  * A scan of a table with NO vectors keeps its original factory —
-  * vectorized/columnar path untouched. With vectors present the scan
-  * serves rows (not columnar batches): the per-batch position filter
-  * would need batch rebuilding, and vectored files are the
-  * recently-mutated minority that the next compaction/rewrite
-  * materializes anyway — the standing cost lands on exactly the files
-  * that carry dead rows, and disappears with them. */
+  *  - drop rows whose position is recorded in that file's deletion
+  *    vector (merge-on-read deletes), and
+  *  - serve the graft ROW-LINEAGE metadata columns `_graft_file` /
+  *    `_graft_pos` (the row's physical address — the rowId the
+  *    delta-based SQL DML path keys its position deletes on),
+  *
+  * then project the temporary column away; the scan's DECLARED
+  * `readSchema()` is data columns plus exactly the REQUESTED metadata
+  * columns, so the plan above sees nothing else.
+  *
+  * A scan of a vector-free table with no metadata request keeps its
+  * original factory — vectorized/columnar path untouched. Wrapped scans
+  * serve rows (not columnar batches): the per-batch position filter
+  * would need batch rebuilding, and the cost lands on exactly the scans
+  * that need row addresses or carry dead rows. */
 object DvScan {
 
   val RowIndexCol: String = ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
+
+  /** Row-lineage metadata columns: the row's physical address. */
+  val FileCol = "_graft_file"
+  val PosCol = "_graft_pos"
+  val MetaNames: Set[String] = Set(FileCol, PosCol)
 
   def withRowIndex(schema: StructType): StructType =
     schema.add(StructField(RowIndexCol, LongType, nullable = true))
@@ -42,19 +54,22 @@ object DvScan {
     StructType(schema.fields.filterNot(_.name == RowIndexCol))
 
   /** Wraps a parquet reader factory whose rows carry the row-index
-    * column LAST; filters dead positions, projects the column away. */
+    * column LAST; filters dead positions, appends requested lineage
+    * columns, projects the row-index column away. */
   final class DvReaderFactory(
       inner: PartitionReaderFactory,
       dvByPath: Map[String, String], // normalized data path → sidecar abs path
       conf: SerializableConfiguration,
-      outTypes: Array[DataType])
+      dataTypes: Array[DataType],
+      metaNames: Seq[String] = Seq.empty)
       extends PartitionReaderFactory {
 
     override def supportColumnarReads(partition: InputPartition): Boolean = false
 
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
       partition match {
-        case fp: FilePartition => new DvPartitionReader(fp, inner, dvByPath, conf, outTypes)
+        case fp: FilePartition =>
+          new DvPartitionReader(fp, inner, dvByPath, conf, dataTypes, metaNames)
         case other => throw new IllegalStateException(
           s"graft DV scan planned a non-file partition: ${other.getClass.getName}")
       }
@@ -65,14 +80,27 @@ object DvScan {
       inner: PartitionReaderFactory,
       dvByPath: Map[String, String],
       conf: SerializableConfiguration,
-      outTypes: Array[DataType])
+      dataTypes: Array[DataType],
+      metaNames: Seq[String])
       extends PartitionReader[InternalRow] {
 
     private val files = fp.files
-    private val riOrdinal = outTypes.length // row index appended last
-    private val proj = UnsafeProjection.create(outTypes.zipWithIndex.map {
-      case (t, i) => BoundReference(i, t, nullable = true)
-    }.toIndexedSeq)
+    private val nData = dataTypes.length
+    private val riOrdinal = nData // row index appended after the data columns
+    // output = data columns ++ requested lineage columns, projected off a
+    // JoinedRow [innerRow(nData+1) | metaRow(file)] — one codegen'd
+    // projection for the whole scan, the per-file constant rides in the
+    // mutable metaRow
+    private val proj = UnsafeProjection.create(
+      (dataTypes.zipWithIndex.map { case (t, i) =>
+        BoundReference(i, t, nullable = true)
+      } ++ metaNames.map {
+        case FileCol => BoundReference(nData + 1, StringType, nullable = false)
+        case PosCol => BoundReference(riOrdinal, LongType, nullable = false)
+        case other => throw new IllegalStateException(s"unknown lineage column $other")
+      }).toIndexedSeq)
+    private val metaRow = new GenericInternalRow(1)
+    private val joined = new JoinedRow
     private var idx = -1
     private var cur: PartitionReader[InternalRow] = _
     private var dv: Array[Long] = _
@@ -87,12 +115,13 @@ object DvScan {
           cur = inner.createReader(FilePartition(0, Array(pf)))
           dv = dvByPath.get(pf.filePath.toPath.toUri.getPath)
             .map(p => DeletionVectors.Cache.get(p, conf.value)).orNull
+          metaRow.update(0, UTF8String.fromString(pf.filePath.toString))
         }
         if (!cur.next()) { cur.close(); cur = null }
         else {
           val r = cur.get()
           if (dv == null || !DeletionVectors.contains(dv, r.getLong(riOrdinal))) {
-            row = proj(r)
+            row = proj(joined(r, metaRow))
             return true
           }
         }

@@ -99,6 +99,20 @@ object ParquetDelegate {
       if (hasSynthesizedColumns || dvs.nonEmpty) false
       else super.pushAggregation(aggregation)
 
+    // Row-lineage metadata columns (`_graft_file`/`_graft_pos`,
+    // SupportsMetadataColumns on the table): Spark hands them to
+    // pruneColumns mixed into the required schema; the parquet delegate
+    // must never see them (they are not stored), so they are peeled off
+    // here and served by the wrapped reader factory.
+    private var lineageCols: Seq[String] = Seq.empty
+
+    override def pruneColumns(requiredSchema: StructType): Unit = {
+      lineageCols = requiredSchema.fields.map(_.name)
+        .filter(DvScan.MetaNames.contains).toSeq
+      super.pruneColumns(StructType(
+        requiredSchema.fields.filterNot(f => DvScan.MetaNames.contains(f.name))))
+    }
+
     // Every translated data filter, not just the ones parquet agrees to
     // push: parquet rejects e.g. timestamp filters whenever the session's
     // outputTimestampType is INT96, but the graft file-level pruner is
@@ -130,7 +144,7 @@ object ParquetDelegate {
       }
       new StatsParquetScan(prunedBase, exactRows, tableStats,
         schema, translatedDataFilters.toSeq, explainMeta, filePruner,
-        streamLocation, bucketSpec, fileRanges, dvs)
+        streamLocation, bucketSpec, fileRanges, dvs, lineageCols)
     }
   }
 
@@ -156,14 +170,16 @@ object ParquetDelegate {
       streamLocation: Option[String] = None,
       bucketSpec: Option[(String, Int)] = None,
       fileRanges: Option[GraftTable.SortedFileRanges] = None,
-      dvByPath: Map[String, String] = Map.empty)
+      dvByPath: Map[String, String] = Map.empty,
+      lineageCols: Seq[String] = Seq.empty)
       extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
         base.dataSchema,
-        // deletion vectors: the parquet readers additionally produce each
-        // row's file position (Spark's row-index temporary column); the
-        // wrapped factory filters dead positions and projects it away,
-        // and readSchema() below hides it from the plan
-        if (dvByPath.isEmpty) base.readDataSchema
+        // deletion vectors / row lineage: the parquet readers
+        // additionally produce each row's file position (Spark's
+        // row-index temporary column); the wrapped factory filters dead
+        // positions, serves `_graft_file`/`_graft_pos`, and projects the
+        // temporary column away; readSchema() below declares the real shape
+        if (dvByPath.isEmpty && lineageCols.isEmpty) base.readDataSchema
         else DvScan.withRowIndex(base.readDataSchema),
         base.readPartitionSchema,
         base.pushedFilters, base.options, base.pushedAggregate,
@@ -172,18 +188,28 @@ object ParquetDelegate {
       with org.apache.spark.sql.connector.read.SupportsReportPartitioning
       with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
+    private def wrapped: Boolean = dvByPath.nonEmpty || lineageCols.nonEmpty
+
+    private def lineageFields: Seq[org.apache.spark.sql.types.StructField] =
+      lineageCols.map {
+        case DvScan.FileCol => org.apache.spark.sql.types.StructField(
+          DvScan.FileCol, org.apache.spark.sql.types.StringType, nullable = false)
+        case DvScan.PosCol => org.apache.spark.sql.types.StructField(
+          DvScan.PosCol, org.apache.spark.sql.types.LongType, nullable = false)
+      }
+
     override def readSchema(): StructType =
-      if (dvByPath.isEmpty) super.readSchema()
-      else StructType(DvScan.strip(readDataSchema).fields ++
+      if (!wrapped) super.readSchema()
+      else StructType(DvScan.strip(readDataSchema).fields ++ lineageFields ++
         readPartitionSchema.fields)
 
     override def createReaderFactory()
         : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
       val inner = super.createReaderFactory()
-      if (dvByPath.isEmpty) inner
+      if (!wrapped) inner
       else new DvScan.DvReaderFactory(inner, dvByPath,
         new org.apache.spark.util.SerializableConfiguration(hadoopConf),
-        DvScan.strip(readDataSchema).fields.map(_.dataType))
+        DvScan.strip(readDataSchema).fields.map(_.dataType), lineageCols)
     }
 
     // -- storage-partitioned joins over bucketed tables ---------------

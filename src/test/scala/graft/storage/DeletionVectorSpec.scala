@@ -316,14 +316,18 @@ class DeletionVectorSpec extends SparkSpec {
   }
 
   test("SQL UPDATE/MERGE through ReplaceData reads groups net of vectors") {
+    // a COPY-ON-WRITE table carrying vectors (deleteMor is mode-agnostic
+    // on the Scala API): its SQL DML takes the group-based ReplaceData
+    // path, which must read net of the vectors and materialize them —
+    // merge-on-read tables route to the delta path instead (SqlMorDmlSpec)
     val wh = tmpDir("dv-wh2")
     spark.conf.set("spark.sql.catalog.dvd", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.dvd.warehouse", wh)
     try {
-      spark.sql("CREATE TABLE dvd.db.t (id INT, v INT) USING graft " +
-        "OPTIONS (delete_mode 'merge-on-read')")
+      spark.sql("CREATE TABLE dvd.db.t (id INT, v INT) USING graft")
       spark.sql("INSERT INTO dvd.db.t SELECT id, id * 10 FROM range(100)")
-      spark.sql("DELETE FROM dvd.db.t WHERE id IN (10, 20, 30)")
+      GraftTable.open(spark, s"$wh/db/t")
+        .deleteMor(Seq(In("id", Array(10, 20, 30))))
       assert(GraftTable.open(spark, s"$wh/db/t").dvEntries.nonEmpty)
       // SQL UPDATE rewrites the vectored group: dead rows must stay dead
       spark.sql("UPDATE dvd.db.t SET v = -1 WHERE id < 50")
