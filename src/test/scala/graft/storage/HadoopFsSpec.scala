@@ -80,6 +80,34 @@ class HadoopFsSpec extends SparkSpec {
       "drop must delete the backing directory")
   }
 
+  test("merge-on-read lifecycle over a mock: scheme URI") {
+    import spark.implicits._
+    val loc = "mock:" + tmpDir("graft-hfs-mor") + "/tbl"
+    val t = GraftTable.create(spark, loc, schema)
+    for (base <- Seq(0, 1000))
+      t.append((base until base + 100).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1))
+    // sidecar write (executor), vectored read, verify — all through the
+    // resolved FileSystem, never java.nio
+    assert(t.deleteMor(Seq(In("id", Array(3, 1005)))) === 2L)
+    assert(t.dvEntries.size === 2)
+    assert(t.rowCountFromMetadata() === 198L)
+    assert(t.read().count() === 198L)
+    assert(t.read().filter(col("id") === 3).count() === 0L)
+    assert(t.verify() === Seq.empty)
+    // MOR update: sidecar + appended version on the mock scheme
+    assert(t.updateMor(Map("name" -> lit("upd")), Seq(EqualTo("id", 1010))) === 1L)
+    assert(t.read().filter(col("name") === "upd").count() === 1L)
+    assert(t.read().count() === 198L)
+    // DSv2 read applies vectors through the mock scheme too
+    assert(spark.read.format("graft").load(loc).count() === 198L)
+    // compaction materializes; vacuum reclaims the expired sidecars
+    t.compact()
+    assert(t.dvEntries.isEmpty)
+    assert(t.read().count() === 198L)
+    assert(t.verify(deep = true) === Seq.empty)
+    GraftTable.drop(loc)
+  }
+
   test("time travel over a mock: scheme URI (snapshots, retention, vacuum)") {
     import spark.implicits._
     val loc = "mock:" + tmpDir("graft-hfs-tt") + "/tbl"

@@ -57,6 +57,30 @@ class GraftAggMaintainSpec extends SparkSpec {
     assert(expect === Map("a" -> ((30.0, 2L)), "b" -> ((3.0, 1L)), "c" -> ((2.0, 1L))))
   }
 
+  test("merge-on-read mutations fold exactly (vector commits swap no files)") {
+    import spark.implicits._
+    val root = tmpDir("aggm-mor")
+    val src = s"$root/src"
+    val tgt = s"$root/tgt"
+    val ckpt = s"$root/ck"
+    val t = GraftTable.create(spark, src, schema)
+    t.append((1L to 20L).map(k =>
+      (k, if (k % 2 == 0) "even" else "odd", k.toDouble)).toDF("k", "grp", "v"))
+    drainOnce(src, tgt, ckpt)
+    // vector-only delete, then a MOR update (vector + appended version):
+    // both commits' diffs come from vectors, not swapped files — the
+    // maintained rollup must still equal the recompute
+    t.deleteMor(Seq(org.apache.spark.sql.sources.In("k", Array(2L, 4L))))
+    t.updateMor(Map("v" -> lit(100.0)),
+      Seq(org.apache.spark.sql.sources.EqualTo("k", 7L)))
+    drainOnce(src, tgt, ckpt)
+    val expect = asMap(recompute(src))
+    assert(asMap(GraftAggMaintain.read(spark, tgt)) === expect)
+    assert(expect("even")._2 === 8L)
+    assert(expect("odd") === ((1L to 20L).filter(_ % 2 == 1)
+      .map(_.toDouble).sum - 7.0 + 100.0, 10L))
+  }
+
   test("a fully-deleted key tombstones out of the read view") {
     import spark.implicits._
     val root = tmpDir("aggm2")
