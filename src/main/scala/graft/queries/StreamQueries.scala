@@ -60,9 +60,45 @@ object StreamQueries {
     FunnelStream.retentionCounts(s.table(sink))
   }
 
+  /** e12: watermarked window aggregation drained end-to-end — the
+    * trending grid comes from the state store (append-mode window
+    * emission), the trend lag runs as a batch over the tiny grid, and
+    * batch e11's oracle applies verbatim. The source gets one sentinel
+    * event two windows past the real maximum: it closes every real
+    * window (watermark passes their ends) and its own window, never
+    * closed, never emits. */
+  private val trendSrcCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def trendingSrc(s: SparkSession, dir: String): String =
+    trendSrcCache.computeIfAbsent((s, dir), { _ =>
+      import org.apache.spark.sql.functions._
+      val out = Files.createTempDirectory("graft_trend_src").toString
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val maxTs = ev.agg(max(col("ts")).cast("long")).head.getLong(0)
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        timestamp_seconds(lit(maxTs + 2 * graft.streaming.TrendingStream.WindowSec))
+          .as("ts"),
+        lit(-1L).as("user_id"), lit("__wm").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      ev.unionByName(sentinel).write.mode("overwrite").parquet(out)
+      out
+    })
+
+  def e12StreamTrending(s: SparkSession, dir: String): DataFrame = {
+    val sink = uniq("e12_trend")
+    val q = graft.streaming.TrendingStream.run(s, trendingSrc(s, dir), sink,
+      Files.createTempDirectory("graft_e12_ckpt").toString)
+    require(q.awaitTermination(180000), "e12 stream drain timed out")
+    graft.streaming.TrendingStream.trends(s.table(sink))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e9_stream_funnel" -> e9StreamFunnel _,
-    "e10_stream_retention" -> e10StreamRetention _)
+    "e10_stream_retention" -> e10StreamRetention _,
+    "e12_stream_trending" -> e12StreamTrending _)
 
   val oracles: Map[String, String] = Map(
     // identical to e5's oracle: the drained stream must reproduce the
@@ -92,5 +128,20 @@ object StreamQueries {
         |SELECT cohort_wk, wk - cohort_wk AS wk_offset,
         |  CAST(count(DISTINCT w.user_id) AS BIGINT) n_users
         |FROM w JOIN c ON w.user_id = c.user_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // e11's oracle verbatim: the drained window grid must reproduce the
+    // batch grid exactly (the sentinel's window never emits)
+    "e12_stream_trending" ->
+      """WITH grid AS (
+        |  SELECT CAST(epoch(ts) AS BIGINT) // 21600 win6h, event_type,
+        |         count(*) cnt
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT win6h, event_type, cnt,
+        |        lag(win6h) OVER (PARTITION BY event_type ORDER BY win6h) prev_win,
+        |        lag(cnt) OVER (PARTITION BY event_type ORDER BY win6h) prev_cnt
+        |      FROM grid)
+        |SELECT win6h, event_type, cnt, prev_cnt,
+        |       CAST(trunc(((cnt - prev_cnt) * 10000.0) / prev_cnt) AS BIGINT) trend_bp
+        |FROM l WHERE prev_win = win6h - 1
+        |ORDER BY win6h, event_type""".stripMargin)
 }

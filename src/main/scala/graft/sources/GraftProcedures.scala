@@ -38,7 +38,7 @@ private[sources] object GraftProcedures {
   val Names: Seq[String] =
     Seq("compact", "compact_small", "vacuum", "analyze", "analyze_sample",
       "table_size", "history", "expire_history", "diff", "clone", "recluster",
-      "verify", "verify_deep")
+      "verify", "verify_deep", "materialize_vectors")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -156,6 +156,11 @@ private[sources] object GraftProcedures {
             val (metric, value) = procName match {
               case "compact" => ("files_after_compaction", t.compact().toLong)
               case "compact_small" => ("small_files_merged", t.compactSmall().toLong)
+              case "materialize_vectors" =>
+                // rewrite only the files whose dead fraction ≥ 10% —
+                // the merge-on-read steady-state cleanup (full compact
+                // would rewrite the whole table)
+                ("files_materialized", t.materializeVectors().toLong)
               case "vacuum" => ("orphan_dirs_reclaimed", t.vacuum().toLong)
               case "analyze" => ("rows_analyzed", t.analyze().rowCount)
               case "analyze_sample" =>

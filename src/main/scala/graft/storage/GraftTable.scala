@@ -1859,6 +1859,36 @@ final class GraftTable private (
     ()
   }
 
+  /** Targeted deletion-vector maintenance: rewrite ONLY the files whose
+    * dead fraction is at least `minDeadRatio`, materializing their
+    * vectors — the steady-state cleanup for merge-on-read tables, where
+    * a full [[compact]] would rewrite the whole table to clean a
+    * mutated tail. Healthy files (no vector, or a sparse one below the
+    * threshold) keep their identity; cost ∝ the files actually
+    * rewritten. `minDeadRatio = 0.0` materializes every vectored file.
+    * Returns the number of files rewritten. */
+  def materializeVectors(minDeadRatio: Double = 0.1): Int = withTableLock {
+    refreshMeta()
+    require(minDeadRatio >= 0.0 && minDeadRatio <= 1.0,
+      s"minDeadRatio must be in [0, 1], got $minDeadRatio")
+    val targets = meta.dvs.filter { case (rel, e) =>
+      val total = meta.fileStats.get(rel).flatMap(_.values.headOption)
+        .map(_.rows).getOrElse(footerInfo(s"$location/$rel")._1)
+      total > 0 && e.card.toDouble / total.toDouble >= minDeadRatio
+    }.keys.toVector
+    if (targets.isEmpty) return 0
+    val schemaAtWrite = meta.currentSchema
+    val liveDf = readFilesDf(targets) // vectors applied
+    val expect = targets.map(r => footerInfo(s"$location/$r")._1 -
+      meta.dvs.get(r).map(_.card).getOrElse(0L)).sum
+    val batchDir = writeBatchDir(liveDf)
+    val got = listParquetFiles(batchDir).map(f => footerInfo(f)._1).sum
+    require(got == expect,
+      s"vector materialization row mismatch: rewrote $got of $expect live rows")
+    commitRewrite(targets, batchDir, schemaAtWrite, 0L, "MATERIALIZE_VECTORS")
+    targets.size
+  }
+
   /** Commit point for a DELTA-based SQL row-level operation
     * ([[org.apache.spark.sql.graft.GraftDeltaRowLevel]], taken when
     * `delete_mode = merge-on-read`): publish merged deletion-vector

@@ -351,6 +351,25 @@ class DeletionVectorSpec extends SparkSpec {
     }
   }
 
+  test("materializeVectors rewrites only the heavily-vectored files") {
+    val t = mk("dv-mat")
+    // middle file: 20/50 dead (40%); last file: 2/50 dead (4%)
+    t.deleteMor(Seq(In("id", (100 until 120).toArray ++ Array(200, 201))))
+    assert(t.dvEntries.size === 2)
+    val before = t.committedFiles.toSet
+    assert(t.materializeVectors(minDeadRatio = 0.1) === 1)
+    val after = t.committedFiles.toSet
+    assert((before -- after).size === 1, "only the 40%-dead file was rewritten")
+    assert(t.dvEntries.size === 1, "the sparse vector stays")
+    assert(t.read().count() === 128L)
+    assert(t.rowCountFromMetadata() === 128L)
+    // ratio 0 sweeps the rest
+    assert(t.materializeVectors(minDeadRatio = 0.0) === 1)
+    assert(t.dvEntries.isEmpty)
+    assert(t.read().count() === 128L)
+    assert(t.verify(deep = true) === Seq.empty)
+  }
+
   test("delete_mode option validates and ALTERs") {
     val t = mk("dv-mode")
     intercept[IllegalArgumentException] {
