@@ -303,7 +303,22 @@ object MutationQueries {
     s.table(s"gq.db.$tbl").orderBy("c_custkey")
   }
 
+  /** n14: RESTORE — a COW update mutates the table, restore rolls it
+    * back to the pre-update snapshot as a NEW commit; the read-back must
+    * hash-equal the pristine input (the update's files are still on disk
+    * for the newer snapshot, so this also proves the restored state
+    * reads the ORIGINAL files, not the rewritten ones). */
+  def n14Restore(s: SparkSession, dir: String): DataFrame = {
+    val t = scratch(s, dir)
+    val v = t.version
+    t.update(Map("c_acctbal" -> (col("c_acctbal") + lit(1000.0))),
+      Seq(LessThan("c_acctbal", 0.0)))
+    t.restore(v)
+    t.read().orderBy("c_custkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n14_restore" -> n14Restore _,
     "n10_mor_delete" -> n10MorDelete _,
     "n11_mor_update" -> n11MorUpdate _,
     "n12_sql_mor_update" -> n12SqlMorUpdate _,
@@ -319,6 +334,9 @@ object MutationQueries {
     "n7_changes" -> n7Changes _)
 
   val oracles: Map[String, String] = Map(
+    "n14_restore" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "n10_mor_delete" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey NOT BETWEEN 100 AND 300

@@ -38,7 +38,7 @@ private[sources] object GraftProcedures {
   val Names: Seq[String] =
     Seq("compact", "compact_small", "vacuum", "analyze", "analyze_sample",
       "table_size", "history", "expire_history", "diff", "clone", "recluster",
-      "verify", "verify_deep", "materialize_vectors")
+      "verify", "verify_deep", "materialize_vectors", "restore")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -55,6 +55,9 @@ private[sources] object GraftProcedures {
           if (procName == "expire_history")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("keep_last", IntegerType).build())
+          else if (procName == "restore")
+            Array(ProcedureParameter.in("table", StringType).build(),
+              ProcedureParameter.in("version", IntegerType).build())
           else if (procName == "diff")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("from_version", IntegerType).build(),
@@ -170,6 +173,10 @@ private[sources] object GraftProcedures {
               case "table_size" => ("size_bytes", t.tableSize())
               case "expire_history" =>
                 ("snapshots_expired", t.expireHistory(input.getInt(1)).toLong)
+              case "restore" =>
+                // rollback to a retained snapshot as a NEW commit; the
+                // returned value is the version the restore created
+                ("version_after_restore", t.restore(input.getInt(1).toLong))
               case "clone" =>
                 val target = checkName(input.getUTF8String(1).toString)
                 ("rows_cloned",

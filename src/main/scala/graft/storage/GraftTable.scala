@@ -287,6 +287,55 @@ final class GraftTable private (
     expire.size + reclaimed
   }
 
+  /** RESTORE the table to the state of snapshot `toVersion` — the
+    * rollback the snapshot archive makes one commit away (Delta's
+    * RESTORE shape; the reference's footer rename keeps exactly one
+    * version, so its only rollback is PG transaction abort before the
+    * rename). History is never rewritten: restore is a NEW commit whose
+    * schema/options/files/zone-maps/deletion-vectors are the snapshot's,
+    * so every pre-restore state stays time-travelable and a mistaken
+    * restore is itself restorable. Two fields survive from the CURRENT
+    * state rather than rolling back: `nextBatchId` (monotone, so
+    * post-restore appends can never collide with batch dirs written
+    * after the snapshot — those files stay on disk for the retained
+    * newer snapshots) and `streamTxn` (the exactly-once ingest
+    * watermark; rolling it back would re-admit batches a restarted
+    * stream's checkpoint already committed, i.e. duplicates).
+    *
+    * Stream visibility: a restore that RESURRECTS rows — re-introduces
+    * a file some intermediate commit removed, or rolls a deletion
+    * vector back to a smaller cardinality — is marked `change_commit`,
+    * because the append-log contract cannot represent re-appearing rows
+    * (the file stream fails on it with guidance, or skips it under
+    * `skipChangeCommits`). A pure rollback of appends (snapshot files ⊆
+    * current files, vectors unchanged) commits as an ordinary
+    * row-shrinking commit, which the stream correctly emits nothing
+    * for. Returns the new current version. */
+  def restore(toVersion: Long): Long = withTableLock {
+    refreshMeta()
+    require(toVersion <= meta.version,
+      s"cannot restore to v$toVersion: never committed (current is ${meta.version})")
+    val m = GraftTable.readHistoryMeta(location, toVersion)
+    requireSnapshotReadable(toVersion, m)
+    commitMutation { cur =>
+      val resurrects = m.files.exists { f =>
+        if (!cur.files.contains(f)) true
+        else m.dvs.get(f).map(_.card).getOrElse(0L) <
+          cur.dvs.get(f).map(_.card).getOrElse(0L)
+      }
+      cur.copy(
+        currentSchema = m.currentSchema,
+        options = m.options,
+        files = m.files,
+        rowCount = m.rowCount,
+        defaults = m.defaults,
+        fileStats = m.fileStats,
+        dvs = m.dvs,
+        changeCommit = resurrects)
+    }
+    meta.version
+  }
+
   /** Exact row count from parquet footers only — no data pages touched
     * (`cstore_reader.c:401-434` CStoreTableRowCount). Spark's parquet
     * scan of count() already reads only footers; this is the direct
