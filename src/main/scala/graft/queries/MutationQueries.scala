@@ -317,7 +317,34 @@ object MutationQueries {
     t.read().orderBy("c_custkey")
   }
 
+  /** n15: SQL MERGE exercising the FULL clause surface in one statement —
+    * matched update, not-matched insert, and BOTH `NOT MATCHED BY
+    * SOURCE` action kinds (conditional delete, fallback update). The
+    * by-source clauses target exactly the rows whose keys the source
+    * never mentions, so any matched-key group pruning (static zone-map
+    * or runtime IN-subquery) leaking into this plan would corrupt the
+    * result — the hash check proves the scan stayed exhaustive. */
+  def n15SqlMergeSync(s: SparkSession, dir: String): DataFrame = {
+    val tbl = sqlScratch(s, dir)
+    val src = "vs_" + tbl
+    s.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(5000.0))
+      .unionByName(s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_custkey") % 11 === 5)
+        .withColumn("c_custkey", col("c_custkey") + lit(2000000L)))
+      .createOrReplaceTempView(src)
+    s.sql(s"""
+      MERGE INTO gq.db.$tbl t USING $src s ON t.c_custkey = s.c_custkey
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 0 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_mktsegment = 'STALE'""")
+    s.table(s"gq.db.$tbl").orderBy("c_custkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n15_sql_merge_sync" -> n15SqlMergeSync _,
     "n14_restore" -> n14Restore _,
     "n10_mor_delete" -> n10MorDelete _,
     "n11_mor_update" -> n11MorUpdate _,
@@ -334,6 +361,22 @@ object MutationQueries {
     "n7_changes" -> n7Changes _)
 
   val oracles: Map[String, String] = Map(
+    // clause order decides: matched keys (%3=0) take the update; of the
+    // rest, negative balances die to the conditional by-source DELETE and
+    // the remainder take the fallback by-source UPDATE; shifted keys
+    // insert (customer has no NULL c_acctbal, so the CASE split is total)
+    "n15_sql_merge_sync" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 5000 AS c_acctbal,
+        |         c_mktsegment
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, 'STALE'
+        |  FROM customer WHERE c_custkey % 3 <> 0 AND c_acctbal >= 0
+        |  UNION ALL
+        |  SELECT c_custkey + 2000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 11 = 5
+        |) ORDER BY c_custkey""".stripMargin,
     "n14_restore" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,

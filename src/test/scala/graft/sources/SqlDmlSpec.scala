@@ -69,6 +69,36 @@ class SqlDmlSpec extends SparkSpec {
     spark.sql("DROP TABLE gdml.db.mrg")
   }
 
+  test("MERGE with NOT MATCHED BY SOURCE actions: full sync + conditional by-source") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE gdml.db.sync (k INT, v STRING) USING graft " +
+      "OPTIONS (sort_by 'k')")
+    // four clustered files: zone maps would happily "prune" the three
+    // files outside the source's key range — which would be WRONG here,
+    // since by-source actions target exactly the rows source keys never
+    // touch. Correctness of rows 25..99 below proves no matched-key
+    // group pruning (static or runtime) leaked into the by-source scan.
+    for (b <- 0 until 4)
+      spark.sql(s"INSERT INTO gdml.db.sync SELECT id, concat('old', id) " +
+        s"FROM range(${b * 25}, ${(b + 1) * 25})")
+    spark.sql("SELECT CAST(id AS INT) AS k, concat('new', id) AS v FROM range(0, 10) " +
+      "UNION ALL SELECT 200, 'new200'").createOrReplaceTempView("sync_src")
+    spark.sql("""
+      MERGE INTO gdml.db.sync t USING sync_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+      WHEN NOT MATCHED BY SOURCE AND k < 90 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'""")
+    val rows = spark.table("gdml.db.sync").as[(Int, String)].collect().toMap
+    // 10 matched updates + 1 insert + 10 by-source "stale" (k 90..99)
+    assert(rows.size === 21, s"got ${rows.size}")
+    assert(rows(5) === "new5" && rows(200) === "new200")
+    assert(rows(95) === "stale", "by-source UPDATE must reach rows in unmatched files")
+    assert(!rows.contains(50), "by-source DELETE must reach rows in unmatched files")
+    assert(GraftTable.open(spark, loc("sync")).rowCountFromMetadata() === 21L)
+    spark.sql("DROP TABLE gdml.db.sync")
+  }
+
   test("group contract: files refuted by the condition are not rewritten") {
     spark.sql("CREATE TABLE gdml.db.grp (a INT, b STRING) USING graft " +
       "OPTIONS (sort_by 'a')")

@@ -105,6 +105,36 @@ class SqlMorDmlSpec extends SparkSpec {
     assert(diff.count(_.getAs[String]("_change_type") == "insert") === 25)
   }
 
+  test("MERGE NOT MATCHED BY SOURCE on the delta path: vectors, no rewrite") {
+    import spark.implicits._
+    n += 1
+    val tbl = s"t$n"
+    spark.sql(s"CREATE TABLE mor.db.$tbl (k INT, v STRING) USING graft " +
+      "OPTIONS (sort_by 'k', delete_mode 'merge-on-read')")
+    for (b <- 0 until 4)
+      spark.sql(s"INSERT INTO mor.db.$tbl SELECT id, concat('old', id) " +
+        s"FROM range(${b * 25}, ${(b + 1) * 25})")
+    val before = GraftTable.open(spark, s"$wh/db/$tbl").committedFiles.toSet
+    spark.sql("SELECT CAST(id AS INT) AS k, concat('new', id) AS v FROM range(0, 10) " +
+      "UNION ALL SELECT 200, 'new200'").createOrReplaceTempView(s"src_$tbl")
+    spark.sql(s"""
+      MERGE INTO mor.db.$tbl t USING src_$tbl s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+      WHEN NOT MATCHED BY SOURCE AND k < 90 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'""")
+    val t = GraftTable.open(spark, s"$wh/db/$tbl")
+    val rows = spark.table(s"mor.db.$tbl").as[(Int, String)].collect().toMap
+    assert(rows.size === 21, s"got ${rows.size}")
+    assert(rows(5) === "new5" && rows(200) === "new200" && rows(95) === "stale")
+    assert(!rows.contains(50))
+    // the whole by-source sweep still lands as position deletes + small
+    // appends — no candidate data file rewritten
+    assert(before.subsetOf(t.committedFiles.toSet),
+      "delta merge with by-source actions must not rewrite files")
+    assert(t.rowCountFromMetadata() === 21L)
+  }
+
   test("bucketed merge-on-read table keeps bucket purity through delta DML") {
     n += 1
     val tbl = s"t$n"
