@@ -257,7 +257,30 @@ object ExtendedQueries {
       .agg(sum(col("l_quantity")).cast("long"))
       .orderBy("l_linestatus")
 
+  /** q43: WITH RECURSIVE — per-root chain walk over nation keys (roots
+    * are the multiples of 5; each chain follows key+1 until the next
+    * root). Exercises Spark 4's recursive-CTE operator (`UnionLoop`):
+    * the anchor seeds the loop, each iteration joins the working set
+    * back to the base table, and the aggregate folds the closure —
+    * the one delegated-surface shape (PG serves recursive CTEs above
+    * the reference FDW) that had no entry here. */
+  def q43RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("q43_nation")
+    s.sql("""
+      WITH RECURSIVE chain AS (
+        SELECT n_nationkey AS root, n_nationkey AS node, 0 AS depth
+        FROM q43_nation WHERE n_nationkey % 5 = 0
+        UNION ALL
+        SELECT c.root, n.n_nationkey, c.depth + 1
+        FROM chain c JOIN q43_nation n ON n.n_nationkey = c.node + 1
+        WHERE n.n_nationkey % 5 <> 0
+      )
+      SELECT root, max(depth) AS chain_len, count(*) AS nodes
+      FROM chain GROUP BY root ORDER BY root""")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_recursive_cte" -> q43RecursiveCte _,
     "q42_pivot" -> q42Pivot _,
     "q40_lateral" -> q40Lateral _,
     "q41_grouping_sets" -> q41GroupingSets _,
@@ -285,6 +308,17 @@ object ExtendedQueries {
   val oracles: Map[String, String] = Map(
     // PIVOT == conditional aggregation; spelled as such for the oracle
     // (DuckDB's own PIVOT syntax reorders output columns differently)
+    "q43_recursive_cte" ->
+      ("""WITH RECURSIVE chain AS (
+         |  SELECT n_nationkey AS root, n_nationkey AS node, 0 AS depth
+         |  FROM nation WHERE n_nationkey % 5 = 0
+         |  UNION ALL
+         |  SELECT c.root, n.n_nationkey, c.depth + 1
+         |  FROM chain c JOIN nation n ON n.n_nationkey = c.node + 1
+         |  WHERE n.n_nationkey % 5 <> 0
+         |)
+         |SELECT root, max(depth) AS chain_len, count(*) AS nodes
+         |FROM chain GROUP BY root ORDER BY root""".stripMargin),
     "q42_pivot" ->
       ("""SELECT l_linestatus,
          |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS BIGINT) AS A,

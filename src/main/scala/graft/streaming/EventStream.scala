@@ -149,4 +149,51 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .format("memory")
       .start()
+
+  /** STREAM-STREAM LEFT OUTER interval join — every click paired with
+    * each same-user purchase in the FOLLOWING hour, or emitted once with
+    * a NULL purchase when no purchase can arrive anymore: the
+    * un-converted-click feed (the abandonment signal a live funnel
+    * wants, which the inner join structurally cannot produce).
+    *
+    * Where the inner interval join emits eagerly as pairs meet, the
+    * null-extended row may only emit once the watermark PROVES the
+    * click's one-hour window closed on the purchase side too — so this
+    * operator rides the state-store eviction clock itself, and Spark
+    * requires exactly what state-boundedness requires: watermarks on
+    * both sides plus an event-time-bounded condition. State per key is
+    * O(events in the window + delay); the null rows trail live data by
+    * the watermark delay, the price of proving a negative on a stream.
+    * Both sides must keep advancing for the global watermark (min of
+    * the two) to move — a purchase drought delays ONLY the null
+    * emissions, never corrupts them. */
+  def unconvertedClicks(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("click_id"), col("c_user").as("user_id"),
+        col("click_ts").cast("long").as("click_epoch"),
+        col("purchase_id"))
+  }
+
+  /** Unconverted-clicks stream to an in-memory sink. */
+  def unconvertedToMemory(spark: SparkSession, srcDir: String,
+      queryName: String, checkpointDir: String): StreamingQuery =
+    unconvertedClicks(readEvents(spark, srcDir)).writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .start()
 }

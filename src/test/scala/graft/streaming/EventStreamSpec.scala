@@ -96,6 +96,50 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("LEFT OUTER interval join: unconverted clicks equal the batch left join") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val ev = Tables.load(spark, dir, "events")
+    val flat = tmpDir("unconv-src")
+    ev.write.mode("overwrite").parquet(flat)
+    // sentinels two days past the corpus close BOTH sides' watermarks
+    // (each withWatermark node tracks only the rows it sees, and the
+    // global watermark is their min), so every real click's one-hour
+    // window provably closes and the trailing null-extended rows flush
+    // before the AvailableNow drain stops
+    val maxTs = ev.agg(max("ts")).head.getTimestamp(0).getTime
+    val day = 24 * 3600 * 1000L
+    Seq(
+      (-999L, new java.sql.Timestamp(maxTs + 2 * day), -999L, "click", 0.0, "{}"),
+      (-998L, new java.sql.Timestamp(maxTs + 2 * day), -998L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(flat)
+    val q = EventStream.unconvertedToMemory(spark, flat, "stream_unconv",
+      tmpDir("unconv-ckpt"))
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_unconv")
+      .filter(col("user_id") > -900) // the sentinels are not under test
+      .orderBy("click_id", "purchase_id").collect()
+    // the same left join, batch, over the original corpus
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("click_id"), col("c_user").as("user_id"),
+        col("click_ts").cast("long").as("click_epoch"), col("purchase_id"))
+      .orderBy("click_id", "purchase_id").collect()
+    assert(batch.exists(_.isNullAt(3)), "corpus must have unconverted clicks")
+    assert(batch.exists(!_.isNullAt(3)), "corpus must have converted clicks")
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("streaming dedup drops duplicate event_ids across files") {
     import org.apache.spark.sql.functions._
     val events = Tables.load(spark, sf("sf0.001"), "events").limit(500)
