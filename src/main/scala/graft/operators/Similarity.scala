@@ -99,6 +99,124 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // -- s7: the same IVF index PERSISTED on graft storage ----------------
+
+  private val IvfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Build once per (session, input): s2's IVF index MATERIALIZED as two
+    * graft tables — `centroids` (one row per list: direction + norm) and
+    * `postings` (the corpus re-clustered by list: range-partitioned on
+    * `label` and recorded `sort_by label`, so each committed file covers
+    * one list and a probe's label filter zone-map-prunes to that list's
+    * files). s2 recomputes the quantizer inside every query plan; this
+    * is the production serving shape — the corpus is re-clustered ONCE
+    * (the one-time 100 TB index-build cost), each query then reads the
+    * tiny centroid table plus ~1/nlist of the corpus, and new vectors
+    * join the index incrementally ([[appendToIvfIndex]]) without
+    * touching committed files. */
+  private[graft] def ivfIndexDir(s: SparkSession, dir: String): String =
+    IvfIndexCache.computeIfAbsent((s, dir), { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      val emb = Tables.load(s, dir, "embeddings")
+      val centDf = centroids(emb).select(col("label"), col("cv"), col("cnrm"))
+      val centT = graft.storage.GraftTable.create(s, s"$root/centroids", centDf.schema)
+      centT.append(centDf)
+      val nLists = centT.rowCountFromMetadata().toInt.max(1)
+      val postDf = normalized(emb).select(col("label"), col("vec_id"),
+        col("v"), col("nrm"))
+        .repartitionByRange(nLists, col("label"))
+      val postT = graft.storage.GraftTable.create(s, s"$root/postings", postDf.schema,
+        graft.storage.GraftTableOptions(sortBy = Seq("label")))
+      postT.append(postDf)
+      root
+    })
+
+  /** Incremental index maintenance: new vectors land in their nearest
+    * list — assignment runs against the COMMITTED centroids, so the
+    * index definition never drifts under appends — and append as new
+    * files; committed postings files are untouched (the graft append
+    * contract). Input: (vec_id, embedding). Returns rows appended. */
+  def appendToIvfIndex(s: SparkSession, root: String, vectors: DataFrame): Long = {
+    val cent = graft.storage.GraftTable.open(s, s"$root/centroids").read()
+    val e = vectors.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.DotProduct.dotFast(col("v"), col("v"))))
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("label"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .select(col("label"), col("vec_id"), col("v"), col("nrm"),
+        cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("ccos"))
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") === 1)
+      .select(col("label"), col("vec_id"), col("v"), col("nrm"))
+    graft.storage.GraftTable.open(s, s"$root/postings").append(assigned)
+  }
+
+  /** s7: ANN served FROM the persisted index — same quantizer, same
+    * result as s2 (spec-pinned equality; the driver hash-checks the
+    * shared oracle), but the probe is a STORAGE operation: the ≤5 query
+    * assignments resolve against the broadcast centroid table, their
+    * label set is collected (bounded by the query count), and the
+    * postings scan reads ONLY the files whose zone maps cover probed
+    * lists — at 10 lists the candidate read is ~1/10 of the corpus
+    * before any row is deserialized, and the ratio scales with nlist. */
+  def s7AnnPersisted(s: SparkSession, dir: String): DataFrame = {
+    val root = ivfIndexDir(s, dir)
+    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val q = postT.read().filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    probeIvf(s, root, q).orderBy("q_id", "rank")
+  }
+
+  /** Score one bounded query batch — (q_id, qv: array<double>, qn) —
+    * against the persisted index: assignment vs the broadcast committed
+    * centroids, then top-k over ONLY the probed lists' zone-map-pruned
+    * files. The collect is bounded by the batch's query count (one list
+    * per query). Shared by [[s7AnnPersisted]] and the continuous twin
+    * ([[graft.streaming.AnnStream]]), so the two are the same operator
+    * by construction. */
+  private[graft] def probeIvf(s: SparkSession, root: String,
+      q: DataFrame): DataFrame = {
+    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val cent = graft.storage.GraftTable.open(s, s"$root/centroids").read()
+    val wAssign = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("clabel"))
+    val assigned = q.crossJoin(broadcast(cent.withColumnRenamed("label", "clabel")))
+      .select(col("q_id"), col("qv"), col("qn"), col("clabel"),
+        cosine(col("qv"), col("cv"), col("qn"), col("cnrm")).as("ccos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("q_id"), col("qv"), col("qn"), col("clabel").as("label"))
+    // bounded collect: one probed list per query
+    val probes = assigned.select("label").distinct().collect().map(_.get(0))
+    val resultSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q_id",
+        q.schema("q_id").dataType),
+      org.apache.spark.sql.types.StructField("label",
+        cent.schema("label").dataType),
+      org.apache.spark.sql.types.StructField("vec_id",
+        postT.readSchema()("vec_id").dataType),
+      org.apache.spark.sql.types.StructField("cos",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType)))
+    val files =
+      if (probes.isEmpty) Seq.empty
+      else postT.prunedFiles(Seq(org.apache.spark.sql.sources.In("label", probes)))
+    if (files.isEmpty)
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        resultSchema)
+    val post = s.read.schema(postT.readSchema()).parquet(files: _*)
+    val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    post.join(broadcast(assigned.withColumnRenamed("label", "alabel")),
+      col("label") === col("alabel") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("label"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= IvfTopK)
+      .select(col("q_id"), col("label"), col("vec_id"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   // -- s3: sign-random-projection LSH buckets ---------------------------
 
   private val LshBits = 6
@@ -359,6 +477,7 @@ object Similarity {
     "s3_ann_lsh" -> s3AnnLsh _,
     "s4_kmeans" -> s4Kmeans _,
     "s5_pq_ann" -> s5PqAnn _,
+    "s7_ann_persisted" -> s7AnnPersisted _,
   )
 
   import OracleSql._
@@ -415,7 +534,7 @@ object Similarity {
        |    i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
        |  (x, y) -> x + y)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "s6_range_search" ->
       (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
          |           FROM embeddings),
@@ -530,4 +649,10 @@ object Similarity {
          |SELECT q_id, label, vec_id, round(cos, 4) cos, rank FROM ranked
          |WHERE rank <= $IvfTopK ORDER BY q_id, rank""".stripMargin),
   )
+
+  // s7 serves s2's exact result from the persisted index, so its oracle
+  // is s2's verbatim — a hash match proves the materialized index +
+  // zone-map-pruned probe lose nothing vs the inline plan
+  val oracles: Map[String, String] =
+    oraclesBase + ("s7_ann_persisted" -> oraclesBase("s2_ann_ivf"))
 }

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Similarity
+import graft.storage.GraftTable
+
+/** Continuous ANN — s7's persisted-IVF probe run against a STREAM of
+  * query vectors: each micro-batch of (vec_id, embedding) rows is
+  * assigned to its nearest committed centroid and scored against only
+  * the probed lists' zone-map-pruned postings files, and the top-k
+  * results land in a graft table exactly-once.
+  *
+  * Stream-static discipline, like [[DedupStream]]: a query's result
+  * depends only on its own row and the COMMITTED index, so per-batch
+  * scoring is exact with ZERO streaming state — the index is the state,
+  * and it is maintained transactionally ([[Similarity.appendToIvfIndex]]
+  * commits through the table protocol, so a batch sees a consistent
+  * index version, never a torn one). `foreachBatch` rather than a
+  * streaming join because top-k ranking needs a non-time window, which
+  * streaming plans refuse; inside foreachBatch the batch is a bounded
+  * DataFrame and the full API applies.
+  *
+  * At scale each trigger costs: one broadcast of the (tiny) centroid
+  * table, one scan of ~(probed lists / nlist) of the corpus, one
+  * window over candidates. Nothing grows with stream history. */
+object AnnStream {
+
+  /** Start scoring the streaming (vec_id, embedding) frame `incoming`
+    * against the index at `indexRoot`; results append to `dest`
+    * exactly-once under the checkpoint's txn id. */
+  def start(incoming: DataFrame, indexRoot: String, dest: GraftTable,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val id = GraftStreamIngest.txnId(checkpoint)
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val q = batch.select(col("vec_id").as("q_id"),
+          transform(col("embedding"), x => x.cast("double")).as("qv"))
+          .withColumn("qn",
+            sqrt(graft.functions.DotProduct.dotFast(col("qv"), col("qv"))))
+          .select("q_id", "qv", "qn")
+        dest.appendStream(
+          Similarity.probeIvf(batch.sparkSession, indexRoot, q), id, batchId)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+}

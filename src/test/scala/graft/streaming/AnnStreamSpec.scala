@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.operators.Similarity
+import graft.storage.GraftTable
+
+/** Continuous ANN against the persisted IVF index: a multi-batch stream
+  * of query vectors must produce exactly s7's batch results, land them
+  * exactly-once, and replay nothing on restart. */
+class AnnStreamSpec extends SparkSpec {
+
+  private def dir = sf("sf0.001")
+
+  test("streamed probes equal the batch s7 results; replay appends nothing") {
+    val root = Similarity.ivfIndexDir(spark, dir)
+    val batchResult = Similarity.s7AnnPersisted(spark, dir)
+    // the same 5 query vectors, arriving as a 2-batch stream
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 5).select("vec_id", "embedding")
+    val src = tmpDir("ann-stream-src")
+    queries.filter(col("vec_id") < 2).write.parquet(s"$src/part=a")
+    queries.filter(col("vec_id") >= 2).write.parquet(s"$src/part=b")
+    val qschema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def incoming = spark.readStream.schema(qschema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(src)
+    val destLoc = tmpDir("ann-stream-dest") + "/t"
+    val dest = GraftTable.create(spark, destLoc, batchResult.schema)
+    val ckpt = tmpDir("ann-stream-ckpt")
+    val q = AnnStream.start(incoming, root, dest, ckpt)
+    assert(q.awaitTermination(120000), "ann stream drain timed out")
+    val streamed = dest.read().orderBy("q_id", "rank").collect()
+    val batch = batchResult.collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+      "the continuous probe must equal the batch operator")
+    // restart on the same checkpoint: everything already committed —
+    // the txn watermark must keep replayed batches out
+    val q2 = AnnStream.start(incoming, root, dest, ckpt)
+    assert(q2.awaitTermination(120000))
+    assert(dest.read().count() === batch.length.toLong, "replay must be a no-op")
+    GraftTable.drop(destLoc)
+  }
+}
