@@ -28,6 +28,7 @@ import graft.storage.GraftTable
   *   CALL graft.system.expire_history('db.t', 3) -- keep newest 3
   *   CALL graft.system.diff('db.t', 1, 4)         -- snapshot delta
   *   CALL graft.system.clone('db.t', 'db.t2')     -- deep clone (branching)
+  *   CALL graft.system.restore('db.t', 3)         -- roll back to snapshot v3
   *   CALL graft.system.recluster('db.t', 'k', '') -- rewrite clustered on k
   *   CALL graft.system.recluster('db.t', '', 'x,y') -- rewrite Z-ordered
   * }}}
