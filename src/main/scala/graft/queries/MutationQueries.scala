@@ -343,7 +343,51 @@ object MutationQueries {
     s.table(s"gq.db.$tbl").orderBy("c_custkey")
   }
 
+  /** n16: the CHECK-constraint commit gate end-to-end — a constraint is
+    * added (validating all existing rows in one scan), a violating
+    * UPDATE is refused ATOMICALLY (no version, no partial rewrite), and
+    * a compliant UPDATE then commits. The hash check proves the refused
+    * write left zero trace: the final state is exactly the compliant
+    * mutation over the pristine input. */
+  def n16CheckGate(s: SparkSession, dir: String): DataFrame = {
+    val t = scratch(s, dir)
+    t.addCheck("bal_floor", "c_acctbal >= -2000")
+    val refused =
+      try {
+        t.update(Map("c_acctbal" -> (col("c_acctbal") - lit(100000.0))),
+          Seq(LessThan("c_custkey", 10L)))
+        false
+      } catch { case _: IllegalArgumentException => true }
+    require(refused, "n16: the violating update must be refused")
+    t.update(Map("c_acctbal" -> (col("c_acctbal") + lit(500.0))),
+      Seq(LessThan("c_acctbal", 0.0)))
+    t.read().orderBy("c_custkey")
+  }
+
+  /** n17: full CDC apply — one op-typed changelog batch carrying
+    * updates (every fifth customer re-stated with a credited balance),
+    * inserts (shifted keys), and DELETES (every (5k+1)-keyed customer),
+    * landed in ONE atomic commit through [[GraftTable.applyCdc]]. The
+    * hash check pins the three-way split plus the delete semantics in a
+    * single end-to-end state. */
+  def n17CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val t = scratch(s, dir)
+    val base = s.read.parquet(s"$dir/customer.parquet")
+    val ups = base.filter(col("c_custkey") % 5 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(5000.0))
+      .withColumn("__op", lit("U"))
+    val ins = base.filter(col("c_custkey") % 7 === 3)
+      .withColumn("c_custkey", col("c_custkey") + lit(1000000L))
+      .withColumn("__op", lit("U"))
+    val dels = base.filter(col("c_custkey") % 5 === 1)
+      .withColumn("__op", lit("D"))
+    t.applyCdc(ups.unionByName(ins).unionByName(dels), Seq("c_custkey"), "__op")
+    t.read().orderBy("c_custkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n17_cdc_apply" -> n17CdcApply _,
+    "n16_check_gate" -> n16CheckGate _,
     "n15_sql_merge_sync" -> n15SqlMergeSync _,
     "n14_restore" -> n14Restore _,
     "n10_mor_delete" -> n10MorDelete _,
@@ -361,6 +405,24 @@ object MutationQueries {
     "n7_changes" -> n7Changes _)
 
   val oracles: Map[String, String] = Map(
+    "n17_cdc_apply" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 5000 AS c_acctbal,
+        |         c_mktsegment
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 5 NOT IN (0, 1)
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 = 3
+        |) ORDER BY c_custkey""".stripMargin,
+    "n16_check_gate" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_acctbal < 0 THEN c_acctbal + 500 ELSE c_acctbal END
+        |    AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     // clause order decides: matched keys (%3=0) take the update; of the
     // rest, negative balances die to the conditional by-source DELETE and
     // the remainder take the fallback by-source UPDATE; shifted keys

@@ -157,7 +157,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .orElse(prop("bucket_by").map(_.trim)).toSeq,
       bucketCount = bucketTransform.map(_._2)
         .orElse(prop("bucket_count").map(_.toInt)).getOrElse(0),
-      deleteMode = prop("delete_mode").getOrElse("copy-on-write"))
+      deleteMode = prop("delete_mode").getOrElse("copy-on-write"),
+      // CHECK constraints arrive as `check.<name>` properties (CREATE
+      // TABLE ... TBLPROPERTIES('check.pos' = 'v >= 0')); expressions
+      // validate against the schema inside GraftTable.create
+      checks = {
+        import scala.jdk.CollectionConverters._
+        properties.asScala.collect {
+          case (k, v) if k.startsWith("check.") =>
+            k.stripPrefix("check.") -> v
+          case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX + "check.") =>
+            k.stripPrefix(TableCatalog.OPTION_PREFIX + "check.") -> v
+        }.toMap
+      })
     fs.mkdirs(nsDir(ident.namespace()))
     GraftTable.create(SparkSession.active, tableDir(ident), schema, opts)
     new GraftSparkTable(tableDir(ident))

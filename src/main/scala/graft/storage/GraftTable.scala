@@ -58,9 +58,23 @@ final case class GraftTableOptions(
     // per-file deletion-vector sidecars (delete cost ∝ rows deleted — the
     // sparse-delete path at 100 TB), with reads filtering dead positions
     // until a rewrite materializes them. Settable via ALTER.
-    deleteMode: String = "copy-on-write") {
+    deleteMode: String = "copy-on-write",
+    // CHECK constraints: name -> boolean SQL expression over the table's
+    // columns. Enforced at the COMMIT boundary of every write that
+    // introduces row VALUES (append/COPY/stream/INSERT, COW UPDATE/MERGE,
+    // delta DML, MOR update) by one scan of the staged files — cost ∝
+    // data written, never table size; a violating write commits NOTHING.
+    // SQL CHECK semantics: NULL passes, only FALSE violates. Managed via
+    // `check.<name>` table properties; adding one to a non-empty table
+    // validates existing data first (Delta's ADD CONSTRAINT contract).
+    checks: Map[String, String] = Map.empty) {
 
   def validate(): Unit = {
+    checks.foreach { case (name, e) =>
+      require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '_'), s"invalid CHECK constraint name '$name'")
+      require(e.trim.nonEmpty, s"CHECK constraint '$name' has an empty expression")
+    }
     require(deleteMode == "copy-on-write" || deleteMode == "merge-on-read",
       s"invalid delete_mode '$deleteMode' (copy-on-write | merge-on-read)")
     require(GraftTableOptions.codecs.contains(compression),
@@ -514,10 +528,45 @@ final class GraftTable private (
       .drop("__graft_z")
   }
 
+  /** The CHECK-constraint commit gate: one scan of the STAGED files
+    * only (cost ∝ data written, never table size) before the metadata
+    * commit — a violating row refuses the WHOLE write and nothing
+    * becomes visible. SQL CHECK semantics: NULL passes, only FALSE
+    * violates. Every path that introduces row values runs through this
+    * (append/COPY/stream/INSERT, COW UPDATE/MERGE, the delta DML
+    * commit, MOR UPDATE); row-preserving rewrites (compact, recluster,
+    * DELETE's carried rows) skip it — their rows already passed. */
+  private def enforceChecks(stagedFiles: Seq[String], schema: StructType,
+      what: String): Unit = {
+    val checks = meta.options.checks
+    if (checks.isEmpty || stagedFiles.isEmpty) return
+    val df = spark.read.schema(schema).parquet(stagedFiles: _*)
+    val cols = checks.toSeq.map { case (n, e) => n -> (expr(e) === lit(false)) }
+    val row = df.filter(cols.map(_._2).reduce(_ || _))
+      .select(cols.map { case (n, c) => c.as(n) }: _*)
+      .limit(1).collect()
+    if (row.nonEmpty) {
+      val hit = cols.map(_._1).filter(n =>
+        java.lang.Boolean.TRUE.equals(row.head.getAs[Boolean](n)))
+      throw new IllegalArgumentException(
+        s"$what on $location refused: a row violates CHECK constraint" +
+          (if (hit.size > 1) "s " else " ") +
+          hit.map(n => s"'$n' (${checks(n)})").mkString(", "))
+    }
+  }
+
   private def appendLocked(df: DataFrame, txn: Option[(String, Long)]): Long = {
     val schemaAtWrite = meta.currentSchema
     val batchDir = writeBatchDir(alignToSchema(df))
     val newFiles = listParquetFiles(batchDir)
+    try enforceChecks(newFiles, schemaAtWrite, "append")
+    catch { case e: Throwable =>
+      // refused data never commits; reclaim the staged batch eagerly
+      // (a crash here still leaves only vacuum-able residue)
+      val (fs, _) = GraftTable.fsAndPath(location)
+      try fs.delete(new HPath(batchDir), true) catch { case _: Exception => () }
+      throw e
+    }
     val infos = newFiles.map(f => relativize(f, location) -> footerInfo(f))
     val n = infos.map(_._2._1).sum
     val committed = commitMutation { base =>
@@ -1167,6 +1216,15 @@ final class GraftTable private (
       case Some(v) => before.defaults - from + (to -> v)
       case None => before.defaults
     }
+    // a CHECK expression is TEXT — it cannot follow a rename the way the
+    // structured option lists do; refuse rather than silently breaking it
+    before.options.checks.foreach { case (n, e) =>
+      try GraftTable.validateCheckExpr(spark, n, e, newSchema)
+      catch { case _: Exception => throw new IllegalArgumentException(
+        s"cannot rename column '$from': CHECK constraint '$n' ($e) " +
+          "references it — drop the constraint, rename, then re-add it " +
+          "under the new name") }
+    }
     if (before.files.isEmpty) {
       commitMutation(base => base.copy(
         currentSchema = newSchema, options = newOpts, defaults = newDefaults))
@@ -1262,6 +1320,11 @@ final class GraftTable private (
   private def commitRewrite(replaced: Seq[String], batchDir: String,
       schemaAtWrite: StructType, rowDelta: Long, what: String): Unit = {
     val newFiles = listParquetFiles(batchDir)
+    // value-CHANGING rewrites re-validate (updated values must hold);
+    // row-preserving ones (DELETE, compaction, materialization) carry
+    // rows that already passed at their own ingest
+    if (what == "UPDATE" || what == "MERGE")
+      enforceChecks(newFiles, schemaAtWrite, what)
     val infos = newFiles.map(f => relativize(f, location) -> footerInfo(f))
       .filter(_._2._1 > 0L) // an all-deleted rewrite leaves no file behind
     val candSet = replaced.toSet
@@ -1505,7 +1568,8 @@ final class GraftTable private (
         }
       }.toIndexedSeq: _*)
       val batchDir = writeBatchDir(rewritten)
-      val newInfos = listParquetFiles(batchDir)
+      val newVersionFiles = listParquetFiles(batchDir)
+      val newInfos = newVersionFiles
         .map(f => relativize(f, location) -> footerInfo(f))
         .filter(_._2._1 > 0L)
       val updated = newInfos.map(_._2._1).sum
@@ -1513,6 +1577,12 @@ final class GraftTable private (
         val (fs, _) = GraftTable.fsAndPath(location)
         try fs.delete(new HPath(batchDir), true) catch { case _: Exception => () }
         return 0L
+      }
+      try enforceChecks(newVersionFiles, schemaAtWrite, "MOR UPDATE")
+      catch { case e: Throwable =>
+        val (fs, _) = GraftTable.fsAndPath(location)
+        try fs.delete(new HPath(batchDir), true) catch { case _: Exception => () }
+        throw e
       }
       // old versions die into sidecars (any candidate file may hold them)
       val matched = matchedRows
@@ -1592,8 +1662,10 @@ final class GraftTable private (
     * join of the candidate rows against the source; unmatched source
     * rows land in the same batch, and one CAS commit publishes the
     * whole mutation atomically. */
-  def merge(source: DataFrame, keyCols: Seq[String]): (Long, Long) =
-    mergeInternal(source, keyCols, None)
+  def merge(source: DataFrame, keyCols: Seq[String]): (Long, Long) = {
+    val (u, i, _) = mergeInternal(source, keyCols, None, None)
+    (u, i)
+  }
 
   /** Exactly-once streaming upsert: [[merge]] with the same per-pipeline
     * batch watermark as [[appendStream]], recorded in the SAME atomic
@@ -1601,16 +1673,55 @@ final class GraftTable private (
     * no-op, a crash between "files written" and "batch marked" cannot
     * double-apply. The CDC-into-table companion of the append ingest. */
   def mergeStream(source: DataFrame, keyCols: Seq[String],
-      queryId: String, batchId: Long): (Long, Long) =
-    mergeInternal(source, keyCols, Some((queryId, batchId)))
+      queryId: String, batchId: Long): (Long, Long) = {
+    val (u, i, _) = mergeInternal(source, keyCols, Some((queryId, batchId)), None)
+    (u, i)
+  }
+
+  /** Apply one FULL CDC batch — upserts AND deletes — in ONE atomic
+    * commit: source rows whose `opCol` equals `deleteOp` remove every
+    * target row sharing their key; every other row upserts (matched
+    * rows take its values, unmatched rows insert). The op column itself
+    * is not stored. One key may appear once in the batch (a key both
+    * upserted and deleted is ambiguous and throws — collapse the
+    * changelog to its final image per key upstream); duplicate delete
+    * rows for one key collapse harmlessly. Candidate files zone-map-
+    * prune against the COMBINED key range (delete keys widen it), so a
+    * changelog of recent keys into a key-clustered table touches only
+    * recent files. Returns (updated, inserted, deleted). */
+  def applyCdc(source: DataFrame, keyCols: Seq[String], opCol: String,
+      deleteOp: String = "D"): (Long, Long, Long) =
+    applyCdcInternal(source, keyCols, opCol, deleteOp, None)
+
+  /** Exactly-once streaming CDC apply: [[applyCdc]] under the same
+    * per-pipeline batch watermark as [[mergeStream]] — the delete half
+    * and the upsert half of a replayed micro-batch are skipped
+    * TOGETHER (they committed together). */
+  def applyCdcStream(source: DataFrame, keyCols: Seq[String], opCol: String,
+      queryId: String, batchId: Long,
+      deleteOp: String = "D"): (Long, Long, Long) =
+    applyCdcInternal(source, keyCols, opCol, deleteOp, Some((queryId, batchId)))
+
+  private def applyCdcInternal(source: DataFrame, keyCols: Seq[String],
+      opCol: String, deleteOp: String,
+      txn: Option[(String, Long)]): (Long, Long, Long) = {
+    require(source.columns.contains(opCol),
+      s"CDC source has no op column '$opCol'")
+    require(!keyCols.contains(opCol), "the op column cannot be a key column")
+    // null-safe: a NULL op is an upsert, never a delete
+    val dels = source.filter(col(opCol) <=> lit(deleteOp)).drop(opCol)
+    val ups = source.filter(!(col(opCol) <=> lit(deleteOp))).drop(opCol)
+    mergeInternal(ups, keyCols, txn, Some(dels))
+  }
 
   private def mergeInternal(source: DataFrame, keyCols: Seq[String],
-      txn: Option[(String, Long)]): (Long, Long) = withTableLock {
+      txn: Option[(String, Long)],
+      delSource: Option[DataFrame]): (Long, Long, Long) = withTableLock {
     refreshMeta()
     val replayed = txn.exists { case (qid, bid) =>
       meta.streamTxn.get(qid).exists(_ >= bid)
     }
-    if (replayed) return (0L, 0L)
+    if (replayed) return (0L, 0L, 0L)
     require(keyCols.nonEmpty, "MERGE requires at least one key column")
     keyCols.foreach(c => require(meta.currentSchema.fieldNames.contains(c),
       s"MERGE key '$c' is not a table column"))
@@ -1619,16 +1730,27 @@ final class GraftTable private (
     // rewrite join, the anti-join, and both counts — one materialization
     val s0 = alignToSchema(source)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // delete keys: NULL-key delete rows match nothing (SQL equality) and
+    // drop out; duplicate delete rows collapse — only the key matters
+    val d0 = delSource.map(_.select(keyCols.map(col): _*).na.drop(keyCols)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
       val dup = s0.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
         .filter(col("__n") > 1).limit(1).collect()
       require(dup.isEmpty,
         s"MERGE source has duplicate keys (first: ${dup.headOption.orNull}) — " +
           "each target row may match at most one source row")
+      d0.foreach { d =>
+        require(s0.join(d, keyCols, "left_semi").limit(1).count() == 0L,
+          "CDC batch has a key both upserted and deleted — collapse the " +
+            "changelog to one final image per key upstream")
+      }
       // prune: a file can hold a match only if every key column's zone
       // map intersects the source's key range (null-key rows are pure
-      // inserts and do not widen the range)
-      val keyed = s0.na.drop(keyCols)
+      // inserts and do not widen the range; DELETE keys widen it)
+      val keyed = d0.fold(s0.na.drop(keyCols).select(keyCols.map(col): _*))(d =>
+        s0.na.drop(keyCols).select(keyCols.map(col): _*).unionByName(d))
       val rngRow = keyed.agg(
         keyCols.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"))).head,
         keyCols.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"))).tail: _*)
@@ -1644,9 +1766,9 @@ final class GraftTable private (
         }
       val cands = if (haveKeys) mutationCandidates(pruneFilters) else Vector.empty[String]
       if (cands.isEmpty) {
-        // nothing can match: the whole source is an insert
+        // nothing can match (upsert OR delete): the source is an insert
         val inserted = appendLocked(s0, txn)
-        (0L, inserted)
+        (0L, inserted, 0L)
       } else {
         val t = readFilesDf(cands)
         val candRows = t.count()
@@ -1655,18 +1777,22 @@ final class GraftTable private (
         val tA = t.alias("t")
         // === (not <=>): NULL keys never match, per SQL MERGE
         val on = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
-        val rewritten = tA.join(sA, on, "left").select(
+        val upserted = tA.join(sA, on, "left").select(
           schemaAtWrite.fields.map { f =>
             when(coalesce(col(s"s.$marker"), lit(false)), col(s"s.${f.name}"))
               .otherwise(col(s"t.${f.name}")).as(f.name, f.metadata)
           }.toIndexedSeq: _*)
+        // deleted keys drop out of the rewrite entirely (a key cannot be
+        // both upserted and deleted, checked above)
+        val rewritten = d0.fold(upserted)(d => upserted.join(d, keyCols, "left_anti"))
         val inserts = s0.join(t.select(keyCols.map(col): _*), keyCols, "left_anti")
         val updated = t.join(s0.select(keyCols.map(col): _*), keyCols, "left_semi").count()
+        val deleted = d0.map(d => t.join(d, keyCols, "left_semi").count()).getOrElse(0L)
         val inserted = inserts.count()
-        if (updated == 0L) {
+        if (updated == 0L && deleted == 0L) {
           // no source row matched: the whole source is a plain append
           // (no candidate file needs rewriting)
-          (0L, if (inserted > 0L) appendLocked(s0, txn) else 0L)
+          (0L, if (inserted > 0L) appendLocked(s0, txn) else 0L, 0L)
         } else {
           // The rewrite and the inserts go to SEPARATE batch dirs under
           // ONE commit, because the streaming source must see only the
@@ -1681,9 +1807,13 @@ final class GraftTable private (
           val rewriteInfos = dirInfos(rewriteDir)
           val insertDir = if (inserted > 0L) Some(writeBatchDir(inserts)) else None
           val insertInfos = insertDir.map(dirInfos).getOrElse(Seq.empty)
+          enforceChecks(listParquetFiles(rewriteDir) ++
+            insertDir.map(listParquetFiles).getOrElse(Seq.empty),
+            schemaAtWrite, "MERGE")
           val n = (rewriteInfos ++ insertInfos).map(_._2._1).sum
-          require(n == candRows + inserted,
-            s"MERGE row conservation failure: wrote $n, expected ${candRows + inserted}")
+          require(n == candRows + inserted - deleted,
+            s"MERGE row conservation failure: wrote $n, " +
+              s"expected ${candRows + inserted - deleted}")
           val candSet = cands.toSet
           val dvsAtScan = meta.dvs
           val committed = commitMutation { base =>
@@ -1703,7 +1833,7 @@ final class GraftTable private (
             base.copy(
               files = base.files.filterNot(candSet) ++
                 rewriteInfos.map(_._1) ++ insertInfos.map(_._1),
-              rowCount = base.rowCount + inserted,
+              rowCount = base.rowCount + inserted - deleted,
               nextBatchId = base.nextBatchId + 2,
               fileStats = base.fileStats.view.filterKeys(!candSet(_)).toMap ++
                 (rewriteInfos ++ insertInfos).collect {
@@ -1722,11 +1852,11 @@ final class GraftTable private (
               (Seq(rewriteDir) ++ insertDir)
                 .foreach(d => fs.delete(new HPath(d), true))
             } catch { case _: Exception => () }
-            (0L, 0L)
-          } else (updated, inserted)
+            (0L, 0L, 0L)
+          } else (updated, inserted, deleted)
         }
       }
-    } finally { s0.unpersist(); () }
+    } finally { s0.unpersist(); d0.foreach(_.unpersist()); () }
   }
 
   /** Change data feed, computed on read from the commit history — every
@@ -1865,7 +1995,11 @@ final class GraftTable private (
     // drop a fully-written orphan into the staging dir at any moment,
     // so a directory listing here would race it. The listing fallback
     // exists for single-writer callers (tests) only.
-    val infos = stagedFiles.getOrElse(listParquetFiles(stagingDir))
+    val staged = stagedFiles.getOrElse(listParquetFiles(stagingDir))
+    // DELETE carries rows that already passed; UPDATE/MERGE staged files
+    // hold new values and must hold the CHECK constraints
+    if (what != "DELETE") enforceChecks(staged, schemaAtWrite, what)
+    val infos = staged
       .map(f => relativize(f, location) -> footerInfo(f))
       .filter(_._2._1 > 0L) // a fully-deleted group leaves no file behind
     if (replaced.isEmpty && infos.isEmpty) {
@@ -1962,6 +2096,9 @@ final class GraftTable private (
     val insertInfos = infos(insertFiles)
     val reinsertInfos = infos(reinsertFiles)
     if (newDvs.isEmpty && insertInfos.isEmpty && reinsertInfos.isEmpty) return
+    // both genuinely-new rows and re-stated row versions carry values
+    // the CHECK constraints must hold on
+    enforceChecks(insertFiles ++ reinsertFiles, schemaAtWrite, what)
     val insertRows = insertInfos.map(_._2._1).sum
     val rowDelta = insertRows + reinsertInfos.map(_._2._1).sum - deletedRows
     val touched = newDvs.map(_._1)
@@ -2207,6 +2344,18 @@ final class GraftTable private (
   def setOptions(opts: Map[String, String]): Unit =
     alterAll(opts.toSeq.map { case (k, v) => GraftTable.SetOption(k, v) })
 
+  /** Add (or replace) a CHECK constraint: `exprText` must be a
+    * deterministic row-level BOOLEAN over the table's columns, and must
+    * already hold on every existing row (validated in one scan before
+    * the commit). Equivalent to SQL
+    * `ALTER TABLE t SET TBLPROPERTIES ('check.<name>' = '<expr>')`. */
+  def addCheck(name: String, exprText: String): Unit =
+    setOptions(Map(s"check.$name" -> exprText))
+
+  /** Drop a CHECK constraint (SQL: UNSET TBLPROPERTIES). */
+  def dropCheck(name: String): Unit =
+    alterAll(Seq(GraftTable.UnsetOption(s"check.$name")))
+
   /** Apply a sequence of schema changes as ONE transaction: every change
     * validates and applies against an in-memory metadata copy, and a
     * single commit publishes them all — a failing later change leaves
@@ -2225,7 +2374,33 @@ final class GraftTable private (
       folded.options.validate()
       folded
     }
-    applied(meta)
+    val folded = applied(meta)
+    // every CHECK constraint — newly set or carried — must still be a
+    // valid row-level boolean against the POST-ALTER schema: dropping or
+    // retyping a referenced column refuses HERE, not by poisoning every
+    // future write with an unresolvable expression
+    folded.options.checks.foreach { case (n, e) =>
+      GraftTable.validateCheckExpr(spark, n, e, folded.currentSchema)
+    }
+    // a new (or changed) constraint must hold on EXISTING rows — one
+    // scan now, so the invariant is total from the commit on (Delta's
+    // ADD CONSTRAINT contract); read under the folded schema so an
+    // ALTER adding a column + a check on it in one statement validates
+    // against the synthesized defaults
+    val addedChecks = folded.options.checks.filter { case (n, e) =>
+      !meta.options.checks.get(n).contains(e)
+    }
+    if (addedChecks.nonEmpty && meta.rowCount > 0) {
+      val df = applyDvs(
+        spark.read.schema(GraftTable.withExistenceDefaults(
+            folded.currentSchema, folded.defaults))
+          .parquet(dataFiles(): _*), meta.dvs)
+      addedChecks.foreach { case (n, e) =>
+        val bad = df.filter(expr(e) === lit(false)).limit(1).count()
+        require(bad == 0L,
+          s"cannot add CHECK constraint '$n' ($e): existing rows violate it")
+      }
+    }
     commitMutation(applied)
   }
 
@@ -2745,18 +2920,52 @@ object GraftTable {
   final case class UnsetOption(key: String) extends SchemaChange
 
   private val settableOptions =
-    Seq("compression", "stripe_row_count", "block_row_count", "delete_mode")
+    Seq("compression", "stripe_row_count", "block_row_count", "delete_mode",
+      "check.<name>")
 
   private def withOption(opts: GraftTableOptions, key: String,
       value: GraftTableOptions => GraftTableOptions): GraftTableOptions = key match {
     case "compression" | "stripe_row_count" | "block_row_count" |
          "delete_mode" => value(opts)
+    case k if k.startsWith("check.") => value(opts)
     case "sort_by" | "zorder_by" | "bloom_filter_columns" | "bucket_by" | "bucket_count" =>
       throw new IllegalArgumentException(
         s"option '$key' cannot be changed by ALTER: clustering and bucketing " +
           "shape committed file layout and the scan's proven-order claims")
     case other => throw new IllegalArgumentException(
       s"unknown option '$other' (settable: ${settableOptions.mkString(", ")})")
+  }
+
+  /** Validate a CHECK expression against a schema: it must analyze, be
+    * exactly one BOOLEAN output, be deterministic, and be row-level — no
+    * aggregates, windows, or subqueries (the analyzed plan must stay a
+    * plain Project). Shared by CREATE, ALTER (where it also refuses
+    * schema changes that would break a carried constraint), and RENAME
+    * COLUMN. */
+  private[graft] def validateCheckExpr(spark: SparkSession, name: String,
+      exprText: String, schema: StructType): Unit = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val df =
+      try empty.selectExpr(exprText)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"CHECK constraint '$name' ($exprText) does not resolve against " +
+          s"the table schema: ${e.getMessage}") }
+    val out = df.schema.fields
+    require(out.length == 1 && out.head.dataType == BooleanType,
+      s"CHECK constraint '$name' ($exprText) must be one BOOLEAN " +
+        s"expression, got ${out.map(_.dataType).mkString(", ")}")
+    df.queryExecution.analyzed match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        require(p.projectList.forall(_.deterministic),
+          s"CHECK constraint '$name' ($exprText) must be deterministic")
+        require(!p.projectList.exists(_.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])),
+          s"CHECK constraint '$name' ($exprText) must not contain a subquery")
+      case _ => throw new IllegalArgumentException(
+        s"CHECK constraint '$name' ($exprText) must be a row-level " +
+          "expression (no aggregates or windows)")
+    }
   }
 
   private def optionLong(key: String, value: String): Long =
@@ -2831,6 +3040,8 @@ object GraftTable {
         case "stripe_row_count" => o.copy(stripeRowCount = optionLong(key, value))
         case "block_row_count" => o.copy(blockRowCount = optionLong(key, value))
         case "delete_mode" => o.copy(deleteMode = value)
+        case k if k.startsWith("check.") =>
+          o.copy(checks = o.checks + (k.stripPrefix("check.") -> value))
         case _ => o
       }))
     case UnsetOption(key) =>
@@ -2840,6 +3051,8 @@ object GraftTable {
         case "stripe_row_count" => o.copy(stripeRowCount = d.stripeRowCount)
         case "block_row_count" => o.copy(blockRowCount = d.blockRowCount)
         case "delete_mode" => o.copy(deleteMode = d.deleteMode)
+        case k if k.startsWith("check.") =>
+          o.copy(checks = o.checks - k.stripPrefix("check."))
         case _ => o
       }))
   }
@@ -3331,6 +3544,9 @@ object GraftTable {
           StringType, DateType).contains(dt),
         s"bucket_by column '$c' must be integral, string, or date (got $dt)")
     }
+    options.checks.foreach { case (n, e) =>
+      validateCheckExpr(spark, n, e, schema)
+    }
     val loc = qualified(location)
     val (fs, dir) = fsAndPath(loc)
     require(!fs.exists(metaPath(loc)), s"table already exists at $loc")
@@ -3686,6 +3902,8 @@ object GraftTable {
        |  "bucket_by": ${m.options.bucketBy.map(js).mkString("[", ",", "]")},
        |  "bucket_count": ${m.options.bucketCount},
        |  "delete_mode": ${js(m.options.deleteMode)},
+       |  "checks": ${m.options.checks.map { case (k, v) => s"${js(k)}: ${js(v)}" }
+                        .mkString("{", ",", "}")},
        |  "dvs": $dvs,
        |  "row_count": ${m.rowCount},
        |  "version": ${m.version},
@@ -3803,7 +4021,10 @@ object GraftTable {
         bucketCount = m.getOrElse("bucket_count", java.lang.Long.valueOf(0L))
           .asInstanceOf[Number].intValue(),
         deleteMode = m.getOrElse("delete_mode", "copy-on-write")
-          .asInstanceOf[String]),
+          .asInstanceOf[String],
+        checks = m.getOrElse("checks", Map.empty[String, Any])
+          .asInstanceOf[Map[String, Any]]
+          .map { case (k, v) => k -> v.asInstanceOf[String] }),
       files = m("files").asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toVector,
       rowCount = m("row_count").asInstanceOf[Number].longValue(),
       defaults = defaults,

@@ -62,4 +62,32 @@ object GraftStreamUpsert {
   def start(df: DataFrame, table: GraftTable, keyCols: Seq[String],
       checkpoint: String, trigger: Trigger): StreamingQuery =
     writer(df, table, keyCols, checkpoint).trigger(trigger).start()
+
+  /** Attach a FULL CDC sink: the stream carries an op column, rows with
+    * `deleteOp` REMOVE their key from the table, everything else
+    * upserts — each micro-batch's deletes and upserts land in ONE
+    * atomic commit ([[GraftTable.applyCdc]]), so readers never observe
+    * a half-applied batch and a checkpoint replay skips both halves
+    * together. This is the changelog-materialization shape: a Debezium/
+    * CDC feed keeps a graft table equal to the source table it mirrors. */
+  def cdcWriter(df: DataFrame, table: GraftTable, keyCols: Seq[String],
+      opCol: String, checkpoint: String,
+      deleteOp: String = "D"): DataStreamWriter[Row] = {
+    val id = txnId(checkpoint)
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.applyCdcStream(batch, keyCols, opCol, id, batchId, deleteOp)
+        ()
+      }
+  }
+
+  /** Start materializing a CDC changelog stream into `table`. */
+  def startCdc(df: DataFrame, table: GraftTable, keyCols: Seq[String],
+      opCol: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      deleteOp: String = "D"): StreamingQuery =
+    cdcWriter(df, table, keyCols, opCol, checkpoint, deleteOp)
+      .trigger(trigger).start()
 }

@@ -25,10 +25,12 @@ class PlanGuardSpec extends SparkSpec {
   // c11: ONE-row (total tokens, weight sum) aggregate broadcast-crossed
   // onto the per-source budget table (c3's broadcast-scalar pattern);
   // the corpus-side joins are keyed equality joins on (source, salt).
+  // s7: s2's assignment crossJoin served from the persisted index — the
+  // same ≤5-row query set broadcast against the tiny centroid table.
   private val bnljAllowed =
     Set("s1_ann_brute", "s2_ann_ivf", "s6_range_search", "t6_bm25",
       "c3_source_mix", "s4_kmeans", "d11_semantic_dedup", "t13_perplexity",
-      "d13_tfidf_cosine", "c11_token_budget_mix")
+      "d13_tfidf_cosine", "c11_token_budget_mix", "s7_ann_persisted")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")
