@@ -158,6 +158,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       bucketCount = bucketTransform.map(_._2)
         .orElse(prop("bucket_count").map(_.toInt)).getOrElse(0),
       deleteMode = prop("delete_mode").getOrElse("copy-on-write"),
+      autoCompactMinFiles = prop("auto_compact_min_files").map(_.toInt).getOrElse(0),
       // CHECK constraints arrive as `check.<name>` properties (CREATE
       // TABLE ... TBLPROPERTIES('check.pos' = 'v >= 0')); expressions
       // validate against the schema inside GraftTable.create

@@ -29,6 +29,7 @@ import graft.storage.GraftTable
   *   CALL graft.system.diff('db.t', 1, 4)         -- snapshot delta
   *   CALL graft.system.clone('db.t', 'db.t2')     -- deep clone (branching)
   *   CALL graft.system.restore('db.t', 3)         -- roll back to snapshot v3
+  *   CALL graft.system.files('db.t')              -- per-file layout health
   *   CALL graft.system.recluster('db.t', 'k', '') -- rewrite clustered on k
   *   CALL graft.system.recluster('db.t', '', 'x,y') -- rewrite Z-ordered
   * }}}
@@ -39,7 +40,7 @@ private[sources] object GraftProcedures {
   val Names: Seq[String] =
     Seq("compact", "compact_small", "vacuum", "analyze", "analyze_sample",
       "table_size", "history", "expire_history", "diff", "clone", "recluster",
-      "verify", "verify_deep", "materialize_vectors", "restore")
+      "verify", "verify_deep", "materialize_vectors", "restore", "files")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -142,6 +143,27 @@ private[sources] object GraftProcedures {
             new LocalScan {
               override def readSchema(): StructType = schema
               override def rows(): Array[InternalRow] = verifyRows
+            }
+          } else if (procName == "files") {
+            // per-file introspection: the maintenance operator's view of
+            // layout health (small-file tail, dead-row load per file)
+            val (hfs, _) = graft.storage.GraftTable.fsAndPath(dir)
+            val dvs = t.dvEntries
+            val schema = StructType(Seq(
+              StructField("file", StringType, nullable = false),
+              StructField("bytes", LongType, nullable = false),
+              StructField("rows", LongType, nullable = false),
+              StructField("dead_rows", LongType, nullable = false)))
+            val fileRows = t.relFiles.map { rel =>
+              val st = hfs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$rel"))
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(rel), st.getLen,
+                t.fileRowCount(rel),
+                dvs.get(rel).map(_.card).getOrElse(0L))): InternalRow
+            }.toArray
+            new LocalScan {
+              override def readSchema(): StructType = schema
+              override def rows(): Array[InternalRow] = fileRows
             }
           } else if (procName == "history") {
             // multi-row result: one row per retained snapshot

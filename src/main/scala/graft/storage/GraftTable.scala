@@ -67,9 +67,19 @@ final case class GraftTableOptions(
     // SQL CHECK semantics: NULL passes, only FALSE violates. Managed via
     // `check.<name>` table properties; adding one to a non-empty table
     // validates existing data first (Delta's ADD CONSTRAINT contract).
-    checks: Map[String, String] = Map.empty) {
+    checks: Map[String, String] = Map.empty,
+    // Ingest hygiene: when ≥ this many committed files are below the
+    // small-file threshold after an append, the appender runs an
+    // incremental compactSmall OUTSIDE its commit (opportunistic,
+    // best-effort — a compaction failure never fails the append). 0 =
+    // disabled (default). At 100 TB this keeps a trickle ingest from
+    // degenerating into millions of KB files without any scheduled
+    // maintenance job — the tail is folded as it forms, cost ∝ tail.
+    autoCompactMinFiles: Int = 0) {
 
   def validate(): Unit = {
+    require(autoCompactMinFiles == 0 || autoCompactMinFiles >= 2,
+      s"auto_compact_min_files must be 0 (disabled) or >= 2, got $autoCompactMinFiles")
     checks.foreach { case (name, e) =>
       require(name.nonEmpty && name.forall(c =>
         c.isLetterOrDigit || c == '_'), s"invalid CHECK constraint name '$name'")
@@ -356,6 +366,17 @@ final class GraftTable private (
     * metadata variant for catalog use. */
   def rowCountFromMetadata(): Long = meta.rowCount
 
+  /** Committed data files as LOCATION-RELATIVE paths — the form the
+    * metadata, zone maps, and deletion vectors key on. */
+  def relFiles: Seq[String] = meta.files
+
+  /** Footer row count of one committed file (zone-map cache when
+    * available, else one footer read) — feeds the `files` introspection
+    * procedure. */
+  def fileRowCount(rel: String): Long =
+    meta.fileStats.get(rel).flatMap(_.values.headOption).map(_.rows)
+      .getOrElse(footerInfo(s"$location/$rel")._1)
+
   /** On-disk bytes of committed data + metadata, the
     * `cstore_table_size(regclass)` UDF (`cstore_fdw.c:1183-1229`). */
   def tableSize(): Long = {
@@ -382,7 +403,11 @@ final class GraftTable private (
     * or two driver processes) never clobber each other's files or drop
     * each other's committed file lists. The row count comes from the
     * parquet footers just written — no second scan of the data. */
-  def append(df: DataFrame): Long = appendInternal(df, None)
+  def append(df: DataFrame): Long = {
+    val n = appendInternal(df, None)
+    maybeAutoCompact()
+    n
+  }
 
   /** Streaming append with exactly-once semantics: `(queryId, batchId)`
     * identifies the micro-batch, and a batch at or below the table's
@@ -392,8 +417,28 @@ final class GraftTable private (
     * one atomic rename and a crash between them is impossible — the
     * transactional half of Structured Streaming's exactly-once contract
     * (the source side is the checkpoint). */
-  def appendStream(df: DataFrame, queryId: String, batchId: Long): Long =
-    appendInternal(df, Some((queryId, batchId)))
+  def appendStream(df: DataFrame, queryId: String, batchId: Long): Long = {
+    val n = appendInternal(df, Some((queryId, batchId)))
+    maybeAutoCompact()
+    n
+  }
+
+  /** Opportunistic ingest hygiene (`auto_compact_min_files` option):
+    * after an append, when the small-file tail has grown past the
+    * threshold, fold it with [[compactSmall]]. Runs OUTSIDE the
+    * append's commit — the rows are already durable and visible; the
+    * compaction is its own (row-preserving, stream-invisible) commit,
+    * and a failure here never fails the append that triggered it. */
+  private def maybeAutoCompact(): Unit = {
+    val minFiles = meta.options.autoCompactMinFiles
+    if (minFiles <= 0) return
+    try {
+      val (fs, _) = GraftTable.fsAndPath(location)
+      val small = meta.files.count(r =>
+        fs.getFileStatus(new HPath(s"$location/$r")).getLen < (32L << 20))
+      if (small >= minFiles) compactSmall()
+    } catch { case _: Exception => () } // best-effort maintenance
+  }
 
   /** Forget a streaming pipeline's committed-batch watermark. Needed
     * when a checkpoint directory is WIPED and its path reused: batch
@@ -2921,12 +2966,12 @@ object GraftTable {
 
   private val settableOptions =
     Seq("compression", "stripe_row_count", "block_row_count", "delete_mode",
-      "check.<name>")
+      "auto_compact_min_files", "check.<name>")
 
   private def withOption(opts: GraftTableOptions, key: String,
       value: GraftTableOptions => GraftTableOptions): GraftTableOptions = key match {
     case "compression" | "stripe_row_count" | "block_row_count" |
-         "delete_mode" => value(opts)
+         "delete_mode" | "auto_compact_min_files" => value(opts)
     case k if k.startsWith("check.") => value(opts)
     case "sort_by" | "zorder_by" | "bloom_filter_columns" | "bucket_by" | "bucket_count" =>
       throw new IllegalArgumentException(
@@ -3040,6 +3085,8 @@ object GraftTable {
         case "stripe_row_count" => o.copy(stripeRowCount = optionLong(key, value))
         case "block_row_count" => o.copy(blockRowCount = optionLong(key, value))
         case "delete_mode" => o.copy(deleteMode = value)
+        case "auto_compact_min_files" =>
+          o.copy(autoCompactMinFiles = optionLong(key, value).toInt)
         case k if k.startsWith("check.") =>
           o.copy(checks = o.checks + (k.stripPrefix("check.") -> value))
         case _ => o
@@ -3051,6 +3098,8 @@ object GraftTable {
         case "stripe_row_count" => o.copy(stripeRowCount = d.stripeRowCount)
         case "block_row_count" => o.copy(blockRowCount = d.blockRowCount)
         case "delete_mode" => o.copy(deleteMode = d.deleteMode)
+        case "auto_compact_min_files" =>
+          o.copy(autoCompactMinFiles = d.autoCompactMinFiles)
         case k if k.startsWith("check.") =>
           o.copy(checks = o.checks - k.stripPrefix("check."))
         case _ => o
@@ -3902,6 +3951,7 @@ object GraftTable {
        |  "bucket_by": ${m.options.bucketBy.map(js).mkString("[", ",", "]")},
        |  "bucket_count": ${m.options.bucketCount},
        |  "delete_mode": ${js(m.options.deleteMode)},
+       |  "auto_compact_min_files": ${m.options.autoCompactMinFiles},
        |  "checks": ${m.options.checks.map { case (k, v) => s"${js(k)}: ${js(v)}" }
                         .mkString("{", ",", "}")},
        |  "dvs": $dvs,
@@ -4024,7 +4074,9 @@ object GraftTable {
           .asInstanceOf[String],
         checks = m.getOrElse("checks", Map.empty[String, Any])
           .asInstanceOf[Map[String, Any]]
-          .map { case (k, v) => k -> v.asInstanceOf[String] }),
+          .map { case (k, v) => k -> v.asInstanceOf[String] },
+        autoCompactMinFiles = m.getOrElse("auto_compact_min_files",
+          java.lang.Long.valueOf(0L)).asInstanceOf[Number].intValue()),
       files = m("files").asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toVector,
       rowCount = m("row_count").asInstanceOf[Number].longValue(),
       defaults = defaults,
