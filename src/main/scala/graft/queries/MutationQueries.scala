@@ -60,6 +60,11 @@ object MutationQueries {
     } finally walk.close()
   }
 
+  /** Build the shared scratch template eagerly (Bench warm-up hook) —
+    * the template is a once-per-(session, input) artifact, not part of
+    * any single entry's measured mutation. */
+  def warmTemplate(s: SparkSession, dir: String): Unit = { templateDir(s, dir); () }
+
   private def scratch(s: SparkSession, dir: String): GraftTable = {
     val loc = Files.createTempDirectory("graft_mut").toString + "/t"
     copyTree(templateDir(s, dir), loc)
