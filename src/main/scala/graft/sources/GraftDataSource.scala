@@ -77,7 +77,15 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
         bloomFilterColumns = cols("bloom_filter_columns"),
         bucketBy = cols("bucket_by"),
         bucketCount = Option(properties.get("bucket_count")).map(_.toInt).getOrElse(0),
-        deleteMode = Option(properties.get("delete_mode")).getOrElse("copy-on-write"))
+        deleteMode = Option(properties.get("delete_mode")).getOrElse("copy-on-write"),
+        autoCompactMinFiles =
+          Option(properties.get("auto_compact_min_files")).map(_.toInt).getOrElse(0),
+        checks = {
+          import scala.jdk.CollectionConverters._
+          properties.asScala.collect {
+            case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
+          }.toMap
+        })
       GraftTable.create(SparkSession.active, loc, schema, opts)
     }
     new GraftSparkTable(loc)
@@ -173,6 +181,32 @@ class GraftSparkTable(location: String) extends Table
   private def graft: GraftTable = GraftTable.open(spark, location)
 
   override def name(): String = s"graft.`$location`"
+
+  /** Surface the table's options as TBLPROPERTIES (`SHOW TBLPROPERTIES`
+    * / `DESCRIBE TABLE EXTENDED`): the write-shaping options, the
+    * mutation strategy, and every CHECK constraint under its
+    * `check.<name>` key — so what the validator enforces is exactly
+    * what the catalog displays. */
+  override def properties(): JMap[String, String] = {
+    val o = graft.options
+    val m = scala.collection.mutable.LinkedHashMap[String, String](
+      "compression" -> o.compression,
+      "stripe_row_count" -> o.stripeRowCount.toString,
+      "block_row_count" -> o.blockRowCount.toString,
+      "delete_mode" -> o.deleteMode)
+    if (o.sortBy.nonEmpty) m += ("sort_by" -> o.sortBy.mkString(","))
+    if (o.zorderBy.nonEmpty) m += ("zorder_by" -> o.zorderBy.mkString(","))
+    if (o.bloomFilterColumns.nonEmpty)
+      m += ("bloom_filter_columns" -> o.bloomFilterColumns.mkString(","))
+    if (o.bucketBy.nonEmpty) {
+      m += ("bucket_by" -> o.bucketBy.mkString(","))
+      m += ("bucket_count" -> o.bucketCount.toString)
+    }
+    if (o.autoCompactMinFiles > 0)
+      m += ("auto_compact_min_files" -> o.autoCompactMinFiles.toString)
+    o.checks.foreach { case (n, e) => m += (s"check.$n" -> e) }
+    m.asJava
+  }
 
   /** A bucket_by table declares its layout as a bucket transform —
     * Catalyst resolves it (via the catalog's `bucket` function) into the

@@ -189,6 +189,35 @@ class GraftCheckSpec extends SparkSpec {
     }
   }
 
+  test("SHOW TBLPROPERTIES displays constraints; writer-path create enforces them") {
+    val wh = tmpDir("chk-props")
+    spark.conf.set("spark.sql.catalog.gcp", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcp.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE gcp.db.p (id INT, v DOUBLE) USING graft " +
+        "TBLPROPERTIES ('check.pos' = 'v >= 0')")
+      val props = spark.sql("SHOW TBLPROPERTIES gcp.db.p").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("check.pos").contains("v >= 0"),
+        s"constraint must display; got $props")
+      assert(props.get("delete_mode").contains("copy-on-write"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gcp.db.p")
+      spark.conf.unset("spark.sql.catalog.gcp")
+    }
+    // the DataFrameWriter path creates with the same option surface
+    import spark.implicits._
+    val loc = tmpDir("chk-writer") + "/t"
+    Seq((1, 1.0)).toDF("id", "v").write.format("graft").mode("append")
+      .option("check.pos", "v >= 0").save(loc)
+    val t = GraftTable.open(spark, loc)
+    intercept[IllegalArgumentException] {
+      t.append(Seq((2, -1.0)).toDF("id", "v"))
+    }
+    assert(t.read().count() === 1L)
+    GraftTable.drop(loc)
+  }
+
   test("clone and restore carry the constraint state") {
     val t = mk("chk-clone", Map("pos" -> "v >= 0"))
     t.append(rows((1, 1.0, "a")))
