@@ -214,10 +214,17 @@ object Events {
     * GRID, whose cardinality is windows × types — thousands of rows at
     * any corpus scale, so the second window costs nothing; no per-event
     * window functions anywhere. */
-  def e11Trending(s: SparkSession, dir: String): DataFrame = {
-    val grid = Tables.load(s, dir, "events")
+  def e11Trending(s: SparkSession, dir: String): DataFrame =
+    trendOverGrid(Tables.load(s, dir, "events")
       .groupBy(expr("unix_timestamp(ts) div 21600").as("win6h"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** Trend comparison over a (win6h, event_type, cnt) grid — ONE
+    * definition shared by batch e11 and the streaming twin
+    * ([[graft.streaming.TrendingStream]] feeds its drained grid here),
+    * so the adjacency rule and the basis-point arithmetic can never
+    * drift between the two. */
+  def trendOverGrid(grid: DataFrame): DataFrame = {
     val byType = Window.partitionBy("event_type").orderBy("win6h")
     grid
       .withColumn("prev_win", lag("win6h", 1).over(byType))

@@ -101,23 +101,10 @@ object StreamQueries {
     "e12_stream_trending" -> e12StreamTrending _)
 
   val oracles: Map[String, String] = Map(
-    // identical to e5's oracle: the drained stream must reproduce the
-    // batch funnel exactly
-    "e9_stream_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) tsu FROM events),
-        |v AS (SELECT user_id, min(tsu) t_view FROM e
-        |      WHERE event_type = 'view' GROUP BY user_id),
-        |c AS (SELECT e.user_id, min(tsu) t_click FROM e
-        |      JOIN v ON e.user_id = v.user_id
-        |      WHERE event_type = 'click' AND tsu > t_view GROUP BY e.user_id),
-        |p AS (SELECT e.user_id, min(tsu) t_purchase FROM e
-        |      JOIN c ON e.user_id = c.user_id
-        |      WHERE event_type = 'purchase' AND tsu > t_click GROUP BY e.user_id)
-        |SELECT * FROM (
-        |  SELECT '1_view' AS stage, count(*) AS users FROM v
-        |  UNION ALL SELECT '2_click', count(*) FROM c
-        |  UNION ALL SELECT '3_purchase', count(*) FROM p
-        |) ORDER BY stage""".stripMargin,
+    // e5's oracle BY REFERENCE: the drained stream must reproduce the
+    // batch funnel exactly, and a change to e5's rule must reach its
+    // twin automatically (the s7/s2 sharing pattern)
+    "e9_stream_funnel" -> graft.operators.Events.oracles("e5_funnel"),
     // e6's oracle minus the per-cell event count: the stream emits one
     // row per (user, cell) first activity, so only the distinct-user
     // measure is recoverable from the emission log
@@ -129,19 +116,7 @@ object StreamQueries {
         |  CAST(count(DISTINCT w.user_id) AS BIGINT) n_users
         |FROM w JOIN c ON w.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // e11's oracle verbatim: the drained window grid must reproduce the
-    // batch grid exactly (the sentinel's window never emits)
-    "e12_stream_trending" ->
-      """WITH grid AS (
-        |  SELECT CAST(epoch(ts) AS BIGINT) // 21600 win6h, event_type,
-        |         count(*) cnt
-        |  FROM events GROUP BY 1, 2),
-        |l AS (SELECT win6h, event_type, cnt,
-        |        lag(win6h) OVER (PARTITION BY event_type ORDER BY win6h) prev_win,
-        |        lag(cnt) OVER (PARTITION BY event_type ORDER BY win6h) prev_cnt
-        |      FROM grid)
-        |SELECT win6h, event_type, cnt, prev_cnt,
-        |       CAST(trunc(((cnt - prev_cnt) * 10000.0) / prev_cnt) AS BIGINT) trend_bp
-        |FROM l WHERE prev_win = win6h - 1
-        |ORDER BY win6h, event_type""".stripMargin)
+    // e11's oracle BY REFERENCE: the drained window grid must reproduce
+    // the batch grid exactly (the sentinel's window never emits)
+    "e12_stream_trending" -> graft.operators.Events.oracles("e11_trending"))
 }

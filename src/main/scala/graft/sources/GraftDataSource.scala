@@ -55,12 +55,37 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     val loc = path(options)
     require(GraftTable.exists(loc),
       s"no graft table at $loc (provide a schema to create one)")
-    GraftTable.open(SparkSession.active, loc).schema
+    // a time-travel read serves the SNAPSHOT's schema (it may predate
+    // ALTERs the live table has since taken)
+    Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(Option(options.get("timestampAsOf")).map(ts =>
+        GraftTable.versionAsOfTimestamp(loc,
+          java.sql.Timestamp.valueOf(ts).getTime)))
+      .map(v => GraftTable.openVersion(SparkSession.active, loc, v).readSchema())
+      .getOrElse(GraftTable.open(SparkSession.active, loc).schema)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val loc = path(properties)
+    // time travel on the PATH-based reader (the Delta option surface):
+    //   spark.read.format("graft").option("versionAsOf", 3).load(loc)
+    //   spark.read.format("graft").option("timestampAsOf", "2026-01-01 00:00:00")
+    // — a read-only snapshot relation, same machinery as SQL VERSION AS OF
+    def opt(k: String): Option[String] = Option(properties.get(k))
+      .orElse(Option(properties.get(k.toLowerCase(java.util.Locale.ROOT))))
+    val vOpt = opt("versionAsOf").map(_.toLong)
+    val tsOpt = opt("timestampAsOf")
+    if (vOpt.nonEmpty || tsOpt.nonEmpty) {
+      require(vOpt.isEmpty || tsOpt.isEmpty,
+        "specify versionAsOf OR timestampAsOf, not both")
+      require(GraftTable.exists(loc), s"no graft table at $loc")
+      val v = vOpt.getOrElse {
+        val ms = java.sql.Timestamp.valueOf(tsOpt.get).getTime
+        GraftTable.versionAsOfTimestamp(loc, ms)
+      }
+      return new GraftSnapshotTable(loc, v)
+    }
     if (!GraftTable.exists(loc)) {
       // CREATE TABLE ... USING graft / first write: init the table with
       // the declared schema + validated reference options (N18, N22).

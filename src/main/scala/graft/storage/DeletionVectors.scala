@@ -95,16 +95,33 @@ object DeletionVectors {
     java.util.Arrays.binarySearch(positions, ri) >= 0
 
   /** Executor-wide sidecar cache: a vector is immutable once written
-    * (updates swap in a NEW sidecar path), so a loaded array is valid
-    * forever and shared across all tasks in the JVM. */
+    * (updates swap in a NEW sidecar path), so a loaded array stays valid
+    * and is shared across all tasks in the JVM. BOUNDED: every mutation
+    * commit supersedes sidecars under fresh paths, so a long-lived
+    * executor serving a continuously-mutated table would otherwise
+    * accumulate every vector ever written until it OOMed — an
+    * access-ordered LRU capped at [[MaxEntries]] keeps exactly the hot
+    * working set (the vectors of the CURRENT metadata), and an evicted
+    * entry merely costs one re-read. */
   object Cache {
+    private val MaxEntries = 512
     private val loaded =
-      new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
-    def get(path: String, conf: org.apache.hadoop.conf.Configuration): Array[Long] =
-      loaded.computeIfAbsent(path, { p =>
-        val hp = new HPath(p)
-        DeletionVectors.read(hp.getFileSystem(conf), p)
-      })
+      new java.util.LinkedHashMap[String, Array[Long]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[Long]]): Boolean =
+          size() > MaxEntries
+      }
+    def get(path: String, conf: org.apache.hadoop.conf.Configuration): Array[Long] = {
+      loaded.synchronized {
+        val hit = loaded.get(path)
+        if (hit != null) return hit
+      }
+      // load OUTSIDE the lock (filesystem reads must not serialize the
+      // cache); a racing double-load is benign — identical immutable data
+      val arr = DeletionVectors.read(new HPath(path).getFileSystem(conf), path)
+      loaded.synchronized { loaded.put(path, arr) }
+      arr
+    }
   }
 
   /** URI-path normalization shared by every site that keys a map by data

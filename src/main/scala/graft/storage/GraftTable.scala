@@ -342,10 +342,15 @@ final class GraftTable private (
     val m = GraftTable.readHistoryMeta(location, toVersion)
     requireSnapshotReadable(toVersion, m)
     commitMutation { cur =>
+      // Resurrection test must compare vector IDENTITY, not cardinality:
+      // two sidecars of equal cardinality can hold different position
+      // sets (delete {1,2} vs {1,9}), and restoring across them
+      // resurrects a row. A differing entry always marks the commit —
+      // conservative is safe (the stream fails/skips); missing a
+      // resurrection is not. An IDENTICAL entry (same sidecar path)
+      // provably serves the same live set.
       val resurrects = m.files.exists { f =>
-        if (!cur.files.contains(f)) true
-        else m.dvs.get(f).map(_.card).getOrElse(0L) <
-          cur.dvs.get(f).map(_.card).getOrElse(0L)
+        !cur.files.contains(f) || m.dvs.get(f) != cur.dvs.get(f)
       }
       cur.copy(
         currentSchema = m.currentSchema,
@@ -434,7 +439,13 @@ final class GraftTable private (
     if (minFiles <= 0) return
     try {
       val (fs, _) = GraftTable.fsAndPath(location)
-      val small = meta.files.count(r =>
+      // the TRIGGER check stats only the recent tail of the file list
+      // (appends extend it at the end, which is where an ingest's small
+      // files accumulate) — O(minFiles) metadata RPCs per append, never
+      // O(table files); compactSmall's own full sweep runs only when a
+      // compaction is actually warranted
+      val probe = meta.files.takeRight(math.max(64, 4 * minFiles))
+      val small = probe.count(r =>
         fs.getFileStatus(new HPath(s"$location/$r")).getLen < (32L << 20))
       if (small >= minFiles) compactSmall()
     } catch { case _: Exception => () } // best-effort maintenance
@@ -1192,6 +1203,10 @@ final class GraftTable private (
         // zorder layouts partition inside the writer itself
         val input =
           if (newOpts.bucketBy.nonEmpty || zorderBy.nonEmpty) read()
+          else if (sortBy.isEmpty)
+            // DE-cluster (both column lists empty): a plain rewrite —
+            // repartitionByRange with zero expressions would throw
+            read().repartition(target)
           else read().repartitionByRange(target, sortBy.map(col): _*)
         val batchDir = writeBatchDir(input)
         val newFiles = listParquetFiles(batchDir)

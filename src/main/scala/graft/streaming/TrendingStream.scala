@@ -50,18 +50,9 @@ object TrendingStream {
       .format("memory")
       .start()
 
-  /** Batch trend over the drained grid — e11's comparison verbatim:
-    * only ADJACENT previous windows compare, trend in trunc'd basis
-    * points. */
-  def trends(grid: DataFrame): DataFrame = {
-    val byType = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type").orderBy("win6h")
-    grid
-      .withColumn("prev_win", lag("win6h", 1).over(byType))
-      .withColumn("prev_cnt", lag("cnt", 1).over(byType))
-      .filter(col("prev_win") === col("win6h") - 1)
-      .select(col("win6h"), col("event_type"), col("cnt"), col("prev_cnt"),
-        expr("cast((cnt - prev_cnt) * 10000 / prev_cnt as bigint)").as("trend_bp"))
-      .orderBy("win6h", "event_type")
-  }
+  /** Batch trend over the drained grid — e11's comparison BY REFERENCE
+    * ([[graft.operators.Events.trendOverGrid]]): one definition, so the
+    * twin can never drift from the batch operator or its oracle. */
+  def trends(grid: DataFrame): DataFrame =
+    graft.operators.Events.trendOverGrid(grid)
 }

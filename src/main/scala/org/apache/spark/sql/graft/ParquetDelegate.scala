@@ -576,16 +576,33 @@ object ParquetDelegate {
       * versions, so retained history is a suffix), then walks forward.
       * A NON-zero start whose snapshot is expired fails instead: the
       * commits the stream still owes are unrecoverable. */
+    /** Deletion vectors of the INITIAL-load snapshot, set by
+      * [[addedFiles]] for the batch just planned and consumed by
+      * [[createReaderFactory]] (planInputPartitions runs before the
+      * factory is built for the same batch; micro-batches execute
+      * serially). Only the initial load can carry vectors: later
+      * batches serve freshly-APPENDED files, which have none at their
+      * commit, and later deletes are not representable in an
+      * append-log stream (that is the graft-cdf source's job). */
+    @volatile private var initialDvs: Map[String, String] = Map.empty
+
     private def addedFiles(start: Long, end: Long): Seq[String] = {
       val out = Seq.newBuilder[String]
       var walkFrom = start
       var prev: Option[GraftTable.Meta] = None
+      initialDvs = Map.empty
       if (start <= 0) {
         val retained = GraftTable.historyVersions(location).filter(_ <= end)
         if (retained.isEmpty) return Seq.empty
         val first = retained.head
         val base = metaAt(first)
         out ++= base.files.map(f => s"$location/$f")
+        // the initial load is the table's STATE at `first`, not an
+        // append log — merge-on-read-deleted rows must not resurrect
+        // for a fresh consumer, so the snapshot's vectors ride along
+        initialDvs = base.dvs.map { case (rel, e) =>
+          graft.storage.DeletionVectors.normalize(s"$location/$rel") ->
+            s"$location/${e.path}" }
         walkFrom = first
         prev = Some(base)
       } else prev = Some(metaAt(start))
@@ -622,10 +639,13 @@ object ParquetDelegate {
       out.result()
     }
 
-    private def scanOver(files: Seq[String]): ParquetScan = {
+    private def scanOver(files: Seq[String]): ParquetScan =
+      scanOver(files, readSchema)
+
+    private def scanOver(files: Seq[String], schema: StructType): ParquetScan = {
       val t = ParquetTable(s"graft-stream.`$location`", spark, options, files,
-        Some(readSchema), classOf[ParquetFileFormat])
-      new ParquetScanBuilder(spark, t.fileIndex, readSchema, readSchema, options)
+        Some(schema), classOf[ParquetFileFormat])
+      new ParquetScanBuilder(spark, t.fileIndex, schema, schema, options)
         .build()
     }
 
@@ -663,14 +683,29 @@ object ParquetDelegate {
       if (delta.isEmpty) Array.empty
       else {
         requireCompatible(endV)
-        scanOver(delta).toBatch.planInputPartitions()
+        if (initialDvs.isEmpty) scanOver(delta).toBatch.planInputPartitions()
+        else scanOver(delta, DvScan.withRowIndex(readSchema))
+          .toBatch.planInputPartitions()
       }
     }
 
     override def createReaderFactory()
-        : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
       // the factory depends on schema/options/conf, not on a file list;
-      // it reads whatever FilePartitions planInputPartitions produced
-      scanOver(Seq.empty).toBatch.createReaderFactory()
+      // it reads whatever FilePartitions planInputPartitions produced.
+      // An initial load over a snapshot carrying deletion vectors reads
+      // through the wrapped row-index factory so dead rows never reach
+      // a fresh consumer; every other batch keeps the columnar path.
+      val dvs = initialDvs
+      if (dvs.isEmpty) scanOver(Seq.empty).toBatch.createReaderFactory()
+      else {
+        val inner = scanOver(Seq.empty, DvScan.withRowIndex(readSchema))
+          .toBatch.createReaderFactory()
+        new DvScan.DvReaderFactory(inner, dvs,
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf()),
+          readSchema.fields.map(_.dataType))
+      }
+    }
   }
 }

@@ -101,6 +101,20 @@ class CloneReclusterSpec extends SparkSpec {
     GraftTable.drop(s"$root/t")
   }
 
+  test("recluster with no columns DE-clusters: plain rewrite, option cleared") {
+    import spark.implicits._
+    val root = tmpDir("recluster-none")
+    val t = GraftTable.create(spark, s"$root/t",
+      schemaOf("k" -> "bigint", "v" -> "string"),
+      GraftTableOptions(sortBy = Seq("k")))
+    t.append((1L to 200L).map(i => (i, s"v$i")).toDF("k", "v"))
+    t.recluster(Seq.empty, Seq.empty) // '' , '' on the CALL surface
+    assert(t.options.sortBy.isEmpty && t.options.zorderBy.isEmpty)
+    assert(t.rowCountFromMetadata() === 200L)
+    assert(t.read().count() === 200L)
+    GraftTable.drop(s"$root/t")
+  }
+
   test("recluster zorder_by prunes on BOTH listed columns; bad columns refused") {
     import spark.implicits._
     val root = tmpDir("recluster-z")

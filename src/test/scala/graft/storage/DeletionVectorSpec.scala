@@ -257,6 +257,27 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.rowCountFromMetadata() === 196L)
   }
 
+  test("fresh stream's initial load serves the snapshot NET of deletion vectors") {
+    import spark.implicits._
+    val t = mk("dv-stream-init")                       // v1..v3: appends, 150 rows
+    t.deleteMor(Seq(In("id", Array(100, 205))))        // v4: vectors only
+    t.expireHistory(1)                                 // oldest retained = v4
+    t.append(Seq((300, "even", 3000)).toDF("id", "grp", "v")) // v5
+    val out = spark.readStream.format("graft").option("path", t.location).load()
+    val q = out.writeStream.format("memory").queryName("dv_init_q")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000L)
+    val got = spark.table("dv_init_q")
+    // the initial load is the v4 STATE (148 live rows), not the raw
+    // files — merge-on-read-deleted rows must not resurrect for a
+    // fresh consumer; the later append still arrives as its own batch
+    assert(got.count() === 149L)
+    assert(got.filter(col("id").isin(100, 205)).count() === 0L,
+      "vectored-out rows leaked into the initial load")
+    assert(got.filter(col("id") === 300).count() === 1L)
+    spark.sql("DROP TABLE IF EXISTS dv_init_q")
+  }
+
   test("streaming source skips DV commits (append-log contract)") {
     val t = mk("dv-stream")
     t.deleteMor(Seq(In("id", Array(100))))

@@ -88,6 +88,24 @@ class RestoreSpec extends SparkSpec {
     GraftTable.drop(t.location)
   }
 
+  test("equal-cardinality but different-position vectors still mark a change commit") {
+    val t = mk("restore-dv-pos")
+    val v1 = t.version
+    t.deleteMor(Seq(org.apache.spark.sql.sources.In("id", Array(0, 1)))) // v4: {0,1}
+    val vA = t.version
+    t.restore(v1)                                                        // v5: no dv
+    t.deleteMor(Seq(org.apache.spark.sql.sources.In("id", Array(5, 6)))) // v6: {5,6}
+    // restore to vA: same dv CARDINALITY (2) on the same file, different
+    // positions — rows 5 and 6 resurrect, rows 0 and 1 disappear; a
+    // cardinality-only test would miss this
+    t.restore(vA)
+    assert(GraftTable.readHistoryMeta(t.location, t.version).changeCommit,
+      "restoring across equal-cardinality vectors must mark a change commit")
+    assert(t.read().filter(col("id").isin(5, 6)).count() === 2L)
+    assert(t.read().filter(col("id").isin(0, 1)).count() === 0L)
+    GraftTable.drop(t.location)
+  }
+
   test("restore refuses never-committed and expired snapshots") {
     val t = mk("restore-refuse")
     intercept[IllegalArgumentException] { t.restore(99L) }

@@ -41,6 +41,27 @@ class TimeTravelSpec extends SparkSpec {
     GraftTable.drop(t.location)
   }
 
+  test("DataFrameReader time travel: versionAsOf / timestampAsOf options") {
+    val t = mk("tt-reader")
+    t.addColumn("flag", IntegerType, default = 7)
+    val v1 = spark.read.format("graft").option("versionAsOf", 1)
+      .load(t.location)
+    assert(v1.count() === 10L)
+    assert(v1.schema.fieldNames.toSeq === Seq("id", "v"),
+      "the snapshot's schema predates the ALTER")
+    // a timestamp after the newest commit resolves to the head version
+    val now = new java.sql.Timestamp(System.currentTimeMillis() + 60000L).toString
+    val head = spark.read.format("graft").option("timestampAsOf", now)
+      .load(t.location)
+    assert(head.count() === 30L)
+    assert(head.schema.fieldNames.contains("flag"))
+    intercept[Exception] {
+      spark.read.format("graft").option("versionAsOf", 1)
+        .option("timestampAsOf", now).load(t.location).count()
+    }
+    GraftTable.drop(t.location)
+  }
+
   test("snapshots survive schema evolution and compaction") {
     val t = mk("tt-evolve")
     t.addColumn("flag", IntegerType, default = 7)
