@@ -26,6 +26,7 @@ import graft.storage.GraftTable
   *   CALL graft.system.table_size('db.t')
   *   CALL graft.system.history('db.t')          -- snapshot versions
   *   CALL graft.system.expire_history('db.t', 3) -- keep newest 3
+  *   CALL graft.system.expire_history_older_than('db.t', 168) -- keep a week
   *   CALL graft.system.diff('db.t', 1, 4)         -- snapshot delta
   *   CALL graft.system.clone('db.t', 'db.t2')     -- deep clone (branching)
   *   CALL graft.system.restore('db.t', 3)         -- roll back to snapshot v3
@@ -40,7 +41,8 @@ private[sources] object GraftProcedures {
   val Names: Seq[String] =
     Seq("compact", "compact_small", "vacuum", "analyze", "analyze_sample",
       "table_size", "history", "expire_history", "diff", "clone", "recluster",
-      "verify", "verify_deep", "materialize_vectors", "restore", "files")
+      "verify", "verify_deep", "materialize_vectors", "restore", "files",
+      "expire_history_older_than")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -60,6 +62,9 @@ private[sources] object GraftProcedures {
           else if (procName == "restore")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("version", IntegerType).build())
+          else if (procName == "expire_history_older_than")
+            Array(ProcedureParameter.in("table", StringType).build(),
+              ProcedureParameter.in("hours", IntegerType).build())
           else if (procName == "diff")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("from_version", IntegerType).build(),
@@ -200,6 +205,9 @@ private[sources] object GraftProcedures {
                 // rollback to a retained snapshot as a NEW commit; the
                 // returned value is the version the restore created
                 ("version_after_restore", t.restore(input.getInt(1).toLong))
+              case "expire_history_older_than" =>
+                ("snapshots_expired",
+                  t.expireHistoryOlderThan(input.getInt(1) * 3600000L).toLong)
               case "clone" =>
                 val target = checkName(input.getUTF8String(1).toString)
                 ("rows_cloned",

@@ -311,6 +311,35 @@ final class GraftTable private (
     expire.size + reclaimed
   }
 
+  /** Age-based retention — the form an operator actually schedules
+    * ("keep a week of snapshots"): expire every snapshot whose COMMIT
+    * TIME (the archive file's modification time, assigned at the
+    * version claim) is older than `olderThanMs` before now. The newest
+    * snapshot and the current version always survive, whatever their
+    * age, so the table always has at least one restorable state; the
+    * pointer-refresh and stale-claim disciplines are [[expireHistory]]'s
+    * (this routes through it by computing the equivalent keepLast).
+    * Returns the number expired. */
+  def expireHistoryOlderThan(olderThanMs: Long): Int = {
+    // NOT under withTableLock: the OS file lock is non-reentrant and
+    // expireHistory (which does the actual deleting, under the lock)
+    // runs inside it; the age scan here is read-only metadata
+    refreshMeta()
+    require(olderThanMs >= 0, "olderThanMs must be >= 0")
+    val (fs, _) = GraftTable.fsAndPath(location)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val committed = GraftTable.historyVersions(location).filter(_ <= meta.version)
+    // count the OLD prefix (history ages monotonically with version:
+    // claims are ordered, and mtime is the claim time)
+    val oldCount = committed.takeWhile { v =>
+      try fs.getFileStatus(GraftTable.historyPath(location, v))
+        .getModificationTime < cutoff
+      catch { case _: Exception => false }
+    }.size
+    val keepLast = math.max(1, committed.size - oldCount)
+    expireHistory(keepLast)
+  }
+
   /** RESTORE the table to the state of snapshot `toVersion` — the
     * rollback the snapshot archive makes one commit away (Delta's
     * RESTORE shape; the reference's footer rename keeps exactly one

@@ -62,6 +62,18 @@ class TimeTravelSpec extends SparkSpec {
     GraftTable.drop(t.location)
   }
 
+  test("age-based expiry: young snapshots survive, old ones expire") {
+    val t = mk("tt-age")
+    assert(t.expireHistoryOlderThan(3600L * 1000) === 0, "everything is young")
+    assert(t.history().size === 4)
+    Thread.sleep(20) // ensure every archive mtime is strictly in the past
+    val n = t.expireHistoryOlderThan(0L)
+    assert(n === 3, "all but the newest snapshot expire at zero retention")
+    assert(t.history().map(_._1) === Seq(3L))
+    assert(t.read().count() === 30L)
+    GraftTable.drop(t.location)
+  }
+
   test("snapshots survive schema evolution and compaction") {
     val t = mk("tt-evolve")
     t.addColumn("flag", IntegerType, default = 7)
