@@ -1090,13 +1090,27 @@ final class GraftTable private (
       meta.dvs.get(r).map(_.card).getOrElse(0L)).sum
     val nOut = math.max(1L,
       (small.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
-    val batchDir = writeBatchDir(readFilesDf(smallRels).repartition(nOut))
+    val batchDir = writeBatchDir(clusterPreserving(readFilesDf(smallRels), nOut))
     val got = listParquetFiles(batchDir).map(f => footerInfo(f)._1).sum
     require(got == expectRows,
       s"small-file compaction row mismatch: rewrote $got of $expectRows rows")
     commitRewrite(smallRels, batchDir, schemaAtWrite, 0L, "COMPACT_SMALL")
     small.size
   }
+
+  /** Partitioning for a compaction rewrite that PRESERVES the table's
+    * clustering value: a `sort_by` table range-partitions on its sort
+    * keys so the merged files stay range-DISJOINT (zone maps keep
+    * point-pruning to one file and the scan's proven-order claim can
+    * hold again) — a plain `repartition` would hash rows across every
+    * output file and quietly degrade a clustered table's pruning with
+    * each maintenance cycle. Bucketed and Z-ordered layouts partition
+    * inside the batch writer itself; unclustered tables just merge. */
+  private def clusterPreserving(df: DataFrame, target: Int): DataFrame =
+    if (meta.options.bucketBy.nonEmpty || meta.options.zorderBy.nonEmpty) df
+    else if (meta.options.sortBy.nonEmpty)
+      df.repartitionByRange(target, meta.options.sortBy.map(col): _*)
+    else df.repartition(target)
 
   def compact(): Int = withTableLock {
     refreshMeta()
@@ -1105,7 +1119,7 @@ final class GraftTable private (
       // one output file per stripeRowCount rows — the merge IS the point
       val target = math.max(1L,
         (meta.rowCount + meta.options.stripeRowCount - 1) / meta.options.stripeRowCount)
-      val batchDir = writeBatchDir(read().repartition(target.toInt))
+      val batchDir = writeBatchDir(clusterPreserving(read(), target.toInt))
       val newFiles = listParquetFiles(batchDir)
       val infos = newFiles.map(f => relativize(f, location) -> footerInfo(f))
       val n = infos.map(_._2._1).sum

@@ -21,6 +21,27 @@ class ClusteringSpec extends SparkSpec {
     StructField("b", IntegerType),
     StructField("payload", StringType)))
 
+  test("compaction preserves sort_by clustering: merged files range-disjoint") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpDir("compact-sorted") + "/t",
+      StructType(Seq(StructField("id", IntegerType), StructField("v", StringType))),
+      GraftTableOptions(stripeRowCount = 1000, blockRowCount = 1000,
+        sortBy = Seq("id")))
+    // three INTERLEAVED appends: every file spans nearly the full id
+    // range, so pre-compaction a point probe cannot prune anything
+    for (r <- 0 until 3)
+      t.append((0 until 3000).filter(_ % 3 == r).map(i => (i, s"v$i"))
+        .toDF("id", "v").coalesce(1))
+    assert(t.prunedFiles(Seq(EqualTo("id", 1500))).size === 3,
+      "interleaved appends must overlap before compaction")
+    t.compact()
+    assert(t.committedFiles.size >= 2, "stripe sizing must split the output")
+    assert(t.prunedFiles(Seq(EqualTo("id", 1500))).size === 1,
+      "compacted files must be range-disjoint on the sort key")
+    assert(t.read().count() === 3000L)
+    GraftTable.drop(t.location)
+  }
+
   /** 100×100 grid: a and b are independent uniform dimensions. */
   private def grid = {
     import spark.implicits._
