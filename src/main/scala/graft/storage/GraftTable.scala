@@ -273,7 +273,36 @@ final class GraftTable private (
     * version always survives). Returns the number expired. After
     * expiry, [[vacuum]] may reclaim data files only they referenced. */
   def expireHistory(keepLast: Int): Int = withTableLock {
+    expireHistoryLocked(keepLast, None)
+  }
+
+  /** Shared expiry body; runs UNDER the table lock. When `olderThanMs`
+    * is given, the age cutoff is translated to a keep-last window HERE,
+    * against the same history listing the deletes will run over — were
+    * it computed outside the lock (as age-based expiry once did), a
+    * commit landing between the scan and the lock would shift the
+    * window and expire a snapshot still inside the requested age. */
+  private def expireHistoryLocked(keepLastReq: Int,
+      olderThanMs: Option[Long]): Int = {
     refreshMeta()
+    val keepLast = olderThanMs match {
+      case None => keepLastReq
+      case Some(ageMs) =>
+        val (fsA, _) = GraftTable.fsAndPath(location)
+        val cutoff = System.currentTimeMillis() - ageMs
+        val comm = GraftTable.historyVersions(location).filter(_ <= meta.version)
+        // count the OLD prefix (history ages monotonically with version:
+        // claims are ordered, and mtime is the claim time). takeWhile
+        // stops at the FIRST young-looking archive, so writer clock skew
+        // can only make expiry conservative (keep more), never expire a
+        // snapshot younger than the cutoff.
+        val oldCount = comm.takeWhile { v =>
+          try fsA.getFileStatus(GraftTable.historyPath(location, v))
+            .getModificationTime < cutoff
+          catch { case _: Exception => false }
+        }.size
+        math.max(1, comm.size - oldCount)
+    }
     require(keepLast >= 1, "keepLast must be >= 1")
     val (committed, newer) =
       GraftTable.historyVersions(location).partition(_ <= meta.version)
@@ -320,24 +349,12 @@ final class GraftTable private (
     * pointer-refresh and stale-claim disciplines are [[expireHistory]]'s
     * (this routes through it by computing the equivalent keepLast).
     * Returns the number expired. */
-  def expireHistoryOlderThan(olderThanMs: Long): Int = {
-    // NOT under withTableLock: the OS file lock is non-reentrant and
-    // expireHistory (which does the actual deleting, under the lock)
-    // runs inside it; the age scan here is read-only metadata
-    refreshMeta()
+  def expireHistoryOlderThan(olderThanMs: Long): Int = withTableLock {
     require(olderThanMs >= 0, "olderThanMs must be >= 0")
-    val (fs, _) = GraftTable.fsAndPath(location)
-    val cutoff = System.currentTimeMillis() - olderThanMs
-    val committed = GraftTable.historyVersions(location).filter(_ <= meta.version)
-    // count the OLD prefix (history ages monotonically with version:
-    // claims are ordered, and mtime is the claim time)
-    val oldCount = committed.takeWhile { v =>
-      try fs.getFileStatus(GraftTable.historyPath(location, v))
-        .getModificationTime < cutoff
-      catch { case _: Exception => false }
-    }.size
-    val keepLast = math.max(1, committed.size - oldCount)
-    expireHistory(keepLast)
+    // the cutoff→keepLast translation runs inside expireHistoryLocked,
+    // under the same lock acquisition as the deletes — a commit cannot
+    // land between the age scan and the expiry window it produced
+    expireHistoryLocked(1, Some(olderThanMs))
   }
 
   /** RESTORE the table to the state of snapshot `toVersion` — the
@@ -474,9 +491,24 @@ final class GraftTable private (
       // O(table files); compactSmall's own full sweep runs only when a
       // compaction is actually warranted
       val probe = meta.files.takeRight(math.max(64, 4 * minFiles))
-      val small = probe.count(r =>
-        fs.getFileStatus(new HPath(s"$location/$r")).getLen < (32L << 20))
-      if (small >= minFiles) compactSmall()
+      val smallBytes = 32L << 20
+      val smallSizes = probe.map(r =>
+        fs.getFileStatus(new HPath(s"$location/$r")).getLen).filter(_ < smallBytes)
+      // Count alone is NOT a safe trigger: compactSmall's merged output
+      // can itself stay under the threshold (small or trickle-ingest
+      // tables), re-count as small, and be re-rewritten on every append
+      // — with min_files=2 that is quadratic write amplification over
+      // the whole small set. Two sufficient conditions gate the fire:
+      //  - graduation: the merged output would clear the small
+      //    threshold (sum >= smallBytes) and leave the tail for good; or
+      //  - tiering: the tail has at least DOUBLED past its largest
+      //    member (sum >= 2*max, the LSM tiered-compaction rule) — a
+      //    previous compaction output of size S is only rewritten once
+      //    ANOTHER S bytes of newcomers accumulated, so each byte is
+      //    rewritten O(log tailBytes) times, never per-append.
+      if (smallSizes.size >= minFiles &&
+          (smallSizes.sum >= smallBytes || smallSizes.sum >= 2 * smallSizes.max))
+        compactSmall()
     } catch { case _: Exception => () } // best-effort maintenance
   }
 
@@ -1427,7 +1459,15 @@ final class GraftTable private (
     // row-preserving ones (DELETE, compaction, materialization) carry
     // rows that already passed at their own ingest
     if (what == "UPDATE" || what == "MERGE")
-      enforceChecks(newFiles, schemaAtWrite, what)
+      try enforceChecks(newFiles, schemaAtWrite, what)
+      catch { case e: Throwable =>
+        // refused data never commits; reclaim the staged dir eagerly
+        // (same discipline as appendLocked — a crash here still leaves
+        // only vacuum-able residue)
+        val (fs, _) = GraftTable.fsAndPath(location)
+        try fs.delete(new HPath(batchDir), true) catch { case _: Exception => () }
+        throw e
+      }
     val infos = newFiles.map(f => relativize(f, location) -> footerInfo(f))
       .filter(_._2._1 > 0L) // an all-deleted rewrite leaves no file behind
     val candSet = replaced.toSet
@@ -1910,9 +1950,20 @@ final class GraftTable private (
           val rewriteInfos = dirInfos(rewriteDir)
           val insertDir = if (inserted > 0L) Some(writeBatchDir(inserts)) else None
           val insertInfos = insertDir.map(dirInfos).getOrElse(Seq.empty)
-          enforceChecks(listParquetFiles(rewriteDir) ++
+          try enforceChecks(listParquetFiles(rewriteDir) ++
             insertDir.map(listParquetFiles).getOrElse(Seq.empty),
             schemaAtWrite, "MERGE")
+          catch { case e: Throwable =>
+            // refused data never commits; reclaim the staged dirs
+            // eagerly — same discipline as appendLocked and the MOR
+            // update path (a crash here still leaves only vacuum-able
+            // residue)
+            val (fs, _) = GraftTable.fsAndPath(location)
+            (rewriteDir +: insertDir.toSeq).foreach { d =>
+              try fs.delete(new HPath(d), true) catch { case _: Exception => () }
+            }
+            throw e
+          }
           val n = (rewriteInfos ++ insertInfos).map(_._2._1).sum
           require(n == candRows + inserted - deleted,
             s"MERGE row conservation failure: wrote $n, " +
@@ -3059,7 +3110,15 @@ object GraftTable {
       s"CHECK constraint '$name' ($exprText) must be one BOOLEAN " +
         s"expression, got ${out.map(_.dataType).mkString(", ")}")
     df.queryExecution.analyzed match {
-      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+      // The Project's child must be the relation itself: analysis
+      // rewrites window functions to Project-over-Window (whose
+      // projectList is an innocent attribute reference), so a top-level
+      // Project alone is NOT proof of row-levelness — a window-based
+      // CHECK would validate here, commit on an empty table, and then
+      // fail every subsequent write inside enforceChecks.
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project
+          if p.child.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.LeafNode] =>
         require(p.projectList.forall(_.deterministic),
           s"CHECK constraint '$name' ($exprText) must be deterministic")
         require(!p.projectList.exists(_.exists(

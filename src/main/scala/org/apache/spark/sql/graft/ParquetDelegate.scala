@@ -623,15 +623,22 @@ object ParquetDelegate {
               "skipChangeCommits=true to skip such commits, or apply " +
               "upserts through the Scala merge API, whose commits keep " +
               "insert files separate and stream-visible")
-        } else if (cur.rowCount > prevRows) {
+        } else {
           val added = cur.files.filterNot(prevFiles)
-          // a commit may declare its stream-visible subset (MERGE: the
+          // a commit may declare its stream-visible subset (MERGE/CDC: the
           // copy-on-write rewrite files carry rows every stream already
-          // delivered; only the insert files are new rows) — honor it,
-          // else the added files of a row-growing commit are all new
+          // delivered; only the insert files are new rows) — the
+          // declaration is AUTHORITATIVE and must be honored whatever the
+          // row-count direction: a CDC batch whose deletes outnumber its
+          // inserts commits with a non-growing rowCount yet still carries
+          // brand-new rows in its emitFiles. Only when no declaration
+          // exists does the row-growth heuristic apply (a non-growing
+          // undeclared commit is compaction/recluster/MOR-delete — its
+          // added files hold only already-delivered rows).
           val emit =
             if (cur.emitFiles.nonEmpty) added.filter(cur.emitFiles.toSet)
-            else added
+            else if (cur.rowCount > prevRows) added
+            else Seq.empty
           out ++= emit.map(f => s"$location/$f")
         }
         prev = Some(cur)

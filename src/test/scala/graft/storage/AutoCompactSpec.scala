@@ -33,6 +33,38 @@ class AutoCompactSpec extends SparkSpec {
     GraftTable.drop(t.location); GraftTable.drop(u.location)
   }
 
+  test("tiered trigger: no per-append rewrite of the whole small set at min_files=2") {
+    // The pathological shape: min_files=2 means a bare count trigger
+    // would fire on EVERY append once one compaction output exists
+    // (the output re-counts as small), rewriting the entire small set
+    // each time — quadratic write amplification. The tiered gate
+    // (sum >= 2*max) lets a compaction output of size S be rewritten
+    // only after ~S bytes of newcomers accumulate, so over N
+    // same-size appends rewrites happen at ~2, 4, 8, … appends —
+    // O(log N) rewrites, each byte rewritten O(log N) times.
+    val t = GraftTable.create(spark, tmpDir("ac-tier") + "/t", schema,
+      GraftTableOptions(autoCompactMinFiles = 2))
+    import spark.implicits._
+    // appends big enough that file size is data-dominated (a 10-row
+    // file is all parquet footer, which breaks the byte-tiering math)
+    def chunk(b: Int) = (b * 5000 until (b + 1) * 5000)
+      .map(i => (i, s"payload-$i-${"x" * 40}")).toDF("id", "v").coalesce(1)
+    var rewrites = 0
+    var prevFiles = Set.empty[String]
+    for (b <- 0 until 8) {
+      t.append(chunk(b))
+      val now = t.committedFiles.toSet
+      if (prevFiles.exists(!now.contains(_))) rewrites += 1 // a compaction replaced files
+      prevFiles = now
+    }
+    assert(t.read().count() === 40000L)
+    assert(rewrites <= 4,
+      s"expected O(log n) compactions over 8 appends, got $rewrites (per-append rewrite)")
+    assert(rewrites >= 1, "the tail must still fold sometimes")
+    assert(t.committedFiles.size < 8, "hygiene still happens")
+    GraftTable.drop(t.location)
+  }
+
   test("option validates, ALTERs on, and the files procedure reports layout") {
     intercept[IllegalArgumentException] {
       GraftTableOptions(autoCompactMinFiles = 1).validate()

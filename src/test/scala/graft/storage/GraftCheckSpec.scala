@@ -65,6 +65,15 @@ class GraftCheckSpec extends SparkSpec {
       t.merge(Seq((2, -5.0, "b")).toDF("id", "v", "tag"), Seq("id"))
     }
     assert(t.read().filter(col("v") < 0).count() === 0L)
+    // a merge carrying a violating INSERT alongside an update exercises
+    // the two-dir (rewrite + insert) path — both staged dirs must be
+    // reclaimed eagerly, like the refused append's
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((2, 5.0, "b"), (99, -1.0, "z")).toDF("id", "v", "tag"), Seq("id"))
+    }
+    assert(t.read().count() === 3L)
+    assert(t.vacuum() === 0,
+      "refused UPDATE/MERGE batches must be reclaimed eagerly, not linger for vacuum")
     // compliant update passes; delete never re-validates values
     t.update(Map("v" -> (col("v") + lit(10.0))),
       Seq(org.apache.spark.sql.sources.EqualTo("id", 2)))
@@ -108,6 +117,19 @@ class GraftCheckSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.addCheck("c3", "rand() > 0.5") }
     // unknown column
     intercept[IllegalArgumentException] { t.addCheck("c4", "nosuch > 0") }
+    // window function: analysis rewrites it to Project-over-Window, so
+    // a top-level-Project gate alone would admit it — on an EMPTY table
+    // (no existing-row scan) it would commit and then poison every
+    // subsequent write (windows are not allowed in filters). Must be
+    // refused at declaration time instead.
+    intercept[IllegalArgumentException] {
+      t.addCheck("c5", "row_number() over (order by v) > 0")
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpDir("chk-bad3") + "/t", schema,
+        GraftTableOptions(checks =
+          Map("w" -> "count(*) over (partition by tag) > 0")))
+    }
     // CREATE with an unresolvable check
     intercept[IllegalArgumentException] {
       GraftTable.create(spark, tmpDir("chk-bad2") + "/t", schema,

@@ -92,6 +92,38 @@ class GraftStreamSourceSpec extends SparkSpec {
     GraftTable.drop(loc)
   }
 
+  test("a net-shrinking CDC batch still streams its inserted rows") {
+    import spark.implicits._
+    val loc = tmpDir("gss-cdc-shrink") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "v"))
+
+    val q = spark.readStream.format("graft").load(loc)
+      .writeStream.format("memory").queryName("gss_cdc_shrink")
+      .option("checkpointLocation", tmpDir("gss-cdc-shrink-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gss_cdc_shrink").count() === 4L)
+
+      // CDC batch: 3 deletes + 1 brand-new insert → the commit's row
+      // count SHRINKS (4 → 2), yet the insert files are declared in
+      // emitFiles. The declaration is authoritative: the stream must
+      // deliver id=9 — a row-growth gate alone would silently drop it
+      // (the exactly-once violation this test pins down).
+      val cdc = Seq((1, "x", "D"), (2, "x", "D"), (3, "x", "D"), (9, "new", "U"))
+        .toDF("id", "v", "op")
+      val (up, ins, del) = t.applyCdc(cdc, Seq("id"), "op", "D")
+      assert((up, ins, del) === (0L, 1L, 3L))
+      assert(t.rowCountFromMetadata() === 2L)
+      q.processAllAvailable()
+      val got = spark.table("gss_cdc_shrink").select("id")
+        .collect().map(_.getInt(0)).sorted.toSeq
+      assert(got === Seq(1, 2, 3, 4, 9),
+        s"the shrinking CDC commit's insert must stream exactly once, got $got")
+    } finally q.stop()
+    GraftTable.drop(loc)
+  }
+
   test("maxVersionsPerTrigger throttles a backlog into bounded micro-batches") {
     import spark.implicits._
     val loc = tmpDir("gss-throttle") + "/t"
