@@ -36,6 +36,37 @@ object Bench {
         System.err.println(s"[bench] warm-up $name FAILED: ${e.getMessage}")
         warmupErrors += name
       }
+    // Ambient-load calibration (VERDICT r8 #1): the suite wall on this
+    // VM swings ~2-3x with ambient load alone (identical binaries
+    // measured 17-46s within hours), and a bare wall cannot tell a slow
+    // window from a regression. Two fixed probes — a single-core
+    // arithmetic spin (CPU speed/steal) and one canonical 32-partition
+    // shuffle (scheduler+exchange path) — run before and after the
+    // suite; their walls are constants of the MACHINE-WINDOW, not of the
+    // engine, so a consumer can divide the suite wall by calib_sec drift
+    // to normalize across windows.
+    def calibSpin(): Double = {
+      val t0 = System.nanoTime()
+      var x = 1234567891L
+      var i = 0
+      while (i < 500000000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+      if (x == 42L) System.err.println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibShuffle(): Double = {
+      import org.apache.spark.sql.functions.sum
+      val t0 = System.nanoTime()
+      spark.range(0L, 8000000L, 1L, 32)
+        .selectExpr("id % 1000 AS k", "id AS v")
+        .groupBy("k").agg(sum("v")).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // one unmeasured shuffle first: the probe must measure the exchange
+    // path, not first-touch codegen
+    calibShuffle()
+    val calibPreSpin = calibSpin()
+    val calibPreShuffle = calibShuffle()
+
     Tables.all.foreach(t => warm(t)(Tables.load(spark, sfDir, t).count()))
     warm("q11_multi_join")(queries.CoreQueries.q11MultiJoin(spark, sfDir).count())
     // one-time per-JVM artifacts the first consumer would otherwise pay
@@ -150,7 +181,15 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val warmupJson = warmupErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"warmup_errors":$warmupJson,"sf":"$sfDir","solo":$soloJson,"suite_sec":$total}""")
+    val calibPostSpin = calibSpin()
+    val calibPostShuffle = calibShuffle()
+    // one scalar a consumer can trend: the mean probe wall for this run's
+    // window. On a quiet machine ~0.5-1s; it inflates in lockstep with
+    // the suite wall under ambient contention (suite_sec / calib_sec is
+    // the window-independent figure of merit).
+    val calibSec = (calibPreSpin + calibPreShuffle + calibPostSpin + calibPostShuffle) / 4.0
+    val calibJson = f"""{"pre_spin":$calibPreSpin%.3f,"pre_shuffle":$calibPreShuffle%.3f,"post_spin":$calibPostSpin%.3f,"post_shuffle":$calibPostShuffle%.3f}"""
+    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"warmup_errors":$warmupJson,"sf":"$sfDir","solo":$soloJson,"calib":$calibJson,"calib_sec":$calibSec%.3f,"suite_sec":$total}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

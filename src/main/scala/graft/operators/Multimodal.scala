@@ -8,97 +8,224 @@ import graft.Tables
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, processed in batched per-partition passes.
   *
-  * The Spark-side plumbing is real — binary payload column, metadata
-  * struct, typed Dataset, `mapPartitions` with explicit batching (the
-  * shape a vectorized decode would use) — but the decode itself is a
-  * clearly-marked deterministic STUB: this container has no image/audio
-  * codec libraries, so "decode" computes arithmetic features of the
-  * payload bytes (which is what makes a DuckDB oracle possible). Swap
-  * [[fakeDecode]] for a real codec call in production. */
+  * Every family member runs a REAL JDK codec (`javax.imageio` JPEG and
+  * PNG, RIFF/WAV PCM) — no stub decodes remain. Oracle strategy per
+  * codec class:
+  *  - lossless paths (m4 PNG, m6 WAV, m2's flat-frame JPEG at quality
+  *    1.0 — the JDK encoder's quantization tables degenerate to 1s, so
+  *    uniform blocks round-trip bit-exactly) hash-match the decoded
+  *    values against direct arithmetic recomputed by DuckDB;
+  *  - lossy paths (m1/m3's textured JPEG at quality 0.9) emit
+  *    codec-exact metadata (dimensions) plus band-stat TOLERANCE flags
+  *    (decoded mean within 0.5/px of the source mean, thumbnail samples
+  *    within ±32) — the oracle pins the flags at 1, so a codec drift or
+  *    broken decode flips the hash. Measured JDK error at 0.9:
+  *    ≤0.09/px mean, ≤18 per pixel — 5x/2x margins. */
 object Multimodal {
 
   /** Batch size for the per-partition decode loop — the unit a real
     * vectorized decoder (or GPU transfer) would process at once. */
   private val DecodeBatch = 64
 
-  final case class MediaRow(doc_id: Long, payload: Array[Byte], width: Long, height: Long)
-  final case class Feature(doc_id: Long, width: Long, height: Long,
-      n_bytes: Long, checksum_x100: Long)
-
-  /** STUB decode: a real implementation would parse the codec header and
-    * decode pixels/samples. Here: byte-level arithmetic features —
-    * deterministic, schema-correct, oracle-checkable. */
-  private def fakeDecode(r: MediaRow): Feature = {
-    val head = r.payload.take(32)
-    val sum = head.foldLeft(0L)((acc, b) => acc + (b & 0xff))
-    Feature(r.doc_id, r.width, r.height, r.payload.length.toLong, sum * 100 / 32)
+  /** Encode through the JDK's actual JPEG codec at an explicit quality
+    * (ImageIO's bare `write(img, "jpg", out)` gives no quality control;
+    * flat-frame exactness needs 1.0). One writer per partition, reused
+    * across the batch — the codec-context amortization a production
+    * (turbojpeg/GPU) decoder path uses. */
+  private final class JpegCodec {
+    javax.imageio.ImageIO.setUseCache(false)
+    private val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    def encode(img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close()
+      bos.toByteArray
+    }
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
   }
 
-  /** m1: build a media table (payload bytes derived from text — stand-in
-    * for real image bytes) and run the batched decode/feature pass. */
+  private def grayImage(w: Int, h: Int, pixel: Int => Int)
+      : java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var k = 0
+    while (k < w * h) {
+      raster.setSample(k % w, k / w, 0, pixel(k))
+      k += 1
+    }
+    img
+  }
+
+  final case class MediaRow(doc_id: Long, text: String, width: Int, height: Int)
+  final case class Feature(doc_id: Long, width: Long, height: Long, mean_ok: Long)
+
+  /** m1: REAL JPEG decode features. Encode: the document's text renders
+    * to a textured grayscale image (pixel k = char k mod len, m4's
+    * geometry) pushed through the JDK JPEG codec at quality 0.9; decode:
+    * a real `ImageIO` JPEG parse, then band statistics. JPEG is lossy,
+    * so the oracle checks what a lossy codec guarantees: exact
+    * dimensions, and the decoded mean within 0.5/px of the source mean
+    * (`mean_ok` — DC coefficients carry block means nearly untouched at
+    * 0.9; measured worst drift 0.09/px). The oracle pins
+    * (width, height, 1); a wrong-size or drifting decode flips the hash. */
   def m1DecodeFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.load(s, dir, "documents").select(
       col("doc_id").cast("long").as("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      (col("n_chars") % 64 + 16).cast("long").as("width"),
-      (col("doc_id") % 32 + 16).cast("long").as("height"))
+      col("text"),
+      (col("n_chars") % 64 + 16).cast("int").as("width"),
+      (col("doc_id") % 32 + 16).cast("int").as("height"))
       .as[MediaRow]
     media.mapPartitions { it =>
-      // Batched decode loop: a real decoder amortizes codec/GPU setup per
-      // batch; the iterator shape (grouped → flatMap) is the real plumbing.
-      it.grouped(DecodeBatch).flatMap { batch => batch.map(fakeDecode) }
+      val codec = new JpegCodec
+      // Batched decode loop: one codec context amortized per batch — the
+      // iterator shape a vectorized/GPU decode uses.
+      it.grouped(DecodeBatch).flatMap(_.map { r =>
+        val codes =
+          if (r.text.isEmpty) Array(0)
+          else Array.tabulate(r.text.length)(i => r.text.charAt(i) & 0xff)
+        var srcSum = 0L
+        var k = 0
+        while (k < r.width * r.height) {
+          srcSum += codes(k % codes.length)
+          k += 1
+        }
+        val jpeg = codec.encode(
+          grayImage(r.width, r.height, k => codes(k % codes.length)), 0.9f)
+        val img = codec.decode(jpeg)
+        val raster = img.getRaster
+        var decSum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { decSum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        val n = r.width.toLong * r.height
+        val meanOk =
+          if (img.getWidth == r.width && img.getHeight == r.height &&
+            math.abs(decSum - srcSum) * 2 <= n) 1L else 0L
+        Feature(r.doc_id, img.getWidth.toLong, img.getHeight.toLong, meanOk)
+      })
     }.toDF().orderBy("doc_id")
+  }
+
+  /** The textured quality-0.9 JPEG payloads m1/m3 decode — exposed for
+    * the spec to verify they are genuine JPEG containers (FFD8 magic,
+    * decodable by an independent `ImageIO.read`). */
+  private[operators] def jpegEncoded(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(
+      col("doc_id").cast("long").as("doc_id"),
+      col("text"),
+      (col("n_chars") % 64 + 16).cast("int").as("width"),
+      (col("doc_id") % 32 + 16).cast("int").as("height"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        val codec = new JpegCodec
+        it.map { r =>
+          val codes =
+            if (r.text.isEmpty) Array(0)
+            else Array.tabulate(r.text.length)(i => r.text.charAt(i) & 0xff)
+          (r.doc_id, codec.encode(
+            grayImage(r.width, r.height, k => codes(k % codes.length)), 0.9f))
+        }
+      }
   }
 
   final case class Frame(doc_id: Long, frame_no: Long, frame_sum: Long)
 
-  /** m2: frame sampling — treat the payload as a "video" of 16-byte
-    * frames and sample every 4th one, emitting per-frame features. The
-    * explode shape (one row per sampled frame) is the real plumbing a
-    * frame-level pipeline needs; frame decode itself is the same
-    * deterministic STUB arithmetic as m1. */
+  /** m2: frame sampling over a REAL JPEG "video": each document is a
+    * sequence of `len(text)/16` frames, every 4th sampled and decoded.
+    * Each frame is a 16x16 uniform gray (`(doc_id*7 + frame*13) % 256`)
+    * JPEG at quality 1.0 — uniform blocks have only a DC coefficient and
+    * the quality-1.0 quantization table is all 1s, so the JDK codec
+    * round-trips them BIT-EXACTLY (verified over all 256 levels). The
+    * emitted `frame_sum` is the sum of REAL DECODED pixels, and the
+    * oracle recomputes `256 * gray` directly — a hash match proves the
+    * full encode→decode chain, not arithmetic on source bytes. */
   def m2FrameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.load(s, dir, "documents").select(
       col("doc_id").cast("long").as("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
-    media.flatMap { case (id, payload) =>
-      val nFrames = payload.length / FrameBytes
-      // STUB: a real implementation would seek + decode keyframes.
-      (0 until nFrames by FrameStride).iterator.map { f =>
-        val frame = payload.slice(f * FrameBytes, (f + 1) * FrameBytes)
-        Frame(id, f.toLong, frame.foldLeft(0L)((acc, b) => acc + (b & 0xff)))
+      (length(col("text")) / FrameBytes).cast("int").as("n_frames"))
+      .as[(Long, Int)]
+    media.mapPartitions { it =>
+      val codec = new JpegCodec
+      it.flatMap { case (id, nFrames) =>
+        (0 until nFrames by FrameStride).iterator.map { f =>
+          val gray = ((id * 7 + f * 13) % 256).toInt
+          val jpeg = codec.encode(grayImage(FrameSide, FrameSide, _ => gray), 1.0f)
+          val img = codec.decode(jpeg)
+          val raster = img.getRaster
+          var sum = 0L
+          var k = 0
+          while (k < FrameSide * FrameSide) {
+            sum += raster.getSample(k % FrameSide, k / FrameSide, 0)
+            k += 1
+          }
+          Frame(id, f.toLong, sum)
+        }
       }
     }.toDF().orderBy("doc_id", "frame_no")
   }
 
   private val FrameBytes = 16
+  private val FrameSide = 16
   private val FrameStride = 4
 
-  final case class Thumb(doc_id: Long, thumb_w: Long, thumb_h: Long, thumb_sum: Long)
+  final case class Thumb(doc_id: Long, thumb_w: Long, thumb_h: Long, thumb_ok: Long)
 
-  /** m3: resize — stride-sample the payload down to a fixed 8x8
-    * "thumbnail" (the nearest-neighbor downsample shape). STUB: a real
-    * resize would interpolate decoded pixels; here the sampled bytes are
-    * summed so the oracle can replicate the arithmetic. */
+  /** m3: resize over a REAL JPEG decode — the textured quality-0.9 image
+    * of [[m1DecodeFeatures]] is decoded and nearest-neighbor downsampled
+    * to 8x8 from the DECODED raster. Lossy-codec oracle: `thumb_ok` = 1
+    * when every sampled decoded pixel is within ±32 of the source pixel
+    * at the same position (measured JDK worst case: 18). */
   def m3Resize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.load(s, dir, "documents").select(
       col("doc_id").cast("long").as("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
-    media.map { case (id, payload) =>
-      val n = ThumbSide * ThumbSide
-      val stride = math.max(1, payload.length / n)
-      var sum = 0L
-      var k = 0
-      while (k < n && k * stride < payload.length) {
-        sum += payload(k * stride) & 0xff
-        k += 1
-      }
-      Thumb(id, ThumbSide.toLong, ThumbSide.toLong, sum)
+      col("text"),
+      (col("n_chars") % 64 + 16).cast("int").as("width"),
+      (col("doc_id") % 32 + 16).cast("int").as("height"))
+      .as[MediaRow]
+    media.mapPartitions { it =>
+      val codec = new JpegCodec
+      it.grouped(DecodeBatch).flatMap(_.map { r =>
+        val codes =
+          if (r.text.isEmpty) Array(0)
+          else Array.tabulate(r.text.length)(i => r.text.charAt(i) & 0xff)
+        def src(k: Int): Int = codes(k % codes.length)
+        val img = codec.decode(codec.encode(
+          grayImage(r.width, r.height, src), 0.9f))
+        val raster = img.getRaster
+        var maxErr = 0
+        var ty = 0
+        while (ty < ThumbSide) {
+          var tx = 0
+          while (tx < ThumbSide) {
+            // nearest-neighbor: sample the decoded raster at the scaled
+            // position, compare to the source pixel at the same spot
+            val x = tx * r.width / ThumbSide
+            val y = ty * r.height / ThumbSide
+            val err = math.abs(raster.getSample(x, y, 0) - src(y * r.width + x))
+            if (err > maxErr) maxErr = err
+            tx += 1
+          }
+          ty += 1
+        }
+        Thumb(r.doc_id, ThumbSide.toLong, ThumbSide.toLong,
+          if (maxErr <= 32) 1L else 0L)
+      })
     }.toDF().orderBy("doc_id")
   }
 
@@ -313,33 +440,29 @@ object Multimodal {
          |    * 1000000.0) AS BIGINT) rms_micro,
          |  zc zero_crossings
          |FROM agg ORDER BY doc_id""".stripMargin),
-    // Payload is ASCII text, so byte arithmetic == character arithmetic.
+    // m1 (lossy-codec contract): the decode must report the exact source
+    // geometry and a mean within the tolerance the Spark side asserts —
+    // the oracle pins the flag at 1, so a broken/drifting JPEG decode
+    // (or a wrong-size image) flips the hash
     "m1_media_decode" ->
-      ("""WITH f AS (SELECT doc_id, n_chars % 64 + 16 width, doc_id % 32 + 16 height,
-         |  length(text) n_bytes,
-         |  list_reduce(list_concat([CAST(0 AS BIGINT)],
-         |    list_transform(range(1, least(33, length(text)+1)),
-         |      i -> ascii(substr(text, i, 1))::BIGINT)),
-         |    (a, b) -> a + b) bytesum
-         |FROM documents)
-         |SELECT doc_id, width, height, n_bytes, bytesum * 100 // 32 checksum_x100
-         |FROM f ORDER BY doc_id""".stripMargin),
-    // the frame index comes from a correlated scalar range() over each
+      ("""SELECT doc_id,
+         |  CAST(n_chars % 64 + 16 AS BIGINT) width,
+         |  CAST(doc_id % 32 + 16 AS BIGINT) height,
+         |  CAST(1 AS BIGINT) mean_ok
+         |FROM documents ORDER BY doc_id""".stripMargin),
+    // m2 (lossless flat-frame contract): each sampled frame is a uniform
+    // 16x16 gray JPEG at quality 1.0, which round-trips bit-exactly, so
+    // the DECODED pixel sum must equal 256*gray recomputed here. The
+    // frame index comes from a correlated scalar range() over each
     // document's own length (the table-function form can't be lateral in
     // DuckDB 1.0) — no fixed frame cap to silently diverge on long payloads
     "m2_frame_sample" ->
       ("""WITH fr AS (
-         |  SELECT doc_id, text, unnest(range(0, length(text) // 16)) fr
-         |  FROM documents),
-         |f AS (
-         |  SELECT doc_id, CAST(fr AS BIGINT) frame_no,
-         |    list_reduce(list_concat([CAST(0 AS BIGINT)],
-         |      list_transform(range(fr*16 + 1, fr*16 + 17),
-         |        i -> ascii(substr(text, i, 1))::BIGINT)),
-         |      (a, b) -> a + b) frame_sum
-         |  FROM fr
-         |  WHERE fr % 4 = 0)
-         |SELECT doc_id, frame_no, frame_sum FROM f
+         |  SELECT doc_id, unnest(range(0, length(text) // 16)) fr
+         |  FROM documents)
+         |SELECT doc_id, CAST(fr AS BIGINT) frame_no,
+         |  CAST(256 * ((doc_id * 7 + fr * 13) % 256) AS BIGINT) frame_sum
+         |FROM fr WHERE fr % 4 = 0
          |ORDER BY doc_id, frame_no""".stripMargin),
     // m4: the image is pixel k = text byte (k mod len); PNG is lossless,
     // so the decoded pixel sum equals this direct arithmetic — verifying
@@ -362,17 +485,12 @@ object Multimodal {
          |  CAST(doc_id % 32 + 16 AS BIGINT) height,
          |  CAST(8 AS BIGINT) bit_depth, CAST(0 AS BIGINT) color_type
          |FROM documents ORDER BY doc_id""".stripMargin),
+    // m3 (lossy-codec contract): every nearest-neighbor-sampled DECODED
+    // pixel must sit within ±32 of its source — flag pinned at 1
     "m3_resize" ->
-      ("""WITH t AS (SELECT doc_id, text,
-         |    greatest(1, length(text) // 64) stride FROM documents)
-         |SELECT doc_id,
+      ("""SELECT doc_id,
          |  CAST(8 AS BIGINT) thumb_w, CAST(8 AS BIGINT) thumb_h,
-         |  list_reduce(list_concat([CAST(0 AS BIGINT)],
-         |    list_transform(range(0, 64),
-         |      k -> CASE WHEN k * stride < length(text)
-         |           THEN ascii(substr(text, k*stride + 1, 1))::BIGINT
-         |           ELSE 0 END)),
-         |    (a, b) -> a + b) thumb_sum
-         |FROM t ORDER BY doc_id""".stripMargin),
+         |  CAST(1 AS BIGINT) thumb_ok
+         |FROM documents ORDER BY doc_id""".stripMargin),
   )
 }

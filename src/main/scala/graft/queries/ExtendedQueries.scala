@@ -279,7 +279,52 @@ object ExtendedQueries {
       FROM chain GROUP BY root ORDER BY root""")
   }
 
+  /** q44: TPC-H Q3 shape — top-k join-aggregate with date filters on
+    * both fact sides. Catalyst pushes the segment/date predicates into
+    * all three scans, broadcasts nothing it shouldn't (customer filters
+    * to one segment; orders/lineitem shuffle on the join keys), and AQE
+    * plans the top-k as a TakeOrderedAndProject, never a full sort.
+    * Revenue is per-row integer cents summed as BIGINT — exact under
+    * any execution order — and the top-10 tie-breaks on l_orderkey so
+    * the result set is deterministic. */
+  def q44TopkRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders").filter(col("o_orderdate") < lit("1996-03-15")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1996-03-15")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long")).as("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** q45: TPC-H Q18 shape — HAVING over a three-way join (large-volume
+    * orders). The quantity aggregate + HAVING runs on lineitem ALONE
+    * first (the TPC-H-prescribed decomposition: the filter drops ~99.8%
+    * of orders before the wide join touches customer/orders), then the
+    * surviving keys join back. Deterministic: quantities are integral
+    * doubles summed to BIGINT, total price in cents, tie-break on
+    * o_orderkey. */
+  def q45HavingJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").cast("long").as("qty"))
+      .filter(col("qty") > 300)
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("totalprice_c"),
+        col("qty"))
+      .orderBy(col("totalprice_c").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_having_join" -> q45HavingJoin _,
+    "q44_topk_revenue" -> q44TopkRevenue _,
     "q43_recursive_cte" -> q43RecursiveCte _,
     "q42_pivot" -> q42Pivot _,
     "q40_lateral" -> q40Lateral _,
@@ -306,6 +351,28 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q44_topk_revenue" ->
+      ("""SELECT l_orderkey, o_orderdate,
+         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+         |    AS BIGINT)) AS BIGINT) AS revenue_c
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND o_orderdate < TIMESTAMP '1996-03-15'
+         |  AND l_shipdate > TIMESTAMP '1996-03-15'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue_c DESC, l_orderkey LIMIT 10""".stripMargin),
+    "q45_having_join" ->
+      ("""WITH big AS (
+         |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING CAST(sum(l_quantity) AS BIGINT) > 300
+         |)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+         |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c, qty
+         |FROM customer, orders, big
+         |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+         |ORDER BY totalprice_c DESC, o_orderkey LIMIT 100""".stripMargin),
     // PIVOT == conditional aggregation; spelled as such for the oracle
     // (DuckDB's own PIVOT syntax reorders output columns differently)
     "q43_recursive_cte" ->

@@ -390,7 +390,45 @@ object MutationQueries {
     t.read().orderBy("c_custkey")
   }
 
+  /** n18: whole-row serialization AFTER schema evolution (SURVEY hard
+    * part 5, the reference's `sql/alter.sql:57` `count(t.*)` shape) —
+    * ADD a defaulted column, DROP an original one, append new-shape
+    * rows, then serialize EVERY row generically from the table's
+    * post-ALTER schema (field list taken from the live schema, not
+    * hard-coded). The oracle re-states the expected row string with the
+    * evolved column ORDER baked in, so a read that leaks the dropped
+    * column, misorders fields, or loses the existence default for
+    * pre-ALTER rows flips the hash. `n_cols` pins the arity
+    * (the `count(t.*)` half of the reference's test). */
+  def n18AlterWholeRow(s: SparkSession, dir: String): DataFrame = {
+    val t = scratch(s, dir)
+    t.addColumn("c_tier", org.apache.spark.sql.types.StringType, "STD")
+    t.dropColumn("c_nationkey")
+    t.append(s.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") % 13 === 2)
+      .select(
+        (col("c_custkey") + lit(3000000L)).as("c_custkey"),
+        col("c_name"),
+        col("c_acctbal"),
+        col("c_mktsegment"),
+        lit("NEW").as("c_tier")))
+    val out = t.read()
+    // generic whole-row serialization: every field of the CURRENT
+    // schema, in schema order — doubles as integer cents so both
+    // engines format identically
+    val fields = out.schema.fieldNames.toSeq.map {
+      case "c_acctbal" => round(col("c_acctbal") * 100).cast("long").cast("string")
+      case f => col(f).cast("string")
+    }
+    out.select(
+      col("c_custkey"),
+      concat_ws("|", fields: _*).as("row_str"),
+      lit(out.schema.length).as("n_cols"))
+      .orderBy("c_custkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n18_alter_whole_row" -> n18AlterWholeRow _,
     "n17_cdc_apply" -> n17CdcApply _,
     "n16_check_gate" -> n16CheckGate _,
     "n15_sql_merge_sync" -> n15SqlMergeSync _,
@@ -410,6 +448,24 @@ object MutationQueries {
     "n7_changes" -> n7Changes _)
 
   val oracles: Map[String, String] = Map(
+    // the expected post-ALTER column order (custkey, name, acctbal,
+    // mktsegment, tier — ADD appends, DROP removes in place) is baked
+    // into the concatenation; pre-ALTER rows carry the existence
+    // default 'STD', appended rows their written 'NEW'
+    "n18_alter_whole_row" ->
+      """WITH st AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment, 'STD' AS c_tier
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 3000000, c_name, c_acctbal, c_mktsegment, 'NEW'
+        |  FROM customer WHERE c_custkey % 13 = 2
+        |)
+        |SELECT c_custkey,
+        |  concat_ws('|', CAST(c_custkey AS VARCHAR), c_name,
+        |    CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR),
+        |    c_mktsegment, c_tier) AS row_str,
+        |  CAST(5 AS INTEGER) AS n_cols
+        |FROM st ORDER BY c_custkey""".stripMargin,
     "n17_cdc_apply" ->
       """SELECT * FROM (
         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 5000 AS c_acctbal,

@@ -57,6 +57,53 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) === expected2)
   }
 
+  test("m1/m3 payloads are real JPEGs: FFD8 magic, independently decodable, right geometry") {
+    val enc = Multimodal.jpegEncoded(spark, sf("sf0.001")).take(5)
+    assert(enc.nonEmpty)
+    enc.foreach { case (id, jpeg) =>
+      assert((jpeg(0) & 0xff) === 0xff && (jpeg(1) & 0xff) === 0xd8,
+        s"doc $id payload is not a JPEG (SOI marker missing)")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      assert(img != null, s"doc $id payload does not decode as JPEG")
+      assert(img.getHeight === (id % 32 + 16).toInt, s"doc $id decoded height")
+    }
+  }
+
+  test("m1 lossy-codec contract: exact dimensions, decoded mean within 0.5/px of source") {
+    import org.apache.spark.sql.functions._
+    val out = Multimodal.m1DecodeFeatures(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    val dims = graft.Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (id, w, h, ok) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(w === dims(id) % 64 + 16, s"doc $id width from the real decode")
+      assert(h === id % 32 + 16, s"doc $id height from the real decode")
+      assert(ok === 1L, s"doc $id decoded mean drifted past the JPEG tolerance")
+    }
+  }
+
+  test("m2 flat frames at quality 1.0 round-trip bit-exactly through the real JPEG codec") {
+    val rows = Multimodal.m2FrameSample(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, f, sum) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(sum === 256L * ((id * 7 + f * 13) % 256),
+        s"doc $id frame $f: decoded pixel sum must equal the flat gray level x256")
+    }
+  }
+
+  test("m3 thumbnails: every nearest-neighbor sample of the decoded raster within ±32") {
+    val rows = Multimodal.m3Resize(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert((r.getLong(1), r.getLong(2)) === ((8L, 8L)))
+      assert(r.getLong(3) === 1L,
+        s"doc ${r.getLong(0)}: a decoded thumbnail sample drifted past ±32")
+    }
+  }
+
   test("m6 payloads are real WAVs: the JDK's own AudioSystem decodes them") {
     val enc = Multimodal.wavEncoded(spark, sf("sf0.001")).take(5)
     assert(enc.nonEmpty)
