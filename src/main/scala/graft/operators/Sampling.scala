@@ -103,6 +103,24 @@ object Sampling {
   private val evalShingleCache = new Dedup.PersistedLru(2)
   private val DefaultEvalDocs = 5
 
+  /** c9's Bloom sketch bytes, memoized per corpus fingerprint (same key
+    * discipline as [[evalShingleCache]]): the sketch aggregate is a
+    * driver-side one-row ACTION, so without this memo every c9
+    * invocation replays an eval-side job even when the shingle subtree
+    * is cached. Bounded LRU — the sketch is ~128 KB, but an unbounded
+    * map keyed on fingerprints would still leak across corpus
+    * regenerations. */
+  private val bloomSketchCache = {
+    val max = 4
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(SparkSession, String, String), Array[Byte]](
+        16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(SparkSession, String, String), Array[Byte]])
+            : Boolean = size > max
+      })
+  }
+
   /** One-row sketch aggregate over a distinct-shingle DF, collected to
     * the driver: KB–MB by construction (that is the point of the
     * sketch), re-shipped inside the task binary as a foldable literal —
@@ -151,8 +169,18 @@ object Sampling {
       if (evalDocs == DefaultEvalDocs)
         evalShingleCache.getOrElseUpdate(s, dir, "documents")(evalShRaw)
       else evalShRaw
-    bloomProbe(sh.filter(col("doc_id") >= evalDocs), evalSh,
-      evalBloomSketch(evalSh), minShared)
+    val sketch =
+      if (evalDocs == DefaultEvalDocs) {
+        val key = (s, dir, Dedup.fingerprint(dir, "documents"))
+        bloomSketchCache.synchronized {
+          Option(bloomSketchCache.get(key)).getOrElse {
+            val b = evalBloomSketch(evalSh)
+            bloomSketchCache.put(key, b)
+            b
+          }
+        }
+      } else evalBloomSketch(evalSh)
+    bloomProbe(sh.filter(col("doc_id") >= evalDocs), evalSh, sketch, minShared)
       .select(col("doc_id"), col("n_shared"))
       .orderBy("doc_id")
   }

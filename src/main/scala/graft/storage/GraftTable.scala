@@ -2354,12 +2354,23 @@ final class GraftTable private (
     val conf = new org.apache.spark.util.SerializableConfiguration(
       GraftTable.hadoopConf())
     val issues = scala.collection.mutable.Buffer[String]()
-    // 1. per-file footer audit, distributed
-    val fileAudit: Array[(String, Long, Seq[String])] =
-      if (m.files.isEmpty) Array.empty
+    // 1. per-file footer audit, distributed AND aggregated distributed:
+    // each task compares its footer against the recorded stats shipped
+    // with its slice and emits only ISSUE STRINGS plus three scalars
+    // (row sum, readability, the footer rows of vectored files — needed
+    // for the sidecar domain check, bounded by vector count). The
+    // driver's collect is ∝ issues found, never ∝ table files — a
+    // healthy 100 TB table returns one tuple of empties.
+    val fileInputs = m.files.map { rel =>
+      (rel,
+        m.fileStats.get(rel).flatMap(_.values.headOption).map(_.rows),
+        m.dvs.contains(rel))
+    }
+    val fileAgg: (Seq[String], Long, Boolean, Seq[(String, Long)]) =
+      if (fileInputs.isEmpty) (Seq.empty, 0L, true, Seq.empty)
       else spark.sparkContext
-        .parallelize(m.files, math.min(m.files.size, 64))
-        .map { rel =>
+        .parallelize(fileInputs, math.min(fileInputs.size, 64))
+        .map { case (rel, recorded, isVectored) =>
           val abs = s"$loc/$rel"
           val out = Seq.newBuilder[String]
           var rows = -1L
@@ -2376,19 +2387,21 @@ final class GraftTable private (
           } catch { case e: Exception =>
             out += s"$rel: unreadable parquet footer (${e.getMessage})"
           }
-          (rel, rows, out.result())
-        }.collect()
-    val footerRows = fileAudit.map(a => a._1 -> a._2).toMap
-    fileAudit.foreach { case (rel, rows, iss) =>
-      issues ++= iss
-      m.fileStats.get(rel).flatMap(_.values.headOption).map(_.rows).foreach { rec =>
-        if (rows >= 0 && rows != rec)
-          issues += s"$rel: footer holds $rows rows, metadata recorded $rec"
-      }
-    }
+          recorded.foreach { rec =>
+            if (rows >= 0 && rows != rec)
+              out += s"$rel: footer holds $rows rows, metadata recorded $rec"
+          }
+          (out.result(), math.max(rows, 0L), rows >= 0,
+            if (isVectored && rows >= 0) Seq(rel -> rows) else Seq.empty)
+        }
+        .reduce { (a, b) =>
+          (a._1 ++ b._1, a._2 + b._2, a._3 && b._3, a._4 ++ b._4)
+        }
+    issues ++= fileAgg._1
+    val footerRows = fileAgg._4.toMap
     // 2. row-count conservation: Σ footer rows − Σ dead positions
-    if (fileAudit.forall(_._2 >= 0)) {
-      val live = fileAudit.map(_._2).sum - m.dvs.values.map(_.card).sum
+    if (fileAgg._3) {
+      val live = fileAgg._2 - m.dvs.values.map(_.card).sum
       if (live != m.rowCount)
         issues += s"table: files hold $live live rows, committed count is ${m.rowCount}"
     }

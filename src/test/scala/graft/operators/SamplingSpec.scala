@@ -112,6 +112,30 @@ class SamplingSpec extends SparkSpec {
       s"confirm join must reuse the cached eval shingles:\n${plan.take(1500)}")
   }
 
+  test("c9's bloom sketch is memoized: a second construction replays zero eval-side jobs") {
+    // isolated corpus copy → cold caches, so the first construction's
+    // jobs validate the job-group harness and the second's absence
+    // proves the memo (same PersistedLru discipline as the shingles)
+    val iso = tmpDir("c9-memo")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .write.mode("overwrite").parquet(s"$iso/documents.parquet")
+    val sc = spark.sparkContext
+    sc.setJobGroup("c9-memo-first", "first c9 construction", false)
+    Sampling.c9BloomDecontaminate(spark, iso)
+    sc.setJobGroup("c9-memo-second", "second c9 construction", false)
+    Sampling.c9BloomDecontaminate(spark, iso)
+    sc.clearJobGroup()
+    // the status store is fed by the async listener bus — wait until the
+    // FIRST group's jobs appear (proves the harness sees jobs at all)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (sc.statusTracker.getJobIdsForGroup("c9-memo-first").isEmpty &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    assert(sc.statusTracker.getJobIdsForGroup("c9-memo-first").nonEmpty,
+      "cold construction must run eval-side jobs (shingle cache + sketch)")
+    assert(sc.statusTracker.getJobIdsForGroup("c9-memo-second").isEmpty,
+      "warm construction must replay NO jobs: shingles and sketch both memoized")
+  }
+
   test("quota: min(perStratum, stratum size) per stratum; deterministic") {
     val quota = 30
     val out = Sampling.c1StratifiedSample(spark, dir, perStratum = quota)
