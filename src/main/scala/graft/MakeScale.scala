@@ -71,10 +71,30 @@ object MakeScale {
         vec.cast("array<float>").as("embedding"), col("label"))
     }.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    (Tables.all.toSet -- Set("documents", "embeddings")).foreach { t =>
-      spark.read.parquet(s"$base/$t.parquet")
-        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    // relational + event tables scale by KEY-OFFSET replication, so the
+    // mutation suite (customer scratch tables), the TPC-H-shaped joins,
+    // and the event analytics see genuinely 10× keys/rows with intact
+    // within-replica join structure (o_custkey ↔ c_custkey offsets
+    // match). Events keep their timestamps: 10× data in the same time
+    // window is how a 10× event stream actually densifies.
+    val keyed = Map(
+      "customer" -> Seq("c_custkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey"),
+      "events" -> Seq("event_id", "user_id"))
+    keyed.foreach { case (t, keys) =>
+      val df = spark.read.parquet(s"$base/$t.parquet")
+      replicas { r =>
+        df.select(df.columns.toIndexedSeq.map { c =>
+          if (keys.contains(c)) (col(c) + lit(r * IdStride)).as(c) else col(c)
+        }: _*)
+      }.repartition(32).write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
+    (Tables.all.toSet -- Set("documents", "embeddings") -- keyed.keySet)
+      .foreach { t =>
+        spark.read.parquet(s"$base/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
     println(s"[makescale] wrote $out at ${factor}x of $base")
     spark.stop()
   }

@@ -18,7 +18,13 @@ object ProfHeavy {
         "d2b_ngram_capped", "d4_simhash", "d5_embed_neardup",
         "d3_minhash_lsh", "d9_edit_distance", "d10_containment",
         "d11_semantic_dedup", "t11_bpe_tokens", "p2_training_prep",
-        "m4_png_decode", "m6_wav_decode", "s4_kmeans", "p1_clean_corpus")
+        "m4_png_decode", "m6_wav_decode", "s4_kmeans", "p1_clean_corpus",
+        // round-8/9 additions: persisted-index probe, the mutation
+        // suite's heavy ends, decontamination, and the stream twins
+        "s7_ann_persisted", "n9_agg_maintain", "n13_sql_mor_merge",
+        "n17_cdc_apply", "c9_bloom_decontaminate", "c8_cluster_split",
+        "d13_tfidf_cosine", "e12_stream_trending", "q44_topk_revenue",
+        "q45_having_join")
     names.foreach { n =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(n)(spark, dir).count()
