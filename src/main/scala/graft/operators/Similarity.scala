@@ -470,7 +470,74 @@ object Similarity {
       .orderBy("q_id", "vec_id")
   }
 
+  /** Each retrieval signal's rank list is truncated to this depth before
+    * fusion — the property that makes RRF scale: each signal produces
+    * its top-K independently (lexical: an equality join on shingles;
+    * semantic: an ANN/brute top-K), and fusion touches only K rows per
+    * query, never the corpus. */
+  private val FuseDepth = 50
+  private val RrfK = 60
+
+  /** s8: HYBRID retrieval — reciprocal-rank fusion of a lexical ranking
+    * (distinct-shingle overlap with the query document, the BM25-family
+    * signal) and a semantic ranking (exact cosine against the query
+    * embedding), the standard two-tower retrieval shape for RAG and
+    * training-data curation. Ids are the aligned-table convention
+    * (doc_id ≡ vec_id for ids carrying both modalities); candidates are
+    * restricted to that universe. Each signal ranks deterministically
+    * (score desc, id), keeps its top-[[FuseDepth]], and the fused score
+    * is Σ floor(10⁶ / (60 + rank)) over the lists the id appears in —
+    * integer-exact, so the oracle hash-matches. At scale both signal
+    * lists come from sublinear machinery (posting-list join; IVF probe)
+    * and the fusion is a K-row-per-query full-outer join — no stage
+    * touches the corpus quadratically. */
+  def s8HybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Shingles.shinglesDistinctFast
+    val docsDf = Tables.load(s, dir, "documents")
+    val docIds = docsDf.select(col("doc_id").cast("long").as("id"))
+    // -- lexical signal: shingle-overlap count, ranked per query --------
+    val sh = docsDf.select(col("doc_id").cast("long").as("doc_id"),
+      explode(shinglesDistinctFast(col("text"))).as("sng"))
+    val qsh = sh.filter(col("doc_id") < NumQueries)
+      .select(col("doc_id").as("q_id"), col("sng"))
+    val wLex = Window.partitionBy("q_id").orderBy(col("n_shared").desc, col("id"))
+    val lex = sh.join(qsh, "sng")
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id").as("id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("r_lex", row_number().over(wLex).cast("long"))
+      .filter(col("r_lex") <= FuseDepth)
+      .select(col("q_id"), col("id"), col("r_lex"))
+    // -- semantic signal: exact cosine, candidates in the doc universe --
+    val e = normalized(Tables.load(s, dir, "embeddings"))
+      .join(docIds, col("vec_id") === col("id"), "left_semi")
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wSem = Window.partitionBy("q_id").orderBy(col("cos").desc, col("id"))
+    val sem = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("r_sem", row_number().over(wSem).cast("long"))
+      .filter(col("r_sem") <= FuseDepth)
+      .select(col("q_id"), col("id"), col("r_sem"))
+    // -- fusion: K rows per query per signal, full outer on (q_id, id) --
+    def rrf(rank: Column): Column =
+      floor(lit(1000000.0) / (lit(RrfK) + rank)).cast("long")
+    val wTop = Window.partitionBy("q_id").orderBy(col("rrf_micro").desc, col("id"))
+    lex.join(sem, Seq("q_id", "id"), "full_outer")
+      .select(col("q_id"), col("id"),
+        coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+        coalesce(col("r_sem"), lit(0L)).as("r_sem"),
+        (coalesce(rrf(col("r_lex")), lit(0L)) +
+          coalesce(rrf(col("r_sem")), lit(0L))).as("rrf_micro"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("id"), col("r_lex"), col("r_sem"), col("rrf_micro"))
+      .orderBy(col("q_id"), col("rrf_micro").desc, col("id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s8_hybrid_retrieval" -> s8HybridRetrieval _,
     "s6_range_search" -> ((s: SparkSession, dir: String) => s6RangeSearch(s, dir)),
     "s1_ann_brute" -> s1AnnBrute _,
     "s2_ann_ivf" -> s2AnnIvf _,
@@ -535,6 +602,40 @@ object Similarity {
        |  (x, y) -> x + y)""".stripMargin
 
   private val oraclesBase: Map[String, String] = Map(
+    "s8_hybrid_retrieval" ->
+      (s"""WITH ${OracleSql.shingleCte},
+         |qsh AS (SELECT doc_id q_id, s FROM sh WHERE doc_id < $NumQueries),
+         |ov AS (SELECT q_id, sh.doc_id id, count(*) n_shared
+         |       FROM sh JOIN qsh USING (s) WHERE sh.doc_id <> q_id
+         |       GROUP BY 1, 2),
+         |lex AS (SELECT q_id, id, r_lex FROM (
+         |    SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY n_shared DESC, id) r_lex FROM ov)
+         |  WHERE r_lex <= $FuseDepth),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+         |      FROM embeddings WHERE vec_id IN (SELECT doc_id FROM documents)),
+         |n AS (SELECT vec_id, v, ${normSql("v")} nrm FROM e),
+         |sc AS (SELECT q.vec_id q_id, c.vec_id id,
+         |         ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) cos
+         |       FROM n q JOIN n c ON c.vec_id <> q.vec_id
+         |       WHERE q.vec_id < $NumQueries),
+         |sem AS (SELECT q_id, id, r_sem FROM (
+         |    SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, id) r_sem FROM sc)
+         |  WHERE r_sem <= $FuseDepth),
+         |fused AS (
+         |  SELECT coalesce(l.q_id, se.q_id) q_id, coalesce(l.id, se.id) id,
+         |    CAST(coalesce(l.r_lex, 0) AS BIGINT) r_lex,
+         |    CAST(coalesce(se.r_sem, 0) AS BIGINT) r_sem,
+         |    coalesce(CAST(floor(1000000.0 / ($RrfK + l.r_lex)) AS BIGINT), 0)
+         |      + coalesce(CAST(floor(1000000.0 / ($RrfK + se.r_sem)) AS BIGINT), 0)
+         |      rrf_micro
+         |  FROM lex l FULL OUTER JOIN sem se
+         |    ON l.q_id = se.q_id AND l.id = se.id)
+         |SELECT q_id, id, r_lex, r_sem, rrf_micro FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY rrf_micro DESC, id) rn FROM fused)
+         |WHERE rn <= 10 ORDER BY q_id, rrf_micro DESC, id""".stripMargin),
     "s6_range_search" ->
       (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
          |           FROM embeddings),

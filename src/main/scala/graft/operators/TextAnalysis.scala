@@ -397,7 +397,46 @@ object TextAnalysis {
       .orderBy(desc("cnt"), col("tok"))
   }
 
+  /** t16's segmentation unit and the distinct-doc threshold past which a
+    * segment counts as boilerplate. */
+  private val BoilerSegTokens = 8
+  private val BoilerMinDocs = 2
+
+  /** t16: segment-level boilerplate detection (the CCNet/RefinedWeb
+    * paragraph-dedup shape): each document splits into consecutive
+    * [[BoilerSegTokens]]-token segments; a segment text occurring in
+    * ≥ [[BoilerMinDocs]] DISTINCT documents is boilerplate (navigation
+    * chrome, license headers, templated spans — and the aligned spans of
+    * exact duplicates), and each document reports its boilerplate load
+    * in basis points — the signal a cleaning pipeline thresholds on
+    * before the heavier near-dup stages. One explode, one distinct
+    * count on the segment key (map-side partials absorb hot segments),
+    * one equality join back — every stage shuffles on the segment or
+    * doc key, nothing quadratic. Documents shorter than one segment
+    * have no segments and are absent, matching the oracle. */
+  def t16Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nseg = floor(size(toks) / lit(BoilerSegTokens)).cast("int")
+    val segs = when(nseg >= 1,
+      transform(sequence(lit(1), nseg), i =>
+        array_join(
+          slice(toks, (i - 1) * BoilerSegTokens + 1, lit(BoilerSegTokens)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val inst = docs(s, dir).select(
+      col("doc_id"), explode(segs).as("seg"))
+    val freq = inst.distinct()
+      .groupBy("seg").agg(count(lit(1)).as("ndocs"))
+    inst.join(freq, "seg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("ndocs") >= BoilerMinDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_seg"), col("n_boiler"),
+        floor(col("n_boiler") * lit(10000.0) / col("n_seg")).cast("long").as("boiler_bp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_boilerplate" -> t16Boilerplate _,
     "t14_heavy_hitters" -> t14HeavyHitters _,
     "t13_perplexity" -> t13Perplexity _,
     "t12_readability" -> t12Readability _,
@@ -420,6 +459,22 @@ object TextAnalysis {
     s"len(list_filter(toks, t -> ${words.map(w => s"t = '$w'").mkString(" OR ")}))"
 
   val oracles: Map[String, String] = Map(
+    "t16_boilerplate" ->
+      (s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+         |segs AS (SELECT doc_id,
+         |  unnest(list_transform(range(0, len(toks) // $BoilerSegTokens),
+         |    i -> array_to_string(
+         |      toks[i*$BoilerSegTokens+1 : i*$BoilerSegTokens+$BoilerSegTokens],
+         |      ' '))) seg
+         |  FROM tok),
+         |freq AS (SELECT seg, count(DISTINCT doc_id) ndocs FROM segs GROUP BY seg)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) n_seg,
+         |  CAST(sum(CASE WHEN ndocs >= $BoilerMinDocs THEN 1 ELSE 0 END) AS BIGINT)
+         |    n_boiler,
+         |  CAST(sum(CASE WHEN ndocs >= $BoilerMinDocs THEN 1 ELSE 0 END) * 10000
+         |    // count(*) AS BIGINT) boiler_bp
+         |FROM segs JOIN freq USING (seg)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "t14_heavy_hitters" ->
       (s"""WITH f AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
          |g AS (SELECT tok FROM f WHERE tok <> ''),

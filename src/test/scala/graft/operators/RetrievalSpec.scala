@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** t16 boilerplate stripping + s8 hybrid retrieval — semantics beyond
+  * the oracle hash: planted-duplicate behavior, fusion arithmetic, and
+  * rank-list discipline. */
+class RetrievalSpec extends SparkSpec {
+
+  test("t16: exact duplicates are 100% boilerplate to each other; unique text is 0") {
+    import spark.implicits._
+    val dir = tmpDir("t16-spec")
+    val chrome = (1 to 16).map(i => s"nav$i").mkString(" ") // two full segments
+    Seq(
+      (1L, chrome + " " + (1 to 8).map(i => s"uniq1$i").mkString(" ")),
+      (2L, chrome + " " + (1 to 8).map(i => s"uniq2$i").mkString(" ")),
+      (3L, (1 to 24).map(i => s"solo$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.t16Boilerplate(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // docs 1/2 share the 2-segment chrome; their third segments are unique
+    assert(out(1L) === ((3L, 2L, 6666L)), s"got ${out(1L)}")
+    assert(out(2L) === ((3L, 2L, 6666L)))
+    // doc 3 shares nothing
+    assert(out(3L) === ((3L, 0L, 0L)))
+  }
+
+  test("t16: a document shorter than one segment is absent, like the oracle") {
+    import spark.implicits._
+    val dir = tmpDir("t16-short")
+    Seq((1L, "only three tokens"), (2L, (1 to 8).map(_.toString).mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ids = TextAnalysis.t16Boilerplate(spark, dir).collect().map(_.getLong(0))
+    assert(ids.toSeq === Seq(2L))
+  }
+
+  test("s8: fused score equals the RRF arithmetic of the emitted ranks; lists bounded") {
+    val out = Similarity.s8HybridRetrieval(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    def rrf(r: Long): Long = if (r == 0L) 0L else math.floor(1e6 / (60 + r)).toLong
+    out.foreach { row =>
+      val (q, id, rl, rs, f) = (row.getLong(0), row.getLong(1),
+        row.getLong(2), row.getLong(3), row.getLong(4))
+      assert(f === rrf(rl) + rrf(rs), s"q=$q id=$id fusion arithmetic")
+      assert(rl >= 0 && rl <= 50 && rs >= 0 && rs <= 50, "rank-list depth")
+      assert(rl > 0 || rs > 0, "a fused row must appear in at least one list")
+      assert(id !== q, "the query is never its own result")
+    }
+    // at most 10 per query, ordered by fused score then id within a query
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.length <= 10, s"q=$qid top-k")
+      val scores = rows.map(r => (-r.getLong(4), r.getLong(1))).toSeq
+      assert(scores === scores.sorted, s"q=$qid ordering")
+    }
+  }
+
+  test("s8 is deterministic: two runs return identical fused lists") {
+    val a = Similarity.s8HybridRetrieval(spark, sf("sf0.001")).collect().toSeq
+    val b = Similarity.s8HybridRetrieval(spark, sf("sf0.001")).collect().toSeq
+    assert(a === b)
+  }
+}
