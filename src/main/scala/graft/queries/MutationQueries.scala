@@ -427,7 +427,29 @@ object MutationQueries {
       .orderBy("c_custkey")
   }
 
+  /** n19: schema-EVOLVING append — a batch carrying a column the table
+    * lacks lands through [[GraftTable.appendMergeSchema]]: the ADD
+    * COLUMN and the data files commit atomically, pre-evolution rows
+    * read the new column as NULL, the new rows carry their values. The
+    * hash check pins the full post-evolution state (values, NULLs,
+    * schema arity via the column set). */
+  def n19MergeSchemaAppend(s: SparkSession, dir: String): DataFrame = {
+    val t = scratch(s, dir)
+    t.appendMergeSchema(s.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") % 17 === 4)
+      .select(
+        (col("c_custkey") + lit(4000000L)).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"),
+        lit("EVOLVED").as("c_flag")))
+    t.read()
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"),
+        col("c_mktsegment"), col("c_flag"))
+      .orderBy("c_custkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n19_merge_schema" -> n19MergeSchemaAppend _,
     "n18_alter_whole_row" -> n18AlterWholeRow _,
     "n17_cdc_apply" -> n17CdcApply _,
     "n16_check_gate" -> n16CheckGate _,
@@ -452,6 +474,18 @@ object MutationQueries {
     // mktsegment, tier — ADD appends, DROP removes in place) is baked
     // into the concatenation; pre-ALTER rows carry the existence
     // default 'STD', appended rows their written 'NEW'
+    "n19_merge_schema" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+        |    c_mktsegment, CAST(NULL AS VARCHAR) AS c_flag
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 4000000, c_name, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT),
+        |    c_mktsegment, 'EVOLVED'
+        |  FROM customer WHERE c_custkey % 17 = 4
+        |) ORDER BY c_custkey""".stripMargin,
     "n18_alter_whole_row" ->
       """WITH st AS (
         |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment, 'STD' AS c_tier

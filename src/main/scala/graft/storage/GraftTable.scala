@@ -460,6 +460,24 @@ final class GraftTable private (
     n
   }
 
+  /** Schema-EVOLVING append (Delta's `mergeSchema` writer option): any
+    * column the incoming batch carries that the table lacks is ADDED —
+    * nullable, no default — in the SAME atomic commit as the data files,
+    * so "new fields appeared upstream" never silently drops data (the
+    * plain [[append]] aligns to the table schema and discards unknown
+    * columns, the safe-but-lossy default) and never leaves a
+    * schema-without-rows or rows-without-schema intermediate state.
+    * Existing rows read the new columns as NULL (parquet missing-column
+    * semantics — exactly the reference's post-ADD behavior for stripes
+    * written before the ALTER, `cstore_reader.c:1224-1292`). A
+    * concurrent ALTER aborts the commit (retryable), same guard as the
+    * plain append. */
+  def appendMergeSchema(df: DataFrame): Long = {
+    val n = appendInternal(df, None, mergeSchema = true)
+    maybeAutoCompact()
+    n
+  }
+
   /** Streaming append with exactly-once semantics: `(queryId, batchId)`
     * identifies the micro-batch, and a batch at or below the table's
     * committed watermark for that query is a checkpoint REPLAY — it
@@ -522,12 +540,13 @@ final class GraftTable private (
   }
 
   private def appendInternal(df: DataFrame,
-      txn: Option[(String, Long)]): Long = withTableLock {
+      txn: Option[(String, Long)],
+      mergeSchema: Boolean = false): Long = withTableLock {
     refreshMeta()
     val replayed = txn.exists { case (qid, bid) =>
       meta.streamTxn.get(qid).exists(_ >= bid)
     }
-    if (replayed) 0L else appendLocked(df, txn)
+    if (replayed) 0L else appendLocked(df, txn, mergeSchema)
   }
 
   /** Write one batch dir with the table's sizing/codec options, sort_by
@@ -672,9 +691,20 @@ final class GraftTable private (
     }
   }
 
-  private def appendLocked(df: DataFrame, txn: Option[(String, Long)]): Long = {
-    val schemaAtWrite = meta.currentSchema
-    val batchDir = writeBatchDir(alignToSchema(df))
+  private def appendLocked(df: DataFrame, txn: Option[(String, Long)],
+      mergeSchema: Boolean = false): Long = {
+    val schemaBefore = meta.currentSchema
+    // schema evolution: novel incoming columns join the schema (nullable,
+    // no default) and commit WITH the files; the batch is written in the
+    // evolved shape so its own rows carry real values
+    val novel: Seq[StructField] =
+      if (!mergeSchema) Seq.empty
+      else df.schema.fields.toSeq
+        .filterNot(f => schemaBefore.fieldNames.contains(f.name))
+        .map(f => StructField(f.name, f.dataType, nullable = true))
+    val schemaAtWrite =
+      if (novel.isEmpty) schemaBefore else StructType(schemaBefore.fields ++ novel)
+    val batchDir = writeBatchDir(alignTo(df, schemaAtWrite))
     val newFiles = listParquetFiles(batchDir)
     try enforceChecks(newFiles, schemaAtWrite, "append")
     catch { case e: Throwable =>
@@ -687,11 +717,13 @@ final class GraftTable private (
     val infos = newFiles.map(f => relativize(f, location) -> footerInfo(f))
     val n = infos.map(_._2._1).sum
     val committed = commitMutation { base =>
-      // the batch was written against schemaAtWrite; if a concurrent
-      // writer ALTERed between our write and our claim, committing the
-      // old-shape files could corrupt reads (e.g. a type change) — fail
-      // clearly; the orphan batch dir is vacuum's to reclaim
-      require(base.currentSchema == schemaAtWrite,
+      // the batch was written against the schema observed under the
+      // lock; if a concurrent writer ALTERed between our write and our
+      // claim, committing the old-shape files could corrupt reads (e.g.
+      // a type change) — fail clearly; the orphan batch dir is vacuum's
+      // to reclaim. A schema-evolving append additionally publishes its
+      // evolved schema in this same commit.
+      require(base.currentSchema == schemaBefore,
         s"concurrent schema change during append to $location — retry the append")
       txn.foreach { case (qid, bid) =>
         // a replay detected only at REBASE time (a zombie driver's twin
@@ -703,6 +735,7 @@ final class GraftTable private (
             s"stream batch $bid for query $qid was committed concurrently")
       }
       base.copy(
+        currentSchema = schemaAtWrite,
         files = base.files ++ infos.map(_._1),
         rowCount = base.rowCount + n,
         nextBatchId = base.nextBatchId + 1,
@@ -2861,8 +2894,10 @@ final class GraftTable private (
 
   // ---- internals -----------------------------------------------------
 
-  private def alignToSchema(df: DataFrame): DataFrame = {
-    val target = meta.currentSchema
+  private def alignToSchema(df: DataFrame): DataFrame =
+    alignTo(df, meta.currentSchema)
+
+  private def alignTo(df: DataFrame, target: StructType): DataFrame = {
     val present = df.columns.toSet
     val cols = target.fields.map { f =>
       if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)

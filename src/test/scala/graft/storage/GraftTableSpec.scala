@@ -361,6 +361,37 @@ class GraftTableSpec extends SparkSpec {
     GraftTable.drop(s"$loc/tbl")
   }
 
+  test("appendMergeSchema: novel columns ADD atomically with the batch; plain append drops them") {
+    import spark.implicits._
+    val loc = tmpDir("graft-msa")
+    val t = GraftTable.create(spark, s"$loc/tbl", schema)
+    t.append(Seq((1, "a", 5)).toDF("handle", "name", "rating"))
+    val vBefore = t.version
+    // plain append: unknown columns silently align away (documented)
+    t.append(Seq((2, "b", 6, "dropped")).toDF("handle", "name", "rating", "extra"))
+    assert(t.read().schema.fieldNames.toSeq === Seq("handle", "name", "rating"))
+    // schema-evolving append: the column and the rows land in ONE commit
+    t.appendMergeSchema(
+      Seq((3, "c", 7, "kept")).toDF("handle", "name", "rating", "extra"))
+    assert(t.version === vBefore + 2, "evolution is one commit, not ALTER+append")
+    assert(t.read().schema.fieldNames.toSeq === Seq("handle", "name", "rating", "extra"))
+    val rows = t.read().orderBy("handle").collect()
+    assert(rows.map(r => Option(r.getString(3)).orNull).toSeq === Seq(null, null, "kept"),
+      "pre-evolution rows read NULL, the evolving batch carries its values")
+    // a later plain append in the evolved shape just works
+    t.append(Seq((4, "d", 8, "later")).toDF("handle", "name", "rating", "extra"))
+    assert(t.read().count() === 4L)
+    // no novel columns → byte-identical to a plain append (no schema churn)
+    val v4 = t.version
+    t.appendMergeSchema(Seq((5, "e", 9)).toDF("handle", "name", "rating"))
+    assert(t.version === v4 + 1 &&
+      t.read().schema.fieldNames.length === 4)
+    // time travel: the pre-evolution snapshot still reads the OLD shape
+    assert(t.readVersion(vBefore).schema.fieldNames.toSeq ===
+      Seq("handle", "name", "rating"))
+    GraftTable.drop(s"$loc/tbl")
+  }
+
   test("DROP COLUMN hides data (cstore_fdw.c:1907-1910)") {
     import spark.implicits._
     val loc = tmpDir("graft-dropcol")
