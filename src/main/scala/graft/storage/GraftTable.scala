@@ -492,6 +492,17 @@ final class GraftTable private (
     n
   }
 
+  /** [[appendStream]] with [[appendMergeSchema]]'s evolution: the form a
+    * RESTARTED pipeline uses when its upstream grew a field — the first
+    * post-restart batch adds the column atomically with its rows (and
+    * with the exactly-once watermark), every later batch is a plain
+    * append in the evolved shape. */
+  def appendStreamMergeSchema(df: DataFrame, queryId: String, batchId: Long): Long = {
+    val n = appendInternal(df, Some((queryId, batchId)), mergeSchema = true)
+    maybeAutoCompact()
+    n
+  }
+
   /** Opportunistic ingest hygiene (`auto_compact_min_files` option):
     * after an append, when the small-file tail has grown past the
     * threshold, fold it with [[compactSmall]]. Runs OUTSIDE the

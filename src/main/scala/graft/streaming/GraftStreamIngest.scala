@@ -41,24 +41,36 @@ object GraftStreamIngest {
     * with the ingested batches (appends refresh it under the writer
     * lock). */
   def writer(df: DataFrame, table: GraftTable,
-      checkpoint: String): DataStreamWriter[Row] = {
+      checkpoint: String, mergeSchema: Boolean = false): DataStreamWriter[Row] = {
     val id = txnId(checkpoint)
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        table.appendStream(batch, id, batchId)
+        if (mergeSchema) table.appendStreamMergeSchema(batch, id, batchId)
+        else table.appendStream(batch, id, batchId)
         ()
       }
   }
 
-  /** Start ingesting `df` into the graft table at `location`. */
+  /** Start ingesting `df` into the graft table at `location`.
+    * `mergeSchema = true` lets a RESTARTED pipeline whose upstream grew
+    * a field evolve the table schema atomically with its first batch
+    * ([[GraftTable.appendStreamMergeSchema]]); the default keeps the
+    * strict align-to-table-schema behavior. */
   def start(df: DataFrame, location: String, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    start(df, GraftTable.open(df.sparkSession, location), checkpoint, trigger)
+      trigger: Trigger = Trigger.AvailableNow(),
+      mergeSchema: Boolean = false): StreamingQuery =
+    start(df, GraftTable.open(df.sparkSession, location), checkpoint, trigger,
+      mergeSchema)
 
   /** Start ingesting `df` into `table`. */
   def start(df: DataFrame, table: GraftTable, checkpoint: String,
       trigger: Trigger): StreamingQuery =
     writer(df, table, checkpoint).trigger(trigger).start()
+
+  /** Start ingesting `df` into `table`, with schema evolution. */
+  def start(df: DataFrame, table: GraftTable, checkpoint: String,
+      trigger: Trigger, mergeSchema: Boolean): StreamingQuery =
+    writer(df, table, checkpoint, mergeSchema).trigger(trigger).start()
 }

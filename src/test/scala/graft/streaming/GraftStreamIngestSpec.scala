@@ -40,6 +40,41 @@ class GraftStreamIngestSpec extends SparkSpec {
     GraftTable.drop(loc)
   }
 
+  test("restarted pipeline with a grown upstream schema evolves the table (mergeSchema)") {
+    import spark.implicits._
+    val loc = tmpDir("graft-stream-evo") + "/tbl"
+    val chk = tmpDir("graft-stream-evo-chk")
+    val src = tmpDir("graft-stream-evo-src")
+    val t = GraftTable.create(spark, loc, schema)
+    // phase 1: original shape
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.mode("append").parquet(src)
+    val q1 = GraftStreamIngest.start(
+      spark.readStream.schema(schema).parquet(src), t, chk,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    assert(q1.awaitTermination(120000))
+    // phase 2: upstream grew a field; restart with mergeSchema — the
+    // first post-restart batch ADDs the column atomically with its rows
+    val wide = StructType(schema.fields :+ StructField("tag", StringType))
+    Seq((2L, "b", "t2")).toDF("id", "v", "tag")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q2 = GraftStreamIngest.start(
+      spark.readStream.schema(wide).parquet(src), t, chk,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(), mergeSchema = true)
+    assert(q2.awaitTermination(120000))
+    val rows = t.read().orderBy("id").collect()
+    assert(t.read().schema.fieldNames.toSeq === Seq("id", "v", "tag"))
+    assert(rows.map(r => Option(r.getString(2)).orNull).toSeq === Seq(null, "t2"),
+      "pre-evolution rows NULL, evolved batch carries its values")
+    // exactly-once watermark carried through the evolution: re-running
+    // the same AvailableNow drain ingests nothing new
+    val q3 = GraftStreamIngest.start(
+      spark.readStream.schema(wide).parquet(src), t, chk,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(), mergeSchema = true)
+    assert(q3.awaitTermination(120000))
+    assert(t.read().count() === 2L)
+    GraftTable.drop(loc)
+  }
+
   test("a crash-replayed micro-batch does not double-ingest (commit-log injection)") {
     import spark.implicits._
     val loc = tmpDir("graft-stream-e2e") + "/tbl"
