@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
   *    for spiky vectors the aligned-dimension products leave a fat
   *    cosine tail that crosses d6's 0.4 threshold; the rotation
   *    misaligns the peaks first.
-  *  - all other tables are copied as-is (the heavy dedup/ANN profile
-  *    does not read them; they only need to exist for table preload).
+  *  - relational + event tables (customer/orders/lineitem/events) scale
+  *    by KEY-OFFSET replication — join keys (c_custkey ↔ o_custkey,
+  *    o_orderkey ↔ l_orderkey) offset per replica so within-replica join
+  *    structure is intact and the mutation suite / TPC-H-shaped joins
+  *    see genuinely FACTOR× keys; event timestamps keep their window
+  *    (a 10× stream densifies, it does not lengthen);
+  *  - the remaining tiny dimensions are copied as-is.
   *
   * Usage: runMain graft.MakeScale <baseDir> <outDir> <factor>
   */

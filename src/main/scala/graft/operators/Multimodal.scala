@@ -67,6 +67,34 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, text: String, width: Int, height: Int)
   final case class Feature(doc_id: Long, width: Long, height: Long, mean_ok: Long)
 
+  /** The one media source every JPEG-family operator reads: document
+    * text + the derived geometry. A single definition keeps m1, m3, and
+    * the spec-facing [[jpegEncoded]] pipeline provably encoding the
+    * SAME images. */
+  private def mediaRows(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(
+      col("doc_id").cast("long").as("doc_id"),
+      col("text"),
+      (col("n_chars") % 64 + 16).cast("int").as("width"),
+      (col("doc_id") % 32 + 16).cast("int").as("height"))
+      .as[MediaRow]
+  }
+
+  /** Grayscale codes of a media row (character domain, like m4's PNG
+    * path; empty text renders one zero pixel). */
+  private def mediaCodes(r: MediaRow): Array[Int] =
+    if (r.text.isEmpty) Array(0)
+    else Array.tabulate(r.text.length)(i => r.text.charAt(i) & 0xff)
+
+  /** The textured quality-0.9 JPEG every m1/m3 decode runs on — ONE
+    * encode definition shared by both operators and the spec probe. */
+  private def encodeMedia(codec: JpegCodec, r: MediaRow): Array[Byte] = {
+    val codes = mediaCodes(r)
+    codec.encode(grayImage(r.width, r.height, k => codes(k % codes.length)), 0.9f)
+  }
+
   /** m1: REAL JPEG decode features. Encode: the document's text renders
     * to a textured grayscale image (pixel k = char k mod len, m4's
     * geometry) pushed through the JDK JPEG codec at quality 0.9; decode:
@@ -78,29 +106,19 @@ object Multimodal {
     * (width, height, 1); a wrong-size or drifting decode flips the hash. */
   def m1DecodeFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = Tables.load(s, dir, "documents").select(
-      col("doc_id").cast("long").as("doc_id"),
-      col("text"),
-      (col("n_chars") % 64 + 16).cast("int").as("width"),
-      (col("doc_id") % 32 + 16).cast("int").as("height"))
-      .as[MediaRow]
-    media.mapPartitions { it =>
+    mediaRows(s, dir).mapPartitions { it =>
       val codec = new JpegCodec
       // Batched decode loop: one codec context amortized per batch — the
       // iterator shape a vectorized/GPU decode uses.
       it.grouped(DecodeBatch).flatMap(_.map { r =>
-        val codes =
-          if (r.text.isEmpty) Array(0)
-          else Array.tabulate(r.text.length)(i => r.text.charAt(i) & 0xff)
+        val codes = mediaCodes(r)
         var srcSum = 0L
         var k = 0
         while (k < r.width * r.height) {
           srcSum += codes(k % codes.length)
           k += 1
         }
-        val jpeg = codec.encode(
-          grayImage(r.width, r.height, k => codes(k % codes.length)), 0.9f)
-        val img = codec.decode(jpeg)
+        val img = codec.decode(encodeMedia(codec, r))
         val raster = img.getRaster
         var decSum = 0L
         var y = 0
@@ -124,22 +142,10 @@ object Multimodal {
   private[operators] def jpegEncoded(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(
-      col("doc_id").cast("long").as("doc_id"),
-      col("text"),
-      (col("n_chars") % 64 + 16).cast("int").as("width"),
-      (col("doc_id") % 32 + 16).cast("int").as("height"))
-      .as[MediaRow]
-      .mapPartitions { it =>
-        val codec = new JpegCodec
-        it.map { r =>
-          val codes =
-            if (r.text.isEmpty) Array(0)
-            else Array.tabulate(r.text.length)(i => r.text.charAt(i) & 0xff)
-          (r.doc_id, codec.encode(
-            grayImage(r.width, r.height, k => codes(k % codes.length)), 0.9f))
-        }
-      }
+    mediaRows(s, dir).mapPartitions { it =>
+      val codec = new JpegCodec
+      it.map(r => (r.doc_id, encodeMedia(codec, r)))
+    }
   }
 
   final case class Frame(doc_id: Long, frame_no: Long, frame_sum: Long)
@@ -192,21 +198,12 @@ object Multimodal {
     * at the same position (measured JDK worst case: 18). */
   def m3Resize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = Tables.load(s, dir, "documents").select(
-      col("doc_id").cast("long").as("doc_id"),
-      col("text"),
-      (col("n_chars") % 64 + 16).cast("int").as("width"),
-      (col("doc_id") % 32 + 16).cast("int").as("height"))
-      .as[MediaRow]
-    media.mapPartitions { it =>
+    mediaRows(s, dir).mapPartitions { it =>
       val codec = new JpegCodec
       it.grouped(DecodeBatch).flatMap(_.map { r =>
-        val codes =
-          if (r.text.isEmpty) Array(0)
-          else Array.tabulate(r.text.length)(i => r.text.charAt(i) & 0xff)
+        val codes = mediaCodes(r)
         def src(k: Int): Int = codes(k % codes.length)
-        val img = codec.decode(codec.encode(
-          grayImage(r.width, r.height, src), 0.9f))
+        val img = codec.decode(encodeMedia(codec, r))
         val raster = img.getRaster
         var maxErr = 0
         var ty = 0

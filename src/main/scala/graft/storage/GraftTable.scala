@@ -285,28 +285,29 @@ final class GraftTable private (
   private def expireHistoryLocked(keepLastReq: Int,
       olderThanMs: Option[Long]): Int = {
     refreshMeta()
+    // ONE history listing serves both the age→keepLast translation and
+    // the expiry partition below — on an object store a LIST is a
+    // network round-trip and this all runs under the table lock
+    val (committed, newer) =
+      GraftTable.historyVersions(location).partition(_ <= meta.version)
+    val (fs, _) = GraftTable.fsAndPath(location)
     val keepLast = olderThanMs match {
       case None => keepLastReq
       case Some(ageMs) =>
-        val (fsA, _) = GraftTable.fsAndPath(location)
         val cutoff = System.currentTimeMillis() - ageMs
-        val comm = GraftTable.historyVersions(location).filter(_ <= meta.version)
         // count the OLD prefix (history ages monotonically with version:
         // claims are ordered, and mtime is the claim time). takeWhile
         // stops at the FIRST young-looking archive, so writer clock skew
         // can only make expiry conservative (keep more), never expire a
         // snapshot younger than the cutoff.
-        val oldCount = comm.takeWhile { v =>
-          try fsA.getFileStatus(GraftTable.historyPath(location, v))
+        val oldCount = committed.takeWhile { v =>
+          try fs.getFileStatus(GraftTable.historyPath(location, v))
             .getModificationTime < cutoff
           catch { case _: Exception => false }
         }.size
-        math.max(1, comm.size - oldCount)
+        math.max(1, committed.size - oldCount)
     }
     require(keepLast >= 1, "keepLast must be >= 1")
-    val (committed, newer) =
-      GraftTable.historyVersions(location).partition(_ <= meta.version)
-    val (fs, _) = GraftTable.fsAndPath(location)
     // A snapshot newer than the refreshed head is NOT automatically
     // residue under the CAS protocol: a parseable one is a commit that
     // landed after our refresh (possible on lock-less filesystems where
@@ -406,6 +407,7 @@ final class GraftTable private (
         defaults = m.defaults,
         fileStats = m.fileStats,
         dvs = m.dvs,
+        droppedCols = m.droppedCols,
         changeCommit = resurrects)
     }
     meta.version
@@ -706,13 +708,29 @@ final class GraftTable private (
       mergeSchema: Boolean = false): Long = {
     val schemaBefore = meta.currentSchema
     // schema evolution: novel incoming columns join the schema (nullable,
-    // no default) and commit WITH the files; the batch is written in the
-    // evolved shape so its own rows carry real values
+    // null-default) and commit WITH the files; the batch is written in
+    // the evolved shape so its own rows carry real values
     val novel: Seq[StructField] =
       if (!mergeSchema) Seq.empty
-      else df.schema.fields.toSeq
-        .filterNot(f => schemaBefore.fieldNames.contains(f.name))
-        .map(f => StructField(f.name, f.dataType, nullable = true))
+      else {
+        // novelty matches the session's resolution rules: under the
+        // default case-INSENSITIVE resolution, a batch column differing
+        // only in case is the EXISTING column (committing both would
+        // make every later read fail Spark's duplicate-column check)
+        val caseSensitive =
+          spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+        def key(n: String) = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+        val existing = schemaBefore.fieldNames.map(key).toSet
+        val dropped = meta.droppedCols.map(key).toSet
+        val out = df.schema.fields.toSeq.filterNot(f => existing(key(f.name)))
+        out.find(f => dropped(key(f.name))).foreach { f =>
+          throw new IllegalArgumentException(
+            s"column '${f.name}' was DROPPED but committed files still carry its " +
+              "data; compact() or recluster() first to materialize the drop, " +
+              "or use a new name")
+        }
+        out.map(f => StructField(f.name, f.dataType, nullable = true))
+      }
     val schemaAtWrite =
       if (novel.isEmpty) schemaBefore else StructType(schemaBefore.fields ++ novel)
     val batchDir = writeBatchDir(alignTo(df, schemaAtWrite))
@@ -753,6 +771,11 @@ final class GraftTable private (
         fileStats = base.fileStats ++ infos.collect {
           case (rel, (_, st)) if st.nonEmpty => rel -> st
         },
+        // evolved columns record a NULL default: the entry marks "older
+        // files lack this column", which refuses footer aggregate
+        // pushdown (pre-evolution footers have no stats for it) — same
+        // rule as ALTER ADD COLUMN
+        defaults = base.defaults ++ novel.map(_.name -> (null: Any)),
         streamTxn = txn.fold(base.streamTxn) { case (qid, bid) =>
           base.streamTxn + (qid -> bid)
         })
@@ -1190,7 +1213,17 @@ final class GraftTable private (
 
   def compact(): Int = withTableLock {
     refreshMeta()
-    if (meta.files.size <= 1) meta.files.size
+    // evolution markers (dropped-column tombstones, null-default "older
+    // files lack this column" entries) clear only through a FULL
+    // rewrite — so their presence forces one even on a 0/1-file table
+    val markers = meta.droppedCols.nonEmpty ||
+      meta.defaults.values.exists(_ == null)
+    if (meta.files.isEmpty) {
+      if (markers) commitMutation(base => base.copy(
+        defaults = base.defaults.filter { case (_, v) => v != null },
+        droppedCols = Vector.empty))
+      0
+    } else if (meta.files.size == 1 && !markers) 1
     else {
       // one output file per stripeRowCount rows — the merge IS the point
       val target = math.max(1L,
@@ -1223,7 +1256,15 @@ final class GraftTable private (
           fileStats = infos.collect {
             case (rel, (_, st)) if st.nonEmpty => rel -> st
           }.toMap ++ base.fileStats.filter { case (f, _) => keptSet(f) },
-          dvs = base.dvs.view.filterKeys(keptSet).toMap)
+          dvs = base.dvs.view.filterKeys(keptSet).toMap,
+          // full rewrite: every surviving file now physically carries
+          // the current schema (kept files were appended post-start,
+          // schema unchanged by the guard above), so dropped-column
+          // tombstones clear and the NULL-default "older files lack
+          // this column" markers lift (re-enabling footer aggregate
+          // pushdown); real insert-defaults stay
+          defaults = base.defaults.filter { case (_, v) => v != null },
+          droppedCols = Vector.empty)
       }
       meta.files.size
     }
@@ -1269,7 +1310,8 @@ final class GraftTable private (
       defaults = src.defaults,
       nextBatchId = src.nextBatchId,
       fileStats = src.fileStats,
-      dvs = src.dvs))
+      dvs = src.dvs,
+      droppedCols = src.droppedCols))
     // ANALYZE stats sidecar travels too: the clone plans like the source
     GraftTable.readStats(srcLoc).foreach(GraftTable.writeStatsAtomic(destLoc, _))
     GraftTable.open(spark, destLoc)
@@ -1354,7 +1396,11 @@ final class GraftTable private (
             fileStats = infos.collect {
               case (rel, (_, st)) if st.nonEmpty => rel -> st
             }.toMap ++ base.fileStats.filter { case (f, _) => keptSet(f) },
-            dvs = base.dvs.view.filterKeys(keptSet).toMap)
+            dvs = base.dvs.view.filterKeys(keptSet).toMap,
+            // full rewrite — same tombstone/null-marker clearing as
+            // compact() (see there)
+            defaults = base.defaults.filter { case (_, v) => v != null },
+            droppedCols = Vector.empty)
         }
         meta.files.size
       } catch { case e: Throwable => meta = before; throw e }
@@ -1443,14 +1489,18 @@ final class GraftTable private (
         base.copy(
           currentSchema = newSchema,
           options = newOpts,
-          defaults = newDefaults,
+          // full rewrite: null-default "older files lack this column"
+          // markers lift, dropped-column tombstones clear (every file
+          // now physically carries exactly the new schema)
+          defaults = newDefaults.filter { case (_, v) => v != null },
           files = infos.map(_._1).toVector,
           nextBatchId = base.nextBatchId + 1,
           fileStats = infos.collect {
             case (rel, (_, st)) if st.nonEmpty => rel -> st
           }.toMap,
           // the rewrite materialized every vector
-          dvs = Map.empty)
+          dvs = Map.empty,
+          droppedCols = Vector.empty)
       }
       ()
     } catch { case e: Throwable => meta = before; throw e }
@@ -2909,10 +2959,21 @@ final class GraftTable private (
     alignTo(df, meta.currentSchema)
 
   private def alignTo(df: DataFrame, target: StructType): DataFrame = {
-    val present = df.columns.toSet
+    // column matching honors the session's resolution rules: under the
+    // default case-INSENSITIVE resolution a batch column 'Rating' IS
+    // the table's 'rating' — a case-sensitive lookup here would
+    // silently replace its values with the default/NULL
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def key(n: String) =
+      if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val byKey = df.columns.map(c => key(c) -> c).toMap
     val cols = target.fields.map { f =>
-      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(meta.defaults.getOrElse(f.name, null)).cast(f.dataType).as(f.name)
+      byKey.get(key(f.name)) match {
+        case Some(actual) => col(actual).cast(f.dataType).as(f.name)
+        case None =>
+          lit(meta.defaults.getOrElse(f.name, null)).cast(f.dataType).as(f.name)
+      }
     }
     df.select(cols.toIndexedSeq: _*)
   }
@@ -3100,7 +3161,14 @@ object GraftTable {
       // deleted-position count). A file absent here has no dead rows.
       // Every rewrite that replaces a file drops its entry (the rewrite
       // materializes the vector); rowCount is always NET of these.
-      dvs: Map[String, DvEntry] = Map.empty)
+      dvs: Map[String, DvEntry] = Map.empty,
+      // Tombstones of DROPPED column names whose data may still live in
+      // committed files (DROP is metadata-only; parquet binds by NAME).
+      // Re-ADDing a tombstoned name would silently RESURRECT the
+      // dropped values in pre-drop rows, so AddCol and the mergeSchema
+      // append refuse it until a FULL rewrite (compact/recluster/rename)
+      // has materialized the drop and cleared the tombstones.
+      droppedCols: Vector[String] = Vector.empty)
 
   /** One file's deletion-vector reference: sidecar rel path + how many
     * positions it holds (so effective per-file row counts never need a
@@ -3201,6 +3269,14 @@ object GraftTable {
   private def applyChange(m: Meta, c: SchemaChange): Meta = c match {
     case AddCol(name, dataType, default) =>
       require(!m.currentSchema.fieldNames.contains(name), s"column $name already exists")
+      // parquet binds by NAME and DROP is metadata-only, so committed
+      // files may still carry a dropped column's data — re-adding the
+      // name would resurrect those values in pre-drop rows (the
+      // reference is immune: PG attnums make the re-added column a new
+      // attribute). Refuse until a full rewrite materialized the drop.
+      require(!m.droppedCols.contains(name),
+        s"column '$name' was DROPPED but committed files still carry its data; " +
+          "compact() or recluster() first to materialize the drop, or use a new name")
       default match {
         case null | _: java.lang.Number | _: String | _: java.lang.Boolean => ()
         case other => throw new IllegalArgumentException(
@@ -3209,7 +3285,11 @@ object GraftTable {
       m.copy(
         currentSchema = StructType(m.currentSchema.fields :+
           StructField(name, dataType, nullable = true)),
-        defaults = if (default == null) m.defaults else m.defaults + (name -> default))
+        // a NULL default records too: the entry marks "older files lack
+        // this column", which must refuse footer aggregate pushdown
+        // (those footers have no stats for it) — withExistenceDefaults
+        // filters null entries, so the read path is unchanged
+        defaults = m.defaults + (name -> default))
     case DropCol(name) =>
       require(m.currentSchema.fieldNames.contains(name), s"no such column $name")
       // the bucket column is STRUCTURAL: every committed file's placement
@@ -3228,7 +3308,10 @@ object GraftTable {
           bloomFilterColumns = m.options.bloomFilterColumns.filterNot(_ == name)),
         // drop the column's zone maps too: a later ADD COLUMN reusing the
         // name must not inherit stats from the dropped column's data
-        fileStats = m.fileStats.map { case (f, cols) => f -> (cols - name) })
+        fileStats = m.fileStats.map { case (f, cols) => f -> (cols - name) },
+        // tombstone the name: committed files still carry the data, and
+        // re-ADDing it before a full rewrite would resurrect the values
+        droppedCols = (m.droppedCols :+ name).distinct)
     case AlterColType(name, to) =>
       require(m.currentSchema.fieldNames.contains(name), s"no such column $name")
       val from = m.currentSchema(name).dataType
@@ -4138,6 +4221,7 @@ object GraftTable {
        |  "file_stats": $fileStats,
        |  "stream_txn": $streamTxn,
        |  "emit_files": ${m.emitFiles.map(js).mkString("[", ",", "]")},
+       |  "dropped_cols": ${m.droppedCols.map(js).mkString("[", ",", "]")},
        |  "change_commit": ${m.changeCommit},
        |  "files": ${m.files.map(js).mkString("[", ",", "]")}
        |}""".stripMargin
@@ -4264,6 +4348,8 @@ object GraftTable {
         .asInstanceOf[Map[String, Any]]
         .map { case (q, b) => q -> b.asInstanceOf[Number].longValue() },
       emitFiles = m.getOrElse("emit_files", List.empty[Any])
+        .asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toVector,
+      droppedCols = m.getOrElse("dropped_cols", List.empty[Any])
         .asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toVector,
       changeCommit = m.getOrElse("change_commit", java.lang.Boolean.FALSE)
         .asInstanceOf[Boolean],

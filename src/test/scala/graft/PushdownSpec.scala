@@ -95,6 +95,49 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("footer aggregates refuse on EVOLVED columns (null-default ADD + mergeSchema) until a full rewrite") {
+    import spark.implicits._
+    import graft.storage.GraftTable
+    import org.apache.spark.sql.types._
+    val loc = tmpDir("aggpush-evo") + "/t"
+    val t = GraftTable.create(spark, loc, StructType(Seq(
+      StructField("id", IntegerType, nullable = false))))
+    t.append((1 to 100).map(i => Tuple1(i)).toDF("id"))
+    val key = "spark.sql.parquet.aggregatePushdown"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      // mergeSchema evolution: pre-evolution files lack the column — a
+      // footer aggregate over them would fail or drop the NULLs
+      t.appendMergeSchema(Seq((101, 9)).toDF("id", "flag"))
+      val df = spark.read.format("graft").load(loc)
+        .agg(count(col("flag")).as("c"), min("flag").as("mn"))
+      assert(df.head() === org.apache.spark.sql.Row(1L, 9),
+        "pre-evolution rows contribute NULL, not garbage")
+      assert(!df.queryExecution.executedPlan.toString.contains("PushedAggregation: [COUNT"),
+        "footer aggregates must refuse while files predate the column")
+      // same rule for a plain ALTER ADD COLUMN with NO default
+      t.addColumn("note", IntegerType)
+      val df2 = spark.read.format("graft").load(loc).agg(count(col("note")).as("c"))
+      assert(df2.head() === org.apache.spark.sql.Row(0L))
+      assert(!df2.queryExecution.executedPlan.toString.contains("PushedAggregation: [COUNT"))
+      // a FULL rewrite materializes the columns into every file — the
+      // markers lift and footer aggregates are sound again
+      t.compact()
+      val df3 = spark.read.format("graft").load(loc)
+        .agg(min("id").as("mn"), max("id").as("mx"), count(lit(1)).as("c"))
+      assert(df3.head() === org.apache.spark.sql.Row(1, 101, 101L))
+      assert(df3.queryExecution.executedPlan.toString.contains("PushedAggregation: [MIN(id)"),
+        "after compaction every file carries the schema; pushdown re-enables")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      GraftTable.drop(loc)
+    }
+  }
+
   test("footer aggregates are refused on a VERSION AS OF snapshot with synthesized columns") {
     import spark.implicits._
     import graft.storage.GraftTable

@@ -392,6 +392,48 @@ class GraftTableSpec extends SparkSpec {
     GraftTable.drop(s"$loc/tbl")
   }
 
+  test("re-ADDing a DROPPED column refuses until a full rewrite (no data resurrection)") {
+    import spark.implicits._
+    val loc = tmpDir("graft-tomb")
+    val t = GraftTable.create(spark, s"$loc/tbl", schema)
+    t.append(Seq((1, "secret", 5)).toDF("handle", "name", "rating"))
+    t.dropColumn("name")
+    // DROP is metadata-only: the committed file still carries 'secret'.
+    // Re-adding the name — by ALTER or by mergeSchema — would resurrect
+    // it in pre-drop rows, so both routes refuse with guidance.
+    val e1 = intercept[IllegalArgumentException] {
+      t.addColumn("name", StringType)
+    }
+    assert(e1.getMessage.contains("compact"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      t.appendMergeSchema(Seq((2, 6, "new")).toDF("handle", "rating", "name"))
+    }
+    assert(e2.getMessage.contains("DROPPED"), e2.getMessage)
+    assert(t.read().count() === 1L, "the refused evolving append left no rows")
+    // a full rewrite materializes the drop; the name is then reusable
+    // and pre-drop rows read NULL, never the old values
+    t.compact()
+    t.addColumn("name", StringType)
+    assert(t.read().select("name").collect().map(_.isNullAt(0)).toSeq === Seq(true),
+      "the re-added column must read NULL, not the dropped data")
+    GraftTable.drop(s"$loc/tbl")
+  }
+
+  test("mergeSchema novelty honors case-insensitive resolution") {
+    import spark.implicits._
+    val loc = tmpDir("graft-msa-case")
+    val t = GraftTable.create(spark, s"$loc/tbl", schema)
+    t.append(Seq((1, "a", 5)).toDF("handle", "name", "rating"))
+    // 'Rating' is the EXISTING 'rating' under default case-insensitive
+    // resolution — committing both would brick every later read with
+    // Spark's duplicate-column check
+    t.appendMergeSchema(Seq((2, "b", 6)).toDF("handle", "name", "Rating"))
+    assert(t.read().schema.fieldNames.toSeq === Seq("handle", "name", "rating"))
+    assert(t.read().orderBy("handle").select("rating")
+      .collect().map(_.getInt(0)).toSeq === Seq(5, 6))
+    GraftTable.drop(s"$loc/tbl")
+  }
+
   test("DROP COLUMN hides data (cstore_fdw.c:1907-1910)") {
     import spark.implicits._
     val loc = tmpDir("graft-dropcol")
