@@ -2543,7 +2543,12 @@ final class GraftTable private (
     refreshMeta()
     commitMutation(base =>
       base.copy(files = Vector.empty, rowCount = 0L, fileStats = Map.empty,
-        dvs = Map.empty))
+        dvs = Map.empty,
+        // no committed file remains, so no dropped-column data can
+        // resurrect and no file predates an evolved column — tombstones
+        // and null-default markers clear with the data
+        defaults = base.defaults.filter { case (_, v) => v != null },
+        droppedCols = Vector.empty))
     // TRUNCATE physically deletes data (reference semantics) — but only
     // the batch dirs some snapshot UP TO the truncate commit references.
     // A concurrent appender's not-yet-committed batch dir is referenced

@@ -416,6 +416,14 @@ class GraftTableSpec extends SparkSpec {
     t.addColumn("name", StringType)
     assert(t.read().select("name").collect().map(_.isNullAt(0)).toSeq === Seq(true),
       "the re-added column must read NULL, not the dropped data")
+    // TRUNCATE also clears the tombstones: no file remains to resurrect
+    val t2 = GraftTable.create(spark, s"$loc/tbl2", schema)
+    t2.append(Seq((1, "secret", 5)).toDF("handle", "name", "rating"))
+    t2.dropColumn("name")
+    t2.truncate()
+    t2.addColumn("name", StringType) // no refusal after truncate
+    assert(t2.read().count() === 0L)
+    GraftTable.drop(s"$loc/tbl2")
     GraftTable.drop(s"$loc/tbl")
   }
 
