@@ -141,6 +141,49 @@ class ConcurrentMutationPropertySpec extends SparkSpec {
     runSeed(2L)
   }
 
+  test("concurrent schema-evolving appends with distinct novel columns both land") {
+    import spark.implicits._
+    val loc = "mock:" + tmpDir("conc-evo") + "/t"
+    GraftTable.create(spark, loc, schema)
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val writers = Seq("alpha", "beta").zipWithIndex.map { case (colName, w) =>
+        Future {
+          GraftTable.simulateSeparateProcess.set(true)
+          try {
+            val t = GraftTable.open(spark, loc)
+            // each writer evolves a DIFFERENT column; the loser of the
+            // CAS race aborts on the concurrent-schema guard and
+            // retries against the evolved base — both must land
+            for (b <- 0 until 3) retrying(s"evolve-$colName")(
+              t.appendMergeSchema(
+                Seq((w * 1000 + b, (w * 1000 + b).toLong, s"$colName-$b"))
+                  .toDF("id", "v", colName).coalesce(1)))
+          } finally GraftTable.simulateSeparateProcess.set(false)
+        }
+      }
+      Await.result(Future.sequence(writers), 600.seconds)
+    } finally pool.shutdown()
+    val t = GraftTable.open(spark, loc)
+    val names = t.read().schema.fieldNames.toSeq
+    assert(names.take(2) === Seq("id", "v"))
+    assert(names.toSet === Set("id", "v", "alpha", "beta"),
+      s"both evolutions must survive the race, got $names")
+    val rows = t.read().collect()
+    assert(rows.length === 6)
+    // every row carries ITS writer's column value and NULL for the other
+    rows.foreach { r =>
+      val id = r.getInt(0)
+      val (own, other) =
+        if (id < 1000) ("alpha", "beta") else ("beta", "alpha")
+      assert(r.getAs[String](own) != null, s"row $id lost its own value")
+      assert(r.getAs[String](other) == null, s"row $id fabricated a foreign value")
+    }
+    assert(t.verify() === Seq.empty)
+    GraftTable.drop(loc)
+  }
+
   test("restore racing appends: every committed state stays internally consistent") {
     import spark.implicits._
     val loc = "mock:" + tmpDir("conc-restore") + "/t"
