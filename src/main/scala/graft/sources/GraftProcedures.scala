@@ -42,7 +42,7 @@ private[sources] object GraftProcedures {
     Seq("compact", "compact_small", "vacuum", "analyze", "analyze_sample",
       "table_size", "history", "expire_history", "diff", "clone", "recluster",
       "verify", "verify_deep", "materialize_vectors", "restore", "files",
-      "expire_history_older_than")
+      "expire_history_older_than", "detail")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -169,6 +169,47 @@ private[sources] object GraftProcedures {
             new LocalScan {
               override def readSchema(): StructType = schema
               override def rows(): Array[InternalRow] = fileRows
+            }
+          } else if (procName == "detail") {
+            // DESCRIBE DETAIL (Delta's shape): the one-call operational
+            // summary — size, layout declaration, mutation mode, data-
+            // quality gates, and the evolution state (tombstones +
+            // pending columns) that explains why pushdown or a re-ADD
+            // is currently refused
+            val (hfs, _) = graft.storage.GraftTable.fsAndPath(dir)
+            val opts = t.options
+            def csv(xs: Seq[String]) = if (xs.isEmpty) "-" else xs.mkString(",")
+            val sizeBytes = t.relFiles.map { rel =>
+              hfs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$rel")).getLen
+            }.sum
+            val schema = StructType(Seq(
+              StructField("metric", StringType, nullable = false),
+              StructField("value", StringType, nullable = false)))
+            val detailRows: Array[InternalRow] = Array(
+              ("location", dir),
+              ("version", t.version.toString),
+              ("row_count", t.rowCountFromMetadata().toString),
+              ("num_files", t.relFiles.size.toString),
+              ("size_bytes", sizeBytes.toString),
+              ("num_deletion_vectors", t.dvEntries.size.toString),
+              ("retained_snapshots", t.history().size.toString),
+              ("delete_mode", opts.deleteMode),
+              ("compression", opts.compression),
+              ("sort_by", csv(opts.sortBy)),
+              ("zorder_by", csv(opts.zorderBy)),
+              ("bucket_by", csv(opts.bucketBy) +
+                (if (opts.bucketBy.nonEmpty) s" (${opts.bucketCount})" else "")),
+              ("checks", csv(opts.checks.keys.toSeq.sorted)),
+              ("auto_compact_min_files", opts.autoCompactMinFiles.toString),
+              ("dropped_column_tombstones", csv(t.droppedColumns)),
+              ("pending_evolution_columns", csv(t.pendingEvolutionColumns)))
+              .map { case (m, v) =>
+                new GenericInternalRow(Array[Any](
+                  UTF8String.fromString(m), UTF8String.fromString(v))): InternalRow
+              }
+            new LocalScan {
+              override def readSchema(): StructType = schema
+              override def rows(): Array[InternalRow] = detailRows
             }
           } else if (procName == "history") {
             // multi-row result: one row per retained snapshot

@@ -156,6 +156,16 @@ final class GraftTable private (
   def schema: StructType = meta.currentSchema
   def options: GraftTableOptions = meta.options
 
+  /** Dropped-column tombstones pending a full rewrite (see the
+    * `droppedCols` field doc). */
+  def droppedColumns: Seq[String] = meta.droppedCols
+
+  /** Columns some committed file may physically lack (evolved or
+    * no-default-ADDed) — the set that holds footer aggregate pushdown
+    * refused until a full rewrite. */
+  def pendingEvolutionColumns: Seq[String] =
+    meta.defaults.collect { case (k, null) => k }.toSeq.sorted
+
   /** Parquet codec name for this table's `compression` option — for
     * writers outside the storage package (the SQL row-level write). */
   def parquetCodec: String = GraftTable.codecName(meta.options.compression)

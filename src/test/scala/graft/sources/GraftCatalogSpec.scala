@@ -108,7 +108,30 @@ class GraftCatalogSpec extends SparkSpec {
     val exp = spark.sql("CALL gcat.system.expire_history('db1.proc_t', 1)").collect()
     assert(exp.map(r => (r.getString(1), r.getLong(2))).toSeq ===
       Seq(("snapshots_expired", 4L)))
+
     assert(spark.sql("CALL gcat.system.history('db1.proc_t')").count() === 1L)
+
+    // DESCRIBE DETAIL shape: the one-call operational summary, including
+    // the evolution state (tombstones + pending columns)
+    val t2 = GraftTable.open(spark, tdir)
+    t2.appendMergeSchema(Seq((99, "x", 7)).toDF("a", "b", "extra"))
+    t2.dropColumn("b")
+    val detail = spark.sql("CALL gcat.system.detail('db1.proc_t')").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(detail("row_count") === "4" && detail("num_files").toInt >= 2)
+    assert(detail("size_bytes").toLong > 0L)
+    assert(detail("delete_mode") === "copy-on-write")
+    assert(detail("dropped_column_tombstones") === "b",
+      s"detail must surface the tombstone: $detail")
+    assert(detail("pending_evolution_columns") === "extra",
+      "detail must surface the evolved column holding pushdown refused")
+    assert(detail("retained_snapshots").toInt >= 1)
+    // a full rewrite clears both markers and the detail reflects it
+    spark.sql("CALL gcat.system.compact('db1.proc_t')")
+    val after = spark.sql("CALL gcat.system.detail('db1.proc_t')").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after("dropped_column_tombstones") === "-")
+    assert(after("pending_evolution_columns") === "-")
 
     // the table argument is spliced into a warehouse path: a traversal
     // segment must be rejected, not resolved outside the warehouse
