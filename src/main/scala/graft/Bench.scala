@@ -90,6 +90,7 @@ object Bench {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+
     // Longest-processing-time-first submission: the handful of
     // multi-second queries start immediately and the cheap tail fills
     // the scheduling gaps — classic LPT makespan bound. Alphabetical
@@ -113,33 +114,101 @@ object Bench {
       "d2_ngram_jaccard", "d9_edit_distance", "s1_ann_brute", "s6_range_search",
       "s3_ann_lsh", "t3_lang_id", "c1_stratified_sample",
     ).zipWithIndex.toMap
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
-      (heavyFirst.getOrElse(name, Int.MaxValue), name)
-    }
-    val t0 = System.nanoTime()
-    val futures = ordered.map { case (name, fn) =>
-      scala.concurrent.Future {
-        // FAIR mode is fair ACROSS pools; within a pool it is FIFO. One
-        // pool per query (thread-local property) — otherwise every job
-        // shares the default pool and queues head-of-line behind
-        // whichever fat stage got in first (measured: 15-45s stall
-        // windows, 2-4x suite-wall variance run to run).
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
-        val q0 = System.nanoTime()
-        // A crashed query must not masquerade as a fast one: record its
-        // status alongside the elapsed time, and fail the whole run.
-        val status =
-          try { fn(spark, sfDir).count(); "ok" }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            "err"
-          }
-        (name, (System.nanoTime() - q0) / 1e9, status)
+
+    // In-suite calibration timeline (VERDICT r9 #1). The pre/post probes
+    // bracket the suite, and the round-9 driver artifact proved that is
+    // not enough: the suite ran 4x slow while BOTH bracketing probes read
+    // near-clean — contention arrived after the pre-probe and left before
+    // the post-probe (or only bit under sustained parallel load). So the
+    // probes must sample DURING the suite:
+    //  * a daemon thread re-runs the single-core spin every ~2s and
+    //    records (t_offset_sec, wall) — CPU speed/steal sampled through
+    //    the whole window, Spark-independent;
+    //  * every ~20 query completions one canonical shuffle probe is
+    //    submitted ON THE QUERY POOL (its wall includes queueing behind
+    //    real queries — that is the point: it experiences the window the
+    //    queries experienced).
+    // Interpretation contract: in-suite probes run CONTENDED by our own
+    // 32-thread load, so their clean-window reference is higher than the
+    // idle 0.73s/0.5s — measured ≈1.3-2.5s spin / ≈2-6s pooled shuffle on
+    // this VM (see SCALE_r13 §1). The walls are constants of the
+    // machine-window under the suite's own (fixed, deterministic) load,
+    // so: spin samples well above the in-suite reference ⇒ ambient
+    // contention, and a slow-window artifact is identifiable from the
+    // JSON alone — probe inflation >= suite inflation, vs a true engine
+    // regression where the suite inflates and the timeline stays flat.
+    val timelineT0 = System.nanoTime()
+    def tOff: Double = (System.nanoTime() - timelineT0) / 1e9
+    val spinTimeline = scala.collection.mutable.ListBuffer[(Double, Double)]()
+    val shuffleTimeline = scala.collection.mutable.ListBuffer[(Double, Double)]()
+    @volatile var sampling = true
+    val sampler = new Thread(() => {
+      while (sampling) {
+        val at = tOff
+        val w = calibSpin()
+        spinTimeline.synchronized { spinTimeline += ((at, w)) }
+        try Thread.sleep(1500) catch { case _: InterruptedException => }
       }
+    }, "bench-calib-sampler")
+    sampler.setDaemon(true)
+    sampler.start()
+    val completions = new java.util.concurrent.atomic.AtomicInteger(0)
+    def maybeProbeShuffle(): Unit =
+      if (completions.incrementAndGet() % 20 == 0) {
+        scala.concurrent.Future {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", "calib")
+          val at = tOff
+          val w = calibShuffle()
+          shuffleTimeline.synchronized { shuffleTimeline += ((at, w)) }
+        }
+        ()
+      }
+
+    // One suite pass: LPT-ordered submission over the pool; returns each
+    // query's (name, wall, status) plus the pass's wall-clock.
+    def runSuite(): (Seq[(String, Double, String)], Double) = {
+      val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+        (heavyFirst.getOrElse(name, Int.MaxValue), name)
+      }
+      val t0 = System.nanoTime()
+      val futures = ordered.map { case (name, fn) =>
+        scala.concurrent.Future {
+          // FAIR mode is fair ACROSS pools; within a pool it is FIFO. One
+          // pool per query (thread-local property) — otherwise every job
+          // shares the default pool and queues head-of-line behind
+          // whichever fat stage got in first (measured: 15-45s stall
+          // windows, 2-4x suite-wall variance run to run).
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+          val q0 = System.nanoTime()
+          // A crashed query must not masquerade as a fast one: record its
+          // status alongside the elapsed time, and fail the whole run.
+          val status =
+            try { fn(spark, sfDir).count(); "ok" }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              "err"
+            }
+          maybeProbeShuffle()
+          (name, (System.nanoTime() - q0) / 1e9, status)
+        }
+      }
+      val results = futures.map(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      (results, (System.nanoTime() - t0) / 1e9)
     }
-    val results = futures.map(f =>
-      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
-    val total = (System.nanoTime() - t0) / 1e9
+    // Best-of-two suite runs (VERDICT r9 #1): a single wall is hostage to
+    // whichever window it lands in; the MIN of two back-to-back passes is
+    // a far better estimator of the engine's own cost (a slow window long
+    // enough to depress both passes also shows in the probe timeline).
+    // Run 1 is the published per-query map — its cache state (post-warmup,
+    // pre-suite) matches every previous round, so per-query numbers stay
+    // comparable; run 2 is fully warm and usually the better wall.
+    val suiteRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val (results, total) = runSuite()
+    val reruns = (2 to suiteRuns).map { _ => runSuite() }
+    val rerunWalls = reruns.map(_._2)
+    val rerunFailed = reruns.map(_._1.count(_._3 != "ok")).sum
+    sampling = false
     pool.shutdown()
 
     // Solo profile: the top-10 heaviest queries re-run SEQUENTIALLY.
@@ -176,7 +245,9 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, s) if s != "ok" =>
       "\"" + k + "\":\"" + s + "\"" }.mkString("{", ",", "}")
-    val failed = results.count(_._3 != "ok")
+    // a query that crashed in ANY pass fails the bench — the rerun must
+    // not launder a flaky failure into a green rc
+    val failed = results.count(_._3 != "ok") + rerunFailed
     val soloJson = solo.sortBy(_._2)
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -189,7 +260,25 @@ object Bench {
     // the window-independent figure of merit).
     val calibSec = (calibPreSpin + calibPreShuffle + calibPostSpin + calibPostShuffle) / 4.0
     val calibJson = f"""{"pre_spin":$calibPreSpin%.3f,"pre_shuffle":$calibPreShuffle%.3f,"post_spin":$calibPostSpin%.3f,"post_shuffle":$calibPostShuffle%.3f}"""
-    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"warmup_errors":$warmupJson,"sf":"$sfDir","solo":$soloJson,"calib":$calibJson,"calib_sec":$calibSec%.3f,"suite_sec":$total}""")
+    // calib_timeline: [t_offset_from_suite_start, probe_wall] pairs,
+    // sampled DURING the suite (both passes). spin = single-core probe
+    // from the daemon sampler; shuffle = canonical pooled shuffle every
+    // ~20 completions. calib_insuite_sec = median in-suite spin — the
+    // one scalar to compare against its clean-window reference
+    // (SCALE_r13 §1): inflation here >= suite inflation ⇒ slow window,
+    // flat here + inflated suite ⇒ real regression.
+    def tl(xs: Seq[(Double, Double)]): String =
+      xs.map { case (at, w) => f"[$at%.1f,$w%.2f]" }.mkString("[", ",", "]")
+    val spinTl = spinTimeline.synchronized { spinTimeline.toList }
+    val shufTl = shuffleTimeline.synchronized { shuffleTimeline.toList }
+    val insuiteSpins = spinTl.map(_._2).sorted
+    val calibInsuite =
+      if (insuiteSpins.isEmpty) 0.0 else insuiteSpins(insuiteSpins.size / 2)
+    val timelineJson =
+      s"""{"spin":${tl(spinTl)},"shuffle":${tl(shufTl)}}"""
+    val suiteBest = (total +: rerunWalls).min
+    val rerunJson = rerunWalls.map(w => f"$w%.3f").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"warmup_errors":$warmupJson,"sf":"$sfDir","solo":$soloJson,"calib":$calibJson,"calib_sec":$calibSec%.3f,"calib_timeline":$timelineJson,"calib_insuite_sec":$calibInsuite%.3f,"suite_sec_reruns":$rerunJson,"suite_sec_best":$suiteBest%.3f,"suite_sec":$total}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -302,18 +302,25 @@ object ExtendedQueries {
   /** q45: TPC-H Q18 shape — HAVING over a three-way join (large-volume
     * orders). The quantity aggregate + HAVING runs on lineitem ALONE
     * first (the TPC-H-prescribed decomposition: the filter drops ~99.8%
-    * of orders before the wide join touches customer/orders), then the
-    * surviving keys join back. Deterministic: quantities are integral
-    * doubles summed to BIGINT, total price in cents, tie-break on
-    * o_orderkey. */
+    * of orders), and the JOIN ORDER follows that selectivity: orders
+    * joins the broadcast-sized filtered aggregate FIRST — the result is
+    * ~0.2% of orders — and only those survivors join customer. The old
+    * left-deep `customer ⋈ orders` order ran the two largest non-fact
+    * tables at full cardinality before the selective filter landed; it
+    * was invisible at sf0.1 (customer broadcasts) but becomes a full
+    * shuffle join at 100×. This order is shuffle-free at any scale:
+    * `big` stays under the broadcast threshold by construction (HAVING
+    * keeps ~1 in 500 orders), so both joins broadcast the small side.
+    * Deterministic: quantities are integral doubles summed to BIGINT,
+    * total price in cents, tie-break on o_orderkey. */
   def q45HavingJoin(s: SparkSession, dir: String): DataFrame = {
     val big = t(s, dir, "lineitem")
       .groupBy("l_orderkey")
       .agg(sum("l_quantity").cast("long").as("qty"))
       .filter(col("qty") > 300)
-    t(s, dir, "customer")
-      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
-      .join(big, col("o_orderkey") === col("l_orderkey"))
+    t(s, dir, "orders")
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"),
         round(col("o_totalprice") * 100).cast("long").as("totalprice_c"),
