@@ -389,58 +389,96 @@ object Similarity {
     * FLOOR-MICRO-QUANTIZED partial distances (bigint), so the 8-way sum
     * is exact under any aggregation order — a raw double sum would be
     * shuffle-order-dependent. */
-  def s5PqAnn(s: SparkSession, dir: String): DataFrame = {
-    val dot = graft.functions.DotProduct.dotFast _
-    val e = Tables.load(s, dir, "embeddings")
+  /** Corpus with float→double widening: (vec_id, v). */
+  private def pqCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    def subspaces(df: DataFrame): DataFrame = df
-      .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("v"))
-      .select(col("vec_id"), col("m"),
-        slice(col("v"), col("m") * PqSub + 1, lit(PqSub)).as("vm"))
-    val ev = subspaces(e).withColumn("vvm", dot(col("vm"), col("vm")))
-    // codebook init: subvectors of the PqK lowest vec_ids, cid by rank
-    val c0 = subspaces(e.orderBy("vec_id").limit(PqK))
-      .withColumn("cid",
-        (row_number().over(Window.partitionBy("m").orderBy("vec_id")) - 1).cast("int"))
-      .withColumn("cc", dot(col("vm"), col("vm")))
-      .select(col("m"), col("cid"), col("vm").as("cv"), col("cc"))
-    def pqDist: Column =
-      (col("vvm") - lit(2.0) * dot(col("vm"), col("cv"))) + col("cc")
-    // per-(vector, subspace) argmin — min over struct(d, cid), partial-
-    // aggregated map-side exactly like s4's assign
-    def nearest(cents: DataFrame, keep: Column*): DataFrame =
-      ev.join(broadcast(cents), "m")
-        .select(col("vec_id") +: col("m") +:
-          struct((pqDist.as("d") +: col("cid") +: keep).toIndexedSeq: _*).as("cand") +: Nil: _*)
-        .groupBy("vec_id", "m").agg(min("cand").as("mn"))
-    val a1 = nearest(c0, col("vm"))
-      .select(col("vec_id"), col("m"), col("mn.cid").as("cid"), col("mn.vm").as("vm"))
-    // one quantized-mean codebook update (exact under any agg order)
-    val cb = a1
-      .select(col("m"), col("cid"),
-        posexplode(transform(col("vm"), x => round(x * Quant).cast("long")))
-          .as(Seq("pos", "qx")))
-      .groupBy("m", "cid", "pos").agg(sum("qx").as("sq"), count(lit(1)).as("n"))
-      .groupBy("m", "cid")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sq"), col("n")))),
-        p => p.getField("sq").cast("double")
-          / (p.getField("n").cast("double") * Quant.toDouble)).as("cv"))
-      .withColumn("cc", dot(col("cv"), col("cv")))
-    // The trained codebook is referenced twice below (encoding + ADC
-    // table) and its lineage is the whole training tree (init assign +
-    // quantized update) — without materialization the training runs
-    // per-reference. It is tiny (PqM × PqK rows of PqSub doubles), so
-    // memoize it per corpus fingerprint: repeated s5 calls retrain
-    // nothing, and in production the codebook is a one-time artifact.
-    val cbM = pqCodebookCache.getOrElseUpdate(s, dir, "embeddings")(cb)
-    val codes = nearest(cbM)
+
+  /** Split into PqM subvectors: (vec_id, m, vm). */
+  private def pqSubspaces(df: DataFrame): DataFrame = df
+    .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("v"))
+    .select(col("vec_id"), col("m"),
+      slice(col("v"), col("m") * PqSub + 1, lit(PqSub)).as("vm"))
+
+  /** ADC partial distance of the in-scope (vm, vvm) row to centroid
+    * (cv, cc): (vm·vm − 2·vm·cv) + cc, association explicit. */
+  private def pqDist: Column =
+    (col("vvm") - lit(2.0) * graft.functions.DotProduct.dotFast(col("vm"), col("cv"))) + col("cc")
+
+  /** Per-(vector, subspace) argmin over a centroid table — min over
+    * struct(d, cid), partial-aggregated map-side exactly like s4's
+    * assign. */
+  private def pqNearest(ev: DataFrame, cents: DataFrame, keep: Column*): DataFrame =
+    ev.join(broadcast(cents), "m")
+      .select(col("vec_id") +: col("m") +:
+        struct((pqDist.as("d") +: col("cid") +: keep).toIndexedSeq: _*).as("cand") +: Nil: _*)
+      .groupBy("vec_id", "m").agg(min("cand").as("mn"))
+
+  /** The trained PQ codebook (m, cid, cv, cc) — init from the PqK lowest
+    * vec_ids' subvectors, one quantized-mean Lloyd update (exact under
+    * any aggregation order). The training tree is referenced by every
+    * consumer (s5's encode + ADC table, the s9 index build), and re-runs
+    * per reference without materialization; it is tiny (PqM × PqK rows
+    * of PqSub doubles), so memoize per corpus fingerprint: repeated
+    * calls retrain nothing, and in production the codebook is a one-time
+    * artifact. */
+  private[operators] def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    pqCodebookCache.getOrElseUpdate(s, dir, "embeddings") {
+      val dot = graft.functions.DotProduct.dotFast _
+      val e = pqCorpus(s, dir)
+      val ev = pqSubspaces(e).withColumn("vvm", dot(col("vm"), col("vm")))
+      // codebook init: subvectors of the PqK lowest vec_ids, cid by rank
+      val c0 = pqSubspaces(e.orderBy("vec_id").limit(PqK))
+        .withColumn("cid",
+          (row_number().over(Window.partitionBy("m").orderBy("vec_id")) - 1).cast("int"))
+        .withColumn("cc", dot(col("vm"), col("vm")))
+        .select(col("m"), col("cid"), col("vm").as("cv"), col("cc"))
+      val a1 = pqNearest(ev, c0, col("vm"))
+        .select(col("vec_id"), col("m"), col("mn.cid").as("cid"), col("mn.vm").as("vm"))
+      // one quantized-mean codebook update (exact under any agg order)
+      a1
+        .select(col("m"), col("cid"),
+          posexplode(transform(col("vm"), x => round(x * Quant).cast("long")))
+            .as(Seq("pos", "qx")))
+        .groupBy("m", "cid", "pos").agg(sum("qx").as("sq"), count(lit(1)).as("n"))
+        .groupBy("m", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("sq"), col("n")))),
+          p => p.getField("sq").cast("double")
+            / (p.getField("n").cast("double") * Quant.toDouble)).as("cv"))
+        .withColumn("cc", dot(col("cv"), col("cv")))
+    }
+
+  /** Every corpus vector's PQ encoding: (vec_id, m, code). */
+  private[operators] def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    val dot = graft.functions.DotProduct.dotFast _
+    val ev = pqSubspaces(pqCorpus(s, dir)).withColumn("vvm", dot(col("vm"), col("vm")))
+    pqNearest(ev, pqCodebook(s, dir))
       .select(col("vec_id"), col("m"), col("mn.cid").as("code"))
-    // ADC lookup table: exact query-subvector -> centroid partial
-    // distances, floor-quantized to integer micro-units
-    val qtab = ev.filter(col("vec_id") < NumQueries)
-      .join(broadcast(cbM), "m")
+  }
+
+  /** Per-query ADC lookup table over the trained codebook: exact
+    * query-subvector → centroid partial distances, floor-quantized to
+    * integer micro-units (the 8-way per-candidate sum is then exact
+    * under any aggregation order). (q_id, qm, qcid, pdq) — PqM × PqK
+    * rows per query; always broadcast. */
+  private def pqQueryTable(s: SparkSession, dir: String, q: DataFrame,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    val dot = graft.functions.DotProduct.dotFast _
+    val qv = q.select(col("q_id").as("vec_id"), col("qv").as("v"))
+    pqSubspaces(qv).withColumn("vvm", dot(col("vm"), col("vm")))
+      .join(broadcast(codebook.getOrElse(pqCodebook(s, dir))), "m")
       .select(col("vec_id").as("q_id"), col("m").as("qm"), col("cid").as("qcid"),
         floor(pqDist * 1e6).cast("long").as("pdq"))
+  }
+
+  def s5PqAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = pqCorpus(s, dir)
+    val codes = pqCodes(s, dir)
+    // ADC lookup table: exact query-subvector -> centroid partial
+    // distances, floor-quantized to integer micro-units
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val qtab = pqQueryTable(s, dir, q)
     val w = Window.partitionBy("q_id").orderBy(col("pqd"), col("vec_id"))
     codes.join(broadcast(qtab),
       col("m") === col("qm") && col("code") === col("qcid") &&
@@ -450,6 +488,145 @@ object Similarity {
       .filter(col("rank") <= PqTopK)
       .select(col("q_id"), col("vec_id"), col("pqd"), col("rank"))
       .orderBy("q_id", "rank")
+  }
+
+  // -- s9: the composed IVF+PQ index ------------------------------------
+
+  /** ADC candidates re-ranked exactly: deep enough that recall losses
+    * from the 8-byte quantization are visible in the spec, shallow
+    * enough that the exact-vector fetch stays a bounded point lookup. */
+  private val PqRerank = 20
+
+  private val IvfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** The production 100 TB ANN shape (VERDICT r9 #3): s7's persisted IVF
+    * index COMPOSED with s5's product quantization. On top of s7's
+    * `centroids` + `postings`, the build adds
+    *  - `codebook`: the trained PQ codebook (PqM × PqK tiny rows), so
+    *    probes never retrain;
+    *  - `codes`: every vector's PqM one-byte codes, CLUSTERED PER IVF
+    *    LIST (range-partitioned + sort_by on `label`, same discipline as
+    *    postings) — a probe's label filter zone-map-prunes to the probed
+    *    lists' code files, and those files hold ~PqM small ints per
+    *    vector instead of PqSub·PqM doubles (~1/32 of the bytes).
+    * Probe cost at scale: centroid scan (tiny, broadcast) + ADC over
+    * ~1/nlist of the CODES bytes + an exact re-rank that fetches only
+    * top-[[PqRerank]] full vectors per query via a pushed-down id filter
+    * over the probed lists' posting files. */
+  private[graft] def ivfPqIndexDir(s: SparkSession, dir: String): String =
+    IvfPqCache.computeIfAbsent((s, dir), { _ =>
+      val root = ivfIndexDir(s, dir)
+      val cbDf = pqCodebook(s, dir)
+      val cbT = graft.storage.GraftTable.create(s, s"$root/codebook", cbDf.schema)
+      cbT.append(cbDf)
+      val nLists = graft.storage.GraftTable.open(s, s"$root/centroids")
+        .rowCountFromMetadata().toInt.max(1)
+      // (label, vec_id, codes): one row per vector, codes ordered by
+      // subspace. array_sort on struct(m, code) makes the array order
+      // deterministic under any shuffle.
+      val codesDf = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("label"))
+        .join(pqCodes(s, dir).groupBy("vec_id")
+          .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+            p => p.getField("code")).as("codes")), "vec_id")
+        .select(col("label"), col("vec_id"), col("codes"))
+        .repartitionByRange(nLists, col("label"))
+      val codesT = graft.storage.GraftTable.create(s, s"$root/codes", codesDf.schema,
+        graft.storage.GraftTableOptions(sortBy = Seq("label")))
+      codesT.append(codesDf)
+      root
+    })
+
+  /** s9: ANN served from the composed IVF-PQ index. Per query: assign to
+    * the nearest committed centroid (broadcast), ADC-score ONLY the
+    * probed lists' zone-map-pruned code files against the broadcast
+    * per-query distance table, keep the top-[[PqRerank]] candidates by
+    * quantized distance, then re-rank those EXACTLY from the full
+    * vectors (fetched from the probed lists' posting files with the
+    * candidate-id filter pushed into the scan). The exact re-rank makes
+    * the result hash-checkable: the oracle replays quantizer + codebook
+    * + ADC + re-rank in SQL. */
+  def s9AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val root = ivfPqIndexDir(s, dir)
+    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val q = postT.read().filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    probeIvfPq(s, dir, root, q).orderBy("q_id", "rank")
+  }
+
+  /** Score one bounded query batch — (q_id, qv: array<double>, qn) —
+    * against the persisted IVF-PQ index. Both collects are bounded by
+    * construction: probed labels (one per query) and re-rank candidates
+    * (PqRerank per query). */
+  private[graft] def probeIvfPq(s: SparkSession, dir: String, root: String,
+      q: DataFrame): DataFrame = {
+    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val codesT = graft.storage.GraftTable.open(s, s"$root/codes")
+    val cent = graft.storage.GraftTable.open(s, s"$root/centroids").read()
+    val wAssign = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("clabel"))
+    val assigned = q.crossJoin(broadcast(cent.withColumnRenamed("label", "clabel")))
+      .select(col("q_id"), col("qv"), col("qn"), col("clabel"),
+        cosine(col("qv"), col("cv"), col("qn"), col("cnrm")).as("ccos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("q_id"), col("qv"), col("qn"), col("clabel").as("alabel"))
+    // bounded collect: one probed list per query
+    val probes = assigned.select("alabel").distinct().collect().map(_.get(0))
+    val resultSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q_id", q.schema("q_id").dataType),
+      org.apache.spark.sql.types.StructField("label", cent.schema("label").dataType),
+      org.apache.spark.sql.types.StructField("vec_id",
+        postT.readSchema()("vec_id").dataType),
+      org.apache.spark.sql.types.StructField("cos",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType)))
+    def empty = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], resultSchema)
+    if (probes.isEmpty) return empty
+    val codeFiles =
+      codesT.prunedFiles(Seq(org.apache.spark.sql.sources.In("label", probes)))
+    if (codeFiles.isEmpty) return empty
+    // ADC over the probed lists' CODES only — zone-map pruning keeps the
+    // candidate scan at ~1/nlist of the code bytes; the label equality
+    // below makes pruning-overshoot (a file straddling two lists)
+    // harmless
+    val codes = s.read.schema(codesT.readSchema()).parquet(codeFiles: _*)
+    // the COMMITTED codebook: probes are fully index-served, no retrain
+    val qtab = pqQueryTable(s, dir, q,
+      Some(graft.storage.GraftTable.open(s, s"$root/codebook").read()))
+    val wCand = Window.partitionBy("q_id").orderBy(col("pqd"), col("vec_id"))
+    val cand = codes
+      .join(broadcast(assigned.select(col("q_id").as("a_qid"), col("alabel"))),
+        col("label") === col("alabel"))
+      .select(col("a_qid"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(qtab),
+        col("a_qid") === col("q_id") && col("m") === col("qm") &&
+          col("code") === col("qcid") && col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(sum("pdq").as("pqd"))
+      .withColumn("crn", row_number().over(wCand))
+      .filter(col("crn") <= PqRerank)
+      .select(col("q_id").as("c_qid"), col("vec_id").as("c_vid"))
+    // bounded collect: PqRerank candidates per query — the exact-vector
+    // fetch is a point lookup, so push the id set into the posting scan
+    // (row-group stats skip) instead of streaming the probed lists again
+    val candIds = cand.select("c_vid").distinct().collect().map(_.get(0))
+    if (candIds.isEmpty) return empty
+    val postFiles =
+      postT.prunedFiles(Seq(org.apache.spark.sql.sources.In("label", probes)))
+    val post = s.read.schema(postT.readSchema()).parquet(postFiles: _*)
+      .filter(col("vec_id").isInCollection(candIds))
+    val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    post.join(broadcast(cand), col("vec_id") === col("c_vid"))
+      .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))),
+        col("q_id") === col("c_qid"))
+      .select(col("q_id"), col("label"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= IvfTopK)
+      .select(col("q_id"), col("label"), col("vec_id"),
+        round(col("cos"), 4).as("cos"), col("rank"))
   }
 
   /** s6: RANGE search — every vector within a cosine radius of each
@@ -545,6 +722,7 @@ object Similarity {
     "s4_kmeans" -> s4Kmeans _,
     "s5_pq_ann" -> s5PqAnn _,
     "s7_ann_persisted" -> s7AnnPersisted _,
+    "s9_ann_ivfpq" -> s9AnnIvfPq _,
   )
 
   import OracleSql._
@@ -593,6 +771,47 @@ object Similarity {
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY (e.vv - 2.0 * ${dotSql("e.v", "c2.cv")}) + c2.cc, c2.cid) rn
        |  FROM e CROSS JOIN c2) WHERE rn = 1)""".stripMargin
+
+  /** SQL twin of the PQ training + encoding chain ([[pqCodebook]] /
+    * [[pqCodes]] / [[pqQueryTable]]): CTEs `e, ev, c0, a1, cb, codes,
+    * qtab`. Shared by the s5 oracle and the s9 IVF-PQ oracle — the two
+    * engines must agree on the SAME codebook, codes, and per-query ADC
+    * table before their query shapes diverge. */
+  private def pqCtes: String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+       |           FROM embeddings),
+       |ev AS (SELECT vec_id, m, vm, ${dotSql("vm", "vm")} vvm FROM (
+       |       SELECT vec_id, m, v[m*$PqSub+1 : m*$PqSub+$PqSub] vm
+       |       FROM e CROSS JOIN range(0, $PqM) r(m))),
+       |c0 AS (SELECT m,
+       |         CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS INT) cid,
+       |         vm cv, ${dotSql("vm", "vm")} cc FROM (
+       |       SELECT vec_id, m, v[m*$PqSub+1 : m*$PqSub+$PqSub] vm
+       |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $PqK)
+       |       CROSS JOIN range(0, $PqM) r(m))),
+       |a1 AS (SELECT vec_id, m, cid, vm FROM (
+       |  SELECT ev.vec_id, ev.m, c0.cid, ev.vm,
+       |    row_number() OVER (PARTITION BY ev.vec_id, ev.m
+       |      ORDER BY (ev.vvm - 2.0 * ${dotSql("ev.vm", "c0.cv")}) + c0.cc,
+       |               c0.cid) rn
+       |  FROM ev JOIN c0 ON ev.m = c0.m) WHERE rn = 1),
+       |cb AS (SELECT m, cid, cv, ${dotSql("cv", "cv")} cc FROM (
+       |       SELECT m, cid,
+       |         list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * $Quant.0) ORDER BY i) cv
+       |       FROM (SELECT m, cid, i,
+       |               sum(CAST(round(vm[i] * $Quant) AS BIGINT)) sq, count(*) n
+       |             FROM a1 CROSS JOIN range(1, ${PqSub + 1}) ri(i)
+       |             GROUP BY m, cid, i) GROUP BY m, cid)),
+       |codes AS (SELECT vec_id, m, cid code FROM (
+       |  SELECT ev.vec_id, ev.m, cb.cid,
+       |    row_number() OVER (PARTITION BY ev.vec_id, ev.m
+       |      ORDER BY (ev.vvm - 2.0 * ${dotSql("ev.vm", "cb.cv")}) + cb.cc,
+       |               cb.cid) rn
+       |  FROM ev JOIN cb ON ev.m = cb.m) WHERE rn = 1),
+       |qtab AS (SELECT ev.vec_id q_id, ev.m, cb.cid,
+       |    CAST(floor(((ev.vvm - 2.0 * ${dotSql("ev.vm", "cb.cv")}) + cb.cc)
+       |      * 1000000.0) AS BIGINT) pdq
+       |  FROM ev JOIN cb ON ev.m = cb.m WHERE ev.vec_id < $NumQueries)""".stripMargin
 
   /** SQL twin of [[l2sq]]: left-fold squared L2 distance. */
   private def l2Sql(a: String, b: String): String =
@@ -646,40 +865,7 @@ object Similarity {
          |  FROM n CROSS JOIN q WHERE n.vec_id != q.q_id)
          |WHERE c >= 0.3 ORDER BY q_id, vec_id""".stripMargin),
     "s5_pq_ann" ->
-      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
-         |           FROM embeddings),
-         |ev AS (SELECT vec_id, m, vm, ${dotSql("vm", "vm")} vvm FROM (
-         |       SELECT vec_id, m, v[m*$PqSub+1 : m*$PqSub+$PqSub] vm
-         |       FROM e CROSS JOIN range(0, $PqM) r(m))),
-         |c0 AS (SELECT m,
-         |         CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS INT) cid,
-         |         vm cv, ${dotSql("vm", "vm")} cc FROM (
-         |       SELECT vec_id, m, v[m*$PqSub+1 : m*$PqSub+$PqSub] vm
-         |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $PqK)
-         |       CROSS JOIN range(0, $PqM) r(m))),
-         |a1 AS (SELECT vec_id, m, cid, vm FROM (
-         |  SELECT ev.vec_id, ev.m, c0.cid, ev.vm,
-         |    row_number() OVER (PARTITION BY ev.vec_id, ev.m
-         |      ORDER BY (ev.vvm - 2.0 * ${dotSql("ev.vm", "c0.cv")}) + c0.cc,
-         |               c0.cid) rn
-         |  FROM ev JOIN c0 ON ev.m = c0.m) WHERE rn = 1),
-         |cb AS (SELECT m, cid, cv, ${dotSql("cv", "cv")} cc FROM (
-         |       SELECT m, cid,
-         |         list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * $Quant.0) ORDER BY i) cv
-         |       FROM (SELECT m, cid, i,
-         |               sum(CAST(round(vm[i] * $Quant) AS BIGINT)) sq, count(*) n
-         |             FROM a1 CROSS JOIN range(1, ${PqSub + 1}) ri(i)
-         |             GROUP BY m, cid, i) GROUP BY m, cid)),
-         |codes AS (SELECT vec_id, m, cid code FROM (
-         |  SELECT ev.vec_id, ev.m, cb.cid,
-         |    row_number() OVER (PARTITION BY ev.vec_id, ev.m
-         |      ORDER BY (ev.vvm - 2.0 * ${dotSql("ev.vm", "cb.cv")}) + cb.cc,
-         |               cb.cid) rn
-         |  FROM ev JOIN cb ON ev.m = cb.m) WHERE rn = 1),
-         |qtab AS (SELECT ev.vec_id q_id, ev.m, cb.cid,
-         |    CAST(floor(((ev.vvm - 2.0 * ${dotSql("ev.vm", "cb.cv")}) + cb.cc)
-         |      * 1000000.0) AS BIGINT) pdq
-         |  FROM ev JOIN cb ON ev.m = cb.m WHERE ev.vec_id < $NumQueries),
+      (s"""WITH $pqCtes,
          |sc AS (SELECT q.q_id, c.vec_id, CAST(sum(q.pdq) AS BIGINT) pqd
          |  FROM codes c JOIN qtab q ON c.m = q.m AND c.code = q.cid
          |  WHERE c.vec_id != q.q_id GROUP BY q.q_id, c.vec_id),
@@ -688,6 +874,50 @@ object Similarity {
          |  FROM sc)
          |SELECT q_id, vec_id, pqd, rank FROM rk
          |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin),
+    // s9: the composed IVF-PQ probe — IVF assignment (s2's quantizer) ∘
+    // PQ ADC candidates (s5's codebook) ∘ exact re-rank. The oracle
+    // replays all three stages; a hash match proves the persisted
+    // index + zone-map-pruned code scan + pushed-down re-rank fetch
+    // lose nothing vs the declarative composition.
+    "s9_ann_ivfpq" ->
+      (s"""WITH $pqCtes,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |nn AS (SELECT e.vec_id, lab.label, e.v, ${normSql("e.v")} nrm
+         |       FROM e JOIN lab ON lab.vec_id = e.vec_id),
+         |cent AS (
+         |  SELECT label, list(CAST(sq AS DOUBLE) ORDER BY i) cv FROM (
+         |    SELECT label, i, sum(CAST(round(embedding[i]::DOUBLE * $Quant) AS BIGINT)) sq
+         |    FROM embeddings CROSS JOIN range(1, 65) r(i)
+         |    GROUP BY label, i) GROUP BY label),
+         |cn AS (SELECT label, cv, ${normSql("cv")} cnrm FROM cent),
+         |assigned AS (
+         |  SELECT q_id, label FROM (
+         |    SELECT q.vec_id q_id, cn.label,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dotSql("q.v", "cn.cv")} / (q.nrm * cn.cnrm) DESC,
+         |                 cn.label) arn
+         |    FROM nn q CROSS JOIN cn WHERE q.vec_id < $NumQueries)
+         |  WHERE arn = 1),
+         |cand AS (SELECT a.q_id, c.vec_id, CAST(sum(q.pdq) AS BIGINT) pqd
+         |  FROM codes c
+         |  JOIN lab ON lab.vec_id = c.vec_id
+         |  JOIN assigned a ON a.label = lab.label
+         |  JOIN qtab q ON q.m = c.m AND q.cid = c.code AND q.q_id = a.q_id
+         |  WHERE c.vec_id != a.q_id
+         |  GROUP BY a.q_id, c.vec_id),
+         |candr AS (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY pqd, vec_id) crn
+         |  FROM cand),
+         |rer AS (SELECT c.q_id, cv.label, cv.vec_id,
+         |    ${dotSql("qv.v", "cv.v")} / (qv.nrm * cv.nrm) cos
+         |  FROM candr c
+         |  JOIN nn cv ON cv.vec_id = c.vec_id
+         |  JOIN nn qv ON qv.vec_id = c.q_id
+         |  WHERE c.crn <= $PqRerank)
+         |SELECT q_id, label, vec_id, round(cos, 4) cos, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, vec_id) rank FROM rer)
+         |WHERE rank <= $IvfTopK ORDER BY q_id, rank""".stripMargin),
     "s4_kmeans" ->
       (s"""WITH $kmeansCtes
          |SELECT vec_id, CAST(cid AS BIGINT) cluster_id, round(d, 4) d2

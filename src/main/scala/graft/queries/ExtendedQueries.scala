@@ -329,7 +329,38 @@ object ExtendedQueries {
       .limit(100)
   }
 
+  /** q46: the reference's Danish-collation filter over a COLLATED graft
+    * column (`input/block_filtering.source:61-71`): `A > 'B'` under
+    * da_DK returns Å (the Danish alphabet ends …X Y Z Æ Ø Å, so Å sorts
+    * AFTER B — binary order disagrees for the multigraph 'AA', which
+    * Danish treats as Å). The probe rows ride on a graft table built
+    * from the round's nation names, stored sort_by the collated column:
+    * the table's zone maps hold BINARY min/max, so the collated
+    * predicate must bypass file pruning (pruning with binary bounds
+    * under Danish rules would wrongly drop the 'Aa…' rows) and must not
+    * push down as a binary filter — CollationSpec pins both properties
+    * on this exact entry. Oracle-free by documented design, like
+    * q37/t11: DuckDB's ICU collation versions order the probe set
+    * differently across builds, so the driver records the rows-only
+    * check and the ordering itself is spec-bound. */
+  def q46CollationFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probes = Seq("A", "Å", "B", "Aarhus", "Aardvark", "Zebra").toDF("s")
+    val base = t(s, dir, "nation").select(col("n_name").as("s")).union(probes)
+    val loc = java.nio.file.Files.createTempDirectory("graft_coll").toString + "/t"
+    val gt = graft.storage.GraftTable.create(s, loc, base.schema,
+      graft.storage.GraftTableOptions(sortBy = Seq("s")))
+    gt.append(base.repartition(1))
+    // read through the DSv2 graft source: the zone-map pruner is in the
+    // loop (and CollationSpec asserts it pruned NOTHING here)
+    s.read.format("graft").load(loc)
+      .filter(expr("collate(s, 'da') > collate('B', 'da')"))
+      .orderBy(expr("collate(s, 'da')"), col("s"))
+      .select(col("s"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_collation_filter" -> q46CollationFilter _,
     "q45_having_join" -> q45HavingJoin _,
     "q44_topk_revenue" -> q44TopkRevenue _,
     "q43_recursive_cte" -> q43RecursiveCte _,
@@ -444,6 +475,9 @@ object ExtendedQueries {
         "round(quantile_cont(o_totalprice, 0.9), 4) AS p90 " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     // q37_approx_distinct: intentionally no oracle (engine-specific HLL)
+    // q46_collation_filter: intentionally no oracle (ICU collation
+    // versions order the Danish probe set differently across DuckDB
+    // builds; ordering + no-binary-prune are spec-bound in CollationSpec)
     "q38_row_json" ->
       ("SELECT n_nationkey, to_json(struct_pack(n_nationkey := n_nationkey, " +
         "n_name := n_name, n_regionkey := n_regionkey)) AS row_json " +

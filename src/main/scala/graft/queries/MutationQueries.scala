@@ -448,7 +448,29 @@ object MutationQueries {
       .orderBy("c_custkey")
   }
 
+  /** n20: SQL DML whose predicates are IN-SUBQUERIES (VERDICT r9 #6) —
+    * `DELETE FROM t WHERE k IN (SELECT …)` and the UPDATE analog. A
+    * subquery predicate cannot translate to source Filters, so the
+    * metadata-delete shortcut refuses it and the whole statement runs
+    * through the group-based ReplaceData machinery with the subquery
+    * joined into the candidate-row scan; the runtime group filter then
+    * prunes untouched files. The oracle recomputes the final state with
+    * the same subqueries over the raw parquet, hash-checking the
+    * end-to-end path (subquery join → rewrite → CAS commit → read). */
+  def n20SubqueryDml(s: SparkSession, dir: String): DataFrame = {
+    val tbl = sqlScratch(s, dir)
+    val src = "v_ord_" + tbl
+    s.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView(src)
+    s.sql(s"""DELETE FROM gq.db.$tbl WHERE c_custkey IN
+      (SELECT o_custkey FROM $src WHERE o_totalprice > 495000)""")
+    s.sql(s"""UPDATE gq.db.$tbl SET c_acctbal = c_acctbal + 100 WHERE c_custkey IN
+      (SELECT o_custkey FROM $src
+       WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 150000)""")
+    s.table(s"gq.db.$tbl").orderBy("c_custkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n20_subquery_dml" -> n20SubqueryDml _,
     "n19_merge_schema" -> n19MergeSchemaAppend _,
     "n18_alter_whole_row" -> n18AlterWholeRow _,
     "n17_cdc_apply" -> n17CdcApply _,
@@ -470,6 +492,16 @@ object MutationQueries {
     "n7_changes" -> n7Changes _)
 
   val oracles: Map[String, String] = Map(
+    "n20_subquery_dml" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey IN (SELECT o_custkey FROM orders
+        |         WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 150000)
+        |       THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_totalprice > 495000)
+        |ORDER BY c_custkey""".stripMargin,
     // the expected post-ALTER column order (custkey, name, acctbal,
     // mktsegment, tier — ADD appends, DROP removes in place) is baked
     // into the concatenation; pre-ALTER rows carry the existence

@@ -105,6 +105,7 @@ object DvScan {
     private var cur: PartitionReader[InternalRow] = _
     private var dv: Array[Long] = _
     private var row: InternalRow = _
+    private var dvFiltered = 0L
 
     override def next(): Boolean = {
       while (true) {
@@ -123,7 +124,7 @@ object DvScan {
           if (dv == null || !DeletionVectors.contains(dv, r.getLong(riOrdinal))) {
             row = proj(joined(r, metaRow))
             return true
-          }
+          } else dvFiltered += 1
         }
       }
       false // unreachable
@@ -131,5 +132,9 @@ object DvScan {
 
     override def get(): InternalRow = row
     override def close(): Unit = if (cur != null) cur.close()
+
+    override def currentMetricsValues()
+        : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      Array(GraftMetrics.task(GraftMetrics.DvRowsFiltered, dvFiltered))
   }
 }

@@ -126,10 +126,12 @@ object ParquetDelegate {
     }
 
     override def build(): ParquetScan = {
+      var staticPruned = 0L
       val prunedBase = filePruner match {
         case Some(pruner) if translatedDataFilters.nonEmpty =>
           val kept = pruner(translatedDataFilters.toSeq)
           if (kept.size < allFiles.size) {
+            staticPruned = (allFiles.size - kept.size).toLong
             // rebuild the delegate over the surviving files, replaying
             // the pushdown state through the public builder API
             val prunedTable = ParquetTable(name, spark, options, kept,
@@ -144,7 +146,8 @@ object ParquetDelegate {
       }
       new StatsParquetScan(prunedBase, exactRows, tableStats,
         schema, translatedDataFilters.toSeq, explainMeta, filePruner,
-        streamLocation, bucketSpec, fileRanges, dvs, lineageCols)
+        streamLocation, bucketSpec, fileRanges, dvs, lineageCols,
+        staticPruned)
     }
   }
 
@@ -171,7 +174,8 @@ object ParquetDelegate {
       bucketSpec: Option[(String, Int)] = None,
       fileRanges: Option[GraftTable.SortedFileRanges] = None,
       dvByPath: Map[String, String] = Map.empty,
-      lineageCols: Seq[String] = Seq.empty)
+      lineageCols: Seq[String] = Seq.empty,
+      staticPrunedFiles: Long = 0L)
       extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
         base.dataSchema,
         // deletion vectors / row lineage: the parquet readers
@@ -374,6 +378,11 @@ object ParquetDelegate {
       }
     }
 
+    /** Physical files dropped by [[filter]]'s runtime pruning in the
+      * latest [[planInputPartitions]] — set, not accumulated, so a
+      * re-plan (EXPLAIN, AQE) stays idempotent. */
+    @volatile private var runtimePrunedFiles: Long = 0L
+
     override def planInputPartitions()
         : Array[org.apache.spark.sql.connector.read.InputPartition] =
       bucketGroups match {
@@ -384,28 +393,35 @@ object ParquetDelegate {
           // BatchScanExec verifies runtime filtering preserved it.
           // When the ordering claim holds, each group's files are in
           // proven sort order (filtering a sorted list keeps it sorted).
-          orderedBucketGroups.getOrElse(groups).zipWithIndex.map { case ((b, files), i) =>
+          var dropped = 0L
+          val parts = orderedBucketGroups.getOrElse(groups).zipWithIndex.map { case ((b, files), i) =>
             val kept = runtimeKept match {
               case Some(k) => files.filter(f =>
                 k.contains(f.filePath.toPath.toUri.getPath))
               case None => files
             }
+            dropped += files.size - kept.size
             new GraftBucketFilePartition(i, kept.toArray, b)
               : org.apache.spark.sql.connector.read.InputPartition
           }.toArray
+          runtimePrunedFiles = dropped
+          parts
         case None =>
           val all = super.planInputPartitions()
           runtimeKept match {
             case Some(kept) =>
+              var dropped = 0L
               val pruned = all.flatMap {
                 case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
                   val files = fp.files.filter(f =>
                     kept.contains(f.filePath.toPath.toUri.getPath))
+                  dropped += fp.files.length - files.length
                   if (files.isEmpty) None
                   else Some(org.apache.spark.sql.execution.datasources
                     .FilePartition(fp.index, files))
                 case other => Some(other)
               }
+              runtimePrunedFiles = dropped
               // re-number so partition ids stay dense
               pruned.zipWithIndex.map {
                 case (fp: org.apache.spark.sql.execution.datasources.FilePartition, i) =>
@@ -415,6 +431,24 @@ object ParquetDelegate {
             case None => all
           }
       }
+
+    // -- pruning observability (VERDICT r9 #4) ------------------------
+    //
+    // The reference proves block skipping to the USER via EXPLAIN
+    // ANALYZE rows-removed; these DSv2 custom metrics are that proof
+    // for every graft query: static/runtime files-pruned counts are
+    // driver-side facts reported after planning, DV-filtered rows
+    // aggregate from the task readers (DvScan).
+
+    override def supportedCustomMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      GraftMetrics.supported
+
+    override def reportDriverMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      Array(
+        GraftMetrics.task(GraftMetrics.FilesPrunedStatic, staticPrunedFiles),
+        GraftMetrics.task(GraftMetrics.FilesPrunedRuntime, runtimePrunedFiles))
 
     private def filtered = translatedFilters.nonEmpty || pushedFilters.nonEmpty ||
       partitionFilters.nonEmpty || dataFilters.nonEmpty

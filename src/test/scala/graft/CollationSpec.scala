@@ -37,6 +37,46 @@ class CollationSpec extends SparkSpec {
     assert(sorted === Seq("A", "B", "Z", "Å"))
   }
 
+  test("q46 entry: Danish ordering holds AND zone maps did not prune the collated column") {
+    import graft.queries.ExtendedQueries
+    val df = ExtendedQueries.q46CollationFilter(spark, sf("sf0.001"))
+    val got = df.collect().map(_.getString(0)).toSeq
+    // the reference's pinned expectation: Å survives A > 'B' (da_DK);
+    // so does EVERY 'Aa…' row — ICU Danish reads the aa multigraph as Å
+    // wherever it appears (Aarhus AND Aardvark sort after Z) — while
+    // plain 'A' and 'B' are filtered out; binary order would disagree
+    // on all of them
+    assert(got.contains("Å"), s"Å must pass the da filter; got $got")
+    assert(got.contains("Aarhus") && got.contains("Aardvark"),
+      "Danish treats 'Aa' as Å > B wherever the multigraph appears")
+    assert(!got.contains("A") && !got.contains("B"))
+    // ordering is the da collation order: the Å family is the alphabet
+    // end, AFTER Zebra; within it the bare Å sorts before Å+suffix
+    assert(got.takeRight(3) === Seq("Å", "Aardvark", "Aarhus"),
+      s"Å family must close the Danish order; got $got")
+    assert(got.indexOf("Zebra") < got.indexOf("Å"), s"Z before Å: $got")
+    // and the scan read EVERY file: the collated predicate must not
+    // reach the binary zone maps or the parquet pushdown. The orderBy
+    // puts the plan under AQE, whose wrapper exposes no children until
+    // executed — unwrap to the final plan (got above already ran it).
+    // (QueryStageExec wrappers are leaves to collect(), so recurse
+    // through AQE stages by hand)
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = p match {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Some(b)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScan(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScan(q.plan)
+      case other => other.children.view.flatMap(findScan(_)).headOption
+    }
+    val scan = findScan(df.queryExecution.executedPlan)
+      .getOrElse(fail("no BatchScanExec"))
+    assert(!scan.toString.contains("GreaterThan(s,"),
+      s"collated filter must not push down as a binary filter:\n${scan.toString.take(1500)}")
+    assert(scan.metrics("graftFilesPrunedStatic").value === 0,
+      "zone maps must not prune on a collated predicate")
+  }
+
   test("zone-map pruning is disabled under a non-binary collation (cstore_reader.c:763-769)") {
     // The reference skips min/max block filtering when the predicate's
     // collation is not the stored binary order — pruning with binary

@@ -30,11 +30,14 @@ class PlanGuardSpec extends SparkSpec {
   // s8: the semantic signal is s1's exact shape (≤5-row broadcast query
   // set, =!= condition); the lexical signal and the fusion join are
   // keyed equality joins.
+  // s9: s7's assignment crossJoin (≤5-row query set × tiny committed
+  // centroid table); the ADC candidate join and the re-rank fetch are
+  // keyed equality joins over zone-map-pruned files.
   private val bnljAllowed =
     Set("s1_ann_brute", "s2_ann_ivf", "s6_range_search", "t6_bm25",
       "c3_source_mix", "s4_kmeans", "d11_semantic_dedup", "t13_perplexity",
       "d13_tfidf_cosine", "c11_token_budget_mix", "s7_ann_persisted",
-      "s8_hybrid_retrieval")
+      "s8_hybrid_retrieval", "s9_ann_ivfpq")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")

@@ -36,6 +36,77 @@ class AnnIndexSpec extends SparkSpec {
     assert(covered.size === all, "the union of list probes covers every file")
   }
 
+  // -- s9: the composed IVF-PQ index -----------------------------------
+
+  private def bytesOf(files: Seq[String]): Long =
+    files.map(f => new java.io.File(java.net.URI.create(
+      f.replace(" ", "%20")).getPath).length).sum
+
+  test("s9 probes read code bytes, not vector bytes") {
+    Similarity.s9AnnIvfPq(spark, dir).count() // force the index build
+    val root = Similarity.ivfPqIndexDir(spark, dir)
+    val codes = GraftTable.open(spark, s"$root/codes")
+    val post = GraftTable.open(spark, s"$root/postings")
+    // the whole-index memory story: PqM small ints per vector vs
+    // PqM·PqSub doubles + norm — the code files must be a small
+    // fraction of the vector files
+    val cb = bytesOf(codes.committedFiles)
+    val pb = bytesOf(post.committedFiles)
+    assert(cb > 0 && pb > 0)
+    assert(cb * 4 < pb,
+      s"codes must be a fraction of the vectors: codes=$cb post=$pb")
+    // the probe story: a single-list probe prunes BOTH scans to a file
+    // subset, and the candidate stage's bytes are the pruned CODE bytes
+    val probedCodes = codes.prunedFiles(Seq(In("label", Array[Any](0))))
+    val probedPost = post.prunedFiles(Seq(In("label", Array[Any](0))))
+    assert(probedCodes.size < codes.committedFiles.size,
+      "a single-list probe must read a code-file subset")
+    assert(bytesOf(probedCodes) * 4 < bytesOf(probedPost),
+      "the ADC candidate scan reads codes, not vectors, in probed lists")
+  }
+
+  test("s9 serves the index's codebook and clusters codes per list") {
+    Similarity.s9AnnIvfPq(spark, dir).count()
+    val root = Similarity.ivfPqIndexDir(spark, dir)
+    val cbT = GraftTable.open(spark, s"$root/codebook")
+    // the committed codebook equals the memoized training result — a
+    // probe never retrains
+    val committed = cbT.read().orderBy("m", "cid").collect()
+    val trained = Similarity.pqCodebook(spark, dir).orderBy("m", "cid").collect()
+    assert(committed.map(_.toSeq).toSeq === trained.map(_.toSeq).toSeq)
+    // per-list clustering: every list's code rows are zone-map reachable
+    val codes = GraftTable.open(spark, s"$root/codes")
+    val all = codes.committedFiles.size
+    assert(all >= 5, s"range partitioning should split the lists; got $all")
+    val covered = (0 to 9).flatMap(l =>
+      codes.prunedFiles(Seq(In("label", Array[Any](l))))).toSet
+    assert(covered.size === all, "the union of list probes covers every code file")
+  }
+
+  test("s9 re-rank is exact: result cosines match brute-force recomputation") {
+    import org.apache.spark.sql.functions.col
+    val got = Similarity.s9AnnIvfPq(spark, dir).collect()
+    assert(got.nonEmpty)
+    // per query: ranks are 1..k dense, and each reported cos equals the
+    // exact left-fold cosine recomputed from the raw vectors
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def nrm(v: Array[Double]) = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    got.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.map(_.getLong(4)).sorted.toSeq === (1L to rows.length).toSeq,
+        s"ranks for query $qid must be dense from 1")
+      rows.foreach { r =>
+        val (q, c) = (raw(qid), raw(r.getLong(2)))
+        val dot = q.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+        val exact = BigDecimal(dot / (nrm(q) * nrm(c)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getDouble(3) - exact) < 1e-9,
+          s"query $qid cand ${r.getLong(2)}: reported ${r.getDouble(3)} vs exact $exact")
+      }
+    }
+  }
+
   test("incremental append routes to the nearest list, commits no rewrite") {
     import spark.implicits._
     // clone the index so the memoized one (shared with s7 runs) stays pristine

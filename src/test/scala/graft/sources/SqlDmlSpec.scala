@@ -99,6 +99,49 @@ class SqlDmlSpec extends SparkSpec {
     spark.sql("DROP TABLE gdml.db.sync")
   }
 
+  test("DELETE / UPDATE / MERGE with IN-subquery predicates (COW path)") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE gdml.db.subq (k INT, v STRING) USING graft")
+    spark.sql("INSERT INTO gdml.db.subq SELECT id, concat('v', id) FROM range(100)")
+    // the key set lives in a separate relation — the predicate cannot
+    // translate to source Filters, so the statement must run through
+    // ReplaceData with the subquery joined into the candidate scan
+    (0 until 30).map(i => (i, "del")).toDF("kk", "why")
+      .createOrReplaceTempView("subq_keys")
+    spark.sql("DELETE FROM gdml.db.subq WHERE k IN (SELECT kk FROM subq_keys)")
+    assert(spark.table("gdml.db.subq").count() === 70)
+    assert(spark.sql("SELECT min(k) FROM gdml.db.subq").head.getInt(0) === 30)
+    // UPDATE with an IN-subquery
+    spark.sql("""UPDATE gdml.db.subq SET v = 'marked'
+      WHERE k IN (SELECT kk + 40 FROM subq_keys WHERE kk < 10)""")
+    assert(spark.sql(
+      "SELECT count(*) FROM gdml.db.subq WHERE v = 'marked'").head.getLong(0) === 10)
+    assert(spark.sql("""SELECT count(*) FROM gdml.db.subq
+      WHERE v = 'marked' AND (k < 40 OR k >= 50)""").head.getLong(0) === 0)
+    // MERGE whose SOURCE is filtered by an IN-subquery
+    spark.sql("""MERGE INTO gdml.db.subq t
+      USING (SELECT id AS k, concat('m', id) AS v FROM range(200)
+             WHERE id IN (SELECT kk + 60 FROM subq_keys WHERE kk < 5)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    assert(spark.sql(
+      "SELECT count(*) FROM gdml.db.subq WHERE v LIKE 'm6%'").head.getLong(0) === 5)
+    assert(spark.table("gdml.db.subq").count() === 70)
+    // metadata row count tracked through every statement
+    assert(GraftTable.open(spark, loc("subq")).rowCountFromMetadata() === 70L)
+    // NOT IN flavor: anti-join path (no row has k in the set 90..99 + 1000)
+    spark.sql("""DELETE FROM gdml.db.subq
+      WHERE k NOT IN (SELECT kk FROM subq_keys WHERE kk >= 0)
+        AND k < 95""")
+    // survivors below 95: exactly keys 30..94 minus the non-subq_keys…
+    // subq_keys is 0..29, so NOT IN keeps k >= 30; with k < 95 → 30..94
+    // all deleted
+    assert(spark.sql("SELECT count(*) FROM gdml.db.subq WHERE k < 95")
+      .head.getLong(0) === 0)
+    spark.sql("DROP TABLE gdml.db.subq")
+  }
+
   test("group contract: files refuted by the condition are not rewritten") {
     spark.sql("CREATE TABLE gdml.db.grp (a INT, b STRING) USING graft " +
       "OPTIONS (sort_by 'a')")

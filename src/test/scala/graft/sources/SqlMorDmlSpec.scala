@@ -66,6 +66,32 @@ class SqlMorDmlSpec extends SparkSpec {
       .head.getLong(0) === 20L)
   }
 
+  test("DELETE / UPDATE with IN-subquery predicates land as position deletes (MOR path)") {
+    import spark.implicits._
+    val (tbl, t) = fresh()
+    val before = t.committedFiles.toSet
+    (0L until 100L).map(i => (i, "x")).toDF("kk", "why")
+      .createOrReplaceTempView("mor_subq_keys")
+    spark.sql(s"DELETE FROM mor.db.$tbl WHERE id IN (SELECT kk FROM mor_subq_keys)")
+    val t2 = GraftTable.open(spark, s"$wh/db/$tbl")
+    assert(before.subsetOf(t2.committedFiles.toSet),
+      "subquery DELETE on the delta path must not rewrite any file")
+    assert(t2.dvEntries.nonEmpty, "deletes land as position-delete sidecars")
+    assert(spark.sql(s"SELECT count(*) FROM mor.db.$tbl").head.getLong(0) === 900L)
+    assert(spark.sql(s"SELECT min(id) FROM mor.db.$tbl").head.getLong(0) === 100L)
+    // UPDATE with IN-subquery: vectors + appended new versions, no rewrite
+    val files2 = t2.committedFiles.toSet
+    spark.sql(s"""UPDATE mor.db.$tbl SET v = -5
+      WHERE id IN (SELECT kk + 200 FROM mor_subq_keys WHERE kk < 50)""")
+    val t3 = GraftTable.open(spark, s"$wh/db/$tbl")
+    assert(files2.subsetOf(t3.committedFiles.toSet))
+    assert(spark.sql(s"SELECT count(*) FROM mor.db.$tbl").head.getLong(0) === 900L)
+    assert(spark.sql(s"SELECT count(*) FROM mor.db.$tbl WHERE v = -5")
+      .head.getLong(0) === 50L)
+    assert(spark.sql(s"""SELECT count(*) FROM mor.db.$tbl
+      WHERE v = -5 AND (id < 200 OR id >= 250)""").head.getLong(0) === 0L)
+  }
+
   test("non-translatable SQL DELETE lands as position deletes only") {
     val (tbl, t) = fresh()
     val before = t.committedFiles.toSet
