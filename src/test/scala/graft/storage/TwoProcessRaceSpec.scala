@@ -1,0 +1,116 @@
+package graft.storage
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Cross-PROCESS concurrency (VERDICT r9 #7): the CAS commit story is
+  * proven in-JVM by `simulateSeparateProcess` + the mock FS; this spec
+  * drives a REAL second JVM (`graft.RaceWorker` via ProcessBuilder, the
+  * same classpath and --add-opens as this forked test JVM) through
+  * concurrent append/append and append/restore races on a `file:` table,
+  * proving the OS-level commit point — the O_EXCL history-file claim in
+  * `tryClaimVersion`, backstopped by the advisory flock — holds across
+  * process boundaries: no lost commit, no forked log, one version per
+  * commit, integrity clean. */
+class TwoProcessRaceSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("w", IntegerType), StructField("i", IntegerType)))
+
+  /** Launch `graft.RaceWorker` in a fresh JVM with this test JVM's
+    * classpath and module options. */
+  private def spawnWorker(loc: String, workerId: Int, nAppends: Int,
+      rows: Int): Process = {
+    val java = System.getProperty("java.home") + "/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(java) ++ addOpens ++ Seq(
+      "-Xmx1g", "-cp", System.getProperty("java.class.path"),
+      "graft.RaceWorker", loc, workerId.toString, nAppends.toString,
+      rows.toString)
+    new ProcessBuilder(cmd: _*).inheritIO().start()
+  }
+
+  test("append/append race across two real JVMs: no lost commit, one version per commit") {
+    import spark.implicits._
+    val loc = tmpDir("race-aa") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    val v0 = t.version
+    val (nAppends, rows) = (6, 10)
+    val worker = spawnWorker(loc, workerId = 2, nAppends, rows)
+    try {
+      // this session appends concurrently with the external process
+      for (i <- 0 until nAppends) {
+        val base = i * rows
+        t.append((base until base + rows).map(j => (1, j)).toDF("w", "i")
+          .coalesce(1))
+      }
+      assert(worker.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "worker JVM must finish")
+      assert(worker.exitValue() === 0, "every worker commit must succeed")
+    } finally if (worker.isAlive) worker.destroyForcibly()
+    val t2 = GraftTable.open(spark, loc)
+    // no lost commit: both writers' rows are all present, exactly once
+    val byW = t2.read().groupBy("w").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byW === Map(1 -> (nAppends * rows).toLong, 2 -> (nAppends * rows).toLong))
+    assert(t2.rowCountFromMetadata() === 2L * nAppends * rows)
+    // one version per commit — a CAS collision retries into a NEW
+    // version, it never double-claims or skips
+    assert(t2.version === v0 + 2 * nAppends,
+      s"expected ${v0 + 2 * nAppends} after ${2 * nAppends} commits, got ${t2.version}")
+    // the history log has no fork: every claimed version is present once
+    val versions = GraftTable.historyVersions(loc)
+    assert(versions.distinct === versions)
+    assert(versions.last === t2.version)
+    // storage integrity audit is clean
+    assert(t2.verify() === Seq.empty)
+    GraftTable.drop(loc)
+  }
+
+  test("append/restore race across two real JVMs: consistent state, clean audit") {
+    import spark.implicits._
+    val loc = tmpDir("race-ar") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    t.append(Seq((0, 0), (0, 1)).toDF("w", "i").coalesce(1))
+    val seedVersion = t.version
+    val (nAppends, rows) = (5, 8)
+    val worker = spawnWorker(loc, workerId = 3, nAppends, rows)
+    try {
+      // concurrent RESTOREs to the seed snapshot while the worker appends:
+      // each restore is itself a CAS commit racing the appends
+      for (_ <- 0 until 3) {
+        t.restore(seedVersion)
+        Thread.sleep(50)
+      }
+      assert(worker.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "worker JVM must finish")
+      assert(worker.exitValue() === 0,
+        "worker commits must rebase over restores, not fail")
+    } finally if (worker.isAlive) worker.destroyForcibly()
+    val t2 = GraftTable.open(spark, loc)
+    // whatever interleaving happened, the committed state is coherent:
+    // metadata count equals what a full read serves, versions are a
+    // fork-free monotone log, and the integrity audit passes
+    assert(t2.read().count() === t2.rowCountFromMetadata())
+    val versions = GraftTable.historyVersions(loc)
+    assert(versions.distinct === versions)
+    assert(versions === versions.sorted)
+    assert(versions.last === t2.version)
+    // 1 seed + 3 restores + 5 worker appends on top of create
+    assert(t2.version === seedVersion + 3 + nAppends)
+    assert(t2.verify() === Seq.empty)
+    // the seed rows survive every interleaving (restore target state)
+    assert(t2.read().filter(col("w") === 0).count() === 2)
+    GraftTable.drop(loc)
+  }
+}
