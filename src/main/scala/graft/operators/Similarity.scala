@@ -137,19 +137,27 @@ object Similarity {
     * index definition never drifts under appends — and append as new
     * files; committed postings files are untouched (the graft append
     * contract). Input: (vec_id, embedding). Returns rows appended. */
-  def appendToIvfIndex(s: SparkSession, root: String, vectors: DataFrame): Long = {
+  def appendToIvfIndex(s: SparkSession, root: String, vectors: DataFrame): Long =
+    graft.storage.GraftTable.open(s, s"$root/postings")
+      .append(assignVectors(s, root, vectors))
+
+  /** Nearest-COMMITTED-centroid assignment for new `(vec_id, embedding)`
+    * rows: (label, vec_id, v, nrm) — the shared first step of every
+    * incremental index append (assignment runs against the committed
+    * quantizer, so the index definition never drifts). */
+  private def assignVectors(s: SparkSession, root: String,
+      vectors: DataFrame): DataFrame = {
     val cent = graft.storage.GraftTable.open(s, s"$root/centroids").read()
     val e = vectors.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(graft.functions.DotProduct.dotFast(col("v"), col("v"))))
     val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("label"))
-    val assigned = e.crossJoin(broadcast(cent))
+    e.crossJoin(broadcast(cent))
       .select(col("label"), col("vec_id"), col("v"), col("nrm"),
         cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("ccos"))
       .withColumn("arn", row_number().over(w))
       .filter(col("arn") === 1)
       .select(col("label"), col("vec_id"), col("v"), col("nrm"))
-    graft.storage.GraftTable.open(s, s"$root/postings").append(assigned)
   }
 
   /** s7: ANN served FROM the persisted index — same quantizer, same
@@ -461,12 +469,11 @@ object Similarity {
     * integer micro-units (the 8-way per-candidate sum is then exact
     * under any aggregation order). (q_id, qm, qcid, pdq) — PqM × PqK
     * rows per query; always broadcast. */
-  private def pqQueryTable(s: SparkSession, dir: String, q: DataFrame,
-      codebook: Option[DataFrame] = None): DataFrame = {
+  private def pqQueryTable(q: DataFrame, codebook: DataFrame): DataFrame = {
     val dot = graft.functions.DotProduct.dotFast _
     val qv = q.select(col("q_id").as("vec_id"), col("qv").as("v"))
     pqSubspaces(qv).withColumn("vvm", dot(col("vm"), col("vm")))
-      .join(broadcast(codebook.getOrElse(pqCodebook(s, dir))), "m")
+      .join(broadcast(codebook), "m")
       .select(col("vec_id").as("q_id"), col("m").as("qm"), col("cid").as("qcid"),
         floor(pqDist * 1e6).cast("long").as("pdq"))
   }
@@ -478,7 +485,7 @@ object Similarity {
     // distances, floor-quantized to integer micro-units
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val qtab = pqQueryTable(s, dir, q)
+    val qtab = pqQueryTable(q, pqCodebook(s, dir))
     val w = Window.partitionBy("q_id").orderBy(col("pqd"), col("vec_id"))
     codes.join(broadcast(qtab),
       col("m") === col("qm") && col("code") === col("qcid") &&
@@ -526,9 +533,7 @@ object Similarity {
       // subspace. array_sort on struct(m, code) makes the array order
       // deterministic under any shuffle.
       val codesDf = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("label"))
-        .join(pqCodes(s, dir).groupBy("vec_id")
-          .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
-            p => p.getField("code")).as("codes")), "vec_id")
+        .join(encodeCodes(pqCorpus(s, dir), cbDf), "vec_id")
         .select(col("label"), col("vec_id"), col("codes"))
         .repartitionByRange(nLists, col("label"))
       val codesT = graft.storage.GraftTable.create(s, s"$root/codes", codesDf.schema,
@@ -536,6 +541,39 @@ object Similarity {
       codesT.append(codesDf)
       root
     })
+
+  /** Encode `(vec_id, v)` rows into per-vector PQ code ARRAYS against a
+    * codebook: (vec_id, codes) with codes ordered by subspace
+    * (array_sort on struct(m, code) makes the order deterministic under
+    * any shuffle). */
+  private def encodeCodes(vecs: DataFrame, codebook: DataFrame): DataFrame = {
+    val dot = graft.functions.DotProduct.dotFast _
+    val ev = pqSubspaces(vecs).withColumn("vvm", dot(col("vm"), col("vm")))
+    pqNearest(ev, codebook)
+      .select(col("vec_id"), col("m"), col("mn.cid").as("code"))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        p => p.getField("code")).as("codes"))
+  }
+
+  /** Incremental IVF-PQ maintenance (the s9 analog of
+    * [[appendToIvfIndex]]): new vectors are assigned against the
+    * COMMITTED centroids, encoded against the COMMITTED codebook, and
+    * appended to BOTH index tables — full vectors into `postings`, code
+    * arrays into `codes`, each landing in its assigned list as new
+    * files; committed files are never rewritten (the graft append
+    * contract), so at 100 TB index growth costs ∝ new vectors, not
+    * corpus size. Input: (vec_id, embedding). Returns rows appended. */
+  def appendToIvfPqIndex(s: SparkSession, root: String, vectors: DataFrame): Long = {
+    val assigned = assignVectors(s, root, vectors)
+    val n = graft.storage.GraftTable.open(s, s"$root/postings").append(assigned)
+    val cb = graft.storage.GraftTable.open(s, s"$root/codebook").read()
+    val codesDf = assigned.select(col("label"), col("vec_id"))
+      .join(encodeCodes(assigned.select(col("vec_id"), col("v")), cb), "vec_id")
+      .select(col("label"), col("vec_id"), col("codes"))
+    graft.storage.GraftTable.open(s, s"$root/codes").append(codesDf)
+    n
+  }
 
   /** s9: ANN served from the composed IVF-PQ index. Per query: assign to
     * the nearest committed centroid (broadcast), ADC-score ONLY the
@@ -551,14 +589,17 @@ object Similarity {
     val postT = graft.storage.GraftTable.open(s, s"$root/postings")
     val q = postT.read().filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    probeIvfPq(s, dir, root, q).orderBy("q_id", "rank")
+    probeIvfPq(s, root, q).orderBy("q_id", "rank")
   }
 
   /** Score one bounded query batch — (q_id, qv: array<double>, qn) —
-    * against the persisted IVF-PQ index. Both collects are bounded by
+    * against the persisted IVF-PQ index (fully index-served: committed
+    * centroids, committed codebook). Both collects are bounded by
     * construction: probed labels (one per query) and re-rank candidates
-    * (PqRerank per query). */
-  private[graft] def probeIvfPq(s: SparkSession, dir: String, root: String,
+    * (PqRerank per query). Shared by [[s9AnnIvfPq]] and the continuous
+    * twin ([[graft.streaming.AnnStream.startPq]]), so the two are the
+    * same operator by construction. */
+  private[graft] def probeIvfPq(s: SparkSession, root: String,
       q: DataFrame): DataFrame = {
     val postT = graft.storage.GraftTable.open(s, s"$root/postings")
     val codesT = graft.storage.GraftTable.open(s, s"$root/codes")
@@ -593,8 +634,8 @@ object Similarity {
     // harmless
     val codes = s.read.schema(codesT.readSchema()).parquet(codeFiles: _*)
     // the COMMITTED codebook: probes are fully index-served, no retrain
-    val qtab = pqQueryTable(s, dir, q,
-      Some(graft.storage.GraftTable.open(s, s"$root/codebook").read()))
+    val qtab = pqQueryTable(q,
+      graft.storage.GraftTable.open(s, s"$root/codebook").read())
     val wCand = Window.partitionBy("q_id").orderBy(col("pqd"), col("vec_id"))
     val cand = codes
       .join(broadcast(assigned.select(col("q_id").as("a_qid"), col("alabel"))),

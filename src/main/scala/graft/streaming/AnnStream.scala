@@ -33,7 +33,24 @@ object AnnStream {
     * exactly-once under the checkpoint's txn id. */
   def start(incoming: DataFrame, indexRoot: String, dest: GraftTable,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startWith(incoming, dest, checkpoint, trigger,
+      (s, q) => Similarity.probeIvf(s, indexRoot, q))
+
+  /** The IVF-PQ twin: continuous probes through the COMPOSED index
+    * ([[Similarity.probeIvfPq]] — committed codebook, ADC over the
+    * probed lists' code files, exact re-rank). Per trigger the cost is
+    * s9's probe cost; like [[start]], the index is the only state. */
+  def startPq(incoming: DataFrame, indexRoot: String, dest: GraftTable,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startWith(incoming, dest, checkpoint, trigger,
+      (s, q) => Similarity.probeIvfPq(s, indexRoot, q))
+
+  private def startWith(incoming: DataFrame, dest: GraftTable,
+      checkpoint: String, trigger: Trigger,
+      probe: (org.apache.spark.sql.SparkSession, DataFrame) => DataFrame)
+      : StreamingQuery = {
     val id = GraftStreamIngest.txnId(checkpoint)
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
@@ -44,8 +61,7 @@ object AnnStream {
           .withColumn("qn",
             sqrt(graft.functions.DotProduct.dotFast(col("qv"), col("qv"))))
           .select("q_id", "qv", "qn")
-        dest.appendStream(
-          Similarity.probeIvf(batch.sparkSession, indexRoot, q), id, batchId)
+        dest.appendStream(probe(batch.sparkSession, q), id, batchId)
         ()
       }
       .trigger(trigger)

@@ -107,6 +107,55 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("incremental IVF-PQ append: codes + vectors land in the assigned list, no rewrite, probe finds them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    Similarity.s9AnnIvfPq(spark, dir).count() // force the composed index
+    val root = Similarity.ivfPqIndexDir(spark, dir)
+    val root2 = tmpDir("ivfpq-append")
+    Seq("centroids", "postings", "codebook", "codes").foreach(t =>
+      GraftTable.open(spark, s"$root/$t").cloneTo(s"$root2/$t"))
+    val post = GraftTable.open(spark, s"$root2/postings")
+    val codes = GraftTable.open(spark, s"$root2/codes")
+    val (postFiles, codeFiles) = (post.committedFiles.toSet, codes.committedFiles.toSet)
+    val (nPost, nCodes) = (post.rowCountFromMetadata(), codes.rowCountFromMetadata())
+    // the new vector: an exact copy of vec 0 under a fresh id
+    val v0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0).select("embedding").head
+      .getSeq[Float](0).toArray
+    assert(Similarity.appendToIvfPqIndex(spark, root2,
+      Seq((2000000L, v0)).toDF("vec_id", "embedding")) === 1L)
+    val (post2, codes2) =
+      (GraftTable.open(spark, s"$root2/postings"), GraftTable.open(spark, s"$root2/codes"))
+    assert(postFiles.subsetOf(post2.committedFiles.toSet) &&
+      codeFiles.subsetOf(codes2.committedFiles.toSet),
+      "index appends must never rewrite committed files")
+    assert(post2.rowCountFromMetadata() === nPost + 1)
+    assert(codes2.rowCountFromMetadata() === nCodes + 1)
+    // identical vector ⇒ identical encoding against the committed
+    // codebook: the appended code array equals vec 0's
+    val codeOf = (id: Long) => codes2.read().filter(col("vec_id") === id)
+      .select("codes").head.getSeq[Int](0).toSeq
+    assert(codeOf(2000000L) === codeOf(0L))
+    // and both rows landed in the same (nearest-centroid) list…
+    val labelOf = (id: Long) => post2.read().filter(col("vec_id") === id)
+      .select("label").head.getInt(0)
+    // …which an s9-style probe with the same vector then finds: the
+    // exact copy is the per-subspace ADC minimum (its codes are the
+    // argmin for the query's own subvectors), so it survives the
+    // candidate cut, and the exact re-rank scores it cos = 1
+    val q = post2.read().filter(col("vec_id") === 2000000L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("q_id", org.apache.spark.sql.functions.lit(-1L))
+    val got = Similarity.probeIvfPq(spark, root2, q).collect()
+    assert(got.nonEmpty)
+    val self = got.find(_.getLong(2) === 2000000L)
+      .getOrElse(fail(s"probe must surface the appended copy; got ${got.toSeq}"))
+    assert(self.getDouble(3) === 1.0)
+    assert(self.getInt(1) === labelOf(2000000L))
+    assert(got.head.getDouble(3) === 1.0, "rank 1 must be an exact match")
+  }
+
   test("incremental append routes to the nearest list, commits no rewrite") {
     import spark.implicits._
     // clone the index so the memoized one (shared with s7 runs) stays pristine

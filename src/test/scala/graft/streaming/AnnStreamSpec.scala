@@ -47,4 +47,35 @@ class AnnStreamSpec extends SparkSpec {
     assert(dest.read().count() === batch.length.toLong, "replay must be a no-op")
     GraftTable.drop(destLoc)
   }
+
+  test("streamed IVF-PQ probes equal the batch s9 results; replay appends nothing") {
+    val root = Similarity.ivfPqIndexDir(spark, dir)
+    val batchResult = Similarity.s9AnnIvfPq(spark, dir)
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 5).select("vec_id", "embedding")
+    val src = tmpDir("ivfpq-stream-src")
+    queries.filter(col("vec_id") < 2).write.parquet(s"$src/part=a")
+    queries.filter(col("vec_id") >= 2).write.parquet(s"$src/part=b")
+    val qschema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def incoming = spark.readStream.schema(qschema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(src)
+    val destLoc = tmpDir("ivfpq-stream-dest") + "/t"
+    val dest = GraftTable.create(spark, destLoc, batchResult.schema)
+    val ckpt = tmpDir("ivfpq-stream-ckpt")
+    val q = AnnStream.startPq(incoming, root, dest, ckpt)
+    assert(q.awaitTermination(120000), "ivf-pq stream drain timed out")
+    val streamed = dest.read().orderBy("q_id", "rank").collect()
+    val batch = batchResult.collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+      "the continuous IVF-PQ probe must equal the batch s9 operator")
+    val q2 = AnnStream.startPq(incoming, root, dest, ckpt)
+    assert(q2.awaitTermination(120000))
+    assert(dest.read().count() === batch.length.toLong, "replay must be a no-op")
+    GraftTable.drop(destLoc)
+  }
 }
