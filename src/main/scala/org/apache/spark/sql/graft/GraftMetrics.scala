@@ -22,17 +22,28 @@ private[graft] object GraftMetrics {
   val FilesPrunedRuntime = "graftFilesPrunedRuntime"
   val DvRowsFiltered = "graftDvRowsFiltered"
 
-  private final class Sum(n: String, d: String) extends CustomSumMetric {
-    override def name(): String = n
-    override def description(): String = d
+  // one zero-arg class per metric: Spark's status store re-instantiates
+  // metric classes REFLECTIVELY when aggregating for the UI, so a shared
+  // parameterized class fails with "did not have a zero-argument
+  // constructor"
+  final class FilesPrunedStaticMetric extends CustomSumMetric {
+    override def name(): String = FilesPrunedStatic
+    override def description(): String = "graft files pruned (static zone maps)"
+  }
+  final class FilesPrunedRuntimeMetric extends CustomSumMetric {
+    override def name(): String = FilesPrunedRuntime
+    override def description(): String = "graft files pruned (runtime filters)"
+  }
+  final class DvRowsFilteredMetric extends CustomSumMetric {
+    override def name(): String = DvRowsFiltered
+    override def description(): String = "graft rows filtered (deletion vectors)"
   }
 
   /** The declared metric set — one instance per scan (Spark keys the
     * UI/plan metrics by `name`). */
   def supported: Array[CustomMetric] = Array(
-    new Sum(FilesPrunedStatic, "graft files pruned (static zone maps)"),
-    new Sum(FilesPrunedRuntime, "graft files pruned (runtime filters)"),
-    new Sum(DvRowsFiltered, "graft rows filtered (deletion vectors)"))
+    new FilesPrunedStaticMetric, new FilesPrunedRuntimeMetric,
+    new DvRowsFilteredMetric)
 
   def task(metricName: String, metricValue: Long): CustomTaskMetric =
     new CustomTaskMetric {

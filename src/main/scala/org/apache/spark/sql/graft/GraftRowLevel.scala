@@ -113,7 +113,8 @@ object GraftRowLevel {
           new ParquetScanBuilder(spark, prunedTable.fileIndex, schema, schema,
             options).build()
         } else super.build()
-      new CowParquetScan(base, filePruner, runtimeFilterCols, onPlanned, dvByPath)
+      new CowParquetScan(base, filePruner, runtimeFilterCols, onPlanned, dvByPath,
+        (allFiles.size - kept.size).toLong)
     }
   }
 
@@ -128,7 +129,8 @@ object GraftRowLevel {
       filePruner: Seq[Filter] => Seq[String],
       runtimeFilterCols: Seq[String],
       onPlanned: Seq[String] => Unit,
-      dvByPath: Map[String, String])
+      dvByPath: Map[String, String],
+      staticPrunedFiles: Long)
       extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
         base.dataSchema,
         // a group carrying a deletion vector must be read NET of it —
@@ -190,19 +192,25 @@ object GraftRowLevel {
       }
     }
 
+    @volatile private var runtimePrunedFiles: Long = 0L
+
     override def planInputPartitions(): Array[InputPartition] = {
       val all = super.planInputPartitions()
       val pruned = runtimeKept match {
         case Some(kept) =>
-          all.flatMap {
+          var dropped = 0L
+          val out = all.flatMap {
             case fp: FilePartition =>
               val fs = fp.files.filter(f => kept.contains(f.filePath.toPath.toUri.getPath))
+              dropped += fp.files.length - fs.length
               if (fs.isEmpty) None else Some(FilePartition(fp.index, fs))
             case other => Some(other)
           }.zipWithIndex.map {
             case (fp: FilePartition, i) => FilePartition(i, fp.files)
             case (other, _) => other
           }
+          runtimePrunedFiles = dropped
+          out
         case None => all
       }
       onPlanned(pruned.toSeq.flatMap {
@@ -211,6 +219,20 @@ object GraftRowLevel {
       }.distinct)
       pruned
     }
+
+    // the same pruning observability as the read scan (GraftMetrics):
+    // group-filter (static) and runtime-group-filter pruned files as
+    // driver metrics, DV-suppressed rows from the wrapped readers — a
+    // user can see how much of a DML statement's table was NOT rewritten
+    override def supportedCustomMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      GraftMetrics.supported
+
+    override def reportDriverMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      Array(
+        GraftMetrics.task(GraftMetrics.FilesPrunedStatic, staticPrunedFiles),
+        GraftMetrics.task(GraftMetrics.FilesPrunedRuntime, runtimePrunedFiles))
   }
 
   // ---- the replacement write -----------------------------------------

@@ -142,6 +142,37 @@ class SqlDmlSpec extends SparkSpec {
     spark.sql("DROP TABLE gdml.db.subq")
   }
 
+  test("DML scans report pruning metrics (group-filter skipped files visible)") {
+    spark.sql("CREATE TABLE gdml.db.dmlmetr (k INT, v STRING) USING graft")
+    // three one-file appends with disjoint key ranges
+    for (base <- Seq(0, 1000, 2000))
+      spark.sql(s"INSERT INTO gdml.db.dmlmetr SELECT /*+ REPARTITION(1) */ " +
+        s"id, concat('v', id) FROM range($base, ${base + 100})")
+    // the % predicate is non-translatable (ReplaceData path) but its
+    // conjunct k < 100 group-filters to the first file only
+    val res = spark.sql("DELETE FROM gdml.db.dmlmetr WHERE k % 2 = 0 AND k < 100")
+    assert(spark.table("gdml.db.dmlmetr").count() === 250)
+    // the DML's executed plan carries the COW scan; two of three files
+    // were refuted by the group filter and metered as pruned
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = p match {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case c: org.apache.spark.sql.execution.CommandResultExec =>
+        scans(c.commandPhysicalPlan)
+      case other => (other.children ++ other.subqueries).flatMap(scans)
+    }
+    val metered = scans(res.queryExecution.executedPlan)
+      .filter(_.metrics.contains("graftFilesPrunedStatic"))
+    assert(metered.nonEmpty, "the COW scan must declare the pruning metrics; plan:\n" +
+      res.queryExecution.executedPlan.toString.take(1500))
+    assert(metered.map(_.metrics("graftFilesPrunedStatic").value).max === 2,
+      "two zone-map-refuted files must be metered on the DML scan")
+    spark.sql("DROP TABLE gdml.db.dmlmetr")
+  }
+
   test("group contract: files refuted by the condition are not rewritten") {
     spark.sql("CREATE TABLE gdml.db.grp (a INT, b STRING) USING graft " +
       "OPTIONS (sort_by 'a')")
