@@ -71,6 +71,13 @@ object CompressionBench {
       }.mkString(",")
       println(s"""{"table":"$table","sf":"$sfDir","csv_bytes":$csvBytes,""" +
         s""""input_parquet_bytes":$inputBytes,$ratios}""")
+      // the working tree holds an uncompressed CSV dump + three full
+      // table copies — delete it, or repeated measurement runs fill the
+      // disk they are measuring on
+      val walk = Files.walk(work)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
     }
     spark.stop()
   }

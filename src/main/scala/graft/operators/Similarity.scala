@@ -187,35 +187,18 @@ object Similarity {
       q: DataFrame): DataFrame = {
     val postT = graft.storage.GraftTable.open(s, s"$root/postings")
     val cent = graft.storage.GraftTable.open(s, s"$root/centroids").read()
-    val wAssign = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("clabel"))
-    val assigned = q.crossJoin(broadcast(cent.withColumnRenamed("label", "clabel")))
-      .select(col("q_id"), col("qv"), col("qn"), col("clabel"),
-        cosine(col("qv"), col("cv"), col("qn"), col("cnrm")).as("ccos"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("q_id"), col("qv"), col("qn"), col("clabel").as("label"))
+    val assigned = assignQueryBatch(q, cent)
     // bounded collect: one probed list per query
-    val probes = assigned.select("label").distinct().collect().map(_.get(0))
-    val resultSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("q_id",
-        q.schema("q_id").dataType),
-      org.apache.spark.sql.types.StructField("label",
-        cent.schema("label").dataType),
-      org.apache.spark.sql.types.StructField("vec_id",
-        postT.readSchema()("vec_id").dataType),
-      org.apache.spark.sql.types.StructField("cos",
-        org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("rank",
-        org.apache.spark.sql.types.LongType)))
+    val probes = assigned.select("alabel").distinct().collect().map(_.get(0))
     val files =
       if (probes.isEmpty) Seq.empty
       else postT.prunedFiles(Seq(org.apache.spark.sql.sources.In("label", probes)))
     if (files.isEmpty)
       return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        resultSchema)
+        annResultSchema(q, cent, postT))
     val post = s.read.schema(postT.readSchema()).parquet(files: _*)
     val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    post.join(broadcast(assigned.withColumnRenamed("label", "alabel")),
+    post.join(broadcast(assigned),
       col("label") === col("alabel") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("label"), col("vec_id"),
         cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
@@ -224,6 +207,35 @@ object Similarity {
       .select(col("q_id"), col("label"), col("vec_id"),
         round(col("cos"), 4).as("cos"), col("rank"))
   }
+
+  /** Nearest-committed-centroid assignment of a bounded QUERY batch:
+    * (q_id, qv, qn, alabel) — the shared first step of the s7 and s9
+    * probes (fixing a tie-break or rename here fixes both). */
+  private def assignQueryBatch(q: DataFrame, cent: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("clabel"))
+    q.crossJoin(broadcast(cent.withColumnRenamed("label", "clabel")))
+      .select(col("q_id"), col("qv"), col("qn"), col("clabel"),
+        cosine(col("qv"), col("cv"), col("qn"), col("cnrm")).as("ccos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("q_id"), col("qv"), col("qn"), col("clabel").as("alabel"))
+  }
+
+  /** The (q_id, label, vec_id, cos, rank) shape every persisted-index
+    * probe returns — built once so the s7/s9 empty-result paths cannot
+    * drift from the scored paths. */
+  private def annResultSchema(q: DataFrame, cent: DataFrame,
+      postT: graft.storage.GraftTable): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q_id", q.schema("q_id").dataType),
+      org.apache.spark.sql.types.StructField("label",
+        cent.schema("label").dataType),
+      org.apache.spark.sql.types.StructField("vec_id",
+        postT.readSchema()("vec_id").dataType),
+      org.apache.spark.sql.types.StructField("cos",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType)))
 
   // -- s3: sign-random-projection LSH buckets ---------------------------
 
@@ -524,6 +536,14 @@ object Similarity {
   private[graft] def ivfPqIndexDir(s: SparkSession, dir: String): String =
     IvfPqCache.computeIfAbsent((s, dir), { _ =>
       val root = ivfIndexDir(s, dir)
+      // retry-safe: a PARTIALLY-failed earlier build (codebook created,
+      // codes stage threw) left tables on disk but nothing in the cache;
+      // GraftTable.create requires non-existence, so drop the partial
+      // artifacts first or every retry wedges on "table already exists"
+      Seq("codebook", "codes").foreach { t =>
+        try graft.storage.GraftTable.drop(s"$root/$t")
+        catch { case _: Exception => () }
+      }
       val cbDf = pqCodebook(s, dir)
       val cbT = graft.storage.GraftTable.create(s, s"$root/codebook", cbDf.schema)
       cbT.append(cbDf)
@@ -563,16 +583,90 @@ object Similarity {
     * arrays into `codes`, each landing in its assigned list as new
     * files; committed files are never rewritten (the graft append
     * contract), so at 100 TB index growth costs ∝ new vectors, not
-    * corpus size. Input: (vec_id, embedding). Returns rows appended. */
+    * corpus size. Input: (vec_id, embedding). Returns rows appended.
+    *
+    * Failure contract: the two commits are independent (there is no
+    * cross-table transaction), CODES FIRST — a failure between them
+    * leaves an orphaned code row whose candidate the exact re-rank's
+    * inner join against postings silently drops, so the vector is
+    * consistently "not yet indexed" for BOTH s7 and s9 (committing
+    * postings first would make it s7-visible but s9-invisible). Do NOT
+    * blind-retry a failed append — that would duplicate the committed
+    * half; run [[verifyIvfPqIndex]] and [[repairIvfPqIndex]] instead. */
   def appendToIvfPqIndex(s: SparkSession, root: String, vectors: DataFrame): Long = {
     val assigned = assignVectors(s, root, vectors)
-    val n = graft.storage.GraftTable.open(s, s"$root/postings").append(assigned)
     val cb = graft.storage.GraftTable.open(s, s"$root/codebook").read()
     val codesDf = assigned.select(col("label"), col("vec_id"))
       .join(encodeCodes(assigned.select(col("vec_id"), col("v")), cb), "vec_id")
       .select(col("label"), col("vec_id"), col("codes"))
     graft.storage.GraftTable.open(s, s"$root/codes").append(codesDf)
-    n
+    graft.storage.GraftTable.open(s, s"$root/postings").append(assigned)
+  }
+
+  /** Cross-table integrity audit for the composed index — the per-table
+    * `GraftTable.verify` cannot see a postings/codes DESYNC (each table
+    * is individually consistent), so this compares them: vec_ids
+    * missing codes (s9-invisible vectors), orphaned codes (a failed
+    * [[appendToIvfPqIndex]]'s committed half), and duplicate ids in
+    * either table (a blind retry — duplicates CORRUPT ADC sums/top-k).
+    * Empty result = sound. */
+  def verifyIvfPqIndex(s: SparkSession, root: String): Seq[String] = {
+    val post = graft.storage.GraftTable.open(s, s"$root/postings").read()
+      .select(col("vec_id"))
+    val codes = graft.storage.GraftTable.open(s, s"$root/codes").read()
+      .select(col("vec_id"))
+    val issues = Seq.newBuilder[String]
+    val missing = post.join(codes, Seq("vec_id"), "left_anti").count()
+    if (missing > 0) issues += s"$missing posting vector(s) have no code row (s9-invisible)"
+    val orphaned = codes.join(post, Seq("vec_id"), "left_anti").count()
+    if (orphaned > 0) issues += s"$orphaned code row(s) have no posting vector (orphaned)"
+    Seq("postings" -> post, "codes" -> codes).foreach { case (name, df) =>
+      val dups = df.groupBy("vec_id").count().filter(col("count") > 1).count()
+      if (dups > 0) issues += s"$dups duplicate vec_id(s) in $name (corrupts top-k)"
+    }
+    issues.result()
+  }
+
+  /** Repair a postings/codes desync left by a failed
+    * [[appendToIvfPqIndex]]: re-encode and append the code rows missing
+    * for committed postings, and drop orphaned code rows (position
+    * deletes via the table's row-level path is overkill for an index —
+    * orphans are harmless to results, but they cost probe bytes, so the
+    * repair rewrites the codes table net of them only when any exist).
+    * Duplicates are NOT auto-repaired (which copy is authoritative is
+    * not decidable here) — recluster/rebuild the index instead. Returns
+    * (codeRowsAdded, orphanCodeRowsRemoved). */
+  def repairIvfPqIndex(s: SparkSession, root: String): (Long, Long) = {
+    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val codesT = graft.storage.GraftTable.open(s, s"$root/codes")
+    val post = postT.read()
+    val codeIds = codesT.read().select(col("vec_id"))
+    val missing = post.join(codeIds, Seq("vec_id"), "left_anti")
+    val cb = graft.storage.GraftTable.open(s, s"$root/codebook").read()
+    val added =
+      if (missing.isEmpty) 0L
+      else codesT.append(missing.select(col("label"), col("vec_id"))
+        .join(encodeCodes(missing.select(col("vec_id"), col("v")), cb), "vec_id")
+        .select(col("label"), col("vec_id"), col("codes")))
+    val orphans = codesT.read()
+      .join(post.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
+    if (orphans > 0) {
+      // net-of-orphans rewrite, preserving the per-list clustering
+      val clean = codesT.read()
+        .join(post.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      val nLists = graft.storage.GraftTable.open(s, s"$root/centroids")
+        .rowCountFromMetadata().toInt.max(1)
+      val staged = clean.repartitionByRange(nLists, col("label"))
+        .select(col("label"), col("vec_id"), col("codes"))
+      val tmp = s"$root/codes_repair"
+      val tmpT = graft.storage.GraftTable.create(s, tmp, staged.schema,
+        graft.storage.GraftTableOptions(sortBy = Seq("label")))
+      tmpT.append(staged)
+      graft.storage.GraftTable.drop(s"$root/codes")
+      tmpT.cloneTo(s"$root/codes")
+      graft.storage.GraftTable.drop(tmp)
+    }
+    (added, orphans)
   }
 
   /** s9: ANN served from the composed IVF-PQ index. Per query: assign to
@@ -604,26 +698,12 @@ object Similarity {
     val postT = graft.storage.GraftTable.open(s, s"$root/postings")
     val codesT = graft.storage.GraftTable.open(s, s"$root/codes")
     val cent = graft.storage.GraftTable.open(s, s"$root/centroids").read()
-    val wAssign = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("clabel"))
-    val assigned = q.crossJoin(broadcast(cent.withColumnRenamed("label", "clabel")))
-      .select(col("q_id"), col("qv"), col("qn"), col("clabel"),
-        cosine(col("qv"), col("cv"), col("qn"), col("cnrm")).as("ccos"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("q_id"), col("qv"), col("qn"), col("clabel").as("alabel"))
+    val assigned = assignQueryBatch(q, cent)
     // bounded collect: one probed list per query
     val probes = assigned.select("alabel").distinct().collect().map(_.get(0))
-    val resultSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("q_id", q.schema("q_id").dataType),
-      org.apache.spark.sql.types.StructField("label", cent.schema("label").dataType),
-      org.apache.spark.sql.types.StructField("vec_id",
-        postT.readSchema()("vec_id").dataType),
-      org.apache.spark.sql.types.StructField("cos",
-        org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("rank",
-        org.apache.spark.sql.types.LongType)))
     def empty = s.createDataFrame(
-      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], resultSchema)
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      annResultSchema(q, cent, postT))
     if (probes.isEmpty) return empty
     val codeFiles =
       codesT.prunedFiles(Seq(org.apache.spark.sql.sources.In("label", probes)))

@@ -308,18 +308,22 @@ object ExtendedQueries {
     * left-deep `customer ⋈ orders` order ran the two largest non-fact
     * tables at full cardinality before the selective filter landed; it
     * was invisible at sf0.1 (customer broadcasts) but becomes a full
-    * shuffle join at 100×. This order is shuffle-free at any scale:
-    * `big` stays under the broadcast threshold by construction (HAVING
-    * keeps ~1 in 500 orders), so both joins broadcast the small side.
-    * Deterministic: quantities are integral doubles summed to BIGINT,
-    * total price in cents, tie-break on o_orderkey. */
+    * shuffle join at 100×. This order is shuffle-free at any scale BY
+    * CONSTRUCTION: `big` stays under the broadcast threshold (HAVING
+    * keeps ~1 in 500 orders), and the orders⋈big intermediate — the
+    * same ~0.2 % of orders — is broadcast-hinted explicitly, so the
+    * customer join cannot degrade to a shuffle when AQE lacks stats
+    * for the intermediate. Deterministic: quantities are integral
+    * doubles summed to BIGINT, total price in cents, tie-break on
+    * o_orderkey. */
   def q45HavingJoin(s: SparkSession, dir: String): DataFrame = {
     val big = t(s, dir, "lineitem")
       .groupBy("l_orderkey")
       .agg(sum("l_quantity").cast("long").as("qty"))
       .filter(col("qty") > 300)
-    t(s, dir, "orders")
+    val bigOrders = t(s, dir, "orders")
       .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+    broadcast(bigOrders)
       .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"),
@@ -343,14 +347,24 @@ object ExtendedQueries {
     * q37/t11: DuckDB's ICU collation versions order the probe set
     * differently across builds, so the driver records the rows-only
     * check and the ordering itself is spec-bound. */
+  // q46's collated table is a once-per-(session, input) artifact, like
+  // the ANN indexes: repeated invocations (bench runs twice + solo +
+  // verify pools) must time the collated SCAN, not a rebuild, and must
+  // not leak a temp table per call
+  private val collationTableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
   def q46CollationFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val probes = Seq("A", "Å", "B", "Aarhus", "Aardvark", "Zebra").toDF("s")
-    val base = t(s, dir, "nation").select(col("n_name").as("s")).union(probes)
-    val loc = java.nio.file.Files.createTempDirectory("graft_coll").toString + "/t"
-    val gt = graft.storage.GraftTable.create(s, loc, base.schema,
-      graft.storage.GraftTableOptions(sortBy = Seq("s")))
-    gt.append(base.repartition(1))
+    val loc = collationTableCache.computeIfAbsent((s, dir), { _ =>
+      val probes = Seq("A", "Å", "B", "Aarhus", "Aardvark", "Zebra").toDF("s")
+      val base = t(s, dir, "nation").select(col("n_name").as("s")).union(probes)
+      val l = java.nio.file.Files.createTempDirectory("graft_coll").toString + "/t"
+      val gt = graft.storage.GraftTable.create(s, l, base.schema,
+        graft.storage.GraftTableOptions(sortBy = Seq("s")))
+      gt.append(base.repartition(1))
+      l
+    })
     // read through the DSv2 graft source: the zone-map pruner is in the
     // loop (and CollationSpec asserts it pruned NOTHING here)
     s.read.format("graft").load(loc)

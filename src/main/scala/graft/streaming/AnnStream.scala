@@ -25,7 +25,14 @@ import graft.storage.GraftTable
   *
   * At scale each trigger costs: one broadcast of the (tiny) centroid
   * table, one scan of ~(probed lists / nlist) of the corpus, one
-  * window over candidates. Nothing grows with stream history. */
+  * window over candidates. Nothing grows with stream history.
+  *
+  * Id-universe contract: query `vec_id`s share the corpus id space (the
+  * aligned-table convention every s1–s9 operator uses) — a probe
+  * excludes the corpus row with the QUERY'S OWN id, which is exactly
+  * right when queries are corpus rows and a silent one-vector exclusion
+  * when they are not. Callers streaming EXTERNAL queries must use ids
+  * outside the corpus range (e.g. negative). */
 object AnnStream {
 
   /** Start scoring the streaming (vec_id, embedding) frame `incoming`

@@ -198,18 +198,22 @@ object GraftRowLevel {
       val all = super.planInputPartitions()
       val pruned = runtimeKept match {
         case Some(kept) =>
-          var dropped = 0L
+          // distinct files, not byte-range splits (a multi-split file = 1)
+          val dropped = scala.collection.mutable.Set[String]()
           val out = all.flatMap {
             case fp: FilePartition =>
-              val fs = fp.files.filter(f => kept.contains(f.filePath.toPath.toUri.getPath))
-              dropped += fp.files.length - fs.length
+              val fs = fp.files.filter { f =>
+                val keep = kept.contains(f.filePath.toPath.toUri.getPath)
+                if (!keep) dropped += f.filePath.toString
+                keep
+              }
               if (fs.isEmpty) None else Some(FilePartition(fp.index, fs))
             case other => Some(other)
           }.zipWithIndex.map {
             case (fp: FilePartition, i) => FilePartition(i, fp.files)
             case (other, _) => other
           }
-          runtimePrunedFiles = dropped
+          runtimePrunedFiles = dropped.size.toLong
           out
         case None => all
       }

@@ -393,35 +393,43 @@ object ParquetDelegate {
           // BatchScanExec verifies runtime filtering preserved it.
           // When the ordering claim holds, each group's files are in
           // proven sort order (filtering a sorted list keeps it sorted).
-          var dropped = 0L
+          // metric counts DISTINCT files, not byte-range splits — a
+          // multi-split file must meter as 1, matching the static count
+          val dropped = scala.collection.mutable.Set[String]()
           val parts = orderedBucketGroups.getOrElse(groups).zipWithIndex.map { case ((b, files), i) =>
             val kept = runtimeKept match {
-              case Some(k) => files.filter(f =>
-                k.contains(f.filePath.toPath.toUri.getPath))
+              case Some(k) =>
+                files.filter { f =>
+                  val keep = k.contains(f.filePath.toPath.toUri.getPath)
+                  if (!keep) dropped += f.filePath.toString
+                  keep
+                }
               case None => files
             }
-            dropped += files.size - kept.size
             new GraftBucketFilePartition(i, kept.toArray, b)
               : org.apache.spark.sql.connector.read.InputPartition
           }.toArray
-          runtimePrunedFiles = dropped
+          runtimePrunedFiles = dropped.size.toLong
           parts
         case None =>
           val all = super.planInputPartitions()
           runtimeKept match {
             case Some(kept) =>
-              var dropped = 0L
+              // distinct files, not splits (a multi-split file = 1)
+              val dropped = scala.collection.mutable.Set[String]()
               val pruned = all.flatMap {
                 case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-                  val files = fp.files.filter(f =>
-                    kept.contains(f.filePath.toPath.toUri.getPath))
-                  dropped += fp.files.length - files.length
+                  val files = fp.files.filter { f =>
+                    val keep = kept.contains(f.filePath.toPath.toUri.getPath)
+                    if (!keep) dropped += f.filePath.toString
+                    keep
+                  }
                   if (files.isEmpty) None
                   else Some(org.apache.spark.sql.execution.datasources
                     .FilePartition(fp.index, files))
                 case other => Some(other)
               }
-              runtimePrunedFiles = dropped
+              runtimePrunedFiles = dropped.size.toLong
               // re-number so partition ids stay dense
               pruned.zipWithIndex.map {
                 case (fp: org.apache.spark.sql.execution.datasources.FilePartition, i) =>

@@ -156,6 +156,41 @@ class AnnIndexSpec extends SparkSpec {
     assert(got.head.getDouble(3) === 1.0, "rank 1 must be an exact match")
   }
 
+  test("IVF-PQ audit detects a postings/codes desync; repair restores it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    Similarity.s9AnnIvfPq(spark, dir).count()
+    val root = Similarity.ivfPqIndexDir(spark, dir)
+    val root2 = tmpDir("ivfpq-repair")
+    Seq("centroids", "postings", "codebook", "codes").foreach(t =>
+      GraftTable.open(spark, s"$root/$t").cloneTo(s"$root2/$t"))
+    assert(Similarity.verifyIvfPqIndex(spark, root2) === Seq.empty)
+    val v0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0).select("embedding").head
+      .getSeq[Float](0).toArray
+    // simulate BOTH halves of a failed composed append: a postings-only
+    // vector (the pre-fix failure mode) and an orphaned code row (the
+    // codes-first failure mode)
+    assert(Similarity.appendToIvfIndex(spark, root2,
+      Seq((3000000L, v0)).toDF("vec_id", "embedding")) === 1L)
+    val codesT = GraftTable.open(spark, s"$root2/codes")
+    val orphan = codesT.read().limit(1)
+      .select(col("label"), (col("vec_id") + 4000000L).as("vec_id"), col("codes"))
+    codesT.append(orphan)
+    val issues = Similarity.verifyIvfPqIndex(spark, root2)
+    assert(issues.exists(_.contains("no code row")), issues.toString)
+    assert(issues.exists(_.contains("no posting vector")), issues.toString)
+    val (addedCodes, removedOrphans) = Similarity.repairIvfPqIndex(spark, root2)
+    assert(addedCodes === 1L && removedOrphans === 1L)
+    assert(Similarity.verifyIvfPqIndex(spark, root2) === Seq.empty)
+    // the repaired code row is the committed-codebook encoding: equal to
+    // vec 0's codes (identical vector)
+    val codesT2 = GraftTable.open(spark, s"$root2/codes")
+    val codeOf = (id: Long) => codesT2.read().filter(col("vec_id") === id)
+      .select("codes").head.getSeq[Int](0).toSeq
+    assert(codeOf(3000000L) === codeOf(0L))
+  }
+
   test("incremental append routes to the nearest list, commits no rewrite") {
     import spark.implicits._
     // clone the index so the memoized one (shared with s7 runs) stays pristine
