@@ -961,7 +961,17 @@ final class GraftTable private (
   private def bucketRefutes(rel: String,
       filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean =
     meta.options.bucketBy.headOption.exists { bc =>
-      GraftTable.fileBucket(rel).exists { fileB =>
+      // same collation discipline as the zone maps: bucket routing
+      // hashes BINARY bytes, so an equality under a non-binary string
+      // collation (where distinct byte strings can compare equal) must
+      // never refute a bucket
+      val binaryKey = meta.currentSchema.fields.find(_.name == bc).forall(f =>
+        f.dataType match {
+          case st: org.apache.spark.sql.types.StringType =>
+            st == org.apache.spark.sql.types.StringType
+          case _ => true
+        })
+      binaryKey && GraftTable.fileBucket(rel).exists { fileB =>
         val n = meta.options.bucketCount
         def bucketOf(v: Any): Option[Int] = v match {
           case null => None
@@ -3677,8 +3687,20 @@ object GraftTable {
   private[storage] def refutes(schema: StructType,
       stats: Map[String, ColFileStats], f: org.apache.spark.sql.sources.Filter): Boolean = {
     import org.apache.spark.sql.sources._
+    // Collation rule (cstore_reader.c:763-769): a column DECLARED with a
+    // non-binary collation (`STRING COLLATE da`, …) stores binary
+    // min/max, but its comparison semantics are the collation's —
+    // Danish 'AA…' sorts after 'Z' while binary bounds put it first, so
+    // refuting with those bounds wrongly drops files. Spark never pushes
+    // collated comparisons down, but the Scala DML/pruning APIs accept
+    // raw source Filters; this guard keeps any such filter non-refuting.
+    def binaryComparable(dt: DataType): Boolean = dt match {
+      case st: StringType => st == StringType
+      case _ => true
+    }
     def cs(c: String): Option[(DataType, ColFileStats)] =
-      if (schema.fieldNames.contains(c)) stats.get(c).map(s => (schema(c).dataType, s))
+      if (schema.fieldNames.contains(c) && binaryComparable(schema(c).dataType))
+        stats.get(c).map(s => (schema(c).dataType, s))
       else None
     def cmpMin(c: String, v: Any): Option[Int] = cs(c).flatMap { case (dt, s) =>
       filterValueString(dt, v).flatMap(fv => compareStat(dt, s.min, fv))

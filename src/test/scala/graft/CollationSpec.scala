@@ -77,6 +77,45 @@ class CollationSpec extends SparkSpec {
       "zone maps must not prune on a collated predicate")
   }
 
+  test("a DECLARED collated column (STRING COLLATE da) is served correctly and never binary-pruned") {
+    import graft.storage.GraftTable
+    val wh = tmpDir("collated-decl-wh")
+    spark.conf.set("spark.sql.catalog.cdecl", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cdecl.warehouse", wh)
+    try {
+      // the reference's rule at the TYPE level: a column declared with a
+      // non-binary collation stores binary min/max the collation's
+      // comparisons must never consult (cstore_reader.c:763-769)
+      spark.sql("CREATE TABLE cdecl.db.t (s STRING COLLATE da) USING graft")
+      spark.sql("INSERT INTO cdecl.db.t SELECT /*+ REPARTITION(1) */ concat('AA', id) FROM range(50)")
+      spark.sql("INSERT INTO cdecl.db.t SELECT /*+ REPARTITION(1) */ concat('B', id) FROM range(50)")
+      val t = GraftTable.open(spark, s"$wh/db/t")
+      assert(t.committedFiles.size === 2)
+      // schema round-trips the collation through the commit log
+      assert(t.readSchema()("s").dataType.sql === "STRING COLLATE DA")
+      // Danish semantics through SQL: the 50 binary-low 'AA…' rows sort
+      // after 'Z'; Spark refuses to push the collated comparison down,
+      // so the engine must serve it as a residual filter over all files
+      val df = spark.table("cdecl.db.t").filter(col("s") > lit("Z"))
+      assert(df.count() === 50)
+      assert(!df.queryExecution.executedPlan.toString.contains("GreaterThan(s,"),
+        "a collated comparison must not push down as a binary filter")
+      // and the zone maps themselves refuse to refute on the collated
+      // column even for a RAW binary-looking source filter (the Scala
+      // DML/pruning APIs accept them directly): binary bounds would
+      // wrongly drop the 'AA…' file for > 'Z'
+      assert(t.prunedFiles(Seq(
+        org.apache.spark.sql.sources.GreaterThan("s", "Z"))).size === 2,
+        "zone maps must never refute on a non-binary-collation column")
+      assert(t.prunedFiles(Seq(
+        org.apache.spark.sql.sources.EqualTo("s", "zzz"))).size === 2)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cdecl.db.t")
+      spark.conf.unset("spark.sql.catalog.cdecl")
+      spark.conf.unset("spark.sql.catalog.cdecl.warehouse")
+    }
+  }
+
   test("zone-map pruning is disabled under a non-binary collation (cstore_reader.c:763-769)") {
     // The reference skips min/max block filtering when the predicate's
     // collation is not the stored binary order — pruning with binary
