@@ -3031,7 +3031,15 @@ final class GraftTable private (
   def sortFileRanges: Option[GraftTable.SortedFileRanges] =
     meta.options.sortBy.headOption.flatMap { c =>
       meta.currentSchema.fields.find(_.name == c).flatMap { f =>
-        if (!GraftTable.zoneMapEligible(f.dataType)) None
+        // a collated string column's scan order would be claimed from
+        // BINARY min/max while the merge join compares under the
+        // collation — refuse the claim (same rule as refutes/
+        // bucketRefutes); the join re-sorts, correctly
+        val collated = f.dataType match {
+          case st: org.apache.spark.sql.types.StringType => st != StringType
+          case _ => false
+        }
+        if (!GraftTable.zoneMapEligible(f.dataType) || collated) None
         else Some(GraftTable.SortedFileRanges(
           c,
           (a, b) => GraftTable.compareStat(f.dataType, a, b),

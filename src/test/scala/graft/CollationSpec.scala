@@ -109,7 +109,16 @@ class CollationSpec extends SparkSpec {
         "zone maps must never refute on a non-binary-collation column")
       assert(t.prunedFiles(Seq(
         org.apache.spark.sql.sources.EqualTo("s", "zzz"))).size === 2)
+      // the proven-order merge-join claim is refused too: binary
+      // min/max cannot prove COLLATION order, so the scan must let the
+      // join re-sort instead of claiming a wrong order
+      spark.sql("CREATE TABLE cdecl.db.ts (s STRING COLLATE da) USING graft " +
+        "OPTIONS (sort_by 's')")
+      spark.sql("INSERT INTO cdecl.db.ts SELECT concat('AA', id) FROM range(10)")
+      assert(GraftTable.open(spark, s"$wh/db/ts").sortFileRanges.isEmpty,
+        "no ordering claim from binary bounds on a collated sort column")
     } finally {
+      spark.sql("DROP TABLE IF EXISTS cdecl.db.ts")
       spark.sql("DROP TABLE IF EXISTS cdecl.db.t")
       spark.conf.unset("spark.sql.catalog.cdecl")
       spark.conf.unset("spark.sql.catalog.cdecl.warehouse")
