@@ -768,6 +768,41 @@ object Similarity {
       .orderBy("q_id", "vec_id")
   }
 
+  /** s10: FILTERED ANN — top-k under a METADATA predicate (here: the
+    * query's neighbors among vectors whose aligned document is
+    * `lang = 'en'`), the standard production vector-search shape
+    * (RAG retrieval scoped to a tenant/language/license bucket). The
+    * strategy is PRE-FILTERING: the predicate resolves to an id set via
+    * a semi join BEFORE any distance is computed, so recall is exact by
+    * construction and scoring cost ∝ the filtered corpus — whereas
+    * post-filtering an ANN result (probe first, filter after) returns
+    * fewer than k — possibly zero — results whenever the predicate is
+    * selective inside the probed lists. At 100 TB the semi join is an
+    * equality join on the aligned id (broadcast when the filter side is
+    * small, shuffle otherwise), and the scored side then rides any of
+    * the s2/s7/s9 index paths; the exact variant here is the
+    * oracle-checkable contract those paths must match on the filtered
+    * universe. */
+  def s10FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    val en = Tables.load(s, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").cast("long").as("id"))
+    val e = normalized(Tables.load(s, dir, "embeddings"))
+    // queries come from the UNFILTERED universe (a query need not
+    // satisfy the predicate it scopes its search to)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = e.join(en, col("vec_id") === col("id"), "left_semi")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cand.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Each retrieval signal's rank list is truncated to this depth before
     * fusion — the property that makes RRF scale: each signal produces
     * its top-K independently (lexical: an equality join on shingles;
@@ -844,6 +879,7 @@ object Similarity {
     "s5_pq_ann" -> s5PqAnn _,
     "s7_ann_persisted" -> s7AnnPersisted _,
     "s9_ann_ivfpq" -> s9AnnIvfPq _,
+    "s10_filtered_ann" -> s10FilteredAnn _,
   )
 
   import OracleSql._
@@ -976,6 +1012,23 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY rrf_micro DESC, id) rn FROM fused)
          |WHERE rn <= 10 ORDER BY q_id, rrf_micro DESC, id""".stripMargin),
+    "s10_filtered_ann" ->
+      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, ${normSql("v")} nrm FROM e),
+         |en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+         |cand AS (SELECT n.* FROM n
+         |         WHERE vec_id IN (SELECT doc_id FROM en)),
+         |q AS (SELECT vec_id q_id, v qv, nrm qn FROM n WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.q_id, c.vec_id,
+         |    ${dotSql("q.qv", "c.v")} / (q.qn * c.nrm) cos
+         |  FROM cand c CROSS JOIN q WHERE c.vec_id != q.q_id),
+         |ranked AS (SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rank
+         |  FROM scored)
+         |SELECT q_id, vec_id, round(cos, 4) cos, rank FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin),
     "s6_range_search" ->
       (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
          |           FROM embeddings),

@@ -33,11 +33,14 @@ class PlanGuardSpec extends SparkSpec {
   // s9: s7's assignment crossJoin (≤5-row query set × tiny committed
   // centroid table); the ADC candidate join and the re-rank fetch are
   // keyed equality joins over zone-map-pruned files.
+  // s10: s1's exact shape over the pre-filtered universe (≤5-row
+  // broadcast query set, =!= condition); the metadata pre-filter itself
+  // is a keyed LEFT SEMI equality join (spec-pinned in RetrievalSpec).
   private val bnljAllowed =
     Set("s1_ann_brute", "s2_ann_ivf", "s6_range_search", "t6_bm25",
       "c3_source_mix", "s4_kmeans", "d11_semantic_dedup", "t13_perplexity",
       "d13_tfidf_cosine", "c11_token_budget_mix", "s7_ann_persisted",
-      "s8_hybrid_retrieval", "s9_ann_ivfpq")
+      "s8_hybrid_retrieval", "s9_ann_ivfpq", "s10_filtered_ann")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")

@@ -61,4 +61,29 @@ class RetrievalSpec extends SparkSpec {
     val b = Similarity.s8HybridRetrieval(spark, sf("sf0.001")).collect().toSeq
     assert(a === b)
   }
+
+  test("s10: pre-filter property — every neighbor satisfies the predicate; semi join is keyed") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    val df = Similarity.s10FilteredAnn(spark, dir)
+    val got = df.collect()
+    assert(got.nonEmpty)
+    // exact recall within the filtered universe: every returned id is an
+    // English document's vector — the defining property post-filtering
+    // cannot guarantee
+    val en = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSet
+    got.foreach(r => assert(en.contains(r.getLong(1)),
+      s"neighbor ${r.getLong(1)} is not in the filtered universe"))
+    // per-query lists are dense top-k
+    got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // the metadata pre-filter plans as a keyed LEFT SEMI equality join,
+    // never an all-pairs scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a semi-join pre-filter:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
