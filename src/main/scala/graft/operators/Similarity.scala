@@ -803,6 +803,46 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** s11: FILTERED IVF — s10's metadata pre-filter composed with s2's
+    * index path: queries probe their nearest centroid's list, and the
+    * candidate set is the list INTERSECTED with the predicate's id
+    * universe (a keyed LEFT SEMI join — at scale it lands on the probed
+    * lists' zone-map-pruned scan, so the cost is
+    * ~|list ∩ filter| distances per query). Recall is the IVF recall
+    * restricted to the filtered universe: if the filter empties the
+    * probed list, the query returns empty — the documented trade
+    * against s10's exact scan (production engines widen nprobe under
+    * selective filters; the exact twin s10 is the oracle for what a
+    * widened probe converges to). */
+  def s11FilteredIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val e = normalized(emb)
+    val cent = centroids(emb)
+    val en = Tables.load(s, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").cast("long").as("id"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wAssign = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("label"))
+    val assigned = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("qv"), col("qn"), col("label"),
+        cosine(col("qv"), col("cv"), col("qn"), col("cnrm")).as("ccos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("q_id"), col("qv"), col("qn"), col("label"))
+    val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    e.join(en, col("vec_id") === col("id"), "left_semi")
+      .join(broadcast(assigned),
+        e("label") === assigned("label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), e("label"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= IvfTopK)
+      .select(col("q_id"), col("label"), col("vec_id"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Each retrieval signal's rank list is truncated to this depth before
     * fusion — the property that makes RRF scale: each signal produces
     * its top-K independently (lexical: an equality join on shingles;
@@ -880,6 +920,7 @@ object Similarity {
     "s7_ann_persisted" -> s7AnnPersisted _,
     "s9_ann_ivfpq" -> s9AnnIvfPq _,
     "s10_filtered_ann" -> s10FilteredAnn _,
+    "s11_filtered_ivf" -> s11FilteredIvf _,
   )
 
   import OracleSql._
@@ -1029,6 +1070,36 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, vec_id, round(cos, 4) cos, rank FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin),
+    "s11_filtered_ivf" ->
+      (s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, label, v, ${normSql("v")} nrm FROM e),
+         |cent AS (
+         |  SELECT label, list(CAST(sq AS DOUBLE) ORDER BY i) cv FROM (
+         |    SELECT label, i, sum(CAST(round(embedding[i]::DOUBLE * $Quant) AS BIGINT)) sq
+         |    FROM embeddings CROSS JOIN range(1, 65) r(i)
+         |    GROUP BY label, i) GROUP BY label),
+         |cn AS (SELECT label, cv, ${normSql("cv")} cnrm FROM cent),
+         |assigned AS (
+         |  SELECT q_id, label FROM (
+         |    SELECT q.vec_id q_id, cn.label,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dotSql("q.v", "cn.cv")} / (q.nrm * cn.cnrm) DESC,
+         |                 cn.label) arn
+         |    FROM n q CROSS JOIN cn WHERE q.vec_id < $NumQueries)
+         |  WHERE arn = 1),
+         |scored AS (
+         |  SELECT a.q_id, c.label, c.vec_id,
+         |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) cos
+         |  FROM assigned a
+         |  JOIN n q ON q.vec_id = a.q_id
+         |  JOIN n c ON c.label = a.label AND c.vec_id != a.q_id
+         |  WHERE c.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')),
+         |ranked AS (SELECT q_id, label, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rank
+         |  FROM scored)
+         |SELECT q_id, label, vec_id, round(cos, 4) cos, rank FROM ranked
+         |WHERE rank <= $IvfTopK ORDER BY q_id, rank""".stripMargin),
     "s6_range_search" ->
       (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
          |           FROM embeddings),

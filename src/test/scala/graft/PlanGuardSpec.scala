@@ -40,7 +40,9 @@ class PlanGuardSpec extends SparkSpec {
     Set("s1_ann_brute", "s2_ann_ivf", "s6_range_search", "t6_bm25",
       "c3_source_mix", "s4_kmeans", "d11_semantic_dedup", "t13_perplexity",
       "d13_tfidf_cosine", "c11_token_budget_mix", "s7_ann_persisted",
-      "s8_hybrid_retrieval", "s9_ann_ivfpq", "s10_filtered_ann")
+      "s8_hybrid_retrieval", "s9_ann_ivfpq", "s10_filtered_ann",
+      // s11: s2's assignment crossJoin; the filter is a keyed semi join
+      "s11_filtered_ivf")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")
