@@ -209,12 +209,18 @@ object Bench {
     val reruns = (2 to suiteRuns).map { _ => runSuite() }
     val rerunWalls = reruns.map(_._2)
     val rerunErrs = reruns.flatMap(_._1.collect { case (n, _, s) if s != "ok" => n })
+      .distinct
     sampling = false
     pool.shutdown()
     // DRAIN before the solo profile: a calibration shuffle probe queued
     // near the end of the last pass would otherwise run concurrently
-    // with the solo walls this profile exists to keep uncontended
-    pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+    // with the solo walls this profile exists to keep uncontended. A
+    // failed drain is PUBLISHED (pool_drained:false) — the solo numbers
+    // below would be contended and must not be read as steady-state
+    val poolDrained =
+      pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+    if (!poolDrained)
+      System.err.println("[bench] WARNING: probe pool did not drain; solo profile is contended")
 
     // Solo profile: the top-10 heaviest queries re-run SEQUENTIALLY.
     // Under concurrency, per-query walls are queue-contention accounting
@@ -250,12 +256,14 @@ object Bench {
       .mkString("{", ",", "}")
     // a query that crashed in ANY pass fails the bench — the rerun must
     // not launder a flaky failure into a green rc — and every failure is
-    // NAMED in the JSON, whichever pass it happened in
+    // NAMED in the JSON exactly once (a first-pass failure subsumes the
+    // rerun one; duplicate JSON keys would shadow each other)
+    val firstPassFailed = results.collect { case (k, _, s) if s != "ok" => k }.toSet
     val errs = (results.collect { case (k, _, s) if s != "ok" =>
       "\"" + k + "\":\"" + s + "\"" } ++
-      rerunErrs.map(k => "\"" + k + "\":\"err_rerun\""))
+      rerunErrs.filterNot(firstPassFailed).map(k => "\"" + k + "\":\"err_rerun\""))
       .mkString("{", ",", "}")
-    val failed = results.count(_._3 != "ok") + rerunErrs.size
+    val failed = (firstPassFailed ++ rerunErrs).size
     val soloJson = solo.sortBy(_._2)
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -286,7 +294,7 @@ object Bench {
       s"""{"spin":${tl(spinTl)},"shuffle":${tl(shufTl)}}"""
     val suiteBest = (total +: rerunWalls).min
     val rerunJson = rerunWalls.map(w => f"$w%.3f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"warmup_errors":$warmupJson,"sf":"$sfDir","solo":$soloJson,"calib":$calibJson,"calib_sec":$calibSec%.3f,"calib_timeline":$timelineJson,"calib_insuite_sec":$calibInsuite%.3f,"suite_sec_reruns":$rerunJson,"suite_sec_best":$suiteBest%.3f,"suite_sec":$total}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"warmup_errors":$warmupJson,"sf":"$sfDir","solo":$soloJson,"pool_drained":$poolDrained,"calib":$calibJson,"calib_sec":$calibSec%.3f,"calib_timeline":$timelineJson,"calib_insuite_sec":$calibInsuite%.3f,"suite_sec_reruns":$rerunJson,"suite_sec_best":$suiteBest%.3f,"suite_sec":$total}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

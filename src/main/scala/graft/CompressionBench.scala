@@ -49,6 +49,7 @@ object CompressionBench {
         }
       }.toIndexedSeq: _*)
       val work = Files.createTempDirectory(s"graft_cmp_$table")
+      try {
       // 1) raw CSV, uncompressed — the "uncompressed archival data" side
       // of the reference's ratio
       val csvDir = work.resolve("csv")
@@ -71,13 +72,15 @@ object CompressionBench {
       }.mkString(",")
       println(s"""{"table":"$table","sf":"$sfDir","csv_bytes":$csvBytes,""" +
         s""""input_parquet_bytes":$inputBytes,$ratios}""")
-      // the working tree holds an uncompressed CSV dump + three full
-      // table copies — delete it, or repeated measurement runs fill the
-      // disk they are measuring on
-      val walk = Files.walk(work)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      finally walk.close()
+      } finally {
+        // the working tree holds an uncompressed CSV dump + three full
+        // table copies — delete it EVEN ON FAILURE, or repeated runs
+        // fill the disk they are measuring on
+        val walk = Files.walk(work)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
     }
     spark.stop()
   }

@@ -539,11 +539,12 @@ object Similarity {
       // retry-safe: a PARTIALLY-failed earlier build (codebook created,
       // codes stage threw) left tables on disk but nothing in the cache;
       // GraftTable.create requires non-existence, so drop the partial
-      // artifacts first or every retry wedges on "table already exists"
-      Seq("codebook", "codes").foreach { t =>
-        try graft.storage.GraftTable.drop(s"$root/$t")
-        catch { case _: Exception => () }
-      }
+      // artifacts first or every retry wedges on "table already exists".
+      // drop() is a no-op on a missing path; a REAL deletion failure
+      // must propagate (swallowing it would just resurface as a
+      // misleading "already exists" from the create below)
+      Seq("codebook", "codes").foreach(t =>
+        graft.storage.GraftTable.drop(s"$root/$t"))
       val cbDf = pqCodebook(s, dir)
       val cbT = graft.storage.GraftTable.create(s, s"$root/codebook", cbDf.schema)
       cbT.append(cbDf)
@@ -634,9 +635,29 @@ object Similarity {
     * orphans are harmless to results, but they cost probe bytes, so the
     * repair rewrites the codes table net of them only when any exist).
     * Duplicates are NOT auto-repaired (which copy is authoritative is
-    * not decidable here) — recluster/rebuild the index instead. Returns
+    * not decidable here) — recluster/rebuild the index instead.
+    *
+    * The repair is itself CRASH-RECOVERABLE: the net-of-orphans rewrite
+    * stages into `codes_repair`, and the only destructive step is the
+    * drop-then-clone swap at the end. A crash before the swap leaves
+    * `codes` intact (a stale staging table is dropped on the next run);
+    * a crash INSIDE the swap leaves the clean table in `codes_repair`,
+    * and the next run completes the swap before anything else. Returns
     * (codeRowsAdded, orphanCodeRowsRemoved). */
   def repairIvfPqIndex(s: SparkSession, root: String): (Long, Long) = {
+    val tmp = s"$root/codes_repair"
+    // crash recovery FIRST: a previous repair that died between
+    // drop(codes) and cloneTo left the clean table in the staging dir
+    if (!graft.storage.GraftTable.exists(s"$root/codes")) {
+      require(graft.storage.GraftTable.exists(tmp),
+        s"IVF-PQ index at $root has neither codes nor codes_repair — rebuild it")
+      graft.storage.GraftTable.open(s, tmp).cloneTo(s"$root/codes")
+      graft.storage.GraftTable.drop(tmp)
+    } else if (graft.storage.GraftTable.exists(tmp)) {
+      // stale staging from a crash BEFORE the swap: codes is still the
+      // authoritative table, restage from scratch
+      graft.storage.GraftTable.drop(tmp)
+    }
     val postT = graft.storage.GraftTable.open(s, s"$root/postings")
     val codesT = graft.storage.GraftTable.open(s, s"$root/codes")
     val post = postT.read()
@@ -658,7 +679,6 @@ object Similarity {
         .rowCountFromMetadata().toInt.max(1)
       val staged = clean.repartitionByRange(nLists, col("label"))
         .select(col("label"), col("vec_id"), col("codes"))
-      val tmp = s"$root/codes_repair"
       val tmpT = graft.storage.GraftTable.create(s, tmp, staged.schema,
         graft.storage.GraftTableOptions(sortBy = Seq("label")))
       tmpT.append(staged)
@@ -823,17 +843,13 @@ object Similarity {
       .select(col("doc_id").cast("long").as("id"))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val wAssign = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("label"))
-    val assigned = q.crossJoin(broadcast(cent))
-      .select(col("q_id"), col("qv"), col("qn"), col("label"),
-        cosine(col("qv"), col("cv"), col("qn"), col("cnrm")).as("ccos"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("q_id"), col("qv"), col("qn"), col("label"))
+    // same shared assignment as the s7/s9 probes — one tie-break to rule
+    // them all (centroids() yields exactly the (label, cv, cnrm) shape)
+    val assigned = assignQueryBatch(q, cent)
     val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     e.join(en, col("vec_id") === col("id"), "left_semi")
       .join(broadcast(assigned),
-        e("label") === assigned("label") && col("vec_id") =!= col("q_id"))
+        e("label") === col("alabel") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), e("label"), col("vec_id"),
         cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
       .withColumn("rank", row_number().over(wRank).cast("long"))

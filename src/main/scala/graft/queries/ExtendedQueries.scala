@@ -308,22 +308,23 @@ object ExtendedQueries {
     * left-deep `customer ⋈ orders` order ran the two largest non-fact
     * tables at full cardinality before the selective filter landed; it
     * was invisible at sf0.1 (customer broadcasts) but becomes a full
-    * shuffle join at 100×. This order is shuffle-free at any scale BY
-    * CONSTRUCTION: `big` stays under the broadcast threshold (HAVING
-    * keeps ~1 in 500 orders), and the orders⋈big intermediate — the
-    * same ~0.2 % of orders — is broadcast-hinted explicitly, so the
-    * customer join cannot degrade to a shuffle when AQE lacks stats
-    * for the intermediate. Deterministic: quantities are integral
-    * doubles summed to BIGINT, total price in cents, tie-break on
-    * o_orderkey. */
+    * shuffle join at 100×. With this order the expensive side is gone
+    * BY CONSTRUCTION: the first join's small side is the qty-filtered
+    * aggregate (broadcast-hinted — bounded by the HAVING selectivity),
+    * and the customer join's probe side is the surviving ~0.2 % of
+    * orders. That second join is deliberately NOT broadcast-hinted: the
+    * intermediate is a fixed FRACTION of orders, not a fixed size, so a
+    * forced broadcast would trade a cheap tiny-side shuffle at extreme
+    * scale for a driver OOM — the planner/AQE picks broadcast whenever
+    * it actually fits. Deterministic: quantities are integral doubles
+    * summed to BIGINT, total price in cents, tie-break on o_orderkey. */
   def q45HavingJoin(s: SparkSession, dir: String): DataFrame = {
     val big = t(s, dir, "lineitem")
       .groupBy("l_orderkey")
       .agg(sum("l_quantity").cast("long").as("qty"))
       .filter(col("qty") > 300)
-    val bigOrders = t(s, dir, "orders")
+    t(s, dir, "orders")
       .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
-    broadcast(bigOrders)
       .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"),

@@ -3701,20 +3701,24 @@ object GraftTable {
     // Danish 'AA…' sorts after 'Z' while binary bounds put it first, so
     // refuting with those bounds wrongly drops files. Spark never pushes
     // collated comparisons down, but the Scala DML/pruning APIs accept
-    // raw source Filters; this guard keeps any such filter non-refuting.
+    // raw source Filters; this guard keeps every ORDERING-based
+    // refutation (min/max comparisons, prefix ranges) non-refuting.
+    // Null-count refutations stay live: null is null under any
+    // collation, so allNull/IsNull pruning is collation-independent.
     def binaryComparable(dt: DataType): Boolean = dt match {
       case st: StringType => st == StringType
       case _ => true
     }
     def cs(c: String): Option[(DataType, ColFileStats)] =
-      if (schema.fieldNames.contains(c) && binaryComparable(schema(c).dataType))
-        stats.get(c).map(s => (schema(c).dataType, s))
+      if (schema.fieldNames.contains(c)) stats.get(c).map(s => (schema(c).dataType, s))
       else None
     def cmpMin(c: String, v: Any): Option[Int] = cs(c).flatMap { case (dt, s) =>
-      filterValueString(dt, v).flatMap(fv => compareStat(dt, s.min, fv))
+      if (!binaryComparable(dt)) None
+      else filterValueString(dt, v).flatMap(fv => compareStat(dt, s.min, fv))
     }
     def cmpMax(c: String, v: Any): Option[Int] = cs(c).flatMap { case (dt, s) =>
-      filterValueString(dt, v).flatMap(fv => compareStat(dt, s.max, fv))
+      if (!binaryComparable(dt)) None
+      else filterValueString(dt, v).flatMap(fv => compareStat(dt, s.max, fv))
     }
     // A file whose recorded stats show the column is null in every row
     // can satisfy no comparison predicate at all (SQL comparisons with
@@ -3739,7 +3743,8 @@ object GraftTable {
       // the file is refuted when max < p or min >= nextPrefix(p).
       case StringStartsWith(c, p) if p != null && p.nonEmpty =>
         allNull(c) || cs(c).exists { case (dt, s) =>
-          dt.isInstanceOf[StringType] && {
+          // prefix ranges are an ORDERING argument — binary collation only
+          binaryComparable(dt) && dt.isInstanceOf[StringType] && {
             val below = compareStat(dt, s.max, p).exists(_ < 0)
             val above = p.last < 127 && {
               val next = p.init + (p.last + 1).toChar

@@ -191,6 +191,33 @@ class AnnIndexSpec extends SparkSpec {
     assert(codeOf(3000000L) === codeOf(0L))
   }
 
+  test("IVF-PQ repair recovers from a crash inside its own swap") {
+    Similarity.s9AnnIvfPq(spark, dir).count()
+    val root = Similarity.ivfPqIndexDir(spark, dir)
+    val root2 = tmpDir("ivfpq-crash")
+    Seq("centroids", "postings", "codebook", "codes").foreach(t =>
+      GraftTable.open(spark, s"$root/$t").cloneTo(s"$root2/$t"))
+    val nCodes = GraftTable.open(spark, s"$root2/codes").rowCountFromMetadata()
+    // simulate the repair dying between drop(codes) and cloneTo: the
+    // clean table sits in codes_repair, codes is gone
+    GraftTable.open(spark, s"$root2/codes").cloneTo(s"$root2/codes_repair")
+    GraftTable.drop(s"$root2/codes")
+    assert(!GraftTable.exists(s"$root2/codes"))
+    val (added, removed) = Similarity.repairIvfPqIndex(spark, root2)
+    assert(added === 0L && removed === 0L, "recovery completes the swap, nothing else")
+    assert(GraftTable.exists(s"$root2/codes"))
+    assert(!GraftTable.exists(s"$root2/codes_repair"))
+    assert(GraftTable.open(spark, s"$root2/codes").rowCountFromMetadata() === nCodes)
+    assert(Similarity.verifyIvfPqIndex(spark, root2) === Seq.empty)
+    // a STALE staging table (crash before the swap) is dropped, codes
+    // stays authoritative
+    GraftTable.open(spark, s"$root2/codes").cloneTo(s"$root2/codes_repair")
+    val (a2, r2) = Similarity.repairIvfPqIndex(spark, root2)
+    assert(a2 === 0L && r2 === 0L)
+    assert(!GraftTable.exists(s"$root2/codes_repair"))
+    assert(Similarity.verifyIvfPqIndex(spark, root2) === Seq.empty)
+  }
+
   test("incremental append routes to the nearest list, commits no rewrite") {
     import spark.implicits._
     // clone the index so the memoized one (shared with s7 runs) stays pristine
