@@ -480,7 +480,47 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** c13: EPOCH-AWARE UPSAMPLED MIX — materialize a training mixture
+    * where small sources run MULTIPLE epochs (the Llama/PaLM data-mix
+    * shape: α-smoothed weights give each source a byte budget; budget ÷
+    * available = epochs, which EXCEEDS 1 for boosted small sources —
+    * c11's truncation can only downsample). Per source: available bytes,
+    * α=0.5 weights (c3's sqrt smoothing, micro-quantized), a 2×-corpus
+    * total budget, epochs in integer micro-units. Per document: ⌊epochs⌋
+    * full copies plus one more iff its md5-derived draw falls under the
+    * fractional part — deterministic, no RNG, every engine reproduces
+    * the same physical repetition list. Output rows are (source, doc_id,
+    * epochs_micro, rep), one per materialized copy.
+    *
+    * 100 TB design: two tiny per-source aggregates broadcast; the copy
+    * materialization is a map-side explode of a per-row 1..n sequence —
+    * no shuffle beyond the per-source count, output ∝ the requested
+    * budget (2× corpus here). */
+  def c13EpochMix(s: SparkSession, dir: String): DataFrame = {
+    val per = docs(s, dir).groupBy("source").agg(sum("n_chars").as("avail"))
+      .withColumn("wq", floor(sqrt(col("avail").cast("double")) * 1e6).cast("long"))
+    val tot = per.agg(sum("avail").as("total"), sum("wq").as("wsum"))
+    val em = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("avail"),
+        floor(col("wq").cast("double") / col("wsum").cast("double")
+          * (lit(2.0) * col("total").cast("double"))).cast("long").as("budget"))
+      .select(col("source"),
+        floor(col("budget").cast("double") * 1000000.0
+          / col("avail").cast("double")).cast("long").as("em"))
+    docs(s, dir).select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 12),
+          16, 10).cast("long") % 1000000L).as("draw"))
+      .join(broadcast(em), "source")
+      .withColumn("n_copies", expr("em div 1000000") +
+        when(col("draw") < pmod(col("em"), lit(1000000L)), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("source"), col("doc_id"), col("em"),
+        explode(sequence(lit(1L), col("n_copies"))).as("rep"))
+      .orderBy("doc_id", "rep")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c13_epoch_mix" -> ((s, dir) => c13EpochMix(s, dir)),
     "c11_token_budget_mix" -> ((s, dir) => c11TokenBudgetMix(s, dir)),
     "c12_importance_sample" -> ((s, dir) => c12ImportanceSample(s, dir)),
     "c10_shard_shuffle" -> ((s, dir) => c10ShardShuffle(s, dir)),
@@ -496,6 +536,32 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "c13_epoch_mix" ->
+      """WITH per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) avail
+        |            FROM documents GROUP BY source),
+        |w AS (SELECT source, avail,
+        |        CAST(floor(sqrt(CAST(avail AS DOUBLE)) * 1000000.0) AS BIGINT) wq
+        |      FROM per),
+        |t AS (SELECT CAST(sum(avail) AS BIGINT) total,
+        |             CAST(sum(wq) AS BIGINT) wsum FROM w),
+        |b AS (SELECT source, avail,
+        |        CAST(floor(CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE)
+        |          * (2.0 * CAST(total AS DOUBLE))) AS BIGINT) budget
+        |      FROM w CROSS JOIN t),
+        |e AS (SELECT source,
+        |        CAST(floor(CAST(budget AS DOUBLE) * 1000000.0
+        |          / CAST(avail AS DOUBLE)) AS BIGINT) em
+        |      FROM b),
+        |d AS (SELECT doc_id, dd.source, em,
+        |        em // 1000000
+        |          + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |                      AS BIGINT) % 1000000 < em % 1000000
+        |                 THEN 1 ELSE 0 END n_copies
+        |      FROM documents dd JOIN e ON dd.source = e.source)
+        |SELECT source, doc_id, em,
+        |  CAST(unnest(range(1, CAST(n_copies AS BIGINT) + 1)) AS BIGINT) rep
+        |FROM d WHERE n_copies > 0
+        |ORDER BY doc_id, rep""".stripMargin,
     // the single-window cumulative-prefix formulation the salted
     // two-phase plan must equal exactly
     "c11_token_budget_mix" ->

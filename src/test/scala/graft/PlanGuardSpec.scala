@@ -42,7 +42,8 @@ class PlanGuardSpec extends SparkSpec {
       "d13_tfidf_cosine", "c11_token_budget_mix", "s7_ann_persisted",
       "s8_hybrid_retrieval", "s9_ann_ivfpq", "s10_filtered_ann",
       // s11: s2's assignment crossJoin; the filter is a keyed semi join
-      "s11_filtered_ivf")
+      // c13: c3's ONE-row totals aggregate broadcast-crossed per source
+      "s11_filtered_ivf", "c13_epoch_mix")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")
