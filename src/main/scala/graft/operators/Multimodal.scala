@@ -407,7 +407,155 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  // -- m7: REAL video container path (RIFF/AVI, MJPEG frames) ----------
+
+  final case class AviFrame(doc_id: Long, n_frames: Long, width: Long,
+      height: Long, frame_no: Long, frame_sum: Long)
+
+  private def leInt(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+  }
+  private def leShort(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+  }
+  private def fourcc(out: java.io.ByteArrayOutputStream, s: String): Unit =
+    out.write(s.getBytes("US-ASCII"))
+
+  /** Synthesize a canonical MJPEG AVI per document: `len(text)/16`
+    * frames of uniform 16×16 gray (`(doc_id*9 + f*17) % 256`), each a
+    * REAL quality-1.0 JDK JPEG (m2's bit-exact flat-frame trick), laid
+    * out as RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh 'vids'/
+    * 'MJPG', strf BITMAPINFOHEADER}} → LIST(movi){'00dc' chunks} — the
+    * container shape every MJPEG tool writes. */
+  private[operators] def aviEncoded(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(
+      col("doc_id").cast("long").as("doc_id"),
+      (length(col("text")) / FrameBytes).cast("int").as("n_frames"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        val codec = new JpegCodec
+        it.map { case (id, nFrames) =>
+          val frames = Array.tabulate(nFrames) { f =>
+            val gray = ((id * 9 + f * 17) % 256).toInt
+            codec.encode(grayImage(FrameSide, FrameSide, _ => gray), 1.0f)
+          }
+          def chunk(cc: String)(body: java.io.ByteArrayOutputStream => Unit)
+              : Array[Byte] = {
+            val b = new java.io.ByteArrayOutputStream()
+            body(b)
+            val payload = b.toByteArray
+            val o = new java.io.ByteArrayOutputStream()
+            fourcc(o, cc); leInt(o, payload.length); o.write(payload)
+            if (payload.length % 2 == 1) o.write(0) // RIFF even padding
+            o.toByteArray
+          }
+          def list(tpe: String)(children: Array[Byte]*): Array[Byte] =
+            chunk("LIST") { b => fourcc(b, tpe); children.foreach(b.write) }
+          val avih = chunk("avih") { b =>
+            leInt(b, 40000); leInt(b, 0); leInt(b, 0); leInt(b, 0) // usec/frame…
+            leInt(b, nFrames); leInt(b, 0); leInt(b, 1); leInt(b, 0)
+            leInt(b, FrameSide); leInt(b, FrameSide)
+            (0 until 4).foreach(_ => leInt(b, 0))
+          }
+          val strh = chunk("strh") { b =>
+            fourcc(b, "vids"); fourcc(b, "MJPG")
+            leInt(b, 0); leShort(b, 0); leShort(b, 0); leInt(b, 0)
+            leInt(b, 1); leInt(b, 25) // scale, rate → 25 fps
+            leInt(b, 0); leInt(b, nFrames); leInt(b, 0); leInt(b, 0); leInt(b, 0)
+            leShort(b, 0); leShort(b, 0); leShort(b, FrameSide.toShort)
+            leShort(b, FrameSide.toShort)
+          }
+          val strf = chunk("strf") { b =>
+            leInt(b, 40); leInt(b, FrameSide); leInt(b, FrameSide)
+            leShort(b, 1); leShort(b, 24); fourcc(b, "MJPG")
+            leInt(b, 0); leInt(b, 0); leInt(b, 0); leInt(b, 0); leInt(b, 0)
+          }
+          val movi = list("movi")(frames.map(f => chunk("00dc")(_.write(f))): _*)
+          val riff = chunk("RIFF") { b =>
+            fourcc(b, "AVI ")
+            b.write(list("hdrl")(avih, list("strl")(strh, strf)))
+            b.write(movi)
+          }
+          (id, riff)
+        }
+      }
+  }
+
+  /** m7: REAL video decode — the AVI is parsed by a genuine RIFF chunk
+    * WALK (not fixed offsets): verify RIFF/'AVI ', find `avih` inside
+    * LIST(hdrl) for (n_frames, width, height), collect the LIST(movi)
+    * `00dc` chunk payloads, then decode every [[FrameStride]]-th frame
+    * through the real JPEG codec and emit its DECODED pixel sum. The
+    * flat q=1.0 frames round-trip bit-exactly, so the DuckDB oracle
+    * recomputes `256·gray` directly — a hash match proves container
+    * write → chunk walk → frame extract → JPEG decode end-to-end. */
+  /** RIFF chunk walk of an AVI payload: (n_frames, width, height, frame
+    * chunk (offset, len) list). Refuses non-AVI bytes and a declared
+    * frame count that disagrees with the chunks actually found. */
+  private[operators] def parseAvi(bytes: Array[Byte], id: Long)
+      : (Long, Long, Long, Seq[(Int, Int)]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 12 && cc(0) == "RIFF" && cc(8) == "AVI ",
+      s"not an AVI container for doc $id")
+    var nFrames = -1L; var w = -1L; var h = -1L
+    val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    // chunk walk: [off, end) of a chunk SEQUENCE; lists recurse
+    def walk(off: Int, end: Int): Unit = {
+      var p = off
+      while (p + 8 <= end) {
+        val tag = cc(p); val len = bb.getInt(p + 4)
+        require(len >= 0 && p + 8 + len <= bytes.length,
+          s"truncated $tag chunk in AVI for doc $id")
+        if (tag == "LIST") walk(p + 12, p + 8 + len)
+        else if (tag == "avih") {
+          nFrames = bb.getInt(p + 8 + 16).toLong
+          w = bb.getInt(p + 8 + 32).toLong
+          h = bb.getInt(p + 8 + 36).toLong
+        } else if (tag == "00dc") frames += ((p + 8, len))
+        p += 8 + len + (len % 2) // even padding
+      }
+    }
+    walk(12, bytes.length)
+    require(nFrames == frames.length.toLong,
+      s"declared $nFrames frames but found ${frames.length} chunks (doc $id)")
+    (nFrames, w, h, frames.toSeq)
+  }
+
+  /** Spec hook: run the chunk walk alone (corruption-rejection tests). */
+  private[operators] def parseAviForTest(bytes: Array[Byte]): Any =
+    parseAvi(bytes, -1L)
+
+  def m7AviDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    aviEncoded(s, dir).mapPartitions { it =>
+      val codec = new JpegCodec
+      it.flatMap { case (id, bytes) =>
+        val (nFrames, w, h, frames) = parseAvi(bytes, id)
+        frames.iterator.zipWithIndex
+          .filter(_._2 % FrameStride == 0)
+          .map { case ((foff, flen), fno) =>
+            val img = codec.decode(
+              java.util.Arrays.copyOfRange(bytes, foff, foff + flen))
+            val raster = img.getRaster
+            var sum = 0L
+            var k = 0
+            while (k < FrameSide * FrameSide) {
+              sum += raster.getSample(k % FrameSide, k / FrameSide, 0)
+              k += 1
+            }
+            AviFrame(id, nFrames, w, h, fno.toLong, sum)
+          }
+      }
+    }.toDF().orderBy("doc_id", "frame_no")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_avi_decode" -> m7AviDecode _,
     "m6_wav_decode" -> m6WavDecode _,
     "m1_media_decode" -> m1DecodeFeatures _,
     "m2_frame_sample" -> m2FrameSample _,
@@ -417,6 +565,21 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // m7: the flat q=1.0 MJPEG frames round-trip bit-exactly (m2's
+    // contract), so the decoded sum is 256·gray; n_frames/width/height
+    // come from the avih header the chunk walk parsed — a hash match
+    // proves container write → RIFF walk → frame extract → JPEG decode
+    "m7_avi_decode" ->
+      ("""WITH fr AS (
+         |  SELECT doc_id, length(text) // 16 nf,
+         |         unnest(range(0, length(text) // 16)) fr
+         |  FROM documents)
+         |SELECT doc_id, CAST(nf AS BIGINT) n_frames,
+         |  CAST(16 AS BIGINT) width, CAST(16 AS BIGINT) height,
+         |  CAST(fr AS BIGINT) frame_no,
+         |  CAST(256 * ((doc_id * 9 + fr * 17) % 256) AS BIGINT) frame_sum
+         |FROM fr WHERE fr % 4 = 0
+         |ORDER BY doc_id, frame_no""".stripMargin),
     // m6: PCM is lossless — recompute the features directly from the
     // sample-synthesis formula; a hash-match proves the WAV container
     // encode→parse round-trip byte-exactly

