@@ -484,17 +484,12 @@ object Multimodal {
       }
   }
 
-  /** m7: REAL video decode — the AVI is parsed by a genuine RIFF chunk
-    * WALK (not fixed offsets): verify RIFF/'AVI ', find `avih` inside
-    * LIST(hdrl) for (n_frames, width, height), collect the LIST(movi)
-    * `00dc` chunk payloads, then decode every [[FrameStride]]-th frame
-    * through the real JPEG codec and emit its DECODED pixel sum. The
-    * flat q=1.0 frames round-trip bit-exactly, so the DuckDB oracle
-    * recomputes `256·gray` directly — a hash match proves container
-    * write → chunk walk → frame extract → JPEG decode end-to-end. */
   /** RIFF chunk walk of an AVI payload: (n_frames, width, height, frame
-    * chunk (offset, len) list). Refuses non-AVI bytes and a declared
-    * frame count that disagrees with the chunks actually found. */
+    * chunk (offset, len) list). Refuses non-AVI bytes, chunks that
+    * overrun their ENCLOSING extent (not just the file — a child
+    * spilling past its LIST would otherwise be traversed twice and
+    * accepted), an `avih` too short to hold the fields read from it,
+    * and a declared frame count that disagrees with the chunks found. */
   private[operators] def parseAvi(bytes: Array[Byte], id: Long)
       : (Long, Long, Long, Seq[(Int, Int)]) = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -509,10 +504,11 @@ object Multimodal {
       var p = off
       while (p + 8 <= end) {
         val tag = cc(p); val len = bb.getInt(p + 4)
-        require(len >= 0 && p + 8 + len <= bytes.length,
+        require(len >= 0 && p + 8 + len <= end,
           s"truncated $tag chunk in AVI for doc $id")
         if (tag == "LIST") walk(p + 12, p + 8 + len)
         else if (tag == "avih") {
+          require(len >= 40, s"avih chunk too short ($len) in AVI for doc $id")
           nFrames = bb.getInt(p + 8 + 16).toLong
           w = bb.getInt(p + 8 + 32).toLong
           h = bb.getInt(p + 8 + 36).toLong
@@ -526,10 +522,14 @@ object Multimodal {
     (nFrames, w, h, frames.toSeq)
   }
 
-  /** Spec hook: run the chunk walk alone (corruption-rejection tests). */
-  private[operators] def parseAviForTest(bytes: Array[Byte]): Any =
-    parseAvi(bytes, -1L)
-
+  /** m7: REAL video decode — the AVI is parsed by [[parseAvi]]'s
+    * genuine RIFF chunk walk (not fixed offsets), then every
+    * [[FrameStride]]-th `00dc` frame is decoded through the real JPEG
+    * codec and its DECODED pixel sum emitted alongside the
+    * header-parsed n_frames/width/height. The flat q=1.0 frames
+    * round-trip bit-exactly, so the DuckDB oracle recomputes `256·gray`
+    * directly — a hash match proves container write → chunk walk →
+    * frame extract → JPEG decode end-to-end. */
   def m7AviDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     aviEncoded(s, dir).mapPartitions { it =>
@@ -541,6 +541,13 @@ object Multimodal {
           .map { case ((foff, flen), fno) =>
             val img = codec.decode(
               java.util.Arrays.copyOfRange(bytes, foff, foff + flen))
+            // decoded geometry must match the header the row reports —
+            // a mismatch is a diagnosable container error, not an AWT
+            // index crash or a silently partial sum
+            require(img.getWidth == w && img.getHeight == h &&
+              w == FrameSide && h == FrameSide,
+              s"frame $fno decodes ${img.getWidth}x${img.getHeight}, header says ${w}x$h, " +
+                s"operator frames are ${FrameSide}x$FrameSide (doc $id)")
             val raster = img.getRaster
             var sum = 0L
             var k = 0

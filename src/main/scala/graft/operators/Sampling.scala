@@ -467,13 +467,19 @@ object Sampling {
     * survive; floor 5%), and the acceptance draw is the first 48 bits
     * of md5(doc_id) reduced mod 1e6 — both integer-exact on both
     * engines. */
+  /** The deterministic acceptance draw c12 and c13 share: first 48 bits
+    * of md5(doc_id) reduced mod 1e6 — ONE definition, so the two
+    * operators' documented shared-draw semantics cannot drift. */
+  private def md5Draw(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 12), 16, 10)
+      .cast("long") % 1000000L
+
   def c12ImportanceSample(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(
       col("doc_id"), col("source"), col("n_chars"),
       least(lit(1000000L), greatest(lit(50000L), col("n_chars") * 500L))
         .as("p_micro"),
-      (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 12),
-        16, 10).cast("long") % 1000000L).as("draw"))
+      md5Draw(col("doc_id")).as("draw"))
     d.filter(col("draw") < col("p_micro"))
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("p_micro"), col("draw"))
@@ -508,8 +514,7 @@ object Sampling {
         floor(col("budget").cast("double") * 1000000.0
           / col("avail").cast("double")).cast("long").as("em"))
     docs(s, dir).select(col("doc_id"), col("source"),
-        (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 12),
-          16, 10).cast("long") % 1000000L).as("draw"))
+        md5Draw(col("doc_id")).as("draw"))
       .join(broadcast(em), "source")
       .withColumn("n_copies", expr("em div 1000000") +
         when(col("draw") < pmod(col("em"), lit(1000000L)), 1L).otherwise(0L))

@@ -133,51 +133,46 @@ class MultimodalSpec extends SparkSpec {
       val s = new String(bytes, "ISO-8859-1")
       assert(s.contains("hdrl") && s.contains("avih") && s.contains("strl"))
       assert(s.contains("vids") && s.contains("MJPG") && s.contains("movi"))
-      // every 00dc chunk is a complete JPEG: SOI magic, EOI trailer, and
-      // independently decodable by a FRESH ImageIO call
-      val bb = java.nio.ByteBuffer.wrap(bytes)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      var p = 12
-      var found = 0
-      def walk(off: Int, end: Int): Unit = {
-        var q = off
-        while (q + 8 <= end) {
-          val tag = cc(q); val len = bb.getInt(q + 4)
-          if (tag == "LIST") walk(q + 12, q + 8 + len)
-          else if (tag == "00dc") {
-            found += 1
-            assert((bytes(q + 8) & 0xff) === 0xff && (bytes(q + 9) & 0xff) === 0xd8,
-              s"frame chunk must start with JPEG SOI (doc $id)")
-            assert((bytes(q + 8 + len - 2) & 0xff) === 0xff &&
-              (bytes(q + 8 + len - 1) & 0xff) === 0xd9,
-              s"frame chunk must end with JPEG EOI (doc $id)")
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
-              java.util.Arrays.copyOfRange(bytes, q + 8, q + 8 + len)))
-            assert(img.getWidth === 16 && img.getHeight === 16)
-          }
-          q += 8 + len + (len % 2)
-        }
+      // ONE traversal definition: the production chunk walk supplies the
+      // frame boundaries; every frame is a complete JPEG — SOI magic,
+      // EOI trailer, independently decodable by a FRESH ImageIO call
+      val (nFrames, w, h, frames) = Multimodal.parseAvi(bytes, id)
+      assert(w === 16 && h === 16)
+      assert(nFrames === frames.length.toLong && frames.nonEmpty,
+        s"doc $id should carry at least one frame chunk")
+      frames.foreach { case (foff, flen) =>
+        assert((bytes(foff) & 0xff) === 0xff && (bytes(foff + 1) & 0xff) === 0xd8,
+          s"frame chunk must start with JPEG SOI (doc $id)")
+        assert((bytes(foff + flen - 2) & 0xff) === 0xff &&
+          (bytes(foff + flen - 1) & 0xff) === 0xd9,
+          s"frame chunk must end with JPEG EOI (doc $id)")
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+          java.util.Arrays.copyOfRange(bytes, foff, foff + flen)))
+        assert(img.getWidth === 16 && img.getHeight === 16)
       }
-      walk(p, bytes.length)
-      assert(found >= 1, s"doc $id should carry at least one frame chunk")
     }
   }
 
   test("m7 chunk walk rejects a corrupted container instead of mis-decoding") {
-    import spark.implicits._
     val good = Multimodal.aviEncoded(spark, sf("sf0.001"))
       .filter(_._2.length > 300).take(1).head._2
     // flip the RIFF magic: the walk must refuse, not return garbage
     val bad = good.clone(); bad(0) = 'X'.toByte
-    val ex = intercept[Exception] {
-      Multimodal.parseAviForTest(bad)
-    }
+    val ex = intercept[IllegalArgumentException] { Multimodal.parseAvi(bad, -1L) }
     assert(ex.getMessage.contains("not an AVI container"))
-    // truncate the declared frame count consistency: drop the last chunk
-    // bytes so declared != found
+    // truncation: the movi LIST now overruns its extent
     val short = java.util.Arrays.copyOfRange(good, 0, good.length - 10)
-    val ex2 = intercept[Exception] { Multimodal.parseAviForTest(short) }
-    assert(ex2.getMessage.contains("frames") || ex2 != null)
+    val ex2 = intercept[IllegalArgumentException] { Multimodal.parseAvi(short, -1L) }
+    assert(ex2.getMessage.contains("truncated"), ex2.getMessage)
+    // declared-vs-found mismatch: bump avih TotalFrames (offset +16 into
+    // the avih payload) in an otherwise-valid container
+    val miscount = good.clone()
+    val avihOff = new String(good, "ISO-8859-1").indexOf("avih")
+    assert(avihOff > 0)
+    val fOff = avihOff + 8 + 16 // fourcc + len, then dwTotalFrames
+    miscount(fOff) = (miscount(fOff) + 1).toByte
+    val ex3 = intercept[IllegalArgumentException] { Multimodal.parseAvi(miscount, -1L) }
+    assert(ex3.getMessage.contains("frames but found"), ex3.getMessage)
   }
 
   test("m5 header-parsed geometry equals m4 codec-decoded geometry") {
