@@ -62,6 +62,40 @@ class FileZoneMapSpec extends SparkSpec {
     GraftTable.drop(t.location)
   }
 
+  test("NaN discipline: NaN-carrying files never refute; NaN-free files refute NaN probes") {
+    import spark.implicits._
+    // Spark SQL orders NaN ABOVE every value (x > 100.0 is TRUE for a
+    // NaN row, NaN = NaN is TRUE), so bounds-based refutation is only
+    // sound if a NaN-carrying file's stats keep it alive for ANY range
+    // or NaN probe. Today that holds because parquet's double stats
+    // make NaN the max (or omit stats); this test pins the contract
+    // against a parquet version drift.
+    def mk(prefix: String, vals: Seq[Double]): GraftTable = {
+      val loc = tmpDir(prefix) + "/t"
+      val t = GraftTable.create(spark, loc, Seq(1.0).toDF("x").schema)
+      t.append(vals.toDF("x").coalesce(1))
+      t
+    }
+    val clean = mk("nan-clean", Seq(1.0, 2.0, 3.0))
+    assert(clean.prunedFiles(Seq(EqualTo("x", Double.NaN))).isEmpty,
+      "a NaN-free file's bounds refute a NaN equality probe")
+    assert(clean.prunedFiles(Seq(GreaterThan("x", 100.0))).isEmpty)
+    val mixed = mk("nan-mixed", Seq(1.0, 2.0, Double.NaN, 3.0))
+    assert(mixed.prunedFiles(Seq(GreaterThan("x", 100.0))).size === 1,
+      "a NaN row satisfies x > 100 under Spark ordering - the file must survive")
+    assert(mixed.prunedFiles(Seq(EqualTo("x", Double.NaN))).size === 1)
+    assert(mixed.prunedFiles(Seq(LessThan("x", 0.0))).size === 1)
+    // and the semantics the pruning protects: the engine returns the
+    // NaN row for both probe shapes, and a NaN delete removes exactly it
+    val df = spark.read.format("graft").load(mixed.location)
+    assert(df.filter(col("x") > 100.0).count() === 1)
+    assert(df.filter(col("x") === lit(Double.NaN)).count() === 1)
+    assert(mixed.delete(Seq(EqualTo("x", Double.NaN))) === 1L)
+    assert(GraftTable.open(spark, mixed.location).read().count() === 3)
+    GraftTable.drop(clean.location)
+    GraftTable.drop(mixed.location)
+  }
+
   test("DSv2 scan plans only the surviving files under a pushed filter") {
     val t = mkTable("zm-dsv2")
     val df = spark.read.format("graft").load(t.location)
