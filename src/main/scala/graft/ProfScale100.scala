@@ -1,0 +1,36 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** 100× solo profile — the "would the plan survive 100×?" question
+  * answered empirically on a 1.6 GB key-replicated copy of sf0.1:
+  * flagship join/agg queries, the persisted-index ANN probe, the
+  * mixing/text operators whose scale story SCALE_r13 argues. */
+object ProfScale100 {
+  def t(name: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime(); val n = f
+    println(f"[prof] $name%-22s ${(System.nanoTime()-t0)/1e9}%7.2fs rows=$n")
+  }
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions","32")
+      .config("spark.sql.adaptive.enabled","true")
+      .config("spark.ui.enabled","false").config(Tables.sessionConfs).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (dir <- args.toSeq) {
+      println(s"== $dir")
+      t("warm")(Tables.load(spark, dir, "lineitem").count())
+      t("q01_count")(queries.CoreQueries.q01Count(spark, dir).count())
+      t("q32_tpch_q1")(queries.ExtendedQueries.q32TpchQ1(spark, dir).count())
+      t("q44_topk_revenue")(queries.ExtendedQueries.q44TopkRevenue(spark, dir).count())
+      t("q45_having_join")(queries.ExtendedQueries.q45HavingJoin(spark, dir).count())
+      t("q11_multi_join")(queries.CoreQueries.q11MultiJoin(spark, dir).count())
+      t("s9 index build")({ operators.Similarity.ivfPqIndexDir(spark, dir); 1L })
+      t("s9 probe")(operators.Similarity.s9AnnIvfPq(spark, dir).count())
+      t("s9 probe warm")(operators.Similarity.s9AnnIvfPq(spark, dir).count())
+      t("c13_epoch_mix")(operators.Sampling.c13EpochMix(spark, dir).count())
+      t("t3_lang_id")(operators.TextAnalysis.t3LangId(spark, dir).count())
+      t("d1_exact_dedup")(operators.Dedup.d1ExactDedup(spark, dir).count())
+    }
+    spark.stop()
+  }
+}
