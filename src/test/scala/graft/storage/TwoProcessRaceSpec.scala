@@ -77,6 +77,41 @@ class TwoProcessRaceSpec extends SparkSpec {
     GraftTable.drop(loc)
   }
 
+  test("compact/append race across two real JVMs: rewrites never lose concurrent appends") {
+    import spark.implicits._
+    val loc = tmpDir("race-ca") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    // seed enough small files that compaction has real work
+    for (i <- 0 until 4)
+      t.append(Seq((0, i)).toDF("w", "i").coalesce(1))
+    val (nAppends, rows) = (5, 6)
+    val worker = spawnWorker(loc, workerId = 4, nAppends, rows)
+    try {
+      // repeated full compactions while the worker appends: each is a
+      // whole-table rewrite whose CAS commit races the appends — a
+      // rebase that dropped a concurrently-appended file would lose rows
+      for (_ <- 0 until 3) {
+        t.compact()
+        Thread.sleep(30)
+      }
+      assert(worker.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "worker JVM must finish")
+      assert(worker.exitValue() === 0,
+        "worker commits must rebase over compactions, not fail")
+    } finally if (worker.isAlive) worker.destroyForcibly()
+    val t2 = GraftTable.open(spark, loc)
+    // no lost row on either side, whatever the interleaving
+    val byW = t2.read().groupBy("w").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byW === Map(0 -> 4L, 4 -> (nAppends * rows).toLong),
+      s"seed + worker rows must all survive the rewrites: $byW")
+    assert(t2.rowCountFromMetadata() === 4L + nAppends * rows)
+    val versions = GraftTable.historyVersions(loc)
+    assert(versions.distinct === versions && versions === versions.sorted)
+    assert(t2.verify() === Seq.empty)
+    GraftTable.drop(loc)
+  }
+
   test("append/restore race across two real JVMs: consistent state, clean audit") {
     import spark.implicits._
     val loc = tmpDir("race-ar") + "/t"
