@@ -90,7 +90,58 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** p3: INCREMENTAL corpus refresh — the daily production shape, with
+    * the graft store in the loop:
+    *
+    *   1. a curated GRAFT TABLE is built from the base corpus
+    *      (doc_id % 5 ≠ 4): exact-dedup winners (d1's md5 rule) that
+    *      pass t2's quality gate and t3's English gate;
+    *   2. today's batch (doc_id % 5 = 4) runs the same dedup+gates
+    *      WITHIN the batch, then drops every document whose md5
+    *      fingerprint already exists in the COMMITTED store (the d12
+    *      incremental shape, exact flavor — the fingerprint join reads
+    *      the store back, proving the round-trip);
+    *   3. survivors APPEND through the transactional graft commit, and
+    *      the entry returns the refreshed store's state.
+    *
+    * The oracle recomputes base-curation ∪ batch-survivors in SQL, so
+    * the hash checks gates + both dedup levels + store round-trip +
+    * append end-to-end. At 100 TB: one md5-window shuffle per side, one
+    * fingerprint equality join against the (smaller) curated store, and
+    * an append whose cost ∝ batch survivors — nothing rescans the
+    * store's data files beyond the fingerprint column. */
+  def p3IncrementalRefresh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, dir, "documents").select(
+      col("doc_id").cast("long").as("doc_id"),
+      col("text"), col("source"), col("n_chars").cast("long").as("n_chars"))
+    val isBatch = col("doc_id") % 5 === 4
+    def curate(df: DataFrame): DataFrame = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")))
+      .filter(col("rn") === 1 &&
+        TextAnalysis.qualityRaw(col("text")) >= 0.35 &&
+        TextAnalysis.langPred(col("text")) === "en")
+      .drop("rn")
+    val base = curate(docs.filter(!isBatch))
+    val loc = java.nio.file.Files.createTempDirectory("graft_p3").toString + "/t"
+    val store = graft.storage.GraftTable.create(s, loc, base.schema)
+    store.append(base)
+    // incremental dedup: the fingerprint set comes from the COMMITTED
+    // store, not the in-memory lineage
+    val committedFp = graft.storage.GraftTable.open(s, loc).read()
+      .select(md5(col("text").cast("binary")).as("fp"))
+    val survivors = curate(docs.filter(isBatch))
+      .join(committedFp.hint("broadcast"),
+        md5(col("text").cast("binary")) === col("fp"), "left_anti")
+    graft.storage.GraftTable.open(s, loc).append(survivors)
+    graft.storage.GraftTable.open(s, loc).read()
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p3_incremental_refresh" -> p3IncrementalRefresh _,
     "p1_clean_corpus" -> p1CleanCorpus _,
     "p2_training_prep" -> p2TrainingPrep _,
   )
@@ -101,6 +152,38 @@ object Pipeline {
     s"len(list_filter(toks, t -> ${words.map(w => s"t = '$w'").mkString(" OR ")}))"
 
   val oracles: Map[String, String] = Map(
+    // p3: base-curation ∪ batch-survivors recomputed declaratively —
+    // gates reuse c4's SQL twins (one window handles both within-group
+    // dedups via the (is_batch, md5) partition); the NOT IN is the
+    // committed-store fingerprint join
+    "p3_incremental_refresh" -> {
+      import TextAnalysis.Stopwords
+      def thits(ws: Seq[String]) = TextAnalysis.hitsSql(ws)
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) doc_id, text, source,
+         |      CAST(n_chars AS BIGINT) n_chars,
+         |      string_split(text, ' ') toks, (doc_id % 5 = 4) is_batch,
+         |      row_number() OVER (PARTITION BY (doc_id % 5 = 4), md5(text)
+         |        ORDER BY doc_id) rn
+         |    FROM documents),
+         |g AS (SELECT doc_id, source, n_chars, is_batch, text,
+         |    least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+         |      * (1.0 - CAST(${thits(Stopwords)} AS DOUBLE)
+         |               / CAST(len(toks) AS DOUBLE)) qual,
+         |    ${thits(Seq("the", "a", "of"))} en,
+         |    ${thits(Seq("der", "die", "und"))} de,
+         |    ${thits(Seq("le", "la", "et"))} fr,
+         |    ${thits(Seq("el", "los", "y"))} es
+         |  FROM d WHERE rn = 1),
+         |k AS (SELECT doc_id, source, n_chars, is_batch, text FROM g
+         |  WHERE qual >= 0.35 AND en > 0 AND en >= de AND en >= fr AND en >= es),
+         |base AS (SELECT doc_id, source, n_chars, text FROM k WHERE NOT is_batch),
+         |batch AS (SELECT doc_id, source, n_chars FROM k
+         |  WHERE is_batch AND md5(text) NOT IN (SELECT md5(text) FROM base))
+         |SELECT doc_id, source, n_chars FROM (
+         |  SELECT doc_id, source, n_chars FROM base
+         |  UNION ALL SELECT doc_id, source, n_chars FROM batch)
+         |ORDER BY doc_id""".stripMargin
+    },
     "p2_training_prep" -> {
       import TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
       val scrub = s"regexp_replace(regexp_replace(regexp_replace(text, " +
