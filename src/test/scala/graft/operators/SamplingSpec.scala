@@ -150,4 +150,30 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.c1StratifiedSample(spark, dir, perStratum = quota)
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
+
+  test("c13: deterministic multi-epoch repetitions - dense reps, real upsampling, copy-count law") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    val a = Sampling.c13EpochMix(spark, dir).collect()
+    val b = Sampling.c13EpochMix(spark, dir).collect()
+    assert(a.nonEmpty)
+    // no RNG anywhere: byte-identical across runs
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // per (source, doc): reps are dense 1..n, and n obeys the
+    // fractional-epoch law exactly - floor(em/1e6) or one more
+    a.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case ((_, doc), rows) =>
+      val reps = rows.map(_.getLong(3)).sorted.toSeq
+      assert(reps === (1L to reps.length).toSeq, s"doc $doc reps must be dense: $reps")
+      val em = rows.head.getLong(2)
+      val full = em / 1000000L
+      assert(reps.length == full || reps.length == full + 1,
+        s"doc $doc: ${reps.length} copies vs epochs_micro $em")
+    }
+    // the operator actually UPSAMPLES on this corpus: some source runs
+    // more than one full epoch (the property c11's truncation cannot
+    // express), and budgets differ across sources (alpha-smoothing bites)
+    val ems = a.map(r => r.getString(0) -> r.getLong(2)).distinct.toMap
+    assert(ems.values.max > 1000000L, s"expected a multi-epoch source: $ems")
+    assert(ems.values.toSet.size > 1, s"alpha weights should differentiate sources: $ems")
+  }
 }
