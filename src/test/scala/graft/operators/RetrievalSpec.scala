@@ -86,4 +86,41 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"expected a semi-join pre-filter:\n${plan.take(1200)}")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("s11: results live in (probed list AND filter); cosines are exact; s10 bounds the recall") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    val got = Similarity.s11FilteredIvf(spark, dir).collect()
+    assert(got.nonEmpty)
+    val en = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSet
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))).toMap
+    def nrm(v: Array[Double]) = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    got.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.map(_.getLong(4)).sorted.toSeq === (1L to rows.length).toSeq)
+      rows.foreach { r =>
+        val id = r.getLong(2)
+        // candidate universe: the filter AND the candidate's own list
+        assert(en.contains(id), s"query $qid: $id not in the filtered universe")
+        assert(raw(id)._1 === r.getInt(1), s"query $qid: $id not in the probed list")
+        // reported cosine equals the exact left-fold recomputation
+        val (q, c) = (raw(qid)._2, raw(id)._2)
+        val dot = q.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+        val exact = BigDecimal(dot / (nrm(q) * nrm(c)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getDouble(3) - exact) < 1e-9)
+      }
+    }
+    // recall bound: every s11 hit that the exact filtered scan also
+    // ranks must score no higher than s10's rank-1 for that query
+    val s10Top = Similarity.s10FilteredAnn(spark, dir).collect()
+      .filter(_.getLong(3) == 1L).map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    got.filter(_.getLong(4) == 1L).foreach { r =>
+      assert(r.getDouble(3) <= s10Top(r.getLong(0)) + 1e-9,
+        "the index path cannot beat the exact filtered scan")
+    }
+  }
 }
