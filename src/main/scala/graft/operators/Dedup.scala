@@ -354,7 +354,7 @@ object Dedup {
     * `spark.graft.scratchDir` to a shared-filesystem URI); the local-tmp
     * default is correct only for local mode. The whole root is deleted
     * on JVM exit. */
-  private[operators] def scratchRoot(s: SparkSession): String =
+  private[graft] def scratchRoot(s: SparkSession): String =
     s.conf.getOption("spark.graft.scratchDir").getOrElse {
       scratchCleanup // materialize the shutdown hook for the default root
       defaultScratch

@@ -504,7 +504,9 @@ object Multimodal {
       var p = off
       while (p + 8 <= end) {
         val tag = cc(p); val len = bb.getInt(p + 4)
-        require(len >= 0 && p + 8 + len <= end,
+        // bound check in Long: a corrupt len near Int.MaxValue would
+        // wrap `p + 8 + len` negative and slip past an Int comparison
+        require(len >= 0 && p + 8L + len <= end,
           s"truncated $tag chunk in AVI for doc $id")
         if (tag == "LIST") walk(p + 12, p + 8 + len)
         else if (tag == "avih") {

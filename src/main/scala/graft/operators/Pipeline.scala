@@ -106,10 +106,20 @@ object Pipeline {
     *
     * The oracle recomputes base-curation ∪ batch-survivors in SQL, so
     * the hash checks gates + both dedup levels + store round-trip +
-    * append end-to-end. At 100 TB: one md5-window shuffle per side, one
-    * fingerprint equality join against the (smaller) curated store, and
-    * an append whose cost ∝ batch survivors — nothing rescans the
-    * store's data files beyond the fingerprint column. */
+    * append end-to-end. At 100 TB: one md5-window shuffle per side; the
+    * committed-store side of the dedup join is the ACCUMULATING corpus
+    * (unbounded), so it is never broadcast — instead the BATCH's
+    * fingerprints (the small side by construction: one day's crawl) are
+    * Bloom-sketched (d12's discipline, [[Dedup.PostingsIndex]]) and the
+    * store's fingerprint scan is map-side pre-filtered with
+    * `might_contain` before an exact anti join over the survivors: the
+    * prune can only drop store rows the equality join would drop anyway
+    * (no false negatives), and the surviving store side is ∝ batch size,
+    * which AQE is then free to broadcast. The append's cost ∝ batch
+    * survivors — nothing rescans the store's data files beyond the
+    * fingerprint column. The store lives under the engine scratch root
+    * (`spark.graft.scratchDir`, any Hadoop scheme; the local default is
+    * reaped on JVM exit). */
   def p3IncrementalRefresh(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(s, dir, "documents").select(
@@ -124,20 +134,52 @@ object Pipeline {
         TextAnalysis.langPred(col("text")) === "en")
       .drop("rn")
     val base = curate(docs.filter(!isBatch))
-    val loc = java.nio.file.Files.createTempDirectory("graft_p3").toString + "/t"
+    val loc = Dedup.scratchRoot(s) +
+      s"/p3-${java.util.UUID.randomUUID().toString.take(8)}/t"
     val store = graft.storage.GraftTable.create(s, loc, base.schema)
     store.append(base)
-    // incremental dedup: the fingerprint set comes from the COMMITTED
-    // store, not the in-memory lineage
-    val committedFp = graft.storage.GraftTable.open(s, loc).read()
-      .select(md5(col("text").cast("binary")).as("fp"))
-    val survivors = curate(docs.filter(isBatch))
-      .join(committedFp.hint("broadcast"),
-        md5(col("text").cast("binary")) === col("fp"), "left_anti")
-    graft.storage.GraftTable.open(s, loc).append(survivors)
+    // Today's batch, curated once and reused by both the sketch action
+    // and the join (persisted so the window shuffle runs once and the
+    // two consumers cannot diverge).
+    val batchCur = curate(docs.filter(isBatch))
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.storage.GraftTable.open(s, loc)
+        .append(refreshSurvivors(s, batchCur, loc))
+    } finally { batchCur.unpersist(); () }
     graft.storage.GraftTable.open(s, loc).read()
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy("doc_id")
+  }
+
+  /** p3's batch-vs-store dedup join, exposed so PipelineOpsSpec can pin
+    * the plan shape: the batch (`batchCur`, carrying an `fp` md5 column)
+    * anti-joins the COMMITTED store's fingerprints with NO broadcast
+    * hint on the store side — the store is unbounded; instead the
+    * batch's fingerprints are Bloom-sketched and the store scan is
+    * map-side pre-filtered with `might_contain` (no false negatives:
+    * the prune only drops store rows the equality join would drop).
+    * The one driver action here is the KB–MB sketch `head()`. */
+  private[graft] def refreshSurvivors(s: SparkSession, batchCur: DataFrame,
+      loc: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val bloomBytes = batchCur
+      .select(Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("fp"))), 1L << 20)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val committedFp = graft.storage.GraftTable.open(s, loc).read()
+      .select(md5(col("text").cast("binary")).as("fp"))
+    val prunedFp =
+      if (bloomBytes == null) committedFp // empty batch ⇒ join is empty anyway
+      else committedFp.filter(Bridge.column(BloomFilterMightContain(
+        Literal.create(bloomBytes, BinaryType),
+        Bridge.expression(xxhash64(col("fp"))))))
+    batchCur.join(prunedFp, Seq("fp"), "left_anti").drop("fp")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

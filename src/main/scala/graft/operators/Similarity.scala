@@ -182,9 +182,19 @@ object Similarity {
     * files. The collect is bounded by the batch's query count (one list
     * per query). Shared by [[s7AnnPersisted]] and the continuous twin
     * ([[graft.streaming.AnnStream]]), so the two are the same operator
-    * by construction. */
+    * by construction.
+    *
+    * `filterIds` (one `id` column) scopes the search to a metadata
+    * id-universe — the production RAG shape ("top-k among `lang='en'`
+    * vectors") against a COMMITTED index: the set lands as a keyed LEFT
+    * SEMI join on the probed-list scan, BEFORE any distance — so recall
+    * on the filtered universe is exact by construction (s10's
+    * pre-filter contract composed with the index path), the filter side
+    * is never collected (it may be a fixed fraction of the corpus —
+    * AQE broadcasts it only when it fits), and scoring cost is
+    * ∝ |probed lists ∩ filter|. */
   private[graft] def probeIvf(s: SparkSession, root: String,
-      q: DataFrame): DataFrame = {
+      q: DataFrame, filterIds: Option[DataFrame] = None): DataFrame = {
     val postT = graft.storage.GraftTable.open(s, s"$root/postings")
     val cent = graft.storage.GraftTable.open(s, s"$root/centroids").read()
     val assigned = assignQueryBatch(q, cent)
@@ -196,7 +206,9 @@ object Similarity {
     if (files.isEmpty)
       return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         annResultSchema(q, cent, postT))
-    val post = s.read.schema(postT.readSchema()).parquet(files: _*)
+    val scan = s.read.schema(postT.readSchema()).parquet(files: _*)
+    val post = filterIds.fold(scan)(f =>
+      scan.join(f.select(col("id")), col("vec_id") === col("id"), "left_semi"))
     val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     post.join(broadcast(assigned),
       col("label") === col("alabel") && col("vec_id") =!= col("q_id"))
@@ -593,29 +605,44 @@ object Similarity {
     * consistently "not yet indexed" for BOTH s7 and s9 (committing
     * postings first would make it s7-visible but s9-invisible). Do NOT
     * blind-retry a failed append — that would duplicate the committed
-    * half; run [[verifyIvfPqIndex]] and [[repairIvfPqIndex]] instead. */
+    * half; run [[verifyIvfPqIndex]] and [[repairIvfPqIndex]] instead.
+    *
+    * The assigned batch is MATERIALIZED (persisted + counted) before
+    * either commit: the codes and postings appends must see the SAME
+    * rows and labels, and a non-deterministic input plan (a sample, an
+    * unordered limit, freshly-minted ids) re-evaluated per append would
+    * otherwise commit diverging halves — the exact desync this API's
+    * failure contract exists to prevent (ADVICE r10). */
   def appendToIvfPqIndex(s: SparkSession, root: String, vectors: DataFrame): Long = {
     val assigned = assignVectors(s, root, vectors)
-    val cb = graft.storage.GraftTable.open(s, s"$root/codebook").read()
-    val codesDf = assigned.select(col("label"), col("vec_id"))
-      .join(encodeCodes(assigned.select(col("vec_id"), col("v")), cb), "vec_id")
-      .select(col("label"), col("vec_id"), col("codes"))
-    graft.storage.GraftTable.open(s, s"$root/codes").append(codesDf)
-    graft.storage.GraftTable.open(s, s"$root/postings").append(assigned)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assigned.count() // pin one evaluation before any consumer
+      val cb = graft.storage.GraftTable.open(s, s"$root/codebook").read()
+      val codesDf = assigned.select(col("label"), col("vec_id"))
+        .join(encodeCodes(assigned.select(col("vec_id"), col("v")), cb), "vec_id")
+        .select(col("label"), col("vec_id"), col("codes"))
+      graft.storage.GraftTable.open(s, s"$root/codes").append(codesDf)
+      graft.storage.GraftTable.open(s, s"$root/postings").append(assigned)
+    } finally { assigned.unpersist(); () }
   }
 
   /** Cross-table integrity audit for the composed index — the per-table
     * `GraftTable.verify` cannot see a postings/codes DESYNC (each table
     * is individually consistent), so this compares them: vec_ids
     * missing codes (s9-invisible vectors), orphaned codes (a failed
-    * [[appendToIvfPqIndex]]'s committed half), and duplicate ids in
-    * either table (a blind retry — duplicates CORRUPT ADC sums/top-k).
+    * [[appendToIvfPqIndex]]'s committed half), duplicate ids in
+    * either table (a blind retry — duplicates CORRUPT ADC sums/top-k),
+    * and LABEL disagreement between the two tables for a shared vec_id
+    * (a desynced append: the code row sits in a list the probe will
+    * never pair with its posting row, so the vector silently vanishes
+    * from s9 results while both id sets look complete).
     * Empty result = sound. */
   def verifyIvfPqIndex(s: SparkSession, root: String): Seq[String] = {
-    val post = graft.storage.GraftTable.open(s, s"$root/postings").read()
-      .select(col("vec_id"))
-    val codes = graft.storage.GraftTable.open(s, s"$root/codes").read()
-      .select(col("vec_id"))
+    val postFull = graft.storage.GraftTable.open(s, s"$root/postings").read()
+    val codesFull = graft.storage.GraftTable.open(s, s"$root/codes").read()
+    val post = postFull.select(col("vec_id"))
+    val codes = codesFull.select(col("vec_id"))
     val issues = Seq.newBuilder[String]
     val missing = post.join(codes, Seq("vec_id"), "left_anti").count()
     if (missing > 0) issues += s"$missing posting vector(s) have no code row (s9-invisible)"
@@ -625,25 +652,39 @@ object Similarity {
       val dups = df.groupBy("vec_id").count().filter(col("count") > 1).count()
       if (dups > 0) issues += s"$dups duplicate vec_id(s) in $name (corrupts top-k)"
     }
+    val mislabeled = postFull.select(col("vec_id"), col("label").as("p_label"))
+      .join(codesFull.select(col("vec_id"), col("label").as("c_label")), "vec_id")
+      .filter(col("p_label") =!= col("c_label")).count()
+    if (mislabeled > 0)
+      issues += s"$mislabeled vec_id(s) sit in different lists in postings vs codes (s9-invisible)"
     issues.result()
   }
 
   /** Repair a postings/codes desync left by a failed
     * [[appendToIvfPqIndex]]: re-encode and append the code rows missing
-    * for committed postings, and drop orphaned code rows (position
-    * deletes via the table's row-level path is overkill for an index —
-    * orphans are harmless to results, but they cost probe bytes, so the
-    * repair rewrites the codes table net of them only when any exist).
-    * Duplicates are NOT auto-repaired (which copy is authoritative is
-    * not decidable here) — recluster/rebuild the index instead.
+    * for committed postings, drop orphaned code rows, and re-label code
+    * rows whose list disagrees with their posting row (the codes table
+    * is rewritten net of both — orphans cost probe bytes, mislabels
+    * lose vectors; position deletes via the table's row-level path is
+    * overkill for an index). Duplicates are NOT auto-repaired (which
+    * copy is authoritative is not decidable here) — recluster/rebuild
+    * the index instead.
     *
-    * The repair is itself CRASH-RECOVERABLE: the net-of-orphans rewrite
+    * The repair is itself CRASH-RECOVERABLE: the rewrite
     * stages into `codes_repair`, and the only destructive step is the
     * drop-then-clone swap at the end. A crash before the swap leaves
     * `codes` intact (a stale staging table is dropped on the next run);
     * a crash INSIDE the swap leaves the clean table in `codes_repair`,
-    * and the next run completes the swap before anything else. Returns
-    * (codeRowsAdded, orphanCodeRowsRemoved). */
+    * and the next run completes the swap before anything else.
+    *
+    * NOT reader-safe: the swap window (drop(codes) → cloneTo → drop of
+    * the staging dir) is a multi-second distributed copy during which a
+    * concurrent [[probeIvfPq]]/[[startPq]] opening `$root/codes` fails
+    * on a missing table. Run the repair with EXCLUSIVE ownership of the
+    * index root — quiesce probes first, exactly like recluster/rebuild
+    * (crash recovery ≠ concurrent-reader isolation). Returns
+    * (codeRowsAdded, badCodeRowsFixed) where "fixed" counts orphans
+    * dropped plus mislabeled rows re-labeled. */
   def repairIvfPqIndex(s: SparkSession, root: String): (Long, Long) = {
     val tmp = s"$root/codes_repair"
     // crash recovery FIRST: a previous repair that died between
@@ -669,12 +710,18 @@ object Similarity {
       else codesT.append(missing.select(col("label"), col("vec_id"))
         .join(encodeCodes(missing.select(col("vec_id"), col("v")), cb), "vec_id")
         .select(col("label"), col("vec_id"), col("codes")))
+    val postLabels = post.select(col("vec_id"), col("label").as("p_label"))
     val orphans = codesT.read()
       .join(post.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
-    if (orphans > 0) {
-      // net-of-orphans rewrite, preserving the per-list clustering
-      val clean = codesT.read()
-        .join(post.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val mislabeled = codesT.read().select(col("vec_id"), col("label"))
+      .join(postLabels, "vec_id")
+      .filter(col("label") =!= col("p_label")).count()
+    if (orphans + mislabeled > 0) {
+      // rewrite net of orphans, labels taken from POSTINGS (the
+      // authoritative assignment), preserving the per-list clustering
+      val clean = codesT.read().drop("label")
+        .join(postLabels, Seq("vec_id"))
+        .withColumnRenamed("p_label", "label")
       val nLists = graft.storage.GraftTable.open(s, s"$root/centroids")
         .rowCountFromMetadata().toInt.max(1)
       val staged = clean.repartitionByRange(nLists, col("label"))
@@ -686,7 +733,7 @@ object Similarity {
       tmpT.cloneTo(s"$root/codes")
       graft.storage.GraftTable.drop(tmp)
     }
-    (added, orphans)
+    (added, orphans + mislabeled)
   }
 
   /** s9: ANN served from the composed IVF-PQ index. Per query: assign to
@@ -712,9 +759,17 @@ object Similarity {
     * construction: probed labels (one per query) and re-rank candidates
     * (PqRerank per query). Shared by [[s9AnnIvfPq]] and the continuous
     * twin ([[graft.streaming.AnnStream.startPq]]), so the two are the
-    * same operator by construction. */
+    * same operator by construction.
+    *
+    * `filterIds` (one `id` column) scopes the search to a metadata
+    * id-universe, as in [[probeIvf]]: the semi join lands on the CODES
+    * scan — BEFORE the ADC candidate selection — so the top-PqRerank
+    * quantized candidates are drawn from the filtered universe (a
+    * post-ADC filter would return fewer than k whenever the predicate
+    * is selective inside the shortlist), and the exact re-rank then
+    * touches only filtered ids. */
   private[graft] def probeIvfPq(s: SparkSession, root: String,
-      q: DataFrame): DataFrame = {
+      q: DataFrame, filterIds: Option[DataFrame] = None): DataFrame = {
     val postT = graft.storage.GraftTable.open(s, s"$root/postings")
     val codesT = graft.storage.GraftTable.open(s, s"$root/codes")
     val cent = graft.storage.GraftTable.open(s, s"$root/centroids").read()
@@ -732,7 +787,9 @@ object Similarity {
     // candidate scan at ~1/nlist of the code bytes; the label equality
     // below makes pruning-overshoot (a file straddling two lists)
     // harmless
-    val codes = s.read.schema(codesT.readSchema()).parquet(codeFiles: _*)
+    val codeScan = s.read.schema(codesT.readSchema()).parquet(codeFiles: _*)
+    val codes = filterIds.fold(codeScan)(f =>
+      codeScan.join(f.select(col("id")), col("vec_id") === col("id"), "left_semi"))
     // the COMMITTED codebook: probes are fully index-served, no retrain
     val qtab = pqQueryTable(q,
       graft.storage.GraftTable.open(s, s"$root/codebook").read())
@@ -859,6 +916,30 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** s12: FILTERED probe of the PERSISTED IVF index — s10/s11's
+    * metadata pre-filter composed with the COMMITTED s7 index (the gap
+    * VERDICT r10 named: s11 recomputes the quantizer in-memory; the
+    * production shape filters against an index already on storage).
+    * The `lang = 'en'` id-universe rides [[probeIvf]]'s `filterIds`
+    * semi join INSIDE the probed-list scan: files read stay ~1/nlist
+    * (zone-map pruning is untouched by the filter), candidates are
+    * ⊆ filter before any distance, and the filter side is never
+    * collected or force-broadcast. Same quantizer + tie-breaks as s11
+    * by construction (the committed centroids ARE s2's `centroids()`
+    * output, spec-pinned via s7 ≡ s2), so s11's oracle is this entry's
+    * oracle — the hash proves the persisted-index composition loses
+    * nothing vs the in-memory one. */
+  def s12FilteredPersisted(s: SparkSession, dir: String): DataFrame = {
+    val root = ivfIndexDir(s, dir)
+    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val q = postT.read().filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val en = Tables.load(s, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").cast("long").as("id"))
+    probeIvf(s, root, q, Some(en)).orderBy("q_id", "rank")
+  }
+
   /** Each retrieval signal's rank list is truncated to this depth before
     * fusion — the property that makes RRF scale: each signal produces
     * its top-K independently (lexical: an equality join on shingles;
@@ -937,6 +1018,7 @@ object Similarity {
     "s9_ann_ivfpq" -> s9AnnIvfPq _,
     "s10_filtered_ann" -> s10FilteredAnn _,
     "s11_filtered_ivf" -> s11FilteredIvf _,
+    "s12_filtered_persisted" -> s12FilteredPersisted _,
   )
 
   import OracleSql._
@@ -1244,7 +1326,12 @@ object Similarity {
 
   // s7 serves s2's exact result from the persisted index, so its oracle
   // is s2's verbatim — a hash match proves the materialized index +
-  // zone-map-pruned probe lose nothing vs the inline plan
+  // zone-map-pruned probe lose nothing vs the inline plan. s12 is the
+  // same twinning for the FILTERED probe: the committed centroids are
+  // s2's centroids() output (pinned by s7 ≡ s2), so the filtered
+  // persisted probe must reproduce s11's in-memory composition exactly.
   val oracles: Map[String, String] =
-    oraclesBase + ("s7_ann_persisted" -> oraclesBase("s2_ann_ivf"))
+    oraclesBase +
+      ("s7_ann_persisted" -> oraclesBase("s2_ann_ivf")) +
+      ("s12_filtered_persisted" -> oraclesBase("s11_filtered_ivf"))
 }

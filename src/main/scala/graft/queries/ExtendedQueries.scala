@@ -303,20 +303,20 @@ object ExtendedQueries {
     * orders). The quantity aggregate + HAVING runs on lineitem ALONE
     * first (the TPC-H-prescribed decomposition: the filter drops ~99.8%
     * of orders), and the JOIN ORDER follows that selectivity: orders
-    * joins the broadcast-sized filtered aggregate FIRST — the result is
+    * joins the filtered aggregate FIRST — the result is
     * ~0.2% of orders — and only those survivors join customer. The old
     * left-deep `customer ⋈ orders` order ran the two largest non-fact
     * tables at full cardinality before the selective filter landed; it
     * was invisible at sf0.1 (customer broadcasts) but becomes a full
     * shuffle join at 100×. With this order the expensive side is gone
     * BY CONSTRUCTION: the first join's small side is the qty-filtered
-    * aggregate (broadcast-hinted — bounded by the HAVING selectivity),
-    * and the customer join's probe side is the surviving ~0.2 % of
-    * orders. That second join is deliberately NOT broadcast-hinted: the
-    * intermediate is a fixed FRACTION of orders, not a fixed size, so a
-    * forced broadcast would trade a cheap tiny-side shuffle at extreme
-    * scale for a driver OOM — the planner/AQE picks broadcast whenever
-    * it actually fits. Deterministic: quantities are integral doubles
+    * aggregate, and the customer join's probe side is the surviving
+    * ~0.2 % of orders. NEITHER join is broadcast-hinted (ADVICE r10):
+    * both small sides are fixed FRACTIONS of their input — the HAVING
+    * survivors grow linearly with SF exactly like the customer side —
+    * so a forced broadcast would trade a cheap tiny-side shuffle at
+    * extreme scale for a driver OOM; the planner/AQE picks broadcast
+    * whenever a side actually fits. Deterministic: quantities are integral doubles
     * summed to BIGINT, total price in cents, tie-break on o_orderkey. */
   def q45HavingJoin(s: SparkSession, dir: String): DataFrame = {
     val big = t(s, dir, "lineitem")
@@ -324,7 +324,7 @@ object ExtendedQueries {
       .agg(sum("l_quantity").cast("long").as("qty"))
       .filter(col("qty") > 300)
     t(s, dir, "orders")
-      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
       .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"),
@@ -360,7 +360,9 @@ object ExtendedQueries {
     val loc = collationTableCache.computeIfAbsent((s, dir), { _ =>
       val probes = Seq("A", "Å", "B", "Aarhus", "Aardvark", "Zebra").toDF("s")
       val base = t(s, dir, "nation").select(col("n_name").as("s")).union(probes)
-      val l = java.nio.file.Files.createTempDirectory("graft_coll").toString + "/t"
+      // under the engine scratch root: reaped on JVM exit (ADVICE r10)
+      val l = graft.operators.Dedup.scratchRoot(s) +
+        s"/coll-${java.util.UUID.randomUUID().toString.take(8)}/t"
       val gt = graft.storage.GraftTable.create(s, l, base.schema,
         graft.storage.GraftTableOptions(sortBy = Seq("s")))
       gt.append(base.repartition(1))

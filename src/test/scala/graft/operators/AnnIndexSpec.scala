@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.In
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 import graft.storage.GraftTable
 
 /** s7 — the PERSISTED IVF index: s2's quantizer materialized as graft
@@ -34,6 +34,66 @@ class AnnIndexSpec extends SparkSpec {
     val covered = (0 to 9).flatMap(l =>
       post.prunedFiles(Seq(In("label", Array[Any](l))))).toSet
     assert(covered.size === all, "the union of list probes covers every file")
+  }
+
+  test("s12: filtered probe of the persisted index equals the in-memory composition (s11)") {
+    val fromIndex = Similarity.s12FilteredPersisted(spark, dir).collect()
+    val inline = Similarity.s11FilteredIvf(spark, dir).collect()
+    assert(fromIndex.nonEmpty)
+    assert(fromIndex.map(_.toSeq).toSeq === inline.map(_.toSeq).toSeq,
+      "the committed index + filterIds semi join must reproduce s11 exactly")
+  }
+
+  test("s12: candidates are a subset of the filter universe; probed lists only") {
+    val en = Tables.load(spark, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSet
+    val out = Similarity.s12FilteredPersisted(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => en.contains(r.getLong(2))),
+      "every returned candidate must satisfy the metadata predicate (pre-filter contract)")
+    // the filter must not widen the scan: returned labels stay within
+    // the queries' assigned lists (file pruning is label-driven and
+    // filter-independent — the semi join lands on the pruned scan)
+    val probed = Similarity.s7AnnPersisted(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).groupBy(_._1)
+      .map { case (q, ls) => q -> ls.map(_._2).toSet }
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      probed.get(q).foreach(ls =>
+        assert(rows.map(_.getInt(1)).toSet.subsetOf(ls),
+          s"query $q escaped its probed list(s)"))
+    }
+  }
+
+  test("filtered IVF-PQ probe: candidates within filter, exact re-rank cosines, dense ranks") {
+    import org.apache.spark.sql.functions.col
+    Similarity.s9AnnIvfPq(spark, dir).count()
+    val root = Similarity.ivfPqIndexDir(spark, dir)
+    val postT = GraftTable.open(spark, s"$root/postings")
+    val q = postT.read().filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val en = Tables.load(spark, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").cast("long").as("id"))
+    val enSet = en.collect().map(_.getLong(0)).toSet
+    val got = Similarity.probeIvfPq(spark, root, q, Some(en)).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => enSet.contains(r.getLong(2))),
+      "the ADC shortlist must be drawn from the filtered universe")
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def nrm(v: Array[Double]) = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    got.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.map(_.getLong(4)).sorted.toSeq === (1L to rows.length).toSeq)
+      rows.foreach { r =>
+        val (qv, c) = (raw(qid), raw(r.getLong(2)))
+        val dot = qv.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+        val exact = BigDecimal(dot / (nrm(qv) * nrm(c)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getDouble(3) - exact) < 1e-9)
+      }
+    }
   }
 
   // -- s9: the composed IVF-PQ index -----------------------------------
@@ -189,6 +249,43 @@ class AnnIndexSpec extends SparkSpec {
     val codeOf = (id: Long) => codesT2.read().filter(col("vec_id") === id)
       .select("codes").head.getSeq[Int](0).toSeq
     assert(codeOf(3000000L) === codeOf(0L))
+  }
+
+  test("IVF-PQ audit detects a LABEL desync (both ids present, different lists); repair relabels") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // A code row in the wrong list is invisible to the probe (it never
+    // pairs with its posting row) yet both vec_id SETS look complete —
+    // the ADVICE r10 failure mode for a desynced append.
+    Similarity.s9AnnIvfPq(spark, dir).count()
+    val root = Similarity.ivfPqIndexDir(spark, dir)
+    val root2 = tmpDir("ivfpq-mislabel")
+    Seq("centroids", "postings", "codebook", "codes").foreach(t =>
+      GraftTable.open(spark, s"$root/$t").cloneTo(s"$root2/$t"))
+    val v0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0).select("embedding").head
+      .getSeq[Float](0).toArray
+    assert(Similarity.appendToIvfIndex(spark, root2,
+      Seq((5000000L, v0)).toDF("vec_id", "embedding")) === 1L)
+    val pLabel = GraftTable.open(spark, s"$root2/postings").read()
+      .filter(col("vec_id") === 5000000L).select("label").head.getInt(0)
+    val nLists = GraftTable.open(spark, s"$root2/centroids")
+      .rowCountFromMetadata().toInt
+    val codesT = GraftTable.open(spark, s"$root2/codes")
+    val wrong = codesT.read().filter(col("vec_id") === 0L)
+      .select(lit((pLabel + 1) % nLists).as("label"),
+        lit(5000000L).as("vec_id"), col("codes"))
+    codesT.append(wrong)
+    val issues = Similarity.verifyIvfPqIndex(spark, root2)
+    assert(issues.exists(_.contains("different lists")), issues.toString)
+    assert(!issues.exists(_.contains("no code row")), issues.toString)
+    assert(!issues.exists(_.contains("no posting vector")), issues.toString)
+    val (added, fixed) = Similarity.repairIvfPqIndex(spark, root2)
+    assert(added === 0L && fixed === 1L)
+    assert(Similarity.verifyIvfPqIndex(spark, root2) === Seq.empty)
+    val relabeled = GraftTable.open(spark, s"$root2/codes").read()
+      .filter(col("vec_id") === 5000000L).select("label").head.getInt(0)
+    assert(relabeled === pLabel, "repair must take the POSTINGS label")
   }
 
   test("IVF-PQ repair recovers from a crash inside its own swap") {

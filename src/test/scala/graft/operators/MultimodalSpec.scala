@@ -173,6 +173,17 @@ class MultimodalSpec extends SparkSpec {
     miscount(fOff) = (miscount(fOff) + 1).toByte
     val ex3 = intercept[IllegalArgumentException] { Multimodal.parseAvi(miscount, -1L) }
     assert(ex3.getMessage.contains("frames but found"), ex3.getMessage)
+    // Int-overflow length: a chunk len near Int.MaxValue must hit the
+    // documented 'truncated' refusal, not wrap the bound check negative
+    // and walk out of the array (ADVICE r10)
+    val overflow = good.clone()
+    val moviOff = new String(good, "ISO-8859-1").indexOf("LIST")
+    assert(moviOff > 0)
+    val lb = java.nio.ByteBuffer.wrap(overflow)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    lb.putInt(moviOff + 4, Int.MaxValue - 4)
+    val ex4 = intercept[IllegalArgumentException] { Multimodal.parseAvi(overflow, -1L) }
+    assert(ex4.getMessage.contains("truncated"), ex4.getMessage)
   }
 
   test("m5 header-parsed geometry equals m4 codec-decoded geometry") {

@@ -260,4 +260,53 @@ class PipelineOpsSpec extends SparkSpec {
     assert(t2.verify() === Seq.empty)
     GraftTable.drop(loc)
   }
+
+  test("p3: the store side of the dedup join is Bloom-pruned, never broadcast-hinted") {
+    // VERDICT r10 #1: the committed store is the ACCUMULATING corpus —
+    // a broadcast hint on its fingerprint set is a driver-OOM at scale.
+    // Pin the fixed shape: batch sketch → might_contain prune of the
+    // store scan → exact anti join, with no ResolvedHint anywhere.
+    import graft.storage.GraftTable
+    import org.apache.spark.sql.functions.md5
+    val docs = Tables.load(spark, sf("sf0.001"), "documents").select(
+      col("doc_id").cast("long").as("doc_id"), col("text"),
+      col("source"), col("n_chars").cast("long").as("n_chars"))
+    val base = docs.filter(col("doc_id") % 5 =!= 4).limit(50)
+    val loc = tmpDir("p3-plan") + "/t"
+    GraftTable.create(spark, loc, base.schema).append(base)
+    val batch = docs.filter(col("doc_id") % 5 === 4).limit(20)
+      .withColumn("fp", md5(col("text").cast("binary")))
+    val surv = Pipeline.refreshSurvivors(spark, batch, loc)
+    val analyzed = surv.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint") && !analyzed.contains("broadcast"),
+      s"no broadcast hint may appear in p3's dedup join:\n${analyzed.take(2000)}")
+    val plan = surv.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected the batch-sketch might_contain prune of the store scan:\n${plan.take(2000)}")
+    // semantics unchanged: survivors = batch fingerprints absent from store
+    val baseFps = GraftTable.open(spark, loc).read()
+      .select(md5(col("text").cast("binary")).as("fp"))
+      .collect().map(_.getString(0)).toSet
+    val survRows = surv.collect()
+    val batchRows = batch.collect()
+    val expected = batchRows.filter(r => !baseFps.contains(
+      r.getAs[String]("fp"))).map(_.getAs[Long]("doc_id")).toSet
+    assert(survRows.map(_.getAs[Long]("doc_id")).toSet === expected)
+    GraftTable.drop(loc)
+  }
+
+  test("p3: the refresh store rides the engine scratch root on any Hadoop scheme (mock:)") {
+    // VERDICT r10 #8: the store location goes through
+    // spark.graft.scratchDir + the storage layer's Hadoop FS handling,
+    // so the entry is not married to java.nio local temp dirs.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mock.impl", classOf[graft.storage.MockFs].getName)
+    val root = "mock:" + tmpDir("p3-mockroot")
+    spark.conf.set("spark.graft.scratchDir", root)
+    try {
+      val out = Pipeline.p3IncrementalRefresh(spark, sf("sf0.001")).collect()
+      assert(out.nonEmpty)
+      assert(out.map(_.getLong(0)).distinct.length === out.length)
+    } finally spark.conf.unset("spark.graft.scratchDir")
+  }
 }
