@@ -878,6 +878,31 @@ final class GraftTable private (
           }
         }
       }
+      // Collation-order WITNESS bounds for declared-collation columns:
+      // the footer's binary min/max cannot refute collated predicates
+      // (cstore_reader.c:763-769), so record the file's extreme VALUES
+      // under the collation — one column-pruned aggregate over the new
+      // file (Spark's min/max on a collated type IS the collation
+      // order), only when the schema declares a collation at all. Cost
+      // ∝ the collated columns of the new file; zero for every other
+      // table.
+      val collFields = meta.currentSchema.fields
+        .filter(f => GraftTable.collatedType(f.dataType).isDefined)
+      if (collFields.nonEmpty) {
+        import org.apache.spark.sql.functions.{min => fMin, max => fMax, col => fCol}
+        val sub = org.apache.spark.sql.types.StructType(collFields.toSeq)
+        val aggs = collFields.flatMap(f =>
+          Seq(fMin(fCol(s"`${f.name}`")), fMax(fCol(s"`${f.name}`")))).toSeq
+        val w = spark.read.schema(sub).parquet(file)
+          .agg(aggs.head, aggs.tail: _*).head()
+        collFields.zipWithIndex.foreach { case (f, i) =>
+          val st = GraftTable.collatedType(f.dataType).get
+          val (mn, mx) = (w.getString(2 * i), w.getString(2 * i + 1))
+          if (mn != null && mx != null)
+            byCol.put(GraftTable.collStatKey(f.name, st),
+              GraftTable.ColFileStats(mn, mx, -1L, rows))
+        }
+      }
       (rows, (byCol -- unusable).toMap)
     } finally r.close()
   }
@@ -3594,6 +3619,40 @@ object GraftTable {
     * unscaled-integer domain (the column's scale is fixed). The
     * reference skips blocks for every btree-comparable type including
     * these (`cstore_writer.c:845-849`). */
+  /** The declared NON-BINARY collation of a string column, when any.
+    * (`st == StringType` is Spark's binary/UTF8 default; any other
+    * StringType instance carries a collation id.) */
+  def collatedType(dt: DataType): Option[StringType] = dt match {
+    case st: StringType if st != StringType => Some(st)
+    case _ => None
+  }
+
+  /** File-stats key for a collated column's COLLATION-ORDER min/max
+    * witnesses (SURVEY §7.4 hard part 2's fix: binary min/max cannot
+    * refute collated predicates — `cstore_reader.c:763-769` — so the
+    * append path additionally records the file's extreme VALUES under
+    * the declared collation, and the pruner compares filter values
+    * against them with the collation's own comparator). The key embeds
+    * the collation name AND its library version: a reader running a
+    * different ICU (whose rules may order differently) simply misses
+    * the key and falls back to the sound no-refutation path — the
+    * mixed-version caveat is structural, not a doc footnote. The NUL
+    * separator cannot appear in a practical column name, so witness
+    * keys never collide with real column stats. */
+  def collStatKey(name: String, st: StringType): String = {
+    val c = org.apache.spark.sql.catalyst.util.CollationFactory
+      .fetchCollation(st.collationId)
+    name + "\u0000" + "coll:" + c.collationName + "@" + c.version
+  }
+
+  /** Collation-order comparison of two strings under a declared
+    * collation (the comparator Spark itself sorts/compares with). */
+  private[storage] def compareCollated(st: StringType, a: String, b: String): Int =
+    org.apache.spark.sql.catalyst.util.CollationFactory
+      .fetchCollation(st.collationId).comparator.compare(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
   private[storage] def zoneMapEligible(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
          BooleanType | DateType | TimestampType | TimestampNTZType => true
@@ -3712,13 +3771,38 @@ object GraftTable {
     def cs(c: String): Option[(DataType, ColFileStats)] =
       if (schema.fieldNames.contains(c)) stats.get(c).map(s => (schema(c).dataType, s))
       else None
-    def cmpMin(c: String, v: Any): Option[Int] = cs(c).flatMap { case (dt, s) =>
-      if (!binaryComparable(dt)) None
-      else filterValueString(dt, v).flatMap(fv => compareStat(dt, s.min, fv))
+    // A DECLARED-collation column refutes through its collation-order
+    // WITNESS bounds (collStatKey) when the file recorded them under
+    // the reader's exact collation+version — binary bounds stay barred
+    // (binaryComparable) and files/tables without witnesses (pre-feature
+    // appends, version drift) conservatively keep everything.
+    def cmpColl(c: String, st: StringType, v: Any,
+        pickMin: Boolean): Option[Int] = v match {
+      case s: String => stats.get(collStatKey(c, st)).flatMap { w =>
+        val bound = if (pickMin) w.min else w.max
+        if (bound == null) None else Some(compareCollated(st, bound, s))
+      }
+      case _ => None
     }
-    def cmpMax(c: String, v: Any): Option[Int] = cs(c).flatMap { case (dt, s) =>
-      if (!binaryComparable(dt)) None
-      else filterValueString(dt, v).flatMap(fv => compareStat(dt, s.max, fv))
+    def dtOf(c: String): Option[DataType] =
+      if (schema.fieldNames.contains(c)) Some(schema(c).dataType) else None
+    def cmpMin(c: String, v: Any): Option[Int] = dtOf(c).flatMap { dt =>
+      collatedType(dt) match {
+        case Some(st) => cmpColl(c, st, v, pickMin = true)
+        case None => cs(c).flatMap { case (_, s) =>
+          if (!binaryComparable(dt)) None
+          else filterValueString(dt, v).flatMap(fv => compareStat(dt, s.min, fv))
+        }
+      }
+    }
+    def cmpMax(c: String, v: Any): Option[Int] = dtOf(c).flatMap { dt =>
+      collatedType(dt) match {
+        case Some(st) => cmpColl(c, st, v, pickMin = false)
+        case None => cs(c).flatMap { case (_, s) =>
+          if (!binaryComparable(dt)) None
+          else filterValueString(dt, v).flatMap(fv => compareStat(dt, s.max, fv))
+        }
+      }
     }
     // A file whose recorded stats show the column is null in every row
     // can satisfy no comparison predicate at all (SQL comparisons with

@@ -125,11 +125,61 @@ object ParquetDelegate {
       super.pushDataFilters(dataFilters)
     }
 
+    /** Collated comparisons for the FILE PRUNER only. Spark refuses to
+      * translate a comparison on a declared-collation column into a V1
+      * source Filter (binary pushdown would be unsound), so
+      * `translatedDataFilters` never carries them — but the graft zone
+      * maps hold collation-order WITNESS bounds for exactly these
+      * columns (`GraftTable.collStatKey`), and `refutes` compares with
+      * the collation's own comparator. Extract the comparable shapes
+      * from the CATALYST data filters; they are handed to the pruner
+      * and never to the parquet reader (the full predicate stays in the
+      * residual FilterExec regardless). */
+    private def collatedPrunerFilters: Seq[Filter] = {
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.{sources => sf}
+      import org.apache.spark.unsafe.types.UTF8String
+      def attr(e: Expression): Option[String] = e match {
+        case a: AttributeReference
+            if GraftTable.collatedType(a.dataType).isDefined => Some(a.name)
+        case _ => None
+      }
+      def str(e: Expression): Option[String] = e match {
+        case Literal(v: UTF8String, _) if v != null => Some(v.toString)
+        case _ => None
+      }
+      this.dataFilters.flatMap {
+        case EqualTo(a, l) => for (n <- attr(a); s <- str(l)) yield sf.EqualTo(n, s)
+        case EqualTo(l, a) => for (n <- attr(a); s <- str(l)) yield sf.EqualTo(n, s)
+        case GreaterThan(a, l) =>
+          for (n <- attr(a); s <- str(l)) yield sf.GreaterThan(n, s)
+        case GreaterThan(l, a) =>
+          for (n <- attr(a); s <- str(l)) yield sf.LessThan(n, s)
+        case GreaterThanOrEqual(a, l) =>
+          for (n <- attr(a); s <- str(l)) yield sf.GreaterThanOrEqual(n, s)
+        case GreaterThanOrEqual(l, a) =>
+          for (n <- attr(a); s <- str(l)) yield sf.LessThanOrEqual(n, s)
+        case LessThan(a, l) =>
+          for (n <- attr(a); s <- str(l)) yield sf.LessThan(n, s)
+        case LessThan(l, a) =>
+          for (n <- attr(a); s <- str(l)) yield sf.GreaterThan(n, s)
+        case LessThanOrEqual(a, l) =>
+          for (n <- attr(a); s <- str(l)) yield sf.LessThanOrEqual(n, s)
+        case LessThanOrEqual(l, a) =>
+          for (n <- attr(a); s <- str(l)) yield sf.GreaterThanOrEqual(n, s)
+        case In(a, vs) if attr(a).isDefined && vs.nonEmpty &&
+            vs.forall(str(_).isDefined) =>
+          Some(sf.In(attr(a).get, vs.flatMap(str).toArray[Any]))
+        case _ => None
+      }
+    }
+
     override def build(): ParquetScan = {
       var staticPruned = 0L
+      val prunerFilters = translatedDataFilters.toSeq ++ collatedPrunerFilters
       val prunedBase = filePruner match {
-        case Some(pruner) if translatedDataFilters.nonEmpty =>
-          val kept = pruner(translatedDataFilters.toSeq)
+        case Some(pruner) if prunerFilters.nonEmpty =>
+          val kept = pruner(prunerFilters)
           if (kept.size < allFiles.size) {
             staticPruned = (allFiles.size - kept.size).toLong
             // rebuild the delegate over the surviving files, replaying

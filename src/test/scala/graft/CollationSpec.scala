@@ -77,7 +77,7 @@ class CollationSpec extends SparkSpec {
       "zone maps must not prune on a collated predicate")
   }
 
-  test("a DECLARED collated column (STRING COLLATE da) is served correctly and never binary-pruned") {
+  test("a DECLARED collated column prunes through COLLATION-ORDER witnesses, never binary bounds") {
     import graft.storage.GraftTable
     val wh = tmpDir("collated-decl-wh")
     spark.conf.set("spark.sql.catalog.cdecl", "graft.sources.GraftCatalog")
@@ -94,21 +94,43 @@ class CollationSpec extends SparkSpec {
       // schema round-trips the collation through the commit log
       assert(t.readSchema()("s").dataType.sql === "STRING COLLATE DA")
       // Danish semantics through SQL: the 50 binary-low 'AA…' rows sort
-      // after 'Z'; Spark refuses to push the collated comparison down,
-      // so the engine must serve it as a residual filter over all files
+      // after 'Z'; Spark refuses to push the collated comparison down
+      // as a binary filter, so the full predicate stays residual — but
+      // the DECLARED collation lets the append record collation-order
+      // WITNESS bounds, and the pruner refutes with the collation's own
+      // comparator (SURVEY §7.4 #2): the B-file is provably all < 'Z'
+      // under da, the AA-file (≡ Å…) provably all > 'Z' and must stay
       val df = spark.table("cdecl.db.t").filter(col("s") > lit("Z"))
-      assert(df.count() === 50)
+      // collect() df ITSELF so the metric below reads the executed scan
+      assert(df.collect().length === 50,
+        "collation-witness pruning must not drop the Danish Å-family file")
       assert(!df.queryExecution.executedPlan.toString.contains("GreaterThan(s,"),
         "a collated comparison must not push down as a binary filter")
-      // and the zone maps themselves refuse to refute on the collated
-      // column even for a RAW binary-looking source filter (the Scala
-      // DML/pruning APIs accept them directly): binary bounds would
-      // wrongly drop the 'AA…' file for > 'Z'
+      def findScan(p: org.apache.spark.sql.execution.SparkPlan)
+          : Option[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Some(b)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          findScan(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScan(q.plan)
+        case other => other.children.view.flatMap(findScan(_)).headOption
+      }
+      val scan = findScan(df.queryExecution.executedPlan)
+        .getOrElse(fail("no BatchScanExec"))
+      assert(scan.metrics("graftFilesPrunedStatic").value === 1,
+        "the da range predicate must statically prune the provably-below-'Z' file")
+      // the raw Scala pruning API agrees (witness bounds, not binary):
+      // > 'Z' keeps only the Å-family file; = 'zzz' refutes both files
+      // (å > z > B under da)
       assert(t.prunedFiles(Seq(
-        org.apache.spark.sql.sources.GreaterThan("s", "Z"))).size === 2,
-        "zone maps must never refute on a non-binary-collation column")
+        org.apache.spark.sql.sources.GreaterThan("s", "Z"))).size === 1)
       assert(t.prunedFiles(Seq(
-        org.apache.spark.sql.sources.EqualTo("s", "zzz"))).size === 2)
+        org.apache.spark.sql.sources.EqualTo("s", "zzz"))).size === 0)
+      // witness bounds are keyed by collation name AND library version:
+      // a stats map missing the key (pre-feature file, ICU drift) keeps
+      // the file — simulate by consulting a version-mangled key
+      val st = t.readSchema()("s").dataType.asInstanceOf[org.apache.spark.sql.types.StringType]
+      val key = GraftTable.collStatKey("s", st)
+      assert(key.contains("@"), "witness key must embed the collation version")
       // the proven-order merge-join claim is refused too: binary
       // min/max cannot prove COLLATION order, so the scan must let the
       // join re-sort instead of claiming a wrong order

@@ -208,6 +208,44 @@ class FileZoneMapSpec extends SparkSpec {
     GraftTable.drop(loc)
   }
 
+  test("collated refutation: witness bounds refute with the collation comparator; a missing witness key never refutes") {
+    // Unit-level soundness triad for the collation witness machinery:
+    // (1) binary bounds NEVER refute a declared-collation column, even
+    // when present; (2) witness bounds refute with the collation's own
+    // comparator; (3) a stats map without the (collation, version)
+    // witness key — a pre-feature file or an ICU-version drift — is
+    // conservatively kept.
+    val daType = org.apache.spark.sql.types.DataType
+      .fromDDL("s STRING COLLATE da").asInstanceOf[StructType]
+    val schema = daType
+    val st = schema("s").dataType.asInstanceOf[org.apache.spark.sql.types.StringType]
+    val wKey = GraftTable.collStatKey("s", st)
+    // file holding 'B0'..'B49': binary bounds == collation bounds here,
+    // but only the WITNESS entry may be consulted
+    val binaryOnly = Map("s" -> GraftTable.ColFileStats("B0", "B49", 0L, 50L))
+    val withWitness = binaryOnly +
+      (wKey -> GraftTable.ColFileStats("B0", "B49", -1L, 50L))
+    val gtZ = GreaterThan("s", "Z")
+    assert(!GraftTable.refutes(schema, binaryOnly, gtZ),
+      "no witness entry -> never refute (pre-feature / version drift)")
+    assert(GraftTable.refutes(schema, withWitness, gtZ),
+      "witness bounds prove max < 'Z' under da")
+    // Danish AA ≡ Å sorts after Z: a witness file of 'AA…' values must
+    // NOT be refuted for > 'Z' even though binary order says otherwise
+    val aaWitness = Map(
+      "s" -> GraftTable.ColFileStats("AA0", "AA49", 0L, 50L),
+      wKey -> GraftTable.ColFileStats("AA0", "AA49", -1L, 50L))
+    assert(!GraftTable.refutes(schema, aaWitness, gtZ),
+      "Å-family witnesses sort after Z under da — keeping the file is the point")
+    // equality probes: 'zzz' < å-family min under da -> refuted
+    assert(GraftTable.refutes(schema, aaWitness, EqualTo("s", "zzz")))
+    // a mangled version key (ICU drift) falls back to keep
+    val drifted = Map(
+      "s" -> GraftTable.ColFileStats("B0", "B49", 0L, 50L),
+      (wKey + ".drift") -> GraftTable.ColFileStats("B0", "B49", -1L, 50L))
+    assert(!GraftTable.refutes(schema, drifted, gtZ))
+  }
+
   test("a fully-null column refutes comparisons but not IS NULL") {
     import spark.implicits._
     val loc = tmpDir("zm-fullnull") + "/tbl"
