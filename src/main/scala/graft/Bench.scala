@@ -295,7 +295,21 @@ object Bench {
       s"""{"spin":${tl(spinTl)},"shuffle":${tl(shufTl)}}"""
     val suiteBest = (total +: rerunWalls).min
     val rerunJson = rerunWalls.map(w => f"$w%.3f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"warmup_errors":$warmupJson,"sf":"$sfDir","solo":$soloJson,"pool_drained":$poolDrained,"calib":$calibJson,"calib_sec":$calibSec%.3f,"calib_timeline":$timelineJson,"calib_insuite_sec":$calibInsuite%.3f,"suite_sec_reruns":$rerunJson,"suite_sec_best":$suiteBest%.3f,"suite_sec":$total}""")
+    // The stdout HEADLINE keeps every per-query number but drops the
+    // bulky calib_timeline (it alone tripled the line and got the tail
+    // clipped by the driver's capture in round 10 — VERDICT r10 #2);
+    // the COMPLETE artifact, timeline included, is also written to
+    // BENCH_result.json so a clipped stdout is never the only record.
+    val headline = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"warmup_errors":$warmupJson,"sf":"$sfDir","solo":$soloJson,"pool_drained":$poolDrained,"calib":$calibJson,"calib_sec":$calibSec%.3f,"calib_insuite_sec":$calibInsuite%.3f,"suite_sec_reruns":$rerunJson,"suite_sec_best":$suiteBest%.3f,"suite_sec":$total}"""
+    val full = headline.dropRight(1) +
+      s""","calib_timeline":$timelineJson}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_result.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_result.json: ${e.getMessage}")
+    }
+    println(headline)
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -30,6 +30,14 @@ object ProfScale100 {
       t("c13_epoch_mix")(operators.Sampling.c13EpochMix(spark, dir).count())
       t("t3_lang_id")(operators.TextAnalysis.t3LangId(spark, dir).count())
       t("d1_exact_dedup")(operators.Dedup.d1ExactDedup(spark, dir).count())
+      // heaviest per family (VERDICT r10 #7): banded TF-IDF postings,
+      // cluster split over d7's collapse, real-codec video, MoR merge,
+      // watermark-drained stream grid
+      t("d13_tfidf_cosine")(operators.Dedup.d13TfidfCosine(spark, dir).count())
+      t("c8_cluster_split")(operators.Sampling.c8ClusterSplit(spark, dir).count())
+      t("m7_avi_decode")(operators.Multimodal.m7AviDecode(spark, dir).count())
+      t("n13_sql_mor_merge")(queries.MutationQueries.n13SqlMorMerge(spark, dir).count())
+      t("e12_stream_trending")(queries.StreamQueries.e12StreamTrending(spark, dir).count())
     }
     spark.stop()
   }

@@ -53,11 +53,15 @@ object Dedup {
     * surviving representative. At 100 TB this is one shuffle on a 128-bit
     * hash — never on the full text. */
   def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .groupBy(md5(col("text").cast("binary")).as("h"))
-      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
-      .select("doc_id", "n_copies")
-      .orderBy("doc_id")
+    exactDedupCore(docs(s, dir)).orderBy("doc_id")
+
+  /** DataFrame core of d1, shared with the SQL CALL surface
+    * (`CALL graft.system.dedup_exact`): one winner row per distinct
+    * text — smallest doc_id — with its copy count. One md5 shuffle. */
+  def exactDedupCore(docsDf: DataFrame): DataFrame = docsDf
+    .groupBy(md5(col("text").cast("binary")).as("h"))
+    .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+    .select("doc_id", "n_copies")
 
   // -- d2: exact n-gram Jaccard near-dup -------------------------------
 

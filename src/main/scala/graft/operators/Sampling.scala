@@ -159,6 +159,27 @@ object Sampling {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** DataFrame core of c9 for ARBITRARY corpora, shared with the SQL
+    * CALL surface (`CALL graft.system.decontaminate`): flag every
+    * corpus document sharing ≥ `minShared` distinct 3-shingles with the
+    * eval set. Same machinery as c9 — eval shingles are Bloom-sketched
+    * (a bounded driver action), the corpus shingle stream is map-side
+    * pre-filtered with `might_contain`, and the exact confirm join runs
+    * over the survivors only. Inputs need (doc_id, text). */
+  def bloomDecontaminateCore(corpus: DataFrame, evalSet: DataFrame,
+      minShared: Int = 3): DataFrame = {
+    import graft.functions.Shingles.shinglesDistinctFast
+    val shC = corpus.select(
+      col("doc_id"), explode(shinglesDistinctFast(col("text"))).as("sng"))
+    val shE = evalSet.select(
+      explode(shinglesDistinctFast(col("text"))).as("sng")).distinct()
+    val sketch = evalBloomSketch(shE)
+    if (sketch == null) // empty eval set ⇒ nothing can be contaminated
+      shC.select(col("doc_id"), lit(0L).as("n_shared")).limit(0)
+    else bloomProbe(shC, shE, sketch, minShared)
+      .select(col("doc_id"), col("n_shared"))
+  }
+
   def c9BloomDecontaminate(s: SparkSession, dir: String,
       evalDocs: Int = DefaultEvalDocs, minShared: Int = 3): DataFrame = {
     import graft.functions.Shingles.shinglesDistinctFast

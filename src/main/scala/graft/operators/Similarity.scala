@@ -220,6 +220,19 @@ object Similarity {
         round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** [[probeIvf]] over RAW `(vec_id, embedding)` query rows — the shape
+    * a stored query table has. Shared with the SQL CALL surface
+    * (`CALL graft.system.ann_probe`). */
+  def probeIvfRaw(s: SparkSession, root: String, rawQueries: DataFrame,
+      filterIds: Option[DataFrame] = None): DataFrame = {
+    val q = rawQueries.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(graft.functions.DotProduct.dotFast(col("v"), col("v"))))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    probeIvf(s, root, q, filterIds)
+  }
+
   /** Nearest-committed-centroid assignment of a bounded QUERY batch:
     * (q_id, qv, qn, alabel) — the shared first step of the s7 and s9
     * probes (fixing a tie-break or rename here fixes both). */
@@ -734,6 +747,75 @@ object Similarity {
       graft.storage.GraftTable.drop(tmp)
     }
     (added, orphans + mislabeled)
+  }
+
+  /** ANN index DRIFT audit (the maintenance-op discipline the storage
+    * layer has — auto-compact, verify — extended to the index layer):
+    * [[appendToIvfIndex]]/[[appendToIvfPqIndex]] assign new vectors to
+    * the COMMITTED centroids forever, so after heavy growth the lists
+    * skew and recall decays silently. This report measures that drift
+    * on a committed index root, without touching the index:
+    *
+    *  - `appended_mass_fraction`: share of posting rows landed AFTER
+    *    the baseline commit (the earliest retained postings snapshot —
+    *    the build itself unless history was expired);
+    *  - `build_assign_cos_p50` / `appended_assign_cos_p50`: median
+    *    cosine between a vector and its assigned centroid, build rows
+    *    vs appended rows — a shifted incoming distribution shows up as
+    *    appended vectors sitting farther from every committed centroid;
+    *  - `recommend_recluster`: 1 when `appended_mass_fraction` >
+    *    [[DriftMassThreshold]] OR the appended median assignment cosine
+    *    trails the build's by more than [[DriftCosGap]] — the
+    *    documented rebuild trigger (re-run the index build / RECLUSTER;
+    *    both exist and commit atomically).
+    *
+    * Cost: one pass over the postings' (label, v, nrm) with a broadcast
+    * centroid join and a per-group approximate median — ∝ index size,
+    * the audit you run daily, not per query. Exposed in SQL as
+    * `CALL graft.system.ann_drift('db.idx')`. */
+  val DriftMassThreshold = 0.2
+  val DriftCosGap = 0.05
+
+  def annDriftReport(s: SparkSession, root: String): Seq[(String, String)] = {
+    val postLoc = s"$root/postings"
+    val postT = graft.storage.GraftTable.open(s, postLoc)
+    val cent = graft.storage.GraftTable.open(s, s"$root/centroids").read()
+    // baseline = earliest retained snapshot that HAS files (create
+    // commits an empty v0; the build's first append is the baseline)
+    val baseVersion = postT.history().map(_._1).sorted
+      .find(v => graft.storage.GraftTable
+        .readHistoryMeta(postLoc, v).files.nonEmpty)
+      .getOrElse(postT.version)
+    val baseRels = graft.storage.GraftTable.readHistoryMeta(postLoc, baseVersion)
+      .files.toSeq
+    import s.implicits._
+    val baseDf = baseRels.toDF("rel").withColumn("is_build", lit(true))
+    // one small driver row per side — the only collect
+    val agg = postT.read()
+      .withColumn("rel",
+        regexp_replace(input_file_name(), "^.*?/postings/", ""))
+      .join(broadcast(baseDf), Seq("rel"), "left")
+      .join(broadcast(cent), "label")
+      .select(coalesce(col("is_build"), lit(false)).as("is_build"),
+        cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("acos"))
+      .groupBy("is_build")
+      .agg(count(lit(1)).as("n"), percentile_approx(col("acos"), lit(0.5),
+        lit(10000)).as("p50"))
+      .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val (nBuild, p50Build) = agg.getOrElse(true, (0L, Double.NaN))
+    val (nApp, p50App) = agg.getOrElse(false, (0L, Double.NaN))
+    val total = nBuild + nApp
+    val massFrac = if (total == 0) 0.0 else nApp.toDouble / total
+    val gap = if (nApp == 0) 0.0 else p50Build - p50App
+    val recommend = massFrac > DriftMassThreshold || gap > DriftCosGap
+    Seq(
+      "total_vectors" -> total.toString,
+      "appended_vectors" -> nApp.toString,
+      "appended_mass_fraction" -> f"$massFrac%.4f",
+      "build_assign_cos_p50" -> f"$p50Build%.4f",
+      "appended_assign_cos_p50" ->
+        (if (nApp == 0) "-" else f"$p50App%.4f"),
+      "recommend_recluster" -> (if (recommend) "1" else "0"))
   }
 
   /** s9: ANN served from the composed IVF-PQ index. Per query: assign to

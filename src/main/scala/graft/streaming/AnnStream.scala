@@ -37,22 +37,31 @@ object AnnStream {
 
   /** Start scoring the streaming (vec_id, embedding) frame `incoming`
     * against the index at `indexRoot`; results append to `dest`
-    * exactly-once under the checkpoint's txn id. */
+    * exactly-once under the checkpoint's txn id.
+    *
+    * `filterIds` (STATIC, one `id` column) scopes every batch's search
+    * to a metadata id-universe — the streaming twin of s12: the set
+    * rides [[Similarity.probeIvf]]'s semi join inside the probed-list
+    * scan, adding no streaming state (stream-static, like the index
+    * itself). */
   def start(incoming: DataFrame, indexRoot: String, dest: GraftTable,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      filterIds: Option[DataFrame] = None): StreamingQuery =
     startWith(incoming, dest, checkpoint, trigger,
-      (s, q) => Similarity.probeIvf(s, indexRoot, q))
+      (s, q) => Similarity.probeIvf(s, indexRoot, q, filterIds))
 
   /** The IVF-PQ twin: continuous probes through the COMPOSED index
     * ([[Similarity.probeIvfPq]] — committed codebook, ADC over the
     * probed lists' code files, exact re-rank). Per trigger the cost is
-    * s9's probe cost; like [[start]], the index is the only state. */
+    * s9's probe cost; like [[start]], the index is the only state, and
+    * `filterIds` pre-filters the ADC shortlist exactly as in s12. */
   def startPq(incoming: DataFrame, indexRoot: String, dest: GraftTable,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      filterIds: Option[DataFrame] = None): StreamingQuery =
     startWith(incoming, dest, checkpoint, trigger,
-      (s, q) => Similarity.probeIvfPq(s, indexRoot, q))
+      (s, q) => Similarity.probeIvfPq(s, indexRoot, q, filterIds))
 
   private def startWith(incoming: DataFrame, dest: GraftTable,
       checkpoint: String, trigger: Trigger,

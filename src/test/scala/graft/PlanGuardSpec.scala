@@ -43,7 +43,11 @@ class PlanGuardSpec extends SparkSpec {
       "s8_hybrid_retrieval", "s9_ann_ivfpq", "s10_filtered_ann",
       // s11: s2's assignment crossJoin; the filter is a keyed semi join
       // c13: c3's ONE-row totals aggregate broadcast-crossed per source
-      "s11_filtered_ivf", "c13_epoch_mix")
+      // s12: s7's assignment crossJoin (≤5-row query set × tiny
+      // committed centroid table); the filter lands as a keyed LEFT
+      // SEMI equality join on the probed-list scan (AnnIndexSpec pins
+      // candidates ⊆ filter and probed-lists-only)
+      "s11_filtered_ivf", "c13_epoch_mix", "s12_filtered_persisted")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")

@@ -315,6 +315,69 @@ class AnnIndexSpec extends SparkSpec {
     assert(Similarity.verifyIvfPqIndex(spark, root2) === Seq.empty)
   }
 
+  test("ann_drift: a fresh index reads clean; a shifted appended distribution flags recluster") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Similarity.ivfIndexDir(spark, dir)
+    val root2 = tmpDir("ann-drift")
+    Seq("centroids", "postings").foreach(t =>
+      GraftTable.open(spark, s"$root/$t").cloneTo(s"$root2/$t"))
+    val clean = Similarity.annDriftReport(spark, root2).toMap
+    assert(clean("appended_vectors") === "0")
+    assert(clean("appended_mass_fraction") === "0.0000")
+    assert(clean("recommend_recluster") === "0",
+      s"fresh index must read clean: $clean")
+    // plant DRIFT below the mass threshold: ~10% new vectors from a
+    // SHIFTED distribution — a direction ORTHOGONAL to every committed
+    // centroid (Gram–Schmidt against the 10 centroids in 64-dim space),
+    // so assignment cosines sit near 0 and only the cosine gap can flag
+    val n = GraftTable.open(spark, s"$root2/postings").rowCountFromMetadata()
+    val nNew = (n / 10).toInt.max(5)
+    val cents = GraftTable.open(spark, s"$root2/centroids").read()
+      .select("cv").collect().map(_.getSeq[Double](0).toArray)
+    val d = cents.head.length
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def nrmOf(a: Array[Double]) = math.sqrt(dot(a, a))
+    // orthonormalize the centroids, then project them out of e_0
+    val basis = cents.foldLeft(List.empty[Array[Double]]) { (acc, c) =>
+      val r = acc.foldLeft(c.clone()) { (v, b) =>
+        val p = dot(v, b); v.indices.foreach(i => v(i) -= p * b(i)); v
+      }
+      val nr = nrmOf(r)
+      if (nr > 1e-9) acc :+ r.map(_ / nr) else acc
+    }
+    val ortho = basis.foldLeft(Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)) {
+      (v, b) => val p = dot(v, b); v.indices.foreach(i => v(i) -= p * b(i)); v
+    }
+    assert(nrmOf(ortho) > 1e-6, "e_0 must not lie in the centroid span")
+    val orthoF = ortho.map(_.toFloat)
+    val shifted = (0 until nNew)
+      .map(i => (7000000L + i, orthoF)).toDF("vec_id", "embedding")
+    assert(Similarity.appendToIvfIndex(spark, root2, shifted) === nNew.toLong)
+    val drifted = Similarity.annDriftReport(spark, root2).toMap
+    assert(drifted("appended_vectors") === nNew.toString)
+    assert(drifted("appended_mass_fraction").toDouble < Similarity.DriftMassThreshold,
+      "the planted drift must be below the mass threshold — the cosine gap does the flagging")
+    assert(drifted("appended_assign_cos_p50").toDouble <
+      drifted("build_assign_cos_p50").toDouble - Similarity.DriftCosGap,
+      s"negated vectors must sit far from every committed centroid: $drifted")
+    assert(drifted("recommend_recluster") === "1", s"drift must flag: $drifted")
+    // and the MASS trigger alone: append a benign (unshifted) copy of
+    // >20% of the corpus — distances stay healthy, growth itself flags
+    val root3 = tmpDir("ann-drift-mass")
+    Seq("centroids", "postings").foreach(t =>
+      GraftTable.open(spark, s"$root/$t").cloneTo(s"$root3/$t"))
+    val nMass = (n / 3).toInt.max(5)
+    val benign = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < nMass)
+      .select((col("vec_id") + 8000000L).as("vec_id"), col("embedding"))
+    assert(Similarity.appendToIvfIndex(spark, root3, benign) === nMass.toLong)
+    val massy = Similarity.annDriftReport(spark, root3).toMap
+    assert(massy("appended_mass_fraction").toDouble > Similarity.DriftMassThreshold)
+    assert(massy("recommend_recluster") === "1", s"mass growth must flag: $massy")
+  }
+
   test("incremental append routes to the nearest list, commits no rewrite") {
     import spark.implicits._
     // clone the index so the memoized one (shared with s7 runs) stays pristine

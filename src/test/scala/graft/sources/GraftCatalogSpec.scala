@@ -217,4 +217,73 @@ class GraftCatalogSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     spark.sql("DROP TABLE gcat.db1.dim")
   }
+
+  test("CALL pipeline operators equal their Scala twins (dedup_exact=d1, decontaminate=c9, ann_probe=s7)") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    try {
+      // -- dedup_exact ≡ d1 --------------------------------------------
+      GraftTable.create(spark, s"$warehouse/db1/call_docs", docs.schema)
+        .append(docs)
+      val ded = spark.sql(
+        "CALL gcat.system.dedup_exact('db1.call_docs', 'db1.call_winners')")
+        .collect()
+      val gotW = spark.table("gcat.db1.call_winners")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val wantW = graft.operators.Dedup.d1ExactDedup(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(gotW === wantW, "CALL dedup_exact must reproduce d1 exactly")
+      assert(ded.head.getLong(2) === wantW.size.toLong)
+      // -- decontaminate ≡ c9 (same eval split: doc_id < 5) -------------
+      GraftTable.create(spark, s"$warehouse/db1/call_corpus", docs.schema)
+        .append(docs.filter(col("doc_id") >= 5))
+      GraftTable.create(spark, s"$warehouse/db1/call_eval", docs.schema)
+        .append(docs.filter(col("doc_id") < 5))
+      spark.sql("CALL gcat.system.decontaminate(" +
+        "'db1.call_corpus', 'db1.call_eval', 'db1.call_flagged')")
+      val gotC = spark.table("gcat.db1.call_flagged")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val wantC = graft.operators.Sampling.c9BloomDecontaminate(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(gotC === wantC, "CALL decontaminate must reproduce c9 exactly")
+      // -- ann_probe ≡ s7's probe --------------------------------------
+      val root = graft.operators.Similarity.ivfIndexDir(spark, dir)
+      Seq("centroids", "postings").foreach(t =>
+        GraftTable.open(spark, s"$root/$t")
+          .cloneTo(s"$warehouse/db1/call_idx/$t"))
+      val rawQ = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+      GraftTable.create(spark, s"$warehouse/db1/call_q", rawQ.schema)
+        .append(rawQ)
+      spark.sql("CALL gcat.system.ann_probe(" +
+        "'db1.call_idx', 'db1.call_q', 'db1.call_topk')")
+      val gotA = spark.table("gcat.db1.call_topk")
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      val wantA = graft.operators.Similarity
+        .probeIvfRaw(spark, s"$warehouse/db1/call_idx", rawQ)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      assert(gotA.nonEmpty && gotA === wantA,
+        "CALL ann_probe must reproduce the persisted-index probe exactly")
+      // ann_drift on the fresh clone reads clean
+      val drift = spark.sql("CALL gcat.system.ann_drift('db1.call_idx')")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(drift("appended_vectors") === "0")
+      assert(drift("recommend_recluster") === "0")
+      // a fresh output table is required: re-CALL with the same target fails
+      val ex = intercept[Exception] {
+        spark.sql(
+          "CALL gcat.system.dedup_exact('db1.call_docs', 'db1.call_winners')")
+      }
+      assert(ex.getMessage.contains("already exists"), ex.getMessage)
+    } finally {
+      Seq("call_docs", "call_winners", "call_corpus", "call_eval",
+        "call_flagged", "call_q", "call_topk").foreach(n =>
+        spark.sql(s"DROP TABLE IF EXISTS gcat.db1.$n"))
+      Seq("centroids", "postings").foreach(t =>
+        if (GraftTable.exists(s"$warehouse/db1/call_idx/$t"))
+          GraftTable.drop(s"$warehouse/db1/call_idx/$t"))
+    }
+  }
 }

@@ -78,4 +78,35 @@ class AnnStreamSpec extends SparkSpec {
     assert(dest.read().count() === batch.length.toLong, "replay must be a no-op")
     GraftTable.drop(destLoc)
   }
+
+  test("filtered streamed probes equal the batch s12 results (stream-static filter, zero state)") {
+    val root = Similarity.ivfIndexDir(spark, dir)
+    val en = graft.Tables.load(spark, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").cast("long").as("id"))
+    val batchResult = Similarity.s12FilteredPersisted(spark, dir)
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 5).select("vec_id", "embedding")
+    val src = tmpDir("ann-fstream-src")
+    queries.filter(col("vec_id") < 2).write.parquet(s"$src/part=a")
+    queries.filter(col("vec_id") >= 2).write.parquet(s"$src/part=b")
+    val qschema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def incoming = spark.readStream.schema(qschema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(src)
+    val destLoc = tmpDir("ann-fstream-dest") + "/t"
+    val dest = GraftTable.create(spark, destLoc, batchResult.schema)
+    val ckpt = tmpDir("ann-fstream-ckpt")
+    val q = AnnStream.start(incoming, root, dest, ckpt, filterIds = Some(en))
+    assert(q.awaitTermination(120000), "filtered ann stream drain timed out")
+    val streamed = dest.read().orderBy("q_id", "rank").collect()
+    val batch = batchResult.collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+      "the continuous filtered probe must equal the batch s12 operator")
+    GraftTable.drop(destLoc)
+  }
 }
