@@ -909,24 +909,15 @@ object Dedup {
     /** Exact batch-vs-index near-dup scores (doc_b, doc_a, jac ≥ 0.8)
       * from prepared batch postings. */
     private[graft] def score(batchPostings: DataFrame): DataFrame = {
-      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-      import org.apache.spark.sql.graft.Bridge
-      import org.apache.spark.sql.types.BinaryType
       // One-row sketch of the batch's shingle set, shipped back as a
-      // foldable literal — c9's decontamination transport. The sketch
-      // action is a driver round-trip per batch, KB–MB by construction.
-      val bloomBytes = batchPostings
-        .select(Bridge.column(new BloomFilterAggregate(
-          Bridge.expression(xxhash64(col("s"))), 1L << 20)
-          .toAggregateExpression()).as("bf"))
-        .head().getAs[Array[Byte]](0)
+      // foldable literal — c9's decontamination transport ([[Bloom]]).
+      // The sketch action is a driver round-trip per batch, KB–MB by
+      // construction.
+      val bloomBytes = Bloom.sketchBytes(batchPostings, col("s"))
       // empty batch ⇒ no sketch; the join below is empty regardless
       val pruned =
         if (bloomBytes == null) postings
-        else postings.filter(Bridge.column(BloomFilterMightContain(
-          Literal.create(bloomBytes, BinaryType),
-          Bridge.expression(xxhash64(col("s"))))))
+        else postings.filter(Bloom.mightContain(bloomBytes, col("s")))
       scorePostings(pruned, batchPostings)
     }
 

@@ -163,22 +163,12 @@ object Pipeline {
     * The one driver action here is the KB–MB sketch `head()`. */
   private[graft] def refreshSurvivors(s: SparkSession, batchCur: DataFrame,
       loc: String): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graft.Bridge
-    import org.apache.spark.sql.types.BinaryType
-    val bloomBytes = batchCur
-      .select(Bridge.column(new BloomFilterAggregate(
-        Bridge.expression(xxhash64(col("fp"))), 1L << 20)
-        .toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val bloomBytes = Bloom.sketchBytes(batchCur, col("fp"))
     val committedFp = graft.storage.GraftTable.open(s, loc).read()
       .select(md5(col("text").cast("binary")).as("fp"))
     val prunedFp =
       if (bloomBytes == null) committedFp // empty batch ⇒ join is empty anyway
-      else committedFp.filter(Bridge.column(BloomFilterMightContain(
-        Literal.create(bloomBytes, BinaryType),
-        Bridge.expression(xxhash64(col("fp"))))))
+      else committedFp.filter(Bloom.mightContain(bloomBytes, col("fp")))
     batchCur.join(prunedFp, Seq("fp"), "left_anti").drop("fp")
   }
 

@@ -127,15 +127,8 @@ object Sampling {
     * the same transport the optimizer's injected runtime bloom filters
     * use. Shared by c9 and its streaming twin, so the sketch parameters
     * can never diverge between them. */
-  private[graft] def evalBloomSketch(evalSh: DataFrame): Array[Byte] = {
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graft.Bridge
-    evalSh
-      .select(Bridge.column(new BloomFilterAggregate(
-        Bridge.expression(xxhash64(col("sng"))), 1L << 20)
-        .toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
-  }
+  private[graft] def evalBloomSketch(evalSh: DataFrame): Array[Byte] =
+    Bloom.sketchBytes(evalSh, col("sng"))
 
   /** c9's probe pipeline over a `(doc_id, sng)` shingle DF: map-side
     * codegen'd might_contain pre-filter through the sketch literal, then
@@ -146,18 +139,11 @@ object Sampling {
     * a shuffled equality join (or AQE's choice) is the honest shape.
     * Output ≡ the exact overlap count (no-false-negative sketch). */
   private[graft] def bloomProbe(sh: DataFrame, evalSh: DataFrame,
-      bloomBytes: Array[Byte], minShared: Int): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graft.Bridge
-    import org.apache.spark.sql.types.BinaryType
-    val mightContain = Bridge.column(BloomFilterMightContain(
-      Literal.create(bloomBytes, BinaryType),
-      Bridge.expression(xxhash64(col("sng")))))
-    sh.filter(mightContain)
+      bloomBytes: Array[Byte], minShared: Int): DataFrame =
+    sh.filter(Bloom.mightContain(bloomBytes, col("sng")))
       .join(evalSh, "sng")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-  }
 
   /** DataFrame core of c9 for ARBITRARY corpora, shared with the SQL
     * CALL surface (`CALL graft.system.decontaminate`): flag every

@@ -620,17 +620,21 @@ object Similarity {
     * blind-retry a failed append — that would duplicate the committed
     * half; run [[verifyIvfPqIndex]] and [[repairIvfPqIndex]] instead.
     *
-    * The assigned batch is MATERIALIZED (persisted + counted) before
-    * either commit: the codes and postings appends must see the SAME
-    * rows and labels, and a non-deterministic input plan (a sample, an
-    * unordered limit, freshly-minted ids) re-evaluated per append would
-    * otherwise commit diverging halves — the exact desync this API's
-    * failure contract exists to prevent (ADVICE r10). */
+    * The assigned batch is MATERIALIZED via an eager LOCAL CHECKPOINT
+    * before either commit: the codes and postings appends must see the
+    * SAME rows and labels, and a non-deterministic input plan (a
+    * sample, an unordered limit, freshly-minted ids) re-evaluated per
+    * append would otherwise commit diverging halves — the exact desync
+    * this API's failure contract exists to prevent (ADVICE r10). A
+    * plain persist+count is NOT enough: a lost cached block silently
+    * recomputes from lineage, re-rolling the nondeterminism mid-append.
+    * The checkpoint SEVERS lineage, so block loss (executor death
+    * between the two commits) fails the job loudly instead — and a
+    * loud failure is exactly what [[verifyIvfPqIndex]]/
+    * [[repairIvfPqIndex]] exist to mop up. */
   def appendToIvfPqIndex(s: SparkSession, root: String, vectors: DataFrame): Long = {
-    val assigned = assignVectors(s, root, vectors)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = assignVectors(s, root, vectors).localCheckpoint(true)
     try {
-      assigned.count() // pin one evaluation before any consumer
       val cb = graft.storage.GraftTable.open(s, s"$root/codebook").read()
       val codesDf = assigned.select(col("label"), col("vec_id"))
         .join(encodeCodes(assigned.select(col("vec_id"), col("v")), cb), "vec_id")
@@ -780,11 +784,19 @@ object Similarity {
     val postLoc = s"$root/postings"
     val postT = graft.storage.GraftTable.open(s, postLoc)
     val cent = graft.storage.GraftTable.open(s, s"$root/centroids").read()
-    // baseline = earliest retained snapshot that HAS files (create
-    // commits an empty v0; the build's first append is the baseline)
+    // baseline = earliest retained snapshot that HAS files and whose
+    // files ALL survive in the current state. "Has files" skips the
+    // empty create-commit v0; the subset condition makes the baseline
+    // robust to REWRITES (compact/recluster produce new files carrying
+    // no file-grain lineage — after one, the earliest still-subset
+    // snapshot is the post-rewrite state, so the audit restarts from
+    // there instead of reporting the whole index as appended mass).
+    val curRels = postT.relFiles.toSet
     val baseVersion = postT.history().map(_._1).sorted
-      .find(v => graft.storage.GraftTable
-        .readHistoryMeta(postLoc, v).files.nonEmpty)
+      .find { v =>
+        val f = graft.storage.GraftTable.readHistoryMeta(postLoc, v).files
+        f.nonEmpty && f.toSet.subsetOf(curRels)
+      }
       .getOrElse(postT.version)
     val baseRels = graft.storage.GraftTable.readHistoryMeta(postLoc, baseVersion)
       .files.toSeq
@@ -792,8 +804,12 @@ object Similarity {
     val baseDf = baseRels.toDF("rel").withColumn("is_build", lit(true))
     // one small driver row per side — the only collect
     val agg = postT.read()
+      // GREEDY prefix strip: rel must be the path remainder after the
+      // LAST '/postings/' — an index named 'postings' (or any earlier
+      // 'postings' path segment) would otherwise desync this rel from
+      // the snapshot's rel names and count every vector as appended
       .withColumn("rel",
-        regexp_replace(input_file_name(), "^.*?/postings/", ""))
+        regexp_replace(input_file_name(), "^.*/postings/", ""))
       .join(broadcast(baseDf), Seq("rel"), "left")
       .join(broadcast(cent), "label")
       .select(coalesce(col("is_build"), lit(false)).as("is_build"),

@@ -140,8 +140,16 @@ private[sources] object GraftProcedures {
             val tgtDir = tableDir(target)
             require(!GraftTable.exists(tgtDir),
               s"target table $target already exists")
-            GraftTable.create(SparkSession.active, tgtDir, result.schema)
-              .append(result)
+            val created = GraftTable.create(SparkSession.active, tgtDir,
+              result.schema)
+            // retryable CALL: a failed operator must not leave a
+            // committed empty/partial target that blocks the re-run
+            // behind the fresh-target check
+            try created.append(result)
+            catch { case e: Throwable =>
+              try GraftTable.drop(tgtDir) catch { case _: Exception => () }
+              throw e
+            }
           }
           val scan: Scan = if (procName == "ann_drift") {
             val driftRows = graft.operators.Similarity

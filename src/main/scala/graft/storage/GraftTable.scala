@@ -885,7 +885,12 @@ final class GraftTable private (
       // file (Spark's min/max on a collated type IS the collation
       // order), only when the schema declares a collation at all. Cost
       // ∝ the collated columns of the new file; zero for every other
-      // table.
+      // table. Known trade: footerInfo is per-file, so a many-file
+      // commit on a collated table launches one tiny job per file —
+      // job-launch overhead, not data volume, is the cost; a commit
+      // path that batches witnesses across its new files in one
+      // input_file_name()-grouped pass is the upgrade if collated
+      // tables ever take wide appends.
       val collFields = meta.currentSchema.fields
         .filter(f => GraftTable.collatedType(f.dataType).isDefined)
       if (collFields.nonEmpty) {
@@ -3056,23 +3061,49 @@ final class GraftTable private (
   def sortFileRanges: Option[GraftTable.SortedFileRanges] =
     meta.options.sortBy.headOption.flatMap { c =>
       meta.currentSchema.fields.find(_.name == c).flatMap { f =>
-        // a collated string column's scan order would be claimed from
-        // BINARY min/max while the merge join compares under the
-        // collation — refuse the claim (same rule as refutes/
-        // bucketRefutes); the join re-sorts, correctly
-        val collated = f.dataType match {
-          case st: org.apache.spark.sql.types.StringType => st != StringType
-          case _ => false
+        // A collated string column's scan order must never be claimed
+        // from BINARY min/max (the merge join compares under the
+        // collation — same rule as refutes/bucketRefutes). But the
+        // collation WITNESS bounds (collStatKey: collation-order
+        // extremes keyed by collation + library version) support a
+        // SOUND claim: within-file order comes from the sort_by write
+        // path's Spark sort, which for a collated type IS the
+        // collation order, and the comparator below is the same
+        // collation's. Files without a witness entry (pre-feature
+        // appends, ICU drift) are simply absent from the map, and the
+        // consumer refuses the claim for any group touching one.
+        val collatedSt = f.dataType match {
+          case st: org.apache.spark.sql.types.StringType if st != StringType =>
+            Some(st)
+          case _ => None
         }
-        if (!GraftTable.zoneMapEligible(f.dataType) || collated) None
-        else Some(GraftTable.SortedFileRanges(
-          c,
-          (a, b) => GraftTable.compareStat(f.dataType, a, b),
-          meta.files.flatMap { rel =>
-            meta.fileStats.get(rel).flatMap(_.get(c)).map(st =>
-              new HPath(s"$location/$rel").toUri.getPath ->
-                ((st.min, st.max, st.nulls)))
-          }.toMap))
+        if (!GraftTable.zoneMapEligible(f.dataType)) None
+        else collatedSt match {
+          case Some(st) =>
+            val wKey = GraftTable.collStatKey(c, st)
+            Some(GraftTable.SortedFileRanges(
+              c,
+              (a, b) => Some(GraftTable.compareCollated(st, a, b)),
+              meta.files.flatMap { rel =>
+                for {
+                  stats <- meta.fileStats.get(rel)
+                  w <- stats.get(wKey)
+                  // null COUNT from the binary entry — nulls are
+                  // collation-independent, and the witness entry's
+                  // nulls field is a -1 sentinel
+                  bin <- stats.get(c)
+                } yield new HPath(s"$location/$rel").toUri.getPath ->
+                  ((w.min, w.max, bin.nulls))
+              }.toMap))
+          case None => Some(GraftTable.SortedFileRanges(
+            c,
+            (a, b) => GraftTable.compareStat(f.dataType, a, b),
+            meta.files.flatMap { rel =>
+              meta.fileStats.get(rel).flatMap(_.get(c)).map(st =>
+                new HPath(s"$location/$rel").toUri.getPath ->
+                  ((st.min, st.max, st.nulls)))
+            }.toMap))
+        }
       }
     }
 

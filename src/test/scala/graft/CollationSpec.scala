@@ -131,14 +131,32 @@ class CollationSpec extends SparkSpec {
       val st = t.readSchema()("s").dataType.asInstanceOf[org.apache.spark.sql.types.StringType]
       val key = GraftTable.collStatKey("s", st)
       assert(key.contains("@"), "witness key must embed the collation version")
-      // the proven-order merge-join claim is refused too: binary
-      // min/max cannot prove COLLATION order, so the scan must let the
-      // join re-sort instead of claiming a wrong order
+      // the proven-order merge-join claim now rides the WITNESS bounds
+      // too: binary min/max still never back the claim, but the
+      // collation-order extremes + the collation's own comparator do —
+      // the write path sorts within files on the COLLATED column
+      // (alignment precedes the sort), so the claimed order is the
+      // order the merge join compares under
       spark.sql("CREATE TABLE cdecl.db.ts (s STRING COLLATE da) USING graft " +
         "OPTIONS (sort_by 's')")
-      spark.sql("INSERT INTO cdecl.db.ts SELECT concat('AA', id) FROM range(10)")
-      assert(GraftTable.open(spark, s"$wh/db/ts").sortFileRanges.isEmpty,
-        "no ordering claim from binary bounds on a collated sort column")
+      spark.sql("INSERT INTO cdecl.db.ts SELECT /*+ REPARTITION(1) */ concat('AA', id) FROM range(10)")
+      spark.sql("INSERT INTO cdecl.db.ts SELECT /*+ REPARTITION(1) */ concat('B', id) FROM range(10)")
+      val ts = GraftTable.open(spark, s"$wh/db/ts")
+      val ranges = ts.sortFileRanges
+        .getOrElse(fail("witness bounds must back an ordering claim"))
+      assert(ranges.stats.size === ts.committedFiles.size,
+        "every committed file carries witness bounds")
+      // the comparator is the COLLATION's: Danish puts Aarhus (= Å…)
+      // after Zebra, where binary order disagrees
+      assert(ranges.cmp("Aarhus", "Zebra").exists(_ > 0),
+        "the claimed order must compare under da, not binary")
+      assert("Aarhus".compareTo("Zebra") < 0, "(binary disagrees — the point)")
+      // bounds are collation extremes: the B-file sits entirely BELOW
+      // the AA-file under da (AA ≡ Å is the alphabet end)
+      val bounds = ranges.stats.values.toSeq.sortWith((a, b) =>
+        ranges.cmp(a._1, b._1).exists(_ < 0))
+      assert(ranges.cmp(bounds.head._2, bounds.last._1).exists(_ <= 0),
+        s"files must be range-disjoint under da: $bounds")
     } finally {
       spark.sql("DROP TABLE IF EXISTS cdecl.db.ts")
       spark.sql("DROP TABLE IF EXISTS cdecl.db.t")

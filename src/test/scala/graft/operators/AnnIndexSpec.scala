@@ -376,6 +376,14 @@ class AnnIndexSpec extends SparkSpec {
     val massy = Similarity.annDriftReport(spark, root3).toMap
     assert(massy("appended_mass_fraction").toDouble > Similarity.DriftMassThreshold)
     assert(massy("recommend_recluster") === "1", s"mass growth must flag: $massy")
+    // a REWRITE discards file-grain lineage: after compact, the
+    // baseline resets to the post-rewrite snapshot and the audit reads
+    // clean again (it must NOT report the whole index as appended)
+    GraftTable.open(spark, s"$root3/postings").compact()
+    val postRewrite = Similarity.annDriftReport(spark, root3).toMap
+    assert(postRewrite("appended_vectors") === "0",
+      s"rewrite must reset the baseline, not poison it: $postRewrite")
+    assert(postRewrite("recommend_recluster") === "0")
   }
 
   test("incremental append routes to the nearest list, commits no rewrite") {
