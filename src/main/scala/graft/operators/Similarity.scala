@@ -151,8 +151,17 @@ object Similarity {
     val e = vectors.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(graft.functions.DotProduct.dotFast(col("v"), col("v"))))
+    assignAgainst(e, cent)
+  }
+
+  /** Nearest-centroid assignment of prepared `(vec_id, v, nrm)` rows
+    * against an explicit centroid frame — the inner step of
+    * [[assignVectors]] and of every Lloyd iteration in
+    * [[rebuildIvfIndex]]. */
+  private def assignAgainst(e: DataFrame, cent: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("label"))
-    e.crossJoin(broadcast(cent))
+    e.select(col("vec_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(cent))
       .select(col("label"), col("vec_id"), col("v"), col("nrm"),
         cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("ccos"))
       .withColumn("arn", row_number().over(w))
@@ -832,6 +841,108 @@ object Similarity {
       "appended_assign_cos_p50" ->
         (if (nApp == 0) "-" else f"$p50App%.4f"),
       "recommend_recluster" -> (if (recommend) "1" else "0"))
+  }
+
+  /** REBUILD the committed IVF (or IVF-PQ) index's quantizer from its
+    * own current postings — the maintenance action [[annDriftReport]]
+    * recommends when `recommend_recluster` fires. Lloyd's iterations
+    * seeded from the COMMITTED centroids: each round reassigns every
+    * posting vector to its nearest current centroid and recenters each
+    * list on the mean of its members (a list that loses every member
+    * keeps its previous centroid, so the list count never silently
+    * shrinks); after `iters` rounds the final assignment and centroids
+    * are staged as fresh graft tables (range-partitioned + sort_by
+    * label, the builder's layout) and swapped in. For an IVF-PQ root
+    * the codes table is restaged RELABELED to the new assignment —
+    * code ARRAYS encode vector content against the unchanged codebook,
+    * so only their list routing moves — keeping the
+    * [[verifyIvfPqIndex]] label-agreement invariant.
+    *
+    * Cost: `iters` passes over the postings with a broadcast centroid
+    * join (the drift audit's cost × iters) plus one rewrite of
+    * postings/codes — ∝ index size, the weekly maintenance job, never
+    * per query. Centroid means are plain double averages (shuffle-order
+    * fp summation): the rebuild has no oracle twin and needs no
+    * bit-determinism — probes serve whatever quantizer is committed.
+    *
+    * Crash/concurrency contract, as [[repairIvfPqIndex]]: staging dirs
+    * (`centroids_rebuild`/`postings_rebuild`/`codes_rebuild`) make the
+    * rebuild CRASH-RECOVERABLE — a missing main table with a staged
+    * twin completes the swap on the next call, stale staging is
+    * dropped — but the multi-table swap window is NOT reader-safe: run
+    * with exclusive ownership of the index root, probes quiesced.
+    * Returns (nLists, nVectors). */
+  def rebuildIvfIndex(s: SparkSession, root: String,
+      iters: Int = 5): (Int, Long) = {
+    import graft.storage.{GraftTable, GraftTableOptions}
+    val names = Seq("centroids", "postings", "codes")
+    // crash recovery first: complete any interrupted swap, then clear
+    // stale staging
+    names.foreach { n =>
+      val (main, stage) = (s"$root/$n", s"$root/${n}_rebuild")
+      if (!GraftTable.exists(main) && GraftTable.exists(stage)) {
+        GraftTable.open(s, stage).cloneTo(main)
+        GraftTable.drop(stage)
+      } else if (GraftTable.exists(stage)) GraftTable.drop(stage)
+    }
+    val postT = GraftTable.open(s, s"$root/postings")
+    val post = postT.read().select(col("vec_id"), col("v"), col("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      post.count()
+      val cent0 = GraftTable.open(s, s"$root/centroids").read()
+        .select(col("label"), col("cv"), col("cnrm"))
+      var cent = cent0
+      for (_ <- 0 until iters) {
+        val assigned = assignAgainst(post, cent)
+        val means = assigned
+          .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("label", "pos").agg(avg(col("x")).as("m"))
+          .groupBy("label")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            p => p.getField("m")).as("cv"))
+          .withColumn("cnrm", sqrt(aggregate(transform(col("cv"), x => x * x),
+            lit(0.0), (acc, x) => acc + x)))
+        // emptied lists keep their previous centroid (never shrink k)
+        cent = cent.select(col("label"),
+            col("cv").as("cv0"), col("cnrm").as("cnrm0"))
+          .join(means, Seq("label"), "left")
+          .select(col("label"),
+            coalesce(col("cv"), col("cv0")).as("cv"),
+            coalesce(col("cnrm"), col("cnrm0")).as("cnrm"))
+      }
+      val nLists = cent0.count().toInt.max(1)
+      val finalAssign = assignAgainst(post, cent)
+        .localCheckpoint(true) // one evaluation feeds postings AND codes
+      val stagedPost = finalAssign
+        .repartitionByRange(nLists, col("label"))
+        .select(col("label"), col("vec_id"), col("v"), col("nrm"))
+      val postStage = GraftTable.create(s, s"$root/postings_rebuild",
+        stagedPost.schema, GraftTableOptions(sortBy = Seq("label")))
+      postStage.append(stagedPost)
+      val centStage = GraftTable.create(s, s"$root/centroids_rebuild",
+        cent.schema)
+      centStage.append(cent)
+      val hasCodes = GraftTable.exists(s"$root/codes")
+      if (hasCodes) {
+        val codes = GraftTable.open(s, s"$root/codes").read()
+          .drop("label")
+          .join(finalAssign.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .repartitionByRange(nLists, col("label"))
+          .select(col("label"), col("vec_id"), col("codes"))
+        val codesStage = GraftTable.create(s, s"$root/codes_rebuild",
+          codes.schema, GraftTableOptions(sortBy = Seq("label")))
+        codesStage.append(codes)
+      }
+      // swap, one table at a time — each window individually
+      // crash-recoverable by the preamble above
+      (if (hasCodes) names else names.take(2)).foreach { n =>
+        GraftTable.drop(s"$root/$n")
+        GraftTable.open(s, s"$root/${n}_rebuild").cloneTo(s"$root/$n")
+        GraftTable.drop(s"$root/${n}_rebuild")
+      }
+      (nLists, finalAssign.count())
+    } finally { post.unpersist(); () }
   }
 
   /** s9: ANN served from the composed IVF-PQ index. Per query: assign to

@@ -37,6 +37,7 @@ import graft.storage.GraftTable
   *   CALL graft.system.decontaminate('db.t', 'db.eval', 'db.flagged') -- c9
   *   CALL graft.system.ann_probe('db.idx', 'db.queries', 'db.topk')   -- s7
   *   CALL graft.system.ann_drift('db.idx')  -- index staleness audit
+  *   CALL graft.system.ann_rebuild('db.idx') -- the audit's recommended action
   * }}}
   *
   * Each returns a one-row result describing what it did; the pipeline
@@ -53,7 +54,8 @@ private[sources] object GraftProcedures {
       // flagship dedup/decontaminate/ANN ops callable from SQL against
       // committed tables/indexes, like the reference's utility UDF
       // surface (cstore_fdw--1.7.sql:17-37)
-      "dedup_exact", "decontaminate", "ann_probe", "ann_drift")
+      "dedup_exact", "decontaminate", "ann_probe", "ann_drift",
+      "ann_rebuild")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -123,7 +125,8 @@ private[sources] object GraftProcedures {
           val dir = tableDir(tableName)
           // index procedures address an INDEX ROOT (a directory of
           // graft tables: postings/centroids/...), not a table itself
-          val indexProc = procName == "ann_drift" || procName == "ann_probe"
+          val indexProc = procName == "ann_drift" || procName == "ann_probe" ||
+            procName == "ann_rebuild"
           if (indexProc)
             require(GraftTable.exists(s"$dir/postings"),
               s"no persisted ANN index at $tableName")
@@ -151,7 +154,28 @@ private[sources] object GraftProcedures {
               throw e
             }
           }
-          val scan: Scan = if (procName == "ann_drift") {
+          val scan: Scan = if (procName == "ann_rebuild") {
+            // the action ann_drift recommends: Lloyd-recenter the
+            // quantizer from the index's own postings and swap the
+            // rebuilt tables in (exclusive writer — see rebuildIvfIndex)
+            val (nLists, nVecs) = graft.operators.Similarity
+              .rebuildIvfIndex(SparkSession.active, dir)
+            val schema = StructType(Seq(
+              StructField("table", StringType, nullable = false),
+              StructField("metric", StringType, nullable = false),
+              StructField("value", LongType, nullable = false)))
+            val rs: Array[InternalRow] = Array(
+              ("lists", nLists.toLong), ("vectors_reassigned", nVecs))
+              .map { case (m, v) =>
+                new GenericInternalRow(Array[Any](
+                  UTF8String.fromString(tableName),
+                  UTF8String.fromString(m), v)): InternalRow
+              }
+            new LocalScan {
+              override def readSchema(): StructType = schema
+              override def rows(): Array[InternalRow] = rs
+            }
+          } else if (procName == "ann_drift") {
             val driftRows = graft.operators.Similarity
               .annDriftReport(SparkSession.active, dir)
             val schema = StructType(Seq(

@@ -386,6 +386,71 @@ class AnnIndexSpec extends SparkSpec {
     assert(postRewrite("recommend_recluster") === "0")
   }
 
+  test("ann_rebuild: the quantizer adapts to planted drift; drift reads clean after; PQ labels stay agreed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // plant the §drift scenario on a cloned IVF-PQ root (the composed
+    // index exercises the codes-relabel path too)
+    Similarity.s9AnnIvfPq(spark, dir).count()
+    val root = Similarity.ivfPqIndexDir(spark, dir)
+    val root2 = tmpDir("ann-rebuild")
+    Seq("centroids", "postings", "codebook", "codes").foreach(t =>
+      GraftTable.open(spark, s"$root/$t").cloneTo(s"$root2/$t"))
+    val cents = GraftTable.open(spark, s"$root2/centroids").read()
+      .select("cv").collect().map(_.getSeq[Double](0).toArray)
+    val d = cents.head.length
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def nrmOf(a: Array[Double]) = math.sqrt(dot(a, a))
+    val basis = cents.foldLeft(List.empty[Array[Double]]) { (acc, c) =>
+      val r = acc.foldLeft(c.clone()) { (v, b) =>
+        val p = dot(v, b); v.indices.foreach(i => v(i) -= p * b(i)); v
+      }
+      val nr = nrmOf(r)
+      if (nr > 1e-9) acc :+ r.map(_ / nr) else acc
+    }
+    val ortho = basis.foldLeft(Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)) {
+      (v, b) => val p = dot(v, b); v.indices.foreach(i => v(i) -= p * b(i)); v
+    }
+    val orthoUnit = { val n = nrmOf(ortho); ortho.map(_ / n) }
+    val nBefore = GraftTable.open(spark, s"$root2/postings").rowCountFromMetadata()
+    val nNew = (nBefore / 10).toInt.max(5)
+    val shifted = (0 until nNew)
+      .map(i => (7100000L + i, orthoUnit.map(_.toFloat))).toDF("vec_id", "embedding")
+    Similarity.appendToIvfPqIndex(spark, root2, shifted)
+    assert(Similarity.annDriftReport(spark, root2).toMap
+      .apply("recommend_recluster") === "1", "drift planted")
+    // no committed centroid aligns with the planted direction yet
+    def maxAlign(): Double = GraftTable.open(spark, s"$root2/centroids").read()
+      .select("cv").collect().map(_.getSeq[Double](0).toArray)
+      .map(c => math.abs(dot(c, orthoUnit)) / nrmOf(c)).max
+    assert(maxAlign() < 0.5, s"pre-rebuild alignment already ${maxAlign()}")
+    val (nLists, nVecs) = Similarity.rebuildIvfIndex(spark, root2)
+    assert(nLists === cents.length)
+    assert(nVecs === nBefore + nNew, "every vector survives the rebuild")
+    // the recentered quantizer allocated a list to the planted cluster
+    assert(maxAlign() > 0.9,
+      s"a rebuilt centroid must align with the planted direction: ${maxAlign()}")
+    // the audit reads clean: the rewrite reset the baseline, and the
+    // (now-captured) planted cluster sits close to its own centroid
+    val after = Similarity.annDriftReport(spark, root2).toMap
+    assert(after("appended_vectors") === "0", after.toString)
+    assert(after("recommend_recluster") === "0", after.toString)
+    // PQ invariants hold through the relabel: codes agree with
+    // postings on ids AND lists, and the probe still serves exactly
+    assert(Similarity.verifyIvfPqIndex(spark, root2) === Seq.empty)
+    val q = GraftTable.open(spark, s"$root2/postings").read()
+      .filter(col("vec_id") === 7100000L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val got = Similarity.probeIvfPq(spark, root2, q).collect()
+    assert(got.nonEmpty)
+    assert(got.head.getDouble(3) === 1.0,
+      "a planted twin (identical vector under another id) must probe at cos 1.0")
+    // staging dirs are gone after the swap
+    Seq("centroids", "postings", "codes").foreach(n =>
+      assert(!GraftTable.exists(s"$root2/${n}_rebuild")))
+  }
+
   test("incremental append routes to the nearest list, commits no rewrite") {
     import spark.implicits._
     // clone the index so the memoized one (shared with s7 runs) stays pristine

@@ -271,6 +271,16 @@ class GraftCatalogSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
       assert(drift("appended_vectors") === "0")
       assert(drift("recommend_recluster") === "0")
+      // ann_rebuild through SQL: every vector survives, audit stays clean
+      val reb = spark.sql("CALL gcat.system.ann_rebuild('db1.call_idx')")
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(reb("lists") > 0L)
+      assert(reb("vectors_reassigned") ===
+        GraftTable.open(spark, s"$warehouse/db1/call_idx/postings")
+          .rowCountFromMetadata())
+      val drift2 = spark.sql("CALL gcat.system.ann_drift('db1.call_idx')")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(drift2("recommend_recluster") === "0")
       // a fresh output table is required: re-CALL with the same target fails
       val ex = intercept[Exception] {
         spark.sql(
