@@ -303,11 +303,15 @@ object Bench {
     val headline = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"warmup_errors":$warmupJson,"sf":"$sfDir","solo":$soloJson,"pool_drained":$poolDrained,"calib":$calibJson,"calib_sec":$calibSec%.3f,"calib_insuite_sec":$calibInsuite%.3f,"suite_sec_reruns":$rerunJson,"suite_sec_best":$suiteBest%.3f,"suite_sec":$total}"""
     val full = headline.dropRight(1) +
       s""","calib_timeline":$timelineJson}"""
+    // default lands in the launch CWD (the repo root under the driver);
+    // SPARK_GRAFT_BENCH_OUT pins an absolute path when the bench is
+    // launched from elsewhere
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_result.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_result.json"),
+      java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
-      System.err.println(s"[bench] could not write BENCH_result.json: ${e.getMessage}")
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     println(headline)
     spark.stop()

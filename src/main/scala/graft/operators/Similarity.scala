@@ -785,9 +785,22 @@ object Similarity {
     * Cost: one pass over the postings' (label, v, nrm) with a broadcast
     * centroid join and a per-group approximate median — ∝ index size,
     * the audit you run daily, not per query. Exposed in SQL as
-    * `CALL graft.system.ann_drift('db.idx')`. */
+    * `CALL graft.system.ann_drift('db.idx')`.
+    *
+    * Known trade: the baseline is FILE-grain, so a rewrite of the
+    * postings table (compact/recluster) resets BOTH signals — the
+    * rewrite is indistinguishable from a fresh build at this grain, and
+    * an audit run after it reads clean even if list skew persists. Run
+    * the audit BEFORE maintenance rewrites of an index root (or simply
+    * prefer [[rebuildIvfIndex]], whose rewrite actually re-centers the
+    * quantizer, over a plain compact of index tables). */
   val DriftMassThreshold = 0.2
   val DriftCosGap = 0.05
+
+  /** The rebuild swap's commit-point marker file (under the index
+    * root). Present ⇒ staging was complete and an interrupted swap
+    * sequence must be COMPLETED, not discarded. */
+  private[operators] val RebuildSwapMarker = "_rebuild_swap"
 
   def annDriftReport(s: SparkSession, root: String): Seq[(String, String)] = {
     val postLoc = s"$root/postings"
@@ -865,26 +878,57 @@ object Similarity {
     * fp summation): the rebuild has no oracle twin and needs no
     * bit-determinism — probes serve whatever quantizer is committed.
     *
-    * Crash/concurrency contract, as [[repairIvfPqIndex]]: staging dirs
-    * (`centroids_rebuild`/`postings_rebuild`/`codes_rebuild`) make the
-    * rebuild CRASH-RECOVERABLE — a missing main table with a staged
-    * twin completes the swap on the next call, stale staging is
-    * dropped — but the multi-table swap window is NOT reader-safe: run
-    * with exclusive ownership of the index root, probes quiesced.
-    * Returns (nLists, nVectors). */
+    * Crash/concurrency contract, as [[repairIvfPqIndex]] but with a
+    * SWAP MARKER for the multi-table sequence: staging dirs
+    * (`centroids_rebuild`/`postings_rebuild`/`codes_rebuild`) are
+    * written first, then `_rebuild_swap` is created — the swap's
+    * commit point — then the per-table drop→clone swaps run, then the
+    * marker is removed. A crash BEFORE the marker leaves authoritative
+    * main tables plus stale staging (dropped on the next call); a
+    * crash anywhere AFTER the marker — including between two tables'
+    * swaps, where centroids are new but postings still old — is
+    * COMPLETED from staging on the next call (each already-swapped
+    * table has no staging left and is skipped). Without the marker,
+    * that mid-sequence state would read as 'stale staging' and be
+    * discarded, leaving a silent quantizer/assignment desync. The
+    * window is still NOT reader-safe: run with exclusive ownership of
+    * the index root, probes quiesced. Returns (nLists, nVectors). */
+  private val RebuildTables = Seq("centroids", "postings", "codes")
+
+  /** The rebuild swap's crash-recovery preamble, run at the start of
+    * every [[rebuildIvfIndex]]: a present [[RebuildSwapMarker]] means
+    * staging was COMPLETE and the interrupted swap sequence is
+    * authoritative — finish it (already-swapped tables have no staging
+    * left and are skipped); no marker means any staging predates the
+    * commit point and is stale — drop it. */
+  private[operators] def recoverRebuildSwap(s: SparkSession, root: String): Unit = {
+    import graft.storage.GraftTable
+    val (fs, _) = GraftTable.fsAndPath(root)
+    val marker = new org.apache.hadoop.fs.Path(root, RebuildSwapMarker)
+    if (fs.exists(marker)) {
+      RebuildTables.foreach { n =>
+        val (main, stage) = (s"$root/$n", s"$root/${n}_rebuild")
+        if (GraftTable.exists(stage)) {
+          if (GraftTable.exists(main)) GraftTable.drop(main)
+          GraftTable.open(s, stage).cloneTo(main)
+          GraftTable.drop(stage)
+        }
+      }
+      fs.delete(marker, false)
+      ()
+    } else RebuildTables.foreach { n =>
+      if (GraftTable.exists(s"$root/${n}_rebuild"))
+        GraftTable.drop(s"$root/${n}_rebuild")
+    }
+  }
+
   def rebuildIvfIndex(s: SparkSession, root: String,
       iters: Int = 5): (Int, Long) = {
     import graft.storage.{GraftTable, GraftTableOptions}
-    val names = Seq("centroids", "postings", "codes")
-    // crash recovery first: complete any interrupted swap, then clear
-    // stale staging
-    names.foreach { n =>
-      val (main, stage) = (s"$root/$n", s"$root/${n}_rebuild")
-      if (!GraftTable.exists(main) && GraftTable.exists(stage)) {
-        GraftTable.open(s, stage).cloneTo(main)
-        GraftTable.drop(stage)
-      } else if (GraftTable.exists(stage)) GraftTable.drop(stage)
-    }
+    val names = RebuildTables
+    val (fs, _) = GraftTable.fsAndPath(root)
+    val marker = new org.apache.hadoop.fs.Path(root, RebuildSwapMarker)
+    recoverRebuildSwap(s, root)
     val postT = GraftTable.open(s, s"$root/postings")
     val post = postT.read().select(col("vec_id"), col("v"), col("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -912,7 +956,14 @@ object Similarity {
             coalesce(col("cnrm"), col("cnrm0")).as("cnrm"))
       }
       val nLists = cent0.count().toInt.max(1)
-      val finalAssign = assignAgainst(post, cent)
+      // pin ONE evaluation of the Lloyd plan: centroid means are
+      // shuffle-order fp sums, so the committed centroids and the
+      // committed assignment must both derive from the SAME evaluation
+      // — a re-run could label a near-equidistant vector under a list
+      // that is no longer its nearest (the appendToIvfPqIndex desync
+      // class, at quantizer grain)
+      val centFinal = cent.localCheckpoint(true)
+      val finalAssign = assignAgainst(post, centFinal)
         .localCheckpoint(true) // one evaluation feeds postings AND codes
       val stagedPost = finalAssign
         .repartitionByRange(nLists, col("label"))
@@ -921,8 +972,8 @@ object Similarity {
         stagedPost.schema, GraftTableOptions(sortBy = Seq("label")))
       postStage.append(stagedPost)
       val centStage = GraftTable.create(s, s"$root/centroids_rebuild",
-        cent.schema)
-      centStage.append(cent)
+        centFinal.schema)
+      centStage.append(centFinal)
       val hasCodes = GraftTable.exists(s"$root/codes")
       if (hasCodes) {
         val codes = GraftTable.open(s, s"$root/codes").read()
@@ -934,13 +985,16 @@ object Similarity {
           codes.schema, GraftTableOptions(sortBy = Seq("label")))
         codesStage.append(codes)
       }
-      // swap, one table at a time — each window individually
-      // crash-recoverable by the preamble above
+      // the swap's COMMIT POINT: staging is complete, the marker makes
+      // the sequence authoritative — any crash from here on completes
+      // on the next call instead of being discarded as stale
+      fs.create(marker, false).close()
       (if (hasCodes) names else names.take(2)).foreach { n =>
         GraftTable.drop(s"$root/$n")
         GraftTable.open(s, s"$root/${n}_rebuild").cloneTo(s"$root/$n")
         GraftTable.drop(s"$root/${n}_rebuild")
       }
+      fs.delete(marker, false)
       (nLists, finalAssign.count())
     } finally { post.unpersist(); () }
   }

@@ -438,7 +438,7 @@ final class GraftTable private (
     * procedure. */
   def fileRowCount(rel: String): Long =
     meta.fileStats.get(rel).flatMap(_.values.headOption).map(_.rows)
-      .getOrElse(footerInfo(s"$location/$rel")._1)
+      .getOrElse(footerInfo(s"$location/$rel", collWitness = false)._1)
 
   /** On-disk bytes of committed data + metadata, the
     * `cstore_table_size(regclass)` UDF (`cstore_fdw.c:1183-1229`). */
@@ -814,7 +814,8 @@ final class GraftTable private (
     * that do have stats would record `nulls = 0` (or too-tight min/max)
     * for a file that still holds nulls / out-of-range values, and
     * `refutes()` would silently prune matching rows. */
-  private def footerInfo(file: String): (Long, Map[String, GraftTable.ColFileStats]) = {
+  private def footerInfo(file: String,
+      collWitness: Boolean = true): (Long, Map[String, GraftTable.ColFileStats]) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file), spark.sessionState.newHadoopConf())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -885,14 +886,18 @@ final class GraftTable private (
       // file (Spark's min/max on a collated type IS the collation
       // order), only when the schema declares a collation at all. Cost
       // ∝ the collated columns of the new file; zero for every other
-      // table. Known trade: footerInfo is per-file, so a many-file
-      // commit on a collated table launches one tiny job per file —
-      // job-launch overhead, not data volume, is the cost; a commit
-      // path that batches witnesses across its new files in one
-      // input_file_name()-grouped pass is the upgrade if collated
-      // tables ever take wide appends.
-      val collFields = meta.currentSchema.fields
-        .filter(f => GraftTable.collatedType(f.dataType).isDefined)
+      // table. Row-COUNT-only callers (fileRowCount, rewrite
+      // conservation checks) pass collWitness = false and skip this
+      // entirely — only stat-harvesting commit paths pay. Known trade:
+      // footerInfo is per-file, so a many-file commit on a collated
+      // table launches one tiny job per file — job-launch overhead,
+      // not data volume, is the cost; a commit path that batches
+      // witnesses across its new files in one input_file_name()-grouped
+      // pass is the upgrade if collated tables ever take wide appends.
+      val collFields =
+        if (!collWitness) Array.empty[StructField]
+        else meta.currentSchema.fields
+          .filter(f => GraftTable.collatedType(f.dataType).isDefined)
       if (collFields.nonEmpty) {
         import org.apache.spark.sql.functions.{min => fMin, max => fMax, col => fCol}
         val sub = org.apache.spark.sql.types.StructType(collFields.toSeq)
@@ -1235,12 +1240,12 @@ final class GraftTable private (
     val schemaAtWrite = meta.currentSchema
     // expected output = LIVE rows: footer rows net of deletion vectors
     // (the rewrite materializes any vector a small file carries)
-    val expectRows = smallRels.map(r => footerInfo(s"$location/$r")._1 -
+    val expectRows = smallRels.map(r => footerInfo(s"$location/$r", collWitness = false)._1 -
       meta.dvs.get(r).map(_.card).getOrElse(0L)).sum
     val nOut = math.max(1L,
       (small.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
     val batchDir = writeBatchDir(clusterPreserving(readFilesDf(smallRels), nOut))
-    val got = listParquetFiles(batchDir).map(f => footerInfo(f)._1).sum
+    val got = listParquetFiles(batchDir).map(f => footerInfo(f, collWitness = false)._1).sum
     require(got == expectRows,
       s"small-file compaction row mismatch: rewrote $got of $expectRows rows")
     commitRewrite(smallRels, batchDir, schemaAtWrite, 0L, "COMPACT_SMALL")
@@ -1654,7 +1659,7 @@ final class GraftTable private (
     val candRows = src.count() // footer-only: no filter below the count
     val keptDf = src.filter(!coalesce(cond, lit(false)))
     val batchDir = writeBatchDir(keptDf)
-    val kept = listParquetFiles(batchDir).map(f => footerInfo(f)._1).sum
+    val kept = listParquetFiles(batchDir).map(f => footerInfo(f, collWitness = false)._1).sum
     val deleted = candRows - kept
     if (deleted == 0L) {
       // nothing matched: keep the original files instead of churning
@@ -1717,7 +1722,7 @@ final class GraftTable private (
       // live rows per candidate file = footer rows − existing vector
       def liveRows(rel: String): Long =
         meta.fileStats.get(rel).flatMap(_.values.headOption).map(_.rows)
-          .getOrElse(footerInfo(s"$location/$rel")._1) -
+          .getOrElse(footerInfo(s"$location/$rel", collWitness = false)._1) -
           dvsAtScan.get(rel).map(_.card).getOrElse(0L)
       val (dense, sparse) = counts.partition { case (rel, n) =>
         val live = liveRows(rel)
@@ -2310,7 +2315,7 @@ final class GraftTable private (
     // replaced LIVE rows: footer rows net of each group's deletion
     // vector (the COW scan filtered those positions, so the staged
     // output never contained them)
-    val replacedRows = replaced.map(r => footerInfo(s"$location/$r")._1 -
+    val replacedRows = replaced.map(r => footerInfo(s"$location/$r", collWitness = false)._1 -
       dvsAt.get(r).map(_.card).getOrElse(0L)).sum
     val delta = newRows - replacedRows
     val candSet = replaced.toSet
@@ -2354,16 +2359,16 @@ final class GraftTable private (
       s"minDeadRatio must be in [0, 1], got $minDeadRatio")
     val targets = meta.dvs.filter { case (rel, e) =>
       val total = meta.fileStats.get(rel).flatMap(_.values.headOption)
-        .map(_.rows).getOrElse(footerInfo(s"$location/$rel")._1)
+        .map(_.rows).getOrElse(footerInfo(s"$location/$rel", collWitness = false)._1)
       total > 0 && e.card.toDouble / total.toDouble >= minDeadRatio
     }.keys.toVector
     if (targets.isEmpty) return 0
     val schemaAtWrite = meta.currentSchema
     val liveDf = readFilesDf(targets) // vectors applied
-    val expect = targets.map(r => footerInfo(s"$location/$r")._1 -
+    val expect = targets.map(r => footerInfo(s"$location/$r", collWitness = false)._1 -
       meta.dvs.get(r).map(_.card).getOrElse(0L)).sum
     val batchDir = writeBatchDir(liveDf)
-    val got = listParquetFiles(batchDir).map(f => footerInfo(f)._1).sum
+    val got = listParquetFiles(batchDir).map(f => footerInfo(f, collWitness = false)._1).sum
     require(got == expect,
       s"vector materialization row mismatch: rewrote $got of $expect live rows")
     commitRewrite(targets, batchDir, schemaAtWrite, 0L, "MATERIALIZE_VECTORS")

@@ -148,25 +148,30 @@ object ParquetDelegate {
         case Literal(v: UTF8String, _) if v != null => Some(v.toString)
         case _ => None
       }
+      // probe BOTH operand orders explicitly — two `case Op(a, l)` /
+      // `case Op(l, a)` variable patterns are the SAME pattern to the
+      // matcher (the second is unreachable), which silently dropped
+      // every literal-on-left comparison (`'Z' < s`)
+      def both(x: Expression, y: Expression,
+          mk: (String, String) => Filter,
+          mkFlipped: (String, String) => Filter): Option[Filter] =
+        (attr(x), str(y)) match {
+          case (Some(n), Some(v)) => Some(mk(n, v))
+          case _ => (attr(y), str(x)) match {
+            case (Some(n), Some(v)) => Some(mkFlipped(n, v))
+            case _ => None
+          }
+        }
       this.dataFilters.flatMap {
-        case EqualTo(a, l) => for (n <- attr(a); s <- str(l)) yield sf.EqualTo(n, s)
-        case EqualTo(l, a) => for (n <- attr(a); s <- str(l)) yield sf.EqualTo(n, s)
-        case GreaterThan(a, l) =>
-          for (n <- attr(a); s <- str(l)) yield sf.GreaterThan(n, s)
-        case GreaterThan(l, a) =>
-          for (n <- attr(a); s <- str(l)) yield sf.LessThan(n, s)
-        case GreaterThanOrEqual(a, l) =>
-          for (n <- attr(a); s <- str(l)) yield sf.GreaterThanOrEqual(n, s)
-        case GreaterThanOrEqual(l, a) =>
-          for (n <- attr(a); s <- str(l)) yield sf.LessThanOrEqual(n, s)
-        case LessThan(a, l) =>
-          for (n <- attr(a); s <- str(l)) yield sf.LessThan(n, s)
-        case LessThan(l, a) =>
-          for (n <- attr(a); s <- str(l)) yield sf.GreaterThan(n, s)
-        case LessThanOrEqual(a, l) =>
-          for (n <- attr(a); s <- str(l)) yield sf.LessThanOrEqual(n, s)
-        case LessThanOrEqual(l, a) =>
-          for (n <- attr(a); s <- str(l)) yield sf.GreaterThanOrEqual(n, s)
+        case EqualTo(x, y) => both(x, y, sf.EqualTo(_, _), sf.EqualTo(_, _))
+        case GreaterThan(x, y) =>
+          both(x, y, sf.GreaterThan(_, _), sf.LessThan(_, _))
+        case GreaterThanOrEqual(x, y) =>
+          both(x, y, sf.GreaterThanOrEqual(_, _), sf.LessThanOrEqual(_, _))
+        case LessThan(x, y) =>
+          both(x, y, sf.LessThan(_, _), sf.GreaterThan(_, _))
+        case LessThanOrEqual(x, y) =>
+          both(x, y, sf.LessThanOrEqual(_, _), sf.GreaterThanOrEqual(_, _))
         case In(a, vs) if attr(a).isDefined && vs.nonEmpty &&
             vs.forall(str(_).isDefined) =>
           Some(sf.In(attr(a).get, vs.flatMap(str).toArray[Any]))

@@ -118,6 +118,15 @@ class CollationSpec extends SparkSpec {
         .getOrElse(fail("no BatchScanExec"))
       assert(scan.metrics("graftFilesPrunedStatic").value === 1,
         "the da range predicate must statically prune the provably-below-'Z' file")
+      // operand order must not matter: `'Z' < s` is the same predicate
+      // (variable-pattern pairs in the extractor are unreachable — the
+      // flipped order is probed explicitly)
+      val dfFlip = spark.table("cdecl.db.t").filter(lit("Z") < col("s"))
+      assert(dfFlip.collect().length === 50)
+      val scanFlip = findScan(dfFlip.queryExecution.executedPlan)
+        .getOrElse(fail("no BatchScanExec (flipped)"))
+      assert(scanFlip.metrics("graftFilesPrunedStatic").value === 1,
+        "a literal-on-left collated comparison must prune identically")
       // the raw Scala pruning API agrees (witness bounds, not binary):
       // > 'Z' keeps only the Å-family file; = 'zzz' refutes both files
       // (å > z > B under da)

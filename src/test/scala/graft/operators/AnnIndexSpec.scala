@@ -451,6 +451,54 @@ class AnnIndexSpec extends SparkSpec {
       assert(!GraftTable.exists(s"$root2/${n}_rebuild")))
   }
 
+  test("ann_rebuild swap marker: a mid-sequence crash is COMPLETED, pre-marker staging is discarded") {
+    Similarity.s9AnnIvfPq(spark, dir).count()
+    val root = Similarity.ivfPqIndexDir(spark, dir)
+    val root2 = tmpDir("ann-rebuild-crash")
+    Seq("centroids", "postings", "codebook", "codes").foreach(t =>
+      GraftTable.open(spark, s"$root/$t").cloneTo(s"$root2/$t"))
+    val (fs, _) = graft.storage.GraftTable.fsAndPath(root2)
+    val marker = new org.apache.hadoop.fs.Path(root2,
+      Similarity.RebuildSwapMarker)
+    // 1. crash AFTER the marker, between two tables' swaps: centroids
+    // already swapped (no staging left), postings staged with a
+    // detectable sentinel, main postings still the old table — the
+    // recovery must REPLACE main with the staged table, not drop it
+    GraftTable.open(spark, s"$root2/postings")
+      .cloneTo(s"$root2/postings_rebuild")
+    val stage = GraftTable.open(spark, s"$root2/postings_rebuild")
+    import org.apache.spark.sql.functions.col
+    stage.append(stage.read().filter(col("vec_id") === 0L)
+      .select(col("label"), (col("vec_id") + 999999001L).as("vec_id"),
+        col("v"), col("nrm")))
+    fs.create(marker, false).close()
+    Similarity.recoverRebuildSwap(spark, root2)
+    assert(!fs.exists(marker))
+    assert(!GraftTable.exists(s"$root2/postings_rebuild"))
+    assert(GraftTable.open(spark, s"$root2/postings").read()
+      .filter(col("vec_id") === 999999001L).count() === 1L,
+      "post-marker staging is authoritative: the swap completes")
+    // 2. crash inside ONE table's drop→clone window (main missing)
+    GraftTable.open(spark, s"$root2/postings")
+      .cloneTo(s"$root2/postings_rebuild")
+    GraftTable.drop(s"$root2/postings")
+    fs.create(marker, false).close()
+    Similarity.recoverRebuildSwap(spark, root2)
+    assert(GraftTable.exists(s"$root2/postings") && !fs.exists(marker))
+    assert(!GraftTable.exists(s"$root2/postings_rebuild"))
+    // 3. NO marker: staging predates the commit point and is stale —
+    // main stays authoritative, staging is dropped
+    GraftTable.open(spark, s"$root2/postings")
+      .cloneTo(s"$root2/postings_rebuild")
+    val before = GraftTable.open(spark, s"$root2/postings")
+      .rowCountFromMetadata()
+    Similarity.recoverRebuildSwap(spark, root2)
+    assert(!GraftTable.exists(s"$root2/postings_rebuild"))
+    assert(GraftTable.open(spark, s"$root2/postings")
+      .rowCountFromMetadata() === before,
+      "pre-marker staging must be discarded, main untouched")
+  }
+
   test("incremental append routes to the nearest list, commits no rewrite") {
     import spark.implicits._
     // clone the index so the memoized one (shared with s7 runs) stays pristine
