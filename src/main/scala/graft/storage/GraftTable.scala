@@ -753,7 +753,7 @@ final class GraftTable private (
       try fs.delete(new HPath(batchDir), true) catch { case _: Exception => () }
       throw e
     }
-    val infos = newFiles.map(f => relativize(f, location) -> footerInfo(f))
+    val infos = footerInfosRel(newFiles)
     val n = infos.map(_._2._1).sum
     val committed = commitMutation { base =>
       // the batch was written against the schema observed under the
@@ -888,26 +888,19 @@ final class GraftTable private (
       // ∝ the collated columns of the new file; zero for every other
       // table. Row-COUNT-only callers (fileRowCount, rewrite
       // conservation checks) pass collWitness = false and skip this
-      // entirely — only stat-harvesting commit paths pay. Known trade:
-      // footerInfo is per-file, so a many-file commit on a collated
-      // table launches one tiny job per file — job-launch overhead,
-      // not data volume, is the cost; a commit path that batches
-      // witnesses across its new files in one input_file_name()-grouped
-      // pass is the upgrade if collated tables ever take wide appends.
+      // entirely — only stat-harvesting commit paths pay, and the
+      // multi-file commit paths go through [[footerInfosRel]], which
+      // computes every new file's witnesses in ONE grouped job instead
+      // of one per file.
       val collFields =
         if (!collWitness) Array.empty[StructField]
-        else meta.currentSchema.fields
-          .filter(f => GraftTable.collatedType(f.dataType).isDefined)
+        else collatedFields
       if (collFields.nonEmpty) {
-        import org.apache.spark.sql.functions.{min => fMin, max => fMax, col => fCol}
-        val sub = org.apache.spark.sql.types.StructType(collFields.toSeq)
-        val aggs = collFields.flatMap(f =>
-          Seq(fMin(fCol(s"`${f.name}`")), fMax(fCol(s"`${f.name}`")))).toSeq
-        val w = spark.read.schema(sub).parquet(file)
-          .agg(aggs.head, aggs.tail: _*).head()
+        val w = collWitnessRows(Seq(file)).values.headOption
         collFields.zipWithIndex.foreach { case (f, i) =>
           val st = GraftTable.collatedType(f.dataType).get
-          val (mn, mx) = (w.getString(2 * i), w.getString(2 * i + 1))
+          val mn = w.map(_.getString(1 + 2 * i)).orNull
+          val mx = w.map(_.getString(2 + 2 * i)).orNull
           if (mn != null && mx != null)
             byCol.put(GraftTable.collStatKey(f.name, st),
               GraftTable.ColFileStats(mn, mx, -1L, rows))
@@ -915,6 +908,57 @@ final class GraftTable private (
       }
       (rows, (byCol -- unusable).toMap)
     } finally r.close()
+  }
+
+  private def collatedFields: Array[StructField] =
+    meta.currentSchema.fields
+      .filter(f => GraftTable.collatedType(f.dataType).isDefined)
+
+  /** One grouped aggregate computing the collation-order min/max of
+    * every collated column for EVERY file in `files`: row layout is
+    * (_file, min₁, max₁, min₂, max₂, …) keyed here by the file's
+    * canonical URI path. One Spark job regardless of file count — the
+    * per-commit witness harvest. */
+  private def collWitnessRows(files: Seq[String])
+      : Map[String, org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.{min => fMin, max => fMax, col => fCol, input_file_name}
+    val collFields = collatedFields
+    if (collFields.isEmpty || files.isEmpty) return Map.empty
+    val sub = org.apache.spark.sql.types.StructType(collFields.toSeq)
+    val aggs = collFields.flatMap(f =>
+      Seq(fMin(fCol(s"`${f.name}`")), fMax(fCol(s"`${f.name}`")))).toSeq
+    spark.read.schema(sub).parquet(files: _*)
+      .groupBy(input_file_name().as("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => new HPath(r.getString(0)).toUri.getPath -> r)
+      .toMap
+  }
+
+  /** Batched stat harvest for a commit's new files: per-file footer
+    * reads (metadata only) plus the single-job collation witness pass
+    * ([[collWitnessRows]]) merged in. Returns `(relativePath, info)` in
+    * the input order — the shape every commit path's `infos` wants. */
+  private def footerInfosRel(files: Seq[String])
+      : Seq[(String, (Long, Map[String, GraftTable.ColFileStats]))] = {
+    val witnesses = collWitnessRows(files)
+    val collFields = collatedFields
+    files.map { f =>
+      val (rows, base) = footerInfo(f, collWitness = false)
+      val merged = witnesses.get(new HPath(f).toUri.getPath) match {
+        case Some(w) =>
+          base ++ collFields.zipWithIndex.flatMap { case (cf, i) =>
+            val st = GraftTable.collatedType(cf.dataType).get
+            val (mn, mx) = (w.getString(1 + 2 * i), w.getString(2 + 2 * i))
+            if (mn != null && mx != null)
+              Some(GraftTable.collStatKey(cf.name, st) ->
+                GraftTable.ColFileStats(mn, mx, -1L, rows))
+            else None
+          }
+        case None => base
+      }
+      relativize(f, location) -> ((rows, merged))
+    }
   }
 
   /** The committed files that could still contain rows matching every
@@ -1285,7 +1329,7 @@ final class GraftTable private (
         (meta.rowCount + meta.options.stripeRowCount - 1) / meta.options.stripeRowCount)
       val batchDir = writeBatchDir(clusterPreserving(read(), target.toInt))
       val newFiles = listParquetFiles(batchDir)
-      val infos = newFiles.map(f => relativize(f, location) -> footerInfo(f))
+      val infos = footerInfosRel(newFiles)
       val n = infos.map(_._2._1).sum
       val before = meta
       require(n == before.rowCount,
@@ -1426,7 +1470,7 @@ final class GraftTable private (
           else read().repartitionByRange(target, sortBy.map(col): _*)
         val batchDir = writeBatchDir(input)
         val newFiles = listParquetFiles(batchDir)
-        val infos = newFiles.map(f => relativize(f, location) -> footerInfo(f))
+        val infos = footerInfosRel(newFiles)
         val n = infos.map(_._2._1).sum
         require(n == before.rowCount,
           s"recluster row count mismatch: rewrote $n of ${before.rowCount} rows")
@@ -1527,8 +1571,7 @@ final class GraftTable private (
           renamed.repartitionByRange(target, newOpts.sortBy.map(col): _*)
         else renamed.repartition(target)
       val batchDir = writeBatchDir(input)
-      val infos = listParquetFiles(batchDir)
-        .map(f => relativize(f, location) -> footerInfo(f))
+      val infos = footerInfosRel(listParquetFiles(batchDir))
       val n = infos.map(_._2._1).sum
       require(n == before.rowCount,
         s"rename rewrite row count mismatch: rewrote $n of ${before.rowCount} rows")
@@ -1617,7 +1660,7 @@ final class GraftTable private (
         try fs.delete(new HPath(batchDir), true) catch { case _: Exception => () }
         throw e
       }
-    val infos = newFiles.map(f => relativize(f, location) -> footerInfo(f))
+    val infos = footerInfosRel(newFiles)
       .filter(_._2._1 > 0L) // an all-deleted rewrite leaves no file behind
     val candSet = replaced.toSet
     // the rewrite read the replaced files under THESE deletion vectors;
@@ -1740,7 +1783,7 @@ final class GraftTable private (
         else {
           val keptDf = readFilesDf(denseRels).filter(!coalesce(cond, lit(false)))
           val batchDir = writeBatchDir(keptDf)
-          listParquetFiles(batchDir).map(f => relativize(f, location) -> footerInfo(f))
+          footerInfosRel(listParquetFiles(batchDir))
             .filter(_._2._1 > 0L)
         }
       val denseSet = denseRels.toSet
@@ -1861,8 +1904,7 @@ final class GraftTable private (
       }.toIndexedSeq: _*)
       val batchDir = writeBatchDir(rewritten)
       val newVersionFiles = listParquetFiles(batchDir)
-      val newInfos = newVersionFiles
-        .map(f => relativize(f, location) -> footerInfo(f))
+      val newInfos = footerInfosRel(newVersionFiles)
         .filter(_._2._1 > 0L)
       val updated = newInfos.map(_._2._1).sum
       if (updated == 0L) {
@@ -2093,7 +2135,7 @@ final class GraftTable private (
           // feed. The commit records the insert files as its
           // stream-visible emission (Meta.emitFiles).
           def dirInfos(dir: String): Seq[(String, (Long, Map[String, GraftTable.ColFileStats]))] =
-            listParquetFiles(dir).map(f => relativize(f, location) -> footerInfo(f))
+            footerInfosRel(listParquetFiles(dir))
               .filter(_._2._1 > 0L)
           val rewriteDir = writeBatchDir(rewritten)
           val rewriteInfos = dirInfos(rewriteDir)
@@ -2302,8 +2344,7 @@ final class GraftTable private (
     // DELETE carries rows that already passed; UPDATE/MERGE staged files
     // hold new values and must hold the CHECK constraints
     if (what != "DELETE") enforceChecks(staged, schemaAtWrite, what)
-    val infos = staged
-      .map(f => relativize(f, location) -> footerInfo(f))
+    val infos = footerInfosRel(staged)
       .filter(_._2._1 > 0L) // a fully-deleted group leaves no file behind
     if (replaced.isEmpty && infos.isEmpty) {
       // the operation touched no group and wrote no rows — leave no trace
@@ -2393,8 +2434,7 @@ final class GraftTable private (
       insertFiles: Seq[String], reinsertFiles: Seq[String],
       deletedRows: Long): Unit = withTableLock {
     refreshMeta()
-    def infos(files: Seq[String]) = files
-      .map(f => relativize(f, location) -> footerInfo(f))
+    def infos(files: Seq[String]) = footerInfosRel(files)
       .filter(_._2._1 > 0L)
     val insertInfos = infos(insertFiles)
     val reinsertInfos = infos(reinsertFiles)

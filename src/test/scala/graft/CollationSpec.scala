@@ -174,6 +174,37 @@ class CollationSpec extends SparkSpec {
     }
   }
 
+  test("collated DML rides the witnesses: DELETE refutes the provably-unmatched file and leaves it untouched") {
+    import graft.storage.GraftTable
+    val wh = tmpDir("collated-dml-wh")
+    spark.conf.set("spark.sql.catalog.cdml", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cdml.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE cdml.db.t (s STRING COLLATE da) USING graft")
+      spark.sql("INSERT INTO cdml.db.t SELECT /*+ REPARTITION(1) */ concat('AA', id) FROM range(50)")
+      spark.sql("INSERT INTO cdml.db.t SELECT /*+ REPARTITION(1) */ concat('B', id) FROM range(50)")
+      val t = GraftTable.open(spark, s"$wh/db/t")
+      val before = t.committedFiles.toSet
+      assert(before.size === 2)
+      // the predicate compares under da both in refutation (witness
+      // bounds) and in the rewrite (filterToColumn on the collated
+      // column) — 'AA…' ≡ Å… > Z matches, 'B…' provably cannot
+      val deleted = t.delete(Seq(
+        org.apache.spark.sql.sources.GreaterThan("s", "Z")))
+      assert(deleted === 50L, "every Å-family row matches > 'Z' under da")
+      val t2 = GraftTable.open(spark, s"$wh/db/t")
+      assert(t2.rowCountFromMetadata() === 50L)
+      // the refuted B-file kept its IDENTITY: no pointless rewrite
+      assert(before.intersect(t2.committedFiles.toSet).size === 1,
+        "the witness-refuted file must survive the COW rewrite untouched")
+      assert(t2.read().collect().map(_.getString(0)).forall(_.startsWith("B")))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cdml.db.t")
+      spark.conf.unset("spark.sql.catalog.cdml")
+      spark.conf.unset("spark.sql.catalog.cdml.warehouse")
+    }
+  }
+
   test("zone-map pruning is disabled under a non-binary collation (cstore_reader.c:763-769)") {
     // The reference skips min/max block filtering when the predicate's
     // collation is not the stored binary order — pruning with binary
