@@ -1203,6 +1203,101 @@ object Similarity {
     probeIvf(s, root, q, Some(en)).orderBy("q_id", "rank")
   }
 
+  /** s13's candidate-pool depth and selection count. λ = 0.7 is carried
+    * as the exact pair (7.0, 3.0): `7.0·rel − 3.0·div` orders identically
+    * to `0.7·rel − 0.3·div` and both factors are exactly-representable
+    * doubles, so the greedy's comparisons reproduce bit-for-bit in the
+    * DuckDB oracle (decimal literals like 0.7 would parse as DECIMAL
+    * there and double here). */
+  private val MmrPool = 20
+  private val MmrK = 10
+
+  /** s13: MMR DIVERSITY re-ranking (maximal marginal relevance, the
+    * standard de-duplicating re-rank for RAG context assembly): each
+    * query's top-[[MmrPool]] cosine candidates are greedily re-selected
+    * so pick i maximizes `7.0·cos(q,d) − 3.0·max_{s∈picked} cos(d,s)` —
+    * relevance traded against redundancy with what's already picked.
+    * Near-duplicate candidates (which plain top-k surfaces as wasted
+    * adjacent slots) are pushed behind diverse ones.
+    *
+    * Shape at 100 TB: the POOL comes from any ANN path (here s1's
+    * broadcast-query brute scan — the oracle-exact baseline; swap in
+    * the s7/s9/s12 probes unchanged); the greedy itself touches only
+    * MmrPool rows per query inside one `flatMapGroups` — inherently
+    * sequential in k (each pick conditions the next), so it runs as
+    * bounded per-query imperative code that distributes ACROSS queries,
+    * the same justification as the m-series codecs. All arithmetic is
+    * sequential-left-fold doubles with (score DESC, vec_id) tie-breaks,
+    * so the DuckDB oracle (a recursive CTE replaying the greedy)
+    * hash-matches exactly. */
+  def s13MmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = normalized(Tables.load(s, dir, "embeddings"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val pool = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("v"), col("nrm"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= MmrPool)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("v"), col("nrm"))
+      .as[(Long, Long, Double, Seq[Double], Double)]
+    pool.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        mmrGreedy(it.map(t => (t._2, t._3, t._4, t._5)).toArray, MmrK)
+          .map { case (id, cos, rank) => (qid, id, cos, rank) }
+      }
+      .toDF("q_id", "vec_id", "cos", "rank")
+      .orderBy("q_id", "rank")
+  }
+
+  /** s13's per-query greedy over one candidate pool — `(vec_id, cos,
+    * v, nrm)` in, `(vec_id, rounded cos, rank)` out. Pick 1 is pure
+    * relevance (cos DESC, vec_id ASC); pick i ≥ 2 maximizes
+    * `7.0·cos − 3.0·max_{picked} pairCos`, ties on vec_id. Pure
+    * function so MmrSpec can plant near-duplicate pools. */
+  private[operators] def mmrGreedy(
+      candsIn: Array[(Long, Double, Seq[Double], Double)],
+      k: Int): Seq[(Long, Double, Long)] = {
+    // deterministic candidate order (selection is by score, but a
+    // stable array makes the fold order engine-independent)
+    val cands = candsIn.sortBy(_._1)
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val picked = scala.collection.mutable.ArrayBuffer[Int]()
+    val out = Seq.newBuilder[(Long, Double, Long)]
+    var step = 0
+    while (step < k && picked.length < cands.length) {
+      var bestIdx = -1; var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < cands.length) {
+        if (!picked.contains(i)) {
+          val rel = cands(i)._2
+          val div =
+            if (picked.isEmpty) 0.0
+            else picked.iterator.map { j =>
+              dot(cands(i)._3, cands(j)._3) / (cands(i)._4 * cands(j)._4)
+            }.max
+          val score = if (picked.isEmpty) rel else 7.0 * rel - 3.0 * div
+          // strict > with ascending-vec_id scan = (score DESC, vec_id ASC)
+          if (score > bestScore) { bestScore = score; bestIdx = i }
+        }
+        i += 1
+      }
+      picked += bestIdx
+      step += 1
+      out += ((cands(bestIdx)._1,
+        BigDecimal(cands(bestIdx)._2)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        step.toLong))
+    }
+    out.result()
+  }
+
   /** Each retrieval signal's rank list is truncated to this depth before
     * fusion — the property that makes RRF scale: each signal produces
     * its top-K independently (lexical: an equality join on shingles;
@@ -1282,6 +1377,7 @@ object Similarity {
     "s10_filtered_ann" -> s10FilteredAnn _,
     "s11_filtered_ivf" -> s11FilteredIvf _,
     "s12_filtered_persisted" -> s12FilteredPersisted _,
+    "s13_mmr_diversify" -> s13MmrDiversify _,
   )
 
   import OracleSql._
@@ -1542,6 +1638,49 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, vec_id, round(cos, 4) cos, rank FROM ranked
          |WHERE rank <= $IvfTopK ORDER BY q_id, rank""".stripMargin),
+    // s13: the greedy is replayed with a RECURSIVE CTE — the recursive
+    // term carries each query's picked-id LIST and selects the next
+    // pick via a correlated argmax subquery (scored with the same
+    // exactly-representable 7.0/3.0 factors and the same sequential
+    // left-fold dot products, tie-broken on id)
+    "s13_mmr_diversify" ->
+      (s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v, ${normSql("v")} nrm FROM e),
+         |sc AS (SELECT q.vec_id q_id, c.vec_id id, c.v, c.nrm,
+         |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) cos
+         |  FROM n q JOIN n c ON c.vec_id != q.vec_id
+         |  WHERE q.vec_id < $NumQueries),
+         |pool AS (SELECT q_id, id, v, nrm, cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, id) crank FROM sc)
+         |  WHERE crank <= $MmrPool),
+         |ps AS (SELECT a.q_id, a.id ida, b.id idb,
+         |    ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) sim
+         |  FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.id != b.id),
+         |sel AS (
+         |  SELECT 1 AS step, q_id, id, cos, [id] AS picked FROM (
+         |    SELECT q_id, id, cos, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, id) rn FROM pool) WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.step + 1, t.q_id, struct_extract(t.pick, 'id'),
+         |    struct_extract(t.pick, 'cos'),
+         |    list_append(t.picked, struct_extract(t.pick, 'id'))
+         |  FROM (
+         |    SELECT s.step, s.q_id, s.picked, (
+         |      SELECT {'id': p.id, 'cos': p.cos} FROM pool p
+         |      WHERE p.q_id = s.q_id AND NOT list_contains(s.picked, p.id)
+         |      ORDER BY 7.0 * p.cos - 3.0 * (
+         |          SELECT max(x.sim) FROM ps x
+         |          WHERE x.q_id = s.q_id AND x.ida = p.id
+         |            AND list_contains(s.picked, x.idb)) DESC, p.id
+         |      LIMIT 1) pick
+         |    FROM sel s WHERE s.step < $MmrK) t
+         |  WHERE t.pick IS NOT NULL)
+         |SELECT q_id, id AS vec_id, round(cos, 4) AS cos,
+         |  CAST(step AS BIGINT) AS rank
+         |FROM sel ORDER BY q_id, rank""".stripMargin),
     "s1_ann_brute" ->
       (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
          |           FROM embeddings),

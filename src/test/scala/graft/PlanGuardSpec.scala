@@ -47,7 +47,11 @@ class PlanGuardSpec extends SparkSpec {
       // committed centroid table); the filter lands as a keyed LEFT
       // SEMI equality join on the probed-list scan (AnnIndexSpec pins
       // candidates ⊆ filter and probed-lists-only)
-      "s11_filtered_ivf", "c13_epoch_mix", "s12_filtered_persisted")
+      // s13: the candidate POOL is s1's exact shape (≤5-row broadcast
+      // query set, =!= condition); the greedy touches only MmrPool
+      // rows per query inside flatMapGroups
+      "s11_filtered_ivf", "c13_epoch_mix", "s12_filtered_persisted",
+      "s13_mmr_diversify")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")

@@ -123,4 +123,43 @@ class RetrievalSpec extends SparkSpec {
         "the index path cannot beat the exact filtered scan")
     }
   }
+
+  test("s13 MMR: an exact duplicate of the top hit is deferred behind a diverse candidate") {
+    // planted pool: d1 and d2 are the SAME vector (near-top relevance),
+    // d3 slightly less relevant but diverse. Plain top-3 = (d1, d2, d3);
+    // MMR must pick d1, then d3 (d2's redundancy penalty 3.0·1.0 beats
+    // its relevance edge), then d2.
+    val v1 = Seq(1.0, 0.1)
+    val v3 = Seq(1.0, -1.0)
+    def nrm(v: Seq[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val picks = Similarity.mmrGreedy(Array(
+      (1L, 0.99, v1, nrm(v1)),
+      (2L, 0.99, v1, nrm(v1)),
+      (3L, 0.93, v3, nrm(v3))), 3)
+    assert(picks.map(_._1) === Seq(1L, 3L, 2L),
+      s"duplicate must drop behind the diverse pick: $picks")
+    assert(picks.map(_._3) === Seq(1L, 2L, 3L))
+    // ties (same score, same vector) break on the smaller id
+    val tied = Similarity.mmrGreedy(Array(
+      (9L, 0.5, v1, nrm(v1)), (4L, 0.5, v1, nrm(v1))), 2)
+    assert(tied.map(_._1) === Seq(4L, 9L))
+  }
+
+  test("s13 MMR corpus invariants: k distinct picks per query, rank 1 is pure relevance") {
+    val dir = sf("sf0.001")
+    val got = Similarity.s13MmrDiversify(spark, dir).collect()
+    val s1Top = Similarity.s1AnnBrute(spark, dir).collect()
+      .filter(_.getLong(3) === 1L).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length === 10, s"query $q must fill k slots from a 20-pool")
+      assert(rows.map(_.getLong(1)).distinct.length === rows.length)
+      assert(rows.map(_.getLong(3)).sorted.toSeq === (1L to 10L).toSeq)
+      val first = rows.minBy(_.getLong(3))
+      assert(first.getLong(1) === s1Top(q),
+        s"pick 1 is pure relevance — must equal s1's rank 1 for query $q")
+      // cos column is the true relevance of each pick, descending is NOT
+      // required (diversity reorders) but every pick's cos is ≤ pick 1's
+      assert(rows.forall(_.getDouble(2) <= first.getDouble(2) + 1e-9))
+    }
+  }
 }
