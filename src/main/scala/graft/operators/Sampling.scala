@@ -204,8 +204,15 @@ object Sampling {
     * doubles summed in shuffle order would differ in the last ulp
     * between engines and aggregation orders. One tiny aggregation over
     * sources; the only corpus-wide pass is the count. */
-  def c3SourceMix(s: SparkSession, dir: String): DataFrame = {
-    val n = docs(s, dir).groupBy("source").agg(count(lit(1)).as("n"))
+  def c3SourceMix(s: SparkSession, dir: String): DataFrame =
+    sourceMixOf(docs(s, dir))
+
+  /** c3's arithmetic over an arbitrary corpus (`source` column) — one
+    * tiny per-source aggregate, one one-row broadcast of the totals.
+    * Shared by c3 and c14 so the reweighting can never drift between
+    * the plain and decontaminated mixes. */
+  private def sourceMixOf(corpus: DataFrame): DataFrame = {
+    val n = corpus.groupBy("source").agg(count(lit(1)).as("n"))
       .withColumn("wq", floor(sqrt(col("n").cast("double")) * 1e6).cast("long"))
     val tot = n.agg(sum("n").as("total"), sum("wq").as("wsum"))
     n.crossJoin(broadcast(tot))
@@ -214,6 +221,24 @@ object Sampling {
         floor(col("wq").cast("double") / col("wsum").cast("double")
           * col("total").cast("double")).cast("long").as("target_n"))
       .orderBy("source")
+  }
+
+  /** c14: DECONTAMINATION-AWARE source mix — c3's temperature
+    * reweighting computed over the CLEAN corpus only: the eval
+    * documents themselves (`doc_id < 5`, c9's eval split) and every
+    * document c9 flags (≥ 3 distinct shingles shared with the eval
+    * set) are excluded BEFORE the per-source counts, so eval leakage
+    * cannot buy a source extra training budget — the composition every
+    * real mix runs, decontaminate-then-weight, as ONE plan. The flag
+    * side reuses c9's memoized sketch machinery; the exclusion is a
+    * keyed left-anti join on doc_id; everything downstream is c3's
+    * arithmetic unchanged ([[sourceMixOf]]). */
+  def c14DecontaminatedMix(s: SparkSession, dir: String): DataFrame = {
+    val flagged = c9BloomDecontaminate(s, dir).select("doc_id")
+    val clean = docs(s, dir)
+      .filter(col("doc_id") >= DefaultEvalDocs)
+      .join(flagged, Seq("doc_id"), "left_anti")
+    sourceMixOf(clean)
   }
 
   /** c4: per-source curation-funnel report — the accounting view every
@@ -542,6 +567,7 @@ object Sampling {
     "c2_decontaminate" -> ((s, dir) => c2Decontaminate(s, dir)),
     "c9_bloom_decontaminate" -> ((s, dir) => c9BloomDecontaminate(s, dir)),
     "c3_source_mix" -> ((s, dir) => c3SourceMix(s, dir)),
+    "c14_decontaminated_mix" -> (c14DecontaminatedMix _),
     "c4_curation_funnel" -> ((s, dir) => c4CurationFunnel(s, dir)),
     "c5_pack_chunks" -> ((s, dir) => c5PackChunks(s, dir)),
     "c6_pack_bins" -> ((s, dir) => c6PackBins(s, dir)),
@@ -692,6 +718,27 @@ object Sampling {
         |  CAST(floor(CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE)
         |    * CAST(total AS DOUBLE)) AS BIGINT) target_n
         |FROM q, t ORDER BY source""".stripMargin,
+    // c14: c9's exact flagged set excluded (plus the eval docs), then
+    // c3's arithmetic verbatim over the survivors
+    "c14_decontaminated_mix" ->
+      (s"""WITH ${OracleSql.shingleCte},
+         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+         |m AS (SELECT sh.doc_id, count(*) n_shared FROM sh
+         |      JOIN ev ON sh.s = ev.s
+         |      WHERE sh.doc_id >= 5 GROUP BY sh.doc_id),
+         |clean AS (SELECT d.source FROM documents d
+         |  WHERE d.doc_id >= 5
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM m WHERE n_shared >= 3)),
+         |n AS (SELECT source, count(*) n FROM clean GROUP BY source),
+         |q AS (SELECT source, n,
+         |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) wq FROM n),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) total,
+         |        CAST(sum(wq) AS BIGINT) wsum FROM q)
+         |SELECT source, n,
+         |  round(CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE), 6) weight,
+         |  CAST(floor(CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE)
+         |    * CAST(total AS DOUBLE)) AS BIGINT) target_n
+         |FROM q, t ORDER BY source""".stripMargin),
     "c5_pack_chunks" ->
       (s"""WITH t AS (SELECT doc_id, doc_id % $PackShards shard,
          |        CAST(len(string_split(text, ' ')) AS BIGINT) tok

@@ -205,6 +205,35 @@ class CollationSpec extends SparkSpec {
     }
   }
 
+  test("evolution x collation: pre-ALTER files have no witnesses and are never pruned; post-ALTER files prune") {
+    import graft.storage.GraftTable
+    val wh = tmpDir("collated-evo-wh")
+    spark.conf.set("spark.sql.catalog.cevo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cevo.warehouse", wh)
+    try {
+      // file 1 committed BEFORE the collated column exists: it can have
+      // no witness entry, so no collated predicate may ever refute it
+      spark.sql("CREATE TABLE cevo.db.t (id INT) USING graft")
+      spark.sql("INSERT INTO cevo.db.t SELECT /*+ REPARTITION(1) */ id FROM range(50)")
+      spark.sql("ALTER TABLE cevo.db.t ADD COLUMN s STRING COLLATE da")
+      spark.sql("INSERT INTO cevo.db.t SELECT /*+ REPARTITION(1) */ id, concat('B', id) FROM range(50)")
+      val t = GraftTable.open(spark, s"$wh/db/t")
+      assert(t.committedFiles.size === 2)
+      // > 'Z' under da: the B-file's witnesses refute it; the pre-ALTER
+      // file (reads s as NULL — no row can match, but pruning must be
+      // STATS-driven, and it has none) is conservatively kept
+      val kept = t.prunedFiles(Seq(
+        org.apache.spark.sql.sources.GreaterThan("s", "Z")))
+      assert(kept.size === 1, s"witnessed B-file refuted, witness-less kept: $kept")
+      // correctness end-to-end: no row matches (NULLs never compare)
+      assert(spark.table("cevo.db.t").filter(col("s") > lit("Z")).count() === 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cevo.db.t")
+      spark.conf.unset("spark.sql.catalog.cevo")
+      spark.conf.unset("spark.sql.catalog.cevo.warehouse")
+    }
+  }
+
   test("zone-map pruning is disabled under a non-binary collation (cstore_reader.c:763-769)") {
     // The reference skips min/max block filtering when the predicate's
     // collation is not the stored binary order — pruning with binary

@@ -50,8 +50,10 @@ class PlanGuardSpec extends SparkSpec {
       // s13: the candidate POOL is s1's exact shape (≤5-row broadcast
       // query set, =!= condition); the greedy touches only MmrPool
       // rows per query inside flatMapGroups
+      // c14: c3's ONE-row totals crossJoin over the decontaminated
+      // corpus (the flag exclusion itself is a keyed left-anti join)
       "s11_filtered_ivf", "c13_epoch_mix", "s12_filtered_persisted",
-      "s13_mmr_diversify")
+      "s13_mmr_diversify", "c14_decontaminated_mix")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")

@@ -96,6 +96,28 @@ class SamplingSpec extends SparkSpec {
     assert(s2 === "x <EMAIL> y <IP> z <PHONE>")
   }
 
+  test("c14 composition law: per-source counts = corpus minus eval minus c9's flags; weights renormalize") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    val mix = Sampling.c14DecontaminatedMix(spark, dir).collect()
+    val flagged = Sampling.c9BloomDecontaminate(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val cleanBySource = graft.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") >= 5).collect()
+      .filterNot(r => flagged.contains(r.getAs[Long]("doc_id")))
+      .groupBy(_.getAs[String]("source")).view.mapValues(_.length.toLong).toMap
+    assert(mix.nonEmpty)
+    mix.foreach { r =>
+      assert(r.getLong(1) === cleanBySource(r.getString(0)),
+        s"source ${r.getString(0)} must count exactly the clean docs")
+    }
+    // weights renormalize over the clean corpus: they sum to ~1 and
+    // targets never exceed the clean total
+    assert(math.abs(mix.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    val total = cleanBySource.values.sum
+    assert(mix.map(_.getLong(3)).sum <= total)
+  }
+
   test("c9 bloom decontamination ≡ c2 exact, and the sketch prefilter is in the plan") {
     val c2 = Sampling.c2Decontaminate(spark, dir)
     val c9 = Sampling.c9BloomDecontaminate(spark, dir)
