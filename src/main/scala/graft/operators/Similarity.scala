@@ -39,7 +39,7 @@ object Similarity {
   def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
     graft.functions.DotProduct.dotFast(va, vb) / (na * nb)
 
-  private val NumQueries = 5
+  private[operators] val NumQueries = 5
   private val TopK = 10
   private val IvfTopK = 5
   private val Quant = 1000000L
@@ -1209,8 +1209,8 @@ object Similarity {
     * doubles, so the greedy's comparisons reproduce bit-for-bit in the
     * DuckDB oracle (decimal literals like 0.7 would parse as DECIMAL
     * there and double here). */
-  private val MmrPool = 20
-  private val MmrK = 10
+  private[operators] val MmrPool = 20
+  private[operators] val MmrK = 10
 
   /** s13: MMR DIVERSITY re-ranking (maximal marginal relevance, the
     * standard de-duplicating re-rank for RAG context assembly): each
@@ -1296,6 +1296,71 @@ object Similarity {
         step.toLong))
     }
     out.result()
+  }
+
+  /** p4's context token budget: picks are packed in MMR order until the
+    * inclusive running token count would exceed this — the first
+    * overflow CLOSES the context (standard prompt assembly; later
+    * smaller docs do not re-open it). */
+  private[operators] val CtxBudget = 300L
+
+  /** p4: RAG CONTEXT ASSEMBLY — the full serving path a retrieval
+    * system runs per query, composed from this round's operators as ONE
+    * declarative entry: (1) scope the corpus to the metadata universe
+    * (`lang='en'`, s10's pre-filter semi join — exact recall by
+    * construction); (2) rank the top-[[MmrPool]] by exact cosine;
+    * (3) MMR-diversify ([[mmrGreedy]], s13's greedy — near-duplicate
+    * passages stop wasting context slots); (4) PACK the picks in MMR
+    * order under a [[CtxBudget]]-token budget (whitespace tokens, t1's
+    * convention), closing the context at the first overflow.
+    *
+    * Output: one row per PACKED pick — (q_id, rank, vec_id, cos, tok,
+    * cum_tok). At 100 TB the filter+pool stage rides any persisted
+    * probe (s12 swaps in unchanged), and the greedy+packing touch
+    * ≤ MmrPool rows per query. The oracle replays all four stages
+    * (semi-join pool, recursive-CTE greedy, windowed running sum). */
+  def p4RagContext(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docsDf = Tables.load(s, dir, "documents")
+    val en = docsDf.filter(col("lang") === "en")
+      .select(col("doc_id").cast("long").as("id"))
+    val toks = docsDf.select(col("doc_id").cast("long").as("tid"),
+      size(split(col("text"), " ", -1)).cast("long").as("tok"))
+    val e = normalized(Tables.load(s, dir, "embeddings"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = e.join(en, col("vec_id") === col("id"), "left_semi")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val pool = cand.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("v"), col("nrm"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= MmrPool)
+      .join(toks, col("vec_id") === col("tid"))
+      .select(col("q_id"), col("vec_id"), col("cos"), col("v"), col("nrm"),
+        col("tok"))
+      .as[(Long, Long, Double, Seq[Double], Double, Long)]
+    pool.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cands = it.toArray
+        val tokOf = cands.map(c => c._2 -> c._6).toMap
+        val picks = mmrGreedy(cands.map(c => (c._2, c._3, c._4, c._5)), MmrK)
+        val out = Seq.newBuilder[(Long, Long, Long, Double, Long, Long)]
+        var cum = 0L
+        var open = true
+        picks.foreach { case (id, cos, rank) =>
+          if (open) {
+            val t = tokOf(id)
+            if (cum + t <= CtxBudget) {
+              cum += t
+              out += ((qid, rank, id, cos, t, cum))
+            } else open = false // first overflow closes the context
+          }
+        }
+        out.result()
+      }
+      .toDF("q_id", "rank", "vec_id", "cos", "tok", "cum_tok")
+      .orderBy("q_id", "rank")
   }
 
   /** Each retrieval signal's rank list is truncated to this depth before

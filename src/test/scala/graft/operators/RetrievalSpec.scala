@@ -145,6 +145,41 @@ class RetrievalSpec extends SparkSpec {
     assert(tied.map(_._1) === Seq(4L, 9L))
   }
 
+  test("p4 RAG context: prefix packing under the token budget over the filtered MMR list") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val dir = sf("sf0.001")
+    val got = Similarity.p4RagContext(spark, dir).collect()
+    assert(got.nonEmpty)
+    val en = graft.Tables.load(spark, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSet
+    val tokOf = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long"),
+        size(split(col("text"), " ", -1)).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // packed picks are a PREFIX of the MMR list: ranks dense from 1
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to rows.length).toSeq,
+        s"query $q packing must keep a rank prefix")
+      // the filter scoped the pool; no self-match
+      assert(sorted.forall(r => en.contains(r.getLong(2))))
+      assert(sorted.forall(_.getLong(2) !== q))
+      // token accounting: tok is the doc's whitespace count, cum is the
+      // inclusive running sum, and the budget holds at every pick
+      var cum = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(4) === tokOf(r.getLong(2)))
+        cum += r.getLong(4)
+        assert(r.getLong(5) === cum, "cum_tok must be the inclusive running sum")
+      }
+      assert(cum <= 300L, s"query $q context exceeds the budget: $cum")
+    }
+    // the budget must actually bind somewhere at this SF (otherwise the
+    // entry degenerates to s13-with-a-filter and proves nothing new)
+    assert(got.length < 5 * 10, "at least one context must be cut by the budget")
+  }
+
   test("s13 MMR corpus invariants: k distinct picks per query, rank 1 is pure relevance") {
     val dir = sf("sf0.001")
     val got = Similarity.s13MmrDiversify(spark, dir).collect()
