@@ -192,44 +192,12 @@ object Pipeline {
     // and left-fold dots), token counts, and the prefix-packing window
     // (first overflow closes the context)
     "p4_rag_context" -> {
-      import OracleSql.{normSql, dotSql}
-      s"""WITH RECURSIVE e AS (
-         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
-         |  FROM embeddings),
-         |n AS (SELECT vec_id, v, ${normSql("v")} nrm FROM e),
-         |en AS (SELECT CAST(doc_id AS BIGINT) id FROM documents
-         |       WHERE lang = 'en'),
-         |sc AS (SELECT q.vec_id q_id, c.vec_id id, c.v, c.nrm,
-         |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) cos
-         |  FROM n q JOIN n c ON c.vec_id != q.vec_id
-         |  WHERE q.vec_id < ${Similarity.NumQueries}
-         |    AND c.vec_id IN (SELECT id FROM en)),
-         |pool AS (SELECT q_id, id, v, nrm, cos FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cos DESC, id) crank FROM sc)
-         |  WHERE crank <= ${Similarity.MmrPool}),
-         |ps AS (SELECT a.q_id, a.id ida, b.id idb,
-         |    ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) sim
-         |  FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.id != b.id),
-         |sel AS (
-         |  SELECT 1 AS step, q_id, id, cos, [id] AS picked FROM (
-         |    SELECT q_id, id, cos, row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cos DESC, id) rn FROM pool) WHERE rn = 1
-         |  UNION ALL
-         |  SELECT t.step + 1, t.q_id, struct_extract(t.pick, 'id'),
-         |    struct_extract(t.pick, 'cos'),
-         |    list_append(t.picked, struct_extract(t.pick, 'id'))
-         |  FROM (
-         |    SELECT s.step, s.q_id, s.picked, (
-         |      SELECT {'id': p.id, 'cos': p.cos} FROM pool p
-         |      WHERE p.q_id = s.q_id AND NOT list_contains(s.picked, p.id)
-         |      ORDER BY 7.0 * p.cos - 3.0 * (
-         |          SELECT max(x.sim) FROM ps x
-         |          WHERE x.q_id = s.q_id AND x.ida = p.id
-         |            AND list_contains(s.picked, x.idb)) DESC, p.id
-         |      LIMIT 1) pick
-         |    FROM sel s WHERE s.step < ${Similarity.MmrK}) t
-         |  WHERE t.pick IS NOT NULL),
+      val ctes = Similarity.mmrOracleCtes(
+        extraCtes = """en AS (SELECT CAST(doc_id AS BIGINT) id FROM documents
+                      |       WHERE lang = 'en'),
+                      |""".stripMargin,
+        scFilter = "\n    AND c.vec_id IN (SELECT id FROM en)")
+      s"""WITH RECURSIVE $ctes,
          |tk AS (SELECT CAST(doc_id AS BIGINT) tid,
          |         CAST(len(string_split(text, ' ')) AS BIGINT) tok
          |       FROM documents),

@@ -642,15 +642,18 @@ object Similarity {
     * loud failure is exactly what [[verifyIvfPqIndex]]/
     * [[repairIvfPqIndex]] exist to mop up. */
   def appendToIvfPqIndex(s: SparkSession, root: String, vectors: DataFrame): Long = {
+    // NOTE on lifetime: localCheckpoint blocks live OUTSIDE the cache
+    // manager (Dataset.unpersist would be a silent no-op on them) and
+    // are reclaimed by the ContextCleaner once the checkpointed RDD is
+    // garbage-collected — bounded here because the assigned batch is an
+    // increment, not the corpus.
     val assigned = assignVectors(s, root, vectors).localCheckpoint(true)
-    try {
-      val cb = graft.storage.GraftTable.open(s, s"$root/codebook").read()
-      val codesDf = assigned.select(col("label"), col("vec_id"))
-        .join(encodeCodes(assigned.select(col("vec_id"), col("v")), cb), "vec_id")
-        .select(col("label"), col("vec_id"), col("codes"))
-      graft.storage.GraftTable.open(s, s"$root/codes").append(codesDf)
-      graft.storage.GraftTable.open(s, s"$root/postings").append(assigned)
-    } finally { assigned.unpersist(); () }
+    val cb = graft.storage.GraftTable.open(s, s"$root/codebook").read()
+    val codesDf = assigned.select(col("label"), col("vec_id"))
+      .join(encodeCodes(assigned.select(col("vec_id"), col("v")), cb), "vec_id")
+      .select(col("label"), col("vec_id"), col("codes"))
+    graft.storage.GraftTable.open(s, s"$root/codes").append(codesDf)
+    graft.storage.GraftTable.open(s, s"$root/postings").append(assigned)
   }
 
   /** Cross-table integrity audit for the composed index — the per-table
@@ -909,9 +912,22 @@ object Similarity {
       RebuildTables.foreach { n =>
         val (main, stage) = (s"$root/$n", s"$root/${n}_rebuild")
         if (GraftTable.exists(stage)) {
-          if (GraftTable.exists(main)) GraftTable.drop(main)
-          GraftTable.open(s, stage).cloneTo(main)
-          GraftTable.drop(stage)
+          // VERIFY the stage before touching main: a crash inside the
+          // swap's final non-atomic drop(stage) can leave stage
+          // METADATA alive with data files already gone — acting on
+          // that residue would drop the just-committed good main and
+          // then fail the clone, destroying the table. A damaged stage
+          // after a completed per-table swap is residue; drop IT and
+          // keep main.
+          val stageOk =
+            try GraftTable.open(s, stage).verify().isEmpty
+            catch { case _: Exception => false }
+          if (!stageOk) GraftTable.drop(stage)
+          else {
+            if (GraftTable.exists(main)) GraftTable.drop(main)
+            GraftTable.open(s, stage).cloneTo(main)
+            GraftTable.drop(stage)
+          }
         }
       }
       fs.delete(marker, false)
@@ -961,7 +977,9 @@ object Similarity {
       // committed assignment must both derive from the SAME evaluation
       // — a re-run could label a near-equidistant vector under a list
       // that is no longer its nearest (the appendToIvfPqIndex desync
-      // class, at quantizer grain)
+      // class, at quantizer grain). Checkpoint blocks are reclaimed by
+      // the ContextCleaner after the rebuild returns (Dataset.unpersist
+      // cannot free them; see appendToIvfPqIndex's note).
       val centFinal = cent.localCheckpoint(true)
       val finalAssign = assignAgainst(post, centFinal)
         .localCheckpoint(true) // one evaluation feeds postings AND codes
@@ -1271,7 +1289,8 @@ object Similarity {
     val picked = scala.collection.mutable.ArrayBuffer[Int]()
     val out = Seq.newBuilder[(Long, Double, Long)]
     var step = 0
-    while (step < k && picked.length < cands.length) {
+    var exhausted = false
+    while (!exhausted && step < k && picked.length < cands.length) {
       var bestIdx = -1; var bestScore = Double.NegativeInfinity
       var i = 0
       while (i < cands.length) {
@@ -1283,17 +1302,26 @@ object Similarity {
               dot(cands(i)._3, cands(j)._3) / (cands(i)._4 * cands(j)._4)
             }.max
           val score = if (picked.isEmpty) rel else 7.0 * rel - 3.0 * div
-          // strict > with ascending-vec_id scan = (score DESC, vec_id ASC)
+          // strict > with ascending-vec_id scan = (score DESC, vec_id
+          // ASC); a NaN score (a zero-norm vector's 0/0 cosine) never
+          // compares greater, so NaN candidates are unpickable — and
+          // when EVERY remaining score is NaN the round selects nothing
+          // and the selection CLOSES instead of indexing cands(-1).
+          // (The aligned corpus contracts ban zero-norm vectors; this
+          // guard keeps pathological inputs from crashing the operator.)
           if (score > bestScore) { bestScore = score; bestIdx = i }
         }
         i += 1
       }
-      picked += bestIdx
-      step += 1
-      out += ((cands(bestIdx)._1,
-        BigDecimal(cands(bestIdx)._2)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        step.toLong))
+      if (bestIdx < 0) exhausted = true
+      else {
+        picked += bestIdx
+        step += 1
+        out += ((cands(bestIdx)._1,
+          BigDecimal(cands(bestIdx)._2)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          step.toLong))
+      }
     }
     out.result()
   }
@@ -1446,6 +1474,49 @@ object Similarity {
   )
 
   import OracleSql._
+
+  /** The MMR greedy's DuckDB CTE chain (e/n/sc/pool/ps/sel), SHARED by
+    * s13's oracle and p4's (which adds a filter CTE via `extraCtes` and
+    * scopes the candidate universe via `scFilter`): a recursive `sel`
+    * carries each query's picked-id list and selects the next pick via
+    * a correlated argmax (7.0/3.0 factors, left-fold dots, id
+    * tie-break) — one definition, so the two oracles cannot drift. */
+  private[operators] def mmrOracleCtes(extraCtes: String,
+      scFilter: String): String =
+    s"""${extraCtes}e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v, ${normSql("v")} nrm FROM e),
+       |sc AS (SELECT q.vec_id q_id, c.vec_id id, c.v, c.nrm,
+       |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) cos
+       |  FROM n q JOIN n c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < $NumQueries$scFilter),
+       |pool AS (SELECT q_id, id, v, nrm, cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, id) crank FROM sc)
+       |  WHERE crank <= $MmrPool),
+       |ps AS (SELECT a.q_id, a.id ida, b.id idb,
+       |    ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) sim
+       |  FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.id != b.id),
+       |sel AS (
+       |  SELECT 1 AS step, q_id, id, cos, [id] AS picked FROM (
+       |    SELECT q_id, id, cos, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, id) rn FROM pool) WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.step + 1, t.q_id, struct_extract(t.pick, 'id'),
+       |    struct_extract(t.pick, 'cos'),
+       |    list_append(t.picked, struct_extract(t.pick, 'id'))
+       |  FROM (
+       |    SELECT s.step, s.q_id, s.picked, (
+       |      SELECT {'id': p.id, 'cos': p.cos} FROM pool p
+       |      WHERE p.q_id = s.q_id AND NOT list_contains(s.picked, p.id)
+       |      ORDER BY 7.0 * p.cos - 3.0 * (
+       |          SELECT max(x.sim) FROM ps x
+       |          WHERE x.q_id = s.q_id AND x.ida = p.id
+       |            AND list_contains(s.picked, x.idb)) DESC, p.id
+       |      LIMIT 1) pick
+       |    FROM sel s WHERE s.step < $MmrK) t
+       |  WHERE t.pick IS NOT NULL)""".stripMargin
 
   /** SQL twin of [[planeVal]]+dot: fold v[i]·plane_j[i] from 0.0. */
   private[operators] def planeDotSql(j: Int, v: String): String =
@@ -1707,42 +1778,11 @@ object Similarity {
     // term carries each query's picked-id LIST and selects the next
     // pick via a correlated argmax subquery (scored with the same
     // exactly-representable 7.0/3.0 factors and the same sequential
-    // left-fold dot products, tie-broken on id)
+    // left-fold dot products, tie-broken on id). The CTE chain is the
+    // SHARED [[mmrOracleCtes]] — p4's oracle replays the same greedy
+    // over a filtered pool, and the two must never drift.
     "s13_mmr_diversify" ->
-      (s"""WITH RECURSIVE e AS (
-         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
-         |  FROM embeddings),
-         |n AS (SELECT vec_id, v, ${normSql("v")} nrm FROM e),
-         |sc AS (SELECT q.vec_id q_id, c.vec_id id, c.v, c.nrm,
-         |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) cos
-         |  FROM n q JOIN n c ON c.vec_id != q.vec_id
-         |  WHERE q.vec_id < $NumQueries),
-         |pool AS (SELECT q_id, id, v, nrm, cos FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cos DESC, id) crank FROM sc)
-         |  WHERE crank <= $MmrPool),
-         |ps AS (SELECT a.q_id, a.id ida, b.id idb,
-         |    ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) sim
-         |  FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.id != b.id),
-         |sel AS (
-         |  SELECT 1 AS step, q_id, id, cos, [id] AS picked FROM (
-         |    SELECT q_id, id, cos, row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cos DESC, id) rn FROM pool) WHERE rn = 1
-         |  UNION ALL
-         |  SELECT t.step + 1, t.q_id, struct_extract(t.pick, 'id'),
-         |    struct_extract(t.pick, 'cos'),
-         |    list_append(t.picked, struct_extract(t.pick, 'id'))
-         |  FROM (
-         |    SELECT s.step, s.q_id, s.picked, (
-         |      SELECT {'id': p.id, 'cos': p.cos} FROM pool p
-         |      WHERE p.q_id = s.q_id AND NOT list_contains(s.picked, p.id)
-         |      ORDER BY 7.0 * p.cos - 3.0 * (
-         |          SELECT max(x.sim) FROM ps x
-         |          WHERE x.q_id = s.q_id AND x.ida = p.id
-         |            AND list_contains(s.picked, x.idb)) DESC, p.id
-         |      LIMIT 1) pick
-         |    FROM sel s WHERE s.step < $MmrK) t
-         |  WHERE t.pick IS NOT NULL)
+      (s"""WITH RECURSIVE ${mmrOracleCtes("", "")}
          |SELECT q_id, id AS vec_id, round(cos, 4) AS cos,
          |  CAST(step AS BIGINT) AS rank
          |FROM sel ORDER BY q_id, rank""".stripMargin),

@@ -438,7 +438,7 @@ final class GraftTable private (
     * procedure. */
   def fileRowCount(rel: String): Long =
     meta.fileStats.get(rel).flatMap(_.values.headOption).map(_.rows)
-      .getOrElse(footerInfo(s"$location/$rel", collWitness = false)._1)
+      .getOrElse(footerInfo(s"$location/$rel")._1)
 
   /** On-disk bytes of committed data + metadata, the
     * `cstore_table_size(regclass)` UDF (`cstore_fdw.c:1183-1229`). */
@@ -814,8 +814,7 @@ final class GraftTable private (
     * that do have stats would record `nulls = 0` (or too-tight min/max)
     * for a file that still holds nulls / out-of-range values, and
     * `refutes()` would silently prune matching rows. */
-  private def footerInfo(file: String,
-      collWitness: Boolean = true): (Long, Map[String, GraftTable.ColFileStats]) = {
+  private def footerInfo(file: String): (Long, Map[String, GraftTable.ColFileStats]) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file), spark.sessionState.newHadoopConf())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -879,33 +878,10 @@ final class GraftTable private (
           }
         }
       }
-      // Collation-order WITNESS bounds for declared-collation columns:
-      // the footer's binary min/max cannot refute collated predicates
-      // (cstore_reader.c:763-769), so record the file's extreme VALUES
-      // under the collation — one column-pruned aggregate over the new
-      // file (Spark's min/max on a collated type IS the collation
-      // order), only when the schema declares a collation at all. Cost
-      // ∝ the collated columns of the new file; zero for every other
-      // table. Row-COUNT-only callers (fileRowCount, rewrite
-      // conservation checks) pass collWitness = false and skip this
-      // entirely — only stat-harvesting commit paths pay, and the
-      // multi-file commit paths go through [[footerInfosRel]], which
-      // computes every new file's witnesses in ONE grouped job instead
-      // of one per file.
-      val collFields =
-        if (!collWitness) Array.empty[StructField]
-        else collatedFields
-      if (collFields.nonEmpty) {
-        val w = collWitnessRows(Seq(file)).values.headOption
-        collFields.zipWithIndex.foreach { case (f, i) =>
-          val st = GraftTable.collatedType(f.dataType).get
-          val mn = w.map(_.getString(1 + 2 * i)).orNull
-          val mx = w.map(_.getString(2 + 2 * i)).orNull
-          if (mn != null && mx != null)
-            byCol.put(GraftTable.collStatKey(f.name, st),
-              GraftTable.ColFileStats(mn, mx, -1L, rows))
-        }
-      }
+      // (Collation-order WITNESS bounds are NOT harvested here:
+      // footerInfo is the pure footer-metadata reader — every commit
+      // path harvests witnesses through [[footerInfosRel]]'s single
+      // grouped job instead.)
       (rows, (byCol -- unusable).toMap)
     } finally r.close()
   }
@@ -944,7 +920,7 @@ final class GraftTable private (
     val witnesses = collWitnessRows(files)
     val collFields = collatedFields
     files.map { f =>
-      val (rows, base) = footerInfo(f, collWitness = false)
+      val (rows, base) = footerInfo(f)
       val merged = witnesses.get(new HPath(f).toUri.getPath) match {
         case Some(w) =>
           base ++ collFields.zipWithIndex.flatMap { case (cf, i) =>
@@ -1284,12 +1260,12 @@ final class GraftTable private (
     val schemaAtWrite = meta.currentSchema
     // expected output = LIVE rows: footer rows net of deletion vectors
     // (the rewrite materializes any vector a small file carries)
-    val expectRows = smallRels.map(r => footerInfo(s"$location/$r", collWitness = false)._1 -
+    val expectRows = smallRels.map(r => footerInfo(s"$location/$r")._1 -
       meta.dvs.get(r).map(_.card).getOrElse(0L)).sum
     val nOut = math.max(1L,
       (small.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
     val batchDir = writeBatchDir(clusterPreserving(readFilesDf(smallRels), nOut))
-    val got = listParquetFiles(batchDir).map(f => footerInfo(f, collWitness = false)._1).sum
+    val got = listParquetFiles(batchDir).map(f => footerInfo(f)._1).sum
     require(got == expectRows,
       s"small-file compaction row mismatch: rewrote $got of $expectRows rows")
     commitRewrite(smallRels, batchDir, schemaAtWrite, 0L, "COMPACT_SMALL")
@@ -1702,7 +1678,7 @@ final class GraftTable private (
     val candRows = src.count() // footer-only: no filter below the count
     val keptDf = src.filter(!coalesce(cond, lit(false)))
     val batchDir = writeBatchDir(keptDf)
-    val kept = listParquetFiles(batchDir).map(f => footerInfo(f, collWitness = false)._1).sum
+    val kept = listParquetFiles(batchDir).map(f => footerInfo(f)._1).sum
     val deleted = candRows - kept
     if (deleted == 0L) {
       // nothing matched: keep the original files instead of churning
@@ -1765,7 +1741,7 @@ final class GraftTable private (
       // live rows per candidate file = footer rows − existing vector
       def liveRows(rel: String): Long =
         meta.fileStats.get(rel).flatMap(_.values.headOption).map(_.rows)
-          .getOrElse(footerInfo(s"$location/$rel", collWitness = false)._1) -
+          .getOrElse(footerInfo(s"$location/$rel")._1) -
           dvsAtScan.get(rel).map(_.card).getOrElse(0L)
       val (dense, sparse) = counts.partition { case (rel, n) =>
         val live = liveRows(rel)
@@ -2356,7 +2332,7 @@ final class GraftTable private (
     // replaced LIVE rows: footer rows net of each group's deletion
     // vector (the COW scan filtered those positions, so the staged
     // output never contained them)
-    val replacedRows = replaced.map(r => footerInfo(s"$location/$r", collWitness = false)._1 -
+    val replacedRows = replaced.map(r => footerInfo(s"$location/$r")._1 -
       dvsAt.get(r).map(_.card).getOrElse(0L)).sum
     val delta = newRows - replacedRows
     val candSet = replaced.toSet
@@ -2400,16 +2376,16 @@ final class GraftTable private (
       s"minDeadRatio must be in [0, 1], got $minDeadRatio")
     val targets = meta.dvs.filter { case (rel, e) =>
       val total = meta.fileStats.get(rel).flatMap(_.values.headOption)
-        .map(_.rows).getOrElse(footerInfo(s"$location/$rel", collWitness = false)._1)
+        .map(_.rows).getOrElse(footerInfo(s"$location/$rel")._1)
       total > 0 && e.card.toDouble / total.toDouble >= minDeadRatio
     }.keys.toVector
     if (targets.isEmpty) return 0
     val schemaAtWrite = meta.currentSchema
     val liveDf = readFilesDf(targets) // vectors applied
-    val expect = targets.map(r => footerInfo(s"$location/$r", collWitness = false)._1 -
+    val expect = targets.map(r => footerInfo(s"$location/$r")._1 -
       meta.dvs.get(r).map(_.card).getOrElse(0L)).sum
     val batchDir = writeBatchDir(liveDf)
-    val got = listParquetFiles(batchDir).map(f => footerInfo(f, collWitness = false)._1).sum
+    val got = listParquetFiles(batchDir).map(f => footerInfo(f)._1).sum
     require(got == expect,
       s"vector materialization row mismatch: rewrote $got of $expect live rows")
     commitRewrite(targets, batchDir, schemaAtWrite, 0L, "MATERIALIZE_VECTORS")
@@ -3139,7 +3115,11 @@ final class GraftTable private (
                   bin <- stats.get(c)
                 } yield new HPath(s"$location/$rel").toUri.getPath ->
                   ((w.min, w.max, bin.nulls))
-              }.toMap))
+              }.toMap,
+              // a collated in-FILE order is only proven for files whose
+              // versioned witness exists — even a single-file group must
+              // check (the file may predate the reader's ICU)
+              requireStats = true))
           case None => Some(GraftTable.SortedFileRanges(
             c,
             (a, b) => GraftTable.compareStat(f.dataType, a, b),
@@ -3253,10 +3233,18 @@ object GraftTable {
   /** Scan-side ordering manifest: the leading sort column, a typed
     * comparator over its rendered stat strings (None = incomparable,
     * never claim), and per-file (min, max, nulls) keyed by URI path. */
+  /** `requireStats = true` (collated claims): EVERY file in a group —
+    * including a single-file group — must appear in `stats` for the
+    * order claim to hold. The witness map is keyed by collation+library
+    * version, so a file written under a different ICU is simply absent
+    * and the claim refuses; binary claims (`requireStats = false`) keep
+    * the historical single-file shortcut, whose in-file order is
+    * version-free. */
   final case class SortedFileRanges(
       col: String,
       cmp: (String, String) => Option[Int],
-      stats: Map[String, (String, String, Long)])
+      stats: Map[String, (String, String, Long)],
+      requireStats: Boolean = false)
 
   /** Persistent table metadata — the analog of the reference's `.footer`
     * + postscript (`cstore.proto:32-51`). JSON, committed via temp+rename. */

@@ -334,6 +334,12 @@ object ParquetDelegate {
               files: Seq[org.apache.spark.sql.execution.datasources.PartitionedFile])
               : Option[Seq[org.apache.spark.sql.execution.datasources.PartitionedFile]] = {
             val byPhys = files.groupBy(_.filePath.toPath.toUri.getPath)
+            // a collated claim (requireStats) must verify EVERY file —
+            // including a single-file group — against the version-keyed
+            // witness map; a file written under a different collation
+            // library is absent and refuses the claim
+            if (fr.requireStats && !byPhys.keys.forall(fr.stats.contains))
+              return None
             if (byPhys.size <= 1) return Some(files.sortBy(_.start))
             val statsOpt = byPhys.keys.toSeq.sorted
               .map(p => fr.stats.get(p).map(p -> _))
