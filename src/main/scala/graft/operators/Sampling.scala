@@ -166,8 +166,19 @@ object Sampling {
       .select(col("doc_id"), col("n_shared"))
   }
 
-  def c9BloomDecontaminate(s: SparkSession, dir: String,
-      evalDocs: Int = DefaultEvalDocs, minShared: Int = 3): DataFrame = {
+  /** c9's DEFAULT-parameter flagged set, materialized once per corpus
+    * fingerprint (the [[Dedup.PersistedLru]] discipline d2/p1 share
+    * their pair cache with): c9 itself and c14's exclusion join both
+    * read it, so a run executing both computes the corpus shingle pass
+    * once, not twice. */
+  private val flaggedCache = new Dedup.PersistedLru(2)
+
+  private def c9FlaggedCached(s: SparkSession, dir: String): DataFrame =
+    flaggedCache.getOrElseUpdate(s, dir, "documents")(
+      c9Flagged(s, dir, DefaultEvalDocs, 3))
+
+  private def c9Flagged(s: SparkSession, dir: String,
+      evalDocs: Int, minShared: Int): DataFrame = {
     import graft.functions.Shingles.shinglesDistinctFast
     val sh = docs(s, dir).select(
       col("doc_id"), explode(shinglesDistinctFast(col("text"))).as("sng"))
@@ -189,7 +200,14 @@ object Sampling {
       } else evalBloomSketch(evalSh)
     bloomProbe(sh.filter(col("doc_id") >= evalDocs), evalSh, sketch, minShared)
       .select(col("doc_id"), col("n_shared"))
-      .orderBy("doc_id")
+  }
+
+  def c9BloomDecontaminate(s: SparkSession, dir: String,
+      evalDocs: Int = DefaultEvalDocs, minShared: Int = 3): DataFrame = {
+    val flagged =
+      if (evalDocs == DefaultEvalDocs && minShared == 3) c9FlaggedCached(s, dir)
+      else c9Flagged(s, dir, evalDocs, minShared)
+    flagged.orderBy("doc_id")
   }
 
   /** c3: temperature-reweighted source mix (α = 0.5) — the step that
@@ -234,7 +252,7 @@ object Sampling {
     * keyed left-anti join on doc_id; everything downstream is c3's
     * arithmetic unchanged ([[sourceMixOf]]). */
   def c14DecontaminatedMix(s: SparkSession, dir: String): DataFrame = {
-    val flagged = c9BloomDecontaminate(s, dir).select("doc_id")
+    val flagged = c9FlaggedCached(s, dir).select("doc_id")
     val clean = docs(s, dir)
       .filter(col("doc_id") >= DefaultEvalDocs)
       .join(flagged, Seq("doc_id"), "left_anti")
