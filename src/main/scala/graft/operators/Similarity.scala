@@ -1326,6 +1326,26 @@ object Similarity {
     out.result()
   }
 
+  /** s14: the FILTERED probe of the persisted IVF-PQ index — s12's
+    * composition for the COMPOSED index: the `lang='en'` id-universe
+    * rides [[probeIvfPq]]'s `filterIds` semi join on the CODES scan,
+    * BEFORE the ADC shortlist, so the top-PqRerank quantized candidates
+    * are drawn from the filtered universe and the exact re-rank touches
+    * only filtered ids. Hash-checkable because the exact re-rank makes
+    * the result fully determined by quantizer + codebook + ADC + filter
+    * — all of which the oracle ([[s9OracleSql]] with the filter at the
+    * candidate stage) replays in SQL. */
+  def s14FilteredIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val root = ivfPqIndexDir(s, dir)
+    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val q = postT.read().filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val en = Tables.load(s, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").cast("long").as("id"))
+    probeIvfPq(s, root, q, Some(en)).orderBy("q_id", "rank")
+  }
+
   /** p4's context token budget: picks are packed in MMR order until the
     * inclusive running token count would exceed this — the first
     * overflow CLOSES the context (standard prompt assembly; later
@@ -1471,9 +1491,55 @@ object Similarity {
     "s11_filtered_ivf" -> s11FilteredIvf _,
     "s12_filtered_persisted" -> s12FilteredPersisted _,
     "s13_mmr_diversify" -> s13MmrDiversify _,
+    "s14_filtered_ivfpq" -> s14FilteredIvfPq _,
   )
 
   import OracleSql._
+
+  /** s9's oracle body, parameterized for the FILTERED twin (s14):
+    * `extraCtes` prepends a filter CTE, `candFilter` lands inside the
+    * ADC candidate stage's WHERE — the oracle-side mirror of
+    * [[probeIvfPq]]'s `filterIds` semi join on the codes scan. One
+    * definition, so the plain and filtered oracles cannot drift. */
+  private def s9OracleSql(extraCtes: String, candFilter: String): String =
+    s"""WITH $pqCtes,
+       |${extraCtes}lab AS (SELECT vec_id, label FROM embeddings),
+       |nn AS (SELECT e.vec_id, lab.label, e.v, ${normSql("e.v")} nrm
+       |       FROM e JOIN lab ON lab.vec_id = e.vec_id),
+       |cent AS (
+       |  SELECT label, list(CAST(sq AS DOUBLE) ORDER BY i) cv FROM (
+       |    SELECT label, i, sum(CAST(round(embedding[i]::DOUBLE * $Quant) AS BIGINT)) sq
+       |    FROM embeddings CROSS JOIN range(1, 65) r(i)
+       |    GROUP BY label, i) GROUP BY label),
+       |cn AS (SELECT label, cv, ${normSql("cv")} cnrm FROM cent),
+       |assigned AS (
+       |  SELECT q_id, label FROM (
+       |    SELECT q.vec_id q_id, cn.label,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dotSql("q.v", "cn.cv")} / (q.nrm * cn.cnrm) DESC,
+       |                 cn.label) arn
+       |    FROM nn q CROSS JOIN cn WHERE q.vec_id < $NumQueries)
+       |  WHERE arn = 1),
+       |cand AS (SELECT a.q_id, c.vec_id, CAST(sum(q.pdq) AS BIGINT) pqd
+       |  FROM codes c
+       |  JOIN lab ON lab.vec_id = c.vec_id
+       |  JOIN assigned a ON a.label = lab.label
+       |  JOIN qtab q ON q.m = c.m AND q.cid = c.code AND q.q_id = a.q_id
+       |  WHERE c.vec_id != a.q_id$candFilter
+       |  GROUP BY a.q_id, c.vec_id),
+       |candr AS (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY pqd, vec_id) crn
+       |  FROM cand),
+       |rer AS (SELECT c.q_id, cv.label, cv.vec_id,
+       |    ${dotSql("qv.v", "cv.v")} / (qv.nrm * cv.nrm) cos
+       |  FROM candr c
+       |  JOIN nn cv ON cv.vec_id = c.vec_id
+       |  JOIN nn qv ON qv.vec_id = c.q_id
+       |  WHERE c.crn <= $PqRerank)
+       |SELECT q_id, label, vec_id, round(cos, 4) cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) rank FROM rer)
+       |WHERE rank <= $IvfTopK ORDER BY q_id, rank""".stripMargin
 
   /** The MMR greedy's DuckDB CTE chain (e/n/sc/pool/ps/sel), SHARED by
     * s13's oracle and p4's (which adds a filter CTE via `extraCtes` and
@@ -1717,45 +1783,16 @@ object Similarity {
     // replays all three stages; a hash match proves the persisted
     // index + zone-map-pruned code scan + pushed-down re-rank fetch
     // lose nothing vs the declarative composition.
-    "s9_ann_ivfpq" ->
-      (s"""WITH $pqCtes,
-         |lab AS (SELECT vec_id, label FROM embeddings),
-         |nn AS (SELECT e.vec_id, lab.label, e.v, ${normSql("e.v")} nrm
-         |       FROM e JOIN lab ON lab.vec_id = e.vec_id),
-         |cent AS (
-         |  SELECT label, list(CAST(sq AS DOUBLE) ORDER BY i) cv FROM (
-         |    SELECT label, i, sum(CAST(round(embedding[i]::DOUBLE * $Quant) AS BIGINT)) sq
-         |    FROM embeddings CROSS JOIN range(1, 65) r(i)
-         |    GROUP BY label, i) GROUP BY label),
-         |cn AS (SELECT label, cv, ${normSql("cv")} cnrm FROM cent),
-         |assigned AS (
-         |  SELECT q_id, label FROM (
-         |    SELECT q.vec_id q_id, cn.label,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${dotSql("q.v", "cn.cv")} / (q.nrm * cn.cnrm) DESC,
-         |                 cn.label) arn
-         |    FROM nn q CROSS JOIN cn WHERE q.vec_id < $NumQueries)
-         |  WHERE arn = 1),
-         |cand AS (SELECT a.q_id, c.vec_id, CAST(sum(q.pdq) AS BIGINT) pqd
-         |  FROM codes c
-         |  JOIN lab ON lab.vec_id = c.vec_id
-         |  JOIN assigned a ON a.label = lab.label
-         |  JOIN qtab q ON q.m = c.m AND q.cid = c.code AND q.q_id = a.q_id
-         |  WHERE c.vec_id != a.q_id
-         |  GROUP BY a.q_id, c.vec_id),
-         |candr AS (SELECT q_id, vec_id,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY pqd, vec_id) crn
-         |  FROM cand),
-         |rer AS (SELECT c.q_id, cv.label, cv.vec_id,
-         |    ${dotSql("qv.v", "cv.v")} / (qv.nrm * cv.nrm) cos
-         |  FROM candr c
-         |  JOIN nn cv ON cv.vec_id = c.vec_id
-         |  JOIN nn qv ON qv.vec_id = c.q_id
-         |  WHERE c.crn <= $PqRerank)
-         |SELECT q_id, label, vec_id, round(cos, 4) cos, rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY cos DESC, vec_id) rank FROM rer)
-         |WHERE rank <= $IvfTopK ORDER BY q_id, rank""".stripMargin),
+    "s9_ann_ivfpq" -> s9OracleSql("", ""),
+    // s14: s9's oracle with the metadata filter inserted at the ADC
+    // candidate stage — exactly where the Spark probe's semi join sits
+    // (the shortlist is drawn from the filtered universe; a post-ADC
+    // filter would under-return). One shared definition, two entries.
+    "s14_filtered_ivfpq" -> s9OracleSql(
+      """en2 AS (SELECT CAST(doc_id AS BIGINT) id FROM documents
+        |        WHERE lang = 'en'),
+        |""".stripMargin,
+      "\n    AND c.vec_id IN (SELECT id FROM en2)"),
     "s4_kmeans" ->
       (s"""WITH $kmeansCtes
          |SELECT vec_id, CAST(cid AS BIGINT) cluster_id, round(d, 4) d2

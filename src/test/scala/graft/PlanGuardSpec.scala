@@ -55,8 +55,11 @@ class PlanGuardSpec extends SparkSpec {
       // p4: s13's pool shape over the filtered universe (≤5-row
       // broadcast query set; the filter is a keyed semi join, the
       // token join a keyed equality join)
+      // s14: s9's assignment crossJoin over the committed centroid
+      // table; the filter is a keyed semi join on the codes scan
       "s11_filtered_ivf", "c13_epoch_mix", "s12_filtered_persisted",
-      "s13_mmr_diversify", "c14_decontaminated_mix", "p4_rag_context")
+      "s13_mmr_diversify", "c14_decontaminated_mix", "p4_rag_context",
+      "s14_filtered_ivfpq")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")
