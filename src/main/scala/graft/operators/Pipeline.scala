@@ -203,8 +203,9 @@ object Pipeline {
          |       FROM documents),
          |picked AS (SELECT s.q_id, CAST(s.step AS BIGINT) rank, s.id,
          |    s.cos, tk.tok,
-         |    sum(tk.tok) OVER (PARTITION BY s.q_id ORDER BY s.step
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_tok
+         |    CAST(sum(tk.tok) OVER (PARTITION BY s.q_id ORDER BY s.step
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) cum_tok
          |  FROM sel s JOIN tk ON tk.tid = s.id),
          |cut AS (SELECT q_id,
          |    coalesce(min(rank) FILTER (WHERE cum_tok > ${Similarity.CtxBudget}),

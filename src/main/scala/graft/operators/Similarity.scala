@@ -114,7 +114,17 @@ object Similarity {
     * (the one-time 100 TB index-build cost), each query then reads the
     * tiny centroid table plus ~1/nlist of the corpus, and new vectors
     * join the index incrementally ([[appendToIvfIndex]]) without
-    * touching committed files. */
+    * touching committed files.
+    *
+    * MEMOIZATION CONTRACT: the returned root is shared by every entry
+    * and spec that touches the sf-dir's index (s7/s9/s12/s14, the
+    * streaming twins, the bench solos), and the s7 ≡ s2 / s12 ≡ s11
+    * oracle equalities hold precisely because the committed centroids
+    * ARE `centroids(emb)`'s output. [[rebuildIvfIndex]] RECENTERS a
+    * quantizer in place, so this memoized root must never be rebuilt —
+    * tests that exercise rebuild clone the root first
+    * (AnnIndexSpec/GraftCatalogSpec do), and any future consumer must
+    * do the same. */
   private[graft] def ivfIndexDir(s: SparkSession, dir: String): String =
     IvfIndexCache.computeIfAbsent((s, dir), { _ =>
       val root = java.nio.file.Files.createTempDirectory("graft_ivf").toString
@@ -832,9 +842,15 @@ object Similarity {
       // GREEDY prefix strip: rel must be the path remainder after the
       // LAST '/postings/' — an index named 'postings' (or any earlier
       // 'postings' path segment) would otherwise desync this rel from
-      // the snapshot's rel names and count every vector as appended
+      // the snapshot's rel names and count every vector as appended.
+      // input_file_name() is a percent-ENCODED URI while the snapshot
+      // rels are raw strings, so decode the remainder after stripping
+      // (strip first: '/' and "postings" are never encoded, but an
+      // encoded char in the LOCATION portion must not confuse the
+      // match; the engine-generated rel portion is URI-safe ASCII, so
+      // decoding it is lossless).
       .withColumn("rel",
-        regexp_replace(input_file_name(), "^.*/postings/", ""))
+        url_decode(regexp_replace(input_file_name(), "^.*/postings/", "")))
       .join(broadcast(baseDf), Seq("rel"), "left")
       .join(broadcast(cent), "label")
       .select(coalesce(col("is_build"), lit(false)).as("is_build"),

@@ -141,8 +141,22 @@ private[sources] object GraftProcedures {
               targetArg: Int): Long = {
             val target = checkName(input.getUTF8String(targetArg).toString)
             val tgtDir = tableDir(target)
-            require(!GraftTable.exists(tgtDir),
-              s"target table $target already exists")
+            // Fresh-target rule with one carve-out: the in-JVM failure
+            // path below drops the target, but a DRIVER crash between
+            // the create-commit and the append leaves a committed EMPTY
+            // target that would permanently block the retry. An
+            // existing target is reclaimed iff it has zero committed
+            // rows AND no history beyond its create commit — i.e. it
+            // can only be such a residue (or a just-created empty
+            // table, which the overwrite recreates identically minus
+            // options); any table that ever held data still refuses.
+            if (GraftTable.exists(tgtDir)) {
+              val existing = GraftTable.open(SparkSession.active, tgtDir)
+              require(existing.rowCountFromMetadata() == 0L &&
+                  existing.version == 0L,
+                s"target table $target already exists")
+              GraftTable.drop(tgtDir)
+            }
             val created = GraftTable.create(SparkSession.active, tgtDir,
               result.schema)
             // retryable CALL: a failed operator must not leave a

@@ -894,7 +894,19 @@ final class GraftTable private (
     * every collated column for EVERY file in `files`: row layout is
     * (_file, min₁, max₁, min₂, max₂, …) keyed here by the file's
     * canonical URI path. One Spark job regardless of file count — the
-    * per-commit witness harvest. */
+    * per-commit witness harvest.
+    *
+    * WRITE-PATH COST (documented trade): for tables with any
+    * declared-collation column, every commit path (append, compact,
+    * recluster, DML rewrites) re-READS the new files' collated columns
+    * in this one column-pruned job — roughly doubling write-path I/O
+    * on those columns in exchange for collated file pruning on every
+    * subsequent read. Uncollated tables pay zero. Harvesting inside
+    * the write plan itself (a per-task observer) would save the pass
+    * but Spark's observe API only exposes JOB-level aggregates, not
+    * per-file ones, and a custom commit protocol would fork the
+    * delegated parquet writer — the re-read is the simpler sound
+    * choice until a per-file stats hook exists. */
   private def collWitnessRows(files: Seq[String])
       : Map[String, org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.functions.{min => fMin, max => fMax, col => fCol, input_file_name}

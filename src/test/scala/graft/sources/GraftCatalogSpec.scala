@@ -287,9 +287,29 @@ class GraftCatalogSpec extends SparkSpec {
           "CALL gcat.system.dedup_exact('db1.call_docs', 'db1.call_winners')")
       }
       assert(ex.getMessage.contains("already exists"), ex.getMessage)
+      // -- retryable CALL: crash residue between create-commit and
+      // append is a committed EMPTY v0 target; the retry reclaims it --
+      GraftTable.create(spark, s"$warehouse/db1/call_residue", docs.schema)
+      val retried = spark.sql(
+        "CALL gcat.system.dedup_exact('db1.call_docs', 'db1.call_residue')")
+        .collect()
+      assert(retried.head.getLong(2) === wantW.size.toLong,
+        "retry over a crash-left empty v0 target must reclaim it")
+      // …but an empty target that ever HELD data (version > 0, e.g.
+      // truncated) is a user table, not residue: still refuses
+      val trunc = GraftTable.create(spark,
+        s"$warehouse/db1/call_trunc", docs.schema)
+      trunc.append(docs.limit(3))
+      trunc.truncate()
+      val exT = intercept[Exception] {
+        spark.sql(
+          "CALL gcat.system.dedup_exact('db1.call_docs', 'db1.call_trunc')")
+      }
+      assert(exT.getMessage.contains("already exists"), exT.getMessage)
     } finally {
       Seq("call_docs", "call_winners", "call_corpus", "call_eval",
-        "call_flagged", "call_q", "call_topk").foreach(n =>
+        "call_flagged", "call_q", "call_topk", "call_residue",
+        "call_trunc").foreach(n =>
         spark.sql(s"DROP TABLE IF EXISTS gcat.db1.$n"))
       Seq("centroids", "postings").foreach(t =>
         if (GraftTable.exists(s"$warehouse/db1/call_idx/$t"))

@@ -64,6 +64,19 @@ def compare(got, want):
     g, w = got[gc].reset_index(drop=True), want[wc].reset_index(drop=True)
     for c in gc:
         gv, wv = g[c], w[c]
+        # The driver hashes VALUES, so an int64 column vs a float64
+        # column (e.g. DuckDB returning HUGEINT for sum(BIGINT), which
+        # pandas renders as float64) hash-mismatches even when every
+        # value compares equal (12 == 12.0). Reproduce that sensitivity
+        # here: a float/integer KIND mismatch is a failure — cast the
+        # oracle SQL (round 11's p4 lesson).
+        g_num = gv.dtype.kind in "iu"
+        w_num = wv.dtype.kind in "iu"
+        g_flt = gv.dtype.kind == "f"
+        w_flt = wv.dtype.kind == "f"
+        if (g_num and w_flt) or (g_flt and w_num):
+            return False, (f"dtype kind mismatch col={c}: spark={gv.dtype} "
+                           f"oracle={wv.dtype} (driver hash would differ)")
         for i in range(len(gv)):
             a, b = gv.iloc[i], wv.iloc[i]
             if not eq(a, b):
