@@ -139,6 +139,7 @@ object Similarity {
       val postT = graft.storage.GraftTable.create(s, s"$root/postings", postDf.schema,
         graft.storage.GraftTableOptions(sortBy = Seq("label")))
       postT.append(postDf)
+      writeDriftBaseline(s, root)
       root
     })
 
@@ -815,6 +816,67 @@ object Similarity {
     * sequence must be COMPLETED, not discarded. */
   private[operators] val RebuildSwapMarker = "_rebuild_swap"
 
+  /** The PERSISTED drift baseline: a tiny JSON control file under the
+    * index root recording the vector count and median assignment
+    * cosine at build/rebuild time. The audit's file-grain lineage
+    * (r11) dies with any REWRITE — compact/recluster produce new
+    * files, resetting the baseline snapshot to the post-rewrite state
+    * and silently zeroing both signals for whatever had been appended
+    * before the rewrite. This file rides index METADATA, not file
+    * identity, so `appended ≈ total − n_baseline` and the cosine
+    * comparison survive rewrites. Written atomically (temp + rename)
+    * by [[writeDriftBaseline]]; refreshed by [[rebuildIvfIndex]] after
+    * its swap (a crash between swap and refresh leaves the OLD
+    * baseline — the audit then over-reports drift and recommends
+    * another rebuild, which heals it: conservative direction). Absent
+    * on pre-feature indexes and on per-table clones — the audit falls
+    * back to pure file grain, the r11 behavior. */
+  private[operators] val DriftBaselineFile = "_drift_baseline.json"
+
+  /** One pass over the committed postings: vector count + median
+    * assignment cosine vs the committed centroids, persisted as the
+    * drift baseline under `root`. Cost = the audit's pass, paid once
+    * per build/rebuild. */
+  private[operators] def writeDriftBaseline(s: SparkSession,
+      root: String): Unit = {
+    val post = graft.storage.GraftTable.open(s, s"$root/postings").read()
+    val cent = graft.storage.GraftTable.open(s, s"$root/centroids").read()
+    val row = post.join(broadcast(cent), "label")
+      .select(cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("acos"))
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("acos"), lit(0.5), lit(10000)).as("p50"))
+      .head()
+    val n = row.getLong(0)
+    val p50 = if (n == 0L) 0.0 else row.getDouble(1)
+    val (fs, _) = graft.storage.GraftTable.fsAndPath(root)
+    val tmp = new org.apache.hadoop.fs.Path(root, s"$DriftBaselineFile.tmp")
+    val dst = new org.apache.hadoop.fs.Path(root, DriftBaselineFile)
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"n": $n, "p50": $p50}""".getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"could not commit drift baseline at $dst")
+  }
+
+  private def readDriftBaseline(root: String): Option[(Long, Double)] = {
+    val (fs, _) = graft.storage.GraftTable.fsAndPath(root)
+    val p = new org.apache.hadoop.fs.Path(root, DriftBaselineFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      // minimal parse of the two-field object this module writes; a
+      // malformed file (torn write on a non-atomic-rename store) reads
+      // as absent → file-grain fallback, never a crash
+      val n = """"n"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      val p50 = """"p50"\s*:\s*(-?[0-9.eE+-]+)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble)
+      for (a <- n; b <- p50) yield (a, b)
+    }
+  }
+
   def annDriftReport(s: SparkSession, root: String): Seq[(String, String)] = {
     val postLoc = s"$root/postings"
     val postT = graft.storage.GraftTable.open(s, postLoc)
@@ -855,23 +917,52 @@ object Similarity {
       .join(broadcast(cent), "label")
       .select(coalesce(col("is_build"), lit(false)).as("is_build"),
         cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("acos"))
-      .groupBy("is_build")
+      // per-side rows PLUS the grand total in the same pass (each row
+      // feeds its side's group and the "all" group) — the
+      // persisted-baseline path needs the overall median when a
+      // rewrite has destroyed the file-grain build/appended split.
+      // (An Expand-based rollup here trips DetectAmbiguousSelfJoin on
+      // the joined-through attribute; the explicit explode does not.)
+      .select(explode(array(col("is_build").cast("string"), lit("all")))
+        .as("side"), col("acos"))
+      .groupBy("side")
       .agg(count(lit(1)).as("n"), percentile_approx(col("acos"), lit(0.5),
         lit(10000)).as("p50"))
-      .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    val (nBuild, p50Build) = agg.getOrElse(true, (0L, Double.NaN))
-    val (nApp, p50App) = agg.getOrElse(false, (0L, Double.NaN))
-    val total = nBuild + nApp
-    val massFrac = if (total == 0) 0.0 else nApp.toDouble / total
-    val gap = if (nApp == 0) 0.0 else p50Build - p50App
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val p50Build = agg.getOrElse("true", (0L, Double.NaN))._2
+    val (nApp, p50App) = agg.getOrElse("false", (0L, Double.NaN))
+    val (total, p50All) = agg.getOrElse("all", (0L, Double.NaN))
+    // Two baselines, persisted preferred (see [[DriftBaselineFile]]):
+    // the count-based appended mass survives rewrites; the cosine gap
+    // uses the file-grain split while it lives (sharper) and falls
+    // back to overall-vs-baseline (diluted by build mass but nonzero)
+    // after a rewrite. No baseline file → pure file grain (r11).
+    val (nAppOut, massFrac, gap, p50BuildOut, p50AppOut, source) =
+      readDriftBaseline(root) match {
+        case Some((nBase, p50Base)) =>
+          val appC = math.max(math.max(0L, total - nBase), nApp)
+          val mf = if (total == 0) 0.0 else appC.toDouble / total
+          val g =
+            if (nApp > 0) p50Base - p50App
+            else if (appC > 0) p50Base - p50All
+            else 0.0
+          (appC, mf, g, p50Base,
+            if (nApp > 0) p50App else p50All, "persisted")
+        case None =>
+          val mf = if (total == 0) 0.0 else nApp.toDouble / total
+          val g = if (nApp == 0) 0.0 else p50Build - p50App
+          (nApp, mf, g, p50Build, p50App, "file_grain")
+      }
     val recommend = massFrac > DriftMassThreshold || gap > DriftCosGap
     Seq(
       "total_vectors" -> total.toString,
-      "appended_vectors" -> nApp.toString,
+      "appended_vectors" -> nAppOut.toString,
       "appended_mass_fraction" -> f"$massFrac%.4f",
-      "build_assign_cos_p50" -> f"$p50Build%.4f",
+      "build_assign_cos_p50" -> f"$p50BuildOut%.4f",
       "appended_assign_cos_p50" ->
-        (if (nApp == 0) "-" else f"$p50App%.4f"),
+        (if (nAppOut == 0) "-" else f"$p50AppOut%.4f"),
+      "baseline_source" -> source,
       "recommend_recluster" -> (if (recommend) "1" else "0"))
   }
 
@@ -1029,6 +1120,11 @@ object Similarity {
         GraftTable.drop(s"$root/${n}_rebuild")
       }
       fs.delete(marker, false)
+      // refresh the persisted drift baseline to the post-rebuild state
+      // (a crash before this line leaves the OLD baseline: the audit
+      // then over-reports and recommends another rebuild — see
+      // [[DriftBaselineFile]])
+      writeDriftBaseline(s, root)
       (nLists, finalAssign.count())
     } finally { post.unpersist(); () }
   }

@@ -381,9 +381,50 @@ class AnnIndexSpec extends SparkSpec {
     // clean again (it must NOT report the whole index as appended)
     GraftTable.open(spark, s"$root3/postings").compact()
     val postRewrite = Similarity.annDriftReport(spark, root3).toMap
+    assert(postRewrite("baseline_source") === "file_grain",
+      s"per-table clones carry no baseline file: $postRewrite")
     assert(postRewrite("appended_vectors") === "0",
       s"rewrite must reset the baseline, not poison it: $postRewrite")
     assert(postRewrite("recommend_recluster") === "0")
+  }
+
+  test("ann_drift persisted baseline: mass stays flagged across a rewrite; rebuild heals it") {
+    import org.apache.spark.sql.functions.col
+    val root = Similarity.ivfIndexDir(spark, dir)
+    // the MEMOIZED root is built WITH a baseline: its fresh audit must
+    // already ride the persisted path and read clean
+    val fresh = Similarity.annDriftReport(spark, root).toMap
+    assert(fresh("baseline_source") === "persisted", s"$fresh")
+    assert(fresh("recommend_recluster") === "0", s"$fresh")
+    val root4 = tmpDir("ann-drift-persist")
+    Seq("centroids", "postings").foreach(t =>
+      GraftTable.open(spark, s"$root/$t").cloneTo(s"$root4/$t"))
+    Similarity.writeDriftBaseline(spark, root4)
+    val n = GraftTable.open(spark, s"$root4/postings").rowCountFromMetadata()
+    val nMass = (n / 3).toInt.max(5)
+    val benign = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < nMass)
+      .select((col("vec_id") + 9000000L).as("vec_id"), col("embedding"))
+    assert(Similarity.appendToIvfIndex(spark, root4, benign) === nMass.toLong)
+    // the r11 gap: a rewrite destroys file-grain lineage — WITHOUT the
+    // persisted baseline the audit would now read clean (the previous
+    // test pins exactly that); WITH it the appended mass survives
+    GraftTable.open(spark, s"$root4/postings").compact()
+    val audited = Similarity.annDriftReport(spark, root4).toMap
+    assert(audited("baseline_source") === "persisted", s"$audited")
+    assert(audited("appended_vectors") === nMass.toString,
+      s"count-based mass must survive the rewrite: $audited")
+    assert(audited("appended_mass_fraction").toDouble >
+      Similarity.DriftMassThreshold, s"$audited")
+    assert(audited("recommend_recluster") === "1",
+      s"mass must keep flagging across a rewrite: $audited")
+    // the recommended ACTION refreshes the baseline: clean after
+    val (_, nVec) = Similarity.rebuildIvfIndex(spark, root4)
+    assert(nVec === n + nMass)
+    val healed = Similarity.annDriftReport(spark, root4).toMap
+    assert(healed("baseline_source") === "persisted", s"$healed")
+    assert(healed("appended_vectors") === "0", s"$healed")
+    assert(healed("recommend_recluster") === "0", s"$healed")
   }
 
   test("ann_rebuild: the quantizer adapts to planted drift; drift reads clean after; PQ labels stay agreed") {
