@@ -1043,6 +1043,86 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  // -- d14: maximal duplicated token spans (substring-level dedup) -----
+
+  /** k-gram width for span detection. Two documents sharing any
+    * verbatim run of `L ≥ k` tokens share exactly `L − k + 1`
+    * consecutive k-grams on one `(pos_a − pos_b)` diagonal, so runs of
+    * shared k-grams reconstruct the maximal span and its length
+    * EXACTLY — the k-gram-diagonal formulation of the suffix-array
+    * substring dedup from the training-data-dedup literature, chosen
+    * because it is three keyed shuffles instead of a distributed
+    * suffix array. */
+  val SpanGramK = 10
+
+  /** Report maximal cross-document spans at least this many tokens. */
+  val SpanMinTokens = 15L
+
+  /** d14: every MAXIMAL verbatim token span (≥ [[SpanMinTokens]]
+    * tokens) shared between two documents — substring-grain dedup,
+    * the operator that catches quotation/boilerplate/partial-copy
+    * duplication that whole-document hashing (d1) and set-overlap
+    * scores (d2/d3) miss or only score in aggregate.
+    *
+    * Shape: (1) per doc, one polyhashed k-gram per token offset — a
+    * row-local Catalyst `transform` over the token array, no shuffle;
+    * (2) group by gram hash and expand each posting list to cross-doc
+    * (pos_a, pos_b) pairs with the shared [[PostingPairs]] expression
+    * (the d2 discipline — pair fan-out is bounded by posting-list
+    * sizes, the documented hot-gram cost center; `maxGramFreq` caps a
+    * boilerplate gram's f²/2 expansion at scale, at the cost of
+    * splitting spans that cross a dropped gram); (3) per (doc pair,
+    * diagonal), consecutive positions collapse to maximal islands via
+    * one `pos − row_number` window. Three keyed shuffles total (gram,
+    * pair-diagonal window, final group); nothing touches the corpus
+    * quadratically.
+    *
+    * Output: (doc_a, doc_b, pos_a, pos_b, span_tokens) per maximal
+    * span, positions in token offsets. */
+  def d14SpanDedup(s: SparkSession, dir: String,
+      maxGramFreq: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        split(col("text"), " ", -1).as("toks"))
+      .filter(size(col("toks")) >= SpanGramK)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("toks")) - SpanGramK),
+          j => polyHashFast(
+            concat_ws(" ", slice(col("toks"), j + 1, lit(SpanGramK))), P31)))
+          .as(Seq("j", "h")))
+    val posting = grams
+      .groupBy("h")
+      .agg(sort_array(collect_list(struct(col("doc_id"),
+        col("j").cast("long").as("pos")))).as("ps"))
+    val capped = maxGramFreq.fold(posting)(f =>
+      posting.filter(size(col("ps")) <= f))
+    val pairs = capped
+      // PostingPairs reads (long, long) structs positionally: the
+      // second field rides as the PAYLOAD — set sizes in d2, POSITIONS
+      // here. Same-doc entries sort adjacent and emit a == b pairs
+      // (a repeated phrase inside one document); d14 is cross-doc, so
+      // they are filtered, not collapsed.
+      .select(explode(graft.functions.PostingPairs.pairsFast(col("ps"))).as("p"))
+      .filter(col("p.a") =!= col("p.b"))
+      .select(col("p.a").as("doc_a"), col("p.na").as("pos_a"),
+        col("p.b").as("doc_b"), col("p.nb").as("pos_b"))
+    val w = Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("pos_a") - col("pos_b"))
+      .orderBy(col("pos_a"))
+    pairs
+      .withColumn("isl", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("pos_a") - col("pos_b")).as("diag"), col("isl"))
+      .agg(min("pos_a").as("pos_a"), min("pos_b").as("pos_b"),
+        (count(lit(1)) + lit(SpanGramK - 1).cast("long")).as("span_tokens"))
+      .filter(col("span_tokens") >= SpanMinTokens)
+      .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"),
+        col("span_tokens"))
+      .orderBy("doc_a", "doc_b", "pos_a", "pos_b")
+  }
+
   // -- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1060,6 +1140,7 @@ object Dedup {
     "d10_containment" -> ((s: SparkSession, dir: String) => d10Containment(s, dir)),
     "d11_semantic_dedup" -> ((s: SparkSession, dir: String) => d11SemanticDedup(s, dir)),
     "d12_incremental_dedup" -> d12IncrementalDedup _,
+    "d14_span_dedup" -> ((s: SparkSession, dir: String) => d14SpanDedup(s, dir)),
   )
 
   import OracleSql._
@@ -1103,6 +1184,30 @@ object Dedup {
     "d1_exact_dedup" ->
       ("SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents " +
         "GROUP BY md5(text) ORDER BY doc_id"),
+    // d14: the k-gram/diagonal reconstruction replayed literally — same
+    // polyhash (polyHashSql), same island arithmetic. The gram hash is
+    // a JOIN KEY on both sides, so even a (2⁻³¹-scale) collision
+    // changes both results identically and the hash check stays exact.
+    "d14_span_dedup" ->
+      (s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) doc_id,
+         |       string_split(text, ' ') toks FROM documents),
+         |g0 AS (SELECT doc_id, unnest(range(0, len(toks) - ${SpanGramK - 1})) j,
+         |         toks
+         |       FROM d WHERE len(toks) >= $SpanGramK),
+         |g AS (SELECT doc_id, CAST(j AS BIGINT) j,
+         |        ${polyHashSql(s"array_to_string(toks[j+1:j+$SpanGramK], ' ')", P31)} h
+         |      FROM g0),
+         |p AS (SELECT a.doc_id da, b.doc_id db, a.j pa, b.j pb
+         |      FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |r AS (SELECT da, db, pa, pb, pa - pb diag,
+         |        pa - row_number() OVER (PARTITION BY da, db, pa - pb
+         |          ORDER BY pa) isl
+         |      FROM p)
+         |SELECT da AS doc_a, db AS doc_b, min(pa) AS pos_a, min(pb) AS pos_b,
+         |  CAST(count(*) + ${SpanGramK - 1} AS BIGINT) AS span_tokens
+         |FROM r GROUP BY da, db, diag, isl
+         |HAVING CAST(count(*) + ${SpanGramK - 1} AS BIGINT) >= $SpanMinTokens
+         |ORDER BY doc_a, doc_b, pos_a, pos_b""".stripMargin),
     "d2_ngram_jaccard" ->
       (s"""WITH $shingleCte,
          |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),

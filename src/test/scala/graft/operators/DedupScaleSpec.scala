@@ -107,6 +107,52 @@ class DedupScaleSpec extends SparkSpec {
     assert(recall >= 0.95, s"high-threshold recall $recall below target")
   }
 
+  test("d14 reports one MAXIMAL mid-document span with exact offsets and length") {
+    val shared = (1 to 20).map(i => s"x$i")
+    val a = ((1 to 10).map(i => s"a$i") ++ shared ++ (1 to 10).map(i => s"b$i"))
+      .mkString(" ")
+    val b = ((1 to 5).map(i => s"c$i") ++ shared ++ (1 to 8).map(i => s"d$i"))
+      .mkString(" ")
+    val dir = writeDocs(Seq(1L -> a, 2L -> b,
+      3L -> (1 to 30).map(i => s"z$i").mkString(" ")))
+    val out = Dedup.d14SpanDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // ONE maximal span — not the 11 constituent k-gram matches, not
+    // sub-spans — at the exact token offsets of the shared run
+    assert(out.toSeq === Seq((1L, 2L, 10L, 5L, 20L)))
+  }
+
+  test("d14 threshold binds: a 14-token shared run is silent, 15 reports") {
+    def mk(n: Int) = {
+      val shared = (1 to n).map(i => s"s$i")
+      writeDocs(Seq(
+        1L -> ((1 to 10).map(i => s"p$i") ++ shared).mkString(" "),
+        2L -> (shared ++ (1 to 10).map(i => s"q$i")).mkString(" ")))
+    }
+    assert(Dedup.d14SpanDedup(spark, mk(14)).collect().isEmpty,
+      "a shared run below SpanMinTokens must not report")
+    val hit = Dedup.d14SpanDedup(spark, mk(15)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(hit.toSeq === Seq((1L, 2L, 10L, 0L, 15L)))
+  }
+
+  test("d14 gram-frequency cap drops hot-gram fan-out; spans in cold grams survive") {
+    val shared = (1 to 20).map(i => s"x$i")
+    val hot = (1 to 18).map(i => s"h$i") // a boilerplate run in MANY docs
+    val docs = Seq(
+      1L -> ((1 to 10).map(i => s"a$i") ++ shared).mkString(" "),
+      2L -> ((1 to 10).map(i => s"b$i") ++ shared).mkString(" ")) ++
+      (10L to 16L).map(i => i -> (hot ++ Seq(s"u$i", s"v$i", s"w$i")).mkString(" "))
+    val dir = writeDocs(docs)
+    val capped = Dedup.d14SpanDedup(spark, dir, maxGramFreq = Some(4L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    // the 7-doc boilerplate grams exceed the cap and generate NO pairs;
+    // the 2-doc shared span (posting lists of size 2) is untouched
+    assert(capped.toSeq === Seq((1L, 2L, 20L)))
+    val uncapped = Dedup.d14SpanDedup(spark, dir).collect()
+    assert(uncapped.length > 1, "uncapped must also report the boilerplate pairs")
+  }
+
   private def writeDocs(rows: Seq[(Long, String)]): String = {
     val dir = tmpDir("graft-capspec")
     import spark.implicits._
