@@ -215,6 +215,23 @@ object Similarity {
     * ∝ |probed lists ∩ filter|. */
   private[graft] def probeIvf(s: SparkSession, root: String,
       q: DataFrame, filterIds: Option[DataFrame] = None): DataFrame = {
+    val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    probeCandidatesIvf(s, root, q, filterIds)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= IvfTopK)
+      .select(col("q_id"), col("label"), col("vec_id"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
+  /** RAW candidate scoring behind [[probeIvf]] (and the continuous RAG
+    * pool, [[graft.streaming.RagStream]]): every (query, candidate)
+    * pair inside the probed lists' zone-map-pruned files — UNROUNDED
+    * cosine, candidate vector + norm carried — so consumers can top-k
+    * rank or MMR-diversify over a wider pool without re-reading the
+    * index. Cost is the probe's scan cost; ranking/rounding stays in
+    * the consumers. */
+  private[graft] def probeCandidatesIvf(s: SparkSession, root: String,
+      q: DataFrame, filterIds: Option[DataFrame] = None): DataFrame = {
     val postT = graft.storage.GraftTable.open(s, s"$root/postings")
     val cent = graft.storage.GraftTable.open(s, s"$root/centroids").read()
     val assigned = assignQueryBatch(q, cent)
@@ -223,21 +240,25 @@ object Similarity {
     val files =
       if (probes.isEmpty) Seq.empty
       else postT.prunedFiles(Seq(org.apache.spark.sql.sources.In("label", probes)))
-    if (files.isEmpty)
-      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        annResultSchema(q, cent, postT))
+    if (files.isEmpty) {
+      val base = annResultSchema(q, cent, postT)
+      val candSchema = org.apache.spark.sql.types.StructType(
+        base.take(4) ++ Seq( // q_id, label, vec_id, cos
+          org.apache.spark.sql.types.StructField("v",
+            postT.readSchema()("v").dataType),
+          org.apache.spark.sql.types.StructField("nrm",
+            org.apache.spark.sql.types.DoubleType)))
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], candSchema)
+    }
     val scan = s.read.schema(postT.readSchema()).parquet(files: _*)
     val post = filterIds.fold(scan)(f =>
       scan.join(f.select(col("id")), col("vec_id") === col("id"), "left_semi"))
-    val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     post.join(broadcast(assigned),
       col("label") === col("alabel") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("label"), col("vec_id"),
-        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= IvfTopK)
-      .select(col("q_id"), col("label"), col("vec_id"),
-        round(col("cos"), 4).as("cos"), col("rank"))
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"),
+        col("v"), col("nrm"))
   }
 
   /** [[probeIvf]] over RAW `(vec_id, embedding)` query rows — the shape
@@ -1339,7 +1360,7 @@ object Similarity {
     * doubles, so the greedy's comparisons reproduce bit-for-bit in the
     * DuckDB oracle (decimal literals like 0.7 would parse as DECIMAL
     * there and double here). */
-  private[operators] val MmrPool = 20
+  private[graft] val MmrPool = 20
   private[operators] val MmrK = 10
 
   /** s13: MMR DIVERSITY re-ranking (maximal marginal relevance, the
@@ -1499,8 +1520,24 @@ object Similarity {
       .join(toks, col("vec_id") === col("tid"))
       .select(col("q_id"), col("vec_id"), col("cos"), col("v"), col("nrm"),
         col("tok"))
+    mmrPackStage(s, pool.toDF()).orderBy("q_id", "rank")
+  }
+
+  /** The MMR + prefix-pack TAIL of the RAG serving path — pool rows
+    * `(q_id, vec_id, cos RAW, v, nrm, tok)` → one row per PACKED pick
+    * `(q_id, rank, vec_id, cos rounded, tok, cum_tok)`. Shared by p4
+    * (the oracle-exact brute pool) and the continuous twin
+    * ([[graft.streaming.RagStream]], persisted-index pool), so the
+    * serving semantics cannot drift between the batch entry and the
+    * stream. */
+  private[graft] def mmrPackStage(s: SparkSession, poolDf: DataFrame)
+      : DataFrame = {
+    import s.implicits._
+    poolDf
+      .select(col("q_id"), col("vec_id"), col("cos"), col("v"),
+        col("nrm"), col("tok"))
       .as[(Long, Long, Double, Seq[Double], Double, Long)]
-    pool.groupByKey(_._1)
+      .groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
         val cands = it.toArray
         val tokOf = cands.map(c => c._2 -> c._6).toMap
@@ -1520,7 +1557,6 @@ object Similarity {
         out.result()
       }
       .toDF("q_id", "rank", "vec_id", "cos", "tok", "cum_tok")
-      .orderBy("q_id", "rank")
   }
 
   /** Each retrieval signal's rank list is truncated to this depth before

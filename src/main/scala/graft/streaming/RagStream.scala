@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Similarity
+import graft.storage.GraftTable
+
+/** Continuous RAG serving — p4's context-assembly path run against a
+  * STREAM of query vectors with the COMMITTED IVF index as the
+  * retrieval stage: per micro-batch, each query's candidate pool comes
+  * from the persisted probe machinery
+  * ([[Similarity.probeCandidatesIvf]] — assignment vs the broadcast
+  * committed centroids, only the probed lists' zone-map-pruned files
+  * scanned, optional stream-static `filterIds` semi join: the s12
+  * composition), widened to [[Similarity.MmrPool]] candidates and
+  * carried RAW into the SHARED MMR + token-pack tail
+  * ([[Similarity.mmrPackStage]]) — so the continuous twin and the p4
+  * batch entry cannot drift in serving semantics.
+  *
+  * vs p4: same semantics, different POOL — p4's oracle-exact entry
+  * ranks the pool by brute-force scan; this twin reads ~1/nlist of the
+  * corpus through the index, the production trade (the pool is the
+  * probed list's best, not the global best).
+  *
+  * Stream-static discipline, like [[AnnStream]]: a query's context
+  * depends only on its own row, the COMMITTED index, and the static
+  * docs frame — ZERO streaming state; the index is the state and it is
+  * maintained transactionally. Results land exactly-once under the
+  * checkpoint's txn id. Per trigger: one tiny centroid broadcast, one
+  * ~1/nlist postings scan, one bounded-pool window, then ≤ MmrPool
+  * rows per query through the greedy. Nothing grows with stream
+  * history. Id-universe contract as [[AnnStream]]. */
+object RagStream {
+
+  /** Serve a streaming (vec_id, embedding) query frame from the index
+    * at `indexRoot`, packing contexts from `docs` (a STATIC
+    * (doc_id, text) frame — token counts use t1's whitespace
+    * convention); packed picks append to `dest` exactly-once. */
+  def start(incoming: DataFrame, indexRoot: String, docs: DataFrame,
+      dest: GraftTable, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      filterIds: Option[DataFrame] = None): StreamingQuery = {
+    val id = GraftStreamIngest.txnId(checkpoint)
+    val toks = docs.select(col("doc_id").cast("long").as("tid"),
+      size(split(col("text"), " ", -1)).cast("long").as("tok"))
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val q = batch.select(col("vec_id").as("q_id"),
+          transform(col("embedding"), x => x.cast("double")).as("qv"))
+          .withColumn("qn",
+            sqrt(graft.functions.DotProduct.dotFast(col("qv"), col("qv"))))
+          .select("q_id", "qv", "qn")
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id"))
+        val pool = Similarity.probeCandidatesIvf(s, indexRoot, q, filterIds)
+          .withColumn("crank", row_number().over(w))
+          .filter(col("crank") <= Similarity.MmrPool)
+          .join(toks, col("vec_id") === col("tid"))
+          .select(col("q_id"), col("vec_id"), col("cos"), col("v"),
+            col("nrm"), col("tok"))
+        dest.appendStream(
+          Similarity.mmrPackStage(s, pool).orderBy("q_id", "rank"),
+          id, batchId)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+}
