@@ -202,6 +202,46 @@ object Sampling {
       .select(col("doc_id"), col("n_shared"))
   }
 
+  /** c15: per-eval-item CONTAMINATION REPORT — the reverse direction of
+    * c2/c9. Decontamination (c2/c9/c14) asks "which TRAINING docs must
+    * go"; benchmark hygiene also needs "how DIRTY is each EVAL item" —
+    * the per-item n-gram overlap report the GPT-3-style contamination
+    * studies publish: for every eval document, the fraction of its
+    * distinct 3-token shingles that appear anywhere in the training
+    * split. Items near 1.0 are memorized verbatim somewhere in
+    * training; items at 0.0 are clean; the fraction, not a flag, is
+    * what lets an eval suite report a clean-subset score.
+    *
+    * 100 TB shape — the CORPUS side never shuffles: the eval set's
+    * distinct shingles are tiny by construction and BROADCAST; the
+    * training shingle stream map-side hash-joins against them, and
+    * only the matching shingle VALUES (a subset of the eval set)
+    * reach the distinct + count-back joins. One broadcast + two
+    * eval-sized shuffles, corpus cost = one scan. */
+  def c15ContaminationReport(s: SparkSession, dir: String,
+      evalDocs: Int = DefaultEvalDocs): DataFrame = {
+    import graft.functions.Shingles.shinglesDistinctFast
+    val sh = docs(s, dir).select(
+      col("doc_id"), explode(shinglesDistinctFast(col("text"))).as("sng"))
+    val evalSh = sh.filter(col("doc_id") < evalDocs)
+    val evalSet = evalSh.select("sng").distinct()
+    // shingle values present in BOTH eval and training: corpus stream
+    // filtered map-side by the broadcast eval set; distinct runs over
+    // the survivors (⊆ eval set, bounded)
+    val present = sh.filter(col("doc_id") >= evalDocs).select("sng")
+      .join(broadcast(evalSet), "sng")
+      .distinct()
+    val totals = evalSh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val dirty = evalSh.join(present, "sng")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dirty"))
+    totals.join(dirty, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dirty"), lit(0L)).as("n_dirty"),
+        round(coalesce(col("n_dirty"), lit(0L)).cast("double") /
+          col("n_grams").cast("double"), 4).as("dirty_frac"))
+      .orderBy("doc_id")
+  }
+
   def c9BloomDecontaminate(s: SparkSession, dir: String,
       evalDocs: Int = DefaultEvalDocs, minShared: Int = 3): DataFrame = {
     val flagged =
@@ -584,6 +624,7 @@ object Sampling {
     "c1_stratified_sample" -> ((s, dir) => c1StratifiedSample(s, dir)),
     "c2_decontaminate" -> ((s, dir) => c2Decontaminate(s, dir)),
     "c9_bloom_decontaminate" -> ((s, dir) => c9BloomDecontaminate(s, dir)),
+    "c15_contamination_report" -> ((s, dir) => c15ContaminationReport(s, dir)),
     "c3_source_mix" -> ((s, dir) => c3SourceMix(s, dir)),
     "c14_decontaminated_mix" -> (c14DecontaminatedMix _),
     "c4_curation_funnel" -> ((s, dir) => c4CurationFunnel(s, dir)),
@@ -725,6 +766,23 @@ object Sampling {
          |      WHERE sh.doc_id >= 5 GROUP BY sh.doc_id)
          |SELECT doc_id, n_shared FROM m WHERE n_shared >= 3
          |ORDER BY doc_id""".stripMargin),
+    // c15: the eval-side report replayed set-theoretically — presence =
+    // the shingle exists in any training doc; fraction over the eval
+    // item's own distinct-shingle count
+    "c15_contamination_report" ->
+      (s"""WITH ${OracleSql.shingleCte},
+         |ev AS (SELECT doc_id, s FROM sh WHERE doc_id < 5),
+         |tot AS (SELECT doc_id, count(*) n_grams FROM ev GROUP BY doc_id),
+         |pres AS (SELECT DISTINCT ev.s FROM ev
+         |         JOIN sh ON sh.s = ev.s AND sh.doc_id >= 5),
+         |drt AS (SELECT ev.doc_id, count(*) n_dirty FROM ev
+         |        JOIN pres ON ev.s = pres.s GROUP BY ev.doc_id)
+         |SELECT t.doc_id, t.n_grams,
+         |  CAST(coalesce(d.n_dirty, 0) AS BIGINT) n_dirty,
+         |  round(CAST(coalesce(d.n_dirty, 0) AS DOUBLE)
+         |    / CAST(t.n_grams AS DOUBLE), 4) dirty_frac
+         |FROM tot t LEFT JOIN drt d ON t.doc_id = d.doc_id
+         |ORDER BY t.doc_id""".stripMargin),
     "c3_source_mix" ->
       """WITH n AS (SELECT source, count(*) n FROM documents GROUP BY source),
         |q AS (SELECT source, n,

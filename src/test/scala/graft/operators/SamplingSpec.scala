@@ -118,6 +118,32 @@ class SamplingSpec extends SparkSpec {
     assert(mix.map(_.getLong(3)).sum <= total)
   }
 
+  test("c15 per-eval-item contamination: verbatim copy reads 1.0, disjoint reads 0.0, partial exact") {
+    import spark.implicits._
+    val dirP = tmpDir("c15-planted")
+    // eval ids < 5; train >= 5. Shingles are 3-grams, so overlap counts
+    // are over per-doc DISTINCT trigrams.
+    val memorized = (1 to 12).map(i => s"m$i").mkString(" ") // 10 trigrams
+    val clean = (1 to 12).map(i => s"c$i").mkString(" ")
+    // partial: first 6 tokens shared with a train doc → trigrams
+    // m1..m4-starting 4 of its 10 are fully inside the shared prefix
+    val half = ((1 to 6).map(i => s"h$i") ++ (1 to 6).map(i => s"u$i")).mkString(" ")
+    Seq(
+      0L -> memorized, 1L -> clean, 2L -> half,
+      5L -> memorized,                                  // verbatim in training
+      6L -> ((1 to 6).map(i => s"h$i") ++ (1 to 9).map(i => s"w$i")).mkString(" "))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dirP/documents.parquet")
+    val rep = Sampling.c15ContaminationReport(spark, dirP)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rep(0L) === ((10L, 10L, 1.0)), s"verbatim copy must read 1.0: $rep")
+    assert(rep(1L) === ((10L, 0L, 0.0)), s"clean item must read 0.0: $rep")
+    // doc 2's trigrams: h1h2h3, h2h3h4, h3h4h5, h4h5h6 are inside the
+    // shared 6-token prefix; h5h6u1, h6u1u2 and the u-trigrams are not
+    assert(rep(2L) === ((10L, 4L, 0.4)), s"partial overlap must be exact: $rep")
+  }
+
   test("c9 bloom decontamination ≡ c2 exact, and the sketch prefilter is in the plan") {
     val c2 = Sampling.c2Decontaminate(spark, dir)
     val c9 = Sampling.c9BloomDecontaminate(spark, dir)
