@@ -376,7 +376,71 @@ object ExtendedQueries {
       .select(col("s"))
   }
 
+  /** q47: TPC-H Q4 shape — priority counts over an EXISTS-correlated
+    * order/lineitem probe. Catalyst rewrites the EXISTS to a LEFT SEMI
+    * join (one keyed shuffle of the date-windowed orders against the
+    * flag-filtered lineitem; the date filter pushes into the orders
+    * scan), then one tiny groupBy on priority. Counts are exact. */
+  def q47ExistsPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-07-01") &&
+        col("o_orderdate") < lit("1996-10-01"))
+    val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select("l_orderkey")
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q48: TPC-H Q12 shape — dual conditional aggregation over an
+    * order/lineitem join, split by line status (the schema's stand-in
+    * for shipmode). One keyed join shuffle + one tiny groupBy; the
+    * CASE arithmetic is integer-exact. */
+  def q48CaseAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+
+  /** q49: TPC-H Q22 shape — customers with above-average balance and no
+    * RECENT URGENT order (anti join against a filtered orders subset;
+    * this corpus gives every customer at least one order, so the
+    * unfiltered Q22 anti join would be vacuous), grouped by segment.
+    * The average comparison is CROSS-MULTIPLIED to integers
+    * (cents·n > Σcents) so the result cannot flip on shuffle-order
+    * double summation — the one-row aggregate broadcasts, the anti
+    * join is one keyed shuffle, and the orders-side predicates push
+    * into its scan. */
+  def q49AntiAvg(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+    val thr = c.filter(col("bal_c") > 0)
+      .agg(sum("bal_c").as("sum_c"), count(lit(1)).as("n_pos"))
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1998-01-01"))
+      .select("o_custkey")
+    c.crossJoin(broadcast(thr))
+      .filter(col("bal_c") * col("n_pos") > col("sum_c"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"), sum("bal_c").as("totacctbal_c"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_exists_priority" -> q47ExistsPriority _,
+    "q48_case_agg" -> q48CaseAgg _,
+    "q49_anti_avg" -> q49AntiAvg _,
     "q46_collation_filter" -> q46CollationFilter _,
     "q45_having_join" -> q45HavingJoin _,
     "q44_topk_revenue" -> q44TopkRevenue _,
@@ -406,6 +470,37 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q47_exists_priority" ->
+      ("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+         |  AND o_orderdate < TIMESTAMP '1996-10-01'
+         |  AND EXISTS (SELECT 1 FROM lineitem
+         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    "q48_case_agg" ->
+      ("""SELECT l_linestatus,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+    "q49_anti_avg" ->
+      ("""WITH c AS (SELECT c_custkey, c_mktsegment,
+         |    CAST(round(c_acctbal * 100) AS BIGINT) bal_c FROM customer),
+         |thr AS (SELECT CAST(sum(bal_c) AS BIGINT) sum_c,
+         |    CAST(count(*) AS BIGINT) n_pos FROM c WHERE bal_c > 0)
+         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+         |  CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+         |FROM c, thr
+         |WHERE bal_c * n_pos > sum_c
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+         |      AND o_orderdate >= TIMESTAMP '1998-01-01')
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
     "q44_topk_revenue" ->
       ("""SELECT l_orderkey, o_orderdate,
          |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)

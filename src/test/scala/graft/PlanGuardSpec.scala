@@ -57,9 +57,12 @@ class PlanGuardSpec extends SparkSpec {
       // token join a keyed equality join)
       // s14: s9's assignment crossJoin over the committed centroid
       // table; the filter is a keyed semi join on the codes scan
+      // q49: ONE-row (Σcents, n) threshold aggregate broadcast-crossed
+      // onto customer (the t6/c3 broadcast-scalar pattern); the orders
+      // exclusion is a keyed LEFT ANTI equality join
       "s11_filtered_ivf", "c13_epoch_mix", "s12_filtered_persisted",
       "s13_mmr_diversify", "c14_decontaminated_mix", "p4_rag_context",
-      "s14_filtered_ivfpq")
+      "s14_filtered_ivfpq", "q49_anti_avg")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")
