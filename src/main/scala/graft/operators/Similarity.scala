@@ -261,18 +261,48 @@ object Similarity {
         col("v"), col("nrm"))
   }
 
+  /** `(vec_id, embedding)` → `(q_id, qv, qn)`: the ONE query
+    * normalization every raw-query consumer uses (float embedding cast
+    * to double, L2 norm via the codegen dot) — shared by
+    * [[probeIvfRaw]], [[graft.streaming.AnnStream]] and
+    * [[graft.streaming.RagStream]], so the batch surface and the
+    * streaming twins cannot drift in norm handling. */
+  private[graft] def normalizeQueryFrame(raw: DataFrame): DataFrame =
+    raw.select(col("vec_id").as("q_id"),
+      transform(col("embedding"), x => x.cast("double")).as("qv"))
+      .withColumn("qn",
+        sqrt(graft.functions.DotProduct.dotFast(col("qv"), col("qv"))))
+      .select("q_id", "qv", "qn")
+
+  /** `(doc_id, text)` → `(tid, tok)`: t1's whitespace token counts, the
+    * packing currency p4 and [[graft.streaming.RagStream]] share. */
+  private[graft] def docTokenCounts(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id").cast("long").as("tid"),
+      size(split(col("text"), " ", -1)).cast("long").as("tok"))
+
+  /** The RAG pool assembled FROM THE PERSISTED INDEX: probe candidates
+    * → top-[[MmrPool]] per query → token join. One definition shared by
+    * [[graft.streaming.RagStream]] and its spec's batch twin — the
+    * stream is compared against this composition, so the glue itself
+    * must not fork. */
+  private[graft] def ragPoolFromIndex(s: SparkSession, root: String,
+      q: DataFrame, toks: DataFrame,
+      filterIds: Option[DataFrame]): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    probeCandidatesIvf(s, root, q, filterIds)
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= MmrPool)
+      .join(toks, col("vec_id") === col("tid"))
+      .select(col("q_id"), col("vec_id"), col("cos"), col("v"),
+        col("nrm"), col("tok"))
+  }
+
   /** [[probeIvf]] over RAW `(vec_id, embedding)` query rows — the shape
     * a stored query table has. Shared with the SQL CALL surface
     * (`CALL graft.system.ann_probe`). */
   def probeIvfRaw(s: SparkSession, root: String, rawQueries: DataFrame,
-      filterIds: Option[DataFrame] = None): DataFrame = {
-    val q = rawQueries.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm",
-        sqrt(graft.functions.DotProduct.dotFast(col("v"), col("v"))))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    probeIvf(s, root, q, filterIds)
-  }
+      filterIds: Option[DataFrame] = None): DataFrame =
+    probeIvf(s, root, normalizeQueryFrame(rawQueries), filterIds)
 
   /** Nearest-committed-centroid assignment of a bounded QUERY batch:
     * (q_id, qv, qn, alabel) — the shared first step of the s7 and s9
@@ -832,6 +862,16 @@ object Similarity {
   val DriftMassThreshold = 0.2
   val DriftCosGap = 0.05
 
+  /** Persisted-baseline LIST-SKEW threshold: recommend recluster when
+    * any single list's mass SHARE grew by more than this since the
+    * baseline. Incremental drift crowds lists (an out-of-distribution
+    * stream assigns wherever its off-manifold direction lands), and
+    * unlike the file-grain cosine split this signal is computed from
+    * per-list COUNTS against the baseline's recorded counts, so it
+    * survives rewrites — the compact that destroys file lineage cannot
+    * move rows between lists. */
+  val DriftListSkew = 0.1
+
   /** The rebuild swap's commit-point marker file (under the index
     * root). Present ⇒ staging was complete and an interrupted swap
     * sequence must be COMPLETED, not discarded. */
@@ -869,17 +909,24 @@ object Similarity {
       .head()
     val n = row.getLong(0)
     val p50 = if (n == 0L) 0.0 else row.getDouble(1)
+    // per-LIST counts: the rewrite-surviving skew signal's reference
+    // (one tiny row per list; a column-pruned second pass)
+    val lists = post.groupBy("label").agg(count(lit(1)).as("c"))
+      .collect().map(r => s"${r.get(0)}:${r.getLong(1)}").sorted
+      .mkString(",")
     val (fs, _) = graft.storage.GraftTable.fsAndPath(root)
     val tmp = new org.apache.hadoop.fs.Path(root, s"$DriftBaselineFile.tmp")
     val dst = new org.apache.hadoop.fs.Path(root, DriftBaselineFile)
     val out = fs.create(tmp, true)
-    try out.write(s"""{"n": $n, "p50": $p50}""".getBytes("UTF-8"))
+    try out.write(
+      s"""{"n": $n, "p50": $p50, "lists": "$lists"}""".getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(dst)) fs.delete(dst, false)
     require(fs.rename(tmp, dst), s"could not commit drift baseline at $dst")
   }
 
-  private def readDriftBaseline(root: String): Option[(Long, Double)] = {
+  private def readDriftBaseline(root: String)
+      : Option[(Long, Double, Map[String, Long])] = {
     val (fs, _) = graft.storage.GraftTable.fsAndPath(root)
     val p = new org.apache.hadoop.fs.Path(root, DriftBaselineFile)
     if (!fs.exists(p)) None
@@ -888,13 +935,20 @@ object Similarity {
       val txt =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      // minimal parse of the two-field object this module writes; a
-      // malformed file (torn write on a non-atomic-rename store) reads
-      // as absent → file-grain fallback, never a crash
+      // minimal parse of the object this module writes; a malformed
+      // file (torn write on a non-atomic-rename store) reads as absent
+      // → file-grain fallback, never a crash
       val n = """"n"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
       val p50 = """"p50"\s*:\s*(-?[0-9.eE+-]+)""".r
         .findFirstMatchIn(txt).map(_.group(1).toDouble)
-      for (a <- n; b <- p50) yield (a, b)
+      val lists = """"lists"\s*:\s*"([^"]*)"""".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        .split(",").filter(_.contains(":"))
+        .map { kv =>
+          val i = kv.lastIndexOf(':')
+          kv.substring(0, i) -> kv.substring(i + 1).toLong
+        }.toMap
+      for (a <- n; b <- p50) yield (a, b, lists)
     }
   }
 
@@ -955,27 +1009,43 @@ object Similarity {
     val (nApp, p50App) = agg.getOrElse("false", (0L, Double.NaN))
     val (total, p50All) = agg.getOrElse("all", (0L, Double.NaN))
     // Two baselines, persisted preferred (see [[DriftBaselineFile]]):
-    // the count-based appended mass survives rewrites; the cosine gap
-    // uses the file-grain split while it lives (sharper) and falls
-    // back to overall-vs-baseline (diluted by build mass but nonzero)
-    // after a rewrite. No baseline file → pure file grain (r11).
-    val (nAppOut, massFrac, gap, p50BuildOut, p50AppOut, source) =
+    // the count-based appended mass and the per-list SKEW signal
+    // survive rewrites; the cosine gap uses the file-grain split while
+    // it lives (sharper) and falls back to overall-vs-baseline after a
+    // rewrite — that fallback is DILUTED by build mass, so a
+    // below-mass-threshold cosine-only drift can be masked by a
+    // rewrite; the skew signal covers the common crowding case
+    // (off-manifold streams land in few lists), and the procedural
+    // rule stands: audit BEFORE maintenance rewrites. No baseline
+    // file → pure file grain (r11).
+    val (nAppOut, massFrac, gap, skewOpt, p50BuildOut, p50AppOut, source) =
       readDriftBaseline(root) match {
-        case Some((nBase, p50Base)) =>
+        case Some((nBase, p50Base, baseLists)) =>
           val appC = math.max(math.max(0L, total - nBase), nApp)
           val mf = if (total == 0) 0.0 else appC.toDouble / total
           val g =
             if (nApp > 0) p50Base - p50App
             else if (appC > 0) p50Base - p50All
             else 0.0
-          (appC, mf, g, p50Base,
+          val skew = if (total == 0 || baseLists.isEmpty) 0.0 else {
+            val curLists = postT.read().groupBy("label")
+              .agg(count(lit(1)).as("c"))
+              .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+            val baseTotal = math.max(1L, baseLists.values.sum)
+            curLists.map { case (l, c) =>
+              c.toDouble / total -
+                baseLists.getOrElse(l, 0L).toDouble / baseTotal
+            }.foldLeft(0.0)(math.max)
+          }
+          (appC, mf, g, Some(skew), p50Base,
             if (nApp > 0) p50App else p50All, "persisted")
         case None =>
           val mf = if (total == 0) 0.0 else nApp.toDouble / total
           val g = if (nApp == 0) 0.0 else p50Build - p50App
-          (nApp, mf, g, p50Build, p50App, "file_grain")
+          (nApp, mf, g, None, p50Build, p50App, "file_grain")
       }
-    val recommend = massFrac > DriftMassThreshold || gap > DriftCosGap
+    val recommend = massFrac > DriftMassThreshold || gap > DriftCosGap ||
+      skewOpt.exists(_ > DriftListSkew)
     Seq(
       "total_vectors" -> total.toString,
       "appended_vectors" -> nAppOut.toString,
@@ -983,6 +1053,7 @@ object Similarity {
       "build_assign_cos_p50" -> f"$p50BuildOut%.4f",
       "appended_assign_cos_p50" ->
         (if (nAppOut == 0) "-" else f"$p50AppOut%.4f"),
+      "list_skew" -> skewOpt.fold("-")(v => f"$v%.4f"),
       "baseline_source" -> source,
       "recommend_recluster" -> (if (recommend) "1" else "0"))
   }
@@ -1505,8 +1576,7 @@ object Similarity {
     val docsDf = Tables.load(s, dir, "documents")
     val en = docsDf.filter(col("lang") === "en")
       .select(col("doc_id").cast("long").as("id"))
-    val toks = docsDf.select(col("doc_id").cast("long").as("tid"),
-      size(split(col("text"), " ", -1)).cast("long").as("tok"))
+    val toks = docTokenCounts(docsDf)
     val e = normalized(Tables.load(s, dir, "embeddings"))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))

@@ -144,29 +144,41 @@ private[sources] object GraftProcedures {
             // Fresh-target rule with one carve-out: the in-JVM failure
             // path below drops the target, but a DRIVER crash between
             // the create-commit and the append leaves a committed EMPTY
-            // target that would permanently block the retry. An
-            // existing target is reclaimed iff it has zero committed
-            // rows AND no history beyond its create commit — i.e. it
-            // can only be such a residue (or a just-created empty
-            // table, which the overwrite recreates identically minus
-            // options); any table that ever held data still refuses.
+            // target that would permanently block the retry. Reclaim is
+            // PRECISE: only a table carrying THIS path's `_call_pending`
+            // marker with zero rows at version 0 can be residue — a
+            // user-created table (empty or not, any options) has no
+            // marker and still refuses loudly, and a crash AFTER the
+            // append commit leaves version > 0, which also refuses
+            // (the work is done; the result is readable at the target).
+            // Two concurrent CALLs racing the SAME target name remain
+            // the caller's error (the exclusive-target contract every
+            // maintenance swap here has); the marker only reclaims
+            // tables this code path itself abandoned.
+            val (tfs, tpath) = GraftTable.fsAndPath(tgtDir)
+            val marker = new org.apache.hadoop.fs.Path(tpath, "_call_pending")
             if (GraftTable.exists(tgtDir)) {
               val existing = GraftTable.open(SparkSession.active, tgtDir)
-              require(existing.rowCountFromMetadata() == 0L &&
+              require(tfs.exists(marker) &&
+                  existing.rowCountFromMetadata() == 0L &&
                   existing.version == 0L,
                 s"target table $target already exists")
               GraftTable.drop(tgtDir)
             }
             val created = GraftTable.create(SparkSession.active, tgtDir,
               result.schema)
+            tfs.create(marker, false).close()
             // retryable CALL: a failed operator must not leave a
             // committed empty/partial target that blocks the re-run
             // behind the fresh-target check
-            try created.append(result)
-            catch { case e: Throwable =>
-              try GraftTable.drop(tgtDir) catch { case _: Exception => () }
-              throw e
-            }
+            val n =
+              try created.append(result)
+              catch { case e: Throwable =>
+                try GraftTable.drop(tgtDir) catch { case _: Exception => () }
+                throw e
+              }
+            tfs.delete(marker, false)
+            n
           }
           val scan: Scan = if (procName == "ann_rebuild") {
             // the action ann_drift recommends: Lloyd-recenter the

@@ -72,11 +72,7 @@ object AnnStream {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val q = batch.select(col("vec_id").as("q_id"),
-          transform(col("embedding"), x => x.cast("double")).as("qv"))
-          .withColumn("qn",
-            sqrt(graft.functions.DotProduct.dotFast(col("qv"), col("qv"))))
-          .select("q_id", "qv", "qn")
+        val q = Similarity.normalizeQueryFrame(batch)
         dest.appendStream(probe(batch.sparkSession, q), id, batchId)
         ()
       }

@@ -44,26 +44,14 @@ object RagStream {
       trigger: Trigger = Trigger.AvailableNow(),
       filterIds: Option[DataFrame] = None): StreamingQuery = {
     val id = GraftStreamIngest.txnId(checkpoint)
-    val toks = docs.select(col("doc_id").cast("long").as("tid"),
-      size(split(col("text"), " ", -1)).cast("long").as("tok"))
+    val toks = Similarity.docTokenCounts(docs)
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val q = batch.select(col("vec_id").as("q_id"),
-          transform(col("embedding"), x => x.cast("double")).as("qv"))
-          .withColumn("qn",
-            sqrt(graft.functions.DotProduct.dotFast(col("qv"), col("qv"))))
-          .select("q_id", "qv", "qn")
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("cos").desc, col("vec_id"))
-        val pool = Similarity.probeCandidatesIvf(s, indexRoot, q, filterIds)
-          .withColumn("crank", row_number().over(w))
-          .filter(col("crank") <= Similarity.MmrPool)
-          .join(toks, col("vec_id") === col("tid"))
-          .select(col("q_id"), col("vec_id"), col("cos"), col("v"),
-            col("nrm"), col("tok"))
+        val q = Similarity.normalizeQueryFrame(batch)
+        val pool = Similarity.ragPoolFromIndex(s, indexRoot, q, toks, filterIds)
         dest.appendStream(
           Similarity.mmrPackStage(s, pool).orderBy("q_id", "rank"),
           id, batchId)

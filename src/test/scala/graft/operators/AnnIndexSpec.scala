@@ -427,6 +427,61 @@ class AnnIndexSpec extends SparkSpec {
     assert(healed("recommend_recluster") === "0", s"$healed")
   }
 
+  test("ann_drift persisted baseline: list-SKEW flags crowding drift a rewrite would mask") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Similarity.ivfIndexDir(spark, dir)
+    val root5 = tmpDir("ann-drift-skew")
+    Seq("centroids", "postings").foreach(t =>
+      GraftTable.open(spark, s"$root/$t").cloneTo(s"$root5/$t"))
+    Similarity.writeDriftBaseline(spark, root5)
+    // the r12 review scenario: BELOW-mass-threshold drift (one sixth of
+    // the corpus) from an off-manifold direction — every vector lands
+    // in ONE list (same max-cos tie-break), then a compact destroys
+    // the file-grain cosine split that used to be the only detector
+    val n = GraftTable.open(spark, s"$root5/postings").rowCountFromMetadata()
+    val nNew = (n / 6).toInt.max(5)
+    val cents = GraftTable.open(spark, s"$root5/centroids").read()
+      .select("cv").collect().map(_.getSeq[Double](0).toArray)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val basis = cents.foldLeft(List.empty[Array[Double]]) { (acc, c) =>
+      val r = acc.foldLeft(c.clone()) { (v, b) =>
+        val p = dot(v, b); v.indices.foreach(i => v(i) -= p * b(i)); v
+      }
+      val nr = math.sqrt(dot(r, r))
+      if (nr > 1e-9) acc :+ r.map(_ / nr) else acc
+    }
+    val d = cents.head.length
+    val ortho = basis.foldLeft(Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)) {
+      (v, b) => val p = dot(v, b); v.indices.foreach(i => v(i) -= p * b(i)); v
+    }
+    assert(math.sqrt(dot(ortho, ortho)) > 1e-6)
+    val orthoF = ortho.map(_.toFloat)
+    val shifted = (0 until nNew)
+      .map(i => (7500000L + i, orthoF)).toDF("vec_id", "embedding")
+    assert(Similarity.appendToIvfIndex(spark, root5, shifted) === nNew.toLong)
+    GraftTable.open(spark, s"$root5/postings").compact()
+    val audited = Similarity.annDriftReport(spark, root5).toMap
+    assert(audited("baseline_source") === "persisted", s"$audited")
+    assert(audited("appended_mass_fraction").toDouble <
+      Similarity.DriftMassThreshold,
+      s"the planted drift must stay below the mass threshold: $audited")
+    assert(audited("list_skew").toDouble > Similarity.DriftListSkew,
+      s"one-list crowding must show as skew: $audited")
+    assert(audited("recommend_recluster") === "1",
+      s"skew must keep flagging across the rewrite: $audited")
+    // contrast: the file-grain audit (baseline removed) reads CLEAN
+    // after the same rewrite — the exact masking the skew signal closes
+    val (bfs, _) = GraftTable.fsAndPath(root5)
+    bfs.delete(new org.apache.hadoop.fs.Path(root5,
+      Similarity.DriftBaselineFile), false)
+    val masked = Similarity.annDriftReport(spark, root5).toMap
+    assert(masked("baseline_source") === "file_grain")
+    assert(masked("recommend_recluster") === "0",
+      s"without the baseline the rewrite masks the drift: $masked")
+  }
+
   test("ann_rebuild: the quantizer adapts to planted drift; drift reads clean after; PQ labels stay agreed") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -288,13 +288,27 @@ class GraftCatalogSpec extends SparkSpec {
       }
       assert(ex.getMessage.contains("already exists"), ex.getMessage)
       // -- retryable CALL: crash residue between create-commit and
-      // append is a committed EMPTY v0 target; the retry reclaims it --
+      // append is a committed EMPTY v0 target CARRYING the path's
+      // _call_pending marker; the retry reclaims exactly that --
       GraftTable.create(spark, s"$warehouse/db1/call_residue", docs.schema)
+      val (rfs, rpath) = GraftTable.fsAndPath(s"$warehouse/db1/call_residue")
+      rfs.create(new org.apache.hadoop.fs.Path(rpath, "_call_pending"), false)
+        .close()
       val retried = spark.sql(
         "CALL gcat.system.dedup_exact('db1.call_docs', 'db1.call_residue')")
         .collect()
       assert(retried.head.getLong(2) === wantW.size.toLong,
         "retry over a crash-left empty v0 target must reclaim it")
+      assert(!rfs.exists(new org.apache.hadoop.fs.Path(rpath, "_call_pending")),
+        "a completed CALL must clear its pending marker")
+      // a USER-created empty table has no marker: still refuses loudly
+      // (its options/intent must never be silently recreated away)
+      GraftTable.create(spark, s"$warehouse/db1/call_user", docs.schema)
+      val exU = intercept[Exception] {
+        spark.sql(
+          "CALL gcat.system.dedup_exact('db1.call_docs', 'db1.call_user')")
+      }
+      assert(exU.getMessage.contains("already exists"), exU.getMessage)
       // …but an empty target that ever HELD data (version > 0, e.g.
       // truncated) is a user table, not residue: still refuses
       val trunc = GraftTable.create(spark,
@@ -309,7 +323,7 @@ class GraftCatalogSpec extends SparkSpec {
     } finally {
       Seq("call_docs", "call_winners", "call_corpus", "call_eval",
         "call_flagged", "call_q", "call_topk", "call_residue",
-        "call_trunc").foreach(n =>
+        "call_trunc", "call_user").foreach(n =>
         spark.sql(s"DROP TABLE IF EXISTS gcat.db1.$n"))
       Seq("centroids", "postings").foreach(t =>
         if (GraftTable.exists(s"$warehouse/db1/call_idx/$t"))

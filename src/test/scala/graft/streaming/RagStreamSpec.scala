@@ -21,21 +21,10 @@ class RagStreamSpec extends SparkSpec {
     * uses — the expected value is the COMPOSITION, not a reimplementation. */
   private def batchServe(root: String, rawQ: DataFrame,
       filterIds: Option[DataFrame]): DataFrame = {
-    val q = rawQ.select(col("vec_id").as("q_id"),
-      transform(col("embedding"), x => x.cast("double")).as("qv"))
-      .withColumn("qn",
-        sqrt(graft.functions.DotProduct.dotFast(col("qv"), col("qv"))))
-      .select("q_id", "qv", "qn")
-    val toks = graft.Tables.load(spark, dir, "documents")
-      .select(col("doc_id").cast("long").as("tid"),
-        size(split(col("text"), " ", -1)).cast("long").as("tok"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    val pool = Similarity.probeCandidatesIvf(spark, root, q, filterIds)
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= Similarity.MmrPool)
-      .join(toks, col("vec_id") === col("tid"))
-      .select(col("q_id"), col("vec_id"), col("cos"), col("v"),
-        col("nrm"), col("tok"))
+    val q = Similarity.normalizeQueryFrame(rawQ)
+    val toks = Similarity.docTokenCounts(
+      graft.Tables.load(spark, dir, "documents"))
+    val pool = Similarity.ragPoolFromIndex(spark, root, q, toks, filterIds)
     Similarity.mmrPackStage(spark, pool).orderBy("q_id", "rank")
   }
 
