@@ -38,6 +38,12 @@ object ProfScale100 {
       t("m7_avi_decode")(operators.Multimodal.m7AviDecode(spark, dir).count())
       t("n13_sql_mor_merge")(queries.MutationQueries.n13SqlMorMerge(spark, dir).count())
       t("e12_stream_trending")(queries.StreamQueries.e12StreamTrending(spark, dir).count())
+      // round 12 additions: span dedup (posting pairs + diagonal
+      // windows) and the eval-side contamination report (broadcast
+      // eval set, corpus never shuffles)
+      t("d14_span_dedup")(operators.Dedup.d14SpanDedup(spark, dir).count())
+      t("c15_contamination")(operators.Sampling.c15ContaminationReport(spark, dir).count())
+      t("q49_anti_avg")(queries.ExtendedQueries.q49AntiAvg(spark, dir).count())
     }
     spark.stop()
   }

@@ -1080,9 +1080,15 @@ object Dedup {
     * Output: (doc_a, doc_b, pos_a, pos_b, span_tokens) per maximal
     * span, positions in token offsets. */
   def d14SpanDedup(s: SparkSession, dir: String,
+      maxGramFreq: Option[Long] = None): DataFrame =
+    spanDedupCore(docs(s, dir), maxGramFreq)
+
+  /** DataFrame core of d14 for ARBITRARY (doc_id, text) corpora, shared
+    * with the SQL CALL surface (`CALL graft.system.dedup_spans`). */
+  def spanDedupCore(docsDf: DataFrame,
       maxGramFreq: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = docs(s, dir)
+    val grams = docsDf
       .select(col("doc_id").cast("long").as("doc_id"),
         split(col("text"), " ", -1).as("toks"))
       .filter(size(col("toks")) >= SpanGramK)

@@ -220,16 +220,26 @@ object Sampling {
     * eval-sized shuffles, corpus cost = one scan. */
   def c15ContaminationReport(s: SparkSession, dir: String,
       evalDocs: Int = DefaultEvalDocs): DataFrame = {
+    val d = docs(s, dir)
+    contaminationReportCore(d.filter(col("doc_id") >= evalDocs),
+      d.filter(col("doc_id") < evalDocs))
+  }
+
+  /** DataFrame core of c15 for ARBITRARY (doc_id, text) corpus/eval
+    * pairs, shared with the SQL CALL surface
+    * (`CALL graft.system.contamination_report`). */
+  def contaminationReportCore(corpus: DataFrame,
+      evalSet: DataFrame): DataFrame = {
     import graft.functions.Shingles.shinglesDistinctFast
-    val sh = docs(s, dir).select(
+    val evalSh = evalSet.select(
       col("doc_id"), explode(shinglesDistinctFast(col("text"))).as("sng"))
-    val evalSh = sh.filter(col("doc_id") < evalDocs)
-    val evalSet = evalSh.select("sng").distinct()
+    val evalSngs = evalSh.select("sng").distinct()
     // shingle values present in BOTH eval and training: corpus stream
     // filtered map-side by the broadcast eval set; distinct runs over
     // the survivors (⊆ eval set, bounded)
-    val present = sh.filter(col("doc_id") >= evalDocs).select("sng")
-      .join(broadcast(evalSet), "sng")
+    val present = corpus.select(
+        explode(shinglesDistinctFast(col("text"))).as("sng"))
+      .join(broadcast(evalSngs), "sng")
       .distinct()
     val totals = evalSh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val dirty = evalSh.join(present, "sng")

@@ -38,6 +38,8 @@ import graft.storage.GraftTable
   *   CALL graft.system.ann_probe('db.idx', 'db.queries', 'db.topk')   -- s7
   *   CALL graft.system.ann_drift('db.idx')  -- index staleness audit
   *   CALL graft.system.ann_rebuild('db.idx') -- the audit's recommended action
+  *   CALL graft.system.dedup_spans('db.t', 'db.spans')            -- d14
+  *   CALL graft.system.contamination_report('db.t', 'db.eval', 'db.rep') -- c15
   * }}}
   *
   * Each returns a one-row result describing what it did; the pipeline
@@ -55,7 +57,7 @@ private[sources] object GraftProcedures {
       // committed tables/indexes, like the reference's utility UDF
       // surface (cstore_fdw--1.7.sql:17-37)
       "dedup_exact", "decontaminate", "ann_probe", "ann_drift",
-      "ann_rebuild")
+      "ann_rebuild", "dedup_spans", "contamination_report")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -88,10 +90,11 @@ private[sources] object GraftProcedures {
           else if (procName == "clone")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
-          else if (procName == "dedup_exact")
+          else if (procName == "dedup_exact" || procName == "dedup_spans")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
-          else if (procName == "decontaminate")
+          else if (procName == "decontaminate" ||
+              procName == "contamination_report")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("eval_table", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
@@ -216,12 +219,24 @@ private[sources] object GraftProcedures {
               override def rows(): Array[InternalRow] = rs
             }
           } else if (procName == "dedup_exact" || procName == "decontaminate" ||
-              procName == "ann_probe") {
+              procName == "ann_probe" || procName == "dedup_spans" ||
+              procName == "contamination_report") {
             val spark = SparkSession.active
             val (metric, n) = procName match {
               case "dedup_exact" =>
                 ("winners_written",
                   writeResult(graft.operators.Dedup.exactDedupCore(t.read()), 1))
+              case "dedup_spans" =>
+                ("spans_written",
+                  writeResult(graft.operators.Dedup.spanDedupCore(t.read()), 1))
+              case "contamination_report" =>
+                val evalName = checkName(input.getUTF8String(1).toString)
+                val evalDir = tableDir(evalName)
+                require(GraftTable.exists(evalDir), s"no graft table $evalName")
+                val ev = GraftTable.open(spark, evalDir).read()
+                ("eval_items_reported",
+                  writeResult(graft.operators.Sampling
+                    .contaminationReportCore(t.read(), ev), 2))
               case "decontaminate" =>
                 val evalName = checkName(input.getUTF8String(1).toString)
                 val evalDir = tableDir(evalName)

@@ -287,6 +287,24 @@ class GraftCatalogSpec extends SparkSpec {
           "CALL gcat.system.dedup_exact('db1.call_docs', 'db1.call_winners')")
       }
       assert(ex.getMessage.contains("already exists"), ex.getMessage)
+      // -- dedup_spans ≡ d14 ---------------------------------------------
+      spark.sql(
+        "CALL gcat.system.dedup_spans('db1.call_docs', 'db1.call_spans')")
+      val gotS = spark.table("gcat.db1.call_spans")
+        .orderBy("doc_a", "doc_b", "pos_a", "pos_b")
+        .collect().map(_.toSeq).toSeq
+      val wantS = graft.operators.Dedup.d14SpanDedup(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(gotS === wantS, "CALL dedup_spans must reproduce d14 exactly")
+      // -- contamination_report ≡ c15 (same corpus/eval split) -----------
+      spark.sql("CALL gcat.system.contamination_report(" +
+        "'db1.call_corpus', 'db1.call_eval', 'db1.call_report')")
+      val gotR = spark.table("gcat.db1.call_report")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val wantR = graft.operators.Sampling.c15ContaminationReport(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(gotR === wantR,
+        "CALL contamination_report must reproduce c15 exactly")
       // -- retryable CALL: crash residue between create-commit and
       // append is a committed EMPTY v0 target CARRYING the path's
       // _call_pending marker; the retry reclaims exactly that --
@@ -323,7 +341,7 @@ class GraftCatalogSpec extends SparkSpec {
     } finally {
       Seq("call_docs", "call_winners", "call_corpus", "call_eval",
         "call_flagged", "call_q", "call_topk", "call_residue",
-        "call_trunc", "call_user").foreach(n =>
+        "call_trunc", "call_user", "call_spans", "call_report").foreach(n =>
         spark.sql(s"DROP TABLE IF EXISTS gcat.db1.$n"))
       Seq("centroids", "postings").foreach(t =>
         if (GraftTable.exists(s"$warehouse/db1/call_idx/$t"))
