@@ -1083,22 +1083,47 @@ object Dedup {
       maxGramFreq: Option[Long] = None): DataFrame =
     spanDedupCore(docs(s, dir), maxGramFreq)
 
+  /** Per-doc polyhashed k-gram stream — `(doc_id, j, h)`, one row per
+    * token offset; row-local, no shuffle. Shared by d14's posting-pair
+    * path and d15's batch-vs-corpus join path. */
+  private def spanGrams(docsDf: DataFrame): DataFrame = docsDf
+    .select(col("doc_id").cast("long").as("doc_id"),
+      split(col("text"), " ", -1).as("toks"))
+    .filter(size(col("toks")) >= SpanGramK)
+    .select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), size(col("toks")) - SpanGramK),
+        j => polyHashFast(
+          concat_ws(" ", slice(col("toks"), j + 1, lit(SpanGramK))), P31)))
+        .as(Seq("j", "h")))
+
+  /** The island collapse behind both span operators: `(doc_a, doc_b,
+    * pos_a, pos_b)` shared-gram pairs → maximal spans ≥
+    * [[SpanMinTokens]] (consecutive positions on one diagonal merge
+    * via `pos − row_number`). One definition, so d14 and d15 cannot
+    * drift in span arithmetic. */
+  private def maximalSpans(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("pos_a") - col("pos_b"))
+      .orderBy(col("pos_a"))
+    pairs
+      .withColumn("isl", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("pos_a") - col("pos_b")).as("diag"), col("isl"))
+      .agg(min("pos_a").as("pos_a"), min("pos_b").as("pos_b"),
+        (count(lit(1)) + lit(SpanGramK - 1).cast("long")).as("span_tokens"))
+      .filter(col("span_tokens") >= SpanMinTokens)
+      .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"),
+        col("span_tokens"))
+      .orderBy("doc_a", "doc_b", "pos_a", "pos_b")
+  }
+
   /** DataFrame core of d14 for ARBITRARY (doc_id, text) corpora, shared
     * with the SQL CALL surface (`CALL graft.system.dedup_spans`). */
   def spanDedupCore(docsDf: DataFrame,
       maxGramFreq: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = docsDf
-      .select(col("doc_id").cast("long").as("doc_id"),
-        split(col("text"), " ", -1).as("toks"))
-      .filter(size(col("toks")) >= SpanGramK)
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), size(col("toks")) - SpanGramK),
-          j => polyHashFast(
-            concat_ws(" ", slice(col("toks"), j + 1, lit(SpanGramK))), P31)))
-          .as(Seq("j", "h")))
-    val posting = grams
+    val posting = spanGrams(docsDf)
       .groupBy("h")
       .agg(sort_array(collect_list(struct(col("doc_id"),
         col("j").cast("long").as("pos")))).as("ps"))
@@ -1114,19 +1139,35 @@ object Dedup {
       .filter(col("p.a") =!= col("p.b"))
       .select(col("p.a").as("doc_a"), col("p.na").as("pos_a"),
         col("p.b").as("doc_b"), col("p.nb").as("pos_b"))
-    val w = Window
-      .partitionBy(col("doc_a"), col("doc_b"), col("pos_a") - col("pos_b"))
-      .orderBy(col("pos_a"))
-    pairs
-      .withColumn("isl", col("pos_a") - row_number().over(w))
-      .groupBy(col("doc_a"), col("doc_b"),
-        (col("pos_a") - col("pos_b")).as("diag"), col("isl"))
-      .agg(min("pos_a").as("pos_a"), min("pos_b").as("pos_b"),
-        (count(lit(1)) + lit(SpanGramK - 1).cast("long")).as("span_tokens"))
-      .filter(col("span_tokens") >= SpanMinTokens)
-      .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"),
-        col("span_tokens"))
-      .orderBy("doc_a", "doc_b", "pos_a", "pos_b")
+    maximalSpans(pairs)
+  }
+
+  /** d15: INCREMENTAL span dedup — d14's maximal-span semantics for the
+    * production ingest shape: the incoming BATCH (doc_id % 10 == 7,
+    * d12's split convention) is checked against the committed CORPUS
+    * without ever generating corpus×corpus pairs. The batch's gram
+    * hashes are Bloom-sketched (one bounded driver action, the
+    * d12/c9/p3 transport); the corpus gram stream is map-side
+    * `might_contain`-prefiltered before the equality join — no false
+    * negatives, so the prune cannot change the result — and the
+    * corpus-side shuffle carries ≈ the batch's gram mass, not the
+    * corpus's. Daily cost at 100 TB: one corpus scan + batch-sized
+    * joins, exactly d12's cost model at span grain. Output orientation
+    * is by ROLE: doc_a = corpus doc, doc_b = batch doc. */
+  def d15IncrementalSpans(s: SparkSession, dir: String): DataFrame = {
+    val grams = spanGrams(docs(s, dir))
+    val batch = grams.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id").as("doc_b"), col("j").cast("long").as("pos_b"),
+        col("h"))
+    val corpus = grams.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id").as("doc_a"), col("j").cast("long").as("pos_a"),
+        col("h"))
+    val bloomBytes = Bloom.sketchBytes(batch, col("h"))
+    val corpusPre =
+      if (bloomBytes == null) corpus.limit(0)
+      else corpus.filter(Bloom.mightContain(bloomBytes, col("h")))
+    maximalSpans(corpusPre.join(batch, "h")
+      .select("doc_a", "doc_b", "pos_a", "pos_b"))
   }
 
   // -- wiring ----------------------------------------------------------
@@ -1147,6 +1188,7 @@ object Dedup {
     "d11_semantic_dedup" -> ((s: SparkSession, dir: String) => d11SemanticDedup(s, dir)),
     "d12_incremental_dedup" -> d12IncrementalDedup _,
     "d14_span_dedup" -> ((s: SparkSession, dir: String) => d14SpanDedup(s, dir)),
+    "d15_incremental_spans" -> d15IncrementalSpans _,
   )
 
   import OracleSql._
@@ -1190,6 +1232,31 @@ object Dedup {
     "d1_exact_dedup" ->
       ("SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents " +
         "GROUP BY md5(text) ORDER BY doc_id"),
+    // d15: d14's arithmetic with the batch/corpus role split — the
+    // Bloom prefilter cannot change the result (no false negatives;
+    // the equality join keeps exactly the sketch-surviving matches)
+    "d15_incremental_spans" ->
+      (s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) doc_id,
+         |       string_split(text, ' ') toks FROM documents),
+         |g0 AS (SELECT doc_id, unnest(range(0, len(toks) - ${SpanGramK - 1})) j,
+         |         toks
+         |       FROM d WHERE len(toks) >= $SpanGramK),
+         |g AS (SELECT doc_id, CAST(j AS BIGINT) j,
+         |        ${polyHashSql(s"array_to_string(toks[j+1:j+$SpanGramK], ' ')", P31)} h
+         |      FROM g0),
+         |b AS (SELECT doc_id, j, h FROM g WHERE doc_id % 10 = 7),
+         |c AS (SELECT doc_id, j, h FROM g WHERE doc_id % 10 != 7),
+         |p AS (SELECT c.doc_id da, b.doc_id db, c.j pa, b.j pb
+         |      FROM c JOIN b ON c.h = b.h),
+         |r AS (SELECT da, db, pa, pb, pa - pb diag,
+         |        pa - row_number() OVER (PARTITION BY da, db, pa - pb
+         |          ORDER BY pa) isl
+         |      FROM p)
+         |SELECT da AS doc_a, db AS doc_b, min(pa) AS pos_a, min(pb) AS pos_b,
+         |  CAST(count(*) + ${SpanGramK - 1} AS BIGINT) AS span_tokens
+         |FROM r GROUP BY da, db, diag, isl
+         |HAVING CAST(count(*) + ${SpanGramK - 1} AS BIGINT) >= $SpanMinTokens
+         |ORDER BY doc_a, doc_b, pos_a, pos_b""".stripMargin),
     // d14: the k-gram/diagonal reconstruction replayed literally — same
     // polyhash (polyHashSql), same island arithmetic. The gram hash is
     // a JOIN KEY on both sides, so even a (2⁻³¹-scale) collision

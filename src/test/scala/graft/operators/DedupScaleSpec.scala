@@ -153,6 +153,29 @@ class DedupScaleSpec extends SparkSpec {
     assert(uncapped.length > 1, "uncapped must also report the boilerplate pairs")
   }
 
+  test("d15 reports batch-vs-corpus spans only, through the sketch prefilter") {
+    val shared = (1 to 20).map(i => s"x$i")
+    val corpusDup = (1 to 18).map(i => s"y$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      // corpus docs (id % 10 != 7): one shares a span with the batch,
+      // two share a span with EACH OTHER only
+      1L -> ((1 to 10).map(i => s"a$i") ++ shared).mkString(" "),
+      2L -> corpusDup, 3L -> corpusDup,
+      // batch doc (id % 10 == 7)
+      17L -> (shared ++ (1 to 8).map(i => s"b$i")).mkString(" ")))
+    val out = Dedup.d15IncrementalSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // ONLY the corpus↔batch span; the corpus↔corpus duplicate (2,3)
+    // must NOT appear — the incremental contract
+    assert(out.toSeq === Seq((1L, 17L, 10L, 0L, 20L)))
+    // the sketch prefilter is in the executed plan (d12's pin)
+    val plan = Dedup.d15IncrementalSpans(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected the batch-sketch might_contain prune of the corpus " +
+        s"gram stream:\n${plan.take(1500)}")
+  }
+
   private def writeDocs(rows: Seq[(Long, String)]): String = {
     val dir = tmpDir("graft-capspec")
     import spark.implicits._
