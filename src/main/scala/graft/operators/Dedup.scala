@@ -1155,11 +1155,28 @@ object Dedup {
     * joins, exactly d12's cost model at span grain. Output orientation
     * is by ROLE: doc_a = corpus doc, doc_b = batch doc. */
   def d15IncrementalSpans(s: SparkSession, dir: String): DataFrame = {
-    val grams = spanGrams(docs(s, dir))
-    val batch = grams.filter(col("doc_id") % 10 === 7)
+    val d = docs(s, dir)
+    spanMatchAgainst(corpusSpanGrams(d.filter(col("doc_id") % 10 =!= 7)),
+      d.filter(col("doc_id") % 10 === 7))
+  }
+
+  /** The corpus-side gram frame d15 and its continuous twin probe —
+    * `(doc_id, j, h)`. The streaming twin builds it ONCE and persists
+    * it across micro-batches ([[graft.streaming.SpanStream]]); d15
+    * builds it inline. */
+  private[graft] def corpusSpanGrams(corpusDocs: DataFrame): DataFrame =
+    spanGrams(corpusDocs)
+
+  /** One batch-vs-corpus span pass over a pre-built corpus gram frame —
+    * the shared body of d15 and [[graft.streaming.SpanStream]]'s
+    * micro-batch (sketch the batch's gram hashes, map-side prefilter
+    * the corpus grams, equality join, island collapse). */
+  private[graft] def spanMatchAgainst(corpusGrams: DataFrame,
+      batchDocs: DataFrame): DataFrame = {
+    val batch = spanGrams(batchDocs)
       .select(col("doc_id").as("doc_b"), col("j").cast("long").as("pos_b"),
         col("h"))
-    val corpus = grams.filter(col("doc_id") % 10 =!= 7)
+    val corpus = corpusGrams
       .select(col("doc_id").as("doc_a"), col("j").cast("long").as("pos_a"),
         col("h"))
     val bloomBytes = Bloom.sketchBytes(batch, col("h"))

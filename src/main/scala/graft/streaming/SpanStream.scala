@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Dedup
+import graft.storage.GraftTable
+
+/** Streaming incremental SPAN dedup — d15's batch-vs-corpus shape run
+  * continuously: every micro-batch of incoming documents is checked for
+  * maximal verbatim token spans (≥ 15 tokens, d14's semantics) against
+  * a STATIC corpus, and matches land in a graft table exactly-once.
+  *
+  * Stream-static discipline, like [[DedupStream]]: a document's spans
+  * depend only on its own row and the static corpus, so per-batch
+  * matching is exact with ZERO streaming state. The corpus gram frame
+  * `(doc_id, pos, gram-hash)` is built ONCE before the stream starts
+  * and persisted across micro-batches — the corpus is never re-grammed
+  * per trigger; each batch Bloom-sketches its OWN gram hashes and
+  * map-side prunes the cached corpus grams before the equality join
+  * (d15's exact machinery — `Dedup.spanMatchAgainst` is the shared
+  * body, so batch entry and stream cannot drift). Exactly-once comes
+  * from [[GraftTable.appendStream]]'s txn watermark. */
+object SpanStream {
+
+  /** Start span-checking `incoming` (a streaming documents DataFrame
+    * with `doc_id`/`text`) against the static `corpusDocs`; maximal
+    * spans append to `dest` exactly-once under the checkpoint's txn
+    * id. The corpus gram frame is materialized synchronously before
+    * the stream starts and released when it terminates. */
+  def start(incoming: DataFrame, corpusDocs: DataFrame, dest: GraftTable,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val id = GraftStreamIngest.txnId(checkpoint)
+    val grams = Dedup.corpusSpanGrams(corpusDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count() // one corpus gram pass, before the first trigger
+    val q = incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dest.appendStream(Dedup.spanMatchAgainst(grams, batch), id, batchId)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+    // release the cached gram frame when the stream ends (the stream
+    // owns the frame it built — the DedupStream reaping discipline)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          grams.unpersist()
+          q.sparkSession.streams.removeListener(this)
+          ()
+        }
+    }
+    q.sparkSession.streams.addListener(listener)
+    // a fast AvailableNow query can terminate BEFORE the listener lands
+    // — its event is already gone, so reap here (unpersist idempotent)
+    if (!q.isActive) {
+      grams.unpersist()
+      q.sparkSession.streams.removeListener(listener)
+    }
+    q
+  }
+}
