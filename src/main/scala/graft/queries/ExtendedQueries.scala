@@ -437,7 +437,30 @@ object ExtendedQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** q50: TPC-H Q14 shape — a GLOBAL conditional-aggregate ratio (no
+    * grouping): the share of one month's revenue from ECONOMY-type
+    * parts. One keyed join shuffle (date window pushed into the
+    * lineitem scan; part is the broadcast side) into a single-row
+    * aggregate. Both sums are integer cents (BIGINT-exact under any
+    * execution order); only the final share is one double division. */
+  def q50RevenueShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * 100).cast("long")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-03-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .join(t(s, dir, "part"), col("p_partkey") === col("l_partkey"))
+      .agg(
+        sum(when(col("p_type") === "ECONOMY", rev).otherwise(0L))
+          .as("economy_revenue_c"),
+        sum(rev).as("total_revenue_c"))
+      .select(col("economy_revenue_c"), col("total_revenue_c"),
+        round(col("economy_revenue_c").cast("double") /
+          col("total_revenue_c").cast("double"), 6).as("economy_share"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_revenue_share" -> q50RevenueShare _,
     "q47_exists_priority" -> q47ExistsPriority _,
     "q48_case_agg" -> q48CaseAgg _,
     "q49_anti_avg" -> q49AntiAvg _,
@@ -470,6 +493,18 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q50_revenue_share" ->
+      ("""WITH r AS (SELECT p_type,
+         |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) rev
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01')
+         |SELECT CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN rev ELSE 0 END)
+         |    AS BIGINT) AS economy_revenue_c,
+         |  CAST(sum(rev) AS BIGINT) AS total_revenue_c,
+         |  round(CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN rev ELSE 0 END)
+         |      AS DOUBLE) / CAST(sum(rev) AS DOUBLE), 6) AS economy_share
+         |FROM r""".stripMargin),
     "q47_exists_priority" ->
       ("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
          |FROM orders
