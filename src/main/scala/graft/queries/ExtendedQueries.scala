@@ -279,6 +279,17 @@ object ExtendedQueries {
       FROM chain GROUP BY root ORDER BY root""")
   }
 
+  /** Integer-cents line revenue `round(extprice·(1−disc)·100)` — ONE
+    * definition shared by q44 and q50 (and [[RevenueCentsSql]], its
+    * oracle twin), so the cents convention cannot drift between the
+    * revenue queries. */
+  private def revenueCents: org.apache.spark.sql.Column =
+    round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+      .cast("long")
+
+  private val RevenueCentsSql =
+    "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
   /** q44: TPC-H Q3 shape — top-k join-aggregate with date filters on
     * both fact sides. Catalyst pushes the segment/date predicates into
     * all three scans, broadcasts nothing it shouldn't (customer filters
@@ -294,8 +305,7 @@ object ExtendedQueries {
       .join(t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1996-03-15")),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy("l_orderkey", "o_orderdate")
-      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
-        .cast("long")).as("revenue_c"))
+      .agg(sum(revenueCents).as("revenue_c"))
       .orderBy(col("revenue_c").desc, col("l_orderkey"))
       .limit(10)
 
@@ -444,8 +454,7 @@ object ExtendedQueries {
     * aggregate. Both sums are integer cents (BIGINT-exact under any
     * execution order); only the final share is one double division. */
   def q50RevenueShare(s: SparkSession, dir: String): DataFrame = {
-    val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-      * 100).cast("long")
+    val rev = revenueCents
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1997-03-01") &&
         col("l_shipdate") < lit("1997-04-01"))
@@ -494,8 +503,8 @@ object ExtendedQueries {
 
   val oracles: Map[String, String] = Map(
     "q50_revenue_share" ->
-      ("""WITH r AS (SELECT p_type,
-         |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) rev
+      (s"""WITH r AS (SELECT p_type,
+         |    $RevenueCentsSql rev
          |  FROM lineitem JOIN part ON p_partkey = l_partkey
          |  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
          |    AND l_shipdate < TIMESTAMP '1997-04-01')
@@ -537,9 +546,8 @@ object ExtendedQueries {
          |      AND o_orderdate >= TIMESTAMP '1998-01-01')
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
     "q44_topk_revenue" ->
-      ("""SELECT l_orderkey, o_orderdate,
-         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-         |    AS BIGINT)) AS BIGINT) AS revenue_c
+      (s"""SELECT l_orderkey, o_orderdate,
+         |  CAST(sum($RevenueCentsSql) AS BIGINT) AS revenue_c
          |FROM customer, orders, lineitem
          |WHERE c_mktsegment = 'BUILDING'
          |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey

@@ -67,25 +67,7 @@ object DecontaminateStream {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val index = buildIndex(evalDocs)
     val q = start(incoming, index, dest, checkpoint, minShared, trigger)
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      override def onQueryStarted(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == q.id) {
-          index.release()
-          q.sparkSession.streams.removeListener(this)
-        }
-    }
-    q.sparkSession.streams.addListener(listener)
-    // a fast AvailableNow query can terminate BEFORE the listener lands
-    // — its event is already gone, so reap here (release is idempotent)
-    if (!q.isActive) {
-      index.release()
-      q.sparkSession.streams.removeListener(listener)
-    }
+    GraftStreamIngest.releaseOnTerminate(q)(() => index.release())
     q
   }
 

@@ -48,27 +48,9 @@ object DedupStream {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val index = Dedup.PostingsIndex.build(indexDocs)
     val q = start(incoming, index, dest, checkpoint, trigger)
-    // release the index's cached blocks when the stream ends (the
-    // stream owns an index it built; a caller-provided one is theirs)
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      override def onQueryStarted(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == q.id) {
-          index.release()
-          q.sparkSession.streams.removeListener(this)
-        }
-    }
-    q.sparkSession.streams.addListener(listener)
-    // a fast AvailableNow query can terminate BEFORE the listener lands
-    // — its event is already gone, so reap here (release is idempotent)
-    if (!q.isActive) {
-      index.release()
-      q.sparkSession.streams.removeListener(listener)
-    }
+    // release the index's cached blocks when THIS RUN ends (the stream
+    // owns an index it built; a caller-provided one is theirs)
+    GraftStreamIngest.releaseOnTerminate(q)(() => index.release())
     q
   }
 

@@ -36,6 +36,37 @@ object GraftStreamIngest {
   def txnId(checkpoint: String): String =
     s"stream:${checkpoint.stripSuffix("/")}"
 
+  /** Run `release` when (and only when) THIS RUN of `q` terminates —
+    * the one resource-reap block every stream that builds a static
+    * index/cache needs (DedupStream, DecontaminateStream, SpanStream).
+    * Matches on `runId`, not `id`: `StreamingQuery.id` is persisted in
+    * checkpoint metadata and therefore SHARED by every restart on the
+    * same checkpoint, so an earlier run's asynchronously-delivered
+    * termination event would otherwise release a restarted run's
+    * freshly built cache mid-stream. `release` must be idempotent: a
+    * fast AvailableNow query can terminate before the listener lands
+    * (its event already gone), so the `!q.isActive` fallback may double
+    * up with a delivered event. */
+  def releaseOnTerminate(q: StreamingQuery)(release: () => Unit): Unit = {
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.runId == q.runId) {
+          release()
+          q.sparkSession.streams.removeListener(this)
+        }
+    }
+    q.sparkSession.streams.addListener(listener)
+    if (!q.isActive) {
+      release()
+      q.sparkSession.streams.removeListener(listener)
+    }
+  }
+
   /** Attach the exactly-once graft sink to a streaming DataFrame. The
     * caller's table handle is the sink, so its metadata view advances
     * with the ingested batches (appends refresh it under the writer

@@ -39,33 +39,20 @@ object SpanStream {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dest.appendStream(Dedup.spanMatchAgainst(grams, batch), id, batchId)
+        // the batch gram frame feeds the Bloom sketch action AND the
+        // join: persist across the two, release once the write lands
+        // (the DedupStream per-batch discipline)
+        val bg = Dedup.batchSpanGrams(batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try dest.appendStream(Dedup.spanMatchAgainst(grams, bg), id, batchId)
+        finally bg.unpersist()
         ()
       }
       .trigger(trigger)
       .start()
-    // release the cached gram frame when the stream ends (the stream
-    // owns the frame it built — the DedupStream reaping discipline)
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      override def onQueryStarted(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == q.id) {
-          grams.unpersist()
-          q.sparkSession.streams.removeListener(this)
-          ()
-        }
-    }
-    q.sparkSession.streams.addListener(listener)
-    // a fast AvailableNow query can terminate BEFORE the listener lands
-    // — its event is already gone, so reap here (unpersist idempotent)
-    if (!q.isActive) {
-      grams.unpersist()
-      q.sparkSession.streams.removeListener(listener)
-    }
+    // release the cached gram frame when THIS RUN ends (the stream
+    // owns the frame it built — the shared reaping discipline)
+    GraftStreamIngest.releaseOnTerminate(q)(() => { grams.unpersist(); () })
     q
   }
 }
