@@ -42,6 +42,7 @@ object ProfScale100 {
       // windows) and the eval-side contamination report (broadcast
       // eval set, corpus never shuffles)
       t("d14_span_dedup")(operators.Dedup.d14SpanDedup(spark, dir).count())
+      t("d15_incr_spans")(operators.Dedup.d15IncrementalSpans(spark, dir).count())
       t("c15_contamination")(operators.Sampling.c15ContaminationReport(spark, dir).count())
       t("q49_anti_avg")(queries.ExtendedQueries.q49AntiAvg(spark, dir).count())
     }

@@ -468,7 +468,39 @@ object ExtendedQueries {
           col("total_revenue_c").cast("double"), 6).as("economy_share"))
   }
 
+  /** q51: TPC-H Q21 shape — suppliers who were the SOLE problem supplier
+    * on a finished multi-supplier order (this schema lacks
+    * commit/receipt dates, so `l_returnflag = 'R'` is the problem-line
+    * marker). The textbook form is a double SELF-join (EXISTS another
+    * supplier's line + NOT EXISTS another supplier's problem line) —
+    * three lineitem shuffles at scale. Here both correlated tests
+    * collapse into ONE per-order aggregate: EXISTS(other supplier)
+    * ⇔ countDistinct(supplier) ≥ 2, and NOT EXISTS(other supplier's
+    * problem line) ⇔ the order's distinct PROBLEM suppliers == 1 (the
+    * probe line itself is one). Two keyed lineitem shuffles on
+    * l_orderkey total, supplier broadcast; the oracle runs the literal
+    * EXISTS/NOT-EXISTS form, proving the rewrite. */
+  def q51WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
+    val perOrder = l.groupBy("l_orderkey").agg(
+      countDistinct("l_suppkey").as("n_supp"),
+      countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+        .as("n_ret_supp"))
+    val finished = t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    l.filter(col("l_returnflag") === "R")
+      .join(finished, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(perOrder.filter(col("n_supp") >= 2 && col("n_ret_supp") === 1),
+        Seq("l_orderkey"))
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name")).limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_waiting_supplier" -> q51WaitingSupplier _,
     "q50_revenue_share" -> q50RevenueShare _,
     "q47_exists_priority" -> q47ExistsPriority _,
     "q48_case_agg" -> q48CaseAgg _,
@@ -502,6 +534,22 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q51_waiting_supplier" ->
+      ("""SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+         |FROM lineitem l1
+         |JOIN orders ON o_orderkey = l1.l_orderkey
+         |JOIN supplier ON s_suppkey = l1.l_suppkey
+         |WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+         |  AND EXISTS (SELECT 1 FROM lineitem l2
+         |    WHERE l2.l_orderkey = l1.l_orderkey
+         |      AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+         |    WHERE l3.l_orderkey = l1.l_orderkey
+         |      AND l3.l_suppkey <> l1.l_suppkey
+         |      AND l3.l_returnflag = 'R')
+         |GROUP BY s_name
+         |ORDER BY numwait DESC, s_name
+         |LIMIT 20""".stripMargin),
     "q50_revenue_share" ->
       (s"""WITH r AS (SELECT p_type,
          |    $RevenueCentsSql rev
