@@ -2468,17 +2468,35 @@ final class GraftTable private (
     refreshMeta()
     val (fs, _) = GraftTable.fsAndPath(location)
     val dataDir = new HPath(s"$location/data")
-    if (!fs.exists(dataDir)) 0
+    // Stats shards referenced by NO retained snapshot (expired history,
+    // CAS losers, crashed commits) are reclaimed under the same aged-
+    // orphan rule as data dirs: an in-flight commit's shard is written
+    // BEFORE its version claim, so only age past the claim grace proves
+    // abandonment.
+    val retainedMetas = GraftTable.historyVersions(location)
+      .filter(_ <= meta.version) // an orphan must not pin its batch dir
+      .map(v => GraftTable.readHistoryMeta(location, v))
+    val statsDir = new HPath(s"$location/_graft_stats")
+    val reclaimedShards =
+      if (!fs.exists(statsDir)) 0
+      else {
+        val referenced = (meta.statsShards ++ retainedMetas.flatMap(_.statsShards))
+          .map(rel => new HPath(s"$location/$rel").getName).toSet
+        val now = System.currentTimeMillis()
+        val orphan = fs.listStatus(statsDir).toSeq.filter { st =>
+          !st.isDirectory && !referenced.contains(st.getPath.getName) &&
+            now - st.getModificationTime > GraftTable.claimGraceMs
+        }
+        orphan.foreach(st => fs.delete(st.getPath, false))
+        orphan.size
+      }
+    if (!fs.exists(dataDir)) reclaimedShards
     else {
       // live = referenced by the current version OR any retained
       // snapshot — reclaiming a snapshot's files requires expireHistory
       // first (the Delta/Iceberg retention contract)
-      val snapshotFiles = GraftTable.historyVersions(location)
-        .filter(_ <= meta.version) // an orphan must not pin its batch dir
-        .flatMap { v =>
-          val m = GraftTable.readHistoryMeta(location, v)
-          m.files ++ m.dvs.values.map(_.path)
-        }
+      val snapshotFiles = retainedMetas
+        .flatMap(m => m.files ++ m.dvs.values.map(_.path))
       val live = (meta.files ++ meta.dvs.values.map(_.path) ++ snapshotFiles)
         .map(f => new HPath(s"$location/$f").getParent.getName).toSet
       // In-flight protection: the commit contract allows cross-process
@@ -2502,7 +2520,7 @@ final class GraftTable private (
           now - newest > GraftTable.claimGraceMs
         }
       orphans.foreach(st => fs.delete(st.getPath, true))
-      orphans.size
+      orphans.size + reclaimedShards
     }
   }
 
@@ -2531,6 +2549,21 @@ final class GraftTable private (
     val conf = new org.apache.spark.util.SerializableConfiguration(
       GraftTable.hadoopConf())
     val issues = scala.collection.mutable.Buffer[String]()
+    // 0. stats-shard audit, driver-side and bounded by the shard-count
+    // cap: every referenced shard must exist and parse ON DISK (the
+    // immutable-content cache is bypassed — it would mask an externally
+    // deleted or corrupted shard from long-lived handles; a COLD reader
+    // fails hydration loudly, and this check gives the warm handle the
+    // same visibility). Vacuum never reclaims a referenced shard, so any
+    // hit here is external damage, like a deleted data file.
+    val shardFs = GraftTable.fsAndPath(loc)._1
+    m.statsShards.foreach { rel =>
+      val p = new HPath(s"$loc/$rel")
+      if (!shardFs.exists(p)) issues += s"stats shard $rel is missing"
+      else try GraftTable.parseShardFile(shardFs, p)
+      catch { case e: Exception =>
+        issues += s"stats shard $rel is unreadable: ${e.getMessage}" }
+    }
     // 1. per-file footer audit, distributed AND aggregated distributed:
     // each task compares its footer against the recorded stats shipped
     // with its slice and emits only ISSUE STRINGS plus three scalars
@@ -3185,8 +3218,9 @@ final class GraftTable private (
       val next =
         // emitFiles/changeCommit describe ONE commit's emission — clear
         // the inherited values before the mutation (which may set its own)
-        try mutate(meta.copy(emitFiles = Vector.empty, changeCommit = false))
-          .copy(version = meta.version + 1)
+        try GraftTable.prepareStatsShards(location,
+          mutate(meta.copy(emitFiles = Vector.empty, changeCommit = false))
+            .copy(version = meta.version + 1))
         catch { case _: GraftTable.CommitSuperseded => return false }
       if (GraftTable.tryClaimVersion(location, next)) {
         // the claim IS the commit; the pointer is a best-effort read
@@ -3302,7 +3336,16 @@ object GraftTable {
       // dropped values in pre-drop rows, so AddCol and the mergeSchema
       // append refuse it until a FULL rewrite (compact/recluster/rename)
       // has materialized the drop and cleared the tombstones.
-      droppedCols: Vector[String] = Vector.empty)
+      droppedCols: Vector[String] = Vector.empty,
+      // Immutable per-file-stats SHARD files (rel paths under
+      // _graft_stats/) whose union, later-shard-wins, restricted to
+      // `files`, IS `fileStats`. When non-empty the meta/history JSON
+      // carries NO inline file_stats — each commit durably writes only
+      // its DELTA (the new files' entries), so metadata bytes per
+      // commit are ∝ new files, not ∝ table files; see
+      // [[GraftTable.prepareStatsShards]] for the full contract
+      // (in-memory `fileStats` always stays fully hydrated).
+      statsShards: Vector[String] = Vector.empty)
 
   /** One file's deletion-vector reference: sidecar rel path + how many
     * positions it holds (so effective per-file row counts never need a
@@ -4324,7 +4367,7 @@ object GraftTable {
         s"no snapshot v$version at $location (expired or never committed)")
     val m = parseJsonObject(readFileFully(fs, path))
     require(m.get(MagicKey).contains(Magic), s"bad magic in $path")
-    readMetaFromFields(m)
+    readMetaFromFields(location, m)
   }
 
   /** [[relativize]] for callers outside the storage package (the
@@ -4371,6 +4414,184 @@ object GraftTable {
     // Atomic commit point — the reference's footer rename, cstore_writer.c:350-357.
     writeFileAtomic(location, metaPath(location), renderMeta(meta))
 
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Render a per-file-stats map as a JSON object — shared by the
+    * legacy inline form and the stats shard files. min/max are null
+    * for an all-null column (null count still prunes). */
+  private def renderFileStats(
+      m: Map[String, Map[String, ColFileStats]]): String = {
+    def jsn(s: String) = if (s == null) "null" else jsonStr(s)
+    m.map { case (f, cols) =>
+      s"${jsonStr(f)}: " + cols.map { case (c, cs) =>
+        s"${jsonStr(c)}: {\"mn\": ${jsn(cs.min)}, \"mx\": ${jsn(cs.max)}, " +
+          s"\"nu\": ${cs.nulls}, \"rw\": ${cs.rows}}"
+      }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+  }
+
+  /** Parse [[renderFileStats]]' form — shared by the inline meta field
+    * and the shard files. */
+  private def parseFileStats(v: Any): Map[String, Map[String, ColFileStats]] =
+    v.asInstanceOf[Map[String, Any]].map { case (f, cols) =>
+      f -> cols.asInstanceOf[Map[String, Any]].map { case (c, cv) =>
+        val o = cv.asInstanceOf[Map[String, Any]]
+        c -> ColFileStats(
+          o("mn").asInstanceOf[String], o("mx").asInstanceOf[String],
+          o("nu").asInstanceOf[Number].longValue(),
+          o("rw").asInstanceOf[Number].longValue())
+      }
+    }
+
+  // ---- per-file-stats shards -----------------------------------------
+  //
+  // The zone-map bulk of the metadata — per FILE per COLUMN min/max/
+  // null/row entries, plus collation witnesses — dominates the
+  // serialized state: at ~100 B per (file, column) a 100 TB table with
+  // a million files and 30 columns carries ~3 GB of stats, and the
+  // pre-shard design rewrote ALL of it into _graft_meta.json AND
+  // _graft_history/v<N>.json on EVERY commit (O(files) metadata bytes
+  // per commit, O(files × versions) accumulated history). Shards make
+  // the durable form incremental, the Delta-checkpoint/Iceberg-manifest
+  // idea re-expressed on the engine's own CAS log:
+  //
+  //  - `_graft_stats/s<version>-<uuid>.json` files are IMMUTABLE; each
+  //    holds one commit's delta (the entries for files that commit
+  //    introduced). A commit writes its shard BEFORE the version claim
+  //    (crash → unreferenced orphan, reclaimed by vacuum's aged-orphan
+  //    rule), so every committed snapshot's shard list is fully durable.
+  //  - `Meta.statsShards` lists the live shards in order; hydration is
+  //    union(later shard wins) restricted to the committed file list.
+  //    History snapshots reference shards the same way, so time travel
+  //    and RESTORE rehydrate exactly; expiry + vacuum reclaim a shard
+  //    only when NO retained snapshot references it.
+  //  - Rewrites (compact/recluster/DML) leave dead entries behind in
+  //    old shards; when dead entries exceed half the live count — or
+  //    the shard list exceeds [[ShardCompactMaxShards]], or any LIVE
+  //    file's entry no longer matches its sharded form (ALTER DROP
+  //    rewrites every entry) — the commit writes ONE full shard and
+  //    resets the list: amortized O(files / ShardCompactMaxShards)
+  //    bytes per commit, O(new files) otherwise.
+  //  - Tables at or below [[InlineStatsMax]] files keep the legacy
+  //    inline `file_stats` form — one read, no extra objects — and
+  //    every table upgrades to shards the first commit that grows past
+  //    it. The reader accepts both forms forever.
+  //
+  // Driver MEMORY stays O(files) — `Meta.fileStats` is always fully
+  // hydrated, like Delta's in-memory snapshot state; it is the
+  // serialized-bytes-per-commit and history-accumulation costs that
+  // drop to O(delta).
+
+  private[storage] val InlineStatsMax = 16
+  private[storage] val ShardCompactMaxShards = 32
+
+  private def statsDir(location: String): HPath =
+    new HPath(location, "_graft_stats")
+
+  /** Immutable-content cache of parsed shards (access-order LRU; shards
+    * never change once written, so cached content is valid forever). */
+  private val shardCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Map[String, Map[String, ColFileStats]]](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, Map[String, ColFileStats]]])
+          : Boolean = size() > 512
+    })
+
+  private def readShard(location: String,
+      rel: String): Map[String, Map[String, ColFileStats]] = {
+    val key = s"$location/$rel"
+    val cached = shardCache.get(key)
+    if (cached != null) cached
+    else {
+      val (fs, _) = fsAndPath(location)
+      val parsed = parseShardFile(fs, new HPath(location, rel))
+      shardCache.put(key, parsed)
+      parsed
+    }
+  }
+
+  /** Read + parse one shard straight from storage (no cache) — shared
+    * by the hydrating reader and verify()'s shard audit. */
+  private[storage] def parseShardFile(fs: FileSystem,
+      p: HPath): Map[String, Map[String, ColFileStats]] = {
+    val m = parseJsonObject(readFileFully(fs, p))
+    require(m.get(MagicKey).contains(Magic), s"bad magic in stats shard $p")
+    parseFileStats(m.getOrElse("file_stats", Map.empty[String, Any]))
+  }
+
+  /** Union of a shard list, later shards winning per file. */
+  private def mergedShardStats(location: String,
+      shards: Seq[String]): Map[String, Map[String, ColFileStats]] =
+    shards.foldLeft(Map.empty[String, Map[String, ColFileStats]]) {
+      (acc, s) => acc ++ readShard(location, s)
+    }
+
+  private def writeShardFile(location: String, version: Long,
+      stats: Map[String, Map[String, ColFileStats]]): String = {
+    val rel = f"_graft_stats/s$version%020d-${
+      java.util.UUID.randomUUID().toString.take(8)}.json"
+    val content =
+      s"""{
+         |  ${jsonStr(MagicKey)}: ${jsonStr(Magic)},
+         |  "file_stats": ${renderFileStats(stats)}
+         |}""".stripMargin
+    writeFileAtomic(location, new HPath(location, rel), content)
+    rel
+  }
+
+  /** Durably stage `next`'s per-file stats as shards and return the
+    * meta to commit (called by commitMutation BEFORE the version
+    * claim). Steady state writes one delta shard with the NEW files'
+    * entries; a changed live entry, a dead majority, or a long shard
+    * list triggers one full compaction shard instead. A CAS loser's
+    * shard is an unreferenced orphan — vacuum reclaims it after the
+    * claim grace. */
+  private[storage] def prepareStatsShards(location: String, next: Meta): Meta = {
+    val live = next.fileStats
+    if (live.isEmpty) {
+      if (next.statsShards.isEmpty) next else next.copy(statsShards = Vector.empty)
+    } else if (next.statsShards.isEmpty && live.size <= InlineStatsMax) {
+      next // small table: legacy inline form
+    } else {
+      // A shard list inherited from a FOREIGN location (CLONE copies the
+      // source's meta fields) or a reclaimed shard reads as unreadable —
+      // recover with a full compaction shard rather than failing the
+      // commit.
+      val covered =
+        try mergedShardStats(location, next.statsShards)
+        catch { case _: Exception => null }
+      // `eq` is the hot path, not an optimization garnish: hydration
+      // serves entries from the immutable shard cache and every commit
+      // mutation builds its map from the hydrated base (++ / filter),
+      // so an UNCHANGED entry is the very object the cache holds and
+      // the scan is O(live) pointer compares. The deep == only runs for
+      // entries a mutation actually rebuilt (schema changes) or after a
+      // cache eviction re-parse — both rare, both bounded.
+      val changed = covered != null && live.exists { case (f, v) =>
+        covered.get(f).exists(c => !(c eq v) && c != v)
+      }
+      val dead =
+        if (covered == null) 0 else covered.keysIterator.count(!live.contains(_))
+      if (covered == null || changed ||
+          next.statsShards.size >= ShardCompactMaxShards ||
+          dead * 2 > live.size) {
+        next.copy(statsShards = Vector(writeShardFile(location, next.version, live)))
+      } else {
+        val delta = live.filter { case (f, _) => !covered.contains(f) }
+        if (delta.isEmpty) next
+        else next.copy(statsShards =
+          next.statsShards :+ writeShardFile(location, next.version, delta))
+      }
+    }
+  }
+
   private def renderMeta(m: Meta): String = {
     def js(s: String) = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -4395,14 +4616,11 @@ object GraftTable {
       }
       s"${js(k)}: {${js("t")}: ${js(tag)}, ${js("v")}: ${jv(v)}}"
     }.mkString("{", ",", "}")
-    // min/max are null for an all-null column (null count still prunes)
-    def jsn(s: String) = if (s == null) "null" else js(s)
-    val fileStats = m.fileStats.map { case (f, cols) =>
-      s"${js(f)}: " + cols.map { case (c, cs) =>
-        s"${js(c)}: {\"mn\": ${jsn(cs.min)}, \"mx\": ${jsn(cs.max)}, " +
-          s"\"nu\": ${cs.nulls}, \"rw\": ${cs.rows}}"
-      }.mkString("{", ",", "}")
-    }.mkString("{", ",", "}")
+    // With shards in play the inline map is EMPTY by contract — the
+    // commit already wrote its delta shard and every serialized state
+    // (history snapshot, pointer cache) carries only the shard refs.
+    val fileStats =
+      if (m.statsShards.nonEmpty) "{}" else renderFileStats(m.fileStats)
     val streamTxn = m.streamTxn.map { case (q, b) => s"${js(q)}: $b" }
       .mkString("{", ",", "}")
     val dvs = m.dvs.map { case (f, e) =>
@@ -4428,6 +4646,7 @@ object GraftTable {
        |  "version": ${m.version},
        |  "next_batch_id": ${m.nextBatchId},
        |  "defaults": $defaults,
+       |  "stats_shards": ${m.statsShards.map(js).mkString("[", ",", "]")},
        |  "file_stats": $fileStats,
        |  "stream_txn": $streamTxn,
        |  "emit_files": ${m.emitFiles.map(js).mkString("[", ",", "]")},
@@ -4468,7 +4687,7 @@ object GraftTable {
       }
     }
     require(m.get(MagicKey).contains(Magic), s"bad magic in $path")
-    walkToHead(location, readMetaFromFields(m))
+    walkToHead(location, readMetaFromFields(location, m))
   }
 
   /** Advance a pointer-cached state to the committed HEAD of the
@@ -4485,23 +4704,34 @@ object GraftTable {
     var advancing = true
     while (advancing) {
       val hp = historyPath(location, cur.version + 1)
-      advancing =
+      // Claim detection (read + parse of the snapshot JSON) swallows
+      // failures — an unparseable/missing file is an in-flight claim.
+      // HYDRATION runs outside the guard: once the snapshot parsed it
+      // IS a commit, and a failure to load its stats shards must THROW
+      // (serving the previous state would be a silent stale read).
+      val parsed: Option[Map[String, Any]] =
         try {
-          if (!fs.exists(hp)) false
+          if (!fs.exists(hp)) None
           else {
             val m = parseJsonObject(readFileFully(fs, hp))
             require(m.get(MagicKey).contains(Magic), s"bad magic in $hp")
-            cur = readMetaFromFields(m)
-            true
+            Some(m)
           }
-        } catch { case _: Exception => false }
+        } catch { case _: Exception => None }
+      parsed match {
+        case Some(m) => cur = readMetaFromFields(location, m)
+        case None => advancing = false
+      }
     }
     cur
   }
 
   /** Build a Meta from a parsed metadata JSON object (shared by the
-    * current-pointer and history-snapshot readers). */
-  private def readMetaFromFields(m: Map[String, Any]): Meta = {
+    * current-pointer and history-snapshot readers). `location` resolves
+    * stats shard refs; hydration is strict — a missing shard is loud
+    * corruption (vacuum never reclaims a shard any retained snapshot
+    * references), never silently-empty zone maps. */
+  private def readMetaFromFields(location: String, m: Map[String, Any]): Meta = {
     val schema = DataType.fromJson(m("schema").asInstanceOf[String]).asInstanceOf[StructType]
     val defaults = m.getOrElse("defaults", Map.empty[String, Any])
       .asInstanceOf[Map[String, Any]].map { case (k, tv) =>
@@ -4514,15 +4744,20 @@ object GraftTable {
         }
         k -> (v: Any)
       }
-    val fileStats = m.getOrElse("file_stats", Map.empty[String, Any])
-      .asInstanceOf[Map[String, Any]].map { case (f, cols) =>
-        f -> cols.asInstanceOf[Map[String, Any]].map { case (c, v) =>
-          val o = v.asInstanceOf[Map[String, Any]]
-          c -> ColFileStats(
-            o("mn").asInstanceOf[String], o("mx").asInstanceOf[String],
-            o("nu").asInstanceOf[Number].longValue(),
-            o("rw").asInstanceOf[Number].longValue())
-        }
+    val files = m("files").asInstanceOf[List[Any]]
+      .map(_.asInstanceOf[String]).toVector
+    val statsShards = m.getOrElse("stats_shards", List.empty[Any])
+      .asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toVector
+    val inlineStats = parseFileStats(
+      m.getOrElse("file_stats", Map.empty[String, Any]))
+    val fileStats =
+      if (statsShards.isEmpty) inlineStats
+      else {
+        // later shard wins; dead entries (rewritten-away files) are
+        // dropped by the live-file restriction
+        val fileSet = files.toSet
+        (mergedShardStats(location, statsShards) ++ inlineStats)
+          .filter { case (f, _) => fileSet(f) }
       }
     Meta(
       currentSchema = schema,
@@ -4547,13 +4782,14 @@ object GraftTable {
           .map { case (k, v) => k -> v.asInstanceOf[String] },
         autoCompactMinFiles = m.getOrElse("auto_compact_min_files",
           java.lang.Long.valueOf(0L)).asInstanceOf[Number].intValue()),
-      files = m("files").asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toVector,
+      files = files,
       rowCount = m("row_count").asInstanceOf[Number].longValue(),
       defaults = defaults,
       nextBatchId = m("next_batch_id").asInstanceOf[Number].longValue(),
       version = m.getOrElse("version", java.lang.Long.valueOf(0L))
         .asInstanceOf[Number].longValue(),
       fileStats = fileStats,
+      statsShards = statsShards,
       streamTxn = m.getOrElse("stream_txn", Map.empty[String, Any])
         .asInstanceOf[Map[String, Any]]
         .map { case (q, b) => q -> b.asInstanceOf[Number].longValue() },
