@@ -77,7 +77,7 @@ object ProfMetaShards {
       }
     }
     val historyB = treeBytes("t/_graft_history")
-    val statsB = treeBytes("t/_graft_stats")
+    val statsB = treeBytes("t/_graft_manifest")
     val pointerB = java.nio.file.Files.size(java.nio.file.Paths.get(dir, "t/_graft_meta.json"))
     def countIn(rel: String): Int = {
       val p = java.nio.file.Paths.get(dir, rel)
@@ -89,10 +89,10 @@ object ProfMetaShards {
     // pointer is rewritten each commit at the same size
     val files = t.history().last._3.toLong
     val counterfactual = (1L to files).map(v => v * inlinePerFileBytes).sum * 2
-    println(f"[prof] commits=$files%d cols=12 shards=${countIn("t/_graft_stats")}%d")
+    println(f"[prof] commits=$files%d cols=12 segments=${countIn("t/_graft_manifest")}%d")
     println(f"[prof] per-file inline stats bytes ≈ $inlinePerFileBytes%d")
     println(f"[prof] shard-list cap check: final pointer carries ${pointerB}%d bytes")
-    println(f"[prof] durable metadata written: history=$historyB%d stats=$statsB%d pointer=$pointerB%d total=${historyB + statsB + pointerB}%d")
+    println(f"[prof] durable metadata written: history=$historyB%d segments=$statsB%d pointer=$pointerB%d total=${historyB + statsB + pointerB}%d")
     println(f"[prof] inline counterfactual (Σ v×b × 2 writes) ≈ $counterfactual%d  (${counterfactual.toDouble / (historyB + statsB + pointerB)}%.1fx)")
     println(f"[prof] commit wall first10=${walls.take(10).sum / 10}%.3fs last10=${walls.takeRight(10).sum / 10}%.3fs")
     spark.stop()

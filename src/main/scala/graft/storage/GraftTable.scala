@@ -2468,22 +2468,22 @@ final class GraftTable private (
     refreshMeta()
     val (fs, _) = GraftTable.fsAndPath(location)
     val dataDir = new HPath(s"$location/data")
-    // Stats shards referenced by NO retained snapshot (expired history,
-    // CAS losers, crashed commits) are reclaimed under the same aged-
-    // orphan rule as data dirs: an in-flight commit's shard is written
-    // BEFORE its version claim, so only age past the claim grace proves
-    // abandonment.
+    // Manifest segments referenced by NO retained snapshot (expired
+    // history, CAS losers, crashed commits) are reclaimed under the
+    // same aged-orphan rule as data dirs: an in-flight commit's segment
+    // is written BEFORE its version claim, so only age past the claim
+    // grace proves abandonment.
     val retainedMetas = GraftTable.historyVersions(location)
       .filter(_ <= meta.version) // an orphan must not pin its batch dir
       .map(v => GraftTable.readHistoryMeta(location, v))
-    val statsDir = new HPath(s"$location/_graft_stats")
+    val manifestDir = new HPath(s"$location/_graft_manifest")
     val reclaimedShards =
-      if (!fs.exists(statsDir)) 0
+      if (!fs.exists(manifestDir)) 0
       else {
-        val referenced = (meta.statsShards ++ retainedMetas.flatMap(_.statsShards))
+        val referenced = (meta.manifest ++ retainedMetas.flatMap(_.manifest))
           .map(rel => new HPath(s"$location/$rel").getName).toSet
         val now = System.currentTimeMillis()
-        val orphan = fs.listStatus(statsDir).toSeq.filter { st =>
+        val orphan = fs.listStatus(manifestDir).toSeq.filter { st =>
           !st.isDirectory && !referenced.contains(st.getPath.getName) &&
             now - st.getModificationTime > GraftTable.claimGraceMs
         }
@@ -2549,20 +2549,21 @@ final class GraftTable private (
     val conf = new org.apache.spark.util.SerializableConfiguration(
       GraftTable.hadoopConf())
     val issues = scala.collection.mutable.Buffer[String]()
-    // 0. stats-shard audit, driver-side and bounded by the shard-count
-    // cap: every referenced shard must exist and parse ON DISK (the
+    // 0. manifest audit, driver-side and bounded by the segment-count
+    // cap: every referenced segment must exist and parse ON DISK (the
     // immutable-content cache is bypassed — it would mask an externally
-    // deleted or corrupted shard from long-lived handles; a COLD reader
-    // fails hydration loudly, and this check gives the warm handle the
-    // same visibility). Vacuum never reclaims a referenced shard, so any
-    // hit here is external damage, like a deleted data file.
-    val shardFs = GraftTable.fsAndPath(loc)._1
-    m.statsShards.foreach { rel =>
+    // deleted or corrupted segment from long-lived handles; a COLD
+    // reader fails hydration loudly, and this check gives the warm
+    // handle the same visibility). Vacuum never reclaims a referenced
+    // segment, so any hit here is external damage, like a deleted data
+    // file.
+    val segFs = GraftTable.fsAndPath(loc)._1
+    m.manifest.foreach { rel =>
       val p = new HPath(s"$loc/$rel")
-      if (!shardFs.exists(p)) issues += s"stats shard $rel is missing"
-      else try GraftTable.parseShardFile(shardFs, p)
+      if (!segFs.exists(p)) issues += s"manifest segment $rel is missing"
+      else try GraftTable.parseSegmentFile(segFs, p)
       catch { case e: Exception =>
-        issues += s"stats shard $rel is unreadable: ${e.getMessage}" }
+        issues += s"manifest segment $rel is unreadable: ${e.getMessage}" }
     }
     // 1. per-file footer audit, distributed AND aggregated distributed:
     // each task compares its footer against the recorded stats shipped
@@ -3218,7 +3219,7 @@ final class GraftTable private (
       val next =
         // emitFiles/changeCommit describe ONE commit's emission — clear
         // the inherited values before the mutation (which may set its own)
-        try GraftTable.prepareStatsShards(location,
+        try GraftTable.prepareManifest(location,
           mutate(meta.copy(emitFiles = Vector.empty, changeCommit = false))
             .copy(version = meta.version + 1))
         catch { case _: GraftTable.CommitSuperseded => return false }
@@ -3337,15 +3338,17 @@ object GraftTable {
       // append refuse it until a FULL rewrite (compact/recluster/rename)
       // has materialized the drop and cleared the tombstones.
       droppedCols: Vector[String] = Vector.empty,
-      // Immutable per-file-stats SHARD files (rel paths under
-      // _graft_stats/) whose union, later-shard-wins, restricted to
-      // `files`, IS `fileStats`. When non-empty the meta/history JSON
-      // carries NO inline file_stats — each commit durably writes only
-      // its DELTA (the new files' entries), so metadata bytes per
-      // commit are ∝ new files, not ∝ table files; see
-      // [[GraftTable.prepareStatsShards]] for the full contract
-      // (in-memory `fileStats` always stays fully hydrated).
-      statsShards: Vector[String] = Vector.empty)
+      // Immutable MANIFEST SEGMENT files (rel paths under
+      // _graft_manifest/) that delta-encode BOTH the file list (replay
+      // of each segment's added/removed) AND the per-file zone maps
+      // (union, later segment wins, restricted to the replayed list).
+      // When non-empty the meta/history JSON carries NO inline files or
+      // file_stats — each commit durably writes only its DELTA, so
+      // metadata bytes per commit are ∝ the commit's own file churn,
+      // not ∝ table files; see [[GraftTable.prepareManifest]] for the
+      // full contract (in-memory `files`/`fileStats` always stay fully
+      // hydrated).
+      manifest: Vector[String] = Vector.empty)
 
   /** One file's deletion-vector reference: sidecar rel path + how many
     * positions it holds (so effective per-file row counts never need a
@@ -4449,145 +4452,183 @@ object GraftTable {
       }
     }
 
-  // ---- per-file-stats shards -----------------------------------------
+  // ---- manifest segments ---------------------------------------------
   //
-  // The zone-map bulk of the metadata — per FILE per COLUMN min/max/
-  // null/row entries, plus collation witnesses — dominates the
-  // serialized state: at ~100 B per (file, column) a 100 TB table with
-  // a million files and 30 columns carries ~3 GB of stats, and the
-  // pre-shard design rewrote ALL of it into _graft_meta.json AND
-  // _graft_history/v<N>.json on EVERY commit (O(files) metadata bytes
-  // per commit, O(files × versions) accumulated history). Shards make
-  // the durable form incremental, the Delta-checkpoint/Iceberg-manifest
-  // idea re-expressed on the engine's own CAS log:
+  // The per-file metadata — the file LIST plus the zone-map bulk (per
+  // FILE per COLUMN min/max/null/row entries, plus collation
+  // witnesses) — dominates the serialized state: at ~100 B per (file,
+  // column) a 100 TB table with a million files and 30 columns carries
+  // ~3 GB of stats and ~60 MB of paths, and the pre-segment design
+  // rewrote ALL of it into _graft_meta.json AND _graft_history/
+  // v<N>.json on EVERY commit (O(files) metadata bytes per commit,
+  // O(files × versions) accumulated history). Manifest segments make
+  // the durable form incremental — the Delta-log/Iceberg-manifest idea
+  // re-expressed on the engine's own CAS log:
   //
-  //  - `_graft_stats/s<version>-<uuid>.json` files are IMMUTABLE; each
-  //    holds one commit's delta (the entries for files that commit
-  //    introduced). A commit writes its shard BEFORE the version claim
-  //    (crash → unreferenced orphan, reclaimed by vacuum's aged-orphan
-  //    rule), so every committed snapshot's shard list is fully durable.
-  //  - `Meta.statsShards` lists the live shards in order; hydration is
-  //    union(later shard wins) restricted to the committed file list.
-  //    History snapshots reference shards the same way, so time travel
-  //    and RESTORE rehydrate exactly; expiry + vacuum reclaim a shard
-  //    only when NO retained snapshot references it.
-  //  - Rewrites (compact/recluster/DML) leave dead entries behind in
-  //    old shards; when dead entries exceed half the live count — or
-  //    the shard list exceeds [[ShardCompactMaxShards]], or any LIVE
-  //    file's entry no longer matches its sharded form (ALTER DROP
-  //    rewrites every entry) — the commit writes ONE full shard and
-  //    resets the list: amortized O(files / ShardCompactMaxShards)
-  //    bytes per commit, O(new files) otherwise.
+  //  - `_graft_manifest/m<version>-<uuid>.json` files are IMMUTABLE;
+  //    each holds one commit's delta: `files_added` (in commit order),
+  //    `files_removed`, and the added files' stats entries. A commit
+  //    writes its segment BEFORE the version claim (crash → an
+  //    unreferenced orphan, reclaimed by vacuum's aged-orphan rule), so
+  //    every committed snapshot's segment list is fully durable.
+  //  - `Meta.manifest` lists the live segments in order. Hydration
+  //    REPLAYS the list — files = fold((acc -- removed) ++ added) —
+  //    which reproduces every commit shape the engine writes
+  //    (mutations are all `filterNot ++ appended`); stats hydrate as
+  //    union (later segment wins) restricted to the replayed list.
+  //    History snapshots reference segments the same way, so time
+  //    travel and RESTORE rehydrate exactly; expiry + vacuum reclaim a
+  //    segment only when NO retained snapshot references it.
+  //  - A reordering the replay cannot express (RESTORE to an arbitrary
+  //    earlier list), a changed live entry (ALTER DROP rewrites every
+  //    entry), a dead-stats majority (rewrites strand old entries), or
+  //    a segment list past [[ManifestCompactMaxSegments]] triggers ONE
+  //    full compaction segment: amortized O(files /
+  //    ManifestCompactMaxSegments) bytes per commit, O(commit churn)
+  //    otherwise.
   //  - Tables at or below [[InlineStatsMax]] files keep the legacy
-  //    inline `file_stats` form — one read, no extra objects — and
-  //    every table upgrades to shards the first commit that grows past
-  //    it. The reader accepts both forms forever.
+  //    inline `files` + `file_stats` form — one read, no extra
+  //    objects — and upgrade the first commit that grows past it. The
+  //    reader accepts both forms forever.
   //
-  // Driver MEMORY stays O(files) — `Meta.fileStats` is always fully
-  // hydrated, like Delta's in-memory snapshot state; it is the
+  // Driver MEMORY stays O(files) — `Meta.files`/`fileStats` are always
+  // fully hydrated, like Delta's in-memory snapshot state; it is the
   // serialized-bytes-per-commit and history-accumulation costs that
   // drop to O(delta).
 
   private[storage] val InlineStatsMax = 16
-  private[storage] val ShardCompactMaxShards = 32
+  private[storage] val ManifestCompactMaxSegments = 32
 
-  private def statsDir(location: String): HPath =
-    new HPath(location, "_graft_stats")
+  /** One parsed manifest segment: the file-list delta + the added
+    * files' zone maps. */
+  private[storage] final case class ManifestSegment(
+      added: Vector[String],
+      removed: Set[String],
+      stats: Map[String, Map[String, ColFileStats]])
 
-  /** Immutable-content cache of parsed shards (access-order LRU; shards
-    * never change once written, so cached content is valid forever). */
-  private val shardCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, Map[String, Map[String, ColFileStats]]](
-        64, 0.75f, true) {
+  /** Immutable-content cache of parsed segments (access-order LRU;
+    * segments never change once written, so cached content is valid
+    * forever). */
+  private val segmentCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, ManifestSegment](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Map[String, Map[String, ColFileStats]]])
-          : Boolean = size() > 512
+          e: java.util.Map.Entry[String, ManifestSegment]): Boolean =
+        size() > 512
     })
 
-  private def readShard(location: String,
-      rel: String): Map[String, Map[String, ColFileStats]] = {
+  private def readSegment(location: String, rel: String): ManifestSegment = {
     val key = s"$location/$rel"
-    val cached = shardCache.get(key)
+    val cached = segmentCache.get(key)
     if (cached != null) cached
     else {
       val (fs, _) = fsAndPath(location)
-      val parsed = parseShardFile(fs, new HPath(location, rel))
-      shardCache.put(key, parsed)
+      val parsed = parseSegmentFile(fs, new HPath(location, rel))
+      segmentCache.put(key, parsed)
       parsed
     }
   }
 
-  /** Read + parse one shard straight from storage (no cache) — shared
-    * by the hydrating reader and verify()'s shard audit. */
-  private[storage] def parseShardFile(fs: FileSystem,
-      p: HPath): Map[String, Map[String, ColFileStats]] = {
+  /** Read + parse one segment straight from storage (no cache) —
+    * shared by the hydrating reader and verify()'s manifest audit. */
+  private[storage] def parseSegmentFile(fs: FileSystem,
+      p: HPath): ManifestSegment = {
     val m = parseJsonObject(readFileFully(fs, p))
-    require(m.get(MagicKey).contains(Magic), s"bad magic in stats shard $p")
-    parseFileStats(m.getOrElse("file_stats", Map.empty[String, Any]))
+    require(m.get(MagicKey).contains(Magic), s"bad magic in manifest segment $p")
+    ManifestSegment(
+      added = m.getOrElse("files_added", List.empty[Any])
+        .asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toVector,
+      removed = m.getOrElse("files_removed", List.empty[Any])
+        .asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toSet,
+      stats = parseFileStats(m.getOrElse("file_stats", Map.empty[String, Any])))
   }
 
-  /** Union of a shard list, later shards winning per file. */
-  private def mergedShardStats(location: String,
-      shards: Seq[String]): Map[String, Map[String, ColFileStats]] =
-    shards.foldLeft(Map.empty[String, Map[String, ColFileStats]]) {
-      (acc, s) => acc ++ readShard(location, s)
+  /** Replay a segment list: the file list in commit order, and the
+    * stats union (later segment wins — restriction to live files is
+    * the caller's step, since prepare also needs the dead mass). */
+  private def replaySegments(location: String, segments: Seq[String])
+      : (Vector[String], Map[String, Map[String, ColFileStats]]) =
+    segments.foldLeft(
+      (Vector.empty[String], Map.empty[String, Map[String, ColFileStats]])) {
+      case ((files, stats), rel) =>
+        val s = readSegment(location, rel)
+        val kept = if (s.removed.isEmpty) files else files.filterNot(s.removed)
+        (kept ++ s.added, stats ++ s.stats)
     }
 
-  private def writeShardFile(location: String, version: Long,
+  private def writeSegmentFile(location: String, version: Long,
+      added: Vector[String], removed: Set[String],
       stats: Map[String, Map[String, ColFileStats]]): String = {
-    val rel = f"_graft_stats/s$version%020d-${
+    val rel = f"_graft_manifest/m$version%020d-${
       java.util.UUID.randomUUID().toString.take(8)}.json"
     val content =
       s"""{
          |  ${jsonStr(MagicKey)}: ${jsonStr(Magic)},
+         |  "files_added": ${added.map(jsonStr).mkString("[", ",", "]")},
+         |  "files_removed": ${removed.toSeq.sorted.map(jsonStr).mkString("[", ",", "]")},
          |  "file_stats": ${renderFileStats(stats)}
          |}""".stripMargin
     writeFileAtomic(location, new HPath(location, rel), content)
     rel
   }
 
-  /** Durably stage `next`'s per-file stats as shards and return the
-    * meta to commit (called by commitMutation BEFORE the version
-    * claim). Steady state writes one delta shard with the NEW files'
-    * entries; a changed live entry, a dead majority, or a long shard
-    * list triggers one full compaction shard instead. A CAS loser's
-    * shard is an unreferenced orphan — vacuum reclaims it after the
-    * claim grace. */
-  private[storage] def prepareStatsShards(location: String, next: Meta): Meta = {
-    val live = next.fileStats
-    if (live.isEmpty) {
-      if (next.statsShards.isEmpty) next else next.copy(statsShards = Vector.empty)
-    } else if (next.statsShards.isEmpty && live.size <= InlineStatsMax) {
+  /** Durably stage `next`'s file list + per-file stats as a manifest
+    * segment and return the meta to commit (called by commitMutation
+    * BEFORE the version claim). Steady state writes one delta segment
+    * with the commit's added/removed files and the added files' stats;
+    * an inexpressible reorder, a changed live entry, a dead-stats
+    * majority, or a long segment list triggers one full compaction
+    * segment instead. A CAS loser's segment is an unreferenced
+    * orphan — vacuum reclaims it after the claim grace. */
+  private[storage] def prepareManifest(location: String, next: Meta): Meta = {
+    if (next.files.isEmpty) {
+      if (next.manifest.isEmpty) next else next.copy(manifest = Vector.empty)
+    } else if (next.manifest.isEmpty && next.files.size <= InlineStatsMax) {
       next // small table: legacy inline form
     } else {
-      // A shard list inherited from a FOREIGN location (CLONE copies the
-      // source's meta fields) or a reclaimed shard reads as unreadable —
-      // recover with a full compaction shard rather than failing the
-      // commit.
-      val covered =
-        try mergedShardStats(location, next.statsShards)
-        catch { case _: Exception => null }
-      // `eq` is the hot path, not an optimization garnish: hydration
-      // serves entries from the immutable shard cache and every commit
-      // mutation builds its map from the hydrated base (++ / filter),
-      // so an UNCHANGED entry is the very object the cache holds and
-      // the scan is O(live) pointer compares. The deep == only runs for
-      // entries a mutation actually rebuilt (schema changes) or after a
-      // cache eviction re-parse — both rare, both bounded.
-      val changed = covered != null && live.exists { case (f, v) =>
-        covered.get(f).exists(c => !(c eq v) && c != v)
-      }
-      val dead =
-        if (covered == null) 0 else covered.keysIterator.count(!live.contains(_))
-      if (covered == null || changed ||
-          next.statsShards.size >= ShardCompactMaxShards ||
-          dead * 2 > live.size) {
-        next.copy(statsShards = Vector(writeShardFile(location, next.version, live)))
-      } else {
-        val delta = live.filter { case (f, _) => !covered.contains(f) }
-        if (delta.isEmpty) next
-        else next.copy(statsShards =
-          next.statsShards :+ writeShardFile(location, next.version, delta))
+      val live = next.fileStats
+      // A segment list inherited from a FOREIGN location or a reclaimed
+      // segment reads as unreadable — recover with a full compaction
+      // segment rather than failing the commit.
+      val base =
+        try Some(replaySegments(location, next.manifest))
+        catch { case _: Exception => None }
+      def full = next.copy(manifest = Vector(
+        writeSegmentFile(location, next.version, next.files, Set.empty, live)))
+      base match {
+        case None => full
+        case Some((segFiles, coveredStats)) =>
+          val nextSet = next.files.toSet
+          val segSet = segFiles.toSet
+          val removed = segFiles.iterator.filterNot(nextSet).toSet
+          val added = next.files.filterNot(segSet)
+          // the replay must reproduce the exact committed order — every
+          // engine mutation is `filterNot ++ appended`, so a mismatch
+          // means an inexpressible reorder (RESTORE): compact.
+          val replayOk = {
+            val kept = if (removed.isEmpty) segFiles else segFiles.filterNot(removed)
+            (kept ++ added) == next.files
+          }
+          // `eq` is the hot path, not an optimization garnish:
+          // hydration serves entries from the immutable segment cache
+          // and every commit mutation builds its map from the hydrated
+          // base (++ / filter), so an UNCHANGED entry is the very
+          // object the cache holds and the scan is O(live) pointer
+          // compares. The deep == only runs for entries a mutation
+          // actually rebuilt (schema changes) or after a cache
+          // eviction re-parse — both rare, both bounded.
+          val changed = live.exists { case (f, v) =>
+            coveredStats.get(f).exists(c => !(c eq v) && c != v)
+          }
+          val dead = coveredStats.keysIterator.count(!live.contains(_))
+          if (!replayOk || changed ||
+              next.manifest.size >= ManifestCompactMaxSegments ||
+              dead * 2 > live.size) full
+          else {
+            val statsDelta = live.filter { case (f, _) => !coveredStats.contains(f) }
+            if (added.isEmpty && removed.isEmpty && statsDelta.isEmpty) next
+            else next.copy(manifest = next.manifest :+
+              writeSegmentFile(location, next.version, added, removed, statsDelta))
+          }
       }
     }
   }
@@ -4616,11 +4657,14 @@ object GraftTable {
       }
       s"${js(k)}: {${js("t")}: ${js(tag)}, ${js("v")}: ${jv(v)}}"
     }.mkString("{", ",", "}")
-    // With shards in play the inline map is EMPTY by contract — the
-    // commit already wrote its delta shard and every serialized state
-    // (history snapshot, pointer cache) carries only the shard refs.
+    // With manifest segments in play the inline forms are EMPTY by
+    // contract — the commit already wrote its delta segment and every
+    // serialized state (history snapshot, pointer cache) carries only
+    // the segment refs.
     val fileStats =
-      if (m.statsShards.nonEmpty) "{}" else renderFileStats(m.fileStats)
+      if (m.manifest.nonEmpty) "{}" else renderFileStats(m.fileStats)
+    val filesJson =
+      if (m.manifest.nonEmpty) "[]" else m.files.map(js).mkString("[", ",", "]")
     val streamTxn = m.streamTxn.map { case (q, b) => s"${js(q)}: $b" }
       .mkString("{", ",", "}")
     val dvs = m.dvs.map { case (f, e) =>
@@ -4646,13 +4690,13 @@ object GraftTable {
        |  "version": ${m.version},
        |  "next_batch_id": ${m.nextBatchId},
        |  "defaults": $defaults,
-       |  "stats_shards": ${m.statsShards.map(js).mkString("[", ",", "]")},
+       |  "manifest": ${m.manifest.map(js).mkString("[", ",", "]")},
        |  "file_stats": $fileStats,
        |  "stream_txn": $streamTxn,
        |  "emit_files": ${m.emitFiles.map(js).mkString("[", ",", "]")},
        |  "dropped_cols": ${m.droppedCols.map(js).mkString("[", ",", "]")},
        |  "change_commit": ${m.changeCommit},
-       |  "files": ${m.files.map(js).mkString("[", ",", "]")}
+       |  "files": $filesJson
        |}""".stripMargin
   }
 
@@ -4744,20 +4788,21 @@ object GraftTable {
         }
         k -> (v: Any)
       }
-    val files = m("files").asInstanceOf[List[Any]]
+    val inlineFiles = m("files").asInstanceOf[List[Any]]
       .map(_.asInstanceOf[String]).toVector
-    val statsShards = m.getOrElse("stats_shards", List.empty[Any])
+    val manifest = m.getOrElse("manifest", List.empty[Any])
       .asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toVector
     val inlineStats = parseFileStats(
       m.getOrElse("file_stats", Map.empty[String, Any]))
-    val fileStats =
-      if (statsShards.isEmpty) inlineStats
+    val (files, fileStats) =
+      if (manifest.isEmpty) (inlineFiles, inlineStats)
       else {
-        // later shard wins; dead entries (rewritten-away files) are
-        // dropped by the live-file restriction
-        val fileSet = files.toSet
-        (mergedShardStats(location, statsShards) ++ inlineStats)
-          .filter { case (f, _) => fileSet(f) }
+        // replay the segments for the list; later segment wins for
+        // stats; dead entries (rewritten-away files) are dropped by
+        // the live-file restriction
+        val (segFiles, segStats) = replaySegments(location, manifest)
+        val fileSet = segFiles.toSet
+        (segFiles, segStats.filter { case (f, _) => fileSet(f) })
       }
     Meta(
       currentSchema = schema,
@@ -4789,7 +4834,7 @@ object GraftTable {
       version = m.getOrElse("version", java.lang.Long.valueOf(0L))
         .asInstanceOf[Number].longValue(),
       fileStats = fileStats,
-      statsShards = statsShards,
+      manifest = manifest,
       streamTxn = m.getOrElse("stream_txn", Map.empty[String, Any])
         .asInstanceOf[Map[String, Any]]
         .map { case (q, b) => q -> b.asInstanceOf[Number].longValue() },
