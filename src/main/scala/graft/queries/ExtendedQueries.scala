@@ -499,7 +499,33 @@ object ExtendedQueries {
       .orderBy(desc("numwait"), col("s_name")).limit(20)
   }
 
+  /** q52: TPC-H Q19 shape — revenue under a DISJUNCTION of conjunctive
+    * brand/type × quantity × size bands (the classic OR-of-ANDs
+    * predicate that defeats naive single-range pushdown). The join key
+    * (`p_partkey = l_partkey`) is hoisted OUT of the disjunction so the
+    * plan is one keyed join (part broadcast) with the DNF as a residual
+    * filter; the per-disjunct lineitem ranges still reach the scan
+    * because each disjunct bounds `l_quantity` — their union
+    * (1 ≤ q ≤ 30) is a pushable necessary condition Catalyst derives,
+    * and the file pruner refutes an OR only when EVERY disjunct
+    * refutes. Revenue is integer cents (order-insensitive). */
+  def q52DisjunctBands(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val joined = l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+    val band1 = col("p_type") === "ECONOMY" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 11)
+    val band2 = col("p_type") === "STANDARD" &&
+      col("p_size").between(1, 25) && col("l_quantity").between(10, 20)
+    val band3 = col("p_type") === "PROMO" &&
+      col("p_size").between(1, 35) && col("l_quantity").between(20, 30)
+    joined.filter(band1 || band2 || band3)
+      .agg(sum(revenueCents).as("revenue_c"),
+        count(lit(1)).as("n_lines"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_disjunct_bands" -> q52DisjunctBands _,
     "q51_waiting_supplier" -> q51WaitingSupplier _,
     "q50_revenue_share" -> q50RevenueShare _,
     "q47_exists_priority" -> q47ExistsPriority _,
@@ -534,6 +560,16 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q52_disjunct_bands" ->
+      (s"""SELECT CAST(sum($RevenueCentsSql) AS BIGINT) AS revenue_c,
+         |  CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_type = 'ECONOMY' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 1 AND 11)
+         |  OR (p_type = 'STANDARD' AND p_size BETWEEN 1 AND 25
+         |    AND l_quantity BETWEEN 10 AND 20)
+         |  OR (p_type = 'PROMO' AND p_size BETWEEN 1 AND 35
+         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
     "q51_waiting_supplier" ->
       ("""SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
          |FROM lineitem l1
