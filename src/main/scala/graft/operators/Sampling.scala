@@ -273,13 +273,13 @@ object Sampling {
     * between engines and aggregation orders. One tiny aggregation over
     * sources; the only corpus-wide pass is the count. */
   def c3SourceMix(s: SparkSession, dir: String): DataFrame =
-    sourceMixOf(docs(s, dir))
+    sourceMixCore(docs(s, dir))
 
   /** c3's arithmetic over an arbitrary corpus (`source` column) — one
     * tiny per-source aggregate, one one-row broadcast of the totals.
-    * Shared by c3 and c14 so the reweighting can never drift between
-    * the plain and decontaminated mixes. */
-  private def sourceMixOf(corpus: DataFrame): DataFrame = {
+    * Shared by c3, c14, and the SQL `CALL g.system.source_mix` so the
+    * reweighting can never drift between surfaces. */
+  private[graft] def sourceMixCore(corpus: DataFrame): DataFrame = {
     val n = corpus.groupBy("source").agg(count(lit(1)).as("n"))
       .withColumn("wq", floor(sqrt(col("n").cast("double")) * 1e6).cast("long"))
     val tot = n.agg(sum("n").as("total"), sum("wq").as("wsum"))
@@ -300,13 +300,13 @@ object Sampling {
     * real mix runs, decontaminate-then-weight, as ONE plan. The flag
     * side reuses c9's memoized sketch machinery; the exclusion is a
     * keyed left-anti join on doc_id; everything downstream is c3's
-    * arithmetic unchanged ([[sourceMixOf]]). */
+    * arithmetic unchanged ([[sourceMixCore]]). */
   def c14DecontaminatedMix(s: SparkSession, dir: String): DataFrame = {
     val flagged = c9FlaggedCached(s, dir).select("doc_id")
     val clean = docs(s, dir)
       .filter(col("doc_id") >= DefaultEvalDocs)
       .join(flagged, Seq("doc_id"), "left_anti")
-    sourceMixOf(clean)
+    sourceMixCore(clean)
   }
 
   /** c4: per-source curation-funnel report — the accounting view every
@@ -423,11 +423,18 @@ object Sampling {
     * never migrates between splits when new data arrives), so the bucket
     * is a rolling hash of the doc_id string modulo 100: < 80 train,
     * < 90 val, else test. Map-side only — no shuffle at any scale. */
-  def c7Split(s: SparkSession, dir: String): DataFrame = {
+  def c7Split(s: SparkSession, dir: String): DataFrame =
+    splitCore(docs(s, dir))
+
+  /** c7's assignment over an arbitrary corpus (`doc_id` column) —
+    * map-side only; shared by c7 and the SQL
+    * `CALL g.system.split_assign` so the bucket rule can never drift
+    * between surfaces. */
+  private[graft] def splitCore(corpus: DataFrame): DataFrame = {
     import graft.functions.PolyHash.polyHashFast
     import graft.functions.TextFunctions.P31
     val bucket = pmod(polyHashFast(col("doc_id").cast("string"), P31), lit(100L))
-    docs(s, dir).select(
+    corpus.select(
       col("doc_id"), bucket.as("bucket"),
       splitExpr(bucket).as("split"))
       .orderBy("doc_id")

@@ -40,6 +40,8 @@ import graft.storage.GraftTable
   *   CALL graft.system.ann_rebuild('db.idx') -- the audit's recommended action
   *   CALL graft.system.dedup_spans('db.t', 'db.spans')            -- d14
   *   CALL graft.system.contamination_report('db.t', 'db.eval', 'db.rep') -- c15
+  *   CALL graft.system.source_mix('db.t', 'db.mix')     -- c3 as SQL
+  *   CALL graft.system.split_assign('db.t', 'db.splits') -- c7 as SQL
   * }}}
   *
   * Each returns a one-row result describing what it did; the pipeline
@@ -57,7 +59,8 @@ private[sources] object GraftProcedures {
       // committed tables/indexes, like the reference's utility UDF
       // surface (cstore_fdw--1.7.sql:17-37)
       "dedup_exact", "decontaminate", "ann_probe", "ann_drift",
-      "ann_rebuild", "dedup_spans", "contamination_report")
+      "ann_rebuild", "dedup_spans", "contamination_report",
+      "source_mix", "split_assign")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -90,7 +93,8 @@ private[sources] object GraftProcedures {
           else if (procName == "clone")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
-          else if (procName == "dedup_exact" || procName == "dedup_spans")
+          else if (procName == "dedup_exact" || procName == "dedup_spans" ||
+              procName == "source_mix" || procName == "split_assign")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
           else if (procName == "decontaminate" ||
@@ -220,12 +224,19 @@ private[sources] object GraftProcedures {
             }
           } else if (procName == "dedup_exact" || procName == "decontaminate" ||
               procName == "ann_probe" || procName == "dedup_spans" ||
-              procName == "contamination_report") {
+              procName == "contamination_report" ||
+              procName == "source_mix" || procName == "split_assign") {
             val spark = SparkSession.active
             val (metric, n) = procName match {
               case "dedup_exact" =>
                 ("winners_written",
                   writeResult(graft.operators.Dedup.exactDedupCore(t.read()), 1))
+              case "source_mix" =>
+                ("sources_written",
+                  writeResult(graft.operators.Sampling.sourceMixCore(t.read()), 1))
+              case "split_assign" =>
+                ("docs_assigned",
+                  writeResult(graft.operators.Sampling.splitCore(t.read()), 1))
               case "dedup_spans" =>
                 ("spans_written",
                   writeResult(graft.operators.Dedup.spanDedupCore(t.read()), 1))

@@ -305,6 +305,24 @@ class GraftCatalogSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
       assert(gotR === wantR,
         "CALL contamination_report must reproduce c15 exactly")
+      // -- source_mix ≡ c3 / split_assign ≡ c7 ----------------------------
+      val fullDocs = graft.Tables.load(spark, dir, "documents")
+      GraftTable.create(spark, s"$warehouse/db1/call_srcdocs", fullDocs.schema)
+        .append(fullDocs)
+      spark.sql(
+        "CALL gcat.system.source_mix('db1.call_srcdocs', 'db1.call_mix')")
+      val gotM = spark.table("gcat.db1.call_mix")
+        .orderBy("source").collect().map(_.toSeq).toSeq
+      val wantM = graft.operators.Sampling.c3SourceMix(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(gotM === wantM, "CALL source_mix must reproduce c3 exactly")
+      spark.sql(
+        "CALL gcat.system.split_assign('db1.call_srcdocs', 'db1.call_split')")
+      val gotSp = spark.table("gcat.db1.call_split")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val wantSp = graft.operators.Sampling.c7Split(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(gotSp === wantSp, "CALL split_assign must reproduce c7 exactly")
       // -- retryable CALL: crash residue between create-commit and
       // append is a committed EMPTY v0 target CARRYING the path's
       // _call_pending marker; the retry reclaims exactly that --
