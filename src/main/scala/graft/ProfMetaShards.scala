@@ -11,7 +11,7 @@ import graft.storage.GraftTable
   * pointer and the history snapshot on each commit.
   *
   * Measures, for N one-file appends of a W-column schema:
-  *  - bytes actually written to `_graft_history` + `_graft_stats` +
+  *  - bytes actually written to `_graft_history` + `_graft_manifest` +
   *    the final pointer (the durable metadata cost of the whole run),
   *  - the inline counterfactual: sum over commits v of v × (one file's
   *    stats bytes) — what the same run serializes when every snapshot
@@ -81,9 +81,12 @@ object ProfMetaShards {
     val pointerB = java.nio.file.Files.size(java.nio.file.Paths.get(dir, "t/_graft_meta.json"))
     def countIn(rel: String): Int = {
       val p = java.nio.file.Paths.get(dir, rel)
-      val s = java.nio.file.Files.list(p)
-      try { val it = s.iterator(); var c = 0; while (it.hasNext) { it.next(); c += 1 }; c }
-      finally s.close()
+      if (!java.nio.file.Files.exists(p)) 0
+      else {
+        val s = java.nio.file.Files.list(p)
+        try { val it = s.iterator(); var c = 0; while (it.hasNext) { it.next(); c += 1 }; c }
+        finally s.close()
+      }
     }
     // counterfactual: every snapshot v inlines v files' stats, and the
     // pointer is rewritten each commit at the same size

@@ -2463,7 +2463,8 @@ final class GraftTable private (
     * local append; on lock-less filesystems run it only while no writer
     * is active (the same single-writer caveat as appends). The
     * reference lists VACUUM as open work (`TODO.md`). Returns the
-    * number of directories reclaimed. */
+    * number of items reclaimed (orphan batch directories plus
+    * unreferenced manifest-segment files). */
   def vacuum(): Int = withTableLock {
     refreshMeta()
     val (fs, _) = GraftTable.fsAndPath(location)
@@ -4039,15 +4040,7 @@ object GraftTable {
     new HPath(location, "_graft_stats.json")
 
   private[storage] def writeStatsAtomic(location: String, st: TableStats): Unit = {
-    def js(s: String) = if (s == null) "null" else {
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-    }
+    def js(s: String) = if (s == null) "null" else jsonStr(s)
     val cols = st.columns.map { case (k, c) =>
       val mcv = if (c.mcvs.isEmpty) ""
         else c.mcvs.map { case (v, n) => s"[${js(v)}, $n]" }
@@ -4180,6 +4173,10 @@ object GraftTable {
   def drop(location: String): Unit = {
     val (fs, dir) = fsAndPath(location)
     fs.delete(dir, true)
+    // a recreated table at the same path must never hydrate from the
+    // dropped table's cached manifest segments
+    SegmentCache.invalidateUnder(location)
+    SegmentCache.invalidateUnder(qualified(location))
     ()
   }
 
@@ -4506,24 +4503,58 @@ object GraftTable {
       removed: Set[String],
       stats: Map[String, Map[String, ColFileStats]])
 
-  /** Immutable-content cache of parsed segments (access-order LRU;
+  /** Immutable-content cache of parsed segments (access-order LRU —
     * segments never change once written, so cached content is valid
-    * forever). */
-  private val segmentCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, ManifestSegment](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, ManifestSegment]): Boolean =
-        size() > 512
-    })
+    * until its table is dropped). Bounded by WEIGHT (resident
+    * (file, column) stat entries), not segment count: one full
+    * compaction segment of a wide million-file table is worth
+    * thousands of trickle deltas, and a count bound would let a few
+    * such segments pin GBs. A single over-weight segment may remain
+    * resident alone — the current table's hydrated map holds the same
+    * entries in memory anyway. */
+  private object SegmentCache {
+    private val MaxWeight = 2_000_000L
+    private val map =
+      new java.util.LinkedHashMap[String, (ManifestSegment, Long)](64, 0.75f, true)
+    private var weight = 0L
+    def get(key: String): ManifestSegment = map.synchronized {
+      val e = map.get(key)
+      if (e == null) null else e._1
+    }
+    def put(key: String, seg: ManifestSegment): Unit = map.synchronized {
+      if (!map.containsKey(key)) {
+        val w = 1L + seg.added.size + seg.removed.size +
+          seg.stats.valuesIterator.map(_.size.toLong).sum
+        map.put(key, (seg, w))
+        weight += w
+        val it = map.entrySet().iterator()
+        while (weight > MaxWeight && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != key) { weight -= e.getValue._2; it.remove() }
+        }
+      }
+    }
+    /** Drop every cached segment under a table location (called by
+      * [[GraftTable.drop]] — a recreated table at the same path must
+      * never see the dropped table's segments). */
+    def invalidateUnder(location: String): Unit = map.synchronized {
+      val prefix = location + "/"
+      val it = map.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(prefix)) { weight -= e.getValue._2; it.remove() }
+      }
+    }
+  }
 
   private def readSegment(location: String, rel: String): ManifestSegment = {
     val key = s"$location/$rel"
-    val cached = segmentCache.get(key)
+    val cached = SegmentCache.get(key)
     if (cached != null) cached
     else {
       val (fs, _) = fsAndPath(location)
       val parsed = parseSegmentFile(fs, new HPath(location, rel))
-      segmentCache.put(key, parsed)
+      SegmentCache.put(key, parsed)
       parsed
     }
   }
@@ -4634,13 +4665,7 @@ object GraftTable {
   }
 
   private def renderMeta(m: Meta): String = {
-    def js(s: String) = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def js(s: String) = jsonStr(s)
     def jv(v: Any): String = v match {
       case null => "null"
       case b: Boolean => b.toString

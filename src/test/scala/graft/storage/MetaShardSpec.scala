@@ -226,7 +226,7 @@ class MetaShardSpec extends SparkSpec {
     GraftTable.drop(moved)
   }
 
-  test("legacy metas without the stats_shards key still read") {
+  test("legacy metas without the manifest key still read") {
     val t = mkSharded("ms-legacy", 3) // inline form
     val loc = new HPath(t.location).toUri.getPath
     for (rel <- Seq("_graft_meta.json",
