@@ -433,6 +433,26 @@ final class GraftTable private (
     * metadata, zone maps, and deletion vectors key on. */
   def relFiles: Seq[String] = meta.files
 
+  /** Per-segment manifest introspection — the metadata layer's sibling
+    * of the `files` layout-health report: for each live segment, its
+    * added/removed file counts, stats-entry count, DEAD stats entries
+    * (mass stranded by rewrites — the compaction trigger's input), and
+    * on-disk bytes. Driver-side and bounded by the segment-count cap;
+    * empty for inline (≤ InlineStatsMax files) tables. Surfaced as
+    * `CALL g.system.manifest('db.t')`. */
+  def manifestReport(): Seq[(String, Long, Long, Long, Long, Long)] = {
+    refreshMeta()
+    val (fs, _) = GraftTable.fsAndPath(location)
+    val fileSet = meta.files.toSet
+    meta.manifest.map { rel =>
+      val seg = GraftTable.segment(location, rel)
+      val bytes = fs.getFileStatus(new HPath(s"$location/$rel")).getLen
+      (rel, seg.added.size.toLong, seg.removed.size.toLong,
+        seg.stats.valuesIterator.map(_.size.toLong).sum,
+        seg.stats.keysIterator.count(!fileSet(_)).toLong, bytes)
+    }
+  }
+
   /** Footer row count of one committed file (zone-map cache when
     * available, else one footer read) — feeds the `files` introspection
     * procedure. */
@@ -4546,6 +4566,10 @@ object GraftTable {
       }
     }
   }
+
+  /** Cached segment access for the introspection report. */
+  private[graft] def segment(location: String, rel: String): ManifestSegment =
+    readSegment(location, rel)
 
   private def readSegment(location: String, rel: String): ManifestSegment = {
     val key = s"$location/$rel"

@@ -218,6 +218,33 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE gcat.db1.dim")
   }
 
+  test("CALL manifest reports metadata-layer segment health") {
+    import spark.implicits._
+    val tdir = s"$warehouse/db1/mani_t"
+    val t = GraftTable.create(spark, tdir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.IntegerType))))
+    // inline table: empty report
+    t.append(Seq(1, 2, 3).toDF("a").coalesce(1))
+    assert(spark.sql("CALL gcat.system.manifest('db1.mani_t')").collect()
+      .isEmpty, "inline tables have no segments")
+    // grow past the inline threshold (16 files), then strand dead
+    // stats via a delete
+    for (i <- 0 until 18)
+      t.append(Seq(100 + i).toDF("a").coalesce(1))
+    t.delete(Seq(org.apache.spark.sql.sources.EqualTo("a", 100)))
+    val rows = spark.sql("CALL gcat.system.manifest('db1.mani_t')").collect()
+    assert(rows.nonEmpty, "post-threshold tables report segments")
+    // conservation: added - removed across segments == live file count,
+    // and the delete's stranded entry shows up as dead stats mass
+    assert(rows.map(r => r.getLong(1) - r.getLong(2)).sum ===
+      t.relFiles.size.toLong)
+    assert(rows.map(_.getLong(4)).sum >= 1L, "the deleted file's stats are dead mass")
+    assert(rows.forall(_.getLong(5) > 0L), "every segment has on-disk bytes")
+    GraftTable.drop(tdir)
+  }
+
   test("CALL pipeline operators equal their Scala twins (dedup_exact=d1, decontaminate=c9, ann_probe=s7)") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.001")

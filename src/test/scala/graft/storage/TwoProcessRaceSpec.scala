@@ -77,6 +77,49 @@ class TwoProcessRaceSpec extends SparkSpec {
     GraftTable.drop(loc)
   }
 
+  test("append/append race on a SHARDED table: manifest segments compose across JVMs") {
+    import spark.implicits._
+    val loc = tmpDir("race-seg") + "/t"
+    val t = GraftTable.create(spark, loc, schema)
+    // pre-grow past the inline threshold so every raced commit goes
+    // through prepareManifest: each writer's rebase must replay the
+    // OTHER process's freshly written segments (cold cache — they were
+    // parsed in a different JVM) before appending its own delta
+    for (i <- 0 until GraftTable.InlineStatsMax + 1)
+      t.append(Seq((0, i)).toDF("w", "i").coalesce(1))
+    assert(GraftTable.readMeta(loc).manifest.nonEmpty,
+      "seed must cross the inline threshold")
+    val v0 = t.version
+    val (nAppends, rows) = (6, 10)
+    val worker = spawnWorker(loc, workerId = 2, nAppends, rows)
+    try {
+      for (i <- 0 until nAppends) {
+        val base = i * rows
+        t.append((base until base + rows).map(j => (1, j)).toDF("w", "i")
+          .coalesce(1))
+      }
+      assert(worker.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "worker JVM must finish")
+      assert(worker.exitValue() === 0, "every worker commit must succeed")
+    } finally if (worker.isAlive) worker.destroyForcibly()
+    val t2 = GraftTable.open(spark, loc)
+    val byW = t2.read().groupBy("w").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byW === Map(
+      0 -> (GraftTable.InlineStatsMax + 1).toLong,
+      1 -> (nAppends * rows).toLong, 2 -> (nAppends * rows).toLong))
+    assert(t2.version === v0 + 2 * nAppends)
+    val m = GraftTable.readMeta(loc)
+    // the hydrated state is complete: every file has its zone maps
+    assert(m.manifest.nonEmpty)
+    assert(m.fileStats.size === m.files.size)
+    assert(m.files.size === GraftTable.InlineStatsMax + 1 + 2 * nAppends)
+    // the manifest audit (cache-bypassed) and the full integrity audit
+    // are clean — every referenced segment from BOTH writers exists
+    assert(t2.verify() === Seq.empty)
+    GraftTable.drop(loc)
+  }
+
   test("compact/append race across two real JVMs: rewrites never lose concurrent appends") {
     import spark.implicits._
     val loc = tmpDir("race-ca") + "/t"
