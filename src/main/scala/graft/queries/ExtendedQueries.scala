@@ -524,7 +524,112 @@ object ExtendedQueries {
         count(lit(1)).as("n_lines"))
   }
 
+  /** q53: TPC-H Q13 shape — the customer order-COUNT DISTRIBUTION: a
+    * LEFT OUTER join whose right side carries a predicate (TPC-H puts a
+    * comment exclusion in the ON clause; this schema's stand-in drops
+    * low-priority orders — a right-side-only predicate, so pre-filter
+    * before the outer join is equivalent), counted per customer WITH
+    * zeros kept, then a count-of-counts. Two keyed shuffles (custkey,
+    * then the tiny c_count regroup); the priority filter pushes into
+    * the orders scan. `count(col)` skips the outer join's nulls, so
+    * no-order customers land in the 0 bucket exactly. */
+  def q53CustDistribution(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select("c_custkey")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .select("o_custkey", "o_orderkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** q54: TPC-H Q17 shape — lines ordering LESS than a fifth of their
+    * part's average quantity. The textbook correlated scalar
+    * (`l_quantity < 0.2 · avg per part`) decorrelates into a per-part
+    * WINDOW aggregate — ONE keyed shuffle on l_partkey, no self-join —
+    * and the comparison is cross-multiplied to integers
+    * (5·qty·n < Σqty) so it cannot flip on double rounding. The brand
+    * filter broadcasts and restricts BEFORE the window (a part-level
+    * predicate keeps whole parts, so the per-part average over the
+    * filtered lines is the part's true average). The oracle runs the
+    * literal correlated form, proving the rewrite. */
+  def q54SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_brand") === "Brand#12")
+      .select("p_partkey")
+    val lp = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+    val w = Window.partitionBy("l_partkey")
+    lp.withColumn("sum_qty", sum("qty").over(w))
+      .withColumn("n_part_lines", count(lit(1)).over(w))
+      .filter(col("qty") * lit(5L) * col("n_part_lines") < col("sum_qty"))
+      .agg(sum("price_c").as("total_price_c"),
+        count(lit(1)).as("n_small_lines"))
+  }
+
+  /** q55: TPC-H Q15 shape — the top-revenue supplier(s) over a quarter:
+    * a per-supplier revenue aggregate (one keyed shuffle, date window
+    * pushed into the scan), its ONE-row max broadcast-crossed back as
+    * the selection (the q49 broadcast-scalar pattern — ties all
+    * surface, as Q15's view formulation requires), supplier broadcast
+    * for the name. Revenue is integer cents, so the max-equality
+    * selection cannot miss on double rounding. */
+  def q55TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(revenueCents).as("total_revenue_c"))
+    val maxRev = rev.agg(max("total_revenue_c").as("max_rev"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue_c") === col("max_rev"))
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue_c")
+      .orderBy("s_suppkey")
+  }
+
+  /** q56: TPC-H Q5 shape — revenue by nation where customer and
+    * supplier are LOCAL to each other (`c_nationkey = s_nationkey`, the
+    * constraint that makes Q5 a 6-way join rather than a star): region
+    * restricts nation (both broadcast), orders date-windowed (pushed
+    * into its scan), two keyed fact shuffles (orders⋈customer on
+    * custkey, ⋈lineitem on orderkey), and the supplier match is a
+    * BROADCAST hash join carrying the two-column equality — the
+    * locality constraint rides the small side, never a fact shuffle. */
+  def q56LocalRevenue(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val c = t(s, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey", "n_name")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), revenueCents.as("rev_c"))
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum("rev_c").as("revenue_c"))
+      .orderBy(desc("revenue_c"), col("n_name"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_local_revenue" -> q56LocalRevenue _,
+    "q55_top_supplier" -> q55TopSupplier _,
+    "q54_small_qty" -> q54SmallQtyRevenue _,
+    "q53_cust_distribution" -> q53CustDistribution _,
     "q52_disjunct_bands" -> q52DisjunctBands _,
     "q51_waiting_supplier" -> q51WaitingSupplier _,
     "q50_revenue_share" -> q50RevenueShare _,
@@ -560,6 +665,50 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q53_cust_distribution" ->
+      ("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         |FROM (SELECT c_custkey,
+         |    CAST(count(o_orderkey) AS BIGINT) AS c_count
+         |  FROM customer LEFT OUTER JOIN orders
+         |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+         |  GROUP BY c_custkey) co
+         |GROUP BY c_count
+         |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+    // the literal CORRELATED form (DuckDB decorrelates it into the same
+    // per-part-aggregate shape the Spark side declares as a window)
+    "q54_small_qty" ->
+      ("""SELECT CAST(sum(CAST(round(l1.l_extendedprice * 100) AS BIGINT))
+         |    AS BIGINT) AS total_price_c,
+         |  CAST(count(*) AS BIGINT) AS n_small_lines
+         |FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+         |WHERE p_brand = 'Brand#12'
+         |  AND 5 * CAST(l1.l_quantity AS BIGINT) *
+         |    (SELECT count(*) FROM lineitem l2
+         |     WHERE l2.l_partkey = l1.l_partkey)
+         |  < (SELECT CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+         |     FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin),
+    "q55_top_supplier" ->
+      (s"""WITH r AS (SELECT l_suppkey,
+         |    CAST(sum($RevenueCentsSql) AS BIGINT) AS total_revenue_c
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue_c
+         |FROM supplier JOIN r ON s_suppkey = l_suppkey
+         |WHERE total_revenue_c = (SELECT max(total_revenue_c) FROM r)
+         |ORDER BY s_suppkey""".stripMargin),
+    "q56_local_revenue" ->
+      (s"""SELECT n_name, CAST(sum($RevenueCentsSql) AS BIGINT) AS revenue_c
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue_c DESC, n_name""".stripMargin),
     "q52_disjunct_bands" ->
       (s"""SELECT CAST(sum($RevenueCentsSql) AS BIGINT) AS revenue_c,
          |  CAST(count(*) AS BIGINT) AS n_lines

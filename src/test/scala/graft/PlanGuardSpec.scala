@@ -60,9 +60,11 @@ class PlanGuardSpec extends SparkSpec {
       // q49: ONE-row (Σcents, n) threshold aggregate broadcast-crossed
       // onto customer (the t6/c3 broadcast-scalar pattern); the orders
       // exclusion is a keyed LEFT ANTI equality join
+      // q55: ONE-row max-revenue aggregate broadcast-crossed onto the
+      // 100-row per-supplier aggregate (q49's broadcast-scalar pattern)
       "s11_filtered_ivf", "c13_epoch_mix", "s12_filtered_persisted",
       "s13_mmr_diversify", "c14_decontaminated_mix", "p4_rag_context",
-      "s14_filtered_ivfpq", "q49_anti_avg")
+      "s14_filtered_ivfpq", "q49_anti_avg", "q55_top_supplier")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")
