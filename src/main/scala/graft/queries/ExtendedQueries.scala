@@ -625,7 +625,149 @@ object ExtendedQueries {
       .orderBy(desc("revenue_c"), col("n_name"))
   }
 
+  /** q57: TPC-H Q7 shape — VOLUME SHIPPING between two nations: revenue
+    * by (supplier nation, customer nation, ship year) where the pair is
+    * one of the two DIRECTIONS between the named nations. The nation
+    * filter lands on customer and supplier BEFORE any fact join
+    * (customers shrink ~2/25 first, then orders semi-reduce through the
+    * keyed custkey join, then lineitem through orderkey — the
+    * TPC-H-prescribed reduction order); the two-sided direction
+    * disjunction is a residual over two broadcast-joined label columns.
+    * Two keyed fact shuffles total. */
+  def q57VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val names = Seq("NATION_3", "NATION_7")
+    val n = t(s, dir, "nation")
+      .filter(col("n_name").isin(names: _*))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"), revenueCents.as("rev_c"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_nation") === names(0) &&
+          col("cust_nation") === names(1)) ||
+        (col("supp_nation") === names(1) && col("cust_nation") === names(0)))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum("rev_c").as("revenue_c"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** q58: TPC-H Q8 shape — NATIONAL MARKET SHARE: within one customer
+    * region and one part type, the share of revenue supplied by one
+    * nation, per order year. The numerator is a conditional sum over
+    * the supplier-nation label (both sums integer cents — exact under
+    * any order; only the final share divides). Part/supplier/nation/
+    * region all broadcast; orders⋈customer and lineitem⋈orders are the
+    * two keyed fact shuffles. */
+  def q58MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val nr = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val cust = t(s, dir, "customer")
+      .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+    val p = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+      .select("p_partkey")
+    val supNation = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        revenueCents.as("rev_c"))
+      .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("supp_nation") === "NATION_5", col("rev_c"))
+          .otherwise(0L)).as("nation_revenue_c"),
+        sum(col("rev_c")).as("total_revenue_c"))
+      .select(col("o_year"), col("nation_revenue_c"),
+        col("total_revenue_c"),
+        round(col("nation_revenue_c").cast("double") /
+          col("total_revenue_c").cast("double"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** q59: TPC-H Q9 shape — PRODUCT-LINE PROFIT by supplier nation and
+    * order year, over parts selected by a substring LIKE (the
+    * non-prefix `%bolt%` cannot prune, so it runs as a residual on the
+    * broadcast part side — the schema has no supplycost, so profit is
+    * revenue cents, the documented adaptation). Lineitem shuffles once
+    * on orderkey for the order-year join; part/supplier/nation
+    * broadcast. */
+  def q59ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_name").like("%bolt%"))
+      .select("p_partkey")
+    val supNation = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        revenueCents.as("rev_c"))
+      .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("supp_nation", "o_year")
+      .agg(sum("rev_c").as("profit_c"))
+      .orderBy(col("supp_nation"), desc("o_year"))
+  }
+
+  /** q60: TPC-H Q10 shape — RETURNED-ITEM reporting: the top 20
+    * customers by revenue lost to returns in a quarter's orders. The
+    * date window pushes into the orders scan and the return flag into
+    * lineitem's; orders⋈lineitem and ⋈customer are the two keyed
+    * shuffles (customer grain carries the wide output columns through
+    * the aggregate); nation broadcasts; top-20 is a TakeOrdered, never
+    * a global sort. */
+  def q60ReturnedCustomers(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-10-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revenueCents.as("rev_c"))
+    val c = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .withColumn("acctbal_c", round(col("c_acctbal") * 100).cast("long"))
+      .groupBy("c_custkey", "c_name", "n_name", "c_mktsegment", "acctbal_c")
+      .agg(sum("rev_c").as("revenue_c"))
+      .orderBy(desc("revenue_c"), col("c_custkey"))
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_returned_customers" -> q60ReturnedCustomers _,
+    "q59_product_profit" -> q59ProductProfit _,
+    "q58_market_share" -> q58MarketShare _,
+    "q57_volume_shipping" -> q57VolumeShipping _,
     "q56_local_revenue" -> q56LocalRevenue _,
     "q55_top_supplier" -> q55TopSupplier _,
     "q54_small_qty" -> q54SmallQtyRevenue _,
@@ -665,6 +807,62 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q57_volume_shipping" ->
+      (s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         |  CAST(sum($RevenueCentsSql) AS BIGINT) AS revenue_c
+         |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND l_suppkey = s_suppkey
+         |  AND s_nationkey = n1.n_nationkey
+         |  AND c_nationkey = n2.n_nationkey
+         |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+    "q58_market_share" ->
+      (s"""WITH j AS (
+         |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |    $RevenueCentsSql AS rev_c, n2.n_name AS supp_nation
+         |  FROM lineitem, orders, customer, supplier, part,
+         |    nation n1, region, nation n2
+         |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |    AND l_partkey = p_partkey AND l_suppkey = s_suppkey
+         |    AND c_nationkey = n1.n_nationkey
+         |    AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |    AND s_nationkey = n2.n_nationkey
+         |    AND p_type = 'ECONOMY'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01')
+         |SELECT o_year,
+         |  CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_c
+         |    ELSE 0 END) AS BIGINT) AS nation_revenue_c,
+         |  CAST(sum(rev_c) AS BIGINT) AS total_revenue_c,
+         |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_c
+         |      ELSE 0 END) AS DOUBLE) / CAST(sum(rev_c) AS DOUBLE), 6)
+         |    AS mkt_share
+         |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin),
+    "q59_product_profit" ->
+      (s"""SELECT n_name AS supp_nation,
+         |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  CAST(sum($RevenueCentsSql) AS BIGINT) AS profit_c
+         |FROM lineitem, orders, supplier, part, nation
+         |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+         |  AND l_partkey = p_partkey AND s_nationkey = n_nationkey
+         |  AND p_name LIKE '%bolt%'
+         |GROUP BY 1, 2 ORDER BY supp_nation, o_year DESC""".stripMargin),
+    "q60_returned_customers" ->
+      (s"""SELECT c_custkey, c_name, n_name, c_mktsegment,
+         |  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+         |  CAST(sum($RevenueCentsSql) AS BIGINT) AS revenue_c
+         |FROM lineitem, orders, customer, nation
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-10-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2, 3, 4, 5
+         |ORDER BY revenue_c DESC, c_custkey LIMIT 20""".stripMargin),
     "q53_cust_distribution" ->
       ("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
          |FROM (SELECT c_custkey,
