@@ -45,6 +45,13 @@ object ProfScale100 {
       t("d15_incr_spans")(operators.Dedup.d15IncrementalSpans(spark, dir).count())
       t("c15_contamination")(operators.Sampling.c15ContaminationReport(spark, dir).count())
       t("q49_anti_avg")(queries.ExtendedQueries.q49AntiAvg(spark, dir).count())
+      // late round 12: the window-decorrelated Q17 (one keyed shuffle),
+      // the reduction-ordered Q7 multiway, Q13's outer-join count
+      // distribution, and the distilled token-vote model (train+apply)
+      t("q54_small_qty")(queries.ExtendedQueries.q54SmallQtyRevenue(spark, dir).count())
+      t("q57_volume_shipping")(queries.ExtendedQueries.q57VolumeShipping(spark, dir).count())
+      t("q53_cust_distribution")(queries.ExtendedQueries.q53CustDistribution(spark, dir).count())
+      t("t17_token_votes")(operators.TextAnalysis.t17TokenVotes(spark, dir).count())
     }
     spark.stop()
   }

@@ -226,7 +226,10 @@ object TextAnalysis {
     * strictly cheaper than t9's per-token groupBy. The score is
     * quantized to integer micros inside a FIXED expression-tree shape
     * (t6's discipline) so Spark and DuckDB agree bit-for-bit. */
-  def t15QualityLogit(s: SparkSession, dir: String): DataFrame = {
+  /** t15's quantized logit over `text` — ONE definition shared with
+    * t17 (which uses `> 0` as its teacher label), so the distilled
+    * model's training signal cannot drift from the filter it distills. */
+  private def qualityLogitMicro: Column = {
     val toks = tokens(col("text"))
     val ntok = size(toks).cast("double")
     val ttr = size(array_distinct(toks)).cast("double") / ntok
@@ -235,10 +238,60 @@ object TextAnalysis {
     val avgLen = (length(col("text")).cast("double") - (ntok - lit(1.0))) / ntok
     val logit = lit(-1.0) + lit(2.0) * ttr + lit(0.5) * stopR -
       lit(0.01) * avgLen + lit(0.002) * ntok
-    val micro = round(logit * lit(1000000.0)).cast("long")
+    round(logit * lit(1000000.0)).cast("long")
+  }
+
+  def t15QualityLogit(s: SparkSession, dir: String): DataFrame = {
+    val micro = qualityLogitMicro
     docs(s, dir).select(
-      col("doc_id"), size(toks).cast("long").as("n_tok"),
+      col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"),
       micro.as("quality_micro"), (micro > 0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** t17: DISTILLED token-vote quality model — the train-then-apply
+    * loop of a production filter, squeezed into exact integers. The
+    * TEACHER is t15's logit (`qualityLogitMicro > 0`, the shared
+    * definition). TRAINING is one distinct-token explode + groupBy:
+    * per vocabulary token (document frequency ≥ 5) the good/bad doc
+    * counts. The per-token POLARITY is the presence-rate comparison
+    * c1/n1 vs c0/n0 CROSS-MULTIPLIED to integers (c1·n0 vs c0·n1 — no
+    * smoothing constants, no floating logs, so Spark and DuckDB agree
+    * bit-for-bit). SCORING sums each doc's distinct-vocab-token votes
+    * (integer sum — order-insensitive). At 100 TB: one keyed shuffle to
+    * train (∝ corpus token mass), a vocab-sized vote table AQE
+    * broadcasts when it fits, one keyed doc regroup to score — the
+    * student then scores future batches WITHOUT the teacher's wide
+    * feature pass. The oracle replays train AND apply end-to-end. */
+  def t17TokenVotes(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"),
+      tokens(col("text")).as("toks"), (qualityLogitMicro > 0L).as("good"))
+    val pairs = base.select(col("doc_id"), col("good"),
+      explode(array_distinct(col("toks"))).as("tok"))
+    val tokCounts = pairs.groupBy("tok")
+      .agg(sum(when(col("good"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("good"), 0L).otherwise(1L)).as("c0"))
+      .filter(col("c1") + col("c0") >= 5L)
+    val totals = base.agg(
+      sum(when(col("good"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("good"), 0L).otherwise(1L)).as("n0"))
+    val votes = tokCounts.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        when(col("c1") * col("n0") > col("c0") * col("n1"), 1L)
+          .when(col("c1") * col("n0") < col("c0") * col("n1"), -1L)
+          .otherwise(0L).as("vote"))
+    val scored = pairs.join(votes, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_voters"), sum("vote").as("score"))
+    base.select(col("doc_id"), col("good").as("teacher_keep"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_voters"), lit(0L)).as("n_voters"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        (coalesce(col("score"), lit(0L)) > 0L).as("keep_pred"),
+        col("teacher_keep"),
+        ((coalesce(col("score"), lit(0L)) > 0L) === col("teacher_keep"))
+          .as("agree"))
       .orderBy("doc_id")
   }
 
@@ -451,6 +504,7 @@ object TextAnalysis {
     "t8_repetition" -> t8Repetition _,
     "t9_lexical_stats" -> t9LexicalStats _,
     "t15_quality_logit" -> t15QualityLogit _,
+    "t17_token_votes" -> t17TokenVotes _,
   )
 
   import OracleSql._
@@ -600,23 +654,64 @@ object TextAnalysis {
     // identical expression-tree shape and association order as the Spark
     // side; score quantized to micros BEFORE the compare (t6 discipline)
     "t15_quality_logit" ->
-      (s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents),
-         |f AS (SELECT doc_id,
-         |        CAST(len(toks) AS DOUBLE) ntok,
-         |        CAST(len(list_distinct(toks)) AS DOUBLE) nty,
-         |        CAST(len(list_filter(toks, x -> x IN
-         |          ($qualityStopSql))) AS DOUBLE) nstop,
-         |        CAST(length(text) AS DOUBLE) lc
-         |      FROM t)
+      (s"""WITH $QualityFeatureCtesSql
          |SELECT doc_id, CAST(ntok AS BIGINT) n_tok,
-         |  CAST(round((-1.0 + 2.0 * (nty / ntok) + 0.5 * (nstop / ntok)
-         |    - 0.01 * ((lc - (ntok - 1.0)) / ntok) + 0.002 * ntok)
-         |    * 1000000.0) AS BIGINT) quality_micro,
-         |  CAST(round((-1.0 + 2.0 * (nty / ntok) + 0.5 * (nstop / ntok)
-         |    - 0.01 * ((lc - (ntok - 1.0)) / ntok) + 0.002 * ntok)
-         |    * 1000000.0) AS BIGINT) > 0 keep
+         |  $QualityLogitMicroSql quality_micro,
+         |  $QualityLogitMicroSql > 0 keep
          |FROM f ORDER BY doc_id""".stripMargin),
+    // the distilled student replayed end-to-end: teacher label from the
+    // SHARED logit fragments, then train (distinct-token good/bad
+    // counts, df >= 5) and apply (cross-multiplied polarity votes, all
+    // integers) — no floats anywhere past the teacher threshold
+    "t17_token_votes" ->
+      (s"""WITH $QualityFeatureCtesSql,
+         |lab AS (SELECT doc_id, toks, $QualityLogitMicroSql > 0 good FROM f),
+         |pairs AS (SELECT doc_id, good, unnest(list_distinct(toks)) AS tok
+         |  FROM lab),
+         |tc AS (SELECT tok,
+         |    CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) c1,
+         |    CAST(sum(CASE WHEN good THEN 0 ELSE 1 END) AS BIGINT) c0
+         |  FROM pairs GROUP BY tok HAVING count(*) >= 5),
+         |tot AS (SELECT
+         |    CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) n1,
+         |    CAST(sum(CASE WHEN good THEN 0 ELSE 1 END) AS BIGINT) n0
+         |  FROM lab),
+         |votes AS (SELECT tok,
+         |    CASE WHEN c1 * n0 > c0 * n1 THEN 1
+         |         WHEN c1 * n0 < c0 * n1 THEN -1 ELSE 0 END AS vote
+         |  FROM tc, tot),
+         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_voters,
+         |    CAST(sum(vote) AS BIGINT) score
+         |  FROM pairs JOIN votes USING (tok) GROUP BY doc_id)
+         |SELECT lab.doc_id,
+         |  COALESCE(n_voters, 0) AS n_voters,
+         |  COALESCE(score, 0) AS score,
+         |  COALESCE(score, 0) > 0 AS keep_pred,
+         |  good AS teacher_keep,
+         |  (COALESCE(score, 0) > 0) = good AS agree
+         |FROM lab LEFT JOIN sc ON lab.doc_id = sc.doc_id
+         |ORDER BY lab.doc_id""".stripMargin),
   )
+
+  /** The t/f feature CTEs of t15's oracle — ONE string shared with t17
+    * so the teacher label replays from identical SQL. */
+  private def QualityFeatureCtesSql: String =
+    s"""t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents),
+       |f AS (SELECT doc_id, toks,
+       |        CAST(len(toks) AS DOUBLE) ntok,
+       |        CAST(len(list_distinct(toks)) AS DOUBLE) nty,
+       |        CAST(len(list_filter(toks, x -> x IN
+       |          ($qualityStopSql))) AS DOUBLE) nstop,
+       |        CAST(length(text) AS DOUBLE) lc
+       |      FROM t)""".stripMargin
+
+  /** [[qualityLogitMicro]]'s SQL twin over f's columns — shared by the
+    * t15 and t17 oracles (a def: `oracles` is a val declared above, so
+    * a val here would still be null when it initializes). */
+  private def QualityLogitMicroSql: String =
+    """CAST(round((-1.0 + 2.0 * (nty / ntok) + 0.5 * (nstop / ntok)
+      |    - 0.01 * ((lc - (ntok - 1.0)) / ntok) + 0.002 * ntok)
+      |    * 1000000.0) AS BIGINT)""".stripMargin
 
   /** DuckDB twin of t6: same expression tree shape per term (IEEE ops
     * are deterministic given identical shape), per-term micros

@@ -2997,7 +2997,8 @@ final class GraftTable private (
     *    its sampler returns totalrows from the footer, not the sample);
     *  - null counts: sample null fraction scaled to the table;
     *  - NDV: two-regime estimator — a sample that still looks
-    *    all-distinct (≥ 90% of its non-null rows) extrapolates linearly
+    *    all-distinct (≥ 85% of its non-null rows — the slack absorbs
+    *    the HLL sketch's ~5% rsd) extrapolates linearly
     *    (the column scales with the table: ids, keys); one that
     *    saturated is reported as observed (low-cardinality domains are
     *    fully seen by any reasonable sample);
@@ -3051,8 +3052,11 @@ final class GraftTable private (
       val nullsS = r.getAs[Long](s"nulls_${f.name}")
       val ndvS = r.getAs[Long](s"ndv_${f.name}")
       val nonNullS = ns - nullsS
+      // the gate must absorb the HLL sketch's own error (rsd ≈ 5%): an
+      // all-distinct column's estimate can read ~0.9·n, so 0.9 exactly
+      // flips regimes on sketch noise — 0.85 is ~3σ below all-distinct
       val ndv =
-        if (nonNullS > 0 && ndvS >= 0.9 * nonNullS)
+        if (nonNullS > 0 && ndvS >= 0.85 * nonNullS)
           math.min(meta.rowCount, math.round(ndvS * scale))
         else ndvS
       f.name -> GraftTable.ColumnStats(

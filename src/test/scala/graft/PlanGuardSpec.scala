@@ -64,7 +64,10 @@ class PlanGuardSpec extends SparkSpec {
       // 100-row per-supplier aggregate (q49's broadcast-scalar pattern)
       "s11_filtered_ivf", "c13_epoch_mix", "s12_filtered_persisted",
       "s13_mmr_diversify", "c14_decontaminated_mix", "p4_rag_context",
-      "s14_filtered_ivfpq", "q49_anti_avg", "q55_top_supplier")
+      // t17: ONE-row (n1, n0) class-totals aggregate broadcast-crossed
+      // onto the vocab-sized token-count aggregate (the q49 pattern)
+      "s14_filtered_ivfpq", "q49_anti_avg", "q55_top_supplier",
+      "t17_token_votes")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")
