@@ -602,10 +602,7 @@ object ExtendedQueries {
     * BROADCAST hash join carrying the two-column equality — the
     * locality constraint rides the small side, never a fact shuffle. */
   def q56LocalRevenue(s: SparkSession, dir: String): DataFrame = {
-    val n = t(s, dir, "nation")
-      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
-        col("n_regionkey") === col("r_regionkey"))
-      .select("n_nationkey", "n_name")
+    val n = regionNations(s, dir, "ASIA")
     val c = t(s, dir, "customer")
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .select("c_custkey", "c_nationkey", "n_name")
@@ -624,6 +621,24 @@ object ExtendedQueries {
       .agg(sum("rev_c").as("revenue_c"))
       .orderBy(desc("revenue_c"), col("n_name"))
   }
+
+  /** Suppliers labeled with their nation name — the broadcast-sized
+    * dimension q58 and q59 share (one definition, the revenueCents
+    * discipline). */
+  private def supplierNations(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+
+  /** Nation keys (and names) of one region — shared by q56 and q58. */
+  private def regionNations(s: SparkSession, dir: String,
+      region: String): DataFrame =
+    t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
 
   /** q57: TPC-H Q7 shape — VOLUME SHIPPING between two nations: revenue
     * by (supplier nation, customer nation, ship year) where the pair is
@@ -670,10 +685,7 @@ object ExtendedQueries {
     * region all broadcast; orders⋈customer and lineitem⋈orders are the
     * two keyed fact shuffles. */
   def q58MarketShare(s: SparkSession, dir: String): DataFrame = {
-    val nr = t(s, dir, "nation")
-      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
-        col("n_regionkey") === col("r_regionkey"))
-      .select("n_nationkey")
+    val nr = regionNations(s, dir, "ASIA").select("n_nationkey")
     val cust = t(s, dir, "customer")
       .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
       .select("c_custkey")
@@ -685,17 +697,13 @@ object ExtendedQueries {
       .join(cust, col("o_custkey") === col("c_custkey"))
     val p = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
       .select("p_partkey")
-    val supNation = t(s, dir, "supplier")
-      .join(broadcast(t(s, dir, "nation")
-          .select(col("n_nationkey"), col("n_name"))),
-        col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         revenueCents.as("rev_c"))
       .join(broadcast(p), col("p_partkey") === col("l_partkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(supplierNations(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
       .groupBy("o_year")
       .agg(
         sum(when(col("supp_nation") === "NATION_5", col("rev_c"))
@@ -718,11 +726,6 @@ object ExtendedQueries {
   def q59ProductProfit(s: SparkSession, dir: String): DataFrame = {
     val p = t(s, dir, "part").filter(col("p_name").like("%bolt%"))
       .select("p_partkey")
-    val supNation = t(s, dir, "supplier")
-      .join(broadcast(t(s, dir, "nation")
-          .select(col("n_nationkey"), col("n_name"))),
-        col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     val o = t(s, dir, "orders")
       .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
     t(s, dir, "lineitem")
@@ -730,7 +733,8 @@ object ExtendedQueries {
         revenueCents.as("rev_c"))
       .join(broadcast(p), col("p_partkey") === col("l_partkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(supplierNations(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
       .groupBy("supp_nation", "o_year")
       .agg(sum("rev_c").as("profit_c"))
       .orderBy(col("supp_nation"), desc("o_year"))

@@ -349,12 +349,14 @@ private[sources] object GraftProcedures {
             // metadata-layer introspection: one row per live manifest
             // segment (the `files` report's sibling) — segment churn,
             // dead-stats mass (the compaction trigger's input), bytes
+            // stats_files / dead_stats_files are both FILE-granular —
+            // dead/stats is exactly the compaction trigger's fraction
             val schema = StructType(Seq(
               StructField("segment", StringType, nullable = false),
               StructField("files_added", LongType, nullable = false),
               StructField("files_removed", LongType, nullable = false),
-              StructField("stats_entries", LongType, nullable = false),
-              StructField("dead_stats_entries", LongType, nullable = false),
+              StructField("stats_files", LongType, nullable = false),
+              StructField("dead_stats_files", LongType, nullable = false),
               StructField("bytes", LongType, nullable = false)))
             val segRows = t.manifestReport().map {
               case (rel, a, r, se, de, b) =>

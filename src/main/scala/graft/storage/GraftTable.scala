@@ -435,20 +435,21 @@ final class GraftTable private (
 
   /** Per-segment manifest introspection — the metadata layer's sibling
     * of the `files` layout-health report: for each live segment, its
-    * added/removed file counts, stats-entry count, DEAD stats entries
-    * (mass stranded by rewrites — the compaction trigger's input), and
-    * on-disk bytes. Driver-side and bounded by the segment-count cap;
-    * empty for inline (≤ InlineStatsMax files) tables. Surfaced as
-    * `CALL g.system.manifest('db.t')`. */
+    * added/removed file counts, the count of FILES carrying stats
+    * entries, how many of those are DEAD (stranded by rewrites — the
+    * same file grain as the compaction trigger, so dead/stats IS the
+    * trigger's fraction), and on-disk bytes. Driver-side and bounded by
+    * the segment-count cap; empty for inline (≤ InlineStatsMax files)
+    * tables. Surfaced as `CALL g.system.manifest('db.t')`. */
   def manifestReport(): Seq[(String, Long, Long, Long, Long, Long)] = {
     refreshMeta()
     val (fs, _) = GraftTable.fsAndPath(location)
     val fileSet = meta.files.toSet
     meta.manifest.map { rel =>
-      val seg = GraftTable.segment(location, rel)
+      val seg = GraftTable.readSegment(location, rel)
       val bytes = fs.getFileStatus(new HPath(s"$location/$rel")).getLen
       (rel, seg.added.size.toLong, seg.removed.size.toLong,
-        seg.stats.valuesIterator.map(_.size.toLong).sum,
+        seg.stats.size.toLong,
         seg.stats.keysIterator.count(!fileSet(_)).toLong, bytes)
     }
   }
@@ -4570,10 +4571,6 @@ object GraftTable {
       }
     }
   }
-
-  /** Cached segment access for the introspection report. */
-  private[graft] def segment(location: String, rel: String): ManifestSegment =
-    readSegment(location, rel)
 
   private def readSegment(location: String, rel: String): ManifestSegment = {
     val key = s"$location/$rel"

@@ -237,10 +237,13 @@ class GraftCatalogSpec extends SparkSpec {
     val rows = spark.sql("CALL gcat.system.manifest('db1.mani_t')").collect()
     assert(rows.nonEmpty, "post-threshold tables report segments")
     // conservation: added - removed across segments == live file count,
-    // and the delete's stranded entry shows up as dead stats mass
+    // and the delete's stranded entry shows up as dead stats mass; both
+    // stats columns are file-granular, so dead <= stats per segment
     assert(rows.map(r => r.getLong(1) - r.getLong(2)).sum ===
       t.relFiles.size.toLong)
     assert(rows.map(_.getLong(4)).sum >= 1L, "the deleted file's stats are dead mass")
+    assert(rows.forall(r => r.getLong(4) <= r.getLong(3)),
+      "dead stats files are a subset of the segment's stats files")
     assert(rows.forall(_.getLong(5) > 0L), "every segment has on-disk bytes")
     GraftTable.drop(tdir)
   }
