@@ -263,35 +263,65 @@ object TextAnalysis {
     * broadcasts when it fits, one keyed doc regroup to score — the
     * student then scores future batches WITHOUT the teacher's wide
     * feature pass. The oracle replays train AND apply end-to-end. */
-  def t17TokenVotes(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).select(col("doc_id"),
-      tokens(col("text")).as("toks"), (qualityLogitMicro > 0L).as("good"))
-    val pairs = base.select(col("doc_id"), col("good"),
+  /** Teacher-labeled (doc_id, toks, good) frame over raw (doc_id, text)
+    * docs — shared by t17 and [[graft.streaming.TokenVoteStream]]'s
+    * model build, so the stream trains on the exact batch signal. */
+  private[graft] def teacherLabeled(raw: DataFrame): DataFrame =
+    raw.select(col("doc_id"), tokens(col("text")).as("toks"),
+      (qualityLogitMicro > 0L).as("good"))
+
+  /** (doc_id, toks) frame for scoring-only inputs (no teacher pass) —
+    * the stream's per-batch projection. */
+  private[graft] def tokDocs(raw: DataFrame): DataFrame =
+    raw.select(col("doc_id"), tokens(col("text")).as("toks"))
+
+  /** TRAIN: per-token polarity votes from a labeled (toks, good) frame
+    * — t17's training half, shared with the streaming twin. One keyed
+    * groupBy over the distinct-token explode; the one-row class totals
+    * broadcast-cross onto the vocab-sized counts. */
+  private[graft] def tokenVoteModel(labeled: DataFrame): DataFrame = {
+    val pairs = labeled.select(col("good"),
       explode(array_distinct(col("toks"))).as("tok"))
     val tokCounts = pairs.groupBy("tok")
       .agg(sum(when(col("good"), 1L).otherwise(0L)).as("c1"),
         sum(when(col("good"), 0L).otherwise(1L)).as("c0"))
       .filter(col("c1") + col("c0") >= 5L)
-    val totals = base.agg(
+    val totals = labeled.agg(
       sum(when(col("good"), 1L).otherwise(0L)).as("n1"),
       sum(when(col("good"), 0L).otherwise(1L)).as("n0"))
-    val votes = tokCounts.crossJoin(broadcast(totals))
+    tokCounts.crossJoin(broadcast(totals))
       .select(col("tok"),
         when(col("c1") * col("n0") > col("c0") * col("n1"), 1L)
           .when(col("c1") * col("n0") < col("c0") * col("n1"), -1L)
           .otherwise(0L).as("vote"))
-    val scored = pairs.join(votes, Seq("tok"))
+  }
+
+  /** APPLY: integer vote sum per doc over a (doc_id, toks) frame —
+    * t17's scoring half, shared with the streaming twin. Docs with no
+    * vocabulary token score 0 (kept by the left join). */
+  private[graft] def tokenVoteScore(model: DataFrame,
+      docToks: DataFrame): DataFrame = {
+    val pairs = docToks.select(col("doc_id"),
+      explode(array_distinct(col("toks"))).as("tok"))
+    val scored = pairs.join(model, Seq("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_voters"), sum("vote").as("score"))
-    base.select(col("doc_id"), col("good").as("teacher_keep"))
+    docToks.select("doc_id")
       .join(scored, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("n_voters"), lit(0L)).as("n_voters"),
         coalesce(col("score"), lit(0L)).as("score"),
-        (coalesce(col("score"), lit(0L)) > 0L).as("keep_pred"),
+        (coalesce(col("score"), lit(0L)) > 0L).as("keep_pred"))
+  }
+
+  def t17TokenVotes(s: SparkSession, dir: String): DataFrame = {
+    val labeled = teacherLabeled(docs(s, dir))
+    val scored = tokenVoteScore(tokenVoteModel(labeled), labeled)
+    scored.join(labeled.select(col("doc_id"), col("good").as("teacher_keep")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_voters"), col("score"), col("keep_pred"),
         col("teacher_keep"),
-        ((coalesce(col("score"), lit(0L)) > 0L) === col("teacher_keep"))
-          .as("agree"))
+        (col("keep_pred") === col("teacher_keep")).as("agree"))
       .orderBy("doc_id")
   }
 
