@@ -314,8 +314,10 @@ object TextAnalysis {
         (coalesce(col("score"), lit(0L)) > 0L).as("keep_pred"))
   }
 
-  def t17TokenVotes(s: SparkSession, dir: String): DataFrame = {
-    val labeled = teacherLabeled(docs(s, dir))
+  /** t17 over an arbitrary (doc_id, text) frame — the body the SQL CALL
+    * surface (`CALL g.system.quality_votes`) shares with the entry. */
+  private[graft] def tokenVotesCore(raw: DataFrame): DataFrame = {
+    val labeled = teacherLabeled(raw)
     val scored = tokenVoteScore(tokenVoteModel(labeled), labeled)
     scored.join(labeled.select(col("doc_id"), col("good").as("teacher_keep")),
         Seq("doc_id"))
@@ -324,6 +326,9 @@ object TextAnalysis {
         (col("keep_pred") === col("teacher_keep")).as("agree"))
       .orderBy("doc_id")
   }
+
+  def t17TokenVotes(s: SparkSession, dir: String): DataFrame =
+    tokenVotesCore(docs(s, dir))
 
   /** PII patterns for t10 — ASCII-only classes and explicit quantifiers
     * so Java's regex engine (Spark) and RE2 (DuckDB) agree on every

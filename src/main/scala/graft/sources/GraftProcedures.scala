@@ -40,6 +40,7 @@ import graft.storage.GraftTable
   *   CALL graft.system.ann_drift('db.idx')  -- index staleness audit
   *   CALL graft.system.ann_rebuild('db.idx') -- the audit's recommended action
   *   CALL graft.system.dedup_spans('db.t', 'db.spans')            -- d14
+  *   CALL graft.system.quality_votes('db.t', 'db.scored')         -- t17
   *   CALL graft.system.contamination_report('db.t', 'db.eval', 'db.rep') -- c15
   *   CALL graft.system.source_mix('db.t', 'db.mix')     -- c3 as SQL
   *   CALL graft.system.split_assign('db.t', 'db.splits') -- c7 as SQL
@@ -61,7 +62,7 @@ private[sources] object GraftProcedures {
       // surface (cstore_fdw--1.7.sql:17-37)
       "dedup_exact", "decontaminate", "ann_probe", "ann_drift",
       "ann_rebuild", "dedup_spans", "contamination_report",
-      "source_mix", "split_assign")
+      "source_mix", "split_assign", "quality_votes")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -95,7 +96,8 @@ private[sources] object GraftProcedures {
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
           else if (procName == "dedup_exact" || procName == "dedup_spans" ||
-              procName == "source_mix" || procName == "split_assign")
+              procName == "source_mix" || procName == "split_assign" ||
+              procName == "quality_votes")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
           else if (procName == "decontaminate" ||
@@ -226,7 +228,8 @@ private[sources] object GraftProcedures {
           } else if (procName == "dedup_exact" || procName == "decontaminate" ||
               procName == "ann_probe" || procName == "dedup_spans" ||
               procName == "contamination_report" ||
-              procName == "source_mix" || procName == "split_assign") {
+              procName == "source_mix" || procName == "split_assign" ||
+              procName == "quality_votes") {
             val spark = SparkSession.active
             val (metric, n) = procName match {
               case "dedup_exact" =>
@@ -241,6 +244,10 @@ private[sources] object GraftProcedures {
               case "dedup_spans" =>
                 ("spans_written",
                   writeResult(graft.operators.Dedup.spanDedupCore(t.read()), 1))
+              case "quality_votes" =>
+                ("docs_scored",
+                  writeResult(
+                    graft.operators.TextAnalysis.tokenVotesCore(t.read()), 1))
               case "contamination_report" =>
                 val evalName = checkName(input.getUTF8String(1).toString)
                 val evalDir = tableDir(evalName)

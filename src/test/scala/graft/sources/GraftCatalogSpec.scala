@@ -266,6 +266,14 @@ class GraftCatalogSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
       assert(gotW === wantW, "CALL dedup_exact must reproduce d1 exactly")
       assert(ded.head.getLong(2) === wantW.size.toLong)
+      // -- quality_votes ≡ t17 ------------------------------------------
+      spark.sql(
+        "CALL gcat.system.quality_votes('db1.call_docs', 'db1.call_scored')")
+      val gotQ = spark.table("gcat.db1.call_scored")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val wantQ = graft.operators.TextAnalysis.t17TokenVotes(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(gotQ === wantQ, "CALL quality_votes must reproduce t17 exactly")
       // -- decontaminate ≡ c9 (same eval split: doc_id < 5) -------------
       GraftTable.create(spark, s"$warehouse/db1/call_corpus", docs.schema)
         .append(docs.filter(col("doc_id") >= 5))
