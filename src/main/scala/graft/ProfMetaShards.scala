@@ -98,6 +98,21 @@ object ProfMetaShards {
     println(f"[prof] durable metadata written: history=$historyB%d segments=$statsB%d pointer=$pointerB%d total=${historyB + statsB + pointerB}%d")
     println(f"[prof] inline counterfactual (Σ v×b × 2 writes) ≈ $counterfactual%d  (${counterfactual.toDouble / (historyB + statsB + pointerB)}%.1fx)")
     println(f"[prof] commit wall first10=${walls.take(10).sum / 10}%.3fs last10=${walls.takeRight(10).sum / 10}%.3fs")
+    // lifecycle tail: a cold reader replays at most the live (≤32-cap)
+    // segment list, and expiry + vacuum reclaim the superseded segments
+    // history still referenced during the run
+    GraftTable.invalidateSegmentCacheUnder(s"$dir/t")
+    val t0 = System.nanoTime()
+    val cold = GraftTable.open(spark, s"$dir/t")
+    val rows = cold.read().count()
+    println(f"[prof] cold open+hydrate+count: ${(System.nanoTime() - t0) / 1e9}%.3fs rows=$rows%d liveSegments=${cold.manifestReport().size}%d")
+    cold.expireHistory(keepLast = 2)
+    // the aged-orphan rule guards in-flight commits; zero grace here
+    // because this profiler owns the table exclusively
+    spark.conf.set("spark.graft.commit.claimGraceMs", "-1")
+    val reclaimed = try cold.vacuum()
+      finally spark.conf.unset("spark.graft.commit.claimGraceMs")
+    println(f"[prof] after expire(keepLast=2)+vacuum: reclaimed=$reclaimed%d onDiskSegments=${countIn("t/_graft_manifest")}%d")
     spark.stop()
   }
 }

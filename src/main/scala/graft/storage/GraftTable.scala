@@ -4572,6 +4572,13 @@ object GraftTable {
     }
   }
 
+  /** Test/profiler hook: drop cached segments under `location` so a
+    * subsequent open hydrates cold (reads every live segment). */
+  private[graft] def invalidateSegmentCacheUnder(location: String): Unit = {
+    SegmentCache.invalidateUnder(location)
+    SegmentCache.invalidateUnder(qualified(location))
+  }
+
   private def readSegment(location: String, rel: String): ManifestSegment = {
     val key = s"$location/$rel"
     val cached = SegmentCache.get(key)
