@@ -1695,6 +1695,81 @@ object Similarity {
       .orderBy(col("q_id"), col("rrf_micro").desc, col("id"))
   }
 
+  // -- s15: int8 scalar-quantized brute force ---------------------------
+
+  /** (vec_id, label, scale, code: array<bigint> in [-127,127]) — the
+    * corpus L2-normalized then SYMMETRICALLY int8-quantized with one
+    * GLOBAL scale (max |u_i| over the corpus / 127). One scale for
+    * everyone means a candidate's integer code dot is rank-equivalent to
+    * its quantized cosine, so ranking never touches a float. The
+    * global-max aggregate is ONE row, broadcast-crossed onto the corpus
+    * scan (the t6/c3 broadcast-scalar pattern). */
+  private def int8Codes(e: DataFrame): DataFrame = {
+    val unit = e.select(col("vec_id"), col("label"),
+      transform(col("v"), x => x / col("nrm")).as("u"))
+    val gmx = unit.agg(
+        max(aggregate(col("u"), lit(0.0), (a, x) => greatest(a, abs(x)))).as("gmx"))
+      .select((greatest(col("gmx"), lit(1e-30)) / lit(127.0)).as("scale"))
+    unit.crossJoin(broadcast(gmx))
+      .select(col("vec_id"), col("label"), col("scale"),
+        transform(col("u"),
+          x => floor(x / col("scale") + lit(0.5)).cast("long")).as("code"))
+  }
+
+  /** s15: brute-force top-k over INT8 scalar-quantized vectors — the
+    * memory ladder's middle rung (exact fp64 = s1, 4×-smaller int8 =
+    * s15, ~20×-smaller PQ codes = s5/s9). At serving scale the corpus
+    * holds 1 byte per dimension instead of 4 and the hot loop is an
+    * integer dot (SIMD-friendly on a real cluster); scores are pure
+    * BIGINT folds of the codes, exact under any execution order, so the
+    * entry is hash-exact and the DuckDB oracle replays the identical
+    * quantization + integer arithmetic. `cos_q` (iscore·scale², the
+    * dequantized cosine estimate) is display-only, rounded to 4 —
+    * ranking is integer. */
+  def s15Int8Ann(s: SparkSession, dir: String): DataFrame = {
+    val codes = int8Codes(normalized(Tables.load(s, dir, "embeddings")))
+    val q = codes.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("code").as("qc"))
+    val w = Window.partitionBy("q_id").orderBy(col("iscore").desc, col("vec_id"))
+    codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        aggregate(zip_with(col("qc"), col("code"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("iscore"),
+        col("scale"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("iscore"),
+        round(col("iscore").cast("double") * col("scale") * col("scale"), 4)
+          .as("cos_q"),
+        col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  // -- s16: hard-negative mining -----------------------------------------
+
+  /** s16: hard-negative mining for contrastive training — for each query
+    * the top-k most-similar vectors whose LABEL DIFFERS (the negatives a
+    * retriever most confuses with positives; random negatives are too
+    * easy to train on). Exactly s1's broadcast-query shape with the
+    * label-inequality folded into the join condition, so the corpus
+    * streams once per query batch and the label filter drops candidates
+    * before any distance arithmetic. */
+  def s16HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = normalized(Tables.load(s, dir, "embeddings"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("label"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s8_hybrid_retrieval" -> s8HybridRetrieval _,
     "s6_range_search" -> ((s: SparkSession, dir: String) => s6RangeSearch(s, dir)),
@@ -1710,6 +1785,8 @@ object Similarity {
     "s12_filtered_persisted" -> s12FilteredPersisted _,
     "s13_mmr_diversify" -> s13MmrDiversify _,
     "s14_filtered_ivfpq" -> s14FilteredIvfPq _,
+    "s15_int8_ann" -> s15Int8Ann _,
+    "s16_hard_negatives" -> s16HardNegatives _,
   )
 
   import OracleSql._
@@ -2084,6 +2161,49 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, label, vec_id, round(cos, 4) cos, rank FROM ranked
          |WHERE rank <= $IvfTopK ORDER BY q_id, rank""".stripMargin),
+    // s15 replays the exact quantization chain: normalize → global max
+    // |u_i| (order-independent) → one shared scale → floor(u/s + 0.5)
+    // codes → BIGINT dot folds. Ranking is integer on both sides; the
+    // display cosine multiplies left-to-right exactly like the Spark
+    // column ((iscore::DOUBLE * scale) * scale).
+    "s15_int8_ann" ->
+      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, ${normSql("v")} nrm FROM e),
+         |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) u FROM n),
+         |g AS (SELECT greatest(max(list_reduce(
+         |        list_concat([0.0], list_transform(u, x -> abs(x))),
+         |        (a, b) -> greatest(a, b))), 1e-30) / 127.0 scale FROM u),
+         |c AS (SELECT vec_id, scale,
+         |        list_transform(u, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) code
+         |      FROM u, g),
+         |scored AS (
+         |  SELECT q.vec_id q_id, t.vec_id, t.scale,
+         |    list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |      list_transform(range(1, len(q.code)+1), i -> q.code[i] * t.code[i])),
+         |      (a, b) -> a + b) iscore
+         |  FROM c q JOIN c t ON t.vec_id != q.vec_id
+         |  WHERE q.vec_id < $NumQueries),
+         |ranked AS (SELECT q_id, vec_id, iscore, scale,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY iscore DESC, vec_id) rank
+         |  FROM scored)
+         |SELECT q_id, vec_id, iscore,
+         |  round(iscore::DOUBLE * scale * scale, 4) cos_q, rank
+         |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin),
+    "s16_hard_negatives" ->
+      (s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, label, v, ${normSql("v")} nrm FROM e),
+         |scored AS (
+         |  SELECT q.vec_id q_id, c.vec_id, c.label,
+         |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) cos
+         |  FROM n q JOIN n c ON c.label != q.label
+         |  WHERE q.vec_id < $NumQueries),
+         |ranked AS (SELECT q_id, vec_id, label, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rank
+         |  FROM scored)
+         |SELECT q_id, vec_id, label, round(cos, 4) cos, rank FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin),
   )
 
   // s7 serves s2's exact result from the persisted index, so its oracle

@@ -66,8 +66,13 @@ class PlanGuardSpec extends SparkSpec {
       "s13_mmr_diversify", "c14_decontaminated_mix", "p4_rag_context",
       // t17: ONE-row (n1, n0) class-totals aggregate broadcast-crossed
       // onto the vocab-sized token-count aggregate (the q49 pattern)
+      // s15: ONE-row global-scale aggregate broadcast-crossed onto the
+      // corpus scan (the t6/c3 broadcast-scalar pattern), then s1's
+      // ≤5-row broadcast query set joined on =!=
+      // s16: s1's ≤5-row broadcast query set, the non-equi condition is
+      // the label INEQUALITY itself (hard negatives = different label)
       "s14_filtered_ivfpq", "q49_anti_avg", "q55_top_supplier",
-      "t17_token_votes")
+      "t17_token_votes", "s15_int8_ann", "s16_hard_negatives")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")

@@ -197,4 +197,71 @@ class RetrievalSpec extends SparkSpec {
       assert(rows.forall(_.getDouble(2) <= first.getDouble(2) + 1e-9))
     }
   }
+
+  test("s15: int8 codes are bounded, reconstruction error ≤ scale/2, scores integer-exact") {
+    val dir = sf("sf0.001")
+    val emb = graft.Tables.load(spark, dir, "embeddings").collect()
+      .map { r =>
+        val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+        r.getLong(r.fieldIndex("vec_id")) -> v
+      }.toMap
+    // sequential reference of the quantization chain
+    val units = emb.view.mapValues { v =>
+      val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      v.map(_ / nrm)
+    }.toMap
+    val gmx = units.values.map(_.foldLeft(0.0)((a, x) => math.max(a, math.abs(x)))).max
+    val scale = math.max(gmx, 1e-30) / 127.0
+    val codes = units.view.mapValues(_.map(x => math.floor(x / scale + 0.5).toLong)).toMap
+    codes.values.foreach { c =>
+      assert(c.forall(q => q >= -127L && q <= 127L), "int8 range")
+    }
+    units.foreach { case (id, u) =>
+      u.zip(codes(id)).foreach { case (x, q) =>
+        assert(math.abs(x - q * scale) <= scale / 2 + 1e-12, s"vec $id reconstruction")
+      }
+    }
+    // the entry's iscore must equal the sequential integer dot exactly
+    val got = Similarity.s15Int8Ann(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (q, id, iscore) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val expect = codes(q).zip(codes(id)).foldLeft(0L)((a, p) => a + p._1 * p._2)
+      assert(iscore === expect, s"q=$q id=$id integer dot")
+      assert(id !== q, "the query is never its own result")
+    }
+  }
+
+  test("s15: quantized recall@10 vs the exact s1 top-10") {
+    val dir = sf("sf0.001")
+    val exact = Similarity.s1AnnBrute(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val quant = Similarity.s15Int8Ann(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(quant.keySet === exact.keySet)
+    val recalls = exact.keys.toSeq.sorted.map { q =>
+      val r = (exact(q) & quant(q)).size.toDouble / exact(q).size
+      assert(r >= 0.7, s"query $q recall@10 $r — int8 at 64 dims should stay close to exact")
+      r
+    }
+    // deterministic data + integer ranking → the mean recall is a constant
+    assert(recalls.sum / recalls.size >= 0.8, s"mean recall ${recalls.sum / recalls.size}")
+  }
+
+  test("s16: every negative's label differs from the query's; ranking is the exact cosine order") {
+    val dir = sf("sf0.001")
+    val labels = graft.Tables.load(spark, dir, "embeddings").collect()
+      .map(r => r.getLong(r.fieldIndex("vec_id")) -> r.getInt(r.fieldIndex("label"))).toMap
+    val got = Similarity.s16HardNegatives(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length === 10, s"query $q top-k depth")
+      rows.foreach { r =>
+        assert(labels(r.getLong(1)) !== labels(q), s"q=$q id=${r.getLong(1)} label must differ")
+      }
+      val byRank = rows.sortBy(_.getLong(4)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b - 1e-9 },
+        s"q=$q cosine non-increasing in rank")
+    }
+  }
 }
