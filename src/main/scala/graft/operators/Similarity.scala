@@ -1705,16 +1705,26 @@ object Similarity {
     * global-max aggregate is ONE row, broadcast-crossed onto the corpus
     * scan (the t6/c3 broadcast-scalar pattern). */
   private def int8Codes(e: DataFrame): DataFrame = {
-    val unit = e.select(col("vec_id"), col("label"),
-      transform(col("v"), x => x / col("nrm")).as("u"))
-    val gmx = unit.agg(
-        max(aggregate(col("u"), lit(0.0), (a, x) => greatest(a, abs(x)))).as("gmx"))
-      .select((greatest(col("gmx"), lit(1e-30)) / lit(127.0)).as("scale"))
-    unit.crossJoin(broadcast(gmx))
+    val unit = int8Unit(e)
+    unit.crossJoin(broadcast(int8ScaleFrame(unit)))
       .select(col("vec_id"), col("label"), col("scale"),
         transform(col("u"),
           x => floor(x / col("scale") + lit(0.5)).cast("long")).as("code"))
   }
+
+  /** (vec_id, label, u): the L2-normalized unit directions. */
+  private def int8Unit(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("label"),
+      transform(col("v"), x => x / col("nrm")).as("u"))
+
+  /** ONE-row (scale) frame — the corpus-wide symmetric int8 scale
+    * (max |u_i| / 127) over already-normalized unit vectors. Shared by
+    * the in-memory path (s15) and the persisted index build (s17), so
+    * the two quantize identically. */
+  private def int8ScaleFrame(unit: DataFrame): DataFrame =
+    unit.agg(
+        max(aggregate(col("u"), lit(0.0), (a, x) => greatest(a, abs(x)))).as("gmx"))
+      .select((greatest(col("gmx"), lit(1e-30)) / lit(127.0)).as("scale"))
 
   /** s15: brute-force top-k over INT8 scalar-quantized vectors — the
     * memory ladder's middle rung (exact fp64 = s1, 4×-smaller int8 =
@@ -1770,6 +1780,183 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // -- s17: the persisted INT8-quantized IVF index -----------------------
+
+  /** Shortlist depth for the exact re-rank — same contract as s9's
+    * [[PqRerank]]: deep enough that int8 rounding losses are visible to
+    * the spec, shallow enough that the exact-vector fetch stays a
+    * bounded point lookup. */
+  private val I8Rerank = 20
+
+  private val Int8Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** The memory ladder's PERSISTED middle rung (s7 = exact 8-byte
+    * doubles, s17 = int8 codes, s9 = 8-byte-per-VECTOR PQ codes): on
+    * top of s7's root the build commits
+    *  - `i8meta`: ONE row — the corpus-wide symmetric scale, so probes
+    *    quantize queries against the COMMITTED scale forever (the
+    *    never-retrain discipline of s9's codebook);
+    *  - `codes_i8`: every vector's int8 code array, CLUSTERED PER IVF
+    *    LIST (range-partitioned + sort_by label, the postings
+    *    discipline) — a probe's label filter zone-map-prunes to the
+    *    probed lists' code files, and parquet bit-packs the [−127,127]
+    *    values to ~1 byte/dim vs the postings' 8-byte doubles.
+    * Same memoization contract as [[ivfIndexDir]]: never rebuild the
+    * shared root in place. */
+  private[graft] def int8IndexDir(s: SparkSession, dir: String): String =
+    Int8Cache.computeIfAbsent((s, dir), { _ =>
+      val root = ivfIndexDir(s, dir)
+      // retry-safe: drop partial artifacts of a failed earlier build
+      // (same discipline as ivfPqIndexDir)
+      Seq("codes_i8", "i8meta").foreach(t =>
+        graft.storage.GraftTable.drop(s"$root/$t"))
+      val e = normalized(Tables.load(s, dir, "embeddings"))
+      val metaDf = int8ScaleFrame(int8Unit(e))
+      val metaT = graft.storage.GraftTable.create(s, s"$root/i8meta", metaDf.schema)
+      metaT.append(metaDf)
+      val nLists = graft.storage.GraftTable.open(s, s"$root/centroids")
+        .rowCountFromMetadata().toInt.max(1)
+      val codesDf = int8Codes(e).select(col("label"), col("vec_id"), col("code"))
+        .repartitionByRange(nLists, col("label"))
+      val codesT = graft.storage.GraftTable.create(s, s"$root/codes_i8",
+        codesDf.schema, graft.storage.GraftTableOptions(sortBy = Seq("label")))
+      codesT.append(codesDf)
+      root
+    })
+
+  /** Probe the persisted int8 index for one bounded query batch
+    * (q_id, qv, qn): assignment vs the broadcast committed centroids,
+    * the query quantized against the COMMITTED scale, an integer-dot
+    * shortlist over ONLY the probed lists' zone-map-pruned code files
+    * (top-[[I8Rerank]] by BIGINT score — no float in the shortlist
+    * path), then an exact re-rank fetching only the shortlist's full
+    * vectors from the posting files with the id set pushed into the
+    * scan (s9's re-rank discipline, which also makes the result
+    * hash-checkable). Both collects are bounded: probed labels (one per
+    * query) and shortlist ids (I8Rerank per query). `filterIds` lands
+    * as a semi join on the CODES scan — before the shortlist — so top
+    * candidates are drawn from the filtered universe (the s12/s14
+    * composition contract). */
+  private[graft] def probeIvfInt8(s: SparkSession, root: String,
+      q: DataFrame, filterIds: Option[DataFrame] = None): DataFrame = {
+    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val codesT = graft.storage.GraftTable.open(s, s"$root/codes_i8")
+    val cent = graft.storage.GraftTable.open(s, s"$root/centroids").read()
+    val scaleDf = graft.storage.GraftTable.open(s, s"$root/i8meta").read()
+    val assigned = assignQueryBatch(q, cent)
+    // bounded collect: one probed list per query
+    val probes = assigned.select("alabel").distinct().collect().map(_.get(0))
+    def empty = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      annResultSchema(q, cent, postT))
+    if (probes.isEmpty) return empty
+    val codeFiles =
+      codesT.prunedFiles(Seq(org.apache.spark.sql.sources.In("label", probes)))
+    if (codeFiles.isEmpty) return empty
+    val codeScan = s.read.schema(codesT.readSchema()).parquet(codeFiles: _*)
+    val codes = filterIds.fold(codeScan)(f =>
+      codeScan.join(f.select(col("id")), col("vec_id") === col("id"), "left_semi"))
+    // quantize the query against the COMMITTED scale — (x/qn)/scale,
+    // the same association as the build's u/scale
+    val qq = q.crossJoin(broadcast(scaleDf))
+      .select(col("q_id"),
+        transform(col("qv"),
+          x => floor(x / col("qn") / col("scale") + lit(0.5)).cast("long")).as("qc"))
+    // the label equality below makes pruning-overshoot (a file
+    // straddling two lists) harmless, as in probeIvfPq
+    val wCand = Window.partitionBy("q_id").orderBy(col("iscore").desc, col("vec_id"))
+    val cand = codes
+      .join(broadcast(assigned.select(col("q_id").as("a_qid"), col("alabel"))),
+        col("label") === col("alabel"))
+      .join(broadcast(qq),
+        col("a_qid") === col("q_id") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        aggregate(zip_with(col("qc"), col("code"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("iscore"))
+      .withColumn("crn", row_number().over(wCand))
+      .filter(col("crn") <= I8Rerank)
+      .select(col("q_id").as("c_qid"), col("vec_id").as("c_vid"))
+    // bounded collect: I8Rerank candidates per query — push the id set
+    // into the posting scan (row-group stats skip)
+    val candIds = cand.select("c_vid").distinct().collect().map(_.get(0))
+    if (candIds.isEmpty) return empty
+    val postFiles =
+      postT.prunedFiles(Seq(org.apache.spark.sql.sources.In("label", probes)))
+    val post = s.read.schema(postT.readSchema()).parquet(postFiles: _*)
+      .filter(col("vec_id").isInCollection(candIds))
+    val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    post.join(broadcast(cand), col("vec_id") === col("c_vid"))
+      .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))),
+        col("q_id") === col("c_qid"))
+      .select(col("q_id"), col("label"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= IvfTopK)
+      .select(col("q_id"), col("label"), col("vec_id"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
+  /** s17: ANN served from the persisted INT8 index — committed
+    * centroids, committed scale, integer shortlist over the probed
+    * lists' code files, exact re-rank from bounded posting point
+    * lookups. The oracle replays quantizer assignment + the shared int8
+    * chain + the integer shortlist + the re-rank in SQL. */
+  def s17AnnInt8Persisted(s: SparkSession, dir: String): DataFrame = {
+    val root = int8IndexDir(s, dir)
+    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val q = postT.read().filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    probeIvfInt8(s, root, q).orderBy("q_id", "rank")
+  }
+
+  /** Incremental int8-index maintenance (the s17 analog of
+    * [[appendToIvfPqIndex]], same CODES-FIRST failure contract: an
+    * orphaned code row's candidate is dropped by the exact re-rank's
+    * inner join against postings, so a half-committed vector is
+    * consistently "not yet indexed" for both s7 and s17). New vectors
+    * are assigned against the COMMITTED centroids and encoded against
+    * the COMMITTED scale; the assigned batch is localCheckpoint-
+    * materialized so both commits see the same rows (the
+    * appendToIvfPqIndex nondeterminism discipline). Input:
+    * (vec_id, embedding). Returns rows appended. */
+  def appendToInt8Index(s: SparkSession, root: String, vectors: DataFrame): Long = {
+    val assigned = assignVectors(s, root, vectors).localCheckpoint(true)
+    val scaleDf = graft.storage.GraftTable.open(s, s"$root/i8meta").read()
+    val codesDf = assigned.crossJoin(broadcast(scaleDf))
+      .select(col("label"), col("vec_id"),
+        transform(col("v"),
+          x => floor(x / col("nrm") / col("scale") + lit(0.5)).cast("long")).as("code"))
+    graft.storage.GraftTable.open(s, s"$root/codes_i8").append(codesDf)
+    graft.storage.GraftTable.open(s, s"$root/postings").append(assigned)
+  }
+
+  /** Cross-table integrity audit for the int8 index — the postings ↔
+    * codes_i8 desync classes [[verifyIvfPqIndex]] checks for s9, over
+    * s17's tables: missing code rows (s17-invisible vectors), orphaned
+    * code rows, duplicates, and list disagreement. */
+  def verifyInt8Index(s: SparkSession, root: String): Seq[String] = {
+    val postFull = graft.storage.GraftTable.open(s, s"$root/postings").read()
+    val codesFull = graft.storage.GraftTable.open(s, s"$root/codes_i8").read()
+    val post = postFull.select(col("vec_id"))
+    val codes = codesFull.select(col("vec_id"))
+    val issues = Seq.newBuilder[String]
+    val missing = post.join(codes, Seq("vec_id"), "left_anti").count()
+    if (missing > 0) issues += s"$missing posting vector(s) have no int8 code row (s17-invisible)"
+    val orphaned = codes.join(post, Seq("vec_id"), "left_anti").count()
+    if (orphaned > 0) issues += s"$orphaned int8 code row(s) have no posting vector (orphaned)"
+    Seq("postings" -> post, "codes_i8" -> codes).foreach { case (name, df) =>
+      val dups = df.groupBy("vec_id").count().filter(col("count") > 1).count()
+      if (dups > 0) issues += s"$dups duplicate vec_id(s) in $name (corrupts top-k)"
+    }
+    val mislabeled = postFull.select(col("vec_id"), col("label").as("p_label"))
+      .join(codesFull.select(col("vec_id"), col("label").as("c_label")), "vec_id")
+      .filter(col("p_label") =!= col("c_label")).count()
+    if (mislabeled > 0)
+      issues += s"$mislabeled vec_id(s) sit in different lists in postings vs codes_i8 (s17-invisible)"
+    issues.result()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s8_hybrid_retrieval" -> s8HybridRetrieval _,
     "s6_range_search" -> ((s: SparkSession, dir: String) => s6RangeSearch(s, dir)),
@@ -1787,6 +1974,7 @@ object Similarity {
     "s14_filtered_ivfpq" -> s14FilteredIvfPq _,
     "s15_int8_ann" -> s15Int8Ann _,
     "s16_hard_negatives" -> s16HardNegatives _,
+    "s17_int8_persisted" -> s17AnnInt8Persisted _,
   )
 
   import OracleSql._
@@ -1970,6 +2158,30 @@ object Similarity {
     s"""list_reduce(list_concat([0.0],
        |  list_transform(range(1, len($a)+1),
        |    i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  /** The shared int8 quantization CTE chain (e/n/u/g/c, label carried):
+    * normalize → global max |u_i| → ONE corpus scale → floor(u/s + 0.5)
+    * BIGINT codes. One definition backs both s15's and s17's oracles,
+    * mirroring how [[int8Codes]]/[[int8ScaleFrame]] back both Spark
+    * paths — neither rung can drift from the other. */
+  private def int8Ctes: String =
+    s"""e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v
+       |      FROM embeddings),
+       |n AS (SELECT vec_id, label, v, ${normSql("v")} nrm FROM e),
+       |u AS (SELECT vec_id, label, list_transform(v, x -> x / nrm) u FROM n),
+       |g AS (SELECT greatest(max(list_reduce(
+       |        list_concat([0.0], list_transform(u, x -> abs(x))),
+       |        (a, b) -> greatest(a, b))), 1e-30) / 127.0 scale FROM u),
+       |c AS (SELECT vec_id, label, scale,
+       |        list_transform(u, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) code
+       |      FROM u, g)""".stripMargin
+
+  /** BIGINT dot of two BIGINT[] exprs — left fold from CAST(0 AS
+    * BIGINT), mirroring aggregate(zip_with(a, b, *), 0L, +). */
+  private def intDotSql(a: String, b: String): String =
+    s"""list_reduce(list_concat([CAST(0 AS BIGINT)],
+       |  list_transform(range(1, len($a)+1), i -> $a[i] * $b[i])),
        |  (x, y) -> x + y)""".stripMargin
 
   private val oraclesBase: Map[String, String] = Map(
@@ -2161,27 +2373,18 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, label, vec_id, round(cos, 4) cos, rank FROM ranked
          |WHERE rank <= $IvfTopK ORDER BY q_id, rank""".stripMargin),
-    // s15 replays the exact quantization chain: normalize → global max
-    // |u_i| (order-independent) → one shared scale → floor(u/s + 0.5)
-    // codes → BIGINT dot folds. Ranking is integer on both sides; the
-    // display cosine multiplies left-to-right exactly like the Spark
-    // column ((iscore::DOUBLE * scale) * scale).
+    // s15 replays the exact quantization chain (the SHARED int8Ctes —
+    // s17's oracle rides the same definition, so the in-memory and
+    // persisted rungs cannot drift): normalize → global max |u_i|
+    // (order-independent) → one shared scale → floor(u/s + 0.5) codes →
+    // BIGINT dot folds. Ranking is integer on both sides; the display
+    // cosine multiplies left-to-right exactly like the Spark column
+    // ((iscore::DOUBLE * scale) * scale).
     "s15_int8_ann" ->
-      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
-         |           FROM embeddings),
-         |n AS (SELECT vec_id, v, ${normSql("v")} nrm FROM e),
-         |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) u FROM n),
-         |g AS (SELECT greatest(max(list_reduce(
-         |        list_concat([0.0], list_transform(u, x -> abs(x))),
-         |        (a, b) -> greatest(a, b))), 1e-30) / 127.0 scale FROM u),
-         |c AS (SELECT vec_id, scale,
-         |        list_transform(u, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) code
-         |      FROM u, g),
+      (s"""WITH $int8Ctes,
          |scored AS (
          |  SELECT q.vec_id q_id, t.vec_id, t.scale,
-         |    list_reduce(list_concat([CAST(0 AS BIGINT)],
-         |      list_transform(range(1, len(q.code)+1), i -> q.code[i] * t.code[i])),
-         |      (a, b) -> a + b) iscore
+         |    ${intDotSql("q.code", "t.code")} iscore
          |  FROM c q JOIN c t ON t.vec_id != q.vec_id
          |  WHERE q.vec_id < $NumQueries),
          |ranked AS (SELECT q_id, vec_id, iscore, scale,
@@ -2190,6 +2393,45 @@ object Similarity {
          |SELECT q_id, vec_id, iscore,
          |  round(iscore::DOUBLE * scale * scale, 4) cos_q, rank
          |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin),
+    // s17: s2's centroid assignment + the shared int8 chain + the
+    // integer shortlist (top-I8Rerank by BIGINT score, vec_id ties) +
+    // the exact re-rank — the SQL replay of probeIvfInt8's four stages.
+    "s17_int8_persisted" ->
+      (s"""WITH $int8Ctes,
+         |cent AS (
+         |  SELECT label, list(CAST(sq AS DOUBLE) ORDER BY i) cv FROM (
+         |    SELECT label, i, sum(CAST(round(embedding[i]::DOUBLE * $Quant) AS BIGINT)) sq
+         |    FROM embeddings CROSS JOIN range(1, 65) r(i)
+         |    GROUP BY label, i) GROUP BY label),
+         |cn AS (SELECT label, cv, ${normSql("cv")} cnrm FROM cent),
+         |assigned AS (
+         |  SELECT q_id, label FROM (
+         |    SELECT q.vec_id q_id, cn.label,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dotSql("q.v", "cn.cv")} / (q.nrm * cn.cnrm) DESC,
+         |                 cn.label) arn
+         |    FROM n q CROSS JOIN cn WHERE q.vec_id < $NumQueries)
+         |  WHERE arn = 1),
+         |short AS (
+         |  SELECT a.q_id, t.vec_id,
+         |    ${intDotSql("qc.code", "t.code")} iscore
+         |  FROM c t
+         |  JOIN assigned a ON a.label = t.label
+         |  JOIN c qc ON qc.vec_id = a.q_id
+         |  WHERE t.vec_id != a.q_id),
+         |shortr AS (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY iscore DESC, vec_id) crn
+         |  FROM short),
+         |rer AS (SELECT sr.q_id, cv.label, cv.vec_id,
+         |    ${dotSql("qv.v", "cv.v")} / (qv.nrm * cv.nrm) cos
+         |  FROM shortr sr
+         |  JOIN n cv ON cv.vec_id = sr.vec_id
+         |  JOIN n qv ON qv.vec_id = sr.q_id
+         |  WHERE sr.crn <= $I8Rerank)
+         |SELECT q_id, label, vec_id, round(cos, 4) cos, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, vec_id) rank FROM rer)
+         |WHERE rank <= $IvfTopK ORDER BY q_id, rank""".stripMargin),
     "s16_hard_negatives" ->
       (s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v
          |           FROM embeddings),

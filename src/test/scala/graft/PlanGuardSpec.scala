@@ -71,8 +71,13 @@ class PlanGuardSpec extends SparkSpec {
       // ≤5-row broadcast query set joined on =!=
       // s16: s1's ≤5-row broadcast query set, the non-equi condition is
       // the label INEQUALITY itself (hard negatives = different label)
+      // s17: s7/s9's assignment crossJoin (≤5-row query set × tiny
+      // committed centroid table) plus the one-row committed-scale
+      // crossJoin onto the query batch; the shortlist and re-rank
+      // joins are keyed equality joins over zone-map-pruned files
       "s14_filtered_ivfpq", "q49_anti_avg", "q55_top_supplier",
-      "t17_token_votes", "s15_int8_ann", "s16_hard_negatives")
+      "t17_token_votes", "s15_int8_ann", "s16_hard_negatives",
+      "s17_int8_persisted")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")

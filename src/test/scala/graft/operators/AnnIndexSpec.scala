@@ -631,4 +631,111 @@ class AnnIndexSpec extends SparkSpec {
       .select("label").head.getInt(0)
     assert(got === expected, "assignment must match the committed quantizer")
   }
+
+  // -- s17: the persisted INT8 index -------------------------------------
+
+  test("s17 probes read int8 code bytes, not vector bytes; codes cluster per list") {
+    Similarity.s17AnnInt8Persisted(spark, dir).count() // force the build
+    val root = Similarity.int8IndexDir(spark, dir)
+    val codes = GraftTable.open(spark, s"$root/codes_i8")
+    val post = GraftTable.open(spark, s"$root/postings")
+    val cb = bytesOf(codes.committedFiles)
+    val pb = bytesOf(post.committedFiles)
+    assert(cb > 0 && pb > 0)
+    // the memory story: bit-packed [-127,127] values vs 8-byte doubles
+    assert(cb * 2 < pb,
+      s"int8 codes must be a fraction of the vectors: codes=$cb post=$pb")
+    // the probe story: a single-list probe prunes the code scan
+    val probedCodes = codes.prunedFiles(Seq(In("label", Array[Any](0))))
+    assert(probedCodes.size < codes.committedFiles.size,
+      "a single-list probe must read a code-file subset")
+    // the committed scale is the corpus scale (one row)
+    assert(GraftTable.open(spark, s"$root/i8meta").read().count() === 1L)
+  }
+
+  test("s17 re-rank is exact: result cosines match brute-force recomputation") {
+    val emb = Tables.load(spark, dir, "embeddings").collect()
+      .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    def cosOf(a: Long, b: Long): Double = {
+      val (x, y) = (emb(a), emb(b))
+      val dot = x.zip(y).foldLeft(0.0)((s, p) => s + p._1 * p._2)
+      val nx = math.sqrt(x.foldLeft(0.0)((s, v) => s + v * v))
+      val ny = math.sqrt(y.foldLeft(0.0)((s, v) => s + v * v))
+      dot / (nx * ny)
+    }
+    val got = Similarity.s17AnnInt8Persisted(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (q, id, cos) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      assert(math.abs(cos - math.rint(cosOf(q, id) * 1e4) / 1e4) < 5e-5,
+        s"q=$q id=$id exact re-rank cosine")
+      assert(id !== q)
+    }
+  }
+
+  test("incremental int8 append: codes + vectors land in the assigned list, no rewrite, probe finds them") {
+    import spark.implicits._
+    Similarity.s17AnnInt8Persisted(spark, dir).count() // force the build
+    val root = Similarity.int8IndexDir(spark, dir)
+    val root2 = tmpDir("int8-append")
+    Seq("centroids", "postings", "i8meta", "codes_i8").foreach(t =>
+      GraftTable.open(spark, s"$root/$t").cloneTo(s"$root2/$t"))
+    val post = GraftTable.open(spark, s"$root2/postings")
+    val codes = GraftTable.open(spark, s"$root2/codes_i8")
+    val (postFiles, codeFiles) = (post.committedFiles.toSet, codes.committedFiles.toSet)
+    val (nPost, nCodes) = (post.rowCountFromMetadata(), codes.rowCountFromMetadata())
+    val v0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0).select("embedding").head
+      .getSeq[Float](0).toArray
+    assert(Similarity.appendToInt8Index(spark, root2,
+      Seq((3000000L, v0)).toDF("vec_id", "embedding")) === 1L)
+    val (post2, codes2) = (GraftTable.open(spark, s"$root2/postings"),
+      GraftTable.open(spark, s"$root2/codes_i8"))
+    assert(postFiles.subsetOf(post2.committedFiles.toSet) &&
+      codeFiles.subsetOf(codes2.committedFiles.toSet),
+      "index appends must never rewrite committed files")
+    assert(post2.rowCountFromMetadata() === nPost + 1)
+    assert(codes2.rowCountFromMetadata() === nCodes + 1)
+    // identical vector ⇒ identical codes against the COMMITTED scale
+    val codeOf = (id: Long) => codes2.read().filter(col("vec_id") === id)
+      .select("code").head.getSeq[Long](0).toSeq
+    assert(codeOf(3000000L) === codeOf(0L))
+    // an s17-style probe with the same vector finds the exact copy at
+    // cos = 1 (its integer dot with itself is the shortlist maximum)
+    val q = post2.read().filter(col("vec_id") === 3000000L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("q_id", lit(-1L))
+    val got = Similarity.probeIvfInt8(spark, root2, q).collect()
+    assert(got.nonEmpty)
+    val self = got.find(_.getLong(2) === 3000000L)
+      .getOrElse(fail(s"probe must surface the appended copy; got ${got.toSeq}"))
+    assert(self.getDouble(3) === 1.0)
+    assert(got.head.getDouble(3) === 1.0, "rank 1 must be an exact match")
+  }
+
+  test("int8 audit detects a postings/codes desync a half-failed append leaves") {
+    import spark.implicits._
+    Similarity.s17AnnInt8Persisted(spark, dir).count()
+    val root = Similarity.int8IndexDir(spark, dir)
+    val root2 = tmpDir("int8-audit")
+    Seq("centroids", "postings", "i8meta", "codes_i8").foreach(t =>
+      GraftTable.open(spark, s"$root/$t").cloneTo(s"$root2/$t"))
+    assert(Similarity.verifyInt8Index(spark, root2).isEmpty, "fresh index must audit clean")
+    // plant the codes-first crash residue: a code row with no posting
+    val orphan = GraftTable.open(spark, s"$root2/codes_i8").read()
+      .filter(col("vec_id") === 0L)
+      .select(col("label"), lit(4000000L).as("vec_id"), col("code"))
+    GraftTable.open(spark, s"$root2/codes_i8").append(orphan)
+    val issues = Similarity.verifyInt8Index(spark, root2)
+    assert(issues.exists(_.contains("orphaned")), s"got $issues")
+    // the orphan is invisible to the probe (re-rank inner join drops it)
+    val q = GraftTable.open(spark, s"$root2/postings").read()
+      .filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("q_id", lit(-1L))
+    val got = Similarity.probeIvfInt8(spark, root2, q).collect()
+    assert(got.nonEmpty && !got.exists(_.getLong(2) === 4000000L),
+      "a half-committed vector must stay invisible")
+  }
 }
