@@ -63,6 +63,19 @@ object AnnStream {
     startWith(incoming, dest, checkpoint, trigger,
       (s, q) => Similarity.probeIvfPq(s, indexRoot, q, filterIds))
 
+  /** The INT8 twin: continuous probes through the persisted int8 index
+    * ([[Similarity.probeIvfInt8]] — committed scale, BIGINT-dot
+    * shortlist over the probed lists' code files, exact re-rank). Per
+    * trigger the cost is s17's probe cost; like [[start]], the index is
+    * the only state, and `filterIds` pre-filters the shortlist exactly
+    * as in s12. */
+  def startInt8(incoming: DataFrame, indexRoot: String, dest: GraftTable,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      filterIds: Option[DataFrame] = None): StreamingQuery =
+    startWith(incoming, dest, checkpoint, trigger,
+      (s, q) => Similarity.probeIvfInt8(s, indexRoot, q, filterIds))
+
   private def startWith(incoming: DataFrame, dest: GraftTable,
       checkpoint: String, trigger: Trigger,
       probe: (org.apache.spark.sql.SparkSession, DataFrame) => DataFrame)

@@ -79,6 +79,37 @@ class AnnStreamSpec extends SparkSpec {
     GraftTable.drop(destLoc)
   }
 
+  test("streamed INT8 probes equal the batch s17 results; replay appends nothing") {
+    val root = Similarity.int8IndexDir(spark, dir)
+    val batchResult = Similarity.s17AnnInt8Persisted(spark, dir)
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 5).select("vec_id", "embedding")
+    val src = tmpDir("int8-stream-src")
+    queries.filter(col("vec_id") < 2).write.parquet(s"$src/part=a")
+    queries.filter(col("vec_id") >= 2).write.parquet(s"$src/part=b")
+    val qschema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def incoming = spark.readStream.schema(qschema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(src)
+    val destLoc = tmpDir("int8-stream-dest") + "/t"
+    val dest = GraftTable.create(spark, destLoc, batchResult.schema)
+    val ckpt = tmpDir("int8-stream-ckpt")
+    val q = AnnStream.startInt8(incoming, root, dest, ckpt)
+    assert(q.awaitTermination(120000), "int8 stream drain timed out")
+    val streamed = dest.read().orderBy("q_id", "rank").collect()
+    val batch = batchResult.collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+      "the continuous int8 probe must equal the batch s17 operator")
+    val q2 = AnnStream.startInt8(incoming, root, dest, ckpt)
+    assert(q2.awaitTermination(120000))
+    assert(dest.read().count() === batch.length.toLong, "replay must be a no-op")
+    GraftTable.drop(destLoc)
+  }
+
   test("filtered streamed probes equal the batch s12 results (stream-static filter, zero state)") {
     val root = Similarity.ivfIndexDir(spark, dir)
     val en = graft.Tables.load(spark, dir, "documents")
