@@ -52,6 +52,14 @@ object ProfScale100 {
       t("q57_volume_shipping")(queries.ExtendedQueries.q57VolumeShipping(spark, dir).count())
       t("q53_cust_distribution")(queries.ExtendedQueries.q53CustDistribution(spark, dir).count())
       t("t17_token_votes")(operators.TextAnalysis.t17TokenVotes(spark, dir).count())
+      // int8 rung: in-memory brute force (one corpus scan per query
+      // batch), the persisted probe (~1/nlist code files + bounded
+      // re-rank), and label-filtered hard negatives (s1's shape)
+      t("s15_int8_ann")(operators.Similarity.s15Int8Ann(spark, dir).count())
+      t("s17 index build")({ operators.Similarity.int8IndexDir(spark, dir); 1L })
+      t("s17 probe warm")(operators.Similarity.s17AnnInt8Persisted(spark, dir).count())
+      t("s16_hard_negatives")(operators.Similarity.s16HardNegatives(spark, dir).count())
+      t("s18_binary_ann")(operators.Similarity.s18BinaryAnn(spark, dir).count())
     }
     spark.stop()
   }

@@ -304,6 +304,13 @@ object Similarity {
       filterIds: Option[DataFrame] = None): DataFrame =
     probeIvf(s, root, normalizeQueryFrame(rawQueries), filterIds)
 
+  /** [[probeIvfInt8]] over RAW `(vec_id, embedding)` query rows — the
+    * int8 sibling of [[probeIvfRaw]], shared with the SQL CALL surface
+    * (`CALL graft.system.ann_probe_int8`). */
+  def probeIvfInt8Raw(s: SparkSession, root: String, rawQueries: DataFrame,
+      filterIds: Option[DataFrame] = None): DataFrame =
+    probeIvfInt8(s, root, normalizeQueryFrame(rawQueries), filterIds)
+
   /** Nearest-committed-centroid assignment of a bounded QUERY batch:
     * (q_id, qv, qn, alabel) — the shared first step of the s7 and s9
     * probes (fixing a tie-break or rename here fixes both). */
@@ -1780,6 +1787,50 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // -- s18: binary (1-bit sign) quantization -----------------------------
+
+  /** Shortlist depth for s18's exact re-rank — the s9/s17 contract. */
+  private val BinRerank = 20
+
+  /** s18: binary-quantized retrieval — the quantization ladder's last
+    * rung (fp64 = s1, int8 = s15/s17, 8-byte PQ = s5/s9, 1 BIT/dim
+    * here): each vector's code is its per-dimension SIGN BITS, and the
+    * candidate metric is the HAMMING distance between codes (for
+    * mean-centered/random-projected embeddings, sign agreement tracks
+    * angle — the s3 LSH insight taken to every dimension). At serving
+    * scale a 64-dim vector is ONE 64-bit word and the hot loop is
+    * XOR+popcount; here the distance is computed as the
+    * sign-disagreement count over the value arrays (bit-identical to
+    * popcount(xor(codes)) without packing arithmetic that BIGINT
+    * overflow rules make engine-specific), so the BIGINT shortlist is
+    * exact under any execution order. Top-[[BinRerank]] by (hamming,
+    * vec_id) then re-rank exactly by true cosine — hash-checkable like
+    * s17, and the reported `hamming` column is itself integer-exact. */
+  def s18BinaryAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = normalized(Tables.load(s, dir, "embeddings"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wShort = Window.partitionBy("q_id").orderBy(col("hamming"), col("vec_id"))
+    val short = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("v"), col("nrm"),
+        col("qv"), col("qn"),
+        aggregate(zip_with(col("qv"), col("v"),
+            (a, b) => when((a >= lit(0.0)) === (b >= lit(0.0)), lit(0L))
+              .otherwise(lit(1L))),
+          lit(0L), (acc, x) => acc + x).as("hamming"))
+      .withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= BinRerank)
+    val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    short
+      .select(col("q_id"), col("vec_id"), col("hamming"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("hamming"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   // -- s17: the persisted INT8-quantized IVF index -----------------------
 
   /** Shortlist depth for the exact re-rank — same contract as s9's
@@ -1975,6 +2026,7 @@ object Similarity {
     "s15_int8_ann" -> s15Int8Ann _,
     "s16_hard_negatives" -> s16HardNegatives _,
     "s17_int8_persisted" -> s17AnnInt8Persisted _,
+    "s18_binary_ann" -> s18BinaryAnn _,
   )
 
   import OracleSql._
@@ -2432,6 +2484,31 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY cos DESC, vec_id) rank FROM rer)
          |WHERE rank <= $IvfTopK ORDER BY q_id, rank""".stripMargin),
+    // s18 replays: per-pair sign-disagreement count (≡ popcount of the
+    // XOR of the sign codes — integer-exact), shortlist by (hamming,
+    // vec_id), exact cosine re-rank.
+    "s18_binary_ann" ->
+      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, ${normSql("v")} nrm FROM e),
+         |ham AS (
+         |  SELECT q.vec_id q_id, t.vec_id, q.v qv, q.nrm qn, t.v tv, t.nrm tn,
+         |    list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |      list_transform(range(1, len(q.v)+1),
+         |        i -> CASE WHEN (q.v[i] >= 0) = (t.v[i] >= 0)
+         |             THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END)),
+         |      (a, b) -> a + b) hamming
+         |  FROM n q JOIN n t ON t.vec_id != q.vec_id
+         |  WHERE q.vec_id < $NumQueries),
+         |short AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY hamming, vec_id) srn FROM ham),
+         |rer AS (SELECT q_id, vec_id, hamming,
+         |    ${dotSql("qv", "tv")} / (qn * tn) cos
+         |  FROM short WHERE srn <= $BinRerank)
+         |SELECT q_id, vec_id, hamming, round(cos, 4) cos, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, vec_id) rank FROM rer)
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin),
     "s16_hard_negatives" ->
       (s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v
          |           FROM embeddings),

@@ -37,7 +37,9 @@ import graft.storage.GraftTable
   *   CALL graft.system.dedup_exact('db.t', 'db.winners')   -- d1 as SQL
   *   CALL graft.system.decontaminate('db.t', 'db.eval', 'db.flagged') -- c9
   *   CALL graft.system.ann_probe('db.idx', 'db.queries', 'db.topk')   -- s7
+  *   CALL graft.system.ann_probe_int8('db.idx', 'db.queries', 'db.topk') -- s17
   *   CALL graft.system.ann_drift('db.idx')  -- index staleness audit
+  *   CALL graft.system.ann_verify('db.idx') -- postings/codes desync audit
   *   CALL graft.system.ann_rebuild('db.idx') -- the audit's recommended action
   *   CALL graft.system.dedup_spans('db.t', 'db.spans')            -- d14
   *   CALL graft.system.quality_votes('db.t', 'db.scored')         -- t17
@@ -62,7 +64,8 @@ private[sources] object GraftProcedures {
       // surface (cstore_fdw--1.7.sql:17-37)
       "dedup_exact", "decontaminate", "ann_probe", "ann_drift",
       "ann_rebuild", "dedup_spans", "contamination_report",
-      "source_mix", "split_assign", "quality_votes")
+      "source_mix", "split_assign", "quality_votes",
+      "ann_probe_int8", "ann_verify")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -105,7 +108,7 @@ private[sources] object GraftProcedures {
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("eval_table", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
-          else if (procName == "ann_probe")
+          else if (procName == "ann_probe" || procName == "ann_probe_int8")
             Array(ProcedureParameter.in("index", StringType).build(),
               ProcedureParameter.in("queries", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
@@ -136,11 +139,15 @@ private[sources] object GraftProcedures {
           // index procedures address an INDEX ROOT (a directory of
           // graft tables: postings/centroids/...), not a table itself
           val indexProc = procName == "ann_drift" || procName == "ann_probe" ||
-            procName == "ann_rebuild"
-          if (indexProc)
+            procName == "ann_rebuild" || procName == "ann_probe_int8" ||
+            procName == "ann_verify"
+          if (indexProc) {
             require(GraftTable.exists(s"$dir/postings"),
               s"no persisted ANN index at $tableName")
-          else require(GraftTable.exists(dir), s"no graft table $tableName")
+            if (procName == "ann_probe_int8")
+              require(GraftTable.exists(s"$dir/codes_i8"),
+                s"index $tableName has no int8 codes (build via int8IndexDir)")
+          } else require(GraftTable.exists(dir), s"no graft table $tableName")
           lazy val t = GraftTable.open(SparkSession.active, dir)
           /** Run a distributed operator, commit its result to a FRESH
             * graft table named by the `target` parameter, return the
@@ -225,11 +232,39 @@ private[sources] object GraftProcedures {
               override def readSchema(): StructType = schema
               override def rows(): Array[InternalRow] = rs
             }
+          } else if (procName == "ann_verify") {
+            // cross-table desync audit over whichever quantized siblings
+            // the index root carries (codes = IVF-PQ, codes_i8 = int8);
+            // a bare IVF index (postings+centroids only) audits clean
+            val spark = SparkSession.active
+            val issues =
+              (if (GraftTable.exists(s"$dir/codes"))
+                graft.operators.Similarity.verifyIvfPqIndex(spark, dir)
+                  .map("codes: " + _)
+              else Seq.empty) ++
+              (if (GraftTable.exists(s"$dir/codes_i8"))
+                graft.operators.Similarity.verifyInt8Index(spark, dir)
+                  .map("codes_i8: " + _)
+              else Seq.empty)
+            val schema = StructType(Seq(
+              StructField("metric", StringType, nullable = false),
+              StructField("value", StringType, nullable = false)))
+            val reportRows =
+              if (issues.isEmpty) Seq("status" -> "clean")
+              else issues.map("issue" -> _)
+            val rs: Array[InternalRow] = reportRows.map { case (m, v) =>
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(m), UTF8String.fromString(v))): InternalRow
+            }.toArray
+            new LocalScan {
+              override def readSchema(): StructType = schema
+              override def rows(): Array[InternalRow] = rs
+            }
           } else if (procName == "dedup_exact" || procName == "decontaminate" ||
               procName == "ann_probe" || procName == "dedup_spans" ||
               procName == "contamination_report" ||
               procName == "source_mix" || procName == "split_assign" ||
-              procName == "quality_votes") {
+              procName == "quality_votes" || procName == "ann_probe_int8") {
             val spark = SparkSession.active
             val (metric, n) = procName match {
               case "dedup_exact" =>
@@ -272,6 +307,14 @@ private[sources] object GraftProcedures {
                 ("results_written",
                   writeResult(graft.operators.Similarity
                     .probeIvfRaw(spark, dir, q), 2))
+              case "ann_probe_int8" =>
+                val qName = checkName(input.getUTF8String(1).toString)
+                val qDir = tableDir(qName)
+                require(GraftTable.exists(qDir), s"no graft table $qName")
+                val q = GraftTable.open(spark, qDir).read()
+                ("results_written",
+                  writeResult(graft.operators.Similarity
+                    .probeIvfInt8Raw(spark, dir, q), 2))
             }
             val schema = StructType(Seq(
               StructField("table", StringType, nullable = false),

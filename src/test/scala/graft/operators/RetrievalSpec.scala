@@ -248,6 +248,43 @@ class RetrievalSpec extends SparkSpec {
     assert(recalls.sum / recalls.size >= 0.8, s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("s18: hamming is the sign-disagreement count; re-rank cosines exact; shortlist respected") {
+    val dir = sf("sf0.001")
+    val emb = graft.Tables.load(spark, dir, "embeddings").collect()
+      .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    def hammingOf(a: Long, b: Long): Long =
+      emb(a).zip(emb(b)).count { case (x, y) => (x >= 0) != (y >= 0) }.toLong
+    def cosOf(a: Long, b: Long): Double = {
+      val (x, y) = (emb(a), emb(b))
+      x.zip(y).foldLeft(0.0)((s, p) => s + p._1 * p._2) /
+        (math.sqrt(x.foldLeft(0.0)((s, v) => s + v * v)) *
+          math.sqrt(y.foldLeft(0.0)((s, v) => s + v * v)))
+    }
+    val got = Similarity.s18BinaryAnn(spark, dir).collect()
+    assert(got.nonEmpty)
+    // the shortlist contract: every result's hamming is within the
+    // query's 20 smallest (ties by vec_id), recomputed sequentially
+    val shortlists = emb.keys.filter(_ < 5).map { q =>
+      q -> emb.keys.filter(_ != q).toSeq
+        .map(id => (hammingOf(q, id), id)).sorted.take(20).map(_._2).toSet
+    }.toMap
+    got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length === 10, s"query $q top-k depth")
+      rows.foreach { r =>
+        val (id, h, cos) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+        assert(h === hammingOf(q, id), s"q=$q id=$id hamming")
+        assert(h >= 0 && h <= emb(q).length, "hamming bounds")
+        assert(math.abs(cos - math.rint(cosOf(q, id) * 1e4) / 1e4) < 5e-5,
+          s"q=$q id=$id exact re-rank cosine")
+        assert(shortlists(q).contains(id), s"q=$q id=$id outside the hamming shortlist")
+      }
+      val byRank = rows.sortBy(_.getLong(4)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b - 1e-9 },
+        s"q=$q cosine non-increasing in rank")
+    }
+  }
+
   test("s16: every negative's label differs from the query's; ranking is the exact cosine order") {
     val dir = sf("sf0.001")
     val labels = graft.Tables.load(spark, dir, "embeddings").collect()

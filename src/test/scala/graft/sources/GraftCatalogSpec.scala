@@ -304,6 +304,28 @@ class GraftCatalogSpec extends SparkSpec {
         .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
       assert(gotA.nonEmpty && gotA === wantA,
         "CALL ann_probe must reproduce the persisted-index probe exactly")
+      // -- ann_probe_int8 ≡ s17's probe; ann_verify audits the root ----
+      val i8root = graft.operators.Similarity.int8IndexDir(spark, dir)
+      Seq("i8meta", "codes_i8").foreach(t =>
+        GraftTable.open(spark, s"$i8root/$t")
+          .cloneTo(s"$warehouse/db1/call_idx/$t"))
+      spark.sql("CALL gcat.system.ann_probe_int8(" +
+        "'db1.call_idx', 'db1.call_q', 'db1.call_topk8')")
+      val gotI = spark.table("gcat.db1.call_topk8")
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      val wantI = graft.operators.Similarity
+        .probeIvfInt8Raw(spark, s"$warehouse/db1/call_idx", rawQ)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      assert(gotI.nonEmpty && gotI === wantI,
+        "CALL ann_probe_int8 must reproduce the persisted int8 probe exactly")
+      val ver = spark.sql("CALL gcat.system.ann_verify('db1.call_idx')")
+        .collect().map(r => r.getString(0) -> r.getString(1))
+      assert(ver.toSeq === Seq("status" -> "clean"),
+        s"fresh index must verify clean, got ${ver.toSeq}")
+      // drop the int8 siblings so the rebuild below exercises the bare
+      // IVF root exactly as before
+      Seq("i8meta", "codes_i8").foreach(t =>
+        GraftTable.drop(s"$warehouse/db1/call_idx/$t"))
       // ann_drift on the fresh clone reads clean
       val drift = spark.sql("CALL gcat.system.ann_drift('db1.call_idx')")
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
