@@ -1078,7 +1078,9 @@ object Similarity {
     * the codes table is restaged RELABELED to the new assignment —
     * code ARRAYS encode vector content against the unchanged codebook,
     * so only their list routing moves — keeping the
-    * [[verifyIvfPqIndex]] label-agreement invariant.
+    * [[verifyIvfPqIndex]] label-agreement invariant; an int8 root's
+    * `codes_i8` relabels the same way (content vs the unchanged
+    * committed scale), keeping [[verifyInt8Index]]'s invariant.
     *
     * Cost: `iters` passes over the postings with a broadcast centroid
     * join (the drift audit's cost × iters) plus one rewrite of
@@ -1102,7 +1104,7 @@ object Similarity {
     * discarded, leaving a silent quantizer/assignment desync. The
     * window is still NOT reader-safe: run with exclusive ownership of
     * the index root, probes quiesced. Returns (nLists, nVectors). */
-  private val RebuildTables = Seq("centroids", "postings", "codes")
+  private val RebuildTables = Seq("centroids", "postings", "codes", "codes_i8")
 
   /** The rebuild swap's crash-recovery preamble, run at the start of
     * every [[rebuildIvfIndex]]: a present [[RebuildSwapMarker]] means
@@ -1209,11 +1211,29 @@ object Similarity {
           codes.schema, GraftTableOptions(sortBy = Seq("label")))
         codesStage.append(codes)
       }
+      // the int8 sibling (s17) relabels exactly like the PQ codes: the
+      // code arrays encode content against the UNCHANGED committed
+      // scale (i8meta), so only the list routing moves
+      val hasI8 = GraftTable.exists(s"$root/codes_i8")
+      if (hasI8) {
+        val codesI8 = GraftTable.open(s, s"$root/codes_i8").read()
+          .drop("label")
+          .join(finalAssign.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .repartitionByRange(nLists, col("label"))
+          .select(col("label"), col("vec_id"), col("code"))
+        val i8Stage = GraftTable.create(s, s"$root/codes_i8_rebuild",
+          codesI8.schema, GraftTableOptions(sortBy = Seq("label")))
+        i8Stage.append(codesI8)
+      }
       // the swap's COMMIT POINT: staging is complete, the marker makes
       // the sequence authoritative — any crash from here on completes
       // on the next call instead of being discarded as stale
       fs.create(marker, false).close()
-      (if (hasCodes) names else names.take(2)).foreach { n =>
+      names.filter {
+        case "codes" => hasCodes
+        case "codes_i8" => hasI8
+        case _ => true
+      }.foreach { n =>
         GraftTable.drop(s"$root/$n")
         GraftTable.open(s, s"$root/${n}_rebuild").cloneTo(s"$root/$n")
         GraftTable.drop(s"$root/${n}_rebuild")

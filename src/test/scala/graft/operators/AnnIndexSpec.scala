@@ -714,6 +714,36 @@ class AnnIndexSpec extends SparkSpec {
     assert(got.head.getDouble(3) === 1.0, "rank 1 must be an exact match")
   }
 
+  test("ann_rebuild relabels the int8 codes too: audit clean, probe exact after") {
+    import spark.implicits._
+    Similarity.s17AnnInt8Persisted(spark, dir).count()
+    val root = Similarity.int8IndexDir(spark, dir)
+    val root2 = tmpDir("int8-rebuild")
+    Seq("centroids", "postings", "i8meta", "codes_i8").foreach(t =>
+      GraftTable.open(spark, s"$root/$t").cloneTo(s"$root2/$t"))
+    val v0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0).select("embedding").head
+      .getSeq[Float](0).toArray
+    Similarity.appendToInt8Index(spark, root2,
+      Seq((5000000L, v0)).toDF("vec_id", "embedding"))
+    val nVecsBefore = GraftTable.open(spark, s"$root2/postings").rowCountFromMetadata()
+    val (_, nVecs) = Similarity.rebuildIvfIndex(spark, root2)
+    assert(nVecs === nVecsBefore, "every vector survives the rebuild")
+    // the relabel kept postings and codes_i8 in the SAME lists — a
+    // rebuild that skipped the int8 sibling would leave mislabeled
+    // rows here (s17-invisible vectors)
+    assert(Similarity.verifyInt8Index(spark, root2) === Seq.empty)
+    val q = GraftTable.open(spark, s"$root2/postings").read()
+      .filter(col("vec_id") === 5000000L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("q_id", lit(-1L))
+    val got = Similarity.probeIvfInt8(spark, root2, q).collect()
+    assert(got.nonEmpty && got.head.getDouble(3) === 1.0,
+      "a planted twin must probe at cos 1.0 through the rebuilt index")
+    Seq("centroids", "postings", "codes", "codes_i8").foreach(n =>
+      assert(!GraftTable.exists(s"$root2/${n}_rebuild")))
+  }
+
   test("int8 audit detects a postings/codes desync a half-failed append leaves") {
     import spark.implicits._
     Similarity.s17AnnInt8Persisted(spark, dir).count()
