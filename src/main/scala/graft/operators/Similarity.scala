@@ -2002,6 +2002,66 @@ object Similarity {
     graft.storage.GraftTable.open(s, s"$root/postings").append(assigned)
   }
 
+  /** Repair a postings/codes_i8 desync left by a failed
+    * [[appendToInt8Index]] — the s17 analog of [[repairIvfPqIndex]],
+    * simpler because int8 codes derive DETERMINISTICALLY from the
+    * postings' vectors and the committed scale: re-encode and append
+    * code rows missing for committed postings, and when orphans or
+    * mislabels exist rewrite the codes table net of both with labels
+    * taken from POSTINGS (the authoritative assignment). Same
+    * crash-recovery contract as the PQ repair: staging into
+    * `codes_i8_repair`, the only destructive step is the final
+    * drop-then-clone swap, and a crash inside the swap completes on
+    * the next run. NOT reader-safe — exclusive ownership, like every
+    * maintenance swap. Duplicates are not auto-repaired (rebuild
+    * instead). Returns (codeRowsAdded, badCodeRowsFixed). */
+  def repairInt8Index(s: SparkSession, root: String): (Long, Long) = {
+    val tmp = s"$root/codes_i8_repair"
+    if (!graft.storage.GraftTable.exists(s"$root/codes_i8")) {
+      require(graft.storage.GraftTable.exists(tmp),
+        s"int8 index at $root has neither codes_i8 nor codes_i8_repair — rebuild it")
+      graft.storage.GraftTable.open(s, tmp).cloneTo(s"$root/codes_i8")
+      graft.storage.GraftTable.drop(tmp)
+    } else if (graft.storage.GraftTable.exists(tmp)) {
+      graft.storage.GraftTable.drop(tmp)
+    }
+    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val codesT = graft.storage.GraftTable.open(s, s"$root/codes_i8")
+    val scaleDf = graft.storage.GraftTable.open(s, s"$root/i8meta").read()
+    def encodeI8(rows: DataFrame): DataFrame =
+      rows.crossJoin(broadcast(scaleDf))
+        .select(col("label"), col("vec_id"),
+          transform(col("v"),
+            x => floor(x / col("nrm") / col("scale") + lit(0.5)).cast("long"))
+            .as("code"))
+    val post = postT.read()
+    val codeIds = codesT.read().select(col("vec_id"))
+    val missing = post.join(codeIds, Seq("vec_id"), "left_anti")
+    val added = if (missing.isEmpty) 0L else codesT.append(encodeI8(missing))
+    val postLabels = post.select(col("vec_id"), col("label").as("p_label"))
+    val orphans = codesT.read()
+      .join(post.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
+    val mislabeled = codesT.read().select(col("vec_id"), col("label"))
+      .join(postLabels, "vec_id")
+      .filter(col("label") =!= col("p_label")).count()
+    if (orphans + mislabeled > 0) {
+      val clean = codesT.read().drop("label")
+        .join(postLabels, Seq("vec_id"))
+        .withColumnRenamed("p_label", "label")
+      val nLists = graft.storage.GraftTable.open(s, s"$root/centroids")
+        .rowCountFromMetadata().toInt.max(1)
+      val staged = clean.repartitionByRange(nLists, col("label"))
+        .select(col("label"), col("vec_id"), col("code"))
+      val tmpT = graft.storage.GraftTable.create(s, tmp, staged.schema,
+        graft.storage.GraftTableOptions(sortBy = Seq("label")))
+      tmpT.append(staged)
+      graft.storage.GraftTable.drop(s"$root/codes_i8")
+      tmpT.cloneTo(s"$root/codes_i8")
+      graft.storage.GraftTable.drop(tmp)
+    }
+    (added, orphans + mislabeled)
+  }
+
   /** Cross-table integrity audit for the int8 index — the postings ↔
     * codes_i8 desync classes [[verifyIvfPqIndex]] checks for s9, over
     * s17's tables: missing code rows (s17-invisible vectors), orphaned

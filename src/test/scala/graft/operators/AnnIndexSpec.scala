@@ -767,5 +767,27 @@ class AnnIndexSpec extends SparkSpec {
     val got = Similarity.probeIvfInt8(spark, root2, q).collect()
     assert(got.nonEmpty && !got.exists(_.getLong(2) === 4000000L),
       "a half-committed vector must stay invisible")
+    // plant the OTHER desync direction too: a posting with no code row
+    val bare = GraftTable.open(spark, s"$root2/postings").read()
+      .filter(col("vec_id") === 1L)
+      .select(col("label"), lit(4100000L).as("vec_id"), col("v"), col("nrm"))
+    GraftTable.open(spark, s"$root2/postings").append(bare)
+    // repair: re-encodes the missing row, drops the orphan, audit clean
+    val (addedRows, fixed) = Similarity.repairInt8Index(spark, root2)
+    assert(addedRows === 1L, s"one missing code row re-encoded, got $addedRows")
+    assert(fixed === 1L, s"one orphan dropped, got $fixed")
+    assert(Similarity.verifyInt8Index(spark, root2) === Seq.empty)
+    // the re-encoded code equals vec 1's (identical vector, committed scale)
+    val codeOf = (id: Long) => GraftTable.open(spark, s"$root2/codes_i8").read()
+      .filter(col("vec_id") === id).select("code").head.getSeq[Long](0).toSeq
+    assert(codeOf(4100000L) === codeOf(1L))
+    // and the repaired vector is now probe-visible at cos = 1
+    val q1 = GraftTable.open(spark, s"$root2/postings").read()
+      .filter(col("vec_id") === 4100000L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("q_id", lit(-1L))
+    val got1 = Similarity.probeIvfInt8(spark, root2, q1).collect()
+    assert(got1.exists(r => r.getLong(2) === 4100000L && r.getDouble(3) === 1.0),
+      s"repaired vector must probe at cos 1.0, got ${got1.toSeq}")
   }
 }
