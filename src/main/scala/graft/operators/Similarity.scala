@@ -689,7 +689,12 @@ object Similarity {
     * contract), so at 100 TB index growth costs ∝ new vectors, not
     * corpus size. Input: (vec_id, embedding). Returns rows appended.
     *
-    * Failure contract: the two commits are independent (there is no
+    * On a root that also carries the int8 `codes_i8` table, that
+    * sibling is appended in the same call ([[appendAssignedToIndex]])
+    * so neither index desyncs because the caller picked this entry
+    * point over [[appendToInt8Index]].
+    *
+    * Failure contract: the commits are independent (there is no
     * cross-table transaction), CODES FIRST — a failure between them
     * leaves an orphaned code row whose candidate the exact re-rank's
     * inner join against postings silently drops, so the vector is
@@ -711,19 +716,56 @@ object Similarity {
     * loud failure is exactly what [[verifyIvfPqIndex]]/
     * [[repairIvfPqIndex]] exist to mop up. */
   def appendToIvfPqIndex(s: SparkSession, root: String, vectors: DataFrame): Long = {
+    require(graft.storage.GraftTable.exists(s"$root/codebook"),
+      s"index at $root has no PQ codebook — use appendToIvfIndex or build via ivfPqIndexDir")
     // NOTE on lifetime: localCheckpoint blocks live OUTSIDE the cache
     // manager (Dataset.unpersist would be a silent no-op on them) and
     // are reclaimed by the ContextCleaner once the checkpointed RDD is
     // garbage-collected — bounded here because the assigned batch is an
     // increment, not the corpus.
     val assigned = assignVectors(s, root, vectors).localCheckpoint(true)
-    val cb = graft.storage.GraftTable.open(s, s"$root/codebook").read()
-    val codesDf = assigned.select(col("label"), col("vec_id"))
-      .join(encodeCodes(assigned.select(col("vec_id"), col("v")), cb), "vec_id")
-      .select(col("label"), col("vec_id"), col("codes"))
-    graft.storage.GraftTable.open(s, s"$root/codes").append(codesDf)
+    appendAssignedToIndex(s, root, assigned)
+  }
+
+  /** Append an assigned batch to EVERY quantized sibling the root
+    * carries, codes first and postings LAST: a root can hold both the
+    * PQ `codes` and the int8 `codes_i8` (the builders share s7's root),
+    * and an append that maintained only the caller's own sibling would
+    * silently desync the other — the appended vectors would be
+    * invisible to that index's probe forever, the exact verify/repair
+    * desync class, created by the API itself. With postings last, a
+    * crash anywhere in the sequence leaves only orphaned code rows
+    * (probe-invisible by the re-rank's inner join; reclaimed by the
+    * repairs), never a half-visible vector. Shared by
+    * [[appendToIvfPqIndex]] and [[appendToInt8Index]], so WHICH entry
+    * point the caller uses does not matter on a multi-index root. */
+  private def appendAssignedToIndex(s: SparkSession, root: String,
+      assigned: DataFrame): Long = {
+    if (graft.storage.GraftTable.exists(s"$root/codes")) {
+      val cb = graft.storage.GraftTable.open(s, s"$root/codebook").read()
+      val codesDf = assigned.select(col("label"), col("vec_id"))
+        .join(encodeCodes(assigned.select(col("vec_id"), col("v")), cb), "vec_id")
+        .select(col("label"), col("vec_id"), col("codes"))
+      graft.storage.GraftTable.open(s, s"$root/codes").append(codesDf)
+    }
+    if (graft.storage.GraftTable.exists(s"$root/codes_i8")) {
+      val scaleDf = graft.storage.GraftTable.open(s, s"$root/i8meta").read()
+      graft.storage.GraftTable.open(s, s"$root/codes_i8")
+        .append(int8EncodeAssigned(assigned, scaleDf))
+    }
     graft.storage.GraftTable.open(s, s"$root/postings").append(assigned)
   }
+
+  /** (label, vec_id, code): int8 codes for assigned (label, vec_id, v,
+    * nrm) rows against the committed ONE-row scale frame — the shared
+    * encode of [[appendAssignedToIndex]] and [[repairInt8Index]]. */
+  private def int8EncodeAssigned(assigned: DataFrame,
+      scaleDf: DataFrame): DataFrame =
+    assigned.crossJoin(broadcast(scaleDf))
+      .select(col("label"), col("vec_id"),
+        transform(col("v"),
+          x => floor(x / col("nrm") / col("scale") + lit(0.5)).cast("long"))
+          .as("code"))
 
   /** Cross-table integrity audit for the composed index — the per-table
     * `GraftTable.verify` cannot see a postings/codes DESYNC (each table
@@ -1888,7 +1930,13 @@ object Similarity {
       metaT.append(metaDf)
       val nLists = graft.storage.GraftTable.open(s, s"$root/centroids")
         .rowCountFromMetadata().toInt.max(1)
-      val codesDf = int8Codes(e).select(col("label"), col("vec_id"), col("code"))
+      // encode against the JUST-COMMITTED scale (one corpus pass for
+      // the aggregate, not two — the probe consumes i8meta the same way)
+      val scaleDf = metaT.read()
+      val codesDf = int8Unit(e).crossJoin(broadcast(scaleDf))
+        .select(col("label"), col("vec_id"),
+          transform(col("u"),
+            x => floor(x / col("scale") + lit(0.5)).cast("long")).as("code"))
         .repartitionByRange(nLists, col("label"))
       val codesT = graft.storage.GraftTable.create(s, s"$root/codes_i8",
         codesDf.schema, graft.storage.GraftTableOptions(sortBy = Seq("label")))
@@ -1988,18 +2036,17 @@ object Similarity {
     * consistently "not yet indexed" for both s7 and s17). New vectors
     * are assigned against the COMMITTED centroids and encoded against
     * the COMMITTED scale; the assigned batch is localCheckpoint-
-    * materialized so both commits see the same rows (the
-    * appendToIvfPqIndex nondeterminism discipline). Input:
+    * materialized so every commit sees the same rows (the
+    * appendToIvfPqIndex nondeterminism discipline). On a root that
+    * ALSO carries the PQ `codes` table, the PQ sibling is appended in
+    * the same call ([[appendAssignedToIndex]]) — neither index ever
+    * desyncs because the caller picked the other entry point. Input:
     * (vec_id, embedding). Returns rows appended. */
   def appendToInt8Index(s: SparkSession, root: String, vectors: DataFrame): Long = {
+    require(graft.storage.GraftTable.exists(s"$root/i8meta"),
+      s"index at $root has no committed int8 scale — build via int8IndexDir")
     val assigned = assignVectors(s, root, vectors).localCheckpoint(true)
-    val scaleDf = graft.storage.GraftTable.open(s, s"$root/i8meta").read()
-    val codesDf = assigned.crossJoin(broadcast(scaleDf))
-      .select(col("label"), col("vec_id"),
-        transform(col("v"),
-          x => floor(x / col("nrm") / col("scale") + lit(0.5)).cast("long")).as("code"))
-    graft.storage.GraftTable.open(s, s"$root/codes_i8").append(codesDf)
-    graft.storage.GraftTable.open(s, s"$root/postings").append(assigned)
+    appendAssignedToIndex(s, root, assigned)
   }
 
   /** Repair a postings/codes_i8 desync left by a failed
@@ -2028,16 +2075,12 @@ object Similarity {
     val postT = graft.storage.GraftTable.open(s, s"$root/postings")
     val codesT = graft.storage.GraftTable.open(s, s"$root/codes_i8")
     val scaleDf = graft.storage.GraftTable.open(s, s"$root/i8meta").read()
-    def encodeI8(rows: DataFrame): DataFrame =
-      rows.crossJoin(broadcast(scaleDf))
-        .select(col("label"), col("vec_id"),
-          transform(col("v"),
-            x => floor(x / col("nrm") / col("scale") + lit(0.5)).cast("long"))
-            .as("code"))
     val post = postT.read()
     val codeIds = codesT.read().select(col("vec_id"))
     val missing = post.join(codeIds, Seq("vec_id"), "left_anti")
-    val added = if (missing.isEmpty) 0L else codesT.append(encodeI8(missing))
+    val added =
+      if (missing.isEmpty) 0L
+      else codesT.append(int8EncodeAssigned(missing, scaleDf))
     val postLabels = post.select(col("vec_id"), col("label").as("p_label"))
     val orphans = codesT.read()
       .join(post.select(col("vec_id")), Seq("vec_id"), "left_anti").count()

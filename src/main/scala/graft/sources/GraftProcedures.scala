@@ -144,9 +144,13 @@ private[sources] object GraftProcedures {
           if (indexProc) {
             require(GraftTable.exists(s"$dir/postings"),
               s"no persisted ANN index at $tableName")
-            if (procName == "ann_probe_int8")
+            if (procName == "ann_probe_int8") {
               require(GraftTable.exists(s"$dir/codes_i8"),
                 s"index $tableName has no int8 codes (build via int8IndexDir)")
+              require(GraftTable.exists(s"$dir/i8meta"),
+                s"index $tableName has int8 codes but no committed scale " +
+                  "(i8meta) — clone the pair together or rebuild via int8IndexDir")
+            }
           } else require(GraftTable.exists(dir), s"no graft table $tableName")
           lazy val t = GraftTable.open(SparkSession.active, dir)
           /** Run a distributed operator, commit its result to a FRESH
@@ -237,15 +241,24 @@ private[sources] object GraftProcedures {
             // the index root carries (codes = IVF-PQ, codes_i8 = int8);
             // a bare IVF index (postings+centroids only) audits clean
             val spark = SparkSession.active
-            val issues =
-              (if (GraftTable.exists(s"$dir/codes"))
+            // prefixes name the AUDIT, not a table (each audit also
+            // checks postings); when both audits run, the int8 pass
+            // drops its postings-duplicate line — the PQ pass already
+            // reported that (table-level) defect, and double-counting
+            // would make one defect read as two
+            val pqIssues =
+              if (GraftTable.exists(s"$dir/codes"))
                 graft.operators.Similarity.verifyIvfPqIndex(spark, dir)
-                  .map("codes: " + _)
-              else Seq.empty) ++
-              (if (GraftTable.exists(s"$dir/codes_i8"))
-                graft.operators.Similarity.verifyInt8Index(spark, dir)
-                  .map("codes_i8: " + _)
-              else Seq.empty)
+                  .map("pq: " + _)
+              else Seq.empty
+            val i8Issues =
+              if (GraftTable.exists(s"$dir/codes_i8")) {
+                val raw = graft.operators.Similarity.verifyInt8Index(spark, dir)
+                (if (pqIssues.nonEmpty || GraftTable.exists(s"$dir/codes"))
+                  raw.filterNot(_.contains("in postings ("))
+                else raw).map("int8: " + _)
+              } else Seq.empty
+            val issues = pqIssues ++ i8Issues
             val schema = StructType(Seq(
               StructField("metric", StringType, nullable = false),
               StructField("value", StringType, nullable = false)))

@@ -744,6 +744,40 @@ class AnnIndexSpec extends SparkSpec {
       assert(!GraftTable.exists(s"$root2/${n}_rebuild")))
   }
 
+  test("append through EITHER entry point maintains BOTH quantized siblings on a shared root") {
+    import spark.implicits._
+    Similarity.s9AnnIvfPq(spark, dir).count()    // forces codes + codebook
+    Similarity.s17AnnInt8Persisted(spark, dir).count() // forces codes_i8 + i8meta
+    val root = Similarity.int8IndexDir(spark, dir) // == ivfPqIndexDir's root
+    val root2 = tmpDir("sibling-append")
+    Seq("centroids", "postings", "codebook", "codes", "i8meta", "codes_i8")
+      .foreach(t => GraftTable.open(spark, s"$root/$t").cloneTo(s"$root2/$t"))
+    val v0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0).select("embedding").head
+      .getSeq[Float](0).toArray
+    // int8 entry point must also maintain the PQ codes…
+    Similarity.appendToInt8Index(spark, root2,
+      Seq((6000000L, v0)).toDF("vec_id", "embedding"))
+    // …and the PQ entry point the int8 codes
+    Similarity.appendToIvfPqIndex(spark, root2,
+      Seq((6000001L, v0)).toDF("vec_id", "embedding"))
+    assert(Similarity.verifyIvfPqIndex(spark, root2) === Seq.empty,
+      "PQ index must stay consistent whichever append ran")
+    assert(Similarity.verifyInt8Index(spark, root2) === Seq.empty,
+      "int8 index must stay consistent whichever append ran")
+    // both probes surface both appended twins at cos = 1
+    val q = GraftTable.open(spark, s"$root2/postings").read()
+      .filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("q_id", lit(-1L))
+    val pq = Similarity.probeIvfPq(spark, root2, q).collect()
+      .filter(r => r.getLong(2) >= 6000000L).map(_.getDouble(3))
+    val i8 = Similarity.probeIvfInt8(spark, root2, q).collect()
+      .filter(r => r.getLong(2) >= 6000000L).map(_.getDouble(3))
+    assert(pq.length === 2 && pq.forall(_ === 1.0), s"pq probe sees both twins: ${pq.toSeq}")
+    assert(i8.length === 2 && i8.forall(_ === 1.0), s"int8 probe sees both twins: ${i8.toSeq}")
+  }
+
   test("int8 audit detects a postings/codes desync a half-failed append leaves") {
     import spark.implicits._
     Similarity.s17AnnInt8Persisted(spark, dir).count()
