@@ -2029,6 +2029,23 @@ object Similarity {
     probeIvfInt8(s, root, q).orderBy("q_id", "rank")
   }
 
+  /** s19: the FILTERED probe of the persisted int8 index — s17 scoped
+    * to a metadata id-universe (the s12/s14 composition at this rung):
+    * the `lang='en'` universe lands as a keyed LEFT SEMI join on the
+    * codes scan BEFORE the integer shortlist, so the top candidates are
+    * drawn from the filtered universe and the exact re-rank touches
+    * only filtered ids. */
+  def s19FilteredInt8(s: SparkSession, dir: String): DataFrame = {
+    val root = int8IndexDir(s, dir)
+    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val q = postT.read().filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val en = Tables.load(s, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").cast("long").as("id"))
+    probeIvfInt8(s, root, q, Some(en)).orderBy("q_id", "rank")
+  }
+
   /** Incremental int8-index maintenance (the s17 analog of
     * [[appendToIvfPqIndex]], same CODES-FIRST failure contract: an
     * orphaned code row's candidate is dropped by the exact re-rank's
@@ -2150,6 +2167,7 @@ object Similarity {
     "s16_hard_negatives" -> s16HardNegatives _,
     "s17_int8_persisted" -> s17AnnInt8Persisted _,
     "s18_binary_ann" -> s18BinaryAnn _,
+    "s19_filtered_int8" -> s19FilteredInt8 _,
   )
 
   import OracleSql._
@@ -2334,6 +2352,50 @@ object Similarity {
        |  list_transform(range(1, len($a)+1),
        |    i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
        |  (x, y) -> x + y)""".stripMargin
+
+  /** s17's oracle body, parameterized for the FILTERED twin (s19):
+    * `extraCtes` prepends a filter CTE, `candFilter` lands inside the
+    * integer SHORTLIST stage's WHERE — the oracle-side mirror of
+    * [[probeIvfInt8]]'s `filterIds` semi join on the codes scan (before
+    * the shortlist, so top candidates come from the filtered universe).
+    * One definition, so the plain and filtered oracles cannot drift —
+    * the s9OracleSql/s14 pattern at the int8 rung. */
+  private def s17OracleSql(extraCtes: String, candFilter: String): String =
+    s"""WITH $int8Ctes,
+       |${extraCtes}cent AS (
+       |  SELECT label, list(CAST(sq AS DOUBLE) ORDER BY i) cv FROM (
+       |    SELECT label, i, sum(CAST(round(embedding[i]::DOUBLE * $Quant) AS BIGINT)) sq
+       |    FROM embeddings CROSS JOIN range(1, 65) r(i)
+       |    GROUP BY label, i) GROUP BY label),
+       |cn AS (SELECT label, cv, ${normSql("cv")} cnrm FROM cent),
+       |assigned AS (
+       |  SELECT q_id, label FROM (
+       |    SELECT q.vec_id q_id, cn.label,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dotSql("q.v", "cn.cv")} / (q.nrm * cn.cnrm) DESC,
+       |                 cn.label) arn
+       |    FROM n q CROSS JOIN cn WHERE q.vec_id < $NumQueries)
+       |  WHERE arn = 1),
+       |short AS (
+       |  SELECT a.q_id, t.vec_id,
+       |    ${intDotSql("qc.code", "t.code")} iscore
+       |  FROM c t
+       |  JOIN assigned a ON a.label = t.label
+       |  JOIN c qc ON qc.vec_id = a.q_id
+       |  WHERE t.vec_id != a.q_id$candFilter),
+       |shortr AS (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY iscore DESC, vec_id) crn
+       |  FROM short),
+       |rer AS (SELECT sr.q_id, cv.label, cv.vec_id,
+       |    ${dotSql("qv.v", "cv.v")} / (qv.nrm * cv.nrm) cos
+       |  FROM shortr sr
+       |  JOIN n cv ON cv.vec_id = sr.vec_id
+       |  JOIN n qv ON qv.vec_id = sr.q_id
+       |  WHERE sr.crn <= $I8Rerank)
+       |SELECT q_id, label, vec_id, round(cos, 4) cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) rank FROM rer)
+       |WHERE rank <= $IvfTopK ORDER BY q_id, rank""".stripMargin
 
   /** The shared int8 quantization CTE chain (e/n/u/g/c, label carried):
     * normalize → global max |u_i| → ONE corpus scale → floor(u/s + 0.5)
@@ -2571,42 +2633,14 @@ object Similarity {
     // s17: s2's centroid assignment + the shared int8 chain + the
     // integer shortlist (top-I8Rerank by BIGINT score, vec_id ties) +
     // the exact re-rank — the SQL replay of probeIvfInt8's four stages.
-    "s17_int8_persisted" ->
-      (s"""WITH $int8Ctes,
-         |cent AS (
-         |  SELECT label, list(CAST(sq AS DOUBLE) ORDER BY i) cv FROM (
-         |    SELECT label, i, sum(CAST(round(embedding[i]::DOUBLE * $Quant) AS BIGINT)) sq
-         |    FROM embeddings CROSS JOIN range(1, 65) r(i)
-         |    GROUP BY label, i) GROUP BY label),
-         |cn AS (SELECT label, cv, ${normSql("cv")} cnrm FROM cent),
-         |assigned AS (
-         |  SELECT q_id, label FROM (
-         |    SELECT q.vec_id q_id, cn.label,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${dotSql("q.v", "cn.cv")} / (q.nrm * cn.cnrm) DESC,
-         |                 cn.label) arn
-         |    FROM n q CROSS JOIN cn WHERE q.vec_id < $NumQueries)
-         |  WHERE arn = 1),
-         |short AS (
-         |  SELECT a.q_id, t.vec_id,
-         |    ${intDotSql("qc.code", "t.code")} iscore
-         |  FROM c t
-         |  JOIN assigned a ON a.label = t.label
-         |  JOIN c qc ON qc.vec_id = a.q_id
-         |  WHERE t.vec_id != a.q_id),
-         |shortr AS (SELECT q_id, vec_id,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY iscore DESC, vec_id) crn
-         |  FROM short),
-         |rer AS (SELECT sr.q_id, cv.label, cv.vec_id,
-         |    ${dotSql("qv.v", "cv.v")} / (qv.nrm * cv.nrm) cos
-         |  FROM shortr sr
-         |  JOIN n cv ON cv.vec_id = sr.vec_id
-         |  JOIN n qv ON qv.vec_id = sr.q_id
-         |  WHERE sr.crn <= $I8Rerank)
-         |SELECT q_id, label, vec_id, round(cos, 4) cos, rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY cos DESC, vec_id) rank FROM rer)
-         |WHERE rank <= $IvfTopK ORDER BY q_id, rank""".stripMargin),
+    // s19 is the same body with the filter CTE + shortlist-stage
+    // predicate (the s9/s14 parameterization pattern).
+    "s17_int8_persisted" -> s17OracleSql("", ""),
+    "s19_filtered_int8" -> s17OracleSql(
+      """en3 AS (SELECT CAST(doc_id AS BIGINT) id FROM documents
+        |        WHERE lang = 'en'),
+        |""".stripMargin,
+      "\n    AND t.vec_id IN (SELECT id FROM en3)"),
     // s18 replays: per-pair sign-disagreement count (≡ popcount of the
     // XOR of the sign codes — integer-exact), shortlist by (hamming,
     // vec_id), exact cosine re-rank.

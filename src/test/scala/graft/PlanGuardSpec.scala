@@ -78,8 +78,10 @@ class PlanGuardSpec extends SparkSpec {
       "s14_filtered_ivfpq", "q49_anti_avg", "q55_top_supplier",
       // s18: s1's ≤5-row broadcast query set joined on =!= (the Hamming
       // shortlist and re-rank stay inside that one scan)
+      // s19: s17's assignment/scale crossJoins; the filter is a keyed
+      // LEFT SEMI join on the codes scan (the s12/s14 pattern)
       "t17_token_votes", "s15_int8_ann", "s16_hard_negatives",
-      "s17_int8_persisted", "s18_binary_ann")
+      "s17_int8_persisted", "s18_binary_ann", "s19_filtered_int8")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")

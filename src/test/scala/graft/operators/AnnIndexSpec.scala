@@ -744,6 +744,25 @@ class AnnIndexSpec extends SparkSpec {
       assert(!GraftTable.exists(s"$root2/${n}_rebuild")))
   }
 
+  test("s19: filtered int8 probe returns only filter-universe ids, k dense per query") {
+    import org.apache.spark.sql.functions.col
+    val en = Tables.load(spark, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSet
+    val got = Similarity.s19FilteredInt8(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(en.contains(r.getLong(2)),
+        s"id ${r.getLong(2)} outside the filter universe")
+    }
+    // the filter never shrinks a query below k while enough candidates
+    // exist in the probed list ∩ universe; ranks stay dense from 1
+    got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val ranks = rows.map(_.getLong(4)).sorted.toSeq
+      assert(ranks === (1L to ranks.length), s"q=$q dense ranks")
+    }
+  }
+
   test("append through EITHER entry point maintains BOTH quantized siblings on a shared root") {
     import spark.implicits._
     Similarity.s9AnnIvfPq(spark, dir).count()    // forces codes + codebook
