@@ -241,9 +241,15 @@ object Events {
   }
 
   val oracles: Map[String, String] = Map(
+    // floor() before the BIGINT cast: DuckDB's epoch(ts) carries the
+    // fractional microseconds and CAST(DOUBLE AS BIGINT) ROUNDS, while
+    // Spark's unix_timestamp TRUNCATES to seconds — an event with ≥.5 s
+    // of fraction adjacent to a 6 h boundary would land in different
+    // windows (caught as a one-count sf0.1 mismatch; sf0.01 has no such
+    // event). floor ≡ trunc here (epochs are positive).
     "e11_trending" ->
       """WITH grid AS (
-        |  SELECT CAST(epoch(ts) AS BIGINT) // 21600 win6h, event_type,
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 21600 win6h, event_type,
         |         count(*) cnt
         |  FROM events GROUP BY 1, 2),
         |l AS (SELECT win6h, event_type, cnt,
