@@ -196,6 +196,28 @@ object Similarity {
     probeIvf(s, root, q).orderBy("q_id", "rank")
   }
 
+  /** s20's probe width — 3 of the index's ~10 lists: wide enough that
+    * the recall gain over the single-probe s7 is visible, narrow enough
+    * that the scan still prunes most files. */
+  private[operators] val MultiProbe = 3
+
+  /** s20: MULTI-PROBE ANN from the persisted index — s7's probe widened
+    * to each query's [[MultiProbe]] nearest lists, the standard IVF
+    * recall/cost dial (production deployments tune nprobe instead of
+    * rebuilding the index when recall is short). Scan cost grows
+    * ~linearly in nprobe (still zone-map-pruned to the probed lists'
+    * files); recall is monotone in nprobe and converges to the exact
+    * scan at nprobe = nlist (AnnIndexSpec pins both ends). The oracle is
+    * s2's body with the assignment rank widened — one shared SQL
+    * definition ([[s2OracleSql]]), so the two cannot drift. */
+  def s20MultiprobeIvf(s: SparkSession, dir: String): DataFrame = {
+    val root = ivfIndexDir(s, dir)
+    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val q = postT.read().filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    probeIvf(s, root, q, nprobe = MultiProbe).orderBy("q_id", "rank")
+  }
+
   /** Score one bounded query batch — (q_id, qv: array<double>, qn) —
     * against the persisted index: assignment vs the broadcast committed
     * centroids, then top-k over ONLY the probed lists' zone-map-pruned
@@ -212,11 +234,17 @@ object Similarity {
     * pre-filter contract composed with the index path), the filter side
     * is never collected (it may be a fixed fraction of the corpus —
     * AQE broadcasts it only when it fits), and scoring cost is
-    * ∝ |probed lists ∩ filter|. */
+    * ∝ |probed lists ∩ filter|.
+    *
+    * `nprobe` widens each query to its n nearest lists (the standard
+    * IVF recall/cost dial): scan cost grows ~linearly in nprobe while
+    * recall converges to the exact scan at nprobe = nlist — the knob a
+    * production deployment tunes instead of rebuilding the index. */
   private[graft] def probeIvf(s: SparkSession, root: String,
-      q: DataFrame, filterIds: Option[DataFrame] = None): DataFrame = {
+      q: DataFrame, filterIds: Option[DataFrame] = None,
+      nprobe: Int = 1): DataFrame = {
     val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    probeCandidatesIvf(s, root, q, filterIds)
+    probeCandidatesIvf(s, root, q, filterIds, nprobe)
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= IvfTopK)
       .select(col("q_id"), col("label"), col("vec_id"),
@@ -231,11 +259,12 @@ object Similarity {
     * index. Cost is the probe's scan cost; ranking/rounding stays in
     * the consumers. */
   private[graft] def probeCandidatesIvf(s: SparkSession, root: String,
-      q: DataFrame, filterIds: Option[DataFrame] = None): DataFrame = {
+      q: DataFrame, filterIds: Option[DataFrame] = None,
+      nprobe: Int = 1): DataFrame = {
     val postT = graft.storage.GraftTable.open(s, s"$root/postings")
     val cent = graft.storage.GraftTable.open(s, s"$root/centroids").read()
-    val assigned = assignQueryBatch(q, cent)
-    // bounded collect: one probed list per query
+    val assigned = assignQueryBatch(q, cent, nprobe)
+    // bounded collect: ≤ nprobe probed lists per query
     val probes = assigned.select("alabel").distinct().collect().map(_.get(0))
     val files =
       if (probes.isEmpty) Seq.empty
@@ -287,9 +316,9 @@ object Similarity {
     * must not fork. */
   private[graft] def ragPoolFromIndex(s: SparkSession, root: String,
       q: DataFrame, toks: DataFrame,
-      filterIds: Option[DataFrame]): DataFrame = {
+      filterIds: Option[DataFrame], nprobe: Int = 1): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    probeCandidatesIvf(s, root, q, filterIds)
+    probeCandidatesIvf(s, root, q, filterIds, nprobe)
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") <= MmrPool)
       .join(toks, col("vec_id") === col("tid"))
@@ -301,26 +330,32 @@ object Similarity {
     * a stored query table has. Shared with the SQL CALL surface
     * (`CALL graft.system.ann_probe`). */
   def probeIvfRaw(s: SparkSession, root: String, rawQueries: DataFrame,
-      filterIds: Option[DataFrame] = None): DataFrame =
-    probeIvf(s, root, normalizeQueryFrame(rawQueries), filterIds)
+      filterIds: Option[DataFrame] = None, nprobe: Int = 1): DataFrame =
+    probeIvf(s, root, normalizeQueryFrame(rawQueries), filterIds, nprobe)
 
   /** [[probeIvfInt8]] over RAW `(vec_id, embedding)` query rows — the
     * int8 sibling of [[probeIvfRaw]], shared with the SQL CALL surface
     * (`CALL graft.system.ann_probe_int8`). */
   def probeIvfInt8Raw(s: SparkSession, root: String, rawQueries: DataFrame,
-      filterIds: Option[DataFrame] = None): DataFrame =
-    probeIvfInt8(s, root, normalizeQueryFrame(rawQueries), filterIds)
+      filterIds: Option[DataFrame] = None, nprobe: Int = 1): DataFrame =
+    probeIvfInt8(s, root, normalizeQueryFrame(rawQueries), filterIds, nprobe)
 
   /** Nearest-committed-centroid assignment of a bounded QUERY batch:
     * (q_id, qv, qn, alabel) — the shared first step of the s7 and s9
-    * probes (fixing a tie-break or rename here fixes both). */
-  private def assignQueryBatch(q: DataFrame, cent: DataFrame): DataFrame = {
+    * probes (fixing a tie-break or rename here fixes both). `nprobe > 1`
+    * emits one row per (query, probed list) — the standard IVF recall
+    * knob: each query searches its `nprobe` NEAREST lists instead of
+    * only the closest, and the candidate union converges to the exact
+    * scan as nprobe → nlist. Candidates never duplicate across probes
+    * because the lists partition the corpus. */
+  private def assignQueryBatch(q: DataFrame, cent: DataFrame,
+      nprobe: Int = 1): DataFrame = {
     val wAssign = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("clabel"))
     q.crossJoin(broadcast(cent.withColumnRenamed("label", "clabel")))
       .select(col("q_id"), col("qv"), col("qn"), col("clabel"),
         cosine(col("qv"), col("cv"), col("qn"), col("cnrm")).as("ccos"))
       .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
+      .filter(col("arn") <= nprobe)
       .select(col("q_id"), col("qv"), col("qn"), col("clabel").as("alabel"))
   }
 
@@ -1323,12 +1358,13 @@ object Similarity {
     * is selective inside the shortlist), and the exact re-rank then
     * touches only filtered ids. */
   private[graft] def probeIvfPq(s: SparkSession, root: String,
-      q: DataFrame, filterIds: Option[DataFrame] = None): DataFrame = {
+      q: DataFrame, filterIds: Option[DataFrame] = None,
+      nprobe: Int = 1): DataFrame = {
     val postT = graft.storage.GraftTable.open(s, s"$root/postings")
     val codesT = graft.storage.GraftTable.open(s, s"$root/codes")
     val cent = graft.storage.GraftTable.open(s, s"$root/centroids").read()
-    val assigned = assignQueryBatch(q, cent)
-    // bounded collect: one probed list per query
+    val assigned = assignQueryBatch(q, cent, nprobe)
+    // bounded collect: ≤ nprobe probed lists per query
     val probes = assigned.select("alabel").distinct().collect().map(_.get(0))
     def empty = s.createDataFrame(
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -1958,13 +1994,14 @@ object Similarity {
     * candidates are drawn from the filtered universe (the s12/s14
     * composition contract). */
   private[graft] def probeIvfInt8(s: SparkSession, root: String,
-      q: DataFrame, filterIds: Option[DataFrame] = None): DataFrame = {
+      q: DataFrame, filterIds: Option[DataFrame] = None,
+      nprobe: Int = 1): DataFrame = {
     val postT = graft.storage.GraftTable.open(s, s"$root/postings")
     val codesT = graft.storage.GraftTable.open(s, s"$root/codes_i8")
     val cent = graft.storage.GraftTable.open(s, s"$root/centroids").read()
     val scaleDf = graft.storage.GraftTable.open(s, s"$root/i8meta").read()
-    val assigned = assignQueryBatch(q, cent)
-    // bounded collect: one probed list per query
+    val assigned = assignQueryBatch(q, cent, nprobe)
+    // bounded collect: ≤ nprobe probed lists per query
     val probes = assigned.select("alabel").distinct().collect().map(_.get(0))
     def empty = s.createDataFrame(
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -2168,6 +2205,7 @@ object Similarity {
     "s17_int8_persisted" -> s17AnnInt8Persisted _,
     "s18_binary_ann" -> s18BinaryAnn _,
     "s19_filtered_int8" -> s19FilteredInt8 _,
+    "s20_multiprobe_ivf" -> s20MultiprobeIvf _,
   )
 
   import OracleSql._
@@ -2421,6 +2459,43 @@ object Similarity {
        |  list_transform(range(1, len($a)+1), i -> $a[i] * $b[i])),
        |  (x, y) -> x + y)""".stripMargin
 
+  /** The IVF oracle body, parameterized by probe width: s2/s7 run it at
+    * nprobe = 1, s20 at [[MultiProbe]] — `arn <= nprobe` in the
+    * assignment CTE is the ONLY difference, mirroring
+    * [[assignQueryBatch]]'s rank filter. Candidates never duplicate
+    * across probes (each vector lives in exactly one list), so the
+    * scored join needs no DISTINCT. One definition, so the single- and
+    * multi-probe oracles cannot drift. */
+  private def s2OracleSql(nprobe: Int): String =
+    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, label, v, ${normSql("v")} nrm FROM e),
+       |cent AS (
+       |  SELECT label, list(CAST(sq AS DOUBLE) ORDER BY i) cv FROM (
+       |    SELECT label, i, sum(CAST(round(embedding[i]::DOUBLE * $Quant) AS BIGINT)) sq
+       |    FROM embeddings CROSS JOIN range(1, 65) r(i)
+       |    GROUP BY label, i) GROUP BY label),
+       |cn AS (SELECT label, cv, ${normSql("cv")} cnrm FROM cent),
+       |assigned AS (
+       |  SELECT q_id, label FROM (
+       |    SELECT q.vec_id q_id, cn.label,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dotSql("q.v", "cn.cv")} / (q.nrm * cn.cnrm) DESC,
+       |                 cn.label) arn
+       |    FROM n q CROSS JOIN cn WHERE q.vec_id < $NumQueries)
+       |  WHERE arn <= $nprobe),
+       |scored AS (
+       |  SELECT a.q_id, c.label, c.vec_id,
+       |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) cos
+       |  FROM assigned a
+       |  JOIN n q ON q.vec_id = a.q_id
+       |  JOIN n c ON c.label = a.label AND c.vec_id != a.q_id),
+       |ranked AS (SELECT q_id, label, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rank
+       |  FROM scored)
+       |SELECT q_id, label, vec_id, round(cos, 4) cos, rank FROM ranked
+       |WHERE rank <= $IvfTopK ORDER BY q_id, rank""".stripMargin
+
   private val oraclesBase: Map[String, String] = Map(
     "s8_hybrid_retrieval" ->
       (s"""WITH ${OracleSql.shingleCte},
@@ -2581,35 +2656,10 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, vec_id, round(cos, 4) cos, rank FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin),
-    "s2_ann_ivf" ->
-      (s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v
-         |           FROM embeddings),
-         |n AS (SELECT vec_id, label, v, ${normSql("v")} nrm FROM e),
-         |cent AS (
-         |  SELECT label, list(CAST(sq AS DOUBLE) ORDER BY i) cv FROM (
-         |    SELECT label, i, sum(CAST(round(embedding[i]::DOUBLE * $Quant) AS BIGINT)) sq
-         |    FROM embeddings CROSS JOIN range(1, 65) r(i)
-         |    GROUP BY label, i) GROUP BY label),
-         |cn AS (SELECT label, cv, ${normSql("cv")} cnrm FROM cent),
-         |assigned AS (
-         |  SELECT q_id, label FROM (
-         |    SELECT q.vec_id q_id, cn.label,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${dotSql("q.v", "cn.cv")} / (q.nrm * cn.cnrm) DESC,
-         |                 cn.label) arn
-         |    FROM n q CROSS JOIN cn WHERE q.vec_id < $NumQueries)
-         |  WHERE arn = 1),
-         |scored AS (
-         |  SELECT a.q_id, c.label, c.vec_id,
-         |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) cos
-         |  FROM assigned a
-         |  JOIN n q ON q.vec_id = a.q_id
-         |  JOIN n c ON c.label = a.label AND c.vec_id != a.q_id),
-         |ranked AS (SELECT q_id, label, vec_id, cos,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rank
-         |  FROM scored)
-         |SELECT q_id, label, vec_id, round(cos, 4) cos, rank FROM ranked
-         |WHERE rank <= $IvfTopK ORDER BY q_id, rank""".stripMargin),
+    "s2_ann_ivf" -> s2OracleSql(1),
+    // s20: the SAME body with the assignment rank widened to MultiProbe
+    // nearest lists — the shared definition is the drift guard.
+    "s20_multiprobe_ivf" -> s2OracleSql(MultiProbe),
     // s15 replays the exact quantization chain (the SHARED int8Ctes —
     // s17's oracle rides the same definition, so the in-memory and
     // persisted rungs cannot drift): normalize → global max |u_i|

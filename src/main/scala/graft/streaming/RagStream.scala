@@ -21,9 +21,12 @@ import graft.storage.GraftTable
   * batch entry cannot drift in serving semantics.
   *
   * vs p4: same semantics, different POOL — p4's oracle-exact entry
-  * ranks the pool by brute-force scan; this twin reads ~1/nlist of the
-  * corpus through the index, the production trade (the pool is the
-  * probed list's best, not the global best).
+  * ranks the pool by brute-force scan; this twin reads ~nprobe/nlist of
+  * the corpus through the index, the production trade (the pool is the
+  * probed lists' best, not the global best). `nprobe` is the dial
+  * between the two: scan cost grows ~linearly in it while the pool
+  * converges to p4's global best at nprobe = nlist — recall tuning
+  * without an index rebuild.
   *
   * Stream-static discipline, like [[AnnStream]]: a query's context
   * depends only on its own row, the COMMITTED index, and the static
@@ -42,7 +45,8 @@ object RagStream {
   def start(incoming: DataFrame, indexRoot: String, docs: DataFrame,
       dest: GraftTable, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      filterIds: Option[DataFrame] = None): StreamingQuery = {
+      filterIds: Option[DataFrame] = None,
+      nprobe: Int = 1): StreamingQuery = {
     val id = GraftStreamIngest.txnId(checkpoint)
     val toks = Similarity.docTokenCounts(docs)
     incoming.writeStream
@@ -51,7 +55,8 @@ object RagStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val q = Similarity.normalizeQueryFrame(batch)
-        val pool = Similarity.ragPoolFromIndex(s, indexRoot, q, toks, filterIds)
+        val pool = Similarity.ragPoolFromIndex(s, indexRoot, q, toks,
+          filterIds, nprobe)
         dest.appendStream(
           Similarity.mmrPackStage(s, pool).orderBy("q_id", "rank"),
           id, batchId)

@@ -36,6 +36,67 @@ class AnnIndexSpec extends SparkSpec {
     assert(covered.size === all, "the union of list probes covers every file")
   }
 
+  test("s20 multi-probe: nprobe=1 degenerates to s7; candidates stay inside each query's 3 nearest lists") {
+    val root = Similarity.ivfIndexDir(spark, dir)
+    val post = GraftTable.open(spark, s"$root/postings")
+    val q = post.read().filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val single = Similarity.probeIvf(spark, root, q, nprobe = 1)
+      .orderBy("q_id", "rank").collect()
+    val s7 = Similarity.s7AnnPersisted(spark, dir).collect()
+    assert(single.map(_.toSeq).toSeq === s7.map(_.toSeq).toSeq,
+      "the probe-width dial at 1 must be exactly the single-probe path")
+
+    // each query's returned labels ⊆ its 3 nearest centroid labels
+    val cent = GraftTable.open(spark, s"$root/centroids").read().collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val qRows = q.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val nearest3 = qRows.map { case (qid, qv, qn) =>
+      qid -> cent.sortBy { case (l, cv, cn) =>
+        (-dot(qv, cv) / (qn * cn), l)
+      }.take(Similarity.MultiProbe).map(_._1).toSet
+    }.toMap
+    val out = Similarity.s20MultiprobeIvf(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.map(_.getInt(1)).toSet.subsetOf(nearest3(qid)),
+        s"query $qid returned a candidate outside its 3 probed lists")
+    }
+  }
+
+  test("s20 multi-probe: recall is monotone in nprobe and exact at nprobe = nlist") {
+    val root = Similarity.ivfIndexDir(spark, dir)
+    val post = GraftTable.open(spark, s"$root/postings")
+    val nlist = GraftTable.open(spark, s"$root/centroids")
+      .rowCountFromMetadata().toInt
+    val q = post.read().filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // exact reference: the brute-force entry's first 5 ranks per query
+    val exact = Similarity.s1AnnBrute(spark, dir).collect()
+      .filter(_.getLong(3) <= 5)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val full = Similarity.probeIvf(spark, root, q, nprobe = nlist)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(full.toSeq === exact.toSeq,
+      "probing every list must reproduce the exact brute-force top-k")
+    // monotonicity: recall@5 vs exact never drops as nprobe widens
+    val exactSets = exact.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.probeIvf(spark, root, q, nprobe = nprobe).collect()
+        .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(2)).toSet }
+      exactSets.map { case (k, ex) =>
+        got.get(k).fold(0.0)(g => (g intersect ex).size.toDouble / ex.size)
+      }.sum / exactSets.size
+    }
+    val r1 = recall(1); val r3 = recall(Similarity.MultiProbe)
+    assert(r3 >= r1, s"widening the probe must not lose recall ($r1 -> $r3)")
+  }
+
   test("s12: filtered probe of the persisted index equals the in-memory composition (s11)") {
     val fromIndex = Similarity.s12FilteredPersisted(spark, dir).collect()
     val inline = Similarity.s11FilteredIvf(spark, dir).collect()
