@@ -1305,6 +1305,90 @@ final class GraftTable private (
     small.size
   }
 
+  /** Incremental CLUSTERING repair for a `sort_by` table: rewrite ONLY
+    * the files whose leading-sort-key ranges OVERLAP, restoring
+    * range-disjointness — and with it point-prune-to-one-file zone maps
+    * and the scan's proven-order merge-join claim
+    * ([[sortFileRanges]] consumers refuse the claim for any group with
+    * overlapping files) — at cost ∝ the overlapping mass, never the
+    * table. The maintenance gap this closes: unsorted or interleaved
+    * appends degrade a clustered table file by file, full `compact()`
+    * rewrites everything, and `recluster` is for CHANGING keys; the
+    * steady-state fix is to fold just the offending files.
+    *
+    * Grouping: files are swept by their committed leading-key bounds
+    * (the same stats/witness machinery the order claim itself reads, so
+    * collated sort keys group under the collation's comparator); on a
+    * bucketed table the sweep runs PER BUCKET — cross-bucket ranges
+    * overlap legitimately, the order claim is per bucket group. Each
+    * maximal overlap group rewrites through the clustering-preserving
+    * range partitioner into ~`targetBytes` files and commits
+    * separately (one CAS commit per group): a group's output ranges
+    * stay inside the group's contiguous span — which, by maximality,
+    * intersects no other file — so a crash mid-loop leaves earlier
+    * groups repaired and the table consistent. Files with no usable
+    * leading-key stats (pre-witness collated appends) are not
+    * placeable and are left untouched — they need `recluster`,
+    * documented. Returns the number of files folded. */
+  def compactOverlapping(targetBytes: Long = 128L << 20): Int = withTableLock {
+    refreshMeta()
+    require(meta.options.sortBy.nonEmpty,
+      s"compactOverlapping needs a sort_by table; $location has none " +
+        "(use recluster to introduce clustering)")
+    val ranges = sortFileRanges.getOrElse(
+      throw new IllegalArgumentException(
+        s"sort_by column of $location carries no zone-map-eligible type"))
+    var folded = 0
+    // group per bucket (unbucketed: one group key) and sweep each
+    meta.files.groupBy(r => GraftTable.fileBucket(r).getOrElse(-1))
+      .toSeq.sortBy(_._1).foreach { case (_, rels) =>
+        val placed = rels.flatMap { rel =>
+          val key = new HPath(s"$location/$rel").toUri.getPath
+          ranges.stats.get(key).collect {
+            // an all-null sort key has no bounds — not placeable
+            case (mn, mx, _) if mn != null && mx != null => (rel, mn, mx)
+          }
+        }
+        // total-order sweep; any incomparable pair aborts this sweep
+        // (mixed stat encodings — conservatively untouched)
+        def lte(a: String, b: String): Boolean =
+          ranges.cmp(a, b).exists(_ <= 0)
+        val sorted = placed.sortWith((x, y) =>
+          ranges.cmp(x._2, y._2).exists(_ < 0))
+        val groups = Vector.newBuilder[Seq[String]]
+        var cur = Vector.empty[(String, String, String)]
+        var curMax: String = null
+        sorted.foreach { case f @ (_, mn, mx) =>
+          if (cur.isEmpty) { cur = Vector(f); curMax = mx }
+          else if (lte(mn, curMax)) {
+            cur = cur :+ f
+            if (lte(curMax, mx)) curMax = mx
+          } else {
+            if (cur.size > 1) groups += cur.map(_._1)
+            cur = Vector(f); curMax = mx
+          }
+        }
+        if (cur.size > 1) groups += cur.map(_._1)
+        groups.result().foreach { groupRels =>
+          val (fs, _) = GraftTable.fsAndPath(location)
+          val bytes = groupRels.map(r =>
+            fs.getFileStatus(new HPath(s"$location/$r")).getLen).sum
+          val schemaAtWrite = meta.currentSchema
+          val expectRows = groupRels.map(r => footerInfo(s"$location/$r")._1 -
+            meta.dvs.get(r).map(_.card).getOrElse(0L)).sum
+          val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+          val batchDir =
+            writeBatchDir(clusterPreserving(readFilesDf(groupRels), nOut))
+          val got = listParquetFiles(batchDir).map(f => footerInfo(f)._1).sum
+          require(got == expectRows,
+            s"overlap compaction row mismatch: rewrote $got of $expectRows rows")
+          commitRewrite(groupRels, batchDir, schemaAtWrite, 0L, "COMPACT_OVERLAP")
+          folded += groupRels.size
+        }
+      }
+    folded
+  }
+
   /** Partitioning for a compaction rewrite that PRESERVES the table's
     * clustering value: a `sort_by` table range-partitions on its sort
     * keys so the merged files stay range-DISJOINT (zone maps keep

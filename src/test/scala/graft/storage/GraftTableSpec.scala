@@ -257,6 +257,80 @@ class GraftTableSpec extends SparkSpec {
     GraftTable.drop(s"$loc/tbl")
   }
 
+  test("compactOverlapping folds only range-overlapping files; disjoint files keep identity") {
+    import spark.implicits._
+    val loc = tmpDir("graft-compact-overlap")
+    val t = GraftTable.create(spark, s"$loc/tbl",
+      StructType(Seq(StructField("id", IntegerType), StructField("v", StringType))),
+      GraftTableOptions(sortBy = Seq("id")))
+    def appendRange(r: Range): String = {
+      val before = t.committedFiles.toSet
+      t.append(r.map(i => (i, s"value-$i")).toDF("id", "v").coalesce(1))
+      (t.committedFiles.toSet -- before).head
+    }
+    val f1 = appendRange(0 until 100)     // [0, 99]   disjoint
+    val f2 = appendRange(100 until 200)   // [100, 199]   ┐
+    val f3 = appendRange(500 until 600)   // [500, 599] disjoint
+    val f4 = appendRange(150 until 260)   // [150, 259]   ├ one overlap chain
+    val f5 = appendRange(240 until 300)   // [240, 299]   ┘
+    val before = t.read().orderBy("id").collect().map(_.toSeq).toSeq
+
+    assert(t.compactOverlapping() === 3,
+      "exactly the f2/f4/f5 chain is overlapping")
+    assert(t.committedFiles.contains(f1) && t.committedFiles.contains(f3),
+      "range-disjoint files must keep their identity (no rewrite)")
+    assert(!Seq(f2, f4, f5).exists(t.committedFiles.contains),
+      "every member of the overlap chain is replaced")
+    assert(t.read().orderBy("id").collect().map(_.toSeq).toSeq === before)
+    // the repaired layout is pairwise range-disjoint: a point probe
+    // prunes to one file again
+    val ranges = t.sortFileRanges.get
+    val bounds = ranges.stats.values.toSeq.map { case (mn, mx, _) =>
+      (mn.toInt, mx.toInt)
+    }.sortBy(_._1)
+    bounds.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(bMin > aMax, s"post-compaction files still overlap: $bounds")
+      case _ => ()
+    }
+    // idempotent: a disjoint table has nothing to fold
+    assert(t.compactOverlapping() === 0)
+    GraftTable.drop(s"$loc/tbl")
+  }
+
+  test("compactOverlapping: cross-bucket range overlap is legitimate, never folded") {
+    import spark.implicits._
+    val loc = tmpDir("graft-compact-overlap-bkt")
+    val t = GraftTable.create(spark, s"$loc/tbl",
+      StructType(Seq(StructField("id", IntegerType), StructField("v", StringType))),
+      GraftTableOptions(sortBy = Seq("id"), bucketBy = Seq("id"), bucketCount = 2))
+    // every append spans both buckets, so per-bucket files interleave in
+    // id range ACROSS buckets while staying disjoint WITHIN each bucket:
+    // bucket 0 gets evens, bucket 1 odds — both cover [lo, hi]
+    t.append((0 until 100).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    t.append((100 until 200).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val files = t.committedFiles
+    assert(t.compactOverlapping() === 0,
+      "within-bucket ranges are disjoint; the sweep must be per bucket")
+    assert(t.committedFiles === files, "nothing rewritten")
+    // an overlapping append INSIDE a bucket is still caught
+    t.append((50 until 150).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    assert(t.compactOverlapping() > 0)
+    val post = t.sortFileRanges.get
+    t.committedFiles.groupBy(f => GraftTable.fileBucket(f).getOrElse(-1))
+      .foreach { case (_, fs) =>
+        val bounds = fs.flatMap(f => post.stats.get(
+          new org.apache.hadoop.fs.Path(f).toUri.getPath))
+          .map { case (mn, mx, _) => (mn.toInt, mx.toInt) }.sortBy(_._1)
+        bounds.sliding(2).foreach {
+          case Seq((_, aMax), (bMin, _)) =>
+            assert(bMin > aMax, s"bucket still overlapping: $bounds")
+          case _ => ()
+        }
+      }
+    GraftTable.drop(s"$loc/tbl")
+  }
+
   test("compact merges small files, preserves rows/zone-maps/stream watermarks") {
     import spark.implicits._
     val loc = tmpDir("graft-compact")
