@@ -37,7 +37,9 @@ import graft.storage.GraftTable
   *   CALL graft.system.dedup_exact('db.t', 'db.winners')   -- d1 as SQL
   *   CALL graft.system.decontaminate('db.t', 'db.eval', 'db.flagged') -- c9
   *   CALL graft.system.ann_probe('db.idx', 'db.queries', 'db.topk')   -- s7
+  *   CALL graft.system.ann_probe('db.idx', 'db.q', 'db.topk', 3) -- s20 nprobe
   *   CALL graft.system.ann_probe_int8('db.idx', 'db.queries', 'db.topk') -- s17
+  *   CALL graft.system.compact_overlapping('db.t') -- clustering repair
   *   CALL graft.system.ann_drift('db.idx')  -- index staleness audit
   *   CALL graft.system.ann_verify('db.idx') -- postings/codes desync audit
   *   CALL graft.system.ann_rebuild('db.idx') -- the audit's recommended action
@@ -54,7 +56,8 @@ import graft.storage.GraftTable
 private[sources] object GraftProcedures {
 
   val Names: Seq[String] =
-    Seq("compact", "compact_small", "vacuum", "analyze", "analyze_sample",
+    Seq("compact", "compact_small", "compact_overlapping",
+      "vacuum", "analyze", "analyze_sample",
       "table_size", "history", "expire_history", "diff", "clone", "recluster",
       "verify", "verify_deep", "materialize_vectors", "restore", "files",
       "expire_history_older_than", "detail", "manifest",
@@ -108,10 +111,17 @@ private[sources] object GraftProcedures {
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("eval_table", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
-          else if (procName == "ann_probe" || procName == "ann_probe_int8")
-            Array(ProcedureParameter.in("index", StringType).build(),
+          else if (procName == "ann_probe" || procName == "ann_probe_int8") {
+            // arity-overloaded: an optional 4th arg widens the probe to
+            // each query's n nearest lists (the IVF recall/cost dial) —
+            // CALL g.system.ann_probe('db.idx','db.q','db.out', 3)
+            val base = Array(ProcedureParameter.in("index", StringType).build(),
               ProcedureParameter.in("queries", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
+            if (inputType.size >= 4)
+              base :+ ProcedureParameter.in("nprobe", IntegerType).build()
+            else base
+          }
           else if (procName == "recluster")
             // comma-separated column lists; '' = none — e.g.
             // CALL g.system.recluster('db.t', 'k', '') sort-clusters on k,
@@ -317,17 +327,21 @@ private[sources] object GraftProcedures {
                 val qDir = tableDir(qName)
                 require(GraftTable.exists(qDir), s"no graft table $qName")
                 val q = GraftTable.open(spark, qDir).read()
+                val nprobe = if (input.numFields >= 4) input.getInt(3) else 1
+                require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
                 ("results_written",
                   writeResult(graft.operators.Similarity
-                    .probeIvfRaw(spark, dir, q), 2))
+                    .probeIvfRaw(spark, dir, q, nprobe = nprobe), 2))
               case "ann_probe_int8" =>
                 val qName = checkName(input.getUTF8String(1).toString)
                 val qDir = tableDir(qName)
                 require(GraftTable.exists(qDir), s"no graft table $qName")
                 val q = GraftTable.open(spark, qDir).read()
+                val nprobe = if (input.numFields >= 4) input.getInt(3) else 1
+                require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
                 ("results_written",
                   writeResult(graft.operators.Similarity
-                    .probeIvfInt8Raw(spark, dir, q), 2))
+                    .probeIvfInt8Raw(spark, dir, q, nprobe = nprobe), 2))
             }
             val schema = StructType(Seq(
               StructField("table", StringType, nullable = false),
@@ -488,6 +502,11 @@ private[sources] object GraftProcedures {
             val (metric, value) = procName match {
               case "compact" => ("files_after_compaction", t.compact().toLong)
               case "compact_small" => ("small_files_merged", t.compactSmall().toLong)
+              case "compact_overlapping" =>
+                // clustering repair: fold only the files whose leading
+                // sort-key ranges overlap (restores range-disjoint zone
+                // maps + the proven-order claim at cost ∝ overlap)
+                ("overlapping_files_folded", t.compactOverlapping().toLong)
               case "materialize_vectors" =>
                 // rewrite only the files whose dead fraction ≥ 10% —
                 // the merge-on-read steady-state cleanup (full compact

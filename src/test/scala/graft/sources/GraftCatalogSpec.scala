@@ -86,6 +86,20 @@ class GraftCatalogSpec extends SparkSpec {
     assert(GraftTable.open(spark, tdir).committedFiles.size === 1)
     assert(spark.table("gcat.db1.proc_t").count() === 3)
 
+    // clustering repair: two overlapping sorted appends fold; the CALL
+    // reports the folded count and the repaired table stays intact
+    spark.sql("CREATE TABLE gcat.db1.proc_ov (id INT, v STRING) USING graft " +
+      "TBLPROPERTIES ('sort_by'='id')")
+    val ov = GraftTable.open(spark, s"$warehouse/db1/proc_ov")
+    import spark.implicits._
+    ov.append((0 until 50).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    ov.append((25 until 75).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val co = spark.sql("CALL gcat.system.compact_overlapping('db1.proc_ov')")
+      .collect()
+    assert(co.map(r => (r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("overlapping_files_folded", 2L)))
+    assert(spark.table("gcat.db1.proc_ov").count() === 100)
+
     val an = spark.sql("CALL gcat.system.analyze('db1.proc_t')").collect()
     assert(an.head.getLong(2) === 3L)
     assert(GraftTable.open(spark, tdir).stats().exists(_.rowCount == 3L))
@@ -304,6 +318,16 @@ class GraftCatalogSpec extends SparkSpec {
         .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
       assert(gotA.nonEmpty && gotA === wantA,
         "CALL ann_probe must reproduce the persisted-index probe exactly")
+      // the arity-overloaded 4th arg widens the probe (s20's dial)
+      spark.sql("CALL gcat.system.ann_probe(" +
+        "'db1.call_idx', 'db1.call_q', 'db1.call_topk3', 3)")
+      val got3 = spark.table("gcat.db1.call_topk3")
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      val want3 = graft.operators.Similarity
+        .probeIvfRaw(spark, s"$warehouse/db1/call_idx", rawQ, nprobe = 3)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      assert(got3.nonEmpty && got3 === want3,
+        "CALL ann_probe with nprobe must reproduce the widened probe exactly")
       // -- ann_probe_int8 ≡ s17's probe; ann_verify audits the root ----
       val i8root = graft.operators.Similarity.int8IndexDir(spark, dir)
       Seq("i8meta", "codes_i8").foreach(t =>
