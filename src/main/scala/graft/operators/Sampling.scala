@@ -335,6 +335,47 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** c16: per-source DATASET CARD — the corpus datasheet a training run
+    * publishes (Datasheets-for-Datasets / data-card shape): per source,
+    * document and exact-duplicate counts, token mass, interpolated
+    * median length, quality-gate and English share. Every metric is
+    * composed from the SAME shared definition as the gate it describes
+    * — d1's md5 dedup key, t1's whitespace tokens, c4's quality
+    * threshold, t3's language rule — so the card cannot drift from the
+    * pipeline it summarizes. Shares are integer BASIS POINTS (and the
+    * mean is integer centi-tokens) so the entry is hash-exact; the one
+    * float (the interpolated median) rides q36's round-to-4 convention.
+    *
+    * At 100 TB: one doc-grain pass — the global md5 window IS d1's
+    * dedup shuffle, then ONE per-source aggregate with map-side
+    * partials into a source-count-sized grid; nothing else shuffles
+    * and nothing is collected. */
+  def c16DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val ranked = docs(s, dir).select(col("source"), col("doc_id"), col("text"))
+      .withColumn("n_ws", size(tokens(col("text"))).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")))
+    val kept = col("rn") === 1
+    val q = TextAnalysis.qualityRaw(col("text")) >= 0.35
+    val en = TextAnalysis.langPred(col("text")) === "en"
+    ranked.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(kept, 1L).otherwise(0L)).as("n_unique"),
+      sum(col("n_ws")).as("n_tokens"),
+      round(expr("percentile(n_ws, 0.5)"), 4).as("p50_tok"),
+      sum(when(q, 1L).otherwise(0L)).as("n_quality"),
+      sum(when(en, 1L).otherwise(0L)).as("n_en"))
+      .selectExpr("source", "n_docs", "n_unique",
+        "((n_docs - n_unique) * 10000) div n_docs AS dup_bp",
+        "n_tokens",
+        "(n_tokens * 100) div n_docs AS mean_tok_centi",
+        "p50_tok",
+        "(n_quality * 10000) div n_docs AS quality_bp",
+        "(n_en * 10000) div n_docs AS en_bp")
+      .orderBy("source")
+  }
+
   /** Context-window length (tokens) for c5/c6 sequence packing and the
     * shard count both packers key their parallelism on. Shards must be
     * deterministic and engine-reproducible, so they come from
@@ -645,6 +686,7 @@ object Sampling {
     "c3_source_mix" -> ((s, dir) => c3SourceMix(s, dir)),
     "c14_decontaminated_mix" -> (c14DecontaminatedMix _),
     "c4_curation_funnel" -> ((s, dir) => c4CurationFunnel(s, dir)),
+    "c16_dataset_card" -> (c16DatasetCard _),
     "c5_pack_chunks" -> ((s, dir) => c5PackChunks(s, dir)),
     "c6_pack_bins" -> ((s, dir) => c6PackBins(s, dir)),
   )
@@ -884,6 +926,42 @@ object Sampling {
          |      AND en >= de AND en >= fr AND en >= es
          |      THEN 1 ELSE 0 END) AS BIGINT) n_lang
          |FROM q GROUP BY source ORDER BY source""".stripMargin
+    },
+    // c16: the same shared fragments as c4's oracle (md5 dedup rank,
+    // whitespace tokens, stopword quality, language hits), aggregated
+    // into the per-source datasheet; integer shares via DuckDB's //
+    // (both engines floor non-negative division), median via
+    // quantile_cont (q36's convention)
+    "c16_dataset_card" -> {
+      import TextAnalysis.{hitsSql, Stopwords}
+      s"""WITH t AS (SELECT source, doc_id, text, string_split(text, ' ') toks,
+         |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+         |    FROM documents),
+         |q AS (SELECT source, rn, CAST(len(toks) AS BIGINT) n_ws,
+         |    least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+         |      * (1.0 - CAST(${hitsSql(Stopwords)} AS DOUBLE)
+         |               / CAST(len(toks) AS DOUBLE)) qual,
+         |    ${hitsSql(Seq("the", "a", "of"))} en,
+         |    ${hitsSql(Seq("der", "die", "und"))} de,
+         |    ${hitsSql(Seq("le", "la", "et"))} fr,
+         |    ${hitsSql(Seq("el", "los", "y"))} es
+         |  FROM t),
+         |a AS (SELECT source, count(*) n_docs,
+         |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) n_unique,
+         |    CAST(sum(n_ws) AS BIGINT) n_tokens,
+         |    round(quantile_cont(n_ws, 0.5), 4) p50_tok,
+         |    CAST(sum(CASE WHEN qual >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) n_quality,
+         |    CAST(sum(CASE WHEN en > 0 AND en >= de AND en >= fr AND en >= es
+         |        THEN 1 ELSE 0 END) AS BIGINT) n_en
+         |  FROM q GROUP BY source)
+         |SELECT source, n_docs, n_unique,
+         |  (n_docs - n_unique) * 10000 // n_docs AS dup_bp,
+         |  n_tokens,
+         |  (n_tokens * 100) // n_docs AS mean_tok_centi,
+         |  p50_tok,
+         |  (n_quality * 10000) // n_docs AS quality_bp,
+         |  (n_en * 10000) // n_docs AS en_bp
+         |FROM a ORDER BY source""".stripMargin
     },
   )
 }

@@ -144,6 +144,53 @@ class SamplingSpec extends SparkSpec {
     assert(rep(2L) === ((10L, 4L, 0.4)), s"partial overlap must be exact: $rep")
   }
 
+  test("c16 dataset card equals a sequential recomputation of every field") {
+    val sdir = sf("sf0.001")
+    val rows = Tables.load(spark, sdir, "documents")
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._2)
+    val stop = Set("the", "a", "of", "and", "to")
+    def toks(t: String): Array[String] = t.split(" ", -1)
+    def md5Hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // global dedup: the smallest doc_id per md5 survives (d1's key)
+    val keptIds = rows.groupBy(r => md5Hex(r._3))
+      .values.map(_.minBy(_._2)._2).toSet
+    def quality(t: String): Double = {
+      val ts = toks(t); val n = ts.length
+      math.min(1.0, n / 100.0) * (1.0 - ts.count(stop).toDouble / n)
+    }
+    def isEn(t: String): Boolean = {
+      val ts = toks(t)
+      def h(ws: Set[String]) = ts.count(ws)
+      val (en, de, fr, es) = (h(Set("the", "a", "of")), h(Set("der", "die", "und")),
+        h(Set("le", "la", "et")), h(Set("el", "los", "y")))
+      en > 0 && en >= de && en >= fr && en >= es
+    }
+    def p50(xs: Seq[Long]): Double = { // quantile_cont(0.5), q36's rule
+      val s = xs.sorted; val h = (s.length - 1) * 0.5
+      val lo = s(h.toInt).toDouble
+      val v = if (h == h.toInt) lo else lo + (h - h.toInt) * (s(h.toInt + 1) - lo)
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, ds) =>
+      val nDocs = ds.length.toLong
+      val nUnique = ds.count(d => keptIds(d._2)).toLong
+      val lens = ds.map(d => toks(d._3).length.toLong).toSeq
+      val nTok = lens.sum
+      val nQ = ds.count(d => quality(d._3) >= 0.35).toLong
+      val nEn = ds.count(d => isEn(d._3)).toLong
+      Seq[Any](src, nDocs, nUnique, (nDocs - nUnique) * 10000L / nDocs,
+        nTok, nTok * 100L / nDocs, p50(lens),
+        nQ * 10000L / nDocs, nEn * 10000L / nDocs)
+    }
+    val got = Sampling.c16DatasetCard(spark, sdir).collect().map(_.toSeq).toSeq
+    assert(got === want,
+      "the distributed card must equal the sequential datasheet field-for-field")
+  }
+
   test("c9 bloom decontamination ≡ c2 exact, and the sketch prefilter is in the plan") {
     val c2 = Sampling.c2Decontaminate(spark, dir)
     val c9 = Sampling.c9BloomDecontaminate(spark, dir)
