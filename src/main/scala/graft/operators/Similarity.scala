@@ -266,10 +266,7 @@ object Similarity {
     val assigned = assignQueryBatch(q, cent, nprobe)
     // bounded collect: ≤ nprobe probed lists per query
     val probes = assigned.select("alabel").distinct().collect().map(_.get(0))
-    val files =
-      if (probes.isEmpty) Seq.empty
-      else postT.prunedFiles(Seq(org.apache.spark.sql.sources.In("label", probes)))
-    if (files.isEmpty) {
+    if (probes.isEmpty) {
       val base = annResultSchema(q, cent, postT)
       val candSchema = org.apache.spark.sql.types.StructType(
         base.take(4) ++ Seq( // q_id, label, vec_id, cos
@@ -280,7 +277,10 @@ object Similarity {
       return s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], candSchema)
     }
-    val scan = s.read.schema(postT.readSchema()).parquet(files: _*)
+    // zone-map-pruned scan NET of deletion vectors (readPruned) — an
+    // erased vector must not resurrect into a probe
+    val scan =
+      postT.readPruned(Seq(org.apache.spark.sql.sources.In("label", probes)))
     val post = filterIds.fold(scan)(f =>
       scan.join(f.select(col("id")), col("vec_id") === col("id"), "left_semi"))
     post.join(broadcast(assigned),
@@ -802,6 +802,43 @@ object Similarity {
           x => floor(x / col("nrm") / col("scale") + lit(0.5)).cast("long"))
           .as("code"))
 
+  /** DELETE vectors from a committed index root — the erasure path a
+    * production vector store needs (GDPR/takedown: "this document's
+    * embedding must stop being retrievable"), absent from every
+    * append-only index design. `ids` erase from the POSTINGS first
+    * (the authoritative table), then from every quantized sibling the
+    * root carries (`codes`, `codes_i8`): the ordering INVERTS the
+    * append path's codes-first contract to preserve the same
+    * invariant — a crash between the two deletes leaves ORPHANED code
+    * rows, which are probe-invisible (every rung's exact re-rank
+    * inner-joins postings, and the shortlist scans read net of
+    * deletion vectors via `readPruned`), are flagged by
+    * `verifyIvfPqIndex`/`verifyInt8Index`, and are reclaimed by the
+    * repair ops. Deletes land as MERGE-ON-READ sidecars: no clustered
+    * list file is rewritten (a dense >50%-of-file hit upgrades to COW
+    * for that file, `deleteMor`'s own discipline), so erasure cost is
+    * ∝ rows deleted — at 100 TB the difference between a sidecar
+    * write and rewriting a list's files. The id batch is BOUNDED by
+    * contract (erasure/takedown lists; the IN filter zone-map-prunes
+    * candidate files to ≤ one per touched list) — chunk larger lists,
+    * or route them through the DSv2 `DELETE ... WHERE vec_id IN
+    * (SELECT ...)` path the n-series DML covers. Returns posting rows
+    * deleted. */
+  def deleteFromIndex(s: SparkSession, root: String, ids: Seq[Long]): Long = {
+    require(ids.nonEmpty, "empty erasure batch")
+    require(ids.size <= 65536,
+      s"erasure batches are bounded (got ${ids.size}); chunk the list or " +
+        "use the DSv2 DELETE ... IN (SELECT ...) path")
+    val f = Seq(org.apache.spark.sql.sources.In("vec_id",
+      ids.map(_.asInstanceOf[Any]).toArray))
+    val n = graft.storage.GraftTable.open(s, s"$root/postings").deleteMor(f)
+    Seq("codes", "codes_i8").foreach { t =>
+      if (graft.storage.GraftTable.exists(s"$root/$t"))
+        graft.storage.GraftTable.open(s, s"$root/$t").deleteMor(f)
+    }
+    n
+  }
+
   /** Cross-table integrity audit for the composed index — the per-table
     * `GraftTable.verify` cannot see a postings/codes DESYNC (each table
     * is individually consistent), so this compares them: vec_ids
@@ -925,24 +962,35 @@ object Similarity {
     *    cosine between a vector and its assigned centroid, build rows
     *    vs appended rows — a shifted incoming distribution shows up as
     *    appended vectors sitting farther from every committed centroid;
+    *  - `list_skew` / `cos_tv_shift` (persisted baseline only): the
+    *    rewrite-proof pair — per-list mass-share growth vs the
+    *    baseline's recorded counts (crowding drift) and the
+    *    total-variation distance between the baseline's and the
+    *    current assignment-cosine histograms (DIFFUSE drift the
+    *    diluted median misses — medians are robust to <50%
+    *    contamination, TV counts it);
     *  - `recommend_recluster`: 1 when `appended_mass_fraction` >
     *    [[DriftMassThreshold]] OR the appended median assignment cosine
-    *    trails the build's by more than [[DriftCosGap]] — the
+    *    trails the build's by more than [[DriftCosGap]] OR `list_skew`
+    *    > [[DriftListSkew]] OR `cos_tv_shift` > [[DriftTvShift]] — the
     *    documented rebuild trigger (re-run the index build / RECLUSTER;
     *    both exist and commit atomically).
     *
     * Cost: one pass over the postings' (label, v, nrm) with a broadcast
-    * centroid join and a per-group approximate median — ∝ index size,
+    * centroid join and a per-group approximate median, plus one tiny
+    * (label, cos-bin) grid pass when a baseline exists — ∝ index size,
     * the audit you run daily, not per query. Exposed in SQL as
     * `CALL graft.system.ann_drift('db.idx')`.
     *
-    * Known trade: the baseline is FILE-grain, so a rewrite of the
-    * postings table (compact/recluster) resets BOTH signals — the
-    * rewrite is indistinguishable from a fresh build at this grain, and
-    * an audit run after it reads clean even if list skew persists. Run
-    * the audit BEFORE maintenance rewrites of an index root (or simply
-    * prefer [[rebuildIvfIndex]], whose rewrite actually re-centers the
-    * quantizer, over a plain compact of index tables). */
+    * Residual trade (file-grain only): WITHOUT a persisted baseline the
+    * audit is FILE-grain, and a rewrite of the postings table
+    * (compact/recluster) resets every signal — the rewrite is
+    * indistinguishable from a fresh build at that grain. With the
+    * baseline, mass is count-based, skew covers crowding, and the TV
+    * shift covers diffuse cosine drift — all three survive rewrites
+    * (rows never move between lists in a rewrite, and the histogram is
+    * recomputed from current rows). A pre-feature baseline lacking the
+    * histogram degrades exactly the TV signal to "-". */
   val DriftMassThreshold = 0.2
   val DriftCosGap = 0.05
 
@@ -955,6 +1003,27 @@ object Similarity {
     * survives rewrites — the compact that destroys file lineage cannot
     * move rows between lists. */
   val DriftListSkew = 0.1
+
+  /** Persisted-baseline HISTOGRAM-SHIFT threshold: recommend recluster
+    * when the total-variation distance between the baseline's
+    * assignment-cosine histogram and the current one exceeds this.
+    * This is the rewrite-proof detector for DIFFUSE cosine drift —
+    * appended mass spread across many lists at degraded cosines moves
+    * neither the mass signal (below threshold), the skew signal (no
+    * crowding), nor the diluted post-rewrite MEDIAN (medians are
+    * robust to <50% contamination — exactly why the r12 fallback could
+    * be masked); the TV distance counts the contaminating mass
+    * directly (≈ appended fraction × how separated its cosines are),
+    * wherever in the distribution it lands. In-distribution appends
+    * match the baseline proportionally and read ~0. */
+  val DriftTvShift = 0.05
+
+  /** Assignment-cosine histogram bin (20 × width-0.1 over [−1, 1]) —
+    * ONE definition shared by the baseline writer and the audit, so
+    * the two histograms cannot drift in binning. */
+  private def cosBin(acos: Column): Column =
+    least(lit(19L), greatest(lit(0L),
+      floor((acos + lit(1.0)) / lit(0.1)).cast("long")))
 
   /** The rebuild swap's commit-point marker file (under the index
     * root). Present ⇒ staging was complete and an interrupted swap
@@ -986,31 +1055,40 @@ object Similarity {
       root: String): Unit = {
     val post = graft.storage.GraftTable.open(s, s"$root/postings").read()
     val cent = graft.storage.GraftTable.open(s, s"$root/centroids").read()
-    val row = post.join(broadcast(cent), "label")
-      .select(cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("acos"))
+    val scored = post.join(broadcast(cent), "label")
+      .select(col("label"),
+        cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("acos"))
+    val row = scored
       .agg(count(lit(1)).as("n"),
         percentile_approx(col("acos"), lit(0.5), lit(10000)).as("p50"))
       .head()
     val n = row.getLong(0)
     val p50 = if (n == 0L) 0.0 else row.getDouble(1)
-    // per-LIST counts: the rewrite-surviving skew signal's reference
-    // (one tiny row per list; a column-pruned second pass)
-    val lists = post.groupBy("label").agg(count(lit(1)).as("c"))
-      .collect().map(r => s"${r.get(0)}:${r.getLong(1)}").sorted
-      .mkString(",")
+    // ONE tiny (label, cos-bin) grid pass backs BOTH rewrite-proof
+    // references: per-LIST counts (the skew signal) and the 20-bin
+    // assignment-cosine histogram (the TV-shift signal)
+    val grid = scored.select(col("label"), cosBin(col("acos")).as("bin"))
+      .groupBy("label", "bin").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
+    val lists = grid.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toSeq
+      .map { case (l, c) => s"$l:$c" }.sorted.mkString(",")
+    val binSums = grid.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val hist = (0L until 20L).map(binSums.getOrElse(_, 0L)).mkString(",")
     val (fs, _) = graft.storage.GraftTable.fsAndPath(root)
     val tmp = new org.apache.hadoop.fs.Path(root, s"$DriftBaselineFile.tmp")
     val dst = new org.apache.hadoop.fs.Path(root, DriftBaselineFile)
     val out = fs.create(tmp, true)
     try out.write(
-      s"""{"n": $n, "p50": $p50, "lists": "$lists"}""".getBytes("UTF-8"))
+      s"""{"n": $n, "p50": $p50, "lists": "$lists", "hist": "$hist"}"""
+        .getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(dst)) fs.delete(dst, false)
     require(fs.rename(tmp, dst), s"could not commit drift baseline at $dst")
   }
 
   private def readDriftBaseline(root: String)
-      : Option[(Long, Double, Map[String, Long])] = {
+      : Option[(Long, Double, Map[String, Long], Option[Array[Long]])] = {
     val (fs, _) = graft.storage.GraftTable.fsAndPath(root)
     val p = new org.apache.hadoop.fs.Path(root, DriftBaselineFile)
     if (!fs.exists(p)) None
@@ -1032,7 +1110,12 @@ object Similarity {
           val i = kv.lastIndexOf(':')
           kv.substring(0, i) -> kv.substring(i + 1).toLong
         }.toMap
-      for (a <- n; b <- p50) yield (a, b, lists)
+      // absent on pre-feature baselines → the TV signal degrades to "-"
+      val hist = """"hist"\s*:\s*"([^"]*)"""".r
+        .findFirstMatchIn(txt).map(_.group(1))
+        .map(_.split(",").filter(_.nonEmpty).map(_.toLong))
+        .filter(_.length == 20)
+      for (a <- n; b <- p50) yield (a, b, lists, hist)
     }
   }
 
@@ -1102,34 +1185,57 @@ object Similarity {
     // (off-manifold streams land in few lists), and the procedural
     // rule stands: audit BEFORE maintenance rewrites. No baseline
     // file → pure file grain (r11).
-    val (nAppOut, massFrac, gap, skewOpt, p50BuildOut, p50AppOut, source) =
+    val (nAppOut, massFrac, gap, skewOpt, tvOpt, p50BuildOut, p50AppOut,
+        source) =
       readDriftBaseline(root) match {
-        case Some((nBase, p50Base, baseLists)) =>
+        case Some((nBase, p50Base, baseLists, baseHist)) =>
           val appC = math.max(math.max(0L, total - nBase), nApp)
           val mf = if (total == 0) 0.0 else appC.toDouble / total
           val g =
             if (nApp > 0) p50Base - p50App
             else if (appC > 0) p50Base - p50All
             else 0.0
+          // ONE tiny (label, cos-bin) grid — the same pass the baseline
+          // writer runs — backs both rewrite-proof signals: per-list
+          // shares (skew) and the cosine histogram (TV shift)
+          val grid =
+            if (total == 0 || (baseLists.isEmpty && baseHist.isEmpty))
+              Array.empty[(String, Long, Long)]
+            else postT.read().join(broadcast(cent), "label")
+              .select(col("label"),
+                cosBin(cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+                  .as("bin"))
+              .groupBy("label", "bin").agg(count(lit(1)).as("c"))
+              .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
           val skew = if (total == 0 || baseLists.isEmpty) 0.0 else {
-            val curLists = postT.read().groupBy("label")
-              .agg(count(lit(1)).as("c"))
-              .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+            val curLists = grid.groupBy(_._1).view
+              .mapValues(_.map(_._3).sum).toMap
             val baseTotal = math.max(1L, baseLists.values.sum)
             curLists.map { case (l, c) =>
               c.toDouble / total -
                 baseLists.getOrElse(l, 0L).toDouble / baseTotal
             }.foldLeft(0.0)(math.max)
           }
-          (appC, mf, g, Some(skew), p50Base,
+          // total-variation distance between the normalized baseline
+          // and current assignment-cosine histograms — the diffuse-
+          // drift detector a median cannot be (robust statistics hide
+          // <50% contamination; TV counts it)
+          val tv = baseHist.filter(_ => total > 0).map { bh =>
+            val cur = grid.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+            val bTotal = math.max(1L, bh.sum)
+            (0 until 20).map(i =>
+              math.abs(cur.getOrElse(i.toLong, 0L).toDouble / total -
+                bh(i).toDouble / bTotal)).sum / 2.0
+          }
+          (appC, mf, g, Some(skew), tv, p50Base,
             if (nApp > 0) p50App else p50All, "persisted")
         case None =>
           val mf = if (total == 0) 0.0 else nApp.toDouble / total
           val g = if (nApp == 0) 0.0 else p50Build - p50App
-          (nApp, mf, g, None, p50Build, p50App, "file_grain")
+          (nApp, mf, g, None, None, p50Build, p50App, "file_grain")
       }
     val recommend = massFrac > DriftMassThreshold || gap > DriftCosGap ||
-      skewOpt.exists(_ > DriftListSkew)
+      skewOpt.exists(_ > DriftListSkew) || tvOpt.exists(_ > DriftTvShift)
     Seq(
       "total_vectors" -> total.toString,
       "appended_vectors" -> nAppOut.toString,
@@ -1138,6 +1244,7 @@ object Similarity {
       "appended_assign_cos_p50" ->
         (if (nAppOut == 0) "-" else f"$p50AppOut%.4f"),
       "list_skew" -> skewOpt.fold("-")(v => f"$v%.4f"),
+      "cos_tv_shift" -> tvOpt.fold("-")(v => f"$v%.4f"),
       "baseline_source" -> source,
       "recommend_recluster" -> (if (recommend) "1" else "0"))
   }
@@ -1370,14 +1477,13 @@ object Similarity {
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       annResultSchema(q, cent, postT))
     if (probes.isEmpty) return empty
-    val codeFiles =
-      codesT.prunedFiles(Seq(org.apache.spark.sql.sources.In("label", probes)))
-    if (codeFiles.isEmpty) return empty
     // ADC over the probed lists' CODES only — zone-map pruning keeps the
-    // candidate scan at ~1/nlist of the code bytes; the label equality
-    // below makes pruning-overshoot (a file straddling two lists)
-    // harmless
-    val codeScan = s.read.schema(codesT.readSchema()).parquet(codeFiles: _*)
+    // candidate scan at ~1/nlist of the code bytes (readPruned: net of
+    // deletion vectors, so an erased vector never shortlists); the
+    // label equality below makes pruning-overshoot (a file straddling
+    // two lists) harmless
+    val codeScan =
+      codesT.readPruned(Seq(org.apache.spark.sql.sources.In("label", probes)))
     val codes = filterIds.fold(codeScan)(f =>
       codeScan.join(f.select(col("id")), col("vec_id") === col("id"), "left_semi"))
     // the COMMITTED codebook: probes are fully index-served, no retrain
@@ -1401,10 +1507,9 @@ object Similarity {
     // (row-group stats skip) instead of streaming the probed lists again
     val candIds = cand.select("c_vid").distinct().collect().map(_.get(0))
     if (candIds.isEmpty) return empty
-    val postFiles =
-      postT.prunedFiles(Seq(org.apache.spark.sql.sources.In("label", probes)))
-    val post = s.read.schema(postT.readSchema()).parquet(postFiles: _*)
-      .filter(col("vec_id").isInCollection(candIds))
+    val post =
+      postT.readPruned(Seq(org.apache.spark.sql.sources.In("label", probes)))
+        .filter(col("vec_id").isInCollection(candIds))
     val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     post.join(broadcast(cand), col("vec_id") === col("c_vid"))
       .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))),
@@ -2007,10 +2112,10 @@ object Similarity {
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       annResultSchema(q, cent, postT))
     if (probes.isEmpty) return empty
-    val codeFiles =
-      codesT.prunedFiles(Seq(org.apache.spark.sql.sources.In("label", probes)))
-    if (codeFiles.isEmpty) return empty
-    val codeScan = s.read.schema(codesT.readSchema()).parquet(codeFiles: _*)
+    // probed lists' code files only, NET of deletion vectors
+    // (readPruned) — an erased vector never shortlists
+    val codeScan =
+      codesT.readPruned(Seq(org.apache.spark.sql.sources.In("label", probes)))
     val codes = filterIds.fold(codeScan)(f =>
       codeScan.join(f.select(col("id")), col("vec_id") === col("id"), "left_semi"))
     // quantize the query against the COMMITTED scale — (x/qn)/scale,
@@ -2037,10 +2142,9 @@ object Similarity {
     // into the posting scan (row-group stats skip)
     val candIds = cand.select("c_vid").distinct().collect().map(_.get(0))
     if (candIds.isEmpty) return empty
-    val postFiles =
-      postT.prunedFiles(Seq(org.apache.spark.sql.sources.In("label", probes)))
-    val post = s.read.schema(postT.readSchema()).parquet(postFiles: _*)
-      .filter(col("vec_id").isInCollection(candIds))
+    val post =
+      postT.readPruned(Seq(org.apache.spark.sql.sources.In("label", probes)))
+        .filter(col("vec_id").isInCollection(candIds))
     val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     post.join(broadcast(cand), col("vec_id") === col("c_vid"))
       .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))),

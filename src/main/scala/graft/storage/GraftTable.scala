@@ -987,6 +987,32 @@ final class GraftTable private (
     }.map(f => s"$location/$f")
   }
 
+  /** Zone-map-pruned read NET OF DELETION VECTORS: the file subset
+    * surviving `filters` (file-level refutation only — residual row
+    * filtering stays with the caller, exactly as with [[prunedFiles]]),
+    * read under the current schema with merge-on-read deleted positions
+    * filtered out. Probe-style consumers that read pruned subsets
+    * directly (the persisted ANN indexes) must route through this
+    * method rather than a raw parquet read — a raw read would
+    * resurrect rows the moment the table carries vectors (e.g. after
+    * [[graft.operators.Similarity.deleteFromIndex]]'s merge-on-read
+    * erasure). Returns an empty frame with the table schema when every
+    * file is refuted. */
+  def readPruned(filters: Seq[Filter]): DataFrame = {
+    val files = prunedFiles(filters)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema())
+    else {
+      val prefix = s"$location/"
+      val relSet = files.map(f => f.stripPrefix(prefix)).toSet
+      applyDvs(spark.read.schema(readSchema()).parquet(files: _*),
+        meta.dvs.view.filterKeys(relSet).toMap)
+        .select(meta.currentSchema.fields.map(f =>
+          col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
+    }
+  }
+
   /** Best single column to DECLARE for runtime group filtering when the
     * table carries no clustering option. Spark's row-level runtime
     * filtering builds ONE IN-subquery over ALL declared attributes; a

@@ -543,6 +543,153 @@ class AnnIndexSpec extends SparkSpec {
       s"without the baseline the rewrite masks the drift: $masked")
   }
 
+  test("ann_drift persisted baseline: DIFFUSE below-mass cosine drift flags via the histogram TV shift after a rewrite") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Similarity.ivfIndexDir(spark, dir)
+    val root6 = tmpDir("ann-drift-diffuse")
+    Seq("centroids", "postings").foreach(t =>
+      GraftTable.open(spark, s"$root/$t").cloneTo(s"$root6/$t"))
+    Similarity.writeDriftBaseline(spark, root6)
+    // the r12 residual limit: drift that is (a) below the mass
+    // threshold, (b) spread across EVERY list proportionally (no
+    // crowding → no skew), and (c) at cosines that barely move the
+    // diluted post-rewrite MEDIAN (robust statistics hide <50%
+    // contamination). Construction: per list, ~10% extra vectors of
+    // the form ĉ_l + √3·ortho — assignment cosine exactly 0.5 to the
+    // OWN centroid and (ĉ_l·ĉ_m)/2 < 0.5 to every other, so each lands
+    // in its intended list and shares stay flat.
+    val post = GraftTable.open(spark, s"$root6/postings")
+    val listCounts = post.read().groupBy("label")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cents = GraftTable.open(spark, s"$root6/centroids").read()
+      .collect().map(r => r.getInt(0) ->
+        (r.getSeq[Double](1).toArray, r.getDouble(2))).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val basis = cents.values.map(_._1).foldLeft(List.empty[Array[Double]]) {
+      (acc, c) =>
+        val r = acc.foldLeft(c.clone()) { (v, b) =>
+          val p = dot(v, b); v.indices.foreach(i => v(i) -= p * b(i)); v
+        }
+        val nr = math.sqrt(dot(r, r))
+        if (nr > 1e-9) acc :+ r.map(_ / nr) else acc
+    }
+    val d = cents.values.head._1.length
+    val ortho = basis.foldLeft(
+      Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)) { (v, b) =>
+      val p = dot(v, b); v.indices.foreach(i => v(i) -= p * b(i)); v
+    }
+    val oHat = { val n = math.sqrt(dot(ortho, ortho)); ortho.map(_ / n) }
+    var nextId = 7600000L
+    val rows = cents.toSeq.sortBy(_._1).flatMap { case (l, (cv, cn)) =>
+      val cHat = cv.map(_ / cn)
+      val v = cHat.zip(oHat).map { case (a, b) =>
+        (a + math.sqrt(3.0) * b).toFloat }
+      val k = math.max(1L, listCounts.getOrElse(l, 0L) / 10).toInt
+      (0 until k).map { _ => nextId += 1; (nextId, v) }
+    }
+    val nNew = rows.size
+    assert(Similarity.appendToIvfIndex(spark, root6,
+      rows.toDF("vec_id", "embedding")) === nNew.toLong)
+    post.compact() // destroy the file-grain split
+    val audited = Similarity.annDriftReport(spark, root6).toMap
+    assert(audited("baseline_source") === "persisted", s"$audited")
+    assert(audited("appended_mass_fraction").toDouble <
+      Similarity.DriftMassThreshold,
+      s"the planted drift must stay below the mass threshold: $audited")
+    assert(audited("list_skew").toDouble < Similarity.DriftListSkew,
+      s"proportional spreading must not crowd any list: $audited")
+    val dilutedGap = audited("build_assign_cos_p50").toDouble -
+      audited("appended_assign_cos_p50").toDouble
+    assert(dilutedGap < Similarity.DriftCosGap,
+      s"the diluted median must miss this drift (that is the point): $audited")
+    assert(audited("cos_tv_shift").toDouble > Similarity.DriftTvShift,
+      s"the histogram TV shift must count the contaminating mass: $audited")
+    assert(audited("recommend_recluster") === "1",
+      s"TV must keep flagging across the rewrite: $audited")
+    // contrast: a pre-feature baseline (no hist field) on the SAME
+    // state reads clean — the exact masking the TV signal closes
+    val (bfs, _) = GraftTable.fsAndPath(root6)
+    val bPath = new org.apache.hadoop.fs.Path(root6,
+      Similarity.DriftBaselineFile)
+    val in = bfs.open(bPath)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val stripped = txt.replaceAll(""",\s*"hist"\s*:\s*"[^"]*"""", "")
+    val out = bfs.create(bPath, true)
+    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    val masked = Similarity.annDriftReport(spark, root6).toMap
+    assert(masked("baseline_source") === "persisted")
+    assert(masked("cos_tv_shift") === "-", s"$masked")
+    assert(masked("recommend_recluster") === "0",
+      s"without the histogram the rewrite masks diffuse drift: $masked")
+  }
+
+  test("deleteFromIndex: erased vectors vanish from every rung, no list file rewritten; crash orphans invisible, flagged, repaired") {
+    val root = Similarity.int8IndexDir(spark, dir)
+    val root7 = tmpDir("ann-delete")
+    Seq("centroids", "postings", "i8meta", "codes_i8").foreach(t =>
+      GraftTable.open(spark, s"$root/$t").cloneTo(s"$root7/$t"))
+    val post = GraftTable.open(spark, s"$root7/postings")
+    val q = post.read().filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .persist()
+    q.count()
+    val before7 = Similarity.probeIvf(spark, root7, q)
+      .orderBy("q_id", "rank").collect()
+    // erase query 0's best NON-QUERY neighbor
+    val victim = before7.filter(r => r.getLong(0) == 0L && r.getLong(2) >= 5L)
+      .minBy(_.getLong(4)).getLong(2)
+    val filesBefore = post.committedFiles.toSet
+    assert(Similarity.deleteFromIndex(spark, root7, Seq(victim)) === 1L)
+    assert(GraftTable.open(spark, s"$root7/postings").committedFiles.toSet
+      === filesBefore,
+      "merge-on-read erasure must not rewrite a clustered list file")
+    val after7 = Similarity.probeIvf(spark, root7, q)
+      .orderBy("q_id", "rank").collect()
+    assert(!after7.exists(_.getLong(2) == victim),
+      "an erased vector must stop being retrievable (fp rung)")
+    // query 0's surviving neighbors shift up with identical cosines;
+    // ranks stay dense 1..k for every query
+    val survivors = before7
+      .filter(r => r.getLong(0) == 0L && r.getLong(2) != victim)
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    val q0After = after7.filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(q0After.take(survivors.length).toSeq === survivors.toSeq,
+      "surviving neighbors must keep their order and cosines")
+    after7.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.map(_.getLong(4)).sorted.toSeq === (1L to rows.length).toSeq,
+        s"query $qid ranks must stay dense after erasure")
+    }
+    // int8 rung: shortlist + re-rank both net of the erasure
+    val after17 = Similarity.probeIvfInt8(spark, root7, q).collect()
+    assert(after17.nonEmpty && !after17.exists(_.getLong(2) == victim),
+      "an erased vector must stop being retrievable (int8 rung)")
+    // both siblings were erased together: the desync audit reads clean
+    assert(Similarity.verifyInt8Index(spark, root7).isEmpty)
+    // crash shape: POSTINGS-first means a crash before the sibling
+    // delete leaves ORPHANED code rows — probe-invisible (the re-rank
+    // inner-joins postings), flagged by the audit, reclaimed by repair
+    val victim2 = after7.filter(r => r.getLong(0) == 0L && r.getLong(2) >= 5L)
+      .head.getLong(2)
+    GraftTable.open(spark, s"$root7/postings")
+      .deleteMor(Seq(In("vec_id", Array[Any](victim2))))
+    val after17b = Similarity.probeIvfInt8(spark, root7, q).collect()
+    assert(after17b.nonEmpty && !after17b.exists(_.getLong(2) == victim2),
+      "an orphaned code row must stay probe-invisible")
+    val issues = Similarity.verifyInt8Index(spark, root7)
+    assert(issues.exists(_.contains("orphaned")),
+      s"the audit must flag the crash residue: $issues")
+    Similarity.repairInt8Index(spark, root7)
+    assert(Similarity.verifyInt8Index(spark, root7).isEmpty,
+      "repair must reclaim the orphaned codes")
+    q.unpersist()
+  }
+
   test("ann_rebuild: the quantizer adapts to planted drift; drift reads clean after; PQ labels stay agreed") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
