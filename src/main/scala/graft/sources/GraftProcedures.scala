@@ -43,6 +43,7 @@ import graft.storage.GraftTable
   *   CALL graft.system.ann_drift('db.idx')  -- index staleness audit
   *   CALL graft.system.ann_verify('db.idx') -- postings/codes desync audit
   *   CALL graft.system.ann_rebuild('db.idx') -- the audit's recommended action
+  *   CALL graft.system.ann_delete('db.idx', 'db.erase_ids') -- vector erasure
   *   CALL graft.system.dedup_spans('db.t', 'db.spans')            -- d14
   *   CALL graft.system.quality_votes('db.t', 'db.scored')         -- t17
   *   CALL graft.system.contamination_report('db.t', 'db.eval', 'db.rep') -- c15
@@ -68,7 +69,7 @@ private[sources] object GraftProcedures {
       "dedup_exact", "decontaminate", "ann_probe", "ann_drift",
       "ann_rebuild", "dedup_spans", "contamination_report",
       "source_mix", "split_assign", "quality_votes",
-      "ann_probe_int8", "ann_verify")
+      "ann_probe_int8", "ann_verify", "ann_delete")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -122,6 +123,9 @@ private[sources] object GraftProcedures {
               base :+ ProcedureParameter.in("nprobe", IntegerType).build()
             else base
           }
+          else if (procName == "ann_delete")
+            Array(ProcedureParameter.in("index", StringType).build(),
+              ProcedureParameter.in("ids_table", StringType).build())
           else if (procName == "recluster")
             // comma-separated column lists; '' = none — e.g.
             // CALL g.system.recluster('db.t', 'k', '') sort-clusters on k,
@@ -150,7 +154,7 @@ private[sources] object GraftProcedures {
           // graft tables: postings/centroids/...), not a table itself
           val indexProc = procName == "ann_drift" || procName == "ann_probe" ||
             procName == "ann_rebuild" || procName == "ann_probe_int8" ||
-            procName == "ann_verify"
+            procName == "ann_verify" || procName == "ann_delete"
           if (indexProc) {
             require(GraftTable.exists(s"$dir/postings"),
               s"no persisted ANN index at $tableName")
@@ -282,6 +286,33 @@ private[sources] object GraftProcedures {
             new LocalScan {
               override def readSchema(): StructType = schema
               override def rows(): Array[InternalRow] = rs
+            }
+          } else if (procName == "ann_delete") {
+            // the erasure path: ids from the named table (first column,
+            // cast to long), deleted from postings + every quantized
+            // sibling via merge-on-read sidecars (no list file
+            // rewritten). The collect is bounded by the erasure-batch
+            // contract deleteFromIndex enforces (≤ 65536 ids/call).
+            val spark = SparkSession.active
+            val idsName = checkName(input.getUTF8String(1).toString)
+            val idsDir = tableDir(idsName)
+            require(GraftTable.exists(idsDir), s"no graft table $idsName")
+            val idsDf = GraftTable.open(spark, idsDir).read()
+            val ids = idsDf
+              .select(org.apache.spark.sql.functions
+                .col(idsDf.columns.head).cast("long"))
+              .collect().map(_.getLong(0)).toSeq
+            val n = graft.operators.Similarity.deleteFromIndex(spark, dir, ids)
+            val schema = StructType(Seq(
+              StructField("table", StringType, nullable = false),
+              StructField("metric", StringType, nullable = false),
+              StructField("value", LongType, nullable = false)))
+            val row: InternalRow = new GenericInternalRow(Array[Any](
+              UTF8String.fromString(tableName),
+              UTF8String.fromString("vectors_deleted"), n))
+            new LocalScan {
+              override def readSchema(): StructType = schema
+              override def rows(): Array[InternalRow] = Array(row)
             }
           } else if (procName == "dedup_exact" || procName == "decontaminate" ||
               procName == "ann_probe" || procName == "dedup_spans" ||

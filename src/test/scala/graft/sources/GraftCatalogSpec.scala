@@ -346,6 +346,27 @@ class GraftCatalogSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getString(1))
       assert(ver.toSeq === Seq("status" -> "clean"),
         s"fresh index must verify clean, got ${ver.toSeq}")
+      // -- ann_delete: erasure through SQL; probes stop returning the id,
+      // siblings stay agreed (audit still clean) ------------------------
+      val eraseId = gotA.collect {
+        case s if s(0) == 0L && s(2).asInstanceOf[Long] >= 5L =>
+          s(2).asInstanceOf[Long]
+      }.head
+      val eraseDf = spark.range(eraseId, eraseId + 1).toDF("vec_id")
+      GraftTable.create(spark, s"$warehouse/db1/call_erase", eraseDf.schema)
+        .append(eraseDf)
+      val del = spark.sql("CALL gcat.system.ann_delete(" +
+        "'db1.call_idx', 'db1.call_erase')").collect()
+      assert(del.map(r => (r.getString(1), r.getLong(2))).toSeq ===
+        Seq(("vectors_deleted", 1L)))
+      val reprobe = graft.operators.Similarity
+        .probeIvfRaw(spark, s"$warehouse/db1/call_idx", rawQ).collect()
+      assert(reprobe.nonEmpty && !reprobe.exists(_.getLong(2) == eraseId),
+        "CALL ann_delete must make the vector unretrievable")
+      val ver2 = spark.sql("CALL gcat.system.ann_verify('db1.call_idx')")
+        .collect().map(r => r.getString(0) -> r.getString(1))
+      assert(ver2.toSeq === Seq("status" -> "clean"),
+        s"erasure must keep the quantized siblings agreed: ${ver2.toSeq}")
       // drop the int8 siblings so the rebuild below exercises the bare
       // IVF root exactly as before
       Seq("i8meta", "codes_i8").foreach(t =>
