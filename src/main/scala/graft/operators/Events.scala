@@ -178,6 +178,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_tumbling_window" -> e1TumblingWindow _,
     "e11_trending" -> e11Trending _,
+    "e13_dense_grid" -> e13DenseGrid _,
     "e2_sessionize" -> e2Sessionize _,
     "e3_distinct_users" -> e3DistinctUsers _,
     "e4_asof_attribution" -> e4AsofAttribution _,
@@ -186,6 +187,37 @@ object Events {
     "e7_outliers" -> e7Outliers _,
     "e8_transitions" -> e8Transitions _,
   )
+
+  /** e13: DENSE window grid — e11's sparse (window, type) counts
+    * GAP-FILLED with explicit zeros: every (event_type, 6h-window)
+    * cell between the corpus' first and last window exists, count 0
+    * where no event landed. The dashboard/alerting primitive e11
+    * deliberately avoids (its adjacency rule breaks trend streaks at
+    * gaps rather than comparing across them): downstream trend math,
+    * rate alerts, and sparkline renderers need absence to be a ZERO
+    * ROW, not a missing row. Shape at 100 TB: the counts are e11's one
+    * map-side-combined keyed shuffle into a tiny (window, type) grid;
+    * the dense frame is a ONE-ROW (wmin, wmax) span aggregate
+    * broadcast-crossed onto the distinct type list (both tiny — the
+    * t6/c3 broadcast-scalar pattern) with a `sequence` explode; the
+    * gap-fill join is grid-sized, never event-sized. */
+  def e13DenseGrid(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val counts = ev
+      .groupBy(expr("unix_timestamp(ts) div 21600").as("win6h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = ev.agg(
+      min(expr("unix_timestamp(ts) div 21600")).as("wmin"),
+      max(expr("unix_timestamp(ts) div 21600")).as("wmax"))
+    val frame = ev.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("wmin"), col("wmax"))).as("win6h"))
+    frame.join(counts, Seq("event_type", "win6h"), "left")
+      .select(col("win6h"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("win6h", "event_type")
+  }
 
   /** e8: per-user event-transition matrix (first-order Markov counts) —
     * how often event type X is followed by Y within a user's (ts,
@@ -260,6 +292,20 @@ object Events {
         |       CAST(trunc(((cnt - prev_cnt) * 10000.0) / prev_cnt) AS BIGINT) trend_bp
         |FROM l WHERE prev_win = win6h - 1
         |ORDER BY win6h, event_type""".stripMargin,
+    // e13: same window arithmetic as e11 (floor before the BIGINT cast,
+    // the e11/e12 rounding lesson); the dense frame is DISTINCT types ×
+    // range(wmin, wmax+1), Spark's inclusive sequence()
+    "e13_dense_grid" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 21600 win6h, event_type,
+        |         count(*) cnt
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT min(win6h) wmin, max(win6h) wmax FROM c),
+        |f AS (SELECT event_type, unnest(range(wmin, wmax + 1)) win6h
+        |      FROM (SELECT DISTINCT event_type FROM events) CROSS JOIN s)
+        |SELECT f.win6h, f.event_type, CAST(COALESCE(c.cnt, 0) AS BIGINT) cnt
+        |FROM f LEFT JOIN c ON c.win6h = f.win6h AND c.event_type = f.event_type
+        |ORDER BY f.win6h, f.event_type""".stripMargin,
     "e1_tumbling_window" ->
       ("SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) hour_epoch, event_type, " +
         "count(*) cnt, CAST(sum(CAST(round(value*10000) AS BIGINT)) AS BIGINT) vsum_x10000 " +

@@ -69,6 +69,33 @@ class EventsLoaderSpec extends SparkSpec {
     assert(rows === expected)
   }
 
+  test("e13 dense grid: full rectangle, zeros exactly where e11's sparse grid has no cell") {
+    import org.apache.spark.sql.functions._
+    // sf0.001: 477 of the 600 (type × window) cells are occupied, so
+    // the gap-fill semantics are actually exercised (sf0.01's rectangle
+    // happens to be full — zero gap cells to pin there)
+    val dir = sf("sf0.001")
+    val dense = graft.operators.Events.e13DenseGrid(spark, dir).collect()
+    val ev = graft.Tables.load(spark, dir, "events")
+    val sparse = ev
+      .groupBy(expr("unix_timestamp(ts) div 21600").as("win6h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val types = ev.select("event_type").distinct().count()
+    val wins = sparse.keys.map(_._1)
+    val span = wins.max - wins.min + 1
+    assert(dense.length.toLong === types * span,
+      "the dense frame must be the full types × windows rectangle")
+    dense.foreach { r =>
+      val key = (r.getLong(0), r.getString(1))
+      assert(r.getLong(2) === sparse.getOrElse(key, 0L),
+        s"cell $key must be the sparse count or an explicit zero")
+    }
+    // the operator only adds value if the corpus actually has gaps
+    assert(dense.exists(_.getLong(2) == 0L),
+      "test corpus should exercise at least one gap cell")
+  }
+
   test("all three encodings serve identical instants") {
     val long = loadedMicros(fixture("long2")(col("ts_us") * lit(1000L)))._2
     val ntz = loadedMicros(fixture("ntz2")(timestamp_micros(col("ts_us")).cast(TimestampNTZType)))._2

@@ -81,7 +81,15 @@ class PlanGuardSpec extends SparkSpec {
       // s19: s17's assignment/scale crossJoins; the filter is a keyed
       // LEFT SEMI join on the codes scan (the s12/s14 pattern)
       "t17_token_votes", "s15_int8_ann", "s16_hard_negatives",
-      "s17_int8_persisted", "s18_binary_ann", "s19_filtered_int8")
+      "s17_int8_persisted", "s18_binary_ann", "s19_filtered_int8",
+      // s20: s7's assignment crossJoin (≤5-row query set × tiny
+      // committed centroid table), rank filter widened to nprobe —
+      // same intended shape, wider probe
+      // e13: ONE-row (wmin, wmax) span aggregate broadcast-crossed
+      // onto the tiny distinct-type list (the t6/c3 broadcast-scalar
+      // pattern); the gap-fill join is a keyed equality join over the
+      // grid, never event-sized
+      "s20_multiprobe_ivf", "e13_dense_grid")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")
