@@ -60,6 +60,12 @@ object ProfScale100 {
       t("s17 probe warm")(operators.Similarity.s17AnnInt8Persisted(spark, dir).count())
       t("s16_hard_negatives")(operators.Similarity.s16HardNegatives(spark, dir).count())
       t("s18_binary_ann")(operators.Similarity.s18BinaryAnn(spark, dir).count())
+      // round-12 continuation: the multi-probe dial (3× the probed
+      // lists of the warm s7 probe, same index) and the per-source
+      // datasheet (one md5 window + one per-source aggregate)
+      t("s20_multiprobe")(operators.Similarity.s20MultiprobeIvf(spark, dir).count())
+      t("s20 warm")(operators.Similarity.s20MultiprobeIvf(spark, dir).count())
+      t("c16_dataset_card")(operators.Sampling.c16DatasetCard(spark, dir).count())
     }
     spark.stop()
   }
