@@ -179,6 +179,9 @@ object Pipeline {
     // p4 lives beside the retrieval machinery it composes (filter →
     // pool → MMR → pack); registered here with its pipeline siblings
     "p4_rag_context" -> (Similarity.p4RagContext _),
+    // p5: the same serving path with the COMMITTED index as the
+    // retrieval stage (RagStream's batch body, now oracle-checked)
+    "p5_rag_served" -> (Similarity.p5RagServed _),
   )
 
   import OracleSql._
@@ -191,32 +194,22 @@ object Pipeline {
     // recursive-CTE greedy (same exactly-representable 7.0/3.0 factors
     // and left-fold dots), token counts, and the prefix-packing window
     // (first overflow closes the context)
-    "p4_rag_context" -> {
-      val ctes = Similarity.mmrOracleCtes(
+    "p4_rag_context" -> Similarity.ragPackOracleSql(
+      Similarity.mmrOracleCtes(
         extraCtes = """en AS (SELECT CAST(doc_id AS BIGINT) id FROM documents
                       |       WHERE lang = 'en'),
                       |""".stripMargin,
-        scFilter = "\n    AND c.vec_id IN (SELECT id FROM en)")
-      s"""WITH RECURSIVE $ctes,
-         |tk AS (SELECT CAST(doc_id AS BIGINT) tid,
-         |         CAST(len(string_split(text, ' ')) AS BIGINT) tok
-         |       FROM documents),
-         |picked AS (SELECT s.q_id, CAST(s.step AS BIGINT) rank, s.id,
-         |    s.cos, tk.tok,
-         |    CAST(sum(tk.tok) OVER (PARTITION BY s.q_id ORDER BY s.step
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |      AS BIGINT) cum_tok
-         |  FROM sel s JOIN tk ON tk.tid = s.id),
-         |cut AS (SELECT q_id,
-         |    coalesce(min(rank) FILTER (WHERE cum_tok > ${Similarity.CtxBudget}),
-         |             ${Similarity.MmrK + 1}) stop
-         |  FROM picked GROUP BY q_id)
-         |SELECT p.q_id, p.rank, p.id AS vec_id, round(p.cos, 4) AS cos,
-         |  p.tok, p.cum_tok
-         |FROM picked p JOIN cut ON cut.q_id = p.q_id
-         |WHERE p.rank < cut.stop
-         |ORDER BY p.q_id, p.rank""".stripMargin
-    },
+        scFilter = "\n    AND c.vec_id IN (SELECT id FROM en)")),
+    // p5: p4's oracle with the pool RESTRICTED to each query's probed
+    // list — assignedCteSql replays the quantizer assignment (s2's
+    // arithmetic), the scJoin lands the list restriction inside the
+    // pool CTE, and the greedy + packing tail is the SHARED
+    // ragPackOracleSql (p4's verbatim, one definition)
+    "p5_rag_served" -> Similarity.ragPackOracleSql(
+      Similarity.mmrOracleCtes(
+        extraCtes = Similarity.assignedCteSql(1) + ",\n",
+        scFilter = "",
+        scJoin = "\n    JOIN assigned a ON a.q_id = q.vec_id AND c.label = a.label")),
     // p3: base-curation ∪ batch-survivors recomputed declaratively —
     // gates reuse c4's SQL twins (one window handles both within-group
     // dedups via the (is_batch, md5) partition); the NOT IN is the

@@ -1803,6 +1803,28 @@ object Similarity {
     mmrPackStage(s, pool.toDF()).orderBy("q_id", "rank")
   }
 
+  /** p5: RAG context assembly SERVED FROM THE COMMITTED INDEX — the
+    * production serving path as an ORACLE-CHECKED batch entry (it was
+    * previously only the spec-bound twin RagStreamSpec compares the
+    * stream against): candidate pool from [[ragPoolFromIndex]] (probe
+    * the persisted IVF index — broadcast committed centroids, ~1/nlist
+    * zone-map-pruned postings scan — top-[[MmrPool]] per query, token
+    * join), then the SHARED MMR + prefix-pack tail ([[mmrPackStage]],
+    * p4's own). vs p4: same semantics, the pool is the probed list's
+    * best rather than the global best — the stated production trade,
+    * now hash-checked end to end: the oracle replays quantizer
+    * assignment ([[assignedCteSql]]), the list-restricted pool, the
+    * recursive-CTE greedy, and the packing window. */
+  def p5RagServed(s: SparkSession, dir: String): DataFrame = {
+    val root = ivfIndexDir(s, dir)
+    val toks = docTokenCounts(Tables.load(s, dir, "documents"))
+    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val q = postT.read().filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    mmrPackStage(s, ragPoolFromIndex(s, root, q, toks, None))
+      .orderBy("q_id", "rank")
+  }
+
   /** The MMR + prefix-pack TAIL of the RAG serving path — pool rows
     * `(q_id, vec_id, cos RAW, v, nrm, tok)` → one row per PACKED pick
     * `(q_id, rank, vec_id, cos rounded, tok, cum_tok)`. Shared by p4
@@ -2366,14 +2388,14 @@ object Similarity {
     * a correlated argmax (7.0/3.0 factors, left-fold dots, id
     * tie-break) — one definition, so the two oracles cannot drift. */
   private[operators] def mmrOracleCtes(extraCtes: String,
-      scFilter: String): String =
+      scFilter: String, scJoin: String = ""): String =
     s"""${extraCtes}e AS (
-       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+       |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v
        |  FROM embeddings),
-       |n AS (SELECT vec_id, v, ${normSql("v")} nrm FROM e),
+       |n AS (SELECT vec_id, label, v, ${normSql("v")} nrm FROM e),
        |sc AS (SELECT q.vec_id q_id, c.vec_id id, c.v, c.nrm,
        |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) cos
-       |  FROM n q JOIN n c ON c.vec_id != q.vec_id
+       |  FROM n q JOIN n c ON c.vec_id != q.vec_id$scJoin
        |  WHERE q.vec_id < $NumQueries$scFilter),
        |pool AS (SELECT q_id, id, v, nrm, cos FROM (
        |    SELECT *, row_number() OVER (PARTITION BY q_id
@@ -2401,6 +2423,57 @@ object Similarity {
        |      LIMIT 1) pick
        |    FROM sel s WHERE s.step < $MmrK) t
        |  WHERE t.pick IS NOT NULL)""".stripMargin
+
+  /** Self-contained quantizer-ASSIGNMENT CTEs (`cent`, `cn`, `qe`,
+    * `qn`, `assigned(q_id, label)`) — the same arithmetic as
+    * [[s2OracleSql]]'s assignment block (integer-quantized centroid
+    * sums, left-fold dots, (ccos desc, label) tie-break, `arn <=
+    * nprobe`), packaged so an oracle that needs the probed-list
+    * restriction inside ANOTHER CTE chain (p5's pool) can prepend it. */
+  private[operators] def assignedCteSql(nprobe: Int): String =
+    s"""cent AS (
+       |  SELECT label, list(CAST(sq AS DOUBLE) ORDER BY i) cv FROM (
+       |    SELECT label, i, sum(CAST(round(embedding[i]::DOUBLE * $Quant) AS BIGINT)) sq
+       |    FROM embeddings CROSS JOIN range(1, 65) r(i)
+       |    GROUP BY label, i) GROUP BY label),
+       |cn AS (SELECT label, cv, ${normSql("cv")} cnrm FROM cent),
+       |qe AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+       |       FROM embeddings WHERE vec_id < $NumQueries),
+       |qn AS (SELECT vec_id, v, ${normSql("v")} nrm FROM qe),
+       |assigned AS (
+       |  SELECT q_id, label FROM (
+       |    SELECT q.vec_id q_id, cn.label,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dotSql("q.v", "cn.cv")} / (q.nrm * cn.cnrm) DESC,
+       |                 cn.label) arn
+       |    FROM qn q CROSS JOIN cn)
+       |  WHERE arn <= $nprobe)""".stripMargin
+
+  /** The RAG-serving oracle's FULL body: `ctes` (an [[mmrOracleCtes]]
+    * chain ending in `sel`) + the token CTE + the prefix-packing window
+    * + the first-overflow cut — ONE definition behind p4's and p5's
+    * oracles, so the packing law cannot drift between the global-pool
+    * and the index-served entries. */
+  private[operators] def ragPackOracleSql(ctes: String): String =
+    s"""WITH RECURSIVE $ctes,
+       |tk AS (SELECT CAST(doc_id AS BIGINT) tid,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) tok
+       |       FROM documents),
+       |picked AS (SELECT s.q_id, CAST(s.step AS BIGINT) rank, s.id,
+       |    s.cos, tk.tok,
+       |    CAST(sum(tk.tok) OVER (PARTITION BY s.q_id ORDER BY s.step
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) cum_tok
+       |  FROM sel s JOIN tk ON tk.tid = s.id),
+       |cut AS (SELECT q_id,
+       |    coalesce(min(rank) FILTER (WHERE cum_tok > $CtxBudget),
+       |             ${MmrK + 1}) stop
+       |  FROM picked GROUP BY q_id)
+       |SELECT p.q_id, p.rank, p.id AS vec_id, round(p.cos, 4) AS cos,
+       |  p.tok, p.cum_tok
+       |FROM picked p JOIN cut ON cut.q_id = p.q_id
+       |WHERE p.rank < cut.stop
+       |ORDER BY p.q_id, p.rank""".stripMargin
 
   /** SQL twin of [[planeVal]]+dot: fold v[i]·plane_j[i] from 0.0. */
   private[operators] def planeDotSql(j: Int, v: String): String =

@@ -89,7 +89,10 @@ class PlanGuardSpec extends SparkSpec {
       // onto the tiny distinct-type list (the t6/c3 broadcast-scalar
       // pattern); the gap-fill join is a keyed equality join over the
       // grid, never event-sized
-      "s20_multiprobe_ivf", "e13_dense_grid")
+      // p5: s7's assignment crossJoin (≤5-row query set × tiny
+      // committed centroid table) feeding the index-served pool; the
+      // token join is keyed, the greedy bounded per query
+      "s20_multiprobe_ivf", "e13_dense_grid", "p5_rag_served")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")
