@@ -350,9 +350,16 @@ object Sampling {
     * dedup shuffle, then ONE per-source aggregate with map-side
     * partials into a source-count-sized grid; nothing else shuffles
     * and nothing is collected. */
-  def c16DatasetCard(s: SparkSession, dir: String): DataFrame = {
+  def c16DatasetCard(s: SparkSession, dir: String): DataFrame =
+    datasetCardCore(docs(s, dir))
+
+  /** [[c16DatasetCard]]'s body over an arbitrary `(source, doc_id,
+    * text)` frame — shared with the SQL CALL surface
+    * (`CALL graft.system.dataset_card`), so the engine feature and the
+    * entry are the same operator. */
+  private[graft] def datasetCardCore(docsDf: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.tokens
-    val ranked = docs(s, dir).select(col("source"), col("doc_id"), col("text"))
+    val ranked = docsDf.select(col("source"), col("doc_id"), col("text"))
       .withColumn("n_ws", size(tokens(col("text"))).cast("long"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")))

@@ -46,6 +46,7 @@ import graft.storage.GraftTable
   *   CALL graft.system.ann_delete('db.idx', 'db.erase_ids') -- vector erasure
   *   CALL graft.system.dedup_spans('db.t', 'db.spans')            -- d14
   *   CALL graft.system.quality_votes('db.t', 'db.scored')         -- t17
+  *   CALL graft.system.dataset_card('db.t', 'db.card')            -- c16
   *   CALL graft.system.contamination_report('db.t', 'db.eval', 'db.rep') -- c15
   *   CALL graft.system.source_mix('db.t', 'db.mix')     -- c3 as SQL
   *   CALL graft.system.split_assign('db.t', 'db.splits') -- c7 as SQL
@@ -68,7 +69,7 @@ private[sources] object GraftProcedures {
       // surface (cstore_fdw--1.7.sql:17-37)
       "dedup_exact", "decontaminate", "ann_probe", "ann_drift",
       "ann_rebuild", "dedup_spans", "contamination_report",
-      "source_mix", "split_assign", "quality_votes",
+      "source_mix", "split_assign", "quality_votes", "dataset_card",
       "ann_probe_int8", "ann_verify", "ann_delete")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
@@ -104,7 +105,7 @@ private[sources] object GraftProcedures {
               ProcedureParameter.in("target", StringType).build())
           else if (procName == "dedup_exact" || procName == "dedup_spans" ||
               procName == "source_mix" || procName == "split_assign" ||
-              procName == "quality_votes")
+              procName == "quality_votes" || procName == "dataset_card")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
           else if (procName == "decontaminate" ||
@@ -318,7 +319,8 @@ private[sources] object GraftProcedures {
               procName == "ann_probe" || procName == "dedup_spans" ||
               procName == "contamination_report" ||
               procName == "source_mix" || procName == "split_assign" ||
-              procName == "quality_votes" || procName == "ann_probe_int8") {
+              procName == "quality_votes" || procName == "ann_probe_int8" ||
+              procName == "dataset_card") {
             val spark = SparkSession.active
             val (metric, n) = procName match {
               case "dedup_exact" =>
@@ -337,6 +339,12 @@ private[sources] object GraftProcedures {
                 ("docs_scored",
                   writeResult(
                     graft.operators.TextAnalysis.tokenVotesCore(t.read()), 1))
+              case "dataset_card" =>
+                // per-source datasheet over an arbitrary committed
+                // (source, doc_id, text) table — c16's body
+                ("sources_written",
+                  writeResult(
+                    graft.operators.Sampling.datasetCardCore(t.read()), 1))
               case "contamination_report" =>
                 val evalName = checkName(input.getUTF8String(1).toString)
                 val evalDir = tableDir(evalName)

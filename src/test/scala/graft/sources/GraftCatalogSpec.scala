@@ -288,6 +288,19 @@ class GraftCatalogSpec extends SparkSpec {
       val wantQ = graft.operators.TextAnalysis.t17TokenVotes(spark, dir)
         .collect().map(_.toSeq).toSeq
       assert(gotQ === wantQ, "CALL quality_votes must reproduce t17 exactly")
+      // -- dataset_card ≡ c16 (needs the source column) ------------------
+      val docsSrc = graft.Tables.load(spark, dir, "documents")
+        .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+          col("text"))
+      GraftTable.create(spark, s"$warehouse/db1/call_docs_src", docsSrc.schema)
+        .append(docsSrc)
+      spark.sql(
+        "CALL gcat.system.dataset_card('db1.call_docs_src', 'db1.call_card')")
+      val gotCard = spark.table("gcat.db1.call_card")
+        .orderBy("source").collect().map(_.toSeq).toSeq
+      val wantCard = graft.operators.Sampling.c16DatasetCard(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(gotCard === wantCard, "CALL dataset_card must reproduce c16 exactly")
       // -- decontaminate ≡ c9 (same eval split: doc_id < 5) -------------
       GraftTable.create(spark, s"$warehouse/db1/call_corpus", docs.schema)
         .append(docs.filter(col("doc_id") >= 5))
