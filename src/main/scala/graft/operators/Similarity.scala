@@ -1575,6 +1575,43 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** s21's hard per-source cap. */
+  private[operators] val QuotaPerSource = 2
+
+  /** s21: QUOTA-DIVERSIFIED retrieval — top-k under a HARD per-source
+    * cap (≤ [[QuotaPerSource]] results from any one source): the
+    * "no single crawl may dominate the context" rule. Complementary to
+    * s13's MMR: MMR is a SOFT similarity-based greedy a relevance
+    * score can trade against; the quota is a hard constraint a
+    * licensing/compliance policy can reason about ("at most 2 passages
+    * per provider"). Composition: score (s1's broadcast-query scan
+    * over the aligned id universe) → per-(query, source) rank, keep ≤
+    * cap → global re-rank → top-k. Two keyed windows over the scored
+    * frame; at 100 TB the pool swaps to any index probe
+    * ([[probeCandidatesIvf]], as s13 documents) and the windows touch
+    * candidates, not the corpus. */
+  def s21QuotaRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"), col("source"))
+    val e = normalized(Tables.load(s, dir, "embeddings"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wSrc = Window.partitionBy("q_id", "source")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val wAll = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    e.join(src, col("vec_id") === col("id"))
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("source"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("srn", row_number().over(wSrc))
+      .filter(col("srn") <= QuotaPerSource)
+      .withColumn("rank", row_number().over(wAll).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("source"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   /** s11: FILTERED IVF — s10's metadata pre-filter composed with s2's
     * index path: queries probe their nearest centroid's list, and the
     * candidate set is the list INTERSECTED with the predicate's id
@@ -2332,6 +2369,7 @@ object Similarity {
     "s18_binary_ann" -> s18BinaryAnn _,
     "s19_filtered_int8" -> s19FilteredInt8 _,
     "s20_multiprobe_ivf" -> s20MultiprobeIvf _,
+    "s21_quota_retrieval" -> s21QuotaRetrieval _,
   )
 
   import OracleSql._
@@ -2837,6 +2875,26 @@ object Similarity {
     // s20: the SAME body with the assignment rank widened to MultiProbe
     // nearest lists — the shared definition is the drift guard.
     "s20_multiprobe_ivf" -> s2OracleSql(MultiProbe),
+    // s21: s1's scoring + the two-window quota composition (per-source
+    // rank ≤ cap, then the global re-rank)
+    "s21_quota_retrieval" ->
+      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, ${normSql("v")} nrm FROM e),
+         |src AS (SELECT CAST(doc_id AS BIGINT) id, source FROM documents),
+         |sc AS (SELECT q.vec_id q_id, s.source, c.vec_id,
+         |    ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) cos
+         |  FROM n q JOIN n c ON c.vec_id != q.vec_id
+         |  JOIN src s ON s.id = c.vec_id
+         |  WHERE q.vec_id < $NumQueries),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id, source
+         |        ORDER BY cos DESC, vec_id) srn FROM sc),
+         |g AS (SELECT q_id, vec_id, source, cos,
+         |        row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cos DESC, vec_id) rank
+         |      FROM r WHERE srn <= $QuotaPerSource)
+         |SELECT q_id, vec_id, source, round(cos, 4) cos, rank
+         |FROM g WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin),
     // s15 replays the exact quantization chain (the SHARED int8Ctes —
     // s17's oracle rides the same definition, so the in-memory and
     // persisted rungs cannot drift): normalize → global max |u_i|

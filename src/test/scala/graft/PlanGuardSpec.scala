@@ -92,7 +92,10 @@ class PlanGuardSpec extends SparkSpec {
       // p5: s7's assignment crossJoin (≤5-row query set × tiny
       // committed centroid table) feeding the index-served pool; the
       // token join is keyed, the greedy bounded per query
-      "s20_multiprobe_ivf", "e13_dense_grid", "p5_rag_served")
+      // s21: s1's ≤5-row broadcast query set joined on =!= (the quota
+      // and re-rank windows are keyed shuffles over the scored frame)
+      "s20_multiprobe_ivf", "e13_dense_grid", "p5_rag_served",
+      "s21_quota_retrieval")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")

@@ -285,6 +285,52 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("s21: hard per-source quota holds; result equals the sequential quota walk over s1's order") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val out = Similarity.s21QuotaRetrieval(spark, dir).collect()
+    assert(out.nonEmpty)
+    // the cap binds per (query, source)
+    out.groupBy(r => (r.getLong(0), r.getString(2))).foreach { case (k, rows) =>
+      assert(rows.length <= 2, s"quota exceeded for $k")
+    }
+    // ranks dense per query
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(4)).sorted.toSeq === (1L to rows.length).toSeq,
+        s"query $q ranks not dense")
+    }
+    // ground truth: walk the full cosine order per query, admitting a
+    // candidate only while its source has quota left
+    val srcOf = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val e = Similarity.normalized(graft.Tables.load(spark, dir, "embeddings"))
+      .collect().map(r =>
+        (r.getLong(0), r.getSeq[Double](2).toArray, r.getDouble(3)))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val queries = e.filter(_._1 < 5)
+    queries.foreach { case (qid, qv, qn) =>
+      val ordered = e.filter(_._1 != qid)
+        .map { case (id, v, n) => (id, dot(qv, v) / (qn * n)) }
+        .sortBy { case (id, c) => (-c, id) }
+      val perSrc = scala.collection.mutable.Map.empty[String, Int]
+      val picks = Seq.newBuilder[Long]
+      var taken = 0
+      ordered.iterator.takeWhile(_ => taken < 10).foreach { case (id, _) =>
+        val sname = srcOf(id)
+        if (perSrc.getOrElse(sname, 0) < 2) {
+          perSrc(sname) = perSrc.getOrElse(sname, 0) + 1
+          picks += id; taken += 1
+        }
+      }
+      val got = out.filter(_.getLong(0) == qid).sortBy(_.getLong(4))
+        .map(_.getLong(1)).toSeq
+      assert(got === picks.result(),
+        s"query $qid: the distributed quota result must equal the sequential walk")
+    }
+  }
+
   test("s16: every negative's label differs from the query's; ranking is the exact cosine order") {
     val dir = sf("sf0.001")
     val labels = graft.Tables.load(spark, dir, "embeddings").collect()
