@@ -383,6 +383,51 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** c17's interleave width — the number of training shards the
+    * curriculum is dealt into. */
+  private[operators] val CurriculumShards = 8L
+
+  /** c17: CURRICULUM ordering — the corpus dealt into training shards
+    * in DIFFICULTY order (easy/high-quality first, the curriculum-
+    * learning data layout): every document gets a deterministic global
+    * curriculum rank by (quality desc, doc_id), then shards are dealt
+    * round-robin so each shard sees the same difficulty progression.
+    * Quality is t2's [[TextAnalysis.qualityRaw]] in integer micro-units
+    * — the SAME definition as the c4 gate, so the curriculum cannot
+    * disagree with the pipeline's own quality notion.
+    *
+    * The global rank WITHOUT a single-task global window (the c11
+    * range-prefix decomposition applied to ranks): bucket by a
+    * quality-RANGE band (16 descending bands — a range prefix of the
+    * order, so concatenating bands in band order reproduces the global
+    * order), broadcast per-band counts prefix-summed into offsets, and
+    * each doc's exact global rank is its band offset + its within-band
+    * row_number. Identical to the one-window oracle, 16-way parallel
+    * (deepen the banding for more). */
+  def c17Curriculum(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      floor(TextAnalysis.qualityRaw(col("text")) * 1000000L)
+        .cast("long").as("q_micro"))
+    val banded = d.withColumn("band",
+      lit(15L) - least(lit(15L), floor(col("q_micro") / 62500L).cast("long")))
+    // 16 rows: the one place a bare window is the right tool
+    val offsets = banded.groupBy("band").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum("n").over(
+        Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("band", "off")
+    banded
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("band")
+          .orderBy(col("q_micro").desc, col("doc_id"))).cast("long"))
+      .join(broadcast(offsets), Seq("band"))
+      .withColumn("crank", col("off") + col("rn"))
+      .select(col("doc_id"), col("source"), col("q_micro"), col("crank"),
+        ((col("crank") - 1) % CurriculumShards).as("shard"),
+        expr(s"(crank - 1) div $CurriculumShards").as("pos"))
+      .orderBy("crank")
+  }
+
   /** Context-window length (tokens) for c5/c6 sequence packing and the
     * shard count both packers key their parallelism on. Shards must be
     * deterministic and engine-reproducible, so they come from
@@ -694,6 +739,7 @@ object Sampling {
     "c14_decontaminated_mix" -> (c14DecontaminatedMix _),
     "c4_curation_funnel" -> ((s, dir) => c4CurationFunnel(s, dir)),
     "c16_dataset_card" -> (c16DatasetCard _),
+    "c17_curriculum" -> (c17Curriculum _),
     "c5_pack_chunks" -> ((s, dir) => c5PackChunks(s, dir)),
     "c6_pack_bins" -> ((s, dir) => c6PackBins(s, dir)),
   )
@@ -933,6 +979,26 @@ object Sampling {
          |      AND en >= de AND en >= fr AND en >= es
          |      THEN 1 ELSE 0 END) AS BIGINT) n_lang
          |FROM q GROUP BY source ORDER BY source""".stripMargin
+    },
+    // c17: the quality replay is c4's SQL twin; the rank is the ONE
+    // global window the Spark side decomposes into band offsets +
+    // within-band ranks (the oracle IS the naive formulation)
+    "c17_curriculum" -> {
+      import TextAnalysis.{hitsSql, Stopwords}
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') toks
+         |           FROM documents),
+         |q AS (SELECT doc_id, source,
+         |    CAST(floor((least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+         |      * (1.0 - CAST(${hitsSql(Stopwords)} AS DOUBLE)
+         |               / CAST(len(toks) AS DOUBLE))) * 1000000) AS BIGINT) q_micro
+         |  FROM t),
+         |r AS (SELECT doc_id, source, q_micro,
+         |        row_number() OVER (ORDER BY q_micro DESC, doc_id) crank
+         |      FROM q)
+         |SELECT doc_id, source, q_micro, crank,
+         |  (crank - 1) % $CurriculumShards AS shard,
+         |  (crank - 1) // $CurriculumShards AS pos
+         |FROM r ORDER BY crank""".stripMargin
     },
     // c16: the same shared fragments as c4's oracle (md5 dedup rank,
     // whitespace tokens, stopword quality, language hits), aggregated

@@ -191,6 +191,31 @@ class SamplingSpec extends SparkSpec {
       "the distributed card must equal the sequential datasheet field-for-field")
   }
 
+  test("c17 curriculum: band-decomposed rank equals the single global window; shards deal round-robin") {
+    val got = Sampling.c17Curriculum(spark, dir).collect()
+    // naive formulation: ONE global window (the oracle's shape)
+    val naive = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        floor(TextAnalysis.qualityRaw(col("text")) * 1000000L)
+          .cast("long").as("q_micro"))
+      .withColumn("crank", row_number().over(
+        Window.orderBy(col("q_micro").desc, col("doc_id"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.nonEmpty && got.length === naive.size)
+    got.foreach { r =>
+      assert(r.getLong(3) === naive(r.getLong(0)),
+        s"doc ${r.getLong(0)}: band-decomposed rank must equal the global window")
+      assert(r.getLong(4) === (r.getLong(3) - 1) % 8 &&
+        r.getLong(5) === (r.getLong(3) - 1) / 8,
+        "shards must deal round-robin in curriculum order")
+    }
+    // each shard's positions are contiguous 0..n-1 (same progression)
+    got.groupBy(_.getLong(4)).foreach { case (sh, rows) =>
+      assert(rows.map(_.getLong(5)).sorted.toSeq ===
+        (0L until rows.length).toSeq, s"shard $sh positions not contiguous")
+    }
+  }
+
   test("c9 bloom decontamination ≡ c2 exact, and the sketch prefilter is in the plan") {
     val c2 = Sampling.c2Decontaminate(spark, dir)
     val c9 = Sampling.c9BloomDecontaminate(spark, dir)
