@@ -43,13 +43,15 @@ object AnnStream {
     * to a metadata id-universe — the streaming twin of s12: the set
     * rides [[Similarity.probeIvf]]'s semi join inside the probed-list
     * scan, adding no streaming state (stream-static, like the index
-    * itself). */
+    * itself). `nprobe` widens each query to its n nearest lists (the
+    * s20 recall/cost dial), on all three rungs. */
   def start(incoming: DataFrame, indexRoot: String, dest: GraftTable,
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      filterIds: Option[DataFrame] = None): StreamingQuery =
+      filterIds: Option[DataFrame] = None,
+      nprobe: Int = 1): StreamingQuery =
     startWith(incoming, dest, checkpoint, trigger,
-      (s, q) => Similarity.probeIvf(s, indexRoot, q, filterIds))
+      (s, q) => Similarity.probeIvf(s, indexRoot, q, filterIds, nprobe))
 
   /** The IVF-PQ twin: continuous probes through the COMPOSED index
     * ([[Similarity.probeIvfPq]] — committed codebook, ADC over the
@@ -59,9 +61,10 @@ object AnnStream {
   def startPq(incoming: DataFrame, indexRoot: String, dest: GraftTable,
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      filterIds: Option[DataFrame] = None): StreamingQuery =
+      filterIds: Option[DataFrame] = None,
+      nprobe: Int = 1): StreamingQuery =
     startWith(incoming, dest, checkpoint, trigger,
-      (s, q) => Similarity.probeIvfPq(s, indexRoot, q, filterIds))
+      (s, q) => Similarity.probeIvfPq(s, indexRoot, q, filterIds, nprobe))
 
   /** The INT8 twin: continuous probes through the persisted int8 index
     * ([[Similarity.probeIvfInt8]] — committed scale, BIGINT-dot
@@ -72,9 +75,10 @@ object AnnStream {
   def startInt8(incoming: DataFrame, indexRoot: String, dest: GraftTable,
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      filterIds: Option[DataFrame] = None): StreamingQuery =
+      filterIds: Option[DataFrame] = None,
+      nprobe: Int = 1): StreamingQuery =
     startWith(incoming, dest, checkpoint, trigger,
-      (s, q) => Similarity.probeIvfInt8(s, indexRoot, q, filterIds))
+      (s, q) => Similarity.probeIvfInt8(s, indexRoot, q, filterIds, nprobe))
 
   private def startWith(incoming: DataFrame, dest: GraftTable,
       checkpoint: String, trigger: Trigger,
