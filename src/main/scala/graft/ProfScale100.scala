@@ -66,6 +66,13 @@ object ProfScale100 {
       t("s20_multiprobe")(operators.Similarity.s20MultiprobeIvf(spark, dir).count())
       t("s20 warm")(operators.Similarity.s20MultiprobeIvf(spark, dir).count())
       t("c16_dataset_card")(operators.Sampling.c16DatasetCard(spark, dir).count())
+      // continuation entries: quota retrieval (s1's scan + two keyed
+      // windows), curriculum rank (band decomposition), dense grid
+      // (grid-sized fill), index-served RAG (probe + bounded greedy)
+      t("s21_quota")(operators.Similarity.s21QuotaRetrieval(spark, dir).count())
+      t("c17_curriculum")(operators.Sampling.c17Curriculum(spark, dir).count())
+      t("e13_dense_grid")(operators.Events.e13DenseGrid(spark, dir).count())
+      t("p5_rag_served")(operators.Similarity.p5RagServed(spark, dir).count())
     }
     spark.stop()
   }

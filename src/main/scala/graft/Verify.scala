@@ -14,6 +14,7 @@ object Verify {
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      .withExtensions(new graft.sources.GraftExtensions())
       .master(s"local[$cpus]")
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -204,11 +204,11 @@ object Events {
   def e13DenseGrid(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
     val counts = ev
-      .groupBy(expr("unix_timestamp(ts) div 21600").as("win6h"), col("event_type"))
+      .groupBy(floor(unix_timestamp(col("ts")) / lit(21600.0)).cast("long").as("win6h"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
     val span = ev.agg(
-      min(expr("unix_timestamp(ts) div 21600")).as("wmin"),
-      max(expr("unix_timestamp(ts) div 21600")).as("wmax"))
+      min(floor(unix_timestamp(col("ts")) / lit(21600.0)).cast("long")).as("wmin"),
+      max(floor(unix_timestamp(col("ts")) / lit(21600.0)).cast("long")).as("wmax"))
     val frame = ev.select("event_type").distinct()
       .crossJoin(broadcast(span))
       .select(col("event_type"),
@@ -245,10 +245,14 @@ object Events {
     * partial combine → tiny (window, type) grid), then a lag over that
     * GRID, whose cardinality is windows × types — thousands of rows at
     * any corpus scale, so the second window costs nothing; no per-event
-    * window functions anywhere. */
+    * window functions anywhere. FLOOR division for the window id (e6's
+    * rule, applied here after a round-12 review pass): `div` truncates
+    * toward zero, so a pre-1970 timestamp would diverge from the
+    * oracle's `//` and the streaming twin's window-start arithmetic,
+    * both of which floor. */
   def e11Trending(s: SparkSession, dir: String): DataFrame =
     trendOverGrid(Tables.load(s, dir, "events")
-      .groupBy(expr("unix_timestamp(ts) div 21600").as("win6h"), col("event_type"))
+      .groupBy(floor(unix_timestamp(col("ts")) / lit(21600.0)).cast("long").as("win6h"), col("event_type"))
       .agg(count(lit(1)).as("cnt")))
 
   /** Trend comparison over a (win6h, event_type, cnt) grid — ONE

@@ -767,7 +767,25 @@ object ExtendedQueries {
       .limit(20)
   }
 
+  /** q61: monthly-rollup equality filter — the dashboard predicate
+    * shape `date_trunc('month', ts) = <month>`. Semantically trivial;
+    * the POINT is the plan: [[graft.sources.GraftTruncRangeRule]]
+    * (installed via GraftExtensions in every engine session) rewrites
+    * the aligned-literal equality into `o_orderdate >= lo AND < hi`,
+    * which translates to source filters and reaches the zone maps /
+    * row-group stats — without the rule the trunc is an untranslatable
+    * black box and the scan reads every file. PushdownSpec pins the
+    * pruning (2 of 3 month-files dropped) and the unaligned-literal
+    * safety; this entry hash-checks the semantics end to end. */
+  def q61TruncMonth(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(expr("date_trunc('month', o_orderdate) = " +
+        "timestamp'1995-03-01 00:00:00'"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_c"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_trunc_prune" -> q61TruncMonth _,
     "q60_returned_customers" -> q60ReturnedCustomers _,
     "q59_product_profit" -> q59ProductProfit _,
     "q58_market_share" -> q58MarketShare _,
@@ -856,6 +874,11 @@ object ExtendedQueries {
          |  AND l_partkey = p_partkey AND s_nationkey = n_nationkey
          |  AND p_name LIKE '%bolt%'
          |GROUP BY 1, 2 ORDER BY supp_nation, o_year DESC""".stripMargin),
+    "q61_trunc_prune" ->
+      ("SELECT count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c " +
+        "FROM orders " +
+        "WHERE date_trunc('month', o_orderdate) = TIMESTAMP '1995-03-01 00:00:00'"),
     "q60_returned_customers" ->
       (s"""SELECT c_custkey, c_name, n_name, c_mktsegment,
          |  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c,

@@ -78,7 +78,8 @@ class EventsLoaderSpec extends SparkSpec {
     val dense = graft.operators.Events.e13DenseGrid(spark, dir).collect()
     val ev = graft.Tables.load(spark, dir, "events")
     val sparse = ev
-      .groupBy(expr("unix_timestamp(ts) div 21600").as("win6h"), col("event_type"))
+      .groupBy(floor(unix_timestamp(col("ts")) / lit(21600.0)).cast("long")
+        .as("win6h"), col("event_type"))
       .agg(count(lit(1)).as("cnt")).collect()
       .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     val types = ev.select("event_type").distinct().count()

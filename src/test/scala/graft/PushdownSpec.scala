@@ -219,6 +219,55 @@ class PushdownSpec extends SparkSpec {
     graft.storage.GraftTable.drop(t.location)
   }
 
+  test("trunc/year equality predicates rewrite to ranges and prune files (GraftTruncRangeRule)") {
+    import org.apache.spark.sql.types._
+    // three one-file appends, one calendar month each (timestamps)
+    val loc = tmpDir("metr-trunc") + "/tbl"
+    val t = graft.storage.GraftTable.create(spark, loc, StructType(Seq(
+      StructField("ts", TimestampType), StructField("v", IntegerType))))
+    for (m <- Seq("01", "02", "03")) {
+      val df = spark.range(50).selectExpr(
+        s"timestamp'2024-$m-01 00:00:00' + make_interval(0,0,0,CAST(id % 27 AS INT),1,0,0) AS ts",
+        "CAST(id AS INT) AS v")
+      t.append(df.coalesce(1))
+    }
+    val hit = spark.read.format("graft").load(loc)
+      .filter(expr("date_trunc('month', ts) = timestamp'2024-02-01 00:00:00'"))
+    // collect() so the SAME QueryExecution runs (count() plans afresh
+    // and the inspected scan's metrics would stay zero)
+    assert(hit.collect().length === 50, "the rewrite must preserve semantics")
+    val scan = graftScanExec(hit)
+    assert(scan.metrics("graftFilesPrunedStatic").value === 2,
+      "the range form must reach the zone maps and drop the other months")
+    // an UNALIGNED literal is not rewritten (always-false for non-null
+    // input) — correctness unchanged, nothing pruned by the rule
+    val un = spark.read.format("graft").load(loc)
+      .filter(expr("date_trunc('month', ts) = timestamp'2024-02-15 00:00:00'"))
+    assert(un.collect().isEmpty)
+    graft.storage.GraftTable.drop(loc)
+
+    // DATE column: trunc() and year() both prune
+    val loc2 = tmpDir("metr-trunc-d") + "/tbl"
+    val t2 = graft.storage.GraftTable.create(spark, loc2, StructType(Seq(
+      StructField("d", DateType), StructField("v", IntegerType))))
+    for (y <- Seq("2023", "2024", "2025")) {
+      val df = spark.range(50).selectExpr(
+        s"date_add(date'$y-03-01', CAST(id % 28 AS INT)) AS d",
+        "CAST(id AS INT) AS v")
+      t2.append(df.coalesce(1))
+    }
+    val dHit = spark.read.format("graft").load(loc2)
+      .filter(expr("trunc(d, 'month') = date'2024-03-01'"))
+    assert(dHit.collect().length === 50)
+    assert(graftScanExec(dHit).metrics("graftFilesPrunedStatic").value === 2)
+    val yHit = spark.read.format("graft").load(loc2)
+      .filter(expr("year(d) = 2025"))
+    assert(yHit.collect().length === 50)
+    assert(graftScanExec(yHit).metrics("graftFilesPrunedStatic").value === 2,
+      "year() equality must prune to the one matching file")
+    graft.storage.GraftTable.drop(loc2)
+  }
+
   test("runtime (join-driven) pruning reports graftFilesPrunedRuntime") {
     import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.connector.expressions.filter.Predicate

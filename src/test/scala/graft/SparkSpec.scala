@@ -28,6 +28,7 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-test")
+      .withExtensions(new graft.sources.GraftExtensions())
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
