@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -204,11 +204,11 @@ object Events {
   def e13DenseGrid(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
     val counts = ev
-      .groupBy(floor(unix_timestamp(col("ts")) / lit(21600.0)).cast("long").as("win6h"), col("event_type"))
+      .groupBy(win6h(col("ts")).as("win6h"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
     val span = ev.agg(
-      min(floor(unix_timestamp(col("ts")) / lit(21600.0)).cast("long")).as("wmin"),
-      max(floor(unix_timestamp(col("ts")) / lit(21600.0)).cast("long")).as("wmax"))
+      min(win6h(col("ts"))).as("wmin"),
+      max(win6h(col("ts"))).as("wmax"))
     val frame = ev.select("event_type").distinct()
       .crossJoin(broadcast(span))
       .select(col("event_type"),
@@ -239,6 +239,17 @@ object Events {
       .orderBy("prev_type", "event_type")
   }
 
+  /** The 6-hour window id — ONE definition for e11's grid, e13's
+    * counts, and e13's span (the drift this file's own e6 comment and
+    * the round-12 e11 fix warn about): FLOOR division, because `div`
+    * truncates toward zero and would diverge from the oracle's `//`
+    * and the streaming twin's window() starts on pre-1970 timestamps.
+    * Double division is exact here (|seconds| < 2^53; an
+    * integer-valued quotient is representable, so floor cannot
+    * misround). */
+  private def win6h(ts: Column): Column =
+    floor(unix_timestamp(ts) / lit(21600.0)).cast("long")
+
   /** e11: trending event types — per 6-hour window, each type's count
     * vs its previous-window count as integer basis points (the "what is
     * spiking" dashboard primitive). One windowed groupBy (map-side
@@ -252,7 +263,7 @@ object Events {
     * both of which floor. */
   def e11Trending(s: SparkSession, dir: String): DataFrame =
     trendOverGrid(Tables.load(s, dir, "events")
-      .groupBy(floor(unix_timestamp(col("ts")) / lit(21600.0)).cast("long").as("win6h"), col("event_type"))
+      .groupBy(win6h(col("ts")).as("win6h"), col("event_type"))
       .agg(count(lit(1)).as("cnt")))
 
   /** Trend comparison over a (win6h, event_type, cnt) grid — ONE

@@ -1055,21 +1055,25 @@ object Similarity {
       root: String): Unit = {
     val post = graft.storage.GraftTable.open(s, s"$root/postings").read()
     val cent = graft.storage.GraftTable.open(s, s"$root/centroids").read()
+    // the expensive pass (vector column + cosine per row) runs ONCE,
+    // cached for both the median aggregate and the (label, bin) grid
     val scored = post.join(broadcast(cent), "label")
       .select(col("label"),
         cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("acos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val row = scored
       .agg(count(lit(1)).as("n"),
         percentile_approx(col("acos"), lit(0.5), lit(10000)).as("p50"))
       .head()
     val n = row.getLong(0)
     val p50 = if (n == 0L) 0.0 else row.getDouble(1)
-    // ONE tiny (label, cos-bin) grid pass backs BOTH rewrite-proof
-    // references: per-LIST counts (the skew signal) and the 20-bin
-    // assignment-cosine histogram (the TV-shift signal)
+    // ONE tiny (label, cos-bin) grid over the cached frame backs BOTH
+    // rewrite-proof references: per-LIST counts (the skew signal) and
+    // the 20-bin assignment-cosine histogram (the TV-shift signal)
     val grid = scored.select(col("label"), cosBin(col("acos")).as("bin"))
       .groupBy("label", "bin").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
+    scored.unpersist()
     val lists = grid.groupBy(_._1).view
       .mapValues(_.map(_._3).sum).toSeq
       .map { case (l, c) => s"$l:$c" }.sorted.mkString(",")
@@ -1141,8 +1145,12 @@ object Similarity {
       .files.toSeq
     import s.implicits._
     val baseDf = baseRels.toDF("rel").withColumn("is_build", lit(true))
-    // one small driver row per side — the only collect
-    val agg = postT.read()
+    // ONE expensive pass (vector column + cosine per row), cached for
+    // both consumers: the per-side medians AND — when a persisted
+    // baseline exists — the (label, cos-bin) grid backing the skew/TV
+    // signals; a second join+cosine scan here would double the audit's
+    // stated one-pass price
+    val scoredFull = postT.read()
       // GREEDY prefix strip: rel must be the path remainder after the
       // LAST '/postings/' — an index named 'postings' (or any earlier
       // 'postings' path segment) would otherwise desync this rel from
@@ -1157,8 +1165,12 @@ object Similarity {
         url_decode(regexp_replace(input_file_name(), "^.*/postings/", "")))
       .join(broadcast(baseDf), Seq("rel"), "left")
       .join(broadcast(cent), "label")
-      .select(coalesce(col("is_build"), lit(false)).as("is_build"),
+      .select(col("label"),
+        coalesce(col("is_build"), lit(false)).as("is_build"),
         cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("acos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one small driver row per side — the only collects are grids
+    val agg = scoredFull
       // per-side rows PLUS the grand total in the same pass (each row
       // feeds its side's group and the "all" group) — the
       // persisted-baseline path needs the overall median when a
@@ -1195,16 +1207,15 @@ object Similarity {
             if (nApp > 0) p50Base - p50App
             else if (appC > 0) p50Base - p50All
             else 0.0
-          // ONE tiny (label, cos-bin) grid — the same pass the baseline
-          // writer runs — backs both rewrite-proof signals: per-list
-          // shares (skew) and the cosine histogram (TV shift)
+          // ONE tiny (label, cos-bin) grid over the CACHED scored frame
+          // (no second join+cosine scan) — backs both rewrite-proof
+          // signals: per-list shares (skew) and the cosine histogram
+          // (TV shift)
           val grid =
             if (total == 0 || (baseLists.isEmpty && baseHist.isEmpty))
               Array.empty[(String, Long, Long)]
-            else postT.read().join(broadcast(cent), "label")
-              .select(col("label"),
-                cosBin(cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
-                  .as("bin"))
+            else scoredFull
+              .select(col("label"), cosBin(col("acos")).as("bin"))
               .groupBy("label", "bin").agg(count(lit(1)).as("c"))
               .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
           val skew = if (total == 0 || baseLists.isEmpty) 0.0 else {
@@ -1234,6 +1245,7 @@ object Similarity {
           val g = if (nApp == 0) 0.0 else p50Build - p50App
           (nApp, mf, g, None, None, p50Build, p50App, "file_grain")
       }
+    scoredFull.unpersist()
     val recommend = massFrac > DriftMassThreshold || gap > DriftCosGap ||
       skewOpt.exists(_ > DriftListSkew) || tvOpt.exists(_ > DriftTvShift)
     Seq(

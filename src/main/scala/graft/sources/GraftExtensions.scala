@@ -78,6 +78,13 @@ object GraftTruncRangeRule extends Rule[LogicalPlan] {
     And(GreaterThanOrEqual(col, Literal(lo, dt)),
       LessThan(col, Literal(hi, dt)))
 
+  /** Epoch days as Int, or None when the bound falls outside the
+    * DateType domain (a silent wrap would return WRONG rows — refuse
+    * the rewrite instead; the original predicate stays correct). */
+  private def daysInt(d: LocalDate): Option[Int] =
+    try Some(Math.toIntExact(d.toEpochDay))
+    catch { case _: ArithmeticException => None }
+
   private def rewriteEq(fn: Expression, lit: Expression)
       : Option[Expression] = (fn, lit) match {
     // trunc(dateCol, fmt) = DATE 'aligned'
@@ -85,10 +92,14 @@ object GraftTruncRangeRule extends Rule[LogicalPlan] {
         Literal(days: Int, DateType)) if date.deterministic =>
       dateUpper(fmt.toString.toLowerCase(java.util.Locale.ROOT),
         LocalDate.ofEpochDay(days.toLong))
-        .map(hi => range(date, days, hi.toEpochDay.toInt, DateType))
-    // year(dateCol) = n
+        .flatMap(daysInt)
+        .map(hi => range(date, days, hi, DateType))
+    // year(dateCol) = n — the year range keeps LocalDate.of in its
+    // legal domain and the epoch-day bounds inside Int (a year beyond
+    // it is a legitimate always-false predicate; leave it alone)
     case (Year(date), Literal(y: Int, IntegerType))
-        if date.deterministic && date.dataType == DateType =>
+        if date.deterministic && date.dataType == DateType &&
+          y > -290000 && y < 290000 =>
       Some(range(date,
         LocalDate.of(y, 1, 1).toEpochDay.toInt,
         LocalDate.of(y + 1, 1, 1).toEpochDay.toInt, DateType))
@@ -139,7 +150,18 @@ object GraftTruncRangeRule extends Rule[LogicalPlan] {
       case "week" if subDay &&
           zdt.getDayOfWeek == java.time.DayOfWeek.MONDAY =>
         Some(zdt.plusDays(7))
-      case "day" | "dd" if subDay => Some(zdt.plusDays(1))
+      // DAY is the one unit Spark truncates at each ROW's own offset
+      // (ZonedDateTime.truncatedTo(DAYS)), so on a DST fall-back day —
+      // two local midnights — rows after the transition truncate to the
+      // SECOND midnight, not the literal: only rewrite when no offset
+      // transition falls inside the day (UTC and fixed-offset zones
+      // always qualify; week+ units use date-based truncation with the
+      // earlier offset and need no guard)
+      case "day" | "dd" if subDay && {
+        val next = zid.getRules.nextTransition(inst)
+        next == null ||
+          !next.getInstant.isBefore(zdt.plusDays(1).toInstant)
+      } => Some(zdt.plusDays(1))
       case "hour" if zdt.getMinute == 0 && zdt.getSecond == 0 &&
           zdt.getNano == 0 =>
         Some(zdt.plusHours(1))

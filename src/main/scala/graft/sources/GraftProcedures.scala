@@ -290,18 +290,23 @@ private[sources] object GraftProcedures {
             }
           } else if (procName == "ann_delete") {
             // the erasure path: ids from the named table (first column,
-            // cast to long), deleted from postings + every quantized
-            // sibling via merge-on-read sidecars (no list file
-            // rewritten). The collect is bounded by the erasure-batch
-            // contract deleteFromIndex enforces (≤ 65536 ids/call).
+            // cast to long; NULL ids dropped — no vector carries a null
+            // id), deleted from postings + every quantized sibling via
+            // merge-on-read sidecars (no list file rewritten). The
+            // LIMIT enforces the erasure-batch bound BEFORE anything
+            // lands on the driver: an oversized table materializes at
+            // most cap+1 rows and fails deleteFromIndex's require fast,
+            // never the full table.
             val spark = SparkSession.active
             val idsName = checkName(input.getUTF8String(1).toString)
             val idsDir = tableDir(idsName)
             require(GraftTable.exists(idsDir), s"no graft table $idsName")
             val idsDf = GraftTable.open(spark, idsDir).read()
-            val ids = idsDf
-              .select(org.apache.spark.sql.functions
-                .col(idsDf.columns.head).cast("long"))
+            val idCol = org.apache.spark.sql.functions
+              .col(idsDf.columns.head).cast("long")
+            val ids = idsDf.select(idCol.as("id"))
+              .filter(org.apache.spark.sql.functions.col("id").isNotNull)
+              .limit(65537)
               .collect().map(_.getLong(0)).toSeq
             val n = graft.operators.Similarity.deleteFromIndex(spark, dir, ids)
             val schema = StructType(Seq(

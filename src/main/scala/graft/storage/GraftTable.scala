@@ -1375,12 +1375,17 @@ final class GraftTable private (
             case (mn, mx, _) if mn != null && mx != null => (rel, mn, mx)
           }
         }
-        // total-order sweep; any incomparable pair aborts this sweep
-        // (mixed stat encodings — conservatively untouched)
-        def lte(a: String, b: String): Boolean =
-          ranges.cmp(a, b).exists(_ <= 0)
-        val sorted = placed.sortWith((x, y) =>
-          ranges.cmp(x._2, y._2).exists(_ < 0))
+        // total-order sweep. An INCOMPARABLE stat pair (mixed
+        // encodings) poisons the group-maximality argument the
+        // crash-safety story rests on — any None from the comparator,
+        // in the sort or the sweep, ABORTS this bucket's sweep and
+        // leaves its files untouched (the conservative fix is
+        // recluster, which rewrites everything under one encoding).
+        var incomparable = false
+        def cmpOr0(a: String, b: String): Int =
+          ranges.cmp(a, b).getOrElse { incomparable = true; 0 }
+        def lte(a: String, b: String): Boolean = cmpOr0(a, b) <= 0
+        val sorted = placed.sortWith((x, y) => cmpOr0(x._2, y._2) < 0)
         val groups = Vector.newBuilder[Seq[String]]
         var cur = Vector.empty[(String, String, String)]
         var curMax: String = null
@@ -1395,7 +1400,8 @@ final class GraftTable private (
           }
         }
         if (cur.size > 1) groups += cur.map(_._1)
-        groups.result().foreach { groupRels =>
+        (if (incomparable) Vector.empty[Seq[String]] else groups.result())
+          .foreach { groupRels =>
           val (fs, _) = GraftTable.fsAndPath(location)
           val bytes = groupRels.map(r =>
             fs.getFileStatus(new HPath(s"$location/$r")).getLen).sum
