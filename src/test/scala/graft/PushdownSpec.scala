@@ -268,6 +268,34 @@ class PushdownSpec extends SparkSpec {
     graft.storage.GraftTable.drop(loc2)
   }
 
+  test("trunc 'day' rewrite declines when an offset transition falls inside the day") {
+    import org.apache.spark.sql.types._
+    // Spark truncates DAY at each ROW's own offset, so on a day with a
+    // DST transition rows after it truncate to a DIFFERENT instant
+    // than the literal midnight — the rewrite must decline there and
+    // fire on transition-free days (UTC always qualifies).
+    val loc = tmpDir("metr-dst") + "/tbl"
+    val t = graft.storage.GraftTable.create(spark, loc, StructType(Seq(
+      StructField("ts", TimestampType))))
+    t.append(spark.range(5).selectExpr(
+      "timestamp'2025-11-02 10:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts")
+      .coalesce(1))
+    withConf("spark.sql.session.timeZone", "America/New_York") {
+      // 2025-11-02: US fall-back (02:00 -> 01:00) — transition inside
+      val bad = spark.read.format("graft").load(loc)
+        .filter(expr("date_trunc('day', ts) = timestamp'2025-11-02 00:00:00'"))
+      assert(bad.queryExecution.optimizedPlan.toString.contains("date_trunc"),
+        "a day containing an offset transition must not rewrite")
+      // 2025-11-03: transition-free — rewrites to the range form
+      val ok = spark.read.format("graft").load(loc)
+        .filter(expr("date_trunc('day', ts) = timestamp'2025-11-03 00:00:00'"))
+      val p = ok.queryExecution.optimizedPlan.toString
+      assert(!p.contains("date_trunc") && p.contains(">="),
+        s"a transition-free day must rewrite to a range:\n$p")
+    }
+    graft.storage.GraftTable.drop(loc)
+  }
+
   test("runtime (join-driven) pruning reports graftFilesPrunedRuntime") {
     import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.connector.expressions.filter.Predicate
