@@ -35,12 +35,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
-/** Optimizer rule: rewrite `date_trunc`/`trunc`/`year` EQUALITY
-  * predicates into RANGE predicates on the raw column, so they reach
-  * the data source as translatable filters — zone maps, parquet
-  * row-group stats, and partition pruning all see
-  * `d >= lo AND d < hi` where the original `trunc(d, 'month') = lit`
-  * is an untranslatable black box that forces a full scan. The monthly/
+/** Optimizer rule: rewrite `date_trunc`/`trunc`/`year` COMPARISONS
+  * against aligned literals (=, >=, >, <, <=, either operand order)
+  * into RANGE predicates on the raw column, so they reach the data
+  * source as translatable filters — zone maps, parquet row-group
+  * stats, and partition pruning all see `d >= lo AND d < hi` (or the
+  * one-sided bound) where the original `trunc(d, 'month') = lit` is an
+  * untranslatable black box that forces a full scan. The monthly/
   * yearly rollup filter is among the most common analytics predicates;
   * at 100 TB the difference is reading one month's files vs all of
   * them. (The reference benefits from the same transform implicitly:
@@ -67,8 +68,43 @@ object GraftTruncRangeRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, _) =>
       val rewritten = cond.transform {
+        // equality: trunc(c) = L  ⟺  L ≤ c < L+unit
         case e @ EqualTo(l, r) =>
-          rewriteEq(l, r).orElse(rewriteEq(r, l)).getOrElse(e)
+          bounds(l, r).orElse(bounds(r, l)).map { case (c, lo, hi, dt) =>
+            range(c, lo, hi, dt)
+          }.getOrElse(e)
+        // inequalities: trunc is MONOTONE in its input and an aligned
+        // literal is the INFIMUM of its unit, so for aligned L:
+        //   trunc(c) >= L ⟺ c >= L        trunc(c) <  L ⟺ c <  L
+        //   trunc(c) <= L ⟺ c <  L+unit   trunc(c) >  L ⟺ c >= L+unit
+        // (the flipped literal-on-left forms mirror). Alignment + the
+        // unit upper bound reuse the equality machinery, including the
+        // DST-day guard — conservative for the lower-bound-only forms,
+        // but uniformly sound.
+        case e @ GreaterThanOrEqual(l, r) =>
+          bounds(l, r).map { case (c, lo, _, dt) =>
+            GreaterThanOrEqual(c, Literal(lo, dt)): Expression
+          }.orElse(bounds(r, l).map { case (c, _, hi, dt) =>
+            LessThan(c, Literal(hi, dt)): Expression // L >= trunc(c)
+          }).getOrElse(e)
+        case e @ GreaterThan(l, r) =>
+          bounds(l, r).map { case (c, _, hi, dt) =>
+            GreaterThanOrEqual(c, Literal(hi, dt)): Expression
+          }.orElse(bounds(r, l).map { case (c, lo, _, dt) =>
+            LessThan(c, Literal(lo, dt)): Expression // L > trunc(c)
+          }).getOrElse(e)
+        case e @ LessThan(l, r) =>
+          bounds(l, r).map { case (c, lo, _, dt) =>
+            LessThan(c, Literal(lo, dt)): Expression
+          }.orElse(bounds(r, l).map { case (c, _, hi, dt) =>
+            GreaterThanOrEqual(c, Literal(hi, dt)): Expression // L < trunc(c)
+          }).getOrElse(e)
+        case e @ LessThanOrEqual(l, r) =>
+          bounds(l, r).map { case (c, _, hi, dt) =>
+            LessThan(c, Literal(hi, dt)): Expression
+          }.orElse(bounds(r, l).map { case (c, lo, _, dt) =>
+            GreaterThanOrEqual(c, Literal(lo, dt)): Expression // L <= trunc(c)
+          }).getOrElse(e)
       }
       if (rewritten.fastEquals(cond)) f else f.copy(condition = rewritten)
   }
@@ -85,30 +121,34 @@ object GraftTruncRangeRule extends Rule[LogicalPlan] {
     try Some(Math.toIntExact(d.toEpochDay))
     catch { case _: ArithmeticException => None }
 
-  private def rewriteEq(fn: Expression, lit: Expression)
-      : Option[Expression] = (fn, lit) match {
-    // trunc(dateCol, fmt) = DATE 'aligned'
+  /** The (column, aligned lower, exclusive upper, type) quadruple a
+    * trunc/year comparison against an aligned literal rewrites
+    * through, or None (unaligned / unsupported / out of domain —
+    * the original predicate stays untouched and correct). */
+  private def bounds(fn: Expression, lit: Expression)
+      : Option[(Expression, Any, Any, DataType)] = (fn, lit) match {
+    // trunc(dateCol, fmt) vs DATE 'aligned'
     case (TruncDate(date, Literal(fmt: UTF8String, StringType)),
         Literal(days: Int, DateType)) if date.deterministic =>
       dateUpper(fmt.toString.toLowerCase(java.util.Locale.ROOT),
         LocalDate.ofEpochDay(days.toLong))
         .flatMap(daysInt)
-        .map(hi => range(date, days, hi, DateType))
-    // year(dateCol) = n — the year range keeps LocalDate.of in its
+        .map(hi => (date, days, hi, DateType))
+    // year(dateCol) vs n — the year range keeps LocalDate.of in its
     // legal domain and the epoch-day bounds inside Int (a year beyond
     // it is a legitimate always-false predicate; leave it alone)
     case (Year(date), Literal(y: Int, IntegerType))
         if date.deterministic && date.dataType == DateType &&
           y > -290000 && y < 290000 =>
-      Some(range(date,
+      Some((date,
         LocalDate.of(y, 1, 1).toEpochDay.toInt,
         LocalDate.of(y + 1, 1, 1).toEpochDay.toInt, DateType))
-    // date_trunc(fmt, tsCol) = TIMESTAMP 'aligned' (session/expr zone)
+    // date_trunc(fmt, tsCol) vs TIMESTAMP 'aligned' (session/expr zone)
     case (TruncTimestamp(Literal(fmt: UTF8String, StringType), ts, tzId),
         Literal(micros: Long, TimestampType)) if ts.deterministic =>
       tsUpper(fmt.toString.toLowerCase(java.util.Locale.ROOT), micros,
         tzId.getOrElse("UTC"))
-        .map(hi => range(ts, micros, hi, TimestampType))
+        .map(hi => (ts, micros, hi, TimestampType))
     case _ => None
   }
 

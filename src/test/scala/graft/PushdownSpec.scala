@@ -244,6 +244,19 @@ class PushdownSpec extends SparkSpec {
     val un = spark.read.format("graft").load(loc)
       .filter(expr("date_trunc('month', ts) = timestamp'2024-02-15 00:00:00'"))
     assert(un.collect().isEmpty)
+    // INEQUALITIES rewrite too (trunc is monotone; an aligned literal
+    // is its unit's infimum): >= keeps Feb+Mar, literal-on-left <
+    // keeps Mar only
+    val ge = spark.read.format("graft").load(loc)
+      .filter(expr("date_trunc('month', ts) >= timestamp'2024-02-01 00:00:00'"))
+    assert(ge.collect().length === 100)
+    assert(graftScanExec(ge).metrics("graftFilesPrunedStatic").value === 1,
+      "the one-sided lower bound must drop January's file")
+    val flip = spark.read.format("graft").load(loc)
+      .filter(expr("timestamp'2024-02-01 00:00:00' < date_trunc('month', ts)"))
+    assert(flip.collect().length === 50)
+    assert(graftScanExec(flip).metrics("graftFilesPrunedStatic").value === 2,
+      "literal-on-left strict > must resolve to ts >= the NEXT month")
     graft.storage.GraftTable.drop(loc)
 
     // DATE column: trunc() and year() both prune
