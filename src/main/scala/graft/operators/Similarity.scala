@@ -340,6 +340,13 @@ object Similarity {
       filterIds: Option[DataFrame] = None, nprobe: Int = 1): DataFrame =
     probeIvfInt8(s, root, normalizeQueryFrame(rawQueries), filterIds, nprobe)
 
+  /** [[probeIvfPq]] over RAW `(vec_id, embedding)` query rows — the PQ
+    * sibling of [[probeIvfRaw]], shared with the SQL CALL surface
+    * (`CALL graft.system.ann_probe_pq`). */
+  def probeIvfPqRaw(s: SparkSession, root: String, rawQueries: DataFrame,
+      filterIds: Option[DataFrame] = None, nprobe: Int = 1): DataFrame =
+    probeIvfPq(s, root, normalizeQueryFrame(rawQueries), filterIds, nprobe)
+
   /** Nearest-committed-centroid assignment of a bounded QUERY batch:
     * (q_id, qv, qn, alabel) — the shared first step of the s7 and s9
     * probes (fixing a tie-break or rename here fixes both). `nprobe > 1`

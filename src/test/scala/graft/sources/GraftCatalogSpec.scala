@@ -359,6 +359,20 @@ class GraftCatalogSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getString(1))
       assert(ver.toSeq === Seq("status" -> "clean"),
         s"fresh index must verify clean, got ${ver.toSeq}")
+      // -- ann_probe_pq ≡ s9's probe (the PQ rung's CALL) ---------------
+      val pqroot = graft.operators.Similarity.ivfPqIndexDir(spark, dir)
+      Seq("codebook", "codes").foreach(t =>
+        GraftTable.open(spark, s"$pqroot/$t")
+          .cloneTo(s"$warehouse/db1/call_idx/$t"))
+      spark.sql("CALL gcat.system.ann_probe_pq(" +
+        "'db1.call_idx', 'db1.call_q', 'db1.call_topkpq')")
+      val gotP = spark.table("gcat.db1.call_topkpq")
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      val wantP = graft.operators.Similarity
+        .probeIvfPqRaw(spark, s"$warehouse/db1/call_idx", rawQ)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      assert(gotP.nonEmpty && gotP === wantP,
+        "CALL ann_probe_pq must reproduce the persisted PQ probe exactly")
       // -- ann_delete: erasure through SQL; probes stop returning the id,
       // siblings stay agreed (audit still clean) ------------------------
       val eraseId = gotA.collect {
@@ -380,9 +394,9 @@ class GraftCatalogSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getString(1))
       assert(ver2.toSeq === Seq("status" -> "clean"),
         s"erasure must keep the quantized siblings agreed: ${ver2.toSeq}")
-      // drop the int8 siblings so the rebuild below exercises the bare
-      // IVF root exactly as before
-      Seq("i8meta", "codes_i8").foreach(t =>
+      // drop the quantized siblings so the rebuild below exercises the
+      // bare IVF root exactly as before
+      Seq("i8meta", "codes_i8", "codebook", "codes").foreach(t =>
         GraftTable.drop(s"$warehouse/db1/call_idx/$t"))
       // ann_drift on the fresh clone reads clean
       val drift = spark.sql("CALL gcat.system.ann_drift('db1.call_idx')")
