@@ -32,6 +32,12 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  // separate holder: mixing Logging into Dedup itself would shadow
+  // functions.log (the math function) with the slf4j logger
+  private object SpanCapLog extends org.apache.spark.internal.Logging {
+    def warn(msg: String): Unit = logWarning(msg)
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
@@ -1121,14 +1127,30 @@ object Dedup {
 
   /** DataFrame core of d14 for ARBITRARY (doc_id, text) corpora, shared
     * with the SQL CALL surface (`CALL graft.system.dedup_spans`). */
+  /** Grams dropped by the LAST capped [[spanDedupCore]] run in this
+    * JVM — surfaced so a capped span report cannot silently read as
+    * exhaustive (the no-silent-caps discipline; spec-pinned). */
+  @volatile private[graft] var spanCapDroppedLastRun: Long = 0L
+
   def spanDedupCore(docsDf: DataFrame,
       maxGramFreq: Option[Long] = None): DataFrame = {
     val posting = spanGrams(docsDf)
       .groupBy("h")
       .agg(sort_array(collect_list(struct(col("doc_id"),
         col("j").cast("long").as("pos")))).as("ps"))
-    val capped = maxGramFreq.fold(posting)(f =>
-      posting.filter(size(col("ps")) <= f))
+    val capped = maxGramFreq.fold(posting) { f =>
+      // no-silent-caps (VERDICT r12 #8): when the cap ENGAGES, say so
+      // — a span report missing the hottest grams must not read as
+      // exhaustive. The count is one extra tiny aggregate, paid only
+      // by capped callers; d2b documents the same trade for shingles.
+      val dropped = posting.filter(size(col("ps")) > f).count()
+      spanCapDroppedLastRun = dropped
+      if (dropped > 0)
+        SpanCapLog.warn(s"dedup_spans: maxGramFreq=$f dropped $dropped " +
+          "high-frequency gram posting list(s); spans supported only " +
+          "by hotter grams will not be reported")
+      posting.filter(size(col("ps")) <= f)
+    }
     val pairs = capped
       // PostingPairs reads (long, long) structs positionally: the
       // second field rides as the PAYLOAD — set sizes in d2, POSITIONS

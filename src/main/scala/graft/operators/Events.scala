@@ -206,9 +206,26 @@ object Events {
     val counts = ev
       .groupBy(win6h(col("ts")).as("win6h"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
+    // SPAN GUARD (ADVICE r12): the dense frame is (wmax-wmin) rows per
+    // type, so ONE outlier timestamp (a corrupt far-future/past row in
+    // dirty event data) would silently explode the grid to millions of
+    // rows per type or hit Spark's array-length cap mid-explode. Cap
+    // the span at ~137 years of 6h windows and fail with a message
+    // naming the offending bounds — the guard rides wmax itself so
+    // column pruning can never drop it.
+    val maxGridWindows = 200000L
     val span = ev.agg(
-      min(win6h(col("ts"))).as("wmin"),
-      max(win6h(col("ts"))).as("wmax"))
+        min(win6h(col("ts"))).as("wmin"),
+        max(win6h(col("ts"))).as("wmax"))
+      .select(col("wmin"),
+        when(col("wmax") - col("wmin") < lit(maxGridWindows), col("wmax"))
+          .otherwise(raise_error(concat(
+            lit("e13 dense grid span too large: windows ["),
+            col("wmin").cast("string"), lit(", "),
+            col("wmax").cast("string"),
+            lit(s"] exceed $maxGridWindows 6h buckets — the events table " +
+              "has outlier timestamps; clean or filter ts first")))
+            .cast("long")).as("wmax"))
     val frame = ev.select("event_type").distinct()
       .crossJoin(broadcast(span))
       .select(col("event_type"),

@@ -795,6 +795,10 @@ object Similarity {
       graft.storage.GraftTable.open(s, s"$root/codes_i8")
         .append(int8EncodeAssigned(assigned, scaleDf))
     }
+    if (graft.storage.GraftTable.exists(s"$root/codes_bin")) {
+      graft.storage.GraftTable.open(s, s"$root/codes_bin")
+        .append(binEncodeAssigned(assigned))
+    }
     graft.storage.GraftTable.open(s, s"$root/postings").append(assigned)
   }
 
@@ -839,7 +843,7 @@ object Similarity {
     val f = Seq(org.apache.spark.sql.sources.In("vec_id",
       ids.map(_.asInstanceOf[Any]).toArray))
     val n = graft.storage.GraftTable.open(s, s"$root/postings").deleteMor(f)
-    Seq("codes", "codes_i8").foreach { t =>
+    Seq("codes", "codes_i8", "codes_bin").foreach { t =>
       if (graft.storage.GraftTable.exists(s"$root/$t"))
         graft.storage.GraftTable.open(s, s"$root/$t").deleteMor(f)
     }
@@ -1171,7 +1175,14 @@ object Similarity {
       .withColumn("rel",
         url_decode(regexp_replace(input_file_name(), "^.*/postings/", "")))
       .join(broadcast(baseDf), Seq("rel"), "left")
-      .join(broadcast(cent), "label")
+      // LEFT join (ADVICE r12): a posting whose label has no centroid
+      // row (a desynced index) must still COUNT — an inner join here
+      // silently dropped such rows from total/mass/skew, so a desync
+      // UNDER-reported drift. With the left join the row keeps its
+      // label (skew sees it), lands in no cosine bin (its missing
+      // mass INCREASES the TV distance — the right direction), and
+      // its null acos stays out of the medians.
+      .join(broadcast(cent), Seq("label"), "left")
       .select(col("label"),
         coalesce(col("is_build"), lit(false)).as("is_build"),
         cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("acos"))
@@ -1222,7 +1233,11 @@ object Similarity {
             if (total == 0 || (baseLists.isEmpty && baseHist.isEmpty))
               Array.empty[(String, Long, Long)]
             else scoredFull
-              .select(col("label"), cosBin(col("acos")).as("bin"))
+              // bin -1 = desynced rows (null acos after the left
+              // centroid join): counted in label shares, outside
+              // every cosine bin
+              .select(col("label"),
+                coalesce(cosBin(col("acos")), lit(-1L)).as("bin"))
               .groupBy("label", "bin").agg(count(lit(1)).as("c"))
               .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2)))
           val skew = if (total == 0 || baseLists.isEmpty) 0.0 else {
@@ -1307,7 +1322,8 @@ object Similarity {
     * discarded, leaving a silent quantizer/assignment desync. The
     * window is still NOT reader-safe: run with exclusive ownership of
     * the index root, probes quiesced. Returns (nLists, nVectors). */
-  private val RebuildTables = Seq("centroids", "postings", "codes", "codes_i8")
+  private val RebuildTables =
+    Seq("centroids", "postings", "codes", "codes_i8", "codes_bin")
 
   /** The rebuild swap's crash-recovery preamble, run at the start of
     * every [[rebuildIvfIndex]]: a present [[RebuildSwapMarker]] means
@@ -1428,6 +1444,19 @@ object Similarity {
           codesI8.schema, GraftTableOptions(sortBy = Seq("label")))
         i8Stage.append(codesI8)
       }
+      // the binary sibling (s22) relabels the same way: sign words
+      // encode vector content alone, so only the list routing moves
+      val hasBin = GraftTable.exists(s"$root/codes_bin")
+      if (hasBin) {
+        val codesBin = GraftTable.open(s, s"$root/codes_bin").read()
+          .drop("label")
+          .join(finalAssign.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .repartitionByRange(nLists, col("label"))
+          .select(col("label"), col("vec_id"), col("code"))
+        val binStage = GraftTable.create(s, s"$root/codes_bin_rebuild",
+          codesBin.schema, GraftTableOptions(sortBy = Seq("label")))
+        binStage.append(codesBin)
+      }
       // the swap's COMMIT POINT: staging is complete, the marker makes
       // the sequence authoritative — any crash from here on completes
       // on the next call instead of being discarded as stale
@@ -1435,6 +1464,7 @@ object Similarity {
       names.filter {
         case "codes" => hasCodes
         case "codes_i8" => hasI8
+        case "codes_bin" => hasBin
         case _ => true
       }.foreach { n =>
         GraftTable.drop(s"$root/$n")
@@ -2367,6 +2397,268 @@ object Similarity {
     issues.result()
   }
 
+  // -- s22: the persisted BINARY (1-bit sign) IVF index -------------------
+
+  /** Sign-bit words for an `array<double>` column: bit `i mod 64` of
+    * word `i div 64` is set iff element i is `>= 0` — the s18 sign
+    * convention packed 64 dims per BIGINT, so a 64-dim vector is ONE
+    * word and Hamming distance is `bit_count(xor)` per word pair. The
+    * packing is parameterless (no scale, no codebook): the encode is a
+    * pure function of the vector, which is what makes the binary rung
+    * the cheapest to maintain (repair re-derives codes from postings
+    * alone) as well as the cheapest to serve (1 bit/dim ≈ 1/8 of
+    * int8's code bytes). L2 normalization never flips a sign, so
+    * encoding raw `v` and encoding `v/nrm` commit identical words —
+    * queries and corpus need no shared normalization step. Built with
+    * `expr` because the variable shift (`shiftleft(1L, bit)`) is only
+    * expressible in SQL text — the whole expression stays codegen'd
+    * Catalyst, no UDF. */
+  private def signWords(vExpr: String): Column = expr(
+    s"""transform(sequence(0, (size($vExpr)-1) div 64), w ->
+       |  aggregate(sequence(w*64, least(w*64+63, bigint(size($vExpr))-1)),
+       |    bigint(0),
+       |    (acc, i) -> acc | if(element_at($vExpr, int(i)+1) >= 0D,
+       |                         shiftleft(bigint(1), int(i - w*64)),
+       |                         bigint(0))))""".stripMargin)
+
+  /** (label, vec_id, code): packed sign words for assigned (label,
+    * vec_id, v, …) rows — the shared encode of [[binIndexDir]],
+    * [[appendAssignedToIndex]]'s binary branch, and [[repairBinIndex]],
+    * so build, append, and repair cannot drift. */
+  private def binEncodeAssigned(assigned: DataFrame): DataFrame =
+    assigned.select(col("label"), col("vec_id"), signWords("v").as("code"))
+
+  private val BinCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** The quantization ladder's PERSISTED 1-bit rung (s7 = exact 8-byte
+    * doubles, s17 = ~1 byte/dim int8, s9 = 8 bytes/vector PQ, s22 =
+    * 1 BIT/dim here): on top of s7's root the build commits
+    * `codes_bin` — every vector's packed sign words, CLUSTERED PER IVF
+    * LIST (range-partitioned + sort_by label, the postings discipline)
+    * so a probe's label filter zone-map-prunes to the probed lists'
+    * code files. One word per 64 dims means the committed code bytes
+    * are ~1/8 of the int8 sibling's — at 100 TB the difference between
+    * a shortlist tier that fits in memory and one that doesn't. No
+    * meta table: the sign encode is parameterless (nothing to
+    * never-retrain). Same memoization contract as [[ivfIndexDir]]:
+    * never rebuild the shared root in place. */
+  private[graft] def binIndexDir(s: SparkSession, dir: String): String =
+    BinCache.computeIfAbsent((s, dir), { _ =>
+      val root = ivfIndexDir(s, dir)
+      // retry-safe: drop partial artifacts of a failed earlier build
+      graft.storage.GraftTable.drop(s"$root/codes_bin")
+      val e = normalized(Tables.load(s, dir, "embeddings"))
+      val nLists = graft.storage.GraftTable.open(s, s"$root/centroids")
+        .rowCountFromMetadata().toInt.max(1)
+      val codesDf = binEncodeAssigned(e)
+        .repartitionByRange(nLists, col("label"))
+      val codesT = graft.storage.GraftTable.create(s, s"$root/codes_bin",
+        codesDf.schema, graft.storage.GraftTableOptions(sortBy = Seq("label")))
+      codesT.append(codesDf)
+      root
+    })
+
+  /** Probe the persisted binary index for one bounded query batch
+    * (q_id, qv, qn): assignment vs the broadcast committed centroids,
+    * the query sign-packed (normalization never flips a sign, so raw
+    * `qv` encodes identically to `qv/qn`), an XOR+popcount Hamming
+    * shortlist over ONLY the probed lists' zone-map-pruned code files
+    * (top-[[BinRerank]] by (hamming, vec_id) — integer-exact under any
+    * execution order), then an exact re-rank fetching only the
+    * shortlist's full vectors from the posting files with the id set
+    * pushed into the scan (the s9/s17 re-rank discipline, which also
+    * makes the result hash-checkable). Both collects are bounded:
+    * probed labels (≤ nprobe per query) and shortlist ids
+    * ([[BinRerank]] per query). `filterIds` lands as a left-semi join
+    * on the CODES scan — before the shortlist — so top candidates come
+    * from the filtered universe (the s12/s14/s19 composition
+    * contract). */
+  private[graft] def probeIvfBin(s: SparkSession, root: String,
+      q: DataFrame, filterIds: Option[DataFrame] = None,
+      nprobe: Int = 1): DataFrame = {
+    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val codesT = graft.storage.GraftTable.open(s, s"$root/codes_bin")
+    val cent = graft.storage.GraftTable.open(s, s"$root/centroids").read()
+    val assigned = assignQueryBatch(q, cent, nprobe)
+    // bounded collect: ≤ nprobe probed lists per query
+    val probes = assigned.select("alabel").distinct().collect().map(_.get(0))
+    def empty = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      annResultSchema(q, cent, postT))
+    if (probes.isEmpty) return empty
+    // probed lists' code files only, NET of deletion vectors
+    // (readPruned) — an erased vector never shortlists
+    val codeScan =
+      codesT.readPruned(Seq(org.apache.spark.sql.sources.In("label", probes)))
+    val codes = filterIds.fold(codeScan)(f =>
+      codeScan.join(f.select(col("id")), col("vec_id") === col("id"), "left_semi"))
+    val qq = q.select(col("q_id"), signWords("qv").as("qc"))
+    // label equality below makes pruning-overshoot harmless, as in
+    // probeIvfInt8; hamming = Σ bit_count(xor) over the word pairs
+    val wCand = Window.partitionBy("q_id").orderBy(col("hamming"), col("vec_id"))
+    val cand = codes
+      .join(broadcast(assigned.select(col("q_id").as("a_qid"), col("alabel"))),
+        col("label") === col("alabel"))
+      .join(broadcast(qq),
+        col("a_qid") === col("q_id") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        aggregate(zip_with(col("qc"), col("code"),
+            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("hamming"))
+      .withColumn("crn", row_number().over(wCand))
+      .filter(col("crn") <= BinRerank)
+      .select(col("q_id").as("c_qid"), col("vec_id").as("c_vid"))
+    // bounded collect: BinRerank candidates per query — push the id set
+    // into the posting scan (row-group stats skip)
+    val candIds = cand.select("c_vid").distinct().collect().map(_.get(0))
+    if (candIds.isEmpty) return empty
+    val post =
+      postT.readPruned(Seq(org.apache.spark.sql.sources.In("label", probes)))
+        .filter(col("vec_id").isInCollection(candIds))
+    val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    post.join(broadcast(cand), col("vec_id") === col("c_vid"))
+      .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))),
+        col("q_id") === col("c_qid"))
+      .select(col("q_id"), col("label"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= IvfTopK)
+      .select(col("q_id"), col("label"), col("vec_id"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
+  /** [[probeIvfBin]] over RAW `(vec_id, embedding)` query rows — the
+    * binary sibling of [[probeIvfRaw]], shared with the SQL CALL
+    * surface (`CALL graft.system.ann_probe_bin`). */
+  def probeIvfBinRaw(s: SparkSession, root: String, rawQueries: DataFrame,
+      filterIds: Option[DataFrame] = None, nprobe: Int = 1): DataFrame =
+    probeIvfBin(s, root, normalizeQueryFrame(rawQueries), filterIds, nprobe)
+
+  /** s22: ANN served from the persisted BINARY index — committed
+    * centroids, committed sign words, XOR+popcount shortlist over the
+    * probed lists' code files, exact re-rank from bounded posting
+    * point lookups. The oracle replays quantizer assignment + the s18
+    * sign-disagreement count (≡ popcount of the packed XOR) + the
+    * shortlist + the re-rank in SQL — the s17-vs-s15 shared-definition
+    * contract at the 1-bit rung. */
+  def s22AnnBinPersisted(s: SparkSession, dir: String): DataFrame = {
+    val root = binIndexDir(s, dir)
+    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val q = postT.read().filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    probeIvfBin(s, root, q).orderBy("q_id", "rank")
+  }
+
+  /** s23: the FILTERED probe of the persisted binary index — s22
+    * scoped to a metadata id-universe (the s12/s14/s19 composition at
+    * the 1-bit rung): the `lang='en'` universe lands as a left-semi
+    * join on the codes scan BEFORE the Hamming shortlist. */
+  def s23FilteredBin(s: SparkSession, dir: String): DataFrame = {
+    val root = binIndexDir(s, dir)
+    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val q = postT.read().filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val en = Tables.load(s, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").cast("long").as("id"))
+    probeIvfBin(s, root, q, Some(en)).orderBy("q_id", "rank")
+  }
+
+  /** Incremental binary-index maintenance (the s22 analog of
+    * [[appendToInt8Index]], same CODES-FIRST failure contract): new
+    * vectors are assigned against the COMMITTED centroids and
+    * sign-packed; the assigned batch is localCheckpoint-materialized
+    * so every sibling commit sees the same rows. On a root that also
+    * carries `codes`/`codes_i8`, those siblings are appended in the
+    * same call ([[appendAssignedToIndex]]) — no entry point can desync
+    * another rung. Input: (vec_id, embedding). Returns rows appended. */
+  def appendToBinIndex(s: SparkSession, root: String, vectors: DataFrame): Long = {
+    require(graft.storage.GraftTable.exists(s"$root/codes_bin"),
+      s"index at $root has no committed sign codes — build via binIndexDir")
+    val assigned = assignVectors(s, root, vectors).localCheckpoint(true)
+    appendAssignedToIndex(s, root, assigned)
+  }
+
+  /** Repair a postings/codes_bin desync left by a failed
+    * [[appendToBinIndex]] — the s22 analog of [[repairInt8Index]],
+    * simplest of the three because sign codes derive from the
+    * postings' vectors ALONE (no committed scale or codebook):
+    * re-encode and append code rows missing for committed postings,
+    * and when orphans or mislabels exist rewrite the codes table net
+    * of both with labels taken from POSTINGS. Same crash-recovery
+    * contract: staging into `codes_bin_repair`, the only destructive
+    * step is the final drop-then-clone swap, a crash inside the swap
+    * completes on the next run. NOT reader-safe — exclusive ownership.
+    * Duplicates are not auto-repaired (rebuild instead). Returns
+    * (codeRowsAdded, badCodeRowsFixed). */
+  def repairBinIndex(s: SparkSession, root: String): (Long, Long) = {
+    val tmp = s"$root/codes_bin_repair"
+    if (!graft.storage.GraftTable.exists(s"$root/codes_bin")) {
+      require(graft.storage.GraftTable.exists(tmp),
+        s"binary index at $root has neither codes_bin nor codes_bin_repair — rebuild it")
+      graft.storage.GraftTable.open(s, tmp).cloneTo(s"$root/codes_bin")
+      graft.storage.GraftTable.drop(tmp)
+    } else if (graft.storage.GraftTable.exists(tmp)) {
+      graft.storage.GraftTable.drop(tmp)
+    }
+    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val codesT = graft.storage.GraftTable.open(s, s"$root/codes_bin")
+    val post = postT.read()
+    val codeIds = codesT.read().select(col("vec_id"))
+    val missing = post.join(codeIds, Seq("vec_id"), "left_anti")
+    val added =
+      if (missing.isEmpty) 0L
+      else codesT.append(binEncodeAssigned(missing))
+    val postLabels = post.select(col("vec_id"), col("label").as("p_label"))
+    val orphans = codesT.read()
+      .join(post.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
+    val mislabeled = codesT.read().select(col("vec_id"), col("label"))
+      .join(postLabels, "vec_id")
+      .filter(col("label") =!= col("p_label")).count()
+    if (orphans + mislabeled > 0) {
+      val clean = codesT.read().drop("label")
+        .join(postLabels, Seq("vec_id"))
+        .withColumnRenamed("p_label", "label")
+      val nLists = graft.storage.GraftTable.open(s, s"$root/centroids")
+        .rowCountFromMetadata().toInt.max(1)
+      val staged = clean.repartitionByRange(nLists, col("label"))
+        .select(col("label"), col("vec_id"), col("code"))
+      val tmpT = graft.storage.GraftTable.create(s, tmp, staged.schema,
+        graft.storage.GraftTableOptions(sortBy = Seq("label")))
+      tmpT.append(staged)
+      graft.storage.GraftTable.drop(s"$root/codes_bin")
+      tmpT.cloneTo(s"$root/codes_bin")
+      graft.storage.GraftTable.drop(tmp)
+    }
+    (added, orphans + mislabeled)
+  }
+
+  /** Cross-table integrity audit for the binary index — the postings ↔
+    * codes_bin desync classes of [[verifyInt8Index]], over s22's
+    * tables. */
+  def verifyBinIndex(s: SparkSession, root: String): Seq[String] = {
+    val postFull = graft.storage.GraftTable.open(s, s"$root/postings").read()
+    val codesFull = graft.storage.GraftTable.open(s, s"$root/codes_bin").read()
+    val post = postFull.select(col("vec_id"))
+    val codes = codesFull.select(col("vec_id"))
+    val issues = Seq.newBuilder[String]
+    val missing = post.join(codes, Seq("vec_id"), "left_anti").count()
+    if (missing > 0) issues += s"$missing posting vector(s) have no sign-code row (s22-invisible)"
+    val orphaned = codes.join(post, Seq("vec_id"), "left_anti").count()
+    if (orphaned > 0) issues += s"$orphaned sign-code row(s) have no posting vector (orphaned)"
+    Seq("postings" -> post, "codes_bin" -> codes).foreach { case (name, df) =>
+      val dups = df.groupBy("vec_id").count().filter(col("count") > 1).count()
+      if (dups > 0) issues += s"$dups duplicate vec_id(s) in $name (corrupts top-k)"
+    }
+    val mislabeled = postFull.select(col("vec_id"), col("label").as("p_label"))
+      .join(codesFull.select(col("vec_id"), col("label").as("c_label")), "vec_id")
+      .filter(col("p_label") =!= col("c_label")).count()
+    if (mislabeled > 0)
+      issues += s"$mislabeled vec_id(s) sit in different lists in postings vs codes_bin (s22-invisible)"
+    issues.result()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s8_hybrid_retrieval" -> s8HybridRetrieval _,
     "s6_range_search" -> ((s: SparkSession, dir: String) => s6RangeSearch(s, dir)),
@@ -2389,6 +2681,8 @@ object Similarity {
     "s19_filtered_int8" -> s19FilteredInt8 _,
     "s20_multiprobe_ivf" -> s20MultiprobeIvf _,
     "s21_quota_retrieval" -> s21QuotaRetrieval _,
+    "s22_bin_persisted" -> s22AnnBinPersisted _,
+    "s23_filtered_bin" -> s23FilteredBin _,
   )
 
   import OracleSql._
@@ -2669,6 +2963,59 @@ object Similarity {
        |    ORDER BY cos DESC, vec_id) rank FROM rer)
        |WHERE rank <= $IvfTopK ORDER BY q_id, rank""".stripMargin
 
+  /** s22's oracle body, parameterized for the FILTERED twin (s23):
+    * `extraCtes` prepends a filter CTE, `candFilter` lands inside the
+    * Hamming SHORTLIST stage's WHERE — the oracle-side mirror of
+    * [[probeIvfBin]]'s `filterIds` semi join on the codes scan. The
+    * hamming CTE is s18's per-pair sign-disagreement count, which is
+    * bit-identical to the Spark side's popcount over packed XOR words
+    * — so the oracle never needs to replay the packing itself, only
+    * the sign convention (`>= 0`). One definition, so the plain and
+    * filtered oracles cannot drift — the s17OracleSql/s19 pattern at
+    * the 1-bit rung. */
+  private def s22OracleSql(extraCtes: String, candFilter: String): String =
+    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, label, v, ${normSql("v")} nrm FROM e),
+       |${extraCtes}cent AS (
+       |  SELECT label, list(CAST(sq AS DOUBLE) ORDER BY i) cv FROM (
+       |    SELECT label, i, sum(CAST(round(embedding[i]::DOUBLE * $Quant) AS BIGINT)) sq
+       |    FROM embeddings CROSS JOIN range(1, 65) r(i)
+       |    GROUP BY label, i) GROUP BY label),
+       |cn AS (SELECT label, cv, ${normSql("cv")} cnrm FROM cent),
+       |assigned AS (
+       |  SELECT q_id, label FROM (
+       |    SELECT q.vec_id q_id, cn.label,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dotSql("q.v", "cn.cv")} / (q.nrm * cn.cnrm) DESC,
+       |                 cn.label) arn
+       |    FROM n q CROSS JOIN cn WHERE q.vec_id < $NumQueries)
+       |  WHERE arn = 1),
+       |short AS (
+       |  SELECT a.q_id, t.vec_id,
+       |    list_reduce(list_concat([CAST(0 AS BIGINT)],
+       |      list_transform(range(1, len(t.v)+1),
+       |        i -> CASE WHEN (qr.v[i] >= 0) = (t.v[i] >= 0)
+       |             THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END)),
+       |      (x, y) -> x + y) hamming
+       |  FROM n t
+       |  JOIN assigned a ON a.label = t.label
+       |  JOIN n qr ON qr.vec_id = a.q_id
+       |  WHERE t.vec_id != a.q_id$candFilter),
+       |shortr AS (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) crn
+       |  FROM short),
+       |rer AS (SELECT sr.q_id, cv.label, cv.vec_id,
+       |    ${dotSql("qv.v", "cv.v")} / (qv.nrm * cv.nrm) cos
+       |  FROM shortr sr
+       |  JOIN n cv ON cv.vec_id = sr.vec_id
+       |  JOIN n qv ON qv.vec_id = sr.q_id
+       |  WHERE sr.crn <= $BinRerank)
+       |SELECT q_id, label, vec_id, round(cos, 4) cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) rank FROM rer)
+       |WHERE rank <= $IvfTopK ORDER BY q_id, rank""".stripMargin
+
   /** The shared int8 quantization CTE chain (e/n/u/g/c, label carried):
     * normalize → global max |u_i| → ONE corpus scale → floor(u/s + 0.5)
     * BIGINT codes. One definition backs both s15's and s17's oracles,
@@ -2939,6 +3286,12 @@ object Similarity {
     // the exact re-rank — the SQL replay of probeIvfInt8's four stages.
     // s19 is the same body with the filter CTE + shortlist-stage
     // predicate (the s9/s14 parameterization pattern).
+    "s22_bin_persisted" -> s22OracleSql("", ""),
+    "s23_filtered_bin" -> s22OracleSql(
+      """en4 AS (SELECT CAST(doc_id AS BIGINT) id FROM documents
+        |        WHERE lang = 'en'),
+        |""".stripMargin,
+      "\n    AND t.vec_id IN (SELECT id FROM en4)"),
     "s17_int8_persisted" -> s17OracleSql("", ""),
     "s19_filtered_int8" -> s17OracleSql(
       """en3 AS (SELECT CAST(doc_id AS BIGINT) id FROM documents

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -784,7 +784,183 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n_orders"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_c"))
 
+  /** q66: daily-rollup CAST filter — the dashboard predicate's OTHER
+    * spelling, `CAST(ts AS DATE) = <day>` (and `to_date(ts)`, which
+    * analyzes to the same Cast). Semantically trivial; the POINT is
+    * the plan: [[graft.sources.GraftTruncRangeRule]]'s Cast case
+    * rewrites it to `ts >= startOfDay AND < nextStartOfDay`, which
+    * reaches zone maps and row-group stats — and unlike
+    * `date_trunc('day', …)` the rewrite is EXACT on DST days too
+    * (local date is monotone in the instant), so it never declines.
+    * PushdownSpec pins the pruning; this entry hash-checks the
+    * semantics end to end on the events table. */
+  def q66CastDatePrune(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(expr("CAST(ts AS DATE) = date'2024-01-15'"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_c"))
+
+  /** Synthesized PARTSUPP — the one TPC-H table `TESTDATA.md` lacks,
+    * derived DETERMINISTICALLY from part × supplier so the q62–q65
+    * quartet (Q2/Q11/Q16/Q20 shapes) is oracle-checkable: 4 suppliers
+    * per part via the TPC-H spec's own distinct-suppkey formula
+    * (suppkey_i = (partkey + i·(S/4 + partkey/S)) mod S, public spec
+    * §4.2.3, adapted to the testdata's 0-based keys), supplycost and
+    * availqty from md5 draws of the (partkey, suppkey) pair — the
+    * c12/c13 seed-keyed-hash discipline, integer-exact in both
+    * engines (48-bit hex prefix, BIGINT arithmetic only). The frame is
+    * built in-entry (part × 4 rows: one broadcast-scalar cross join +
+    * explode, no shuffle); at 100 TB partsupp would be a real fact
+    * table and every consumer below already treats it as one — keyed
+    * aggregates and joins on (ps_partkey, ps_suppkey), never a
+    * correlated re-aggregation. */
+  private def partsupp(s: SparkSession, dir: String): DataFrame = {
+    val sCnt = t(s, dir, "supplier").agg(count(lit(1)).as("s_cnt"))
+    def draw(salt: Column): Column =
+      conv(substring(md5(salt.cast("binary")), 1, 12), 16, 10).cast("long")
+    val pairKey = concat_ws("-",
+      col("ps_partkey").cast("string"), col("ps_suppkey").cast("string"))
+    t(s, dir, "part").select(col("p_partkey").as("ps_partkey"))
+      .crossJoin(broadcast(sCnt))
+      .select(col("ps_partkey"), col("s_cnt"),
+        explode(sequence(lit(0L), lit(3L))).as("i"))
+      .withColumn("ps_suppkey", expr(
+        "(ps_partkey + i * (s_cnt div 4 + ps_partkey div s_cnt)) % s_cnt"))
+      .withColumn("ps_supplycost_c", draw(pairKey) % 100000L + 100L)
+      .withColumn("ps_availqty",
+        draw(concat_ws("-", lit("aq"), col("ps_partkey").cast("string"),
+          col("ps_suppkey").cast("string"))) % 9999L + 1L)
+      .select("ps_partkey", "ps_suppkey", "ps_supplycost_c", "ps_availqty")
+  }
+
+  /** q62: TPC-H Q2 shape — the MIN-COST supplier per part within a
+    * region: for each STANDARD small-size part, the European
+    * supplier(s) offering it at the regional minimum supplycost. The
+    * correlated `ps_supplycost = (SELECT min(...))` subquery is
+    * DECORRELATED into one keyed min aggregate over the
+    * region-filtered partsupp plus an equality join back on
+    * (partkey, cost) — the q55 broadcast-scalar discipline at per-part
+    * grain, no per-row re-aggregation. Part filter and the
+    * region-supplier dimension both broadcast; cost is integer cents
+    * so the min-equality join cannot miss on rounding; ties (two
+    * suppliers at the min) all surface, as Q2's semantics require. */
+  def q62MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rn = regionNations(s, dir, "EUROPE")
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(rn), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        round(col("s_acctbal") * 100).cast("long").as("s_acctbal_c"))
+    val pf = t(s, dir, "part")
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 5)
+      .select("p_partkey")
+    val psr = partsupp(s, dir)
+      .join(broadcast(pf), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+      .select("ps_partkey", "ps_supplycost_c", "s_name", "n_name", "s_acctbal_c")
+    val minc = psr.groupBy("ps_partkey")
+      .agg(min("ps_supplycost_c").as("min_cost_c"))
+      .withColumnRenamed("ps_partkey", "m_partkey")
+    psr.join(minc, col("ps_partkey") === col("m_partkey") &&
+        col("ps_supplycost_c") === col("min_cost_c"))
+      .select(col("s_acctbal_c"), col("s_name"), col("n_name"),
+        col("ps_partkey"), col("min_cost_c"))
+      .orderBy(desc("s_acctbal_c"), col("n_name"), col("s_name"),
+        col("ps_partkey"))
+  }
+
+  /** q63: TPC-H Q11 shape — IMPORTANT STOCK: per-part inventory value
+    * (supplycost × availqty, BIGINT) over one nation's suppliers,
+    * keeping parts whose value exceeds 1/400 of the nation's total.
+    * The global-scalar HAVING decorrelates into ONE extra one-row
+    * aggregate broadcast-crossed back (the q49/q55 pattern); the
+    * share comparison is `value·400 > total` in pure BIGINT — no
+    * float division anywhere, so the threshold cannot flake. One
+    * keyed shuffle (the per-part sum); the nation's supplier set
+    * broadcasts. */
+  def q63ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val natSup = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_9")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val pn = partsupp(s, dir)
+      .join(broadcast(natSup), col("ps_suppkey") === col("s_suppkey"))
+      .select(col("ps_partkey"),
+        (col("ps_supplycost_c") * col("ps_availqty")).as("v"))
+    val byPart = pn.groupBy("ps_partkey").agg(sum("v").as("value_c"))
+    val total = pn.agg(sum("v").as("total_c"))
+    byPart.crossJoin(broadcast(total))
+      .filter(col("value_c") * 400L > col("total_c"))
+      .select("ps_partkey", "value_c")
+      .orderBy(desc("value_c"), col("ps_partkey"))
+  }
+
+  /** q64: TPC-H Q16 shape — SUPPLIER COUNT by part descriptor: distinct
+    * suppliers per (brand, type, size) over a brand/type/size-screened
+    * part set, excluding suppliers on a complaint list (adapted to the
+    * schema: the testdata's supplier has no comment column, so the
+    * exclusion set is suppliers in arrears, `s_acctbal < 0` — same NOT
+    * IN shape). The NOT IN runs as a broadcast LEFT ANTI join
+    * (equivalent here: s_suppkey is never null), the part screen
+    * broadcasts onto the partsupp build, and the countDistinct is the
+    * one keyed shuffle. */
+  def q64SupplierCount(s: SparkSession, dir: String): DataFrame = {
+    val excl = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+      .select("s_suppkey")
+    val pf = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#45" &&
+        !col("p_type").startsWith("MEDIUM") &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    partsupp(s, dir)
+      .join(broadcast(pf), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("ps_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("ps_suppkey").as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** q65: TPC-H Q20 shape — the NESTED SEMI CHAIN: suppliers in one
+    * nation holding EXCESS STOCK of name-screened parts — availqty
+    * exceeding half of what that (part, supplier) pair actually
+    * shipped in 1996. Innermost: the name screen broadcasts onto
+    * lineitem; the per-(partkey, suppkey) shipped-quantity aggregate
+    * is the one fact shuffle; partsupp joins it on BOTH keys (an
+    * inner join: a pair with no 1996 shipments compares against NULL
+    * in Q20 and drops — same semantics); the `availqty > 0.5·sum`
+    * comparison is `availqty·2 > qty` in BIGINT; the qualifying
+    * supplier set then lands as a LEFT SEMI on the nation's suppliers.
+    * No correlated subquery survives: three joins, each keyed or
+    * broadcast. */
+  def q65ExcessStock(s: SparkSession, dir: String): DataFrame = {
+    val pf = t(s, dir, "part").filter(col("p_name").like("small%"))
+      .select("p_partkey")
+    val shipped = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+    val qualified = partsupp(s, dir)
+      .join(shipped, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty") * 2L > col("sum_qty"))
+      .select("ps_suppkey").distinct()
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_9")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qualified, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_name")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_cast_date_prune" -> q66CastDatePrune _,
+    "q65_excess_stock" -> q65ExcessStock _,
+    "q64_supplier_count" -> q64SupplierCount _,
+    "q63_important_stock" -> q63ImportantStock _,
+    "q62_mincost_supplier" -> q62MinCostSupplier _,
     "q61_trunc_prune" -> q61TruncMonth _,
     "q60_returned_customers" -> q60ReturnedCustomers _,
     "q59_product_profit" -> q59ProductProfit _,
@@ -828,7 +1004,94 @@ object ExtendedQueries {
     "q32_tpch_q1" -> q32TpchQ1 _,
   )
 
+  /** The synthesized-partsupp CTE chain — ONE definition string shared
+    * by all four quartet oracles, mirroring [[partsupp]] expression for
+    * expression (TPC-H suppkey formula, 48-bit md5 draws, BIGINT
+    * arithmetic), so the Spark build and the oracle replay cannot
+    * drift. DuckDB `//` floors and Spark `div` truncates — identical
+    * on these all-nonnegative operands. */
+  private val PartsuppCte: String =
+    """sc AS (SELECT count(*) s_cnt FROM supplier),
+      |ps0 AS (
+      |  SELECT p_partkey ps_partkey,
+      |    (p_partkey + i * (s_cnt // 4 + p_partkey // s_cnt)) % s_cnt
+      |      ps_suppkey
+      |  FROM part, sc, range(0, 4) r(i)),
+      |ps AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |    CAST(('0x' || substr(md5(concat(CAST(ps_partkey AS VARCHAR), '-',
+      |      CAST(ps_suppkey AS VARCHAR))), 1, 12)) AS BIGINT) % 100000 + 100
+      |      ps_supplycost_c,
+      |    CAST(('0x' || substr(md5(concat('aq-', CAST(ps_partkey AS VARCHAR),
+      |      '-', CAST(ps_suppkey AS VARCHAR))), 1, 12)) AS BIGINT) % 9999 + 1
+      |      ps_availqty
+      |  FROM ps0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q66_cast_date_prune" ->
+      ("""SELECT count(*) n_events,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) value_c
+         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'""".stripMargin),
+    "q62_mincost_supplier" ->
+      (s"""WITH $PartsuppCte,
+         |rn AS (SELECT n_nationkey, n_name FROM nation JOIN region
+         |       ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+         |sup AS (SELECT s_suppkey, s_name, n_name,
+         |    CAST(round(s_acctbal * 100) AS BIGINT) s_acctbal_c
+         |  FROM supplier JOIN rn ON s_nationkey = n_nationkey),
+         |pf AS (SELECT p_partkey FROM part
+         |       WHERE p_type = 'STANDARD' AND p_size <= 5),
+         |psr AS (SELECT ps_partkey, ps_supplycost_c, s_name, n_name,
+         |    s_acctbal_c
+         |  FROM ps JOIN pf ON ps_partkey = p_partkey
+         |  JOIN sup ON ps_suppkey = s_suppkey),
+         |minc AS (SELECT ps_partkey m_partkey,
+         |    min(ps_supplycost_c) min_cost_c FROM psr GROUP BY 1)
+         |SELECT s_acctbal_c, s_name, n_name, ps_partkey, min_cost_c
+         |FROM psr JOIN minc ON ps_partkey = m_partkey
+         |  AND ps_supplycost_c = min_cost_c
+         |ORDER BY s_acctbal_c DESC, n_name, s_name, ps_partkey""".stripMargin),
+    "q63_important_stock" ->
+      (s"""WITH $PartsuppCte,
+         |ns AS (SELECT s_suppkey FROM supplier JOIN nation
+         |       ON s_nationkey = n_nationkey WHERE n_name = 'NATION_9'),
+         |pn AS (SELECT ps_partkey, ps_supplycost_c * ps_availqty v
+         |       FROM ps JOIN ns ON ps_suppkey = s_suppkey),
+         |byp AS (SELECT ps_partkey, CAST(sum(v) AS BIGINT) value_c
+         |        FROM pn GROUP BY 1),
+         |tot AS (SELECT CAST(sum(v) AS BIGINT) total_c FROM pn)
+         |SELECT ps_partkey, value_c FROM byp, tot
+         |WHERE value_c * 400 > total_c
+         |ORDER BY value_c DESC, ps_partkey""".stripMargin),
+    "q64_supplier_count" ->
+      (s"""WITH $PartsuppCte,
+         |pf AS (SELECT p_partkey, p_brand, p_type, p_size FROM part
+         |  WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+         |    AND p_size IN (1, 4, 9, 16, 25, 36, 49))
+         |SELECT p_brand, p_type, p_size,
+         |  count(DISTINCT ps_suppkey) supplier_cnt
+         |FROM ps JOIN pf ON ps_partkey = p_partkey
+         |WHERE ps_suppkey NOT IN
+         |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+    "q65_excess_stock" ->
+      (s"""WITH $PartsuppCte,
+         |pf AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+         |shipped AS (SELECT l_partkey, l_suppkey,
+         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) sum_qty
+         |  FROM lineitem JOIN pf ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY 1, 2),
+         |qual AS (SELECT DISTINCT ps_suppkey FROM ps
+         |  JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |  WHERE ps_availqty * 2 > sum_qty)
+         |SELECT s_suppkey, s_name FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_9'
+         |  AND s_suppkey IN (SELECT ps_suppkey FROM qual)
+         |ORDER BY s_name""".stripMargin),
     "q57_volume_shipping" ->
       (s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |  CAST(year(l_shipdate) AS INTEGER) AS l_year,

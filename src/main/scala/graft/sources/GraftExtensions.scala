@@ -149,7 +149,44 @@ object GraftTruncRangeRule extends Rule[LogicalPlan] {
       tsUpper(fmt.toString.toLowerCase(java.util.Locale.ROOT), micros,
         tzId.getOrElse("UTC"))
         .map(hi => (ts, micros, hi, TimestampType))
+    // CAST(tsCol AS DATE) vs DATE 'd' — the other spelling of the
+    // daily-rollup predicate (`to_date(ts)` analyzes to this same Cast
+    // — ParseToDate is RuntimeReplaceable — so both spellings land
+    // here). The cast takes the instant's LOCAL DATE in the cast's
+    // zone; local date is MONOTONE in the instant (offset transitions
+    // are < 24h), so the instants casting to d are exactly
+    // [startOfDay(d), startOfDay(d+1)) and every comparison shape
+    // rewrites through the same bounds — EXACTLY, with no DST-day
+    // exclusion: unlike trunc('day'), which re-truncates at each row's
+    // own offset, the cast is a pure floor in a monotone mapping, and
+    // Java's atStartOfDay(zone) yields the first valid instant of a
+    // gap day (spring-forward), i.e. the true infimum. Every date
+    // literal is "aligned" at day grain — no alignment guard needed. */
+    case (Cast(ts, DateType, tzId, _), Literal(days: Int, DateType))
+        if ts.deterministic && ts.dataType == TimestampType &&
+          tzId.isDefined => // no resolved zone ⇒ refuse (cannot occur
+                            // post-analysis; ResolveTimeZone fills it)
+      castDayBounds(days, tzId.get)
+        .map { case (lo, hi) => (ts, lo, hi, TimestampType) }
     case _ => None
+  }
+
+  /** [startOfDay(d), startOfDay(d+1)) in micros for the zone, or None
+    * when the zone fails to parse or the bounds overflow the
+    * TimestampType domain (refuse the rewrite; the original predicate
+    * stays correct). */
+  private def castDayBounds(days: Int, zone: String): Option[(Long, Long)] = {
+    import java.time.{Instant, ZoneId}
+    import java.time.temporal.ChronoUnit
+    try {
+      val zid = ZoneId.of(zone)
+      val d = LocalDate.ofEpochDay(days.toLong)
+      val lo = ChronoUnit.MICROS.between(Instant.EPOCH,
+        d.atStartOfDay(zid).toInstant)
+      val hi = ChronoUnit.MICROS.between(Instant.EPOCH,
+        d.plusDays(1).atStartOfDay(zid).toInstant)
+      Some((lo, hi))
+    } catch { case _: Exception => None }
   }
 
   /** Exclusive upper bound for an ALIGNED date literal, or None when

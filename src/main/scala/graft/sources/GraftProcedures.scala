@@ -40,6 +40,7 @@ import graft.storage.GraftTable
   *   CALL graft.system.ann_probe('db.idx', 'db.q', 'db.topk', 3) -- s20 nprobe
   *   CALL graft.system.ann_probe_int8('db.idx', 'db.queries', 'db.topk') -- s17
   *   CALL graft.system.ann_probe_pq('db.idx', 'db.queries', 'db.topk')   -- s9
+  *   CALL graft.system.ann_probe_bin('db.idx', 'db.queries', 'db.topk')  -- s22
   *   CALL graft.system.compact_overlapping('db.t') -- clustering repair
   *   CALL graft.system.ann_drift('db.idx')  -- index staleness audit
   *   CALL graft.system.ann_verify('db.idx') -- postings/codes desync audit
@@ -71,7 +72,8 @@ private[sources] object GraftProcedures {
       "dedup_exact", "decontaminate", "ann_probe", "ann_drift",
       "ann_rebuild", "dedup_spans", "contamination_report",
       "source_mix", "split_assign", "quality_votes", "dataset_card",
-      "ann_probe_int8", "ann_probe_pq", "ann_verify", "ann_delete")
+      "ann_probe_int8", "ann_probe_pq", "ann_probe_bin", "ann_verify",
+      "ann_delete")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -115,7 +117,7 @@ private[sources] object GraftProcedures {
               ProcedureParameter.in("eval_table", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
           else if (procName == "ann_probe" || procName == "ann_probe_int8" ||
-              procName == "ann_probe_pq") {
+              procName == "ann_probe_pq" || procName == "ann_probe_bin") {
             // arity-overloaded: an optional 4th arg widens the probe to
             // each query's n nearest lists (the IVF recall/cost dial) —
             // CALL g.system.ann_probe('db.idx','db.q','db.out', 3)
@@ -157,7 +159,7 @@ private[sources] object GraftProcedures {
           // graft tables: postings/centroids/...), not a table itself
           val indexProc = procName == "ann_drift" || procName == "ann_probe" ||
             procName == "ann_rebuild" || procName == "ann_probe_int8" ||
-            procName == "ann_probe_pq" ||
+            procName == "ann_probe_pq" || procName == "ann_probe_bin" ||
             procName == "ann_verify" || procName == "ann_delete"
           if (indexProc) {
             require(GraftTable.exists(s"$dir/postings"),
@@ -167,6 +169,9 @@ private[sources] object GraftProcedures {
                   GraftTable.exists(s"$dir/codebook"),
                 s"index $tableName has no PQ codes/codebook " +
                   "(build via ivfPqIndexDir)")
+            if (procName == "ann_probe_bin")
+              require(GraftTable.exists(s"$dir/codes_bin"),
+                s"index $tableName has no sign codes (build via binIndexDir)")
             if (procName == "ann_probe_int8") {
               require(GraftTable.exists(s"$dir/codes_i8"),
                 s"index $tableName has no int8 codes (build via int8IndexDir)")
@@ -316,6 +321,14 @@ private[sources] object GraftProcedures {
               .filter(org.apache.spark.sql.functions.col("id").isNotNull)
               .limit(65537)
               .collect().map(_.getLong(0)).toSeq
+            // over-limit detected HERE with the ids table named — the
+            // limited collect would otherwise surface deleteFromIndex's
+            // "got 65537" message, misreporting the table's true size
+            // to the operator chunking the list (ADVICE r12)
+            require(ids.size <= 65536,
+              s"ids table $idsName holds more than 65536 ids — erasure " +
+                "batches are bounded; chunk the table or use the DSv2 " +
+                "DELETE ... IN (SELECT ...) path")
             val n = graft.operators.Similarity.deleteFromIndex(spark, dir, ids)
             val schema = StructType(Seq(
               StructField("table", StringType, nullable = false),
@@ -333,7 +346,8 @@ private[sources] object GraftProcedures {
               procName == "contamination_report" ||
               procName == "source_mix" || procName == "split_assign" ||
               procName == "quality_votes" || procName == "ann_probe_int8" ||
-              procName == "ann_probe_pq" || procName == "dataset_card") {
+              procName == "ann_probe_pq" || procName == "ann_probe_bin" ||
+              procName == "dataset_card") {
             val spark = SparkSession.active
             val (metric, n) = procName match {
               case "dedup_exact" =>
@@ -404,6 +418,16 @@ private[sources] object GraftProcedures {
                 ("results_written",
                   writeResult(graft.operators.Similarity
                     .probeIvfPqRaw(spark, dir, q, nprobe = nprobe), 2))
+              case "ann_probe_bin" =>
+                val qName = checkName(input.getUTF8String(1).toString)
+                val qDir = tableDir(qName)
+                require(GraftTable.exists(qDir), s"no graft table $qName")
+                val q = GraftTable.open(spark, qDir).read()
+                val nprobe = if (input.numFields >= 4) input.getInt(3) else 1
+                require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+                ("results_written",
+                  writeResult(graft.operators.Similarity
+                    .probeIvfBinRaw(spark, dir, q, nprobe = nprobe), 2))
             }
             val schema = StructType(Seq(
               StructField("table", StringType, nullable = false),

@@ -1385,7 +1385,16 @@ final class GraftTable private (
         def cmpOr0(a: String, b: String): Int =
           ranges.cmp(a, b).getOrElse { incomparable = true; 0 }
         def lte(a: String, b: String): Boolean = cmpOr0(a, b) <= 0
-        val sorted = placed.sortWith((x, y) => cmpOr0(x._2, y._2) < 0)
+        // an incomparable pair makes cmpOr0's 0 non-transitive, and
+        // TimSort then throws "Comparison method violates its general
+        // contract" — catch it so a poisoned bucket SKIPS cleanly
+        // (the incomparable flag is set by the same cmpOr0 call)
+        // instead of aborting the whole operation (ADVICE r12)
+        val sorted =
+          try placed.sortWith((x, y) => cmpOr0(x._2, y._2) < 0)
+          catch { case _: IllegalArgumentException =>
+            incomparable = true; Seq.empty
+          }
         val groups = Vector.newBuilder[Seq[String]]
         var cur = Vector.empty[(String, String, String)]
         var curMax: String = null

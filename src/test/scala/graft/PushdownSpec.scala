@@ -309,6 +309,61 @@ class PushdownSpec extends SparkSpec {
     graft.storage.GraftTable.drop(loc)
   }
 
+  test("CAST(ts AS DATE)/to_date comparisons rewrite to ranges and prune files; exact on DST days") {
+    import org.apache.spark.sql.types._
+    // three one-file appends, one calendar DAY each
+    val loc = tmpDir("metr-cast") + "/tbl"
+    val t = graft.storage.GraftTable.create(spark, loc, StructType(Seq(
+      StructField("ts", TimestampType), StructField("v", IntegerType))))
+    for (d <- Seq("01", "02", "03")) {
+      val df = spark.range(50).selectExpr(
+        s"timestamp'2024-02-$d 00:00:00' + make_interval(0,0,0,0,0,CAST(id AS INT),0) AS ts",
+        "CAST(id AS INT) AS v")
+      t.append(df.coalesce(1))
+    }
+    val hit = spark.read.format("graft").load(loc)
+      .filter(expr("CAST(ts AS DATE) = date'2024-02-02'"))
+    assert(hit.collect().length === 50, "the rewrite must preserve semantics")
+    assert(graftScanExec(hit).metrics("graftFilesPrunedStatic").value === 2,
+      "the range form must reach the zone maps and drop the other days")
+    // the to_date(ts) spelling analyzes to the same Cast and prunes too
+    val td = spark.read.format("graft").load(loc)
+      .filter(expr("to_date(ts) = date'2024-02-02'"))
+    assert(td.collect().length === 50)
+    assert(graftScanExec(td).metrics("graftFilesPrunedStatic").value === 2,
+      "to_date must land in the same rewrite")
+    // inequality forms ride the same bounds: >= keeps day 2+3
+    val ge = spark.read.format("graft").load(loc)
+      .filter(expr("CAST(ts AS DATE) >= date'2024-02-02'"))
+    assert(ge.collect().length === 100)
+    assert(graftScanExec(ge).metrics("graftFilesPrunedStatic").value === 1,
+      "the one-sided lower bound must drop the first day's file")
+    graft.storage.GraftTable.drop(loc)
+
+    // DST fall-back day: unlike trunc('day') (which declines there),
+    // the cast rewrite is EXACT — local date is monotone in the
+    // instant, and the 25-hour day maps to [startOfDay, nextStartOfDay)
+    val loc2 = tmpDir("metr-cast-dst") + "/tbl"
+    val t2 = graft.storage.GraftTable.create(spark, loc2, StructType(Seq(
+      StructField("ts", TimestampType))))
+    // 72 hourly UTC instants 2025-11-01T00Z .. 2025-11-03T23Z (session
+    // tz is UTC while building)
+    t2.append(spark.range(72).selectExpr(
+      "timestamp'2025-11-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts")
+      .coalesce(1))
+    withConf("spark.sql.session.timeZone", "America/New_York") {
+      // NY 2025-11-02 spans UTC [11-02T04:00Z, 11-03T05:00Z): 25 hours
+      val dst = spark.read.format("graft").load(loc2)
+        .filter(expr("CAST(ts AS DATE) = date'2025-11-02'"))
+      assert(dst.collect().length === 25,
+        "the fall-back day has 25 hourly instants — the rewrite must keep all of them")
+      val p = dst.queryExecution.optimizedPlan.toString
+      assert(p.contains(">="),
+        s"the cast rewrite must fire on the DST day (it is exact there):\n$p")
+    }
+    graft.storage.GraftTable.drop(loc2)
+  }
+
   test("runtime (join-driven) pruning reports graftFilesPrunedRuntime") {
     import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.connector.expressions.filter.Predicate

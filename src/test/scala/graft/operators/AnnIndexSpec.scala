@@ -1051,4 +1051,203 @@ class AnnIndexSpec extends SparkSpec {
     assert(got1.exists(r => r.getLong(2) === 4100000L && r.getDouble(3) === 1.0),
       s"repaired vector must probe at cos 1.0, got ${got1.toSeq}")
   }
+
+  // -- s22: the persisted BINARY (1-bit sign) index ----------------------
+
+  test("s22 sign codes are ~1/8 of int8's code bytes; probes prune to the probed lists' code files") {
+    Similarity.s17AnnInt8Persisted(spark, dir).count() // force the int8 build
+    Similarity.s22AnnBinPersisted(spark, dir).count()  // force the bin build
+    val root = Similarity.binIndexDir(spark, dir)
+    val bin = GraftTable.open(spark, s"$root/codes_bin")
+    val i8 = GraftTable.open(spark, s"$root/codes_i8")
+    val bb = bytesOf(bin.committedFiles)
+    val ib = bytesOf(i8.committedFiles)
+    assert(bb > 0 && ib > 0)
+    // file level, shared per-row overhead included (vec_id/label
+    // columns, footers): still a clear fraction
+    assert(bb * 2 < ib,
+      s"sign-code files must be a fraction of the int8 files: bin=$bb i8=$ib")
+    // the serving story pinned at the COLUMN CHUNK: one 64-bit word
+    // per 64 dims vs ~1 byte/dim — the committed `code` column's
+    // compressed bytes are ~1/8 of the int8 sibling's (≥6× here,
+    // page/chunk headers eating the remainder at this tiny SF)
+    def codeColBytes(files: Seq[String]): Long = {
+      val conf = spark.sessionState.newHadoopConf()
+      import scala.jdk.CollectionConverters._
+      files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString.startsWith("code"))
+          .map(_.getTotalSize).sum
+        finally r.close()
+      }.sum
+    }
+    val (bc, ic) = (codeColBytes(bin.committedFiles),
+      codeColBytes(i8.committedFiles))
+    assert(bc > 0 && ic > 0)
+    assert(bc * 6 < ic,
+      s"sign-code column must be ~1/8 of the int8 code column: bin=$bc i8=$ic")
+    // the probe story: a single-list probe prunes the code scan
+    val probed = bin.prunedFiles(Seq(In("label", Array[Any](0))))
+    assert(probed.size < bin.committedFiles.size,
+      "a single-list probe must read a code-file subset")
+    // one word per vector at 64 dims
+    val words = bin.read().select(size(col("code"))).distinct().collect()
+    assert(words.map(_.getInt(0)).toSeq === Seq(1),
+      "64-dim vectors must pack to exactly one sign word")
+  }
+
+  test("s22 hamming shortlist equals the unpacked sign-disagreement count; re-rank cosines exact") {
+    val emb = Tables.load(spark, dir, "embeddings").collect()
+      .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    def cosOf(a: Long, b: Long): Double = {
+      val (x, y) = (emb(a), emb(b))
+      val dot = x.zip(y).foldLeft(0.0)((s, p) => s + p._1 * p._2)
+      val nx = math.sqrt(x.foldLeft(0.0)((s, v) => s + v * v))
+      val ny = math.sqrt(y.foldLeft(0.0)((s, v) => s + v * v))
+      dot / (nx * ny)
+    }
+    val got = Similarity.s22AnnBinPersisted(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (q, id, cos) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      assert(math.abs(cos - math.rint(cosOf(q, id) * 1e4) / 1e4) < 5e-5,
+        s"q=$q id=$id exact re-rank cosine")
+      assert(id !== q)
+    }
+    // the packed words reproduce the s18 sign convention: popcount of
+    // the XOR of two vectors' words == their per-dimension
+    // sign-disagreement count, recomputed here from the raw doubles
+    val root = Similarity.binIndexDir(spark, dir)
+    val codes = GraftTable.open(spark, s"$root/codes_bin").read()
+      .filter(col("vec_id") < 20)
+      .collect().map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getSeq[Long](r.fieldIndex("code")).toArray).toMap
+    for (a <- codes.keys; b <- codes.keys if a < b) {
+      val packed = codes(a).zip(codes(b))
+        .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      val direct = emb(a).zip(emb(b))
+        .count { case (x, y) => (x >= 0) != (y >= 0) }
+      assert(packed === direct, s"pair ($a,$b) packed hamming")
+    }
+  }
+
+  test("incremental bin append: sign codes + vectors land in the assigned list; either entry point maintains the bin sibling") {
+    import spark.implicits._
+    Similarity.s17AnnInt8Persisted(spark, dir).count()
+    Similarity.s22AnnBinPersisted(spark, dir).count()
+    val root = Similarity.binIndexDir(spark, dir)
+    val root2 = tmpDir("bin-append")
+    Seq("centroids", "postings", "i8meta", "codes_i8", "codes_bin").foreach(t =>
+      GraftTable.open(spark, s"$root/$t").cloneTo(s"$root2/$t"))
+    val codes = GraftTable.open(spark, s"$root2/codes_bin")
+    val codeFiles = codes.committedFiles.toSet
+    val nCodes = codes.rowCountFromMetadata()
+    val v0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0).select("embedding").head
+      .getSeq[Float](0).toArray
+    assert(Similarity.appendToBinIndex(spark, root2,
+      Seq((7000000L, v0)).toDF("vec_id", "embedding")) === 1L)
+    val codes2 = GraftTable.open(spark, s"$root2/codes_bin")
+    assert(codeFiles.subsetOf(codes2.committedFiles.toSet),
+      "index appends must never rewrite committed files")
+    assert(codes2.rowCountFromMetadata() === nCodes + 1)
+    // identical vector ⇒ identical sign words (parameterless encode)
+    val codeOf = (id: Long) => codes2.read().filter(col("vec_id") === id)
+      .select("code").head.getSeq[Long](0).toSeq
+    assert(codeOf(7000000L) === codeOf(0L))
+    // the bin entry point also maintained the int8 sibling…
+    assert(Similarity.verifyInt8Index(spark, root2) === Seq.empty,
+      "appendToBinIndex must maintain the int8 sibling")
+    // …and the int8 entry point maintains the bin sibling
+    Similarity.appendToInt8Index(spark, root2,
+      Seq((7000001L, v0)).toDF("vec_id", "embedding"))
+    assert(Similarity.verifyBinIndex(spark, root2) === Seq.empty,
+      "appendToInt8Index must maintain the bin sibling")
+    // both twins probe at cos = 1 through the bin rung
+    val q = GraftTable.open(spark, s"$root2/postings").read()
+      .filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("q_id", lit(-1L))
+    val twins = Similarity.probeIvfBin(spark, root2, q).collect()
+      .filter(r => r.getLong(2) >= 7000000L).map(_.getDouble(3))
+    assert(twins.length === 2 && twins.forall(_ === 1.0),
+      s"bin probe sees both twins at cos 1: ${twins.toSeq}")
+  }
+
+  test("bin audit detects desync; repair re-encodes from postings alone; erasure erases the bin rung") {
+    import spark.implicits._
+    Similarity.s22AnnBinPersisted(spark, dir).count()
+    val root = Similarity.binIndexDir(spark, dir)
+    val root2 = tmpDir("bin-audit")
+    Seq("centroids", "postings", "codes_bin").foreach(t =>
+      GraftTable.open(spark, s"$root/$t").cloneTo(s"$root2/$t"))
+    assert(Similarity.verifyBinIndex(spark, root2).isEmpty,
+      "fresh index must audit clean")
+    // codes-first crash residue: an orphaned sign-code row is
+    // probe-invisible, flagged, reclaimed
+    val orphan = GraftTable.open(spark, s"$root2/codes_bin").read()
+      .filter(col("vec_id") === 0L)
+      .select(col("label"), lit(8000000L).as("vec_id"), col("code"))
+    GraftTable.open(spark, s"$root2/codes_bin").append(orphan)
+    val issues = Similarity.verifyBinIndex(spark, root2)
+    assert(issues.exists(_.contains("orphaned")), s"got $issues")
+    // a posting with no code row (the other desync direction)
+    val bare = GraftTable.open(spark, s"$root2/postings").read()
+      .filter(col("vec_id") === 1L)
+      .select(col("label"), lit(8100000L).as("vec_id"), col("v"), col("nrm"))
+    GraftTable.open(spark, s"$root2/postings").append(bare)
+    val (addedRows, fixed) = Similarity.repairBinIndex(spark, root2)
+    assert(addedRows === 1L, s"one missing code row re-encoded, got $addedRows")
+    assert(fixed === 1L, s"one orphan dropped, got $fixed")
+    assert(Similarity.verifyBinIndex(spark, root2) === Seq.empty)
+    val codeOf = (id: Long) => GraftTable.open(spark, s"$root2/codes_bin").read()
+      .filter(col("vec_id") === id).select("code").head.getSeq[Long](0).toSeq
+    assert(codeOf(8100000L) === codeOf(1L),
+      "repair must re-derive the sign words from the posting vector alone")
+    // erasure: deleteFromIndex walks the bin sibling too
+    val q = GraftTable.open(spark, s"$root2/postings").read()
+      .filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("q_id", lit(-1L))
+    val before = Similarity.probeIvfBin(spark, root2, q).collect()
+    val victim = before.filter(_.getLong(2) >= 5L).head.getLong(2)
+    assert(Similarity.deleteFromIndex(spark, root2, Seq(victim)) === 1L)
+    val after = Similarity.probeIvfBin(spark, root2, q).collect()
+    assert(after.nonEmpty && !after.exists(_.getLong(2) == victim),
+      "an erased vector must stop being retrievable (bin rung)")
+    assert(Similarity.verifyBinIndex(spark, root2).isEmpty,
+      "postings and sign codes must erase together")
+  }
+
+  test("ann_rebuild relabels the bin codes too: audit clean, probe exact after") {
+    import spark.implicits._
+    Similarity.s22AnnBinPersisted(spark, dir).count()
+    val root = Similarity.binIndexDir(spark, dir)
+    val root2 = tmpDir("bin-rebuild")
+    Seq("centroids", "postings", "codes_bin").foreach(t =>
+      GraftTable.open(spark, s"$root/$t").cloneTo(s"$root2/$t"))
+    val v0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0).select("embedding").head
+      .getSeq[Float](0).toArray
+    Similarity.appendToBinIndex(spark, root2,
+      Seq((9000000L, v0)).toDF("vec_id", "embedding"))
+    val nBefore = GraftTable.open(spark, s"$root2/postings").rowCountFromMetadata()
+    val (_, nVecs) = Similarity.rebuildIvfIndex(spark, root2)
+    assert(nVecs === nBefore, "every vector survives the rebuild")
+    assert(Similarity.verifyBinIndex(spark, root2) === Seq.empty,
+      "the relabel must keep postings and codes_bin in the same lists")
+    val q = GraftTable.open(spark, s"$root2/postings").read()
+      .filter(col("vec_id") === 9000000L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("q_id", lit(-1L))
+    val got = Similarity.probeIvfBin(spark, root2, q).collect()
+    assert(got.nonEmpty && got.head.getDouble(3) === 1.0,
+      "a planted twin must probe at cos 1.0 through the rebuilt index")
+    assert(!GraftTable.exists(s"$root2/codes_bin_rebuild"))
+  }
 }

@@ -149,8 +149,17 @@ class DedupScaleSpec extends SparkSpec {
     // the 7-doc boilerplate grams exceed the cap and generate NO pairs;
     // the 2-doc shared span (posting lists of size 2) is untouched
     assert(capped.toSeq === Seq((1L, 2L, 20L)))
+    // no-silent-caps: the engaged cap SURFACES its dropped-gram count
+    // (logWarning + counter), so the capped report cannot read as
+    // exhaustive
+    assert(Dedup.spanCapDroppedLastRun > 0,
+      "an engaged gram cap must surface its dropped-gram count")
     val uncapped = Dedup.d14SpanDedup(spark, dir).collect()
     assert(uncapped.length > 1, "uncapped must also report the boilerplate pairs")
+    // an un-engaged cap reports zero dropped
+    Dedup.d14SpanDedup(spark, dir, maxGramFreq = Some(1000L)).collect()
+    assert(Dedup.spanCapDroppedLastRun === 0L,
+      "a cap that drops nothing must report zero")
   }
 
   test("d15 reports batch-vs-corpus spans only, through the sketch prefilter") {
