@@ -208,7 +208,24 @@ object Bench {
     // comparable; run 2 is fully warm and usually the better wall.
     val suiteRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val (results, total) = runSuite()
-    val reruns = (2 to suiteRuns).map { _ => runSuite() }
+    val rerunsBase = (2 to suiteRuns).map { _ => runSuite() }
+    // WINDOW SELF-CERTIFICATION (VERDICT r12 #7): round 12's driver
+    // run-1 (40.1s) vs best (22.6s) spread showed one rerun is not
+    // always enough to see through an ambient-load window. When the
+    // run walls spread beyond 1.5× or the in-suite calib median (so
+    // far) exceeds 0.7s — both thresholds from the SCALE_r13 §1
+    // clean-window reference — take ONE extra pass before emitting,
+    // and publish that the discipline fired so the artifact explains
+    // its own best-of-N.
+    def insuiteMedianNow(): Double = {
+      val xs = spinTimeline.synchronized { spinTimeline.toList }.map(_._2).sorted
+      if (xs.isEmpty) 0.0 else xs(xs.size / 2)
+    }
+    val wallsSoFar = total +: rerunsBase.map(_._2)
+    val windowSuspect = suiteRuns >= 2 &&
+      (wallsSoFar.max / math.max(1e-9, wallsSoFar.min) > 1.5 ||
+        insuiteMedianNow() > 0.7)
+    val reruns = if (windowSuspect) rerunsBase :+ runSuite() else rerunsBase
     val rerunWalls = reruns.map(_._2)
     val rerunErrs = reruns.flatMap(_._1.collect { case (n, _, s) if s != "ok" => n })
       .distinct
@@ -301,7 +318,7 @@ object Bench {
     // clipped by the driver's capture in round 10 — VERDICT r10 #2);
     // the COMPLETE artifact, timeline included, is also written to
     // BENCH_result.json so a clipped stdout is never the only record.
-    val headline = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"warmup_errors":$warmupJson,"sf":"$sfDir","solo":$soloJson,"pool_drained":$poolDrained,"calib":$calibJson,"calib_sec":$calibSec%.3f,"calib_insuite_sec":$calibInsuite%.3f,"suite_sec_reruns":$rerunJson,"suite_sec_best":$suiteBest%.3f,"suite_sec":$total}"""
+    val headline = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"warmup_errors":$warmupJson,"sf":"$sfDir","solo":$soloJson,"pool_drained":$poolDrained,"calib":$calibJson,"calib_sec":$calibSec%.3f,"calib_insuite_sec":$calibInsuite%.3f,"suite_sec_reruns":$rerunJson,"suite_sec_best":$suiteBest%.3f,"suite_extra_run":$windowSuspect,"suite_sec":$total}"""
     val full = headline.dropRight(1) +
       s""","calib_timeline":$timelineJson}"""
     // default lands in the launch CWD (the repo root under the driver);

@@ -260,4 +260,70 @@ class CollationSpec extends SparkSpec {
     assert(!plan.contains("PushedFilters: [IsNotNull(s), GreaterThan(s,"), plan)
     GraftTable.drop(loc)
   }
+
+  test("collated append harvests witnesses INSIDE the write job: same job count as an uncollated append") {
+    import graft.storage.GraftTable
+    val wh = tmpDir("collated-singlepass-wh")
+    spark.conf.set("spark.sql.catalog.cwit", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cwit.warehouse", wh)
+    def countJobs(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            jobStart: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // drain: listener events are async — wait until the count is
+        // stable for a few polls
+        var last = -1
+        var stable = 0
+        var polls = 0
+        while (stable < 4 && polls < 100) {
+          Thread.sleep(100)
+          val c = n.get()
+          if (c == last) stable += 1 else { stable = 0; last = c }
+          polls += 1
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    try {
+      spark.sql("CREATE TABLE cwit.db.plain (s STRING, v INT) USING graft")
+      spark.sql("CREATE TABLE cwit.db.coll (s STRING COLLATE da, v INT) USING graft")
+      // identical insert plans; the only difference is the declared
+      // collation. Before round 13 the collated append paid one EXTRA
+      // job (the witness re-read of the new files); the tracked write
+      // harvests witnesses inside the write job itself.
+      val plainJobs = countJobs {
+        spark.sql("INSERT INTO cwit.db.plain SELECT /*+ REPARTITION(1) */ " +
+          "concat('x', id), CAST(id AS INT) FROM range(1000)")
+      }
+      val collJobs = countJobs {
+        spark.sql("INSERT INTO cwit.db.coll SELECT /*+ REPARTITION(1) */ " +
+          "concat('x', id), CAST(id AS INT) FROM range(1000)")
+      }
+      assert(collJobs === plainJobs,
+        s"a collated append must not pay a witness re-read job: " +
+          s"collated=$collJobs uncollated=$plainJobs")
+      // and the in-write harvest produced REAL witnesses: the collated
+      // predicate still refutes/keeps through collation-order bounds
+      val t = GraftTable.open(spark, s"$wh/db/coll")
+      assert(t.committedFiles.size === 1)
+      assert(t.prunedFiles(Seq(
+        org.apache.spark.sql.sources.GreaterThan("s", "y"))).isEmpty,
+        "in-write witnesses must refute a provably-out-of-range predicate")
+      assert(t.prunedFiles(Seq(
+        org.apache.spark.sql.sources.GreaterThan("s", "w"))).size === 1,
+        "in-write witnesses must keep the in-range file")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cwit.db.plain")
+      spark.sql("DROP TABLE IF EXISTS cwit.db.coll")
+      spark.conf.unset("spark.sql.catalog.cwit")
+      spark.conf.unset("spark.sql.catalog.cwit.warehouse")
+    }
+  }
 }

@@ -95,7 +95,18 @@ class PlanGuardSpec extends SparkSpec {
       // s21: s1's ≤5-row broadcast query set joined on =!= (the quota
       // and re-rank windows are keyed shuffles over the scored frame)
       "s20_multiprobe_ivf", "e13_dense_grid", "p5_rag_served",
-      "s21_quota_retrieval")
+      "s21_quota_retrieval",
+      // s22/s23: s17's assignment crossJoin (≤5-row query set × tiny
+      // committed centroid table); the Hamming shortlist and re-rank
+      // joins are keyed equality joins over zone-map-pruned files
+      "s22_bin_persisted", "s23_filtered_bin",
+      // q62-q65: the synthesized partsupp build broadcast-crosses the
+      // ONE-row supplier-count aggregate onto the part scan (the
+      // q49/q55 broadcast-scalar pattern); q63 additionally crosses
+      // its ONE-row grand-total aggregate back for the share HAVING.
+      // Every fact-sized join in the quartet is keyed or broadcast.
+      "q62_mincost_supplier", "q63_important_stock",
+      "q64_supplier_count", "q65_excess_stock")
   // d5 runs its tile loop eagerly at plan-construction; exclude it here
   // (its scale story is the tile partition-equivalence spec + d6).
   private val skipped = Set("d5_embed_neardup")
