@@ -1141,15 +1141,20 @@ object Dedup {
     val capped = maxGramFreq.fold(posting) { f =>
       // no-silent-caps (VERDICT r12 #8): when the cap ENGAGES, say so
       // — a span report missing the hottest grams must not read as
-      // exhaustive. The count is one extra tiny aggregate, paid only
-      // by capped callers; d2b documents the same trade for shingles.
-      val dropped = posting.filter(size(col("ps")) > f).count()
+      // exhaustive. The posting build is localCheckpoint-materialized
+      // so the dropped-count action and the caller's pair expansion
+      // share ONE evaluation of the gram shuffle (a bare count() here
+      // would re-run the whole build; blocks are reclaimed by the
+      // ContextCleaner once the returned plan is GC'd — the
+      // appendToIvfPqIndex lifetime discipline).
+      val mat = posting.localCheckpoint(true)
+      val dropped = mat.filter(size(col("ps")) > f).count()
       spanCapDroppedLastRun = dropped
       if (dropped > 0)
         SpanCapLog.warn(s"dedup_spans: maxGramFreq=$f dropped $dropped " +
           "high-frequency gram posting list(s); spans supported only " +
           "by hotter grams will not be reported")
-      posting.filter(size(col("ps")) <= f)
+      mat.filter(size(col("ps")) <= f)
     }
     val pairs = capped
       // PostingPairs reads (long, long) structs positionally: the

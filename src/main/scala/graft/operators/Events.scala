@@ -218,7 +218,11 @@ object Events {
         min(win6h(col("ts"))).as("wmin"),
         max(win6h(col("ts"))).as("wmax"))
       .select(col("wmin"),
-        when(col("wmax") - col("wmin") < lit(maxGridWindows), col("wmax"))
+        // isNull escape: an EMPTY events table (or all-null ts) must
+        // keep returning the empty grid (null span → null sequence →
+        // no rows), not trip the guard through null three-valued logic
+        when(col("wmax").isNull ||
+            col("wmax") - col("wmin") < lit(maxGridWindows), col("wmax"))
           .otherwise(raise_error(concat(
             lit("e13 dense grid span too large: windows ["),
             col("wmin").cast("string"), lit(", "),

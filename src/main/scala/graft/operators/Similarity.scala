@@ -1256,9 +1256,15 @@ object Similarity {
           val tv = baseHist.filter(_ => total > 0).map { bh =>
             val cur = grid.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
             val bTotal = math.max(1L, bh.sum)
-            (0 until 20).map(i =>
+            // the -1 (desynced, no cosine) bin carries baseline mass 0,
+            // so its FULL current share enters the sum — without it a
+            // desync would count only half its true TV weight (review
+            // r13): TV over the 21-bin space is Σ|cur−base|/2 with
+            // base(-1) = 0
+            ((0 until 20).map(i =>
               math.abs(cur.getOrElse(i.toLong, 0L).toDouble / total -
-                bh(i).toDouble / bTotal)).sum / 2.0
+                bh(i).toDouble / bTotal)).sum +
+              cur.getOrElse(-1L, 0L).toDouble / total) / 2.0
           }
           (appC, mf, g, Some(skew), tv, p50Base,
             if (nApp > 0) p50App else p50All, "persisted")
@@ -2329,24 +2335,45 @@ object Similarity {
     * maintenance swap. Duplicates are not auto-repaired (rebuild
     * instead). Returns (codeRowsAdded, badCodeRowsFixed). */
   def repairInt8Index(s: SparkSession, root: String): (Long, Long) = {
-    val tmp = s"$root/codes_i8_repair"
-    if (!graft.storage.GraftTable.exists(s"$root/codes_i8")) {
+    val scaleDf = () => graft.storage.GraftTable.open(s, s"$root/i8meta").read()
+    repairCodesSibling(s, root, "codes_i8", "int8",
+      missing => int8EncodeAssigned(missing, scaleDf()))
+  }
+
+  /** The shared repair state machine for the DERIVED-code siblings
+    * (`codes_i8`, `codes_bin`): their codes are pure functions of the
+    * postings' vectors (+ committed parameters the `encode` closure
+    * captures), so one protocol serves every rung — re-encode and
+    * append code rows missing for committed postings; when orphans or
+    * mislabels exist rewrite the codes table net of both with labels
+    * from POSTINGS (the authoritative assignment). Crash-recovery
+    * contract as [[repairIvfPqIndex]]: staging into
+    * `<table>_repair`, the only destructive step is the final
+    * drop-then-clone swap, a crash inside the swap completes on the
+    * next run. NOT reader-safe — exclusive ownership. Duplicates are
+    * not auto-repaired (rebuild instead). One definition, so a swap-
+    * protocol fix can never reach one rung and miss the other
+    * (review r13). Returns (codeRowsAdded, badCodeRowsFixed). */
+  private def repairCodesSibling(s: SparkSession, root: String,
+      table: String, rung: String,
+      encode: DataFrame => DataFrame): (Long, Long) = {
+    val tmp = s"$root/${table}_repair"
+    if (!graft.storage.GraftTable.exists(s"$root/$table")) {
       require(graft.storage.GraftTable.exists(tmp),
-        s"int8 index at $root has neither codes_i8 nor codes_i8_repair — rebuild it")
-      graft.storage.GraftTable.open(s, tmp).cloneTo(s"$root/codes_i8")
+        s"$rung index at $root has neither $table nor ${table}_repair — rebuild it")
+      graft.storage.GraftTable.open(s, tmp).cloneTo(s"$root/$table")
       graft.storage.GraftTable.drop(tmp)
     } else if (graft.storage.GraftTable.exists(tmp)) {
       graft.storage.GraftTable.drop(tmp)
     }
     val postT = graft.storage.GraftTable.open(s, s"$root/postings")
-    val codesT = graft.storage.GraftTable.open(s, s"$root/codes_i8")
-    val scaleDf = graft.storage.GraftTable.open(s, s"$root/i8meta").read()
+    val codesT = graft.storage.GraftTable.open(s, s"$root/$table")
     val post = postT.read()
     val codeIds = codesT.read().select(col("vec_id"))
     val missing = post.join(codeIds, Seq("vec_id"), "left_anti")
     val added =
       if (missing.isEmpty) 0L
-      else codesT.append(int8EncodeAssigned(missing, scaleDf))
+      else codesT.append(encode(missing))
     val postLabels = post.select(col("vec_id"), col("label").as("p_label"))
     val orphans = codesT.read()
       .join(post.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
@@ -2364,28 +2391,32 @@ object Similarity {
       val tmpT = graft.storage.GraftTable.create(s, tmp, staged.schema,
         graft.storage.GraftTableOptions(sortBy = Seq("label")))
       tmpT.append(staged)
-      graft.storage.GraftTable.drop(s"$root/codes_i8")
-      tmpT.cloneTo(s"$root/codes_i8")
+      graft.storage.GraftTable.drop(s"$root/$table")
+      tmpT.cloneTo(s"$root/$table")
       graft.storage.GraftTable.drop(tmp)
     }
     (added, orphans + mislabeled)
   }
 
-  /** Cross-table integrity audit for the int8 index — the postings ↔
-    * codes_i8 desync classes [[verifyIvfPqIndex]] checks for s9, over
-    * s17's tables: missing code rows (s17-invisible vectors), orphaned
-    * code rows, duplicates, and list disagreement. */
-  def verifyInt8Index(s: SparkSession, root: String): Seq[String] = {
+  /** The shared postings ↔ derived-codes audit behind
+    * [[verifyInt8Index]] and [[verifyBinIndex]] — the desync classes
+    * of [[verifyIvfPqIndex]] over any code sibling: missing code rows
+    * (rung-invisible vectors), orphans, duplicates, list
+    * disagreement. */
+  private def verifyCodesSibling(s: SparkSession, root: String,
+      table: String, codeNoun: String, rungTag: String): Seq[String] = {
     val postFull = graft.storage.GraftTable.open(s, s"$root/postings").read()
-    val codesFull = graft.storage.GraftTable.open(s, s"$root/codes_i8").read()
+    val codesFull = graft.storage.GraftTable.open(s, s"$root/$table").read()
     val post = postFull.select(col("vec_id"))
     val codes = codesFull.select(col("vec_id"))
     val issues = Seq.newBuilder[String]
     val missing = post.join(codes, Seq("vec_id"), "left_anti").count()
-    if (missing > 0) issues += s"$missing posting vector(s) have no int8 code row (s17-invisible)"
+    if (missing > 0)
+      issues += s"$missing posting vector(s) have no $codeNoun row ($rungTag-invisible)"
     val orphaned = codes.join(post, Seq("vec_id"), "left_anti").count()
-    if (orphaned > 0) issues += s"$orphaned int8 code row(s) have no posting vector (orphaned)"
-    Seq("postings" -> post, "codes_i8" -> codes).foreach { case (name, df) =>
+    if (orphaned > 0)
+      issues += s"$orphaned $codeNoun row(s) have no posting vector (orphaned)"
+    Seq("postings" -> post, table -> codes).foreach { case (name, df) =>
       val dups = df.groupBy("vec_id").count().filter(col("count") > 1).count()
       if (dups > 0) issues += s"$dups duplicate vec_id(s) in $name (corrupts top-k)"
     }
@@ -2393,9 +2424,16 @@ object Similarity {
       .join(codesFull.select(col("vec_id"), col("label").as("c_label")), "vec_id")
       .filter(col("p_label") =!= col("c_label")).count()
     if (mislabeled > 0)
-      issues += s"$mislabeled vec_id(s) sit in different lists in postings vs codes_i8 (s17-invisible)"
+      issues += s"$mislabeled vec_id(s) sit in different lists in postings vs $table ($rungTag-invisible)"
     issues.result()
   }
+
+  /** Cross-table integrity audit for the int8 index — the postings ↔
+    * codes_i8 desync classes [[verifyIvfPqIndex]] checks for s9, over
+    * s17's tables: missing code rows (s17-invisible vectors), orphaned
+    * code rows, duplicates, and list disagreement. */
+  def verifyInt8Index(s: SparkSession, root: String): Seq[String] =
+    verifyCodesSibling(s, root, "codes_i8", "int8 code", "s17")
 
   // -- s22: the persisted BINARY (1-bit sign) IVF index -------------------
 
@@ -2592,72 +2630,14 @@ object Similarity {
     * completes on the next run. NOT reader-safe — exclusive ownership.
     * Duplicates are not auto-repaired (rebuild instead). Returns
     * (codeRowsAdded, badCodeRowsFixed). */
-  def repairBinIndex(s: SparkSession, root: String): (Long, Long) = {
-    val tmp = s"$root/codes_bin_repair"
-    if (!graft.storage.GraftTable.exists(s"$root/codes_bin")) {
-      require(graft.storage.GraftTable.exists(tmp),
-        s"binary index at $root has neither codes_bin nor codes_bin_repair — rebuild it")
-      graft.storage.GraftTable.open(s, tmp).cloneTo(s"$root/codes_bin")
-      graft.storage.GraftTable.drop(tmp)
-    } else if (graft.storage.GraftTable.exists(tmp)) {
-      graft.storage.GraftTable.drop(tmp)
-    }
-    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
-    val codesT = graft.storage.GraftTable.open(s, s"$root/codes_bin")
-    val post = postT.read()
-    val codeIds = codesT.read().select(col("vec_id"))
-    val missing = post.join(codeIds, Seq("vec_id"), "left_anti")
-    val added =
-      if (missing.isEmpty) 0L
-      else codesT.append(binEncodeAssigned(missing))
-    val postLabels = post.select(col("vec_id"), col("label").as("p_label"))
-    val orphans = codesT.read()
-      .join(post.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
-    val mislabeled = codesT.read().select(col("vec_id"), col("label"))
-      .join(postLabels, "vec_id")
-      .filter(col("label") =!= col("p_label")).count()
-    if (orphans + mislabeled > 0) {
-      val clean = codesT.read().drop("label")
-        .join(postLabels, Seq("vec_id"))
-        .withColumnRenamed("p_label", "label")
-      val nLists = graft.storage.GraftTable.open(s, s"$root/centroids")
-        .rowCountFromMetadata().toInt.max(1)
-      val staged = clean.repartitionByRange(nLists, col("label"))
-        .select(col("label"), col("vec_id"), col("code"))
-      val tmpT = graft.storage.GraftTable.create(s, tmp, staged.schema,
-        graft.storage.GraftTableOptions(sortBy = Seq("label")))
-      tmpT.append(staged)
-      graft.storage.GraftTable.drop(s"$root/codes_bin")
-      tmpT.cloneTo(s"$root/codes_bin")
-      graft.storage.GraftTable.drop(tmp)
-    }
-    (added, orphans + mislabeled)
-  }
+  def repairBinIndex(s: SparkSession, root: String): (Long, Long) =
+    repairCodesSibling(s, root, "codes_bin", "binary", binEncodeAssigned)
 
   /** Cross-table integrity audit for the binary index — the postings ↔
     * codes_bin desync classes of [[verifyInt8Index]], over s22's
-    * tables. */
-  def verifyBinIndex(s: SparkSession, root: String): Seq[String] = {
-    val postFull = graft.storage.GraftTable.open(s, s"$root/postings").read()
-    val codesFull = graft.storage.GraftTable.open(s, s"$root/codes_bin").read()
-    val post = postFull.select(col("vec_id"))
-    val codes = codesFull.select(col("vec_id"))
-    val issues = Seq.newBuilder[String]
-    val missing = post.join(codes, Seq("vec_id"), "left_anti").count()
-    if (missing > 0) issues += s"$missing posting vector(s) have no sign-code row (s22-invisible)"
-    val orphaned = codes.join(post, Seq("vec_id"), "left_anti").count()
-    if (orphaned > 0) issues += s"$orphaned sign-code row(s) have no posting vector (orphaned)"
-    Seq("postings" -> post, "codes_bin" -> codes).foreach { case (name, df) =>
-      val dups = df.groupBy("vec_id").count().filter(col("count") > 1).count()
-      if (dups > 0) issues += s"$dups duplicate vec_id(s) in $name (corrupts top-k)"
-    }
-    val mislabeled = postFull.select(col("vec_id"), col("label").as("p_label"))
-      .join(codesFull.select(col("vec_id"), col("label").as("c_label")), "vec_id")
-      .filter(col("p_label") =!= col("c_label")).count()
-    if (mislabeled > 0)
-      issues += s"$mislabeled vec_id(s) sit in different lists in postings vs codes_bin (s22-invisible)"
-    issues.result()
-  }
+    * tables ([[verifyCodesSibling]], one definition per rung). */
+  def verifyBinIndex(s: SparkSession, root: String): Seq[String] =
+    verifyCodesSibling(s, root, "codes_bin", "sign-code", "s22")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s8_hybrid_retrieval" -> s8HybridRetrieval _,

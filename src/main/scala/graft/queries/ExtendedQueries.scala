@@ -803,9 +803,13 @@ object ExtendedQueries {
   /** Synthesized PARTSUPP — the one TPC-H table `TESTDATA.md` lacks,
     * derived DETERMINISTICALLY from part × supplier so the q62–q65
     * quartet (Q2/Q11/Q16/Q20 shapes) is oracle-checkable: 4 suppliers
-    * per part via the TPC-H spec's own distinct-suppkey formula
-    * (suppkey_i = (partkey + i·(S/4 + partkey/S)) mod S, public spec
-    * §4.2.3, adapted to the testdata's 0-based keys), supplycost and
+    * per part in the TPC-H spec's shape (§4.2.3, adapted to 0-based
+    * keys), suppkey_i = (partkey + partkey/S + i·(S/4)) mod S — the
+    * partkey-dependent skew rides as an additive rotation rather than
+    * the spec's per-i multiplier so the four offsets i·(S/4) are
+    * PROVABLY distinct mod S for any S ≥ 4 (the spec's own form
+    * cycles when partkey/S grows to a divisor of S, which the tiny
+    * test SFs actually hit — review r13), supplycost and
     * availqty from md5 draws of the (partkey, suppkey) pair — the
     * c12/c13 seed-keyed-hash discipline, integer-exact in both
     * engines (48-bit hex prefix, BIGINT arithmetic only). The frame is
@@ -825,7 +829,7 @@ object ExtendedQueries {
       .select(col("ps_partkey"), col("s_cnt"),
         explode(sequence(lit(0L), lit(3L))).as("i"))
       .withColumn("ps_suppkey", expr(
-        "(ps_partkey + i * (s_cnt div 4 + ps_partkey div s_cnt)) % s_cnt"))
+        "(ps_partkey + ps_partkey div s_cnt + i * (s_cnt div 4)) % s_cnt"))
       .withColumn("ps_supplycost_c", draw(pairKey) % 100000L + 100L)
       .withColumn("ps_availqty",
         draw(concat_ws("-", lit("aq"), col("ps_partkey").cast("string"),
@@ -1014,7 +1018,7 @@ object ExtendedQueries {
     """sc AS (SELECT count(*) s_cnt FROM supplier),
       |ps0 AS (
       |  SELECT p_partkey ps_partkey,
-      |    (p_partkey + i * (s_cnt // 4 + p_partkey // s_cnt)) % s_cnt
+      |    (p_partkey + p_partkey // s_cnt + i * (s_cnt // 4)) % s_cnt
       |      ps_suppkey
       |  FROM part, sc, range(0, 4) r(i)),
       |ps AS (
