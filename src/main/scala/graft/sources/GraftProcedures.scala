@@ -286,7 +286,15 @@ private[sources] object GraftProcedures {
                   raw.filterNot(_.contains("in postings ("))
                 else raw).map("int8: " + _)
               } else Seq.empty
-            val issues = pqIssues ++ i8Issues
+            val binIssues =
+              if (GraftTable.exists(s"$dir/codes_bin")) {
+                val raw = graft.operators.Similarity.verifyBinIndex(spark, dir)
+                (if (GraftTable.exists(s"$dir/codes") ||
+                    GraftTable.exists(s"$dir/codes_i8"))
+                  raw.filterNot(_.contains("in postings ("))
+                else raw).map("bin: " + _)
+              } else Seq.empty
+            val issues = pqIssues ++ i8Issues ++ binIssues
             val schema = StructType(Seq(
               StructField("metric", StringType, nullable = false),
               StructField("value", StringType, nullable = false)))

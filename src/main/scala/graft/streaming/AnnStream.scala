@@ -80,6 +80,21 @@ object AnnStream {
     startWith(incoming, dest, checkpoint, trigger,
       (s, q) => Similarity.probeIvfInt8(s, indexRoot, q, filterIds, nprobe))
 
+  /** The BINARY twin: continuous probes through the persisted 1-bit
+    * index ([[Similarity.probeIvfBin]] — committed sign words,
+    * XOR+popcount Hamming shortlist over the probed lists' code files,
+    * exact re-rank). Per trigger the cost is s22's probe cost — the
+    * ladder's cheapest serving tier; like [[start]], the index is the
+    * only state, and `filterIds` pre-filters the shortlist exactly as
+    * in s23. */
+  def startBin(incoming: DataFrame, indexRoot: String, dest: GraftTable,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      filterIds: Option[DataFrame] = None,
+      nprobe: Int = 1): StreamingQuery =
+    startWith(incoming, dest, checkpoint, trigger,
+      (s, q) => Similarity.probeIvfBin(s, indexRoot, q, filterIds, nprobe))
+
   private def startWith(incoming: DataFrame, dest: GraftTable,
       checkpoint: String, trigger: Trigger,
       probe: (org.apache.spark.sql.SparkSession, DataFrame) => DataFrame)

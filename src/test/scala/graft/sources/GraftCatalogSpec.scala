@@ -373,6 +373,19 @@ class GraftCatalogSpec extends SparkSpec {
         .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
       assert(gotP.nonEmpty && gotP === wantP,
         "CALL ann_probe_pq must reproduce the persisted PQ probe exactly")
+      // -- ann_probe_bin ≡ s22's probe (the 1-bit rung's CALL) ----------
+      val binroot = graft.operators.Similarity.binIndexDir(spark, dir)
+      GraftTable.open(spark, s"$binroot/codes_bin")
+        .cloneTo(s"$warehouse/db1/call_idx/codes_bin")
+      spark.sql("CALL gcat.system.ann_probe_bin(" +
+        "'db1.call_idx', 'db1.call_q', 'db1.call_topkbin')")
+      val gotB = spark.table("gcat.db1.call_topkbin")
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      val wantB = graft.operators.Similarity
+        .probeIvfBinRaw(spark, s"$warehouse/db1/call_idx", rawQ)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      assert(gotB.nonEmpty && gotB === wantB,
+        "CALL ann_probe_bin must reproduce the persisted binary probe exactly")
       // -- ann_delete: erasure through SQL; probes stop returning the id,
       // siblings stay agreed (audit still clean) ------------------------
       val eraseId = gotA.collect {
@@ -396,7 +409,7 @@ class GraftCatalogSpec extends SparkSpec {
         s"erasure must keep the quantized siblings agreed: ${ver2.toSeq}")
       // drop the quantized siblings so the rebuild below exercises the
       // bare IVF root exactly as before
-      Seq("i8meta", "codes_i8", "codebook", "codes").foreach(t =>
+      Seq("i8meta", "codes_i8", "codebook", "codes", "codes_bin").foreach(t =>
         GraftTable.drop(s"$warehouse/db1/call_idx/$t"))
       // ann_drift on the fresh clone reads clean
       val drift = spark.sql("CALL gcat.system.ann_drift('db1.call_idx')")

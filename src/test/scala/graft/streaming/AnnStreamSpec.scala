@@ -110,6 +110,37 @@ class AnnStreamSpec extends SparkSpec {
     GraftTable.drop(destLoc)
   }
 
+  test("streamed BINARY probes equal the batch s22 results; replay appends nothing") {
+    val root = Similarity.binIndexDir(spark, dir)
+    val batchResult = Similarity.s22AnnBinPersisted(spark, dir)
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 5).select("vec_id", "embedding")
+    val src = tmpDir("bin-stream-src")
+    queries.filter(col("vec_id") < 2).write.parquet(s"$src/part=a")
+    queries.filter(col("vec_id") >= 2).write.parquet(s"$src/part=b")
+    val qschema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def incoming = spark.readStream.schema(qschema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(src)
+    val destLoc = tmpDir("bin-stream-dest") + "/t"
+    val dest = GraftTable.create(spark, destLoc, batchResult.schema)
+    val ckpt = tmpDir("bin-stream-ckpt")
+    val q = AnnStream.startBin(incoming, root, dest, ckpt)
+    assert(q.awaitTermination(120000), "binary stream drain timed out")
+    val streamed = dest.read().orderBy("q_id", "rank").collect()
+    val batch = batchResult.collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+      "the continuous binary probe must equal the batch s22 operator")
+    val q2 = AnnStream.startBin(incoming, root, dest, ckpt)
+    assert(q2.awaitTermination(120000))
+    assert(dest.read().count() === batch.length.toLong, "replay must be a no-op")
+    GraftTable.drop(destLoc)
+  }
+
   test("filtered streamed probes equal the batch s12 results (stream-static filter, zero state)") {
     val root = Similarity.ivfIndexDir(spark, dir)
     val en = graft.Tables.load(spark, dir, "documents")
