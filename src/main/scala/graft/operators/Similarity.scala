@@ -1371,6 +1371,99 @@ object Similarity {
     }
   }
 
+  /** `iters` Lloyd rounds over `(vec_id, v, nrm)` rows from the given
+    * starting centroids: reassign to the nearest current centroid,
+    * recenter each list on its members' mean, and keep an EMPTIED
+    * list's previous centroid (the list count never silently
+    * shrinks). One definition shared by [[rebuildIvfIndex]] and
+    * [[buildIvfIndexFrom]] — the recentering law cannot drift between
+    * the build and maintenance paths. Centroid means are plain double
+    * averages (shuffle-order fp summation): neither caller needs
+    * bit-determinism — probes serve whatever quantizer is
+    * committed. */
+  private def lloydRounds(post: DataFrame, cent0: DataFrame,
+      iters: Int): DataFrame = {
+    var cent = cent0
+    for (_ <- 0 until iters) {
+      val assigned = assignAgainst(post, cent)
+      val means = assigned
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m")).as("cv"))
+        .withColumn("cnrm", sqrt(aggregate(transform(col("cv"), x => x * x),
+          lit(0.0), (acc, x) => acc + x)))
+      cent = cent.select(col("label"),
+          col("cv").as("cv0"), col("cnrm").as("cnrm0"))
+        .join(means, Seq("label"), "left")
+        .select(col("label"),
+          coalesce(col("cv"), col("cv0")).as("cv"),
+          coalesce(col("cnrm"), col("cnrm0")).as("cnrm"))
+    }
+    cent
+  }
+
+  /** BUILD a committed IVF index root from an ARBITRARY `(id,
+    * embedding)` frame — the CREATION verb the index lifecycle lacked:
+    * [[ivfIndexDir]] serves the bench corpora, whose label column IS
+    * the quantizer, so a user's own committed vector table had no
+    * path to an index without leaving SQL/Scala surface. Quantizer: a
+    * deterministic k-means — seeds are the `nLists` lowest-id vectors
+    * (no `rand()`, the s4 discipline: a re-run builds the identical
+    * index), refined by `iters` Lloyd rounds against broadcast
+    * centroids ([[lloydRounds]], the rebuild's own loop). Commits
+    * `centroids` + per-list-clustered `postings` exactly like every
+    * other root — drift baseline included — so EVERY existing verb
+    * (probe/append/audit/repair/rebuild/erase, the quantized-sibling
+    * builders, the whole CALL surface) works on the result
+    * unchanged. Input hygiene is LOUD: null ids/embeddings and
+    * duplicate ids are rejected up front (silently dropping or
+    * doubling a vector is the desync class the audits exist to
+    * catch). Takes the frame's first two columns as (id → vec_id
+    * long, embedding). Returns (nLists, nVectors). */
+  def buildIvfIndexFrom(s: SparkSession, vectors: DataFrame, root: String,
+      nLists: Int = 10, iters: Int = 2): (Int, Long) = {
+    import graft.storage.{GraftTable, GraftTableOptions}
+    require(nLists >= 1, s"nLists must be >= 1, got $nLists")
+    require(!GraftTable.exists(s"$root/postings"),
+      s"index root $root already has postings — append/rebuild instead")
+    val raw = vectors.select(
+      col(vectors.columns(0)).cast("long").as("vec_id"),
+      col(vectors.columns(1)).as("embedding"))
+    val bad = raw.filter(col("vec_id").isNull || col("embedding").isNull).count()
+    require(bad == 0L,
+      s"$bad vector row(s) with null id/embedding — clean the input first")
+    // ONE evaluation feeds the seed scan, every Lloyd round, and the
+    // final commit (the appendToIvfPqIndex materialization discipline
+    // — a nondeterministic input plan must not re-roll between them)
+    val e = raw.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(graft.functions.DotProduct.dotFast(col("v"), col("v"))))
+      .localCheckpoint(true)
+    val n = e.count()
+    val dups = n - e.select("vec_id").distinct().count()
+    require(dups == 0L,
+      s"$dups duplicate vector id(s) — duplicates corrupt top-k; dedup first")
+    val k = math.min(nLists.toLong, n).toInt.max(1)
+    val seed = e.orderBy("vec_id").limit(k)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1).as("label"),
+        col("v").as("cv"), col("nrm").as("cnrm"))
+    val centFinal = lloydRounds(e.select(col("vec_id"), col("v"), col("nrm")),
+      seed, iters).localCheckpoint(true)
+    val finalAssign = assignAgainst(e, centFinal).localCheckpoint(true)
+    val centT = GraftTable.create(s, s"$root/centroids", centFinal.schema)
+    centT.append(centFinal)
+    val postDf = finalAssign.repartitionByRange(k, col("label"))
+      .select(col("label"), col("vec_id"), col("v"), col("nrm"))
+    val postT = GraftTable.create(s, s"$root/postings", postDf.schema,
+      GraftTableOptions(sortBy = Seq("label")))
+    postT.append(postDf)
+    writeDriftBaseline(s, root)
+    (k, finalAssign.count())
+  }
+
   def rebuildIvfIndex(s: SparkSession, root: String,
       iters: Int = 5): (Int, Long) = {
     import graft.storage.{GraftTable, GraftTableOptions}
@@ -1385,25 +1478,7 @@ object Similarity {
       post.count()
       val cent0 = GraftTable.open(s, s"$root/centroids").read()
         .select(col("label"), col("cv"), col("cnrm"))
-      var cent = cent0
-      for (_ <- 0 until iters) {
-        val assigned = assignAgainst(post, cent)
-        val means = assigned
-          .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("label", "pos").agg(avg(col("x")).as("m"))
-          .groupBy("label")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            p => p.getField("m")).as("cv"))
-          .withColumn("cnrm", sqrt(aggregate(transform(col("cv"), x => x * x),
-            lit(0.0), (acc, x) => acc + x)))
-        // emptied lists keep their previous centroid (never shrink k)
-        cent = cent.select(col("label"),
-            col("cv").as("cv0"), col("cnrm").as("cnrm0"))
-          .join(means, Seq("label"), "left")
-          .select(col("label"),
-            coalesce(col("cv"), col("cv0")).as("cv"),
-            coalesce(col("cnrm"), col("cnrm0")).as("cnrm"))
-      }
+      val cent = lloydRounds(post, cent0, iters)
       val nLists = cent0.count().toInt.max(1)
       // pin ONE evaluation of the Lloyd plan: centroid means are
       // shuffle-order fp sums, so the committed centroids and the

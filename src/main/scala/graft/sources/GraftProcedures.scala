@@ -41,6 +41,7 @@ import graft.storage.GraftTable
   *   CALL graft.system.ann_probe_int8('db.idx', 'db.queries', 'db.topk') -- s17
   *   CALL graft.system.ann_probe_pq('db.idx', 'db.queries', 'db.topk')   -- s9
   *   CALL graft.system.ann_probe_bin('db.idx', 'db.queries', 'db.topk')  -- s22
+  *   CALL graft.system.ann_build('db.vectors', 'db.idx', 16) -- index creation
   *   CALL graft.system.compact_overlapping('db.t') -- clustering repair
   *   CALL graft.system.ann_drift('db.idx')  -- index staleness audit
   *   CALL graft.system.ann_verify('db.idx') -- postings/codes desync audit
@@ -73,7 +74,7 @@ private[sources] object GraftProcedures {
       "ann_rebuild", "dedup_spans", "contamination_report",
       "source_mix", "split_assign", "quality_votes", "dataset_card",
       "ann_probe_int8", "ann_probe_pq", "ann_probe_bin", "ann_verify",
-      "ann_delete")
+      "ann_delete", "ann_build")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -131,6 +132,14 @@ private[sources] object GraftProcedures {
           else if (procName == "ann_delete")
             Array(ProcedureParameter.in("index", StringType).build(),
               ProcedureParameter.in("ids_table", StringType).build())
+          else if (procName == "ann_build") {
+            // arity-overloaded: an optional 3rd arg sets the list count
+            val base = Array(ProcedureParameter.in("vectors", StringType).build(),
+              ProcedureParameter.in("index", StringType).build())
+            if (inputType.size >= 3)
+              base :+ ProcedureParameter.in("nlists", IntegerType).build()
+            else base
+          }
           else if (procName == "recluster")
             // comma-separated column lists; '' = none — e.g.
             // CALL g.system.recluster('db.t', 'k', '') sort-clusters on k,
@@ -305,6 +314,35 @@ private[sources] object GraftProcedures {
               new GenericInternalRow(Array[Any](
                 UTF8String.fromString(m), UTF8String.fromString(v))): InternalRow
             }.toArray
+            new LocalScan {
+              override def readSchema(): StructType = schema
+              override def rows(): Array[InternalRow] = rs
+            }
+          } else if (procName == "ann_build") {
+            // the index lifecycle's CREATION verb: a deterministic
+            // k-means quantizer + clustered postings committed from an
+            // arbitrary (id, embedding) table; the result serves every
+            // other ann_* CALL unchanged. The target is an index ROOT
+            // under the warehouse (a directory of graft tables), so
+            // the fresh-target rule is the postings-exists check
+            // inside buildIvfIndexFrom.
+            val spark = SparkSession.active
+            val targetName = checkName(input.getUTF8String(1).toString)
+            val tgtDir = tableDir(targetName)
+            val nlists = if (input.numFields >= 3) input.getInt(2) else 10
+            val (nl, nv) = graft.operators.Similarity
+              .buildIvfIndexFrom(spark, t.read(), tgtDir, nlists)
+            val schema = StructType(Seq(
+              StructField("table", StringType, nullable = false),
+              StructField("metric", StringType, nullable = false),
+              StructField("value", LongType, nullable = false)))
+            val rs: Array[InternalRow] = Array(
+              ("lists", nl.toLong), ("vectors_indexed", nv))
+              .map { case (m, v) =>
+                new GenericInternalRow(Array[Any](
+                  UTF8String.fromString(targetName),
+                  UTF8String.fromString(m), v)): InternalRow
+              }
             new LocalScan {
               override def readSchema(): StructType = schema
               override def rows(): Array[InternalRow] = rs

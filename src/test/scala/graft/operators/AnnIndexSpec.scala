@@ -1224,6 +1224,60 @@ class AnnIndexSpec extends SparkSpec {
       "postings and sign codes must erase together")
   }
 
+  test("buildIvfIndexFrom: deterministic index from an arbitrary frame; every lifecycle verb works on it") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val root = tmpDir("ann-build")
+    val (nl, nv) = Similarity.buildIvfIndexFrom(spark, vecs, root, nLists = 8)
+    assert(nl === 8)
+    assert(nv === vecs.count())
+    // the quantizer is deterministic: a second build from the same
+    // frame commits identical centroids
+    val root2 = tmpDir("ann-build-2")
+    Similarity.buildIvfIndexFrom(spark, vecs, root2, nLists = 8)
+    val c1 = GraftTable.open(spark, s"$root/centroids").read()
+      .orderBy("label").collect().map(_.toSeq).toSeq
+    val c2 = GraftTable.open(spark, s"$root2/centroids").read()
+      .orderBy("label").collect().map(_.toSeq).toSeq
+    assert(c1 === c2, "same input must build the identical quantizer")
+    // a probe with an indexed vector finds itself at cos 1, rank 1
+    val q = GraftTable.open(spark, s"$root/postings").read()
+      .filter(col("vec_id") === 7L)
+      .select(lit(-1L).as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val got = Similarity.probeIvf(spark, root, q).collect()
+    assert(got.nonEmpty && got.head.getLong(2) === 7L &&
+      got.head.getDouble(3) === 1.0,
+      s"self-probe must hit at cos 1: ${got.toSeq}")
+    // postings cluster per list: a one-list probe prunes files
+    val post = GraftTable.open(spark, s"$root/postings")
+    assert(post.prunedFiles(Seq(In("label",
+      Array[Any](got.head.getInt(1))))).size < post.committedFiles.size)
+    // drift reads clean on the fresh build; incremental append and
+    // erasure work unchanged
+    assert(Similarity.annDriftReport(spark, root).toMap
+      .apply("recommend_recluster") === "0")
+    val v0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0).select("embedding").head
+      .getSeq[Float](0).toArray
+    assert(Similarity.appendToIvfIndex(spark, root,
+      Seq((5000000L, v0)).toDF("vec_id", "embedding")) === 1L)
+    assert(Similarity.deleteFromIndex(spark, root, Seq(5000000L)) === 1L)
+    // loud input hygiene: duplicates and nulls refuse
+    val dup = vecs.limit(3).union(vecs.limit(1))
+    val eDup = intercept[IllegalArgumentException] {
+      Similarity.buildIvfIndexFrom(spark, dup, tmpDir("ann-build-dup"))
+    }
+    assert(eDup.getMessage.contains("duplicate"))
+    val withNull = vecs.limit(3)
+      .union(Seq((99L, null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "embedding"))
+    val eNull = intercept[IllegalArgumentException] {
+      Similarity.buildIvfIndexFrom(spark, withNull, tmpDir("ann-build-null"))
+    }
+    assert(eNull.getMessage.contains("null"))
+  }
+
   test("ann_rebuild relabels the bin codes too: audit clean, probe exact after") {
     import spark.implicits._
     Similarity.s22AnnBinPersisted(spark, dir).count()

@@ -386,6 +386,36 @@ class GraftCatalogSpec extends SparkSpec {
         .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
       assert(gotB.nonEmpty && gotB === wantB,
         "CALL ann_probe_bin must reproduce the persisted binary probe exactly")
+      // -- ann_build: index CREATION from SQL — the built root serves
+      // every other ann_* verb unchanged --------------------------------
+      val vecsAll = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      GraftTable.create(spark, s"$warehouse/db1/call_vecs", vecsAll.schema)
+        .append(vecsAll)
+      val built = spark.sql("CALL gcat.system.ann_build(" +
+        "'db1.call_vecs', 'db1.built_idx', 6)")
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(built("lists") === 6L)
+      assert(built("vectors_indexed") === vecsAll.count())
+      spark.sql("CALL gcat.system.ann_probe(" +
+        "'db1.built_idx', 'db1.call_q', 'db1.call_topkbuilt')")
+      val gotBl = spark.table("gcat.db1.call_topkbuilt")
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      val wantBl = graft.operators.Similarity
+        .probeIvfRaw(spark, s"$warehouse/db1/built_idx", rawQ)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      assert(gotBl.nonEmpty && gotBl === wantBl,
+        "a CALL-built index must serve CALL ann_probe exactly")
+      val driftB = spark.sql("CALL gcat.system.ann_drift('db1.built_idx')")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(driftB("recommend_recluster") === "0",
+        "a fresh CALL-built index must read drift-clean")
+      // re-building over an existing root refuses loudly
+      val eBuilt = intercept[Exception] {
+        spark.sql("CALL gcat.system.ann_build('db1.call_vecs', 'db1.built_idx')")
+      }
+      assert(eBuilt.getMessage.contains("already has postings"),
+        s"got ${eBuilt.getMessage}")
       // -- ann_delete: erasure through SQL; probes stop returning the id,
       // siblings stay agreed (audit still clean) ------------------------
       val eraseId = gotA.collect {
