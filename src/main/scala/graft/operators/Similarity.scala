@@ -589,8 +589,15 @@ object Similarity {
     * artifact. */
   private[operators] def pqCodebook(s: SparkSession, dir: String): DataFrame =
     pqCodebookCache.getOrElseUpdate(s, dir, "embeddings") {
+      pqCodebookFrom(pqCorpus(s, dir))
+    }
+
+  /** The PQ codebook trainer over an ARBITRARY `(vec_id, v)` frame —
+    * the body behind [[pqCodebook]] (bench corpora) and
+    * [[quantizeIndex]]'s PQ rung (a user root's own postings): one
+    * definition, so the training law cannot drift between the two. */
+  private def pqCodebookFrom(e: DataFrame): DataFrame = {
       val dot = graft.functions.DotProduct.dotFast _
-      val e = pqCorpus(s, dir)
       val ev = pqSubspaces(e).withColumn("vvm", dot(col("vm"), col("vm")))
       // codebook init: subvectors of the PqK lowest vec_ids, cid by rank
       val c0 = pqSubspaces(e.orderBy("vec_id").limit(PqK))
@@ -1462,6 +1469,71 @@ object Similarity {
     postT.append(postDf)
     writeDriftBaseline(s, root)
     (k, finalAssign.count())
+  }
+
+  /** Grow a quantized SIBLING on an existing index root FROM ITS OWN
+    * committed postings — [[buildIvfIndexFrom]]'s companion, so a
+    * user-built root reaches the full serving ladder without ever
+    * leaving the lifecycle API (`rung` ∈ "pq" | "int8" | "bin"; SQL:
+    * `CALL g.system.ann_quantize('db.idx', '<rung>')`). Each rung
+    * commits exactly what its bench builder commits — PQ: codebook
+    * ([[pqCodebookFrom]], the same trainer) + per-list code arrays;
+    * int8: the ONE-row corpus scale + per-list code arrays; bin:
+    * per-list packed sign words — so every downstream verb
+    * (probeIvf{Pq,Int8,Bin}, append via [[appendAssignedToIndex]]
+    * which maintains EVERY sibling present, audit/repair, erasure,
+    * rebuild relabel, the CALL surface) serves the grown rung
+    * unchanged. Retry-safe: a partial earlier build's parameter table
+    * (codebook / i8meta without its codes) is dropped first, exactly
+    * like the bench builders. Returns code rows committed. */
+  def quantizeIndex(s: SparkSession, root: String, rung: String): Long = {
+    import graft.storage.{GraftTable, GraftTableOptions}
+    require(GraftTable.exists(s"$root/postings") &&
+      GraftTable.exists(s"$root/centroids"),
+      s"no committed IVF index at $root — build one first (buildIvfIndexFrom/ann_build)")
+    val post = GraftTable.open(s, s"$root/postings").read()
+    val nLists = GraftTable.open(s, s"$root/centroids")
+      .rowCountFromMetadata().toInt.max(1)
+    def commitCodes(table: String, codesDf: DataFrame,
+        codeCol: String): Long = {
+      val staged = codesDf.repartitionByRange(nLists, col("label"))
+        .select(col("label"), col("vec_id"), col(codeCol))
+      val t = GraftTable.create(s, s"$root/$table", staged.schema,
+        GraftTableOptions(sortBy = Seq("label")))
+      t.append(staged)
+    }
+    rung match {
+      case "bin" =>
+        require(!GraftTable.exists(s"$root/codes_bin"),
+          s"$root already carries the binary rung")
+        commitCodes("codes_bin", binEncodeAssigned(post), "code")
+      case "int8" =>
+        require(!GraftTable.exists(s"$root/codes_i8"),
+          s"$root already carries the int8 rung")
+        // a scale without codes is a failed earlier build's residue
+        GraftTable.drop(s"$root/i8meta")
+        val metaDf = int8ScaleFrame(int8Unit(post))
+        val metaT = GraftTable.create(s, s"$root/i8meta", metaDf.schema)
+        metaT.append(metaDf)
+        commitCodes("codes_i8", int8EncodeAssigned(post, metaT.read()), "code")
+      case "pq" =>
+        require(!GraftTable.exists(s"$root/codes"),
+          s"$root already carries the PQ rung")
+        val dims = post.select(size(col("v"))).head.getInt(0)
+        require(dims == PqM * PqSub,
+          s"the PQ rung needs ${PqM * PqSub}-dim vectors (PqM=$PqM × PqSub=$PqSub), got $dims")
+        GraftTable.drop(s"$root/codebook")
+        val cbDf = pqCodebookFrom(post.select(col("vec_id"), col("v")))
+        val cbT = GraftTable.create(s, s"$root/codebook", cbDf.schema)
+        cbT.append(cbDf)
+        val codesDf = post.select(col("vec_id"), col("label"))
+          .join(encodeCodes(post.select(col("vec_id"), col("v")), cbT.read()),
+            "vec_id")
+        commitCodes("codes", codesDf, "codes")
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown quantization rung '$other' — expected pq, int8, or bin")
+    }
   }
 
   def rebuildIvfIndex(s: SparkSession, root: String,

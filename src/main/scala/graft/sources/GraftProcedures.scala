@@ -42,6 +42,7 @@ import graft.storage.GraftTable
   *   CALL graft.system.ann_probe_pq('db.idx', 'db.queries', 'db.topk')   -- s9
   *   CALL graft.system.ann_probe_bin('db.idx', 'db.queries', 'db.topk')  -- s22
   *   CALL graft.system.ann_build('db.vectors', 'db.idx', 16) -- index creation
+  *   CALL graft.system.ann_quantize('db.idx', 'int8') -- grow a quantized rung
   *   CALL graft.system.compact_overlapping('db.t') -- clustering repair
   *   CALL graft.system.ann_drift('db.idx')  -- index staleness audit
   *   CALL graft.system.ann_verify('db.idx') -- postings/codes desync audit
@@ -74,7 +75,7 @@ private[sources] object GraftProcedures {
       "ann_rebuild", "dedup_spans", "contamination_report",
       "source_mix", "split_assign", "quality_votes", "dataset_card",
       "ann_probe_int8", "ann_probe_pq", "ann_probe_bin", "ann_verify",
-      "ann_delete", "ann_build")
+      "ann_delete", "ann_build", "ann_quantize")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -132,6 +133,9 @@ private[sources] object GraftProcedures {
           else if (procName == "ann_delete")
             Array(ProcedureParameter.in("index", StringType).build(),
               ProcedureParameter.in("ids_table", StringType).build())
+          else if (procName == "ann_quantize")
+            Array(ProcedureParameter.in("index", StringType).build(),
+              ProcedureParameter.in("rung", StringType).build())
           else if (procName == "ann_build") {
             // arity-overloaded: an optional 3rd arg sets the list count
             val base = Array(ProcedureParameter.in("vectors", StringType).build(),
@@ -169,7 +173,8 @@ private[sources] object GraftProcedures {
           val indexProc = procName == "ann_drift" || procName == "ann_probe" ||
             procName == "ann_rebuild" || procName == "ann_probe_int8" ||
             procName == "ann_probe_pq" || procName == "ann_probe_bin" ||
-            procName == "ann_verify" || procName == "ann_delete"
+            procName == "ann_verify" || procName == "ann_delete" ||
+            procName == "ann_quantize"
           if (indexProc) {
             require(GraftTable.exists(s"$dir/postings"),
               s"no persisted ANN index at $tableName")
@@ -346,6 +351,24 @@ private[sources] object GraftProcedures {
             new LocalScan {
               override def readSchema(): StructType = schema
               override def rows(): Array[InternalRow] = rs
+            }
+          } else if (procName == "ann_quantize") {
+            // grow a quantized sibling (pq/int8/bin) on the index root
+            // from its own postings; every other ann_* verb serves the
+            // grown rung unchanged
+            val spark = SparkSession.active
+            val rung = input.getUTF8String(1).toString
+            val n = graft.operators.Similarity.quantizeIndex(spark, dir, rung)
+            val schema = StructType(Seq(
+              StructField("table", StringType, nullable = false),
+              StructField("metric", StringType, nullable = false),
+              StructField("value", LongType, nullable = false)))
+            val row: InternalRow = new GenericInternalRow(Array[Any](
+              UTF8String.fromString(tableName),
+              UTF8String.fromString(s"${rung}_code_rows"), n))
+            new LocalScan {
+              override def readSchema(): StructType = schema
+              override def rows(): Array[InternalRow] = Array(row)
             }
           } else if (procName == "ann_delete") {
             // the erasure path: ids from the named table (first column,

@@ -1263,6 +1263,38 @@ class AnnIndexSpec extends SparkSpec {
     assert(Similarity.appendToIvfIndex(spark, root,
       Seq((5000000L, v0)).toDF("vec_id", "embedding")) === 1L)
     assert(Similarity.deleteFromIndex(spark, root, Seq(5000000L)) === 1L)
+    // quantizeIndex grows each rung from the root's OWN postings; the
+    // grown rungs serve their probes, audit clean, and erase together
+    assert(Similarity.quantizeIndex(spark, root, "bin") === nv,
+      "bin rung must encode every live posting (the erased twin stays out)")
+    assert(Similarity.quantizeIndex(spark, root, "int8") === nv)
+    assert(Similarity.quantizeIndex(spark, root, "pq") === nv)
+    assert(Similarity.verifyBinIndex(spark, root).isEmpty)
+    assert(Similarity.verifyInt8Index(spark, root).isEmpty)
+    assert(Similarity.verifyIvfPqIndex(spark, root).isEmpty)
+    val q31 = GraftTable.open(spark, s"$root/postings").read()
+      .filter(col("vec_id") === 31L)
+      .select(lit(-1L).as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    Seq[(String, org.apache.spark.sql.DataFrame)](
+      "int8" -> Similarity.probeIvfInt8(spark, root, q31),
+      "pq" -> Similarity.probeIvfPq(spark, root, q31),
+      "bin" -> Similarity.probeIvfBin(spark, root, q31)
+    ).foreach { case (rung, probe) =>
+      val hits = probe.collect()
+      assert(hits.nonEmpty && hits.head.getLong(2) === 31L &&
+        hits.head.getDouble(3) === 1.0,
+        s"$rung self-probe through the grown rung must hit at cos 1")
+    }
+    // a second grow of the same rung refuses loudly
+    val eTwice = intercept[IllegalArgumentException] {
+      Similarity.quantizeIndex(spark, root, "bin")
+    }
+    assert(eTwice.getMessage.contains("already carries"))
+    val eRung = intercept[IllegalArgumentException] {
+      Similarity.quantizeIndex(spark, root, "fp4")
+    }
+    assert(eRung.getMessage.contains("unknown quantization rung"))
+
     // loud input hygiene: duplicates and nulls refuse
     val dup = vecs.limit(3).union(vecs.limit(1))
     val eDup = intercept[IllegalArgumentException] {

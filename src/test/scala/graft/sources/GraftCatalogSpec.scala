@@ -416,6 +416,25 @@ class GraftCatalogSpec extends SparkSpec {
       }
       assert(eBuilt.getMessage.contains("already has postings"),
         s"got ${eBuilt.getMessage}")
+      // -- ann_quantize: grow a rung on the CALL-built root; the grown
+      // rung serves its probe CALL and the audit stays clean ------------
+      val quant = spark.sql(
+        "CALL gcat.system.ann_quantize('db1.built_idx', 'int8')")
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(quant("int8_code_rows") === vecsAll.count())
+      spark.sql("CALL gcat.system.ann_probe_int8(" +
+        "'db1.built_idx', 'db1.call_q', 'db1.call_topkq8')")
+      val gotQ8 = spark.table("gcat.db1.call_topkq8")
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      val wantQ8 = graft.operators.Similarity
+        .probeIvfInt8Raw(spark, s"$warehouse/db1/built_idx", rawQ)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      assert(gotQ8.nonEmpty && gotQ8 === wantQ8,
+        "a CALL-grown int8 rung must serve CALL ann_probe_int8 exactly")
+      val verQ = spark.sql("CALL gcat.system.ann_verify('db1.built_idx')")
+        .collect().map(r => r.getString(0) -> r.getString(1))
+      assert(verQ.toSeq === Seq("status" -> "clean"),
+        s"the grown rung must audit clean: ${verQ.toSeq}")
       // -- ann_delete: erasure through SQL; probes stop returning the id,
       // siblings stay agreed (audit still clean) ------------------------
       val eraseId = gotA.collect {
