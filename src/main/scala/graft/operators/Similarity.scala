@@ -147,10 +147,45 @@ object Similarity {
     * list — assignment runs against the COMMITTED centroids, so the
     * index definition never drifts under appends — and append as new
     * files; committed postings files are untouched (the graft append
-    * contract). Input: (vec_id, embedding). Returns rows appended. */
-  def appendToIvfIndex(s: SparkSession, root: String, vectors: DataFrame): Long =
-    graft.storage.GraftTable.open(s, s"$root/postings")
-      .append(assignVectors(s, root, vectors))
+    * contract). Routed through [[appendAssignedToIndex]] (round 13),
+    * so on a root that ALSO carries quantized siblings this entry
+    * point maintains them too — previously it appended postings only,
+    * and a caller reaching for the generic entry point on a quantized
+    * root silently created the exact desync class the audits flag.
+    * Input: (vec_id, embedding). Returns rows appended. */
+  def appendToIvfIndex(s: SparkSession, root: String, vectors: DataFrame): Long = {
+    val assigned = assignVectors(s, root, vectors).localCheckpoint(true)
+    appendAssignedToIndex(s, root, assigned)
+  }
+
+  /** Incremental add of an ARBITRARY `(id, embedding)` frame — the SQL
+    * surface's append verb (`CALL g.system.ann_append('db.idx',
+    * 'db.new_vectors')`), [[appendToIvfIndex]] plus the LOUD input
+    * hygiene a SQL entry point owes its caller: null ids/embeddings,
+    * in-batch duplicates, and ids ALREADY INDEXED all refuse up front
+    * (a silent double-insert corrupts top-k and is exactly what
+    * `ann_verify` would flag after the fact). Takes the frame's first
+    * two columns as (id, embedding). Returns rows appended. */
+  def appendVectorsToIndex(s: SparkSession, root: String,
+      vectors: DataFrame): Long = {
+    val raw = vectors.select(
+      col(vectors.columns(0)).cast("long").as("vec_id"),
+      col(vectors.columns(1)).as("embedding"))
+    val bad = raw.filter(col("vec_id").isNull || col("embedding").isNull).count()
+    require(bad == 0L,
+      s"$bad vector row(s) with null id/embedding — clean the input first")
+    val n = raw.count()
+    val dups = n - raw.select("vec_id").distinct().count()
+    require(dups == 0L,
+      s"$dups duplicate vector id(s) in the batch — duplicates corrupt top-k")
+    val clash = raw.join(
+      graft.storage.GraftTable.open(s, s"$root/postings").read()
+        .select(col("vec_id")),
+      Seq("vec_id"), "left_semi").count()
+    require(clash == 0L,
+      s"$clash id(s) already indexed — erase first or use fresh ids")
+    appendToIvfIndex(s, root, raw)
+  }
 
   /** Nearest-COMMITTED-centroid assignment for new `(vec_id, embedding)`
     * rows: (label, vec_id, v, nrm) — the shared first step of every

@@ -43,6 +43,7 @@ import graft.storage.GraftTable
   *   CALL graft.system.ann_probe_bin('db.idx', 'db.queries', 'db.topk')  -- s22
   *   CALL graft.system.ann_build('db.vectors', 'db.idx', 16) -- index creation
   *   CALL graft.system.ann_quantize('db.idx', 'int8') -- grow a quantized rung
+  *   CALL graft.system.ann_append('db.idx', 'db.new_vectors') -- incremental add
   *   CALL graft.system.compact_overlapping('db.t') -- clustering repair
   *   CALL graft.system.ann_drift('db.idx')  -- index staleness audit
   *   CALL graft.system.ann_verify('db.idx') -- postings/codes desync audit
@@ -75,7 +76,7 @@ private[sources] object GraftProcedures {
       "ann_rebuild", "dedup_spans", "contamination_report",
       "source_mix", "split_assign", "quality_votes", "dataset_card",
       "ann_probe_int8", "ann_probe_pq", "ann_probe_bin", "ann_verify",
-      "ann_delete", "ann_build", "ann_quantize")
+      "ann_delete", "ann_build", "ann_quantize", "ann_append")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -136,6 +137,9 @@ private[sources] object GraftProcedures {
           else if (procName == "ann_quantize")
             Array(ProcedureParameter.in("index", StringType).build(),
               ProcedureParameter.in("rung", StringType).build())
+          else if (procName == "ann_append")
+            Array(ProcedureParameter.in("index", StringType).build(),
+              ProcedureParameter.in("vectors_table", StringType).build())
           else if (procName == "ann_build") {
             // arity-overloaded: an optional 3rd arg sets the list count
             val base = Array(ProcedureParameter.in("vectors", StringType).build(),
@@ -174,7 +178,7 @@ private[sources] object GraftProcedures {
             procName == "ann_rebuild" || procName == "ann_probe_int8" ||
             procName == "ann_probe_pq" || procName == "ann_probe_bin" ||
             procName == "ann_verify" || procName == "ann_delete" ||
-            procName == "ann_quantize"
+            procName == "ann_quantize" || procName == "ann_append"
           if (indexProc) {
             require(GraftTable.exists(s"$dir/postings"),
               s"no persisted ANN index at $tableName")
@@ -366,6 +370,30 @@ private[sources] object GraftProcedures {
             val row: InternalRow = new GenericInternalRow(Array[Any](
               UTF8String.fromString(tableName),
               UTF8String.fromString(s"${rung}_code_rows"), n))
+            new LocalScan {
+              override def readSchema(): StructType = schema
+              override def rows(): Array[InternalRow] = Array(row)
+            }
+          } else if (procName == "ann_append") {
+            // incremental vector add from SQL: assignment against the
+            // COMMITTED centroids, appended to postings AND every
+            // quantized sibling the root carries (the
+            // appendAssignedToIndex contract — no entry point can
+            // desync a rung); committed files are never rewritten
+            val spark = SparkSession.active
+            val vecName = checkName(input.getUTF8String(1).toString)
+            val vecDir = tableDir(vecName)
+            require(GraftTable.exists(vecDir), s"no graft table $vecName")
+            val vecs = GraftTable.open(spark, vecDir).read()
+            val n = graft.operators.Similarity
+              .appendVectorsToIndex(spark, dir, vecs)
+            val schema = StructType(Seq(
+              StructField("table", StringType, nullable = false),
+              StructField("metric", StringType, nullable = false),
+              StructField("value", LongType, nullable = false)))
+            val row: InternalRow = new GenericInternalRow(Array[Any](
+              UTF8String.fromString(tableName),
+              UTF8String.fromString("vectors_appended"), n))
             new LocalScan {
               override def readSchema(): StructType = schema
               override def rows(): Array[InternalRow] = Array(row)

@@ -289,11 +289,15 @@ class AnnIndexSpec extends SparkSpec {
     val v0 = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") === 0).select("embedding").head
       .getSeq[Float](0).toArray
-    // simulate BOTH halves of a failed composed append: a postings-only
-    // vector (the pre-fix failure mode) and an orphaned code row (the
-    // codes-first failure mode)
-    assert(Similarity.appendToIvfIndex(spark, root2,
-      Seq((3000000L, v0)).toDF("vec_id", "embedding")) === 1L)
+    // simulate BOTH halves of a failed composed append by planting the
+    // residue DIRECTLY on the tables (since round 13 every append
+    // entry point — appendToIvfIndex included — maintains all
+    // siblings, so the API itself can no longer create this state):
+    // a postings-only vector and an orphaned code row
+    val bare = GraftTable.open(spark, s"$root2/postings").read()
+      .filter(col("vec_id") === 0L)
+      .select(col("label"), lit(3000000L).as("vec_id"), col("v"), col("nrm"))
+    GraftTable.open(spark, s"$root2/postings").append(bare)
     val codesT = GraftTable.open(spark, s"$root2/codes")
     val orphan = codesT.read().limit(1)
       .select(col("label"), (col("vec_id") + 4000000L).as("vec_id"), col("codes"))
@@ -326,8 +330,12 @@ class AnnIndexSpec extends SparkSpec {
     val v0 = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") === 0).select("embedding").head
       .getSeq[Float](0).toArray
-    assert(Similarity.appendToIvfIndex(spark, root2,
-      Seq((5000000L, v0)).toDF("vec_id", "embedding")) === 1L)
+    // plant the posting row directly (the API appends all siblings
+    // since round 13 and can no longer create a lone posting)
+    val bare5 = GraftTable.open(spark, s"$root2/postings").read()
+      .filter(col("vec_id") === 0L)
+      .select(col("label"), lit(5000000L).as("vec_id"), col("v"), col("nrm"))
+    GraftTable.open(spark, s"$root2/postings").append(bare5)
     val pLabel = GraftTable.open(spark, s"$root2/postings").read()
       .filter(col("vec_id") === 5000000L).select("label").head.getInt(0)
     val nLists = GraftTable.open(spark, s"$root2/centroids")

@@ -435,6 +435,30 @@ class GraftCatalogSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getString(1))
       assert(verQ.toSeq === Seq("status" -> "clean"),
         s"the grown rung must audit clean: ${verQ.toSeq}")
+      // -- ann_append: incremental add from SQL maintains EVERY rung the
+      // root carries; re-appending the same ids refuses loudly ----------
+      val newVecs = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 2)
+        .select((col("vec_id") + 8000000L).as("vec_id"), col("embedding"))
+      GraftTable.create(spark, s"$warehouse/db1/call_new", newVecs.schema)
+        .append(newVecs)
+      val app = spark.sql(
+        "CALL gcat.system.ann_append('db1.built_idx', 'db1.call_new')")
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(app("vectors_appended") === 2L)
+      val verA = spark.sql("CALL gcat.system.ann_verify('db1.built_idx')")
+        .collect().map(r => r.getString(0) -> r.getString(1))
+      assert(verA.toSeq === Seq("status" -> "clean"),
+        s"ann_append must maintain the grown int8 sibling: ${verA.toSeq}")
+      val gotApp = graft.operators.Similarity
+        .probeIvfInt8Raw(spark, s"$warehouse/db1/built_idx", rawQ).collect()
+      assert(gotApp.exists(_.getLong(2) === 8000000L),
+        "an appended twin of query 0 must surface through the int8 probe")
+      val eApp = intercept[Exception] {
+        spark.sql("CALL gcat.system.ann_append('db1.built_idx', 'db1.call_new')")
+      }
+      assert(eApp.getMessage.contains("already indexed"),
+        s"got ${eApp.getMessage}")
       // -- ann_delete: erasure through SQL; probes stop returning the id,
       // siblings stay agreed (audit still clean) ------------------------
       val eraseId = gotA.collect {
