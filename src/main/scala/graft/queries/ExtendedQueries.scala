@@ -874,13 +874,17 @@ object ExtendedQueries {
 
   /** q63: TPC-H Q11 shape — IMPORTANT STOCK: per-part inventory value
     * (supplycost × availqty, BIGINT) over one nation's suppliers,
-    * keeping parts whose value exceeds 1/400 of the nation's total.
-    * The global-scalar HAVING decorrelates into ONE extra one-row
-    * aggregate broadcast-crossed back (the q49/q55 pattern); the
-    * share comparison is `value·400 > total` in pure BIGINT — no
-    * float division anywhere, so the threshold cannot flake. One
-    * keyed shuffle (the per-part sum); the nation's supplier set
-    * broadcasts. */
+    * keeping parts whose value exceeds TWICE the nation's mean
+    * per-part value. TPC-H's own fraction is SF-scaled (0.0001/SF)
+    * precisely because a fixed share of the TOTAL empties as the part
+    * count grows — the mean-relative form keeps the HAVING selective
+    * at every SF with ONE fixed query and oracle (round 13: the /400
+    * literal returned zero rows at sf0.1). The global-scalar HAVING
+    * decorrelates into ONE extra one-row (total, n_parts) aggregate
+    * broadcast-crossed back (the q49/q55 pattern); the comparison is
+    * `value·n_parts > 2·total` in pure BIGINT — no float division
+    * anywhere, so the threshold cannot flake. One keyed shuffle (the
+    * per-part sum); the nation's supplier set broadcasts. */
   def q63ImportantStock(s: SparkSession, dir: String): DataFrame = {
     val natSup = t(s, dir, "supplier")
       .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_9")),
@@ -891,9 +895,10 @@ object ExtendedQueries {
       .select(col("ps_partkey"),
         (col("ps_supplycost_c") * col("ps_availqty")).as("v"))
     val byPart = pn.groupBy("ps_partkey").agg(sum("v").as("value_c"))
-    val total = pn.agg(sum("v").as("total_c"))
+    val total = byPart.agg(sum("value_c").as("total_c"),
+      count(lit(1)).as("n_parts"))
     byPart.crossJoin(broadcast(total))
-      .filter(col("value_c") * 400L > col("total_c"))
+      .filter(col("value_c") * col("n_parts") > col("total_c") * 2L)
       .select("ps_partkey", "value_c")
       .orderBy(desc("value_c"), col("ps_partkey"))
   }
@@ -1063,9 +1068,10 @@ object ExtendedQueries {
          |       FROM ps JOIN ns ON ps_suppkey = s_suppkey),
          |byp AS (SELECT ps_partkey, CAST(sum(v) AS BIGINT) value_c
          |        FROM pn GROUP BY 1),
-         |tot AS (SELECT CAST(sum(v) AS BIGINT) total_c FROM pn)
+         |tot AS (SELECT CAST(sum(value_c) AS BIGINT) total_c,
+         |        count(*) n_parts FROM byp)
          |SELECT ps_partkey, value_c FROM byp, tot
-         |WHERE value_c * 400 > total_c
+         |WHERE value_c * n_parts > total_c * 2
          |ORDER BY value_c DESC, ps_partkey""".stripMargin),
     "q64_supplier_count" ->
       (s"""WITH $PartsuppCte,
