@@ -168,16 +168,7 @@ object Similarity {
     * two columns as (id, embedding). Returns rows appended. */
   def appendVectorsToIndex(s: SparkSession, root: String,
       vectors: DataFrame): Long = {
-    val raw = vectors.select(
-      col(vectors.columns(0)).cast("long").as("vec_id"),
-      col(vectors.columns(1)).as("embedding"))
-    val bad = raw.filter(col("vec_id").isNull || col("embedding").isNull).count()
-    require(bad == 0L,
-      s"$bad vector row(s) with null id/embedding — clean the input first")
-    val n = raw.count()
-    val dups = n - raw.select("vec_id").distinct().count()
-    require(dups == 0L,
-      s"$dups duplicate vector id(s) in the batch — duplicates corrupt top-k")
+    val raw = validateVectorFrame(vectors)
     val clash = raw.join(
       graft.storage.GraftTable.open(s, s"$root/postings").read()
         .select(col("vec_id")),
@@ -185,6 +176,29 @@ object Similarity {
     require(clash == 0L,
       s"$clash id(s) already indexed — erase first or use fresh ids")
     appendToIvfIndex(s, root, raw)
+  }
+
+  /** The shared input-hygiene gate of [[buildIvfIndexFrom]] and
+    * [[appendVectorsToIndex]]: takes the frame's first two columns as
+    * (id → vec_id long, embedding), MATERIALIZES one evaluation
+    * (localCheckpoint — the checks and the eventual commit must see
+    * the SAME rows; a nondeterministic input plan re-rolled between
+    * them would pass the checks and then commit the very nulls or
+    * duplicates they refused — review r13), then refuses null
+    * ids/embeddings and duplicate ids loudly. Returns the
+    * checkpointed, validated frame. */
+  private def validateVectorFrame(vectors: DataFrame): DataFrame = {
+    val raw = vectors.select(
+      col(vectors.columns(0)).cast("long").as("vec_id"),
+      col(vectors.columns(1)).as("embedding"))
+      .localCheckpoint(true)
+    val bad = raw.filter(col("vec_id").isNull || col("embedding").isNull).count()
+    require(bad == 0L,
+      s"$bad vector row(s) with null id/embedding — clean the input first")
+    val dups = raw.count() - raw.select("vec_id").distinct().count()
+    require(dups == 0L,
+      s"$dups duplicate vector id(s) — duplicates corrupt top-k; dedup first")
+    raw
   }
 
   /** Nearest-COMMITTED-centroid assignment for new `(vec_id, embedding)`
@@ -1470,24 +1484,24 @@ object Similarity {
     require(nLists >= 1, s"nLists must be >= 1, got $nLists")
     require(!GraftTable.exists(s"$root/postings"),
       s"index root $root already has postings — append/rebuild instead")
-    val raw = vectors.select(
-      col(vectors.columns(0)).cast("long").as("vec_id"),
-      col(vectors.columns(1)).as("embedding"))
-    val bad = raw.filter(col("vec_id").isNull || col("embedding").isNull).count()
-    require(bad == 0L,
-      s"$bad vector row(s) with null id/embedding — clean the input first")
-    // ONE evaluation feeds the seed scan, every Lloyd round, and the
-    // final commit (the appendToIvfPqIndex materialization discipline
-    // — a nondeterministic input plan must not re-roll between them)
+    // retry-safe: a crash between the centroids and postings commits
+    // left centroids without postings — build residue, not a servable
+    // index (the guard above passed); drop it and rebuild fresh, the
+    // int8IndexDir partial-artifact discipline. The drift baseline
+    // rewrites at the end of this build either way.
+    if (GraftTable.exists(s"$root/centroids"))
+      GraftTable.drop(s"$root/centroids")
+    // hygiene + ONE materialized evaluation ([[validateVectorFrame]]):
+    // the checks, the seed scan, every Lloyd round, and the final
+    // commit all see the same rows
+    val raw = validateVectorFrame(vectors)
     val e = raw.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm",
         sqrt(graft.functions.DotProduct.dotFast(col("v"), col("v"))))
       .localCheckpoint(true)
     val n = e.count()
-    val dups = n - e.select("vec_id").distinct().count()
-    require(dups == 0L,
-      s"$dups duplicate vector id(s) — duplicates corrupt top-k; dedup first")
+    require(n > 0L, "cannot build an index from an empty vector frame")
     val k = math.min(nLists.toLong, n).toInt.max(1)
     val seed = e.orderBy("vec_id").limit(k)
       .select((row_number().over(Window.orderBy("vec_id")) - 1).as("label"),

@@ -338,6 +338,15 @@ private[sources] object GraftProcedures {
             val spark = SparkSession.active
             val targetName = checkName(input.getUTF8String(1).toString)
             val tgtDir = tableDir(targetName)
+            // fresh-target rule (review r13): the target is an index
+            // ROOT — it must not collide with a live graft TABLE (the
+            // build would commit centroids/postings inside the
+            // table's directory, and a later DROP of the table would
+            // silently delete the index) nor with the source itself
+            require(tgtDir != dir,
+              s"index target $targetName is the source table itself")
+            require(!GraftTable.exists(tgtDir),
+              s"index target $targetName is an existing graft table")
             val nlists = if (input.numFields >= 3) input.getInt(2) else 10
             val (nl, nv) = graft.operators.Similarity
               .buildIvfIndexFrom(spark, t.read(), tgtDir, nlists)
