@@ -14,6 +14,16 @@ object Events {
 
   private val SessionGapSec = 1800L
 
+  /** e14 co-activity pad: each selected session's span is widened ±15
+    * minutes before the containment join, so a one-event session still
+    * has a meaningful overlap window. */
+  private val CoactivityPadUs = 900L * 1000000L
+  /** e14 band width — the range-join decomposition unit (1 hour). */
+  private val RangeBandUs = 3600L * 1000000L
+  /** e14 guard: max bands ONE interval may explode to (~2.3 years of
+    * hours) — one corrupt timestamp must fail loudly, not explode. */
+  private val MaxBandsPerInterval = 20000L
+
   /** e1: tumbling 1-hour window per event_type. The window start is
     * emitted as epoch seconds (bigint) — engine-neutral. */
   def e1TumblingWindow(s: SparkSession, dir: String): DataFrame =
@@ -179,6 +189,7 @@ object Events {
     "e1_tumbling_window" -> e1TumblingWindow _,
     "e11_trending" -> e11Trending _,
     "e13_dense_grid" -> e13DenseGrid _,
+    "e14_range_join" -> e14RangeJoin _,
     "e2_sessionize" -> e2Sessionize _,
     "e3_distinct_users" -> e3DistinctUsers _,
     "e4_asof_attribution" -> e4AsofAttribution _,
@@ -258,6 +269,83 @@ object Events {
       .select(col("prev_type"), col("event_type"), col("cnt"),
         expr("cnt * 10000 div tot").as("p_bp")) // integer bp (Column./ is double)
       .orderBy("prev_type", "event_type")
+  }
+
+  /** The e14 interval side: per-user sessions (e2's gap rule — a new
+    * session after a >30 min silence, the SAME `SessionGapSec`) for the
+    * deterministic user subset `user_id % 41 = 0`, each span padded
+    * ±15 min into a co-activity window. Exposed separately so the spec
+    * can run the NAIVE non-equi join over the identical interval set.
+    * Input must carry (user_id, event_id, tsu) with tsu in micros. */
+  private[graft] def coactivitySessions(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("prev", lag("tsu", 1).over(byUser))
+      .withColumn("ns",
+        when(col("prev").isNull ||
+          col("tsu") - col("prev") > SessionGapSec * 1000000L, 1L).otherwise(0L))
+      .withColumn("sess", sum("ns").over(running))
+      .groupBy("user_id", "sess")
+      .agg(min("tsu").as("s_start"), max("tsu").as("s_end"))
+      .filter(col("user_id") % 41 === 0)
+      .select(col("user_id").as("s_user"), col("s_start"), col("s_end"),
+        (col("s_start") - CoactivityPadUs).as("lo"),
+        (col("s_end") + CoactivityPadUs).as("hi"))
+  }
+
+  /** e14: batch RANGE (containment) JOIN with NO equality key — for each
+    * selected user's padded session window, how many events PLATFORM-WIDE
+    * (any user) fell inside it, and how many distinct users were active.
+    * The naive formulation `e.tsu BETWEEN s.lo AND s.hi` has no join key,
+    * so Spark plans a BroadcastNestedLoopJoin — all-pairs, and AQE cannot
+    * split it. This is the BANDED decomposition instead: time is cut into
+    * fixed 1-hour bands, each interval explodes to the bands it overlaps
+    * (guarded — one corrupt timestamp fails loudly instead of exploding),
+    * each event carries its single band, and the join becomes a plain
+    * shuffled EQUALITY join on the band with the containment predicate as
+    * residual. An event's band matches exactly one exploded row per
+    * interval, so no dedup pass is needed.
+    *
+    * 100 TB shape: interval-side duplication is ∝ span/band and
+    * probe-side fanout is ∝ events per band — the band width is the
+    * dial between the two; because the join is a keyed shuffle, a hot
+    * band (both sides large in the same hour) is ordinary join skew
+    * that AQE's skew-join splitting handles, which is exactly what the
+    * BNLJ shape forfeits. PlanGuard pins that e14 never plans a BNLJ. */
+  def e14RangeJoin(s: SparkSession, dir: String): DataFrame =
+    coactivityRangeJoin(Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu")))
+
+  private[graft] def coactivityRangeJoin(ev: DataFrame): DataFrame = {
+    val sessions = coactivitySessions(ev)
+    // floor(/double), NOT `div`: e6's rule — exact for |micros| < 2^53,
+    // and correct (not trunc) should an instant ever precede 1970.
+    val loBand = floor(col("lo") / lit(RangeBandUs.toDouble)).cast("long")
+    val hiBand0 = floor(col("hi") / lit(RangeBandUs.toDouble)).cast("long")
+    // isNull escape (the e13 lesson): an all-null-tsu group yields a null
+    // span — it must produce zero exploded rows through the null
+    // sequence, not trip the guard via three-valued logic.
+    val hiBand = when(hiBand0.isNull || hiBand0 - loBand < lit(MaxBandsPerInterval), hiBand0)
+      .otherwise(raise_error(concat(
+        lit("e14 range join interval too large: ["),
+        col("lo").cast("string"), lit(", "), col("hi").cast("string"),
+        lit(s"] micros exceeds $MaxBandsPerInterval 1h bands — the events " +
+          "table has outlier timestamps; clean or filter ts first")))
+        .cast("long"))
+    val bands = sessions.select(col("s_user"), col("s_start"), col("s_end"),
+      col("lo"), col("hi"), explode(sequence(loBand, hiBand)).as("band"))
+    val probe = ev.select(col("user_id").as("e_user"),
+      floor(col("tsu") / lit(RangeBandUs.toDouble)).cast("long").as("band"),
+      col("tsu"))
+    bands.join(probe, Seq("band"))
+      .filter(col("tsu") >= col("lo") && col("tsu") <= col("hi"))
+      .groupBy("s_user", "s_start", "s_end")
+      .agg(count(lit(1)).as("n_overlap"),
+        countDistinct(col("e_user")).as("n_users"))
+      .select(col("s_user").as("user_id"), col("s_start").as("session_start_us"),
+        (col("s_end") - col("s_start")).as("dur_us"),
+        col("n_overlap"), col("n_users"))
+      .orderBy("user_id", "session_start_us")
   }
 
   /** The 6-hour window id — ONE definition for e11's grid, e13's
@@ -342,6 +430,36 @@ object Events {
         |SELECT f.win6h, f.event_type, CAST(COALESCE(c.cnt, 0) AS BIGINT) cnt
         |FROM f LEFT JOIN c ON c.win6h = f.win6h AND c.event_type = f.event_type
         |ORDER BY f.win6h, f.event_type""".stripMargin,
+    // e14: the oracle is the NAIVE containment join (DuckDB's IEJoin
+    // handles the pure-inequality condition natively — exactly the
+    // operator Spark lacks and the banded decomposition re-expresses).
+    // Session derivation mirrors coactivitySessions term for term; the
+    // sess window sum stays a grouping key only (DuckDB window sums are
+    // HUGEINT — never emit one uncast).
+    "e14_range_join" ->
+      (s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) tsu FROM events),
+         |l AS (SELECT user_id, event_id, tsu,
+         |        lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) prev
+         |      FROM ev),
+         |f AS (SELECT user_id, event_id, tsu,
+         |        CASE WHEN prev IS NULL OR tsu - prev > ${SessionGapSec * 1000000L}
+         |             THEN 1 ELSE 0 END ns
+         |      FROM l),
+         |sid AS (SELECT user_id, tsu,
+         |          sum(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess
+         |        FROM f),
+         |sess AS (SELECT user_id, sess, min(tsu) s_start, max(tsu) s_end
+         |         FROM sid WHERE user_id % 41 = 0 GROUP BY user_id, sess)
+         |SELECT s.user_id, s.s_start AS session_start_us,
+         |  s.s_end - s.s_start AS dur_us,
+         |  count(*) AS n_overlap,
+         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+         |FROM sess s JOIN ev e
+         |  ON e.tsu >= s.s_start - $CoactivityPadUs
+         | AND e.tsu <= s.s_end + $CoactivityPadUs
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2""".stripMargin),
     "e1_tumbling_window" ->
       ("SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) hour_epoch, event_type, " +
         "count(*) cnt, CAST(sum(CAST(round(value*10000) AS BIGINT)) AS BIGINT) vsum_x10000 " +

@@ -906,6 +906,117 @@ object Similarity {
     n
   }
 
+  /** Every graft table an ANN index root may carry, in build order —
+    * ONE list shared by stats/compact/drop so a future rung cannot be
+    * forgotten by one verb and walked by another. */
+  private val IndexSiblingTables =
+    Seq("centroids", "postings", "codebook", "codes", "codes_i8", "i8meta",
+      "codes_bin")
+
+  /** Index OBSERVABILITY (`CALL g.system.ann_stats`): what an operator
+    * needs before choosing a maintenance verb, from METADATA ONLY — no
+    * data scan, so it is safe to run against a 100 TB index as often as
+    * a dashboard refreshes (the scan-grade signals — drift, skew,
+    * desync — live in `ann_drift`/`ann_verify`, which read data and say
+    * so). Reports the serving rungs present, live/masked/physical
+    * vector counts (masked = merge-on-read DV mass: rows erased
+    * logically but still physically present in list files until a
+    * rewrite reclaims them — the erasure backlog; physical = what a
+    * shortlist scan touches before DV application), per-sibling
+    * rows/files/bytes, and
+    * `postings.files_per_list_x100` — the FRAGMENTATION signal: every
+    * incremental append lands ≥1 new file per touched list, probes then
+    * open that many files per probed list, and a ratio far above 100
+    * (1 file/list) says `ann_compact` is due. */
+  def annIndexStats(s: SparkSession, root: String): Seq[(String, String)] = {
+    require(graft.storage.GraftTable.exists(s"$root/postings"),
+      s"no persisted ANN index at $root")
+    val present = IndexSiblingTables
+      .filter(t => graft.storage.GraftTable.exists(s"$root/$t"))
+      .map(t => t -> graft.storage.GraftTable.open(s, s"$root/$t"))
+    val byName = present.toMap
+    val nLists = byName.get("centroids").map(_.rowCountFromMetadata()).getOrElse(0L)
+    // meta.rowCount is LIVE (MOR deletes decrement it); the DV mass is
+    // the physically-present-but-masked backlog on top of it
+    val live = byName("postings").rowCountFromMetadata()
+    val masked = byName("postings").deletedRowCount()
+    val rungs = Seq("fp64") ++
+      (if (byName.contains("codes") && byName.contains("codebook")) Seq("pq") else Nil) ++
+      (if (byName.contains("codes_i8") && byName.contains("i8meta")) Seq("int8") else Nil) ++
+      (if (byName.contains("codes_bin")) Seq("bin") else Nil)
+    val postFiles = byName("postings").explainMeta("GraftFiles").toLong
+    val header = Seq(
+      "lists" -> nLists.toString,
+      "rungs" -> rungs.mkString(","),
+      "vectors_live" -> live.toString,
+      "vectors_masked" -> masked.toString,
+      "vectors_physical" -> (live + masked).toString,
+      // ×100 fixed-point so the string stays engine-neutral integer
+      "postings.files_per_list_x100" ->
+        (if (nLists > 0) (postFiles * 100 / nLists).toString else "-"))
+    header ++ present.flatMap { case (name, t) =>
+      val m = t.explainMeta
+      Seq(s"$name.rows" -> m("GraftRows"), s"$name.files" -> m("GraftFiles"),
+        s"$name.bytes" -> m("GraftSizeBytes"),
+        s"$name.masked_rows" -> t.deletedRowCount().toString)
+    }
+  }
+
+  /** Index COMPACTION (`CALL g.system.ann_compact`) — the maintenance
+    * verb the incremental-append story creates a need for: every
+    * `ann_append` commits ≥1 NEW small file per touched list per rung
+    * (committed files are never rewritten — the append contract), and
+    * each append's files span the whole label range, so after K appends
+    * a probe opens O(K) files per probed list and the postings' zone
+    * maps stop point-pruning to one file. This folds the damage back,
+    * per sibling table: `compactSmall` coalesces the small-file tail
+    * (cost ∝ tail, never the table), then `compactOverlapping`
+    * restores label-range disjointness on the `sort_by label` tables
+    * (cost ∝ overlapping mass) — both are DV-aware (erased vectors stay
+    * erased; their DV mass is reclaimed by the rewrite), row-preserving,
+    * and cluster-preserving, so probe results are BIT-IDENTICAL before
+    * and after (spec-pinned) and the drift audit's rewrite-robust
+    * signals carry through. Returns (table, files merged + files
+    * folded) per sibling. Exclusive writer, like rebuild/recluster —
+    * quiesce appends first. */
+  def annCompactIndex(s: SparkSession, root: String,
+      smallBytes: Long = 32L << 20,
+      targetBytes: Long = 128L << 20): Seq[(String, Long)] = {
+    require(graft.storage.GraftTable.exists(s"$root/postings"),
+      s"no persisted ANN index at $root")
+    IndexSiblingTables
+      .filter(t => graft.storage.GraftTable.exists(s"$root/$t"))
+      .map { name =>
+        val t = graft.storage.GraftTable.open(s, s"$root/$name")
+        val merged = t.compactSmall(smallBytes, targetBytes).toLong
+        val folded =
+          if (t.clusteredBy.nonEmpty) t.compactOverlapping(targetBytes).toLong
+          else 0L
+        name -> (merged + folded)
+      }
+  }
+
+  /** Index DROP (`CALL g.system.ann_drop`) — the lifecycle's GC verb:
+    * drops every sibling table the root carries (each through the
+    * table-level drop + file GC path), then removes the root directory
+    * itself with its control files (the drift baseline). The
+    * postings-exists gate means this only ever deletes an actual index
+    * root — pointing it at a data table refuses before anything is
+    * touched. Returns tables dropped. */
+  def dropIndex(s: SparkSession, root: String): Int = {
+    require(graft.storage.GraftTable.exists(s"$root/postings"),
+      s"no persisted ANN index at $root")
+    val dropped = IndexSiblingTables.count { t =>
+      val dir = s"$root/$t"
+      val there = graft.storage.GraftTable.exists(dir)
+      if (there) graft.storage.GraftTable.drop(dir)
+      there
+    }
+    val (fs, path) = graft.storage.GraftTable.fsAndPath(root)
+    fs.delete(path, true)
+    dropped
+  }
+
   /** Cross-table integrity audit for the composed index — the per-table
     * `GraftTable.verify` cannot see a postings/codes DESYNC (each table
     * is individually consistent), so this compares them: vec_ids

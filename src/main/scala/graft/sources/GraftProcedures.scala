@@ -49,6 +49,9 @@ import graft.storage.GraftTable
   *   CALL graft.system.ann_verify('db.idx') -- postings/codes desync audit
   *   CALL graft.system.ann_rebuild('db.idx') -- the audit's recommended action
   *   CALL graft.system.ann_delete('db.idx', 'db.erase_ids') -- vector erasure
+  *   CALL graft.system.ann_stats('db.idx')   -- metadata-only observability
+  *   CALL graft.system.ann_compact('db.idx') -- fold append fragmentation
+  *   CALL graft.system.ann_drop('db.idx')    -- drop the root + file GC
   *   CALL graft.system.dedup_spans('db.t', 'db.spans')            -- d14
   *   CALL graft.system.quality_votes('db.t', 'db.scored')         -- t17
   *   CALL graft.system.dataset_card('db.t', 'db.card')            -- c16
@@ -76,7 +79,8 @@ private[sources] object GraftProcedures {
       "ann_rebuild", "dedup_spans", "contamination_report",
       "source_mix", "split_assign", "quality_votes", "dataset_card",
       "ann_probe_int8", "ann_probe_pq", "ann_probe_bin", "ann_verify",
-      "ann_delete", "ann_build", "ann_quantize", "ann_append")
+      "ann_delete", "ann_build", "ann_quantize", "ann_append",
+      "ann_stats", "ann_compact", "ann_drop")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -178,7 +182,9 @@ private[sources] object GraftProcedures {
             procName == "ann_rebuild" || procName == "ann_probe_int8" ||
             procName == "ann_probe_pq" || procName == "ann_probe_bin" ||
             procName == "ann_verify" || procName == "ann_delete" ||
-            procName == "ann_quantize" || procName == "ann_append"
+            procName == "ann_quantize" || procName == "ann_append" ||
+            procName == "ann_stats" || procName == "ann_compact" ||
+            procName == "ann_drop"
           if (indexProc) {
             require(GraftTable.exists(s"$dir/postings"),
               s"no persisted ANN index at $tableName")
@@ -326,6 +332,63 @@ private[sources] object GraftProcedures {
             new LocalScan {
               override def readSchema(): StructType = schema
               override def rows(): Array[InternalRow] = rs
+            }
+          } else if (procName == "ann_stats") {
+            // metadata-only observability: rungs present, gross/deleted/
+            // live vector counts, per-sibling rows/files/bytes, and the
+            // files-per-list fragmentation signal ann_compact answers —
+            // no data scan, safe at any index size (scan-grade signals
+            // live in ann_drift/ann_verify)
+            val statRows = graft.operators.Similarity
+              .annIndexStats(SparkSession.active, dir)
+            val schema = StructType(Seq(
+              StructField("metric", StringType, nullable = false),
+              StructField("value", StringType, nullable = false)))
+            val rs: Array[InternalRow] = statRows.map { case (m, v) =>
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(m), UTF8String.fromString(v))): InternalRow
+            }.toArray
+            new LocalScan {
+              override def readSchema(): StructType = schema
+              override def rows(): Array[InternalRow] = rs
+            }
+          } else if (procName == "ann_compact") {
+            // fold incremental-append fragmentation back, per sibling:
+            // small-file tail coalesced + label-range disjointness
+            // restored (both DV-aware, row- and cluster-preserving, so
+            // probe results are bit-identical). Exclusive writer —
+            // quiesce appends, like ann_rebuild.
+            val per = graft.operators.Similarity
+              .annCompactIndex(SparkSession.active, dir)
+            val schema = StructType(Seq(
+              StructField("table", StringType, nullable = false),
+              StructField("metric", StringType, nullable = false),
+              StructField("value", LongType, nullable = false)))
+            val rs: Array[InternalRow] = per.map { case (sib, n) =>
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(s"$tableName/$sib"),
+                UTF8String.fromString("files_compacted"), n)): InternalRow
+            }.toArray
+            new LocalScan {
+              override def readSchema(): StructType = schema
+              override def rows(): Array[InternalRow] = rs
+            }
+          } else if (procName == "ann_drop") {
+            // lifecycle GC: drop every sibling table, then the root dir
+            // with its control files. The postings-exists gate (above)
+            // means a data table can never be dropped through this verb.
+            val n = graft.operators.Similarity
+              .dropIndex(SparkSession.active, dir).toLong
+            val schema = StructType(Seq(
+              StructField("table", StringType, nullable = false),
+              StructField("metric", StringType, nullable = false),
+              StructField("value", LongType, nullable = false)))
+            val row: InternalRow = new GenericInternalRow(Array[Any](
+              UTF8String.fromString(tableName),
+              UTF8String.fromString("tables_dropped"), n))
+            new LocalScan {
+              override def readSchema(): StructType = schema
+              override def rows(): Array[InternalRow] = Array(row)
             }
           } else if (procName == "ann_build") {
             // the index lifecycle's CREATION verb: a deterministic

@@ -461,6 +461,16 @@ final class GraftTable private (
     meta.fileStats.get(rel).flatMap(_.values.headOption).map(_.rows)
       .getOrElse(footerInfo(s"$location/$rel")._1)
 
+  /** Rows masked by merge-on-read deletion vectors — the gap between
+    * [[rowCountFromMetadata]] (gross) and the live row count. Metadata
+    * only, no scan. */
+  def deletedRowCount(): Long = meta.dvs.values.map(_.card).sum
+
+  /** The table's declared `sort_by` clustering keys (empty =
+    * unclustered) — lets maintenance callers decide whether
+    * [[compactOverlapping]] applies without trial-and-error. */
+  def clusteredBy: Seq[String] = meta.options.sortBy
+
   /** On-disk bytes of committed data + metadata, the
     * `cstore_table_size(regclass)` UDF (`cstore_fdw.c:1183-1229`). */
   def tableSize(): Long = {

@@ -1344,4 +1344,76 @@ class AnnIndexSpec extends SparkSpec {
       "a planted twin must probe at cos 1.0 through the rebuilt index")
     assert(!GraftTable.exists(s"$root2/codes_bin_rebuild"))
   }
+
+  test("ann_stats reads rungs/counts from metadata; compaction folds append fragmentation, keeps probes bit-identical, reclaims erased mass; drop GCs the root") {
+    import spark.implicits._
+    Similarity.s9AnnIvfPq(spark, dir).count()
+    val root = Similarity.ivfPqIndexDir(spark, dir)
+    val root2 = tmpDir("ann-maint")
+    Seq("centroids", "postings", "codebook", "codes").foreach(t =>
+      GraftTable.open(spark, s"$root/$t").cloneTo(s"$root2/$t"))
+
+    // -- stats: rungs + counts, before and after an erasure --------------
+    val stats0 = Similarity.annIndexStats(spark, root2).toMap
+    val live0 = GraftTable.open(spark, s"$root2/postings").rowCountFromMetadata()
+    assert(stats0("rungs") === "fp64,pq")
+    assert(stats0("lists").toLong > 0L)
+    assert(stats0("vectors_live") === live0.toString)
+    assert(stats0("vectors_masked") === "0")
+    assert(stats0("vectors_physical") === live0.toString)
+    assert(stats0("postings.files").toLong > 1L)
+
+    // fragment the root: two incremental appends, then erase one vector
+    val v0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0).select("embedding").head
+      .getSeq[Float](0).toArray
+    Similarity.appendToIvfPqIndex(spark, root2,
+      Seq((5000000L, v0)).toDF("vec_id", "embedding"))
+    Similarity.appendToIvfPqIndex(spark, root2,
+      Seq((5000001L, v0)).toDF("vec_id", "embedding"))
+    // erase an ORIGINAL vector: its multi-row postings file takes a
+    // merge-on-read sidecar (a 1-row appended file would upgrade to
+    // copy-on-write and leave no DV mass for the stats to report)
+    Similarity.deleteFromIndex(spark, root2, Seq(7L))
+    val stats1 = Similarity.annIndexStats(spark, root2).toMap
+    assert(stats1("vectors_live") === (live0 + 1).toString)
+    assert(stats1("vectors_masked") === "1")
+    assert(stats1("vectors_physical") === (live0 + 2).toString)
+    assert(stats1("postings.files").toLong > stats0("postings.files").toLong,
+      "each append must have added files — the fragmentation stats exposes")
+
+    // -- compact: fewer files, identical probe, erased mass reclaimed ----
+    val q = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0)
+      .select(lit(-1L).as("vec_id"), col("embedding"))
+    val pre = Similarity.probeIvfPqRaw(spark, root2, q)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(pre.exists(_(2) === 5000000L) && !pre.exists(_(2) === 7L),
+      s"probe must see the live appends and not the erased vector: $pre")
+    val per = Similarity.annCompactIndex(spark, root2).toMap
+    assert(per("postings") > 0L, s"expected postings files folded: $per")
+    val stats2 = Similarity.annIndexStats(spark, root2).toMap
+    assert(stats2("postings.files").toLong < stats1("postings.files").toLong)
+    assert(stats2("vectors_masked") === "0",
+      "the rewrite must materialize the deletion vector")
+    assert(stats2("vectors_physical") === (live0 + 1).toString,
+      "erased rows must be GONE from the rewritten files, not resurrected")
+    assert(stats2("vectors_live") === stats1("vectors_live"))
+    val post = Similarity.probeIvfPqRaw(spark, root2, q)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(post === pre, "compaction must keep probe results bit-identical")
+    assert(Similarity.verifyIvfPqIndex(spark, root2) === Seq.empty)
+
+    // -- drop: every sibling gone, root dir gone, re-verbs refuse --------
+    assert(Similarity.dropIndex(spark, root2) === 4)
+    Seq("centroids", "postings", "codebook", "codes").foreach(t =>
+      assert(!GraftTable.exists(s"$root2/$t"), s"$t must be dropped"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root2)),
+      "the root directory (incl. the drift baseline) must be GCed")
+    val ex = intercept[Exception] { Similarity.annIndexStats(spark, root2) }
+    assert(ex.getMessage.contains("no persisted ANN index"))
+    // the gate refuses a NON-index directory before touching anything
+    val ex2 = intercept[Exception] { Similarity.dropIndex(spark, tmpDir("not-idx")) }
+    assert(ex2.getMessage.contains("no persisted ANN index"))
+  }
 }

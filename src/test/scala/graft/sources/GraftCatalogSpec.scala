@@ -459,6 +459,46 @@ class GraftCatalogSpec extends SparkSpec {
       }
       assert(eApp.getMessage.contains("already indexed"),
         s"got ${eApp.getMessage}")
+      // -- ann_stats: metadata-only observability over the grown root ----
+      val statsB = spark.sql("CALL gcat.system.ann_stats('db1.built_idx')")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(statsB("lists") === "6")
+      assert(statsB("rungs") === "fp64,int8")
+      assert(statsB("vectors_live") === (vecsAll.count() + 2).toString)
+      assert(statsB("vectors_masked") === "0")
+      assert(statsB("codes_i8.rows") === (vecsAll.count() + 2).toString)
+      // -- ann_compact: folds the appends' fragmentation; probes identical
+      val preC = graft.operators.Similarity
+        .probeIvfInt8Raw(spark, s"$warehouse/db1/built_idx", rawQ)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      val compB = spark.sql("CALL gcat.system.ann_compact('db1.built_idx')")
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(compB("db1.built_idx/postings") > 0L, compB.toString)
+      val statsC = spark.sql("CALL gcat.system.ann_stats('db1.built_idx')")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(statsC("postings.files").toLong <
+        statsB("postings.files").toLong)
+      val postC = graft.operators.Similarity
+        .probeIvfInt8Raw(spark, s"$warehouse/db1/built_idx", rawQ)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      assert(postC === preC,
+        "CALL ann_compact must keep probe results bit-identical")
+      val verCmp = spark.sql("CALL gcat.system.ann_verify('db1.built_idx')")
+        .collect().map(r => r.getString(0) -> r.getString(1))
+      assert(verCmp.toSeq === Seq("status" -> "clean"))
+      // -- ann_drop: the root GCs; further index verbs refuse -------------
+      val dropB = spark.sql("CALL gcat.system.ann_drop('db1.built_idx')")
+        .collect()
+      assert(dropB.map(r => (r.getString(1), r.getLong(2))).toSeq ===
+        Seq(("tables_dropped", 4L)), dropB.mkString(","))
+      assert(!GraftTable.exists(s"$warehouse/db1/built_idx/postings"))
+      assert(!Files.exists(Paths.get(warehouse, "db1", "built_idx")),
+        "the index root directory must be GCed")
+      val eDrop = intercept[Exception] {
+        spark.sql("CALL gcat.system.ann_stats('db1.built_idx')")
+      }
+      assert(eDrop.getMessage.contains("no persisted ANN index"),
+        s"got ${eDrop.getMessage}")
       // -- ann_delete: erasure through SQL; probes stop returning the id,
       // siblings stay agreed (audit still clean) ------------------------
       val eraseId = gotA.collect {
