@@ -73,6 +73,10 @@ object ProfScale100 {
       t("c17_curriculum")(operators.Sampling.c17Curriculum(spark, dir).count())
       t("e13_dense_grid")(operators.Events.e13DenseGrid(spark, dir).count())
       t("p5_rag_served")(operators.Similarity.p5RagServed(spark, dir).count())
+      // round 13: the banded containment join — both sides scale with
+      // the corpus (sessions AND probe events), so the keyed band join
+      // is the part that must stay linear
+      t("e14_range_join")(operators.Events.e14RangeJoin(spark, dir).count())
     }
     spark.stop()
   }
