@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One-off: e14 banded range join at 1× (sf0.1) vs the MakeScale 100×
-  * copy — pins the scale exponent for SCALE_r16. */
+/** One-off: the round-13 continuation entries (e14 banded range join,
+  * m8 pHash near-dup) at 1× (sf0.1) vs the MakeScale 100× copy — pins
+  * the scale exponents for SCALE_r16. */
 object ProfE14 {
   def t(name: String)(f: => Long): Unit = {
     val t0 = System.nanoTime(); val n = f
@@ -20,6 +21,8 @@ object ProfE14 {
       t("warm")(Tables.load(spark, dir, "events").count())
       t("e14_range_join")(operators.Events.e14RangeJoin(spark, dir).count())
       t("e14 warm")(operators.Events.e14RangeJoin(spark, dir).count())
+      t("m8_phash_neardup")(operators.Multimodal.m8PhashNeardup(spark, dir).count())
+      t("m8 warm")(operators.Multimodal.m8PhashNeardup(spark, dir).count())
     }
     spark.stop()
   }

@@ -77,6 +77,9 @@ object ProfScale100 {
       // the corpus (sessions AND probe events), so the keyed band join
       // is the part that must stay linear
       t("e14_range_join")(operators.Events.e14RangeJoin(spark, dir).count())
+      // round 13: pHash near-dup — decode pass ∝ corpus, banded join
+      // ∝ collision mass
+      t("m8_phash_neardup")(operators.Multimodal.m8PhashNeardup(spark, dir).count())
     }
     spark.stop()
   }

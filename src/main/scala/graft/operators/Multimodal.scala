@@ -307,6 +307,109 @@ object Multimodal {
       }
   }
 
+  final case class PHash(doc_id: Long, hi: Long, lo: Long)
+
+  /** m8 corpus: `documents` plus a deterministic RE-ENCODED TWIN for
+    * every 13th doc (last character replaced — the one-char artifact a
+    * lossy re-encode/scrape-dedup pass leaves), ONE definition mirrored
+    * term-for-term in the oracle CTE (the synthesized-partsupp
+    * discipline, q62–q65). Geometry is TEXT-ONLY (unlike m4's
+    * doc_id-dependent height) so a twin renders identically to its
+    * original except at the edited pixel positions. */
+  private def m8Corpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val twins = docs
+      .filter(col("doc_id") % 13 === 0 && length(col("text")) > 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(expr("substr(text, 1, length(text)-1)"), lit("x")).as("text"))
+    docs.unionAll(twins)
+  }
+
+  /** The m8 hash stage: render → REAL PNG encode → REAL PNG decode →
+    * dHash (difference hash) over the DECODED raster — 9×8
+    * nearest-neighbor grid, bit (ty,tx) = sample < its right neighbor,
+    * packed into two 32-bit words (BIGINT-safe in both engines; a
+    * single 64-bit word would go sign-negative at bit 63). PNG is
+    * lossless, so the oracle recomputes the identical bits from the
+    * source characters — a hash match proves the full
+    * encode→decode→hash chain, m4's proof shape. */
+  private[operators] def m8Hashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    m8Corpus(s, dir).as[(Long, String)].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(DecodeBatch).flatMap(_.map { case (id, text) =>
+        val codes =
+          if (text.isEmpty) Array(0)
+          else Array.tabulate(text.length)(i => text.charAt(i) & 0xff)
+        val len = text.length
+        val w = len % 48 + 16
+        val h = len % 24 + 16
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(
+          grayImage(w, h, k => codes(k % codes.length)), "png", out)
+        val dec = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(out.toByteArray))
+        val raster = dec.getRaster
+        var hi = 0L
+        var lo = 0L
+        var ty = 0
+        while (ty < 8) {
+          val y = ty * h / 8
+          var tx = 0
+          while (tx < 8) {
+            val gL = raster.getSample(tx * w / 9, y, 0)
+            val gR = raster.getSample((tx + 1) * w / 9, y, 0)
+            if (gL < gR) {
+              val b = ty * 8 + tx
+              if (b < 32) hi |= 1L << b else lo |= 1L << (b - 32)
+            }
+            tx += 1
+          }
+          ty += 1
+        }
+        PHash(id, hi, lo)
+      })
+    }.toDF()
+  }
+
+  /** m8: IMAGE near-duplicate detection by perceptual hash — the
+    * multimodal twin of d3/d4's banded text dedup and the op a
+    * large-scale image-corpus pipeline runs before training (re-encoded
+    * copies of the same picture carry different bytes, identical
+    * dHashes). Pairs within Hamming distance 3 are found WITHOUT an
+    * all-pairs scan: each 64-bit hash splits into 4×16-bit bands
+    * (map-side explode), candidates come from a keyed EQUALITY
+    * self-join on (band, value) — ≤3 flipped bits leave ≥1 of 4 bands
+    * intact (pigeonhole), so recall at T=3 is EXACT by construction —
+    * then the XOR+popcount Hamming check (s18's integer trick, here the
+    * codegen'd `bit_count` builtin) verifies each candidate. At 100 TB:
+    * hash cost ∝ corpus (one decode pass), join cost ∝ band-bucket
+    * collision mass, never corpus²; a hot band (common texture) is
+    * ordinary join skew AQE splits. */
+  def m8PhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val hashes = m8Hashes(s, dir)
+    val banded = hashes.select(col("doc_id"), col("hi"), col("lo"),
+      posexplode(array(
+        shiftrightunsigned(col("hi"), 16), col("hi").bitwiseAND(lit(0xffffL)),
+        shiftrightunsigned(col("lo"), 16), col("lo").bitwiseAND(lit(0xffffL)))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val a = banded.select(col("doc_id").as("doc_a"), col("hi").as("hi_a"),
+      col("lo").as("lo_a"), col("band_idx"), col("band_val"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("hi").as("hi_b"),
+      col("lo").as("lo_b"), col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct() // a pair matching in k bands must count once
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** m5: typed metadata extraction from an opaque binary column with
     * PURE CATALYST byte ops — no UDF, no decoder: the PNG signature and
     * IHDR fields (width, height, bit depth, color type) are parsed from
@@ -571,6 +674,7 @@ object Multimodal {
     "m3_resize" -> m3Resize _,
     "m4_png_decode" -> m4PngDecode _,
     "m5_png_meta" -> m5PngMeta _,
+    "m8_phash_neardup" -> m8PhashNeardup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -654,6 +758,38 @@ object Multimodal {
          |  CAST(doc_id % 32 + 16 AS BIGINT) height,
          |  CAST(8 AS BIGINT) bit_depth, CAST(0 AS BIGINT) color_type
          |FROM documents ORDER BY doc_id""".stripMargin),
+    // m8: PNG is lossless, so the dHash bits recompute from the source
+    // characters directly; the oracle replays the twin CTE, the 9×8
+    // grid, the two packed 32-bit words, and the T=3 Hamming pairs
+    // (DuckDB's native xor/bit_count against Spark's banded join — the
+    // oracle side is the all-pairs formulation the banding replaces)
+    "m8_phash_neardup" ->
+      ("""WITH tw AS (SELECT doc_id + 1000000 AS doc_id,
+         |         substr(text, 1, CAST(length(text)-1 AS INT)) || 'x' AS text
+         |       FROM documents WHERE doc_id % 13 = 0 AND length(text) > 0),
+         |corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM tw),
+         |f AS (SELECT doc_id, text, length(text) len,
+         |             length(text) % 48 + 16 w, length(text) % 24 + 16 h
+         |      FROM corpus),
+         |gx AS (SELECT doc_id, w, h, len, text, unnest(range(0, 8)) ty FROM f),
+         |gxy AS (SELECT doc_id, w, h, len, text, ty, unnest(range(0, 8)) tx
+         |        FROM gx),
+         |bits AS (SELECT doc_id, ty, tx,
+         |  CASE WHEN (CASE WHEN len = 0 THEN 0 ELSE
+         |      ascii(substr(text, CAST(((ty*h//8)*w + (tx*w//9)) % len AS INT)+1, 1)) END)
+         |     < (CASE WHEN len = 0 THEN 0 ELSE
+         |      ascii(substr(text, CAST(((ty*h//8)*w + ((tx+1)*w//9)) % len AS INT)+1, 1)) END)
+         |  THEN 1 ELSE 0 END bv
+         |  FROM gxy),
+         |h AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN ty < 4 THEN bv * (1::BIGINT << (ty*8+tx)) ELSE 0 END) AS BIGINT) hi,
+         |  CAST(sum(CASE WHEN ty >= 4 THEN bv * (1::BIGINT << (ty*8+tx-32)) ELSE 0 END) AS BIGINT) lo
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id doc_a, b.doc_id doc_b,
+         |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) hamming
+         |FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+         |ORDER BY 1, 2""".stripMargin),
     // m3 (lossy-codec contract): every nearest-neighbor-sampled DECODED
     // pixel must sit within ±32 of its source — flag pinned at 1
     "m3_resize" ->

@@ -200,4 +200,42 @@ class MultimodalSpec extends SparkSpec {
       assert(depth === 8L && color === 0L, s"doc $id: grayscale-8 settings")
     }
   }
+
+  test("m8 banded pHash join ≡ the naive all-pairs Hamming scan; twins recovered; keyed-join plan") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val got = Multimodal.m8PhashNeardup(spark, dir)
+    val rows = got.collect()
+
+    // exact recall at T=3: the banded candidates must equal the naive
+    // all-pairs formulation over the SAME hash frame (quadratic — spec
+    // scale only; 4×16-bit bands + ≤3 flips ⇒ ≥1 intact band)
+    val h = Multimodal.m8Hashes(spark, dir)
+    val a = h.select(col("doc_id").as("doc_a"), col("hi").as("hi_a"),
+      col("lo").as("lo_a"))
+    val b = h.select(col("doc_id").as("doc_b"), col("hi").as("hi_b"),
+      col("lo").as("lo_b"))
+    val naive = a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b").collect()
+    assert(rows.toSeq === naive.toSeq)
+
+    // every planted twin whose edit stayed within T must surface as the
+    // (id, id+1e6) pair — and at sf0.001 every one of the 38 does
+    assert(rows.nonEmpty)
+    val twinPairs = rows.filter(r => r.getLong(1) - r.getLong(0) == 1000000L)
+    assert(twinPairs.length >= 30,
+      s"expected the planted twins recovered, got ${twinPairs.length}")
+    assert(rows.forall(_.getLong(2) <= 3L))
+
+    // scale shape: the candidate join is a keyed equality join on the
+    // band, never an all-pairs nested loop
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
