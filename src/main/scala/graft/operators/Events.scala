@@ -316,12 +316,21 @@ object Events {
     coactivityRangeJoin(Tables.load(s, dir, "events")
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu")))
 
-  private[graft] def coactivityRangeJoin(ev: DataFrame): DataFrame = {
-    val sessions = coactivitySessions(ev)
-    // floor(/double), NOT `div`: e6's rule — exact for |micros| < 2^53,
-    // and correct (not trunc) should an instant ever precede 1970.
-    val loBand = floor(col("lo") / lit(RangeBandUs.toDouble)).cast("long")
-    val hiBand0 = floor(col("hi") / lit(RangeBandUs.toDouble)).cast("long")
+  /** An instant's 1-hour band id — ONE definition for the interval
+    * explode, the batch probe side, and the streaming twin
+    * ([[graft.streaming.RangeJoinStream]]). floor(/double), NOT `div`:
+    * e6's rule — exact for |micros| < 2^53, and correct (not trunc)
+    * should an instant ever precede 1970. */
+  private[graft] def bandOf(tsUs: Column): Column =
+    floor(tsUs / lit(RangeBandUs.toDouble)).cast("long")
+
+  /** The interval side EXPLODED to its overlapped bands — shared by the
+    * batch join and the streaming twin so the decomposition cannot
+    * drift. Input: [[coactivitySessions]]' (s_user, s_start, s_end,
+    * lo, hi); output adds one `band` row per overlapped band. */
+  private[graft] def bandedIntervals(sessions: DataFrame): DataFrame = {
+    val loBand = bandOf(col("lo"))
+    val hiBand0 = bandOf(col("hi"))
     // isNull escape (the e13 lesson): an all-null-tsu group yields a null
     // span — it must produce zero exploded rows through the null
     // sequence, not trip the guard via three-valued logic.
@@ -332,13 +341,23 @@ object Events {
         lit(s"] micros exceeds $MaxBandsPerInterval 1h bands — the events " +
           "table has outlier timestamps; clean or filter ts first")))
         .cast("long"))
-    val bands = sessions.select(col("s_user"), col("s_start"), col("s_end"),
+    sessions.select(col("s_user"), col("s_start"), col("s_end"),
       col("lo"), col("hi"), explode(sequence(loBand, hiBand)).as("band"))
+  }
+
+  /** The banded containment MATCH rows — the join itself, before e14's
+    * per-session aggregation; the streaming twin emits exactly these
+    * (stateless enrichment), so the shape is shared. Probe input needs
+    * (user_id, tsu). */
+  private[graft] def bandedMatches(bands: DataFrame, ev: DataFrame): DataFrame = {
     val probe = ev.select(col("user_id").as("e_user"),
-      floor(col("tsu") / lit(RangeBandUs.toDouble)).cast("long").as("band"),
-      col("tsu"))
+      bandOf(col("tsu")).as("band"), col("tsu"))
     bands.join(probe, Seq("band"))
       .filter(col("tsu") >= col("lo") && col("tsu") <= col("hi"))
+  }
+
+  private[graft] def coactivityRangeJoin(ev: DataFrame): DataFrame =
+    bandedMatches(bandedIntervals(coactivitySessions(ev)), ev)
       .groupBy("s_user", "s_start", "s_end")
       .agg(count(lit(1)).as("n_overlap"),
         countDistinct(col("e_user")).as("n_users"))
@@ -346,7 +365,6 @@ object Events {
         (col("s_end") - col("s_start")).as("dur_us"),
         col("n_overlap"), col("n_users"))
       .orderBy("user_id", "session_start_us")
-  }
 
   /** The 6-hour window id — ONE definition for e11's grid, e13's
     * counts, and e13's span (the drift this file's own e6 comment and
