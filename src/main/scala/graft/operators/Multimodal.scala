@@ -310,18 +310,31 @@ object Multimodal {
   final case class PHash(doc_id: Long, hi: Long, lo: Long)
 
   /** m8 corpus: `documents` plus a deterministic RE-ENCODED TWIN for
-    * every 13th doc (last character replaced — the one-char artifact a
+    * every 13th doc (id + 1e12 — above any plausible corpus id, guarded loudly; last character replaced — the one-char artifact a
     * lossy re-encode/scrape-dedup pass leaves), ONE definition mirrored
     * term-for-term in the oracle CTE (the synthesized-partsupp
     * discipline, q62–q65). Geometry is TEXT-ONLY (unlike m4's
     * doc_id-dependent height) so a twin renders identically to its
     * original except at the edited pixel positions. */
   private def m8Corpus(s: SparkSession, dir: String): DataFrame = {
+    // twin-id headroom guard (review r13): a corpus with doc_id ≥ 1e6
+    // would let a twin id collide with a REAL document — and since the
+    // oracle replays the same arithmetic, parity would stay green over
+    // semantically wrong pairs. Fail loudly instead; the guard rides
+    // the id column itself so pruning cannot drop it.
     val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .select(when(col("doc_id").cast("long") < 1000000000000L,
+          col("doc_id").cast("long"))
+          .otherwise(raise_error(concat(
+            lit("m8 twin-id headroom exhausted: doc_id "),
+            col("doc_id").cast("string"),
+            lit(" >= 1e12 would collide with a re-encode twin id; " +
+              "raise the twin offset")))
+            .cast("long")).as("doc_id"),
+        col("text"))
     val twins = docs
       .filter(col("doc_id") % 13 === 0 && length(col("text")) > 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((col("doc_id") + 1000000000000L).as("doc_id"),
         concat(expr("substr(text, 1, length(text)-1)"), lit("x")).as("text"))
     docs.unionAll(twins)
   }
@@ -764,7 +777,7 @@ object Multimodal {
     // (DuckDB's native xor/bit_count against Spark's banded join — the
     // oracle side is the all-pairs formulation the banding replaces)
     "m8_phash_neardup" ->
-      ("""WITH tw AS (SELECT doc_id + 1000000 AS doc_id,
+      ("""WITH tw AS (SELECT doc_id + 1000000000000 AS doc_id,
          |         substr(text, 1, CAST(length(text)-1 AS INT)) || 'x' AS text
          |       FROM documents WHERE doc_id % 13 = 0 AND length(text) > 0),
          |corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM tw),

@@ -944,7 +944,14 @@ object Similarity {
       (if (byName.contains("codes") && byName.contains("codebook")) Seq("pq") else Nil) ++
       (if (byName.contains("codes_i8") && byName.contains("i8meta")) Seq("int8") else Nil) ++
       (if (byName.contains("codes_bin")) Seq("bin") else Nil)
-    val postFiles = byName("postings").explainMeta("GraftFiles").toLong
+    // explainMeta runs tableSize() — one file-status call per data/DV
+    // file, the expensive part of this verb — so compute it ONCE per
+    // sibling and serve the header's postings file count from the same
+    // map (review r13: the double call doubled the dominant cost)
+    val metas = present.map { case (name, t) => (name, t.explainMeta, t) }
+    val postFiles = metas.collectFirst {
+      case ("postings", m, _) => m("GraftFiles").toLong
+    }.get
     val header = Seq(
       "lists" -> nLists.toString,
       "rungs" -> rungs.mkString(","),
@@ -954,8 +961,7 @@ object Similarity {
       // ×100 fixed-point so the string stays engine-neutral integer
       "postings.files_per_list_x100" ->
         (if (nLists > 0) (postFiles * 100 / nLists).toString else "-"))
-    header ++ present.flatMap { case (name, t) =>
-      val m = t.explainMeta
+    header ++ metas.flatMap { case (name, m, t) =>
       Seq(s"$name.rows" -> m("GraftRows"), s"$name.files" -> m("GraftFiles"),
         s"$name.bytes" -> m("GraftSizeBytes"),
         s"$name.masked_rows" -> t.deletedRowCount().toString)
@@ -1013,7 +1019,15 @@ object Similarity {
       there
     }
     val (fs, path) = graft.storage.GraftTable.fsAndPath(root)
-    fs.delete(path, true)
+    // loud GC: some filesystems signal failure by returning false, not
+    // throwing — a half-dropped root must not report full success
+    require(fs.delete(path, true) || !fs.exists(path),
+      s"could not remove index root $root (siblings already dropped)")
+    // the recursive delete may have taken NON-sibling tables with it —
+    // crashed rebuild/repair staging (postings_rebuild, codes_repair…)
+    // that GraftTable.drop never saw; a later table recreated at the
+    // same path must not hydrate their cached manifest segments
+    graft.storage.GraftTable.invalidateSegmentCacheUnder(root)
     dropped
   }
 

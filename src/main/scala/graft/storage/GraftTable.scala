@@ -461,9 +461,11 @@ final class GraftTable private (
     meta.fileStats.get(rel).flatMap(_.values.headOption).map(_.rows)
       .getOrElse(footerInfo(s"$location/$rel")._1)
 
-  /** Rows masked by merge-on-read deletion vectors — the gap between
-    * [[rowCountFromMetadata]] (gross) and the live row count. Metadata
-    * only, no scan. */
+  /** Rows masked by merge-on-read deletion vectors — still PHYSICALLY
+    * present in committed files (a rewrite reclaims them) but already
+    * excluded from [[rowCountFromMetadata]], which is LIVE (MOR deletes
+    * decrement it): physical rows = rowCountFromMetadata() + this.
+    * Metadata only, no scan. */
   def deletedRowCount(): Long = meta.dvs.values.map(_.card).sum
 
   /** The table's declared `sort_by` clustering keys (empty =

@@ -227,7 +227,7 @@ class MultimodalSpec extends SparkSpec {
     // every planted twin whose edit stayed within T must surface as the
     // (id, id+1e6) pair — and at sf0.001 every one of the 38 does
     assert(rows.nonEmpty)
-    val twinPairs = rows.filter(r => r.getLong(1) - r.getLong(0) == 1000000L)
+    val twinPairs = rows.filter(r => r.getLong(1) - r.getLong(0) == 1000000000000L)
     assert(twinPairs.length >= 30,
       s"expected the planted twins recovered, got ${twinPairs.length}")
     assert(rows.forall(_.getLong(2) <= 3L))

@@ -19,7 +19,7 @@ class RangeJoinStreamSpec extends SparkSpec {
     events.write.mode("overwrite").parquet(flat)
 
     val q = RangeJoinStream.run(spark, dir, flat, "rj_out", tmpDir("rj-ckpt"))
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(180000), "stream did not drain in 180s")
     val streamed = spark.table("rj_out").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).sorted.toSeq
