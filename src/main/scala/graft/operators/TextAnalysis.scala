@@ -361,6 +361,28 @@ object TextAnalysis {
       regexp_count(text, lit(Ipv4Re)) +
       regexp_count(text, lit(PhoneRe))).cast("long")
 
+  /** CALL core (`CALL g.system.pii_scrub('db.t', 'db.clean')`): PII
+    * detection + redaction over an arbitrary committed (doc_id, text)
+    * table — t10's expressions applied to the user's text AS-IS and the
+    * SCRUBBED TEXT itself committed (the t10 entry plants deterministic
+    * PII so its oracle has something to find, and emits only an md5 —
+    * the CALL is the production verb, so it writes the redacted
+    * column). One map-side pass, zero shuffle, pure codegen regex. */
+  def piiScrubCore(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ip"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phone"),
+      scrubExpr(col("text")).as("scrubbed"))
+
+  /** CALL core (`CALL g.system.lang_id('db.t', 'db.langs')`):
+    * per-document language prediction — t3's n-gram heuristic emitting
+    * one labeled row per doc (the t3 entry aggregates corpus-level
+    * counts; a routing pipeline consumes the per-doc labels). Map-side
+    * only. */
+  def langIdCore(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), langPred(col("text")).as("lang_pred"))
+
   def t10PiiScrub(s: SparkSession, dir: String): DataFrame = {
     val planted = concat(col("text"),
       lit(" contact user"), col("doc_id"), lit("@example.com or call "),

@@ -58,6 +58,8 @@ import graft.storage.GraftTable
   *   CALL graft.system.contamination_report('db.t', 'db.eval', 'db.rep') -- c15
   *   CALL graft.system.source_mix('db.t', 'db.mix')     -- c3 as SQL
   *   CALL graft.system.split_assign('db.t', 'db.splits') -- c7 as SQL
+  *   CALL graft.system.pii_scrub('db.t', 'db.clean')    -- t10 as SQL
+  *   CALL graft.system.lang_id('db.t', 'db.langs')      -- t3, per-doc
   * }}}
   *
   * Each returns a one-row result describing what it did; the pipeline
@@ -80,7 +82,7 @@ private[sources] object GraftProcedures {
       "source_mix", "split_assign", "quality_votes", "dataset_card",
       "ann_probe_int8", "ann_probe_pq", "ann_probe_bin", "ann_verify",
       "ann_delete", "ann_build", "ann_quantize", "ann_append",
-      "ann_stats", "ann_compact", "ann_drop")
+      "ann_stats", "ann_compact", "ann_drop", "pii_scrub", "lang_id")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -115,7 +117,8 @@ private[sources] object GraftProcedures {
               ProcedureParameter.in("target", StringType).build())
           else if (procName == "dedup_exact" || procName == "dedup_spans" ||
               procName == "source_mix" || procName == "split_assign" ||
-              procName == "quality_votes" || procName == "dataset_card")
+              procName == "quality_votes" || procName == "dataset_card" ||
+              procName == "pii_scrub" || procName == "lang_id")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
           else if (procName == "decontaminate" ||
@@ -516,7 +519,8 @@ private[sources] object GraftProcedures {
               procName == "source_mix" || procName == "split_assign" ||
               procName == "quality_votes" || procName == "ann_probe_int8" ||
               procName == "ann_probe_pq" || procName == "ann_probe_bin" ||
-              procName == "dataset_card") {
+              procName == "dataset_card" || procName == "pii_scrub" ||
+              procName == "lang_id") {
             val spark = SparkSession.active
             val (metric, n) = procName match {
               case "dedup_exact" =>
@@ -541,6 +545,17 @@ private[sources] object GraftProcedures {
                 ("sources_written",
                   writeResult(
                     graft.operators.Sampling.datasetCardCore(t.read()), 1))
+              case "pii_scrub" =>
+                // t10's detection/redaction over the user's text as-is,
+                // the scrubbed column committed (the production verb)
+                ("docs_scrubbed",
+                  writeResult(
+                    graft.operators.TextAnalysis.piiScrubCore(t.read()), 1))
+              case "lang_id" =>
+                // per-doc language labels (t3's heuristic, row-per-doc)
+                ("docs_labeled",
+                  writeResult(
+                    graft.operators.TextAnalysis.langIdCore(t.read()), 1))
               case "contamination_report" =>
                 val evalName = checkName(input.getUTF8String(1).toString)
                 val evalDir = tableDir(evalName)

@@ -581,6 +581,26 @@ class GraftCatalogSpec extends SparkSpec {
       val wantSp = graft.operators.Sampling.c7Split(spark, dir)
         .collect().map(_.toSeq).toSeq
       assert(gotSp === wantSp, "CALL split_assign must reproduce c7 exactly")
+      // -- pii_scrub ≡ piiScrubCore over the same committed table -------
+      spark.sql(
+        "CALL gcat.system.pii_scrub('db1.call_docs', 'db1.call_clean')")
+      val gotPii = spark.table("gcat.db1.call_clean")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val wantPii = graft.operators.TextAnalysis.piiScrubCore(
+          GraftTable.open(spark, s"$warehouse/db1/call_docs").read())
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(gotPii.nonEmpty && gotPii === wantPii,
+        "CALL pii_scrub must commit the core's counts + scrubbed text")
+      // -- lang_id: per-doc labels; grouping them reproduces t3 ----------
+      spark.sql(
+        "CALL gcat.system.lang_id('db1.call_docs', 'db1.call_langs')")
+      val gotLang = spark.table("gcat.db1.call_langs")
+        .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang_pred").collect().map(_.toSeq).toSeq
+      val wantLang = graft.operators.TextAnalysis.t3LangId(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(gotLang.nonEmpty && gotLang === wantLang,
+        "grouping CALL lang_id's per-doc labels must reproduce t3")
       // -- retryable CALL: crash residue between create-commit and
       // append is a committed EMPTY v0 target CARRYING the path's
       // _call_pending marker; the retry reclaims exactly that --
