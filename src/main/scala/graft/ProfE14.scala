@@ -23,6 +23,8 @@ object ProfE14 {
       t("e14 warm")(operators.Events.e14RangeJoin(spark, dir).count())
       t("m8_phash_neardup")(operators.Multimodal.m8PhashNeardup(spark, dir).count())
       t("m8 warm")(operators.Multimodal.m8PhashNeardup(spark, dir).count())
+      t("m9_audio_neardup")(operators.Multimodal.m9AudioNeardup(spark, dir).count())
+      t("m9 warm")(operators.Multimodal.m9AudioNeardup(spark, dir).count())
     }
     spark.stop()
   }

@@ -80,6 +80,7 @@ object ProfScale100 {
       // round 13: pHash near-dup — decode pass ∝ corpus, banded join
       // ∝ collision mass
       t("m8_phash_neardup")(operators.Multimodal.m8PhashNeardup(spark, dir).count())
+      t("m9_audio_neardup")(operators.Multimodal.m9AudioNeardup(spark, dir).count())
     }
     spark.stop()
   }

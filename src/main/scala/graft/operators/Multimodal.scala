@@ -400,8 +400,15 @@ object Multimodal {
     * hash cost ∝ corpus (one decode pass), join cost ∝ band-bucket
     * collision mass, never corpus²; a hot band (common texture) is
     * ordinary join skew AQE splits. */
-  def m8PhashNeardup(s: SparkSession, dir: String): DataFrame = {
-    val hashes = m8Hashes(s, dir)
+  def m8PhashNeardup(s: SparkSession, dir: String): DataFrame =
+    bandedHammingPairs(m8Hashes(s, dir))
+
+  /** The banded Hamming pair join — ONE definition shared by m8 (image
+    * dHash) and m9 (audio sign fingerprint): 4×16-bit bands from the
+    * two packed 32-bit words, map-side explode, keyed EQUALITY
+    * self-join, XOR+popcount verify at T=3 (pigeonhole-exact recall —
+    * BandingPropertySpec). Input: (doc_id, hi, lo). */
+  private[operators] def bandedHammingPairs(hashes: DataFrame): DataFrame = {
     val banded = hashes.select(col("doc_id"), col("hi"), col("lo"),
       posexplode(array(
         shiftrightunsigned(col("hi"), 16), col("hi").bitwiseAND(lit(0xffffL)),
@@ -521,6 +528,118 @@ object Multimodal {
       val rms = math.sqrt(sumSq.toDouble / n)
       WavFeat(id, n.toLong, rate, math.floor(rms * 1e6).toLong, zc)
     }.toDF().orderBy("doc_id")
+  }
+
+  /** Encode stage of [[m9AudioNeardup]]: WAV payloads whose waveform is
+    * keyed on `gid = doc_id % 97` — docs sharing a gid carry the SAME
+    * recording — and every 5th doc is a "re-mastered" variant (samples
+    * at i % 101 == 0 sign-flipped: the localized artifact a re-encode
+    * leaves). One definition mirrored in the m9 oracle CTE. */
+  private[operators] def m9WavEncoded(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val gid = id % 97
+          val n = (400 + gid % 200).toInt
+          val pert = id % 5 == 0
+          val rate = 8000
+          val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1) // PCM, mono
+            .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+            .put("data".getBytes("US-ASCII")).putInt(n * 2)
+          var i = 0
+          while (i < n) {
+            // ×40503 (odd → bijective mod 2^16) scrambles the linear
+            // ramp across the full sample range — without it every
+            // sample of a ≤600-sample clip sits below zero and the sign
+            // fingerprint degenerates to all-zeros corpus-wide
+            // % 65533 and the symmetric -32766 offset keep every value
+            // in [-32766, 32766]: the re-master NEGATES samples, and
+            // -(-32768) would wrap in a JVM short while the SQL oracle
+            // keeps 32768 — the one value the two engines disagree on
+            val base = (((gid * 31 + i * 7) * 40503L) % 65533L) - 32766L
+            val v = if (pert && i % 101 == 0) -base else base
+            bb.putShort(v.toShort)
+            i += 1
+          }
+          (id, bb.array())
+        }
+      }
+  }
+
+  /** The m9 hash stage: REAL WAV container parse (m6's strict checks) →
+    * 64-bit SIGN FINGERPRINT over the DECODED samples — bit j = sample
+    * at position ⌊j·n/64⌋ is positive — packed as two 32-bit words (the
+    * m8 discipline). PCM is lossless, so the oracle recomputes the
+    * identical bits from the synthesis formula: a hash match proves the
+    * container encode→parse→fingerprint chain. */
+  private[operators] def m9Hashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    m9WavEncoded(s, dir).map { case (id, bytes) =>
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+      require(tag(0) == "RIFF" && tag(8) == "WAVE" && tag(12) == "fmt " &&
+        tag(36) == "data", s"not a canonical WAV container for doc $id")
+      require(bb.getShort(20) == 1 && bb.getShort(34) == 16,
+        s"expected 16-bit PCM for doc $id")
+      val n = bb.getInt(40) / 2
+      var hi = 0L
+      var lo = 0L
+      var j = 0
+      while (j < 64) {
+        val pos = (j.toLong * n / 64).toInt
+        if (bb.getShort(44 + pos * 2) > 0) {
+          if (j < 32) hi |= 1L << j else lo |= 1L << (j - 32)
+        }
+        j += 1
+      }
+      PHash(id, hi, lo)
+    }.toDF()
+  }
+
+  /** m9: AUDIO near-duplicate CLUSTERS — the sound modality's dedup,
+    * and deliberately NOT m8's pair report: a popular recording has
+    * thousands of byte-identical-fingerprint copies, and emitting every
+    * pair of an n-member duplicate cluster is Θ(n²) — profiling the m8
+    * shape on the 100× copy (each recording's copy count grows with the
+    * corpus) produced 1.3·10⁹ pairs and died. The scale-correct shape
+    * collapses FIRST: group docs by exact fingerprint (one keyed
+    * shuffle, output ∝ distinct recordings — ~2 fingerprints per
+    * recording here at ANY corpus size), run the shared
+    * [[bandedHammingPairs]] join over the group REPRESENTATIVES only,
+    * union-find the tiny representative graph (d7's driver-side
+    * union-find — the rep graph stays hundreds of vertices while the
+    * corpus grows), and label each doc with its component's minimum
+    * doc_id. Output ∝ docs-in-clusters, never pairs²; exact copies and
+    * ≤3-bit re-masters land in one cluster, `keep` marks the winner —
+    * d7's exact output contract on the audio modality. */
+  def m9AudioNeardup(s: SparkSession, dir: String): DataFrame = {
+    val h = m9Hashes(s, dir)
+    val groups = h.groupBy("hi", "lo")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n_members"))
+    val repPairs = bandedHammingPairs(
+      groups.select(col("rep").as("doc_id"), col("hi"), col("lo")))
+      .select("doc_a", "doc_b")
+    val repLabels = Dedup.d7UnionFind(s, repPairs)
+      .select(col("doc_id").as("rep"), col("cluster_id").as("lab"))
+    h.join(groups, Seq("hi", "lo"))
+      .join(repLabels, Seq("rep"), "left")
+      // in-cluster docs only: a shared fingerprint (n_members > 1) or a
+      // representative with a ≤3-bit neighbor — d7's "dup clusters"
+      .filter(col("n_members") > 1 || col("lab").isNotNull)
+      .select(col("doc_id"),
+        coalesce(col("lab"), col("rep")).as("cluster_id"),
+        when(col("doc_id") === coalesce(col("lab"), col("rep")), 1)
+          .otherwise(0).as("keep"))
+      .orderBy("doc_id")
   }
 
   // -- m7: REAL video container path (RIFF/AVI, MJPEG frames) ----------
@@ -688,6 +807,7 @@ object Multimodal {
     "m4_png_decode" -> m4PngDecode _,
     "m5_png_meta" -> m5PngMeta _,
     "m8_phash_neardup" -> m8PhashNeardup _,
+    "m9_audio_neardup" -> m9AudioNeardup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -803,6 +923,45 @@ object Multimodal {
          |FROM h a JOIN h b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
          |ORDER BY 1, 2""".stripMargin),
+    // m9: PCM is lossless — the oracle recomputes the sign fingerprint
+    // straight from the synthesis formula (m6's proof shape), then runs
+    // the ALL-PAIRS Hamming join over the distinct-fingerprint
+    // representatives and the recursive-CTE connected components the
+    // banded join + union-find replace (d7's oracle shape); every
+    // component root is its minimum member because each rep is already
+    // its group's min doc_id
+    "m9_audio_neardup" ->
+      ("""WITH RECURSIVE d AS (SELECT doc_id, doc_id % 97 gid,
+         |                  400 + (doc_id % 97) % 200 n,
+         |                  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END pert
+         |           FROM documents),
+         |jj AS (SELECT doc_id, gid, n, pert, unnest(range(0, 64)) j FROM d),
+         |v AS (SELECT doc_id, j,
+         |        CASE WHEN pert = 1 AND ((j*n)//64) % 101 = 0
+         |             THEN -((((gid*31 + ((j*n)//64)*7) * 40503) % 65533) - 32766)
+         |             ELSE (((gid*31 + ((j*n)//64)*7) * 40503) % 65533) - 32766 END val
+         |      FROM jj),
+         |h AS (SELECT doc_id,
+         |        CAST(sum(CASE WHEN j < 32 AND val > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) hi,
+         |        CAST(sum(CASE WHEN j >= 32 AND val > 0 THEN (1::BIGINT << (j-32)) ELSE 0 END) AS BIGINT) lo
+         |      FROM v GROUP BY doc_id),
+         |g AS (SELECT hi, lo, min(doc_id) rep, count(*) n_members
+         |      FROM h GROUP BY hi, lo),
+         |pr AS (SELECT a.rep ra, b.rep rb FROM g a JOIN g b ON a.rep < b.rep
+         |       WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+         |edges AS (SELECT ra a, rb b FROM pr UNION ALL SELECT rb, ra FROM pr),
+         |reach(vv, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.vv),
+         |replab AS (SELECT vv rep, min(r) lab FROM reach GROUP BY vv),
+         |docs2 AS (SELECT h.doc_id, g.rep, g.n_members, replab.lab
+         |          FROM h JOIN g ON h.hi = g.hi AND h.lo = g.lo
+         |          LEFT JOIN replab ON g.rep = replab.rep)
+         |SELECT doc_id, coalesce(lab, rep) cluster_id,
+         |  CASE WHEN doc_id = coalesce(lab, rep) THEN 1 ELSE 0 END keep
+         |FROM docs2 WHERE n_members > 1 OR lab IS NOT NULL
+         |ORDER BY doc_id""".stripMargin),
     // m3 (lossy-codec contract): every nearest-neighbor-sampled DECODED
     // pixel must sit within ±32 of its source — flag pinned at 1
     "m3_resize" ->

@@ -238,4 +238,62 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("m9 payloads are real WAVs; banded audio pairs ≡ naive; exact copies and re-masters both surface") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    // the payloads decode through the JDK's own audio stack
+    Multimodal.m9WavEncoded(spark, dir).take(3).foreach { case (id, bytes) =>
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(in.getFormat.getSampleSizeInBits === 16)
+      assert(in.getFrameLength === 400 + (id % 97) % 200)
+      in.close()
+    }
+    val rows = Multimodal.m9AudioNeardup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+
+    // independent reference: per-doc fingerprints → NAIVE all-pairs
+    // Hamming edges → Scala BFS components → min-doc labels. The
+    // collapse-first banded pipeline must reproduce it exactly.
+    val fps = Multimodal.m9Hashes(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val ids = fps.keys.toSeq.sorted
+    val adj = scala.collection.mutable.Map[Long, List[Long]]().withDefaultValue(Nil)
+    var anyEdge = Set.empty[Long]
+    for (i <- ids.indices; j <- (i + 1) until ids.size) {
+      val (x, y) = (ids(i), ids(j))
+      if (ham(fps(x), fps(y)) <= 3) {
+        adj(x) ::= y; adj(y) ::= x
+        anyEdge += x; anyEdge += y
+      }
+    }
+    val label = scala.collection.mutable.Map[Long, Long]()
+    ids.foreach { v =>
+      if (!label.contains(v) && anyEdge(v)) {
+        var frontier = List(v); var comp = List.empty[Long]
+        val seen = scala.collection.mutable.Set(v)
+        while (frontier.nonEmpty) {
+          val h0 = frontier.head; frontier = frontier.tail
+          comp ::= h0
+          adj(h0).foreach(w => if (!seen(w)) { seen += w; frontier ::= w })
+        }
+        val m = comp.min
+        comp.foreach(c => label(c) = m)
+      }
+    }
+    val expected = ids.filter(label.contains)
+      .map(v => (v, label(v), if (v == label(v)) 1 else 0))
+    assert(rows.toSeq === expected,
+      s"collapse-first pipeline must equal the naive BFS clustering")
+    // the corpus must actually exercise both duplicate classes: exact
+    // copies (shared fingerprint) and ≤3-bit re-mastered variants
+    val byFp = fps.groupBy(_._2)
+    assert(byFp.exists(_._2.size > 1), "expected exact-fingerprint copies")
+    assert(anyEdge.exists(v => byFp(fps(v)).size == 1),
+      "expected a near-dup edge between DISTINCT fingerprints")
+  }
 }
