@@ -36,10 +36,14 @@ object ProfCompact {
       Similarity.buildIvfIndexFrom(spark, vecs, root, nLists = 16)
     }
     timeIt("quantize_int8") { Similarity.quantizeIndex(spark, root, "int8") }
-    // fragment: K appends of 500 fresh twins of the first vectors
+    // fragment: K appends of 500 fresh twins of the first vectors —
+    // strided by (maxId+1)·k so two sampled ids can never collide
+    // across appends (limit(500) samples arbitrary ids after the
+    // shuffle; a fixed +1000k stride collided at the 100× id range and
+    // silently double-inserted through the uncheck append — review r13)
     for (k <- 1 to appends) {
       val fresh = vecs.limit(500)
-        .select((col("vec_id") + lit(maxId + 1 + k * 1000L)).as("vec_id"),
+        .select((col("vec_id") + lit((maxId + 1) * k)).as("vec_id"),
           col("embedding"))
       timeIt(s"append_$k") { Similarity.appendToIvfIndex(spark, root, fresh) }
     }

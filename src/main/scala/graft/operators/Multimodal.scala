@@ -622,7 +622,11 @@ object Multimodal {
     * ≤3-bit re-masters land in one cluster, `keep` marks the winner —
     * d7's exact output contract on the audio modality. */
   def m9AudioNeardup(s: SparkSession, dir: String): DataFrame = {
-    val h = m9Hashes(s, dir)
+    // ONE synthesis+parse+fingerprint pass: the union-find's own action,
+    // the banded self-join's two sides, and the final membership join
+    // would otherwise each re-run the dominant per-doc WAV stage
+    // (review r13) — localCheckpoint is the buildIvfIndexFrom discipline
+    val h = m9Hashes(s, dir).localCheckpoint(true)
     val groups = h.groupBy("hi", "lo")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("n_members"))
     val repPairs = bandedHammingPairs(

@@ -54,23 +54,28 @@ class BandingPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("past-threshold pairs are rejected by the Hamming verify even when a band collides (2000 random cases)") {
-    var bandCollisions = 0
-    for (_ <- 1 to 2000) {
+  test("banded pipeline ≡ brute-force T=3 classifier across the whole flip range (4000 random cases)") {
+    // the END-TO-END property: candidate generation (≥1 shared band)
+    // composed with the Hamming verify must accept EXACTLY the pairs a
+    // brute-force ≤3 filter accepts — recall (≤3 ⇒ candidate, the
+    // pigeonhole) and precision (past-threshold candidates rejected by
+    // the verify) in one equivalence, for every flip count 0..64
+    var pastThresholdCandidates = 0
+    for (_ <- 1 to 4000) {
       val h = next(genHash)
-      val k = next(Gen.chooseNum(4, 64))
+      val k = next(Gen.chooseNum(0, 64))
       val flipped = next(genFlips(k)).foldLeft(h)(flip)
-      assert(hamming(h, flipped) === k)
-      // a band MAY still collide (that's why the residual check exists) —
-      // but the verify filter must classify the pair as past-threshold
       val shared = bands(h._1, h._2).zip(bands(flipped._1, flipped._2))
         .count { case (a, b) => a == b }
-      if (shared > 0) bandCollisions += 1
-      assert(hamming(h, flipped) > 3, "the verify filter must reject it")
+      val pipelineAccept = shared >= 1 && hamming(h, flipped) <= 3
+      val bruteAccept = hamming(h, flipped) <= 3
+      assert(pipelineAccept === bruteAccept,
+        s"pipeline/brute divergence at k=$k: shared=$shared")
+      if (shared >= 1 && k > 3) pastThresholdCandidates += 1
     }
-    // the second half of the argument only bites if candidate collisions
-    // actually occur past the threshold — make sure the test saw some
-    assert(bandCollisions > 0,
+    // the precision half only bites if past-threshold band collisions
+    // actually reached the verify — make sure the test saw some
+    assert(pastThresholdCandidates > 0,
       "degenerate test: no past-threshold pair ever collided in a band")
   }
 }
