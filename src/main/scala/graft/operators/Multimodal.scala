@@ -275,7 +275,7 @@ object Multimodal {
     * the oracle's character positions on any multi-byte codepoint). An
     * empty document renders as a single zero pixel source instead of
     * dividing by zero. */
-  private[operators] def pngEncoded(s: SparkSession, dir: String)
+  private[graft] def pngEncoded(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import s.implicits._
     Tables.load(s, dir, "documents").select(
@@ -428,6 +428,59 @@ object Multimodal {
       .filter(col("hamming") <= 3)
       .distinct() // a pair matching in k bands must count once
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** CALL core (`CALL g.system.phash_dedup('db.imgs', 'db.pairs')`):
+    * m8's production verb over a user's REAL image bytes — first two
+    * columns taken as (id → long, image payload: any ImageIO-decodable
+    * format; dHash tolerates lossy codecs, which is its point). Decode →
+    * dHash over the decoded raster (the 9×8 grid generalizes to any
+    * geometry: sample x = tx·w/9 < w for every w ≥ 1) → the shared
+    * [[bandedHammingPairs]] join. Undecodable payloads refuse LOUDLY
+    * with the offending id — a silently skipped image reads as "no
+    * duplicates" downstream. (The m8 entry renders synthetic media so
+    * its DuckDB oracle can recompute the bits; this core is where real
+    * corpora come in.) */
+  def phashDedupCore(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val hashes = df.select(
+        col(df.columns(0)).cast("long").as("doc_id"),
+        col(df.columns(1)).cast("binary").as("img"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(DecodeBatch).flatMap(_.map { case (id, bytes) =>
+          require(bytes != null, s"null image payload for doc $id")
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null,
+            s"image payload for doc $id does not decode (not an " +
+              "ImageIO-readable format)")
+          val raster = img.getRaster
+          val w = img.getWidth
+          val h = img.getHeight
+          var hi = 0L
+          var lo = 0L
+          var ty = 0
+          while (ty < 8) {
+            val y = ty * h / 8
+            var tx = 0
+            while (tx < 8) {
+              val gL = raster.getSample(tx * w / 9, y, 0)
+              val gR = raster.getSample((tx + 1) * w / 9, y, 0)
+              if (gL < gR) {
+                val b = ty * 8 + tx
+                if (b < 32) hi |= 1L << b else lo |= 1L << (b - 32)
+              }
+              tx += 1
+            }
+            ty += 1
+          }
+          PHash(id, hi, lo)
+        })
+      }.toDF()
+    bandedHammingPairs(hashes)
   }
 
   /** m5: typed metadata extraction from an opaque binary column with

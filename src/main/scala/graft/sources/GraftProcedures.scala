@@ -60,6 +60,7 @@ import graft.storage.GraftTable
   *   CALL graft.system.split_assign('db.t', 'db.splits') -- c7 as SQL
   *   CALL graft.system.pii_scrub('db.t', 'db.clean')    -- t10 as SQL
   *   CALL graft.system.lang_id('db.t', 'db.langs')      -- t3, per-doc
+  *   CALL graft.system.phash_dedup('db.imgs', 'db.pairs') -- m8 on real bytes
   * }}}
   *
   * Each returns a one-row result describing what it did; the pipeline
@@ -82,7 +83,8 @@ private[sources] object GraftProcedures {
       "source_mix", "split_assign", "quality_votes", "dataset_card",
       "ann_probe_int8", "ann_probe_pq", "ann_probe_bin", "ann_verify",
       "ann_delete", "ann_build", "ann_quantize", "ann_append",
-      "ann_stats", "ann_compact", "ann_drop", "pii_scrub", "lang_id")
+      "ann_stats", "ann_compact", "ann_drop", "pii_scrub", "lang_id",
+      "phash_dedup")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -118,7 +120,8 @@ private[sources] object GraftProcedures {
           else if (procName == "dedup_exact" || procName == "dedup_spans" ||
               procName == "source_mix" || procName == "split_assign" ||
               procName == "quality_votes" || procName == "dataset_card" ||
-              procName == "pii_scrub" || procName == "lang_id")
+              procName == "pii_scrub" || procName == "lang_id" ||
+              procName == "phash_dedup")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
           else if (procName == "decontaminate" ||
@@ -520,7 +523,7 @@ private[sources] object GraftProcedures {
               procName == "quality_votes" || procName == "ann_probe_int8" ||
               procName == "ann_probe_pq" || procName == "ann_probe_bin" ||
               procName == "dataset_card" || procName == "pii_scrub" ||
-              procName == "lang_id") {
+              procName == "lang_id" || procName == "phash_dedup") {
             val spark = SparkSession.active
             val (metric, n) = procName match {
               case "dedup_exact" =>
@@ -556,6 +559,12 @@ private[sources] object GraftProcedures {
                 ("docs_labeled",
                   writeResult(
                     graft.operators.TextAnalysis.langIdCore(t.read()), 1))
+              case "phash_dedup" =>
+                // m8's production verb: dHash over the user's REAL image
+                // bytes, banded Hamming pairs committed to the target
+                ("pairs_written",
+                  writeResult(
+                    graft.operators.Multimodal.phashDedupCore(t.read()), 1))
               case "contamination_report" =>
                 val evalName = checkName(input.getUTF8String(1).toString)
                 val evalDir = tableDir(evalName)

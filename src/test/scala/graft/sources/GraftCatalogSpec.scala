@@ -601,6 +601,25 @@ class GraftCatalogSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
       assert(gotLang.nonEmpty && gotLang === wantLang,
         "grouping CALL lang_id's per-doc labels must reproduce t3")
+      // -- phash_dedup over REAL image bytes: CALL ≡ core; a planted
+      // byte-identical twin surfaces at hamming 0 --------------------
+      val imgs = graft.operators.Multimodal.pngEncoded(spark, dir)
+        .toDF("doc_id", "img")
+      val twin = imgs.filter(col("doc_id") === 3L)
+        .select((col("doc_id") + 7000000L).as("doc_id"), col("img"))
+      val media = imgs.unionAll(twin)
+      GraftTable.create(spark, s"$warehouse/db1/call_imgs", media.schema)
+        .append(media)
+      spark.sql(
+        "CALL gcat.system.phash_dedup('db1.call_imgs', 'db1.call_pairs')")
+      val gotPh = spark.table("gcat.db1.call_pairs")
+        .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+      val wantPh = graft.operators.Multimodal.phashDedupCore(
+          GraftTable.open(spark, s"$warehouse/db1/call_imgs").read())
+        .collect().map(_.toSeq).toSeq
+      assert(gotPh === wantPh, "CALL phash_dedup must reproduce the core")
+      assert(gotPh.exists(r => r(0) == 3L && r(1) == 7000003L && r(2) == 0L),
+        s"the byte-identical twin must pair at hamming 0: $gotPh")
       // -- retryable CALL: crash residue between create-commit and
       // append is a committed EMPTY v0 target CARRYING the path's
       // _call_pending marker; the retry reclaims exactly that --
