@@ -363,27 +363,38 @@ object Multimodal {
           grayImage(w, h, k => codes(k % codes.length)), "png", out)
         val dec = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(out.toByteArray))
-        val raster = dec.getRaster
-        var hi = 0L
-        var lo = 0L
-        var ty = 0
-        while (ty < 8) {
-          val y = ty * h / 8
-          var tx = 0
-          while (tx < 8) {
-            val gL = raster.getSample(tx * w / 9, y, 0)
-            val gR = raster.getSample((tx + 1) * w / 9, y, 0)
-            if (gL < gR) {
-              val b = ty * 8 + tx
-              if (b < 32) hi |= 1L << b else lo |= 1L << (b - 32)
-            }
-            tx += 1
-          }
-          ty += 1
-        }
+        val (hi, lo) = dHashWords(dec.getRaster, w, h)
         PHash(id, hi, lo)
       })
     }.toDF()
+  }
+
+  /** The 9×8 dHash grid → two packed 32-bit words — ONE definition for
+    * m8's oracle-checked hash stage and the production
+    * [[phashDedupCore]] (a tweak applied to one copy would silently
+    * de-synchronize the entry from the CALL verb — review r13). The
+    * nearest-neighbor positions generalize to any geometry (tx·w/9 < w
+    * for every w ≥ 1). Expects a single-band (grayscale) raster. */
+  private def dHashWords(raster: java.awt.image.Raster, w: Int, h: Int)
+      : (Long, Long) = {
+    var hi = 0L
+    var lo = 0L
+    var ty = 0
+    while (ty < 8) {
+      val y = ty * h / 8
+      var tx = 0
+      while (tx < 8) {
+        val gL = raster.getSample(tx * w / 9, y, 0)
+        val gR = raster.getSample((tx + 1) * w / 9, y, 0)
+        if (gL < gR) {
+          val b = ty * 8 + tx
+          if (b < 32) hi |= 1L << b else lo |= 1L << (b - 32)
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    (hi, lo)
   }
 
   /** m8: IMAGE near-duplicate detection by perceptual hash — the
@@ -430,14 +441,22 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** CALL core (`CALL g.system.phash_dedup('db.imgs', 'db.pairs')`):
-    * m8's production verb over a user's REAL image bytes — first two
-    * columns taken as (id → long, image payload: any ImageIO-decodable
-    * format; dHash tolerates lossy codecs, which is its point). Decode →
-    * dHash over the decoded raster (the 9×8 grid generalizes to any
-    * geometry: sample x = tx·w/9 < w for every w ≥ 1) → the shared
-    * [[bandedHammingPairs]] join. Undecodable payloads refuse LOUDLY
-    * with the offending id — a silently skipped image reads as "no
+  /** CALL core (`CALL g.system.phash_dedup('db.imgs', 'db.clusters')`):
+    * the production image-dedup verb over a user's REAL image bytes —
+    * first two columns taken as (id → long, image payload: any
+    * ImageIO-decodable format; dHash tolerates lossy codecs, which is
+    * its point). Decode → GRAYSCALE conversion (sampling a raw raster
+    * band would hash the red channel of an RGB JPEG and the arbitrary
+    * palette INDEX of an indexed GIF/PNG — the same picture in two
+    * formats would never pair; review r13) → the shared [[dHashWords]]
+    * grid → the shared [[collapseFingerprints]] clustering, because a
+    * real corpus has popular images duplicated thousands of times and
+    * pair emission is Θ(cluster²) — the exact blowup SCALE_r16 records.
+    * Output: (doc_id, cluster_id, keep) for every doc in a duplicate
+    * cluster, d7's contract. Undecodable payloads refuse LOUDLY with
+    * the offending id — for ImageIO's null return (unrecognized format)
+    * AND its thrown IIOExceptions (truncated/CMYK variants a reader
+    * claims but cannot decode); a silently skipped image reads as "no
     * duplicates" downstream. (The m8 entry renders synthetic media so
     * its DuckDB oracle can recompute the bits; this core is where real
     * corpora come in.) */
@@ -452,35 +471,30 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         it.grouped(DecodeBatch).flatMap(_.map { case (id, bytes) =>
           require(bytes != null, s"null image payload for doc $id")
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case e: Exception =>
+              throw new IllegalArgumentException(
+                s"image payload for doc $id failed to decode: ${e.getMessage}", e)
+            }
           require(img != null,
             s"image payload for doc $id does not decode (not an " +
               "ImageIO-readable format)")
-          val raster = img.getRaster
-          val w = img.getWidth
-          val h = img.getHeight
-          var hi = 0L
-          var lo = 0L
-          var ty = 0
-          while (ty < 8) {
-            val y = ty * h / 8
-            var tx = 0
-            while (tx < 8) {
-              val gL = raster.getSample(tx * w / 9, y, 0)
-              val gR = raster.getSample((tx + 1) * w / 9, y, 0)
-              if (gL < gR) {
-                val b = ty * 8 + tx
-                if (b < 32) hi |= 1L << b else lo |= 1L << (b - 32)
-              }
-              tx += 1
+          val gray =
+            if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+            else {
+              val g = new java.awt.image.BufferedImage(img.getWidth,
+                img.getHeight, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val gr = g.createGraphics()
+              gr.drawImage(img, 0, 0, null)
+              gr.dispose()
+              g
             }
-            ty += 1
-          }
+          val (hi, lo) = dHashWords(gray.getRaster, gray.getWidth, gray.getHeight)
           PHash(id, hi, lo)
         })
       }.toDF()
-    bandedHammingPairs(hashes)
+    collapseFingerprints(s, hashes.localCheckpoint(true))
   }
 
   /** m5: typed metadata extraction from an opaque binary column with
@@ -674,12 +688,22 @@ object Multimodal {
     * doc_id. Output ∝ docs-in-clusters, never pairs²; exact copies and
     * ≤3-bit re-masters land in one cluster, `keep` marks the winner —
     * d7's exact output contract on the audio modality. */
-  def m9AudioNeardup(s: SparkSession, dir: String): DataFrame = {
+  def m9AudioNeardup(s: SparkSession, dir: String): DataFrame =
     // ONE synthesis+parse+fingerprint pass: the union-find's own action,
     // the banded self-join's two sides, and the final membership join
     // would otherwise each re-run the dominant per-doc WAV stage
     // (review r13) — localCheckpoint is the buildIvfIndexFrom discipline
-    val h = m9Hashes(s, dir).localCheckpoint(true)
+    collapseFingerprints(s, m9Hashes(s, dir).localCheckpoint(true))
+
+  /** Collapse-first fingerprint clustering — ONE definition for m9 and
+    * the production [[phashDedupCore]] verb: exact-fingerprint groupBy
+    * (output ∝ distinct fingerprints), [[bandedHammingPairs]] over the
+    * group REPRESENTATIVES only, driver union-find on that tiny rep
+    * graph, min-doc labels. This is the shape that survives
+    * duplicate-heavy corpora (pair emission is Θ(cluster²) — SCALE_r16).
+    * Input must be a MATERIALIZED (doc_id, hi, lo) frame — callers
+    * localCheckpoint, since this body consumes it from four plans. */
+  private def collapseFingerprints(s: SparkSession, h: DataFrame): DataFrame = {
     val groups = h.groupBy("hi", "lo")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("n_members"))
     val repPairs = bandedHammingPairs(

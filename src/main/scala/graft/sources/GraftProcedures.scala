@@ -60,7 +60,7 @@ import graft.storage.GraftTable
   *   CALL graft.system.split_assign('db.t', 'db.splits') -- c7 as SQL
   *   CALL graft.system.pii_scrub('db.t', 'db.clean')    -- t10 as SQL
   *   CALL graft.system.lang_id('db.t', 'db.langs')      -- t3, per-doc
-  *   CALL graft.system.phash_dedup('db.imgs', 'db.pairs') -- m8 on real bytes
+  *   CALL graft.system.phash_dedup('db.imgs', 'db.clusters') -- image dedup
   * }}}
   *
   * Each returns a one-row result describing what it did; the pipeline
@@ -560,9 +560,10 @@ private[sources] object GraftProcedures {
                   writeResult(
                     graft.operators.TextAnalysis.langIdCore(t.read()), 1))
               case "phash_dedup" =>
-                // m8's production verb: dHash over the user's REAL image
-                // bytes, banded Hamming pairs committed to the target
-                ("pairs_written",
+                // the production image-dedup verb: grayscale dHash over
+                // the user's REAL image bytes, collapse-first clustering
+                // (pair emission is quadratic in duplicate multiplicity)
+                ("docs_clustered",
                   writeResult(
                     graft.operators.Multimodal.phashDedupCore(t.read()), 1))
               case "contamination_report" =>

@@ -54,28 +54,31 @@ class BandingPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("banded pipeline ≡ brute-force T=3 classifier across the whole flip range (4000 random cases)") {
-    // the END-TO-END property: candidate generation (≥1 shared band)
-    // composed with the Hamming verify must accept EXACTLY the pairs a
-    // brute-force ≤3 filter accepts — recall (≤3 ⇒ candidate, the
-    // pigeonhole) and precision (past-threshold candidates rejected by
-    // the verify) in one equivalence, for every flip count 0..64
+  test("two-word Hamming arithmetic ≡ a per-bit reference across the whole flip range (4000 random cases)") {
+    // pins the PACKING side the pigeonhole test takes for granted: the
+    // word-split XOR+popcount (the arithmetic the Spark verify filter
+    // and this spec's own hamming() compute) must equal a bit-by-bit
+    // count over the 64 logical dHash positions — a packing/shift bug
+    // (wrong word boundary, sign-extended shift, swapped words) breaks
+    // THIS even when each word's popcount is individually right. Also
+    // confirms flips past the threshold keep producing band collisions
+    // (the candidate class only the Hamming verify removes).
+    def bitAt(h: (Long, Long), b: Int): Long =
+      if (b < 32) (h._1 >>> b) & 1L else (h._2 >>> (b - 32)) & 1L
     var pastThresholdCandidates = 0
     for (_ <- 1 to 4000) {
       val h = next(genHash)
       val k = next(Gen.chooseNum(0, 64))
       val flipped = next(genFlips(k)).foldLeft(h)(flip)
+      val perBit = (0 until 64).count(b => bitAt(h, b) != bitAt(flipped, b))
+      assert(hamming(h, flipped) === perBit, s"word-split vs per-bit at k=$k")
+      assert(perBit === k, s"flip construction must move exactly k=$k bits")
       val shared = bands(h._1, h._2).zip(bands(flipped._1, flipped._2))
         .count { case (a, b) => a == b }
-      val pipelineAccept = shared >= 1 && hamming(h, flipped) <= 3
-      val bruteAccept = hamming(h, flipped) <= 3
-      assert(pipelineAccept === bruteAccept,
-        s"pipeline/brute divergence at k=$k: shared=$shared")
       if (shared >= 1 && k > 3) pastThresholdCandidates += 1
     }
-    // the precision half only bites if past-threshold band collisions
-    // actually reached the verify — make sure the test saw some
     assert(pastThresholdCandidates > 0,
-      "degenerate test: no past-threshold pair ever collided in a band")
+      "degenerate test: no past-threshold pair ever collided in a band — " +
+        "the verify filter's precision role is never exercised")
   }
 }

@@ -602,7 +602,7 @@ class GraftCatalogSpec extends SparkSpec {
       assert(gotLang.nonEmpty && gotLang === wantLang,
         "grouping CALL lang_id's per-doc labels must reproduce t3")
       // -- phash_dedup over REAL image bytes: CALL ≡ core; a planted
-      // byte-identical twin surfaces at hamming 0 --------------------
+      // byte-identical twin collapses into one cluster ----------------
       val imgs = graft.operators.Multimodal.pngEncoded(spark, dir)
         .toDF("doc_id", "img")
       val twin = imgs.filter(col("doc_id") === 3L)
@@ -611,15 +611,17 @@ class GraftCatalogSpec extends SparkSpec {
       GraftTable.create(spark, s"$warehouse/db1/call_imgs", media.schema)
         .append(media)
       spark.sql(
-        "CALL gcat.system.phash_dedup('db1.call_imgs', 'db1.call_pairs')")
-      val gotPh = spark.table("gcat.db1.call_pairs")
-        .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+        "CALL gcat.system.phash_dedup('db1.call_imgs', 'db1.call_clusters')")
+      val gotPh = spark.table("gcat.db1.call_clusters")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
       val wantPh = graft.operators.Multimodal.phashDedupCore(
           GraftTable.open(spark, s"$warehouse/db1/call_imgs").read())
         .collect().map(_.toSeq).toSeq
       assert(gotPh === wantPh, "CALL phash_dedup must reproduce the core")
-      assert(gotPh.exists(r => r(0) == 3L && r(1) == 7000003L && r(2) == 0L),
-        s"the byte-identical twin must pair at hamming 0: $gotPh")
+      assert(gotPh.exists(r => r(0) == 3L && r(1) == 3L && r(2) == 1),
+        s"the original must win its cluster: $gotPh")
+      assert(gotPh.exists(r => r(0) == 7000003L && r(1) == 3L && r(2) == 0),
+        s"the byte-identical twin must collapse under the original: $gotPh")
       // -- retryable CALL: crash residue between create-commit and
       // append is a committed EMPTY v0 target CARRYING the path's
       // _call_pending marker; the retry reclaims exactly that --
