@@ -51,6 +51,7 @@ import graft.storage.GraftTable
   *   CALL graft.system.ann_delete('db.idx', 'db.erase_ids') -- vector erasure
   *   CALL graft.system.ann_stats('db.idx')   -- metadata-only observability
   *   CALL graft.system.ann_compact('db.idx') -- fold append fragmentation
+  *   CALL graft.system.ann_compact('db.idx', 16, 256) -- MB threshold dials
   *   CALL graft.system.ann_drop('db.idx')    -- drop the root + file GC
   *   CALL graft.system.dedup_spans('db.t', 'db.spans')            -- d14
   *   CALL graft.system.quality_votes('db.t', 'db.scored')         -- t17
@@ -139,6 +140,16 @@ private[sources] object GraftProcedures {
               ProcedureParameter.in("target", StringType).build())
             if (inputType.size >= 4)
               base :+ ProcedureParameter.in("nprobe", IntegerType).build()
+            else base
+          }
+          else if (procName == "ann_compact") {
+            // arity-overloaded: optional MB thresholds — small_mb (files
+            // under this fold) and target_mb (output file size) —
+            // CALL g.system.ann_compact('db.idx', 16, 256)
+            val base = Array(ProcedureParameter.in("index", StringType).build())
+            if (inputType.size >= 3)
+              base ++ Array(ProcedureParameter.in("small_mb", IntegerType).build(),
+                ProcedureParameter.in("target_mb", IntegerType).build())
             else base
           }
           else if (procName == "ann_delete")
@@ -363,9 +374,21 @@ private[sources] object GraftProcedures {
             // small-file tail coalesced + label-range disjointness
             // restored (both DV-aware, row- and cluster-preserving, so
             // probe results are bit-identical). Exclusive writer —
-            // quiesce appends, like ann_rebuild.
+            // quiesce appends, like ann_rebuild. Optional MB thresholds
+            // (arity-overloaded): small_mb tunes what counts as tail,
+            // target_mb the output file size; both must be positive
+            // (small_mb = 0 would classify nothing small and the CALL
+            // would silently no-op — refuse instead of reading as done).
+            val (smallB, targetB) =
+              if (input.numFields >= 3) {
+                val sm = input.getInt(1)
+                val tm = input.getInt(2)
+                require(sm > 0 && tm > 0,
+                  s"ann_compact thresholds must be positive MB (got $sm, $tm)")
+                (sm.toLong << 20, tm.toLong << 20)
+              } else (32L << 20, 128L << 20)
             val per = graft.operators.Similarity
-              .annCompactIndex(SparkSession.active, dir)
+              .annCompactIndex(SparkSession.active, dir, smallB, targetB)
             val schema = StructType(Seq(
               StructField("table", StringType, nullable = false),
               StructField("metric", StringType, nullable = false),

@@ -471,9 +471,21 @@ class GraftCatalogSpec extends SparkSpec {
       val preC = graft.operators.Similarity
         .probeIvfInt8Raw(spark, s"$warehouse/db1/built_idx", rawQ)
         .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
-      val compB = spark.sql("CALL gcat.system.ann_compact('db1.built_idx')")
+      // arity-overloaded thresholds: non-positive values refuse loudly
+      // (small_mb = 0 would classify nothing small — a silent no-op)
+      val eCmp = intercept[Exception] {
+        spark.sql("CALL gcat.system.ann_compact('db1.built_idx', 0, 128)")
+      }
+      assert(eCmp.getMessage.contains("must be positive"), eCmp.getMessage)
+      val compB = spark.sql(
+        "CALL gcat.system.ann_compact('db1.built_idx', 16, 256)")
         .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
       assert(compB("db1.built_idx/postings") > 0L, compB.toString)
+      // a re-run (default thresholds) finds nothing left to fold
+      val compB2 = spark.sql("CALL gcat.system.ann_compact('db1.built_idx')")
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(compB2.values.forall(_ === 0L),
+        s"compaction must be idempotent: $compB2")
       val statsC = spark.sql("CALL gcat.system.ann_stats('db1.built_idx')")
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
       assert(statsC("postings.files").toLong <
