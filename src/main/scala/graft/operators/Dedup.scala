@@ -656,11 +656,40 @@ object Dedup {
     * comfortably below the default 8g driver. */
   private[operators] val D7DriverMaxPairs = 8000000L
 
+  /** The effective driver-heap gate: [[D7DriverMaxPairs]] unless the
+    * session overrides it (`spark.graft.d7.driverMaxPairs`) — the
+    * override exists so specs can force the distributed path on small
+    * graphs and operators can tighten the gate on memory-constrained
+    * drivers without a rebuild. */
+  private[graft] def d7MaxPairs(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.d7.driverMaxPairs")
+      .map(_.toLong).getOrElse(D7DriverMaxPairs)
+
   private def d7Run(s: SparkSession, dir: String, fp: String): D7Entry = {
     val pairs = ngramPairsCached(s, dir).select(col("doc_a"), col("doc_b"))
     val nPairs = pairs.count() // pairs are cache-materialized: cheap action
-    if (nPairs <= D7DriverMaxPairs) D7Entry(fp, d7UnionFind(s, pairs), None)
+    if (nPairs <= d7MaxPairs(s)) D7Entry(fp, d7UnionFind(s, pairs), None)
     else d7Propagate(s, pairs, fp)
+  }
+
+  /** Count-and-dispatch connected components over an ARBITRARY
+    * materialized `(doc_a, doc_b)` pair frame — d7's two-regime split
+    * for callers outside the d7 cache ([[graft.operators.Multimodal]]'s
+    * fingerprint collapse): pairs at or under the gate stream to the
+    * driver union-find; larger graphs run the distributed min-label
+    * propagation, so a near-dup-rich representative graph (a mostly
+    * unique image corpus full of crops/re-encodes) cannot build
+    * unbounded driver arrays through `CALL phash_dedup` (VERDICT r13
+    * #1). Callers MUST pass a materialized frame (localCheckpoint):
+    * the count action and the clustering consume it at least twice.
+    * Returns d7's (doc_id, cluster_id, keep) contract; both regimes
+    * produce the identical min-label result (spec-proven). */
+  private[graft] def clusterPairs(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col(pairs.columns(0)).as("doc_a"),
+      col(pairs.columns(1)).as("doc_b"))
+    if (p.count() <= d7MaxPairs(s)) d7UnionFind(s, p)
+    else d7Propagate(s, p,
+      fp = java.util.UUID.randomUUID().toString, cacheLabels = false).df
   }
 
   /** Small-graph path: stream the deduplicated pair list to the driver
@@ -735,9 +764,13 @@ object Dedup {
     out.toSeq.toDF("doc_id", "cluster_id", "keep").orderBy("doc_id")
   }
 
-  /** Large-graph path: distributed iterative min-label propagation. */
+  /** Large-graph path: distributed iterative min-label propagation.
+    * `cacheLabels = true` persists the converged labels for the d7
+    * memo cache (the entry owns the handle and unpersists it on
+    * replacement); one-off callers ([[clusterPairs]]) pass false so
+    * nothing outlives the returned plan but the scratch parquet. */
   private[operators] def d7Propagate(s: SparkSession, pairs: DataFrame,
-      fp: String): D7Entry = {
+      fp: String, cacheLabels: Boolean = true): D7Entry = {
     val resultSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType),
@@ -809,15 +842,18 @@ object Dedup {
       val scratch = s"${scratchRoot(s)}/d7-labels-$fp"
       labels.write.mode("overwrite").parquet(scratch)
       labels.unpersist()
-      val stable = s.read.parquet(scratch)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fileBacked = s.read.parquet(scratch)
+      val stable =
+        if (cacheLabels)
+          fileBacked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else fileBacked
       val df = stable
         .select(col("v").as("doc_id"), col("l").as("cluster_id"),
           (col("v") === col("l")).cast("int").as("keep"))
         .orderBy("doc_id")
       // the memo entry owns the persisted handle so replacement can
       // unpersist the block cache (the parquet stays until scratch GC)
-      D7Entry(fp, df, Some(stable), rounds)
+      D7Entry(fp, df, if (cacheLabels) Some(stable) else None, rounds)
     } finally edges.unpersist()
   }
 
@@ -1128,16 +1164,32 @@ object Dedup {
   /** DataFrame core of d14 for ARBITRARY (doc_id, text) corpora, shared
     * with the SQL CALL surface (`CALL graft.system.dedup_spans`). */
   /** Grams dropped by the LAST capped [[spanDedupCore]] run in this
-    * JVM — surfaced so a capped span report cannot silently read as
-    * exhaustive (the no-silent-caps discipline; spec-pinned). */
+    * JVM — a SINGLE-THREADED TEST CONVENIENCE only: concurrent capped
+    * runs (bench threads, the CALL surface) clobber it, so production
+    * callers who need the no-silent-caps count read it per invocation
+    * from [[spanDedupCoreCounted]] instead (ADVICE r13). */
   @volatile private[graft] var spanCapDroppedLastRun: Long = 0L
 
   def spanDedupCore(docsDf: DataFrame,
       maxGramFreq: Option[Long] = None): DataFrame = {
+    val (df, dropped) = spanDedupCoreCounted(docsDf, maxGramFreq)
+    // only an engaged cap writes the test-convenience global (an
+    // uncapped run has nothing to report, matching the old contract)
+    maxGramFreq.foreach(_ => spanCapDroppedLastRun = dropped)
+    df
+  }
+
+  /** [[spanDedupCore]] plus THIS invocation's dropped-gram count — the
+    * no-silent-caps signal returned per call, so concurrent capped runs
+    * cannot misattribute each other's counts. Count is 0 when no cap
+    * was requested or the cap did not engage. */
+  def spanDedupCoreCounted(docsDf: DataFrame,
+      maxGramFreq: Option[Long] = None): (DataFrame, Long) = {
     val posting = spanGrams(docsDf)
       .groupBy("h")
       .agg(sort_array(collect_list(struct(col("doc_id"),
         col("j").cast("long").as("pos")))).as("ps"))
+    var droppedCount = 0L
     val capped = maxGramFreq.fold(posting) { f =>
       // no-silent-caps (VERDICT r12 #8): when the cap ENGAGES, say so
       // — a span report missing the hottest grams must not read as
@@ -1149,7 +1201,7 @@ object Dedup {
       // appendToIvfPqIndex lifetime discipline).
       val mat = posting.localCheckpoint(true)
       val dropped = mat.filter(size(col("ps")) > f).count()
-      spanCapDroppedLastRun = dropped
+      droppedCount = dropped
       if (dropped > 0)
         SpanCapLog.warn(s"dedup_spans: maxGramFreq=$f dropped $dropped " +
           "high-frequency gram posting list(s); spans supported only " +
@@ -1166,7 +1218,7 @@ object Dedup {
       .filter(col("p.a") =!= col("p.b"))
       .select(col("p.a").as("doc_a"), col("p.na").as("pos_a"),
         col("p.b").as("doc_b"), col("p.nb").as("pos_b"))
-    maximalSpans(pairs)
+    (maximalSpans(pairs), droppedCount)
   }
 
   /** d15: INCREMENTAL span dedup — d14's maximal-span semantics for the

@@ -317,7 +317,7 @@ object Multimodal {
     * doc_id-dependent height) so a twin renders identically to its
     * original except at the edited pixel positions. */
   private def m8Corpus(s: SparkSession, dir: String): DataFrame = {
-    // twin-id headroom guard (review r13): a corpus with doc_id ≥ 1e6
+    // twin-id headroom guard (review r13): a corpus with doc_id ≥ 1e12
     // would let a twin id collide with a REAL document — and since the
     // oracle replays the same arithmetic, parity would stay green over
     // semantically wrong pairs. Fail loudly instead; the guard rides
@@ -698,18 +698,29 @@ object Multimodal {
   /** Collapse-first fingerprint clustering — ONE definition for m9 and
     * the production [[phashDedupCore]] verb: exact-fingerprint groupBy
     * (output ∝ distinct fingerprints), [[bandedHammingPairs]] over the
-    * group REPRESENTATIVES only, driver union-find on that tiny rep
-    * graph, min-doc labels. This is the shape that survives
+    * group REPRESENTATIVES only, d7's COUNT-AND-DISPATCH clustering on
+    * the rep graph, min-doc labels. This is the shape that survives
     * duplicate-heavy corpora (pair emission is Θ(cluster²) — SCALE_r16).
-    * Input must be a MATERIALIZED (doc_id, hi, lo) frame — callers
+    * The rep graph is usually tiny (distinct fingerprints, not docs),
+    * but `CALL phash_dedup` points at arbitrary user corpora — a mostly
+    * unique, near-dup-rich image corpus (crops/re-encodes, exactly what
+    * dHash tolerates) has distinct fingerprints ∝ corpus, so the pair
+    * count routes graphs above [[Dedup.d7MaxPairs]] to the distributed
+    * min-label propagation instead of unbounded driver arrays (VERDICT
+    * r13 #1; both regimes are result-identical, spec-proven). Input
+    * must be a MATERIALIZED (doc_id, hi, lo) frame — callers
     * localCheckpoint, since this body consumes it from four plans. */
   private def collapseFingerprints(s: SparkSession, h: DataFrame): DataFrame = {
     val groups = h.groupBy("hi", "lo")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("n_members"))
+    // materialized: clusterPairs counts it, then the clustering (either
+    // regime) consumes it again — without the checkpoint the banded
+    // self-join would re-run per consumer
     val repPairs = bandedHammingPairs(
       groups.select(col("rep").as("doc_id"), col("hi"), col("lo")))
       .select("doc_a", "doc_b")
-    val repLabels = Dedup.d7UnionFind(s, repPairs)
+      .localCheckpoint(true)
+    val repLabels = Dedup.clusterPairs(s, repPairs)
       .select(col("doc_id").as("rep"), col("cluster_id").as("lab"))
     h.join(groups, Seq("hi", "lo"))
       .join(repLabels, Seq("rep"), "left")

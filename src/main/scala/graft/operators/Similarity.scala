@@ -1607,8 +1607,19 @@ object Similarity {
       nLists: Int = 10, iters: Int = 2): (Int, Long) = {
     import graft.storage.{GraftTable, GraftTableOptions}
     require(nLists >= 1, s"nLists must be >= 1, got $nLists")
-    require(!GraftTable.exists(s"$root/postings"),
-      s"index root $root already has postings — append/rebuild instead")
+    // An EMPTY postings table at version 0 (created, never appended) is
+    // a crashed earlier build's residue — the create committed but the
+    // first append did not — not a servable index: refusing it forever
+    // would leave the root unreachable from ann_build with no SQL-level
+    // reclaim (ADVICE r13). Drop it and rebuild fresh, mirroring the
+    // centroids residue branch below; anything with committed data
+    // versions stays refused (append/rebuild are the right verbs).
+    if (GraftTable.exists(s"$root/postings")) {
+      val t = GraftTable.open(s, s"$root/postings")
+      require(t.version == 0L && t.rowCountFromMetadata() == 0L,
+        s"index root $root already has postings — append/rebuild instead")
+      GraftTable.drop(s"$root/postings")
+    }
     // retry-safe: a crash between the centroids and postings commits
     // left centroids without postings — build residue, not a servable
     // index (the guard above passed); drop it and rebuild fresh, the

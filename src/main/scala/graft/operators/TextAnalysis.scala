@@ -368,20 +368,36 @@ object TextAnalysis {
     * PII so its oracle has something to find, and emits only an md5 —
     * the CALL is the production verb, so it writes the redacted
     * column). One map-side pass, zero shuffle, pure codegen regex. */
-  def piiScrubCore(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
-      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
-      regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ip"),
-      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phone"),
-      scrubExpr(col("text")).as("scrubbed"))
+  def piiScrubCore(df: DataFrame): DataFrame = {
+    // first two columns taken POSITIONALLY (id → long, text), the
+    // phashDedupCore/validateVectorFrame input contract — a user table
+    // named (id, body) must not fail with a raw unresolved-column
+    // AnalysisException while the sibling verbs accept it (ADVICE r13)
+    require(df.columns.length >= 2,
+      s"pii_scrub expects (id, text) as the first two columns; " +
+        s"got ${df.columns.length} column(s): ${df.columns.mkString(", ")}")
+    val id = col(df.columns(0)).cast("long").as("doc_id")
+    val text = col(df.columns(1)).cast("string")
+    df.select(id,
+      regexp_count(text, lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(text, lit(Ipv4Re)).cast("long").as("n_ip"),
+      regexp_count(text, lit(PhoneRe)).cast("long").as("n_phone"),
+      scrubExpr(text).as("scrubbed"))
+  }
 
   /** CALL core (`CALL g.system.lang_id('db.t', 'db.langs')`):
     * per-document language prediction — t3's n-gram heuristic emitting
     * one labeled row per doc (the t3 entry aggregates corpus-level
     * counts; a routing pipeline consumes the per-doc labels). Map-side
     * only. */
-  def langIdCore(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), langPred(col("text")).as("lang_pred"))
+  def langIdCore(df: DataFrame): DataFrame = {
+    // positional input like piiScrubCore — see the note there
+    require(df.columns.length >= 2,
+      s"lang_id expects (id, text) as the first two columns; " +
+        s"got ${df.columns.length} column(s): ${df.columns.mkString(", ")}")
+    df.select(col(df.columns(0)).cast("long").as("doc_id"),
+      langPred(col(df.columns(1)).cast("string")).as("lang_pred"))
+  }
 
   def t10PiiScrub(s: SparkSession, dir: String): DataFrame = {
     val planted = concat(col("text"),

@@ -296,4 +296,60 @@ class MultimodalSpec extends SparkSpec {
     assert(anyEdge.exists(v => byFp(fps(v)).size == 1),
       "expected a near-dup edge between DISTINCT fingerprints")
   }
+
+  /** One 64×64 grayscale PNG: pixel value = column index (every dHash
+    * bit set), with chosen grid-sample pixels forced to 255 so exactly
+    * those bits flip — a controlled ≤3-bit "re-encode" family. */
+  private def gridPng(flipBits: Seq[(Int, Int)]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until 64; x <- 0 until 64) raster.setSample(x, y, 0, x)
+    flipBits.foreach { case (ty, tx) =>
+      raster.setSample(tx * 64 / 9, ty * 64 / 8, 0, 255) // gL=255 > gR
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("phashDedupCore routes a rep graph above the gate to the distributed d7 path (identical clusters)") {
+    import spark.implicits._
+    // base (two byte-identical copies), a 1-bit variant, a 2-bit
+    // variant, and an inverted unrelated image: rep pairs =
+    // (base,v1)=1, (base,v2)=2, (v1,v2)=3 — three rep-graph pairs, all
+    // within T=3, over a test-lowered gate of 1
+    val base = gridPng(Nil)
+    val v1 = gridPng(Seq((0, 0)))
+    val v2 = gridPng(Seq((1, 1), (2, 2)))
+    val inv = { // pixel = 63-x: every bit 0, Hamming 61+ from the family
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 64; x <- 0 until 64)
+        img.getRaster.setSample(x, y, 0, 63 - x)
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", o); o.toByteArray
+    }
+    val corpus = Seq((10L, base), (11L, base), (12L, v1), (13L, v2),
+      (14L, inv)).toDF("doc_id", "img")
+    val expect = Seq((10L, 10L, 1), (11L, 10L, 0), (12L, 10L, 0), (13L, 10L, 0))
+    val viaDriver = Multimodal.phashDedupCore(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(viaDriver === expect, "driver union-find path")
+    spark.conf.set("spark.graft.d7.driverMaxPairs", "1")
+    try {
+      val viaDistributed = Multimodal.phashDedupCore(corpus).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(viaDistributed === viaDriver,
+        "the distributed min-label path must produce identical clusters")
+      // and the production m9 entry survives the lowered gate unchanged
+      val m9Low = Multimodal.m9AudioNeardup(spark, sf("sf0.001")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      spark.conf.unset("spark.graft.d7.driverMaxPairs")
+      val m9Default = Multimodal.m9AudioNeardup(spark, sf("sf0.001")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(m9Low === m9Default,
+        "m9 clusters must be gate-independent")
+    } finally spark.conf.unset("spark.graft.d7.driverMaxPairs")
+  }
 }
