@@ -62,6 +62,7 @@ import graft.storage.GraftTable
   *   CALL graft.system.pii_scrub('db.t', 'db.clean')    -- t10 as SQL
   *   CALL graft.system.lang_id('db.t', 'db.langs')      -- t3, per-doc
   *   CALL graft.system.phash_dedup('db.imgs', 'db.clusters') -- image dedup
+  *   CALL graft.system.audio_dedup('db.clips', 'db.clusters') -- audio dedup
   * }}}
   *
   * Each returns a one-row result describing what it did; the pipeline
@@ -85,7 +86,7 @@ private[sources] object GraftProcedures {
       "ann_probe_int8", "ann_probe_pq", "ann_probe_bin", "ann_verify",
       "ann_delete", "ann_build", "ann_quantize", "ann_append",
       "ann_stats", "ann_compact", "ann_drop", "pii_scrub", "lang_id",
-      "phash_dedup")
+      "phash_dedup", "audio_dedup")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -122,7 +123,7 @@ private[sources] object GraftProcedures {
               procName == "source_mix" || procName == "split_assign" ||
               procName == "quality_votes" || procName == "dataset_card" ||
               procName == "pii_scrub" || procName == "lang_id" ||
-              procName == "phash_dedup")
+              procName == "phash_dedup" || procName == "audio_dedup")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
           else if (procName == "decontaminate" ||
@@ -546,7 +547,8 @@ private[sources] object GraftProcedures {
               procName == "quality_votes" || procName == "ann_probe_int8" ||
               procName == "ann_probe_pq" || procName == "ann_probe_bin" ||
               procName == "dataset_card" || procName == "pii_scrub" ||
-              procName == "lang_id" || procName == "phash_dedup") {
+              procName == "lang_id" || procName == "phash_dedup" ||
+              procName == "audio_dedup") {
             val spark = SparkSession.active
             val (metric, n) = procName match {
               case "dedup_exact" =>
@@ -589,6 +591,13 @@ private[sources] object GraftProcedures {
                 ("docs_clustered",
                   writeResult(
                     graft.operators.Multimodal.phashDedupCore(t.read()), 1))
+              case "audio_dedup" =>
+                // the production audio-dedup verb: sign fingerprint over
+                // the user's REAL WAV bytes (chunk-walking PCM parser),
+                // the same collapse-first clustering as phash_dedup
+                ("docs_clustered",
+                  writeResult(
+                    graft.operators.Multimodal.audioDedupCore(t.read()), 1))
               case "contamination_report" =>
                 val evalName = checkName(input.getUTF8String(1).toString)
                 val evalDir = tableDir(evalName)

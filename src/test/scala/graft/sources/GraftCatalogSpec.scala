@@ -634,6 +634,59 @@ class GraftCatalogSpec extends SparkSpec {
         s"the original must win its cluster: $gotPh")
       assert(gotPh.exists(r => r(0) == 7000003L && r(1) == 3L && r(2) == 0),
         s"the byte-identical twin must collapse under the original: $gotPh")
+      // -- audio_dedup over real WAV bytes: exact copy + ≤3-bit
+      // re-master cluster under the original; unrelated clip stays out;
+      // the parser WALKS chunks (a LIST between fmt and data) ---------
+      import spark.implicits._
+      def wavBytes(samples: Array[Short], extraChunk: Boolean): Array[Byte] = {
+        val extra = if (extraChunk) 12 else 0
+        val n = samples.length
+        val bb = java.nio.ByteBuffer.allocate(44 + extra + n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + extra + n * 2)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1).putInt(8000).putInt(16000)
+          .putShort(2).putShort(16)
+        if (extraChunk)
+          bb.put("LIST".getBytes("US-ASCII")).putInt(4)
+            .put("INFO".getBytes("US-ASCII"))
+        bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+        samples.foreach(bb.putShort)
+        bb.array()
+      }
+      // 640 samples, all positive → every fingerprint bit set; the
+      // fingerprint samples positions j*10 (j = 0..63)
+      val baseSm = Array.fill[Short](640)(1000)
+      val remaster = baseSm.clone() // flip signs at positions j=0,1 → 2 bits
+      remaster(0) = -1000; remaster(10) = -1000
+      val clips = Seq(
+        (1L, wavBytes(baseSm, extraChunk = true)), // chunk-walk layout
+        (2L, wavBytes(baseSm, extraChunk = false)), // same samples, new container
+        (3L, wavBytes(remaster, extraChunk = false)),
+        (4L, wavBytes(Array.fill[Short](640)(-1000), extraChunk = false)))
+        .toDF("doc_id", "wav")
+      GraftTable.create(spark, s"$warehouse/db1/call_clips", clips.schema)
+        .append(clips)
+      spark.sql(
+        "CALL gcat.system.audio_dedup('db1.call_clips', 'db1.call_aclusters')")
+      val gotAu = spark.table("gcat.db1.call_aclusters")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(gotAu === Seq((1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0)),
+        s"exact copy (container-independent) + 2-bit re-master must " +
+          s"cluster under doc 1; the unrelated clip stays out: $gotAu")
+      // loud refusal: a truncated container names the offending doc
+      val bad = Seq((9L, wavBytes(baseSm, extraChunk = false).take(50)))
+        .toDF("doc_id", "wav")
+      val exAu = intercept[Exception] {
+        graft.operators.Multimodal.audioDedupCore(bad).collect()
+      }
+      def rootMsg(t: Throwable): String =
+        (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).mkString(" | "))
+      assert(rootMsg(exAu).contains("doc 9"),
+        s"undecodable audio must refuse loudly with the id: ${rootMsg(exAu)}")
       // -- retryable CALL: crash residue between create-commit and
       // append is a committed EMPTY v0 target CARRYING the path's
       // _call_pending marker; the retry reclaims exactly that --
