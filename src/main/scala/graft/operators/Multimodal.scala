@@ -316,13 +316,14 @@ object Multimodal {
     * discipline, q62–q65). Geometry is TEXT-ONLY (unlike m4's
     * doc_id-dependent height) so a twin renders identically to its
     * original except at the edited pixel positions. */
-  private def m8Corpus(s: SparkSession, dir: String): DataFrame = {
+  /** The guarded base documents of the m8/m10 families. */
+  private def m8Docs(s: SparkSession, dir: String): DataFrame = {
     // twin-id headroom guard (review r13): a corpus with doc_id ≥ 1e12
     // would let a twin id collide with a REAL document — and since the
     // oracle replays the same arithmetic, parity would stay green over
     // semantically wrong pairs. Fail loudly instead; the guard rides
     // the id column itself so pruning cannot drop it.
-    val docs = Tables.load(s, dir, "documents")
+    Tables.load(s, dir, "documents")
       .select(when(col("doc_id").cast("long") < 1000000000000L,
           col("doc_id").cast("long"))
           .otherwise(raise_error(concat(
@@ -332,11 +333,18 @@ object Multimodal {
               "raise the twin offset")))
             .cast("long")).as("doc_id"),
         col("text"))
-    val twins = docs
-      .filter(col("doc_id") % 13 === 0 && length(col("text")) > 0)
-      .select((col("doc_id") + 1000000000000L).as("doc_id"),
-        concat(expr("substr(text, 1, length(text)-1)"), lit("x")).as("text"))
-    docs.unionAll(twins)
+  }
+
+  /** The deterministic re-encode twins (id + 1e12, last char replaced)
+    * — ONE definition for m8's corpus and m10's intake batch. */
+  private def m8Twins(docs: DataFrame): DataFrame = docs
+    .filter(col("doc_id") % 13 === 0 && length(col("text")) > 0)
+    .select((col("doc_id") + 1000000000000L).as("doc_id"),
+      concat(expr("substr(text, 1, length(text)-1)"), lit("x")).as("text"))
+
+  private def m8Corpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = m8Docs(s, dir)
+    docs.unionAll(m8Twins(docs))
   }
 
   /** The m8 hash stage: render → REAL PNG encode → REAL PNG decode →
@@ -347,9 +355,15 @@ object Multimodal {
     * lossless, so the oracle recomputes the identical bits from the
     * source characters — a hash match proves the full
     * encode→decode→hash chain, m4's proof shape. */
-  private[operators] def m8Hashes(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def m8Hashes(s: SparkSession, dir: String): DataFrame =
+    renderHashes(s, m8Corpus(s, dir))
+
+  /** Render (doc_id, text) rows to real PNGs and dHash the decoded
+    * rasters — m8's hash stage over an arbitrary doc frame, shared
+    * with m10's corpus/batch split. */
+  private def renderHashes(s: SparkSession, docsDf: DataFrame): DataFrame = {
     import s.implicits._
-    m8Corpus(s, dir).as[(Long, String)].mapPartitions { it =>
+    docsDf.as[(Long, String)].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.grouped(DecodeBatch).flatMap(_.map { case (id, text) =>
         val codes =
@@ -419,13 +433,23 @@ object Multimodal {
     * two packed 32-bit words, map-side explode, keyed EQUALITY
     * self-join, XOR+popcount verify at T=3 (pigeonhole-exact recall —
     * BandingPropertySpec). Input: (doc_id, hi, lo). */
-  private[operators] def bandedHammingPairs(hashes: DataFrame): DataFrame = {
-    val banded = hashes.select(col("doc_id"), col("hi"), col("lo"),
-      posexplode(array(
+  /** Append the 4×16-bit (band_idx, band_val) rows to a frame carrying
+    * packed `hi`/`lo` words — the map-side explode every banded
+    * consumer shares (pair join, batch-vs-committed match, stream). */
+  private def withBands(h: DataFrame): DataFrame =
+    h.select(col("*"), posexplode(array(
         shiftrightunsigned(col("hi"), 16), col("hi").bitwiseAND(lit(0xffffL)),
-        shiftrightunsigned(col("lo"), 16), col("lo").bitwiseAND(lit(0xffffL)))))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_val")
+        shiftrightunsigned(col("lo"), 16), col("lo").bitwiseAND(lit(0xffffL))))
+      .as(Seq("band_idx", "band_val")))
+
+  /** XOR+popcount Hamming distance between two packed word pairs. */
+  private def hammingExpr(hiA: Column, loA: Column, hiB: Column,
+      loB: Column): Column =
+    (bit_count(hiA.bitwiseXOR(hiB)) + bit_count(loA.bitwiseXOR(loB)))
+      .cast("long")
+
+  private[operators] def bandedHammingPairs(hashes: DataFrame): DataFrame = {
+    val banded = withBands(hashes.select("doc_id", "hi", "lo"))
     val a = banded.select(col("doc_id").as("doc_a"), col("hi").as("hi_a"),
       col("lo").as("lo_a"), col("band_idx"), col("band_val"))
     val b = banded.select(col("doc_id").as("doc_b"), col("hi").as("hi_b"),
@@ -433,13 +457,85 @@ object Multimodal {
     a.join(b, Seq("band_idx", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
-          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long")
+        hammingExpr(col("hi_a"), col("lo_a"), col("hi_b"), col("lo_b"))
           .as("hamming"))
       .filter(col("hamming") <= 3)
       .distinct() // a pair matching in k bands must count once
       .orderBy("doc_a", "doc_b")
   }
+
+  /** INCREMENTAL fingerprint matching — the production intake shape
+    * the full-corpus [[phashDedupCore]] lacks (VERDICT r13 missing #1):
+    * an arriving BATCH of fingerprints is checked against the COMMITTED
+    * corpus fingerprint table without re-hashing (or re-clustering) the
+    * corpus, so daily cost is ∝ batch, not ∝ corpus. Machinery is
+    * d15's, at fingerprint grain: the batch's distinct fingerprints
+    * Bloom-sketch their band keys (one bounded driver action — ≤ 4
+    * keys per distinct batch fingerprint); the corpus side collapses
+    * to one representative per distinct fingerprint (min doc — lossless
+    * for the min-match contract), bands map-side, and is
+    * `might_contain`-prefiltered BEFORE the equality join — no false
+    * negatives, so the prune cannot change the result, and the
+    * corpus-side shuffle carries ≈ the batch's band mass. Output is
+    * COLLAPSED, not pairs (the m9/SCALE_r16 lesson — a popular image
+    * has thousands of committed copies and pair emission is
+    * Θ(multiplicity)): ONE row per batch doc that near-duplicates the
+    * committed corpus at T=3 — (doc_id, match_id = min matching corpus
+    * doc, hamming = min distance), the drop-the-batch-copy decision an
+    * intake pipeline applies directly. */
+  private[graft] def matchAgainstFingerprints(corpusFps: DataFrame,
+      batchFps: DataFrame): DataFrame = {
+    val bandKey = col("band_idx").cast("long") * 65536L + col("band_val")
+    val bBand = withBands(
+        batchFps.select("hi", "lo").distinct())
+      .select(col("hi").as("b_hi"), col("lo").as("b_lo"),
+        col("band_idx"), col("band_val"))
+    val sketch = Bloom.sketchBytes(bBand, bandKey)
+    val cBand = withBands(
+        corpusFps.groupBy("hi", "lo").agg(min("doc_id").as("rep")))
+      .select(col("rep"), col("hi").as("c_hi"), col("lo").as("c_lo"),
+        col("band_idx"), col("band_val"))
+    val cPre =
+      if (sketch == null) cBand.limit(0) // empty batch: nothing matches
+      else cBand.filter(Bloom.mightContain(sketch, bandKey))
+    val matched = bBand.join(cPre, Seq("band_idx", "band_val"))
+      .select(col("b_hi"), col("b_lo"), col("rep"),
+        hammingExpr(col("b_hi"), col("b_lo"), col("c_hi"), col("c_lo"))
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      // multi-band matches collapse in the same aggregate that takes
+      // the min over matched fingerprints — no distinct needed
+      .groupBy("b_hi", "b_lo")
+      .agg(min("rep").as("match_id"), min("hamming").as("hamming"))
+      .withColumnRenamed("b_hi", "hi").withColumnRenamed("b_lo", "lo")
+    batchFps.join(matched, Seq("hi", "lo"))
+      .select(col("doc_id"), col("match_id"), col("hamming"))
+      .orderBy("doc_id")
+  }
+
+  /** m10: INCREMENTAL image near-dup — [[matchAgainstFingerprints]]
+    * over the m8 family's render: the committed corpus is every base
+    * document's fingerprint (hashed once and served from the corpus
+    * cache, the d15 discipline — the production artifact is the table
+    * `CALL phash_index` commits), the intake batch is the re-encode
+    * twins. Every twin whose re-encode stayed within T=3 reports its
+    * original as `match_id`; twins that drifted past T report nothing
+    * — exactly what the DuckDB oracle's quadratic batch×corpus join
+    * finds. */
+  def m10IncrementalPhash(s: SparkSession, dir: String): DataFrame = {
+    val corpusFps = m10CorpusCache.getOrElseUpdate(s, dir, "documents")(
+      renderHashes(s, m8Docs(s, dir)))
+    val batchFps = renderHashes(s, m8Twins(m8Docs(s, dir)))
+      // the batch feeds the Bloom sketch action AND the final
+      // member-expansion join — materialize ONE render
+      .localCheckpoint(true)
+    matchAgainstFingerprints(corpusFps, batchFps)
+  }
+
+  /** m10's committed-corpus fingerprint cache (d15's PersistedLru
+    * discipline): the corpus render is the dominant cost and must not
+    * re-run per intake batch. */
+  private val m10CorpusCache = new Dedup.PersistedLru(2)
 
   /** CALL core (`CALL g.system.phash_dedup('db.imgs', 'db.clusters')`):
     * the production image-dedup verb over a user's REAL image bytes —
@@ -462,8 +558,21 @@ object Multimodal {
     * corpora come in.) */
   def phashDedupCore(df: DataFrame): DataFrame = {
     val s = df.sparkSession
+    collapseFingerprints(s, phashFingerprints(df).localCheckpoint(true))
+  }
+
+  /** The decode → grayscale → dHash stage of [[phashDedupCore]], also
+    * the body of `CALL g.system.phash_index` — the verb that COMMITS a
+    * corpus's fingerprints as a first-class table so intake batches
+    * can be checked against them (`CALL phash_match`) without
+    * re-decoding the corpus: at 100 TB, re-hashing per daily batch is
+    * the difference between ∝ batch and ∝ corpus daily cost. Takes the
+    * frame's first two columns as (id → long, image bytes); output
+    * (doc_id, hi, lo). Same loud-refusal contract as the dedup verb. */
+  def phashFingerprints(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
     import s.implicits._
-    val hashes = df.select(
+    df.select(
         col(df.columns(0)).cast("long").as("doc_id"),
         col(df.columns(1)).cast("binary").as("img"))
       .as[(Long, Array[Byte])]
@@ -494,7 +603,23 @@ object Multimodal {
           PHash(id, hi, lo)
         })
       }.toDF()
-    collapseFingerprints(s, hashes.localCheckpoint(true))
+  }
+
+  /** CALL core (`CALL g.system.phash_match('db.batch', 'db.fps',
+    * 'db.matches')`): check an intake image batch against a COMMITTED
+    * fingerprint table (`CALL phash_index`'s output, or any (doc_id,
+    * hi, lo) frame) — hash ∝ batch, corpus side Bloom-prefiltered,
+    * collapsed min-match output ([[matchAgainstFingerprints]]). */
+  def phashMatchCore(batchImgs: DataFrame, corpusFps: DataFrame): DataFrame = {
+    require(corpusFps.columns.length >= 3,
+      s"phash_match expects a committed fingerprint table with (doc_id, " +
+        s"hi, lo) as its first three columns; got ${corpusFps.columns.mkString(", ")}")
+    val fps = corpusFps.select(
+      col(corpusFps.columns(0)).cast("long").as("doc_id"),
+      col(corpusFps.columns(1)).cast("long").as("hi"),
+      col(corpusFps.columns(2)).cast("long").as("lo"))
+    matchAgainstFingerprints(fps,
+      phashFingerprints(batchImgs).localCheckpoint(true))
   }
 
   /** CALL core (`CALL g.system.audio_dedup('db.clips', 'db.clusters')`):
@@ -988,6 +1113,7 @@ object Multimodal {
     "m5_png_meta" -> m5PngMeta _,
     "m8_phash_neardup" -> m8PhashNeardup _,
     "m9_audio_neardup" -> m9AudioNeardup _,
+    "m10_incremental_phash" -> m10IncrementalPhash _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1103,6 +1229,41 @@ object Multimodal {
          |FROM h a JOIN h b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
          |ORDER BY 1, 2""".stripMargin),
+    // m10: the oracle replays m8's dHash CTE over base docs (the
+    // committed corpus) and the twins (the intake batch), then runs
+    // the quadratic batch×corpus Hamming join the Bloom-prefiltered
+    // banded match replaces, collapsed to one min-match row per batch
+    // doc — the d15 proof shape at fingerprint grain
+    "m10_incremental_phash" ->
+      ("""WITH tw AS (SELECT doc_id + 1000000000000 AS doc_id,
+         |         substr(text, 1, CAST(length(text)-1 AS INT)) || 'x' AS text
+         |       FROM documents WHERE doc_id % 13 = 0 AND length(text) > 0),
+         |corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM tw),
+         |f AS (SELECT doc_id, text, length(text) len,
+         |             length(text) % 48 + 16 w, length(text) % 24 + 16 h
+         |      FROM corpus),
+         |gx AS (SELECT doc_id, w, h, len, text, unnest(range(0, 8)) ty FROM f),
+         |gxy AS (SELECT doc_id, w, h, len, text, ty, unnest(range(0, 8)) tx
+         |        FROM gx),
+         |bits AS (SELECT doc_id, ty, tx,
+         |  CASE WHEN (CASE WHEN len = 0 THEN 0 ELSE
+         |      ascii(substr(text, CAST(((ty*h//8)*w + (tx*w//9)) % len AS INT)+1, 1)) END)
+         |     < (CASE WHEN len = 0 THEN 0 ELSE
+         |      ascii(substr(text, CAST(((ty*h//8)*w + ((tx+1)*w//9)) % len AS INT)+1, 1)) END)
+         |  THEN 1 ELSE 0 END bv
+         |  FROM gxy),
+         |hh AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN ty < 4 THEN bv * (1::BIGINT << (ty*8+tx)) ELSE 0 END) AS BIGINT) hi,
+         |  CAST(sum(CASE WHEN ty >= 4 THEN bv * (1::BIGINT << (ty*8+tx-32)) ELSE 0 END) AS BIGINT) lo
+         |  FROM bits GROUP BY doc_id)
+         |SELECT b.doc_id,
+         |  CAST(min(c.doc_id) AS BIGINT) match_id,
+         |  CAST(min(bit_count(xor(b.hi, c.hi)) + bit_count(xor(b.lo, c.lo))) AS BIGINT) hamming
+         |FROM hh b JOIN hh c
+         |  ON b.doc_id >= 1000000000000 AND c.doc_id < 1000000000000
+         |  AND bit_count(xor(b.hi, c.hi)) + bit_count(xor(b.lo, c.lo)) <= 3
+         |GROUP BY b.doc_id
+         |ORDER BY b.doc_id""".stripMargin),
     // m9: PCM is lossless — the oracle recomputes the sign fingerprint
     // straight from the synthesis formula (m6's proof shape), then runs
     // the ALL-PAIRS Hamming join over the distinct-fingerprint

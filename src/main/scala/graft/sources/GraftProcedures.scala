@@ -63,6 +63,8 @@ import graft.storage.GraftTable
   *   CALL graft.system.lang_id('db.t', 'db.langs')      -- t3, per-doc
   *   CALL graft.system.phash_dedup('db.imgs', 'db.clusters') -- image dedup
   *   CALL graft.system.audio_dedup('db.clips', 'db.clusters') -- audio dedup
+  *   CALL graft.system.phash_index('db.imgs', 'db.fps') -- commit fingerprints
+  *   CALL graft.system.phash_match('db.batch', 'db.fps', 'db.hits') -- intake
   * }}}
   *
   * Each returns a one-row result describing what it did; the pipeline
@@ -86,7 +88,7 @@ private[sources] object GraftProcedures {
       "ann_probe_int8", "ann_probe_pq", "ann_probe_bin", "ann_verify",
       "ann_delete", "ann_build", "ann_quantize", "ann_append",
       "ann_stats", "ann_compact", "ann_drop", "pii_scrub", "lang_id",
-      "phash_dedup", "audio_dedup")
+      "phash_dedup", "audio_dedup", "phash_index", "phash_match")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -123,13 +125,18 @@ private[sources] object GraftProcedures {
               procName == "source_mix" || procName == "split_assign" ||
               procName == "quality_votes" || procName == "dataset_card" ||
               procName == "pii_scrub" || procName == "lang_id" ||
-              procName == "phash_dedup" || procName == "audio_dedup")
+              procName == "phash_dedup" || procName == "audio_dedup" ||
+              procName == "phash_index")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
           else if (procName == "decontaminate" ||
               procName == "contamination_report")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("eval_table", StringType).build(),
+              ProcedureParameter.in("target", StringType).build())
+          else if (procName == "phash_match")
+            Array(ProcedureParameter.in("table", StringType).build(),
+              ProcedureParameter.in("fingerprints", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
           else if (procName == "ann_probe" || procName == "ann_probe_int8" ||
               procName == "ann_probe_pq" || procName == "ann_probe_bin") {
@@ -548,7 +555,8 @@ private[sources] object GraftProcedures {
               procName == "ann_probe_pq" || procName == "ann_probe_bin" ||
               procName == "dataset_card" || procName == "pii_scrub" ||
               procName == "lang_id" || procName == "phash_dedup" ||
-              procName == "audio_dedup") {
+              procName == "audio_dedup" || procName == "phash_index" ||
+              procName == "phash_match") {
             val spark = SparkSession.active
             val (metric, n) = procName match {
               case "dedup_exact" =>
@@ -598,6 +606,23 @@ private[sources] object GraftProcedures {
                 ("docs_clustered",
                   writeResult(
                     graft.operators.Multimodal.audioDedupCore(t.read()), 1))
+              case "phash_index" =>
+                // commit a corpus's image fingerprints as a first-class
+                // table — the artifact phash_match checks intake batches
+                // against without re-decoding the corpus
+                ("fingerprints_written",
+                  writeResult(
+                    graft.operators.Multimodal.phashFingerprints(t.read()), 1))
+              case "phash_match" =>
+                // intake batch vs COMMITTED fingerprints: hash ∝ batch,
+                // Bloom-prefiltered corpus side, min-match rows
+                val fpsName = checkName(input.getUTF8String(1).toString)
+                val fpsDir = tableDir(fpsName)
+                require(GraftTable.exists(fpsDir), s"no graft table $fpsName")
+                val fps = GraftTable.open(spark, fpsDir).read()
+                ("batch_docs_matched",
+                  writeResult(
+                    graft.operators.Multimodal.phashMatchCore(t.read(), fps), 2))
               case "contamination_report" =>
                 val evalName = checkName(input.getUTF8String(1).toString)
                 val evalDir = tableDir(evalName)

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Multimodal
+import graft.storage.GraftTable
+
+/** Streaming incremental IMAGE near-dup — the continuous twin of the
+  * batch m10 ([[graft.operators.Multimodal.m10IncrementalPhash]]) and
+  * of `CALL phash_match`: every micro-batch of arriving images is
+  * dHashed and checked against a COMMITTED corpus fingerprint table
+  * (`CALL phash_index`'s artifact), and min-match rows land in a graft
+  * table exactly-once.
+  *
+  * Stream-static discipline, like [[SpanStream]]/[[RangeJoinStream]]:
+  * a match row depends only on its own image and the immutable
+  * fingerprint side, so per-batch matching is exact with ZERO
+  * streaming state — no state store, no watermark (the spec pins
+  * `stateOperators` empty). The fingerprint frame is persisted ONCE
+  * before the stream starts (fingerprints, not images — the corpus is
+  * never re-decoded); each batch is hashed ∝ batch, Bloom-sketches its
+  * OWN band keys, and map-side prunes the cached corpus fingerprints
+  * before the banded equality join
+  * ([[Multimodal.matchAgainstFingerprints]], the shared body — batch
+  * entry, CALL verb, and stream cannot drift). Exactly-once comes from
+  * [[GraftTable.appendStream]]'s txn watermark. */
+object FingerprintStream {
+
+  /** Start checking `incoming` (a streaming frame whose first two
+    * columns are (id, image bytes)) against the static `corpusFps`
+    * (doc_id, hi, lo); min-match rows append to `dest` exactly-once
+    * under the checkpoint's txn id. The fingerprint frame is
+    * materialized synchronously before the stream starts and released
+    * when it terminates. */
+  def start(incoming: DataFrame, corpusFps: DataFrame, dest: GraftTable,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val id = GraftStreamIngest.txnId(checkpoint)
+    val fps = corpusFps
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fps.count() // one fingerprint pass, before the first trigger
+    val q = incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // one decode of the batch feeds the Bloom sketch action AND
+        // the member-expansion join (the SpanStream per-batch
+        // discipline, with localCheckpoint because the hash stage is
+        // the dominant per-batch cost)
+        val bfps = Multimodal.phashFingerprints(batch).localCheckpoint(true)
+        dest.appendStream(
+          Multimodal.matchAgainstFingerprints(fps, bfps), id, batchId)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+    GraftStreamIngest.releaseOnTerminate(q)(() => { fps.unpersist(); () })
+    q
+  }
+}

@@ -687,6 +687,33 @@ class GraftCatalogSpec extends SparkSpec {
           .map(e => Option(e.getMessage).getOrElse("")).mkString(" | "))
       assert(rootMsg(exAu).contains("doc 9"),
         s"undecodable audio must refuse loudly with the id: ${rootMsg(exAu)}")
+      // -- phash_index commits fingerprints once; phash_match checks an
+      // intake batch against the COMMITTED table (no corpus re-decode:
+      // the matcher reads (doc_id, hi, lo), not image bytes) ----------
+      spark.sql(
+        "CALL gcat.system.phash_index('db1.call_imgs', 'db1.call_fps')")
+      val fpsT = spark.table("gcat.db1.call_fps")
+      assert(fpsT.columns.toSeq === Seq("doc_id", "hi", "lo"))
+      assert(fpsT.count() === media.count(),
+        "one committed fingerprint per corpus image")
+      // intake: a byte-identical copy of image 5 under a new id, plus
+      // an image the corpus has never seen (id 8000001 renders from a
+      // doc_id-dependent geometry, so only the exact copy matches)
+      val intake = imgs.filter(col("doc_id") === 5L)
+        .select((col("doc_id") + 8000000L).as("doc_id"), col("img"))
+      GraftTable.create(spark, s"$warehouse/db1/call_intake", intake.schema)
+        .append(intake)
+      spark.sql("CALL gcat.system.phash_match(" +
+        "'db1.call_intake', 'db1.call_fps', 'db1.call_hits')")
+      val gotHit = spark.table("gcat.db1.call_hits").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val wantHit = graft.operators.Multimodal.phashMatchCore(
+          GraftTable.open(spark, s"$warehouse/db1/call_intake").read(),
+          GraftTable.open(spark, s"$warehouse/db1/call_fps").read())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(gotHit === wantHit, "CALL phash_match must reproduce the core")
+      assert(gotHit.exists(h => h._1 == 8000005L && h._3 == 0L),
+        s"the intake copy must match its committed original at distance 0: $gotHit")
       // -- retryable CALL: crash residue between create-commit and
       // append is a committed EMPTY v0 target CARRYING the path's
       // _call_pending marker; the retry reclaims exactly that --

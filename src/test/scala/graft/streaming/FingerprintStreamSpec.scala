@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.operators.Multimodal
+import graft.storage.GraftTable
+
+/** Continuous image near-dup intake: a multi-batch image stream checked
+  * against committed corpus fingerprints must produce exactly the
+  * phash_match batch results, land them exactly-once, hold NO streaming
+  * state, and replay nothing on restart. */
+class FingerprintStreamSpec extends SparkSpec {
+
+  /** 64×64 grayscale PNG: pixel = column index, with chosen dHash grid
+    * samples forced to 255 so exactly those bits flip (the
+    * MultimodalSpec family). */
+  private def gridPng(flipBits: Seq[(Int, Int)]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until 64; x <- 0 until 64) raster.setSample(x, y, 0, x)
+    flipBits.foreach { case (ty, tx) =>
+      raster.setSample(tx * 64 / 9, ty * 64 / 8, 0, 255)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("streamed fingerprint matches equal batch phash_match; stateless; replay appends nothing") {
+    import spark.implicits._
+    // committed corpus: two distinct images + an inverted decoy
+    val base = gridPng(Nil)
+    val far = gridPng(Seq((0, 0), (1, 1), (2, 2), (3, 3), (4, 4))) // 5 bits off base
+    val corpusImgs = Seq((1L, base), (2L, far)).toDF("doc_id", "img")
+    val fps = Multimodal.phashFingerprints(corpusImgs)
+    // intake: batch A = exact copy of img1 + 1-bit variant of img2;
+    // batch B = unrelated inverted image (no match) + 2-bit variant of
+    // img1 — base-vs-far is 5 bits apart, so each variant matches ONLY
+    // its own original
+    val v2of1 = gridPng(Seq((5, 5), (6, 6)))
+    val v1of2 = gridPng(Seq((0, 0), (1, 1), (2, 2), (3, 3), (4, 4), (7, 7)))
+    val inv = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 64; x <- 0 until 64)
+        img.getRaster.setSample(x, y, 0, 63 - x)
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", o); o.toByteArray
+    }
+    val batchA = Seq((101L, base), (102L, v1of2))
+    val batchB = Seq((103L, inv), (104L, v2of1))
+    val src = tmpDir("fps-stream-src")
+    batchA.toDF("doc_id", "img").write.parquet(s"$src/part=a")
+    batchB.toDF("doc_id", "img").write.parquet(s"$src/part=b")
+    val expected = Multimodal.phashMatchCore(
+      (batchA ++ batchB).toDF("doc_id", "img"), fps).collect()
+    assert(expected.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq === Seq((101L, 1L, 0L), (102L, 2L, 1L), (104L, 1L, 2L)),
+      "batch oracle: exact copy → its original, variants → theirs, decoy out")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("img", BinaryType)))
+    def incoming = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(src)
+    val destLoc = tmpDir("fps-stream-dest") + "/t"
+    val dest = GraftTable.create(spark, destLoc,
+      Multimodal.phashMatchCore(corpusImgs.limit(0), fps).schema)
+    val ckpt = tmpDir("fps-stream-ckpt")
+    val q = FingerprintStream.start(incoming, fps, dest, ckpt)
+    assert(q.awaitTermination(120000), "fingerprint stream drain timed out")
+    // STATELESS: the per-batch banded join needs no state store
+    val progress = q.recentProgress
+    assert(progress.nonEmpty && progress.forall(_.stateOperators.isEmpty),
+      "fingerprint matching must hold no streaming state")
+    val streamed = dest.read().orderBy("doc_id").collect()
+    assert(streamed.map(_.toSeq).toSeq === expected.map(_.toSeq).toSeq,
+      "the continuous fingerprint check must equal batch phash_match")
+    // restart on the same checkpoint: replay must be a no-op
+    val q2 = FingerprintStream.start(incoming, fps, dest, ckpt)
+    assert(q2.awaitTermination(120000))
+    assert(dest.read().count() === expected.length.toLong,
+      "replay must be a no-op")
+    GraftTable.drop(destLoc)
+  }
+}
