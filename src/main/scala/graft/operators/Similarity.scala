@@ -167,7 +167,7 @@ object Similarity {
     * `ann_verify` would flag after the fact). Takes the frame's first
     * two columns as (id, embedding). Returns rows appended. */
   def appendVectorsToIndex(s: SparkSession, root: String,
-      vectors: DataFrame): Long = {
+      vectors: DataFrame, autoCompactMinFiles: Int = 0): Long = {
     val raw = validateVectorFrame(vectors)
     val clash = raw.join(
       graft.storage.GraftTable.open(s, s"$root/postings").read()
@@ -175,7 +175,37 @@ object Similarity {
       Seq("vec_id"), "left_semi").count()
     require(clash == 0L,
       s"$clash id(s) already indexed — erase first or use fresh ids")
-    appendToIvfIndex(s, root, raw)
+    val n = appendToIvfIndex(s, root, raw)
+    maybeCompactIndexTail(s, root, autoCompactMinFiles)
+    n
+  }
+
+  /** Opt-in APPEND-TIME index hygiene (VERDICT r13 #7) — the index-grain
+    * twin of the table layer's `auto_compact_min_files` option: every
+    * incremental append lands ≥1 new small file per touched list per
+    * rung, and without maintenance a probe eventually opens O(appends)
+    * files per probed list (`ann_stats`'s files_per_list_x100 signal).
+    * When the caller opts in (`ann_append('db.idx','db.v', min_files)`),
+    * each sibling whose committed file count reached the threshold folds
+    * its SMALL-FILE TAIL (`compactSmall` — cost ∝ tail, never the
+    * table; a fold's output graduates past the small threshold, so
+    * repeated appends re-fold only newcomers). Runs AFTER the append's
+    * own commit (the rows are durable either way — the table layer's
+    * best-effort discipline) and UNDER the maintenance marker, so a
+    * concurrent append from another session refuses during the fold
+    * window instead of racing it. Row-, cluster- and DV-preserving:
+    * probe results are bit-identical before/after (spec-pinned). */
+  private def maybeCompactIndexTail(s: SparkSession, root: String,
+      minFiles: Int): Unit = {
+    if (minFiles <= 0) return
+    withMaintenanceMarker(root) {
+      IndexSiblingTables
+        .filter(t => graft.storage.GraftTable.exists(s"$root/$t"))
+        .foreach { name =>
+          val t = graft.storage.GraftTable.open(s, s"$root/$name")
+          if (t.committedFiles.size >= minFiles) { t.compactSmall(); () }
+        }
+    }
   }
 
   /** The shared input-hygiene gate of [[buildIvfIndexFrom]] and
@@ -839,6 +869,10 @@ object Similarity {
     * point the caller uses does not matter on a multi-index root. */
   private def appendAssignedToIndex(s: SparkSession, root: String,
       assigned: DataFrame): Long = {
+    // every rung's append and CALL ann_append funnel through here — ONE
+    // site enforces the exclusive-writer contract against an in-flight
+    // compact/rebuild/repair/quantize (VERDICT r13 missing #3)
+    requireNotUnderMaintenance(root, "append")
     if (graft.storage.GraftTable.exists(s"$root/codes")) {
       val cb = graft.storage.GraftTable.open(s, s"$root/codebook").read()
       val codesDf = assigned.select(col("label"), col("vec_id"))
@@ -990,6 +1024,7 @@ object Similarity {
       targetBytes: Long = 128L << 20): Seq[(String, Long)] = {
     require(graft.storage.GraftTable.exists(s"$root/postings"),
       s"no persisted ANN index at $root")
+    withMaintenanceMarker(root) {
     IndexSiblingTables
       .filter(t => graft.storage.GraftTable.exists(s"$root/$t"))
       .map { name =>
@@ -1000,6 +1035,7 @@ object Similarity {
           else 0L
         name -> (merged + folded)
       }
+    }
   }
 
   /** Index DROP (`CALL g.system.ann_drop`) — the lifecycle's GC verb:
@@ -1089,7 +1125,8 @@ object Similarity {
     * (crash recovery ≠ concurrent-reader isolation). Returns
     * (codeRowsAdded, badCodeRowsFixed) where "fixed" counts orphans
     * dropped plus mislabeled rows re-labeled. */
-  def repairIvfPqIndex(s: SparkSession, root: String): (Long, Long) = {
+  def repairIvfPqIndex(s: SparkSession, root: String): (Long, Long) =
+      withMaintenanceMarker(root) {
     val tmp = s"$root/codes_repair"
     // crash recovery FIRST: a previous repair that died between
     // drop(codes) and cloneTo left the clean table in the staging dir
@@ -1512,6 +1549,52 @@ object Similarity {
   private val RebuildTables =
     Seq("centroids", "postings", "codes", "codes_i8", "codes_bin")
 
+  // separate holder: mixing Logging into Similarity itself would shadow
+  // functions.log (the math function) with the slf4j logger
+  private object MaintLog extends org.apache.spark.internal.Logging {
+    def warn(msg: String): Unit = logWarning(msg)
+  }
+
+  /** Exclusive-writer contract on index maintenance, ENFORCED (VERDICT
+    * r13 missing #3): compact/rebuild/repair/quantize each hold this
+    * marker under the index root for their whole run — their staging
+    * swaps are not safe against a concurrent append — and every append
+    * entry point ([[appendAssignedToIndex]], which all four rungs'
+    * appends and `CALL ann_append` funnel through) refuses LOUDLY while
+    * it is present, turning a silent race into a refusal. A CRASHED
+    * verb's marker is reclaimed by the next maintenance verb (each
+    * verb's own crash recovery — rebuild's swap marker, the repairs'
+    * staging protocol — runs under the fresh marker), so a stale marker
+    * delays appends until the operator re-runs maintenance, never
+    * bricks the index. Two maintenance verbs were ALREADY mutually
+    * exclusive by documented contract; the marker does not arbitrate
+    * between them. */
+  private[operators] val MaintenanceMarker = "_index_maintenance"
+
+  private def withMaintenanceMarker[T](root: String)(body: => T): T = {
+    val (fs, _) = graft.storage.GraftTable.fsAndPath(root)
+    val marker = new org.apache.hadoop.fs.Path(root, MaintenanceMarker)
+    if (fs.exists(marker)) {
+      MaintLog.warn(s"reclaiming stale maintenance marker at $root — a " +
+        "previous maintenance verb crashed before releasing it; its " +
+        "crash residue is recovered by this verb's own preamble")
+      fs.delete(marker, false)
+      ()
+    }
+    fs.create(marker, false).close()
+    try body
+    finally { fs.delete(marker, false); () }
+  }
+
+  private[operators] def requireNotUnderMaintenance(root: String,
+      verb: String): Unit = {
+    val (fs, _) = graft.storage.GraftTable.fsAndPath(root)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, MaintenanceMarker)),
+      s"index at $root is under maintenance ($MaintenanceMarker present) — " +
+        s"$verb refused; retry after the maintenance verb completes (a " +
+        "crashed verb's marker is reclaimed by the next maintenance verb)")
+  }
+
   /** The rebuild swap's crash-recovery preamble, run at the start of
     * every [[rebuildIvfIndex]]: a present [[RebuildSwapMarker]] means
     * staging was COMPLETE and the interrupted swap sequence is
@@ -1676,6 +1759,7 @@ object Similarity {
     require(GraftTable.exists(s"$root/postings") &&
       GraftTable.exists(s"$root/centroids"),
       s"no committed IVF index at $root — build one first (buildIvfIndexFrom/ann_build)")
+    withMaintenanceMarker(root) {
     val post = GraftTable.open(s, s"$root/postings").read()
     val nLists = GraftTable.open(s, s"$root/centroids")
       .rowCountFromMetadata().toInt.max(1)
@@ -1719,10 +1803,11 @@ object Similarity {
         throw new IllegalArgumentException(
           s"unknown quantization rung '$other' — expected pq, int8, or bin")
     }
+    }
   }
 
   def rebuildIvfIndex(s: SparkSession, root: String,
-      iters: Int = 5): (Int, Long) = {
+      iters: Int = 5): (Int, Long) = withMaintenanceMarker(root) {
     import graft.storage.{GraftTable, GraftTableOptions}
     val names = RebuildTables
     val (fs, _) = GraftTable.fsAndPath(root)
@@ -2688,7 +2773,8 @@ object Similarity {
     * (review r13). Returns (codeRowsAdded, badCodeRowsFixed). */
   private def repairCodesSibling(s: SparkSession, root: String,
       table: String, rung: String,
-      encode: DataFrame => DataFrame): (Long, Long) = {
+      encode: DataFrame => DataFrame): (Long, Long) =
+      withMaintenanceMarker(root) {
     val tmp = s"$root/${table}_repair"
     if (!graft.storage.GraftTable.exists(s"$root/$table")) {
       require(graft.storage.GraftTable.exists(tmp),

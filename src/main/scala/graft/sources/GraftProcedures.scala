@@ -166,9 +166,17 @@ private[sources] object GraftProcedures {
           else if (procName == "ann_quantize")
             Array(ProcedureParameter.in("index", StringType).build(),
               ProcedureParameter.in("rung", StringType).build())
-          else if (procName == "ann_append")
-            Array(ProcedureParameter.in("index", StringType).build(),
+          else if (procName == "ann_append") {
+            // arity-overloaded: an optional 3rd arg opts into append-time
+            // small-file folding once a sibling reaches that many files —
+            // CALL g.system.ann_append('db.idx', 'db.v', 8)
+            val base = Array(ProcedureParameter.in("index", StringType).build(),
               ProcedureParameter.in("vectors_table", StringType).build())
+            if (inputType.size >= 3)
+              base :+ ProcedureParameter.in("auto_compact_min_files",
+                IntegerType).build()
+            else base
+          }
           else if (procName == "ann_build") {
             // arity-overloaded: an optional 3rd arg sets the list count
             val base = Array(ProcedureParameter.in("vectors", StringType).build(),
@@ -494,8 +502,9 @@ private[sources] object GraftProcedures {
             val vecDir = tableDir(vecName)
             require(GraftTable.exists(vecDir), s"no graft table $vecName")
             val vecs = GraftTable.open(spark, vecDir).read()
+            val minFiles = if (input.numFields >= 3) input.getInt(2) else 0
             val n = graft.operators.Similarity
-              .appendVectorsToIndex(spark, dir, vecs)
+              .appendVectorsToIndex(spark, dir, vecs, minFiles)
             val schema = StructType(Seq(
               StructField("table", StringType, nullable = false),
               StructField("metric", StringType, nullable = false),

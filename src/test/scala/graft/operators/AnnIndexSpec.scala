@@ -1416,4 +1416,89 @@ class AnnIndexSpec extends SparkSpec {
     val ex2 = intercept[Exception] { Similarity.dropIndex(spark, tmpDir("not-idx")) }
     assert(ex2.getMessage.contains("no persisted ANN index"))
   }
+
+  test("maintenance marker: appends refuse while a verb is in flight; the next verb reclaims a crashed marker; ann_build reclaims empty-postings residue") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val root = tmpDir("ann-maint")
+    Similarity.buildIvfIndexFrom(spark, vecs, root, nLists = 4)
+    val (fs, _) = GraftTable.fsAndPath(root)
+    val marker = new org.apache.hadoop.fs.Path(root,
+      Similarity.MaintenanceMarker)
+    // an in-flight (or crashed) compact holds the marker — the append
+    // entry point must refuse loudly, not race the staging swap
+    fs.create(marker, false).close()
+    val v0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0).select("embedding").head
+      .getSeq[Float](0).toArray
+    val eApp = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, root,
+        Seq((6000000L, v0)).toDF("vec_id", "embedding"))
+    }
+    assert(eApp.getMessage.contains("under maintenance"),
+      s"append during maintenance must refuse loudly: ${eApp.getMessage}")
+    // the CALL-surface append funnels through the same site
+    val eApp2 = intercept[IllegalArgumentException] {
+      Similarity.appendVectorsToIndex(spark, root,
+        Seq((6000000L, v0)).toDF("vec_id", "embedding"))
+    }
+    assert(eApp2.getMessage.contains("under maintenance"))
+    // a crashed verb's marker is reclaimed by the NEXT maintenance
+    // verb: compact completes and releases, appends flow again
+    Similarity.annCompactIndex(spark, root)
+    assert(!fs.exists(marker), "a completed verb must release the marker")
+    assert(Similarity.appendToIvfIndex(spark, root,
+      Seq((6000000L, v0)).toDF("vec_id", "embedding")) === 1L)
+    // quantize holds the marker for its run too, and releases it
+    Similarity.quantizeIndex(spark, root, "bin")
+    assert(!fs.exists(marker))
+    // ann_build residue reclaim (ADVICE r13): a crash between the
+    // postings CREATE and its first append leaves an empty v0 postings
+    // table — the build must reclaim it instead of refusing forever
+    val root2 = tmpDir("ann-maint-residue")
+    GraftTable.create(spark, s"$root2/postings",
+      GraftTable.open(spark, s"$root/postings").read().schema)
+    val (nl2, _) = Similarity.buildIvfIndexFrom(spark, vecs, root2, nLists = 4)
+    assert(nl2 === 4, "empty-v0 postings residue must be reclaimed")
+    // …while a root with COMMITTED data versions still refuses
+    val eBuild = intercept[IllegalArgumentException] {
+      Similarity.buildIvfIndexFrom(spark, vecs, root, nLists = 4)
+    }
+    assert(eBuild.getMessage.contains("append/rebuild instead"))
+  }
+
+  test("opt-in append-time auto-compact: fragmentation signal drops without a manual CALL; probes bit-identical") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // two identical roots (the build is deterministic): control appends
+    // plain, the other opts into append-time folding
+    val ctrl = tmpDir("ann-ac-ctrl")
+    val auto = tmpDir("ann-ac-auto")
+    Similarity.buildIvfIndexFrom(spark, vecs, ctrl, nLists = 4)
+    Similarity.buildIvfIndexFrom(spark, vecs, auto, nLists = 4)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 6).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    emb.zipWithIndex.foreach { case ((_, v), i) =>
+      val batch = Seq((7000000L + i, v)).toDF("vec_id", "embedding")
+      assert(Similarity.appendVectorsToIndex(spark, ctrl, batch) === 1L)
+      assert(Similarity.appendVectorsToIndex(spark, auto, batch,
+        autoCompactMinFiles = 4) === 1L)
+    }
+    def frag(root: String): Long = Similarity.annIndexStats(spark, root)
+      .toMap.apply("postings.files_per_list_x100").toLong
+    assert(frag(auto) < frag(ctrl),
+      s"opt-in folding must drop the fragmentation signal without a " +
+        s"manual CALL: auto=${frag(auto)} vs ctrl=${frag(ctrl)}")
+    // probe results bit-identical: folding is row/cluster/DV-preserving
+    val q = GraftTable.open(spark, s"$ctrl/postings").read()
+      .filter(col("vec_id") === 7000003L)
+      .select(lit(-1L).as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val a = Similarity.probeIvf(spark, ctrl, q).collect().map(_.toSeq).toSeq
+    val b = Similarity.probeIvf(spark, auto, q).collect().map(_.toSeq).toSeq
+    assert(a === b && a.nonEmpty,
+      "probes over the folded root must be bit-identical to the control")
+  }
 }
