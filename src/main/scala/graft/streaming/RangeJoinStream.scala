@@ -32,9 +32,15 @@ object RangeJoinStream {
   /** Build the static banded interval side from a committed snapshot
     * directory — the serving-side artifact, like AnnStream's index. */
   def intervalBands(spark: SparkSession, dir: String): DataFrame =
+    bandsFrom(graft.Tables.load(spark, dir, "events"))
+
+  /** The banded interval side from an events FRAME (user_id, event_id,
+    * ts) — shared by [[intervalBands]] and [[startRefreshable]]'s
+    * per-tick rebuild, so the two cannot drift. */
+  def bandsFrom(events: DataFrame): DataFrame =
     Events.bandedIntervals(Events.coactivitySessions(
-      graft.Tables.load(spark, dir, "events")
-        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"))))
+      events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))))
 
   /** The continuous enrichment: arriving events (needs user_id, ts) →
     * (s_user, s_start, s_end, e_user, tsu) match rows. */
@@ -47,6 +53,49 @@ object RangeJoinStream {
   /** File-source pipeline to an in-memory sink for tests/dashboards.
     * `staticDir` is the committed snapshot the intervals come from;
     * `srcDir` is the stream. */
+  /** REFRESHABLE variant (VERDICT r13 #6): the interval side derives
+    * from a COMMITTED graft table of events and RE-BANDS when the
+    * table's version ticks — sessions accrete daily, and with the
+    * plain [[run]] the only way to serve them was a restart. Per
+    * trigger the cost is ONE metadata read (an open + version check);
+    * the band rebuild runs only on an actual tick and costs exactly
+    * what a restart's rebuild would (∝ snapshot), amortized across
+    * every trigger in between — the superseded tick's checkpoint
+    * blocks are reclaimed by the ContextCleaner once unreferenced.
+    * Still STATELESS (foreachBatch + a per-batch equality join holds
+    * no state store and needs no watermark; a match row depends only
+    * on its own event and the snapshot version serving its batch) and
+    * EXACTLY-ONCE ([[graft.storage.GraftTable.appendStream]]'s txn
+    * watermark — a replayed batch re-runs against possibly NEWER
+    * bands but its append is discarded by the watermark, so committed
+    * results never double). */
+  def startRefreshable(spark: SparkSession, staticLoc: String,
+      incoming: DataFrame, dest: graft.storage.GraftTable,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val id = GraftStreamIngest.txnId(checkpoint)
+    // single-threaded per query (foreachBatch runs on the stream's
+    // microbatch thread), so plain vars are safe
+    var cachedVersion = -1L
+    var cachedBands: DataFrame = null
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // fresh open: another session's commit must be visible here
+        val t = graft.storage.GraftTable.open(spark, staticLoc)
+        val v = t.version
+        if (cachedBands == null || v != cachedVersion) {
+          cachedBands = bandsFrom(t.read()).localCheckpoint(true)
+          cachedVersion = v
+        }
+        dest.appendStream(matches(cachedBands, batch), id, batchId)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   def run(spark: SparkSession, staticDir: String, srcDir: String,
       queryName: String, checkpointDir: String): StreamingQuery = {
     // materialize the static side once — it is immutable for the

@@ -60,4 +60,70 @@ class RangeJoinStreamSpec extends SparkSpec {
     assert(progress.forall(_.stateOperators.isEmpty),
       "the banded stream-static join must run with NO streaming state")
   }
+
+  test("refreshable interval side: a session committed MID-STREAM enriches later batches without a restart; exactly-once preserved") {
+    import spark.implicits._
+    import graft.storage.GraftTable
+    import org.apache.spark.sql.types._
+    def ev(user: Long, id: Long, sec: Long) =
+      (user, id, new java.sql.Timestamp(sec * 1000L))
+    // v1 snapshot: user 41 (the % 41 = 0 session subset) is active
+    // 1000s-1100s → padded co-activity window [100s, 2000s]
+    val staticLoc = tmpDir("rj-refresh-static") + "/t"
+    val v1 = Seq(ev(41L, 1L, 1000L), ev(41L, 2L, 1100L))
+      .toDF("user_id", "event_id", "ts")
+    val staticT = GraftTable.create(spark, staticLoc, v1.schema)
+    staticT.append(v1)
+    // stream source: batch A probes the v1 window; batch B (written
+    // mid-stream) probes BOTH the v1 window and the v2 session
+    val src = tmpDir("rj-refresh-src")
+    Seq(ev(7L, 10L, 1500L)).toDF("user_id", "event_id", "ts")
+      .write.parquet(s"$src/part=a")
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType)))
+    val incoming = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(src)
+    val destLoc = tmpDir("rj-refresh-dest") + "/t"
+    val dest = GraftTable.create(spark, destLoc,
+      RangeJoinStream.matches(
+        RangeJoinStream.bandsFrom(v1), v1.limit(0)).schema)
+    val ckpt = tmpDir("rj-refresh-ckpt")
+    val q = RangeJoinStream.startRefreshable(spark, staticLoc, incoming,
+      dest, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+    def await(n: Long, what: String): Unit = {
+      val t0 = System.nanoTime()
+      while (dest.read().count() < n) {
+        assert((System.nanoTime() - t0) / 1e9 < 90,
+          s"timed out waiting for $what (have ${dest.read().count()}, want $n)")
+        Thread.sleep(250)
+      }
+    }
+    await(1L, "the v1-window match")
+    assert(dest.read().collect().map(r => (r.getLong(0), r.getLong(3)))
+      .toSeq === Seq((41L, 7L)), "batch A matches the v1 session only")
+    // MID-STREAM commit: user 82 becomes active 100000s-100050s →
+    // padded window [99100s, 100950s]; the version tick must re-band
+    staticT.append(Seq(ev(82L, 3L, 100000L), ev(82L, 4L, 100050L))
+      .toDF("user_id", "event_id", "ts"))
+    // batch B: one probe inside the NEW window, one still inside v1's
+    Seq(ev(9L, 11L, 100500L), ev(9L, 12L, 1500L))
+      .toDF("user_id", "event_id", "ts").write.parquet(s"$src/part=b")
+    await(3L, "the post-refresh matches")
+    q.stop()
+    val got = dest.read().orderBy("s_user", "tsu").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq((41L, 7L, 1500000000L), (41L, 9L, 1500000000L),
+      (82L, 9L, 100500000000L)),
+      s"the mid-stream session must enrich batch B without a restart: $got")
+    // exactly-once across a restart on the same checkpoint: replay is
+    // a no-op even though the bands are newer than batch A's run
+    val q2 = RangeJoinStream.startRefreshable(spark, staticLoc, incoming,
+      dest, ckpt)
+    assert(q2.awaitTermination(120000))
+    assert(dest.read().count() === 3L, "replay must append nothing")
+    GraftTable.drop(destLoc)
+  }
 }
