@@ -610,16 +610,24 @@ object Multimodal {
     * fingerprint table (`CALL phash_index`'s output, or any (doc_id,
     * hi, lo) frame) — hash ∝ batch, corpus side Bloom-prefiltered,
     * collapsed min-match output ([[matchAgainstFingerprints]]). */
-  def phashMatchCore(batchImgs: DataFrame, corpusFps: DataFrame): DataFrame = {
+  def phashMatchCore(batchImgs: DataFrame, corpusFps: DataFrame): DataFrame =
+    matchCoreAgainst(batchImgs, corpusFps, phashFingerprints, "phash_match")
+
+  /** The shared batch-vs-committed-fingerprints CALL body of
+    * [[phashMatchCore]] and [[audioMatchCore]]: validate the committed
+    * (doc_id, hi, lo) shape loudly, hash the batch with the modality's
+    * fingerprint stage (ONE materialized evaluation — the Bloom sketch
+    * action and the member-expansion join both consume it), match. */
+  private def matchCoreAgainst(batch: DataFrame, corpusFps: DataFrame,
+      hash: DataFrame => DataFrame, verb: String): DataFrame = {
     require(corpusFps.columns.length >= 3,
-      s"phash_match expects a committed fingerprint table with (doc_id, " +
+      s"$verb expects a committed fingerprint table with (doc_id, " +
         s"hi, lo) as its first three columns; got ${corpusFps.columns.mkString(", ")}")
     val fps = corpusFps.select(
       col(corpusFps.columns(0)).cast("long").as("doc_id"),
       col(corpusFps.columns(1)).cast("long").as("hi"),
       col(corpusFps.columns(2)).cast("long").as("lo"))
-    matchAgainstFingerprints(fps,
-      phashFingerprints(batchImgs).localCheckpoint(true))
+    matchAgainstFingerprints(fps, hash(batch).localCheckpoint(true))
   }
 
   /** CALL core (`CALL g.system.audio_dedup('db.clips', 'db.clusters')`):
@@ -642,8 +650,20 @@ object Multimodal {
     * cluster, d7's contract. */
   def audioDedupCore(df: DataFrame): DataFrame = {
     val s = df.sparkSession
+    collapseFingerprints(s, audioFingerprints(df).localCheckpoint(true))
+  }
+
+  /** The WAV-parse → sign-fingerprint stage of [[audioDedupCore]],
+    * also the body of `CALL g.system.audio_index` — the committed
+    * artifact `CALL audio_match` checks intake batches against without
+    * re-parsing the corpus (phash_index's discipline on the sound
+    * modality). Takes the frame's first two columns as (id → long,
+    * WAV bytes); output (doc_id, hi, lo); same loud-refusal
+    * contract. */
+  def audioFingerprints(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
     import s.implicits._
-    val hashes = df.select(
+    df.select(
         col(df.columns(0)).cast("long").as("doc_id"),
         col(df.columns(1)).cast("binary").as("wav"))
       .as[(Long, Array[Byte])]
@@ -662,8 +682,16 @@ object Multimodal {
         }
         PHash(id, hi, lo)
       }.toDF()
-    collapseFingerprints(s, hashes.localCheckpoint(true))
   }
+
+  /** CALL core (`CALL g.system.audio_match('db.batch', 'db.fps',
+    * 'db.hits')`): check an intake audio batch against a COMMITTED
+    * fingerprint table (`CALL audio_index`'s output) — parse ∝ batch,
+    * corpus side Bloom-prefiltered, collapsed min-match output; the
+    * image verb's exact machinery ([[matchAgainstFingerprints]]) on
+    * the sound modality. */
+  def audioMatchCore(batchClips: DataFrame, corpusFps: DataFrame): DataFrame =
+    matchCoreAgainst(batchClips, corpusFps, audioFingerprints, "audio_match")
 
   /** Parse a RIFF/WAVE container by walking its chunk list: returns
     * (frame → channel-0 sample, frame count). Requires 16-bit integer
@@ -908,6 +936,23 @@ object Multimodal {
     // (review r13) — localCheckpoint is the buildIvfIndexFrom discipline
     collapseFingerprints(s, m9Hashes(s, dir).localCheckpoint(true))
 
+  /** m11: INCREMENTAL audio near-dup — [[matchAgainstFingerprints]] on
+    * the sound modality: the committed corpus is every unperturbed
+    * recording's fingerprint, the intake batch is the re-mastered
+    * variants (m9's `doc_id % 5 = 0` perturbation — the split rides
+    * the SAME synthesized corpus m9's oracle replays). Each re-master
+    * whose sign flips stayed within T=3 reports the min matching
+    * original; the DuckDB oracle replays the fingerprint CTE and the
+    * quadratic batch×corpus join the Bloom-prefiltered banding
+    * replaces. ONE fingerprint pass feeds both sides (localCheckpoint
+    * — the per-doc WAV stage dominates). */
+  def m11IncrementalAudio(s: SparkSession, dir: String): DataFrame = {
+    val h = m9Hashes(s, dir).localCheckpoint(true)
+    matchAgainstFingerprints(
+      h.filter(col("doc_id") % 5 =!= 0),
+      h.filter(col("doc_id") % 5 === 0))
+  }
+
   /** Collapse-first fingerprint clustering — ONE definition for m9 and
     * the production [[phashDedupCore]] verb: exact-fingerprint groupBy
     * (output ∝ distinct fingerprints), [[bandedHammingPairs]] over the
@@ -1114,6 +1159,7 @@ object Multimodal {
     "m8_phash_neardup" -> m8PhashNeardup _,
     "m9_audio_neardup" -> m9AudioNeardup _,
     "m10_incremental_phash" -> m10IncrementalPhash _,
+    "m11_incremental_audio" -> m11IncrementalAudio _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1261,6 +1307,34 @@ object Multimodal {
          |  CAST(min(bit_count(xor(b.hi, c.hi)) + bit_count(xor(b.lo, c.lo))) AS BIGINT) hamming
          |FROM hh b JOIN hh c
          |  ON b.doc_id >= 1000000000000 AND c.doc_id < 1000000000000
+         |  AND bit_count(xor(b.hi, c.hi)) + bit_count(xor(b.lo, c.lo)) <= 3
+         |GROUP BY b.doc_id
+         |ORDER BY b.doc_id""".stripMargin),
+    // m11: the oracle replays m9's fingerprint CTE, splits it into the
+    // unperturbed corpus and the re-mastered intake batch, and runs
+    // the quadratic batch×corpus Hamming join the Bloom-prefiltered
+    // banded match replaces, collapsed to one min-match row per batch
+    // doc — m10's proof shape on the sound modality
+    "m11_incremental_audio" ->
+      ("""WITH d AS (SELECT doc_id, doc_id % 97 gid,
+         |                  400 + (doc_id % 97) % 200 n,
+         |                  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END pert
+         |           FROM documents),
+         |jj AS (SELECT doc_id, gid, n, pert, unnest(range(0, 64)) j FROM d),
+         |v AS (SELECT doc_id, j,
+         |        CASE WHEN pert = 1 AND ((j*n)//64) % 101 = 0
+         |             THEN -((((gid*31 + ((j*n)//64)*7) * 40503) % 65533) - 32766)
+         |             ELSE (((gid*31 + ((j*n)//64)*7) * 40503) % 65533) - 32766 END val
+         |      FROM jj),
+         |hh AS (SELECT doc_id,
+         |        CAST(sum(CASE WHEN j < 32 AND val > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) hi,
+         |        CAST(sum(CASE WHEN j >= 32 AND val > 0 THEN (1::BIGINT << (j-32)) ELSE 0 END) AS BIGINT) lo
+         |      FROM v GROUP BY doc_id)
+         |SELECT b.doc_id,
+         |  CAST(min(c.doc_id) AS BIGINT) match_id,
+         |  CAST(min(bit_count(xor(b.hi, c.hi)) + bit_count(xor(b.lo, c.lo))) AS BIGINT) hamming
+         |FROM hh b JOIN hh c
+         |  ON b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
          |  AND bit_count(xor(b.hi, c.hi)) + bit_count(xor(b.lo, c.lo)) <= 3
          |GROUP BY b.doc_id
          |ORDER BY b.doc_id""".stripMargin),

@@ -926,6 +926,10 @@ object Similarity {
     * (SELECT ...)` path the n-series DML covers. Returns posting rows
     * deleted. */
   def deleteFromIndex(s: SparkSession, root: String, ids: Seq[Long]): Long = {
+    // erasure WRITES every sibling — during a rebuild/repair swap the
+    // target table may be mid-drop/clone, so it honors the same
+    // maintenance marker the appends do (round 14)
+    requireNotUnderMaintenance(root, "erasure")
     require(ids.nonEmpty, "empty erasure batch")
     require(ids.size <= 65536,
       s"erasure batches are bounded (got ${ids.size}); chunk the list or " +

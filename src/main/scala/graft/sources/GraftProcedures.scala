@@ -65,6 +65,8 @@ import graft.storage.GraftTable
   *   CALL graft.system.audio_dedup('db.clips', 'db.clusters') -- audio dedup
   *   CALL graft.system.phash_index('db.imgs', 'db.fps') -- commit fingerprints
   *   CALL graft.system.phash_match('db.batch', 'db.fps', 'db.hits') -- intake
+  *   CALL graft.system.audio_index('db.clips', 'db.fps') -- audio twin
+  *   CALL graft.system.audio_match('db.batch', 'db.fps', 'db.hits')
   * }}}
   *
   * Each returns a one-row result describing what it did; the pipeline
@@ -88,7 +90,8 @@ private[sources] object GraftProcedures {
       "ann_probe_int8", "ann_probe_pq", "ann_probe_bin", "ann_verify",
       "ann_delete", "ann_build", "ann_quantize", "ann_append",
       "ann_stats", "ann_compact", "ann_drop", "pii_scrub", "lang_id",
-      "phash_dedup", "audio_dedup", "phash_index", "phash_match")
+      "phash_dedup", "audio_dedup", "phash_index", "phash_match",
+      "audio_index", "audio_match")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -126,7 +129,7 @@ private[sources] object GraftProcedures {
               procName == "quality_votes" || procName == "dataset_card" ||
               procName == "pii_scrub" || procName == "lang_id" ||
               procName == "phash_dedup" || procName == "audio_dedup" ||
-              procName == "phash_index")
+              procName == "phash_index" || procName == "audio_index")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
           else if (procName == "decontaminate" ||
@@ -134,7 +137,7 @@ private[sources] object GraftProcedures {
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("eval_table", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
-          else if (procName == "phash_match")
+          else if (procName == "phash_match" || procName == "audio_match")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("fingerprints", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
@@ -565,7 +568,8 @@ private[sources] object GraftProcedures {
               procName == "dataset_card" || procName == "pii_scrub" ||
               procName == "lang_id" || procName == "phash_dedup" ||
               procName == "audio_dedup" || procName == "phash_index" ||
-              procName == "phash_match") {
+              procName == "phash_match" || procName == "audio_index" ||
+              procName == "audio_match") {
             val spark = SparkSession.active
             val (metric, n) = procName match {
               case "dedup_exact" =>
@@ -632,6 +636,22 @@ private[sources] object GraftProcedures {
                 ("batch_docs_matched",
                   writeResult(
                     graft.operators.Multimodal.phashMatchCore(t.read(), fps), 2))
+              case "audio_index" =>
+                // commit a corpus's audio sign fingerprints — the
+                // artifact audio_match checks intake batches against
+                ("fingerprints_written",
+                  writeResult(
+                    graft.operators.Multimodal.audioFingerprints(t.read()), 1))
+              case "audio_match" =>
+                // the image intake verb's exact machinery on sound:
+                // parse ∝ batch, committed corpus side prefiltered
+                val fpsName = checkName(input.getUTF8String(1).toString)
+                val fpsDir = tableDir(fpsName)
+                require(GraftTable.exists(fpsDir), s"no graft table $fpsName")
+                val fps = GraftTable.open(spark, fpsDir).read()
+                ("batch_docs_matched",
+                  writeResult(
+                    graft.operators.Multimodal.audioMatchCore(t.read(), fps), 2))
               case "contamination_report" =>
                 val evalName = checkName(input.getUTF8String(1).toString)
                 val evalDir = tableDir(evalName)

@@ -28,14 +28,19 @@ import graft.storage.GraftTable
 object FingerprintStream {
 
   /** Start checking `incoming` (a streaming frame whose first two
-    * columns are (id, image bytes)) against the static `corpusFps`
+    * columns are (id, media bytes)) against the static `corpusFps`
     * (doc_id, hi, lo); min-match rows append to `dest` exactly-once
     * under the checkpoint's txn id. The fingerprint frame is
     * materialized synchronously before the stream starts and released
-    * when it terminates. */
+    * when it terminates. `hash` is the modality's fingerprint stage —
+    * defaults to the image dHash; pass
+    * [[Multimodal.audioFingerprints]] for a WAV intake stream (the
+    * two CALL verbs' own cores, so stream and batch cannot drift). */
   def start(incoming: DataFrame, corpusFps: DataFrame, dest: GraftTable,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      hash: DataFrame => DataFrame = Multimodal.phashFingerprints)
+      : StreamingQuery = {
     val id = GraftStreamIngest.txnId(checkpoint)
     val fps = corpusFps
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -48,7 +53,7 @@ object FingerprintStream {
         // the member-expansion join (the SpanStream per-batch
         // discipline, with localCheckpoint because the hash stage is
         // the dominant per-batch cost)
-        val bfps = Multimodal.phashFingerprints(batch).localCheckpoint(true)
+        val bfps = hash(batch).localCheckpoint(true)
         dest.appendStream(
           Multimodal.matchAgainstFingerprints(fps, bfps), id, batchId)
         ()

@@ -1444,6 +1444,11 @@ class AnnIndexSpec extends SparkSpec {
         Seq((6000000L, v0)).toDF("vec_id", "embedding"))
     }
     assert(eApp2.getMessage.contains("under maintenance"))
+    // erasure writes every sibling too — same refusal
+    val eDel = intercept[IllegalArgumentException] {
+      Similarity.deleteFromIndex(spark, root, Seq(1L))
+    }
+    assert(eDel.getMessage.contains("under maintenance"))
     // a crashed verb's marker is reclaimed by the NEXT maintenance
     // verb: compact completes and releases, appends flow again
     Similarity.annCompactIndex(spark, root)

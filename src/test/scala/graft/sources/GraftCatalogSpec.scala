@@ -714,6 +714,25 @@ class GraftCatalogSpec extends SparkSpec {
       assert(gotHit === wantHit, "CALL phash_match must reproduce the core")
       assert(gotHit.exists(h => h._1 == 8000005L && h._3 == 0L),
         s"the intake copy must match its committed original at distance 0: $gotHit")
+      // -- audio_index/audio_match: the same committed-fingerprint
+      // intake shape on the sound modality ----------------------------
+      spark.sql(
+        "CALL gcat.system.audio_index('db1.call_clips', 'db1.call_afps')")
+      assert(spark.table("gcat.db1.call_afps").count() === 4L,
+        "one committed fingerprint per corpus clip")
+      val aIntake = Seq(
+          (9000001L, wavBytes(baseSm, extraChunk = false)), // exact copy
+          (9000002L, wavBytes(Array.fill[Short](640)(-1000), // negative ≠
+            extraChunk = true)))
+        .toDF("doc_id", "wav")
+      GraftTable.create(spark, s"$warehouse/db1/call_aintake", aIntake.schema)
+        .append(aIntake)
+      spark.sql("CALL gcat.system.audio_match(" +
+        "'db1.call_aintake', 'db1.call_afps', 'db1.call_ahits')")
+      val gotAHit = spark.table("gcat.db1.call_ahits").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(gotAHit === Seq((9000001L, 1L, 0L), (9000002L, 4L, 0L)),
+        s"each intake clip must match its committed fingerprint class: $gotAHit")
       // -- retryable CALL: crash residue between create-commit and
       // append is a committed EMPTY v0 target CARRYING the path's
       // _call_pending marker; the retry reclaims exactly that --

@@ -85,4 +85,54 @@ class FingerprintStreamSpec extends SparkSpec {
       "replay must be a no-op")
     GraftTable.drop(destLoc)
   }
+
+  /** Minimal canonical 16-bit PCM WAV around the given samples. */
+  private def wav(samples: Array[Short]): Array[Byte] = {
+    val n = samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(n * 2)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("the audio modality streams through the same twin: WAV intake vs committed audio fingerprints") {
+    import spark.implicits._
+    // corpus: an all-positive clip (every fingerprint bit set) and an
+    // all-negative one (no bits) — 64 bits apart
+    val pos = Array.fill[Short](640)(1000)
+    val neg = Array.fill[Short](640)(-1000)
+    val corpus = Seq((1L, wav(pos)), (2L, wav(neg))).toDF("doc_id", "wav")
+    val fps = Multimodal.audioFingerprints(corpus)
+    // intake: an exact copy of clip 1 and a 2-bit re-master of clip 2
+    // (sign-flip the samples at fingerprint positions j=0,1)
+    val rem = neg.clone(); rem(0) = 1000; rem(10) = 1000
+    val batch = Seq((201L, wav(pos)), (202L, wav(rem)))
+    val src = tmpDir("afps-stream-src")
+    batch.toDF("doc_id", "wav").write.parquet(s"$src/part=a")
+    val expected = Multimodal.audioMatchCore(
+      batch.toDF("doc_id", "wav"), fps).collect()
+    assert(expected.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq === Seq((201L, 1L, 0L), (202L, 2L, 2L)))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("wav", BinaryType)))
+    val incoming = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(src)
+    val destLoc = tmpDir("afps-stream-dest") + "/t"
+    val dest = GraftTable.create(spark, destLoc,
+      Multimodal.audioMatchCore(corpus.limit(0), fps).schema)
+    val q = FingerprintStream.start(incoming, fps, dest,
+      tmpDir("afps-stream-ckpt"),
+      hash = Multimodal.audioFingerprints)
+    assert(q.awaitTermination(120000), "audio fingerprint stream timed out")
+    assert(dest.read().orderBy("doc_id").collect().map(_.toSeq).toSeq ===
+      expected.map(_.toSeq).toSeq,
+      "the audio stream must equal batch audio_match")
+    GraftTable.drop(destLoc)
+  }
 }
