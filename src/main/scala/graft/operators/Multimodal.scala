@@ -613,6 +613,32 @@ object Multimodal {
   def phashMatchCore(batchImgs: DataFrame, corpusFps: DataFrame): DataFrame =
     matchCoreAgainst(batchImgs, corpusFps, phashFingerprints, "phash_match")
 
+  /** The intake loop's ACCEPT step (`CALL phash_index_append('db.new',
+    * 'db.fps')` / `audio_index_append`): append a new batch's
+    * fingerprints to the COMMITTED fingerprint table — after
+    * `phash_match` said which batch docs to drop, the survivors join
+    * the corpus so tomorrow's batch dedups against them too. Hygiene
+    * is the ann_append discipline: ids already fingerprinted refuse
+    * loudly (a double-insert would make the min-match contract pick
+    * between two rows for one doc). One materialized hash evaluation
+    * feeds the clash check and the append. Returns rows appended. */
+  def fingerprintAppendCore(batch: DataFrame,
+      fpsT: graft.storage.GraftTable,
+      hash: DataFrame => DataFrame): Long = {
+    val committed = fpsT.read()
+    require(committed.columns.take(3).sameElements(Seq("doc_id", "hi", "lo")),
+      s"target is not a committed fingerprint table (expected (doc_id, " +
+        s"hi, lo), got ${committed.columns.mkString(", ")}) — create it " +
+        "with phash_index/audio_index first")
+    val bfps = hash(batch).localCheckpoint(true)
+    val clash = bfps.join(committed.select(col("doc_id")),
+      Seq("doc_id"), "left_semi").count()
+    require(clash == 0L,
+      s"$clash id(s) already fingerprinted — an intake batch must carry " +
+        "fresh ids (or erase the old rows first)")
+    fpsT.append(bfps)
+  }
+
   /** The shared batch-vs-committed-fingerprints CALL body of
     * [[phashMatchCore]] and [[audioMatchCore]]: validate the committed
     * (doc_id, hi, lo) shape loudly, hash the batch with the modality's

@@ -67,6 +67,8 @@ import graft.storage.GraftTable
   *   CALL graft.system.phash_match('db.batch', 'db.fps', 'db.hits') -- intake
   *   CALL graft.system.audio_index('db.clips', 'db.fps') -- audio twin
   *   CALL graft.system.audio_match('db.batch', 'db.fps', 'db.hits')
+  *   CALL graft.system.phash_index_append('db.new', 'db.fps') -- accept step
+  *   CALL graft.system.audio_index_append('db.new', 'db.fps')
   * }}}
   *
   * Each returns a one-row result describing what it did; the pipeline
@@ -91,7 +93,8 @@ private[sources] object GraftProcedures {
       "ann_delete", "ann_build", "ann_quantize", "ann_append",
       "ann_stats", "ann_compact", "ann_drop", "pii_scrub", "lang_id",
       "phash_dedup", "audio_dedup", "phash_index", "phash_match",
-      "audio_index", "audio_match")
+      "audio_index", "audio_match", "phash_index_append",
+      "audio_index_append")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -141,6 +144,10 @@ private[sources] object GraftProcedures {
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("fingerprints", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
+          else if (procName == "phash_index_append" ||
+              procName == "audio_index_append")
+            Array(ProcedureParameter.in("table", StringType).build(),
+              ProcedureParameter.in("fingerprints", StringType).build())
           else if (procName == "ann_probe" || procName == "ann_probe_int8" ||
               procName == "ann_probe_pq" || procName == "ann_probe_bin") {
             // arity-overloaded: an optional 4th arg widens the probe to
@@ -569,7 +576,8 @@ private[sources] object GraftProcedures {
               procName == "lang_id" || procName == "phash_dedup" ||
               procName == "audio_dedup" || procName == "phash_index" ||
               procName == "phash_match" || procName == "audio_index" ||
-              procName == "audio_match") {
+              procName == "audio_match" || procName == "phash_index_append" ||
+              procName == "audio_index_append") {
             val spark = SparkSession.active
             val (metric, n) = procName match {
               case "dedup_exact" =>
@@ -652,6 +660,21 @@ private[sources] object GraftProcedures {
                 ("batch_docs_matched",
                   writeResult(
                     graft.operators.Multimodal.audioMatchCore(t.read(), fps), 2))
+              case "phash_index_append" | "audio_index_append" =>
+                // the intake loop's ACCEPT step: the batch's
+                // fingerprints join the COMMITTED table (no fresh
+                // target — this verb grows an existing artifact)
+                val fpsName = checkName(input.getUTF8String(1).toString)
+                val fpsDir = tableDir(fpsName)
+                require(GraftTable.exists(fpsDir), s"no graft table $fpsName")
+                val hash: org.apache.spark.sql.DataFrame =>
+                    org.apache.spark.sql.DataFrame =
+                  if (procName == "phash_index_append")
+                    graft.operators.Multimodal.phashFingerprints
+                  else graft.operators.Multimodal.audioFingerprints
+                ("fingerprints_appended",
+                  graft.operators.Multimodal.fingerprintAppendCore(
+                    t.read(), GraftTable.open(spark, fpsDir), hash))
               case "contamination_report" =>
                 val evalName = checkName(input.getUTF8String(1).toString)
                 val evalDir = tableDir(evalName)

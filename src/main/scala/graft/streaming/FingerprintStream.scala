@@ -63,4 +63,43 @@ object FingerprintStream {
     GraftStreamIngest.releaseOnTerminate(q)(() => { fps.unpersist(); () })
     q
   }
+
+  /** REFRESHABLE variant (RangeJoinStream.startRefreshable's
+    * discipline on this operator): the fingerprint side derives from a
+    * COMMITTED graft table — `CALL phash_index`'s artifact, grown by
+    * `phash_index_append` as intake batches are accepted — and is
+    * re-read when the table's version ticks, so fingerprints committed
+    * MID-STREAM dedup later batches without a restart. One metadata
+    * read per trigger; the re-read runs only on an actual commit. The
+    * txn watermark keeps replays exactly-once even against newer
+    * fingerprints. */
+  def startRefreshable(spark: org.apache.spark.sql.SparkSession,
+      fpsLoc: String, incoming: DataFrame, dest: GraftTable,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      hash: DataFrame => DataFrame = Multimodal.phashFingerprints)
+      : StreamingQuery = {
+    val id = GraftStreamIngest.txnId(checkpoint)
+    // single-threaded per query (foreachBatch runs on the microbatch
+    // thread), so plain vars are safe
+    var cachedVersion = -1L
+    var cachedFps: DataFrame = null
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t = GraftTable.open(spark, fpsLoc) // fresh: see other commits
+        val v = t.version
+        if (cachedFps == null || v != cachedVersion) {
+          cachedFps = t.read().localCheckpoint(true)
+          cachedVersion = v
+        }
+        val bfps = hash(batch).localCheckpoint(true)
+        dest.appendStream(
+          Multimodal.matchAgainstFingerprints(cachedFps, bfps), id, batchId)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
 }

@@ -733,6 +733,25 @@ class GraftCatalogSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       assert(gotAHit === Seq((9000001L, 1L, 0L), (9000002L, 4L, 0L)),
         s"each intake clip must match its committed fingerprint class: $gotAHit")
+      // -- phash_index_append: the intake loop's ACCEPT step grows the
+      // committed fingerprint table in place ---------------------------
+      val acceptImgs = imgs.filter(col("doc_id") === 7L)
+        .select((col("doc_id") + 8100000L).as("doc_id"), col("img"))
+      GraftTable.create(spark, s"$warehouse/db1/call_accept",
+        acceptImgs.schema).append(acceptImgs)
+      val fpsBefore = spark.table("gcat.db1.call_fps").count()
+      val appended = spark.sql("CALL gcat.system.phash_index_append(" +
+        "'db1.call_accept', 'db1.call_fps')").collect()
+      assert(appended.head.getLong(2) === 1L)
+      assert(spark.table("gcat.db1.call_fps").count() === fpsBefore + 1,
+        "the accepted fingerprint must land in the committed table")
+      // the accepted doc now dedups future intakes: match it
+      spark.sql("CALL gcat.system.phash_match(" +
+        "'db1.call_accept', 'db1.call_fps', 'db1.call_hits2')")
+      val hit2 = spark.table("gcat.db1.call_hits2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(hit2.exists(h => h._1 == 8100007L && h._3 == 0L),
+        s"the accepted fingerprint must serve later matches: $hit2")
       // -- retryable CALL: crash residue between create-commit and
       // append is a committed EMPTY v0 target CARRYING the path's
       // _call_pending marker; the retry reclaims exactly that --

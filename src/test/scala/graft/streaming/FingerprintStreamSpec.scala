@@ -135,4 +135,61 @@ class FingerprintStreamSpec extends SparkSpec {
       "the audio stream must equal batch audio_match")
     GraftTable.drop(destLoc)
   }
+
+  test("refreshable fingerprint side: fingerprints ACCEPTED mid-stream dedup later batches; append hygiene refuses clashes") {
+    import spark.implicits._
+    val base = gridPng(Nil)
+    val far = gridPng(Seq((0, 0), (1, 1), (2, 2), (3, 3), (4, 4)))
+    // v1 committed fingerprints: base only
+    val fpsLoc = tmpDir("fps-refresh") + "/fps"
+    val v1 = Multimodal.phashFingerprints(Seq((1L, base)).toDF("doc_id", "img"))
+    val fpsT = GraftTable.create(spark, fpsLoc, v1.schema)
+    fpsT.append(v1)
+    // stream: batch A = copy of base; batch B (written mid-stream) =
+    // copy of `far`, which only matches AFTER its fingerprint is
+    // accepted into the committed table
+    val src = tmpDir("fps-refresh-src")
+    Seq((301L, base)).toDF("doc_id", "img").write.parquet(s"$src/part=a")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("img", BinaryType)))
+    val incoming = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true").parquet(src)
+    val destLoc = tmpDir("fps-refresh-dest") + "/t"
+    val dest = GraftTable.create(spark, destLoc,
+      Multimodal.phashMatchCore(
+        Seq((0L, base)).toDF("doc_id", "img").limit(0), v1).schema)
+    val q = FingerprintStream.startRefreshable(spark, fpsLoc, incoming,
+      dest, tmpDir("fps-refresh-ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+    def await(n: Long, what: String): Unit = {
+      val t0 = System.nanoTime()
+      while (dest.read().count() < n) {
+        assert((System.nanoTime() - t0) / 1e9 < 90,
+          s"timed out waiting for $what (have ${dest.read().count()}, want $n)")
+        Thread.sleep(250)
+      }
+    }
+    await(1L, "the v1 match")
+    // ACCEPT step mid-stream: far's fingerprint joins the committed
+    // table (the CALL phash_index_append body), version ticks
+    assert(Multimodal.fingerprintAppendCore(
+      Seq((2L, far)).toDF("doc_id", "img"), fpsT,
+      Multimodal.phashFingerprints) === 1L)
+    Seq((302L, far)).toDF("doc_id", "img").write.parquet(s"$src/part=b")
+    await(2L, "the post-accept match")
+    q.stop()
+    val got = dest.read().orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((301L, 1L, 0L), (302L, 2L, 0L)),
+      s"the accepted fingerprint must serve later batches without a restart: $got")
+    // hygiene: re-accepting an already-fingerprinted id refuses
+    val eClash = intercept[IllegalArgumentException] {
+      Multimodal.fingerprintAppendCore(
+        Seq((2L, far)).toDF("doc_id", "img"), fpsT,
+        Multimodal.phashFingerprints)
+    }
+    assert(eClash.getMessage.contains("already fingerprinted"))
+    GraftTable.drop(destLoc)
+  }
 }
