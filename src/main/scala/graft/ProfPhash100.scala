@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ProfPhash100 <dir> [<dir> …] */
 object ProfPhash100 {
-  def t(name: String)(f: => Long): Unit = {
+  def t(name: String)(f: => Long): Long = {
     val t0 = System.nanoTime(); val n = f
     println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$n")
+    n
   }
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -44,11 +45,13 @@ object ProfPhash100 {
       })
       def imgs = spark.read.parquet(imgsPath)
       t("phash_dedup cold")(operators.Multimodal.phashDedupCore(imgs).count())
-      t("phash_dedup warm")(operators.Multimodal.phashDedupCore(imgs).count())
+      // the warm pass's count doubles as the regime-identity reference
+      // — no third untimed corpus decode (review r14)
+      val driverRows =
+        t("phash_dedup warm")(operators.Multimodal.phashDedupCore(imgs).count())
       // the dispatch gate's OTHER regime on the same corpus: force the
       // distributed min-label path and require the identical cluster
       // row count (the spec proves row-level identity at small scale)
-      val driverRows = operators.Multimodal.phashDedupCore(imgs).count()
       spark.conf.set("spark.graft.d7.driverMaxPairs", "0")
       try t("phash_dedup distributed")({
         val n = operators.Multimodal.phashDedupCore(imgs).count()

@@ -484,6 +484,21 @@ object Multimodal {
     * doc, hamming = min distance), the drop-the-batch-copy decision an
     * intake pipeline applies directly. */
   private[graft] def matchAgainstFingerprints(corpusFps: DataFrame,
+      batchFps: DataFrame): DataFrame =
+    matchCollapsedAgainst(collapseFpsReps(corpusFps), batchFps)
+
+  /** Collapse a fingerprint frame to ONE representative row per
+    * distinct fingerprint — (hi, lo, rep = min doc_id). Lossless for
+    * the min-match contract (min over matched docs = min over matched
+    * groups of their min). Streams pre-collapse ONCE and persist the
+    * result, so per-trigger work never re-shuffles the corpus
+    * (review r14). */
+  private[graft] def collapseFpsReps(corpusFps: DataFrame): DataFrame =
+    corpusFps.groupBy("hi", "lo").agg(min("doc_id").as("rep"))
+
+  /** [[matchAgainstFingerprints]] over an ALREADY-COLLAPSED corpus
+    * side ([[collapseFpsReps]]' (hi, lo, rep)). */
+  private[graft] def matchCollapsedAgainst(cReps: DataFrame,
       batchFps: DataFrame): DataFrame = {
     val bandKey = col("band_idx").cast("long") * 65536L + col("band_val")
     val bBand = withBands(
@@ -491,8 +506,7 @@ object Multimodal {
       .select(col("hi").as("b_hi"), col("lo").as("b_lo"),
         col("band_idx"), col("band_val"))
     val sketch = Bloom.sketchBytes(bBand, bandKey)
-    val cBand = withBands(
-        corpusFps.groupBy("hi", "lo").agg(min("doc_id").as("rep")))
+    val cBand = withBands(cReps)
       .select(col("rep"), col("hi").as("c_hi"), col("lo").as("c_lo"),
         col("band_idx"), col("band_val"))
     val cPre =
@@ -631,6 +645,14 @@ object Multimodal {
         s"hi, lo), got ${committed.columns.mkString(", ")}) — create it " +
         "with phash_index/audio_index first")
     val bfps = hash(batch).localCheckpoint(true)
+    // the batch must be duplicate-free WITHIN ITSELF too: two rows under
+    // one id would both pass the committed-side check and commit two
+    // fingerprints for one doc (review r14)
+    val selfDup = bfps.groupBy("doc_id").count()
+      .filter(col("count") > 1).count()
+    require(selfDup == 0L,
+      s"$selfDup id(s) appear more than once in the intake batch — " +
+        "double-inserting a doc would break the min-match contract")
     val clash = bfps.join(committed.select(col("doc_id")),
       Seq("doc_id"), "left_semi").count()
     require(clash == 0L,
@@ -745,9 +767,18 @@ object Multimodal {
     while (off + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
       val cc = tag(off)
       val len = bb.getInt(off + 4)
-      if (len < 0 || off + 8 + len > bytes.length)
+      // LONG arithmetic: a malicious len near Int.MaxValue would wrap
+      // the Int sum negative, pass the bound check, and crash with an
+      // unattributed out-of-bounds instead of this refusal (review r14)
+      if (len < 0 || off.toLong + 8L + len > bytes.length)
         refuse(s"chunk '$cc' overruns the payload (truncated container)")
-      if (cc == "fmt ") fmtOff = off + 8
+      if (cc == "fmt ") {
+        // the fields read below sit at +0..+15 of the fmt payload; a
+        // short fmt chunk (len 14 files exist in the wild) would read
+        // the NEXT chunk's bytes as bitsPerSample (review r14)
+        if (len < 16) refuse(s"fmt chunk too short ($len bytes, need 16)")
+        fmtOff = off + 8
+      }
       else if (cc == "data") { dataOff = off + 8; dataLen = len }
       off += 8 + len + (len & 1) // RIFF chunks are word-aligned
     }

@@ -198,14 +198,31 @@ object Similarity {
   private def maybeCompactIndexTail(s: SparkSession, root: String,
       minFiles: Int): Unit = {
     if (minFiles <= 0) return
-    withMaintenanceMarker(root) {
+    // the append-triggered fold is OPPORTUNISTIC hygiene and runs
+    // unattended, so unlike the operator-driven verbs it must NEVER
+    // reclaim a marker it finds (review r14: two opted-in appends from
+    // different sessions would otherwise reclaim each other's LIVE
+    // marker and disarm the enforcement). Atomic create-or-skip: if
+    // anyone holds the marker, skip the fold — the next opted-in
+    // append folds instead, and the rows are already durable.
+    val (fs, _) = graft.storage.GraftTable.fsAndPath(root)
+    val marker = new org.apache.hadoop.fs.Path(root, MaintenanceMarker)
+    val took =
+      try { fs.create(marker, false).close(); true }
+      catch { case _: java.io.IOException =>
+        MaintLog.warn(s"skipping append-time auto-compact at $root — " +
+          "a maintenance verb holds the marker")
+        false
+      }
+    if (!took) return
+    try {
       IndexSiblingTables
         .filter(t => graft.storage.GraftTable.exists(s"$root/$t"))
         .foreach { name =>
           val t = graft.storage.GraftTable.open(s, s"$root/$name")
           if (t.committedFiles.size >= minFiles) { t.compactSmall(); () }
         }
-    }
+    } finally { fs.delete(marker, false); () }
   }
 
   /** The shared input-hygiene gate of [[buildIvfIndexFrom]] and
@@ -1585,7 +1602,17 @@ object Similarity {
       fs.delete(marker, false)
       ()
     }
-    fs.create(marker, false).close()
+    // ATOMIC take (overwrite = false): if another verb created the
+    // marker between the reclaim and here, refuse loudly instead of
+    // proceeding into its swap window (review r14 — the reclaim path
+    // must not silently disarm a LIVE verb's marker; one maintenance
+    // verb at a time remains the operator contract)
+    try fs.create(marker, false).close()
+    catch { case e: java.io.IOException =>
+      throw new IllegalArgumentException(
+        s"another maintenance verb just took $MaintenanceMarker at " +
+          s"$root — run one maintenance verb at a time", e)
+    }
     try body
     finally { fs.delete(marker, false); () }
   }

@@ -368,16 +368,38 @@ object TextAnalysis {
     * PII so its oracle has something to find, and emits only an md5 —
     * the CALL is the production verb, so it writes the redacted
     * column). One map-side pass, zero shuffle, pure codegen regex. */
-  def piiScrubCore(df: DataFrame): DataFrame = {
-    // first two columns taken POSITIONALLY (id → long, text), the
-    // phashDedupCore/validateVectorFrame input contract — a user table
-    // named (id, body) must not fail with a raw unresolved-column
-    // AnalysisException while the sibling verbs accept it (ADVICE r13)
+  /** Resolve a CALL verb's (id, text) input: canonical names when the
+    * table carries them (ordering-independent), else the first two
+    * columns positionally (ADVICE r13). The id cast refuses LOUDLY on
+    * a non-castable value — Spark's non-ANSI cast would otherwise turn
+    * a mis-ordered (text, id) table into all-NULL ids and scrub the
+    * wrong column with no error at all (review r14). */
+  private def idTextColumns(df: DataFrame, verb: String): (Column, Column) = {
     require(df.columns.length >= 2,
-      s"pii_scrub expects (id, text) as the first two columns; " +
+      s"$verb expects (id, text) as the first two columns; " +
         s"got ${df.columns.length} column(s): ${df.columns.mkString(", ")}")
-    val id = col(df.columns(0)).cast("long").as("doc_id")
-    val text = col(df.columns(1)).cast("string")
+    val (c0, c1) =
+      if (df.columns.contains("doc_id") && df.columns.contains("text"))
+        ("doc_id", "text")
+      else (df.columns(0), df.columns(1))
+    val raw = col(c0)
+    // try_cast: under ANSI a bare cast already throws on malformed
+    // input, but with an engine message that names neither the verb
+    // nor the fix; under non-ANSI it would silently NULL — this guard
+    // is loud and actionable in both modes
+    val tried = raw.try_cast("long")
+    val id = when(raw.isNotNull && tried.isNull,
+        raise_error(concat(
+          lit(s"$verb: column '$c0' does not cast to a long id (value '"),
+          raw.cast("string"),
+          lit("') — pass a table whose first column is the id")))
+          .cast("long"))
+      .otherwise(tried).as("doc_id")
+    (id, col(c1).cast("string"))
+  }
+
+  def piiScrubCore(df: DataFrame): DataFrame = {
+    val (id, text) = idTextColumns(df, "pii_scrub")
     df.select(id,
       regexp_count(text, lit(EmailRe)).cast("long").as("n_email"),
       regexp_count(text, lit(Ipv4Re)).cast("long").as("n_ip"),
@@ -391,12 +413,8 @@ object TextAnalysis {
     * counts; a routing pipeline consumes the per-doc labels). Map-side
     * only. */
   def langIdCore(df: DataFrame): DataFrame = {
-    // positional input like piiScrubCore — see the note there
-    require(df.columns.length >= 2,
-      s"lang_id expects (id, text) as the first two columns; " +
-        s"got ${df.columns.length} column(s): ${df.columns.mkString(", ")}")
-    df.select(col(df.columns(0)).cast("long").as("doc_id"),
-      langPred(col(df.columns(1)).cast("string")).as("lang_pred"))
+    val (id, text) = idTextColumns(df, "lang_id")
+    df.select(id, langPred(text).as("lang_pred"))
   }
 
   def t10PiiScrub(s: SparkSession, dir: String): DataFrame = {

@@ -42,7 +42,10 @@ object FingerprintStream {
       hash: DataFrame => DataFrame = Multimodal.phashFingerprints)
       : StreamingQuery = {
     val id = GraftStreamIngest.txnId(checkpoint)
-    val fps = corpusFps
+    // pre-COLLAPSED representatives, not raw fingerprints: the groupBy
+    // is batch-independent, so paying it per trigger would shuffle the
+    // corpus once per micro-batch (review r14)
+    val fps = Multimodal.collapseFpsReps(corpusFps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fps.count() // one fingerprint pass, before the first trigger
     val q = incoming.writeStream
@@ -55,7 +58,7 @@ object FingerprintStream {
         // the dominant per-batch cost)
         val bfps = hash(batch).localCheckpoint(true)
         dest.appendStream(
-          Multimodal.matchAgainstFingerprints(fps, bfps), id, batchId)
+          Multimodal.matchCollapsedAgainst(fps, bfps), id, batchId)
         ()
       }
       .trigger(trigger)
@@ -91,12 +94,13 @@ object FingerprintStream {
         val t = GraftTable.open(spark, fpsLoc) // fresh: see other commits
         val v = t.version
         if (cachedFps == null || v != cachedVersion) {
-          cachedFps = t.read().localCheckpoint(true)
+          // collapse ONCE per version tick (review r14)
+          cachedFps = Multimodal.collapseFpsReps(t.read()).localCheckpoint(true)
           cachedVersion = v
         }
         val bfps = hash(batch).localCheckpoint(true)
         dest.appendStream(
-          Multimodal.matchAgainstFingerprints(cachedFps, bfps), id, batchId)
+          Multimodal.matchCollapsedAgainst(cachedFps, bfps), id, batchId)
         ()
       }
       .trigger(trigger)

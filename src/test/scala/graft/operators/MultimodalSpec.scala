@@ -297,6 +297,59 @@ class MultimodalSpec extends SparkSpec {
       "expected a near-dup edge between DISTINCT fingerprints")
   }
 
+  test("wavPcm16Frames refuses adversarial containers loudly: overflow chunk length, short fmt chunk") {
+    def wav(n: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(n * 2)
+      var i = 0; while (i < n) { bb.putShort(100); i += 1 }
+      bb.array()
+    }
+    // a declared chunk length near Int.MaxValue must hit the documented
+    // refusal, not wrap the Int bound check negative and walk out of
+    // the array (review r14 — the m7 AVI walk's own lesson)
+    val overflow = wav(64)
+    java.nio.ByteBuffer.wrap(overflow)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue - 4) // the data chunk's length field
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.wavPcm16Frames(overflow, -1L)
+    }
+    assert(e1.getMessage.contains("overruns"), e1.getMessage)
+    // a short fmt chunk (len 14 exists in old encoders) must refuse,
+    // not read the next chunk's bytes as bitsPerSample
+    val shortFmt = wav(64)
+    java.nio.ByteBuffer.wrap(shortFmt)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, 14) // the fmt chunk's length field
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.wavPcm16Frames(shortFmt, -1L)
+    }
+    assert(e2.getMessage.contains("fmt chunk too short"), e2.getMessage)
+  }
+
+  test("m10 scale shape: keyed banded equality join, Bloom-prefiltered corpus side, no nested-loop plan") {
+    val got = Multimodal.m10IncrementalPhash(spark, sf("sf0.001"))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+    // the corpus-side prefilter reaches the plan (might_contain rides
+    // the banded scan before the join)
+    assert(plan.contains("might_contain"),
+      "the Bloom prefilter must land map-side on the corpus band stream")
+    // every batch doc that reports must cite a genuine corpus doc at
+    // hamming <= 3 (min-match contract sanity at entry scale)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) >= 1000000000000L &&
+      r.getLong(1) < 1000000000000L && r.getLong(2) <= 3L))
+  }
+
   /** One 64×64 grayscale PNG: pixel value = column index (every dHash
     * bit set), with chosen grid-sample pixels forced to 255 so exactly
     * those bits flip — a controlled ≤3-bit "re-encode" family. */

@@ -309,4 +309,29 @@ class PipelineOpsSpec extends SparkSpec {
       assert(out.map(_.getLong(0)).distinct.length === out.length)
     } finally spark.conf.unset("spark.graft.scratchDir")
   }
+
+  test("pii_scrub/lang_id input contract: canonical names preferred, positional fallback, uncastable id refuses loudly") {
+    import spark.implicits._
+    // canonical names out of order: resolved BY NAME, not position
+    val named = Seq(("hello world", 5L)).toDF("text", "doc_id")
+    val byName = TextAnalysis.piiScrubCore(named).collect()
+    assert(byName.head.getLong(0) === 5L,
+      "doc_id/text-named tables must resolve by name regardless of order")
+    // positional fallback for other names (ADVICE r13)
+    val positional = Seq((7L, "contact a@b.co")).toDF("id", "body")
+    val pos = TextAnalysis.piiScrubCore(positional).collect()
+    assert(pos.head.getLong(0) === 7L && pos.head.getLong(1) === 1L)
+    assert(TextAnalysis.langIdCore(positional).collect()
+      .head.getLong(0) === 7L)
+    // a mis-ordered unnamed table would silently NULL every id through
+    // the non-ANSI cast — it must refuse loudly instead (review r14)
+    val misordered = Seq(("prose not an id", 7L)).toDF("body", "id")
+    val e = intercept[Exception] {
+      TextAnalysis.piiScrubCore(misordered).collect()
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(e).contains("does not cast to a long id"), msgs(e))
+  }
 }

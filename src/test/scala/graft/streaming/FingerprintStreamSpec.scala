@@ -190,6 +190,14 @@ class FingerprintStreamSpec extends SparkSpec {
         Multimodal.phashFingerprints)
     }
     assert(eClash.getMessage.contains("already fingerprinted"))
+    // …and so does a batch that duplicates an id WITHIN itself — both
+    // rows would pass the committed-side check (review r14)
+    val eSelf = intercept[IllegalArgumentException] {
+      Multimodal.fingerprintAppendCore(
+        Seq((9L, base), (9L, far)).toDF("doc_id", "img"), fpsT,
+        Multimodal.phashFingerprints)
+    }
+    assert(eSelf.getMessage.contains("more than once"))
     GraftTable.drop(destLoc)
   }
 }
