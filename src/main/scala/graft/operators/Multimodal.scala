@@ -1010,6 +1010,155 @@ object Multimodal {
       h.filter(col("doc_id") % 5 === 0))
   }
 
+  /** Temporal luminance signature of ONE AVI payload — the video
+    * modality's fingerprint: parse the container ([[parseAvi]]'s
+    * strict chunk walk), decode AT MOST 64 DISTINCT sampled frames
+    * (positions ⌊j·n/64⌋ — cost is bounded per video regardless of
+    * length, the 100 TB property), grayscale-convert each (a color
+    * MJPEG's band 0 is its red channel — the phashDedupCore lesson),
+    * and set bit j when the sampled frame's mean luminance exceeds
+    * 127. Spatially robust by construction (a re-encode moves pixels,
+    * barely the frame MEAN); a single re-encoded/replaced frame flips
+    * only the bits sampling it. */
+  private def videoSignature(codec: JpegCodec, bytes: Array[Byte],
+      id: Long): (Long, Long) = {
+    val (nFrames, _, _, frames) = parseAvi(bytes, id)
+    require(nFrames >= 1, s"video for doc $id has no frames")
+    val meanCache = scala.collection.mutable.Map[Int, Double]()
+    def mean(f: Int): Double = meanCache.getOrElseUpdate(f, {
+      val (foff, flen) = frames(f)
+      val img = codec.decode(
+        java.util.Arrays.copyOfRange(bytes, foff, foff + flen))
+      val gray =
+        if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+        else {
+          val g = new java.awt.image.BufferedImage(img.getWidth,
+            img.getHeight, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val gr = g.createGraphics()
+          gr.drawImage(img, 0, 0, null)
+          gr.dispose()
+          g
+        }
+      val raster = gray.getRaster
+      val (wp, hp) = (gray.getWidth, gray.getHeight)
+      var sum = 0L
+      var k = 0
+      while (k < wp * hp) {
+        sum += raster.getSample(k % wp, k / wp, 0)
+        k += 1
+      }
+      sum.toDouble / (wp * hp)
+    })
+    var hi = 0L
+    var lo = 0L
+    var j = 0
+    while (j < 64) {
+      if (mean((j.toLong * nFrames / 64).toInt) > 127.0) {
+        if (j < 32) hi |= 1L << j else lo |= 1L << (j - 32)
+      }
+      j += 1
+    }
+    (hi, lo)
+  }
+
+  /** The m12 corpus: every document's MJPEG AVI with ≥ 22 frames (so
+    * the one-frame twin perturbation flips at most the 3 signature
+    * bits sampling frame 0 — ⌊j·n/64⌋ = 0 for ≤ 3 values of j when
+    * n ≥ 22), plus a RE-ENCODED TWIN per 11th such doc (id + 1e12;
+    * frame 0's flat gray shifted +128 mod 256, which always crosses
+    * the 127 threshold). One definition mirrored in the oracle CTE. */
+  private def m12Corpus(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    val base = Tables.load(s, dir, "documents")
+      .select(when(col("doc_id").cast("long") < 1000000000000L,
+          col("doc_id").cast("long"))
+          .otherwise(raise_error(concat(
+            lit("m12 twin-id headroom exhausted: doc_id "),
+            col("doc_id").cast("string"),
+            lit(" >= 1e12 would collide with a re-encode twin id")))
+            .cast("long")).as("doc_id"),
+        (length(col("text")) / FrameBytes).cast("int").as("n"))
+      .filter(col("n") >= 22)
+    val all = base.select(col("doc_id"), col("doc_id").as("orig"),
+        col("n"), lit(0).as("sh"))
+      .unionAll(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000000000L).as("doc_id"),
+          col("doc_id").as("orig"), col("n"), lit(1).as("sh")))
+    all.as[(Long, Long, Int, Int)].mapPartitions { it =>
+      val codec = new JpegCodec
+      it.map { case (outId, orig, n, sh) =>
+        (outId, aviBytes(codec, orig, n, shift0 = sh == 1))
+      }
+    }
+  }
+
+  /** The m12 signature stage over the rendered corpus — REAL AVI
+    * encode → REAL chunk walk + JPEG decode → temporal signature. The
+    * flat q=1.0 frames round-trip bit-exactly (m2/m7's proof), so the
+    * oracle recomputes the identical bits from the gray formula. */
+  private[operators] def m12Signatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    m12Corpus(s, dir).mapPartitions { it =>
+      val codec = new JpegCodec
+      it.map { case (id, bytes) =>
+        val (hi, lo) = videoSignature(codec, bytes, id)
+        PHash(id, hi, lo)
+      }
+    }.toDF()
+  }
+
+  /** m12: VIDEO near-duplicate CLUSTERS — the last modality of the
+    * dedup family (text d-series, image m8/m10, audio m9/m11):
+    * re-encoded/one-frame-replaced copies of a video carry different
+    * bytes but near-identical temporal signatures, and a popular clip
+    * is duplicated thousands of times, so the output contract is
+    * collapse-first clusters (the m9/SCALE_r16 lesson), via the SAME
+    * banding + dispatch core as every other fingerprint family. At
+    * 100 TB: signature cost ∝ 64 decoded frames per video (never video
+    * length), clustering ∝ distinct signatures. */
+  def m12VideoNeardup(s: SparkSession, dir: String): DataFrame =
+    collapseFingerprints(s, m12Signatures(s, dir).localCheckpoint(true))
+
+  /** CALL core (`CALL g.system.video_dedup('db.vids', 'db.clusters')`):
+    * the production video-dedup verb over a user's REAL AVI bytes —
+    * first two columns positionally (id → long, MJPEG AVI payload);
+    * [[parseAvi]] refuses corrupt containers loudly with the offending
+    * id, [[videoSignature]] decodes ≤ 64 sampled frames through the
+    * real JPEG codec (color frames grayscale-converted), and the
+    * shared collapse-first clustering labels duplicate clusters. */
+  def videoDedupCore(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    collapseFingerprints(s, videoFingerprints(df).localCheckpoint(true))
+  }
+
+  /** The parse → sampled-decode → temporal-signature stage of
+    * [[videoDedupCore]], also the body of `CALL video_index` — the
+    * committed artifact `CALL video_match` checks intake batches
+    * against (the phash_index discipline on the video modality). */
+  def videoFingerprints(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(
+        col(df.columns(0)).cast("long").as("doc_id"),
+        col(df.columns(1)).cast("binary").as("avi"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = new JpegCodec
+        it.map { case (id, bytes) =>
+          require(bytes != null, s"null video payload for doc $id")
+          val (hi, lo) = videoSignature(codec, bytes, id)
+          PHash(id, hi, lo)
+        }
+      }.toDF()
+  }
+
+  /** CALL core (`CALL g.system.video_match('db.batch', 'db.fps',
+    * 'db.hits')`): intake video batch vs committed signatures — the
+    * shared min-match machinery on the video modality. */
+  def videoMatchCore(batchVids: DataFrame, corpusFps: DataFrame): DataFrame =
+    matchCoreAgainst(batchVids, corpusFps, videoFingerprints, "video_match")
+
   /** Collapse-first fingerprint clustering — ONE definition for m9 and
     * the production [[phashDedupCore]] verb: exact-fingerprint groupBy
     * (output ∝ distinct fingerprints), [[bandedHammingPairs]] over the
@@ -1070,7 +1219,7 @@ object Multimodal {
     * out as RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh 'vids'/
     * 'MJPG', strf BITMAPINFOHEADER}} → LIST(movi){'00dc' chunks} — the
     * container shape every MJPEG tool writes. */
-  private[operators] def aviEncoded(s: SparkSession, dir: String)
+  private[graft] def aviEncoded(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import s.implicits._
     Tables.load(s, dir, "documents").select(
@@ -1080,50 +1229,58 @@ object Multimodal {
       .mapPartitions { it =>
         val codec = new JpegCodec
         it.map { case (id, nFrames) =>
-          val frames = Array.tabulate(nFrames) { f =>
-            val gray = ((id * 9 + f * 17) % 256).toInt
-            codec.encode(grayImage(FrameSide, FrameSide, _ => gray), 1.0f)
-          }
-          def chunk(cc: String)(body: java.io.ByteArrayOutputStream => Unit)
-              : Array[Byte] = {
-            val b = new java.io.ByteArrayOutputStream()
-            body(b)
-            val payload = b.toByteArray
-            val o = new java.io.ByteArrayOutputStream()
-            fourcc(o, cc); leInt(o, payload.length); o.write(payload)
-            if (payload.length % 2 == 1) o.write(0) // RIFF even padding
-            o.toByteArray
-          }
-          def list(tpe: String)(children: Array[Byte]*): Array[Byte] =
-            chunk("LIST") { b => fourcc(b, tpe); children.foreach(b.write) }
-          val avih = chunk("avih") { b =>
-            leInt(b, 40000); leInt(b, 0); leInt(b, 0); leInt(b, 0) // usec/frame…
-            leInt(b, nFrames); leInt(b, 0); leInt(b, 1); leInt(b, 0)
-            leInt(b, FrameSide); leInt(b, FrameSide)
-            (0 until 4).foreach(_ => leInt(b, 0))
-          }
-          val strh = chunk("strh") { b =>
-            fourcc(b, "vids"); fourcc(b, "MJPG")
-            leInt(b, 0); leShort(b, 0); leShort(b, 0); leInt(b, 0)
-            leInt(b, 1); leInt(b, 25) // scale, rate → 25 fps
-            leInt(b, 0); leInt(b, nFrames); leInt(b, 0); leInt(b, 0); leInt(b, 0)
-            leShort(b, 0); leShort(b, 0); leShort(b, FrameSide.toShort)
-            leShort(b, FrameSide.toShort)
-          }
-          val strf = chunk("strf") { b =>
-            leInt(b, 40); leInt(b, FrameSide); leInt(b, FrameSide)
-            leShort(b, 1); leShort(b, 24); fourcc(b, "MJPG")
-            leInt(b, 0); leInt(b, 0); leInt(b, 0); leInt(b, 0); leInt(b, 0)
-          }
-          val movi = list("movi")(frames.map(f => chunk("00dc")(_.write(f))): _*)
-          val riff = chunk("RIFF") { b =>
-            fourcc(b, "AVI ")
-            b.write(list("hdrl")(avih, list("strl")(strh, strf)))
-            b.write(movi)
-          }
-          (id, riff)
+          (id, aviBytes(codec, id, nFrames, shift0 = false))
         }
       }
+  }
+
+  /** Build ONE canonical MJPEG AVI — the body [[aviEncoded]] and m12's
+    * re-encode twins share (`shift0` = frame 0's gray shifted +128 mod
+    * 256, the one-frame perturbation a lossy re-encode pass leaves). */
+  private def aviBytes(codec: JpegCodec, renderId: Long, nFrames: Int,
+      shift0: Boolean): Array[Byte] = {
+    val frames = Array.tabulate(nFrames) { f =>
+      val base = ((renderId * 9 + f * 17) % 256).toInt
+      val gray = if (shift0 && f == 0) (base + 128) % 256 else base
+      codec.encode(grayImage(FrameSide, FrameSide, _ => gray), 1.0f)
+    }
+    def chunk(cc: String)(body: java.io.ByteArrayOutputStream => Unit)
+        : Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      body(b)
+      val payload = b.toByteArray
+      val o = new java.io.ByteArrayOutputStream()
+      fourcc(o, cc); leInt(o, payload.length); o.write(payload)
+      if (payload.length % 2 == 1) o.write(0) // RIFF even padding
+      o.toByteArray
+    }
+    def list(tpe: String)(children: Array[Byte]*): Array[Byte] =
+      chunk("LIST") { b => fourcc(b, tpe); children.foreach(b.write) }
+    val avih = chunk("avih") { b =>
+      leInt(b, 40000); leInt(b, 0); leInt(b, 0); leInt(b, 0) // usec/frame…
+      leInt(b, nFrames); leInt(b, 0); leInt(b, 1); leInt(b, 0)
+      leInt(b, FrameSide); leInt(b, FrameSide)
+      (0 until 4).foreach(_ => leInt(b, 0))
+    }
+    val strh = chunk("strh") { b =>
+      fourcc(b, "vids"); fourcc(b, "MJPG")
+      leInt(b, 0); leShort(b, 0); leShort(b, 0); leInt(b, 0)
+      leInt(b, 1); leInt(b, 25) // scale, rate → 25 fps
+      leInt(b, 0); leInt(b, nFrames); leInt(b, 0); leInt(b, 0); leInt(b, 0)
+      leShort(b, 0); leShort(b, 0); leShort(b, FrameSide.toShort)
+      leShort(b, FrameSide.toShort)
+    }
+    val strf = chunk("strf") { b =>
+      leInt(b, 40); leInt(b, FrameSide); leInt(b, FrameSide)
+      leShort(b, 1); leShort(b, 24); fourcc(b, "MJPG")
+      leInt(b, 0); leInt(b, 0); leInt(b, 0); leInt(b, 0); leInt(b, 0)
+    }
+    val movi = list("movi")(frames.map(f => chunk("00dc")(_.write(f))): _*)
+    chunk("RIFF") { b =>
+      fourcc(b, "AVI ")
+      b.write(list("hdrl")(avih, list("strl")(strh, strf)))
+      b.write(movi)
+    }
   }
 
   /** RIFF chunk walk of an AVI payload: (n_frames, width, height, frame
@@ -1217,6 +1374,7 @@ object Multimodal {
     "m9_audio_neardup" -> m9AudioNeardup _,
     "m10_incremental_phash" -> m10IncrementalPhash _,
     "m11_incremental_audio" -> m11IncrementalAudio _,
+    "m12_video_neardup" -> m12VideoNeardup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1367,6 +1525,47 @@ object Multimodal {
          |  AND bit_count(xor(b.hi, c.hi)) + bit_count(xor(b.lo, c.lo)) <= 3
          |GROUP BY b.doc_id
          |ORDER BY b.doc_id""".stripMargin),
+    // m12: the flat q=1.0 MJPEG frames round-trip bit-exactly (m2/m7's
+    // contract), so each sampled frame's MEAN equals its flat gray and
+    // the oracle recomputes the temporal signature straight from the
+    // gray formula — twin CTE, threshold bits, packed words — then
+    // replays the collapse-first clustering via m9's recursive-CTE
+    // connected components (every rep is already its group's min)
+    "m12_video_neardup" ->
+      ("""WITH RECURSIVE base AS (
+         |  SELECT doc_id, CAST(length(text)//16 AS BIGINT) n FROM documents
+         |  WHERE length(text)//16 >= 22),
+         |alld AS (SELECT doc_id, doc_id orig, n, 0 sh FROM base
+         |        UNION ALL
+         |        SELECT doc_id + 1000000000000, doc_id, n, 1 FROM base
+         |        WHERE doc_id % 11 = 0),
+         |j64 AS (SELECT doc_id, orig, n, sh, unnest(range(0, 64)) j FROM alld),
+         |g AS (SELECT doc_id, j,
+         |        CASE WHEN sh = 1 AND (j*n)//64 = 0
+         |             THEN ((orig*9 + ((j*n)//64)*17) % 256 + 128) % 256
+         |             ELSE (orig*9 + ((j*n)//64)*17) % 256 END gray
+         |      FROM j64),
+         |hh AS (SELECT doc_id,
+         |        CAST(sum(CASE WHEN j < 32 AND gray > 127 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) hi,
+         |        CAST(sum(CASE WHEN j >= 32 AND gray > 127 THEN (1::BIGINT << (j-32)) ELSE 0 END) AS BIGINT) lo
+         |      FROM g GROUP BY doc_id),
+         |gg AS (SELECT hi, lo, min(doc_id) rep, count(*) n_members
+         |      FROM hh GROUP BY hi, lo),
+         |pr AS (SELECT a.rep ra, b.rep rb FROM gg a JOIN gg b ON a.rep < b.rep
+         |       WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+         |edges AS (SELECT ra a, rb b FROM pr UNION ALL SELECT rb, ra FROM pr),
+         |reach(vv, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.vv),
+         |replab AS (SELECT vv rep, min(r) lab FROM reach GROUP BY vv),
+         |docs2 AS (SELECT hh.doc_id, gg.rep, gg.n_members, replab.lab
+         |          FROM hh JOIN gg ON hh.hi = gg.hi AND hh.lo = gg.lo
+         |          LEFT JOIN replab ON gg.rep = replab.rep)
+         |SELECT doc_id, coalesce(lab, rep) cluster_id,
+         |  CASE WHEN doc_id = coalesce(lab, rep) THEN 1 ELSE 0 END keep
+         |FROM docs2 WHERE n_members > 1 OR lab IS NOT NULL
+         |ORDER BY doc_id""".stripMargin),
     // m11: the oracle replays m9's fingerprint CTE, splits it into the
     // unperturbed corpus and the re-mastered intake batch, and runs
     // the quadratic batch×corpus Hamming join the Bloom-prefiltered

@@ -69,6 +69,9 @@ import graft.storage.GraftTable
   *   CALL graft.system.audio_match('db.batch', 'db.fps', 'db.hits')
   *   CALL graft.system.phash_index_append('db.new', 'db.fps') -- accept step
   *   CALL graft.system.audio_index_append('db.new', 'db.fps')
+  *   CALL graft.system.video_dedup('db.vids', 'db.clusters') -- video dedup
+  *   CALL graft.system.video_index('db.vids', 'db.fps')
+  *   CALL graft.system.video_match('db.batch', 'db.fps', 'db.hits')
   * }}}
   *
   * Each returns a one-row result describing what it did; the pipeline
@@ -94,7 +97,7 @@ private[sources] object GraftProcedures {
       "ann_stats", "ann_compact", "ann_drop", "pii_scrub", "lang_id",
       "phash_dedup", "audio_dedup", "phash_index", "phash_match",
       "audio_index", "audio_match", "phash_index_append",
-      "audio_index_append")
+      "audio_index_append", "video_dedup", "video_index", "video_match")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -132,7 +135,8 @@ private[sources] object GraftProcedures {
               procName == "quality_votes" || procName == "dataset_card" ||
               procName == "pii_scrub" || procName == "lang_id" ||
               procName == "phash_dedup" || procName == "audio_dedup" ||
-              procName == "phash_index" || procName == "audio_index")
+              procName == "phash_index" || procName == "audio_index" ||
+              procName == "video_dedup" || procName == "video_index")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
           else if (procName == "decontaminate" ||
@@ -140,7 +144,8 @@ private[sources] object GraftProcedures {
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("eval_table", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
-          else if (procName == "phash_match" || procName == "audio_match")
+          else if (procName == "phash_match" || procName == "audio_match" ||
+              procName == "video_match")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("fingerprints", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
@@ -577,7 +582,8 @@ private[sources] object GraftProcedures {
               procName == "audio_dedup" || procName == "phash_index" ||
               procName == "phash_match" || procName == "audio_index" ||
               procName == "audio_match" || procName == "phash_index_append" ||
-              procName == "audio_index_append") {
+              procName == "audio_index_append" || procName == "video_dedup" ||
+              procName == "video_index" || procName == "video_match") {
             val spark = SparkSession.active
             val (metric, n) = procName match {
               case "dedup_exact" =>
@@ -644,6 +650,25 @@ private[sources] object GraftProcedures {
                 ("batch_docs_matched",
                   writeResult(
                     graft.operators.Multimodal.phashMatchCore(t.read(), fps), 2))
+              case "video_dedup" =>
+                // the production video-dedup verb: temporal luminance
+                // signature over <= 64 decoded frames per clip, the
+                // shared collapse-first clustering
+                ("docs_clustered",
+                  writeResult(
+                    graft.operators.Multimodal.videoDedupCore(t.read()), 1))
+              case "video_index" =>
+                ("fingerprints_written",
+                  writeResult(
+                    graft.operators.Multimodal.videoFingerprints(t.read()), 1))
+              case "video_match" =>
+                val fpsName = checkName(input.getUTF8String(1).toString)
+                val fpsDir = tableDir(fpsName)
+                require(GraftTable.exists(fpsDir), s"no graft table $fpsName")
+                val fps = GraftTable.open(spark, fpsDir).read()
+                ("batch_docs_matched",
+                  writeResult(
+                    graft.operators.Multimodal.videoMatchCore(t.read(), fps), 2))
               case "audio_index" =>
                 // commit a corpus's audio sign fingerprints — the
                 // artifact audio_match checks intake batches against

@@ -752,6 +752,32 @@ class GraftCatalogSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       assert(hit2.exists(h => h._1 == 8100007L && h._3 == 0L),
         s"the accepted fingerprint must serve later matches: $hit2")
+      // -- video_dedup over real AVI bytes: CALL ≡ core; a
+      // byte-identical twin collapses into its original's cluster ----
+      val vids = graft.operators.Multimodal.aviEncoded(spark, dir)
+        .filter(_._2.length > 2000) // clips with enough frames to sign
+        .toDF("doc_id", "avi")
+      val vSome = vids.select(col("doc_id")).orderBy("doc_id")
+        .head.getLong(0)
+      val vTwin = vids.filter(col("doc_id") === vSome)
+        .select((col("doc_id") + 7500000L).as("doc_id"), col("avi"))
+      val vAll = vids.unionAll(vTwin)
+      GraftTable.create(spark, s"$warehouse/db1/call_vids", vAll.schema)
+        .append(vAll)
+      spark.sql(
+        "CALL gcat.system.video_dedup('db1.call_vids', 'db1.call_vclusters')")
+      val gotV = spark.table("gcat.db1.call_vclusters")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val wantV = graft.operators.Multimodal.videoDedupCore(
+          GraftTable.open(spark, s"$warehouse/db1/call_vids").read())
+        .collect().map(_.toSeq).toSeq
+      assert(gotV === wantV, "CALL video_dedup must reproduce the core")
+      val origRow = gotV.find(_(0) == vSome)
+      val twinRow = gotV.find(_(0) == vSome + 7500000L)
+      assert(origRow.isDefined && twinRow.isDefined &&
+        origRow.get(1) === twinRow.get(1) && twinRow.get(2) === 0,
+        s"the byte-identical clip must share its original's cluster: " +
+          s"$origRow / $twinRow")
       // -- retryable CALL: crash residue between create-commit and
       // append is a committed EMPTY v0 target CARRYING the path's
       // _call_pending marker; the retry reclaims exactly that --
