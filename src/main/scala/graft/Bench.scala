@@ -111,7 +111,7 @@ object Bench {
       "d7_dedup_clusters", "d13_tfidf_cosine", "d6_embed_neardup_ann", "s5_pq_ann",
       "c8_cluster_split", "d2b_ngram_capped", "d4_simhash", "d5_embed_neardup",
       "d3_minhash_lsh", "s2_ann_ivf", "s9_ann_ivfpq", "s4_kmeans", "m4_png_decode",
-      "m7_avi_decode",
+      "m7_avi_decode", "m12_video_neardup", "m10_incremental_phash",
       "c2_decontaminate", "t11_bpe_tokens", "e5_funnel", "e8_transitions",
       "d8_window_dedup", "p1_clean_corpus", "d10_containment",
       "d2_ngram_jaccard", "d9_edit_distance", "s1_ann_brute", "s6_range_search",

@@ -75,6 +75,20 @@ object ProfPhash100 {
         .phashMatchCore(batch, spark.read.parquet(fpsPath)).count())
       t("phash_match warm")(operators.Multimodal
         .phashMatchCore(batch, spark.read.parquet(fpsPath)).count())
+      // the video modality at the same scale: AVI render + container
+      // walk + <= 64 sampled-frame decodes per clip + collapse
+      t("m12_video_neardup cold")(operators.Multimodal
+        .m12VideoNeardup(spark, dir).count())
+      t("m12_video_neardup warm")(operators.Multimodal
+        .m12VideoNeardup(spark, dir).count())
+      // the incremental entries end-to-end (corpus render cached for
+      // m10 after the cold pass; m11's WAV stage re-runs per call)
+      t("m10_incremental cold")(operators.Multimodal
+        .m10IncrementalPhash(spark, dir).count())
+      t("m10_incremental warm")(operators.Multimodal
+        .m10IncrementalPhash(spark, dir).count())
+      t("m11_incremental_audio")(operators.Multimodal
+        .m11IncrementalAudio(spark, dir).count())
     }
     spark.stop()
   }

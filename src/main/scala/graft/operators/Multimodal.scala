@@ -309,6 +309,24 @@ object Multimodal {
 
   final case class PHash(doc_id: Long, hi: Long, lo: Long)
 
+  /** Grayscale-convert a decoded image — ONE definition for every
+    * fingerprint stage (image dHash, video luminance): sampling a raw
+    * raster band would hash an RGB frame's RED channel and an indexed
+    * image's arbitrary palette INDEX, so the same picture in two
+    * formats would never pair (review r13; factored r14 so the image
+    * and video modalities cannot drift). */
+  private def toGray(img: java.awt.image.BufferedImage)
+      : java.awt.image.BufferedImage =
+    if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+    else {
+      val g = new java.awt.image.BufferedImage(img.getWidth,
+        img.getHeight, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val gr = g.createGraphics()
+      gr.drawImage(img, 0, 0, null)
+      gr.dispose()
+      g
+    }
+
   /** m8 corpus: `documents` plus a deterministic RE-ENCODED TWIN for
     * every 13th doc (id + 1e12 — above any plausible corpus id, guarded loudly; last character replaced — the one-char artifact a
     * lossy re-encode/scrape-dedup pass leaves), ONE definition mirrored
@@ -603,16 +621,7 @@ object Multimodal {
           require(img != null,
             s"image payload for doc $id does not decode (not an " +
               "ImageIO-readable format)")
-          val gray =
-            if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
-            else {
-              val g = new java.awt.image.BufferedImage(img.getWidth,
-                img.getHeight, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-              val gr = g.createGraphics()
-              gr.drawImage(img, 0, 0, null)
-              gr.dispose()
-              g
-            }
+          val gray = toGray(img)
           val (hi, lo) = dHashWords(gray.getRaster, gray.getWidth, gray.getHeight)
           PHash(id, hi, lo)
         })
@@ -644,21 +653,23 @@ object Multimodal {
       s"target is not a committed fingerprint table (expected (doc_id, " +
         s"hi, lo), got ${committed.columns.mkString(", ")}) — create it " +
         "with phash_index/audio_index first")
-    val bfps = hash(batch).localCheckpoint(true)
-    // the batch must be duplicate-free WITHIN ITSELF too: two rows under
-    // one id would both pass the committed-side check and commit two
-    // fingerprints for one doc (review r14)
-    val selfDup = bfps.groupBy("doc_id").count()
+    // id hygiene BEFORE the media hash (review r14 #5): both checks
+    // need only the batch's id column (a pruned scan), so a refused
+    // batch never pays the decode. Self-duplicates first: two rows
+    // under one id would both pass the committed-side check and commit
+    // two fingerprints for one doc.
+    val ids = batch.select(col(batch.columns(0)).cast("long").as("doc_id"))
+    val selfDup = ids.groupBy("doc_id").count()
       .filter(col("count") > 1).count()
     require(selfDup == 0L,
       s"$selfDup id(s) appear more than once in the intake batch — " +
         "double-inserting a doc would break the min-match contract")
-    val clash = bfps.join(committed.select(col("doc_id")),
+    val clash = ids.join(committed.select(col("doc_id")),
       Seq("doc_id"), "left_semi").count()
     require(clash == 0L,
       s"$clash id(s) already fingerprinted — an intake batch must carry " +
         "fresh ids (or erase the old rows first)")
-    fpsT.append(bfps)
+    fpsT.append(hash(batch))
   }
 
   /** The shared batch-vs-committed-fingerprints CALL body of
@@ -1029,16 +1040,7 @@ object Multimodal {
       val (foff, flen) = frames(f)
       val img = codec.decode(
         java.util.Arrays.copyOfRange(bytes, foff, foff + flen))
-      val gray =
-        if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
-        else {
-          val g = new java.awt.image.BufferedImage(img.getWidth,
-            img.getHeight, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val gr = g.createGraphics()
-          gr.drawImage(img, 0, 0, null)
-          gr.dispose()
-          g
-        }
+      val gray = toGray(img)
       val raster = gray.getRaster
       val (wp, hp) = (gray.getWidth, gray.getHeight)
       var sum = 0L

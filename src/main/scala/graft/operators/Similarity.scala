@@ -199,22 +199,28 @@ object Similarity {
       minFiles: Int): Unit = {
     if (minFiles <= 0) return
     // the append-triggered fold is OPPORTUNISTIC hygiene and runs
-    // unattended, so unlike the operator-driven verbs it must NEVER
-    // reclaim a marker it finds (review r14: two opted-in appends from
-    // different sessions would otherwise reclaim each other's LIVE
-    // marker and disarm the enforcement). Atomic create-or-skip: if
-    // anyone holds the marker, skip the fold — the next opted-in
-    // append folds instead, and the rows are already durable.
+    // unattended: it takes the marker with the "autocompact" kind
+    // (append-safe — appends don't refuse on it, so a fold crash can
+    // never brick ingestion), never touches a MAINTENANCE-kind marker
+    // or one live in this process, and reclaims only a crashed FOLD's
+    // residue (self-healing — review r14 #2). Skip on any contention:
+    // the next opted-in append folds instead; the rows are already
+    // durable either way.
     val (fs, _) = graft.storage.GraftTable.fsAndPath(root)
     val marker = new org.apache.hadoop.fs.Path(root, MaintenanceMarker)
-    val took =
-      try { fs.create(marker, false).close(); true }
-      catch { case _: java.io.IOException =>
+    if (liveMarkers.contains(marker.toString)) return
+    if (fs.exists(marker)) {
+      if (readMarkerKind(fs, marker) != "autocompact") {
         MaintLog.warn(s"skipping append-time auto-compact at $root — " +
           "a maintenance verb holds the marker")
-        false
+        return
       }
-    if (!took) return
+      // a crashed fold's residue (this process holds no live marker)
+      MaintLog.warn(s"reclaiming a crashed auto-compact's marker at $root")
+      fs.delete(marker, false)
+      ()
+    }
+    val token = createMarker(fs, marker, "autocompact").getOrElse(return)
     try {
       IndexSiblingTables
         .filter(t => graft.storage.GraftTable.exists(s"$root/$t"))
@@ -222,7 +228,7 @@ object Similarity {
           val t = graft.storage.GraftTable.open(s, s"$root/$name")
           if (t.committedFiles.size >= minFiles) { t.compactSmall(); () }
         }
-    } finally { fs.delete(marker, false); () }
+    } finally releaseMarker(fs, marker, token)
   }
 
   /** The shared input-hygiene gate of [[buildIvfIndexFrom]] and
@@ -1592,35 +1598,103 @@ object Similarity {
     * between them. */
   private[operators] val MaintenanceMarker = "_index_maintenance"
 
+  /** Markers LIVE IN THIS JVM (path strings). The filesystem alone
+    * cannot distinguish a crashed verb's marker from a running one;
+    * within one process this set can — so an in-process reclaim of a
+    * LIVE marker (a maintenance verb racing an append-triggered fold,
+    * or two concurrent verbs) is refused/skip instead of silently
+    * disarming the enforcement (review r14 #2). Cross-PROCESS, a live
+    * marker is indistinguishable from a crashed one; "one maintenance
+    * verb at a time across the fleet" remains the operator contract. */
+  private val liveMarkers =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Marker content is `<kind>:<token>`: kind "maintenance" (staging
+    * swaps — blocks appends/erasure) vs "autocompact" (the append-time
+    * small-file fold — SAFE against concurrent appends at the
+    * per-table writer lock, so it blocks only other maintenance);
+    * the token proves ownership at release time. An empty/legacy
+    * marker reads as "maintenance" (conservative). */
+  private def readMarkerKind(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path): String = {
+    val content =
+      try {
+        val in = fs.open(marker)
+        try {
+          val buf = new Array[Byte](128)
+          val n = math.max(in.read(buf), 0)
+          new String(buf, 0, n, "UTF-8")
+        } finally in.close()
+      } catch { case _: Exception => "" }
+    if (content.startsWith("autocompact:")) "autocompact" else "maintenance"
+  }
+
+  private def createMarker(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path, kind: String): Option[String] = {
+    val token = s"$kind:${java.util.UUID.randomUUID()}"
+    try {
+      val out = fs.create(marker, false) // atomic: fails if present
+      out.write(token.getBytes("UTF-8"))
+      out.close()
+      liveMarkers.add(marker.toString)
+      Some(token)
+    } catch { case _: java.io.IOException => None }
+  }
+
+  private def releaseMarker(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path, token: String): Unit = {
+    // delete only what we own: if someone reclaimed our marker mid-run
+    // (a cross-process contract violation), deleting now would disarm
+    // THEIR window on top of ours — warn loudly instead
+    val content =
+      try {
+        val in = fs.open(marker)
+        try {
+          val buf = new Array[Byte](128)
+          val n = math.max(in.read(buf), 0)
+          new String(buf, 0, n, "UTF-8")
+        } finally in.close()
+      } catch { case _: Exception => "" }
+    if (content == token) { fs.delete(marker, false); () }
+    else MaintLog.warn(s"maintenance marker at ${marker.getParent} was " +
+      "taken over mid-run by another process — leaving it in place; " +
+      "run one maintenance verb at a time")
+    liveMarkers.remove(marker.toString)
+    ()
+  }
+
   private def withMaintenanceMarker[T](root: String)(body: => T): T = {
     val (fs, _) = graft.storage.GraftTable.fsAndPath(root)
     val marker = new org.apache.hadoop.fs.Path(root, MaintenanceMarker)
+    // a marker LIVE IN THIS PROCESS is never "crashed" — refuse, do not
+    // reclaim (review r14 #2: reclaiming a live fold/verb disarms it)
+    require(!liveMarkers.contains(marker.toString),
+      s"a maintenance operation is already running in this process at " +
+        s"$root — one maintenance verb at a time")
     if (fs.exists(marker)) {
       MaintLog.warn(s"reclaiming stale maintenance marker at $root — a " +
-        "previous maintenance verb crashed before releasing it; its " +
-        "crash residue is recovered by this verb's own preamble")
+        "previous maintenance operation crashed before releasing it; " +
+        "its crash residue is recovered by this verb's own preamble")
       fs.delete(marker, false)
       ()
     }
-    // ATOMIC take (overwrite = false): if another verb created the
-    // marker between the reclaim and here, refuse loudly instead of
-    // proceeding into its swap window (review r14 — the reclaim path
-    // must not silently disarm a LIVE verb's marker; one maintenance
-    // verb at a time remains the operator contract)
-    try fs.create(marker, false).close()
-    catch { case e: java.io.IOException =>
+    val token = createMarker(fs, marker, "maintenance").getOrElse(
       throw new IllegalArgumentException(
         s"another maintenance verb just took $MaintenanceMarker at " +
-          s"$root — run one maintenance verb at a time", e)
-    }
+          s"$root — run one maintenance verb at a time"))
     try body
-    finally { fs.delete(marker, false); () }
+    finally releaseMarker(fs, marker, token)
   }
 
   private[operators] def requireNotUnderMaintenance(root: String,
       verb: String): Unit = {
     val (fs, _) = graft.storage.GraftTable.fsAndPath(root)
-    require(!fs.exists(new org.apache.hadoop.fs.Path(root, MaintenanceMarker)),
+    val marker = new org.apache.hadoop.fs.Path(root, MaintenanceMarker)
+    // only a MAINTENANCE-kind marker blocks appends/erasure: the
+    // append-time fold is append-safe at the per-table writer lock, and
+    // letting its marker block ingestion would turn a crashed fold into
+    // a permanently refusing index (review r14 #2)
+    require(!fs.exists(marker) || readMarkerKind(fs, marker) != "maintenance",
       s"index at $root is under maintenance ($MaintenanceMarker present) — " +
         s"$verb refused; retry after the maintenance verb completes (a " +
         "crashed verb's marker is reclaimed by the next maintenance verb)")

@@ -361,13 +361,6 @@ object TextAnalysis {
       regexp_count(text, lit(Ipv4Re)) +
       regexp_count(text, lit(PhoneRe))).cast("long")
 
-  /** CALL core (`CALL g.system.pii_scrub('db.t', 'db.clean')`): PII
-    * detection + redaction over an arbitrary committed (doc_id, text)
-    * table — t10's expressions applied to the user's text AS-IS and the
-    * SCRUBBED TEXT itself committed (the t10 entry plants deterministic
-    * PII so its oracle has something to find, and emits only an md5 —
-    * the CALL is the production verb, so it writes the redacted
-    * column). One map-side pass, zero shuffle, pure codegen regex. */
   /** Resolve a CALL verb's (id, text) input: canonical names when the
     * table carries them (ordering-independent), else the first two
     * columns positionally (ADVICE r13). The id cast refuses LOUDLY on
@@ -398,6 +391,13 @@ object TextAnalysis {
     (id, col(c1).cast("string"))
   }
 
+  /** CALL core (`CALL g.system.pii_scrub('db.t', 'db.clean')`): PII
+    * detection + redaction over an arbitrary committed (doc_id, text)
+    * table — t10's expressions applied to the user's text AS-IS and the
+    * SCRUBBED TEXT itself committed (the t10 entry plants deterministic
+    * PII so its oracle has something to find, and emits only an md5 —
+    * the CALL is the production verb, so it writes the redacted
+    * column). One map-side pass, zero shuffle, pure codegen regex. */
   def piiScrubCore(df: DataFrame): DataFrame = {
     val (id, text) = idTextColumns(df, "pii_scrub")
     df.select(id,

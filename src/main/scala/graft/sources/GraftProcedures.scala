@@ -72,6 +72,7 @@ import graft.storage.GraftTable
   *   CALL graft.system.video_dedup('db.vids', 'db.clusters') -- video dedup
   *   CALL graft.system.video_index('db.vids', 'db.fps')
   *   CALL graft.system.video_match('db.batch', 'db.fps', 'db.hits')
+  *   CALL graft.system.video_index_append('db.new', 'db.fps')
   * }}}
   *
   * Each returns a one-row result describing what it did; the pipeline
@@ -97,7 +98,8 @@ private[sources] object GraftProcedures {
       "ann_stats", "ann_compact", "ann_drop", "pii_scrub", "lang_id",
       "phash_dedup", "audio_dedup", "phash_index", "phash_match",
       "audio_index", "audio_match", "phash_index_append",
-      "audio_index_append", "video_dedup", "video_index", "video_match")
+      "audio_index_append", "video_dedup", "video_index", "video_match",
+      "video_index_append")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -150,7 +152,8 @@ private[sources] object GraftProcedures {
               ProcedureParameter.in("fingerprints", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
           else if (procName == "phash_index_append" ||
-              procName == "audio_index_append")
+              procName == "audio_index_append" ||
+              procName == "video_index_append")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("fingerprints", StringType).build())
           else if (procName == "ann_probe" || procName == "ann_probe_int8" ||
@@ -583,7 +586,8 @@ private[sources] object GraftProcedures {
               procName == "phash_match" || procName == "audio_index" ||
               procName == "audio_match" || procName == "phash_index_append" ||
               procName == "audio_index_append" || procName == "video_dedup" ||
-              procName == "video_index" || procName == "video_match") {
+              procName == "video_index" || procName == "video_match" ||
+              procName == "video_index_append") {
             val spark = SparkSession.active
             val (metric, n) = procName match {
               case "dedup_exact" =>
@@ -685,7 +689,8 @@ private[sources] object GraftProcedures {
                 ("batch_docs_matched",
                   writeResult(
                     graft.operators.Multimodal.audioMatchCore(t.read(), fps), 2))
-              case "phash_index_append" | "audio_index_append" =>
+              case "phash_index_append" | "audio_index_append" |
+                  "video_index_append" =>
                 // the intake loop's ACCEPT step: the batch's
                 // fingerprints join the COMMITTED table (no fresh
                 // target — this verb grows an existing artifact)
@@ -693,10 +698,13 @@ private[sources] object GraftProcedures {
                 val fpsDir = tableDir(fpsName)
                 require(GraftTable.exists(fpsDir), s"no graft table $fpsName")
                 val hash: org.apache.spark.sql.DataFrame =>
-                    org.apache.spark.sql.DataFrame =
-                  if (procName == "phash_index_append")
+                    org.apache.spark.sql.DataFrame = procName match {
+                  case "phash_index_append" =>
                     graft.operators.Multimodal.phashFingerprints
-                  else graft.operators.Multimodal.audioFingerprints
+                  case "audio_index_append" =>
+                    graft.operators.Multimodal.audioFingerprints
+                  case _ => graft.operators.Multimodal.videoFingerprints
+                }
                 ("fingerprints_appended",
                   graft.operators.Multimodal.fingerprintAppendCore(
                     t.read(), GraftTable.open(spark, fpsDir), hash))

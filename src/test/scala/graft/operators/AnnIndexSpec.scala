@@ -1473,6 +1473,43 @@ class AnnIndexSpec extends SparkSpec {
     assert(eBuild.getMessage.contains("append/rebuild instead"))
   }
 
+  test("a crashed auto-compact's marker never blocks appends and self-heals on the next opted-in append") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val root = tmpDir("ann-ac-crash")
+    Similarity.buildIvfIndexFrom(spark, vecs, root, nLists = 4)
+    val (fs, _) = GraftTable.fsAndPath(root)
+    val marker = new org.apache.hadoop.fs.Path(root,
+      Similarity.MaintenanceMarker)
+    // a fold that died mid-run leaves an "autocompact"-kind marker
+    val out = fs.create(marker, false)
+    out.write("autocompact:dead-process".getBytes("UTF-8")); out.close()
+    val v0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0).select("embedding").head
+      .getSeq[Float](0).toArray
+    // ingestion is NOT blocked: the fold is append-safe at the table
+    // lock, so its crash residue must not turn the index refusing
+    assert(Similarity.appendVectorsToIndex(spark, root,
+      Seq((7100000L, v0)).toDF("vec_id", "embedding")) === 1L)
+    // …and the next OPTED-IN append reclaims the residue, folds, and
+    // releases — self-healing without an operator verb
+    assert(Similarity.appendVectorsToIndex(spark, root,
+      Seq((7100001L, v0)).toDF("vec_id", "embedding"),
+      autoCompactMinFiles = 1) === 1L)
+    assert(!fs.exists(marker),
+      "the opted-in append must reclaim a crashed fold's marker and release it")
+    // a MAINTENANCE-kind marker still blocks (the verbs' swap windows)
+    val out2 = fs.create(marker, false)
+    out2.write("maintenance:dead-process".getBytes("UTF-8")); out2.close()
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendVectorsToIndex(spark, root,
+        Seq((7100002L, v0)).toDF("vec_id", "embedding"))
+    }
+    assert(e.getMessage.contains("under maintenance"))
+    fs.delete(marker, false)
+  }
+
   test("opt-in append-time auto-compact: fragmentation signal drops without a manual CALL; probes bit-identical") {
     import spark.implicits._
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -778,6 +778,26 @@ class GraftCatalogSpec extends SparkSpec {
         origRow.get(1) === twinRow.get(1) && twinRow.get(2) === 0,
         s"the byte-identical clip must share its original's cluster: " +
           s"$origRow / $twinRow")
+      // -- video_index / video_match / video_index_append: the intake
+      // loop on the video modality -----------------------------------
+      spark.sql(
+        "CALL gcat.system.video_index('db1.call_vids', 'db1.call_vfps')")
+      val vfpsN = spark.table("gcat.db1.call_vfps").count()
+      assert(vfpsN === vAll.count(), "one signature per committed clip")
+      val vIntake = vTwin.select((col("doc_id") + 1000L).as("doc_id"),
+        col("avi"))
+      GraftTable.create(spark, s"$warehouse/db1/call_vintake", vIntake.schema)
+        .append(vIntake)
+      spark.sql("CALL gcat.system.video_match(" +
+        "'db1.call_vintake', 'db1.call_vfps', 'db1.call_vhits')")
+      val vHit = spark.table("gcat.db1.call_vhits").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq
+      assert(vHit.exists(h => h._1 == vSome + 7501000L && h._2 == 0L),
+        s"the intake clip must match its committed signature: $vHit")
+      spark.sql("CALL gcat.system.video_index_append(" +
+        "'db1.call_vintake', 'db1.call_vfps')")
+      assert(spark.table("gcat.db1.call_vfps").count() === vfpsN + 1,
+        "the accepted video signature must land in the committed table")
       // -- retryable CALL: crash residue between create-commit and
       // append is a committed EMPTY v0 target CARRYING the path's
       // _call_pending marker; the retry reclaims exactly that --
