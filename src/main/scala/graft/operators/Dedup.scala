@@ -569,6 +569,60 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** d16: INCREMENTAL embedding near-dup — the intake shape for the
+    * embedding modality, completing the family (d12 = exact text, d15
+    * = spans, m10/m11/m12 = media fingerprints): the arriving BATCH
+    * (vec_id % 10 == 7, d12's split convention) is checked against the
+    * COMMITTED corpus without corpus×corpus work, through d6's
+    * threshold-derived sign-LSH banding. The batch's (band, key) set
+    * is Bloom-sketched (one bounded driver action); the corpus band
+    * stream is map-side `might_contain`-prefiltered BEFORE the only
+    * equality join (no false negatives — the prune cannot change the
+    * result), so the corpus-side shuffle carries ≈ the batch's band
+    * mass; candidates re-check EXACT cosine (precision 1, d6's
+    * contract). Output is COLLAPSED (the m10 contract): ONE row per
+    * batch vector with a corpus match at cos ≥ [[D6Threshold]] —
+    * (vec_id, match_id = min matching corpus vec, cos = max cosine) —
+    * the drop-the-batch-copy decision. At 100 TB: banding ∝ batch,
+    * prefiltered join ∝ batch band mass, daily cost ∝ batch. */
+  def d16IncrementalEmbed(s: SparkSession, dir: String): DataFrame = {
+    val (bands, bits) = (D6Bands, D6Bits)
+    val e = Similarity.normalized(Tables.load(s, dir, "embeddings"))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val keys = array((0 until bands).map(b =>
+      Similarity.signKey(col("v"), b * bits, bits)): _*)
+    val banded = e.select(col("vec_id"),
+      posexplode(keys).as(Seq("band", "bk")))
+    // slim key streams (24 bytes/row, the d6 discipline); vectors are
+    // pulled back only for surviving candidates
+    val bandKey = col("band").cast("long") * 65536L + col("bk")
+    val bBand = banded.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id").as("vec_b"), col("band"), col("bk"))
+      .localCheckpoint(true) // feeds the sketch action AND the join
+    val sketch = Bloom.sketchBytes(bBand, bandKey)
+    val cBandAll = banded.filter(col("vec_id") % 10 =!= 7)
+      .select(col("vec_id").as("vec_a"), col("band"), col("bk"))
+    val cBand =
+      if (sketch == null) cBandAll.limit(0) // empty batch
+      else cBandAll.filter(Bloom.mightContain(sketch, bandKey))
+    val cand = bBand.join(cBand, Seq("band", "bk"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "vec_b")
+      .select(col("vec_b").as("vec_id"), col("vec_a"),
+        Similarity.cosine(col("va"), col("vb"), col("na"), col("nb"))
+          .as("cos_raw"))
+      .filter(col("cos_raw") >= D6Threshold)
+      .groupBy("vec_id")
+      .agg(min("vec_a").as("match_id"),
+        round(max("cos_raw"), 4).as("cos"))
+      .orderBy("vec_id")
+  }
+
   // -- d11: semantic dedup via k-means blocking -------------------------
 
   /** d11: SEMANTIC dedup — near-dup pairs found by clustering-as-
@@ -1294,6 +1348,7 @@ object Dedup {
     "d4_simhash" -> d4Simhash _,
     "d5_embed_neardup" -> d5EmbedNearDup _,
     "d6_embed_neardup_ann" -> d6EmbedNearDupAnn _,
+    "d16_incremental_embed" -> d16IncrementalEmbed _,
     "d7_dedup_clusters" -> d7DedupClusters _,
     "d8_window_dedup" -> ((s: SparkSession, dir: String) => d8WindowDedup(s, dir)),
     "d9_edit_distance" -> ((s: SparkSession, dir: String) => d9EditDistance(s, dir)),
@@ -1483,6 +1538,31 @@ object Dedup {
          |    ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id
          |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4)
          |ORDER BY vec_a, vec_b""".stripMargin
+    },
+    // d16: the same banding CTE as d6's oracle, split into committed
+    // corpus vs intake batch, then the quadratic batch×corpus cosine
+    // check the Bloom-prefiltered banded join replaces, collapsed to
+    // one min-match row per batch vector (the m10 proof shape on the
+    // embedding modality; multi-band duplicate candidates are absorbed
+    // by the min/max aggregates on both sides)
+    "d16_incremental_embed" -> {
+      val bandKeys = (0 until D6Bands).map(b =>
+        s"WHEN band = $b THEN ${Similarity.signKeySql("v", b * D6Bits, D6Bits)}")
+        .mkString("CASE ", " ", " END")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v, ${normSql("v")} nrm FROM e),
+         |banded AS (SELECT vec_id, v, nrm, band, $bandKeys bk
+         |           FROM n CROSS JOIN range(0, $D6Bands) r(band))
+         |SELECT b.vec_id,
+         |  CAST(min(a.vec_id) AS BIGINT) match_id,
+         |  round(max(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm)), 4) cos
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bk = b.bk
+         |  AND a.vec_id % 10 <> 7 AND b.vec_id % 10 = 7
+         |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4
+         |GROUP BY b.vec_id
+         |ORDER BY b.vec_id""".stripMargin
     },
     // connected components as a recursive transitive closure: the
     // component id is the minimum doc reachable from v — exactly what
