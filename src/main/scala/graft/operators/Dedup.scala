@@ -1540,11 +1540,16 @@ object Dedup {
          |ORDER BY vec_a, vec_b""".stripMargin
     },
     // d16: the same banding CTE as d6's oracle, split into committed
-    // corpus vs intake batch, then the quadratic batch×corpus cosine
-    // check the Bloom-prefiltered banded join replaces, collapsed to
-    // one min-match row per batch vector (the m10 proof shape on the
-    // embedding modality; multi-band duplicate candidates are absorbed
-    // by the min/max aggregates on both sides)
+    // corpus vs intake batch, with the exact-cosine check inside the
+    // banded candidates, collapsed to one min-match row per batch
+    // vector. NOTE the oracle replays the BANDING (d6's own oracle
+    // convention): what it proves is the Bloom prefilter's
+    // no-false-negatives claim, the split, the cosine arithmetic, and
+    // the collapse — NOT banding recall, which is probabilistic and
+    // budgeted analytically by d6BandLayout (unlike m10's pigeonhole-
+    // exact T≤3 banding, where banded ≡ quadratic). Multi-band
+    // duplicate candidates are absorbed by the min/max aggregates on
+    // both sides.
     "d16_incremental_embed" -> {
       val bandKeys = (0 until D6Bands).map(b =>
         s"WHEN band = $b THEN ${Similarity.signKeySql("v", b * D6Bits, D6Bits)}")

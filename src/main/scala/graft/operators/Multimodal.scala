@@ -664,23 +664,31 @@ object Multimodal {
       s"target is not a committed fingerprint table (expected (doc_id, " +
         s"hi, lo), got ${committed.columns.mkString(", ")}) — create it " +
         "with phash_index/audio_index first")
-    // id hygiene BEFORE the media hash (review r14 #5): both checks
-    // need only the batch's id column (a pruned scan), so a refused
-    // batch never pays the decode. Self-duplicates first: two rows
-    // under one id would both pass the committed-side check and commit
-    // two fingerprints for one doc.
-    val ids = batch.select(col(batch.columns(0)).cast("long").as("doc_id"))
-    val selfDup = ids.groupBy("doc_id").count()
-      .filter(col("count") > 1).count()
-    require(selfDup == 0L,
-      s"$selfDup id(s) appear more than once in the intake batch — " +
-        "double-inserting a doc would break the min-match contract")
-    val clash = ids.join(committed.select(col("doc_id")),
-      Seq("doc_id"), "left_semi").count()
-    require(clash == 0L,
-      s"$clash id(s) already fingerprinted — an intake batch must carry " +
-        "fresh ids (or erase the old rows first)")
-    fpsT.append(hash(batch))
+    // FAST-FAIL id hygiene on the raw batch (review r14 #5): both
+    // checks need only the id column (a pruned scan), so an obviously
+    // bad batch refuses before paying any media decode…
+    def checkIds(ids: DataFrame): Unit = {
+      val selfDup = ids.groupBy("doc_id").count()
+        .filter(col("count") > 1).count()
+      require(selfDup == 0L,
+        s"$selfDup id(s) appear more than once in the intake batch — " +
+          "double-inserting a doc would break the min-match contract")
+      val clash = ids.join(committed.select(col("doc_id")),
+        Seq("doc_id"), "left_semi").count()
+      require(clash == 0L,
+        s"$clash id(s) already fingerprinted — an intake batch must " +
+          "carry fresh ids (or erase the old rows first)")
+    }
+    checkIds(batch.select(col(batch.columns(0)).cast("long").as("doc_id")))
+    // …then the AUTHORITATIVE checks re-run on the MATERIALIZED hashed
+    // frame the append will commit (review r14 #6 / the
+    // validateVectorFrame discipline): a nondeterministic or moving
+    // batch source re-evaluated at write time could otherwise commit
+    // rows the fast-fail never saw. The re-check is two id-only
+    // aggregates over the 3-column checkpointed frame — cheap.
+    val bfps = hash(batch).localCheckpoint(true)
+    checkIds(bfps.select("doc_id"))
+    fpsT.append(bfps)
   }
 
   /** The shared batch-vs-committed-fingerprints CALL body of

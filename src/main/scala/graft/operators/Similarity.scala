@@ -203,24 +203,37 @@ object Similarity {
     // (append-safe — appends don't refuse on it, so a fold crash can
     // never brick ingestion), never touches a MAINTENANCE-kind marker
     // or one live in this process, and reclaims only a crashed FOLD's
-    // residue (self-healing — review r14 #2). Skip on any contention:
-    // the next opted-in append folds instead; the rows are already
-    // durable either way.
+    // residue (self-healing — review r14 #2) that has AGED past
+    // [[FoldReclaimAgeMs]] — a live fold's marker is seconds old, so
+    // the age gate closes the cross-process read-kind→delete window
+    // (review r14 #3) without heartbeat machinery. Skip on any
+    // contention: the next opted-in append folds instead; the rows are
+    // already durable either way.
     val (fs, _) = graft.storage.GraftTable.fsAndPath(root)
     val marker = new org.apache.hadoop.fs.Path(root, MaintenanceMarker)
     if (liveMarkers.contains(marker.toString)) return
     if (fs.exists(marker)) {
-      if (readMarkerKind(fs, marker) != "autocompact") {
-        MaintLog.warn(s"skipping append-time auto-compact at $root — " +
-          "a maintenance verb holds the marker")
+      val kind = readMarkerKind(fs, marker)
+      val age =
+        try System.currentTimeMillis() - fs.getFileStatus(marker).getModificationTime
+        catch { case _: Exception => 0L } // vanished → create() arbitrates
+      if (kind != "autocompact" || age < FoldReclaimAgeMs) {
+        if (kind != "autocompact")
+          MaintLog.warn(s"skipping append-time auto-compact at $root — " +
+            "a maintenance verb holds the marker")
         return
       }
-      // a crashed fold's residue (this process holds no live marker)
+      // a crashed fold's residue (aged out; this process holds no live
+      // marker for it)
       MaintLog.warn(s"reclaiming a crashed auto-compact's marker at $root")
       fs.delete(marker, false)
       ()
     }
     val token = createMarker(fs, marker, "autocompact").getOrElse(return)
+    // best-effort like the table layer's maybeAutoCompact: the append
+    // is already durable, so a fold failure (e.g. a concurrent MOR
+    // delete racing a rewrite — legal now that autocompact markers
+    // don't block DML) must not fail it retroactively (review r14 #3)
     try {
       IndexSiblingTables
         .filter(t => graft.storage.GraftTable.exists(s"$root/$t"))
@@ -228,8 +241,18 @@ object Similarity {
           val t = graft.storage.GraftTable.open(s, s"$root/$name")
           if (t.committedFiles.size >= minFiles) { t.compactSmall(); () }
         }
+    } catch { case e: Exception =>
+      MaintLog.warn(s"append-time auto-compact at $root failed " +
+        s"(rows are already durable; the next opted-in append retries): " +
+        s"${e.getMessage}")
     } finally releaseMarker(fs, marker, token)
   }
+
+  /** A fold marker younger than this is assumed LIVE (a concurrent
+    * opted-in append mid-fold), older is crashed residue the next fold
+    * may reclaim. Folds are seconds long; 10 minutes is comfortably
+    * past any healthy fold and comfortably under "operator notices". */
+  private[operators] val FoldReclaimAgeMs = 10L * 60 * 1000
 
   /** The shared input-hygiene gate of [[buildIvfIndexFrom]] and
     * [[appendVectorsToIndex]]: takes the frame's first two columns as
@@ -1631,14 +1654,25 @@ object Similarity {
 
   private def createMarker(fs: org.apache.hadoop.fs.FileSystem,
       marker: org.apache.hadoop.fs.Path, kind: String): Option[String] = {
+    // register in the JVM-live set FIRST: add() doubles as an
+    // in-process mutex, so a concurrent in-process taker cannot slip
+    // between our fs.create and the set registration and "reclaim" our
+    // just-created live marker (review r14 #3). A failed create
+    // deregisters. Content is written after create and is therefore
+    // briefly empty to concurrent READERS — readMarkerKind's
+    // conservative "maintenance" default makes that window refuse an
+    // append spuriously once (retryable), never admit one wrongly.
+    if (!liveMarkers.add(marker.toString)) return None
     val token = s"$kind:${java.util.UUID.randomUUID()}"
     try {
       val out = fs.create(marker, false) // atomic: fails if present
       out.write(token.getBytes("UTF-8"))
       out.close()
-      liveMarkers.add(marker.toString)
       Some(token)
-    } catch { case _: java.io.IOException => None }
+    } catch { case _: java.io.IOException =>
+      liveMarkers.remove(marker.toString)
+      None
+    }
   }
 
   private def releaseMarker(fs: org.apache.hadoop.fs.FileSystem,

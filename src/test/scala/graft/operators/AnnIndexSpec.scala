@@ -1482,9 +1482,13 @@ class AnnIndexSpec extends SparkSpec {
     val (fs, _) = GraftTable.fsAndPath(root)
     val marker = new org.apache.hadoop.fs.Path(root,
       Similarity.MaintenanceMarker)
-    // a fold that died mid-run leaves an "autocompact"-kind marker
+    // a fold that died mid-run leaves an "autocompact"-kind marker;
+    // backdate it past the reclaim age (a FRESH fold marker is assumed
+    // live and is skipped, not reclaimed — the cross-process race gate)
     val out = fs.create(marker, false)
     out.write("autocompact:dead-process".getBytes("UTF-8")); out.close()
+    fs.setTimes(marker,
+      System.currentTimeMillis() - Similarity.FoldReclaimAgeMs - 60000L, -1L)
     val v0 = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") === 0).select("embedding").head
       .getSeq[Float](0).toArray

@@ -162,6 +162,20 @@ class DedupScaleSpec extends SparkSpec {
       "a cap that drops nothing must report zero")
   }
 
+  test("d16 scale shape: keyed banded join, Bloom-prefiltered corpus side, no nested-loop plan; matches are genuine") {
+    val got = Dedup.d16IncrementalEmbed(spark, sf("sf0.001"))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("might_contain"),
+      "the Bloom prefilter must land map-side on the corpus band stream")
+    val rows = got.collect()
+    // every reported match is a batch vector citing a corpus vector at
+    // cos >= the threshold (min-match contract sanity)
+    assert(rows.forall(r => r.getLong(0) % 10 == 7 &&
+      r.getLong(1) % 10 != 7 && r.getDouble(2) >= Dedup.D6Threshold))
+  }
+
   test("d15 reports batch-vs-corpus spans only, through the sketch prefilter") {
     val shared = (1 to 20).map(i => s"x$i")
     val corpusDup = (1 to 18).map(i => s"y$i").mkString(" ")
