@@ -74,4 +74,50 @@ object DedupStream {
       .trigger(trigger)
       .start()
   }
+
+  /** REFRESHABLE variant (round 14's RangeJoinStream/FingerprintStream
+    * discipline): the index corpus derives from a COMMITTED graft
+    * table, and the postings index is REBUILT when the table's version
+    * ticks — documents accepted mid-stream dedup later batches without
+    * a restart. One metadata read per trigger; a tick's rebuild costs
+    * exactly a restart's index build (one shingle pass over the
+    * snapshot), amortized over every trigger in between, and the
+    * superseded index's cached blocks are released. Exactly-once is
+    * unchanged (a replayed batch re-scores against possibly NEWER docs
+    * but its append is discarded by the txn watermark). */
+  def startRefreshable(corpusLoc: String, incoming: DataFrame,
+      dest: GraftTable, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = incoming.sparkSession
+    val id = GraftStreamIngest.txnId(checkpoint)
+    // single-threaded per query (foreachBatch runs on the microbatch
+    // thread), so plain vars are safe
+    var cachedVersion = -1L
+    var cached: Dedup.PostingsIndex = null
+    val q = incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t = GraftTable.open(spark, corpusLoc) // fresh: see commits
+        val v = t.version
+        if (cached == null || v != cachedVersion) {
+          val next = Dedup.PostingsIndex.build(t.read())
+          if (cached != null) cached.release()
+          cached = next
+          cachedVersion = v
+        }
+        val bpos = Dedup.shinglePostings(batch, "doc_b", "nb")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try dest.appendStream(cached.score(bpos), id, batchId)
+        finally bpos.unpersist()
+        ()
+      }
+      .trigger(trigger)
+      .start()
+    GraftStreamIngest.releaseOnTerminate(q)(() => {
+      if (cached != null) cached.release()
+      ()
+    })
+    q
+  }
 }

@@ -55,4 +55,48 @@ object SpanStream {
     GraftStreamIngest.releaseOnTerminate(q)(() => { grams.unpersist(); () })
     q
   }
+
+  /** REFRESHABLE variant (round 14's RangeJoinStream/FingerprintStream
+    * discipline): the corpus derives from a COMMITTED graft table, and
+    * the gram frame is RE-BUILT when the table's version ticks —
+    * documents accepted mid-stream are span-checked against later
+    * batches without a restart. One metadata read per trigger; a
+    * tick's re-gram costs exactly a restart's build, amortized across
+    * every trigger in between; the superseded frame's cached blocks
+    * are released. Exactly-once unchanged (txn watermark). */
+  def startRefreshable(corpusLoc: String, incoming: DataFrame,
+      dest: GraftTable, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = incoming.sparkSession
+    val id = GraftStreamIngest.txnId(checkpoint)
+    var cachedVersion = -1L
+    var grams: DataFrame = null
+    val q = incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t = GraftTable.open(spark, corpusLoc) // fresh: see commits
+        val v = t.version
+        if (grams == null || v != cachedVersion) {
+          val next = Dedup.corpusSpanGrams(t.read())
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize before serving the batch
+          if (grams != null) { grams.unpersist(); () }
+          grams = next
+          cachedVersion = v
+        }
+        val bg = Dedup.batchSpanGrams(batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try dest.appendStream(Dedup.spanMatchAgainst(grams, bg), id, batchId)
+        finally bg.unpersist()
+        ()
+      }
+      .trigger(trigger)
+      .start()
+    GraftStreamIngest.releaseOnTerminate(q)(() => {
+      if (grams != null) { grams.unpersist(); () }
+      ()
+    })
+    q
+  }
 }

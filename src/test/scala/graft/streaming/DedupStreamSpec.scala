@@ -68,4 +68,49 @@ class DedupStreamSpec extends SparkSpec {
     assert(dst.read().count() === expected.size.toLong)
     GraftTable.drop(srcLoc); GraftTable.drop(dstLoc)
   }
+
+  test("refreshable index side: a doc committed MID-STREAM dedups later batches without a restart") {
+    import spark.implicits._
+    def words(p: String) = (1 to 20).map(i => s"$p$i").mkString(" ")
+    val corpusLoc = tmpDir("dds-refresh") + "/corpus"
+    val corpusT = GraftTable.create(spark, corpusLoc, StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType))))
+    corpusT.append(Seq((1L, words("a"))).toDF("doc_id", "text"))
+    val src = tmpDir("dds-refresh-src")
+    // batch A duplicates corpus doc 1; batch B (written mid-stream)
+    // duplicates doc 2, which is only committed AFTER the stream starts
+    Seq((107L, words("a"))).toDF("doc_id", "text")
+      .write.parquet(s"$src/part=a")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val incoming = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true").parquet(src)
+    val dstLoc = tmpDir("dds-refresh-dst") + "/t"
+    val dst = GraftTable.create(spark, dstLoc, StructType(Seq(
+      StructField("doc_b", LongType), StructField("doc_a", LongType),
+      StructField("jac", DoubleType))))
+    val q = DedupStream.startRefreshable(corpusLoc, incoming, dst,
+      tmpDir("dds-refresh-ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+    def await(n: Long): Unit = {
+      val t0 = System.nanoTime()
+      while (dst.read().count() < n) {
+        assert((System.nanoTime() - t0) / 1e9 < 90,
+          s"timed out (have ${dst.read().count()}, want $n)")
+        Thread.sleep(250)
+      }
+    }
+    await(1L)
+    corpusT.append(Seq((2L, words("b"))).toDF("doc_id", "text"))
+    Seq((207L, words("b"))).toDF("doc_id", "text")
+      .write.parquet(s"$src/part=b")
+    await(2L)
+    q.stop()
+    val got = dst.read().orderBy("doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq((107L, 1L, 1.0), (207L, 2L, 1.0)),
+      s"the mid-stream doc must serve later batches without a restart: $got")
+    GraftTable.drop(corpusLoc); GraftTable.drop(dstLoc)
+  }
 }

@@ -62,4 +62,54 @@ class SpanStreamSpec extends SparkSpec {
       "replay must be a no-op")
     GraftTable.drop(destLoc)
   }
+
+  test("refreshable corpus side: a doc committed MID-STREAM is span-checked against later batches without a restart") {
+    import spark.implicits._
+    val spanX = (1 to 20).map(i => s"x$i")
+    val spanY = (1 to 20).map(i => s"y$i")
+    val corpusLoc = tmpDir("ss-refresh") + "/corpus"
+    val corpusT = GraftTable.create(spark, corpusLoc, StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType))))
+    corpusT.append(Seq(
+      (1L, ((1 to 6).map(i => s"a$i") ++ spanX).mkString(" ")))
+      .toDF("doc_id", "text"))
+    val src = tmpDir("ss-refresh-src")
+    Seq((17L, (spanX ++ (1 to 5).map(i => s"c$i")).mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$src/part=a")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val incoming = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true").parquet(src)
+    val destLoc = tmpDir("ss-refresh-dest") + "/t"
+    val dest = GraftTable.create(spark, destLoc, StructType(Seq(
+      StructField("doc_a", LongType), StructField("doc_b", LongType),
+      StructField("pos_a", LongType), StructField("pos_b", LongType),
+      StructField("span_tokens", LongType))))
+    val q = SpanStream.startRefreshable(corpusLoc, incoming, dest,
+      tmpDir("ss-refresh-ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+    def await(n: Long): Unit = {
+      val t0 = System.nanoTime()
+      while (dest.read().count() < n) {
+        assert((System.nanoTime() - t0) / 1e9 < 90,
+          s"timed out (have ${dest.read().count()}, want $n)")
+        Thread.sleep(250)
+      }
+    }
+    await(1L)
+    // mid-stream: a new corpus doc carrying span Y; batch B shares it
+    corpusT.append(Seq(
+      (2L, ((1 to 4).map(i => s"b$i") ++ spanY).mkString(" ")))
+      .toDF("doc_id", "text"))
+    Seq((27L, (spanY ++ (1 to 7).map(i => s"d$i")).mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$src/part=b")
+    await(2L)
+    q.stop()
+    val got = dest.read().orderBy("doc_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    assert(got === Seq((1L, 17L, 20L), (2L, 27L, 20L)),
+      s"the mid-stream doc's spans must reach later batches without a restart: $got")
+    GraftTable.drop(corpusLoc); GraftTable.drop(destLoc)
+  }
 }
