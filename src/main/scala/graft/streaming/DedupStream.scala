@@ -90,34 +90,21 @@ object DedupStream {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = incoming.sparkSession
     val id = GraftStreamIngest.txnId(checkpoint)
-    // single-threaded per query (foreachBatch runs on the microbatch
-    // thread), so plain vars are safe
-    var cachedVersion = -1L
-    var cached: Dedup.PostingsIndex = null
+    val index = new RefreshableStatic[Dedup.PostingsIndex](corpusLoc,
+      Dedup.PostingsIndex.build, _.release())
     val q = incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val t = GraftTable.open(spark, corpusLoc) // fresh: see commits
-        val v = t.version
-        if (cached == null || v != cachedVersion) {
-          val next = Dedup.PostingsIndex.build(t.read())
-          if (cached != null) cached.release()
-          cached = next
-          cachedVersion = v
-        }
         val bpos = Dedup.shinglePostings(batch, "doc_b", "nb")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try dest.appendStream(cached.score(bpos), id, batchId)
+        try dest.appendStream(index.get(spark).score(bpos), id, batchId)
         finally bpos.unpersist()
         ()
       }
       .trigger(trigger)
       .start()
-    GraftStreamIngest.releaseOnTerminate(q)(() => {
-      if (cached != null) cached.release()
-      ()
-    })
+    GraftStreamIngest.releaseOnTerminate(q)(() => index.close())
     q
   }
 }

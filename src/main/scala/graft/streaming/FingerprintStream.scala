@@ -83,27 +83,22 @@ object FingerprintStream {
       hash: DataFrame => DataFrame = Multimodal.phashFingerprints)
       : StreamingQuery = {
     val id = GraftStreamIngest.txnId(checkpoint)
-    // single-threaded per query (foreachBatch runs on the microbatch
-    // thread), so plain vars are safe
-    var cachedVersion = -1L
-    var cachedFps: DataFrame = null
-    incoming.writeStream
+    // the shared version-tick skeleton, collapsing ONCE per tick
+    // (review r14); localCheckpoint blocks are ContextCleaner-reclaimed
+    val fps = new RefreshableStatic[DataFrame](fpsLoc,
+      t => Multimodal.collapseFpsReps(t).localCheckpoint(true), _ => ())
+    val q = incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val t = GraftTable.open(spark, fpsLoc) // fresh: see other commits
-        val v = t.version
-        if (cachedFps == null || v != cachedVersion) {
-          // collapse ONCE per version tick (review r14)
-          cachedFps = Multimodal.collapseFpsReps(t.read()).localCheckpoint(true)
-          cachedVersion = v
-        }
         val bfps = hash(batch).localCheckpoint(true)
         dest.appendStream(
-          Multimodal.matchCollapsedAgainst(cachedFps, bfps), id, batchId)
+          Multimodal.matchCollapsedAgainst(fps.get(spark), bfps), id, batchId)
         ()
       }
       .trigger(trigger)
       .start()
+    GraftStreamIngest.releaseOnTerminate(q)(() => fps.close())
+    q
   }
 }

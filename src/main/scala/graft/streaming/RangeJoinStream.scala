@@ -74,26 +74,22 @@ object RangeJoinStream {
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val id = GraftStreamIngest.txnId(checkpoint)
-    // single-threaded per query (foreachBatch runs on the stream's
-    // microbatch thread), so plain vars are safe
-    var cachedVersion = -1L
-    var cachedBands: DataFrame = null
-    incoming.writeStream
+    // the shared version-tick skeleton; localCheckpoint blocks are
+    // reclaimed by the ContextCleaner once unreferenced, so release is
+    // a no-op here
+    val bands = new RefreshableStatic[DataFrame](staticLoc,
+      docs => bandsFrom(docs).localCheckpoint(true), _ => ())
+    val q = incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // fresh open: another session's commit must be visible here
-        val t = graft.storage.GraftTable.open(spark, staticLoc)
-        val v = t.version
-        if (cachedBands == null || v != cachedVersion) {
-          cachedBands = bandsFrom(t.read()).localCheckpoint(true)
-          cachedVersion = v
-        }
-        dest.appendStream(matches(cachedBands, batch), id, batchId)
+        dest.appendStream(matches(bands.get(spark), batch), id, batchId)
         ()
       }
       .trigger(trigger)
       .start()
+    GraftStreamIngest.releaseOnTerminate(q)(() => bands.close())
+    q
   }
 
   def run(spark: SparkSession, staticDir: String, srcDir: String,

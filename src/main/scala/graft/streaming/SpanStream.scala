@@ -69,34 +69,30 @@ object SpanStream {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = incoming.sparkSession
     val id = GraftStreamIngest.txnId(checkpoint)
-    var cachedVersion = -1L
-    var grams: DataFrame = null
+    val grams = new RefreshableStatic[DataFrame](corpusLoc,
+      docs => {
+        val g = Dedup.corpusSpanGrams(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // materialize before serving; release the partial on a
+        // transient rebuild failure so it cannot pin blocks (review r14)
+        try { g.count(); g }
+        catch { case e: Throwable => g.unpersist(); throw e }
+      },
+      (g: DataFrame) => { g.unpersist(); () })
     val q = incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val t = GraftTable.open(spark, corpusLoc) // fresh: see commits
-        val v = t.version
-        if (grams == null || v != cachedVersion) {
-          val next = Dedup.corpusSpanGrams(t.read())
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          next.count() // materialize before serving the batch
-          if (grams != null) { grams.unpersist(); () }
-          grams = next
-          cachedVersion = v
-        }
         val bg = Dedup.batchSpanGrams(batch)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try dest.appendStream(Dedup.spanMatchAgainst(grams, bg), id, batchId)
+        try dest.appendStream(
+          Dedup.spanMatchAgainst(grams.get(spark), bg), id, batchId)
         finally bg.unpersist()
         ()
       }
       .trigger(trigger)
       .start()
-    GraftStreamIngest.releaseOnTerminate(q)(() => {
-      if (grams != null) { grams.unpersist(); () }
-      ()
-    })
+    GraftStreamIngest.releaseOnTerminate(q)(() => grams.close())
     q
   }
 }

@@ -90,8 +90,8 @@ class DedupStreamSpec extends SparkSpec {
     val dst = GraftTable.create(spark, dstLoc, StructType(Seq(
       StructField("doc_b", LongType), StructField("doc_a", LongType),
       StructField("jac", DoubleType))))
-    val q = DedupStream.startRefreshable(corpusLoc, incoming, dst,
-      tmpDir("dds-refresh-ckpt"),
+    val ckpt = tmpDir("dds-refresh-ckpt")
+    val q = DedupStream.startRefreshable(corpusLoc, incoming, dst, ckpt,
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
     def await(n: Long): Unit = {
       val t0 = System.nanoTime()
@@ -111,6 +111,11 @@ class DedupStreamSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got === Seq((107L, 1L, 1.0), (207L, 2L, 1.0)),
       s"the mid-stream doc must serve later batches without a restart: $got")
+    // exactly-once across a restart on the same checkpoint: a replayed
+    // batch re-scores against the NEWER index but appends nothing
+    val q2 = DedupStream.startRefreshable(corpusLoc, incoming, dst, ckpt)
+    assert(q2.awaitTermination(120000))
+    assert(dst.read().count() === 2L, "replay must append nothing")
     GraftTable.drop(corpusLoc); GraftTable.drop(dstLoc)
   }
 }

@@ -86,8 +86,8 @@ class SpanStreamSpec extends SparkSpec {
       StructField("doc_a", LongType), StructField("doc_b", LongType),
       StructField("pos_a", LongType), StructField("pos_b", LongType),
       StructField("span_tokens", LongType))))
-    val q = SpanStream.startRefreshable(corpusLoc, incoming, dest,
-      tmpDir("ss-refresh-ckpt"),
+    val ckpt = tmpDir("ss-refresh-ckpt")
+    val q = SpanStream.startRefreshable(corpusLoc, incoming, dest, ckpt,
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
     def await(n: Long): Unit = {
       val t0 = System.nanoTime()
@@ -110,6 +110,10 @@ class SpanStreamSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
     assert(got === Seq((1L, 17L, 20L), (2L, 27L, 20L)),
       s"the mid-stream doc's spans must reach later batches without a restart: $got")
+    // exactly-once across a restart on the same checkpoint
+    val q2 = SpanStream.startRefreshable(corpusLoc, incoming, dest, ckpt)
+    assert(q2.awaitTermination(120000))
+    assert(dest.read().count() === 2L, "replay must append nothing")
     GraftTable.drop(corpusLoc); GraftTable.drop(destLoc)
   }
 }
