@@ -1028,7 +1028,13 @@ object Dedup {
     def build(indexDocs: DataFrame): PostingsIndex = {
       val p = shinglePostings(indexDocs, "doc_a", "na")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count()
+      // a failed materialization must unpin its own blocks — this build
+      // is also RefreshableStatic's `build` (DedupStream tick rebuilds),
+      // whose contract is "clean up your partials if you throw"; without
+      // the unpersist a transient tick failure leaks the persisted
+      // postings for the stream's lifetime (ADVICE r14)
+      try p.count()
+      catch { case e: Throwable => p.unpersist(); throw e }
       new PostingsIndex(p)
     }
   }

@@ -234,7 +234,10 @@ object Similarity {
     // is already durable, so a fold failure (e.g. a concurrent MOR
     // delete racing a rewrite — legal now that autocompact markers
     // don't block DML) must not fail it retroactively (review r14 #3)
-    try {
+    // heartbeat while folding: a fold that outlives FoldReclaimAgeMs
+    // (a huge tail on a slow store) must not age into "crashed" and be
+    // reclaimed by a concurrent fold or maintenance verb mid-rewrite
+    try withMarkerHeartbeat(fs, marker) {
       IndexSiblingTables
         .filter(t => graft.storage.GraftTable.exists(s"$root/$t"))
         .foreach { name =>
@@ -1638,18 +1641,52 @@ object Similarity {
     * per-table writer lock, so it blocks only other maintenance);
     * the token proves ownership at release time. An empty/legacy
     * marker reads as "maintenance" (conservative). */
-  private def readMarkerKind(fs: org.apache.hadoop.fs.FileSystem,
-      marker: org.apache.hadoop.fs.Path): String = {
-    val content =
+  /** Whole-file marker read: Hadoop input streams may return FEWER
+    * bytes than available from a single read(), and a truncated token
+    * must never be mistaken for a takeover — releaseMarker would then
+    * leave its own marker in place and block all appends until the next
+    * verb (ADVICE r14). Loops to EOF; any error reads as "" (the
+    * conservative path at both call sites). */
+  private def readMarkerContent(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path): String =
+    try {
+      val in = fs.open(marker)
       try {
-        val in = fs.open(marker)
-        try {
-          val buf = new Array[Byte](128)
-          val n = math.max(in.read(buf), 0)
-          new String(buf, 0, n, "UTF-8")
-        } finally in.close()
-      } catch { case _: Exception => "" }
-    if (content.startsWith("autocompact:")) "autocompact" else "maintenance"
+        val out = new java.io.ByteArrayOutputStream(128)
+        val buf = new Array[Byte](128)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray, "UTF-8")
+      } finally in.close()
+    } catch { case _: Exception => "" }
+
+  private def readMarkerKind(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path): String =
+    if (readMarkerContent(fs, marker).startsWith("autocompact:")) "autocompact"
+    else "maintenance"
+
+  /** Heartbeat a LIVE marker's mtime every [[FoldReclaimAgeMs]]/4 for
+    * the span of `body` — the cross-process liveness signal (VERDICT
+    * r14 #3): a marker younger than [[FoldReclaimAgeMs]] is presumed
+    * live in SOME process and is never reclaimed, so a long-running
+    * verb must keep its marker young or be mistaken for a crash.
+    * Best-effort: a failed touch only ages the marker toward reclaim,
+    * which is exactly the crash semantics. */
+  private def withMarkerHeartbeat[T](fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path)(body: => T): T = {
+    @volatile var beating = true
+    val t = new Thread(() => {
+      while (beating) {
+        try Thread.sleep(FoldReclaimAgeMs / 4) catch { case _: InterruptedException => }
+        if (beating) {
+          try fs.setTimes(marker, System.currentTimeMillis(), -1)
+          catch { case _: Exception => () }
+        }
+      }
+    }, "graft-marker-heartbeat")
+    t.setDaemon(true)
+    t.start()
+    try body finally { beating = false; t.interrupt() }
   }
 
   private def createMarker(fs: org.apache.hadoop.fs.FileSystem,
@@ -1680,15 +1717,7 @@ object Similarity {
     // delete only what we own: if someone reclaimed our marker mid-run
     // (a cross-process contract violation), deleting now would disarm
     // THEIR window on top of ours — warn loudly instead
-    val content =
-      try {
-        val in = fs.open(marker)
-        try {
-          val buf = new Array[Byte](128)
-          val n = math.max(in.read(buf), 0)
-          new String(buf, 0, n, "UTF-8")
-        } finally in.close()
-      } catch { case _: Exception => "" }
+    val content = readMarkerContent(fs, marker)
     if (content == token) { fs.delete(marker, false); () }
     else MaintLog.warn(s"maintenance marker at ${marker.getParent} was " +
       "taken over mid-run by another process — leaving it in place; " +
@@ -1706,6 +1735,25 @@ object Similarity {
       s"a maintenance operation is already running in this process at " +
         s"$root — one maintenance verb at a time")
     if (fs.exists(marker)) {
+      // Cross-process liveness by AGE (VERDICT r14 #3 / ADVICE r14):
+      // the filesystem cannot say whether the marker's owner is alive,
+      // but a live verb heartbeats its marker's mtime every
+      // FoldReclaimAgeMs/4 ([[withMarkerHeartbeat]]), so a marker
+      // younger than FoldReclaimAgeMs is presumed LIVE in another
+      // process — this verb REFUSES rather than reclaim it (reclaiming
+      // would run two staging swaps, or a swap against a live
+      // append-triggered autocompact's fold, concurrently — the exact
+      // races the marker exists to prevent). Older is crashed residue:
+      // reclaimed, and the verb's own preamble recovers the crash.
+      val age =
+        try System.currentTimeMillis() - fs.getFileStatus(marker).getModificationTime
+        catch { case _: Exception => Long.MaxValue } // vanished → create() arbitrates
+      require(age >= FoldReclaimAgeMs,
+        s"index at $root has a LIVE $MaintenanceMarker (age ${age / 1000}s < " +
+          s"${FoldReclaimAgeMs / 1000}s) — another process is running a " +
+          "maintenance verb or an append-time auto-compact; retry after it " +
+          "completes (a crashed owner's marker ages out and is then " +
+          "reclaimed automatically)")
       MaintLog.warn(s"reclaiming stale maintenance marker at $root — a " +
         "previous maintenance operation crashed before releasing it; " +
         "its crash residue is recovered by this verb's own preamble")
@@ -1716,7 +1764,7 @@ object Similarity {
       throw new IllegalArgumentException(
         s"another maintenance verb just took $MaintenanceMarker at " +
           s"$root — run one maintenance verb at a time"))
-    try body
+    try withMarkerHeartbeat(fs, marker)(body)
     finally releaseMarker(fs, marker, token)
   }
 
@@ -1840,6 +1888,23 @@ object Similarity {
       val t = GraftTable.open(s, s"$root/postings")
       require(t.version == 0L && t.rowCountFromMetadata() == 0L,
         s"index root $root already has postings — append/rebuild instead")
+      // A JUST-committed empty v0 is indistinguishable from a
+      // concurrent ann_build that committed its create with the first
+      // append still pending — dropping it would destroy a LIVE build's
+      // table (ADVICE r14). Age-gate the reclaim like the fold reclaim:
+      // only a v0 older than FoldReclaimAgeMs is crash residue; a
+      // fresher one refuses loudly (retryable — residue ages out).
+      val (pfs, _) = GraftTable.fsAndPath(s"$root/postings")
+      val v0 = new org.apache.hadoop.fs.Path(
+        s"$root/postings/_graft_history/" + f"v${0L}%020d.json")
+      val age =
+        try System.currentTimeMillis() - pfs.getFileStatus(v0).getModificationTime
+        catch { case _: Exception => Long.MaxValue } // unreadable → residue
+      require(age >= FoldReclaimAgeMs,
+        s"index root $root has an EMPTY postings table committed only " +
+          s"${age / 1000}s ago — a concurrent ann_build may be mid-create; " +
+          s"retry after ${FoldReclaimAgeMs / 1000}s (aged crash residue is " +
+          "reclaimed automatically)")
       GraftTable.drop(s"$root/postings")
     }
     // retry-safe: a crash between the centroids and postings commits

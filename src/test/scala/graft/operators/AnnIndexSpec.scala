@@ -1449,8 +1449,21 @@ class AnnIndexSpec extends SparkSpec {
       Similarity.deleteFromIndex(spark, root, Seq(1L))
     }
     assert(eDel.getMessage.contains("under maintenance"))
-    // a crashed verb's marker is reclaimed by the NEXT maintenance
-    // verb: compact completes and releases, appends flow again
+    // a FRESH foreign marker is presumed LIVE in another process
+    // (heartbeat keeps a live verb's marker young — VERDICT r14 #3):
+    // a new maintenance verb must REFUSE, not reclaim it out from
+    // under a possibly-running owner
+    val eVerb = intercept[IllegalArgumentException] {
+      Similarity.annCompactIndex(spark, root)
+    }
+    assert(eVerb.getMessage.contains("LIVE"),
+      s"a fresh foreign marker must refuse a new verb: ${eVerb.getMessage}")
+    assert(fs.exists(marker), "the refusing verb must leave the marker")
+    // …but an AGED marker is a crashed verb's residue: the next
+    // maintenance verb reclaims it, completes, and releases — appends
+    // flow again
+    fs.setTimes(marker,
+      System.currentTimeMillis() - Similarity.FoldReclaimAgeMs - 1000L, -1L)
     Similarity.annCompactIndex(spark, root)
     assert(!fs.exists(marker), "a completed verb must release the marker")
     assert(Similarity.appendToIvfIndex(spark, root,
@@ -1464,6 +1477,18 @@ class AnnIndexSpec extends SparkSpec {
     val root2 = tmpDir("ann-maint-residue")
     GraftTable.create(spark, s"$root2/postings",
       GraftTable.open(spark, s"$root/postings").read().schema)
+    // a FRESH empty v0 could be a concurrent ann_build mid-create
+    // (ADVICE r14) — the racing build must refuse, not drop it
+    val eFresh = intercept[IllegalArgumentException] {
+      Similarity.buildIvfIndexFrom(spark, vecs, root2, nLists = 4)
+    }
+    assert(eFresh.getMessage.contains("mid-create"),
+      s"a fresh empty v0 must refuse the racing build: ${eFresh.getMessage}")
+    // …aged past the reclaim TTL it is crash residue and is reclaimed
+    val v0Meta = new org.apache.hadoop.fs.Path(
+      s"$root2/postings/_graft_history/" + f"v${0L}%020d.json")
+    fs.setTimes(v0Meta,
+      System.currentTimeMillis() - Similarity.FoldReclaimAgeMs - 1000L, -1L)
     val (nl2, _) = Similarity.buildIvfIndexFrom(spark, vecs, root2, nLists = 4)
     assert(nl2 === 4, "empty-v0 postings residue must be reclaimed")
     // …while a root with COMMITTED data versions still refuses
