@@ -136,6 +136,47 @@ class FingerprintStreamSpec extends SparkSpec {
     GraftTable.drop(destLoc)
   }
 
+  test("the video modality streams through the same twin: AVI intake vs committed video fingerprints") {
+    import spark.implicits._
+    // corpus: two 30-frame clips whose temporal signatures are 5 bits
+    // apart (render ids 1 and 2); a re-encode twin (frame 0 shifted)
+    // moves exactly 3 bits at n=30 — inside T=3
+    val clip1 = Multimodal.aviFor(1L, 30)
+    val clip2 = Multimodal.aviFor(2L, 30)
+    val corpus = Seq((1L, clip1), (2L, clip2)).toDF("doc_id", "avi")
+    val fps = Multimodal.videoFingerprints(corpus)
+    // intake: exact copy of clip 1, a re-encode twin of clip 2, and a
+    // far decoy (render id 7: 27/22 bits from clips 1/2)
+    val twin2 = Multimodal.aviFor(2L, 30, shift0 = true)
+    val decoy = Multimodal.aviFor(7L, 30)
+    val batch = Seq((401L, clip1), (402L, twin2), (403L, decoy))
+    val src = tmpDir("vfps-stream-src")
+    batch.toDF("doc_id", "avi").write.parquet(s"$src/part=a")
+    val expected = Multimodal.videoMatchCore(
+      batch.toDF("doc_id", "avi"), fps).collect()
+    assert(expected.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq === Seq((401L, 1L, 0L), (402L, 2L, 3L)),
+      "batch oracle: copy → its original, twin → its original, decoy out")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("avi", BinaryType)))
+    val incoming = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(src)
+    val destLoc = tmpDir("vfps-stream-dest") + "/t"
+    val dest = GraftTable.create(spark, destLoc,
+      Multimodal.videoMatchCore(corpus.limit(0), fps).schema)
+    val q = FingerprintStream.start(incoming, fps, dest,
+      tmpDir("vfps-stream-ckpt"),
+      hash = Multimodal.videoFingerprints)
+    assert(q.awaitTermination(120000), "video fingerprint stream timed out")
+    val progress = q.recentProgress
+    assert(progress.nonEmpty && progress.forall(_.stateOperators.isEmpty),
+      "video fingerprint matching must hold no streaming state")
+    assert(dest.read().orderBy("doc_id").collect().map(_.toSeq).toSeq ===
+      expected.map(_.toSeq).toSeq,
+      "the video stream must equal batch video_match")
+    GraftTable.drop(destLoc)
+  }
+
   test("refreshable fingerprint side: fingerprints ACCEPTED mid-stream dedup later batches; append hygiene refuses clashes") {
     import spark.implicits._
     val base = gridPng(Nil)
