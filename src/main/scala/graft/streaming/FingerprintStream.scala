@@ -27,6 +27,13 @@ import graft.storage.GraftTable
   * [[GraftTable.appendStream]]'s txn watermark. */
 object FingerprintStream {
 
+  /** Delta ticks between stack folds: after this many append-only
+    * merges the refreshable corpus side full-rebuilds once, bounding
+    * the served union's plan depth (and the duplicate-group fraction)
+    * while amortizing the ∝-corpus re-collapse over many ∝-delta
+    * ticks. */
+  private[streaming] val DeltaFoldEvery = 8
+
   /** Start checking `incoming` (a streaming frame whose first two
     * columns are (id, media bytes)) against the static `corpusFps`
     * (doc_id, hi, lo); min-match rows append to `dest` exactly-once
@@ -75,7 +82,19 @@ object FingerprintStream {
     * MID-STREAM dedup later batches without a restart. One metadata
     * read per trigger; the re-read runs only on an actual commit. The
     * txn watermark keeps replays exactly-once even against newer
-    * fingerprints. */
+    * fingerprints.
+    *
+    * Append-only ticks are DELTA-merged, not full rebuilds (VERDICT
+    * r14 #4 — under per-intake-batch `phash_index_append` cadence a
+    * full re-collapse pays ∝ corpus per tick): only the tick's
+    * INSERTED rows are collapsed (shuffle ∝ delta) and unioned onto
+    * the served reps stack. A fingerprint group split across base and
+    * delta surfaces as two rep rows, which is LOSSLESS here: the match
+    * core's own `min(rep)` aggregate re-mins collided groups, so
+    * served results are identical to a full re-collapse (spec-pinned).
+    * Every [[DeltaFoldEvery]]th delta tick folds the stack via a full
+    * rebuild, bounding plan depth; delete/compaction/restore ticks
+    * always take the full path. */
   def startRefreshable(spark: org.apache.spark.sql.SparkSession,
       fpsLoc: String, incoming: DataFrame, dest: GraftTable,
       checkpoint: String,
@@ -85,8 +104,21 @@ object FingerprintStream {
     val id = GraftStreamIngest.txnId(checkpoint)
     // the shared version-tick skeleton, collapsing ONCE per tick
     // (review r14); localCheckpoint blocks are ContextCleaner-reclaimed
+    var deltaDepth = 0
     val fps = new RefreshableStatic[DataFrame](fpsLoc,
-      t => Multimodal.collapseFpsReps(t).localCheckpoint(true), _ => ())
+      t => { deltaDepth = 0
+        Multimodal.collapseFpsReps(t).localCheckpoint(true) }, _ => (),
+      applyDelta = Some((cur, delta) => {
+        if (deltaDepth >= DeltaFoldEvery) None // fold the stack
+        else {
+          // collapse ONLY the delta (∝ delta); the union's duplicate
+          // (hi, lo) groups re-min inside the match aggregate
+          val dReps = Multimodal.collapseFpsReps(
+            delta.select("doc_id", "hi", "lo")).localCheckpoint(true)
+          deltaDepth += 1
+          Some(cur.unionByName(dReps))
+        }
+      }))
     val q = incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")

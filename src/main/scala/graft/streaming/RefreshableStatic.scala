@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.storage.GraftTable
 
@@ -16,25 +17,74 @@ import graft.storage.GraftTable
   * are single-threaded by contract (foreachBatch runs on the query's
   * microbatch thread); `close()` releases the final cache and is safe
   * to call from a termination listener (release is idempotent for
-  * every cache type used here). */
+  * every cache type used here).
+  *
+  * DELTA refresh (VERDICT r14 #4): `build(t.read())` re-reads the
+  * ENTIRE corpus per tick — fine at daily commit cadence, ∝ corpus
+  * per intake batch when small accepts tick frequently. When the
+  * operator supplies `applyDelta`, an append-only tick instead feeds
+  * it the change feed's INSERTED rows (`GraftTable.changes` — an
+  * append commit's feed reads only the added files, no shuffle), so
+  * the refresh costs ∝ delta. Contracts:
+  *  - `applyDelta(cur, delta)` must MATERIALIZE its result before
+  *    returning (the `build` discipline) and takes OWNERSHIP of `cur`:
+  *    the returned cache may reuse `cur`'s pinned state, so the
+  *    skeleton does NOT release the superseded cache on the delta path
+  *    (it still does on full rebuilds, and `close()` releases whatever
+  *    is current).
+  *  - Returning None falls back to a full rebuild — the operator's
+  *    bound on delta-stack growth.
+  *  - Any non-insert change in the tick (delete/update pre-images), a
+  *    feed error (expired history, truncate, schema change), or a
+  *    version REGRESSION (restore) also falls back to the full
+  *    rebuild — compaction/restore ticks are correctness-critical and
+  *    the full path is always right. */
 private[streaming] final class RefreshableStatic[T](corpusLoc: String,
-    build: DataFrame => T, release: T => Unit) {
+    build: DataFrame => T, release: T => Unit,
+    applyDelta: Option[(T, DataFrame) => Option[T]] = None) {
 
   private var version = -1L
   private var cached: Option[T] = None
 
-  /** The current cache, rebuilt if the committed table ticked. */
+  /** The current cache, rebuilt (or delta-merged) if the committed
+    * table ticked. */
   def get(spark: SparkSession): T = {
     val t = GraftTable.open(spark, corpusLoc)
     val v = t.version
     if (cached.isEmpty || v != version) {
-      val next = build(t.read()) // build cleans its own partials on throw
-      cached.foreach(release)
-      cached = Some(next)
+      val merged =
+        if (v > version) for {
+          cur <- cached
+          ad <- applyDelta
+          next <- tryApplyDelta(t, cur, ad, v)
+        } yield next
+        else None
+      merged match {
+        case Some(next) =>
+          cached = Some(next) // cur is owned by (possibly inside) next
+        case None =>
+          val next = build(t.read()) // build cleans its own partials on throw
+          cached.foreach(release)
+          cached = Some(next)
+      }
       version = v
     }
     cached.get
   }
+
+  /** The insert-only delta path; None on any reason to distrust it. */
+  private def tryApplyDelta(t: GraftTable, cur: T,
+      ad: (T, DataFrame) => Option[T], v: Long): Option[T] =
+    try {
+      val feed = t.changes(version, v)
+      // one bounded probe per tick: an append-only range has no
+      // non-insert rows, and the feed reads only the commits' own files
+      val nonInsert =
+        feed.filter(col("_change_type") =!= "insert").limit(1).count()
+      if (nonInsert > 0) None
+      else ad(cur, feed.filter(col("_change_type") === "insert")
+        .drop("_change_type", "_commit_version"))
+    } catch { case _: Exception => None }
 
   def close(): Unit = {
     cached.foreach(release)

@@ -61,4 +61,58 @@ class DecontaminateStreamSpec extends SparkSpec {
     assert(dst.read().count() === expected.size.toLong, "exactly-once")
     GraftTable.drop(srcLoc); GraftTable.drop(dstLoc)
   }
+
+  test("refreshable eval side: an eval doc ACCEPTED mid-stream contaminates later batches; scores equal the batch scorer") {
+    import spark.implicits._
+    val textA = "alpha beta gamma delta epsilon zeta"
+    val textB = "one two three four five six seven"
+    // v1 committed eval suite: doc A only
+    val evalLoc = tmpDir("decon-refresh") + "/eval"
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val evalT = GraftTable.create(spark, evalLoc, docSchema)
+    evalT.append(Seq((100L, textA)).toDF("doc_id", "text"))
+    // stream: batch a = a copy of eval doc A (hits against v1); the
+    // eval EXTENSION (doc B) is accepted mid-stream, then batch c — a
+    // copy of B — must hit WITHOUT a restart
+    val src = tmpDir("decon-refresh-src")
+    Seq((1L, textA)).toDF("doc_id", "text").write.parquet(s"$src/part=a")
+    val incoming = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true").parquet(src)
+    val dstLoc = tmpDir("decon-refresh-dst") + "/t"
+    val dst = GraftTable.create(spark, dstLoc, StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_shared", LongType))))
+    val q = DecontaminateStream.startRefreshable(spark, evalLoc, incoming,
+      dst, tmpDir("decon-refresh-ckpt"), minShared = 3,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+    def await(n: Long, what: String): Unit = {
+      val t0 = System.nanoTime()
+      while (dst.read().count() < n) {
+        assert((System.nanoTime() - t0) / 1e9 < 90,
+          s"timed out waiting for $what (have ${dst.read().count()}, want $n)")
+        Thread.sleep(250)
+      }
+    }
+    try {
+      await(1L, "the v1 contamination hit")
+      // benchmark suite extended mid-stream: version ticks
+      evalT.append(Seq((101L, textB)).toDF("doc_id", "text"))
+      Seq((2L, textB)).toDF("doc_id", "text").write.parquet(s"$src/part=c")
+      await(2L, "the post-extension hit")
+    } finally q.stop()
+    // c9 ≡ c2 preserved: the streamed scores equal the batch scorer
+    // over the FINAL eval snapshot
+    val idx = DecontaminateStream.buildIndex(evalT.read())
+    val expected2 = DecontaminateStream.score(idx,
+      Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    idx.release()
+    val got2 = dst.read().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 === expected2 && got2.map(_._1) === Set(1L, 2L),
+      s"the accepted eval doc must contaminate later batches without a " +
+        s"restart: got=$got2 expected=$expected2")
+    GraftTable.drop(dstLoc)
+  }
 }

@@ -219,10 +219,19 @@ class FingerprintStreamSpec extends SparkSpec {
       Multimodal.phashFingerprints) === 1L)
     Seq((302L, far)).toDF("doc_id", "img").write.parquet(s"$src/part=b")
     await(2L, "the post-accept match")
+    // a SECOND accept mid-stream: the delta stack is now two merges
+    // deep (base + two append ticks) and must still serve exactly the
+    // full re-collapse's results
+    val mid = gridPng(Seq((7, 0), (7, 1), (7, 2), (7, 3), (7, 4)))
+    assert(Multimodal.fingerprintAppendCore(
+      Seq((3L, mid)).toDF("doc_id", "img"), fpsT,
+      Multimodal.phashFingerprints) === 1L)
+    Seq((303L, mid)).toDF("doc_id", "img").write.parquet(s"$src/part=c")
+    await(3L, "the second post-accept match")
     q.stop()
     val got = dest.read().orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(got === Seq((301L, 1L, 0L), (302L, 2L, 0L)),
+    assert(got === Seq((301L, 1L, 0L), (302L, 2L, 0L), (303L, 3L, 0L)),
       s"the accepted fingerprint must serve later batches without a restart: $got")
     // hygiene: re-accepting an already-fingerprinted id refuses
     val eClash = intercept[IllegalArgumentException] {
