@@ -1000,7 +1000,28 @@ object Dedup {
     * join would drop anyway), and an exact equality join over the
     * survivors. The index corpus is never re-shingled per batch.
     * [[release]] when done — the postings otherwise pin cached blocks. */
-  final class PostingsIndex private[operators] (val postings: DataFrame) {
+  final class PostingsIndex private[operators] (val postings: DataFrame,
+      private val pinned: Seq[DataFrame]) {
+
+    private[operators] def this(postings: DataFrame) =
+      this(postings, Seq(postings))
+
+    /** A STACKED index additionally covering `deltaDocs` — the
+      * delta-refresh merge (VERDICT r14 #4 extended to the text
+      * modality): per-doc postings rows are independent (no cross-doc
+      * aggregation in the index side), so serving the union of the
+      * committed postings and the delta docs' postings is LOSSLESS —
+      * identical to rebuilding over the full corpus — while shingling
+      * only ∝ delta. Takes ownership of this index's pinned blocks:
+      * release() on the returned index releases the whole stack; do
+      * not release the receiver separately. */
+    private[graft] def withDocs(deltaDocs: DataFrame): PostingsIndex = {
+      val dp = shinglePostings(deltaDocs, "doc_a", "na")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try dp.count()
+      catch { case e: Throwable => dp.unpersist(); throw e }
+      new PostingsIndex(postings.unionByName(dp), pinned :+ dp)
+    }
 
     /** Exact batch-vs-index near-dup scores (doc_b, doc_a, jac ≥ 0.8)
       * from prepared batch postings. */
@@ -1017,8 +1038,9 @@ object Dedup {
       scorePostings(pruned, batchPostings)
     }
 
-    /** Unpersist the index postings. */
-    def release(): Unit = { postings.unpersist(); () }
+    /** Unpersist the index postings (the full stack, for a stacked
+      * index). */
+    def release(): Unit = { pinned.foreach(_.unpersist()); () }
   }
 
   object PostingsIndex {

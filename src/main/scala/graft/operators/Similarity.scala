@@ -1070,8 +1070,20 @@ object Similarity {
     * and cluster-preserving, so probe results are BIT-IDENTICAL before
     * and after (spec-pinned) and the drift audit's rewrite-robust
     * signals carry through. Returns (table, files merged + files
-    * folded) per sibling. Exclusive writer, like rebuild/recluster —
-    * quiesce appends first. */
+    * folded) per sibling.
+    *
+    * READER-SAFE (VERDICT r14 #7): probes may run concurrently with
+    * the fold. Each probe opens its sibling tables at probe start (one
+    * atomic metadata read pins the snapshot), a fold commit swaps the
+    * file list atomically but deletes NOTHING (replaced files stay on
+    * disk until `vacuum`), and because the fold is row-preserving a
+    * probe whose siblings straddle the swap — centroids pre-fold,
+    * postings post-fold — still scores exactly the same rows:
+    * AnnReaderSafetySpec races probes through the fold and pins
+    * bit-identical results. Writers stay excluded by the maintenance
+    * marker; `vacuum` on a sibling is the one remaining
+    * quiesce-readers window (it reclaims the superseded files a
+    * still-running probe may hold). */
   def annCompactIndex(s: SparkSession, root: String,
       smallBytes: Long = 32L << 20,
       targetBytes: Long = 128L << 20): Seq[(String, Long)] = {
@@ -1088,6 +1100,40 @@ object Similarity {
           else 0L
         name -> (merged + folded)
       }
+    }
+  }
+
+  /** Index GC under retention (`CALL g.system.ann_vacuum('db.idx'[,
+    * retain_hours])`) — the verb that closes the maintenance cycle the
+    * reader-safe `ann_compact` opens: a fold commit deletes nothing
+    * (that is WHY probes survive it), so without this verb the
+    * superseded small files accumulate forever. Per sibling: expire
+    * snapshots older than the retention window, then reclaim batch
+    * dirs no retained snapshot references.
+    *
+    * PROBE-SAFE BY RETENTION: a probe pins the snapshot it opened at
+    * probe start, and a file leaves disk only when every snapshot
+    * referencing it is expired — so any retention ≥ the longest
+    * probe's duration keeps live probes whole (default 24 h; a probe
+    * is seconds). APPEND-SAFE: expiry always keeps the newest
+    * snapshot, vacuum's claim grace protects in-flight batch dirs, and
+    * expiry/appends serialize at the table lock — so this verb takes
+    * the marker with the append-safe "autocompact" kind (appends flow;
+    * only other maintenance verbs are excluded). Returns
+    * (table, snapshots expired + dirs reclaimed). */
+  def annVacuumIndex(s: SparkSession, root: String,
+      retainMs: Long = 24L * 3600 * 1000): Seq[(String, Long)] = {
+    require(graft.storage.GraftTable.exists(s"$root/postings"),
+      s"no persisted ANN index at $root")
+    require(retainMs >= 0, s"retention must be >= 0 ms, got $retainMs")
+    withMarkerOfKind(root, "autocompact") {
+      IndexSiblingTables
+        .filter(t => graft.storage.GraftTable.exists(s"$root/$t"))
+        .map { name =>
+          val t = graft.storage.GraftTable.open(s, s"$root/$name")
+          val expired = t.expireHistoryOlderThan(retainMs).toLong
+          name -> (expired + t.vacuum().toLong)
+        }
     }
   }
 
@@ -1726,7 +1772,17 @@ object Similarity {
     ()
   }
 
-  private def withMaintenanceMarker[T](root: String)(body: => T): T = {
+  private def withMaintenanceMarker[T](root: String)(body: => T): T =
+    withMarkerOfKind(root, "maintenance")(body)
+
+  /** [[withMaintenanceMarker]] generalized over the marker KIND:
+    * "maintenance" (staging swaps — blocks appends/erasure) vs
+    * "autocompact" (append-safe housekeeping — blocks only other
+    * maintenance; `ann_vacuum` takes this kind, since expiry/vacuum
+    * serialize with appends at the table lock and never touch live
+    * files). Same liveness discipline either way: refuse a marker
+    * younger than the reclaim TTL, heartbeat our own. */
+  private def withMarkerOfKind[T](root: String, kind: String)(body: => T): T = {
     val (fs, _) = graft.storage.GraftTable.fsAndPath(root)
     val marker = new org.apache.hadoop.fs.Path(root, MaintenanceMarker)
     // a marker LIVE IN THIS PROCESS is never "crashed" — refuse, do not
@@ -1760,7 +1816,7 @@ object Similarity {
       fs.delete(marker, false)
       ()
     }
-    val token = createMarker(fs, marker, "maintenance").getOrElse(
+    val token = createMarker(fs, marker, kind).getOrElse(
       throw new IllegalArgumentException(
         s"another maintenance verb just took $MaintenanceMarker at " +
           s"$root — run one maintenance verb at a time"))

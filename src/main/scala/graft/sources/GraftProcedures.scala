@@ -52,6 +52,8 @@ import graft.storage.GraftTable
   *   CALL graft.system.ann_stats('db.idx')   -- metadata-only observability
   *   CALL graft.system.ann_compact('db.idx') -- fold append fragmentation
   *   CALL graft.system.ann_compact('db.idx', 16, 256) -- MB threshold dials
+  *   CALL graft.system.ann_vacuum('db.idx')  -- retention GC (24h default)
+  *   CALL graft.system.ann_vacuum('db.idx', 48) -- retain 48h of snapshots
   *   CALL graft.system.ann_drop('db.idx')    -- drop the root + file GC
   *   CALL graft.system.dedup_spans('db.t', 'db.spans')            -- d14
   *   CALL graft.system.quality_votes('db.t', 'db.scored')         -- t17
@@ -99,7 +101,7 @@ private[sources] object GraftProcedures {
       "phash_dedup", "audio_dedup", "phash_index", "phash_match",
       "audio_index", "audio_match", "phash_index_append",
       "audio_index_append", "video_dedup", "video_index", "video_match",
-      "video_index_append")
+      "video_index_append", "ann_vacuum")
 
   def load(ident: Identifier, tableDir: String => String): UnboundProcedure = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
@@ -178,6 +180,14 @@ private[sources] object GraftProcedures {
                 ProcedureParameter.in("target_mb", IntegerType).build())
             else base
           }
+          else if (procName == "ann_vacuum") {
+            // arity-overloaded: optional retention window in HOURS —
+            // CALL g.system.ann_vacuum('db.idx', 48)
+            val base = Array(ProcedureParameter.in("index", StringType).build())
+            if (inputType.size >= 2)
+              base :+ ProcedureParameter.in("retain_hours", IntegerType).build()
+            else base
+          }
           else if (procName == "ann_delete")
             Array(ProcedureParameter.in("index", StringType).build(),
               ProcedureParameter.in("ids_table", StringType).build())
@@ -235,7 +245,7 @@ private[sources] object GraftProcedures {
             procName == "ann_verify" || procName == "ann_delete" ||
             procName == "ann_quantize" || procName == "ann_append" ||
             procName == "ann_stats" || procName == "ann_compact" ||
-            procName == "ann_drop"
+            procName == "ann_drop" || procName == "ann_vacuum"
           if (indexProc) {
             require(GraftTable.exists(s"$dir/postings"),
               s"no persisted ANN index at $tableName")
@@ -431,6 +441,36 @@ private[sources] object GraftProcedures {
               new GenericInternalRow(Array[Any](
                 UTF8String.fromString(s"$tableName/$sib"),
                 UTF8String.fromString("files_compacted"), n)): InternalRow
+            }.toArray
+            new LocalScan {
+              override def readSchema(): StructType = schema
+              override def rows(): Array[InternalRow] = rs
+            }
+          } else if (procName == "ann_vacuum") {
+            // retention GC: expire each sibling's snapshots older than
+            // the window (default 24 h), then reclaim unreferenced
+            // batch dirs. Probe-safe by retention (a probe pins its
+            // snapshot; files outlive every snapshot referencing them),
+            // append-safe (autocompact-kind marker — only other
+            // maintenance is excluded).
+            val retainMs =
+              if (input.numFields >= 2) {
+                val h = input.getInt(1)
+                require(h >= 0,
+                  s"ann_vacuum retention must be >= 0 hours (got $h)")
+                h.toLong * 3600 * 1000
+              } else 24L * 3600 * 1000
+            val per = graft.operators.Similarity
+              .annVacuumIndex(SparkSession.active, dir, retainMs)
+            val schema = StructType(Seq(
+              StructField("table", StringType, nullable = false),
+              StructField("metric", StringType, nullable = false),
+              StructField("value", LongType, nullable = false)))
+            val rs: Array[InternalRow] = per.map { case (sib, n) =>
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(s"$tableName/$sib"),
+                UTF8String.fromString("snapshots_expired_plus_dirs_reclaimed"),
+                n)): InternalRow
             }.toArray
             new LocalScan {
               override def readSchema(): StructType = schema

@@ -77,21 +77,34 @@ object DedupStream {
 
   /** REFRESHABLE variant (round 14's RangeJoinStream/FingerprintStream
     * discipline): the index corpus derives from a COMMITTED graft
-    * table, and the postings index is REBUILT when the table's version
+    * table, and the postings index refreshes when the table's version
     * ticks — documents accepted mid-stream dedup later batches without
-    * a restart. One metadata read per trigger; a tick's rebuild costs
-    * exactly a restart's index build (one shingle pass over the
-    * snapshot), amortized over every trigger in between, and the
-    * superseded index's cached blocks are released. Exactly-once is
+    * a restart. One metadata read per trigger. Exactly-once is
     * unchanged (a replayed batch re-scores against possibly NEWER docs
-    * but its append is discarded by the txn watermark). */
+    * but its append is discarded by the txn watermark).
+    *
+    * Append-only ticks are DELTA-merged (round 15, VERDICT r14 #4 on
+    * the text modality): only the tick's inserted docs are shingled
+    * (∝ delta) and their postings unioned onto the served index —
+    * lossless, because index-side postings rows are per-doc
+    * independent ([[Dedup.PostingsIndex.withDocs]]). Every
+    * [[FingerprintStream.DeltaFoldEvery]]th delta tick folds the
+    * stack via a full rebuild (one shingle pass over the snapshot);
+    * delete/compaction/restore ticks always rebuild. */
   def startRefreshable(corpusLoc: String, incoming: DataFrame,
       dest: GraftTable, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = incoming.sparkSession
     val id = GraftStreamIngest.txnId(checkpoint)
+    var deltaDepth = 0
     val index = new RefreshableStatic[Dedup.PostingsIndex](corpusLoc,
-      Dedup.PostingsIndex.build, _.release())
+      docs => { deltaDepth = 0; Dedup.PostingsIndex.build(docs) },
+      _.release(),
+      applyDelta = Some((cur, delta) => {
+        if (deltaDepth >= FingerprintStream.DeltaFoldEvery) None
+        else { deltaDepth += 1
+          Some(cur.withDocs(delta.select("doc_id", "text"))) }
+      }))
     val q = incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")

@@ -76,7 +76,13 @@ object RangeJoinStream {
     val id = GraftStreamIngest.txnId(checkpoint)
     // the shared version-tick skeleton; localCheckpoint blocks are
     // reclaimed by the ContextCleaner once unreferenced, so release is
-    // a no-op here
+    // a no-op here. Deliberately NO applyDelta (unlike the fingerprint/
+    // dedup/span streams' round-15 delta merge): the static side is
+    // SESSIONIZED — coactivitySessions aggregates across each user's
+    // whole event sequence, so one appended event can extend or MERGE
+    // existing sessions; a banded delta union would serve stale
+    // interval bounds. Re-sessionizing the snapshot per tick is the
+    // correct (and only lossless) refresh.
     val bands = new RefreshableStatic[DataFrame](staticLoc,
       docs => bandsFrom(docs).localCheckpoint(true), _ => ())
     val q = incoming.writeStream

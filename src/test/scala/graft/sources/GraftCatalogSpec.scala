@@ -498,6 +498,25 @@ class GraftCatalogSpec extends SparkSpec {
       val verCmp = spark.sql("CALL gcat.system.ann_verify('db1.built_idx')")
         .collect().map(r => r.getString(0) -> r.getString(1))
       assert(verCmp.toSeq === Seq("status" -> "clean"))
+      // -- ann_vacuum: retention GC closes the compact's keep-everything
+      // contract — retain-0 expires the pre-fold snapshots and reclaims
+      // their batch dirs; probes and audit identical after -------------
+      val eVac = intercept[Exception] {
+        spark.sql("CALL gcat.system.ann_vacuum('db1.built_idx', -1)")
+      }
+      assert(eVac.getMessage.contains(">= 0"), eVac.getMessage)
+      val vacB = spark.sql("CALL gcat.system.ann_vacuum('db1.built_idx', 0)")
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(vacB.values.sum > 0L,
+        s"retain-0 vacuum after a compact must expire/reclaim: $vacB")
+      val postVac = graft.operators.Similarity
+        .probeIvfInt8Raw(spark, s"$warehouse/db1/built_idx", rawQ)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      assert(postVac === preC,
+        "CALL ann_vacuum must keep probe results bit-identical")
+      val verVac = spark.sql("CALL gcat.system.ann_verify('db1.built_idx')")
+        .collect().map(r => r.getString(0) -> r.getString(1))
+      assert(verVac.toSeq === Seq("status" -> "clean"))
       // -- ann_drop: the root GCs; further index verbs refuse -------------
       val dropB = spark.sql("CALL gcat.system.ann_drop('db1.built_idx')")
         .collect()

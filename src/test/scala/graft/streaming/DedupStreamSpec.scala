@@ -69,6 +69,25 @@ class DedupStreamSpec extends SparkSpec {
     GraftTable.drop(srcLoc); GraftTable.drop(dstLoc)
   }
 
+  test("PostingsIndex.withDocs (the delta merge) serves exactly the full-rebuild scores") {
+    import spark.implicits._
+    def words(p: String) = (1 to 20).map(i => s"$p$i").mkString(" ")
+    val a = Seq((1L, words("a")), (2L, words("b"))).toDF("doc_id", "text")
+    val b = Seq((3L, words("c"))).toDF("doc_id", "text")
+    val batch = Seq((107L, words("a")), (307L, words("c")))
+      .toDF("doc_id", "text")
+    val stacked = Dedup.PostingsIndex.build(a).withDocs(b)
+    val full = Dedup.PostingsIndex.build(a.unionByName(b))
+    def scores(ix: Dedup.PostingsIndex) =
+      Dedup.nearDupAgainstIndex(batch, ix)
+        .orderBy("doc_b", "doc_a").collect().map(_.toSeq).toSeq
+    val got = scores(stacked)
+    assert(got === scores(full), "stacked ≡ full rebuild")
+    assert(got.map(_.head) === Seq(107L, 307L),
+      s"the delta doc's match must be served from the stack: $got")
+    stacked.release(); full.release()
+  }
+
   test("refreshable index side: a doc committed MID-STREAM dedups later batches without a restart") {
     import spark.implicits._
     def words(p: String) = (1 to 20).map(i => s"$p$i").mkString(" ")

@@ -63,6 +63,37 @@ class SpanStreamSpec extends SparkSpec {
     GraftTable.drop(destLoc)
   }
 
+  test("delta-grammed corpus union serves exactly the full re-gram (the round-15 merge's lossless claim)") {
+    import spark.implicits._
+    val spanX = (1 to 20).map(i => s"x$i")
+    val spanY = (1 to 20).map(i => s"y$i")
+    // base corpus: doc 1 carries spanX; delta: doc 3 carries spanY;
+    // the batch doc shares a long span with EACH — one hit must come
+    // from the base frame, one from the delta frame
+    val base = Seq(
+      (1L, ((1 to 5).map(i => s"a$i") ++ spanX).mkString(" ")),
+      (2L, (1 to 30).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (3L, (spanY ++ (1 to 5).map(i => s"c$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (107L, (spanX ++ (1 to 3).map(i => s"d$i") ++ spanY).mkString(" ")))
+      .toDF("doc_id", "text")
+    val stacked = Dedup.corpusSpanGrams(base)
+      .unionByName(Dedup.corpusSpanGrams(delta))
+    val full = Dedup.corpusSpanGrams(base.unionByName(delta))
+    val bg = Dedup.batchSpanGrams(batch)
+    def res(corpus: org.apache.spark.sql.DataFrame) =
+      Dedup.spanMatchAgainst(corpus, bg)
+        .orderBy("doc_a", "doc_b", "pos_a", "pos_b")
+        .collect().map(_.toSeq).toSeq
+    val got = res(stacked)
+    assert(got === res(full), "stacked grams ≡ full re-gram")
+    assert(got.map(_(0)).distinct.toSet === Set(1L, 3L),
+      s"hits must come from BOTH the base and the delta frame: $got")
+  }
+
   test("refreshable corpus side: a doc committed MID-STREAM is span-checked against later batches without a restart") {
     import spark.implicits._
     val spanX = (1 to 20).map(i => s"x$i")
