@@ -71,26 +71,48 @@ object Bench {
     // modes the CPU probes cannot see. Spark-independent by design.
     val ioProbePath: Option[java.nio.file.Path] =
       try {
-        val s = java.nio.file.Files.list(java.nio.file.Paths.get(sfDir))
-        try {
-          val files = new scala.collection.mutable.ListBuffer[java.nio.file.Path]()
-          s.forEach(p => if (p.toString.endsWith(".parquet")) files += p)
-          if (files.isEmpty) None
-          else Some(files.maxBy(java.nio.file.Files.size(_)))
-        } finally s.close()
+        import java.nio.file.{Files, Paths, Path}
+        def regulars(dir: Path): Seq[Path] = {
+          val s = Files.list(dir)
+          try {
+            val out = new scala.collection.mutable.ListBuffer[Path]()
+            s.forEach { p =>
+              // a *.parquet entry may be a Spark-written DIRECTORY of
+              // part files (MakeScale output) — descend one level
+              if (Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+                out += p
+              else if (Files.isDirectory(p) && p.toString.endsWith(".parquet")) {
+                val inner = Files.list(p)
+                try inner.forEach(q =>
+                  if (Files.isRegularFile(q) && q.toString.endsWith(".parquet"))
+                    out += q)
+                finally inner.close()
+              }
+            }
+            out.toSeq
+          } finally s.close()
+        }
+        val files = regulars(Paths.get(sfDir))
+        if (files.isEmpty) None
+        else Some(files.maxBy(java.nio.file.Files.size(_)))
       } catch { case _: Exception => None }
     def calibIo(): Double = ioProbePath match {
       case None => 0.0
       case Some(p) =>
-        val t0 = System.nanoTime()
-        val ch = java.nio.channels.FileChannel.open(p)
+        // any failure reads as 0.0 (probe unavailable) — an uncaught
+        // throw here would crash the bench at warm-up or silently kill
+        // the calib sampler thread mid-suite
         try {
-          val buf = java.nio.ByteBuffer.allocate(1 << 20)
-          var total = 0L
-          var n = ch.read(buf)
-          while (n >= 0 && total < (32L << 20)) { total += n; buf.clear(); n = ch.read(buf) }
-        } finally ch.close()
-        (System.nanoTime() - t0) / 1e9
+          val t0 = System.nanoTime()
+          val ch = java.nio.channels.FileChannel.open(p)
+          try {
+            val buf = java.nio.ByteBuffer.allocate(1 << 20)
+            var total = 0L
+            var n = ch.read(buf)
+            while (n >= 0 && total < (32L << 20)) { total += n; buf.clear(); n = ch.read(buf) }
+          } finally ch.close()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Exception => 0.0 }
     }
     // one unmeasured shuffle first: the probe must measure the exchange
     // path, not first-touch codegen
@@ -276,15 +298,20 @@ object Bench {
       val s = passes.map(_._2).sorted
       s.size >= 2 && s(1) / math.max(1e-9, s(0)) <= 1.5
     }
-    // the r12 trigger (spread OR a hot in-suite calib) still forces at
-    // least one extra pass even when two passes nominally agree — both
-    // agreeing because BOTH sat in the same slow window is the failure
-    // mode the calib median catches
-    val initialSuspect =
-      !twoBestAgree || insuiteMedianNow() > 0.7
-    if (initialSuspect && passes.size < maxRuns) doPass()
-    while (!twoBestAgree && passes.size < maxRuns) doPass()
-    val windowSuspect = !twoBestAgree
+    // an EXPLICIT single-pass request (SPARK_GRAFT_BENCH_RUNS=1 — CI
+    // smoke mode) is honored: no certification passes are added, and
+    // the artifact self-reports suspicion from the calib median alone
+    if (suiteRuns >= 2) {
+      // the r12 trigger (spread OR a hot in-suite calib) still forces
+      // at least one extra pass even when two passes nominally agree —
+      // both agreeing because BOTH sat in the same slow window is the
+      // failure mode the calib median catches
+      val initialSuspect = !twoBestAgree || insuiteMedianNow() > 0.7
+      if (initialSuspect && passes.size < maxRuns) doPass()
+      while (!twoBestAgree && passes.size < maxRuns) doPass()
+    }
+    val windowSuspect =
+      if (suiteRuns >= 2) !twoBestAgree else insuiteMedianNow() > 0.7
     val bestIdx = passes.map(_._2).zipWithIndex.minBy(_._1)._2
     val results = passes(bestIdx)._1
     val total = passes(bestIdx)._2 // the certified headline wall

@@ -91,7 +91,7 @@ object ProfPhash100 {
         .m11IncrementalAudio(spark, dir).count())
       // m13 rides m12's cached signature pass — the warm wall is the
       // pure batch-vs-committed match cost on the video modality
-      t("m13_incremental_video")(operators.Multimodal
+      t("m13_incremental cold")(operators.Multimodal
         .m13IncrementalVideo(spark, dir).count())
       t("m13_incremental warm")(operators.Multimodal
         .m13IncrementalVideo(spark, dir).count())

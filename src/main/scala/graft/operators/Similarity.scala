@@ -1803,13 +1803,20 @@ object Similarity {
       // reclaimed, and the verb's own preamble recovers the crash.
       val age =
         try System.currentTimeMillis() - fs.getFileStatus(marker).getModificationTime
-        catch { case _: Exception => Long.MaxValue } // vanished → create() arbitrates
+        catch {
+          // vanished between exists and stat → create() arbitrates
+          case _: java.io.FileNotFoundException => Long.MaxValue
+          // present but UNREADABLE (store hiccup): deleting on a blind
+          // guess could reclaim a LIVE heartbeating verb's marker —
+          // presume live and refuse (retryable)
+          case _: Exception => -1L
+        }
       require(age >= FoldReclaimAgeMs,
         s"index at $root has a LIVE $MaintenanceMarker (age ${age / 1000}s < " +
-          s"${FoldReclaimAgeMs / 1000}s) — another process is running a " +
-          "maintenance verb or an append-time auto-compact; retry after it " +
-          "completes (a crashed owner's marker ages out and is then " +
-          "reclaimed automatically)")
+          s"${FoldReclaimAgeMs / 1000}s, or its status read failed) — another " +
+          "process is running a maintenance verb or an append-time " +
+          "auto-compact; retry after it completes (a crashed owner's marker " +
+          "ages out and is then reclaimed automatically)")
       MaintLog.warn(s"reclaiming stale maintenance marker at $root — a " +
         "previous maintenance operation crashed before releasing it; " +
         "its crash residue is recovered by this verb's own preamble")
@@ -1951,16 +1958,20 @@ object Similarity {
       // only a v0 older than FoldReclaimAgeMs is crash residue; a
       // fresher one refuses loudly (retryable — residue ages out).
       val (pfs, _) = GraftTable.fsAndPath(s"$root/postings")
-      val v0 = new org.apache.hadoop.fs.Path(
-        s"$root/postings/_graft_history/" + f"v${0L}%020d.json")
+      val v0 = GraftTable.historyPath(s"$root/postings", 0L)
+      // UNREADABLE status reads as FRESH (refuse, retryable): treating
+      // a transient stat failure as aged residue would drop a LIVE
+      // concurrent build's table — the exact race this gate closes
+      // (review r15)
       val age =
         try System.currentTimeMillis() - pfs.getFileStatus(v0).getModificationTime
-        catch { case _: Exception => Long.MaxValue } // unreadable → residue
+        catch { case _: Exception => -1L }
       require(age >= FoldReclaimAgeMs,
         s"index root $root has an EMPTY postings table committed only " +
-          s"${age / 1000}s ago — a concurrent ann_build may be mid-create; " +
-          s"retry after ${FoldReclaimAgeMs / 1000}s (aged crash residue is " +
-          "reclaimed automatically)")
+          s"${age / 1000}s ago (or its v0 commit record is unreadable) — a " +
+          "concurrent ann_build may be mid-create; retry after " +
+          s"${FoldReclaimAgeMs / 1000}s (aged crash residue is reclaimed " +
+          "automatically)")
       GraftTable.drop(s"$root/postings")
     }
     // retry-safe: a crash between the centroids and postings commits

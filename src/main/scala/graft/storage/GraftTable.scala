@@ -2435,6 +2435,31 @@ final class GraftTable private (
     * files intact (a truncate reclaims pre-truncate files, so a feed
     * across one fails with the reclaimed error); the schema must be
     * stable across the range — split the range at an ALTER. */
+  /** METADATA-ONLY append-range check: true iff every commit in
+    * `(fromVersion, current]` only ADDED files — no removals, no
+    * deletion-vector changes, no schema change — i.e. the range is
+    * pure appends and [[changes]] over it takes its no-shuffle
+    * added-files shortcut with only `insert` rows. This is the cheap
+    * precondition the streaming delta refresh gates on: probing the
+    * FEED instead would pay a compaction commit's full diff scan just
+    * to learn "rebuild" (its feed diffs to empty at the cost of
+    * scanning the compacted mass). Reads only the history JSONs.
+    * Never throws: unreadable/expired history reads as false (callers
+    * fall back to their full path). */
+  def isAppendOnlyRange(fromVersion: Long): Boolean =
+    try {
+      refreshMeta()
+      if (fromVersion > meta.version) false
+      else (fromVersion to meta.version)
+        .map(v => GraftTable.readHistoryMeta(location, v))
+        .sliding(2).forall {
+          case Seq(a, b) =>
+            a.files.toSet.subsetOf(b.files.toSet) &&
+              a.dvs == b.dvs && a.currentSchema == b.currentSchema
+          case _ => true // single-element window: empty range
+        }
+    } catch { case _: Exception => false }
+
   def changes(fromVersion: Long, toVersion: Long): DataFrame = {
     refreshMeta()
     require(fromVersion >= 0 && fromVersion <= toVersion,
@@ -4437,7 +4462,7 @@ object GraftTable {
   private def historyDir(location: String): HPath =
     new HPath(location, "_graft_history")
 
-  private[storage] def historyPath(location: String, version: Long): HPath =
+  private[graft] def historyPath(location: String, version: Long): HPath =
     new HPath(historyDir(location), f"v$version%020d.json")
 
   /** Atomically claim `meta.version` in the version log — the commit

@@ -98,7 +98,11 @@ object DedupStream {
     val id = GraftStreamIngest.txnId(checkpoint)
     var deltaDepth = 0
     val index = new RefreshableStatic[Dedup.PostingsIndex](corpusLoc,
-      docs => { deltaDepth = 0; Dedup.PostingsIndex.build(docs) },
+      docs => { // reset only AFTER the rebuild succeeds (review r15)
+        val ix = Dedup.PostingsIndex.build(docs)
+        deltaDepth = 0
+        ix
+      },
       _.release(),
       applyDelta = Some((cur, delta) => {
         if (deltaDepth >= FingerprintStream.DeltaFoldEvery) None

@@ -106,8 +106,13 @@ object FingerprintStream {
     // (review r14); localCheckpoint blocks are ContextCleaner-reclaimed
     var deltaDepth = 0
     val fps = new RefreshableStatic[DataFrame](fpsLoc,
-      t => { deltaDepth = 0
-        Multimodal.collapseFpsReps(t).localCheckpoint(true) }, _ => (),
+      t => { // reset only AFTER the fold succeeds — resetting at entry
+        // would let a persistently FAILING rebuild hand out 8 fresh
+        // delta slots per retry and grow the stack unbounded (review r15)
+        val folded = Multimodal.collapseFpsReps(t).localCheckpoint(true)
+        deltaDepth = 0
+        folded
+      }, _ => (),
       applyDelta = Some((cur, delta) => {
         if (deltaDepth >= DeltaFoldEvery) None // fold the stack
         else {

@@ -76,13 +76,16 @@ private[streaming] final class RefreshableStatic[T](corpusLoc: String,
   private def tryApplyDelta(t: GraftTable, cur: T,
       ad: (T, DataFrame) => Option[T], v: Long): Option[T] =
     try {
-      val feed = t.changes(version, v)
-      // one bounded probe per tick: an append-only range has no
-      // non-insert rows, and the feed reads only the commits' own files
-      val nonInsert =
-        feed.filter(col("_change_type") =!= "insert").limit(1).count()
-      if (nonInsert > 0) None
-      else ad(cur, feed.filter(col("_change_type") === "insert")
+      // METADATA-ONLY gate (review r15): a compaction commit's feed
+      // diffs to EMPTY at the cost of scanning the compacted mass, so
+      // probing the feed's ROWS would pay that scan just to learn
+      // "rebuild". The file-list check reads only the history JSONs;
+      // when it passes, changes() takes its no-shuffle added-files
+      // shortcut and every row is an insert (the filter is a guard,
+      // not a scan).
+      if (!t.isAppendOnlyRange(version)) None
+      else ad(cur, t.changes(version, v)
+        .filter(col("_change_type") === "insert")
         .drop("_change_type", "_commit_version"))
     } catch { case _: Exception => None }
 

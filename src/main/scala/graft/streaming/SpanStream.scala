@@ -89,7 +89,8 @@ object SpanStream {
     // (served grams, pinned stack): the union's unpersist would not
     // reach the individually persisted delta frames
     val grams = new RefreshableStatic[(DataFrame, Seq[DataFrame])](corpusLoc,
-      docs => { deltaDepth = 0; val g = grammed(docs); (g, Seq(g)) },
+      docs => { // reset only AFTER the re-gram succeeds (review r15)
+        val g = grammed(docs); deltaDepth = 0; (g, Seq(g)) },
       side => { side._2.foreach(_.unpersist()); () },
       applyDelta = Some((cur, delta) => {
         if (deltaDepth >= FingerprintStream.DeltaFoldEvery) None

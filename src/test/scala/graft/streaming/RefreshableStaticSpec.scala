@@ -81,9 +81,16 @@ class RefreshableStaticSpec extends SparkSpec {
     assert(builds === 3, "a delete tick must full-rebuild")
     assert(!sorted(rs.get(spark)).exists(_._1 == 0L))
 
+    // a COMPACTION tick (files replaced, rows identical) must take the
+    // full path — the metadata gate sees the removed files without
+    // scanning the feed (whose diff is EMPTY at full-scan cost)
+    assert(t.compactSmall(1L << 30, 1L << 30) > 0, "fold must have work")
+    assert(sorted(rs.get(spark)) === expect())
+    assert(builds === 4, "a compaction tick must full-rebuild")
+
     // no tick → no work, same instance
     val same = rs.get(spark)
-    assert(builds === 3 && (same eq rs.get(spark)))
+    assert(builds === 4 && (same eq rs.get(spark)))
     rs.close()
     GraftTable.drop(loc)
   }
