@@ -34,11 +34,12 @@ import graft.storage.GraftTable
   *    is current).
   *  - Returning None falls back to a full rebuild — the operator's
   *    bound on delta-stack growth.
-  *  - Any non-insert change in the tick (delete/update pre-images), a
-  *    feed error (expired history, truncate, schema change), or a
-  *    version REGRESSION (restore) also falls back to the full
-  *    rebuild — compaction/restore ticks are correctness-critical and
-  *    the full path is always right. */
+  *  - The append-only precondition is checked from METADATA alone
+  *    (`GraftTable.isAppendOnlyRange` — history JSONs, no data scan):
+  *    any removed file, deletion-vector change, schema change,
+  *    unreadable/expired history, or version regression (restore)
+  *    falls back to the full rebuild — compaction/restore ticks are
+  *    correctness-critical and the full path is always right. */
 private[streaming] final class RefreshableStatic[T](corpusLoc: String,
     build: DataFrame => T, release: T => Unit,
     applyDelta: Option[(T, DataFrame) => Option[T]] = None) {
