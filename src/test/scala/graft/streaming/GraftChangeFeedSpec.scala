@@ -121,4 +121,42 @@ class GraftChangeFeedSpec extends SparkSpec {
     assert(drain(loc, tmpDir("cdfr-ck2"), startingVersion = None).isEmpty,
       "default start is the head version — changes before stream start are not owed")
   }
+
+  test("isAppendOnlyRange: metadata-only gate for the streaming delta refresh") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val loc = tmpDir("cdf-appendonly") + "/t"
+    val t = GraftTable.create(spark, loc, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v1
+    val v1 = t.version
+    t.append(Seq((3L, "c")).toDF("id", "v")) // v2
+    t.append(Seq((4L, "d")).toDF("id", "v")) // v3
+    assert(t.isAppendOnlyRange(v1), "pure appends must read append-only")
+    assert(t.isAppendOnlyRange(t.version), "the empty range is append-only")
+    assert(!t.isAppendOnlyRange(t.version + 5),
+      "a future version must read false, not throw")
+    // a COW delete removes a file — the range stops being append-only
+    val vPre = t.version
+    t.delete(Seq(org.apache.spark.sql.sources.EqualTo("id", 1L)))
+    assert(!t.isAppendOnlyRange(vPre), "a delete commit must read false")
+    assert(t.isAppendOnlyRange(t.version), "…but after it, appends resume")
+    // a MOR delete changes only a deletion vector — still not append-only
+    t.append(Seq((5L, "e")).toDF("id", "v"))
+    val vMor = t.version
+    t.deleteMor(Seq(org.apache.spark.sql.sources.EqualTo("id", 2L)))
+    assert(!t.isAppendOnlyRange(vMor),
+      "a deletion-vector change must read false")
+    // a compaction replaces files — false, at metadata cost only
+    t.append(Seq((6L, "f")).toDF("id", "v"))
+    val vCmp = t.version
+    assert(t.compactSmall(1L << 30, 1L << 30) > 0)
+    assert(!t.isAppendOnlyRange(vCmp), "a compaction commit must read false")
+    // expired history reads false (the caller's full-rebuild fallback)
+    t.append(Seq((7L, "g")).toDF("id", "v"))
+    val vOld = v1
+    t.expireHistory(keepLast = 1)
+    assert(!t.isAppendOnlyRange(vOld), "an expired range must read false")
+    GraftTable.drop(loc)
+  }
 }
