@@ -62,6 +62,30 @@ object Bench {
         .groupBy("k").agg(sum("v")).count()
       (System.nanoTime() - t0) / 1e9
     }
+    // ALL-CORES spin (round 15): a window on this VM can run the suite
+    // 1.5-2x slow while the single-core spin, the pooled shuffle, AND
+    // the page-cache I/O probe all read clean — contention that only
+    // bites under full-machine load (co-tenant steal, frequency
+    // scaling, memory-bandwidth saturation). This probe saturates every
+    // core briefly (cpus threads × 1/8 of the single spin each; wall =
+    // slowest thread) so whole-machine throughput is visible in the
+    // artifact. Pre/post only — running it DURING the suite would
+    // contend with the measurement itself.
+    def calibParSpin(): Double = {
+      val n = cpus.toInt
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { _ =>
+        new Thread(() => {
+          var x = 1234567891L
+          var i = 0
+          while (i < 62500000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+          if (x == 42L) System.err.println("")
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
     // I/O-shaped probe (VERDICT r14 #1): the round-14 window ran the
     // suite 3.5x slow while the CPU spin and the shuffle probe moved
     // only 1.2x — the contention was I/O / memory-bandwidth-shaped and
@@ -121,6 +145,7 @@ object Bench {
     val calibPreSpin = calibSpin()
     val calibPreShuffle = calibShuffle()
     val calibPreIo = calibIo()
+    val calibPreParSpin = calibParSpin()
 
     Tables.all.foreach(t => warm(t)(Tables.load(spark, sfDir, t).count()))
     warm("q11_multi_join")(queries.CoreQueries.q11MultiJoin(spark, sfDir).count())
@@ -380,12 +405,13 @@ object Bench {
     val calibPostSpin = calibSpin()
     val calibPostShuffle = calibShuffle()
     val calibPostIo = calibIo()
+    val calibPostParSpin = calibParSpin()
     // one scalar a consumer can trend: the mean probe wall for this run's
     // window. On a quiet machine ~0.5-1s; it inflates in lockstep with
     // the suite wall under ambient contention (suite_sec / calib_sec is
     // the window-independent figure of merit).
     val calibSec = (calibPreSpin + calibPreShuffle + calibPostSpin + calibPostShuffle) / 4.0
-    val calibJson = f"""{"pre_spin":$calibPreSpin%.3f,"pre_shuffle":$calibPreShuffle%.3f,"pre_io":$calibPreIo%.3f,"post_spin":$calibPostSpin%.3f,"post_shuffle":$calibPostShuffle%.3f,"post_io":$calibPostIo%.3f}"""
+    val calibJson = f"""{"pre_spin":$calibPreSpin%.3f,"pre_shuffle":$calibPreShuffle%.3f,"pre_io":$calibPreIo%.3f,"pre_par_spin":$calibPreParSpin%.3f,"post_spin":$calibPostSpin%.3f,"post_shuffle":$calibPostShuffle%.3f,"post_io":$calibPostIo%.3f,"post_par_spin":$calibPostParSpin%.3f}"""
     // calib_timeline: [t_offset_from_suite_start, probe_wall] pairs,
     // sampled DURING the suite (both passes). spin = single-core probe
     // from the daemon sampler; shuffle = canonical pooled shuffle every
