@@ -301,7 +301,10 @@ object Bench {
     // consumer knows to re-record. The HEADLINE value, the per-query
     // map, and the solo-profile selection all come from the certified
     // BEST pass — never from a pass the certification rejected.
-    val suiteRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // clamp to >= 1: zero/negative would produce an empty pass list and
+    // crash minBy after paying the whole warm-up
+    val suiteRuns = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val maxRuns = math.max(suiteRuns,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "5").toInt)
     def insuiteMedianNow(): Double = {

@@ -63,12 +63,19 @@ private[streaming] final class RefreshableStatic[T](corpusLoc: String,
       merged match {
         case Some(next) =>
           cached = Some(next) // cur is owned by (possibly inside) next
+          version = v // the delta covered exactly (version, v]
         case None =>
-          val next = build(t.read()) // build cleans its own partials on throw
+          val snap = t.read() // build cleans its own partials on throw
+          val next = build(snap)
           cached.foreach(release)
           cached = Some(next)
+          // record the version the snapshot ACTUALLY served — the
+          // gate's refreshMeta may have advanced t past v (a commit
+          // landing mid-tick), and recording v here would make the
+          // NEXT tick re-apply rows the rebuild already contains
+          // (review r15: the delta double-apply)
+          version = t.version
       }
-      version = v
     }
     cached.get
   }
@@ -83,7 +90,9 @@ private[streaming] final class RefreshableStatic[T](corpusLoc: String,
       // "rebuild". The file-list check reads only the history JSONs;
       // when it passes, changes() takes its no-shuffle added-files
       // shortcut and every row is an insert (the filter is a guard,
-      // not a scan).
+      // not a scan). The gate and changes() each read the range's
+      // history metas — 2× metadata I/O per tick, bounded by the
+      // tick's COMMIT COUNT (usually one), never by data size.
       if (!t.isAppendOnlyRange(version)) None
       else ad(cur, t.changes(version, v)
         .filter(col("_change_type") === "insert")

@@ -41,8 +41,8 @@ class RefreshableStaticSpec extends SparkSpec {
     assert(builds === 1 && deltas === 0, "first get is the one full build")
 
     // input-records listener: a delta tick must read ∝ delta (the
-    // appended file, twice: the insert-only probe + the merge), never
-    // the 100-row corpus
+    // appended file once, for the merge — the append-only gate reads
+    // only history metadata), never the 100-row corpus
     val records = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
@@ -74,8 +74,8 @@ class RefreshableStaticSpec extends SparkSpec {
       "the operator's None (depth cap) must fold via a full rebuild")
     assert(records.get() >= 100L, "the fold re-reads the corpus")
 
-    // a DELETE tick has non-insert changes: the delta path must be
-    // rejected by the probe and the full rebuild must run
+    // a DELETE tick changes files/vectors: the metadata gate must
+    // reject the delta path and the full rebuild must run
     t.delete(Seq(org.apache.spark.sql.sources.EqualTo("id", 0L)))
     assert(sorted(rs.get(spark)) === expect())
     assert(builds === 3, "a delete tick must full-rebuild")
