@@ -61,6 +61,45 @@ class RangeJoinStreamSpec extends SparkSpec {
       "the banded stream-static join must run with NO streaming state")
   }
 
+  test("affected-user delta rebuild ≡ full re-band, including a session-EXTENDING append") {
+    import spark.implicits._
+    import graft.storage.GraftTable
+    def ev(user: Long, id: Long, sec: Long) =
+      (user, id, new java.sql.Timestamp(sec * 1000L))
+    val staticLoc = tmpDir("rj-delta-static") + "/t"
+    // v1: user 41 one session (1000-1100s), user 82 one session (50000s)
+    val v1 = Seq(ev(41L, 1L, 1000L), ev(41L, 2L, 1100L),
+      ev(82L, 3L, 50000L)).toDF("user_id", "event_id", "ts")
+    val t = GraftTable.create(spark, staticLoc, v1.schema)
+    t.append(v1)
+    val cur = RangeJoinStream.bandsFrom(t.read()).localCheckpoint(true)
+    // the delta EXTENDS user 41's existing session (1150s < 1800s gap)
+    // and opens a second one far away — the case a banded union of the
+    // delta alone would get wrong (stale s_end on the merged session)
+    val delta = Seq(ev(41L, 4L, 1150L), ev(41L, 5L, 500000L))
+      .toDF("user_id", "event_id", "ts")
+    t.append(delta)
+    val got = RangeJoinStream.deltaBands(spark, staticLoc, cur, delta)
+      .getOrElse(fail("a 1-user delta must take the delta path"))
+    val full = RangeJoinStream.bandsFrom(
+      GraftTable.open(spark, staticLoc).read())
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("s_user", "s_start", "band").collect().map(_.toSeq).toSeq
+    assert(rows(got) === rows(full),
+      "delta rebuild must equal the full re-band")
+    assert(rows(got).exists(r => r.head == 41L &&
+      r(2) == 1150L * 1000000L), "the extended session must carry the " +
+      s"NEW s_end: ${rows(got)}")
+    // …and the naive delta-only union is demonstrably NOT equal (the
+    // merged session's old bounds survive) — why re-sessionization of
+    // the affected user is required
+    val naive = cur.unionByName(RangeJoinStream.bandsFrom(delta))
+    assert(rows(naive) !== rows(full),
+      "a delta-only band union must NOT reproduce the full re-band " +
+        "(otherwise this test is vacuous)")
+    GraftTable.drop(staticLoc)
+  }
+
   test("refreshable interval side: a session committed MID-STREAM enriches later batches without a restart; exactly-once preserved") {
     import spark.implicits._
     import graft.storage.GraftTable
