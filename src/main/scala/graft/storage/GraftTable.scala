@@ -2448,33 +2448,65 @@ final class GraftTable private (
     * fall back to their full path). */
   def isAppendOnlyRange(fromVersion: Long): Boolean =
     try {
-      refreshMeta()
-      if (fromVersion > meta.version) false
-      else (fromVersion to meta.version)
-        .map(v => GraftTable.readHistoryMeta(location, v))
+      val head = GraftTable.committedVersion(location)
+      if (fromVersion > head) false
+      else (fromVersion to head)
+        .map(v => GraftTable.readHistoryRaw(location, v))
         .sliding(2).forall {
           case Seq(a, b) =>
-            a.files.toSet.subsetOf(b.files.toSet) &&
-              a.dvs == b.dvs && a.currentSchema == b.currentSchema
+            a.dvs == b.dvs && sameSchema(a, b) && appendOnlyPair(a, b)
           case _ => true // single-element window: empty range
         }
     } catch { case _: Exception => false }
 
+  /** Schema equality of two raw snapshots: equal JSON strings decide
+    * without parsing (the writer renders a given StructType
+    * deterministically, so an unchanged schema round-trips to the
+    * identical string); only a string mismatch pays the parse. */
+  private def sameSchema(a: GraftTable.RawSnapshot,
+      b: GraftTable.RawSnapshot): Boolean =
+    a.schemaJson == b.schemaJson ||
+      DataType.fromJson(a.schemaJson) == DataType.fromJson(b.schemaJson)
+
+  /** "Commit (a → b) only ADDED files", decided O(churn) from the
+    * per-commit manifest DELTA segments (VERDICT r15 #1): when b's
+    * segment list EXTENDS a's, the commit's file-list delta is exactly
+    * the new segments — append-only iff none removes. Inline (small)
+    * tables diff their inline lists. Only a list the replay cannot
+    * express as an extension (manifest compaction, RESTORE, the
+    * inline→segment upgrade commit) falls back to hydrating THIS pair —
+    * never the whole range. */
+  private def appendOnlyPair(a: GraftTable.RawSnapshot,
+      b: GraftTable.RawSnapshot): Boolean =
+    if (a.manifest.isEmpty && b.manifest.isEmpty)
+      a.inlineFiles.toSet.subsetOf(b.inlineFiles.toSet)
+    else if (a.manifest.nonEmpty && b.manifest.startsWith(a.manifest))
+      b.manifest.drop(a.manifest.size)
+        .forall(rel => GraftTable.readSegment(location, rel).removed.isEmpty)
+    else
+      GraftTable.readHistoryMeta(location, a.version).files.toSet
+        .subsetOf(GraftTable.readHistoryMeta(location, b.version).files.toSet)
+
   def changes(fromVersion: Long, toVersion: Long): DataFrame = {
-    refreshMeta()
     require(fromVersion >= 0 && fromVersion <= toVersion,
       s"bad change range [$fromVersion, $toVersion]")
-    require(toVersion <= meta.version,
-      s"version $toVersion was never committed (current is ${meta.version})")
-    val metas = (fromVersion to toVersion).map { v =>
-      try GraftTable.readHistoryMeta(location, v)
+    val head = GraftTable.committedVersion(location)
+    require(toVersion <= head,
+      s"version $toVersion was never committed (current is $head)")
+    // RAW snapshots only — the per-commit diff below needs each
+    // version's dvs/schema/defaults and its manifest SEGMENT list,
+    // never the hydrated file list (VERDICT r15 #1: hydrating every
+    // version in the range cost O(table files) of driver metadata work
+    // per streaming delta tick at million-file scale)
+    val snaps = (fromVersion to toVersion).map { v =>
+      try GraftTable.readHistoryRaw(location, v)
       catch { case e: Exception => throw new IllegalStateException(
         s"changes($fromVersion, $toVersion) on $location needs snapshot v$v, " +
           "which is expired or unreadable — retained history bounds the feed", e) }
     }
-    val s0 = metas.head.currentSchema
-    metas.zipWithIndex.foreach { case (m, i) =>
-      require(m.currentSchema == s0,
+    val s0 = DataType.fromJson(snaps.head.schemaJson).asInstanceOf[StructType]
+    snaps.zipWithIndex.foreach { case (h, i) =>
+      require(sameSchema(snaps.head, h),
         s"schema changed at v${fromVersion + i} inside the change range — " +
           "split the range at the ALTER") }
     val changeType = "_change_type"
@@ -2482,19 +2514,54 @@ final class GraftTable private (
     val names = s0.fieldNames.toSeq
 
     val (changesFs, _) = GraftTable.fsAndPath(location)
-    def readRels(m: GraftTable.Meta, rels: Seq[String]): DataFrame = {
+    def readRels(h: GraftTable.RawSnapshot, rels: Seq[String]): DataFrame = {
       val relSet = rels.toSet
-      val dvRels = m.dvs.view.filterKeys(relSet).toMap
+      val dvRels = h.dvs.view.filterKeys(relSet).toMap
       val missing = (rels ++ dvRels.values.map(_.path))
         .filterNot(r => changesFs.exists(new HPath(s"$location/$r")))
       require(missing.isEmpty,
         s"change-feed data reclaimed (truncate/vacuum): ${missing.take(3).mkString(", ")}")
       applyDvs(
-        spark.read.schema(GraftTable.withExistenceDefaults(s0, m.defaults))
+        spark.read.schema(GraftTable.withExistenceDefaults(s0, h.defaults))
           .parquet(rels.map(f => s"$location/$f"): _*),
         dvRels)
         .select(s0.fields.map(f => col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
     }
+
+    // Net file-list delta of one commit, O(churn) when the manifest
+    // expresses it (see [[appendOnlyPair]] for the three cases).
+    def pairFileDelta(p: GraftTable.RawSnapshot,
+        c: GraftTable.RawSnapshot): (Seq[String], Seq[String]) =
+      if (p.manifest.isEmpty && c.manifest.isEmpty) {
+        val pset = p.inlineFiles.toSet
+        val cset = c.inlineFiles.toSet
+        (p.inlineFiles.filterNot(cset), c.inlineFiles.filterNot(pset))
+      } else if (p.manifest.nonEmpty && c.manifest.startsWith(p.manifest)) {
+        // compose the new segments' deltas: a file added then removed
+        // WITHIN the commit's segments cancels; a removal of an
+        // older file nets as removed (segments only ever remove files
+        // live in the accumulated list, so those were in p's list)
+        var added = Vector.empty[String]
+        var removed = Set.empty[String]
+        c.manifest.drop(p.manifest.size).foreach { rel =>
+          val s = GraftTable.readSegment(location, rel)
+          if (s.removed.nonEmpty) {
+            val inRange = added.toSet
+            removed ++= s.removed.filterNot(inRange)
+            added = added.filterNot(s.removed)
+          }
+          added = added ++ s.added
+        }
+        (removed.toSeq.sorted, added)
+      } else {
+        // inexpressible as an extension (compaction / RESTORE / the
+        // inline→segment upgrade): hydrate THIS pair only
+        val pf = GraftTable.readHistoryMeta(location, p.version).files
+        val cf = GraftTable.readHistoryMeta(location, c.version).files
+        val pset = pf.toSet
+        val cset = cf.toSet
+        (pf.filterNot(cset), cf.filterNot(pset))
+      }
 
     // null-safe multiplicity diff: |delta| copies of each changed row
     def countDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
@@ -2513,21 +2580,25 @@ final class GraftTable private (
         .drop("__delta", "__rep")
     }
 
-    val perCommit = metas.sliding(2).toSeq.zipWithIndex.flatMap {
+    val perCommit = snaps.sliding(2).toSeq.zipWithIndex.flatMap {
       case (Seq(p, c), i) =>
         val v = fromVersion + i + 1
-        val pset = p.files.toSet
-        val cset = c.files.toSet
+        val (removedFiles, addedFiles) = pairFileDelta(p, c)
+        val addedSet = addedFiles.toSet
+        val removedSet = removedFiles.toSet
         // a merge-on-read delete changes a file's EFFECTIVE content
-        // without touching the file list: any carried file whose
+        // without touching the file list: any CARRIED file whose
         // deletion-vector entry moved diffs like a swapped file (readRels
         // applies each side's own vectors, so the dead rows surface as
         // deletes and the carried rows cancel — cost ∝ the vectored
-        // files, the same bound as a COW swap)
-        val dvChanged = p.files.filter(cset)
+        // files, the same bound as a COW swap). Carried = keyed in
+        // either side's dv map but not in this commit's file delta
+        // (a dv entry only ever references a file live in its version).
+        val dvChanged = (p.dvs.keySet ++ c.dvs.keySet).toSeq.sorted
           .filter(f => p.dvs.get(f) != c.dvs.get(f))
-        val removed = p.files.filterNot(cset) ++ dvChanged
-        val added = c.files.filterNot(pset) ++ dvChanged
+          .filterNot(f => addedSet(f) || removedSet(f))
+        val removed = removedFiles ++ dvChanged
+        val added = addedFiles ++ dvChanged
         if (removed.isEmpty && added.isEmpty) None
         else if (removed.isEmpty)
           // pure append: added rows are inserts, no shuffle
@@ -4615,15 +4686,98 @@ object GraftTable {
       .sorted
   }
 
-  def readHistoryMeta(location: String, version: Long): Meta = {
+  def readHistoryMeta(location: String, version: Long): Meta =
+    readMetaFromFields(location, readHistoryObj(location, version))
+
+  /** Read + parse one archived snapshot's JSON object (no hydration —
+    * the caller picks [[readMetaFromFields]] or [[rawSnapshotFromFields]]). */
+  private def readHistoryObj(location: String, version: Long): Map[String, Any] = {
     val (fs, _) = fsAndPath(location)
     val path = historyPath(location, version)
     if (!fs.exists(path))
       throw new IllegalArgumentException(
         s"no snapshot v$version at $location (expired or never committed)")
-    val m = parseJsonObject(readFileFully(fs, path))
+    val content = readFileFully(fs, path)
+    MetaIo.historyRead(content.length.toLong)
+    val m = parseJsonObject(content)
     require(m.get(MagicKey).contains(Magic), s"bad magic in $path")
-    readMetaFromFields(location, m)
+    m
+  }
+
+  /** Metadata-I/O instrumentation (test/profiler hook): bytes of
+    * history snapshots and manifest segments parsed FROM STORAGE (a
+    * [[SegmentCache]] hit costs nothing here). Counters are
+    * PER-THREAD — the metadata readers all run on the calling driver
+    * thread, so a spec's deltas are immune to concurrently running
+    * suites. The change-range spec asserts a streaming delta tick's
+    * counts are ∝ the tick's own commit, not ∝ table files. */
+  private[graft] object MetaIo {
+    private val tl = ThreadLocal.withInitial[Array[Long]](() => new Array[Long](4))
+    private[GraftTable] def historyRead(bytes: Long): Unit = {
+      val a = tl.get; a(0) += 1; a(1) += bytes
+    }
+    private[GraftTable] def segmentParsed(bytes: Long): Unit = {
+      val a = tl.get; a(2) += 1; a(3) += bytes
+    }
+    /** (historyReads, historyBytes, segmentParses, segmentBytes), this thread. */
+    def snapshot(): (Long, Long, Long, Long) = {
+      val a = tl.get; (a(0), a(1), a(2), a(3))
+    }
+  }
+
+  /** Raw (UNHYDRATED) fields of one snapshot JSON — everything the
+    * change-range readers need except the replayed file list. With
+    * manifest segments in play the snapshot JSON carries only segment
+    * REFS, so parsing it costs O(commit count + dv count), never
+    * O(table files); at a million files the hydrated form this avoids
+    * is ~60 MB of path strings PER VERSION in the range (VERDICT r15
+    * #1 — the O(table)-per-commit cost class the manifest-segment
+    * work exists to kill, previously re-introduced on the read side). */
+  private[storage] final case class RawSnapshot(
+      version: Long,
+      schemaJson: String,
+      manifest: Vector[String],
+      inlineFiles: Vector[String],
+      dvs: Map[String, DvEntry],
+      defaults: Map[String, Any])
+
+  private def rawSnapshotFromFields(m: Map[String, Any]): RawSnapshot =
+    RawSnapshot(
+      version = m.getOrElse("version", java.lang.Long.valueOf(0L))
+        .asInstanceOf[Number].longValue(),
+      schemaJson = m("schema").asInstanceOf[String],
+      manifest = m.getOrElse("manifest", List.empty[Any])
+        .asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toVector,
+      inlineFiles = m("files").asInstanceOf[List[Any]]
+        .map(_.asInstanceOf[String]).toVector,
+      dvs = parseDvFields(m),
+      defaults = parseDefaultFields(m))
+
+  private[storage] def readHistoryRaw(location: String, version: Long): RawSnapshot =
+    rawSnapshotFromFields(readHistoryObj(location, version))
+
+  /** Version of the committed HEAD, read WITHOUT hydrating any file
+    * list: parse the pointer JSON, then walk claims forward with raw
+    * parses only (same claim-detection rule as [[walkToHead]] — an
+    * unparseable next snapshot is an in-flight claim, not a commit).
+    * The change-range readers need only the number; full hydration is
+    * O(live files) of driver work per call. */
+  private[storage] def committedVersion(location: String): Long = {
+    val (fs, _) = fsAndPath(location)
+    var v = rawSnapshotFromFields(readHeadObj(location)).version
+    var advancing = true
+    while (advancing) {
+      val hp = historyPath(location, v + 1)
+      val committed =
+        try {
+          fs.exists(hp) && {
+            val m = parseJsonObject(readFileFully(fs, hp))
+            m.get(MagicKey).contains(Magic)
+          }
+        } catch { case _: Exception => false }
+      if (committed) v += 1 else advancing = false
+    }
+    v
   }
 
   /** [[relativize]] for callers outside the storage package (the
@@ -4826,7 +4980,9 @@ object GraftTable {
     * shared by the hydrating reader and verify()'s manifest audit. */
   private[storage] def parseSegmentFile(fs: FileSystem,
       p: HPath): ManifestSegment = {
-    val m = parseJsonObject(readFileFully(fs, p))
+    val content = readFileFully(fs, p)
+    MetaIo.segmentParsed(content.length.toLong)
+    val m = parseJsonObject(content)
     require(m.get(MagicKey).contains(Magic), s"bad magic in manifest segment $p")
     ManifestSegment(
       added = m.getOrElse("files_added", List.empty[Any])
@@ -4988,7 +5144,13 @@ object GraftTable {
        |}""".stripMargin
   }
 
-  private[storage] def readMeta(location: String): Meta = {
+  private[storage] def readMeta(location: String): Meta =
+    walkToHead(location, readMetaFromFields(location, readHeadObj(location)))
+
+  /** Read + parse the pointer file's JSON object, with the commit-window
+    * retry (shared by the hydrating [[readMeta]] and the raw
+    * [[committedVersion]] probe). */
+  private def readHeadObj(location: String): Map[String, Any] = {
     val (fs, _) = fsAndPath(location)
     val path = metaPath(location)
     // On filesystems without atomic rename-replace a commit passes
@@ -5019,7 +5181,7 @@ object GraftTable {
       }
     }
     require(m.get(MagicKey).contains(Magic), s"bad magic in $path")
-    walkToHead(location, readMetaFromFields(location, m))
+    m
   }
 
   /** Advance a pointer-cached state to the committed HEAD of the
@@ -5063,9 +5225,10 @@ object GraftTable {
     * stats shard refs; hydration is strict — a missing shard is loud
     * corruption (vacuum never reclaims a shard any retained snapshot
     * references), never silently-empty zone maps. */
-  private def readMetaFromFields(location: String, m: Map[String, Any]): Meta = {
-    val schema = DataType.fromJson(m("schema").asInstanceOf[String]).asInstanceOf[StructType]
-    val defaults = m.getOrElse("defaults", Map.empty[String, Any])
+  /** Typed `defaults` map of a parsed snapshot object (shared by the
+    * hydrating and raw readers). */
+  private def parseDefaultFields(m: Map[String, Any]): Map[String, Any] =
+    m.getOrElse("defaults", Map.empty[String, Any])
       .asInstanceOf[Map[String, Any]].map { case (k, tv) =>
         val obj = tv.asInstanceOf[Map[String, Any]]
         val v = (obj("t"), obj("v")) match {
@@ -5076,6 +5239,20 @@ object GraftTable {
         }
         k -> (v: Any)
       }
+
+  /** Deletion-vector map of a parsed snapshot object (shared by the
+    * hydrating and raw readers). */
+  private def parseDvFields(m: Map[String, Any]): Map[String, DvEntry] =
+    m.getOrElse("dvs", Map.empty[String, Any])
+      .asInstanceOf[Map[String, Any]].map { case (f, v) =>
+        val o = v.asInstanceOf[Map[String, Any]]
+        f -> DvEntry(o("p").asInstanceOf[String],
+          o("n").asInstanceOf[Number].longValue())
+      }
+
+  private def readMetaFromFields(location: String, m: Map[String, Any]): Meta = {
+    val schema = DataType.fromJson(m("schema").asInstanceOf[String]).asInstanceOf[StructType]
+    val defaults = parseDefaultFields(m)
     val inlineFiles = m("files").asInstanceOf[List[Any]]
       .map(_.asInstanceOf[String]).toVector
     val manifest = m.getOrElse("manifest", List.empty[Any])
@@ -5132,12 +5309,7 @@ object GraftTable {
         .asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toVector,
       changeCommit = m.getOrElse("change_commit", java.lang.Boolean.FALSE)
         .asInstanceOf[Boolean],
-      dvs = m.getOrElse("dvs", Map.empty[String, Any])
-        .asInstanceOf[Map[String, Any]].map { case (f, v) =>
-          val o = v.asInstanceOf[Map[String, Any]]
-          f -> DvEntry(o("p").asInstanceOf[String],
-            o("n").asInstanceOf[Number].longValue())
-        })
+      dvs = parseDvFields(m))
   }
 
   /** Minimal recursive-descent JSON parser (objects/arrays/strings/numbers/
