@@ -7,6 +7,51 @@ import org.apache.spark.sql.SparkSession
   * query first absorbs one-time JVM/codegen/parquet-footer costs so the
   * per-query numbers measure the queries, not startup. */
 object Bench {
+
+  /** The window_suspect stamp, PURE so a spec can replay recorded
+    * artifacts (VERDICT r15 #2): agreement of the two best passes
+    * alone certified the r15 driver artifact (155 s headline) because
+    * two passes of a UNIFORMLY degraded window agreed within 1.5x with
+    * no improvement trend — the stamp now also consults the
+    * artifact's own published discriminators. Clean-window envelope
+    * (measured on this VM — SCALE_r13 §1, r15 judge rerun, r16):
+    *  - `calib_insuite_best_sec` — the single-core spin median DURING
+    *    the certified pass: clean 0.6-0.7 s under the suite's own
+    *    load; the r15 degraded window read 0.96 (draining) and spiked
+    *    to 20 s. Threshold 0.8: a hot window during the certified
+    *    pass always surfaces, regardless of pass agreement.
+    *  - par-spin/spin > 2x at BOTH brackets — sustained cgroup-quota
+    *    throttling that leaves the single-core spin clean (each
+    *    par-spin thread runs the full single-spin workload, so the
+    *    unthrottled ratio is ~1).
+    * Single-pass smoke runs (SPARK_GRAFT_BENCH_RUNS=1) self-report
+    * from the in-suite median alone, as before. */
+  private[graft] def windowSuspectStamp(multiPass: Boolean,
+      twoBestAgree: Boolean, calibInsuiteBest: Double,
+      preSpin: Double, preParSpin: Double,
+      postSpin: Double, postParSpin: Double,
+      insuiteMedian: Double): Boolean =
+    if (!multiPass) insuiteMedian > 0.7
+    else {
+      val parHot = math.min(preParSpin / math.max(0.1, preSpin),
+        postParSpin / math.max(0.1, postSpin)) > 2.0
+      !twoBestAgree || calibInsuiteBest > 0.8 || parHot
+    }
+
+  /** The fixed cross-round perf sentinel (VERDICT r15 #4): one query
+    * per operator family, solo-run UNCONTENDED after the pool drains,
+    * every bench, in this order. The solo profile's "top-10 heaviest
+    * of this round's pool" shifts as the pool grows, so it cannot be
+    * trended round-over-round; this set can — BENCH_r{N}.sentinel vs
+    * BENCH_r{N+1}.sentinel is a like-for-like series without a judge
+    * rerun. Do not reorder or substitute entries; append only. */
+  private[graft] val SentinelQueries = Seq(
+    "q11_multi_join", "q32_tpch_q1", "d7_dedup_clusters", "d14_span_dedup",
+    "s9_ann_ivfpq", "s17_int8_persisted", "m7_avi_decode",
+    "m12_video_neardup", "e12_stream_trending", "n9_agg_maintain",
+    "c8_cluster_split", "p3_incremental_refresh", "t13_perplexity",
+    "m9_audio_neardup", "d6_embed_neardup_ann")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -165,6 +210,21 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // In-suite variant (ADVICE r15): the full 2 GiB copy every ~6 s
+    // DURING timed passes perturbs the very memory subsystem the suite
+    // contends on. The sampler moves 64 MiB instead (2 x 32 MiB over
+    // the same buffers' prefix — ~1/32 of the big probe's wall; its
+    // timeline is on that smaller scale by design), reserving the full
+    // STREAM copy for the idle pre/post brackets. The sampler's total
+    // cost is published as probe_overhead_runs so a consumer can
+    // subtract instrumentation from the window story (VERDICT r15 #5).
+    def calibMemBwInsuite(): Double = {
+      val n = 4 << 20 // 4M longs = 32 MiB
+      val t0 = System.nanoTime()
+      System.arraycopy(memSrc, 0, memDst, 0, n)
+      System.arraycopy(memSrc, n, memDst, n, n)
+      (System.nanoTime() - t0) / 1e9
+    }
     // one unmeasured shuffle first: the probe must measure the exchange
     // path, not first-touch codegen
     calibShuffle()
@@ -272,7 +332,7 @@ object Bench {
           val wIo = calibIo()
           ioTimeline.synchronized { ioTimeline += ((atIo, wIo)) }
           val atMem = tOff
-          val wMem = calibMemBw()
+          val wMem = calibMemBwInsuite() // 64 MiB, not the 2 GiB bracket probe
           memTimeline.synchronized { memTimeline += ((atMem, wMem)) }
         }
         tick += 1
@@ -343,7 +403,7 @@ object Bench {
     // best-of-2 is not enough either — the driver's artifact published
     // 60.8s from a window a clean rerun showed is 22.1s. The discipline
     // now: run the base passes (default 2), then KEEP re-running
-    // (bounded at SPARK_GRAFT_BENCH_MAX_RUNS, default 5) until the TWO
+    // (bounded at SPARK_GRAFT_BENCH_MAX_RUNS, default 6) until the TWO
     // FASTEST passes agree within 1.5x — two independent passes landing
     // on the same wall is the certificate that the best pass measures
     // the engine, not a lucky window. If the cap is hit without
@@ -401,8 +461,9 @@ object Bench {
       while ((!twoBestAgree || lastImproved) && passes.size < maxRuns)
         doPass()
     }
-    val windowSuspect =
-      if (suiteRuns >= 2) !twoBestAgree else insuiteMedianNow() > 0.7
+    // window_suspect is stamped AFTER the post-bracket probes run —
+    // see [[windowSuspectStamp]] (computed below, once
+    // calib_insuite_best_sec and the post par-spin are known)
     val bestIdx = passes.map(_._2).zipWithIndex.minBy(_._1)._2
     val results = passes(bestIdx)._1
     val total = passes(bestIdx)._2 // the certified headline wall
@@ -445,6 +506,24 @@ object Bench {
         None
       }
     }
+    // Fixed perf SENTINEL (VERDICT r15 #4): the same ~15 queries — one
+    // per family — solo-run uncontended every bench, so BENCH_r{N} is
+    // round-over-round comparable without a judge rerun (the solo
+    // profile above re-selects "this round's heaviest" and shifts as
+    // the pool grows). Warm like the solo profile; failures omitted
+    // for the same poisoning reason.
+    val sentinel = SentinelQueries.flatMap { name =>
+      byName.get(name).flatMap { fn =>
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+        val q0 = System.nanoTime()
+        try { fn(spark, sfDir).count()
+          Some(name -> (System.nanoTime() - q0) / 1e9)
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] sentinel $name FAILED: ${e.getMessage}")
+          None
+        }
+      }
+    }
     // The driver records only the LAST 2000 chars of output, so a long
     // line is truncated from the front. Keep the headline readable under
     // truncation: 3-decimal times, per-query entries sorted cheapest-first
@@ -465,6 +544,11 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = (firstPassFailed ++ rerunErrs).size
     val soloJson = solo.sortBy(_._2)
+      .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+      .mkString("{", ",", "}")
+    // sentinel stays in its FIXED declaration order (not sorted): the
+    // round-over-round consumer zips by position as well as by name
+    val sentinelJson = sentinel
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val warmupJson = warmupErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -501,6 +585,25 @@ object Bench {
     val bestSpins = spinTl.collect { case (at, w) if at >= bw0 && at < bw1 => w }.sorted
     val calibInsuiteBest =
       if (bestSpins.isEmpty) 0.0 else bestSpins(bestSpins.size / 2)
+    // the stamp consults the artifact's own discriminators, not just
+    // pass agreement (VERDICT r15 #2 / ADVICE r15) — pure function so
+    // BenchStampSpec replays the r15 driver artifact's numbers
+    val windowSuspect = windowSuspectStamp(
+      multiPass = suiteRuns >= 2, twoBestAgree = twoBestAgree,
+      calibInsuiteBest = calibInsuiteBest,
+      preSpin = calibPreSpin, preParSpin = calibPreParSpin,
+      postSpin = calibPostSpin, postParSpin = calibPostParSpin,
+      insuiteMedian = calibInsuite)
+    // the sampler's own cumulative in-suite probe seconds per pass
+    // (spin + io + mem walls it spent inside each pass's window) —
+    // instrumentation cost a consumer can subtract from the window
+    // story (VERDICT r15 #5). The pooled shuffle probe is accounted
+    // separately per its timeline (it queues behind real queries by
+    // design, so its wall is window signal, not sampler overhead).
+    val probeOverheadRuns = passWindows.map { case (w0, w1) =>
+      (spinTl ++ ioTl ++ memTl)
+        .collect { case (at, w) if at >= w0 && at < w1 => w }.sum
+    }.toList
     val timelineJson =
       s"""{"spin":${tl(spinTl)},"shuffle":${tl(shufTl)},"io":${tl(ioTl)},"mem":${tl(memTl)}}"""
     val suiteBest = rerunWalls.min
@@ -515,7 +618,9 @@ object Bench {
     // clipped by the driver's capture in round 10 — VERDICT r10 #2);
     // the COMPLETE artifact, timeline included, is also written to
     // BENCH_result.json so a clipped stdout is never the only record.
-    val headline = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"warmup_errors":$warmupJson,"sf":"$sfDir","solo":$soloJson,"pool_drained":$poolDrained,"calib":$calibJson,"calib_sec":$calibSec%.3f,"calib_insuite_sec":$calibInsuite%.3f,"calib_insuite_best_sec":$calibInsuiteBest%.3f,"suite_sec_runs":$rerunJson,"suite_cpu_runs":$cpuJson,"suite_sec_first":$firstWall%.3f,"best_pass_index":$bestIdx,"n_passes":${passes.size},"suite_sec_best":$suiteBest%.3f,"suite_extra_run":${passes.size > suiteRuns},"window_suspect":$windowSuspect,"suite_sec":$total}"""
+    val probeOverheadJson =
+      probeOverheadRuns.map(w => f"$w%.3f").mkString("[", ",", "]")
+    val headline = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"warmup_errors":$warmupJson,"sf":"$sfDir","solo":$soloJson,"sentinel":$sentinelJson,"pool_drained":$poolDrained,"calib":$calibJson,"calib_sec":$calibSec%.3f,"calib_insuite_sec":$calibInsuite%.3f,"calib_insuite_best_sec":$calibInsuiteBest%.3f,"suite_sec_runs":$rerunJson,"suite_cpu_runs":$cpuJson,"probe_overhead_runs":$probeOverheadJson,"suite_sec_first":$firstWall%.3f,"best_pass_index":$bestIdx,"n_passes":${passes.size},"suite_sec_best":$suiteBest%.3f,"suite_extra_run":${passes.size > suiteRuns},"window_suspect":$windowSuspect,"suite_sec":$total}"""
     val full = headline.dropRight(1) +
       s""","calib_timeline":$timelineJson}"""
     // default lands in the launch CWD (the repo root under the driver);

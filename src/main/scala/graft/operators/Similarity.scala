@@ -213,7 +213,9 @@ object Similarity {
     val marker = new org.apache.hadoop.fs.Path(root, MaintenanceMarker)
     if (liveMarkers.contains(marker.toString)) return
     if (fs.exists(marker)) {
-      val kind = readMarkerKind(fs, marker)
+      val observed = readMarkerContent(fs, marker)
+      val kind =
+        if (observed.startsWith("autocompact:")) "autocompact" else "maintenance"
       val age =
         try System.currentTimeMillis() - fs.getFileStatus(marker).getModificationTime
         catch { case _: Exception => 0L } // vanished → create() arbitrates
@@ -224,10 +226,11 @@ object Similarity {
         return
       }
       // a crashed fold's residue (aged out; this process holds no live
-      // marker for it)
+      // marker for it) — reclaim ATOMICALLY (tombstone rename, ADVICE
+      // r15); a lost race means another process got there first: skip,
+      // the fold is opportunistic hygiene
       MaintLog.warn(s"reclaiming a crashed auto-compact's marker at $root")
-      fs.delete(marker, false)
-      ()
+      if (!reclaimStaleMarker(fs, marker, observed)) return
     }
     val token = createMarker(fs, marker, "autocompact").getOrElse(return)
     // best-effort like the table layer's maybeAutoCompact: the append
@@ -256,6 +259,13 @@ object Similarity {
     * may reclaim. Folds are seconds long; 10 minutes is comfortably
     * past any healthy fold and comfortably under "operator notices". */
   private[operators] val FoldReclaimAgeMs = 10L * 60 * 1000
+
+  /** `ann_vacuum`'s probe-safety floor: the shortest retention the verb
+    * accepts without `force`. Retention-based probe safety assumes no
+    * probe outlives the window — 10 minutes (the marker-liveness TTL)
+    * comfortably exceeds any healthy probe; a shorter window silently
+    * voids the contract for a straggler probe (VERDICT r15 #6). */
+  private[graft] val MinVacuumRetainMs = FoldReclaimAgeMs
 
   /** The shared input-hygiene gate of [[buildIvfIndexFrom]] and
     * [[appendVectorsToIndex]]: takes the frame's first two columns as
@@ -1115,17 +1125,28 @@ object Similarity {
     * probe start, and a file leaves disk only when every snapshot
     * referencing it is expired — so any retention ≥ the longest
     * probe's duration keeps live probes whole (default 24 h; a probe
-    * is seconds). APPEND-SAFE: expiry always keeps the newest
+    * is seconds). The contract is only as strong as the window:
+    * a retention under [[MinVacuumRetainMs]] could reclaim files out
+    * from under a probe still running (VERDICT r15 #6), so tiny
+    * retentions REFUSE unless `force = true` (quiesced-readers
+    * housekeeping, e.g. a test or a rebuild preamble, opts in
+    * explicitly). APPEND-SAFE: expiry always keeps the newest
     * snapshot, vacuum's claim grace protects in-flight batch dirs, and
     * expiry/appends serialize at the table lock — so this verb takes
     * the marker with the append-safe "autocompact" kind (appends flow;
     * only other maintenance verbs are excluded). Returns
     * (table, snapshots expired + dirs reclaimed). */
   def annVacuumIndex(s: SparkSession, root: String,
-      retainMs: Long = 24L * 3600 * 1000): Seq[(String, Long)] = {
+      retainMs: Long = 24L * 3600 * 1000,
+      force: Boolean = false): Seq[(String, Long)] = {
     require(graft.storage.GraftTable.exists(s"$root/postings"),
       s"no persisted ANN index at $root")
     require(retainMs >= 0, s"retention must be >= 0 ms, got $retainMs")
+    require(force || retainMs >= MinVacuumRetainMs,
+      s"ann_vacuum retention ${retainMs / 1000}s is under the probe-safety " +
+        s"floor (${MinVacuumRetainMs / 1000}s): a probe still running could " +
+        "lose its pinned files mid-read — pass force=true only with readers " +
+        "quiesced")
     withMarkerOfKind(root, "autocompact") {
       IndexSiblingTables
         .filter(t => graft.storage.GraftTable.exists(s"$root/$t"))
@@ -1758,6 +1779,39 @@ object Similarity {
     }
   }
 
+  /** Atomically reclaim a STALE marker (ADVICE r15: delete-then-create
+    * is a TOCTOU — two processes that both stat an aged marker each
+    * pass the age gate, and the slower one's blind delete then lands
+    * on the faster one's FRESHLY created marker, yielding the two
+    * concurrent maintenance verbs the marker exists to prevent).
+    * Protocol: RENAME the marker to a unique tombstone — exactly one
+    * racing reclaimer can win the rename of a given path — then VERIFY
+    * the tombstone holds the content observed at the age check. A
+    * mismatch means the rename caught a FRESH marker that replaced the
+    * stale one inside the window: restore it and report live. Returns
+    * true iff the stale marker is gone and the path is free to claim;
+    * false means another process won (treat as live elsewhere and
+    * refuse/skip — its verb recovers the crash residue). */
+  private[operators] def reclaimStaleMarker(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path, observedContent: String): Boolean = {
+    val tomb = new org.apache.hadoop.fs.Path(marker.getParent,
+      s".${marker.getName}_tomb_${java.util.UUID.randomUUID().toString.take(8)}")
+    val renamed = try fs.rename(marker, tomb) catch { case _: Exception => false }
+    if (!renamed) false // another reclaimer (or the owner's release) won
+    else if (readMarkerContent(fs, tomb) == observedContent) {
+      try fs.delete(tomb, false) catch { case _: Exception => () }
+      true
+    } else {
+      // the rename caught a marker REPLACED since the age check — a
+      // live verb's fresh claim: put it back and refuse
+      val restored = try fs.rename(tomb, marker) catch { case _: Exception => false }
+      if (!restored)
+        MaintLog.warn(s"could not restore a freshly-claimed marker at " +
+          s"$marker after a misfired reclaim — its owner will warn at release")
+      false
+    }
+  }
+
   private def releaseMarker(fs: org.apache.hadoop.fs.FileSystem,
       marker: org.apache.hadoop.fs.Path, token: String): Unit = {
     // delete only what we own: if someone reclaimed our marker mid-run
@@ -1800,7 +1854,11 @@ object Similarity {
       // would run two staging swaps, or a swap against a live
       // append-triggered autocompact's fold, concurrently — the exact
       // races the marker exists to prevent). Older is crashed residue:
-      // reclaimed, and the verb's own preamble recovers the crash.
+      // reclaimed ATOMICALLY (tombstone rename + content verify,
+      // [[reclaimStaleMarker]] — ADVICE r15: a blind delete here could
+      // land on a racing reclaimer's fresh marker), and the verb's own
+      // preamble recovers the crash.
+      val observed = readMarkerContent(fs, marker)
       val age =
         try System.currentTimeMillis() - fs.getFileStatus(marker).getModificationTime
         catch {
@@ -1820,8 +1878,13 @@ object Similarity {
       MaintLog.warn(s"reclaiming stale maintenance marker at $root — a " +
         "previous maintenance operation crashed before releasing it; " +
         "its crash residue is recovered by this verb's own preamble")
-      fs.delete(marker, false)
-      ()
+      // a lost reclaim race with the path now FREE (the owner released,
+      // or the winning reclaimer hasn't re-claimed yet) falls through —
+      // createMarker's exclusive create arbitrates; a marker still/again
+      // present is live elsewhere: refuse
+      require(reclaimStaleMarker(fs, marker, observed) || !fs.exists(marker),
+        s"the stale $MaintenanceMarker at $root was concurrently reclaimed " +
+          "or re-claimed by another process — retry after its verb completes")
     }
     val token = createMarker(fs, marker, kind).getOrElse(
       throw new IllegalArgumentException(

@@ -181,12 +181,20 @@ private[sources] object GraftProcedures {
             else base
           }
           else if (procName == "ann_vacuum") {
-            // arity-overloaded: optional retention window in HOURS —
+            // arity-overloaded: optional retention window in HOURS, and
+            // an optional FORCE flag for sub-floor retentions (probe
+            // safety is by retention — a tiny window needs an explicit
+            // readers-are-quiesced opt-in, VERDICT r15 #6) —
             // CALL g.system.ann_vacuum('db.idx', 48)
+            // CALL g.system.ann_vacuum('db.idx', 0, true)
             val base = Array(ProcedureParameter.in("index", StringType).build())
-            if (inputType.size >= 2)
-              base :+ ProcedureParameter.in("retain_hours", IntegerType).build()
-            else base
+            val withHours =
+              if (inputType.size >= 2)
+                base :+ ProcedureParameter.in("retain_hours", IntegerType).build()
+              else base
+            if (inputType.size >= 3)
+              withHours :+ ProcedureParameter.in("force", BooleanType).build()
+            else withHours
           }
           else if (procName == "ann_delete")
             Array(ProcedureParameter.in("index", StringType).build(),
@@ -460,8 +468,9 @@ private[sources] object GraftProcedures {
                   s"ann_vacuum retention must be >= 0 hours (got $h)")
                 h.toLong * 3600 * 1000
               } else 24L * 3600 * 1000
+            val force = input.numFields >= 3 && input.getBoolean(2)
             val per = graft.operators.Similarity
-              .annVacuumIndex(SparkSession.active, dir, retainMs)
+              .annVacuumIndex(SparkSession.active, dir, retainMs, force)
             val schema = StructType(Seq(
               StructField("table", StringType, nullable = false),
               StructField("metric", StringType, nullable = false),

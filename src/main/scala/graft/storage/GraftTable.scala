@@ -2529,39 +2529,11 @@ final class GraftTable private (
     }
 
     // Net file-list delta of one commit, O(churn) when the manifest
-    // expresses it (see [[appendOnlyPair]] for the three cases).
+    // expresses it — the shared helper (also the streaming sources'
+    // version walk; see its doc for the three cases).
     def pairFileDelta(p: GraftTable.RawSnapshot,
         c: GraftTable.RawSnapshot): (Seq[String], Seq[String]) =
-      if (p.manifest.isEmpty && c.manifest.isEmpty) {
-        val pset = p.inlineFiles.toSet
-        val cset = c.inlineFiles.toSet
-        (p.inlineFiles.filterNot(cset), c.inlineFiles.filterNot(pset))
-      } else if (p.manifest.nonEmpty && c.manifest.startsWith(p.manifest)) {
-        // compose the new segments' deltas: a file added then removed
-        // WITHIN the commit's segments cancels; a removal of an
-        // older file nets as removed (segments only ever remove files
-        // live in the accumulated list, so those were in p's list)
-        var added = Vector.empty[String]
-        var removed = Set.empty[String]
-        c.manifest.drop(p.manifest.size).foreach { rel =>
-          val s = GraftTable.readSegment(location, rel)
-          if (s.removed.nonEmpty) {
-            val inRange = added.toSet
-            removed ++= s.removed.filterNot(inRange)
-            added = added.filterNot(s.removed)
-          }
-          added = added ++ s.added
-        }
-        (removed.toSeq.sorted, added)
-      } else {
-        // inexpressible as an extension (compaction / RESTORE / the
-        // inline→segment upgrade): hydrate THIS pair only
-        val pf = GraftTable.readHistoryMeta(location, p.version).files
-        val cf = GraftTable.readHistoryMeta(location, c.version).files
-        val pset = pf.toSet
-        val cset = cf.toSet
-        (pf.filterNot(cset), cf.filterNot(pset))
-      }
+      GraftTable.commitFileDelta(location, p, c)
 
     // null-safe multiplicity diff: |delta| copies of each changed row
     def countDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
@@ -4733,13 +4705,16 @@ object GraftTable {
     * is ~60 MB of path strings PER VERSION in the range (VERDICT r15
     * #1 — the O(table)-per-commit cost class the manifest-segment
     * work exists to kill, previously re-introduced on the read side). */
-  private[storage] final case class RawSnapshot(
+  final case class RawSnapshot(
       version: Long,
       schemaJson: String,
       manifest: Vector[String],
       inlineFiles: Vector[String],
       dvs: Map[String, DvEntry],
-      defaults: Map[String, Any])
+      defaults: Map[String, Any],
+      rowCount: Long,
+      changeCommit: Boolean,
+      emitFiles: Vector[String])
 
   private def rawSnapshotFromFields(m: Map[String, Any]): RawSnapshot =
     RawSnapshot(
@@ -4751,18 +4726,67 @@ object GraftTable {
       inlineFiles = m("files").asInstanceOf[List[Any]]
         .map(_.asInstanceOf[String]).toVector,
       dvs = parseDvFields(m),
-      defaults = parseDefaultFields(m))
+      defaults = parseDefaultFields(m),
+      rowCount = m("row_count").asInstanceOf[Number].longValue(),
+      changeCommit = m.getOrElse("change_commit", java.lang.Boolean.FALSE)
+        .asInstanceOf[Boolean],
+      emitFiles = m.getOrElse("emit_files", List.empty[Any])
+        .asInstanceOf[List[Any]].map(_.asInstanceOf[String]).toVector)
 
-  private[storage] def readHistoryRaw(location: String, version: Long): RawSnapshot =
+  def readHistoryRaw(location: String, version: Long): RawSnapshot =
     rawSnapshotFromFields(readHistoryObj(location, version))
+
+  /** Net (removed, added) file-list delta of the commit taking `p` to
+    * `c`, O(churn) when the manifest expresses it: when both snapshots
+    * are inline (small table) the inline lists diff directly; when
+    * `c`'s segment list EXTENDS `p`'s, the delta composes from the new
+    * DELTA segments alone (a file added then removed within the range
+    * cancels; segments only ever remove files live in the accumulated
+    * list, so outstanding removals were in `p`'s list). Only a pair
+    * the replay cannot express as an extension — manifest compaction,
+    * RESTORE, the inline→segment upgrade commit — hydrates, and only
+    * THAT pair. Shared by [[GraftTable.changes]] and the streaming
+    * sources' version walks (the per-version full hydration this
+    * replaces was an O(table files) driver term per streaming
+    * trigger — VERDICT r15 #1). */
+  def commitFileDelta(location: String, p: RawSnapshot,
+      c: RawSnapshot): (Seq[String], Seq[String]) =
+    if (p.manifest.isEmpty && c.manifest.isEmpty) {
+      val pset = p.inlineFiles.toSet
+      val cset = c.inlineFiles.toSet
+      (p.inlineFiles.filterNot(cset), c.inlineFiles.filterNot(pset))
+    } else if (p.manifest.nonEmpty && c.manifest.startsWith(p.manifest)) {
+      var added = Vector.empty[String]
+      var removed = Set.empty[String]
+      c.manifest.drop(p.manifest.size).foreach { rel =>
+        val s = readSegment(location, rel)
+        if (s.removed.nonEmpty) {
+          val inRange = added.toSet
+          removed ++= s.removed.filterNot(inRange)
+          added = added.filterNot(s.removed)
+        }
+        added = added ++ s.added
+      }
+      (removed.toSeq.sorted, added)
+    } else {
+      val pf = readHistoryMeta(location, p.version).files
+      val cf = readHistoryMeta(location, c.version).files
+      val pset = pf.toSet
+      val cset = cf.toSet
+      (pf.filterNot(cset), cf.filterNot(pset))
+    }
 
   /** Version of the committed HEAD, read WITHOUT hydrating any file
     * list: parse the pointer JSON, then walk claims forward with raw
     * parses only (same claim-detection rule as [[walkToHead]] — an
     * unparseable next snapshot is an in-flight claim, not a commit).
     * The change-range readers need only the number; full hydration is
-    * O(live files) of driver work per call. */
-  private[storage] def committedVersion(location: String): Long = {
+    * O(live files) of driver work per call. Also the streaming
+    * no-tick probe ([[graft.streaming]]'s RefreshableStatic): a
+    * trigger that finds no new version must not pay a manifest
+    * replay just to learn that — same for the graft/graft-cdf
+    * streaming sources' latestOffset. */
+  def committedVersion(location: String): Long = {
     val (fs, _) = fsAndPath(location)
     var v = rawSnapshotFromFields(readHeadObj(location)).version
     var advancing = true

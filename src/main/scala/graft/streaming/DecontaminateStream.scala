@@ -29,11 +29,17 @@ object DecontaminateStream {
 
   /** The once-built eval side: persisted distinct shingles (the exact
     * confirm side) + the collected Bloom sketch (the map-side
-    * pre-filter). KB–MB by construction; release() drops the cache. */
+    * pre-filter). KB–MB by construction; release() drops the cache.
+    * A DELTA-STACKED index ([[applyDeltaIndex]]) carries every pinned
+    * layer in `pinned` so release drops the whole stack (`evalSh` is
+    * then a lazy union over them, which `unpersist` can't reach). */
   final class EvalIndex private[streaming] (
       private[streaming] val evalSh: DataFrame,
-      private[streaming] val bloomBytes: Array[Byte]) {
-    def release(): Unit = { evalSh.unpersist(); () }
+      private[streaming] val bloomBytes: Array[Byte],
+      private[streaming] val pinned: Seq[DataFrame] = Seq.empty) {
+    private[streaming] def layers: Seq[DataFrame] =
+      if (pinned.isEmpty) Seq(evalSh) else pinned
+    def release(): Unit = { layers.foreach(_.unpersist()); () }
   }
 
   /** One pass over the eval documents (`text` column): distinct
@@ -50,6 +56,55 @@ object DecontaminateStream {
     // throw" (the PostingsIndex.build discipline)
     try new EvalIndex(evalSh, graft.operators.Sampling.evalBloomSketch(evalSh))
     catch { case e: Throwable => evalSh.unpersist(); throw e }
+  }
+
+  /** Collect bound for a delta tick's NEW shingle hashes (8 B each;
+    * the cap is 8 MB of driver heap) — a wider eval extension is a
+    * backfill and full-rebuilds instead. */
+  private[streaming] val MaxDeltaShingles = 1L << 20
+
+  /** The insert-only delta merge (VERDICT r15 #3 — the one
+    * [[RefreshableStatic]] adopter that was still full-rebuild-only):
+    * shingle ONLY the inserted eval docs, anti-join away shingles the
+    * current set already carries (the confirm join counts per (doc,
+    * sng) match, so the eval side must stay globally DISTINCT), stack
+    * the union, and OR the new shingles into the current sketch
+    * DRIVER-SIDE: sketch build (`BloomFilterAggregate.update`) and
+    * probe (`might_contain`) share the xxhash64→putLong domain, so
+    * `putLong`-ing the delta's hashes into the deserialized filter IS
+    * the sketch union — no rebuild pass over the full eval set, no
+    * bit-geometry mismatch (merging two independently SIZED sketches
+    * would throw). Cost ∝ delta. Returns None (→ full rebuild) when
+    * the current sketch is absent (built over an empty suite — the
+    * rebuild re-sizes it) or the delta is collect-unsafe. FPP note:
+    * the sketch keeps its original sizing, so a run of delta ticks
+    * degrades only the PREFILTER's false-positive rate (the confirm
+    * join keeps results exact); the fold bound re-sizes it. */
+  private[streaming] def applyDeltaIndex(cur: EvalIndex,
+      delta: DataFrame): Option[EvalIndex] = {
+    import graft.functions.Shingles.shinglesDistinctFast
+    if (cur.bloomBytes == null) return None
+    val fresh = delta
+      .select(explode(shinglesDistinctFast(col("text"))).as("sng")).distinct()
+      .join(cur.evalSh, Seq("sng"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (fresh.count() > MaxDeltaShingles) { fresh.unpersist(); None }
+      else {
+        val hashes = fresh.select(xxhash64(col("sng")))
+          .collect().map(_.getLong(0))
+        if (hashes.isEmpty) { fresh.unpersist(); Some(cur) }
+        else {
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(cur.bloomBytes))
+          hashes.foreach(bf.putLong)
+          val out = new java.io.ByteArrayOutputStream()
+          bf.writeTo(out)
+          Some(new EvalIndex(cur.evalSh.unionByName(fresh), out.toByteArray,
+            cur.layers :+ fresh))
+        }
+      }
+    } catch { case e: Throwable => fresh.unpersist(); throw e }
   }
 
   /** Score one (micro-)batch of documents (`doc_id`, `text`) against
@@ -98,18 +153,25 @@ object DecontaminateStream {
     * doc accepted MID-STREAM contaminates later batches without a
     * restart. Benchmark suites get extended; without this the stream's
     * eval side is frozen at start time. One metadata read per trigger;
-    * the rebuild (one shingle pass over the eval snapshot — a restart's
-    * cost) runs only on an actual commit, and the superseded index's
-    * cached blocks are released. Exactly-once is unchanged: a replayed
-    * batch re-scores against a possibly NEWER eval set but its append
-    * is discarded by the txn watermark. */
+    * an APPEND-ONLY tick (the common shape: an eval suite accretes)
+    * flows through [[applyDeltaIndex]] at ∝-delta cost — only a
+    * delete/compaction tick, an empty-suite start, or the 8-tick fold
+    * bound pays the full re-shingle. Exactly-once is unchanged: a
+    * replayed batch re-scores against a possibly NEWER eval set but
+    * its append is discarded by the txn watermark. */
   def startRefreshable(spark: org.apache.spark.sql.SparkSession,
       evalLoc: String, incoming: DataFrame, dest: GraftTable,
       checkpoint: String, minShared: Int = 3,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val id = GraftStreamIngest.txnId(checkpoint)
+    var deltaDepth = 0
     val index = new RefreshableStatic[EvalIndex](evalLoc,
-      buildIndex, _.release())
+      docs => { val ix = buildIndex(docs); deltaDepth = 0; ix },
+      _.release(),
+      applyDelta = Some((cur, delta, _) => {
+        if (deltaDepth >= FingerprintStream.DeltaFoldEvery) None
+        else applyDeltaIndex(cur, delta).map { ix => deltaDepth += 1; ix }
+      }))
     val q = incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")

@@ -104,7 +104,7 @@ object DedupStream {
         ix
       },
       _.release(),
-      applyDelta = Some((cur, delta) => {
+      applyDelta = Some((cur, delta, _) => {
         if (deltaDepth >= FingerprintStream.DeltaFoldEvery) None
         else { deltaDepth += 1
           Some(cur.withDocs(delta.select("doc_id", "text"))) }

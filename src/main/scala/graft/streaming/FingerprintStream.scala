@@ -113,7 +113,7 @@ object FingerprintStream {
         deltaDepth = 0
         folded
       }, _ => (),
-      applyDelta = Some((cur, delta) => {
+      applyDelta = Some((cur, delta, _) => {
         if (deltaDepth >= DeltaFoldEvery) None // fold the stack
         else {
           // collapse ONLY the delta (∝ delta); the union's duplicate

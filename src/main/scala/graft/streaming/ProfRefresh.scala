@@ -74,7 +74,7 @@ object ProfRefresh {
       val rsDelta = new RefreshableStatic[DataFrame](tDelta.location,
         df => { depth = 0
           Multimodal.collapseFpsReps(df).localCheckpoint(true) }, _ => (),
-        applyDelta = Some((cur, d) => {
+        applyDelta = Some((cur, d, _) => {
           if (depth >= 8) None
           else { depth += 1
             Some(cur.unionByName(Multimodal.collapseFpsReps(
@@ -106,7 +106,7 @@ object ProfRefresh {
       val rsStack = new RefreshableStatic[DataFrame](tStack.location,
         df => { depth2 = 0
           Multimodal.collapseFpsReps(df).localCheckpoint(true) }, _ => (),
-        applyDelta = Some((cur, d) => { depth2 += 1
+        applyDelta = Some((cur, d, _) => { depth2 += 1
           Some(cur.unionByName(Multimodal.collapseFpsReps(
             d.select("doc_id", "hi", "lo")).localCheckpoint(true))) }))
       rsStack.get(spark).count()
@@ -143,7 +143,7 @@ object ProfRefresh {
         val dtD = mkDocs("delta")
         val rsPD = new RefreshableStatic[graft.operators.Dedup.PostingsIndex](
           dtD.location, graft.operators.Dedup.PostingsIndex.build, _.release(),
-          applyDelta = Some((cur, d) =>
+          applyDelta = Some((cur, d, _) =>
             Some(cur.withDocs(d.select("doc_id", "text")))))
         rsPD.get(spark)
         dtD.append(docs.limit(5).select(col("doc_id") + 1000000L, col("text")))

@@ -60,15 +60,23 @@ object RangeJoinStream {
     * users' bands from the cached side (broadcast anti join,
     * map-side), and union. Cost: one scan + shuffle ∝ affected users'
     * events, vs the full path's window over every user. Returns None
-    * (→ full rebuild) for backfill-wide ticks. */
+    * (→ full rebuild) for backfill-wide ticks.
+    *
+    * The history read is PINNED to the tick's gated version `v`
+    * (ADVICE r15): reading the CURRENT table would let a commit that
+    * lands between the gate and this read serve mixed-version bands
+    * for one tick (touched users at the newer snapshot, untouched at
+    * the old) — and if that racing commit is a delete, state the
+    * recorded version never contained. With the snapshot read, the
+    * delta tick's output equals a full rebuild at exactly v. */
   private[streaming] def deltaBands(spark: SparkSession, staticLoc: String,
-      cur: DataFrame, delta: DataFrame): Option[DataFrame] = {
+      cur: DataFrame, delta: DataFrame, v: Long): Option[DataFrame] = {
     val users = delta.select("user_id").distinct().localCheckpoint(true)
     val n = users.count()
     if (n == 0) Some(cur) // an empty append commit: nothing changed
     else if (n > MaxDeltaUsers) None
     else {
-      val all = graft.storage.GraftTable.open(spark, staticLoc).read()
+      val all = graft.storage.GraftTable.openVersion(spark, staticLoc, v).read()
       val affected = bandsFrom(
         all.join(broadcast(users), Seq("user_id"), "left_semi"))
       val kept = cur.join(
@@ -124,9 +132,9 @@ object RangeJoinStream {
     val bands = new RefreshableStatic[DataFrame](staticLoc,
       docs => { val b = bandsFrom(docs).localCheckpoint(true)
         deltaDepth = 0; b }, _ => (),
-      applyDelta = Some((cur, delta) => {
+      applyDelta = Some((cur, delta, v) => {
         if (deltaDepth >= FingerprintStream.DeltaFoldEvery) None
-        else deltaBands(spark, staticLoc, cur, delta).map { b =>
+        else deltaBands(spark, staticLoc, cur, delta, v).map { b =>
           deltaDepth += 1; b
         }
       }))

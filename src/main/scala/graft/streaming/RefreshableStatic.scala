@@ -24,9 +24,10 @@ import graft.storage.GraftTable
   * per intake batch when small accepts tick frequently. When the
   * operator supplies `applyDelta`, an append-only tick instead feeds
   * it the change feed's INSERTED rows (`GraftTable.changes` — an
-  * append commit's feed reads only the added files, no shuffle), so
-  * the refresh costs ∝ delta. Contracts:
-  *  - `applyDelta(cur, delta)` must MATERIALIZE its result before
+  * append commit's feed reads only the added files, no shuffle) plus
+  * the VERSION the delta reaches, so the refresh costs ∝ delta.
+  * Contracts:
+  *  - `applyDelta(cur, delta, v)` must MATERIALIZE its result before
   *    returning (the `build` discipline) and takes OWNERSHIP of `cur`:
   *    the returned cache may reuse `cur`'s pinned state, so the
   *    skeleton does NOT release the superseded cache on the delta path
@@ -34,25 +35,35 @@ import graft.storage.GraftTable
   *    is current).
   *  - Returning None falls back to a full rebuild — the operator's
   *    bound on delta-stack growth.
+  *  - `v` is the tick's GATED version — the version the delta feed
+  *    reaches. An operator that must re-read the corpus inside its
+  *    merge (the sessionized range-join side) reads the snapshot AT v
+  *    (`GraftTable.openVersion`), never the current table: a commit
+  *    landing between the gate and the read would otherwise serve
+  *    mixed-version state for one tick (ADVICE r15).
   *  - The append-only precondition is checked from METADATA alone
   *    (`GraftTable.isAppendOnlyRange` — history JSONs, no data scan):
   *    any removed file, deletion-vector change, schema change,
   *    unreadable/expired history, or version regression (restore)
   *    falls back to the full rebuild — compaction/restore ticks are
   *    correctness-critical and the full path is always right. */
-private[streaming] final class RefreshableStatic[T](corpusLoc: String,
+private[graft] final class RefreshableStatic[T](corpusLoc: String,
     build: DataFrame => T, release: T => Unit,
-    applyDelta: Option[(T, DataFrame) => Option[T]] = None) {
+    applyDelta: Option[(T, DataFrame, Long) => Option[T]] = None) {
 
   private var version = -1L
   private var cached: Option[T] = None
 
   /** The current cache, rebuilt (or delta-merged) if the committed
-    * table ticked. */
+    * table ticked. The no-tick probe is `committedVersion` — a raw
+    * head read, NO manifest hydration (round 16: `open` replays the
+    * full segment list to hydrate the file map, an O(table files)
+    * driver fold paid on EVERY trigger at 1M-file scale just to learn
+    * "no new version"); the table opens only on an actual tick. */
   def get(spark: SparkSession): T = {
-    val t = GraftTable.open(spark, corpusLoc)
-    val v = t.version
+    val v = GraftTable.committedVersion(corpusLoc)
     if (cached.isEmpty || v != version) {
+      val t = GraftTable.open(spark, corpusLoc)
       val merged =
         if (v > version) for {
           cur <- cached
@@ -82,7 +93,7 @@ private[streaming] final class RefreshableStatic[T](corpusLoc: String,
 
   /** The insert-only delta path; None on any reason to distrust it. */
   private def tryApplyDelta(t: GraftTable, cur: T,
-      ad: (T, DataFrame) => Option[T], v: Long): Option[T] =
+      ad: (T, DataFrame, Long) => Option[T], v: Long): Option[T] =
     try {
       // METADATA-ONLY gate (review r15): a compaction commit's feed
       // diffs to EMPTY at the cost of scanning the compacted mass, so
@@ -96,7 +107,7 @@ private[streaming] final class RefreshableStatic[T](corpusLoc: String,
       if (!t.isAppendOnlyRange(version)) None
       else ad(cur, t.changes(version, v)
         .filter(col("_change_type") === "insert")
-        .drop("_change_type", "_commit_version"))
+        .drop("_change_type", "_commit_version"), v)
     } catch { case _: Exception => None }
 
   def close(): Unit = {

@@ -92,7 +92,7 @@ object SpanStream {
       docs => { // reset only AFTER the re-gram succeeds (review r15)
         val g = grammed(docs); deltaDepth = 0; (g, Seq(g)) },
       side => { side._2.foreach(_.unpersist()); () },
-      applyDelta = Some((cur, delta) => {
+      applyDelta = Some((cur, delta, _) => {
         if (deltaDepth >= FingerprintStream.DeltaFoldEvery) None
         else {
           val dg = grammed(delta)

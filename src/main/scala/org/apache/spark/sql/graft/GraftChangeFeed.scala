@@ -103,7 +103,7 @@ object GraftChangeFeed {
       * startingVersion, else the table head (changes BEFORE stream start
       * are not owed). On restart the checkpointed offset supersedes it. */
     private val initialVersion: Long =
-      startingVersion.getOrElse(GraftTable.open(spark, location).version)
+      startingVersion.getOrElse(GraftTable.committedVersion(location))
 
     /** Highest offset this source has handed out (throttle bookkeeping).
       * Re-seeded on restart from getBatch's checkpointed `start`/`end`.
@@ -122,7 +122,7 @@ object GraftChangeFeed {
     @volatile private var availableNowCap: Option[Long] = None
 
     override def prepareForTriggerAvailableNow(): Unit =
-      availableNowCap = Some(GraftTable.open(spark, location).version)
+      availableNowCap = Some(GraftTable.committedVersion(location))
 
     /** Admission-control path (what the executor actually calls for a
       * SupportsAdmissionControl source — getOffset is the fallback). The
@@ -130,7 +130,9 @@ object GraftChangeFeed {
       * versions-per-trigger throttle is this source's own option, applied
       * here, mirroring how FileStreamSource applies maxFilesPerTrigger. */
     override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
-      val liveHead = GraftTable.open(spark, location).version
+      // raw head probe — no manifest hydration on the per-trigger path
+      // (VERDICT r15 #1's cost class: this runs on idle triggers too)
+      val liveHead = GraftTable.committedVersion(location)
       val head = availableNowCap.fold(liveHead)(math.min(liveHead, _))
       val from =
         if (lastSeen >= 0) lastSeen

@@ -639,7 +639,9 @@ object ParquetDelegate {
       GraftOffset(GraftTable.open(spark, location).version)
 
     override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-      val liveHead = GraftTable.open(spark, location).version
+      // raw head probe — no manifest hydration; this runs EVERY
+      // trigger, including idle ones (VERDICT r15 #1's cost class)
+      val liveHead = GraftTable.committedVersion(location)
       val head = availableNowCap.fold(liveHead)(math.min(liveHead, _))
       val s0 = start.asInstanceOf[GraftOffset].v
       // A fresh stream (start = 0) on a table whose early snapshots were
@@ -672,6 +674,15 @@ object ParquetDelegate {
     private def metaAt(v: Long): GraftTable.Meta =
       GraftTable.readHistoryMeta(location, v)
 
+    /** Raw (unhydrated) snapshot — the forward walk's per-version read:
+      * the added-files delta composes from the commit's manifest DELTA
+      * segments (`GraftTable.commitFileDelta`), so a steady-state
+      * trigger costs O(its own commits), never O(table files). Full
+      * hydration survives only for the initial load (whose output IS
+      * the full file list). */
+    private def rawAt(v: Long): GraftTable.RawSnapshot =
+      GraftTable.readHistoryRaw(location, v)
+
     /** Files added by row-growing commits in (start, end]. A fresh
       * stream (start = 0) on a table whose early snapshots were expired
       * takes the OLDEST RETAINED snapshot as its initial batch (the
@@ -692,13 +703,13 @@ object ParquetDelegate {
     private def addedFiles(start: Long, end: Long): Seq[String] = {
       val out = Seq.newBuilder[String]
       var walkFrom = start
-      var prev: Option[GraftTable.Meta] = None
+      var prev: Option[GraftTable.RawSnapshot] = None
       initialDvs = Map.empty
       if (start <= 0) {
         val retained = GraftTable.historyVersions(location).filter(_ <= end)
         if (retained.isEmpty) return Seq.empty
         val first = retained.head
-        val base = metaAt(first)
+        val base = metaAt(first) // the one legitimate full hydration
         out ++= base.files.map(f => s"$location/$f")
         // the initial load is the table's STATE at `first`, not an
         // append log — merge-on-read-deleted rows must not resurrect
@@ -707,12 +718,11 @@ object ParquetDelegate {
           graft.storage.DeletionVectors.normalize(s"$location/$rel") ->
             s"$location/${e.path}" }
         walkFrom = first
-        prev = Some(base)
-      } else prev = Some(metaAt(start))
+        prev = Some(rawAt(first))
+      } else prev = Some(rawAt(start))
       for (v <- (walkFrom + 1) to end) {
-        val cur = metaAt(v)
+        val cur = rawAt(v)
         val prevRows = prev.map(_.rowCount).getOrElse(0L)
-        val prevFiles = prev.map(_.files.toSet).getOrElse(Set.empty[String])
         // A change commit (SQL MERGE rewrite) may hide inserted rows in
         // rewritten files WHATEVER the row-count direction — a
         // delete-heavy merge with inserts shrinks the count — so this
@@ -727,7 +737,10 @@ object ParquetDelegate {
               "upserts through the Scala merge API, whose commits keep " +
               "insert files separate and stream-visible")
         } else {
-          val added = cur.files.filterNot(prevFiles)
+          val added = prev match {
+            case Some(p) => GraftTable.commitFileDelta(location, p, cur)._2
+            case None => Vector.empty[String]
+          }
           // a commit may declare its stream-visible subset (MERGE/CDC: the
           // copy-on-write rewrite files carry rows every stream already
           // delivered; only the insert files are new rows) — the
@@ -769,7 +782,9 @@ object ParquetDelegate {
       * restart instruction instead of emitting nulls or miscast values
       * for rows that never contained them. */
     private def requireCompatible(atVersion: Long): Unit = {
-      val cur = metaAt(atVersion).currentSchema
+      val cur = org.apache.spark.sql.types.DataType
+        .fromJson(rawAt(atVersion).schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
       readSchema.fields.foreach { f =>
         cur.fields.find(_.name == f.name) match {
           case None => throw new IllegalStateException(

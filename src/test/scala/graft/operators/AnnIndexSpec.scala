@@ -1498,6 +1498,44 @@ class AnnIndexSpec extends SparkSpec {
     assert(eBuild.getMessage.contains("append/rebuild instead"))
   }
 
+  test("stale-marker reclaim is atomic: a misfired reclaim restores a fresh marker instead of deleting it (ADVICE r15)") {
+    val root = tmpDir("ann-reclaim-toctou")
+    val (fs, _) = GraftTable.fsAndPath(root)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+    val marker = new org.apache.hadoop.fs.Path(root,
+      Similarity.MaintenanceMarker)
+    def write(content: String): Unit = {
+      val out = fs.create(marker, true)
+      out.write(content.getBytes("UTF-8")); out.close()
+    }
+    def readBack(): String = {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    // 1. matching observation: the reclaim wins and frees the path
+    write("autocompact:stale-token")
+    assert(Similarity.reclaimStaleMarker(fs, marker, "autocompact:stale-token"))
+    assert(!fs.exists(marker))
+    // 2. the TOCTOU window: the marker was REPLACED between the age
+    // check and the reclaim (another process reclaimed the stale one
+    // and claimed fresh) — the blind delete this replaces would have
+    // destroyed the fresh owner's claim; the atomic reclaim must
+    // detect the mismatch, RESTORE the fresh marker, and report live
+    write("maintenance:fresh-owner-token")
+    assert(!Similarity.reclaimStaleMarker(fs, marker, "autocompact:stale-token"))
+    assert(fs.exists(marker), "a misfired reclaim must restore the fresh marker")
+    assert(readBack() === "maintenance:fresh-owner-token",
+      "the restored marker must carry the fresh owner's content")
+    // 3. vanished marker (owner released): the rename loses → not ours
+    fs.delete(marker, false)
+    assert(!Similarity.reclaimStaleMarker(fs, marker, "maintenance:fresh-owner-token"))
+    // no tombstone residue left behind in any branch
+    val residue = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.contains("_tomb_"))
+    assert(residue.isEmpty, s"tombstone residue: ${residue.mkString(",")}")
+  }
+
   test("a crashed auto-compact's marker never blocks appends and self-heals on the next opted-in append") {
     import spark.implicits._
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -505,7 +505,15 @@ class GraftCatalogSpec extends SparkSpec {
         spark.sql("CALL gcat.system.ann_vacuum('db1.built_idx', -1)")
       }
       assert(eVac.getMessage.contains(">= 0"), eVac.getMessage)
-      val vacB = spark.sql("CALL gcat.system.ann_vacuum('db1.built_idx', 0)")
+      // a sub-floor retention REFUSES without force (probe safety is
+      // by retention — a straggler probe could lose its pinned files,
+      // VERDICT r15 #6) …
+      val eFloor = intercept[Exception] {
+        spark.sql("CALL gcat.system.ann_vacuum('db1.built_idx', 0)")
+      }
+      assert(eFloor.getMessage.contains("probe-safety"), eFloor.getMessage)
+      // … and force=true is the explicit readers-quiesced opt-in
+      val vacB = spark.sql("CALL gcat.system.ann_vacuum('db1.built_idx', 0, true)")
         .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
       assert(vacB.values.sum > 0L,
         s"retain-0 vacuum after a compact must expire/reclaim: $vacB")

@@ -69,6 +69,23 @@ class ChangeRangeMetaSpec extends SparkSpec {
     val total = manifestBytes(loc)
     assert(sb1 - sb0 < total / 10,
       s"tick read ${sb1 - sb0} segment bytes of $total live manifest bytes")
+
+    // …and a NO-TICK streaming trigger is O(1): the refresh skeleton's
+    // probe (committedVersion) must not hydrate the manifest just to
+    // learn "no new version" — at 1M files that fold is the per-trigger
+    // driver cost, paid even when nothing changed
+    val rs = new graft.streaming.RefreshableStatic[Long](loc,
+      df => df.count(), _ => ())
+    rs.get(spark) // the one build
+    GraftTable.invalidateSegmentCacheUnder(loc)
+    val (nh0, _, ns0, _) = GraftTable.MetaIo.snapshot()
+    (1 to 3).foreach(_ => rs.get(spark))
+    val (nh1, _, ns1, _) = GraftTable.MetaIo.snapshot()
+    assert(ns1 - ns0 === 0L,
+      s"no-tick triggers parsed ${ns1 - ns0} manifest segments")
+    assert(nh1 - nh0 === 0L,
+      s"no-tick triggers read ${nh1 - nh0} history snapshots")
+    rs.close()
   }
 
   test("inline→segment upgrade commit falls back to hydration for that pair, results exact") {

@@ -115,4 +115,76 @@ class DecontaminateStreamSpec extends SparkSpec {
         s"restart: got=$got2 expected=$expected2")
     GraftTable.drop(dstLoc)
   }
+
+  test("eval-side delta merge ≡ full rebuild at ∝-delta read cost (VERDICT r15 #3)") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val all = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text")
+    val evalLoc = tmpDir("decon-delta") + "/eval"
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val evalT = GraftTable.create(spark, evalLoc, docSchema)
+    evalT.append(all.filter("doc_id < 200"))
+
+    val records = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            records.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+      })
+
+    // the refreshable wiring, instrumented like RefreshableStaticSpec
+    var builds = 0
+    val rs = new RefreshableStatic[DecontaminateStream.EvalIndex](evalLoc,
+      docs => { builds += 1; DecontaminateStream.buildIndex(docs) },
+      _.release(),
+      applyDelta = Some((cur, d, _) =>
+        DecontaminateStream.applyDeltaIndex(cur, d)))
+
+    records.set(0L)
+    rs.get(spark)
+    Thread.sleep(1000)
+    val fullReads = records.get()
+    assert(builds === 1 && fullReads >= 200L,
+      s"the full build reads the 200-doc suite (read $fullReads)")
+
+    // the delta: one doc REUSING v1 shingles (the dup-inflation trap —
+    // a blind union would double-count its shingles in n_shared) plus
+    // one brand-new doc (the sketch OR must admit its shingles)
+    val reusedText = all.filter("doc_id = 0").head.getString(1)
+    val novelText = "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh"
+    evalT.append(Seq((900L, reusedText), (901L, novelText))
+      .toDF("doc_id", "text"))
+    records.set(0L)
+    val merged = rs.get(spark)
+    Thread.sleep(1000)
+    val deltaReads = records.get()
+    assert(builds === 1, "an append-only eval tick must NOT full-rebuild")
+    assert(deltaReads < fullReads / 3,
+      s"the delta tick read $deltaReads records vs the full build's " +
+        s"$fullReads — it must not re-shingle the whole suite")
+
+    // delta ≡ full rebuild: identical scores on probes that hit the
+    // old suite, the novel delta doc, and the reused-shingle doc
+    val probes = Seq((1L, reusedText), (2L, novelText),
+      (3L, "totally unrelated probe text zz xx cc vv bb nn mm"))
+      .toDF("doc_id", "text")
+    def scores(ix: DecontaminateStream.EvalIndex) =
+      DecontaminateStream.score(ix, probes, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotDelta = scores(merged)
+    val fullIx = DecontaminateStream.buildIndex(evalT.read())
+    val gotFull = scores(fullIx)
+    assert(gotDelta === gotFull,
+      s"delta-merged index diverged from the full rebuild: " +
+        s"delta=$gotDelta full=$gotFull")
+    assert(gotFull.exists(_._1 == 2L),
+      "the novel eval doc's shingles must be admitted by the OR'd sketch")
+    fullIx.release()
+    rs.close()
+    GraftTable.drop(evalLoc)
+  }
 }

@@ -79,14 +79,20 @@ class RangeJoinStreamSpec extends SparkSpec {
     val delta = Seq(ev(41L, 4L, 1150L), ev(41L, 5L, 500000L))
       .toDF("user_id", "event_id", "ts")
     t.append(delta)
-    val got = RangeJoinStream.deltaBands(spark, staticLoc, cur, delta)
-      .getOrElse(fail("a 1-user delta must take the delta path"))
+    val vTick = t.version
     val full = RangeJoinStream.bandsFrom(
-      GraftTable.open(spark, staticLoc).read())
+      GraftTable.open(spark, staticLoc).read()).localCheckpoint(true)
+    // a RACING commit lands between the tick's gate and the merge's
+    // history read: the delta path must serve the snapshot at vTick,
+    // never the current table (ADVICE r15 — a mixed-version tick)
+    t.append(Seq(ev(41L, 6L, 1200L)).toDF("user_id", "event_id", "ts"))
+    val got = RangeJoinStream.deltaBands(spark, staticLoc, cur, delta, vTick)
+      .getOrElse(fail("a 1-user delta must take the delta path"))
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("s_user", "s_start", "band").collect().map(_.toSeq).toSeq
     assert(rows(got) === rows(full),
-      "delta rebuild must equal the full re-band")
+      "delta rebuild must equal the full re-band AT THE TICK'S VERSION " +
+        "(a racing later commit must not leak into the tick)")
     assert(rows(got).exists(r => r.head == 41L &&
       r(2) == 1150L * 1000000L), "the extended session must carry the " +
       s"NEW s_end: ${rows(got)}")

@@ -27,7 +27,7 @@ class RefreshableStaticSpec extends SparkSpec {
     val rs = new RefreshableStatic[DataFrame](loc,
       build = df => { builds += 1; depth = 0; df.localCheckpoint(true) },
       release = _ => (),
-      applyDelta = Some((cur, d) => {
+      applyDelta = Some((cur, d, _) => {
         deltas += 1
         if (depth >= 2) None // the operator's stack-depth fold bound
         else { depth += 1; Some(cur.unionByName(d.localCheckpoint(true))) }
@@ -105,7 +105,7 @@ class RefreshableStaticSpec extends SparkSpec {
     val rs = new RefreshableStatic[DataFrame](loc,
       build = df => { builds += 1; df.localCheckpoint(true) },
       release = _ => (),
-      applyDelta = Some((cur, d) => Some(cur.unionByName(d.localCheckpoint(true)))))
+      applyDelta = Some((cur, d, _) => Some(cur.unionByName(d.localCheckpoint(true)))))
     assert(rs.get(spark).count() === 1L)
     // two appends, then expire the history the feed would need
     t.append(Seq((2L, 20L)).toDF("id", "v"))
