@@ -724,7 +724,39 @@ object Sampling {
       .orderBy("doc_id", "rep")
   }
 
+  /** c19: per-source QUALITY PERCENTILE GATE — keep each source's top
+    * quartile by model-based quality score, the filter real pipelines
+    * run INSTEAD of one global threshold (a global cut empties
+    * low-scoring sources entirely and collapses the mix onto the
+    * cleanest domain; a per-source rank gate preserves the mix while
+    * still dropping each domain's worst). The score is t15's
+    * [[TextAnalysis.qualityLogitMicro]] — ONE definition shared with
+    * the t15/t17 surface, so the gate, the filter, and the distilled
+    * student can never drift. Selection is RANK-based, not
+    * percentile-interpolation-based: `row_number` over (quality desc,
+    * doc_id) and keep rk ≤ ceil(n/4) (`rk*4 ≤ n+3` in exact integers)
+    * — deterministic and engine-exact where percentile definitions
+    * differ. Scale: one source-keyed shuffle for the window (source
+    * cardinality is small and a hot source is ordinary window skew —
+    * at 100 TB swap the exact rank for an approx-quantile threshold
+    * per source broadcast back, the same output contract). */
+  def c19QualityGate(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir).select(
+      col("doc_id").cast("long").as("doc_id"), col("source"),
+      TextAnalysis.qualityLogitMicro.as("quality_micro"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality_micro").desc, col("doc_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_src",
+        count(lit(1)).over(Window.partitionBy("source")).cast("long"))
+      .filter(col("rk") * 4 <= col("n_src") + 3)
+      .select(col("doc_id"), col("source"), col("quality_micro"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c19_quality_gate" -> (c19QualityGate _),
     "c13_epoch_mix" -> ((s, dir) => c13EpochMix(s, dir)),
     "c11_token_budget_mix" -> ((s, dir) => c11TokenBudgetMix(s, dir)),
     "c12_importance_sample" -> ((s, dir) => c12ImportanceSample(s, dir)),
@@ -745,6 +777,19 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "c19_quality_gate" ->
+      (s"""WITH ${TextAnalysis.QualityFeatureCtesSql},
+         |scored AS (SELECT f.doc_id, d.source,
+         |    ${TextAnalysis.QualityLogitMicroSql} quality_micro
+         |  FROM f JOIN documents d USING (doc_id)),
+         |ranked AS (SELECT doc_id, source, quality_micro,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY quality_micro DESC, doc_id) AS BIGINT) rk,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) n_src
+         |  FROM scored)
+         |SELECT doc_id, source, quality_micro, rk FROM ranked
+         |WHERE rk * 4 <= n_src + 3
+         |ORDER BY source, rk""".stripMargin),
     "c13_epoch_mix" ->
       """WITH per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) avail
         |            FROM documents GROUP BY source),

@@ -229,7 +229,7 @@ object TextAnalysis {
   /** t15's quantized logit over `text` — ONE definition shared with
     * t17 (which uses `> 0` as its teacher label), so the distilled
     * model's training signal cannot drift from the filter it distills. */
-  private def qualityLogitMicro: Column = {
+  private[operators] def qualityLogitMicro: Column = {
     val toks = tokens(col("text"))
     val ntok = size(toks).cast("double")
     val ttr = size(array_distinct(toks)).cast("double") / ntok
@@ -579,7 +579,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t18: n-gram NOVELTY — per document, the fraction of its distinct
+    * 3-shingles that the document INTRODUCES to the corpus (no doc
+    * with a smaller doc_id carries them). The intake-order semantics a
+    * curation pipeline acts on: a crawl dump's later near-copies score
+    * near zero, genuinely new material scores high — the cheap
+    * lexical complement of the near-dup family (d-*) that needs no
+    * pair join at all. Plan: one gram-keyed groupBy for each shingle's
+    * first-introducing doc, one gram-keyed join back, one doc-keyed
+    * aggregate — every shuffle is on the gram or doc key, cost ∝ token
+    * mass, nothing pairwise; at 100 TB the min-aggregate's map-side
+    * partials absorb hot shingles the same way t16's segment counts
+    * do. Ratio quantized to integer micros (t16's floor discipline) so
+    * Spark and DuckDB hash-match. Documents under 3 tokens have no
+    * shingles and are absent, matching the oracle. */
+  def t18NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Shingles.shinglesDistinctFast
+    val sh = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+      explode(shinglesDistinctFast(col("text"))).as("sng"))
+    val first = sh.groupBy("sng").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "sng")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        floor(col("n_novel") * lit(1000000.0) / col("n_grams")).cast("long")
+          .as("novelty_micro"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_ngram_novelty" -> t18NgramNovelty _,
     "t16_boilerplate" -> t16Boilerplate _,
     "t14_heavy_hitters" -> t14HeavyHitters _,
     "t13_perplexity" -> t13Perplexity _,
@@ -604,6 +635,16 @@ object TextAnalysis {
     s"len(list_filter(toks, t -> ${words.map(w => s"t = '$w'").mkString(" OR ")}))"
 
   val oracles: Map[String, String] = Map(
+    "t18_ngram_novelty" ->
+      (s"""WITH $shingleCte,
+         |first AS (SELECT s, min(doc_id) first_doc FROM sh GROUP BY s)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) n_grams,
+         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    n_novel,
+         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) novelty_micro
+         |FROM sh JOIN first USING (s)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "t16_boilerplate" ->
       (s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
          |segs AS (SELECT doc_id,
@@ -786,7 +827,7 @@ object TextAnalysis {
 
   /** The t/f feature CTEs of t15's oracle — ONE string shared with t17
     * so the teacher label replays from identical SQL. */
-  private def QualityFeatureCtesSql: String =
+  private[operators] def QualityFeatureCtesSql: String =
     s"""t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents),
        |f AS (SELECT doc_id, toks,
        |        CAST(len(toks) AS DOUBLE) ntok,
@@ -799,7 +840,7 @@ object TextAnalysis {
   /** [[qualityLogitMicro]]'s SQL twin over f's columns — shared by the
     * t15 and t17 oracles (a def: `oracles` is a val declared above, so
     * a val here would still be null when it initializes). */
-  private def QualityLogitMicroSql: String =
+  private[operators] def QualityLogitMicroSql: String =
     """CAST(round((-1.0 + 2.0 * (nty / ntok) + 0.5 * (nstop / ntok)
       |    - 0.01 * ((lc - (ntok - 1.0)) / ntok) + 0.002 * ntok)
       |    * 1000000.0) AS BIGINT)""".stripMargin

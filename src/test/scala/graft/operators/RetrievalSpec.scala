@@ -1,6 +1,8 @@
 package graft.operators
 
-import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
 
 /** t16 boilerplate stripping + s8 hybrid retrieval — semantics beyond
   * the oracle hash: planted-duplicate behavior, fusion arithmetic, and
@@ -346,5 +348,34 @@ class RetrievalSpec extends SparkSpec {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b - 1e-9 },
         s"q=$q cosine non-increasing in rank")
     }
+  }
+
+  test("t18: the first doc is fully novel, an exact copy scores zero, a partial copy scores its new-gram fraction") {
+    import spark.implicits._
+    val dir = tmpDir("t18-spec")
+    Seq(
+      (1L, "a b c d e f"), // grams: abc bcd cde def
+      (2L, "a b c d e f"), // exact copy: zero novel
+      (3L, "a b c d x y z")) // shares abc,bcd; introduces cdx,dxy,xyz
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.t18NgramNovelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) === ((4L, 4L, 1000000L)), s"first doc fully novel: $out")
+    assert(out(2L) === ((4L, 0L, 0L)), s"exact copy introduces nothing: $out")
+    assert(out(3L) === ((5L, 3L, 600000L)), s"partial copy: 3 of 5 new: $out")
+    // corpus invariant on real data: every distinct shingle is novel in
+    // exactly one document, so the novel counts sum to the distinct
+    // gram count — the property that makes the score a partition of
+    // the corpus vocabulary, not a heuristic
+    val real = TextAnalysis.t18NgramNovelty(spark, sf("sf0.001"))
+    val sumNovel = real.agg(sum("n_novel")).head().getLong(0)
+    import graft.functions.Shingles.shinglesDistinctFast
+    val distinctGrams = Tables.load(spark, sf("sf0.001"), "documents")
+      .select(explode(shinglesDistinctFast(col("text"))).as("sng"))
+      .distinct().count()
+    assert(sumNovel === distinctGrams,
+      s"novel counts must partition the gram vocabulary: $sumNovel vs $distinctGrams")
   }
 }

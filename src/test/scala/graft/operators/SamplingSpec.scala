@@ -296,4 +296,37 @@ class SamplingSpec extends SparkSpec {
     assert(ems.values.max > 1000000L, s"expected a multi-epoch source: $ems")
     assert(ems.values.toSet.size > 1, s"alpha weights should differentiate sources: $ems")
   }
+
+  test("c19: per-source gate keeps exactly ceil(n/4), rank-dominant, mix preserved") {
+    val kept = Sampling.c19QualityGate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // the full scored frame, through the SAME shared logit definition
+    val scored = Tables.load(spark, dir, "documents").select(
+      col("doc_id").cast("long").as("doc_id"), col("source"),
+      TextAnalysis.qualityLogitMicro.as("q")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = scored.groupBy(_._2)
+    // quota: EVERY source survives with exactly ceil(n/4) docs — the
+    // mix-preservation property a global threshold destroys
+    val keptBySource = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    bySource.foreach { case (src, rows) =>
+      assert(keptBySource.getOrElse(src, 0) === (rows.length + 3) / 4,
+        s"source $src: expected ceil(${rows.length}/4)")
+    }
+    // rank dominance: within a source, every kept doc precedes every
+    // dropped doc in (quality desc, doc_id asc) order
+    val keptIds = kept.map(_._1).toSet
+    bySource.foreach { case (src, rows) =>
+      val ordered = rows.sortBy(r => (-r._3, r._1)).map(_._1).toSeq
+      val cut = keptBySource(src)
+      assert(ordered.take(cut).forall(keptIds) &&
+          !ordered.drop(cut).exists(keptIds),
+        s"source $src: the gate must keep exactly the rank-top $cut")
+    }
+    // ranks are dense 1..cut per source
+    kept.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length).toSeq,
+        s"source $src ranks must be dense")
+    }
+  }
 }
