@@ -740,8 +740,13 @@ object Sampling {
     * cardinality is small and a hot source is ordinary window skew —
     * at 100 TB swap the exact rank for an approx-quantile threshold
     * per source broadcast back, the same output contract). */
-  def c19QualityGate(s: SparkSession, dir: String): DataFrame = {
-    val scored = docs(s, dir).select(
+  def c19QualityGate(s: SparkSession, dir: String): DataFrame =
+    qualityGateCore(docs(s, dir))
+
+  /** c19's body over an ARBITRARY (doc_id, source, text) corpus —
+    * shared with `CALL graft.system.quality_gate`. */
+  private[graft] def qualityGateCore(corpus: DataFrame): DataFrame = {
+    val scored = corpus.select(
       col("doc_id").cast("long").as("doc_id"), col("source"),
       TextAnalysis.qualityLogitMicro.as("quality_micro"))
     val w = Window.partitionBy("source")

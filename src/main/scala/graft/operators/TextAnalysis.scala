@@ -593,9 +593,14 @@ object TextAnalysis {
     * do. Ratio quantized to integer micros (t16's floor discipline) so
     * Spark and DuckDB hash-match. Documents under 3 tokens have no
     * shingles and are absent, matching the oracle. */
-  def t18NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+  def t18NgramNovelty(s: SparkSession, dir: String): DataFrame =
+    noveltyCore(docs(s, dir))
+
+  /** t18's body over an ARBITRARY (doc_id, text) corpus — shared with
+    * `CALL graft.system.ngram_novelty` so the SQL verb cannot drift. */
+  private[graft] def noveltyCore(corpus: DataFrame): DataFrame = {
     import graft.functions.Shingles.shinglesDistinctFast
-    val sh = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+    val sh = corpus.select(col("doc_id").cast("long").as("doc_id"),
       explode(shinglesDistinctFast(col("text"))).as("sng"))
     val first = sh.groupBy("sng").agg(min("doc_id").as("first_doc"))
     sh.join(first, "sng")

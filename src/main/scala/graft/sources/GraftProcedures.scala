@@ -57,6 +57,8 @@ import graft.storage.GraftTable
   *   CALL graft.system.ann_drop('db.idx')    -- drop the root + file GC
   *   CALL graft.system.dedup_spans('db.t', 'db.spans')            -- d14
   *   CALL graft.system.quality_votes('db.t', 'db.scored')         -- t17
+  *   CALL graft.system.ngram_novelty('db.t', 'db.novelty')        -- t18
+  *   CALL graft.system.quality_gate('db.t', 'db.gated')           -- c19
   *   CALL graft.system.dataset_card('db.t', 'db.card')            -- c16
   *   CALL graft.system.contamination_report('db.t', 'db.eval', 'db.rep') -- c15
   *   CALL graft.system.source_mix('db.t', 'db.mix')     -- c3 as SQL
@@ -95,6 +97,7 @@ private[sources] object GraftProcedures {
       "dedup_exact", "decontaminate", "ann_probe", "ann_drift",
       "ann_rebuild", "dedup_spans", "contamination_report",
       "source_mix", "split_assign", "quality_votes", "dataset_card",
+      "ngram_novelty", "quality_gate",
       "ann_probe_int8", "ann_probe_pq", "ann_probe_bin", "ann_verify",
       "ann_delete", "ann_build", "ann_quantize", "ann_append",
       "ann_stats", "ann_compact", "ann_drop", "pii_scrub", "lang_id",
@@ -140,7 +143,8 @@ private[sources] object GraftProcedures {
               procName == "pii_scrub" || procName == "lang_id" ||
               procName == "phash_dedup" || procName == "audio_dedup" ||
               procName == "phash_index" || procName == "audio_index" ||
-              procName == "video_dedup" || procName == "video_index")
+              procName == "video_dedup" || procName == "video_index" ||
+              procName == "ngram_novelty" || procName == "quality_gate")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
           else if (procName == "decontaminate" ||
@@ -636,12 +640,27 @@ private[sources] object GraftProcedures {
               procName == "audio_match" || procName == "phash_index_append" ||
               procName == "audio_index_append" || procName == "video_dedup" ||
               procName == "video_index" || procName == "video_match" ||
-              procName == "video_index_append") {
+              procName == "video_index_append" ||
+              procName == "ngram_novelty" || procName == "quality_gate") {
             val spark = SparkSession.active
             val (metric, n) = procName match {
               case "dedup_exact" =>
                 ("winners_written",
                   writeResult(graft.operators.Dedup.exactDedupCore(t.read()), 1))
+              case "ngram_novelty" =>
+                // t18's intake-order novelty over the user's corpus
+                // as-is: what fraction of each doc's 3-shingles it
+                // introduced (no pair join — gram-keyed min + rollup)
+                ("docs_scored",
+                  writeResult(
+                    graft.operators.TextAnalysis.noveltyCore(t.read()), 1))
+              case "quality_gate" =>
+                // c19's mix-preserving per-source top-quartile keep,
+                // t15's shared quality logit — the committed rows ARE
+                // the gated corpus selection
+                ("docs_kept",
+                  writeResult(
+                    graft.operators.Sampling.qualityGateCore(t.read()), 1))
               case "source_mix" =>
                 ("sources_written",
                   writeResult(graft.operators.Sampling.sourceMixCore(t.read()), 1))

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.storage.GraftTable
+
+/** Streaming NOVELTY scoring — t18's intake twin: every incoming
+  * micro-batch document is scored for the fraction of its distinct
+  * 3-shingles NOT present in a COMMITTED corpus vocabulary, the signal
+  * an intake pipeline routes on (near-copies of the crawl score ~0 and
+  * are cheap to drop before the heavier near-dup stages; genuinely new
+  * material scores high and earns the full pipeline).
+  *
+  * The static side IS [[DecontaminateStream.EvalIndex]] — the
+  * persisted distinct-shingle set + driver Bloom sketch, built and
+  * DELTA-REFRESHED by the same machinery (`buildIndex` /
+  * `applyDeltaIndex`: an append-only corpus tick shingles only the
+  * inserted docs and ORs their hashes into the serving sketch, cost ∝
+  * delta) — one index implementation, two consumers that cannot
+  * drift. Per batch: shingle ∝ batch, map-side `might_contain`
+  * prefilter, exact confirm join over the survivors; a doc's
+  * `n_novel` = its grams minus the confirmed-known count.
+  *
+  * Semantics vs the batch t18: t18 is intake-ORDER novelty within one
+  * corpus (a gram is novel in the one doc that introduces it); the
+  * stream scores each batch doc against the COMMITTED corpus only —
+  * the incremental family's batch-vs-corpus convention (m10/d15/d16).
+  * Two batch docs sharing a corpus-new gram both score it novel until
+  * one is accepted into the corpus (the spec pins both semantics). */
+object NoveltyStream {
+
+  /** Score one (micro-)batch of (doc_id, text) against the corpus
+    * vocabulary index: (doc_id, n_grams, n_novel, novelty_micro) —
+    * t18's output shape and micros quantization. A doc under 3 tokens
+    * has no grams and is absent, like t18. An EMPTY corpus (null
+    * sketch) makes every gram novel. */
+  def score(index: DecontaminateStream.EvalIndex, batch: DataFrame): DataFrame = {
+    import graft.functions.Shingles.shinglesDistinctFast
+    val sh = batch.select(col("doc_id").cast("long").as("doc_id"),
+      explode(shinglesDistinctFast(col("text"))).as("sng"))
+    val totals = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val known =
+      if (index.bloomBytes == null)
+        totals.select(col("doc_id"), lit(0L).as("n_known")).limit(0)
+      else graft.operators.Sampling
+        .bloomProbe(sh, index.evalSh, index.bloomBytes, 1)
+        .withColumnRenamed("n_shared", "n_known")
+    totals.join(known, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_grams") - coalesce(col("n_known"), lit(0L))).as("n_novel"))
+      .withColumn("novelty_micro",
+        floor(col("n_novel") * lit(1000000.0) / col("n_grams")).cast("long"))
+  }
+
+  /** Continuous scoring against a COMMITTED corpus table of
+    * (doc_id, text), refreshed on its version ticks — an accepted doc
+    * stops being "novel" for every later batch without a restart.
+    * Append-only ticks flow through the shared
+    * [[DecontaminateStream.applyDeltaIndex]] at ∝-delta cost (8-tick
+    * fold bound); reports append to `dest` exactly-once under the
+    * checkpoint's txn id. */
+  def startRefreshable(spark: org.apache.spark.sql.SparkSession,
+      corpusLoc: String, incoming: DataFrame, dest: GraftTable,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val id = GraftStreamIngest.txnId(checkpoint)
+    var deltaDepth = 0
+    val index = new RefreshableStatic[DecontaminateStream.EvalIndex](
+      corpusLoc,
+      docs => { val ix = DecontaminateStream.buildIndex(docs)
+        deltaDepth = 0; ix },
+      _.release(),
+      applyDelta = Some((cur, delta, _) => {
+        if (deltaDepth >= FingerprintStream.DeltaFoldEvery) None
+        else DecontaminateStream.applyDeltaIndex(cur, delta).map { ix =>
+          deltaDepth += 1; ix
+        }
+      }))
+    val q = incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dest.appendStream(score(index.get(spark), batch), id, batchId)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+    GraftStreamIngest.releaseOnTerminate(q)(() => index.close())
+    q
+  }
+}

@@ -288,6 +288,14 @@ class GraftCatalogSpec extends SparkSpec {
       val wantQ = graft.operators.TextAnalysis.t17TokenVotes(spark, dir)
         .collect().map(_.toSeq).toSeq
       assert(gotQ === wantQ, "CALL quality_votes must reproduce t17 exactly")
+      // -- ngram_novelty ≡ t18 -------------------------------------------
+      spark.sql(
+        "CALL gcat.system.ngram_novelty('db1.call_docs', 'db1.call_novelty')")
+      val gotN = spark.table("gcat.db1.call_novelty")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val wantN = graft.operators.TextAnalysis.t18NgramNovelty(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(gotN === wantN, "CALL ngram_novelty must reproduce t18 exactly")
       // -- dataset_card ≡ c16 (needs the source column) ------------------
       val docsSrc = graft.Tables.load(spark, dir, "documents")
         .select(col("source"), col("doc_id").cast("long").as("doc_id"),
@@ -301,6 +309,14 @@ class GraftCatalogSpec extends SparkSpec {
       val wantCard = graft.operators.Sampling.c16DatasetCard(spark, dir)
         .collect().map(_.toSeq).toSeq
       assert(gotCard === wantCard, "CALL dataset_card must reproduce c16 exactly")
+      // -- quality_gate ≡ c19 (same source-keyed table) ------------------
+      spark.sql(
+        "CALL gcat.system.quality_gate('db1.call_docs_src', 'db1.call_gated')")
+      val gotGate = spark.table("gcat.db1.call_gated")
+        .orderBy("source", "rk").collect().map(_.toSeq).toSeq
+      val wantGate = graft.operators.Sampling.c19QualityGate(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(gotGate === wantGate, "CALL quality_gate must reproduce c19 exactly")
       // -- decontaminate ≡ c9 (same eval split: doc_id < 5) -------------
       GraftTable.create(spark, s"$warehouse/db1/call_corpus", docs.schema)
         .append(docs.filter(col("doc_id") >= 5))
