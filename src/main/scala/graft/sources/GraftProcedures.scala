@@ -59,6 +59,7 @@ import graft.storage.GraftTable
   *   CALL graft.system.quality_votes('db.t', 'db.scored')         -- t17
   *   CALL graft.system.ngram_novelty('db.t', 'db.novelty')        -- t18
   *   CALL graft.system.quality_gate('db.t', 'db.gated')           -- c19
+  *   CALL graft.system.novelty_match('db.batch', 'db.corpus', 'db.out')
   *   CALL graft.system.dataset_card('db.t', 'db.card')            -- c16
   *   CALL graft.system.contamination_report('db.t', 'db.eval', 'db.rep') -- c15
   *   CALL graft.system.source_mix('db.t', 'db.mix')     -- c3 as SQL
@@ -97,7 +98,7 @@ private[sources] object GraftProcedures {
       "dedup_exact", "decontaminate", "ann_probe", "ann_drift",
       "ann_rebuild", "dedup_spans", "contamination_report",
       "source_mix", "split_assign", "quality_votes", "dataset_card",
-      "ngram_novelty", "quality_gate",
+      "ngram_novelty", "quality_gate", "novelty_match",
       "ann_probe_int8", "ann_probe_pq", "ann_probe_bin", "ann_verify",
       "ann_delete", "ann_build", "ann_quantize", "ann_append",
       "ann_stats", "ann_compact", "ann_drop", "pii_scrub", "lang_id",
@@ -156,6 +157,10 @@ private[sources] object GraftProcedures {
               procName == "video_match")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("fingerprints", StringType).build(),
+              ProcedureParameter.in("target", StringType).build())
+          else if (procName == "novelty_match")
+            Array(ProcedureParameter.in("table", StringType).build(),
+              ProcedureParameter.in("corpus", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
           else if (procName == "phash_index_append" ||
               procName == "audio_index_append" ||
@@ -641,7 +646,8 @@ private[sources] object GraftProcedures {
               procName == "audio_index_append" || procName == "video_dedup" ||
               procName == "video_index" || procName == "video_match" ||
               procName == "video_index_append" ||
-              procName == "ngram_novelty" || procName == "quality_gate") {
+              procName == "ngram_novelty" || procName == "quality_gate" ||
+              procName == "novelty_match") {
             val spark = SparkSession.active
             val (metric, n) = procName match {
               case "dedup_exact" =>
@@ -712,6 +718,20 @@ private[sources] object GraftProcedures {
                 ("fingerprints_written",
                   writeResult(
                     graft.operators.Multimodal.phashFingerprints(t.read()), 1))
+              case "novelty_match" =>
+                // intake batch scored against a COMMITTED corpus
+                // vocabulary (NoveltyStream's batch body): shingle ∝
+                // batch, Bloom-prefiltered exact confirm — the
+                // batch-vs-corpus member of the novelty triple
+                val corpName = checkName(input.getUTF8String(1).toString)
+                val corpDir = tableDir(corpName)
+                require(GraftTable.exists(corpDir), s"no graft table $corpName")
+                val idx = graft.streaming.DecontaminateStream
+                  .buildIndex(GraftTable.open(spark, corpDir).read())
+                try ("batch_docs_scored",
+                  writeResult(
+                    graft.streaming.NoveltyStream.score(idx, t.read()), 2))
+                finally idx.release()
               case "phash_match" =>
                 // intake batch vs COMMITTED fingerprints: hash ∝ batch,
                 // Bloom-prefiltered corpus side, min-match rows

@@ -329,6 +329,20 @@ class GraftCatalogSpec extends SparkSpec {
       val wantC = graft.operators.Sampling.c9BloomDecontaminate(spark, dir)
         .collect().map(_.toSeq).toSeq
       assert(gotC === wantC, "CALL decontaminate must reproduce c9 exactly")
+      // -- novelty_match ≡ NoveltyStream.score (batch vs committed corpus)
+      spark.sql("CALL gcat.system.novelty_match(" +
+        "'db1.call_eval', 'db1.call_corpus', 'db1.call_nm')")
+      val gotNm = spark.table("gcat.db1.call_nm")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val nmIdx = graft.streaming.DecontaminateStream.buildIndex(
+        GraftTable.open(spark, s"$warehouse/db1/call_corpus").read())
+      val wantNm = graft.streaming.NoveltyStream.score(nmIdx,
+        GraftTable.open(spark, s"$warehouse/db1/call_eval").read())
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      nmIdx.release()
+      assert(gotNm === wantNm,
+        "CALL novelty_match must reproduce the stream's batch scorer")
+      assert(gotNm.nonEmpty, "the eval batch must score")
       // -- ann_probe ≡ s7's probe --------------------------------------
       val root = graft.operators.Similarity.ivfIndexDir(spark, dir)
       Seq("centroids", "postings").foreach(t =>
