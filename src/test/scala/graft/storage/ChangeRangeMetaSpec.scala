@@ -132,6 +132,64 @@ class ChangeRangeMetaSpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("id")).sorted.toSeq === (firstNew until base))
   }
 
+  test("property: commitFileDelta ≡ the hydrated diff for every commit shape a seeded mutation sequence writes") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, In, LessThan}
+    val loc = tmpDir("crm-prop") + "/t"
+    val t = GraftTable.create(spark, loc, schema,
+      GraftTableOptions(deleteMode = "merge-on-read"))
+    val rnd = new scala.util.Random(20160816L)
+    var base = 0
+    t.append(batch(base, 200, 20)); base += 200 // straight to segment form
+    // a seeded walk over the engine's real commit shapes: trickle and
+    // wide appends, COW delete, MOR delete, small-file compaction, and
+    // a RESTORE (the replay-inexpressible reorder)
+    (1 to 22).foreach { i =>
+      rnd.nextInt(6) match {
+        case 0 | 1 => t.append(batch(base, 10, 1)); base += 10
+        case 2 => t.append(batch(base, 40, 4)); base += 40
+        case 3 => // COW delete of a scattered sliver
+          t.delete(Seq(GreaterThanOrEqual("id", base - 25),
+            LessThan("id", base - 20)))
+          ()
+        case 4 => // dv-only commit
+          t.deleteMor(Seq(In("id", Array(rnd.nextInt(base))))); ()
+        case 5 => t.compactSmall(); ()
+      }
+      if (i == 15) { t.restore(t.version - 3); () }
+    }
+    val head = t.version
+    // every adjacent pair: the O(churn) delta must equal the diff of
+    // the two FULLY HYDRATED file lists (the independent ground truth)
+    (1L until head).foreach { v =>
+      val hp = GraftTable.readHistoryMeta(loc, v).files
+      val hc = GraftTable.readHistoryMeta(loc, v + 1).files
+      val (removed, added) =
+        GraftTable.commitFileDelta(loc,
+          GraftTable.readHistoryRaw(loc, v),
+          GraftTable.readHistoryRaw(loc, v + 1))
+      assert(removed.toSet === hp.toSet -- hc.toSet,
+        s"v$v→${v + 1}: removed mismatch")
+      assert(added.toSet === hc.toSet -- hp.toSet,
+        s"v$v→${v + 1}: added mismatch")
+      // and the gate agrees with the hydrated subset + dv + schema rule
+      val rp = GraftTable.readHistoryRaw(loc, v)
+      val rc = GraftTable.readHistoryRaw(loc, v + 1)
+      val hydratedAppendOnly = hp.toSet.subsetOf(hc.toSet) &&
+        rp.dvs == rc.dvs && rp.schemaJson == rc.schemaJson
+      assert(t.isAppendOnlyRange(v) === ((v + 1) to head).forall { w =>
+        val a = GraftTable.readHistoryMeta(loc, w - 1)
+        val b = GraftTable.readHistoryMeta(loc, w)
+        a.files.toSet.subsetOf(b.files.toSet) && a.dvs == b.dvs &&
+          a.currentSchema == b.currentSchema
+      }, s"gate disagreement from v$v")
+      // (hydratedAppendOnly is the per-pair form the range check folds)
+      assert(hydratedAppendOnly ===
+        (removed.isEmpty && rp.dvs == rc.dvs && rp.schemaJson == rc.schemaJson),
+        s"v$v→${v + 1}: per-pair gate shape mismatch")
+    }
+    GraftTable.drop(loc)
+  }
+
   test("MOR delete (dv-only commit) breaks the append-only gate and feeds deletes") {
     val loc = tmpDir("crm-mor") + "/t"
     val t = GraftTable.create(spark, loc, schema,
