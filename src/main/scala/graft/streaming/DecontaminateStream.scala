@@ -74,7 +74,11 @@ object DecontaminateStream {
     * `putLong`-ing the delta's hashes into the deserialized filter IS
     * the sketch union — no rebuild pass over the full eval set, no
     * bit-geometry mismatch (merging two independently SIZED sketches
-    * would throw). Cost ∝ delta. Returns None (→ full rebuild) when
+    * would throw). TABLE reads are ∝ delta (the tick shingles only the
+    * inserted docs); the dedup anti-join additionally probes the
+    * CACHED shingle stack — memory-speed, bounded by the eval suite's
+    * KB–MB contract, never a corpus re-read. Returns None (→ full
+    * rebuild) when
     * the current sketch is absent (built over an empty suite — the
     * rebuild re-sizes it) or the delta is collect-unsafe. FPP note:
     * the sketch keeps its original sizing, so a run of delta ticks
