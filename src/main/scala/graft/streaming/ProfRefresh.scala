@@ -62,7 +62,7 @@ object ProfRefresh {
       var s = 0.0
       (1 to 10).foreach(_ => s += sec { rsFull.get(spark); () })
       p("no-tick trigger overhead (avg of 10)", s / 10,
-        "one GraftTable.open metadata read")
+        "one raw committedVersion probe (round 16: no manifest hydration)")
       tFull.append(fps(n, n + deltaRows))
       p(s"tick, FULL rebuild ($deltaRows-row append)",
         sec { rsFull.get(spark).count(); () }, "∝ corpus")
