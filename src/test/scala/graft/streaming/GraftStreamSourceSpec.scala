@@ -50,6 +50,44 @@ class GraftStreamSourceSpec extends SparkSpec {
     GraftTable.drop(loc)
   }
 
+  test("segmented (manifest-form) table: the raw-snapshot walk delivers exactly, across manifest compaction and a throttled backlog") {
+    import spark.implicits._
+    val loc = tmpDir("gss-seg") + "/t"
+    val ckpt = tmpDir("gss-seg-ckpt")
+    val t = GraftTable.create(spark, loc, schema)
+    // past InlineStatsMax: every snapshot carries only segment REFS,
+    // so the forward walk exercises commitFileDelta's extension path
+    // (round 16) rather than inline lists
+    t.append((0 until 200).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(20))
+    assert(GraftTable.readHistoryRaw(loc,
+      GraftTable.committedVersion(loc)).manifest.nonEmpty,
+      "must be segment form")
+
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(loc)
+      .writeStream.format("memory").queryName("gss_seg_sink")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gss_seg_sink").count() === 200L)
+      // a BACKLOG of appends, with a small-file compaction commit in
+      // the middle (the manifest rewrite the extension walk cannot
+      // express → the per-pair hydration fallback) — drained one
+      // version per trigger, delivery must be exact, nothing twice
+      t.append(Seq((200, "x")).toDF("id", "v").coalesce(1))
+      t.append(Seq((201, "y")).toDF("id", "v").coalesce(1))
+      assert(t.compactSmall() > 0, "the small-file tail must fold")
+      t.append(Seq((202, "z")).toDF("id", "v").coalesce(1))
+      q.processAllAvailable()
+      val got = spark.table("gss_seg_sink").select("id")
+        .collect().map(_.getInt(0)).sorted.toSeq
+      assert(got === (0 to 202), s"exact delivery: got ${got.size} rows, " +
+        s"dupes=${got.groupBy(identity).count(_._2.size > 1)}")
+    } finally q.stop()
+    GraftTable.drop(loc)
+  }
+
   test("row-level mutations: MERGE streams only its inserts; DELETE/UPDATE stream nothing") {
     import spark.implicits._
     val loc = tmpDir("gss-mut") + "/t"
