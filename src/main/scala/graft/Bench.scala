@@ -52,6 +52,43 @@ object Bench {
     "c8_cluster_split", "p3_incremental_refresh", "t13_perplexity",
     "m9_audio_neardup", "d6_embed_neardup_ann")
 
+  /** Deterministic stand-ins for the two STREAM-orchestrated sentinel
+    * slots (VERDICT r16 #6): e12/n9's walls carry ±2-4 s of
+    * micro-batch trigger-scheduling noise by design (OPERATORS.md),
+    * which made them the two noisiest slots of the round-over-round
+    * series. Their sentinel slot runs the BATCH BODY the stream wraps
+    * — the same data work, none of the trigger scheduling — and the
+    * artifact names each substitution in `sentinel_batch_twins` so a
+    * consumer knows the slot's quantity changed in round 17. */
+  private[graft] val SentinelBatchTwins: Map[String, String] = Map(
+    "e12_stream_trending" -> "e11_trending",
+    "n9_agg_maintain" -> "n9_agg_batch")
+
+  /** The sentinel_suspect stamp, PURE so a spec can replay recorded
+    * artifacts (VERDICT r16 #2): the sentinels run AFTER the suite
+    * passes and the solo profile, so a window that degrades late
+    * poisons exactly their tail while `window_suspect` — which
+    * certifies only the suite's best pass — stays false. BENCH_r16
+    * shipped that shape: p3 57.8 s vs its own in-suite 3.5 s (and
+    * post_shuffle 5.53 vs pre_shuffle 0.63 sitting right next to it).
+    * Suspect = some sentinel still ≥3× its in-suite wall AFTER the
+    * re-run discipline (a solo uncontended run should be ≤ the
+    * contended in-suite wall; 3× over it is not the engine) AND the
+    * post bracket corroborates a hot window (shuffle probe ≥2× the
+    * pre bracket, or the post spin itself over the 0.8 clean
+    * envelope). A genuine regression inflates the sentinel with a
+    * CLEAN post bracket and is published unmarked — the stamp flags
+    * window noise, it must not launder real slowdowns. */
+  private[graft] def sentinelSuspectStamp(
+      sentinel: Seq[(String, Double)], insuite: Map[String, Double],
+      preShuffle: Double, postShuffle: Double, postSpin: Double): Boolean = {
+    val inflated = sentinel.exists { case (name, wall) =>
+      insuite.get(name).exists(is => wall > 3.0 * math.max(is, 0.3)) }
+    val postHot =
+      postShuffle > 2.0 * math.max(0.1, preShuffle) || postSpin > 0.8
+    inflated && postHot
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -460,6 +497,16 @@ object Bench {
       }
       while ((!twoBestAgree || lastImproved) && passes.size < maxRuns)
         doPass()
+      // If the FIRST pass is the best, the certified number is the one
+      // pass that never saw a warm-vs-clean cross-check (a later pass
+      // beating it would have replaced it; a later pass only LOSING to
+      // it is consistent with a window degrading mid-run — the r16
+      // judge rerun's [46.0, 56.8] shape). One extra pass: either it
+      // replicates/beats pass 1 (clean certificate), or the gap stands
+      // and the agreement/stamp machinery judges it (VERDICT r16 #7).
+      if (passes.map(_._2).zipWithIndex.minBy(_._1)._2 == 0 &&
+          passes.size < maxRuns)
+        doPass()
     }
     // window_suspect is stamped AFTER the post-bracket probes run —
     // see [[windowSuspectStamp]] (computed below, once
@@ -511,16 +558,37 @@ object Bench {
     // round-over-round comparable without a judge rerun (the solo
     // profile above re-selects "this round's heaviest" and shifts as
     // the pool grows). Warm like the solo profile; failures omitted
-    // for the same poisoning reason.
+    // for the same poisoning reason. The two stream-orchestrated slots
+    // run their deterministic batch twins (see [[SentinelBatchTwins]]),
+    // and a sentinel whose wall lands over 3× its own in-suite wall is
+    // re-run once with the min kept (VERDICT r16 #2): a transient
+    // spike heals; a hot window confirms itself and trips the
+    // sentinel_suspect stamp below.
+    val insuiteWall = results.collect { case (n, w, "ok") => n -> w }.toMap
+    val sentinelReruns = scala.collection.mutable.ListBuffer[String]()
     val sentinel = SentinelQueries.flatMap { name =>
-      byName.get(name).flatMap { fn =>
+      val body = SentinelBatchTwins.getOrElse(name, name)
+      byName.get(body).flatMap { fn =>
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
-        val q0 = System.nanoTime()
-        try { fn(spark, sfDir).count()
-          Some(name -> (System.nanoTime() - q0) / 1e9)
-        } catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] sentinel $name FAILED: ${e.getMessage}")
-          None
+        def once(): Option[Double] = {
+          val q0 = System.nanoTime()
+          try { fn(spark, sfDir).count()
+            Some((System.nanoTime() - q0) / 1e9)
+          } catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] sentinel $name FAILED: ${e.getMessage}")
+            None
+          }
+        }
+        once().map { w1 =>
+          // the 3× reference is the wall of what actually RAN (the
+          // batch twin for the two substituted slots)
+          val inflated =
+            insuiteWall.get(body).exists(is => w1 > 3.0 * math.max(is, 0.3))
+          val w = if (inflated) {
+            sentinelReruns += name
+            once().fold(w1)(math.min(w1, _))
+          } else w1
+          name -> w
         }
       }
     }
@@ -594,6 +662,17 @@ object Bench {
       preSpin = calibPreSpin, preParSpin = calibPreParSpin,
       postSpin = calibPostSpin, postParSpin = calibPostParSpin,
       insuiteMedian = calibInsuite)
+    // the sentinel series gets its OWN guard (VERDICT r16 #2):
+    // window_suspect certifies the suite's best pass, but the
+    // sentinels run last and a late-degrading window poisons exactly
+    // their tail. Keyed to what each slot actually ran (batch twins).
+    val sentinelInsuite = SentinelQueries.flatMap { n =>
+      insuiteWall.get(SentinelBatchTwins.getOrElse(n, n)).map(n -> _)
+    }.toMap
+    val sentinelSuspect = sentinelSuspectStamp(
+      sentinel, sentinelInsuite,
+      preShuffle = calibPreShuffle, postShuffle = calibPostShuffle,
+      postSpin = calibPostSpin)
     // the sampler's own cumulative in-suite probe seconds per pass
     // (spin + io + mem walls it spent inside each pass's window) —
     // instrumentation cost a consumer can subtract from the window
@@ -620,7 +699,12 @@ object Bench {
     // BENCH_result.json so a clipped stdout is never the only record.
     val probeOverheadJson =
       probeOverheadRuns.map(w => f"$w%.3f").mkString("[", ",", "]")
-    val headline = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"warmup_errors":$warmupJson,"sf":"$sfDir","solo":$soloJson,"sentinel":$sentinelJson,"pool_drained":$poolDrained,"calib":$calibJson,"calib_sec":$calibSec%.3f,"calib_insuite_sec":$calibInsuite%.3f,"calib_insuite_best_sec":$calibInsuiteBest%.3f,"suite_sec_runs":$rerunJson,"suite_cpu_runs":$cpuJson,"probe_overhead_runs":$probeOverheadJson,"suite_sec_first":$firstWall%.3f,"best_pass_index":$bestIdx,"n_passes":${passes.size},"suite_sec_best":$suiteBest%.3f,"suite_extra_run":${passes.size > suiteRuns},"window_suspect":$windowSuspect,"suite_sec":$total}"""
+    val twinsJson = SentinelBatchTwins.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val sentinelRerunsJson =
+      sentinelReruns.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val headline = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failed,"warmup_errors":$warmupJson,"sf":"$sfDir","solo":$soloJson,"sentinel":$sentinelJson,"sentinel_suspect":$sentinelSuspect,"sentinel_reruns":$sentinelRerunsJson,"sentinel_batch_twins":$twinsJson,"pool_drained":$poolDrained,"calib":$calibJson,"calib_sec":$calibSec%.3f,"calib_insuite_sec":$calibInsuite%.3f,"calib_insuite_best_sec":$calibInsuiteBest%.3f,"suite_sec_runs":$rerunJson,"suite_cpu_runs":$cpuJson,"probe_overhead_runs":$probeOverheadJson,"suite_sec_first":$firstWall%.3f,"best_pass_index":$bestIdx,"n_passes":${passes.size},"suite_sec_best":$suiteBest%.3f,"suite_extra_run":${passes.size > suiteRuns},"window_suspect":$windowSuspect,"suite_sec":$total}"""
     val full = headline.dropRight(1) +
       s""","calib_timeline":$timelineJson}"""
     // default lands in the launch CWD (the repo root under the driver);

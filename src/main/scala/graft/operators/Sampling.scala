@@ -760,6 +760,45 @@ object Sampling {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** c19's 100 TB path (VERDICT r16 #3): the exact gate's per-source
+    * `row_number` window funnels EVERY row of a hot source through one
+    * reducer — ordinary window skew that is real at the design point.
+    * This variant keeps the exact gate's OUTPUT CONTRACT (the
+    * rank-top ceil(n/4) per source, ties broken by doc_id, dense rk)
+    * while shrinking the window's input ~3.3×:
+    *  1. one partial-aggregated pass per source computes n and an
+    *     approx 70th-percentile score threshold (map-side combined —
+    *     no single-reducer term; the 0.70-vs-0.75 MARGIN dominates the
+    *     sketch's ≤ n/accuracy rank error, so the threshold provably
+    *     sits at or below the true quartile boundary);
+    *  2. the tiny (source, thr, n) table broadcasts back and
+    *     `quality >= thr` pre-filters to ~30% of rows with zero
+    *     shuffle — every true top-quartile row survives;
+    *  3. the rank window runs over the SURVIVORS only and trims to the
+    *     exact gate's `rk*4 <= n+3` rule against the ORIGINAL n.
+    * The residual window is the same per-source skew shape at 30% of
+    * the mass; a pipeline that needs no ranks at extreme scale stops
+    * after step 2. QualityGateSpec pins approx ≡ exact on the real
+    * corpus and on a synthetically hot-source one. */
+  private[graft] def qualityGateApprox(corpus: DataFrame,
+      accuracy: Int = 10000): DataFrame = {
+    val scored = corpus.select(
+      col("doc_id").cast("long").as("doc_id"), col("source"),
+      TextAnalysis.qualityLogitMicro.as("quality_micro"))
+    val thr = scored.groupBy("source").agg(
+      percentile_approx(col("quality_micro"), lit(0.70), lit(accuracy))
+        .as("thr"),
+      count(lit(1)).cast("long").as("n_src"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality_micro").desc, col("doc_id"))
+    scored.join(broadcast(thr), "source")
+      .filter(col("quality_micro") >= col("thr"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") * 4 <= col("n_src") + 3)
+      .select(col("doc_id"), col("source"), col("quality_micro"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c19_quality_gate" -> (c19QualityGate _),
     "c13_epoch_mix" -> ((s, dir) => c13EpochMix(s, dir)),

@@ -614,7 +614,54 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t19: BATCH novelty — the batch-vs-corpus check composed with
+    * t18's within-batch min-doc rule (VERDICT r16 #4). The incremental
+    * family's batch-vs-corpus convention (d15/d16: `doc_id % 10 == 7`
+    * is the incoming batch) scores each batch doc against the corpus
+    * vocabulary only — so two batch docs sharing a corpus-new gram
+    * BOTH scored it novel, and an intake gate routing on the score
+    * would admit N copies of the same genuinely-new document in one
+    * batch. Composition: a gram counts as novel only if (a) no corpus
+    * doc carries it AND (b) this doc is the batch's min-doc_id carrier
+    * (t18's intake-order rule applied INSIDE the batch, after the
+    * corpus check). Plan shape: vocab anti-join (gram-keyed) + t18's
+    * gram-keyed min + join-back — no pair join, cost ∝ token mass;
+    * the streaming twin swaps the vocab anti-join for the Bloom
+    * prefilter + exact confirm ([[graft.streaming.NoveltyStream]]
+    * `withinBatch = true`, spec-pinned equal to this body). */
+  def t19BatchNovelty(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    batchNoveltyCore(d.filter(col("doc_id") % 10 =!= 7),
+      d.filter(col("doc_id") % 10 === 7))
+  }
+
+  /** t19's body over ARBITRARY (doc_id, text) corpus/batch frames —
+    * the declarative form the oracle checks; the stream reproduces it
+    * through the sketch-prefiltered path. */
+  private[graft] def batchNoveltyCore(corpus: DataFrame,
+      batch: DataFrame): DataFrame = {
+    import graft.functions.Shingles.shinglesDistinctFast
+    val shB = batch.select(col("doc_id").cast("long").as("doc_id"),
+      explode(shinglesDistinctFast(col("text"))).as("sng"))
+    val vocab = corpus
+      .select(explode(shinglesDistinctFast(col("text"))).as("sng"))
+      .distinct()
+    val unknown = shB.join(vocab, Seq("sng"), "left_anti")
+    val novel = unknown
+      .join(unknown.groupBy("sng").agg(min("doc_id").as("first_doc")), "sng")
+      .filter(col("doc_id") === col("first_doc"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    shB.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_micro",
+        floor(col("n_novel") * lit(1000000.0) / col("n_grams")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_batch_novelty" -> t19BatchNovelty _,
     "t18_ngram_novelty" -> t18NgramNovelty _,
     "t16_boilerplate" -> t16Boilerplate _,
     "t14_heavy_hitters" -> t14HeavyHitters _,
@@ -640,6 +687,24 @@ object TextAnalysis {
     s"len(list_filter(toks, t -> ${words.map(w => s"t = '$w'").mkString(" OR ")}))"
 
   val oracles: Map[String, String] = Map(
+    // batch = doc_id % 10 = 7 (the incremental family's convention);
+    // a gram is novel iff NO corpus doc carries it and this doc is the
+    // batch's min-doc_id carrier
+    "t19_batch_novelty" ->
+      (s"""WITH $shingleCte,
+         |vocab AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 != 7),
+         |b AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 7),
+         |unk AS (SELECT doc_id, s FROM b WHERE s NOT IN (SELECT s FROM vocab)),
+         |first AS (SELECT s, min(doc_id) first_doc FROM unk GROUP BY s),
+         |nv AS (SELECT u.doc_id, count(*) n_novel
+         |       FROM unk u JOIN first f ON u.s = f.s AND u.doc_id = f.first_doc
+         |       GROUP BY u.doc_id)
+         |SELECT b.doc_id, CAST(count(*) AS BIGINT) n_grams,
+         |  CAST(coalesce(any_value(nv.n_novel), 0) AS BIGINT) n_novel,
+         |  CAST(coalesce(any_value(nv.n_novel), 0) * 1000000
+         |    // count(*) AS BIGINT) novelty_micro
+         |FROM b LEFT JOIN nv ON b.doc_id = nv.doc_id
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin),
     "t18_ngram_novelty" ->
       (s"""WITH $shingleCte,
          |first AS (SELECT s, min(doc_id) first_doc FROM sh GROUP BY s)

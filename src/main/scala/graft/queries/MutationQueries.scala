@@ -230,6 +230,32 @@ object MutationQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** n9 batch twin: the SAME scratch mutations (append → UPDATE →
+    * DELETE), then a declarative batch rollup of the final table state
+    * — exactly what the maintained table of [[n9AggMaintain]] must
+    * equal, without the maintenance stream's trigger scheduling. Two
+    * jobs: (a) its own oracle row pins the mutation surface + batch
+    * rollup end-to-end; (b) it is the deterministic sentinel stand-in
+    * for the n9 slot (VERDICT r16 #6 — n9's wall carries ±2-4 s of
+    * micro-batch orchestration noise by design, which made it one of
+    * the two noisiest slots of the round-over-round sentinel series). */
+  def n9AggBatch(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_n9b").toString
+    val src = s"$root/src"
+    val base = s.read.parquet(s"$dir/customer.parquet").select(
+      col("c_custkey"), col("c_mktsegment"),
+      round(col("c_acctbal") * 100).cast("double").as("bal_c"))
+    val t = GraftTable.create(s, src, base.schema)
+    t.append(base)
+    t.update(Map("bal_c" -> (col("bal_c") + lit(100000.0))),
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("c_custkey", 1000L)))
+    t.delete(Seq(LessThan("c_custkey", 100L)))
+    t.read().groupBy(col("c_mktsegment"))
+      .agg(sum(col("bal_c")).cast("long").as("bal_sum"),
+        count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment")
+  }
+
   /** n10: merge-on-read DELETE — the sparse-delete path. The predicate
     * hits a key range scattered across every file (the template's append
     * is not key-clustered), so each file loses a small fraction of its
@@ -482,6 +508,7 @@ object MutationQueries {
     "n12_sql_mor_update" -> n12SqlMorUpdate _,
     "n13_sql_mor_merge" -> n13SqlMorMerge _,
     "n9_agg_maintain" -> n9AggMaintain _,
+    "n9_agg_batch" -> n9AggBatch _,
     "n8_spj_join" -> n8SpjJoin _,
     "n1_delete" -> n1Delete _,
     "n2_update" -> n2Update _,
@@ -596,6 +623,22 @@ object MutationQueries {
         |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
         |  FROM customer WHERE c_custkey % 7 = 3
         |) ORDER BY c_custkey""".stripMargin,
+    // same final state as the maintained rollup, recomputed declaratively
+    "n9_agg_batch" ->
+      """WITH src AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(round(c_acctbal * 100) AS DOUBLE) AS bal_c
+        |  FROM customer),
+        |after_update AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CASE WHEN c_custkey >= 1000 THEN bal_c + 100000
+        |              ELSE bal_c END AS bal_c
+        |  FROM src),
+        |after_delete AS (
+        |  SELECT * FROM after_update WHERE c_custkey >= 100)
+        |SELECT c_mktsegment, CAST(sum(bal_c) AS BIGINT) AS bal_sum,
+        |       count(*) AS cnt
+        |FROM after_delete GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "n9_agg_maintain" ->
       """WITH src AS (
         |  SELECT c_custkey, c_mktsegment,

@@ -145,9 +145,17 @@ private[sources] object GraftProcedures {
               procName == "phash_dedup" || procName == "audio_dedup" ||
               procName == "phash_index" || procName == "audio_index" ||
               procName == "video_dedup" || procName == "video_index" ||
-              procName == "ngram_novelty" || procName == "quality_gate")
+              procName == "ngram_novelty")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
+          else if (procName == "quality_gate")
+            // mode 'exact' = c19's per-source row_number rank gate;
+            // 'approx' = the 100 TB path (per-source approx-quantile
+            // threshold broadcast back, same output contract)
+            Array(ProcedureParameter.in("table", StringType).build(),
+              ProcedureParameter.in("target", StringType).build(),
+              ProcedureParameter.in("mode", StringType)
+                .defaultValue("'exact'").build())
           else if (procName == "decontaminate" ||
               procName == "contamination_report")
             Array(ProcedureParameter.in("table", StringType).build(),
@@ -663,10 +671,21 @@ private[sources] object GraftProcedures {
               case "quality_gate" =>
                 // c19's mix-preserving per-source top-quartile keep,
                 // t15's shared quality logit — the committed rows ARE
-                // the gated corpus selection
-                ("docs_kept",
-                  writeResult(
-                    graft.operators.Sampling.qualityGateCore(t.read()), 1))
+                // the gated corpus selection. mode 'approx' swaps the
+                // full-corpus rank window for the broadcast-threshold
+                // path (VERDICT r16 #3) — same output contract.
+                val mode =
+                  if (input.numFields >= 3 && !input.isNullAt(2))
+                    input.getUTF8String(2).toString else "exact"
+                val gated = mode match {
+                  case "exact" =>
+                    graft.operators.Sampling.qualityGateCore(t.read())
+                  case "approx" =>
+                    graft.operators.Sampling.qualityGateApprox(t.read())
+                  case other => throw new IllegalArgumentException(
+                    s"quality_gate mode must be 'exact' or 'approx', got '$other'")
+                }
+                ("docs_kept", writeResult(gated, 1))
               case "source_mix" =>
                 ("sources_written",
                   writeResult(graft.operators.Sampling.sourceMixCore(t.read()), 1))

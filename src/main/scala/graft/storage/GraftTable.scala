@@ -2850,7 +2850,7 @@ final class GraftTable private (
     m.manifest.foreach { rel =>
       val p = new HPath(s"$loc/$rel")
       if (!segFs.exists(p)) issues += s"manifest segment $rel is missing"
-      else try GraftTable.parseSegmentFile(segFs, p)
+      else try GraftTable.parseSegmentFile(loc, segFs, p)
       catch { case e: Exception =>
         issues += s"manifest segment $rel is unreadable: ${e.getMessage}" }
     }
@@ -4670,7 +4670,7 @@ object GraftTable {
       throw new IllegalArgumentException(
         s"no snapshot v$version at $location (expired or never committed)")
     val content = readFileFully(fs, path)
-    MetaIo.historyRead(content.length.toLong)
+    MetaIo.historyRead(location, content.length.toLong)
     val m = parseJsonObject(content)
     require(m.get(MagicKey).contains(Magic), s"bad magic in $path")
     m
@@ -4685,15 +4685,43 @@ object GraftTable {
     * counts are ∝ the tick's own commit, not ∝ table files. */
   private[graft] object MetaIo {
     private val tl = ThreadLocal.withInitial[Array[Long]](() => new Array[Long](4))
-    private[GraftTable] def historyRead(bytes: Long): Unit = {
+    /** Per-LOCATION counters (LongAdder, cross-thread): a streaming
+      * query's metadata reads happen on the stream-execution thread,
+      * which a spec's ThreadLocal snapshot cannot see. Keyed by the
+      * exact table location, so a spec over its own temp dir is immune
+      * to concurrently running suites (the per-thread counters' same
+      * guarantee, by a different axis). Slots: historyReads,
+      * historyBytes, segmentParses, segmentBytes, headProbes. */
+    private val byLoc = new java.util.concurrent.ConcurrentHashMap[
+      String, Array[java.util.concurrent.atomic.LongAdder]]()
+    private def locAdders(location: String) =
+      // key by the scheme-stripped URI path so the qualified
+      // (`file:/wh/t`) and bare (`/wh/t`) spellings of one table
+      // share a counter row, like the segment cache's dual invalidation
+      byLoc.computeIfAbsent(new HPath(location).toUri.getPath, _ =>
+        Array.fill(5)(new java.util.concurrent.atomic.LongAdder))
+    private[GraftTable] def historyRead(location: String, bytes: Long): Unit = {
       val a = tl.get; a(0) += 1; a(1) += bytes
+      val g = locAdders(location); g(0).increment(); g(1).add(bytes)
     }
-    private[GraftTable] def segmentParsed(bytes: Long): Unit = {
+    private[GraftTable] def segmentParsed(location: String, bytes: Long): Unit = {
       val a = tl.get; a(2) += 1; a(3) += bytes
+      val g = locAdders(location); g(2).increment(); g(3).add(bytes)
     }
+    /** One raw committed-head probe ([[committedVersion]]) — the
+      * streaming sources' per-trigger cost unit: a spec counts probes
+      * to know triggers fired, then asserts the other slots stayed 0. */
+    private[GraftTable] def headProbed(location: String): Unit =
+      locAdders(location)(4).increment()
     /** (historyReads, historyBytes, segmentParses, segmentBytes), this thread. */
     def snapshot(): (Long, Long, Long, Long) = {
       val a = tl.get; (a(0), a(1), a(2), a(3))
+    }
+    /** (historyReads, historyBytes, segmentParses, segmentBytes,
+      * headProbes) for one table location, all threads. */
+    def locationSnapshot(location: String): (Long, Long, Long, Long, Long) = {
+      val g = locAdders(location)
+      (g(0).sum(), g(1).sum(), g(2).sum(), g(3).sum(), g(4).sum())
     }
   }
 
@@ -4736,6 +4764,15 @@ object GraftTable {
   def readHistoryRaw(location: String, version: Long): RawSnapshot =
     rawSnapshotFromFields(readHistoryObj(location, version))
 
+  /** BOTH forms of one snapshot from a SINGLE read + parse — the
+    * streaming initial load needs the hydrated file list (its output)
+    * AND the raw walk seed; reading the JSON twice doubled the one
+    * legitimately large metadata read at stream start (ADVICE r16). */
+  def readHistoryBoth(location: String, version: Long): (Meta, RawSnapshot) = {
+    val m = readHistoryObj(location, version)
+    (readMetaFromFields(location, m), rawSnapshotFromFields(m))
+  }
+
   /** Net (removed, added) file-list delta of the commit taking `p` to
     * `c`, O(churn) when the manifest expresses it: when both snapshots
     * are inline (small table) the inline lists diff directly; when
@@ -4767,7 +4804,15 @@ object GraftTable {
         }
         added = added ++ s.added
       }
-      (removed.toSeq.sorted, added)
+      // Net out a path REMOVED (it was live in `p`) then RE-ADDED by a
+      // later segment in the same range: the hydrated diff is zero —
+      // the file is live on both sides — so the gross pair must cancel
+      // here too, or a streaming walk would re-deliver its rows
+      // (ADVICE r16; unreachable with the unique-batch-dir writer, but
+      // the invariant belongs to the delta, not the writer).
+      val phantom = removed.intersect(added.toSet)
+      if (phantom.isEmpty) (removed.toSeq.sorted, added)
+      else ((removed -- phantom).toSeq.sorted, added.filterNot(phantom))
     } else {
       val pf = readHistoryMeta(location, p.version).files
       val cf = readHistoryMeta(location, c.version).files
@@ -4787,21 +4832,9 @@ object GraftTable {
     * replay just to learn that — same for the graft/graft-cdf
     * streaming sources' latestOffset. */
   def committedVersion(location: String): Long = {
-    val (fs, _) = fsAndPath(location)
-    var v = rawSnapshotFromFields(readHeadObj(location)).version
-    var advancing = true
-    while (advancing) {
-      val hp = historyPath(location, v + 1)
-      val committed =
-        try {
-          fs.exists(hp) && {
-            val m = parseJsonObject(readFileFully(fs, hp))
-            m.get(MagicKey).contains(Magic)
-          }
-        } catch { case _: Exception => false }
-      if (committed) v += 1 else advancing = false
-    }
-    v
+    MetaIo.headProbed(location)
+    walkClaims(location,
+      rawSnapshotFromFields(readHeadObj(location)).version)(_ => ())
   }
 
   /** [[relativize]] for callers outside the storage package (the
@@ -4994,7 +5027,7 @@ object GraftTable {
     if (cached != null) cached
     else {
       val (fs, _) = fsAndPath(location)
-      val parsed = parseSegmentFile(fs, new HPath(location, rel))
+      val parsed = parseSegmentFile(location, fs, new HPath(location, rel))
       SegmentCache.put(key, parsed)
       parsed
     }
@@ -5002,10 +5035,10 @@ object GraftTable {
 
   /** Read + parse one segment straight from storage (no cache) —
     * shared by the hydrating reader and verify()'s manifest audit. */
-  private[storage] def parseSegmentFile(fs: FileSystem,
+  private[storage] def parseSegmentFile(location: String, fs: FileSystem,
       p: HPath): ManifestSegment = {
     val content = readFileFully(fs, p)
-    MetaIo.segmentParsed(content.length.toLong)
+    MetaIo.segmentParsed(location, content.length.toLong)
     val m = parseJsonObject(content)
     require(m.get(MagicKey).contains(Magic), s"bad magic in manifest segment $p")
     ManifestSegment(
@@ -5029,7 +5062,7 @@ object GraftTable {
         (kept ++ s.added, stats ++ s.stats)
     }
 
-  private def writeSegmentFile(location: String, version: Long,
+  private[storage] def writeSegmentFile(location: String, version: Long,
       added: Vector[String], removed: Set[String],
       stats: Map[String, Map[String, ColFileStats]]): String = {
     val rel = f"_graft_manifest/m$version%020d-${
@@ -5217,31 +5250,50 @@ object GraftTable {
     * committed, and the walk stops below it. In the steady state this
     * costs one negative existence probe. */
   private def walkToHead(location: String, from: Meta): Meta = {
-    val (fs, _) = fsAndPath(location)
     var cur = from
+    walkClaims(location, from.version)(m => cur = readMetaFromFields(location, m))
+    cur
+  }
+
+  /** THE forward walk over history paths above `fromVersion` — the one
+    * copy of the claim/commit protocol's read side, shared by the
+    * hydrating [[walkToHead]] and the raw [[committedVersion]] probe
+    * (ADVICE r16: a second hand-rolled copy would let the two readers
+    * disagree on what the committed head is). Each step reads + parses
+    * the next snapshot JSON; an unparseable/missing/torn file is an
+    * in-flight (or crashed) claim — NOT yet committed — and the walk
+    * stops below it. A successful parse is counted through
+    * [[MetaIo.historyRead]] (it is real metadata I/O whichever caller
+    * pays it — ADVICE r16's uncounted lag-recovery reads). `onCommit`
+    * runs OUTSIDE the claim guard: once the snapshot parsed it IS a
+    * commit, and a hydration failure (missing stats shard) must THROW,
+    * never silently serve the previous state. Steady state (pointer at
+    * head) costs one negative existence probe. Returns the last
+    * committed version. */
+  private def walkClaims(location: String, fromVersion: Long)
+      (onCommit: Map[String, Any] => Unit): Long = {
+    val (fs, _) = fsAndPath(location)
+    var v = fromVersion
     var advancing = true
     while (advancing) {
-      val hp = historyPath(location, cur.version + 1)
-      // Claim detection (read + parse of the snapshot JSON) swallows
-      // failures — an unparseable/missing file is an in-flight claim.
-      // HYDRATION runs outside the guard: once the snapshot parsed it
-      // IS a commit, and a failure to load its stats shards must THROW
-      // (serving the previous state would be a silent stale read).
+      val hp = historyPath(location, v + 1)
       val parsed: Option[Map[String, Any]] =
         try {
           if (!fs.exists(hp)) None
           else {
-            val m = parseJsonObject(readFileFully(fs, hp))
+            val content = readFileFully(fs, hp)
+            val m = parseJsonObject(content)
             require(m.get(MagicKey).contains(Magic), s"bad magic in $hp")
+            MetaIo.historyRead(location, content.length.toLong)
             Some(m)
           }
         } catch { case _: Exception => None }
       parsed match {
-        case Some(m) => cur = readMetaFromFields(location, m)
+        case Some(m) => onCommit(m); v += 1
         case None => advancing = false
       }
     }
-    cur
+    v
   }
 
   /** Build a Meta from a parsed metadata JSON object (shared by the

@@ -27,31 +27,68 @@ import graft.storage.GraftTable
   * corpus (a gram is novel in the one doc that introduces it); the
   * stream scores each batch doc against the COMMITTED corpus only —
   * the incremental family's batch-vs-corpus convention (m10/d15/d16).
-  * Two batch docs sharing a corpus-new gram both score it novel until
-  * one is accepted into the corpus (the spec pins both semantics). */
+  * By default two batch docs sharing a corpus-new gram both score it
+  * novel until one is accepted into the corpus; `withinBatch = true`
+  * composes t18's min-doc rule inside the batch after the corpus
+  * check (t19's semantics — VERDICT r16 #4), so one intake batch
+  * cannot admit N copies of the same novel document (the spec pins
+  * all three semantics). */
 object NoveltyStream {
 
   /** Score one (micro-)batch of (doc_id, text) against the corpus
     * vocabulary index: (doc_id, n_grams, n_novel, novelty_micro) —
     * t18's output shape and micros quantization. A doc under 3 tokens
     * has no grams and is absent, like t18. An EMPTY corpus (null
-    * sketch) makes every gram novel. */
-  def score(index: DecontaminateStream.EvalIndex, batch: DataFrame): DataFrame = {
+    * sketch) makes every gram novel.
+    *
+    * `withinBatch = true` composes t18's intake-order rule INSIDE the
+    * batch after the corpus check (VERDICT r16 #4): a corpus-new gram
+    * is credited only to the batch's min-doc_id carrier, so an intake
+    * gate routing on the score admits ONE copy of a genuinely-new
+    * document per batch, not N. Spec-pinned equal to the declarative
+    * [[graft.operators.TextAnalysis.batchNoveltyCore]] (t19); the
+    * corpus side still rides the Bloom prefilter — a gram failing
+    * `might_contain` is corpus-new with NO false negatives, so only
+    * the sketch's false-positive survivors pay the exact anti-join. */
+  def score(index: DecontaminateStream.EvalIndex, batch: DataFrame,
+      withinBatch: Boolean = false): DataFrame = {
     import graft.functions.Shingles.shinglesDistinctFast
     val sh = batch.select(col("doc_id").cast("long").as("doc_id"),
       explode(shinglesDistinctFast(col("text"))).as("sng"))
     val totals = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val known =
-      if (index.bloomBytes == null)
-        totals.select(col("doc_id"), lit(0L).as("n_known")).limit(0)
-      else graft.operators.Sampling
-        .bloomProbe(sh, index.evalSh, index.bloomBytes, 1)
-        .withColumnRenamed("n_shared", "n_known")
-    totals.join(known, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        (col("n_grams") - coalesce(col("n_known"), lit(0L))).as("n_novel"))
-      .withColumn("novelty_micro",
-        floor(col("n_novel") * lit(1000000.0) / col("n_grams")).cast("long"))
+    val withNovel =
+      if (!withinBatch) {
+        val known =
+          if (index.bloomBytes == null)
+            totals.select(col("doc_id"), lit(0L).as("n_known")).limit(0)
+          else graft.operators.Sampling
+            .bloomProbe(sh, index.evalSh, index.bloomBytes, 1)
+            .withColumnRenamed("n_shared", "n_known")
+        totals.join(known, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            (col("n_grams") - coalesce(col("n_known"), lit(0L))).as("n_novel"))
+      } else {
+        // corpus-new (doc, gram) pairs: bloom misses are new for free
+        // (map-side, no false negatives); bloom hits exact-confirm
+        val unknown =
+          if (index.bloomBytes == null) sh
+          else {
+            val mc = graft.operators.Bloom
+              .mightContain(index.bloomBytes, col("sng"))
+            sh.filter(!mc).unionByName(
+              sh.filter(mc).join(index.evalSh, Seq("sng"), "left_anti"))
+          }
+        val novel = unknown
+          .join(unknown.groupBy("sng").agg(min("doc_id").as("first_doc")),
+            "sng")
+          .filter(col("doc_id") === col("first_doc"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+        totals.join(novel, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      }
+    withNovel.withColumn("novelty_micro",
+      floor(col("n_novel") * lit(1000000.0) / col("n_grams")).cast("long"))
   }
 
   /** Continuous scoring against a COMMITTED corpus table of
@@ -64,7 +101,8 @@ object NoveltyStream {
   def startRefreshable(spark: org.apache.spark.sql.SparkSession,
       corpusLoc: String, incoming: DataFrame, dest: GraftTable,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      withinBatch: Boolean = false): StreamingQuery = {
     val id = GraftStreamIngest.txnId(checkpoint)
     var deltaDepth = 0
     val index = new RefreshableStatic[DecontaminateStream.EvalIndex](
@@ -82,7 +120,8 @@ object NoveltyStream {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dest.appendStream(score(index.get(spark), batch), id, batchId)
+        dest.appendStream(
+          score(index.get(spark), batch, withinBatch), id, batchId)
         ()
       }
       .trigger(trigger)

@@ -61,5 +61,61 @@ class BenchStampSpec extends AnyFunSuite {
     val missing = Bench.SentinelQueries.filterNot(known)
     assert(missing.isEmpty,
       s"sentinel names must exist in SparkEntry.queries: $missing")
+    // batch twins substitute only sentinel slots, and resolve too
+    assert(Bench.SentinelBatchTwins.keySet.subsetOf(Bench.SentinelQueries.toSet))
+    val missingTwins = Bench.SentinelBatchTwins.values.filterNot(known).toSeq
+    assert(missingTwins.isEmpty,
+      s"sentinel batch twins must exist in SparkEntry.queries: $missingTwins")
+  }
+
+  test("replaying BENCH_r16's literal sentinel tail stamps sentinel_suspect:true") {
+    // BENCH_r16 (driver artifact, certified window_suspect:false — the
+    // SUITE pass was clean): the sentinels run last, and the window
+    // degraded exactly under the tail — p3 57.8 s vs its own in-suite
+    // 3.525, t13 41.434 vs 1.866, m9 24.356 vs 2.797, d6 25.953 vs
+    // 7.547 — with the post bracket recording the degradation
+    // (post_shuffle 5.528 vs pre_shuffle 0.625). The series built for
+    // round-over-round comparison shipped poisoned and unmarked.
+    val sentinel = Seq(
+      "q11_multi_join" -> 1.158, "q32_tpch_q1" -> 0.319,
+      "d7_dedup_clusters" -> 0.091, "d14_span_dedup" -> 2.322,
+      "s9_ann_ivfpq" -> 1.705, "s17_int8_persisted" -> 1.121,
+      "m7_avi_decode" -> 3.037, "m12_video_neardup" -> 0.838,
+      "e12_stream_trending" -> 2.303, "n9_agg_maintain" -> 3.356,
+      "c8_cluster_split" -> 0.258, "p3_incremental_refresh" -> 57.8,
+      "t13_perplexity" -> 41.434, "m9_audio_neardup" -> 24.356,
+      "d6_embed_neardup_ann" -> 25.953)
+    val insuite = Map(
+      "q11_multi_join" -> 1.221, "q32_tpch_q1" -> 0.579,
+      "d7_dedup_clusters" -> 0.416, "d14_span_dedup" -> 7.144,
+      "s9_ann_ivfpq" -> 9.537, "s17_int8_persisted" -> 3.811,
+      "m7_avi_decode" -> 4.852, "m12_video_neardup" -> 4.347,
+      "e12_stream_trending" -> 7.715, "n9_agg_maintain" -> 4.605,
+      "c8_cluster_split" -> 0.3, "p3_incremental_refresh" -> 3.525,
+      "t13_perplexity" -> 1.866, "m9_audio_neardup" -> 2.797,
+      "d6_embed_neardup_ann" -> 7.547)
+    assert(Bench.sentinelSuspectStamp(sentinel, insuite,
+      preShuffle = 0.625, postShuffle = 5.528, postSpin = 0.612),
+      "the r16 tail must be marked: 8-18x sentinels with a hot post bracket")
+  }
+
+  test("a clean sentinel pass stays sentinel_suspect:false, and a real regression with a clean bracket is NOT laundered") {
+    // clean: solo uncontended walls at or under the contended in-suite
+    // walls, post bracket matching pre
+    val clean = Seq("p3_incremental_refresh" -> 3.1, "t13_perplexity" -> 1.5,
+      "m9_audio_neardup" -> 1.9, "d6_embed_neardup_ann" -> 2.9)
+    val insuite = Map("p3_incremental_refresh" -> 3.525,
+      "t13_perplexity" -> 1.866, "m9_audio_neardup" -> 2.797,
+      "d6_embed_neardup_ann" -> 7.547)
+    assert(!Bench.sentinelSuspectStamp(clean, insuite,
+      preShuffle = 0.625, postShuffle = 0.64, postSpin = 0.61))
+    // a genuine 5x regression with a CLEAN post bracket publishes
+    // unmarked — the stamp flags window noise, not slow code
+    val regressed = Seq("t13_perplexity" -> 9.5)
+    assert(!Bench.sentinelSuspectStamp(regressed, insuite,
+      preShuffle = 0.625, postShuffle = 0.64, postSpin = 0.61))
+    // …and the same regression under a hot bracket IS marked (re-record)
+    assert(Bench.sentinelSuspectStamp(regressed, insuite,
+      preShuffle = 0.625, postShuffle = 5.5, postSpin = 0.61))
   }
 }

@@ -329,4 +329,39 @@ class SamplingSpec extends SparkSpec {
         s"source $src ranks must be dense")
     }
   }
+
+  test("c19 approx gate ≡ exact rank gate, on the real corpus and on a hot-source one") {
+    // The 100 TB path (VERDICT r16 #3): per-source approx-quantile
+    // threshold broadcast back + survivor re-rank. The 0.70-vs-0.75
+    // margin makes the pre-filter provably keep every true
+    // top-quartile row, so the trimmed output must be IDENTICAL to
+    // the exact gate — not merely close.
+    val corpus = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "text")
+    def collected(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(collected(Sampling.qualityGateApprox(corpus)) ===
+      collected(Sampling.qualityGateCore(corpus)),
+      "approx must reproduce the exact gate on the real corpus")
+
+    // a synthetically HOT source — one source carrying 50x the mass of
+    // the others (the window-skew shape the approx path exists for) —
+    // plus a tiny source (n=1: the rank rule keeps it; a global
+    // threshold would starve it) and a tie-heavy source (the trim must
+    // break threshold ties by doc_id exactly like the rank gate)
+    val hot = corpus.filter(col("doc_id") % 2 === 0)
+      .withColumn("source", lit("hot"))
+    val tiny = corpus.orderBy("doc_id").limit(1)
+      .withColumn("source", lit("tiny"))
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val ties = corpus.orderBy("doc_id").limit(10)
+      .withColumn("source", lit("ties"))
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+      .withColumn("text", lit("same text same score for every row"))
+    val skewed = hot.unionByName(tiny).unionByName(ties)
+    assert(collected(Sampling.qualityGateApprox(skewed)) ===
+      collected(Sampling.qualityGateCore(skewed)),
+      "approx must reproduce the exact gate under source skew and ties")
+  }
 }

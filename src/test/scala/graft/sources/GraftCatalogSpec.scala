@@ -317,6 +317,21 @@ class GraftCatalogSpec extends SparkSpec {
       val wantGate = graft.operators.Sampling.c19QualityGate(spark, dir)
         .collect().map(_.toSeq).toSeq
       assert(gotGate === wantGate, "CALL quality_gate must reproduce c19 exactly")
+      // -- quality_gate mode => 'approx': the 100 TB threshold path
+      // (VERDICT r16 #3) must land the SAME rows through the CALL
+      // surface (the default-valued third parameter exercises the
+      // exact path above)
+      spark.sql("CALL gcat.system.quality_gate(" +
+        "'db1.call_docs_src', 'db1.call_gated_approx', mode => 'approx')")
+      val gotApprox = spark.table("gcat.db1.call_gated_approx")
+        .orderBy("source", "rk").collect().map(_.toSeq).toSeq
+      assert(gotApprox === wantGate,
+        "CALL quality_gate(mode => 'approx') must reproduce the exact gate")
+      val badMode = intercept[Exception](spark.sql(
+        "CALL gcat.system.quality_gate(" +
+          "'db1.call_docs_src', 'db1.call_gated_bad', mode => 'fuzzy')"))
+      assert(badMode.getMessage.contains("exact") ||
+        badMode.getMessage.contains("fuzzy"))
       // -- decontaminate ≡ c9 (same eval split: doc_id < 5) -------------
       GraftTable.create(spark, s"$warehouse/db1/call_corpus", docs.schema)
         .append(docs.filter(col("doc_id") >= 5))

@@ -205,4 +205,30 @@ class ChangeRangeMetaSpec extends SparkSpec {
     assert(rows.map(r => (r.getAs[Int]("id"), r.getAs[String]("_change_type")))
       .sortBy(_._1).toSeq === Seq((3, "delete"), (7, "delete"), (11, "delete")))
   }
+
+  test("extension delta nets out remove-then-re-add of one path (hydrated diff is zero)") {
+    // Unreachable with the unique-batch-dir writer (ADVICE r16), but
+    // the invariant belongs to the delta itself: a path live in `p`,
+    // removed by one segment in the range, re-added by a later one, is
+    // live on BOTH sides — the net delta must cancel it, or a stream
+    // walking this range would re-deliver the file's rows.
+    val loc = tmpDir("crm-net")
+    val s1 = GraftTable.writeSegmentFile(loc, 1L,
+      Vector("data/a", "data/b"), Set.empty, Map.empty)
+    val s2 = GraftTable.writeSegmentFile(loc, 2L,
+      Vector.empty, Set("data/a"), Map.empty)
+    val s3 = GraftTable.writeSegmentFile(loc, 3L,
+      Vector("data/a", "data/c"), Set.empty, Map.empty)
+    def raw(v: Long, manifest: Vector[String]) = GraftTable.RawSnapshot(
+      v, "{}", manifest, Vector.empty, Map.empty, Map.empty, 0L,
+      changeCommit = false, Vector.empty)
+    val (removed, added) = GraftTable.commitFileDelta(loc,
+      raw(1, Vector(s1)), raw(3, Vector(s1, s2, s3)))
+    assert(removed === Seq.empty, "data/a is live on both sides")
+    assert(added === Seq("data/c"))
+    // the remove-only pair still reports the gross removal
+    val (r2, a2) = GraftTable.commitFileDelta(loc,
+      raw(1, Vector(s1)), raw(2, Vector(s1, s2)))
+    assert(r2 === Seq("data/a") && a2 === Seq.empty)
+  }
 }

@@ -46,6 +46,41 @@ class NoveltyStreamSpec extends SparkSpec {
     assert(t18(21L)._2 === 1L, "t18 credits the shared gram to doc 20 alone")
   }
 
+  test("withinBatch=true closes the sharing gap: score ≡ t19's declarative composition, sketch path included") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e f"), (2L, "p q r s t"))
+    // docs 20/21 share the corpus-new gram w1w2w3 — the shape the
+    // default semantics admit twice; 21 also carries its own new gram
+    val batch = Seq((10L, "a b c d x y"), (11L, "m n o p2 q2"),
+      (20L, "w1 w2 w3"), (21L, "w1 w2 w3 z1"))
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val batchDf = batch.toDF("doc_id", "text")
+    val idx = DecontaminateStream.buildIndex(corpusDf)
+    val got = NoveltyStream.score(idx, batchDf, withinBatch = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    idx.release()
+    // the shared corpus-new gram is credited to doc 20 ALONE now
+    assert(got(20L) === ((1L, 1L, 1000000L)))
+    assert(got(21L) === ((2L, 1L, 500000L)),
+      s"doc 21 keeps only its own gram z-tail: $got")
+    // …and the whole map equals t19's declarative body (the oracle's
+    // form: vocab anti-join + min-doc rule), sketch prefilter and all
+    val want = graft.operators.TextAnalysis
+      .batchNoveltyCore(corpusDf, batchDf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === want, "stream withinBatch ≡ t19 batchNoveltyCore")
+    // empty corpus: every gram novel, min-doc rule still applies
+    val emptyIdx = DecontaminateStream.buildIndex(
+      spark.emptyDataset[(Long, String)].toDF("doc_id", "text"))
+    val gotEmpty = NoveltyStream.score(emptyIdx, batchDf, withinBatch = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    emptyIdx.release()
+    assert(gotEmpty(20L) === 1L && gotEmpty(21L) === 1L,
+      "empty corpus: the shared gram still lands on doc 20 alone")
+  }
+
   test("refreshable vocabulary: a doc ACCEPTED mid-stream stops being novel for later batches; delta path exercised") {
     import spark.implicits._
     val textA = "alpha beta gamma delta epsilon"
