@@ -799,7 +799,54 @@ object Sampling {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Per-source KEEP-THRESHOLDS of a corpus: the minimum quality among
+    * each source's exact-gate keepers — i.e. the quality of the
+    * ceil(n/4)-th ranked doc, the serving boundary c20 and
+    * [[graft.streaming.GateStream]] apply to intake. Derived through
+    * [[qualityGateApprox]] (identical output to the exact gate, window
+    * input ~3.3× smaller), so the threshold recompute is scale-safe. */
+  private[graft] def gateThresholds(corpus: DataFrame): DataFrame =
+    qualityGateApprox(corpus)
+      .groupBy("source").agg(min("quality_micro").as("thr"))
+
+  /** c20: CORPUS-THRESHOLD gate over an intake batch — the SERVING
+    * shape of c19's quartile rule: the per-source quality boundary is
+    * computed ONCE from the committed corpus (the distribution you
+    * trust), then applied to intake batches as a cheap broadcast
+    * filter — no window over the batch at all, and batch composition
+    * cannot move the bar (c19 over a batch would rank the batch
+    * against itself: a uniformly-bad batch still keeps its top
+    * quarter; the serving gate drops all of it). A batch source ABSENT
+    * from the corpus is kept whole — a brand-new source has no
+    * distribution to gate against yet (the mix-preservation stance:
+    * never silently empty a domain). Batch split per the incremental
+    * family's convention (d15/d16: `doc_id % 10 == 7` is intake). */
+  def c20ThresholdGate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    thresholdGateCore(d.filter(col("doc_id") % 10 =!= 7),
+      d.filter(col("doc_id") % 10 === 7))
+  }
+
+  /** (doc_id, source, quality_micro) of an arbitrary (doc_id, source,
+    * text) frame through t15's ONE shared logit — the scoring step
+    * c19/c20/GateStream all start from. */
+  private[graft] def qualityScored(batch: DataFrame): DataFrame =
+    batch.select(col("doc_id").cast("long").as("doc_id"), col("source"),
+      TextAnalysis.qualityLogitMicro.as("quality_micro"))
+
+  /** c20's body over ARBITRARY corpus/batch (doc_id, source, text)
+    * frames — shared with [[graft.streaming.GateStream]] so the
+    * continuous twin cannot drift. */
+  private[graft] def thresholdGateCore(corpus: DataFrame,
+      batch: DataFrame): DataFrame =
+    qualityScored(batch)
+      .join(broadcast(gateThresholds(corpus)), Seq("source"), "left")
+      .filter(col("thr").isNull || col("quality_micro") >= col("thr"))
+      .select(col("doc_id"), col("source"), col("quality_micro"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c20_threshold_gate" -> (c20ThresholdGate _),
     "c19_quality_gate" -> (c19QualityGate _),
     "c13_epoch_mix" -> ((s, dir) => c13EpochMix(s, dir)),
     "c11_token_budget_mix" -> ((s, dir) => c11TokenBudgetMix(s, dir)),
@@ -821,6 +868,26 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    // corpus = doc_id % 10 != 7, batch = the rest; threshold = the
+    // quality of each corpus source's ceil(n/4)-th ranked doc; a batch
+    // source absent from the corpus is kept whole
+    "c20_threshold_gate" ->
+      (s"""WITH ${TextAnalysis.QualityFeatureCtesSql},
+         |scored AS (SELECT f.doc_id, d.source,
+         |    ${TextAnalysis.QualityLogitMicroSql} quality_micro
+         |  FROM f JOIN documents d USING (doc_id)),
+         |ranked AS (SELECT source, quality_micro,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY quality_micro DESC, doc_id) AS BIGINT) rk,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) n_src
+         |  FROM scored WHERE doc_id % 10 != 7),
+         |thr AS (SELECT source, min(quality_micro) thr FROM ranked
+         |        WHERE rk * 4 <= n_src + 3 GROUP BY source)
+         |SELECT s.doc_id, s.source, s.quality_micro
+         |FROM scored s LEFT JOIN thr USING (source)
+         |WHERE s.doc_id % 10 = 7
+         |  AND (thr.thr IS NULL OR s.quality_micro >= thr.thr)
+         |ORDER BY s.doc_id""".stripMargin),
     "c19_quality_gate" ->
       (s"""WITH ${TextAnalysis.QualityFeatureCtesSql},
          |scored AS (SELECT f.doc_id, d.source,

@@ -60,6 +60,7 @@ import graft.storage.GraftTable
   *   CALL graft.system.ngram_novelty('db.t', 'db.novelty')        -- t18
   *   CALL graft.system.quality_gate('db.t', 'db.gated')           -- c19
   *   CALL graft.system.novelty_match('db.batch', 'db.corpus', 'db.out')
+  *   CALL graft.system.threshold_gate('db.batch', 'db.corpus', 'db.kept') -- c20
   *   CALL graft.system.dataset_card('db.t', 'db.card')            -- c16
   *   CALL graft.system.contamination_report('db.t', 'db.eval', 'db.rep') -- c15
   *   CALL graft.system.source_mix('db.t', 'db.mix')     -- c3 as SQL
@@ -98,7 +99,7 @@ private[sources] object GraftProcedures {
       "dedup_exact", "decontaminate", "ann_probe", "ann_drift",
       "ann_rebuild", "dedup_spans", "contamination_report",
       "source_mix", "split_assign", "quality_votes", "dataset_card",
-      "ngram_novelty", "quality_gate", "novelty_match",
+      "ngram_novelty", "quality_gate", "novelty_match", "threshold_gate",
       "ann_probe_int8", "ann_probe_pq", "ann_probe_bin", "ann_verify",
       "ann_delete", "ann_build", "ann_quantize", "ann_append",
       "ann_stats", "ann_compact", "ann_drop", "pii_scrub", "lang_id",
@@ -166,7 +167,8 @@ private[sources] object GraftProcedures {
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("fingerprints", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
-          else if (procName == "novelty_match")
+          else if (procName == "novelty_match" ||
+              procName == "threshold_gate")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("corpus", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
@@ -655,7 +657,7 @@ private[sources] object GraftProcedures {
               procName == "video_index" || procName == "video_match" ||
               procName == "video_index_append" ||
               procName == "ngram_novelty" || procName == "quality_gate" ||
-              procName == "novelty_match") {
+              procName == "novelty_match" || procName == "threshold_gate") {
             val spark = SparkSession.active
             val (metric, n) = procName match {
               case "dedup_exact" =>
@@ -737,6 +739,19 @@ private[sources] object GraftProcedures {
                 ("fingerprints_written",
                   writeResult(
                     graft.operators.Multimodal.phashFingerprints(t.read()), 1))
+              case "threshold_gate" =>
+                // c20's serving shape from SQL: the intake table gated
+                // by per-source quality thresholds computed from a
+                // COMMITTED corpus (GateStream's batch body) — the bar
+                // comes from the distribution you trust, not from the
+                // batch ranking itself
+                val corpName = checkName(input.getUTF8String(1).toString)
+                val corpDir = tableDir(corpName)
+                require(GraftTable.exists(corpDir), s"no graft table $corpName")
+                ("batch_docs_kept",
+                  writeResult(
+                    graft.operators.Sampling.thresholdGateCore(
+                      GraftTable.open(spark, corpDir).read(), t.read()), 2))
               case "novelty_match" =>
                 // intake batch scored against a COMMITTED corpus
                 // vocabulary (NoveltyStream's batch body): shingle ∝

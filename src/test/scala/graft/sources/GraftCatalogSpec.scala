@@ -332,6 +332,20 @@ class GraftCatalogSpec extends SparkSpec {
           "'db1.call_docs_src', 'db1.call_gated_bad', mode => 'fuzzy')"))
       assert(badMode.getMessage.contains("exact") ||
         badMode.getMessage.contains("fuzzy"))
+      // -- threshold_gate ≡ c20 (corpus-threshold serving gate) ----------
+      GraftTable.create(spark, s"$warehouse/db1/call_gate_corpus",
+          docsSrc.schema)
+        .append(docsSrc.filter(col("doc_id") % 10 =!= 7))
+      GraftTable.create(spark, s"$warehouse/db1/call_gate_batch",
+          docsSrc.schema)
+        .append(docsSrc.filter(col("doc_id") % 10 === 7))
+      spark.sql("CALL gcat.system.threshold_gate(" +
+        "'db1.call_gate_batch', 'db1.call_gate_corpus', 'db1.call_gate_kept')")
+      val gotTg = spark.table("gcat.db1.call_gate_kept")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val wantTg = graft.operators.Sampling.c20ThresholdGate(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(gotTg === wantTg, "CALL threshold_gate must reproduce c20 exactly")
       // -- decontaminate ≡ c9 (same eval split: doc_id < 5) -------------
       GraftTable.create(spark, s"$warehouse/db1/call_corpus", docs.schema)
         .append(docs.filter(col("doc_id") >= 5))

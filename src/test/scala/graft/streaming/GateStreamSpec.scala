@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.storage.GraftTable
+
+/** Streaming quality gate ≡ the batch c20 (corpus-threshold serving
+  * semantics), and corpus ticks move the bar mid-stream through the
+  * refreshable threshold map. */
+class GateStreamSpec extends SparkSpec {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("source", StringType),
+    StructField("text", StringType)))
+
+  // measured relative quality is asserted, not assumed, in each test
+  private val hiText = "The quick brown fox jumps over the lazy dog and " +
+    "then settles quietly beside the river bank to watch the evening sky."
+  private val loText = "zz zz zz !!! ### zz !!!"
+
+  private def scoreOf(text: String): Long = {
+    import spark.implicits._
+    GateStream.gate(Map.empty,
+      Seq((1L, "probe", text)).toDF("doc_id", "source", "text"))
+      .collect().head.getLong(2)
+  }
+
+  test("drained gate ≡ c20's thresholdGateCore; an unseen source passes whole") {
+    import spark.implicits._
+    assert(scoreOf(hiText) > scoreOf(loText), "probe texts must separate")
+    val corpus = (0 until 8).map(i =>
+      (100L + i, "s1", if (i % 2 == 0) hiText else loText)) ++
+      (0 until 4).map(i => (200L + i, "s2", loText))
+    val batch = Seq((1L, "s1", hiText), (2L, "s1", loText),
+      (3L, "s2", loText), (4L, "brand_new", loText))
+    val corpusDf = corpus.toDF("doc_id", "source", "text")
+    val batchDf = batch.toDF("doc_id", "source", "text")
+
+    val corpusLoc = tmpDir("gate-eq") + "/corpus"
+    GraftTable.create(spark, corpusLoc, docSchema).append(corpusDf)
+    val src = tmpDir("gate-eq-src")
+    batchDf.write.parquet(s"$src/part=a")
+    val incoming = spark.readStream.schema(docSchema)
+      .option("recursiveFileLookup", "true").parquet(src)
+    val dstLoc = tmpDir("gate-eq-dst") + "/t"
+    val dst = GraftTable.create(spark, dstLoc, StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("quality_micro", LongType))))
+    val q = GateStream.startRefreshable(spark, corpusLoc, incoming, dst,
+      tmpDir("gate-eq-ckpt"))
+    try require(q.awaitTermination(120000), "gate drain timed out")
+    finally q.stop()
+
+    val got = dst.read().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    val want = graft.operators.Sampling.thresholdGateCore(corpusDf, batchDf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got === want, "stream gate ≡ c20 core")
+    // and the semantics are the intended ones: hi passes s1's bar, lo
+    // does not (s1's quartile boundary is a hi score); s2 (all-lo
+    // corpus) keeps its lo doc; the corpus-unseen source passes whole
+    val ids = got.map(_._1).toSet
+    assert(ids === Set(1L, 3L, 4L), s"kept $ids")
+    GraftTable.drop(corpusLoc); GraftTable.drop(dstLoc)
+  }
+
+  test("a corpus tick RAISES the bar mid-stream: the same lo doc passes before, drops after") {
+    import spark.implicits._
+    assert(scoreOf(hiText) > scoreOf(loText), "probe texts must separate")
+    val corpusLoc = tmpDir("gate-tick") + "/corpus"
+    val corpusT = GraftTable.create(spark, corpusLoc, docSchema)
+    // v1: four lo docs → one keeper (ceil(4/4)), threshold = lo score
+    corpusT.append((0 until 4).map(i => (100L + i, "s1", loText))
+      .toDF("doc_id", "source", "text"))
+
+    val src = tmpDir("gate-tick-src")
+    Seq((1L, "s1", loText)).toDF("doc_id", "source", "text")
+      .write.parquet(s"$src/part=a")
+    val incoming = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true").parquet(src)
+    val dstLoc = tmpDir("gate-tick-dst") + "/t"
+    val dst = GraftTable.create(spark, dstLoc, StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("quality_micro", LongType))))
+    val q = GateStream.startRefreshable(spark, corpusLoc, incoming, dst,
+      tmpDir("gate-tick-ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+    def awaitIds(want: Set[Long], what: String): Unit = {
+      val t0 = System.nanoTime()
+      def ids() = dst.read().collect().map(_.getLong(0)).toSet
+      while (ids() != want) {
+        assert((System.nanoTime() - t0) / 1e9 < 90,
+          s"timed out on $what: have ${ids()}, want $want")
+        Thread.sleep(250)
+      }
+    }
+    try {
+      // lo clears the all-lo corpus bar
+      awaitIds(Set(1L), "the pre-tick keep")
+      // twelve hi docs accepted → s1's keepers are all hi → bar = hi
+      corpusT.append((200 until 212).map(i => (i.toLong, "s1", hiText))
+        .toDF("doc_id", "source", "text"))
+      Seq((2L, "s1", loText), (3L, "s1", hiText))
+        .toDF("doc_id", "source", "text").write.parquet(s"$src/part=b")
+      // doc 3 (hi) passes the raised bar; doc 2 (lo) must never land
+      awaitIds(Set(1L, 3L), "the post-tick gate")
+      Thread.sleep(1000)
+      assert(dst.read().collect().map(_.getLong(0)).toSet === Set(1L, 3L),
+        "the lo doc must stay dropped after the tick")
+    } finally q.stop()
+    GraftTable.drop(corpusLoc); GraftTable.drop(dstLoc)
+  }
+
+  test("affected-source delta ≡ full rebuild; untouched sources keep their entry") {
+    import spark.implicits._
+    val corpusLoc = tmpDir("gate-delta") + "/corpus"
+    val t = GraftTable.create(spark, corpusLoc, docSchema)
+    t.append((Seq((1L, "a", loText), (2L, "a", loText), (3L, "a", loText),
+      (4L, "a", loText)) ++ (10 until 14).map(i => (i.toLong, "b", hiText)))
+      .toDF("doc_id", "source", "text"))
+    val v0 = t.version
+    val cur = GateStream.thresholds(
+      GraftTable.openVersion(spark, corpusLoc, v0).read())
+    // the tick: hi docs accepted into source a ONLY
+    val delta = (20 until 32).map(i => (i.toLong, "a", hiText))
+      .toDF("doc_id", "source", "text")
+    t.append(delta)
+    val got = GateStream.deltaThresholds(spark, corpusLoc, cur, delta,
+      t.version)
+    val want = GateStream.thresholds(
+      GraftTable.openVersion(spark, corpusLoc, t.version).read())
+    assert(got === Some(want), "delta must equal the full rebuild")
+    assert(got.get("a") > cur("a"), "source a's bar must rise")
+    assert(got.get("b") === cur("b"), "source b's entry is untouched")
+    // an empty delta is a no-op; a backfill-wide one falls back
+    assert(GateStream.deltaThresholds(spark, corpusLoc, cur,
+      delta.limit(0), t.version) === Some(cur))
+    GraftTable.drop(corpusLoc)
+  }
+}
