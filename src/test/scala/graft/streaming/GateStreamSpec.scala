@@ -114,13 +114,17 @@ class GateStreamSpec extends SparkSpec {
     GraftTable.drop(corpusLoc); GraftTable.drop(dstLoc)
   }
 
-  test("affected-source delta ≡ full rebuild; untouched sources keep their entry") {
+  test("affected-source delta ≡ full rebuild, untouched sources keep their entry, and the recompute reads ∝ the touched source") {
     import spark.implicits._
     val corpusLoc = tmpDir("gate-delta") + "/corpus"
     val t = GraftTable.create(spark, corpusLoc, docSchema)
-    t.append((Seq((1L, "a", loText), (2L, "a", loText), (3L, "a", loText),
-      (4L, "a", loText)) ++ (10 until 14).map(i => (i.toLong, "b", hiText)))
-      .toDF("doc_id", "source", "text"))
+    // source b is the BULK of the corpus, committed in its own append
+    // so its files carry only b (source-clustered — the zone-map shape
+    // a curation pipeline's per-source intake produces naturally)
+    t.append((0 until 3000).map(i => (1000L + i, "b", hiText))
+      .toDF("doc_id", "source", "text").repartition(8))
+    t.append(Seq((1L, "a", loText), (2L, "a", loText), (3L, "a", loText),
+      (4L, "a", loText)).toDF("doc_id", "source", "text"))
     val v0 = t.version
     val cur = GateStream.thresholds(
       GraftTable.openVersion(spark, corpusLoc, v0).read())
@@ -128,13 +132,30 @@ class GateStreamSpec extends SparkSpec {
     val delta = (20 until 32).map(i => (i.toLong, "a", hiText))
       .toDF("doc_id", "source", "text")
     t.append(delta)
+    val records = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            records.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+      })
+    records.set(0L)
     val got = GateStream.deltaThresholds(spark, corpusLoc, cur, delta,
       t.version)
+    Thread.sleep(1000) // listener bus drains asynchronously
+    val deltaReads = records.get()
     val want = GateStream.thresholds(
       GraftTable.openVersion(spark, corpusLoc, t.version).read())
     assert(got === Some(want), "delta must equal the full rebuild")
     assert(got.get("a") > cur("a"), "source a's bar must rise")
     assert(got.get("b") === cur("b"), "source b's entry is untouched")
+    // the recompute scans source a's rows (16, a few plan passes),
+    // never the 3000-row bulk: the source filter prunes b's files by
+    // their zone maps before any row is read
+    assert(deltaReads < 500L,
+      s"an a-only tick read $deltaReads records — it must not scan " +
+        "source b's 3000-row corpus mass")
     // an empty delta is a no-op; a backfill-wide one falls back
     assert(GateStream.deltaThresholds(spark, corpusLoc, cur,
       delta.limit(0), t.version) === Some(cur))
