@@ -167,11 +167,19 @@ private[sources] object GraftProcedures {
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("fingerprints", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
-          else if (procName == "novelty_match" ||
-              procName == "threshold_gate")
+          else if (procName == "threshold_gate")
             Array(ProcedureParameter.in("table", StringType).build(),
               ProcedureParameter.in("corpus", StringType).build(),
               ProcedureParameter.in("target", StringType).build())
+          else if (procName == "novelty_match")
+            // within_batch => true composes t18's min-doc rule inside
+            // the batch after the corpus check (t19's semantics): one
+            // intake batch admits ONE copy of a novel document, not N
+            Array(ProcedureParameter.in("table", StringType).build(),
+              ProcedureParameter.in("corpus", StringType).build(),
+              ProcedureParameter.in("target", StringType).build(),
+              ProcedureParameter.in("within_batch", BooleanType)
+                .defaultValue("false").build())
           else if (procName == "phash_index_append" ||
               procName == "audio_index_append" ||
               procName == "video_index_append")
@@ -760,11 +768,13 @@ private[sources] object GraftProcedures {
                 val corpName = checkName(input.getUTF8String(1).toString)
                 val corpDir = tableDir(corpName)
                 require(GraftTable.exists(corpDir), s"no graft table $corpName")
+                val withinBatch = input.numFields >= 4 &&
+                  !input.isNullAt(3) && input.getBoolean(3)
                 val idx = graft.streaming.DecontaminateStream
                   .buildIndex(GraftTable.open(spark, corpDir).read())
                 try ("batch_docs_scored",
-                  writeResult(
-                    graft.streaming.NoveltyStream.score(idx, t.read()), 2))
+                  writeResult(graft.streaming.NoveltyStream
+                    .score(idx, t.read(), withinBatch), 2))
                 finally idx.release()
               case "phash_match" =>
                 // intake batch vs COMMITTED fingerprints: hash ∝ batch,

@@ -363,5 +363,14 @@ class SamplingSpec extends SparkSpec {
     assert(collected(Sampling.qualityGateApprox(skewed)) ===
       collected(Sampling.qualityGateCore(skewed)),
       "approx must reproduce the exact gate under source skew and ties")
+
+    // plan shape: the per-source threshold table comes back as a
+    // BROADCAST (never a shuffled join), and nothing is quadratic
+    val plan = Sampling.qualityGateApprox(corpus)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      "the threshold join must broadcast the tiny per-source table")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
   }
 }

@@ -372,6 +372,17 @@ class GraftCatalogSpec extends SparkSpec {
       assert(gotNm === wantNm,
         "CALL novelty_match must reproduce the stream's batch scorer")
       assert(gotNm.nonEmpty, "the eval batch must score")
+      // -- novelty_match within_batch => true ≡ t19's composed body -----
+      spark.sql("CALL gcat.system.novelty_match('db1.call_eval', " +
+        "'db1.call_corpus', 'db1.call_nm_wb', within_batch => true)")
+      val gotWb = spark.table("gcat.db1.call_nm_wb")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val wantWb = graft.operators.TextAnalysis.batchNoveltyCore(
+        GraftTable.open(spark, s"$warehouse/db1/call_corpus").read(),
+        GraftTable.open(spark, s"$warehouse/db1/call_eval").read())
+        .collect().map(_.toSeq).toSeq
+      assert(gotWb === wantWb,
+        "CALL novelty_match(within_batch => true) must reproduce t19's body")
       // -- ann_probe ≡ s7's probe --------------------------------------
       val root = graft.operators.Similarity.ivfIndexDir(spark, dir)
       Seq("centroids", "postings").foreach(t =>

@@ -26,6 +26,15 @@ class GateStreamSpec extends SparkSpec {
       .collect().head.getLong(2)
   }
 
+  test("the per-batch gate is shuffle-free: score + map-literal lookup, no Exchange") {
+    import spark.implicits._
+    val plan = GateStream.gate(Map("s1" -> 5L, "s2" -> 7L),
+      Seq((1L, "s1", hiText)).toDF("doc_id", "source", "text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"the batch gate must be a narrow map-side filter, got:\n$plan")
+  }
+
   test("drained gate ≡ c20's thresholdGateCore; an unseen source passes whole") {
     import spark.implicits._
     assert(scoreOf(hiText) > scoreOf(loText), "probe texts must separate")
