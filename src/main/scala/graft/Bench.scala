@@ -24,18 +24,31 @@ object Bench {
     *    throttling that leaves the single-core spin clean (each
     *    par-spin thread runs the full single-spin workload, so the
     *    unthrottled ratio is ~1).
+    *  - cpu/wall of the CERTIFIED pass under half the query-thread
+    *    parallelism floor (round 17): the one discriminator ambient
+    *    contention cannot dodge — a contended window burns the SAME
+    *    process-CPU over a longer wall (observed: clean 10.5 CPU-s per
+    *    wall-s at 32 cores / 10 query threads; a 3.4×-degraded window
+    *    that slipped BOTH other discriminators — calib 0.72, passes
+    *    agreeing at 1.07 — ran 3.7). A true engine regression grows
+    *    wall AND cpu together and keeps the ratio.
     * Single-pass smoke runs (SPARK_GRAFT_BENCH_RUNS=1) self-report
     * from the in-suite median alone, as before. */
   private[graft] def windowSuspectStamp(multiPass: Boolean,
       twoBestAgree: Boolean, calibInsuiteBest: Double,
       preSpin: Double, preParSpin: Double,
       postSpin: Double, postParSpin: Double,
-      insuiteMedian: Double): Boolean =
+      insuiteMedian: Double,
+      certCpuPerWall: Double = Double.NaN, cpus: Int = 32): Boolean =
     if (!multiPass) insuiteMedian > 0.7
     else {
       val parHot = math.min(preParSpin / math.max(0.1, preSpin),
         postParSpin / math.max(0.1, postSpin)) > 2.0
-      !twoBestAgree || calibInsuiteBest > 0.8 || parHot
+      // floor = half of the effective parallelism (10 query threads,
+      // or the core count when smaller)
+      val cpuStarved = !certCpuPerWall.isNaN &&
+        certCpuPerWall < math.min(cpus.toDouble, 10.0) / 2.0
+      !twoBestAgree || calibInsuiteBest > 0.8 || parHot || cpuStarved
     }
 
   /** The fixed cross-round perf sentinel (VERDICT r15 #4): one query
@@ -661,7 +674,9 @@ object Bench {
       calibInsuiteBest = calibInsuiteBest,
       preSpin = calibPreSpin, preParSpin = calibPreParSpin,
       postSpin = calibPostSpin, postParSpin = calibPostParSpin,
-      insuiteMedian = calibInsuite)
+      insuiteMedian = calibInsuite,
+      certCpuPerWall = passCpu(bestIdx) / math.max(1e-9, total),
+      cpus = cpus.toInt)
     // the sentinel series gets its OWN guard (VERDICT r16 #2):
     // window_suspect certifies the suite's best pass, but the
     // sentinels run last and a late-degrading window poisons exactly

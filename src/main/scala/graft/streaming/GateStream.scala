@@ -53,18 +53,38 @@ object GateStream {
     rows.map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
+  /** Above this source count the threshold map stops riding the plan
+    * as a literal (a 100k+-entry literal bloats every micro-batch's
+    * plan and its codegen) and becomes a broadcast join instead. */
+  val MaxLiteralSources = 10000
+
   /** Gate one (micro-)batch of (doc_id, source, text): kept rows as
     * (doc_id, source, quality_micro) — c20's output shape. */
-  def gate(thr: Map[String, Long], batch: DataFrame): DataFrame = {
+  def gate(thr: Map[String, Long], batch: DataFrame): DataFrame =
+    gateImpl(thr, batch, literal = thr.size <= MaxLiteralSources)
+
+  private[streaming] def gateImpl(thr: Map[String, Long], batch: DataFrame,
+      literal: Boolean): DataFrame = {
     val scored = graft.operators.Sampling.qualityScored(batch)
     if (thr.isEmpty) scored
-    else
+    else if (literal)
       // the map rides the plan as a literal MapType column — tiny by
-      // the MaxSources contract, no join, no shuffle; element_at on a
-      // missing source is NULL = ungated (the new-source keep rule)
+      // the MaxLiteralSources bound, no join, no shuffle; element_at
+      // on a missing source is NULL = ungated (the new-source keep
+      // rule)
       scored.withColumn("thr", element_at(typedLit(thr), col("source")))
         .filter(col("thr").isNull || col("quality_micro") >= col("thr"))
         .drop("thr")
+    else {
+      // wide-cardinality corpus: same semantics through a broadcast
+      // LEFT join (still no shuffle of the batch side)
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val thrDf = thr.toSeq.toDF("source", "thr")
+      scored.join(broadcast(thrDf), Seq("source"), "left")
+        .filter(col("thr").isNull || col("quality_micro") >= col("thr"))
+        .select(col("doc_id"), col("source"), col("quality_micro"))
+    }
   }
 
   /** Delta refresh by AFFECTED SOURCE (the RangeJoinStream affected-

@@ -32,6 +32,32 @@ class BenchStampSpec extends AnyFunSuite {
       postSpin = 0.613, postParSpin = 0.657, insuiteMedian = 0.692))
   }
 
+  test("a cpu-starved certified pass stamps suspect even when calib and agreement both read clean") {
+    // round-17 local recording, literal numbers: suite_sec_runs
+    // [178.275, 117.669, 126.255] — two best agree at 1.073 — with
+    // calib_insuite_best 0.72 (under the 0.8 bar) in a window a rerun
+    // showed is ~31-46 s clean. The certified pass burned 436.8 CPU-s
+    // over 117.7 wall-s = 3.7 cpu/wall vs the clean 10.5: flat CPU +
+    // inflated wall is ambient contention, and it is the one
+    // discriminator a uniformly-degraded window cannot dodge.
+    assert(Bench.windowSuspectStamp(multiPass = true, twoBestAgree = true,
+      calibInsuiteBest = 0.72, preSpin = 0.65, preParSpin = 0.70,
+      postSpin = 0.66, postParSpin = 0.71, insuiteMedian = 0.74,
+      certCpuPerWall = 436.8 / 117.669, cpus = 32),
+      "3.7 cpu/wall at 32 cores must stamp suspect")
+    // …while the clean recording (10.5 cpu/wall) stays unmarked
+    assert(!Bench.windowSuspectStamp(multiPass = true, twoBestAgree = true,
+      calibInsuiteBest = 0.679, preSpin = 0.65, preParSpin = 0.70,
+      postSpin = 0.66, postParSpin = 0.71, insuiteMedian = 0.70,
+      certCpuPerWall = 330.8 / 31.424, cpus = 32))
+    // …and a REAL regression keeps its ratio: wall 3× with cpu 3× is
+    // not starved and publishes unmarked
+    assert(!Bench.windowSuspectStamp(multiPass = true, twoBestAgree = true,
+      calibInsuiteBest = 0.68, preSpin = 0.65, preParSpin = 0.70,
+      postSpin = 0.66, postParSpin = 0.71, insuiteMedian = 0.70,
+      certCpuPerWall = 990.0 / 94.0, cpus = 32))
+  }
+
   test("sustained quota throttling (par-spin hot at BOTH brackets) stamps suspect even with a clean single spin") {
     assert(Bench.windowSuspectStamp(multiPass = true, twoBestAgree = true,
       calibInsuiteBest = 0.65, preSpin = 0.65, preParSpin = 2.8,

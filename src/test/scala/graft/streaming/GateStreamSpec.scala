@@ -35,6 +35,23 @@ class GateStreamSpec extends SparkSpec {
       s"the batch gate must be a narrow map-side filter, got:\n$plan")
   }
 
+  test("the wide-cardinality fallback (broadcast join) ≡ the literal-map path") {
+    import spark.implicits._
+    val batch = Seq((1L, "s1", hiText), (2L, "s1", loText),
+      (3L, "unseen", loText)).toDF("doc_id", "source", "text")
+    val mid = (scoreOf(hiText) + scoreOf(loText)) / 2
+    val thr = Map("s1" -> mid, "s2" -> 0L)
+    def rows(literal: Boolean) =
+      GateStream.gateImpl(thr, batch, literal).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val lit = rows(literal = true)
+    assert(lit === rows(literal = false),
+      "both gate plans must keep exactly the same rows")
+    assert(lit.map(_._1) === Seq(1L, 3L),
+      "hi clears the bar, lo does not, the unseen source passes whole")
+  }
+
   test("drained gate ≡ c20's thresholdGateCore; an unseen source passes whole") {
     import spark.implicits._
     assert(scoreOf(hiText) > scoreOf(loText), "probe texts must separate")
