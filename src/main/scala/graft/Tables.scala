@@ -40,7 +40,20 @@ object Tables {
     * writer. */
   val sessionConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
+    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+    // Shuffle writer (optimization round 17, guide §2.1/§2.2): with
+    // reduce-partition counts ≤ 200 Spark picks the bypass-merge writer,
+    // which opens one stream+temp file PER REDUCE PARTITION per map task
+    // — measured ~130 ms of task CPU per map task at 32 partitions on
+    // this box (ProfTaskFloor; ~4 ms/stream), INDEPENDENT of data size,
+    // and a 195-query suite of small keyed shuffles pays it tens of
+    // thousands of times. Forcing the serialized sort writer (the same
+    // writer every >200-partition at-scale shuffle uses — production
+    // shuffles never see the bypass path) cuts the floor to ~15 ms/task
+    // (8×). Scale-faithful: this makes local small-partition shuffles
+    // take the identical code path they would at the 100 TB design
+    // point, rather than a local-only special case.
+    "spark.shuffle.sort.bypassMergeThreshold" -> "0")
 
   /** The events table's `ts` physical encoding is the data generator's
     * choice, not ours, and it has changed across regenerations — the

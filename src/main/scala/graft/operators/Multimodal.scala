@@ -64,6 +64,21 @@ object Multimodal {
     img
   }
 
+  /** Fan the tiny pre-synthesis rows across the cluster before a codec
+    * stage (optimization round 17, guide §2.5 input skew): at bench
+    * scale the whole documents table is ONE parquet file — one scan
+    * task — so every encode→decode chain above it ran SERIAL (m7
+    * measured 4.0 s solo with 31 cores idle; the codec work is the
+    * query). The exchange moves only id-grain rows (a few bytes each),
+    * never media payloads. At 100 TB real media arrives as many files
+    * and the scan parallelizes on its own, so the same exchange is
+    * noise there. Hash-partitioned on the id column — deterministic
+    * under task retry (guide §2.5's rand()-repartition warning). */
+  private def fanOut[T](ds: org.apache.spark.sql.Dataset[T])
+      : org.apache.spark.sql.Dataset[T] =
+    ds.repartition(ds.sparkSession.sparkContext.defaultParallelism,
+      col(ds.columns(0)))
+
   final case class MediaRow(doc_id: Long, text: String, width: Int, height: Int)
   final case class Feature(doc_id: Long, width: Long, height: Long, mean_ok: Long)
 
@@ -74,12 +89,12 @@ object Multimodal {
   private def mediaRows(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[MediaRow] = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(
+    fanOut(Tables.load(s, dir, "documents").select(
       col("doc_id").cast("long").as("doc_id"),
       col("text"),
       (col("n_chars") % 64 + 16).cast("int").as("width"),
       (col("doc_id") % 32 + 16).cast("int").as("height"))
-      .as[MediaRow]
+      .as[MediaRow])
   }
 
   /** Grayscale codes of a media row (character domain, like m4's PNG
@@ -161,10 +176,10 @@ object Multimodal {
     * full encode→decode chain, not arithmetic on source bytes. */
   def m2FrameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = Tables.load(s, dir, "documents").select(
+    val media = fanOut(Tables.load(s, dir, "documents").select(
       col("doc_id").cast("long").as("doc_id"),
       (length(col("text")) / FrameBytes).cast("int").as("n_frames"))
-      .as[(Long, Int)]
+      .as[(Long, Int)])
     media.mapPartitions { it =>
       val codec = new JpegCodec
       it.flatMap { case (id, nFrames) =>
@@ -278,12 +293,12 @@ object Multimodal {
   private[graft] def pngEncoded(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(
+    fanOut(Tables.load(s, dir, "documents").select(
       col("doc_id").cast("long").as("doc_id"),
       col("text"),
       (col("n_chars") % 64 + 16).cast("int").as("w"),
       (col("doc_id") % 32 + 16).cast("int").as("h"))
-      .as[(Long, String, Int, Int)]
+      .as[(Long, String, Int, Int)])
       .mapPartitions { it =>
         // ImageIO's default stream cache spills through a TEMP FILE per
         // image — memory-cached streams are ~10× faster and identical
@@ -396,7 +411,7 @@ object Multimodal {
     * with m10's corpus/batch split. */
   private def renderHashes(s: SparkSession, docsDf: DataFrame): DataFrame = {
     import s.implicits._
-    docsDf.as[(Long, String)].mapPartitions { it =>
+    fanOut(docsDf.as[(Long, String)]).mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.grouped(DecodeBatch).flatMap(_.map { case (id, text) =>
         val codes =
@@ -872,8 +887,8 @@ object Multimodal {
   private[operators] def wavEncoded(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import s.implicits._
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+    fanOut(Tables.load(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id")).as[Long])
       .mapPartitions { it =>
         it.map { id =>
           val n = (400 + id % 200).toInt
@@ -933,8 +948,8 @@ object Multimodal {
   private[operators] def m9WavEncoded(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import s.implicits._
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+    fanOut(Tables.load(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id")).as[Long])
       .mapPartitions { it =>
         it.map { id =>
           val gid = id % 97
@@ -1109,7 +1124,7 @@ object Multimodal {
       .unionAll(base.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 1000000000000L).as("doc_id"),
           col("doc_id").as("orig"), col("n"), lit(1).as("sh")))
-    all.as[(Long, Long, Int, Int)].mapPartitions { it =>
+    fanOut(all.as[(Long, Long, Int, Int)]).mapPartitions { it =>
       val codec = new JpegCodec
       it.map { case (outId, orig, n, sh) =>
         (outId, aviBytes(codec, orig, n, shift0 = sh == 1))
@@ -1267,10 +1282,10 @@ object Multimodal {
   private[graft] def aviEncoded(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(
+    fanOut(Tables.load(s, dir, "documents").select(
       col("doc_id").cast("long").as("doc_id"),
       (length(col("text")) / FrameBytes).cast("int").as("n_frames"))
-      .as[(Long, Int)]
+      .as[(Long, Int)])
       .mapPartitions { it =>
         val codec = new JpegCodec
         it.map { case (id, nFrames) =>

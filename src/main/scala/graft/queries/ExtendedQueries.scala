@@ -483,10 +483,19 @@ object ExtendedQueries {
   def q51WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
     val l = t(s, dir, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_returnflag")
-    val perOrder = l.groupBy("l_orderkey").agg(
-      countDistinct("l_suppkey").as("n_supp"),
-      countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-        .as("n_ret_supp"))
+    // Two countDistincts with different children cost an Expand (×2 the
+    // lineitem rows into the shuffle) plus a distinct-then-merge
+    // aggregate; the same quantities fall out of a two-level exact
+    // aggregate over (order, supplier) — n_supp = distinct suppliers =
+    // count of the first level's groups, n_ret_supp = distinct RETURN
+    // suppliers = sum of the per-supplier has-R flag — with plain
+    // codegen'd hash aggregates and no row multiplication
+    // (optimization round 17, guide §2.3 "shuffle fewer bytes").
+    val perOrder = l
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("ret"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum(col("ret")).as("n_ret_supp"))
     val finished = t(s, dir, "orders")
       .filter(col("o_orderstatus") === "F").select("o_orderkey")
     l.filter(col("l_returnflag") === "R")
