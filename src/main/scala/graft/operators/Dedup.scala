@@ -1252,15 +1252,15 @@ object Dedup {
     * token offset; row-local, no shuffle. Shared by d14's posting-pair
     * path and d15's batch-vs-corpus join path. */
   private def spanGrams(docsDf: DataFrame): DataFrame = docsDf
+    // One native pass over the text bytes per row ([[GramHashes]],
+    // optimization round 17): the previous interpreted
+    // transform(sequence, slice+concat_ws+hash) chain re-materialized
+    // every gram string per token offset and profiled as the bulk of
+    // the span operators' scan stage. Bit-identical hashes (spec-pinned
+    // against the HOF chain); a <K-token doc emits zero rows either way.
     .select(col("doc_id").cast("long").as("doc_id"),
-      split(col("text"), " ", -1).as("toks"))
-    .filter(size(col("toks")) >= SpanGramK)
-    .select(col("doc_id"),
-      posexplode(transform(
-        sequence(lit(0), size(col("toks")) - SpanGramK),
-        j => polyHashFast(
-          concat_ws(" ", slice(col("toks"), j + 1, lit(SpanGramK))), P31)))
-        .as(Seq("j", "h")))
+      posexplode(graft.functions.Shingles.gramHashesFast(
+        col("text"), SpanGramK, P31)).as(Seq("j", "h")))
 
   /** The island collapse behind both span operators: `(doc_a, doc_b,
     * pos_a, pos_b)` shared-gram pairs → maximal spans ≥

@@ -478,11 +478,12 @@ object TextAnalysis {
     * is a proper conditional distribution. */
   def t13Perplexity(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
-    val n = size(toks)
-    val bigrams = zip_with(
-      slice(toks, lit(1), greatest(n - 1, lit(0))),
-      slice(toks, lit(2), greatest(n - 1, lit(0))),
-      (a, b) => concat_ws(" ", a, b))
+    // Native 2-token shingles (optimization round 17): identical strings
+    // to the zip_with(slice, slice, concat_ws) chain — a bigram IS the
+    // 2-gram shingle — but one Scala loop per row instead of an
+    // interpreted HOF chain that this query's plan evaluates THREE times
+    // (c2, c1, and the final per-doc join all hang off the explode).
+    val bigrams = graft.functions.Shingles.shinglesFast(col("text"), 2)
     val base = docs(s, dir)
     val bg = base.select(col("doc_id"), explode(bigrams).as("bg"))
     val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c12"))

@@ -222,8 +222,16 @@ object MutationQueries {
     t.update(Map("bal_c" -> (col("bal_c") + lit(100000.0))),
       Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("c_custkey", 1000L))) // v2
     t.delete(Seq(LessThan("c_custkey", 100L)))                       // v3
+    // The maintenance drain runs in a session clone with few shuffle
+    // partitions (optimization round 17; the StreamQueries.drainSession
+    // rationale): each micro-batch's delta fold is a handful of segment
+    // rows, and the per-partition foreachBatch/merge task overhead at
+    // the session's 32 partitions dwarfed the data. Keyed folds are
+    // partition-count-invariant, so the maintained table is unchanged.
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
     val q = graft.streaming.GraftAggMaintain.start(
-      s, src, s"$root/tgt", Seq("c_mktsegment"), "bal_c", s"$root/ck")
+      s2, src, s"$root/tgt", Seq("c_mktsegment"), "bal_c", s"$root/ck")
     require(q.awaitTermination(180000), "n9 maintenance drain timed out")
     graft.streaming.GraftAggMaintain.read(s, s"$root/tgt")
       .select(col("c_mktsegment"), col("sum").cast("long").as("bal_sum"), col("cnt"))

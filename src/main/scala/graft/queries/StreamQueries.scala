@@ -39,14 +39,32 @@ object StreamQueries {
   private def uniq(prefix: String): String =
     prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "").take(10)
 
+  /** Clone of the caller's session with FEW shuffle/state partitions for
+    * the drain (optimization round 17, guide §2.2 fewer-larger
+    * partitions): a stateful AvailableNow drain pays per-PARTITION
+    * state-store open/commit/checkpoint on every one of the session's
+    * shuffle partitions while the whole state is a few thousand rows —
+    * at 32 partitions that was ~2/3 of these entries' tasks. Keyed
+    * aggregation output is partition-count-invariant, so the oracle is
+    * untouched. Sized from the entry's own bounded state (the window ×
+    * type grid / user set), not from the machine; the batch operators
+    * keep the session default. The memory-sink table registers in the
+    * CLONE's catalog — callers read it through the returned session. */
+  private def drainSession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2
+  }
+
   /** e9: the funnel state machine over a drained stream; rollup matches
     * batch e5's output shape, so e5's oracle applies verbatim. */
   def e9StreamFunnel(s: SparkSession, dir: String): DataFrame = {
     val sink = uniq("e9_funnel")
-    val q = FunnelStream.runFunnel(s, streamSrc(s, dir), sink,
+    val s2 = drainSession(s)
+    val q = FunnelStream.runFunnel(s2, streamSrc(s, dir), sink,
       Files.createTempDirectory("graft_e9_ckpt").toString)
     require(q.awaitTermination(180000), "e9 stream drain timed out")
-    FunnelStream.funnelCounts(s.table(sink))
+    FunnelStream.funnelCounts(s2.table(sink))
   }
 
   /** e10: the retention cell emitter over a drained stream; each (user,
@@ -54,10 +72,11 @@ object StreamQueries {
     * batch distinct-user count. */
   def e10StreamRetention(s: SparkSession, dir: String): DataFrame = {
     val sink = uniq("e10_retention")
-    val q = FunnelStream.runRetention(s, streamSrc(s, dir), sink,
+    val s2 = drainSession(s)
+    val q = FunnelStream.runRetention(s2, streamSrc(s, dir), sink,
       Files.createTempDirectory("graft_e10_ckpt").toString)
     require(q.awaitTermination(180000), "e10 stream drain timed out")
-    FunnelStream.retentionCounts(s.table(sink))
+    FunnelStream.retentionCounts(s2.table(sink))
   }
 
   /** e12: watermarked window aggregation drained end-to-end — the
@@ -89,10 +108,11 @@ object StreamQueries {
 
   def e12StreamTrending(s: SparkSession, dir: String): DataFrame = {
     val sink = uniq("e12_trend")
-    val q = graft.streaming.TrendingStream.run(s, trendingSrc(s, dir), sink,
+    val s2 = drainSession(s)
+    val q = graft.streaming.TrendingStream.run(s2, trendingSrc(s, dir), sink,
       Files.createTempDirectory("graft_e12_ckpt").toString)
     require(q.awaitTermination(180000), "e12 stream drain timed out")
-    graft.streaming.TrendingStream.trends(s.table(sink))
+    graft.streaming.TrendingStream.trends(s2.table(sink))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
