@@ -55,13 +55,26 @@ object Multimodal {
       : java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
+    // bulk setSamples in the same row-major order the per-pixel
+    // setSample(k%w, k/w) loop wrote — one raster call per image, not
+    // w·h virtual dispatches (optimization round 17; this runs on
+    // every encode of every media operator)
+    val a = new Array[Int](w * h)
     var k = 0
-    while (k < w * h) {
-      raster.setSample(k % w, k / w, 0, pixel(k))
-      k += 1
-    }
+    while (k < w * h) { a(k) = pixel(k); k += 1 }
+    img.getRaster.setSamples(0, 0, w, h, 0, a)
     img
+  }
+
+  /** Sum of band-0 samples over the full raster — bulk `getSamples`
+    * (identical values to the per-pixel getSample loops it replaces;
+    * one raster call per frame). */
+  private def sumBand0(raster: java.awt.image.Raster, w: Int, h: Int): Long = {
+    val a = raster.getSamples(0, 0, w, h, 0, null: Array[Int])
+    var s = 0L
+    var i = 0
+    while (i < a.length) { s += a(i); i += 1 }
+    s
   }
 
   /** Fan the tiny pre-synthesis rows across the cluster before a codec
@@ -134,14 +147,7 @@ object Multimodal {
           k += 1
         }
         val img = codec.decode(encodeMedia(codec, r))
-        val raster = img.getRaster
-        var decSum = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) { decSum += raster.getSample(x, y, 0); x += 1 }
-          y += 1
-        }
+        val decSum = sumBand0(img.getRaster, img.getWidth, img.getHeight)
         val n = r.width.toLong * r.height
         val meanOk =
           if (img.getWidth == r.width && img.getHeight == r.height &&
@@ -187,13 +193,7 @@ object Multimodal {
           val gray = ((id * 7 + f * 13) % 256).toInt
           val jpeg = codec.encode(grayImage(FrameSide, FrameSide, _ => gray), 1.0f)
           val img = codec.decode(jpeg)
-          val raster = img.getRaster
-          var sum = 0L
-          var k = 0
-          while (k < FrameSide * FrameSide) {
-            sum += raster.getSample(k % FrameSide, k / FrameSide, 0)
-            k += 1
-          }
+          val sum = sumBand0(img.getRaster, FrameSide, FrameSide)
           Frame(id, f.toLong, sum)
         }
       }
@@ -265,17 +265,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       it.grouped(DecodeBatch).flatMap(_.map { case (id, png) =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-        val raster = img.getRaster
-        var sum = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            sum += raster.getSample(x, y, 0)
-            x += 1
-          }
-          y += 1
-        }
+        val sum = sumBand0(img.getRaster, img.getWidth, img.getHeight)
         Decoded(id, img.getWidth.toLong, img.getHeight.toLong, sum)
       })
     }.toDF().orderBy("doc_id")
@@ -307,14 +297,7 @@ object Multimodal {
           val codes =
             if (text.isEmpty) Array(0)
             else Array.tabulate(text.length)(i => text.charAt(i) & 0xff)
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val raster = img.getRaster
-          var k = 0
-          while (k < w * h) {
-            raster.setSample(k % w, k / w, 0, codes(k % codes.length))
-            k += 1
-          }
+          val img = grayImage(w, h, k => codes(k % codes.length))
           val out = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", out)
           (id, out.toByteArray)
@@ -1078,15 +1061,8 @@ object Multimodal {
       val img = codec.decode(
         java.util.Arrays.copyOfRange(bytes, foff, foff + flen))
       val gray = toGray(img)
-      val raster = gray.getRaster
       val (wp, hp) = (gray.getWidth, gray.getHeight)
-      var sum = 0L
-      var k = 0
-      while (k < wp * hp) {
-        sum += raster.getSample(k % wp, k / wp, 0)
-        k += 1
-      }
-      sum.toDouble / (wp * hp)
+      sumBand0(gray.getRaster, wp, hp).toDouble / (wp * hp)
     })
     var hi = 0L
     var lo = 0L
@@ -1126,8 +1102,9 @@ object Multimodal {
           col("doc_id").as("orig"), col("n"), lit(1).as("sh")))
     fanOut(all.as[(Long, Long, Int, Int)]).mapPartitions { it =>
       val codec = new JpegCodec
+      val fc = new Array[Array[Byte]](256)
       it.map { case (outId, orig, n, sh) =>
-        (outId, aviBytes(codec, orig, n, shift0 = sh == 1))
+        (outId, aviBytes(codec, orig, n, shift0 = sh == 1, frameCache = fc))
       }
     }
   }
@@ -1288,8 +1265,9 @@ object Multimodal {
       .as[(Long, Int)])
       .mapPartitions { it =>
         val codec = new JpegCodec
+        val fc = new Array[Array[Byte]](256)
         it.map { case (id, nFrames) =>
-          (id, aviBytes(codec, id, nFrames, shift0 = false))
+          (id, aviBytes(codec, id, nFrames, shift0 = false, frameCache = fc))
         }
       }
   }
@@ -1305,11 +1283,24 @@ object Multimodal {
     * re-encode twins share (`shift0` = frame 0's gray shifted +128 mod
     * 256, the one-frame perturbation a lossy re-encode pass leaves). */
   private def aviBytes(codec: JpegCodec, renderId: Long, nFrames: Int,
-      shift0: Boolean): Array[Byte] = {
+      shift0: Boolean, frameCache: Array[Array[Byte]] = null): Array[Byte] = {
+    // Every frame is a FLAT gray image, so only 256 distinct JPEGs exist
+    // across the whole synthesis; a caller-scoped (per-task) cache
+    // encodes each gray once instead of once per frame (optimization
+    // round 17 — this is fixture synthesis, the bytes are identical).
+    def frameJpeg(gray: Int): Array[Byte] =
+      if (frameCache == null)
+        codec.encode(grayImage(FrameSide, FrameSide, _ => gray), 1.0f)
+      else {
+        if (frameCache(gray) == null)
+          frameCache(gray) =
+            codec.encode(grayImage(FrameSide, FrameSide, _ => gray), 1.0f)
+        frameCache(gray)
+      }
     val frames = Array.tabulate(nFrames) { f =>
       val base = ((renderId * 9 + f * 17) % 256).toInt
       val gray = if (shift0 && f == 0) (base + 128) % 256 else base
-      codec.encode(grayImage(FrameSide, FrameSide, _ => gray), 1.0f)
+      frameJpeg(gray)
     }
     def chunk(cc: String)(body: java.io.ByteArrayOutputStream => Unit)
         : Array[Byte] = {
@@ -1416,13 +1407,7 @@ object Multimodal {
               w == FrameSide && h == FrameSide,
               s"frame $fno decodes ${img.getWidth}x${img.getHeight}, header says ${w}x$h, " +
                 s"operator frames are ${FrameSide}x$FrameSide (doc $id)")
-            val raster = img.getRaster
-            var sum = 0L
-            var k = 0
-            while (k < FrameSide * FrameSide) {
-              sum += raster.getSample(k % FrameSide, k / FrameSide, 0)
-              k += 1
-            }
+            val sum = sumBand0(img.getRaster, FrameSide, FrameSide)
             AviFrame(id, nFrames, w, h, fno.toLong, sum)
           }
       }

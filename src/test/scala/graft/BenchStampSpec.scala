@@ -58,6 +58,33 @@ class BenchStampSpec extends AnyFunSuite {
       certCpuPerWall = 990.0 / 94.0, cpus = 32))
   }
 
+  test("the in-suite-spin bar is relative to the run's own idle brackets (round-17 clock drift)") {
+    // round-17 local recording, literal numbers: idle spin 0.733/0.774
+    // (the VM clocks slower this round than the 0.6-0.7 historical
+    // envelope), certified-pass in-suite spin 0.807 = 1.04× its own
+    // idle reading, passes [29.568, 19.358, 24.192] agreeing, cpu/wall
+    // 284.4/19.358 = 14.7. The absolute 0.8 bar stamped this clean run
+    // suspect; the machine-relative bar must not.
+    assert(!Bench.windowSuspectStamp(multiPass = true, twoBestAgree = true,
+      calibInsuiteBest = 0.807, preSpin = 0.733, preParSpin = 1.005,
+      postSpin = 0.774, postParSpin = 0.920, insuiteMedian = 0.792,
+      certCpuPerWall = 284.4 / 19.358, cpus = 32))
+    // …a genuinely hot in-suite spin on the same slow-clocked box still
+    // stamps (1.3 × 0.733 = 0.953 < 1.05)
+    assert(Bench.windowSuspectStamp(multiPass = true, twoBestAgree = true,
+      calibInsuiteBest = 1.05, preSpin = 0.733, preParSpin = 1.005,
+      postSpin = 0.774, postParSpin = 0.920, insuiteMedian = 1.01,
+      certCpuPerWall = 284.4 / 19.358, cpus = 32),
+      "a 1.4x-over-idle in-suite spin must still stamp suspect")
+    // …and slow BRACKETS mark the window degraded outright instead of
+    // raising the in-suite allowance
+    assert(Bench.windowSuspectStamp(multiPass = true, twoBestAgree = true,
+      calibInsuiteBest = 1.3, preSpin = 1.35, preParSpin = 1.4,
+      postSpin = 1.31, postParSpin = 1.45, insuiteMedian = 1.32,
+      certCpuPerWall = 284.4 / 19.358, cpus = 32),
+      "idle brackets over 1.2 s are themselves the degradation signal")
+  }
+
   test("sustained quota throttling (par-spin hot at BOTH brackets) stamps suspect even with a clean single spin") {
     assert(Bench.windowSuspectStamp(multiPass = true, twoBestAgree = true,
       calibInsuiteBest = 0.65, preSpin = 0.65, preParSpin = 2.8,
