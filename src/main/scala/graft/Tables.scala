@@ -31,6 +31,24 @@ object Tables {
       else spark.read.parquet(s"$sfDir/$name.parquet")
     })
 
+  /** Fan a CPU-dense pipeline head across the cluster (optimization
+    * round 17, guide §2.5 input skew): the bench inputs are each ONE
+    * single-row-group parquet file, so every scan is one task and any
+    * expensive per-row stage fused above it (tokenize/shingle/hash/
+    * minhash) runs SERIAL with the other cores idle — ProfJobs measured
+    * d6's probe stage as one task burning 1.63 s CPU, 66 % of its wall.
+    * The exchange is hash-partitioned on a data column (deterministic
+    * under task retry, unlike round-robin) and moves only the slim
+    * pre-explosion rows. At 100 TB inputs arrive as many files/row
+    * groups and the scan parallelizes on its own, so this exchange is
+    * noise there — the partition count tracks `defaultParallelism`
+    * (cluster width), not a local constant. Applied ONLY where a
+    * measured CPU-dense stage sits on the scan; trivial scans keep
+    * their single-task plan. */
+  def fanned(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col(key))
+
   /** Session settings every graft entry point needs at BUILD time —
     * library code must not flip session-wide semantics mid-query:
     * `nanosAsLong` lets the vectorized reader accept an events table

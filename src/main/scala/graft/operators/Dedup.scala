@@ -50,7 +50,9 @@ object Dedup {
     * expression dedups per document in O(k) (HashSet), so no distinct
     * shuffle is needed. */
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    // fanned: shingling is the CPU-dense head over the one-file scan
+    // (guide §2.5; see Tables.fanned)
+    Tables.fanned(docs(s, dir), "doc_id")
       .select(col("doc_id"), explode(shinglesDistinctFast(col("text"))).as("s"))
 
   // -- d1: exact dedup via hash-groupBy --------------------------------
@@ -203,7 +205,7 @@ object Dedup {
 
   private[graft] def postingLists(s: SparkSession, dir: String): DataFrame =
     postingListsCache.getOrElseUpdate(s, dir, "documents") {
-      val sh = docs(s, dir)
+      val sh = Tables.fanned(docs(s, dir), "doc_id")
         .select(col("doc_id"), shinglesDistinctFast(col("text")).as("shs"))
         .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
           explode(col("shs")).as("s"))
@@ -273,7 +275,8 @@ object Dedup {
     * shingle row for what is a per-document computation (and was the
     * dominant cost of d4 AND d9). */
   private def simhashes(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
+    // fanned: the one-pass simhash fold is the whole cost of this stage
+    Tables.fanned(docs(s, dir), "doc_id").select(col("doc_id"),
       graft.functions.SimhashText.simhashFast(col("text"), 3, P57, SimhashBits).as("sim"))
       .filter(col("sim").isNotNull) // shingle-less docs have no signature
 
@@ -561,8 +564,18 @@ object Dedup {
   def d6EmbedNearDupAnn(s: SparkSession, dir: String, threshold: Double,
       targetRecall: Double): DataFrame = {
     val (bands, bits) = d6BandLayout(threshold, targetRecall)
+    // Fan the vectors before banding (optimization round 17, guide §2.5
+    // input skew): at bench scale the embeddings table is ONE parquet
+    // file — one scan task — so the whole probe-side chain above it
+    // (18×SignKey Generate → broadcast-hash-join probe emitting the
+    // ~n²-dense candidate pairs → partial distinct) ran SERIAL: ProfJobs
+    // measured ONE task burning 1.63 s CPU, 66 % of the query's wall.
+    // The exchange moves one ~540-byte row per vector, hash-partitioned
+    // on vec_id (deterministic under retry). At 100 TB embeddings arrive
+    // as many files and the scan parallelizes on its own.
     val e = Similarity.normalized(Tables.load(s, dir, "embeddings"))
       .select(col("vec_id"), col("v"), col("nrm"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
     // SLIM candidate generation: the banded self-join exchanges only
     // (vec_id, band, bk) — 24 bytes/row — never the 64-double vectors.
     // The earlier shape shipped both sides' full vectors through the
@@ -614,8 +627,12 @@ object Dedup {
     * prefiltered join ∝ batch band mass, daily cost ∝ batch. */
   def d16IncrementalEmbed(s: SparkSession, dir: String): DataFrame = {
     val (bands, bits) = (D6Bands, D6Bits)
+    // same single-file fan-out as d6 (guide §2.5): banding + the bloom
+    // prefilter otherwise run on the lone scan task (ProfJobs: three
+    // ~0.25 s single-task jobs)
     val e = Similarity.normalized(Tables.load(s, dir, "embeddings"))
       .select(col("vec_id"), col("v"), col("nrm"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
     val keys = array((0 until bands).map(b =>
       Similarity.signKey(col("v"), b * bits, bits)): _*)
     val banded = e.select(col("vec_id"),
@@ -999,7 +1016,7 @@ object Dedup {
   private val batchPostingsCache = new PersistedLru(2)
 
   def d12IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val all = docs(s, dir)
+    val all = Tables.fanned(docs(s, dir), "doc_id")
     val isNew = col("doc_id") % 10 === 7
     val ix = new PostingsIndex(indexPostingsCache.getOrElseUpdate(s, dir, "documents")(
       shinglePostings(all.filter(!isNew), "doc_a", "na")))
@@ -1147,7 +1164,7 @@ object Dedup {
 
   private def tfidfPostings(s: SparkSession, dir: String): DataFrame =
     tfidfPostingsCache.getOrElseUpdate(s, dir, "documents") {
-      val base = docs(s, dir)
+      val base = Tables.fanned(docs(s, dir), "doc_id")
       // all trigrams (multiset — tf needs counts), via the native
       // shingle expression, not the interpreted zip_with/slice HOF chain
       val tf = base.select(col("doc_id"),
@@ -1246,7 +1263,9 @@ object Dedup {
     * span, positions in token offsets. */
   def d14SpanDedup(s: SparkSession, dir: String,
       maxGramFreq: Option[Long] = None): DataFrame =
-    spanDedupCore(docs(s, dir), maxGramFreq)
+    // fanned at the CALL SITE, not inside spanGrams: the streaming twin
+    // passes snapshot-scoped frames whose records-read a spec pins
+    spanDedupCore(Tables.fanned(docs(s, dir), "doc_id"), maxGramFreq)
 
   /** Per-doc polyhashed k-gram stream — `(doc_id, j, h)`, one row per
     * token offset; row-local, no shuffle. Shared by d14's posting-pair
@@ -1365,7 +1384,7 @@ object Dedup {
   private val spanBatchCache = new PersistedLru(2)
 
   def d15IncrementalSpans(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+    val d = Tables.fanned(docs(s, dir), "doc_id")
     val corpus = spanIndexCache.getOrElseUpdate(s, dir, "documents")(
       corpusSpanGrams(d.filter(col("doc_id") % 10 =!= 7)))
     val bg = spanBatchCache.getOrElseUpdate(s, dir, "documents")(

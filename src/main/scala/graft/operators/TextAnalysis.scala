@@ -79,7 +79,10 @@ object TextAnalysis {
 
   /** t3: language ID by stopword-profile counts. */
   def t3LangId(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(langPred(col("text")).as("lang_pred"))
+    // fanned: langPred's stopword profile scan is the whole cost and
+    // otherwise runs on the lone scan task (guide §2.5; Tables.fanned)
+    Tables.fanned(docs(s, dir), "doc_id")
+      .select(langPred(col("text")).as("lang_pred"))
       .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
       .orderBy("lang_pred")
 
@@ -484,7 +487,7 @@ object TextAnalysis {
     // interpreted HOF chain that this query's plan evaluates THREE times
     // (c2, c1, and the final per-doc join all hang off the explode).
     val bigrams = graft.functions.Shingles.shinglesFast(col("text"), 2)
-    val base = docs(s, dir)
+    val base = Tables.fanned(docs(s, dir), "doc_id")
     val bg = base.select(col("doc_id"), explode(bigrams).as("bg"))
     val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
     val c1 = bg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
@@ -567,7 +570,7 @@ object TextAnalysis {
         array_join(
           slice(toks, (i - 1) * BoilerSegTokens + 1, lit(BoilerSegTokens)), " ")))
       .otherwise(array().cast("array<string>"))
-    val inst = docs(s, dir).select(
+    val inst = Tables.fanned(docs(s, dir), "doc_id").select(
       col("doc_id"), explode(segs).as("seg"))
     val freq = inst.distinct()
       .groupBy("seg").agg(count(lit(1)).as("ndocs"))
@@ -595,7 +598,9 @@ object TextAnalysis {
     * Spark and DuckDB hash-match. Documents under 3 tokens have no
     * shingles and are absent, matching the oracle. */
   def t18NgramNovelty(s: SparkSession, dir: String): DataFrame =
-    noveltyCore(docs(s, dir))
+    // fanned at the call site — the CALL/stream reuse noveltyCore with
+    // their own inputs whose plan shape is spec-pinned
+    noveltyCore(Tables.fanned(docs(s, dir), "doc_id"))
 
   /** t18's body over an ARBITRARY (doc_id, text) corpus — shared with
     * `CALL graft.system.ngram_novelty` so the SQL verb cannot drift. */

@@ -481,8 +481,16 @@ object ExtendedQueries {
     * l_orderkey total, supplier broadcast; the oracle runs the literal
     * EXISTS/NOT-EXISTS form, proving the rewrite. */
   def q51WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
-    val l = t(s, dir, "lineitem")
-      .select("l_orderkey", "l_suppkey", "l_returnflag")
+    // One hash exchange on l_orderkey up front (optimization round 17,
+    // guide §2.5): the single-row-group lineitem file scans as ONE task,
+    // so the (order, supplier) aggregate hashed 600 k rows serially —
+    // and partial aggregation buys nothing here (≈1 row per group), so
+    // pre-partitioning the raw rows costs the same shuffle bytes the
+    // partial-agg output would. HashPartitioning(l_orderkey) satisfies
+    // every downstream clustering (both aggregate levels and the join),
+    // so no further Exchange appears on this side.
+    val l = graft.Tables.fanned(t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_returnflag"), "l_orderkey")
     // Two countDistincts with different children cost an Expand (×2 the
     // lineitem rows into the shuffle) plus a distinct-then-merge
     // aggregate; the same quantities fall out of a two-level exact
