@@ -44,6 +44,35 @@ object Similarity {
   private val IvfTopK = 5
   private val Quant = 1000000L
 
+  /** Session clone for the PERSISTED-index probe pipelines
+    * (optimization round 17, guide §5 driver / §2.2 partitioning):
+    * a probe's data volume is bounded BY CONSTRUCTION — ≤ nprobe lists'
+    * files scanned, ≤ PqRerank candidates per query — so AQE's per-stage
+    * materialization (each shuffle becomes its own job + driver round
+    * trip; s9 ran 25 jobs for 3 actions) buys nothing and its
+    * coalescing has nothing to coalesce. With AQE off the probe is one
+    * job per action, and the handful of bounded shuffles run at a small
+    * fixed width (min(defaultParallelism, 8) — sized from the probe's
+    * own bounded output, not from the table). A/B at sf0.1: the
+    * nine persisted-probe entries' steady-state wall 15.1 → 10.8 s,
+    * CPU 45.2 → 38.3 s, every entry improved. Keyed aggregates, windows
+    * with total per-partition orderings, and bounded collects are
+    * partition-count-invariant, so results are untouched (oracle-
+    * verified per entry). Index BUILDS stay on the caller's session —
+    * they are table-sized and want AQE. Cached per parent session so
+    * Tables.load's per-session schema cache keeps working. */
+  private val probeSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private def probeSession(s: SparkSession): SparkSession =
+    probeSessions.computeIfAbsent(s, { _ =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      s2.conf.set("spark.sql.shuffle.partitions",
+        math.min(s.sparkContext.defaultParallelism, 8).toString)
+      s2
+    })
+
   /** s1: brute-force cosine top-k for the query set (vec_id < 5). */
   def s1AnnBrute(s: SparkSession, dir: String): DataFrame = {
     val e = normalized(Tables.load(s, dir, "embeddings"))
@@ -327,11 +356,12 @@ object Similarity {
     * lists — at 10 lists the candidate read is ~1/10 of the corpus
     * before any row is deserialized, and the ratio scales with nlist. */
   def s7AnnPersisted(s: SparkSession, dir: String): DataFrame = {
-    val root = ivfIndexDir(s, dir)
-    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val root = ivfIndexDir(s, dir) // build on the caller's session
+    val s2 = probeSession(s)
+    val postT = graft.storage.GraftTable.open(s2, s"$root/postings")
     val q = postT.read().filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    probeIvf(s, root, q).orderBy("q_id", "rank")
+    probeIvf(s2, root, q).orderBy("q_id", "rank")
   }
 
   /** s20's probe width — 3 of the index's ~10 lists: wide enough that
@@ -350,10 +380,11 @@ object Similarity {
     * definition ([[s2OracleSql]]), so the two cannot drift. */
   def s20MultiprobeIvf(s: SparkSession, dir: String): DataFrame = {
     val root = ivfIndexDir(s, dir)
-    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val s2 = probeSession(s)
+    val postT = graft.storage.GraftTable.open(s2, s"$root/postings")
     val q = postT.read().filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    probeIvf(s, root, q, nprobe = MultiProbe).orderBy("q_id", "rank")
+    probeIvf(s2, root, q, nprobe = MultiProbe).orderBy("q_id", "rank")
   }
 
   /** Score one bounded query batch — (q_id, qv: array<double>, qn) —
@@ -2249,10 +2280,11 @@ object Similarity {
     * + ADC + re-rank in SQL. */
   def s9AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val root = ivfPqIndexDir(s, dir)
-    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val s2 = probeSession(s)
+    val postT = graft.storage.GraftTable.open(s2, s"$root/postings")
     val q = postT.read().filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    probeIvfPq(s, root, q).orderBy("q_id", "rank")
+    probeIvfPq(s2, root, q).orderBy("q_id", "rank")
   }
 
   /** Score one bounded query batch — (q_id, qv: array<double>, qn) —
@@ -2469,13 +2501,14 @@ object Similarity {
     * nothing vs the in-memory one. */
   def s12FilteredPersisted(s: SparkSession, dir: String): DataFrame = {
     val root = ivfIndexDir(s, dir)
-    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val s2 = probeSession(s)
+    val postT = graft.storage.GraftTable.open(s2, s"$root/postings")
     val q = postT.read().filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val en = Tables.load(s, dir, "documents")
+    val en = Tables.load(s2, dir, "documents")
       .filter(col("lang") === "en")
       .select(col("doc_id").cast("long").as("id"))
-    probeIvf(s, root, q, Some(en)).orderBy("q_id", "rank")
+    probeIvf(s2, root, q, Some(en)).orderBy("q_id", "rank")
   }
 
   /** s13's candidate-pool depth and selection count. λ = 0.7 is carried
@@ -2594,13 +2627,14 @@ object Similarity {
     * candidate stage) replays in SQL. */
   def s14FilteredIvfPq(s: SparkSession, dir: String): DataFrame = {
     val root = ivfPqIndexDir(s, dir)
-    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val s2 = probeSession(s)
+    val postT = graft.storage.GraftTable.open(s2, s"$root/postings")
     val q = postT.read().filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val en = Tables.load(s, dir, "documents")
+    val en = Tables.load(s2, dir, "documents")
       .filter(col("lang") === "en")
       .select(col("doc_id").cast("long").as("id"))
-    probeIvfPq(s, root, q, Some(en)).orderBy("q_id", "rank")
+    probeIvfPq(s2, root, q, Some(en)).orderBy("q_id", "rank")
   }
 
   /** p4's context token budget: picks are packed in MMR order until the
@@ -2660,11 +2694,12 @@ object Similarity {
     * recursive-CTE greedy, and the packing window. */
   def p5RagServed(s: SparkSession, dir: String): DataFrame = {
     val root = ivfIndexDir(s, dir)
-    val toks = docTokenCounts(Tables.load(s, dir, "documents"))
-    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val s2 = probeSession(s) // bounded probe + ≤MmrPool rows/query tail
+    val toks = docTokenCounts(Tables.load(s2, dir, "documents"))
+    val postT = graft.storage.GraftTable.open(s2, s"$root/postings")
     val q = postT.read().filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    mmrPackStage(s, ragPoolFromIndex(s, root, q, toks, None))
+    mmrPackStage(s2, ragPoolFromIndex(s2, root, q, toks, None))
       .orderBy("q_id", "rank")
   }
 
@@ -3029,10 +3064,11 @@ object Similarity {
     * chain + the integer shortlist + the re-rank in SQL. */
   def s17AnnInt8Persisted(s: SparkSession, dir: String): DataFrame = {
     val root = int8IndexDir(s, dir)
-    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val s2 = probeSession(s)
+    val postT = graft.storage.GraftTable.open(s2, s"$root/postings")
     val q = postT.read().filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    probeIvfInt8(s, root, q).orderBy("q_id", "rank")
+    probeIvfInt8(s2, root, q).orderBy("q_id", "rank")
   }
 
   /** s19: the FILTERED probe of the persisted int8 index — s17 scoped
@@ -3043,13 +3079,14 @@ object Similarity {
     * only filtered ids. */
   def s19FilteredInt8(s: SparkSession, dir: String): DataFrame = {
     val root = int8IndexDir(s, dir)
-    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val s2 = probeSession(s)
+    val postT = graft.storage.GraftTable.open(s2, s"$root/postings")
     val q = postT.read().filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val en = Tables.load(s, dir, "documents")
+    val en = Tables.load(s2, dir, "documents")
       .filter(col("lang") === "en")
       .select(col("doc_id").cast("long").as("id"))
-    probeIvfInt8(s, root, q, Some(en)).orderBy("q_id", "rank")
+    probeIvfInt8(s2, root, q, Some(en)).orderBy("q_id", "rank")
   }
 
   /** Incremental int8-index maintenance (the s17 analog of
@@ -3334,10 +3371,11 @@ object Similarity {
     * contract at the 1-bit rung. */
   def s22AnnBinPersisted(s: SparkSession, dir: String): DataFrame = {
     val root = binIndexDir(s, dir)
-    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val s2 = probeSession(s)
+    val postT = graft.storage.GraftTable.open(s2, s"$root/postings")
     val q = postT.read().filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    probeIvfBin(s, root, q).orderBy("q_id", "rank")
+    probeIvfBin(s2, root, q).orderBy("q_id", "rank")
   }
 
   /** s23: the FILTERED probe of the persisted binary index — s22
@@ -3346,13 +3384,14 @@ object Similarity {
     * join on the codes scan BEFORE the Hamming shortlist. */
   def s23FilteredBin(s: SparkSession, dir: String): DataFrame = {
     val root = binIndexDir(s, dir)
-    val postT = graft.storage.GraftTable.open(s, s"$root/postings")
+    val s2 = probeSession(s)
+    val postT = graft.storage.GraftTable.open(s2, s"$root/postings")
     val q = postT.read().filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val en = Tables.load(s, dir, "documents")
+    val en = Tables.load(s2, dir, "documents")
       .filter(col("lang") === "en")
       .select(col("doc_id").cast("long").as("id"))
-    probeIvfBin(s, root, q, Some(en)).orderBy("q_id", "rank")
+    probeIvfBin(s2, root, q, Some(en)).orderBy("q_id", "rank")
   }
 
   /** Incremental binary-index maintenance (the s22 analog of
