@@ -51,7 +51,13 @@ object Bench {
     // that are THEMSELVES slow (> 1.2 s idle spin) mark the window
     // degraded outright rather than raising the allowance.
     val idleSpin = math.min(preSpin, postSpin)
-    if (!multiPass) insuiteMedian > math.max(0.7, 1.2 * idleSpin)
+    // single-pass smoke runs get the SAME slow-bracket backstop as the
+    // multi-pass branch (ADVICE r17): a degraded box's own idle spin
+    // must mark the window outright, not raise the in-suite allowance
+    // without bound (idle spin 2.0 s would otherwise self-certify up to
+    // a 2.4 s in-suite median)
+    if (!multiPass)
+      idleSpin > 1.2 || insuiteMedian > math.max(0.7, 1.2 * idleSpin)
     else {
       val parHot = math.min(preParSpin / math.max(0.1, preSpin),
         postParSpin / math.max(0.1, postSpin)) > 2.0

@@ -67,8 +67,72 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd dot product of two `array<float>` columns accumulated in
+  * DOUBLE — bit-identical to casting both arrays to `array<double>`
+  * first and folding with [[DotProduct]] (each float→double conversion
+  * is exact, and the per-element product of two float-valued doubles is
+  * the same double either way), but the float arrays never materialize
+  * as doubles. The point is the JOIN pipeline around it (optimization
+  * round 18, guide §2.3 narrower types): d6/d16's candidate pull-back
+  * copies one vector array per side per candidate pair through two
+  * broadcast-hash joins — ~2.25 M pairs at sf0.1 — and carrying the raw
+  * float arrays halves those bytes (256 B vs 512 B per 64-dim vector)
+  * while the cosine value, fold order included, stays bit-identical.
+  *
+  * Null semantics match [[DotProduct]]: null array, null element, or
+  * length mismatch → null. */
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductFloat =
+    copy(left = newLeft, right = newRight)
+}
+
 object DotProduct {
   /** Column-API entry point. */
   def dotFast(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Float-array dot with double accumulation — see [[DotProductFloat]]. */
+  def dotFloatFast(a: Column, b: Column): Column =
+    Bridge.column(DotProductFloat(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -2,8 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -13,39 +12,25 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantically identical to [[TextFunctions.shinglesAll]] (split keeps
   * trailing empties, i.e. Java split with limit -1), but evaluated as one
-  * Scala loop per row instead of a transform/sequence/slice/array_join
-  * HOF chain — which profiled at ~11µs per shingle and dominated every
-  * shingle-pipeline operator. Eval-based (CodegenFallback): per-row cost
-  * is a few µs, and the surrounding explode/aggregate pipeline stays
-  * whole-stage. */
+  * byte-slice loop per row ([[ShingleOps.shingles]]) instead of a
+  * transform/sequence/slice/array_join HOF chain — which profiled at
+  * ~11µs per shingle and dominated every shingle-pipeline operator.
+  * Round 18: the split-to-String[] + StringBuilder body became byte
+  * slicing (a shingle IS the original byte span between its token
+  * boundaries — see [[ShingleOps]]), and the expression now generates
+  * code (one static call), so the surrounding whole-stage pipeline no
+  * longer pays the CodegenFallback row-boxing per row. */
 case class Shingles(child: Expression, n: Int, distinct: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
-    val count = toks.length - (n - 1)
-    if (count < 1) return new GenericArrayData(Array.empty[Any])
-    val out = new java.util.ArrayList[Any](count)
-    val seen = if (distinct) new java.util.HashSet[String](count * 2) else null
-    val sb = new java.lang.StringBuilder
-    var i = 0
-    while (i < count) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
-        j += 1
-      }
-      val s = sb.toString
-      // first-occurrence order, matching array_distinct over all shingles
-      if (!distinct || seen.add(s)) out.add(UTF8String.fromString(s))
-      i += 1
-    }
-    new GenericArrayData(out.toArray)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.shingles(input.asInstanceOf[UTF8String], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleOps.shingles($c, $n, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): Shingles =
     copy(child = newChild)
@@ -67,41 +52,23 @@ case class Shingles(child: Expression, n: Int, distinct: Boolean)
   * transform(sequence(...), slice+concat_ws+hash) chain per token
   * offset, which profiled as the bulk of the span operators' scan
   * stage. Returns fewer-than-n-token texts as an empty array, matching
-  * the callers' `size(toks) >= n` guard semantics. */
+  * the callers' `size(toks) >= n` guard semantics. Round 18: codegen
+  * (one static call into [[ShingleOps.gramHashes]], which also backs
+  * nullSafeEval) replaces the CodegenFallback boxing — the ADVICE r17
+  * finding that this hot per-row loop was the one sibling without
+  * doGenCode. */
 case class GramHashes(child: Expression, n: Int, prime: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(
     org.apache.spark.sql.types.LongType, containsNull = false)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    // token start offsets: token 0 at 0, token k+1 after each 0x20
-    var nToks = 1
-    var i = 0
-    while (i < bytes.length) { if (bytes(i) == ' '.toByte) nToks += 1; i += 1 }
-    val grams = nToks - n + 1
-    if (grams < 1) return new GenericArrayData(Array.empty[Any])
-    val starts = new Array[Int](nToks)
-    var t = 1
-    i = 0
-    while (i < bytes.length) {
-      if (bytes(i) == ' '.toByte) { starts(t) = i + 1; t += 1 }
-      i += 1
-    }
-    val out = new Array[Any](grams)
-    var j = 0
-    while (j < grams) {
-      val from = starts(j)
-      val until = if (j + n < nToks) starts(j + n) - 1 else bytes.length
-      var acc = 7L
-      var p = from
-      while (p < until) { acc = (acc * 31 + (bytes(p) & 0xffL)) % prime; p += 1 }
-      out(j) = acc
-      j += 1
-    }
-    new GenericArrayData(out)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.gramHashes(input.asInstanceOf[UTF8String], n, prime)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleOps.gramHashes($c, $n, ${prime}L);")
 
   override protected def withNewChildInternal(newChild: Expression): GramHashes =
     copy(child = newChild)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,63 +21,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * at 100 TB that exchange carries ~token-count rows for what is a
   * row-local computation. This expression computes the signature where
   * the document already is: no explode, no shuffle, one tight loop per
-  * row. Eval-based (CodegenFallback), like [[Shingles]]: per-row cost is
-  * a few µs of string walking; the surrounding scan stays whole-stage. */
+  * row. Round 18: evaluation moved to the shared byte-slice body
+  * ([[ShingleOps.simhash]] — a shingle IS its byte span, so the
+  * split/StringBuilder/String/re-encode chain collapses to span
+  * hashing with a no-copy distinct set), and the expression generates
+  * code (one static call), so the scan pipeline stays whole-stage with
+  * no CodegenFallback row-boxing. A document with no shingles has NO
+  * signature: the aggregate formulation (and the oracle) never emit a
+  * row for it, so banding it at an all-zero signature would pair every
+  * short doc with every other — NULL keeps it out of the join. */
 case class SimhashText(child: Expression, n: Int, prime: Long, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
   override def nullable: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
-    val count = toks.length - (n - 1)
-    // a document with no shingles has NO signature: the aggregate
-    // formulation (and the oracle) never emit a row for it, so banding
-    // it at an all-zero signature would pair every short doc with every
-    // other — NULL keeps it out of the join exactly like the original
-    if (count < 1) return null
-    val votes = new Array[Int](bits)
-    if (count >= 1) {
-      val seen = new java.util.HashSet[String](count * 2)
-      val sb = new java.lang.StringBuilder
-      var i = 0
-      while (i < count) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
-          j += 1
-        }
-        val s = sb.toString
-        if (seen.add(s)) {
-          // polyhash over UTF-8 bytes, identical to PolyHash
-          val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          var acc = 7L
-          var k = 0
-          while (k < bytes.length) {
-            acc = (acc * 31 + (bytes(k) & 0xffL)) % prime
-            k += 1
-          }
-          var b = 0
-          while (b < bits) {
-            votes(b) += (if (((acc >>> b) & 1L) == 1L) 1 else -1)
-            b += 1
-          }
-        }
-        i += 1
-      }
-    }
-    var sim = 0L
-    var b = 0
-    while (b < bits) {
-      if (votes(b) > 0) sim |= 1L << b
-      b += 1
-    }
-    sim
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.simhash(input.asInstanceOf[UTF8String], n, prime, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("sim")
+      s"""
+         |java.lang.Long $boxed =
+         |  graft.functions.ShingleOps.simhash($c, $n, ${prime}L, $bits);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SimhashText =
     copy(child = newChild)

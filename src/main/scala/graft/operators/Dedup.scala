@@ -574,36 +574,54 @@ object Dedup {
     // on vec_id (deterministic under retry). At 100 TB embeddings arrive
     // as many files and the scan parallelizes on its own.
     val e = Similarity.normalized(Tables.load(s, dir, "embeddings"))
-      .select(col("vec_id"), col("v"), col("nrm"))
+      .select(col("vec_id"), col("v"))
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
     // SLIM candidate generation: the banded self-join exchanges only
-    // (vec_id, band, bk) — 24 bytes/row — never the 64-double vectors.
+    // (vec_id, bandkey) — 16 bytes/row — never the 64-double vectors.
     // The earlier shape shipped both sides' full vectors through the
     // band exchange (bands× data blowup on each side: ~2 × bands × n
     // vector copies); at 100 TB the band exchange IS the operator's
     // cost, so it must carry keys, not payloads. All band keys are
     // computed in ONE pass per vector (array + posexplode), not a
     // per-band CaseWhen chain whose plan grows with the layout.
+    // (band, bk) packs into ONE long (bk < 2^bits ≤ 65536, so the
+    // packing is bijective — identical pair set), so the self-join
+    // hashes and compares a single long key instead of a two-column
+    // row on every one of the ~(bands · n²/2^bits) probe hits
+    // (optimization round 18, guide §2.3).
     val keys = array((0 until bands).map(b =>
       Similarity.signKey(col("v"), b * bits, bits)): _*)
     val banded = e.select(col("vec_id"),
-      posexplode(keys).as(Seq("band", "bk")))
+        posexplode(keys).as(Seq("band", "bk")))
+      .select(col("vec_id"),
+        (col("band").cast("long") * 65536L + col("bk")).as("bandkey"))
     // duplicate band hits collapse BEFORE any cosine is computed or any
     // vector moves: distinct on the bare id pair
     val cand = banded.as("a")
       .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+        col("a.bandkey") === col("b.bandkey") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
     // exact re-check: surviving pairs (far fewer than band hits) pull
     // their vectors back through two equality joins on vec_id — the
-    // full vectors are exchanged once per side, not once per band
+    // full vectors are exchanged once per side, not once per band.
+    // The pull-back carries the RAW FLOAT arrays (half the bytes of the
+    // cast doubles through both join projections) and the cosine folds
+    // them with double accumulation — bit-identical to casting first
+    // ([[graft.functions.DotProductFloat]]), same norms, same rounding.
+    val ef = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+      col("embedding"),
+      sqrt(graft.functions.DotProduct.dotFloatFast(
+        col("embedding"), col("embedding"))).as("nrm"))
     cand
-      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .join(ef.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+        col("nrm").as("na")), "vec_a")
+      .join(ef.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+        col("nrm").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        Similarity.cosine(col("va"), col("vb"), col("na"), col("nb")).as("cos_raw"))
+        (graft.functions.DotProduct.dotFloatFast(col("va"), col("vb")) /
+          (col("na") * col("nb"))).as("cos_raw"))
       .filter(col("cos_raw") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos"))
       .orderBy("vec_a", "vec_b")
@@ -631,35 +649,43 @@ object Dedup {
     // prefilter otherwise run on the lone scan task (ProfJobs: three
     // ~0.25 s single-task jobs)
     val e = Similarity.normalized(Tables.load(s, dir, "embeddings"))
-      .select(col("vec_id"), col("v"), col("nrm"))
+      .select(col("vec_id"), col("v"))
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
     val keys = array((0 until bands).map(b =>
       Similarity.signKey(col("v"), b * bits, bits)): _*)
+    // slim key streams (16 bytes/row, the d6 discipline — (band, bk)
+    // packed into the single bijective long the sketch already hashed);
+    // vectors are pulled back only for surviving candidates
     val banded = e.select(col("vec_id"),
-      posexplode(keys).as(Seq("band", "bk")))
-    // slim key streams (24 bytes/row, the d6 discipline); vectors are
-    // pulled back only for surviving candidates
-    val bandKey = col("band").cast("long") * 65536L + col("bk")
+        posexplode(keys).as(Seq("band", "bk")))
+      .select(col("vec_id"),
+        (col("band").cast("long") * 65536L + col("bk")).as("bandkey"))
     val bBand = banded.filter(col("vec_id") % 10 === 7)
-      .select(col("vec_id").as("vec_b"), col("band"), col("bk"))
+      .select(col("vec_id").as("vec_b"), col("bandkey"))
       .localCheckpoint(true) // feeds the sketch action AND the join
-    val sketch = Bloom.sketchBytes(bBand, bandKey)
+    val sketch = Bloom.sketchBytes(bBand, col("bandkey"))
     val cBandAll = banded.filter(col("vec_id") % 10 =!= 7)
-      .select(col("vec_id").as("vec_a"), col("band"), col("bk"))
+      .select(col("vec_id").as("vec_a"), col("bandkey"))
     val cBand =
       if (sketch == null) cBandAll.limit(0) // empty batch
-      else cBandAll.filter(Bloom.mightContain(sketch, bandKey))
-    val cand = bBand.join(cBand, Seq("band", "bk"))
+      else cBandAll.filter(Bloom.mightContain(sketch, col("bandkey")))
+    val cand = bBand.join(cBand, Seq("bandkey"))
       .select(col("vec_a"), col("vec_b"))
       .distinct()
+    // float pull-back + double-accumulated cosine, bit-identical to the
+    // cast-to-double form (d6's round-18 discipline, [[DotProductFloat]])
+    val ef = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+      col("embedding"),
+      sqrt(graft.functions.DotProduct.dotFloatFast(
+        col("embedding"), col("embedding"))).as("nrm"))
     cand
-      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      .join(ef.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
         col("nrm").as("na")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      .join(ef.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
         col("nrm").as("nb")), "vec_b")
       .select(col("vec_b").as("vec_id"), col("vec_a"),
-        Similarity.cosine(col("va"), col("vb"), col("na"), col("nb"))
-          .as("cos_raw"))
+        (graft.functions.DotProduct.dotFloatFast(col("va"), col("vb")) /
+          (col("na") * col("nb"))).as("cos_raw"))
       .filter(col("cos_raw") >= D6Threshold)
       .groupBy("vec_id")
       .agg(min("vec_a").as("match_id"),

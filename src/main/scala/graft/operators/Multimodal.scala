@@ -86,11 +86,19 @@ object Multimodal {
     * never media payloads. At 100 TB real media arrives as many files
     * and the scan parallelizes on its own, so the same exchange is
     * noise there. Hash-partitioned on the id column — deterministic
-    * under task retry (guide §2.5's rand()-repartition warning). */
+    * under task retry (guide §2.5's rand()-repartition warning). The
+    * key column is asserted to be the id-typed head column (ADVICE
+    * r17: a reordered select at a call site would otherwise silently
+    * hash on a non-id column — still correct, but the fan could
+    * collapse onto few partitions with no test failing). */
   private def fanOut[T](ds: org.apache.spark.sql.Dataset[T])
-      : org.apache.spark.sql.Dataset[T] =
-    ds.repartition(ds.sparkSession.sparkContext.defaultParallelism,
-      col(ds.columns(0)))
+      : org.apache.spark.sql.Dataset[T] = {
+    val key = ds.columns(0)
+    require(ds.schema.head.dataType == org.apache.spark.sql.types.LongType,
+      s"fanOut key '$key' must be the leading long id column, " +
+        s"got ${ds.schema.head.dataType} — reorder the select")
+    ds.repartition(ds.sparkSession.sparkContext.defaultParallelism, col(key))
+  }
 
   final case class MediaRow(doc_id: Long, text: String, width: Int, height: Int)
   final case class Feature(doc_id: Long, width: Long, height: Long, mean_ok: Long)

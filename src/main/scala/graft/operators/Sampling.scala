@@ -821,10 +821,22 @@ object Sampling {
     * distribution to gate against yet (the mix-preservation stance:
     * never silently empty a domain). Batch split per the incremental
     * family's convention (d15/d16: `doc_id % 10 == 7` is intake). */
+  /** c20's per-source serving thresholds, cached per corpus fingerprint
+    * (optimization round 18, the d13-postings discipline): the entry's
+    * own contract says the boundary is "computed ONCE from the
+    * committed corpus" — it is a corpus artifact, and rebuilding it per
+    * invocation re-ran the corpus quality scoring + percentile sketch +
+    * survivor window every call. Only the declared entry caches; the
+    * GateStream twin manages its own refresh cadence. */
+  private val c20ThrCache = new Dedup.PersistedLru(2)
+
   def c20ThresholdGate(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    val thr = c20ThrCache.getOrElseUpdate(s, dir, "documents") {
+      gateThresholds(d.filter(col("doc_id") % 10 =!= 7))
+    }
     thresholdGateCore(d.filter(col("doc_id") % 10 =!= 7),
-      d.filter(col("doc_id") % 10 === 7))
+      d.filter(col("doc_id") % 10 === 7), Some(thr))
   }
 
   /** (doc_id, source, quality_micro) of an arbitrary (doc_id, source,
@@ -836,11 +848,14 @@ object Sampling {
 
   /** c20's body over ARBITRARY corpus/batch (doc_id, source, text)
     * frames — shared with [[graft.streaming.GateStream]] so the
-    * continuous twin cannot drift. */
+    * continuous twin cannot drift. `thrOpt` lets the declared entry
+    * supply its cached threshold table; semantics are identical (same
+    * build, same join). */
   private[graft] def thresholdGateCore(corpus: DataFrame,
-      batch: DataFrame): DataFrame =
+      batch: DataFrame, thrOpt: Option[DataFrame] = None): DataFrame =
     qualityScored(batch)
-      .join(broadcast(gateThresholds(corpus)), Seq("source"), "left")
+      .join(broadcast(thrOpt.getOrElse(gateThresholds(corpus))),
+        Seq("source"), "left")
       .filter(col("thr").isNull || col("quality_micro") >= col("thr"))
       .select(col("doc_id"), col("source"), col("quality_micro"))
       .orderBy("doc_id")

@@ -61,17 +61,26 @@ object Similarity {
     * verified per entry). Index BUILDS stay on the caller's session —
     * they are table-sized and want AQE. Cached per parent session so
     * Tables.load's per-session schema cache keeps working. */
+  // WEAK keys (ADVICE r17): a long-lived process creating and stopping
+  // many sessions must not accumulate SessionState/clone pairs forever —
+  // when the parent session becomes unreachable its clone entry is
+  // collectable. Synchronized map: computeIfAbsent-style access from the
+  // bench's concurrent query pool.
   private val probeSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
 
   private def probeSession(s: SparkSession): SparkSession =
-    probeSessions.computeIfAbsent(s, { _ =>
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.adaptive.enabled", "false")
-      s2.conf.set("spark.sql.shuffle.partitions",
-        math.min(s.sparkContext.defaultParallelism, 8).toString)
+    probeSessions.synchronized {
+      var s2 = probeSessions.get(s)
+      if (s2 == null) {
+        s2 = s.newSession()
+        s2.conf.set("spark.sql.adaptive.enabled", "false")
+        s2.conf.set("spark.sql.shuffle.partitions",
+          math.min(s.sparkContext.defaultParallelism, 8).toString)
+        probeSessions.put(s, s2)
+      }
       s2
-    })
+    }
 
   /** s1: brute-force cosine top-k for the query set (vec_id < 5). */
   def s1AnnBrute(s: SparkSession, dir: String): DataFrame = {
@@ -868,7 +877,13 @@ object Similarity {
         graft.storage.GraftTable.drop(s"$root/$t"))
       val cbDf = pqCodebook(s, dir)
       val cbT = graft.storage.GraftTable.create(s, s"$root/codebook", cbDf.schema)
-      cbT.append(cbDf)
+      // one file: a PQ codebook is M·2^bits rows (~KBs) at ANY corpus
+      // scale — like the centroids table, its right layout is a single
+      // file (guide §6 output sizing). Written at the session's shuffle
+      // width it landed as 32 near-empty files, and EVERY probe's
+      // codebook read paid a 32-task scan to broadcast a few KB
+      // (optimization round 18; the exchange moves ~hundreds of rows).
+      cbT.append(cbDf.repartition(1))
       val nLists = graft.storage.GraftTable.open(s, s"$root/centroids")
         .rowCountFromMetadata().toInt.max(1)
       // (label, vec_id, codes): one row per vector, codes ordered by

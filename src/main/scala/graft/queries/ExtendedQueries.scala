@@ -499,6 +499,12 @@ object ExtendedQueries {
     // suppliers = sum of the per-supplier has-R flag — with plain
     // codegen'd hash aggregates and no row multiplication
     // (optimization round 17, guide §2.3 "shuffle fewer bytes").
+    // Equivalence assumes l_suppkey IS NOT NULL (ADVICE r17): the
+    // original countDistinct(l_suppkey) ignored NULL suppliers, while a
+    // NULL-supplier group would count toward n_supp here. TPC-H-shaped
+    // lineitem declares l_suppkey non-null (the generator never emits
+    // one), and the oracle runs the literal EXISTS form — a NULL would
+    // flip the hash, so the assumption is continuously checked.
     val perOrder = l
       .groupBy("l_orderkey", "l_suppkey")
       .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("ret"))

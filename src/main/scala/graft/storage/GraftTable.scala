@@ -2278,25 +2278,54 @@ final class GraftTable private (
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
-      val dup = s0.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"MERGE source has duplicate keys (first: ${dup.headOption.orNull}) — " +
-          "each target row may match at most one source row")
-      d0.foreach { d =>
-        require(s0.join(d, keyCols, "left_semi").limit(1).count() == 0L,
-          "CDC batch has a key both upserted and deleted — collapse the " +
-            "changelog to one final image per key upstream")
+      // ONE pre-candidate pass over the persisted source computes what
+      // were three separate driver actions (optimization round 18 — the
+      // merge path is a chain of small driver-coordinated jobs, and
+      // each action pays a full plan/schedule round trip): the MERGE
+      // cardinality check, the upsert∩delete overlap check, and the
+      // zone-map prune bounds. Grouping includes the any-null-key flag
+      // (a function of the key values, so it never splits a group):
+      // null-key rows group among themselves exactly as the original
+      // groupBy(keys) did for the duplicate check, while the overlap
+      // and range reads exclude them per SQL-equality semantics.
+      val nkCol = keyCols.map(col(_).isNull).reduce(_ || _)
+      val sFlags = s0.select((keyCols.map(col) :+
+        lit(1L).as("__s") :+ lit(0L).as("__d")): _*)
+      val keyedAll = d0.fold(sFlags)(d => sFlags.unionByName(
+        d.select((keyCols.map(col) :+ lit(0L).as("__s") :+ lit(1L).as("__d")): _*)))
+      val perKey = keyedAll.withColumn("__nk", nkCol)
+        .groupBy((keyCols.map(col) :+ col("__nk")): _*)
+        .agg(sum(col("__s")).as("__ns"), sum(col("__d")).as("__nd"))
+      val preRow = perKey.agg(
+        (Seq(max(col("__ns")).as("__maxns"),
+          sum(when(col("__ns") > 0 && col("__nd") > 0, 1L)).as("__overlap")) ++
+          keyCols.flatMap(k => Seq(
+            min(when(!col("__nk"), col(k))).as(s"__mn_$k"),
+            max(when(!col("__nk"), col(k))).as(s"__mx_$k")))).head,
+        (Seq(max(col("__ns")).as("__maxns"),
+          sum(when(col("__ns") > 0 && col("__nd") > 0, 1L)).as("__overlap")) ++
+          keyCols.flatMap(k => Seq(
+            min(when(!col("__nk"), col(k))).as(s"__mn_$k"),
+            max(when(!col("__nk"), col(k))).as(s"__mx_$k")))).tail: _*)
+        .collect().head
+      if (Option(preRow.getAs[Any]("__maxns")).exists(
+          _.asInstanceOf[Long] > 1L)) {
+        // rare failure path: re-derive the first duplicate key only to
+        // reproduce the original error message
+        val dup = s0.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"MERGE source has duplicate keys (first: ${dup.headOption.orNull}) — " +
+            "each target row may match at most one source row")
       }
+      require(Option(preRow.getAs[Any]("__overlap"))
+          .forall(_.asInstanceOf[Long] == 0L),
+        "CDC batch has a key both upserted and deleted — collapse the " +
+          "changelog to one final image per key upstream")
       // prune: a file can hold a match only if every key column's zone
       // map intersects the source's key range (null-key rows are pure
       // inserts and do not widen the range; DELETE keys widen it)
-      val keyed = d0.fold(s0.na.drop(keyCols).select(keyCols.map(col): _*))(d =>
-        s0.na.drop(keyCols).select(keyCols.map(col): _*).unionByName(d))
-      val rngRow = keyed.agg(
-        keyCols.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"))).head,
-        keyCols.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"))).tail: _*)
-        .collect().head
+      val rngRow = preRow
       val haveKeys = keyCols.exists(k => rngRow.getAs[Any](s"__mn_$k") != null)
       val pruneFilters: Seq[Filter] =
         if (!haveKeys) Seq.empty
@@ -2313,7 +2342,6 @@ final class GraftTable private (
         (0L, inserted, 0L)
       } else {
         val t = readFilesDf(cands)
-        val candRows = t.count()
         val marker = "__graft_matched"
         val sA = s0.withColumn(marker, lit(true)).alias("s")
         val tA = t.alias("t")
@@ -2328,9 +2356,40 @@ final class GraftTable private (
         // both upserted and deleted, checked above)
         val rewritten = d0.fold(upserted)(d => upserted.join(d, keyCols, "left_anti"))
         val inserts = s0.join(t.select(keyCols.map(col): _*), keyCols, "left_anti")
-        val updated = t.join(s0.select(keyCols.map(col): _*), keyCols, "left_semi").count()
-        val deleted = d0.map(d => t.join(d, keyCols, "left_semi").count()).getOrElse(0L)
-        val inserted = inserts.count()
+        // ONE counting pass replaces four driver actions (candRows +
+        // the updated/deleted semi-join counts + the inserted anti-join
+        // count), each of which re-scanned the candidate files
+        // (optimization round 18): per (key, any-null-key) group, tally
+        // target/source/delete multiplicities, then fold. SQL-equality
+        // semantics are preserved exactly — null-key target rows match
+        // nothing (!__nk guards updated; delete keys are non-null by
+        // construction), null-key source rows always insert.
+        val nk2 = keyCols.map(col(_).isNull).reduce(_ || _)
+        val tFlags = t.select((keyCols.map(col) :+ lit(1L).as("__t") :+
+          lit(0L).as("__s") :+ lit(0L).as("__d")): _*)
+        val sFlags2 = s0.select((keyCols.map(col) :+ lit(0L).as("__t") :+
+          lit(1L).as("__s") :+ lit(0L).as("__d")): _*)
+        val all3 = d0.fold(tFlags.unionByName(sFlags2))(d =>
+          tFlags.unionByName(sFlags2).unionByName(
+            d.select((keyCols.map(col) :+ lit(0L).as("__t") :+
+              lit(0L).as("__s") :+ lit(1L).as("__d")): _*)))
+        val cntRow = all3.withColumn("__nk", nk2)
+          .groupBy((keyCols.map(col) :+ col("__nk")): _*)
+          .agg(sum(col("__t")).as("__nt"), sum(col("__s")).as("__ns"),
+            sum(col("__d")).as("__nd"))
+          .agg(
+            coalesce(sum(col("__nt")), lit(0L)).as("__cand"),
+            coalesce(sum(when(col("__ns") > 0 && !col("__nk"), col("__nt"))
+              .otherwise(0L)), lit(0L)).as("__upd"),
+            coalesce(sum(when(col("__nd") > 0, col("__nt")).otherwise(0L)),
+              lit(0L)).as("__del"),
+            coalesce(sum(when(col("__nt") === 0 || col("__nk"), col("__ns"))
+              .otherwise(0L)), lit(0L)).as("__ins"))
+          .collect().head
+        val candRows = cntRow.getAs[Long]("__cand")
+        val updated = cntRow.getAs[Long]("__upd")
+        val deleted = cntRow.getAs[Long]("__del")
+        val inserted = cntRow.getAs[Long]("__ins")
         if (updated == 0L && deleted == 0L) {
           // no source row matched: the whole source is a plain append
           // (no candidate file needs rewriting)

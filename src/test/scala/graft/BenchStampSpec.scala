@@ -105,6 +105,12 @@ class BenchStampSpec extends AnyFunSuite {
     assert(!Bench.windowSuspectStamp(multiPass = false, twoBestAgree = true,
       calibInsuiteBest = 0.0, preSpin = 0.6, preParSpin = 0.6,
       postSpin = 0.6, postParSpin = 0.6, insuiteMedian = 0.5))
+    // single-pass slow-bracket backstop (ADVICE r17): a badly degraded
+    // box (idle spin 2.0 s) must self-report even when the in-suite
+    // median sits inside the relative allowance it would otherwise raise
+    assert(Bench.windowSuspectStamp(multiPass = false, twoBestAgree = true,
+      calibInsuiteBest = 0.0, preSpin = 2.0, preParSpin = 2.0,
+      postSpin = 2.0, postParSpin = 2.0, insuiteMedian = 2.3))
   }
 
   test("the sentinel set is fixed, ordered, and resolvable against the query inventory") {
