@@ -86,7 +86,20 @@ object Tables {
     // (8×). Scale-faithful: this makes local small-partition shuffles
     // take the identical code path they would at the 100 TB design
     // point, rather than a local-only special case.
-    "spark.shuffle.sort.bypassMergeThreshold" -> "0")
+    "spark.shuffle.sort.bypassMergeThreshold" -> "0",
+    // File-listing job threshold (optimization round 18, guide §6 small
+    // files / §5 the driver): the Scala-API read paths hand
+    // `spark.read.parquet` EXPLICIT manifest file lists, and Spark still
+    // runs an InMemoryFileIndex over them — above 32 paths (the
+    // default) it launches a DISTRIBUTED listing job (observed: a
+    // 33-task, ~0.22 s job inside p3's store read-back for 33 local
+    // stats that cost microseconds each). Raising the threshold keeps
+    // listing driver-side up to 512 paths; beyond that the distributed
+    // listing is genuinely right (object-store latency × thousands of
+    // files). The production-shape scan (DSv2 GraftScan) never lists at
+    // all — its file set and sizes come from the manifest — so this
+    // only governs the utility read paths.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold" -> "512")
 
   /** The events table's `ts` physical encoding is the data generator's
     * choice, not ours, and it has changed across regenerations — the

@@ -133,21 +133,35 @@ object Pipeline {
         TextAnalysis.qualityRaw(col("text")) >= 0.35 &&
         TextAnalysis.langPred(col("text")) === "en")
       .drop("rn")
+    // Both appends REBALANCE before the write (optimization round 18,
+    // guide §6 output file sizing): the curated stream arrives in the
+    // md5-window's shuffle partitioning — `spark.sql.shuffle.partitions`
+    // near-empty partitions — and the append writes one file per
+    // partition (AQE's coalescing keeps `parallelismFirst`'s
+    // defaultParallelism floor for plain shuffles, so it never folded
+    // them). Every later action then re-paid the file count: per-file
+    // footer harvest at commit, a 33-path listing JOB in the read-back
+    // (ProfJobs: 0.22 s), 32-split scans of a few thousand rows. The
+    // rebalance hint is the scale-correct form — AQE sizes the write to
+    // advisoryPartitionSizeInBytes, so the same plan writes ~one file
+    // here and properly-sized files at the 100 TB design point. Rows
+    // are identical; only the row→file assignment changes.
     val base = curate(docs.filter(!isBatch))
     val loc = Dedup.scratchRoot(s) +
       s"/p3-${java.util.UUID.randomUUID().toString.take(8)}/t"
     val store = graft.storage.GraftTable.create(s, loc, base.schema)
-    store.append(base)
+    store.append(base.hint("rebalance"))
     // Today's batch, curated once and reused by both the sketch action
-    // and the join (persisted so the window shuffle runs once and the
-    // two consumers cannot diverge).
+    // and the join. localCheckpoint (eager) rather than persist: it
+    // materializes the window shuffle once AND truncates the curate()
+    // lineage, so the three downstream actions (sketch build, anti-join
+    // append, read-back) re-analyze a scan, not the full window+text
+    // expression tree (~165 ms of Catalyst per action, ProfJobs gaps).
     val batchCur = curate(docs.filter(isBatch))
       .withColumn("fp", md5(col("text").cast("binary")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      graft.storage.GraftTable.open(s, loc)
-        .append(refreshSurvivors(s, batchCur, loc))
-    } finally { batchCur.unpersist(); () }
+      .localCheckpoint(true)
+    graft.storage.GraftTable.open(s, loc)
+      .append(refreshSurvivors(s, batchCur, loc).hint("rebalance"))
     graft.storage.GraftTable.open(s, loc).read()
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy("doc_id")

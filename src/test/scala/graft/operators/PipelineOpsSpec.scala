@@ -12,6 +12,15 @@ class PipelineOpsSpec extends SparkSpec {
 
   private val dir = sf("sf0.01")
 
+  /** p3 store locations under this session's engine scratch root
+    * (each invocation creates `<root>/p3-<uuid>/t`). */
+  private def p3StoreDirs(): Seq[String] = {
+    val root = new java.io.File(Dedup.scratchRoot(spark))
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("p3-"))
+      .map(f => f.getAbsolutePath + "/t").toSeq
+  }
+
   test("d8: planted verbatim 8-token window is found; short docs drop out") {
     import spark.implicits._
     val planted = Seq(
@@ -232,8 +241,22 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("p3: the store is in the loop - two commits, append rewrites nothing, batch is fingerprint-deduped") {
     val dir = sf("sf0.001")
+    val before = p3StoreDirs().toSet
     val out = Pipeline.p3IncrementalRefresh(spark, dir).collect()
     assert(out.nonEmpty)
+    // optimization round 18: both appends REBALANCE before the write,
+    // so the store must NOT carry one near-empty file per shuffle
+    // partition (32 at the session default) — at this scale each
+    // append coalesces to ~one sized file. Pin the new write shape on
+    // the entry's own store (the freshest p3-* dir under the scratch
+    // root this call created).
+    val created = (p3StoreDirs().toSet -- before).toSeq
+    assert(created.nonEmpty, "the entry must create its store under the scratch root")
+    created.foreach { loc =>
+      val st = graft.storage.GraftTable.open(spark, loc)
+      assert(st.committedFiles.size <= 4,
+        s"rebalanced appends must write few sized files, got ${st.committedFiles.size}")
+    }
     // ids are unique (both dedup levels held) and the 80/20 split is
     // respected: every id is a base or batch id
     val ids = out.map(_.getLong(0)).toSeq
